@@ -1,0 +1,11 @@
+"""Scalar/aggregate function library (JVM-side expressions only).
+
+Submodules:
+- stats      — multi-statistic aggregation kernel (mean/std/median/MAD),
+               exact decimal summation for cross-engine determinism, ECDF.
+- histogram  — 1D/2D histogram binning incl. numpy-'auto' bin policy.
+- strings    — measurement-name grammar (voltage token, device token,
+               timestamp prefix).
+- text       — language ID, quality scoring, token counting, fingerprints.
+- vectors    — embedding math (cosine, dot) on array<float> columns.
+"""

@@ -1,0 +1,182 @@
+"""Multi-statistic aggregation kernel.
+
+Re-expresses the reference's ``mean_std`` multi-stat group aggregation
+(reference: utils.py:118-146 — per group, per value column: mean, std,
+median, MAD_std = 1.4826 x median absolute deviation) and its scalar
+variants (reference: measurements.py:180-185) as pure Spark built-in
+expressions — no Python UDFs anywhere in this module.
+
+Cross-engine determinism
+------------------------
+Floating-point SUM/AVG over shuffled partitions is order-dependent, so a
+Spark double sum and a DuckDB double sum of the same 60k values can differ
+in the last bits. Where results must hash-match a DuckDB oracle we make the
+sum EXACT and order-free: scale by 1e6, ``floor`` (both engines floor the
+identical double identically), sum as exact decimal integers, then divide
+back in double. The truncation at 1e-6 is a *defined* semantic of these
+deterministic aggregates (error bound: n * 1e-6), the payoff is a
+bit-identical scalar on any engine and any partitioning.
+``dsum``/``davg``/``dstd`` implement that; the matching SQL text for the
+oracle side is produced by ``sql_dsum``/``sql_davg``/``sql_dstd`` so the two
+sides cannot drift apart. (A plain decimal CAST is not enough: Spark
+rounds HALF_UP, DuckDB half-even, and computed doubles do land on ties.)
+
+MAD needs an exact median of ``abs(x - median(x))``: a two-phase aggregate
+(median per group, broadcast-join back, median of absolute deviations).
+Spark's ``median`` is the exact interpolating percentile, same as DuckDB's
+``median``/``quantile_cont(0.5)``.
+
+Scale note: the two-phase MAD is two shuffles on the *group keys* — at
+100 TB the second pass runs over an already-aggregated frame joined back to
+the fact via broadcast (group-key cardinality is small in every use), so
+the extra cost is one broadcast, not a second full shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MAD -> sigma for normal data (reference: utils.py:7)
+K_MAD_TO_STD = 1.4826
+
+_SCALE = 1_000_000.0  # 1e-6 truncation grid for deterministic sums
+
+
+# ---------------------------------------------------------------------------
+# deterministic aggregate builders (Spark side)
+# ---------------------------------------------------------------------------
+
+def dsum(c: str | Column) -> Column:
+    """Order-independent SUM of a double column.
+
+    floor(x * 1e6) is the same double on every engine; summing those as
+    exact decimal integers removes float-order dependence entirely.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    scaled = F.floor(col * F.lit(_SCALE)).cast("decimal(38,0)")
+    return (F.sum(scaled).cast("double") / F.lit(_SCALE))
+
+
+def davg(c: str | Column) -> Column:
+    """Order-independent AVG: exact scaled sum / count, divided in double."""
+    col = F.col(c) if isinstance(c, str) else c
+    return dsum(col) / F.count(col)
+
+
+def dstd(c: str | Column) -> Column:
+    """Order-independent sample stddev via exact scaled sum & sum-of-squares.
+
+    sqrt(max(0, (ssq - s^2/n) / (n-1))) computed in double from exact
+    scalars; identical expression emitted for the oracle by ``sql_dstd``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    n = F.count(col).cast("double")
+    s = dsum(col)
+    ssq = dsum(col * col)
+    var = F.greatest(F.lit(0.0), (ssq - s * s / n) / (n - F.lit(1.0)))
+    return F.when(n > 1, F.sqrt(var)).otherwise(F.lit(None).cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# matching SQL text (DuckDB-oracle side) — keep in lockstep with the above
+# ---------------------------------------------------------------------------
+
+def sql_dsum(expr: str) -> str:
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / 1000000.0)"
+    )
+
+
+def sql_davg(expr: str) -> str:
+    return f"({sql_dsum(expr)} / COUNT({expr}))"
+
+
+def sql_dstd(expr: str) -> str:
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    s = sql_dsum(expr)
+    ssq = sql_dsum(f"({expr}) * ({expr})")
+    var = f"GREATEST(0.0, ({ssq} - {s} * {s} / {n}) / ({n} - 1.0))"
+    return f"(CASE WHEN {n} > 1 THEN SQRT({var}) ELSE NULL END)"
+
+
+# ---------------------------------------------------------------------------
+# grouped median / MAD (two-phase, built-ins only)
+# ---------------------------------------------------------------------------
+
+def group_median(df: DataFrame, keys: Sequence[str], col: str, out: str) -> DataFrame:
+    """Per-group exact median as a one-row-per-group frame."""
+    return df.groupBy(*keys).agg(F.median(F.col(col)).alias(out))
+
+
+def group_mad(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    out: str,
+    scaled: bool = True,
+) -> DataFrame:
+    """Per-group median absolute deviation (x K_MAD_TO_STD if ``scaled``).
+
+    Two-phase: median per group -> broadcast join back -> median of
+    |x - median|. Matches DuckDB ``mad(x)`` (x 1.4826 when scaled).
+    """
+    med = group_median(df, keys, col, "_med")
+    dev = df.join(F.broadcast(med), list(keys)).withColumn(
+        "_absdev", F.abs(F.col(col) - F.col("_med"))
+    )
+    mad = F.median(F.col("_absdev"))
+    if scaled:
+        mad = mad * F.lit(K_MAD_TO_STD)
+    return dev.groupBy(*keys).agg(mad.alias(out))
+
+
+def mean_std(
+    df: DataFrame,
+    by: Sequence[str],
+    cols: Sequence[str] | None = None,
+    deterministic: bool = True,
+) -> DataFrame:
+    """The reference's flagship multi-stat aggregation (utils.py:118-146).
+
+    Groups by ``by`` and, for every value column, emits
+    ``"{col} {stat}"`` for stat in (mean, std, median, MAD_std).
+    ``deterministic=True`` routes mean/std through exact decimal sums so a
+    DuckDB oracle hash-matches; ``False`` uses plain avg/stddev (faster,
+    float-order-dependent in the last bits).
+    """
+    by = list(by)
+    if cols is None:
+        cols = [c for c, t in df.dtypes if c not in by and t in ("double", "float")]
+    aggs: list[Column] = []
+    for c in cols:
+        mean_expr = davg(c) if deterministic else F.avg(F.col(c))
+        std_expr = dstd(c) if deterministic else F.stddev(F.col(c))
+        aggs += [
+            mean_expr.alias(f"{c} mean"),
+            std_expr.alias(f"{c} std"),
+            F.median(F.col(c)).alias(f"{c} median"),
+        ]
+    base = df.groupBy(*by).agg(*aggs)
+    # MAD columns: one two-phase pass per value column, joined on the keys.
+    out = base
+    for c in cols:
+        out = out.join(
+            F.broadcast(group_mad(df, by, c, f"{c} MAD_std", scaled=True)), by
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ECDF (reference: clean_beta_scan.py:212-220 — statsmodels ECDF per device)
+# ---------------------------------------------------------------------------
+
+def ecdf(df: DataFrame, partition: Sequence[str], col: str, out: str = "ecdf") -> DataFrame:
+    """Empirical CDF per partition via ``cume_dist`` — single window pass."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*partition).orderBy(F.col(col))
+    return df.withColumn(out, F.cume_dist().over(w))

@@ -1,0 +1,142 @@
+"""Data-driven predicate engine.
+
+Re-expresses the reference's ``apply_cuts`` (clean_beta_scan.py:25-58):
+a *cuts table* ``(variable, device_name, cut type, cut value)`` with
+``cut type in ('lower','higher')`` is folded into a per-trigger boolean:
+a trigger is accepted iff EVERY cut is satisfied by the row of the device
+it names ('lower' => value >= cut value, 'higher' => value <= cut value).
+A missing or NaN value fails the cut (pandas NaN comparisons are False).
+
+Spark-first design: instead of pivoting wide and collecting predicates to
+the driver, we UNPIVOT the fact over the cut variables and equi-join the
+cuts table (broadcast — it is a predicate *dimension*). The conjunction is
+then one ``groupBy(trigger)`` with ``bool_and`` + a per-cut existence
+count. Fully distributed, no driver-side loop, scales to arbitrarily many
+cuts and triggers; the only shuffle is the groupBy on the trigger key.
+
+Also here: the null-pair dropper (F6, utils.py:9-21) — keep only triggers
+for which every device reported a complete row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_cuts(data: DataFrame, cuts: DataFrame, device_col: str = "device_name") -> DataFrame:
+    """Cuts referencing devices absent from the data (clean_beta_scan.py:42-44).
+
+    Returns the offending cut rows (empty = valid) via a left-anti join —
+    the Spark idiom for the reference's set-difference validation error.
+    """
+    devices = data.select(device_col).distinct()
+    return cuts.join(devices, on=device_col, how="left_anti")
+
+
+def apply_cuts(
+    data: DataFrame,
+    cuts: DataFrame,
+    trigger_col: str = "n_trigger",
+    device_col: str = "device_name",
+) -> DataFrame:
+    """Cuts table -> ``(trigger_col, accepted boolean)``, one row per trigger.
+
+    ``cuts`` columns: ``variable`` (must name a numeric column of ``data``),
+    ``device_name`` (matched against ``device_col``), ``cut type``
+    ('lower'|'higher'), ``cut value`` (double).
+    """
+    variables = [r["variable"] for r in cuts.select("variable").distinct().collect()]
+    # ^ tiny metadata read: the *schema* of the unpivot depends on it, the
+    #   data path stays fully distributed.
+    long = data.unpivot(
+        ids=[trigger_col, device_col],
+        values=variables,
+        variableColumnName="variable",
+        valueColumnName="_value",
+    )
+    from pyspark.sql.window import Window
+
+    # Deterministic cut id (tiny dim — window over a constant is fine).
+    cut_order = Window.orderBy("variable", "device_name", "cut type", "cut value")
+    cuts_renamed = cuts.select(
+        F.row_number().over(cut_order).alias("_cut_id"),
+        F.col("variable").alias("_cut_variable"),
+        F.col("device_name").alias("_cut_device"),
+        F.col("cut type"),
+        F.col("cut value"),
+    )
+    joined = long.join(
+        F.broadcast(cuts_renamed),
+        on=(F.col(device_col) == F.col("_cut_device"))
+        & (F.col("variable") == F.col("_cut_variable")),
+    )
+    passes = (
+        F.when(F.isnan("_value") | F.col("_value").isNull(), F.lit(False))
+        .when(F.col("cut type") == "lower", F.col("_value") >= F.col("cut value"))
+        .when(F.col("cut type") == "higher", F.col("_value") <= F.col("cut value"))
+        .otherwise(F.lit(False))
+    )
+    n_cuts = cuts.count()
+    per_trigger = (
+        joined.withColumn("_passes", passes)
+        .groupBy(trigger_col)
+        .agg(
+            F.bool_and("_passes").alias("_all_pass"),
+            F.count_distinct(F.col("_cut_id")).alias("_n_matched"),
+        )
+    )
+    # Every cut must have found >=1 (device, variable) row, and every row of
+    # that device must pass it (a device may report several rows per trigger).
+    accepted = (F.col("_all_pass") & (F.col("_n_matched") == F.lit(n_cuts))).alias("accepted")
+    return per_trigger.select(F.col(trigger_col), accepted)
+
+
+def attach_accepted(
+    data: DataFrame,
+    accepted: DataFrame,
+    trigger_col: str = "n_trigger",
+    fill: bool = False,
+) -> DataFrame:
+    """J1 — left-join the accepted flag back onto the fact
+    (clean_beta_scan.py:138-141). Missing triggers -> accepted=false."""
+    out = data.join(accepted, on=trigger_col, how="left")
+    if fill:
+        out = out.na.fill({"accepted": False})
+    return out
+
+
+def drop_incomplete_groups(
+    data: DataFrame,
+    trigger_col: str = "n_trigger",
+    device_col: str = "device_name",
+    value_cols: Sequence[str] | None = None,
+    n_devices: int | None = None,
+) -> DataFrame:
+    """F6 — remove triggers with any missing device row or NaN value
+    (utils.py:9-21 pivot->dropna->stack, without the pivot).
+
+    A window count per trigger replaces the wide reshape: keep the trigger
+    iff (#complete rows) == (#devices). One shuffle on the trigger key.
+    """
+    from pyspark.sql.window import Window
+
+    if value_cols is None:
+        value_cols = [c for c, t in data.dtypes if t in ("double", "float")]
+    complete = F.lit(True)
+    for c in value_cols:
+        col = F.col(c)
+        complete = complete & col.isNotNull() & ~F.isnan(col)
+    w = Window.partitionBy(trigger_col)
+    if n_devices is None:
+        n_dev_col = F.size(F.collect_set(device_col).over(w))
+    else:
+        n_dev_col = F.lit(n_devices)
+    return (
+        data.withColumn("_complete", complete)
+        .withColumn("_n_complete", F.sum(F.col("_complete").cast("int")).over(w))
+        .filter(F.col("_n_complete") == n_dev_col)
+        .drop("_complete", "_n_complete")
+    )

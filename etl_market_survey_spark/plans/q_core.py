@@ -1,0 +1,189 @@
+"""Core scan/filter/agg/join queries (SURVEY §2.1, §2.2, §2.3, §2.4).
+
+q01_pricing_summary — flagship: scan (S1) + filter (F1) + derived-column
+    projection (F4) + multi-stat group agg (A1-lite). TPC-H Q1 shape.
+q02_mean_std        — the reference's ``mean_std`` kernel (A1):
+    mean/std/median/MAD_std per group, flattened `"{col} {stat}"` names.
+q03_cuts            — data-driven predicate conjunction (F3) + accepted
+    flag semantics (J1 input), on lineitem with l_linenumber as "device".
+q04_join_enrich     — equi-join fabric + broadcast dimension enrichment
+    (J1/J2/J3): lineitem⋈orders⋈customer⋈nation⋈region rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.stats import davg, dstd, dsum, mean_std, sql_davg, sql_dstd, sql_dsum
+from ..operators.cuts import apply_cuts
+from .registry import load, register
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (flagship)
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q01_pricing_summary", _Q01_ORACLE)
+def q01_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_quantity") < 50)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — mean_std multi-stat kernel (A1; reference utils.py:118-146)
+# ---------------------------------------------------------------------------
+
+_Q02_ORACLE = f"""
+WITH med AS (
+  SELECT l_returnflag,
+         median(l_quantity) AS mq,
+         median(l_extendedprice) AS mp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT
+  l.l_returnflag,
+  {sql_davg('l.l_quantity')} AS "l_quantity mean",
+  {sql_dstd('l.l_quantity')} AS "l_quantity std",
+  median(l.l_quantity) AS "l_quantity median",
+  1.4826 * median(abs(l.l_quantity - m.mq)) AS "l_quantity MAD_std",
+  {sql_davg('l.l_extendedprice')} AS "l_extendedprice mean",
+  {sql_dstd('l.l_extendedprice')} AS "l_extendedprice std",
+  median(l.l_extendedprice) AS "l_extendedprice median",
+  1.4826 * median(abs(l.l_extendedprice - m.mp)) AS "l_extendedprice MAD_std"
+FROM lineitem l JOIN med m USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("q02_mean_std", _Q02_ORACLE)
+def q02_mean_std(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    out = mean_std(li, by=["l_returnflag"], cols=["l_quantity", "l_extendedprice"])
+    # Column order: stats per column grouped, matching the oracle aliases.
+    return out.select(
+        "l_returnflag",
+        "`l_quantity mean`",
+        "`l_quantity std`",
+        "`l_quantity median`",
+        "`l_quantity MAD_std`",
+        "`l_extendedprice mean`",
+        "`l_extendedprice std`",
+        "`l_extendedprice median`",
+        "`l_extendedprice MAD_std`",
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q03 — apply_cuts data-driven predicates (F3; clean_beta_scan.py:25-58)
+# ---------------------------------------------------------------------------
+# Mapping: trigger = l_orderkey, device = l_linenumber (restricted to lines
+# 1 and 2 so every "scan" has exactly 2 "devices", matching the reference's
+# two-device invariant), variables = l_quantity / l_extendedprice.
+
+_Q03_CUTS = [
+    ("l_quantity", 1, "lower", 5.0),
+    ("l_quantity", 2, "higher", 45.0),
+    ("l_extendedprice", 1, "higher", 60000.0),
+]
+
+_Q03_ORACLE = """
+SELECT
+  l_orderkey,
+  (
+    COALESCE(bool_and(l_quantity >= 5.0) FILTER (WHERE l_linenumber = 1), FALSE)
+    AND COALESCE(bool_and(l_quantity <= 45.0) FILTER (WHERE l_linenumber = 2), FALSE)
+    AND COALESCE(bool_and(l_extendedprice <= 60000.0) FILTER (WHERE l_linenumber = 1), FALSE)
+  ) AS accepted
+FROM lineitem
+WHERE l_linenumber IN (1, 2)
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+@register("q03_cuts", _Q03_ORACLE)
+def q03_cuts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber").isin(1, 2))
+    cuts = spark.createDataFrame(
+        _Q03_CUTS, "variable string, device_name int, `cut type` string, `cut value` double"
+    )
+    out = apply_cuts(li, cuts, trigger_col="l_orderkey", device_col="l_linenumber")
+    return out.orderBy("l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q04 — join fabric + broadcast dims (J1/J2/J3)
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = f"""
+SELECT
+  r.r_name AS region_name,
+  n.n_name AS nation_name,
+  COUNT(*) AS n_lineitems,
+  {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY r.r_name, n.n_name
+ORDER BY region_name, nation_name
+"""
+
+
+@register("q04_join_enrich", _Q04_ORACLE)
+def q04_join_enrich(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(F.count("*").alias("n_lineitems"), dsum(revenue).alias("revenue"))
+        .orderBy("region_name", "nation_name")
+    )

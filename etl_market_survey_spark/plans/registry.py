@@ -1,0 +1,39 @@
+"""Query registry backing ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Each query maps one or more SURVEY.md §2 operators onto the driver's
+TPC-H-ish testdata (FIXTURES.md §9 mapping: ``lineitem`` = measured-data
+fact, ``orders``/``customer`` = join fabric, ``nation``/``region`` =
+broadcast dims, ``events`` = timestamped table, ``documents``/
+``embeddings`` = training-data tables).
+
+Every oracle SQL string is kept semantically AND numerically in lockstep
+with its Spark query: float aggregates route through exact decimal sums
+(functions/stats.py) so value hashes match across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# Import side-effect registration of all query groups.
+from . import q_core  # noqa: E402,F401
