@@ -108,7 +108,7 @@ def sql_dstd(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def group_median(df: DataFrame, keys: Sequence[str], col: str, out: str) -> DataFrame:
-    """Per-group exact median as a one-row-per-group frame."""
+    """Per-group exact median (keys may be empty -> global scalar frame)."""
     return df.groupBy(*keys).agg(F.median(F.col(col)).alias(out))
 
 
@@ -123,11 +123,15 @@ def group_mad(
 
     Two-phase: median per group -> broadcast join back -> median of
     |x - median|. Matches DuckDB ``mad(x)`` (x 1.4826 when scaled).
+    Empty ``keys`` -> global MAD via broadcast cross join.
     """
+    keys = list(keys)
     med = group_median(df, keys, col, "_med")
-    dev = df.join(F.broadcast(med), list(keys)).withColumn(
-        "_absdev", F.abs(F.col(col) - F.col("_med"))
-    )
+    if keys:
+        dev = df.join(F.broadcast(med), keys)
+    else:
+        dev = df.crossJoin(F.broadcast(med))
+    dev = dev.withColumn("_absdev", F.abs(F.col(col) - F.col("_med")))
     mad = F.median(F.col("_absdev"))
     if scaled:
         mad = mad * F.lit(K_MAD_TO_STD)

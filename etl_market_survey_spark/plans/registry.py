@@ -32,8 +32,14 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    from ..sources.readers import read_parquet
+
+    # events.parquet carries nanosecond timestamps -> ts surfaces as
+    # epoch-nano long (see sources.readers.read_parquet).
+    return read_parquet(spark, f"{sf_dir}/{table}.parquet")
 
 
 # Import side-effect registration of all query groups.
 from . import q_core  # noqa: E402,F401
+from . import q_reshape_window  # noqa: E402,F401
+from . import q_physics  # noqa: E402,F401

@@ -1,0 +1,149 @@
+"""Readers (SURVEY §2.1 S1-S9).
+
+The reference reads Feather first, then CSV, then SQLite for the same
+logical table (cascading resolver, clean_beta_scan.py:118-130). Here the
+native columnar scan is Parquet (S1 — Feather and Parquet are both Arrow-
+backed; Parquet is the distributed-scale choice); CSV (S2), JDBC/SQLite
+(S3), Excel (S5), XML (S6), text sidecars (S7) and the directory catalog
+(S8) keep their semantics.
+
+Column pruning + predicate pushdown reach the Parquet scan because
+everything returns plain ``spark.read`` DataFrames — no eager
+materialization anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — primary columnar scan.
+
+    Handles nanosecond-precision timestamp columns (Spark has no ns type):
+    retried with ``nanosAsLong`` so ns columns surface as epoch-nano longs
+    — callers convert with ``ns_to_timestamp`` when they need calendar ops.
+    """
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis to surface PARQUET_TYPE_ILLEGAL
+        return df
+    except Exception as e:  # noqa: BLE001 — analysis error type varies
+        if "NANOS" in str(e):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return spark.read.parquet(path)
+        raise
+
+
+def ns_to_timestamp(col):
+    """epoch-nanos long -> TimestampType (microsecond truncation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S2 — CSV fallback / intermediate-result reader."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
+    """S3 — out-of-core SQLite scan via JDBC (reference: huge_dataframe).
+
+    Requires a sqlite JDBC driver on the classpath; import-gated so the
+    engine works without it (the reference's SQLite role — tables too big
+    for CSV — is natively covered by Parquet here).
+    """
+    return (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:sqlite:{db_path}")
+        .option("dbtable", table)
+        .load()
+    )
+
+
+def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """S4 — cascading-format resolver: parquet -> feather(arrow) -> csv -> sqlite.
+
+    Mirrors clean_beta_scan.py:118-130's try-Feather-try-CSV-try-SQLite,
+    with Parquet first as the engine-native format.
+    """
+    candidates = [
+        (f"{base_dir}/{name}.parquet", "parquet"),
+        (f"{base_dir}/{name}.fd", "feather"),
+        (f"{base_dir}/{name}.csv", "csv"),
+        (f"{base_dir}/{name}.sqlite", "sqlite"),
+    ]
+    for path, fmt in candidates:
+        if not os.path.exists(path):
+            continue
+        if fmt == "parquet":
+            return read_parquet(spark, path)
+        if fmt == "feather":
+            # Feather is Arrow IPC; Spark has no native reader. Tiny files
+            # only (the reference uses it for intermediates): Arrow -> Spark.
+            import pyarrow.feather as feather
+
+            return spark.createDataFrame(feather.read_feather(path))
+        if fmt == "csv":
+            return read_csv(spark, path)
+        if fmt == "sqlite":
+            return read_sqlite(spark, path, name)
+    raise FileNotFoundError(f"no parquet/feather/csv/sqlite for {name} under {base_dir}")
+
+
+def read_excel_dim(spark: SparkSession, path: str, **pandas_kwargs) -> DataFrame:
+    """S5 — Excel dimension table (devices_info.py:7). Driver-side pandas
+    read -> small Spark frame; dims are broadcast-sized by definition."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_excel(path, **pandas_kwargs))
+
+
+def read_xml_metadata(path: str) -> dict:
+    """S6 — single-record XML metadata (probe-station run.xml,
+    convert_probe_station_measurement_to_our_format.py:18-35)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+
+    def _text(tag):
+        el = root.find(f".//{tag}")
+        return el.text if el is not None else None
+
+    return {el.tag: el.text for el in root.iter() if el.text and el.text.strip()}
+
+
+_SIDECAR_RE = r"^\s*(.+?)\s*=\s*(.+?)\s*$"
+
+
+def read_text_sidecar(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — ``key = value`` scalar sidecar files
+    (measurements.py:202-209,235-240) as a (key, value double) frame."""
+    lines = spark.read.text(path)
+    return lines.select(
+        F.regexp_extract("value", _SIDECAR_RE, 1).alias("key"),
+        F.regexp_extract("value", _SIDECAR_RE, 2).cast("double").alias("value"),
+    ).filter(F.col("key") != "")
+
+
+def read_measurement_list(spark: SparkSession, path: str) -> DataFrame:
+    """S9 — sub-measurement names from a scan's README.txt (utils.py:23-49):
+    skip the header line, one measurement name per remaining line."""
+    from pyspark.sql.window import Window
+
+    lines = spark.read.text(path).withColumn("_idx", F.monotonically_increasing_id())
+    rn = F.row_number().over(Window.orderBy("_idx"))
+    return (
+        lines.withColumn("_rn", rn)
+        .filter((F.col("_rn") > 1) & (F.trim("value") != ""))
+        .select(F.trim("value").alias("measurement_name"))
+    )
