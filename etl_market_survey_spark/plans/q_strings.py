@@ -1,0 +1,88 @@
+"""Name-grammar + JSON queries (SURVEY §2.8 X1-X4, F5).
+
+q31_name_grammar — synthesize measurement names from orders, then parse
+    them back with the engine's grammar expressions (voltage token X1,
+    device tokens X2, timestamp prefix X3, type classifier F5).
+q32_json_props   — JSON side-channel extraction on events.props.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.strings import (
+    classify_measurement,
+    device_tokens,
+    voltage_from_name,
+    when_from_name,
+)
+from .registry import load, register
+
+_NAME_SQL = (
+    "strftime(o_orderdate, '%Y%m%d%H%M%S') || '_MS' || CAST(o_custkey AS VARCHAR)"
+    " || (CASE WHEN o_orderstatus = 'F' THEN '_BetaScan' ELSE '_IV_Curve' END)"
+    " || '_' || CAST(CAST(o_orderkey % 500 AS INT) AS VARCHAR) || 'V'"
+)
+
+_Q31_ORACLE = f"""
+WITH named AS (SELECT {_NAME_SQL} AS name, o_orderkey FROM orders)
+SELECT o_orderkey, name,
+  CAST(strptime(substr(name, 1, 14), '%Y%m%d%H%M%S') AS TIMESTAMP) AS measured_when,
+  CAST(regexp_extract(name, '_([0-9]+)V$', 1) AS INT) AS voltage,
+  list_filter(string_split(name, '_'), t -> regexp_matches(t, '^MS[0-9A-Za-z]+$')) AS devices,
+  CASE
+    WHEN contains(lower(name), 'betascan') THEN 'beta fixed voltage'
+    WHEN contains(lower(name), 'iv') AND contains(lower(name), 'curve') THEN 'IV curve'
+    ELSE 'unknown'
+  END AS mtype
+FROM named ORDER BY o_orderkey
+"""
+
+
+@register("q31_name_grammar", _Q31_ORACLE)
+def q31_name_grammar(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    name = F.concat(
+        F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+        F.lit("_MS"),
+        F.col("o_custkey").cast("string"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("_BetaScan")).otherwise(
+            F.lit("_IV_Curve")
+        ),
+        F.lit("_"),
+        (F.col("o_orderkey") % 500).cast("int").cast("string"),
+        F.lit("V"),
+    )
+    named = orders.select("o_orderkey", name.alias("name"))
+    return named.select(
+        "o_orderkey",
+        "name",
+        when_from_name("name").alias("measured_when"),
+        voltage_from_name("name").alias("voltage"),
+        device_tokens("name").alias("devices"),
+        classify_measurement("name").alias("mtype"),
+    ).orderBy("o_orderkey")
+
+
+_Q32_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q32_json_props", _Q32_ORACLE)
+def q32_json_props(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

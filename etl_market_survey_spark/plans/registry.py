@@ -46,3 +46,4 @@ from . import q_physics  # noqa: E402,F401
 from . import q_dedup  # noqa: E402,F401
 from . import q_text  # noqa: E402,F401
 from . import q_resample_fit  # noqa: E402,F401
+from . import q_strings  # noqa: E402,F401

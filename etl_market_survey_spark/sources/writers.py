@@ -1,0 +1,51 @@
+"""Sinks (SURVEY §2.1 K1-K4).
+
+K1 Parquet (the reference's Feather role), K2 CSV for small result frames,
+K3 Excel catalog export, K4 ``key = value`` text sidecars. Plot sinks (K5)
+are out of engine scope — the engine delivers the aggregated frames.
+
+Big data -> partitioned Parquet; CSV/Excel/sidecars are for *small result*
+tables only (the reference uses them the same way), hence the row-count
+guard rather than silent driver OOM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+SMALL_RESULT_MAX_ROWS = 1_000_000
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    """K1 — partitioned columnar sink; emits _SUCCESS (the engine's marker)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = True):
+    """K2 — CSV result sink; coalesce(1) for the reference's one-file layout."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def write_excel(df: DataFrame, path: str):
+    """K3 — catalog export (measurements.py:304). Small frames only."""
+    _guard_small(df)
+    df.toPandas().to_excel(path, index=False)
+
+
+def write_text_sidecar(scalars: dict[str, float], path: str):
+    """K4 — ``key = value`` scalar sidecar (fit_erf...py:175-177)."""
+    with open(path, "w") as f:
+        for k, v in scalars.items():
+            f.write(f"{k} = {v}\n")
+
+
+def _guard_small(df: DataFrame):
+    n = df.limit(SMALL_RESULT_MAX_ROWS + 1).count()
+    if n > SMALL_RESULT_MAX_ROWS:
+        raise ValueError(
+            f"refusing driver-side export of {n}+ rows; use write_parquet"
+        )

