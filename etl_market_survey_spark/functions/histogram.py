@@ -26,12 +26,17 @@ from pyspark.sql import functions as F
 
 def _stats(df: DataFrame, col: str) -> DataFrame:
     c = F.col(col)
+    # one percentile aggregate for both quartiles: a single value buffer
+    # and sort instead of two
     return df.agg(
         F.count(c).alias("_n"),
         F.min(c).alias("_min"),
         F.max(c).alias("_max"),
-        F.percentile(c, F.lit(0.75)).alias("_q75"),
-        F.percentile(c, F.lit(0.25)).alias("_q25"),
+        F.percentile(c, F.array(F.lit(0.25), F.lit(0.75))).alias("_q"),
+    ).select(
+        "_n", "_min", "_max",
+        F.element_at("_q", 1).alias("_q25"),
+        F.element_at("_q", 2).alias("_q75"),
     )
 
 

@@ -112,20 +112,70 @@ def group_median(df: DataFrame, keys: Sequence[str], col: str, out: str) -> Data
     return df.groupBy(*keys).agg(F.median(F.col(col)).alias(out))
 
 
+def median_of_sorted(arr: Column) -> Column:
+    """Exact interpolating median of an ``array_sort``-ed array column.
+
+    Same semantics as Spark ``median`` / DuckDB ``quantile_cont(0.5)``:
+    average of the two middle elements for even counts.
+    """
+    n = F.size(arr)
+    lo = F.floor((n + 1) / 2).cast("int")  # 1-based middles (equal when odd)
+    hi = (F.floor(n / 2) + 1).cast("int")
+    return F.when(
+        n > 0, (F.element_at(arr, lo) + F.element_at(arr, hi)) / 2.0
+    )
+
+
+def mad_of_sorted(arr: Column, scaled: bool = True, med: Column | None = None) -> Column:
+    """Exact MAD from a sorted array column — median of |x - median|,
+    computed as array expressions (no second shuffle).
+
+    IMPORTANT: pass a *materialized column reference* (not a bare
+    aggregate expression) as ``arr`` — the inner ``transform`` lambda
+    evaluates its captured expressions per element, so an inlined
+    ``array_sort(collect_list(...))`` would re-sort per element (O(n^2)).
+    Passing ``med`` precomputed avoids even the per-element element_at.
+    """
+    if med is None:
+        med = median_of_sorted(arr)
+    devs = F.array_sort(F.transform(arr, lambda v: F.abs(v - med)))
+    mad = median_of_sorted(devs)
+    return mad * F.lit(K_MAD_TO_STD) if scaled else mad
+
+
 def group_mad(
     df: DataFrame,
     keys: Sequence[str],
     col: str,
     out: str,
     scaled: bool = True,
+    strategy: str = "array",
 ) -> DataFrame:
     """Per-group median absolute deviation (x K_MAD_TO_STD if ``scaled``).
+    Matches DuckDB ``mad(x)`` (x 1.4826 when scaled) exactly.
 
-    Two-phase: median per group -> broadcast join back -> median of
-    |x - median|. Matches DuckDB ``mad(x)`` (x 1.4826 when scaled).
-    Empty ``keys`` -> global MAD via broadcast cross join.
+    strategy='array' (default): ONE shuffle — ``array_sort(collect_list)``
+    per group, median and MAD as array expressions. The group's values
+    materialize in executor memory (8 bytes/row), fine up to tens of
+    millions of rows per group; far past that, use 'twophase'.
+
+    strategy='twophase': median agg -> broadcast join back -> deviation
+    median agg. Two shuffles but never materializes a group.
     """
     keys = list(keys)
+    if strategy == "array":
+        arr = F.array_sort(
+            F.collect_list(F.when(~F.isnan(F.col(col)), F.col(col)))
+        )
+        g = (
+            df.groupBy(*keys)
+            .agg(arr.alias("_sorted"))
+            .withColumn("_med", median_of_sorted(F.col("_sorted")))
+        )
+        return g.select(
+            *keys,
+            mad_of_sorted(F.col("_sorted"), scaled=scaled, med=F.col("_med")).alias(out),
+        )
     med = group_median(df, keys, col, "_med")
     if keys:
         dev = df.join(F.broadcast(med), keys)
@@ -155,6 +205,8 @@ def mean_std(
     by = list(by)
     if cols is None:
         cols = [c for c, t in df.dtypes if c not in by and t in ("double", "float")]
+    # Single shuffle: deterministic moment aggregates + one sorted value
+    # array per column; median and MAD are post-agg array expressions.
     aggs: list[Column] = []
     for c in cols:
         mean_expr = davg(c) if deterministic else F.avg(F.col(c))
@@ -162,16 +214,27 @@ def mean_std(
         aggs += [
             mean_expr.alias(f"{c} mean"),
             std_expr.alias(f"{c} std"),
-            F.median(F.col(c)).alias(f"{c} median"),
+            F.array_sort(
+                F.collect_list(F.when(~F.isnan(F.col(c)), F.col(c)))
+            ).alias(f"_sorted_{c}"),
         ]
     base = df.groupBy(*by).agg(*aggs)
-    # MAD columns: one two-phase pass per value column, joined on the keys.
-    out = base
+    # materialize medians first so the MAD transform does constant work
+    # per element (see mad_of_sorted warning)
+    base = base.withColumns(
+        {f"{c} median": median_of_sorted(F.col(f"_sorted_{c}")) for c in cols}
+    )
+    proj = list(by)
     for c in cols:
-        out = out.join(
-            F.broadcast(group_mad(df, by, c, f"{c} MAD_std", scaled=True)), by
-        )
-    return out
+        proj += [
+            F.col(f"{c} mean"),
+            F.col(f"{c} std"),
+            F.col(f"{c} median"),
+            mad_of_sorted(
+                F.col(f"_sorted_{c}"), scaled=True, med=F.col(f"{c} median")
+            ).alias(f"{c} MAD_std"),
+        ]
+    return base.select(*proj)
 
 
 # ---------------------------------------------------------------------------
