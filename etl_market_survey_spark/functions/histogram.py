@@ -24,19 +24,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _quantile_of_sorted(arr, n, q: float):
+    """Linear-interpolation quantile from a sorted array column — the
+    numpy/duckdb 'linear' formula, written out explicitly so the Spark
+    side and the SQL oracle share the exact float expression (engine
+    quantile built-ins differ in their interpolation arithmetic)."""
+    pos = (n.cast("double") - F.lit(1.0)) * F.lit(q)
+    lo = F.floor(pos).cast("int") + F.lit(1)  # 1-based
+    hi = F.least(lo + F.lit(1), n.cast("int"))
+    frac = pos - F.floor(pos)
+    a_lo = F.element_at(arr, lo)
+    return a_lo + frac * (F.element_at(arr, hi) - a_lo)
+
+
 def _stats(df: DataFrame, col: str) -> DataFrame:
     c = F.col(col)
-    # one percentile aggregate for both quartiles: a single value buffer
-    # and sort instead of two
-    return df.agg(
-        F.count(c).alias("_n"),
-        F.min(c).alias("_min"),
-        F.max(c).alias("_max"),
-        F.percentile(c, F.array(F.lit(0.25), F.lit(0.75))).alias("_q"),
-    ).select(
-        "_n", "_min", "_max",
-        F.element_at("_q", 1).alias("_q25"),
-        F.element_at("_q", 2).alias("_q75"),
+    # Single aggregate: one sorted value array yields count/min/max and
+    # both quartiles (Spark's exact `percentile` is ~6x slower than one
+    # array_sort at these sizes). Array is materialized as a column
+    # before element access (see stats.mad_of_sorted warning).
+    base = df.agg(F.array_sort(F.collect_list(c)).alias("_a"))
+    n = F.size("_a")
+    return base.select(
+        n.cast("long").alias("_n"),
+        F.element_at("_a", 1).alias("_min"),
+        F.element_at("_a", n).alias("_max"),
+        _quantile_of_sorted(F.col("_a"), n, 0.25).alias("_q25"),
+        _quantile_of_sorted(F.col("_a"), n, 0.75).alias("_q75"),
     )
 
 
@@ -86,13 +100,27 @@ def histogram(df: DataFrame, col: str, nbins: int | None = None) -> DataFrame:
     )
 
 
+def _sql_quantile_of_sorted(arr: str, n: str, q: float) -> str:
+    """DuckDB mirror of ``_quantile_of_sorted`` — keep in lockstep."""
+    pos = f"((CAST({n} AS DOUBLE) - 1.0) * {q})"
+    lo = f"(CAST(FLOOR({pos}) AS INT) + 1)"
+    hi = f"LEAST({lo} + 1, CAST({n} AS INT))"
+    frac = f"({pos} - FLOOR({pos}))"
+    return f"({arr}[{lo}] + {frac} * ({arr}[{hi}] - {arr}[{lo}]))"
+
+
 def sql_histogram_auto(table: str, col: str) -> str:
     """DuckDB oracle text for ``histogram(df, col)`` with the auto policy."""
+    q25 = _sql_quantile_of_sorted("a", "n", 0.25)
+    q75 = _sql_quantile_of_sorted("a", "n", 0.75)
     return f"""
-WITH st AS (
-  SELECT COUNT({col}) AS n, MIN({col}) AS mn, MAX({col}) AS mx,
-         quantile_cont({col}, 0.75) AS q75, quantile_cont({col}, 0.25) AS q25
+WITH arr AS (
+  SELECT list_sort(list({col})) AS a, COUNT({col}) AS n
   FROM {table} WHERE {col} IS NOT NULL
+), st AS (
+  SELECT n, a[1] AS mn, a[CAST(n AS INT)] AS mx,
+         {q75} AS q75, {q25} AS q25
+  FROM arr
 ), nb AS (
   SELECT *,
     CAST(GREATEST(
