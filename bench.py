@@ -26,6 +26,10 @@ HEADLINE = [
     "q11_histogram_auto",
     "q13_delta_t",
     "q14_time_resolution",
+    "q19_minhash_lsh",
+    "q24_cosine_topk",
+    "q26_bootstrap_hash",
+    "q38_time_resolution_pipeline",
 ]
 
 
@@ -47,10 +51,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):  # best-of-2: steady-state, not JIT/GC noise
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

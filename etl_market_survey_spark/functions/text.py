@@ -127,3 +127,15 @@ def sql_stopword_hits(expr: str, lang: str) -> str:
 
 def sql_fingerprint(expr: str) -> str:
     return f"md5(array_to_string(list_sort(list_distinct({sql_words(expr)})), ' '))"
+
+
+def sql_shingles(expr: str, n: int) -> str:
+    """DuckDB mirror of operators.dedup._shingles (distinct word n-grams)."""
+    ws = sql_words(expr)
+    if n == 1:
+        return f"list_distinct({ws})"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(0, GREATEST(len({ws}) - {n}, 0)), "
+        f"i -> array_to_string(({ws})[i + 1 : i + {n}], ' ')))"
+    )

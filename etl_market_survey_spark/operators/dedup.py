@@ -38,9 +38,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingles(text_col: str, n: int) -> Column:
-    """Word n-gram shingles as strings (distinct)."""
-    ws = words(text_col)
+def _shingles_of_words(ws: Column, n: int) -> Column:
+    """Distinct word n-grams from a *materialized* word-array column.
+
+    ``ws`` must be a column reference, not a bare split() expression — a
+    captured expression is re-evaluated per transform element (O(n^2)).
+    """
     if n == 1:
         return F.array_distinct(ws)
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
@@ -53,8 +56,11 @@ def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 1
 ) -> DataFrame:
     """Exploded distinct (id, shingle) pairs."""
-    return df.select(
-        F.col(id_col), F.explode(_shingles(text_col, n)).alias("shingle")
+    return (
+        df.withColumn("_ws", words(text_col))
+        .select(
+            F.col(id_col), F.explode(_shingles_of_words(F.col("_ws"), n)).alias("shingle")
+        )
     )
 
 
@@ -78,6 +84,19 @@ def minhash_signatures(
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
+    elif mode == "affine":
+        # One md5 per shingle; K affine hashes h_i = (A_i*x + B_i) mod P of
+        # its 28-bit prefix (overflow-free in int64, reproducible in any
+        # engine with integer arithmetic + md5 — see minhash_affine_sql).
+        x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("bigint")
+        sh = sh.withColumn("_x", x)
+        aggs = [
+            F.min(
+                (F.lit(_affine_a(i)) * F.col("_x") + F.lit(_affine_b(i)))
+                % F.lit(_AFFINE_P)
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     elif mode == "xxhash64":
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -86,6 +105,23 @@ def minhash_signatures(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return sh.groupBy(id_col).agg(*aggs)
+
+
+_AFFINE_P = 2_147_483_647  # 2^31 - 1
+
+
+def _affine_a(i: int) -> int:
+    return ((i * 2_654_435_761) % (1 << 28)) | 1
+
+
+def _affine_b(i: int) -> int:
+    return i * 40_503 + 17
+
+
+def sql_affine_minhash(i: int, shingle_expr: str) -> str:
+    """DuckDB mirror of one 'affine'-mode minhash term (pre-MIN)."""
+    x = f"CAST(concat('0x', substr(md5({shingle_expr}), 1, 7)) AS BIGINT)"
+    return f"(({_affine_a(i)} * {x} + {_affine_b(i)}) % {_AFFINE_P})"
 
 
 def lsh_candidate_pairs(
@@ -118,6 +154,12 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+    # Persist before the self-join: without it both join sides recompute
+    # the full shingle -> minhash lineage (2x the dominant cost). The
+    # banded frame is (id, band_id, hash) — tiny relative to the corpus.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -151,10 +193,10 @@ def jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, one double
     division: engine-portable bit-exact.
     """
-    sh = df.select(
+    sh = df.withColumn("_ws", words(text_col)).select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
-        F.explode(_shingles(text_col, shingle_n)).alias("shingle"),
+        F.explode(_shingles_of_words(F.col("_ws"), shingle_n)).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     join_keys = ["shingle"] + ([block_col] if block_col else [])

@@ -99,6 +99,78 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_rows: int = 2048,
+) -> DataFrame:
+    """IVF-style ANN: seeded centroids from a driver-side sample (k-means
+    Lloyd iterations on <= ``sample_rows`` vectors — a tiny constant), each
+    corpus vector assigned to its nearest cell (one JVM expression), each
+    query scored only against its ``nprobe`` nearest cells.
+
+    At 100 TB: the corpus pass is a map (cell assignment) + shuffle on
+    cell id; queries broadcast. Recall grows with nprobe; exact
+    ``cosine_topk`` is the oracle.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype=float,
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(5):  # Lloyd iterations on the sample
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm_ = np.linalg.norm(m)
+                if norm_ > 0:
+                    cents[c] = m / norm_
+
+    def nearest_cells_expr(vec: Column, n: int) -> Column:
+        scores = F.array(
+            *[
+                F.struct(
+                    dot(_to_double(vec), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        ordered = F.reverse(F.array_sort(scores))
+        return F.transform(F.slice(ordered, 1, n), lambda st: st["cell"])
+
+    c_assigned = corpus.withColumn(
+        "_cell", nearest_cells_expr(F.col(vec_col), 1)[0]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(nearest_cells_expr(F.col(vec_col), nprobe)).alias("_cell"),
+    )
+    scored = c_assigned.join(F.broadcast(q), on="_cell").withColumn(
+        "cos", cosine(F.col("_qvec"), F.col(vec_col))
+    )
+    scored = scored.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", "rank")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

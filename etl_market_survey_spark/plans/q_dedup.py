@@ -14,13 +14,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.text import sql_words
+from ..functions.text import sql_shingles, sql_words
 from ..operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
+    sql_affine_minhash,
 )
 from ..operators.similarity import cosine_topk, lsh_bucket_topk
 from .registry import load, register
@@ -46,19 +47,22 @@ def q18_exact_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _N_HASHES, _N_BANDS = 16, 4
+_SHINGLE_N = 3  # word trigrams: discriminative shingles, standard near-dup
 _ROWS = _N_HASHES // _N_BANDS
 
 _sig_cols = ",\n    ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_N_HASHES)
+    f"min({sql_affine_minhash(i, 'shingle')}) AS h{i}" for i in range(_N_HASHES)
 )
 _band_cases = "\n      ".join(
-    f"WHEN {b} THEN md5({' || chr(124) || '.join(f'h{b*_ROWS+r}' for r in range(_ROWS))})"
+    "WHEN {b} THEN md5(concat_ws('|', {cols}))".format(
+        b=b, cols=", ".join(f"h{b*_ROWS+r}" for r in range(_ROWS))
+    )
     for b in range(_N_BANDS)
 )
 
 _Q19_ORACLE = f"""
 WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({sql_words('text')})) AS shingle
+  SELECT doc_id, unnest({sql_shingles('text', _SHINGLE_N)}) AS shingle
   FROM documents
 ),
 sig AS (
@@ -84,7 +88,7 @@ ORDER BY 1, 2
 def q19_minhash_lsh(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sig = minhash_signatures(
-        docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_n=1, mode="md5"
+        docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_n=_SHINGLE_N, mode="affine"
     )
     return lsh_candidate_pairs(sig, "doc_id", _N_HASHES, _N_BANDS).orderBy(
         "id_a", "id_b"
@@ -219,4 +223,20 @@ def q25_srp_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_bucket_topk(
         emb, queries, "vec_id", "embedding", k=_K, n_planes=8, dim=64, seed=42
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q40 — IVF-bucketed approximate top-k (scale path; no SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+@register("q40_ivf_topk")
+def q40_ivf_topk(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", k=_K, n_cells=16, nprobe=4, seed=42
     ).orderBy("query_id", "rank")

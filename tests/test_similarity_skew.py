@@ -1,0 +1,94 @@
+"""ANN recall tests (IVF + SRP-LSH against the exact brute-force oracle)
+and skew-salting equivalence tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from etl_market_survey_spark.operators.skew import salt_broadcast_join, salted_agg
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _recall(approx, exact):
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    return len(a & e) / len(e)
+
+
+def test_cosine_topk_shape_and_selfexclusion(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, q, k=5).toPandas()
+    assert len(out) == 15
+    assert (out["query_id"] != out["vec_id"]).all()
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
+    # ranks ordered by cosine descending within query
+    for _, g in out.groupby("query_id"):
+        assert (g.sort_values("rank")["cos"].diff().dropna() <= 1e-12).all()
+
+
+def test_ivf_recall_reasonable(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=10)
+    approx = ivf_topk(emb, q, k=10, n_cells=8, nprobe=4, seed=42)
+    assert _recall(approx, exact) >= 0.6  # nprobe=4 of 8 cells
+
+    # full probe == exact (every cell scanned)
+    approx_full = ivf_topk(emb, q, k=10, n_cells=8, nprobe=8, seed=42)
+    assert _recall(approx_full, exact) == 1.0
+
+
+def test_srp_lsh_is_subset_of_bucket(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    out = lsh_bucket_topk(emb, q, k=10, n_planes=4, dim=64, seed=1)
+    assert out.count() > 0
+    assert (out.toPandas().groupby("query_id")["rank"].max() <= 10).all()
+
+
+def test_salted_agg_equals_plain(spark):
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {
+            # one hot key (90% of rows) + long tail
+            "k": np.where(rng.uniform(size=20000) < 0.9, "hot", None),
+            "v": rng.uniform(0, 100, 20000),
+        }
+    )
+    pdf["k"] = pdf["k"].fillna(pd.Series(rng.integers(0, 50, 20000).astype(str)))
+    df = spark.createDataFrame(pdf)
+    plain = {
+        (r["k"]): (r["s"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["n"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"s": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")}
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k][1] == plain[k][1]
+        assert salted[k][2] == plain[k][2]
+        assert salted[k][0] == pytest.approx(plain[k][0], rel=1e-12)
+
+
+def test_salt_broadcast_join_equals_plain(spark):
+    big = spark.range(0, 10000).withColumn("key", (F.col("id") % 3).cast("int"))
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "key int, label string"
+    )
+    plain = big.join(small, "key").groupBy("label").count()
+    salted = salt_broadcast_join(big, small, "key", n_salts=4).groupBy("label").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
