@@ -1,0 +1,93 @@
+"""Temporal operators: as-of join and sessionization on the events table.
+
+q41_asof_join  — for every purchase event, the most recent click by the
+    same user at-or-before it (oracle: DuckDB's native ASOF JOIN — our
+    union+window composition must match it exactly).
+q42_sessionize — gap-based sessions (30 min) per user, rolled up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join, sessionize
+from .registry import load, register
+
+# ts is epoch-nanos (long) on the Spark side; DuckDB truncates ns parquet
+# timestamps to microseconds on read, so cross-engine time arithmetic is
+# expressed in whole microseconds on BOTH sides (epoch_us <-> floor(ns/1e3)).
+
+_Q41_ORACLE = """
+SELECT l.event_id,
+       l.user_id,
+       l.value AS purchase_value,
+       r.value AS click_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+@register("q41_asof_join", _Q41_ORACLE)
+def q41_asof_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], value_cols=["value"]
+    )
+    us = lambda c: F.expr(f"`{c}` div 1000")  # integer floor-div: double division loses ns precision  # noqa: E731
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("value_asof").alias("click_value"),
+        (us("ts") - us("ts_asof")).alias("lag_us"),
+    ).orderBy("event_id")
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 min in micros
+
+_Q42_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_value
+FROM sessions GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q42_sessionize", _Q42_ORACLE)
+def q42_sessionize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_ts_us", F.expr("ts div 1000")  # integer floor-div (not double /)
+    )
+    sess = sessionize(ev, ["user_id"], "_ts_us", gap=_GAP_US)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("_ts_us") - F.min("_ts_us")).alias("duration_us"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0).cast("decimal(38,0)")).cast("double")
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
