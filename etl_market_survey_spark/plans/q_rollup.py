@@ -1,0 +1,47 @@
+"""Hierarchical rollup (SURVEY §2.4 note: the reference has no grouping
+sets, but Spark gives cube/rollup for free — exposed here as the
+hypertable-style multi-granularity aggregate a reporting layer needs).
+
+q43_rollup — region -> nation -> (all) revenue rollup with grouping ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.stats import dsum, sql_dsum
+from .registry import load, register
+
+_Q43_ORACLE = f"""
+SELECT
+  COALESCE(r.r_name, '(all)') AS region_name,
+  CASE WHEN GROUPING(n.n_name) = 1 THEN '(all)' ELSE n.n_name END AS nation_name,
+  COUNT(*) AS n_customers,
+  {sql_dsum('c.c_acctbal')} AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY region_name, nation_name
+"""
+
+
+@register("q43_rollup", _Q43_ORACLE)
+def q43_rollup(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    rolled = joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("total_acctbal"),
+        F.grouping("n_name").alias("_gn"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region_name"),
+        F.when(F.col("_gn") == 1, "(all)").otherwise(F.col("n_name")).alias("nation_name"),
+        "n_customers",
+        "total_acctbal",
+    ).orderBy("region_name", "nation_name")

@@ -1,0 +1,66 @@
+"""Text-function unit tests and the histogram golden against
+np.histogram(bins='auto') (SURVEY §5.1/§7 'auto'-bin fidelity)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.functions.histogram import histogram
+from etl_market_survey_spark.functions.text import (
+    detect_language,
+    fingerprint,
+    n_tokens_re,
+    n_tokens_ws,
+    quality_score,
+)
+
+
+def test_histogram_matches_numpy_auto(spark):
+    rng = np.random.default_rng(11)
+    vals = rng.normal(50, 12, 5000)
+    counts_np, edges_np = np.histogram(vals, bins="auto")
+    out = (
+        histogram(spark.createDataFrame(pd.DataFrame({"x": vals})), "x")
+        .orderBy("bin")
+        .toPandas()
+    )
+    assert len(out) <= len(counts_np) == out["bin"].max() + 1  # empty bins absent
+    # densify and compare counts exactly
+    dense = np.zeros(len(counts_np), dtype=int)
+    dense[out["bin"].to_numpy()] = out["count"].to_numpy()
+    assert (dense == counts_np).all()
+    assert out["lo"].iloc[0] == pytest.approx(edges_np[0])
+    assert out["hi"].iloc[-1] == pytest.approx(edges_np[-1])
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and looked at the dog",),
+            ("der hund ist nicht auf der strasse und das haus",),
+            ("el perro y el gato en la casa con un libro",),
+            ("xyzzy qwerty plugh",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(detect_language("text")).collect()]
+    assert out == ["en", "de", "es", "und"]
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame([("Hello world, 42 times!",)], "text string")
+    row = df.select(
+        n_tokens_ws("text").alias("ws"),
+        n_tokens_re("text").alias("re"),
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+    ).collect()[0]
+    assert row["ws"] == 4
+    assert row["re"] == 4  # hello, world, 42, times
+    assert len(row["fp"]) == 32
+    assert 0.0 <= row["q"] <= 1.0
+    # fingerprint is token-order insensitive
+    df2 = spark.createDataFrame([("world, Hello times! 42",)], "text string")
+    fp2 = df2.select(fingerprint("text")).collect()[0][0]
+    assert fp2 == row["fp"]
