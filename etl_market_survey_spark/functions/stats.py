@@ -167,15 +167,25 @@ def group_mad(
         arr = F.array_sort(
             F.collect_list(F.when(~F.isnan(F.col(col)), F.col(col)))
         )
+        # Materialize every intermediate array/scalar as a column: a column
+        # reference is evaluated once per row, while an inlined expression
+        # re-evaluates per use (the final projection reads the deviation
+        # array 4x — size twice + element_at twice).
         g = (
             df.groupBy(*keys)
             .agg(arr.alias("_sorted"))
             .withColumn("_med", median_of_sorted(F.col("_sorted")))
+            .withColumn(
+                "_devs",
+                F.array_sort(
+                    F.transform(F.col("_sorted"), lambda v: F.abs(v - F.col("_med")))
+                ),
+            )
         )
-        return g.select(
-            *keys,
-            mad_of_sorted(F.col("_sorted"), scaled=scaled, med=F.col("_med")).alias(out),
-        )
+        mad = median_of_sorted(F.col("_devs"))
+        if scaled:
+            mad = mad * F.lit(K_MAD_TO_STD)
+        return g.select(*keys, mad.alias(out))
     med = group_median(df, keys, col, "_med")
     if keys:
         dev = df.join(F.broadcast(med), keys)
@@ -219,20 +229,28 @@ def mean_std(
             ).alias(f"_sorted_{c}"),
         ]
     base = df.groupBy(*by).agg(*aggs)
-    # materialize medians first so the MAD transform does constant work
-    # per element (see mad_of_sorted warning)
+    # Materialize medians, then deviation arrays, as columns — column refs
+    # evaluate once; inlined array expressions re-evaluate per use.
+    def _devs_expr(col_name: str):
+        # real closure: transform() treats a 2-arity lambda as (elem, idx),
+        # so a `lambda v, c=c:` default-arg binding would receive the index
+        med_col = F.col(f"{col_name} median")
+        return F.array_sort(
+            F.transform(F.col(f"_sorted_{col_name}"), lambda v: F.abs(v - med_col))
+        )
+
     base = base.withColumns(
         {f"{c} median": median_of_sorted(F.col(f"_sorted_{c}")) for c in cols}
-    )
+    ).withColumns({f"_devs_{c}": _devs_expr(c) for c in cols})
     proj = list(by)
     for c in cols:
         proj += [
             F.col(f"{c} mean"),
             F.col(f"{c} std"),
             F.col(f"{c} median"),
-            mad_of_sorted(
-                F.col(f"_sorted_{c}"), scaled=True, med=F.col(f"{c} median")
-            ).alias(f"{c} MAD_std"),
+            (median_of_sorted(F.col(f"_devs_{c}")) * F.lit(K_MAD_TO_STD)).alias(
+                f"{c} MAD_std"
+            ),
         ]
     return base.select(*proj)
 

@@ -177,3 +177,17 @@ def q30_fit_langauss(spark, sf_dir):
     return fit_langauss_per_group(
         li.select("l_returnflag", "l_extendedprice"), ["l_returnflag"], "l_extendedprice"
     ).orderBy("l_returnflag")
+
+
+@register("q44_fit_erf")
+def q44_fit_erf(spark, sf_dir):
+    """U3 — erf fit per event_type on its ECDF curve (an ECDF is a
+    sigmoid; the fitted x_offset estimates the median, laser_sigma the
+    spread). No SQL oracle: iterative bounded LM fit."""
+    from ..fits.grouped import fit_erf_per_group
+
+    ev = load(spark, sf_dir, "events")
+    curve = ecdf(ev.select("event_type", "value"), ["event_type"], "value", out="y")
+    return fit_erf_per_group(
+        curve, ["event_type"], x_col="value", y_col="y", sign=1.0
+    ).orderBy("event_type")
