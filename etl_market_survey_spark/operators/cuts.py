@@ -174,14 +174,17 @@ def drop_incomplete_groups(
     for c in value_cols:
         col = F.col(c)
         complete = complete & col.isNotNull() & ~F.isnan(col)
+    # A trigger survives iff every one of its rows is complete and (when
+    # n_devices is given) all devices reported. Window expressions are
+    # materialized as columns first — they can't live inside WHERE.
     w = Window.partitionBy(trigger_col)
-    if n_devices is None:
-        n_dev_col = F.size(F.collect_set(device_col).over(w))
-    else:
-        n_dev_col = F.lit(n_devices)
-    return (
+    staged = (
         data.withColumn("_complete", complete)
         .withColumn("_n_complete", F.sum(F.col("_complete").cast("int")).over(w))
-        .filter(F.col("_n_complete") == n_dev_col)
-        .drop("_complete", "_n_complete")
+        .withColumn("_n_rows", F.count("*").over(w))
+        .withColumn("_n_dev", F.size(F.collect_set(device_col).over(w)))
     )
+    cond = F.col("_n_complete") == F.col("_n_rows")
+    if n_devices is not None:
+        cond = cond & (F.col("_n_dev") == F.lit(n_devices))
+    return staged.filter(cond).drop("_complete", "_n_complete", "_n_rows", "_n_dev")

@@ -1,0 +1,67 @@
+"""Coverage upgrades: operators previously unit-only, expressed as
+oracle-checked queries.
+
+q45_null_pair_drop — F6 null-pair dropper: synthesize nulls with nullif,
+    keep only triggers where every device row is complete.
+q46_ts_offset — X8 timestamp + per-row seconds offset (probe-station
+    time reconstruction), in integer-microsecond arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.cuts import drop_incomplete_groups
+from .registry import load, register
+
+_Q45_ORACLE = """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber,
+         nullif(l_quantity, 1.0) AS q, l_extendedprice AS p
+  FROM lineitem WHERE l_linenumber IN (1, 2)
+),
+flags AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_rows,
+         COUNT(q) AS n_complete
+  FROM d GROUP BY 1
+)
+SELECT d.l_orderkey, d.l_linenumber, d.q, d.p
+FROM d JOIN flags USING (l_orderkey)
+WHERE flags.n_complete = flags.n_rows
+ORDER BY d.l_orderkey, d.l_linenumber, d.q, d.p
+"""
+
+
+@register("q45_null_pair_drop", _Q45_ORACLE)
+def q45_null_pair_drop(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber").isin(1, 2))
+    d = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_quantity"), F.lit(1.0)).alias("q"),
+        F.col("l_extendedprice").alias("p"),
+    )
+    out = drop_incomplete_groups(
+        d, trigger_col="l_orderkey", device_col="l_linenumber", value_cols=["q"]
+    )
+    return out.orderBy("l_orderkey", "l_linenumber", "q", "p")
+
+
+_Q46_ORACLE = """
+SELECT event_id,
+       epoch_us(ts) AS t0_us,
+       epoch_us(ts + to_seconds(CAST(FLOOR(value) AS BIGINT))) AS t1_us
+FROM events ORDER BY event_id
+"""
+
+
+@register("q46_ts_offset", _Q46_ORACLE)
+def q46_ts_offset(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    t0 = F.expr("ts div 1000")
+    return ev.select(
+        "event_id",
+        t0.alias("t0_us"),
+        (t0 + F.floor(F.col("value")).cast("long") * F.lit(1_000_000)).alias("t1_us"),
+    ).orderBy("event_id")

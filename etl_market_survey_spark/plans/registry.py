@@ -51,3 +51,4 @@ from . import q_tct_compare  # noqa: E402,F401
 from . import q_pipelines  # noqa: E402,F401
 from . import q_temporal  # noqa: E402,F401
 from . import q_rollup  # noqa: E402,F401
+from . import q_misc  # noqa: E402,F401

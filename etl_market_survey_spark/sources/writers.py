@@ -24,6 +24,25 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+):
+    """Bucketed managed table: co-locates join/agg keys on disk so a
+    subsequent equi-join or groupBy on ``bucket_cols`` needs NO shuffle
+    (both sides pre-hashed into the same bucket layout). The 100 TB
+    fact⋈fact strategy when broadcast is impossible.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = True):
     """K2 — CSV result sink; coalesce(1) for the reference's one-file layout."""
     out = df.coalesce(1) if single_file else df
