@@ -11,11 +11,16 @@ thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_market_survey_spark.plans import registry
+# import works regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_market_survey_spark.plans import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
