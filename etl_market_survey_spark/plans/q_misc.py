@@ -65,3 +65,28 @@ def q46_ts_offset(spark, sf_dir):
         t0.alias("t0_us"),
         (t0 + F.floor(F.col("value")).cast("long") * F.lit(1_000_000)).alias("t1_us"),
     ).orderBy("event_id")
+
+
+@register("q47_waveform_features")
+def q47_waveform_features(spark, sf_dir):
+    """Waveform feature extraction (reconstructing FIXTURES §1 columns
+    from §2-shaped samples). Waveform synthesized per returnflag: the
+    price ECDF is a monotone rising curve, so t_k = the price at which it
+    crosses k% — CFD crossing on a real dataset. Rows-only check: the
+    oracle SQL would inline the entire operator (~100 lines of window +
+    pivot SQL); correctness is pinned by analytic unit tests
+    (tests/test_waveform.py: exact closed-form crossings on a ramp)."""
+    from ..functions.stats import ecdf
+    from ..operators.waveform import waveform_features
+
+    li = load(spark, sf_dir, "lineitem")
+    curve = ecdf(
+        li.select("l_returnflag", "l_extendedprice"), ["l_returnflag"], "l_extendedprice",
+        out="y",
+    ).select(
+        F.lit(0).alias("n_trigger"),
+        F.col("l_returnflag").alias("device_name"),
+        F.col("l_extendedprice").alias("Time (s)"),
+        F.col("y").alias("Amplitude (V)"),
+    ).distinct()
+    return waveform_features(curve, baseline_end=1.0).orderBy("device_name")
