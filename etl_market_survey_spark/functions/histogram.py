@@ -18,8 +18,6 @@ Exact percentiles for IQR: Spark ``percentile`` and DuckDB/numpy
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -15,10 +15,10 @@ x 81 pairs (~27.5M rows, BASELINE.md) this is one shuffle of small
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.stats import K_MAD_TO_STD, group_mad
+from ..functions.stats import group_mad
 
 THRESHOLDS = list(range(10, 100, 10))  # 10..90 %, reference :44-45
 

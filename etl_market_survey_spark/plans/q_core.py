@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.stats import davg, dstd, dsum, mean_std, sql_davg, sql_dstd, sql_dsum
+from ..functions.stats import davg, dsum, mean_std, sql_davg, sql_dstd, sql_dsum
 from ..operators.cuts import apply_cuts
 from .registry import load, register
 

@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
-    TOKEN_PATTERN,
     detect_language,
     fingerprint,
     n_tokens_re,
@@ -21,7 +20,6 @@ from ..functions.text import (
     sql_n_tokens_re,
     sql_n_tokens_ws,
     sql_stopword_hits,
-    sql_words,
 )
 from .registry import load, register
 
@@ -71,6 +69,64 @@ SELECT lang,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+_Q48_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         {sql_n_tokens_ws('text')} AS n_tok,
+         {_QUALITY_SQL} AS quality,
+         md5(text) AS digest
+  FROM documents
+),
+survivors AS (
+  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+  FROM scored
+),
+curated AS (
+  SELECT * FROM survivors
+  WHERE rn = 1 AND quality >= 0.5 AND n_tok >= 20
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(FLOOR(quality * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_quality
+FROM curated GROUP BY lang ORDER BY lang
+"""
+
+
+@register("q48_corpus_curation", _Q48_ORACLE)
+def q48_corpus_curation(spark, sf_dir):
+    """The end-to-end training-data curation pipeline: score -> exact-dedup
+    (keep lowest doc_id per digest) -> quality/length filter -> per-lang
+    token budget. One plan: scan, window on digest, filter, one groupBy."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens_ws("text").alias("n_tok"),
+        quality_score("text").alias("quality"),
+        F.md5("text").alias("digest"),
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    curated = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5) & (F.col("n_tok") >= 20))
+    )
+    return (
+        curated.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(F.floor(F.col("quality") * 1000000.0).cast("decimal(38,0)")).cast("double")
+                / 1000000.0
+            ).alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
 
 
 @register("q23_lang_rollup", _Q23_ORACLE)
