@@ -56,21 +56,28 @@ def fit_gaussian_samples(samples: np.ndarray) -> tuple[float, float, float, bool
 
 def fit_langauss_samples(samples: np.ndarray) -> tuple[float, float, float, bool]:
     """U1 — (mpv, xi, sigma, converged); guesses from argmax bin + MAD
-    (clean_beta_scan.py:73-75)."""
+    (clean_beta_scan.py:73-75).
+
+    Scale-invariant: samples are standardized by (median, MAD) before the
+    fit and the parameters mapped back, so picocoulomb-scale charges fit
+    as reliably as O(1) values (finite-difference Jacobians lose precision
+    on 1e-12-magnitude parameters otherwise).
+    """
     samples = samples[np.isfinite(samples)]
     if samples.size < 16:
         return (math.nan, math.nan, math.nan, False)
-    counts, centers = _auto_hist(samples)
-    mpv0 = float(centers[np.argmax(counts)])
     med = float(np.median(samples))
     mad = float(np.median(np.abs(samples - med))) * K_MAD
-    scale0 = counts.max() / max(
-        landau_peak := float(np.max(_landau_unit(centers, mpv0, mad / 2 or 1.0))), 1e-12
-    )
-    p0 = np.array([mpv0, max(mad / 2, 1e-9), max(mad / 2, 1e-9)])
+    scale = mad if mad > 0 else (float(samples.std()) or 1.0)
+    z = (samples - med) / scale
 
-    def model(x, mpv, xi, sigma):
-        return langauss(x, mpv, xi, sigma, amplitude=1.0) * scale0
+    counts, centers = _auto_hist(z)
+    mpv0 = float(centers[np.argmax(counts)])
+    amp0 = float(counts.max())
+    p0 = np.array([mpv0, 0.5, 0.5, amp0])
+
+    def model(x, mpv, xi, sigma, amp):
+        return langauss(x, mpv, xi, sigma, amplitude=1.0) * amp
 
     try:
         p, ok = curve_fit(model, centers, counts, p0)
@@ -78,7 +85,12 @@ def fit_langauss_samples(samples: np.ndarray) -> tuple[float, float, float, bool
         return (math.nan, math.nan, math.nan, False)
     if not ok:
         return (math.nan, math.nan, math.nan, False)
-    return (float(p[0]), abs(float(p[1])), abs(float(p[2])), True)
+    return (
+        med + float(p[0]) * scale,
+        abs(float(p[1])) * scale,
+        abs(float(p[2])) * scale,
+        True,
+    )
 
 
 def _landau_unit(x, mpv, xi):

@@ -54,6 +54,11 @@ def dsum(c: str | Column) -> Column:
 
     floor(x * 1e6) is the same double on every engine; summing those as
     exact decimal integers removes float-order dependence entirely.
+
+    DOMAIN: magnitudes well above the 1e-6 truncation grid. Values at or
+    below ~1e-6 (e.g. picosecond physics quantities) truncate to zero —
+    rescale to natural units first, or use plain ``F.sum``/``F.stddev``
+    when cross-engine bit-exactness is not required.
     """
     col = F.col(c) if isinstance(c, str) else c
     scaled = F.floor(col * F.lit(_SCALE)).cast("decimal(38,0)")

@@ -42,31 +42,57 @@ def when_from_name(c: str | Column) -> Column:
 
 def classify_measurement(
     c: str | Column,
-    has_beta_subdir: Column | None = None,
     has_iv_subdir: Column | None = None,
+    has_scan_1d_subdir: Column | None = None,
+    has_scan_1d_sweeping_subdir: Column | None = None,
 ) -> Column:
-    """F5 — ordered substring rules -> measurement type
-    (measurements.py:37-53). Filesystem probes become catalog columns
-    (``has_*_subdir``) supplied by the catalog builder."""
-    col = F.lower(F.col(c) if isinstance(c, str) else c)
-    beta = col.contains("betascan") | col.contains("beta scan")
-    sweep = col.contains("sweeping") & col.contains("voltage")
-    iv = col.contains("iv") & (col.contains("curve") | col.contains("iv_curve"))
-    probe = col.contains("probe") & col.contains("station")
-    scan1d = col.contains("1dscan") | col.contains("1d scan")
-    result = (
-        F.when(beta & sweep, "beta voltage scan")
-        .when(beta, "beta fixed voltage")
-        .when(probe & iv, "IV curve probe station")
-        .when(iv, "IV curve")
-        .when(scan1d & sweep, "TCT 1D scan sweeping bias voltage")
-        .when(scan1d, "TCT 1D scan fixed voltage")
+    """F5 — the reference's ordered classifier rules, faithfully
+    (measurements.py:28-53; docstring golden at measurements.py:14-35):
+
+    1. 'beta' in lower(name): 'beta fixed voltage' unless 'sweeping'
+       ('beta voltage scan' when 'sweeping_bias_voltage', bare 'beta'
+       otherwise).
+    2. elif ('iv' AND 'curve' in lower) OR 'IV' in name (case-sensitive)
+       OR an iv_curve subdir exists: 'IV curve'.
+    3. then 'probe' AND 'station' OVERRIDE everything -> probe station;
+    4. elif '1DScan' in name (case-sensitive) AND scan_1D subdir;
+    5. elif 'sweeping_bias_voltage' AND scan_1D_sweeping... subdir.
+
+    Filesystem probes arrive as catalog columns (``has_*_subdir``);
+    pass ``F.lit(False)`` when the directory layout is unknown.
+    """
+    raw = F.col(c) if isinstance(c, str) else c
+    low = F.lower(raw)
+    f = F.lit(False)
+    has_iv = has_iv_subdir if has_iv_subdir is not None else f
+    has_1d = has_scan_1d_subdir if has_scan_1d_subdir is not None else f
+    has_1d_sweep = (
+        has_scan_1d_sweeping_subdir if has_scan_1d_sweeping_subdir is not None else f
     )
-    if has_beta_subdir is not None:
-        result = result.when(has_beta_subdir, "beta voltage scan")
-    if has_iv_subdir is not None:
-        result = result.when(has_iv_subdir, "IV curve")
-    return result.otherwise("unknown")
+
+    beta = low.contains("beta")
+    base = (
+        F.when(beta & ~low.contains("sweeping"), "beta fixed voltage")
+        .when(beta & low.contains("sweeping_bias_voltage"), "beta voltage scan")
+        .when(beta, "beta")
+        .when(
+            (low.contains("iv") & low.contains("curve"))
+            | raw.contains("IV")
+            | has_iv,
+            "IV curve",
+        )
+        .otherwise("unknown")
+    )
+    probe = low.contains("probe") & low.contains("station")
+    return (
+        F.when(probe, "IV curve probe station")
+        .when(raw.contains("1DScan") & has_1d, "TCT 1D scan fixed voltage")
+        .when(
+            low.contains("sweeping_bias_voltage") & has_1d_sweep,
+            "TCT 1D scan sweeping bias voltage",
+        )
+        .otherwise(base)
+    )
 
 
 def flattened_stat_name(col_name: str, stat: str) -> str:

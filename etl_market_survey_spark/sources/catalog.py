@@ -28,28 +28,29 @@ def build_catalog(spark: SparkSession, data_dir: str) -> DataFrame:
         full = os.path.join(data_dir, name)
         if not os.path.isdir(full):
             continue
-        has_beta = any(
-            os.path.isdir(os.path.join(full, d)) and d.lower().startswith("beta")
-            for d in os.listdir(full)
+        subdirs = {d for d in os.listdir(full) if os.path.isdir(os.path.join(full, d))}
+        # the reference's filesystem probes (measurements.py:45,49,51)
+        entries.append(
+            (
+                name,
+                "iv_curve" in subdirs,
+                "scan_1D" in subdirs,
+                "scan_1D_sweeping_bias_voltage" in subdirs,
+            )
         )
-        has_iv = any(
-            os.path.isdir(os.path.join(full, d)) and d.lower().startswith("iv")
-            for d in os.listdir(full)
-        )
-        entries.append((name, has_beta, has_iv))
     if not entries:
         return spark.createDataFrame(
             [], "`Measurement name` string, `Measurement when` timestamp, "
                 "`Measurement type` string, `Measured device(s)` array<string>"
         )
     df = spark.createDataFrame(
-        entries, "name string, has_beta boolean, has_iv boolean"
+        entries, "name string, has_iv boolean, has_1d boolean, has_1d_sweep boolean"
     )
     return df.select(
         F.col("name").alias("Measurement name"),
         when_from_name("name").alias("Measurement when"),
         classify_measurement(
-            "name", F.col("has_beta"), F.col("has_iv")
+            "name", F.col("has_iv"), F.col("has_1d"), F.col("has_1d_sweep")
         ).alias("Measurement type"),
         device_tokens("name").alias("Measured device(s)"),
     )

@@ -29,7 +29,6 @@ from etl_market_survey_spark.streaming.events import (
 
 
 def test_name_grammar(spark):
-    # measurement_type docstring table (measurements.py:14-35 analogue)
     df = spark.createDataFrame(
         [
             ("20220404021350_MS07_sweeping_bias_voltage_BetaScan",),
@@ -52,6 +51,34 @@ def test_name_grammar(spark):
     assert out[2]["v"] == 228
     assert out[2]["devs"] == ["MS07", "MS08"]
     assert out[3]["t"] == "unknown" and out[3]["v"] is None
+
+
+def test_measurement_type_docstring_golden(spark):
+    # The reference's exact docstring table (measurements.py:14-35), with
+    # the filesystem probes its example environment implies.
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (name, has_iv, has_1d, has_1d_sweep, expected)
+        ("20220328170454_MS03_IV_Curve", False, False, False, "IV curve"),
+        ("20220404021350_MS07_1DScan_228V", False, True, False, "TCT 1D scan fixed voltage"),
+        ("20220317155531_BetaScan_SpeedyGonzalez12_at_98V", False, False, False, "beta fixed voltage"),
+        ("20220405203845_MS08_3_probe_station", False, False, False, "IV curve probe station"),
+        ("20220403214116_MS07_sweeping_bias_voltage", False, False, True, "TCT 1D scan sweeping bias voltage"),
+    ]
+    df = spark.createDataFrame(
+        [(n, a, b, c) for n, a, b, c, _ in cases],
+        "name string, has_iv boolean, has_1d boolean, has_1d_sweep boolean",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            classify_measurement(
+                "name", F.col("has_iv"), F.col("has_1d"), F.col("has_1d_sweep")
+            )
+        ).collect()
+    ]
+    assert got == [e for *_, e in cases]
 
 
 def test_build_catalog(spark, tmp_path):

@@ -22,6 +22,29 @@ from etl_market_survey_spark.functions.stats import (
 )
 
 
+def test_mean_std_docstring_golden(spark):
+    # The reference's exact worked example (utils.py:120-138):
+    # groupby ['n','x'] over y -> documented 'y mean'/'y std' values.
+    pdf = pd.DataFrame(
+        {
+            "n": [1, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4],
+            "x": [0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3],
+            "y": [1.0, 2, 1, 1, 2, 3, 3, 3, 4, 3, 4, 5],
+        }
+    )
+    out = (
+        mean_std(spark.createDataFrame(pdf), by=["n", "x"], cols=["y"])
+        .orderBy("n")
+        .toPandas()
+    )
+    assert out["y mean"].tolist() == pytest.approx(
+        [1.250000, 2.666667, 3.333333, 4.500000], abs=1e-5
+    )
+    assert out["y std"].tolist() == pytest.approx(
+        [0.500000, 0.577350, 0.577350, 0.707107], abs=1e-4
+    )
+
+
 def test_mean_std_golden(spark):
     # Mirrors utils.py:120-138: two groups over a value column.
     pdf = pd.DataFrame(
