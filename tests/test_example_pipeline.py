@@ -9,6 +9,18 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def test_tct_example_recovers_geometry(tmp_path, spark):
+    from examples.tct_scan_pipeline import IPD, LASER_SIGMA, main
+
+    out = tmp_path / "tct"
+    out.mkdir()
+    ipd, sig_l, sig_r = main(str(out))
+    assert ipd == pytest.approx(IPD, rel=0.02)
+    assert sig_l == pytest.approx(LASER_SIGMA, rel=0.05)
+    assert sig_r == pytest.approx(LASER_SIGMA, rel=0.05)
+    assert os.path.exists(out / "tct_results.txt")
+
+
 def test_beta_scan_example_recovers_jitter(tmp_path, spark):
     from examples.beta_scan_pipeline import TRUE_JITTER, main
 
