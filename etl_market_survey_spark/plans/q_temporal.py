@@ -73,6 +73,35 @@ FROM sessions GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_Q49_ORACLE = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) AS hour_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q49_tumbling_window", _Q49_ORACLE)
+def q49_tumbling_window(spark, sf_dir):
+    """Batch event-time tumbling windows — the batch twin of
+    streaming.windowed_counts (same grouping, integer-µs bucket keys so
+    the oracle replays it)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_bucket", F.expr("(ts div 1000) div 3600000000"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0).cast("decimal(38,0)")).cast("double")
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )
+
+
 @register("q42_sessionize", _Q42_ORACLE)
 def q42_sessionize(spark, sf_dir):
     ev = load(spark, sf_dir, "events").withColumn(
