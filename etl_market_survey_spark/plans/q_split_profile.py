@@ -1,0 +1,81 @@
+"""Training-pipeline primitives: deterministic dataset splits and column
+profiling.
+
+q50_stratified_split — reproducible 80/10/10 train/val/test assignment by
+    content hash (never by row order: stable under repartitioning,
+    re-ingestion, and engine changes), audited per language.
+q51_profile — the data-quality profile every ingest step runs: per column
+    count/nulls/distinct/min/max in one pass (multi-column aggregate, no
+    per-column scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# split by first 7 hex digits of md5(doc_id) — engine-portable (same trick
+# as the affine MinHash), strictly content-keyed.
+_BUCKET = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10"
+
+_Q50_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN ({_BUCKET}) < 8 THEN 'train'
+              WHEN ({_BUCKET}) < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q50_stratified_split", _Q50_ORACLE)
+def q50_stratified_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+_Q51_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(l_quantity) AS qty_nonnull,
+  COUNT(DISTINCT l_quantity) AS qty_distinct,
+  MIN(l_quantity) AS qty_min,
+  MAX(l_quantity) AS qty_max,
+  COUNT(DISTINCT l_returnflag) AS flag_distinct,
+  MIN(l_returnflag) AS flag_min,
+  MAX(l_returnflag) AS flag_max,
+  COUNT(DISTINCT l_orderkey) AS orderkey_distinct
+FROM lineitem
+"""
+
+
+@register("q51_profile", _Q51_ORACLE)
+def q51_profile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("qty_nonnull"),
+        F.count_distinct("l_quantity").alias("qty_distinct"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.count_distinct("l_returnflag").alias("flag_distinct"),
+        F.min("l_returnflag").alias("flag_min"),
+        F.max("l_returnflag").alias("flag_max"),
+        F.count_distinct("l_orderkey").alias("orderkey_distinct"),
+    )
