@@ -27,6 +27,7 @@ HEADLINE = [
     "q13_delta_t",
     "q14_time_resolution",
     "q19_minhash_lsh",
+    "q52_minhash_fast",
     "q24_cosine_topk",
     "q26_bootstrap_hash",
     "q38_time_resolution_pipeline",

@@ -231,6 +231,21 @@ def q25_srp_lsh_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@register("q52_minhash_fast")
+def q52_minhash_fast(spark, sf_dir):
+    """The 100 TB MinHash path: xxhash64 mode (JVM-native hashing, no md5
+    strings). Same topology as q19; no SQL oracle (xxhash64 is
+    Spark-specific) — q19's portable mode is the correctness witness for
+    the shared plan."""
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_n=_SHINGLE_N, mode="xxhash64"
+    )
+    return lsh_candidate_pairs(sig, "doc_id", _N_HASHES, _N_BANDS).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register("q40_ivf_topk")
 def q40_ivf_topk(spark, sf_dir):
     from ..operators.similarity import ivf_topk
