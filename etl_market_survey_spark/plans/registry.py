@@ -53,3 +53,4 @@ from . import q_temporal  # noqa: E402,F401
 from . import q_rollup  # noqa: E402,F401
 from . import q_misc  # noqa: E402,F401
 from . import q_split_profile  # noqa: E402,F401
+from . import q_streaming  # noqa: E402,F401

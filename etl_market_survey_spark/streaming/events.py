@@ -47,13 +47,21 @@ def windowed_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Per (event_type, tumbling window): count + sum(value). Watermark
-    bounds state for true streams; harmless on batch frames."""
+    bounds state for true streams; harmless on batch frames.
+
+    The value sum uses the engine's order-free deterministic kernel
+    (floor-scaled exact decimal integers) so a streaming run, a batch run
+    and a DuckDB oracle all agree bit-for-bit — incremental state updates
+    make plain float sums order-dependent across micro-batches.
+    """
+    from ..functions.stats import dsum
+
     ev = with_event_time(df)
     if ev.isStreaming:
         ev = ev.withWatermark("event_time", watermark)
     return (
         ev.groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
