@@ -67,6 +67,47 @@ def q46_ts_offset(spark, sf_dir):
     ).orderBy("event_id")
 
 
+_Q54_ORACLE = """
+WITH z AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+)
+SELECT e.vec_id,
+       z.pos,
+       ROUND(CAST(e.embedding[z.pos] AS DOUBLE), 6) AS component
+FROM embeddings e JOIN z USING (vec_id)
+WHERE e.vec_id < 3 AND z.pos <= 8
+ORDER BY e.vec_id, z.pos
+"""
+
+
+@register("q54_zip_join", _Q54_ORACLE)
+def q54_zip_join(spark, sf_dir):
+    """J5 — zip join: pair each embedding component with its 1-based
+    position via arrays_zip(sequence, vec) + explode (the distributed
+    analogue of the reference's python zip())."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
+    zipped = emb.select(
+        "vec_id",
+        F.explode(
+            F.arrays_zip(
+                F.sequence(F.lit(1), F.size("embedding")).alias("pos"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("component"),
+            )
+        ).alias("z"),
+    )
+    return (
+        zipped.select(
+            "vec_id",
+            F.col("z.pos").alias("pos"),
+            F.round(F.col("z.component"), 6).alias("component"),
+        )
+        .filter(F.col("pos") <= 8)
+        .orderBy("vec_id", "pos")
+    )
+
+
 @register("q47_waveform_features")
 def q47_waveform_features(spark, sf_dir):
     """Waveform feature extraction (reconstructing FIXTURES §1 columns
