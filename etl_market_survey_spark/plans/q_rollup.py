@@ -26,6 +26,58 @@ ORDER BY region_name, nation_name
 """
 
 
+_Q55_ORACLE = """
+SELECT
+  CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS flag,
+  CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(l_quantity * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY flag, status
+"""
+
+
+@register("q55_cube", _Q55_ORACLE)
+def q55_cube(spark, sf_dir):
+    """CUBE grouping sets — all 2^2 marginal totals in one pass (the
+    multi-granularity hypertable aggregate)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.grouping("l_returnflag").alias("_gf"),
+            F.grouping("l_linestatus").alias("_gs"),
+        )
+        .select(
+            F.when(F.col("_gf") == 1, "(all)").otherwise(F.col("l_returnflag")).alias("flag"),
+            F.when(F.col("_gs") == 1, "(all)").otherwise(F.col("l_linestatus")).alias("status"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@register("q56_approx_distinct")
+def q56_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct counts — the 100 TB counting
+    path (bounded sketch state vs an exact distinct's full shuffle). No
+    SQL oracle: HLL sketches are engine-specific; the error bound against
+    the exact count is asserted in tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register("q43_rollup", _Q43_ORACLE)
 def q43_rollup(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
