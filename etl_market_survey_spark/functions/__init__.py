@@ -5,7 +5,9 @@ Submodules:
                exact decimal summation for cross-engine determinism, ECDF.
 - histogram  — 1D/2D histogram binning incl. numpy-'auto' bin policy.
 - strings    — measurement-name grammar (voltage token, device token,
-               timestamp prefix).
+               timestamp prefix), type classifier.
 - text       — language ID, quality scoring, token counting, fingerprints.
-- vectors    — embedding math (cosine, dot) on array<float> columns.
+
+(Embedding math — cosine/dot on array<float> — lives with its consumers
+in operators/similarity.)
 """

@@ -10,6 +10,11 @@ Submodules:
 - interpolate — inverse interpolation / threshold crossing (U4).
 - dedup       — exact, MinHash-LSH, SimHash, n-gram-Jaccard, embedding
                 near-dup (beyond-reference, training-data pipeline).
-- similarity  — brute-force + LSH-bucketed ANN over embeddings.
-- multimodal  — binary-column decode/feature plumbing (stubbed codecs).
+- similarity  — brute-force, SRP-LSH and IVF ANN over embeddings.
+- multimodal  — binary-column decode/feature/resize/frame-sample plumbing
+                (stubbed codecs).
+- tct         — pad tagging, range normalization, distance calibration.
+- waveform    — measured-data feature reconstruction from raw samples.
+- asof        — as-of join + gap sessionization (composed built-ins).
+- skew        — salted aggregation / replicated join for hot keys.
 """

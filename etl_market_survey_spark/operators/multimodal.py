@@ -85,6 +85,48 @@ def extract_features(
     return df.mapInPandas(kernel, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target: tuple[int, int] = (224, 224),
+    decode_stub: bool = True,
+    out_col: str = "resized",
+) -> DataFrame:
+    """Resize plumbing: per-row payload -> resized payload + recorded
+    target dims, Arrow-batched. Stub 'resize' is a deterministic
+    byte-subsample to target w*h bytes (a real implementation replaces the
+    kernel body with PIL/ffmpeg; plan shape is identical)."""
+    keep = [c for c in df.columns if c != payload_col]
+    schema_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c != payload_col)
+    schema = f"{schema_fields}, {out_col} binary, out_width int, out_height int"
+    w, h = target
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires PIL/ffmpeg — not in this runtime"
+                )
+            outs = []
+            for b in pdf[payload_col]:
+                b = bytes(b) if b is not None else b""
+                n = w * h
+                if len(b) == 0:
+                    outs.append(b"")
+                elif len(b) >= n:
+                    step = len(b) // n
+                    outs.append(b[:: step][:n])
+                else:
+                    outs.append((b * (n // len(b) + 1))[:n])
+            out = pdf[keep].copy()
+            out[out_col] = outs
+            out["out_width"] = w
+            out["out_height"] = h
+            yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

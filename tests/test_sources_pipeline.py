@@ -130,6 +130,13 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(df, decode_stub=False).collect()
 
+    from etl_market_survey_spark.operators.multimodal import resize_media
+
+    resized = resize_media(df, target=(8, 4)).orderBy("media_id").collect()
+    assert all(len(r["resized"]) == 32 for r in resized if r["media_id"] != 3)
+    assert resized[0]["out_width"] == 8 and resized[0]["out_height"] == 4
+    assert len(resized[2]["resized"]) == 0  # empty payload stays empty
+
 
 def test_streaming_matches_batch(spark, sf_dir):
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
