@@ -201,3 +201,68 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cos", "rank")
     )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    mode: str = "exact",
+    n_bands: int = 8,
+    band_planes: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cos)`` with
+    ``id_a < id_b`` and rounded ``cos >= threshold``.
+
+    ``mode='exact'`` — all-pairs self-join: the correctness baseline and
+    the oracle for the LSH mode (O(n^2) scoring; right only when the
+    corpus is bounded). ``mode='lsh'`` — the 100 TB path: each vector
+    emits ``n_bands`` (band, SRP-bucket) keys; candidates are pairs
+    colliding in ANY band (an equi-join on the band key — work scales
+    with colliding pairs, never all pairs), then exact-cosine-filtered
+    and pair-deduped. For threshold t the per-band hit rate is
+    (1 - acos(t)/pi)^band_planes, so recall = 1 - (1-p)^n_bands is
+    tunable; the unit test pins it against the exact mode.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if mode == "exact":
+        a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif mode == "lsh":
+        planes = _srp_planes(dim, n_bands * band_planes, seed)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    srp_signature(
+                        F.col("_v"), planes[i * band_planes : (i + 1) * band_planes]
+                    ).alias("bucket"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        tagged = base.select("_id", "_v", F.explode(bands).alias("_bb")).select(
+            "_id", "_v", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+        )
+        a = tagged.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "band", "bucket"
+        )
+        b = tagged.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bucket"
+        )
+        cand = (
+            a.join(b, on=["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return (
+        cand.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos")
+    )

@@ -255,3 +255,41 @@ def q40_ivf_topk(spark, sf_dir):
     return ivf_topk(
         emb, queries, "vec_id", "embedding", k=_K, n_cells=16, nprobe=4, seed=42
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q57 — embedding-cosine near-duplicate pairs (exact mode; LSH mode is the
+# scale path, recall-pinned against this in tests/test_similarity_skew.py)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_T = 0.35
+
+_Q57_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_dot_product(a.v, b.v)
+         / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+         6
+       ) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(
+        list_dot_product(a.v, b.v)
+        / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+        6
+      ) >= {_NEARDUP_T}
+ORDER BY id_a, id_b
+"""
+
+
+@register("q57_embedding_neardup", _Q57_ORACLE)
+def q57_embedding_neardup(spark, sf_dir):
+    from ..operators.similarity import embedding_neardup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup(
+        emb, "vec_id", "embedding", threshold=_NEARDUP_T, mode="exact"
+    ).orderBy("id_a", "id_b")

@@ -92,3 +92,27 @@ def test_salt_broadcast_join_equals_plain(spark):
     plain = big.join(small, "key").groupBy("label").count()
     salted = salt_broadcast_join(big, small, "key", n_salts=4).groupBy("label").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_embedding_neardup_lsh_recall(spark, emb):
+    from etl_market_survey_spark.operators.similarity import embedding_neardup
+
+    exact = embedding_neardup(emb, threshold=0.30, mode="exact")
+    lsh = embedding_neardup(
+        emb, threshold=0.30, mode="lsh", n_bands=8, band_planes=2, seed=42
+    )
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    l = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert e, "exact mode found no pairs — threshold too high for fixture"
+    assert l <= e  # LSH candidates pass the same exact-cosine filter
+    # expected per-pair recall at t=0.30: p_bit=1-acos(.3)/pi=.597,
+    # band=.357, 1-(1-.357)^8 = .971 — assert a loose floor
+    assert len(l & e) / len(e) >= 0.8
+
+
+def test_embedding_neardup_exact_is_symmetric_free(spark, emb):
+    from etl_market_survey_spark.operators.similarity import embedding_neardup
+
+    out = embedding_neardup(emb, threshold=0.30, mode="exact").toPandas()
+    assert (out["id_a"] < out["id_b"]).all()
+    assert not out.duplicated(["id_a", "id_b"]).any()
