@@ -62,13 +62,20 @@ def _nbins_expr():
     return F.greatest(sturges, fd).cast("int")
 
 
-def histogram(df: DataFrame, col: str, nbins: int | None = None) -> DataFrame:
+def histogram(
+    df: DataFrame, col: str, nbins: int | None = None, stats_impl: str = "sorted"
+) -> DataFrame:
     """1D histogram: ``(bin int, lo double, hi double, count long)``.
 
     ``nbins=None`` -> numpy-'auto' policy. Empty input -> empty result.
+    ``stats_impl='sorted'`` computes the auto-policy quartiles via one
+    sorted array (fastest to ~1e8 rows); ``'distributed'`` uses the
+    recursive bucket-selection path (``_stats_distributed``) — same bits,
+    no single-reducer sort, the default choice beyond ~1e8 rows.
     """
     c = F.col(col)
-    stats = _stats(df.filter(c.isNotNull() & ~F.isnan(c)), col)
+    stats_fn = _stats if stats_impl == "sorted" else _stats_distributed
+    stats = stats_fn(df.filter(c.isNotNull() & ~F.isnan(c)), col)
     if nbins is None:
         stats = stats.withColumn("_nbins", _nbins_expr())
     else:
@@ -166,4 +173,191 @@ def histogram2d(
         .withColumn("by", F.least(F.floor((y - F.col("_ymin")) / wy).cast("int"), F.lit(ny - 1)))
         .groupBy("bx", "by")
         .agg(F.count("*").alias("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact quantiles (the >1e8-row path; see ROADMAP #2)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_expr(x, lo, hi, n_buckets: int):
+    """Bucket index of x over [lo, hi] — monotone in x (floor of a
+    monotone float map), last edge clipped into the top bucket, width-0
+    ranges collapse to bucket 0."""
+    w = (hi - lo) / F.lit(float(n_buckets))
+    raw = F.floor((x.cast("double") - lo) / w).cast("int")
+    return F.when(
+        hi > lo,
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)),
+    ).otherwise(F.lit(0))
+
+
+def _stats_distributed(
+    df: DataFrame, col: str, n_buckets: int = 1024, levels: int = 2
+) -> DataFrame:
+    """Drop-in for ``_stats`` with no single-reducer sort: distributed
+    exact order-statistic selection by recursive bucket counting.
+
+    Pass 1 — scalar agg (count/min/max). Pass 2 — bucket counts over a
+    uniform grid on [min, max]; a cumulative sum over the <= ``n_buckets``
+    count rows (tiny single-partition window) locates, for each needed
+    rank (lo/hi neighbours of q25 and q75), the bucket holding it and the
+    rank's offset within that bucket. Each further level re-buckets only
+    the candidate rows (expected n/n_buckets per rank, exact even under
+    duplicate pileups since equal values share a bucket). The final
+    within-bucket selection sorts ~n/n_buckets^(levels-1) values per rank.
+
+    Exactness: bucket routing only partitions the order — selection is by
+    exact counted rank, and the final interpolation is the same float
+    expression as ``_quantile_of_sorted``, so results are bit-identical
+    to the sorted-array path (asserted in tests/test_text_histogram.py).
+
+    At 100 TB: every full-data pass is a scan + map-side-combinable
+    groupBy on <= n_buckets keys; nothing large ever sits on one node.
+    """
+    c = F.col(col)
+    vals = df.select(c.alias("_x"))
+    s = vals.agg(
+        F.count("_x").cast("long").alias("_n"),
+        F.min("_x").alias("_min"),
+        F.max("_x").alias("_max"),
+    )
+
+    def lo_rank(q: float):
+        pos = (F.col("_n").cast("double") - F.lit(1.0)) * F.lit(q)
+        return F.floor(pos).cast("long") + F.lit(1).cast("long")
+
+    def hi_rank(q: float):
+        return F.least(lo_rank(q) + F.lit(1).cast("long"), F.col("_n"))
+
+    ranks = s.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("q25_lo").alias("rank_id"), lo_rank(0.25).alias("rank")),
+                F.struct(F.lit("q25_hi").alias("rank_id"), hi_rank(0.25).alias("rank")),
+                F.struct(F.lit("q75_lo").alias("rank_id"), lo_rank(0.75).alias("rank")),
+                F.struct(F.lit("q75_hi").alias("rank_id"), hi_rank(0.75).alias("rank")),
+            )
+        ).alias("_r"),
+        F.col("_min").cast("double").alias("lo_edge"),
+        F.col("_max").cast("double").alias("hi_edge"),
+    ).select("_r.rank_id", F.col("_r.rank").alias("offset"), "lo_edge", "hi_edge")
+
+    from pyspark.sql.window import Window
+
+    # Level 0: one shared bucket-count pass over the global range.
+    counts0 = (
+        vals.crossJoin(F.broadcast(s))
+        .select(
+            _bucket_expr(
+                F.col("_x"), F.col("_min").cast("double"), F.col("_max").cast("double"), n_buckets
+            ).alias("_b")
+        )
+        .groupBy("_b")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_cum",
+            F.sum("_cnt").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    hit = (F.col("offset") > F.col("_cum") - F.col("_cnt")) & (
+        F.col("offset") <= F.col("_cum")
+    )
+    width0 = (F.col("hi_edge") - F.col("lo_edge")) / F.lit(float(n_buckets))
+    state = (
+        F.broadcast(ranks)
+        .join(counts0, hit)
+        .select(
+            "rank_id",
+            (F.col("offset") - (F.col("_cum") - F.col("_cnt"))).alias("_offset"),
+            F.col("_b").alias("_tb"),
+            (F.col("lo_edge") + F.col("_b") * width0).alias("_new_lo"),
+            (F.col("lo_edge") + (F.col("_b") + 1) * width0).alias("_new_hi"),
+        )
+    )
+    cand = (
+        vals.crossJoin(F.broadcast(s))
+        .withColumn(
+            "_b",
+            _bucket_expr(
+                F.col("_x"), F.col("_min").cast("double"), F.col("_max").cast("double"), n_buckets
+            ),
+        )
+        .join(F.broadcast(state), on=F.col("_b") == F.col("_tb"))
+        .select(
+            "_x",
+            "rank_id",
+            F.col("_offset").alias("offset"),
+            F.col("_new_lo").alias("lo_edge"),
+            F.col("_new_hi").alias("hi_edge"),
+        )
+    )
+
+    # Levels 1..: per-rank refinement on the (shrinking) candidate sets.
+    for _ in range(1, levels):
+        counts = (
+            cand.withColumn(
+                "_b", _bucket_expr(F.col("_x"), F.col("lo_edge"), F.col("hi_edge"), n_buckets)
+            )
+            .groupBy("rank_id", "offset", "lo_edge", "hi_edge", "_b")
+            .agg(F.count("*").alias("_cnt"))
+            .withColumn(
+                "_cum",
+                F.sum("_cnt").over(
+                    Window.partitionBy("rank_id").orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+            )
+        )
+        width = (F.col("hi_edge") - F.col("lo_edge")) / F.lit(float(n_buckets))
+        state = counts.filter(hit).select(
+            F.col("rank_id").alias("_rid"),
+            F.col("_b").alias("_tb"),
+            (F.col("offset") - (F.col("_cum") - F.col("_cnt"))).alias("_offset"),
+            (F.col("lo_edge") + F.col("_b") * width).alias("_new_lo"),
+            (F.col("lo_edge") + (F.col("_b") + 1) * width).alias("_new_hi"),
+        )
+        cand = (
+            cand.withColumn(
+                "_b", _bucket_expr(F.col("_x"), F.col("lo_edge"), F.col("hi_edge"), n_buckets)
+            )
+            .join(
+                F.broadcast(state),
+                on=(F.col("rank_id") == F.col("_rid")) & (F.col("_b") == F.col("_tb")),
+            )
+            .select(
+                "_x",
+                "rank_id",
+                F.col("_offset").alias("offset"),
+                F.col("_new_lo").alias("lo_edge"),
+                F.col("_new_hi").alias("hi_edge"),
+            )
+        )
+
+    picked = (
+        cand.groupBy("rank_id", "offset")
+        .agg(F.array_sort(F.collect_list("_x")).alias("_a"))
+        .select(
+            "rank_id", F.element_at("_a", F.col("offset").cast("int")).alias("_v")
+        )
+    )
+    wide = picked.groupBy().pivot(
+        "rank_id", ["q25_lo", "q25_hi", "q75_lo", "q75_hi"]
+    ).agg(F.first("_v"))
+
+    def interp(lo_name: str, hi_name: str, q: float):
+        pos = (F.col("_n").cast("double") - F.lit(1.0)) * F.lit(q)
+        frac = pos - F.floor(pos)
+        return F.col(lo_name) + frac * (F.col(hi_name) - F.col(lo_name))
+
+    return s.join(wide).select(
+        "_n",
+        "_min",
+        "_max",
+        interp("q25_lo", "q25_hi", 0.25).alias("_q25"),
+        interp("q75_lo", "q75_hi", 0.75).alias("_q75"),
     )

@@ -64,3 +64,37 @@ def test_token_counts_and_fingerprint(spark):
     df2 = spark.createDataFrame([("world, Hello times! 42",)], "text string")
     fp2 = df2.select(fingerprint("text")).collect()[0][0]
     assert fp2 == row["fp"]
+
+
+def test_distributed_stats_bit_equal_sorted(spark, sf_dir):
+    """The recursive bucket-selection quantile path must reproduce the
+    sorted-array path bit-for-bit (same interpolation expression, exact
+    counted ranks) — including under duplicate pileups."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_market_survey_spark.functions.histogram import (
+        _stats,
+        _stats_distributed,
+        histogram,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for colname in ("l_extendedprice", "l_discount"):
+        a = _stats(li, colname).collect()[0].asDict()
+        b = _stats_distributed(li, colname, n_buckets=64, levels=2).collect()[0].asDict()
+        assert a == b, colname
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"x": np.concatenate([np.full(500, 3.14), rng.normal(0, 1, 200), np.full(300, -1.0)])}
+    )
+    df = spark.createDataFrame(pdf)
+    assert (
+        _stats(df, "x").collect()[0].asDict()
+        == _stats_distributed(df, "x", n_buckets=16, levels=3).collect()[0].asDict()
+    )
+
+    ha = histogram(li, "l_extendedprice").orderBy("bin").collect()
+    hb = histogram(li, "l_extendedprice", stats_impl="distributed").orderBy("bin").collect()
+    assert ha == hb
