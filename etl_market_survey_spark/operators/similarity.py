@@ -99,6 +99,78 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    method: str = "sample",
+    sample_rows: int = 2048,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Derive IVF cell centroids (unit-normalized).
+
+    ``method='sample'`` — seeded Lloyd iterations on a driver-side sample
+    of <= ``sample_rows`` vectors: a tiny constant, good centroids when
+    the sample sees every mode. ``method='kmeans'`` — distributed Spark ML
+    k-means over the FULL corpus (k-means|| init): the billion-vector
+    path, where no bounded sample is representative; the training job is
+    a handful of scans, and the resulting centroid list is identical in
+    shape, so the query path is unchanged. Persist with
+    ``save_centroids`` so serving never retrains.
+    """
+    import numpy as np
+
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.select(
+            array_to_vector(_to_double(F.col(vec_col))).alias("features")
+        )
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+        cents = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=float)
+    elif method == "sample":
+        sample = np.array(
+            [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+            dtype=float,
+        )
+        rng = np.random.default_rng(seed)
+        cents = sample[
+            rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+        ]
+        for _ in range(5):  # spherical Lloyd iterations on the sample
+            sims = sample @ cents.T
+            assign = sims.argmax(axis=1)
+            for c in range(len(cents)):
+                members = sample[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    norm_ = np.linalg.norm(m)
+                    if norm_ > 0:
+                        cents[c] = m / norm_
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (cents / norms).tolist()
+
+
+def save_centroids(spark, cents: list[list[float]], path: str) -> None:
+    """Persist a trained centroid table: ``(cell int, centroid
+    array<double>)`` parquet — one tiny file, broadcast at query time."""
+    spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    assert [r["cell"] for r in rows] == list(range(len(rows)))
+    return [list(r["centroid"]) for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,34 +181,25 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     sample_rows: int = 2048,
+    train: str = "sample",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: seeded centroids from a driver-side sample (k-means
-    Lloyd iterations on <= ``sample_rows`` vectors — a tiny constant), each
-    corpus vector assigned to its nearest cell (one JVM expression), each
-    query scored only against its ``nprobe`` nearest cells.
+    """IVF-style ANN: centroids from ``train_ivf_centroids`` (or a
+    pre-trained ``centroids`` list via ``load_centroids``), each corpus
+    vector assigned to its nearest cell (one JVM expression), each query
+    scored only against its ``nprobe`` nearest cells.
 
     At 100 TB: the corpus pass is a map (cell assignment) + shuffle on
     cell id; queries broadcast. Recall grows with nprobe; exact
     ``cosine_topk`` is the oracle.
     """
-    import numpy as np
-
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
-        dtype=float,
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, vec_col, n_cells, seed, method=train, sample_rows=sample_rows
+        )
     )
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
-    for _ in range(5):  # Lloyd iterations on the sample
-        sims = sample @ cents.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(cents)):
-            members = sample[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                norm_ = np.linalg.norm(m)
-                if norm_ > 0:
-                    cents[c] = m / norm_
 
     def nearest_cells_expr(vec: Column, n: int) -> Column:
         scores = F.array(

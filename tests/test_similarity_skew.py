@@ -116,3 +116,29 @@ def test_embedding_neardup_exact_is_symmetric_free(spark, emb):
     out = embedding_neardup(emb, threshold=0.30, mode="exact").toPandas()
     assert (out["id_a"] < out["id_b"]).all()
     assert not out.duplicated(["id_a", "id_b"]).any()
+
+
+def test_ivf_kmeans_training_and_persistence(spark, emb, tmp_path):
+    from etl_market_survey_spark.operators.similarity import (
+        ivf_topk,
+        load_centroids,
+        save_centroids,
+        train_ivf_centroids,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=10)
+    # distributed training, full probe == exact regardless of centroids
+    km_full = ivf_topk(emb, q, k=10, n_cells=8, nprobe=8, seed=42, train="kmeans")
+    assert _recall(km_full, exact) == 1.0
+    km = ivf_topk(emb, q, k=10, n_cells=8, nprobe=4, seed=42, train="kmeans")
+    assert _recall(km, exact) >= 0.5
+
+    # persisted centroid table round-trips bit-for-bit and serves queries
+    cents = train_ivf_centroids(emb, n_cells=8, seed=42, method="kmeans")
+    path = str(tmp_path / "centroids")
+    save_centroids(spark, cents, path)
+    loaded = load_centroids(spark, path)
+    assert loaded == [[float(x) for x in c] for c in cents]
+    pre = ivf_topk(emb, q, k=10, nprobe=4, centroids=loaded)
+    assert {tuple(r) for r in pre.collect()} == {tuple(r) for r in km.collect()}
