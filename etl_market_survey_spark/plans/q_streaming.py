@@ -40,3 +40,60 @@ def q53_streaming_rollup(spark, sf_dir):
         "n",
         "sum_value",
     ).orderBy("window_start_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q58/q59 — event-time interval join (click -> purchase attribution).
+# One operator definition; q58 runs it on batch frames (exact oracle),
+# q59 runs the REAL stream-stream symmetric hash join with watermarks on
+# both sides and drains it — against the same oracle, bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_IJ_ORACLE = """
+WITH c AS (
+  SELECT event_id AS left_id, user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS right_id, user_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.right_id, c.left_id, p.user_id, p.pus - c.cus AS delay_us
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.cus <= p.pus AND c.cus > p.pus - 1800000000
+ORDER BY right_id, left_id
+"""
+
+
+@register("q58_interval_join", _IJ_ORACLE)
+def q58_interval_join(spark, sf_dir):
+    from ..streaming.joins import event_interval_join
+    from .registry import load
+
+    ev = load(spark, sf_dir, "events")
+    out = event_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id",
+        interval="30 minutes",
+    )
+    return out.orderBy("right_id", "left_id")
+
+
+@register("q59_streaming_interval_join", _IJ_ORACLE)
+def q59_streaming_interval_join(spark, sf_dir):
+    from ..streaming.events import read_event_stream, run_available_now
+    from ..streaming.joins import event_interval_join
+
+    clicks = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = event_interval_join(
+        clicks, purchases, key="user_id", interval="30 minutes"
+    )
+    name = run_available_now(
+        joined, f"q59_ij_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return spark.table(name).orderBy("right_id", "left_id")

@@ -36,9 +36,9 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # Integer floor-div: ts is epoch-NANO long (~1.7e18), where a double
+    # round-trip has ~256 ns ulp — exact µs matters to the interval join.
+    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_counts(
@@ -72,13 +72,18 @@ def windowed_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str = "events_rollup"):
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str = "events_rollup",
+    output_mode: str = "complete",
+):
     """Drain everything currently available into a memory sink and stop.
-    Returns the SparkSession-queryable table name."""
+    Returns the SparkSession-queryable table name. Aggregations drain in
+    'complete' mode; stream-stream joins require 'append'."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -58,3 +58,42 @@ def test_running_stats_matches_batch(spark, sf_dir, tmp_path):
         assert final[k][0] == batch[k][0]
         assert final[k][1] == pytest.approx(batch[k][1], rel=1e-9)
         assert final[k][2] == batch[k][2]
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """The watermarked symmetric-hash stream-stream join must emit exactly
+    the batch join's rows, and its plan must carry the state-eviction
+    machinery (watermarks on both sides, streaming join node)."""
+    import uuid
+
+    from etl_market_survey_spark.sources.readers import read_parquet
+    from etl_market_survey_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+    )
+    from etl_market_survey_spark.streaming.joins import event_interval_join
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = read_parquet(spark, path)
+    batch = event_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        interval="30 minutes",
+    )
+
+    clicks = read_event_stream(spark, path).filter(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = event_interval_join(clicks, purchases, interval="30 minutes")
+    assert joined.isStreaming
+    name = run_available_now(
+        joined, f"t_ij_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    streamed = spark.table(name)
+
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
