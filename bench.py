@@ -31,6 +31,8 @@ HEADLINE = [
     "q24_cosine_topk",
     "q26_bootstrap_hash",
     "q38_time_resolution_pipeline",
+    "q60_neardup_lsh",
+    "q58_interval_join",
 ]
 
 

@@ -50,6 +50,14 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), COS_DECIMALS)
 
 
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """``cosine`` with the norms precomputed *below the join* (a Project on
+    each input side evaluates them once per VECTOR, not once per pair —
+    cosine() inline costs 3 array folds per pair; this costs 1). The float
+    expression dot/(na*nb) is unchanged, so results are bit-identical."""
+    return F.round(dot(a, b) / (norm_a * norm_b), COS_DECIMALS)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,10 +72,15 @@ def cosine_topk(
     (cos desc, vec_id) ranking.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).withColumn(
-        "cos", cosine(F.col("_qvec"), F.col(vec_col))
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("_qvec"),
+    ).withColumn("_qn", norm(F.col("_qvec")))
+    c = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos",
+        cosine_with_norms(F.col("_qvec"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
     )
     if not include_self:
         scored = scored.filter(F.col("query_id") != F.col(id_col))
@@ -214,16 +227,22 @@ def ivf_topk(
         ordered = F.reverse(F.array_sort(scores))
         return F.transform(F.slice(ordered, 1, n), lambda st: st["cell"])
 
-    c_assigned = corpus.withColumn(
-        "_cell", nearest_cells_expr(F.col(vec_col), 1)[0]
+    c_assigned = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_cv")
+    ).select(
+        id_col,
+        "_cv",
+        norm(F.col("_cv")).alias("_cn"),
+        nearest_cells_expr(F.col("_cv"), 1)[0].alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
+        _to_double(F.col(vec_col)).alias("_qvec"),
         F.explode(nearest_cells_expr(F.col(vec_col), nprobe)).alias("_cell"),
-    )
+    ).withColumn("_qn", norm(F.col("_qvec")))
     scored = c_assigned.join(F.broadcast(q), on="_cell").withColumn(
-        "cos", cosine(F.col("_qvec"), F.col(vec_col))
+        "cos",
+        cosine_with_norms(F.col("_qvec"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
     )
     scored = scored.filter(F.col("query_id") != F.col(id_col))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
@@ -248,14 +267,22 @@ def lsh_bucket_topk(
     bucket. Recall < 1 by design; the exact ``cosine_topk`` is the oracle.
     """
     planes = _srp_planes(dim, n_planes, seed)
-    c = corpus.withColumn("_bucket", srp_signature(F.col(vec_col), planes))
+    c = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_cv")
+    ).select(
+        id_col,
+        "_cv",
+        norm(F.col("_cv")).alias("_cn"),
+        srp_signature(F.col("_cv"), planes).alias("_bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
+        _to_double(F.col(vec_col)).alias("_qvec"),
         srp_signature(F.col(vec_col), planes).alias("_bucket"),
-    )
+    ).withColumn("_qn", norm(F.col("_qvec")))
     scored = c.join(F.broadcast(q), on="_bucket").withColumn(
-        "cos", cosine(F.col("_qvec"), F.col(vec_col))
+        "cos",
+        cosine_with_norms(F.col("_qvec"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
     )
     scored = scored.filter(F.col("query_id") != F.col(id_col))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
@@ -290,10 +317,16 @@ def embedding_neardup(
     (1 - acos(t)/pi)^band_planes, so recall = 1 - (1-p)^n_bands is
     tunable; the unit test pins it against the exact mode.
     """
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = df.select(
+        F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_nrm", norm(F.col("_v")))
     if mode == "exact":
-        a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-        b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        a = base.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+        )
+        b = base.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+        )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     elif mode == "lsh":
         planes = _srp_planes(dim, n_bands * band_planes, seed)
@@ -308,14 +341,28 @@ def embedding_neardup(
                 for i in range(n_bands)
             ]
         )
-        tagged = base.select("_id", "_v", F.explode(bands).alias("_bb")).select(
-            "_id", "_v", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+        tagged = base.select(
+            "_id", "_v", "_nrm", F.explode(bands).alias("_bb")
+        ).select(
+            "_id",
+            "_v",
+            "_nrm",
+            F.col("_bb.band").alias("band"),
+            F.col("_bb.bucket").alias("bucket"),
         )
         a = tagged.select(
-            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "band", "bucket"
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_nrm").alias("_na"),
+            "band",
+            "bucket",
         )
         b = tagged.select(
-            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bucket"
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_nrm").alias("_nb"),
+            "band",
+            "bucket",
         )
         cand = (
             a.join(b, on=["band", "bucket"])
@@ -325,7 +372,12 @@ def embedding_neardup(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return (
-        cand.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        cand.withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cos")
     )

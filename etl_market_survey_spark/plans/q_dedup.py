@@ -293,3 +293,27 @@ def q57_embedding_neardup(spark, sf_dir):
     return embedding_neardup(
         emb, "vec_id", "embedding", threshold=_NEARDUP_T, mode="exact"
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q60 — embedding near-dup, LSH-banded scale mode (the 100 TB path; its
+# output is a recall-tested subset of q57's exact pairs, so no SQL oracle —
+# the q57 gate is the correctness witness for the shared cosine kernel)
+# ---------------------------------------------------------------------------
+
+
+@register("q60_neardup_lsh")
+def q60_neardup_lsh(spark, sf_dir):
+    from ..operators.similarity import embedding_neardup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_NEARDUP_T,
+        mode="lsh",
+        n_bands=8,
+        band_planes=2,
+        seed=42,
+    ).orderBy("id_a", "id_b")

@@ -30,6 +30,11 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # AQE wraps the plan in AdaptiveSparkPlan(isFinalPlan=false) before
+        # execution, which hides codegen spans from toString — audit the
+        # static plan instead (bench/tests keep AQE on; shape is identical
+        # modulo runtime coalescing).
+        .config("spark.sql.adaptive.enabled", "false")
         .appName("plan-audit")
         .getOrCreate()
     )
@@ -51,7 +56,9 @@ def main() -> int:
         n_bhj = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
         n_smj = len(re.findall(r"SortMergeJoin", plan))
         n_cart = len(re.findall(r"CartesianProduct", plan))
-        n_wsc = len(re.findall(r"WholeStageCodegen", plan))
+        # codegen spans appear as "*(n)" operator prefixes; count distinct
+        # span ids (a span covers many operators).
+        n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
         scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         notes = []
