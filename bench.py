@@ -33,6 +33,7 @@ HEADLINE = [
     "q38_time_resolution_pipeline",
     "q60_neardup_lsh",
     "q58_interval_join",
+    "q61_token_heavy_hitters",
 ]
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -54,3 +54,28 @@ def first_diff(
     if agg_min:
         return diffs.groupBy(*partition).agg(F.min(out).alias(out))
     return diffs
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[str | Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group, deterministic (order must be a total order).
+
+    Scale shape: row_number + filter compiles to Spark's WindowGroupLimit
+    physical rewrite — each map task keeps only its local top-k per group
+    BEFORE the shuffle, so the exchange carries at most k rows per
+    (group x input-partition), never the full per-group row set. A skewed
+    group therefore costs k x n_partitions rows, not its raw count. For
+    global top-k over ungrouped data prefer orderBy().limit(k)
+    (TakeOrderedAndProject — no full sort, no single-reducer window).
+    """
+    w = Window.partitionBy(*partition).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order]
+    )
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

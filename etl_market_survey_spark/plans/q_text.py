@@ -144,3 +144,49 @@ def q23_lang_rollup(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_Q61_ORACLE = """
+WITH toks AS (
+  SELECT lang, lower(unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY lang, token
+)
+SELECT lang, token, cnt, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+  FROM counts
+) WHERE rk <= 10 ORDER BY lang, rk
+"""
+
+
+@register("q61_token_heavy_hitters", _Q61_ORACLE)
+def q61_token_heavy_hitters(spark, sf_dir):
+    """Heavy hitters: top-10 tokens per language by exact count.
+
+    Scale shape: the token stream (the 100 TB part) hits ONE partial-
+    aggregated groupBy(lang, token) — map-side combine collapses each
+    task's token stream to its local vocabulary before the only
+    full-size shuffle. The top-k window then runs over the counts table
+    (vocabulary-sized, not corpus-sized), and row_number+filter triggers
+    the WindowGroupLimit rewrite so even that shuffle carries at most
+    k rows per (lang x map partition). Skewed languages are therefore
+    bounded at every exchange. (For unbounded vocabularies where even
+    counts don't fit, swap stage 1 for df.stat.countMinSketch + a
+    candidate pre-filter; exact counting is preferred while the
+    vocabulary fits a shuffle, which at ~1e8 distinct tokens it does.)
+    """
+    from ..operators.windows import top_k_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[A-Za-z]+|[0-9]+"), F.lit(0))
+        ).alias("token"),
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    return top_k_per_group(
+        counts, ["lang"], [F.col("cnt").desc(), F.col("token")], k=10
+    ).orderBy("lang", "rk")
