@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.stats import dsum, sql_dsum
 from ..operators.cuts import drop_incomplete_groups
 from .registry import load, register
 
@@ -131,3 +132,44 @@ def q47_waveform_features(spark, sf_dir):
         F.col("y").alias("Amplitude (V)"),
     ).distinct()
     return waveform_features(curve, baseline_end=1.0).orderBy("device_name")
+
+
+_Q62_ORACLE = f"""
+SELECT l.l_returnflag,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l.l_quantity')} AS sum_qty,
+       {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS sum_disc_price
+FROM lineitem l
+WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("q62_bloom_semi_join", _Q62_ORACLE)
+def q62_bloom_semi_join(spark, sf_dir):
+    """Bloom-pruned semi-join: filter the fact by the urgent-order key
+    set, then aggregate. The bloom (distributed xxhash64/bit_or build,
+    Arrow-vectorized probe) drops ~(1-fpp) of non-matching fact rows at
+    the SCAN, so only ~sel+fpp of the fact reaches the semi-join
+    shuffle; the trailing left-semi join kills bloom false positives,
+    making the result bit-equal to a plain IN-subquery."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    matched = bloom_semi_join(li, urgent, "l_orderkey", fpp=0.01, seed=42)
+    return (
+        matched.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
