@@ -136,3 +136,104 @@ def bootstrap_exact(
         .groupBy(*group_keys)
         .applyInPandas(resample, schema)
     )
+
+
+def bootstrap_exact_scalable(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    n_replicas: int,
+    row_id_cols: Sequence[str],
+    n_buckets: int = 64,
+    seed: int = 42,
+    id_col: str = "replica",
+) -> DataFrame:
+    """Exact multinomial bootstrap for groups too big for one task.
+
+    ``bootstrap_exact`` materializes each whole group in one task — fine
+    for the reference's per-measurement groups, wrong for a 100 TB group.
+    This variant keeps exact frac=1 multinomial semantics while bounding
+    per-task memory at group_size / n_buckets, via the multinomial
+    splitting property: if n draws fall iid-uniformly on a group split
+    into buckets of sizes (n_1..n_B), the bucket totals are jointly
+    multinomial(n, n_b/n), and conditional on its total m_b each bucket's
+    draws are iid-uniform over its own n_b rows. So:
+
+    1. bucket rows by ``xxhash64(row_id) % B`` (stateless, no shuffle);
+    2. count per (group, bucket) — a map-side-combined aggregation whose
+       output is B rows per group, and draw each replica's bucket
+       allocation multinomially from those counts in one tiny task per
+       group;
+    3. cogroup rows with allocations on (group, bucket) and resample each
+       bucket locally with exactly m_b draws.
+
+    The only full-size shuffle is the (group, bucket) partitioning of
+    pass 3, replicas travel as an R-row side table, and every rng is
+    seeded from (seed, replica, group, bucket) after a canonical sort —
+    deterministic under any input partitioning. Distribution-equal (not
+    draw-for-draw stream-equal) to ``bootstrap_exact``.
+    """
+    import zlib
+
+    group_keys = list(group_keys)
+    row_id_cols = list(row_id_cols)
+    schema_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    out_schema = f"{schema_fields}, {id_col} int"
+
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in row_id_cols], F.lit(seed)), F.lit(n_buckets)
+    ).cast("int")
+    bucketed = df.withColumn("_bucket", bucket)
+
+    counts = bucketed.groupBy(*group_keys, "_bucket").agg(F.count("*").alias("_n"))
+
+    def _key_hash(key_vals) -> int:
+        return zlib.crc32(repr(tuple(key_vals)).encode())
+
+    def allocate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_bucket", ignore_index=True)
+        kh = _key_hash(pdf[k].iloc[0] for k in group_keys)
+        n = int(pdf["_n"].sum())
+        probs = pdf["_n"].to_numpy(dtype=np.float64) / n
+        outs = []
+        for r in range(n_replicas):
+            rng = np.random.default_rng([seed, r, kh])
+            m = rng.multinomial(n, probs)
+            keep = m > 0
+            out = pdf.loc[keep, group_keys + ["_bucket"]].copy()
+            out["_replica"] = r
+            out["_m"] = m[keep]
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
+
+    alloc_schema = (
+        ", ".join(
+            f"`{c}` {t}" for c, t in df.dtypes if c in group_keys
+        )
+        + ", _bucket int, _replica int, _m long"
+    )
+    alloc = counts.groupBy(*group_keys).applyInPandas(allocate, alloc_schema)
+
+    data_cols = [c for c, _ in df.dtypes]
+
+    def resample(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=data_cols + [id_col])
+        rows = left.sort_values(row_id_cols, ignore_index=True)
+        kh = _key_hash(rows[k].iloc[0] for k in group_keys)
+        b = int(rows["_bucket"].iloc[0])
+        nb = len(rows)
+        outs = []
+        right = right.sort_values("_replica")
+        for rep, m in zip(right["_replica"], right["_m"]):
+            rng = np.random.default_rng([seed, int(rep), kh, b])
+            idx = rng.integers(0, nb, size=int(m))
+            take = rows.iloc[np.sort(idx)][data_cols].copy()
+            take[id_col] = int(rep)
+            outs.append(take)
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        bucketed.groupBy(*group_keys, "_bucket")
+        .cogroup(alloc.groupBy(*group_keys, "_bucket"))
+        .applyInPandas(resample, out_schema)
+    )

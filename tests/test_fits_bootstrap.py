@@ -96,3 +96,50 @@ def test_crossing_x_linear_curve(spark):
     df = spark.createDataFrame(pdf)
     out = crossing_x(df, ["g"], "x", "y", 0.55).collect()[0]
     assert out["x_at_threshold"] == pytest.approx(0.55)
+
+
+def test_bootstrap_exact_scalable_sizes_and_determinism(spark):
+    from etl_market_survey_spark.operators.bootstrap import bootstrap_exact_scalable
+
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 1000 + ["b"] * 331, "rid": range(1331), "x": np.arange(1331) * 0.5}
+    )
+    df = spark.createDataFrame(pdf)
+    out = bootstrap_exact_scalable(
+        df, ["g"], n_replicas=3, row_id_cols=["rid"], n_buckets=16, seed=9
+    )
+    sizes = {
+        (r["g"], r["replica"]): r["count"]
+        for r in out.groupBy("g", "replica").count().collect()
+    }
+    for r in range(3):
+        assert sizes[("a", r)] == 1000  # exact frac=1, summed over buckets
+        assert sizes[("b", r)] == 331
+    # only original rows appear, with multiplicity
+    rids = set(pdf["rid"])
+    assert all(r["rid"] in rids for r in out.select("rid").distinct().collect())
+    # deterministic under any input partitioning
+    out2 = bootstrap_exact_scalable(
+        df.repartition(17), ["g"], n_replicas=3, row_id_cols=["rid"], n_buckets=16, seed=9
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_bootstrap_exact_scalable_is_a_real_bootstrap(spark):
+    from etl_market_survey_spark.operators.bootstrap import bootstrap_exact_scalable
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"g": ["a"] * 2000, "rid": range(2000), "x": rng.normal(5.0, 1.0, 2000)})
+    df = spark.createDataFrame(pdf)
+    out = (
+        bootstrap_exact_scalable(
+            df, ["g"], n_replicas=20, row_id_cols=["rid"], n_buckets=8, seed=11
+        )
+        .groupBy("replica")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    means = np.array([r["m"] for r in out])
+    # replica means scatter around the sample mean with se ~ sigma/sqrt(n)
+    assert abs(means.mean() - pdf["x"].mean()) < 4 * 1.0 / np.sqrt(2000)
+    assert 0.2 / np.sqrt(2000) < means.std() < 5 / np.sqrt(2000)
