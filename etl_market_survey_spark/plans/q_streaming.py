@@ -97,3 +97,56 @@ def q59_streaming_interval_join(spark, sf_dir):
         joined, f"q59_ij_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
     return spark.table(name).orderBy("right_id", "left_id")
+
+
+# ---------------------------------------------------------------------------
+# q63 — streaming dedup with watermark-bounded state. The event feed is
+# projected so that rows sharing a dup_key are bit-identical (key-derived
+# event time and payload): any first-arrival winner is the same row, which
+# makes the drained streaming output EXACTLY "SELECT DISTINCT" — verified
+# against DuckDB. The drain uses a delay longer than the replay span, so
+# no state is evicted mid-drain; production sets delay = max duplicate lag
+# and accepts re-emission beyond it (see streaming/dedup.py).
+# ---------------------------------------------------------------------------
+
+_Q63_ORACLE = """
+WITH k AS (SELECT DISTINCT event_id % 4096 AS dup_key FROM events)
+SELECT dup_key % 16 AS grp,
+       COUNT(*) AS n_keys,
+       CAST(SUM(dup_key) AS BIGINT) AS sum_key
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+def _dedup_projection(df):
+    # duplicates of a key are identical rows: time and payload derive
+    # from the key itself
+    key = F.pmod("event_id", F.lit(4096))
+    return df.select(
+        key.alias("dup_key"),
+        # offset clear of epoch 0: the initial watermark is epoch 0 and
+        # rows at-or-before the watermark are discarded as late
+        F.timestamp_micros(
+            (key * F.lit(60_000_000) + F.lit(1_000_000_000_000_000)).cast("long")
+        ).alias("event_time"),
+    )
+
+
+@register("q63_streaming_dedup", _Q63_ORACLE)
+def q63_streaming_dedup(spark, sf_dir):
+    from ..streaming.dedup import dedup_within_watermark
+    from ..streaming.events import read_event_stream, run_available_now
+
+    stream = _dedup_projection(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    deduped = dedup_within_watermark(
+        stream, ["dup_key"], "event_time", delay="3650 days"
+    )
+    name = run_available_now(
+        deduped, f"q63_dedup_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    drained = spark.table(name)
+    return (
+        drained.groupBy(F.pmod("dup_key", F.lit(16)).alias("grp"))
+        .agg(F.count("*").alias("n_keys"), F.sum("dup_key").alias("sum_key"))
+        .orderBy("grp")
+    )

@@ -97,3 +97,49 @@ def test_stream_stream_interval_join_matches_batch(spark):
     }
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_dedup_within_watermark_eviction(spark, tmp_path):
+    """Within-delay duplicates are suppressed; once the watermark passes
+    key_time + delay the key's state is evicted and a later duplicate is
+    re-emitted — the documented tradeoff of bounded state."""
+    import pandas as pd
+
+    from etl_market_survey_spark.streaming.dedup import dedup_within_watermark
+
+    base = 1_000_000_000_000_000  # clear of the epoch-0 initial watermark
+    minute = 60_000_000
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["k", "ts_us"])
+        spark.createDataFrame(pdf).write.parquet(str(tmp_path / "in" / name))
+
+    # batch 1: key 1 twice within a minute (dup suppressed), plus a row
+    # far ahead that drags the watermark past 1's eviction time
+    write("a.parquet", [(1, base), (1, base + minute), (99, base + 500 * minute)])
+    # batch 2: key 1 again, near the new watermark -> state was evicted,
+    # so it re-emits; key 99 again within delay -> suppressed
+    write("b.parquet", [(1, base + 495 * minute), (99, base + 501 * minute)])
+
+    stream = (
+        spark.readStream.schema("k long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+        .select("k", F.timestamp_micros("ts_us").alias("event_time"))
+    )
+    q = (
+        dedup_within_watermark(stream, ["k"], "event_time", delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_dedup_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["k"], r["event_time"]) for r in spark.table("t_dedup_evict").collect()
+    )
+    ks = [k for k, _ in got]
+    assert ks.count(1) == 2  # first arrival + post-eviction re-emission
+    assert ks.count(99) == 1  # duplicate within delay suppressed
