@@ -117,7 +117,13 @@ def bloom_filter_df(
             out = hit if out is None else (out & hit)
         return pd.Series(out)
 
-    return fact.filter(_probe(*_positions(F.col(key_col), n_hashes, n_bits, seed)))
+    # asNondeterministic: the probe IS deterministic, but declaring it so
+    # lets InferFiltersFromConstraints clone the Python eval stage onto
+    # the other side of a downstream equi-join (where it is pure waste —
+    # every dim key passes its own bloom). Marking it nondeterministic
+    # pins the filter where it's written: directly over the fact scan.
+    probe = _probe.asNondeterministic()
+    return fact.filter(probe(*_positions(F.col(key_col), n_hashes, n_bits, seed)))
 
 
 def bloom_semi_join(

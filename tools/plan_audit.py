@@ -35,6 +35,9 @@ def main() -> int:
         # static plan instead (bench/tests keep AQE on; shape is identical
         # modulo runtime coalescing).
         .config("spark.sql.adaptive.enabled", "false")
+        # default 100-char metadata truncation cuts ReadSchema mid-struct,
+        # which would let the scan regex run across lines
+        .config("spark.sql.maxMetadataStringLength", "4000")
         .appName("plan-audit")
         .getOrCreate()
     )
@@ -59,7 +62,7 @@ def main() -> int:
         # codegen spans appear as "*(n)" operator prefixes; count distinct
         # span ids (a span covers many operators).
         n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
-        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        scans = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         notes = []
         if n_cart:
