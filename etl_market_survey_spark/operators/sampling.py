@@ -1,0 +1,77 @@
+"""Deterministic sampling (beyond reference — training-data pipeline).
+
+Corpus curation needs "exactly k docs per language" (budget caps) and
+"exactly this 1% forever" (eval holdouts) — semantics a seeded
+`df.sample` cannot give: Bernoulli sampling is per-partition random (k
+only in expectation, resample on repartition). Both ops here derive
+randomness from a content hash, so the same inputs select the same rows
+on any cluster layout, any engine (md5 is the portable choice — the
+DuckDB oracle replays it), any rerun.
+
+Scale: `sample_exact_per_group` is rank-by-hash ≤ k — it rides the same
+WindowGroupLimit rewrite as top-k (each map task trims to k per group
+before the shuffle; a 10 B-row group moves k × n_map_partitions rows,
+not 10 B). `sample_fraction` is a stateless filter at the scan — no
+shuffle, no state, composes with pushdown.
+
+The hash-rank design is also WHY it's a uniform sample: md5(id) is
+uniform on [0, 2^128), so the k smallest hashes are a uniform k-subset
+(bottom-k sketch); disjoint fractions of the hash space give disjoint
+deterministic splits (same construction as q50's train/val/test split).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import top_k_per_group
+
+
+def _hash_rank(id_cols: Sequence[str], seed: int) -> Column:
+    return F.md5(
+        F.concat_ws("\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in id_cols])
+    )
+
+
+def sql_hash_rank(id_exprs: Sequence[str], seed: int) -> str:
+    """DuckDB mirror of the rank hash — keep in lockstep."""
+    parts = ", ".join(f"CAST({e} AS VARCHAR)" for e in id_exprs)
+    return f"md5(concat_ws(chr(31), '{seed}', {parts}))"
+
+
+def sample_exact_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_cols: Sequence[str],
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, uniform, deterministic.
+
+    Rows are ranked by md5(seed, id) within each group; changing the seed
+    redraws the sample, changing nothing else. ``id_cols`` must identify
+    a row within its group (ties in the hash are broken by the ids
+    themselves, so even hash collisions stay deterministic).
+    """
+    order = [_hash_rank(id_cols, seed)] + [F.col(c) for c in id_cols]
+    return top_k_per_group(df, list(group_cols), order, k, rank_col="_rk").drop("_rk")
+
+
+def sample_fraction(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose hash falls in the
+    first ``fraction`` of the hash space. Stateless filter — no shuffle;
+    the same rows are kept on every engine, layout and rerun."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    # md5 hex is fixed-width lowercase, so lexicographic < equals numeric
+    # < on the 128-bit value — one string compare, portable to any engine
+    bound = format(int(fraction * (1 << 128)), "032x")[:32]
+    return df.filter(_hash_rank(id_cols, seed) < F.lit(bound))

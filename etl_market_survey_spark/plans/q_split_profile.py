@@ -79,3 +79,30 @@ def q51_profile(spark, sf_dir):
         F.max("l_returnflag").alias("flag_max"),
         F.count_distinct("l_orderkey").alias("orderkey_distinct"),
     )
+
+
+# q64 — deterministic exact-k per-group sampling (per-language corpus
+# caps). Rank by md5(seed, doc_id) within each language, keep k smallest:
+# a uniform k-subset (bottom-k construction) that is bit-stable across
+# engines, reruns and layouts — so the whole sample, not just its size,
+# hash-matches the oracle.
+
+_Q64_RANK = "md5(concat_ws(chr(31), '42', CAST(doc_id AS VARCHAR)))"
+
+_Q64_ORACLE = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY {_Q64_RANK}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 30 ORDER BY lang, doc_id
+"""
+
+
+@register("q64_deterministic_sample", _Q64_ORACLE)
+def q64_deterministic_sample(spark, sf_dir):
+    from ..operators.sampling import sample_exact_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sample_exact_per_group(
+        docs, ["lang"], ["doc_id"], k=30, seed=42
+    ).orderBy("lang", "doc_id")

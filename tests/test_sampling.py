@@ -1,0 +1,49 @@
+"""Deterministic sampling: exact per-group sizes, layout invariance,
+seed sensitivity, and fraction accuracy of the hash-space filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.operators.sampling import (
+    sample_exact_per_group,
+    sample_fraction,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.range(10000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 2.5).alias("x")
+    )
+
+
+def test_exact_k_per_group_and_invariance(df):
+    out = sample_exact_per_group(df, ["g"], ["id"], k=25, seed=1)
+    sizes = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert set(sizes) == set(range(7)) and all(v == 25 for v in sizes.values())
+    # identical selection under a different physical layout
+    out2 = sample_exact_per_group(df.repartition(13), ["g"], ["id"], k=25, seed=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    # a different seed redraws the sample
+    out3 = sample_exact_per_group(df, ["g"], ["id"], k=25, seed=2)
+    assert sorted(map(tuple, out.collect())) != sorted(map(tuple, out3.collect()))
+
+
+def test_exact_k_caps_at_group_size(spark):
+    small = spark.range(10).select(F.col("id"), F.lit("a").alias("g"))
+    out = sample_exact_per_group(small, ["g"], ["id"], k=50, seed=1)
+    assert out.count() == 10
+
+
+def test_sample_fraction_accuracy_and_determinism(df):
+    out = sample_fraction(df, ["id"], 0.2, seed=3)
+    n = out.count()
+    assert abs(n - 2000) < 4 * (10000 * 0.2 * 0.8) ** 0.5  # binomial 4 sigma
+    out2 = sample_fraction(df.repartition(17), ["id"], 0.2, seed=3)
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in out2.collect()
+    )
+    # nested fractions: the 10% sample is a subset of the 20% sample
+    sub = {r["id"] for r in sample_fraction(df, ["id"], 0.1, seed=3).collect()}
+    sup = {r["id"] for r in out.collect()}
+    assert sub <= sup
