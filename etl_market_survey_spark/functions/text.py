@@ -139,3 +139,60 @@ def sql_shingles(expr: str, n: int) -> str:
         f"generate_series(0, GREATEST(len({ws}) - {n}, 0)), "
         f"i -> array_to_string(({ws})[i + 1 : i + {n}], ' ')))"
     )
+
+
+def doc_bigrams(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, w1, w2) bigram stream from regex tokens, order preserved.
+
+    All JVM array ops (slice + zip + explode) — the token stream never
+    leaves codegen until the bigram rows exist.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(_t, 1, size(_t) - 1)").alias("w1"),
+                    F.expr("slice(_t, 2, size(_t) - 1)").alias("w2"),
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+
+
+def bigram_fluency(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-trained bigram LM score per document, in exact integers.
+
+    The model is the corpus itself: c2(w1,w2) bigram counts and c1(w1)
+    prev counts (two map-side-combined aggregations, shuffle =
+    vocabulary). Each document bigram scores floor(1e6 * c2 / c1) — the
+    maximum-likelihood P(w2|w1) on a 1e-6 integer grid, summed per doc.
+    Integer floor-division keeps the whole chain bit-portable (no libm
+    log whose last ulp differs across engines), which is what lets the
+    oracle hash-match the scores, not just the row counts.
+
+    At 100 TB the model side is vocabulary-sized: broadcast it when it
+    fits (bigram vocab of ~1e8 won't — then the join shuffles on w1/w2,
+    both map-combined first); the scoring join is the only corpus-scale
+    shuffle.
+    """
+    big = doc_bigrams(df, id_col, text_col)
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    # prev counts roll up from the bigram model (vocab-sized input), not
+    # from a third pass over the corpus-scale bigram stream
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.expr("(1000000 * _c2) div _c1")).cast("bigint").alias("fluency"),
+        )
+    )

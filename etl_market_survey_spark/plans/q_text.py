@@ -190,3 +190,34 @@ def q61_token_heavy_hitters(spark, sf_dir):
     return top_k_per_group(
         counts, ["lang"], [F.col("cnt").desc(), F.col("token")], k=10
     ).orderBy("lang", "rk")
+
+
+_Q65_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+m2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+m1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM((1000000 * m2.c2) // m1.c1) AS BIGINT) AS fluency
+FROM big b JOIN m2 USING (w1, w2) JOIN m1 USING (w1)
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+@register("q65_bigram_fluency", _Q65_ORACLE)
+def q65_bigram_fluency(spark, sf_dir):
+    """Self-trained bigram LM fluency per document — model build (two
+    vocab-sized aggs) + scoring join + per-doc rollup, all in exact
+    integer arithmetic so the DuckDB replay hash-matches the scores."""
+    from ..functions.text import bigram_fluency
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_fluency(docs).orderBy("doc_id")
