@@ -49,3 +49,32 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     for t in (t_li, t_o):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned layout: a date filter must become a
+    PartitionFilter (directory pruning — zero I/O for excluded dates),
+    not a post-scan row filter."""
+    from etl_market_survey_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    # ts is epoch-nano; derive a coarse partition key
+    day = (F.col("ts") / F.lit(3_600_000_000_000 * 24)).cast("long")
+    out = str(tmp_path / "events_by_day")
+    ev.withColumn("day", day).write.partitionBy("day").parquet(out)
+
+    days = sorted(r["day"] for r in spark.read.parquet(out).select("day").distinct().collect())
+    assert len(days) > 1
+    pick = days[0]
+    q = spark.read.parquet(out).filter(F.col("day") == pick)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1)  # filter reached the directory level
+    # and the scan enumerates only the matching partition's files
+    m2 = re.search(r"InMemoryFileIndex[^,]*", plan)
+    n = q.count()
+    full = spark.read.parquet(out).filter(F.col("day") == pick).count()
+    assert n == full > 0
+    # partition column never read from data files
+    m3 = re.search(r"ReadSchema: struct<([^>\n]*)", plan)
+    assert m3 and "day" not in m3.group(1)

@@ -143,3 +143,47 @@ def test_dedup_within_watermark_eviction(spark, tmp_path):
     ks = [k for k, _ in got]
     assert ks.count(1) == 2  # first arrival + post-eviction re-emission
     assert ks.count(99) == 1  # duplicate within delay suppressed
+
+
+def test_idempotent_sink_replay_converges(spark, tmp_path):
+    """A re-run of the same micro-batch (same batch_id) must overwrite its
+    own output, not append a duplicate — and the drained sink equals the
+    batch read of the source."""
+    import pandas as pd
+
+    from etl_market_survey_spark.streaming.sinks import (
+        idempotent_parquet_writer,
+        write_stream_idempotent,
+    )
+
+    rows_a = [(i, float(i)) for i in range(50)]
+    rows_b = [(i, float(i)) for i in range(50, 80)]
+    # coalesce(1): one file per logical batch (each part-FILE is its own
+    # micro-batch under maxFilesPerTrigger=1)
+    spark.createDataFrame(pd.DataFrame(rows_a, columns=["k", "v"])).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "in" / "a.parquet"))
+    spark.createDataFrame(pd.DataFrame(rows_b, columns=["k", "v"])).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "in" / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    out = str(tmp_path / "out")
+    q = write_stream_idempotent(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+
+    # simulate the crash-replay: re-deliver batch 0's own rows under the
+    # same batch_id (ordering-agnostic: read them back from the sink)
+    batch0 = got.filter(F.col("_batch_id") == 0).select("k", "v")
+    writer = idempotent_parquet_writer(out)
+    writer(batch0, 0)
+    again = spark.read.parquet(out)
+    assert again.count() == 80  # overwritten, not appended
+    assert sorted(r["k"] for r in again.select("k").collect()) == list(range(80))
