@@ -106,3 +106,46 @@ def q64_deterministic_sample(spark, sf_dir):
     return sample_exact_per_group(
         docs, ["lang"], ["doc_id"], k=30, seed=42
     ).orderBy("lang", "doc_id")
+
+
+# q66 — sequence packing via distributed prefix sum. The oracle replays
+# the scan with a plain single-reducer OVER (ORDER BY); the Spark side
+# produces the identical running totals from the two-phase bucketed scan
+# (per-bucket windows + driver-scanned offsets — max sorted partition is
+# n/64, never n).
+
+_Q66_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM sized
+)
+SELECT CAST(excl // 4096 AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM scanned GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q66_sequence_packing", _Q66_ORACLE)
+def q66_sequence_packing(spark, sf_dir):
+    from ..functions.text import n_tokens_ws
+    from ..operators.prefix import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens_ws("text").alias("n_tok")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", budget=4096)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("bin_id")
+    )
