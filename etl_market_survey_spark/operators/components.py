@@ -1,0 +1,120 @@
+"""Connected components over a duplicate-pair graph (beyond reference —
+the step that turns near-dup PAIRS into dedup DECISIONS).
+
+Pair generators (MinHash-LSH q19, n-gram Jaccard q21, embedding near-dup
+q57) emit edges; deduplication needs the transitive closure — if A~B and
+B~C, keep ONE of {A,B,C} even though (A,C) was never emitted. That is
+connected components, which Spark's DataFrame API lacks.
+
+Implementation: iterative min-label propagation with pointer jumping.
+Each round every node takes the min of its own label and its neighbors'
+labels (one join + one map-side-combined groupBy on the edge list), then
+labels compress one pointer hop (label := label(label)) — the classic
+O(log n)-rounds recipe for bounded-diameter graphs (near-dup clusters
+have tiny diameters; pathological chains converge in log rounds thanks
+to the jumping). Per round: two shuffles bounded by |edges| and |nodes|;
+lineage is truncated with an eager localCheckpoint so round N's plan
+does not replay rounds 1..N-1 (iterative-algorithm hygiene on any
+cluster). Convergence is detected by counting changed labels — a
+metadata-sized aggregate, not a collect of the labels.
+
+The result is deterministic (component id = min node id in the
+component) and engine-checkable: the q67 oracle recomputes the closure
+with a recursive CTE in DuckDB and hash-matches every (node, component)
+row. Cite: reference has no graph ops; SURVEY §2 notes dedup is
+beyond-reference scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, comp) for every node appearing in ``edges``; comp = min
+    node id reachable. Raises if not converged within ``max_iter``
+    rounds (log2(longest chain) rounds suffice with pointer jumping)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("_nc")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nc").alias("_nbr"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)  # consumed twice by the self-join
+        )
+        # pointer jump: comp := comp's comp (halves chain lengths)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("_cc")
+                ).alias("t"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("s.node").alias("node"),
+                F.least(F.col("comp"), F.coalesce(F.col("_cc"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Attach ``canonical_id`` — the component minimum for rows in any
+    duplicate cluster, the row's own id otherwise. Filtering on
+    ``id == canonical_id`` keeps exactly one survivor per cluster."""
+    comp = connected_components(pairs, src, dst)
+    return (
+        df.join(
+            comp.select(F.col("node").alias(id_col), "comp"), id_col, "left"
+        )
+        .withColumn("canonical_id", F.coalesce("comp", F.col(id_col)))
+        .drop("comp")
+    )

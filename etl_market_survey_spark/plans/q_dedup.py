@@ -324,3 +324,57 @@ def q60_neardup_lsh(spark, sf_dir):
         band_planes=8,
         seed=42,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q67 — duplicate-cluster connected components over the q19 LSH pair
+# graph. Spark runs iterative min-label propagation + pointer jumping;
+# DuckDB recomputes the transitive closure with a recursive CTE — the
+# (node, component) table must hash-match exactly.
+# ---------------------------------------------------------------------------
+
+_Q67_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({sql_shingles('text', _SHINGLE_N)}) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {_sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+    CASE b.band_id
+      {_band_cases}
+    END AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band_id) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+)
+SELECT src AS node, MIN(dst) AS comp FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q67_dup_components", _Q67_ORACLE)
+def q67_dup_components(spark, sf_dir):
+    from ..operators.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_n=_SHINGLE_N, mode="affine"
+    )
+    pairs = lsh_candidate_pairs(sig, "doc_id", _N_HASHES, _N_BANDS)
+    return connected_components(pairs).orderBy("node")

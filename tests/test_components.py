@@ -1,0 +1,40 @@
+"""Connected components: closure correctness on chains/merges, pointer-
+jump convergence on long paths, and canonical-survivor semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.operators.components import (
+    connected_components,
+    dedup_canonical,
+)
+
+
+def test_transitive_closure(spark):
+    # two clusters: a 4-cycle chain and a pair; (1,4) edge closes the ring
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (10, 11)], "id_a long, id_b long"
+    )
+    got = sorted(map(tuple, connected_components(edges).collect()))
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
+
+
+def test_long_chain_converges(spark):
+    # diameter 60: naive propagation needs 60 rounds, pointer jumping
+    # must finish well inside max_iter=25
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    cc = connected_components(chain)
+    assert cc.count() == 61
+    assert cc.filter(F.col("comp") != 0).count() == 0
+
+
+def test_dedup_canonical_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 2)], "id_a long, id_b long")
+    out = dedup_canonical(docs, pairs, "doc_id")
+    canon = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert canon == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4, 6: 6, 7: 7}
+    survivors = out.filter(F.col("doc_id") == F.col("canonical_id"))
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [0, 1, 4, 6, 7]
