@@ -120,3 +120,45 @@ def q42_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+_BAND_US = 300 * 1_000_000  # 5 min band, integer micros
+
+_Q69_ORACLE = f"""
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS max_gap_us
+FROM events a JOIN events b
+  ON a.event_type = b.event_type
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + {_BAND_US}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q69_band_join", _Q69_ORACLE)
+def q69_band_join(spark, sf_dir):
+    """Event self band-join: per type, all ordered pairs at most 5 min
+    apart. The DuckDB oracle states it as a theta join (its IEJoin eats
+    that); our plan is the bucketized equi-join from operators/rangejoin
+    — Spark would otherwise fall back to a nested-loop join."""
+    from ..operators.rangejoin import band_join
+
+    ev = load(spark, sf_dir, "events").withColumn("_us", F.expr("ts div 1000"))
+    a = ev.select("event_type", F.col("_us").alias("a_us"))
+    b = ev.select("event_type", F.col("_us").alias("b_us"))
+    pairs = band_join(
+        a, b, keys=["event_type"], left_on="a_us", right_on="b_us",
+        lower=0, upper=_BAND_US,
+    )
+    gap = F.col("b_us") - F.col("a_us")
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(gap).cast("bigint").alias("sum_gap_us"),
+            F.max(gap).cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

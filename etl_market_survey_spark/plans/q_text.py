@@ -221,3 +221,89 @@ def q65_bigram_fluency(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return bigram_fluency(docs).orderBy("doc_id")
+
+
+_Q70_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+')) AS tok
+  FROM documents
+),
+uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+u AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top1_cnt
+  FROM uc GROUP BY 1
+),
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tl, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2, 3),
+b AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_cnt FROM bc GROUP BY 1)
+SELECT u.doc_id, n_tok, n_distinct, top1_cnt,
+       COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+       CAST(CASE WHEN 2 * n_distinct >= n_tok
+                  AND 5 * top1_cnt <= n_tok
+                  AND 10 * COALESCE(top_bigram_cnt, 0) <= n_tok
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+ORDER BY u.doc_id
+"""
+
+
+@register("q70_repetition_filter", _Q70_ORACLE)
+def q70_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality rules, all-integer so the oracle
+    hash-matches: distinct-token ratio >= 1/2, top-unigram fraction
+    <= 1/5, top-bigram fraction <= 1/10. Two token-level aggregations
+    (map-side combined) joined on doc_id — the corpus-sized explode
+    collapses to per-doc rows before any wide shuffle."""
+    from ..functions.text import TOKEN_PATTERN
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("tok"),
+    )
+    uc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    u = uc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top1_cnt"),
+    )
+    withws = docs.withColumn(
+        "_ws", F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+    ).filter(F.size("_ws") >= 2)
+    bg = withws.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - 2),
+                lambda i: F.concat_ws(" ", F.get("_ws", i), F.get("_ws", i + 1)),
+            )
+        ).alias("bg"),
+    )
+    bc = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    b = bc.groupBy("doc_id").agg(F.max("c").cast("bigint").alias("top_bigram_cnt"))
+    n_tok, top1, topb = F.col("n_tok"), F.col("top1_cnt"), F.col("top_bigram_cnt")
+    return (
+        u.join(b, "doc_id", "left")
+        .withColumn("top_bigram_cnt", F.coalesce(topb, F.lit(0)))
+        .withColumn(
+            "keep",
+            (
+                (2 * F.col("n_distinct") >= n_tok)
+                & (5 * top1 <= n_tok)
+                & (10 * topb <= n_tok)
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
