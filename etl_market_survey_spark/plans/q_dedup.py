@@ -378,3 +378,71 @@ def q67_dup_components(spark, sf_dir):
     )
     pairs = lsh_candidate_pairs(sig, "doc_id", _N_HASHES, _N_BANDS)
     return connected_components(pairs).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q71 — SemDeDup (semantic dedup): label-blocked exact gate. The oracle
+# replays the full chain — within-block rounded-cosine edges, recursive-
+# CTE transitive closure, component-min survivors — so the composition
+# (pairs -> components -> canonical) is hash-checked end to end. The
+# centroid-cell mode (the real path) is unit-tested; its blocking is
+# approximate by design (cross-cell pairs are missed, per the paper).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.4
+
+_Q71_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(
+          list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+          6
+        ) >= {_SEMDEDUP_T}
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS comp FROM reach GROUP BY 1)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN COALESCE(c.comp, e.vec_id) = e.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN COALESCE(c.comp, e.vec_id) <> e.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM e LEFT JOIN comp c ON e.vec_id = c.node
+GROUP BY label ORDER BY label
+"""
+
+
+@register("q71_semdedup", _Q71_ORACLE)
+def q71_semdedup(spark, sf_dir):
+    from ..operators.semdedup import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    with_canon = semdedup(
+        emb.select("vec_id", "label", "embedding"),
+        "vec_id",
+        "embedding",
+        threshold=_SEMDEDUP_T,
+        cell_col="label",
+    )
+    survives = (F.col("canonical_id") == F.col("vec_id")).cast("int")
+    return (
+        with_canon.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(survives).cast("bigint").alias("n_survivors"),
+            F.sum(1 - survives).cast("bigint").alias("n_removed"),
+        )
+        .orderBy("label")
+    )
