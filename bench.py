@@ -29,6 +29,7 @@ HEADLINE = [
     "q19_minhash_lsh",
     "q52_minhash_fast",
     "q24_cosine_topk",
+    "q73_cosine_topk_arrow",
     "q26_bootstrap_hash",
     "q38_time_resolution_pipeline",
     "q60_neardup_lsh",

@@ -446,3 +446,22 @@ def q71_semdedup(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — the Arrow-vectorized brute-force cosine top-k. Same oracle as
+# q24: the numpy kernel reproduces the JVM fold's FP operation order
+# exactly (sequential dims, separate mul/add, no FMA), so raw cosines are
+# bit-identical and the final round/rank runs in the JVM either way.
+# ---------------------------------------------------------------------------
+
+
+@register("q73_cosine_topk_arrow", _Q24_ORACLE)
+def q73_cosine_topk_arrow(spark, sf_dir):
+    from ..operators.similarity import cosine_topk_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_arrow(emb, queries, "vec_id", "embedding", k=_K).orderBy(
+        "query_id", "rank"
+    )

@@ -150,3 +150,44 @@ def q63_streaming_dedup(spark, sf_dir):
         .agg(F.count("*").alias("n_keys"), F.sum("dup_key").alias("sum_key"))
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — stream-static enrichment join: the streaming event feed joins the
+# static customer dimension (broadcast into every micro-batch; the dim is
+# re-resolvable per batch, the standard slowly-changing-dim serving
+# shape), then a running per-nation rollup drains in complete mode. The
+# oracle replays it as a plain batch join+groupBy — bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q72_ORACLE = """
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(e.value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q72_stream_static_join", _Q72_ORACLE)
+def q72_stream_static_join(spark, sf_dir):
+    from ..streaming.events import read_event_stream, run_available_now
+    from .registry import load
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    rolled = (
+        enriched.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0).cast("decimal(38,0)")).cast("double")
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+    )
+    name = run_available_now(rolled, f"q72_ss_{uuid.uuid4().hex[:8]}")
+    return spark.table(name).orderBy("nationkey")
