@@ -173,3 +173,99 @@ def q62_bloom_semi_join(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — skew-tolerant salted aggregation, exact-gated. event_type has 5
+# hot keys (~n/5 rows each — the degenerate-cardinality shape where a
+# plain groupBy gives 5 reducers the whole table). salted_agg shuffles on
+# (key, salt) first, so each hot key spreads over n_salts reducers; the
+# phase-2 combine shuffle carries keys x salts rows only. The salt must
+# not change results: the oracle is the plain one-phase groupBy. Sums run
+# in decimal (order-independent), so the two-phase split is value-exact.
+# ---------------------------------------------------------------------------
+
+_Q74_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q74_salted_agg", _Q74_ORACLE)
+def q74_salted_agg(spark, sf_dir):
+    from ..operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_v_micros", F.floor(F.col("value") * 1000000.0).cast("decimal(38,0)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "_sum_micros": ("_v_micros", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return (
+        out.select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (F.col("_sum_micros").cast("double") / 1000000.0).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — anti join (SURVEY §2.3 note: anti semantics appear in the
+# reference only as missing-device validation). Customers that placed no
+# orders, rolled up per nation: left_anti in Spark, NOT EXISTS in the
+# oracle. At scale the anti join shuffles on the key like any equi-join
+# and AQE can split skewed build sides; no broadcast needed on the fact.
+# ---------------------------------------------------------------------------
+
+_PRICE_CUT = 300000.0
+
+_Q75_ORACLE = f"""
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_no_order_customers,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0) AS DECIMAL(38,0))) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {_PRICE_CUT}
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q75_anti_join", _Q75_ORACLE)
+def q75_anti_join(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _PRICE_CUT)  # pushed to the scan
+        .select("o_custkey")
+    )
+    no_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_no_order_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("nationkey")
+    )
