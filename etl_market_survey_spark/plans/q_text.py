@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
+    TOKEN_PATTERN,
     detect_language,
     fingerprint,
     n_tokens_re,
@@ -307,3 +308,34 @@ def q70_repetition_filter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_CMS_T = 900
+
+_Q76_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY 1 HAVING COUNT(*) >= {_CMS_T}
+ORDER BY token
+"""
+
+
+@register("q76_cms_heavy_hitters", _Q76_ORACLE)
+def q76_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters, exact-gated: the oracle is the
+    plain GROUP BY ... HAVING — the sketch stage must only prune (its
+    no-underestimate guarantee makes candidates a superset), never
+    change the answer. Exchanges are bounded by depth*width per task in
+    the build and by surviving occurrences in the verify."""
+    from ..operators.sketch import cms_heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("token")
+    )
+    return cms_heavy_hitters(toks, "token", threshold=_CMS_T).orderBy("token")
