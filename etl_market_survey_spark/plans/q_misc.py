@@ -269,3 +269,43 @@ def q75_anti_join(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — multimodal binary-column plumbing, exact-gated on the metadata/
+# prune stage: payloads synthesized as UTF-8 bytes of text (the engine
+# treats them as opaque binary, as it would image bytes), then the
+# always-first attach_metadata stage (byte length + content digest, pure
+# JVM) and a per-kind rollup with digest-level dedup counts. The decode/
+# featurize stages stay stubbed+unit-tested (codecs absent by design).
+# ---------------------------------------------------------------------------
+
+_Q77_ORACLE = """
+SELECT lang AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q77_media_metadata", _Q77_ORACLE)
+def q77_media_metadata(spark, sf_dir):
+    from ..operators.multimodal import attach_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("lang").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    meta = attach_metadata(media).drop("payload")  # prune bytes before shuffle
+    return (
+        meta.groupBy("kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_media"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.count_distinct("digest").cast("bigint").alias("n_distinct_payloads"),
+        )
+        .orderBy("kind")
+    )
