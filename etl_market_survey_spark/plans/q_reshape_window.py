@@ -273,3 +273,55 @@ def q17_scalar_summary(spark, sf_dir):
     )
     mad = group_mad(orders, [], "o_totalprice", "mad_std", scaled=True)
     return base.crossJoin(F.broadcast(mad))
+
+
+# ---------------------------------------------------------------------------
+# q80 — ntile decile stats per group (the ranking-window family member
+# the rest of the suite doesn't exercise). Aggregates only the ordered
+# column, so tied rows are interchangeable across a bucket boundary and
+# the result is engine-exact despite ntile's positional tie-split.
+# Scale: per-group windows parallelize across groups (shuffle on the
+# partition key); GLOBAL deciles at 100 TB should instead take
+# boundaries from the distributed quantile selection (functions/
+# histogram._stats_distributed) and bin map-only — same numbers,
+# no single-reducer sort.
+# ---------------------------------------------------------------------------
+
+_Q80_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag, l_extendedprice AS p,
+         ntile(10) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS decile
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(p) AS min_price,
+       MAX(p) AS max_price,
+       CAST(SUM(CAST(FLOOR(p * 100.0) AS DECIMAL(38,0))) AS BIGINT) AS price_cents
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q80_ntile_deciles", _Q80_ORACLE)
+def q80_ntile_deciles(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        t.groupBy("l_returnflag", "decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("p").alias("min_price"),
+            F.max("p").alias("max_price"),
+            F.sum(F.floor(F.col("p") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("l_returnflag", "decile")
+    )
