@@ -162,3 +162,73 @@ def q69_band_join(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — conversion funnel (view -> click -> purchase per user). The
+# operator is a one-shuffle sorted-array automaton; the oracle replays
+# the equivalent greedy-earliest semantics as a k-join cascade
+# (t1 = min view; t2 = min click > t1; t3 = min purchase > t2).
+# ---------------------------------------------------------------------------
+
+_Q81_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND value > 99.0
+),
+users AS (SELECT DISTINCT user_id FROM base),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM base WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT b.user_id, MIN(b.us) AS t2
+  FROM base b JOIN s1 ON b.user_id = s1.user_id AND b.us > s1.t1
+  WHERE b.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+  SELECT b.user_id, MIN(b.us) AS t3
+  FROM base b JOIN s2 ON b.user_id = s2.user_id AND b.us > s2.t2
+  WHERE b.event_type = 'purchase' GROUP BY 1
+),
+per_user AS (
+  SELECT u.user_id,
+         CASE WHEN s3.t3 IS NOT NULL THEN 3
+              WHEN s2.t2 IS NOT NULL THEN 2
+              WHEN s1.t1 IS NOT NULL THEN 1
+              ELSE 0 END AS n_completed,
+         s3.t3 - s1.t1 AS dur_us
+  FROM users u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
+)
+SELECT CAST(n_completed AS INT) AS n_completed,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(dur_us) AS BIGINT) AS total_funnel_us
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q81_funnel", _Q81_ORACLE)
+def q81_funnel(spark, sf_dir):
+    from ..operators.funnel import funnel_match
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") > 99.0)  # pushed to the scan
+        .select("user_id", F.expr("ts div 1000").alias("us"), "event_type")
+    )
+    fm = funnel_match(
+        ev, ["user_id"], "us", "event_type", ["view", "click", "purchase"]
+    )
+    dur = F.when(
+        F.col("n_completed") == 3,
+        F.element_at("stage_ts", 3) - F.element_at("stage_ts", 1),
+    )
+    return (
+        fm.select("user_id", "n_completed", dur.alias("dur_us"))
+        .groupBy(F.col("n_completed").cast("int").alias("n_completed"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("dur_us").cast("bigint").alias("total_funnel_us"),
+        )
+        .orderBy("n_completed")
+    )
