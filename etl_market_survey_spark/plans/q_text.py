@@ -339,3 +339,54 @@ def q76_cms_heavy_hitters(spark, sf_dir):
         ).alias("token")
     )
     return cms_heavy_hitters(toks, "token", threshold=_CMS_T).orderBy("token")
+
+
+_CHUNK, _STRIDE = 16, 12  # window of 16 tokens, overlap 4
+
+_Q82_ORACLE = f"""
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(s.i AS INT) AS chunk_id,
+         t[s.i * {_STRIDE} + 1 : s.i * {_STRIDE} + {_CHUNK}] AS c
+  FROM tl, UNNEST(generate_series(0, GREATEST(len(t) - 1, 0) // {_STRIDE})) AS s(i)
+  WHERE s.i * {_STRIDE} < len(t)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(c) AS INT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_digest
+FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+
+@register("q82_doc_chunking", _Q82_ORACLE)
+def q82_doc_chunking(spark, sf_dir):
+    """Context-window chunking: split each document into overlapping
+    fixed-size token windows (stride < window), the standard LLM
+    pre-tokenization step. Map-only: tokenize, explode the start grid,
+    slice — no shuffle at all until a consumer asks for one; the chunk
+    table inherits the corpus partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    tl = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0)).alias("t"),
+    )
+    n = F.size("t")
+    grid = F.sequence(F.lit(0), F.floor((F.greatest(n - 1, F.lit(0))) / _STRIDE).cast("int"))
+    chunks = (
+        tl.select("doc_id", "t", F.explode(grid).alias("chunk_id"))
+        .filter(F.col("chunk_id") * _STRIDE < n)
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice("t", F.col("chunk_id") * _STRIDE + 1, _CHUNK).alias("c"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("c").cast("int").alias("n_tokens"),
+        F.md5(F.array_join("c", " ")).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_id")
