@@ -35,6 +35,9 @@ HEADLINE = [
     "q60_neardup_lsh",
     "q58_interval_join",
     "q61_token_heavy_hitters",
+    "q69_band_join",
+    "q48_corpus_curation",
+    "q81_funnel",
 ]
 
 
