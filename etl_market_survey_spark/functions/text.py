@@ -196,3 +196,21 @@ def bigram_fluency(df, id_col: str = "doc_id", text_col: str = "text"):
             F.sum(F.expr("(1000000 * _c2) div _c1")).cast("bigint").alias("fluency"),
         )
     )
+
+
+def normalize_text(c: str | Column) -> Column:
+    """Canonical text normalization for dedup/fingerprint robustness:
+    lowercase, digit runs -> '<num>' (cheap PII/number redaction),
+    whitespace squashed, trimmed. Pure JVM expressions."""
+    col = F.col(c) if isinstance(c, str) else c
+    x = F.regexp_replace(F.lower(col), "[0-9]+", "<num>")
+    return F.trim(F.regexp_replace(x, "\\s+", " "))
+
+
+def sql_normalize_text(expr: str) -> str:
+    """DuckDB mirror of normalize_text (the 'g' flag = replace-all,
+    Spark's default)."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '[0-9]+', '<num>', 'g'),"
+        f" '\\s+', ' ', 'g'))"
+    )

@@ -20,6 +20,7 @@ from ..functions.text import (
     sql_fingerprint,
     sql_n_tokens_re,
     sql_n_tokens_ws,
+    sql_normalize_text,
     sql_stopword_hits,
 )
 from .registry import load, register
@@ -390,3 +391,29 @@ def q82_doc_chunking(spark, sf_dir):
         F.size("c").cast("int").alias("n_tokens"),
         F.md5(F.array_join("c", " ")).alias("chunk_digest"),
     ).orderBy("doc_id", "chunk_id")
+
+
+_Q83_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num_runs,
+       md5({sql_normalize_text('text')}) AS norm_digest
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("q83_normalize_redact", _Q83_ORACLE)
+def q83_normalize_redact(spark, sf_dir):
+    """Text normalization + number redaction (the canonicalization pass
+    that runs before exact dedup in a real corpus pipeline): lowercase,
+    digit runs -> '<num>', whitespace squash. Map-only; digests make
+    the normalized text hash-comparable without shipping it."""
+    from ..functions.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .cast("int")
+        .alias("n_num_runs"),
+        F.md5(normalize_text("text")).alias("norm_digest"),
+    ).orderBy("doc_id")
