@@ -420,3 +420,60 @@ def q79_snapshot_diff(spark, sf_dir):
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — deterministic correlation/covariance kernel. Built-in corr()
+# accumulates floats in partition order (non-reproducible across
+# partitionings and engines); this kernel reduces to five exact
+# integer-scaled sums (decimal in Spark, HUGEINT in DuckDB), then
+# evaluates the closed form once on the driver side of the aggregation —
+# two identical integers in, bit-identical double out. Scale-invariant
+# (corr) / unit-corrected (covar), one shuffle, map-side combined.
+# ---------------------------------------------------------------------------
+
+_Q84_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT)) AS sy,
+         SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT)) AS sxy,
+         SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sxx,
+         SUM(CAST(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) * CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT)) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100.0) AS covar_pop
+FROM s ORDER BY l_returnflag
+"""
+
+
+@register("q84_exact_corr", _Q84_ORACLE)
+def q84_exact_corr(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * 100.0).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(dec(y * y)).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nn = F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr_qty_price"),
+        (num / (nn * nn * 100.0)).alias("covar_pop"),
+    ).orderBy("l_returnflag")
