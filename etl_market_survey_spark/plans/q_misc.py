@@ -477,3 +477,66 @@ def q84_exact_corr(spark, sf_dir):
         (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr_qty_price"),
         (num / (nn * nn * 100.0)).alias("covar_pop"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q85 — grouped OLS trend (closed-form linear fit y = a + b*x per group),
+# the moment-sum sibling of q84: x = day index, y = value cents, five
+# exact integer sums, slope/intercept evaluated once per group from
+# identical integers on both engines. The reference fits curves per
+# group with scipy (SURVEY §2.9); for linear models the closed form
+# needs no iteration and stays bit-deterministic.
+# ---------------------------------------------------------------------------
+
+_Q85_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(day AS HUGEINT)) AS sx,
+         SUM(CAST(cents AS HUGEINT)) AS sy,
+         SUM(CAST(day * cents AS HUGEINT)) AS sxy,
+         SUM(CAST(day * day AS HUGEINT)) AS sxx
+  FROM b GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+FROM s ORDER BY event_type
+"""
+
+
+@register("q85_ols_trend", _Q85_ORACLE)
+def q85_ols_trend(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000").cast("bigint")
+    cents = F.floor(F.col("value") * 100.0).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ev.select("event_type", day.alias("day"), cents.alias("cents")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("day"))).alias("sx"),
+        F.sum(dec(F.col("cents"))).alias("sy"),
+        F.sum(dec(F.col("day") * F.col("cents"))).alias("sxy"),
+        F.sum(dec(F.col("day") * F.col("day"))).alias("sxx"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("event_type")
