@@ -232,3 +232,102 @@ def q81_funnel(spark, sf_dir):
         )
         .orderBy("n_completed")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — time-weighted average per key (the TimescaleDB `time_weight`
+# shape): each observation holds until the next one, so the mean weights
+# value by its holding duration. Exact: integer-µs durations x integer
+# cents, summed in decimal; the division happens once per key on
+# identical integers. One window (lead) + one groupBy — both on the same
+# key partitioning, so AQE folds them into one shuffle.
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT user_id, cents,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, cents) - us AS dt_us
+  FROM b
+)
+SELECT user_id,
+       CAST(COUNT(dt_us) AS BIGINT) AS n_intervals,
+       CAST(SUM(CAST(dt_us AS HUGEINT)) AS BIGINT) AS span_us,
+       CAST(SUM(CAST(cents * dt_us AS HUGEINT)) AS DOUBLE)
+         / CAST(SUM(CAST(dt_us AS HUGEINT)) AS DOUBLE) / 100.0 AS twa_value
+FROM w WHERE dt_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q86_time_weighted_avg", _Q86_ORACLE)
+def q86_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+    )
+    # deterministic tiebreak on equal timestamps: order by (us, cents)
+    w = Window.partitionBy("user_id").orderBy("us", "cents")
+    with_dt = ev.withColumn("dt_us", F.lead("us").over(w) - F.col("us")).filter(
+        F.col("dt_us").isNotNull()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        with_dt.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(dec(F.col("dt_us"))).cast("bigint").alias("span_us"),
+            (
+                F.sum(dec(F.col("cents") * F.col("dt_us"))).cast("double")
+                / F.sum(dec(F.col("dt_us"))).cast("double")
+                / 100.0
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — cohort retention: users grouped by first-active day; for each
+# (cohort, day-offset), distinct returning users. The canonical growth-
+# analytics rollup. Two shuffles on user_id (first-seen min + dedup),
+# one on the cohort matrix — all key-bounded.
+# ---------------------------------------------------------------------------
+
+_Q87_ORACLE = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM b GROUP BY 1),
+active AS (SELECT DISTINCT user_id, day FROM b)
+SELECT f.cohort_day,
+       CAST(a.day - f.cohort_day AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active a JOIN firsts f USING (user_id)
+WHERE a.day - f.cohort_day IN (0, 1, 7)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q87_cohort_retention", _Q87_ORACLE)
+def q87_cohort_retention(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    joined = active.join(firsts, "user_id").withColumn(
+        "day_offset", (F.col("day") - F.col("cohort_day")).cast("int")
+    )
+    return (
+        joined.filter(F.col("day_offset").isin(0, 1, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
