@@ -1,0 +1,155 @@
+"""Worked example — the full training-data curation pipeline end-to-end
+on the documents table, composing the engine's curation operators the
+way a 100 TB corpus run would chain them:
+
+  1. normalize + redact      (functions/text.normalize_text)
+  2. exact dedup on the normalized digest (survivor = min doc_id)
+  3. benchmark decontamination (word-4-gram broadcast semi-join
+     against the src0 "eval set")                 (operators/decontam)
+  4. quality gate: repetition rules (distinct ratio, top-unigram
+     fraction) + language filter
+  5. near-dup sweep: MinHash-LSH candidates -> connected components
+     -> canonical survivors                       (operators/dedup,
+                                                   operators/components)
+  6. context-window chunking (16-token windows, stride 12) and
+     greedy sequence packing into 64-token bins   (operators/prefix)
+
+Each stage prints its surviving-row count; the script asserts the
+monotone-shrink invariant (every gate only removes rows) and that the
+final packed bins respect the budget. Run:
+
+  python examples/corpus_curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from etl_market_survey_spark.functions.text import (
+    TOKEN_PATTERN,
+    detect_language,
+    normalize_text,
+)
+from etl_market_survey_spark.operators.components import dedup_canonical
+from etl_market_survey_spark.operators.decontam import decontaminate
+from etl_market_survey_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from etl_market_survey_spark.operators.prefix import pack_sequences
+
+CHUNK, STRIDE, BIN_BUDGET = 16, 12, 64
+
+
+def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. normalize + redact; keep the digest for exact dedup
+    normed = docs.withColumn("norm", normalize_text("text")).withColumn(
+        "digest", F.md5("norm")
+    )
+
+    # 2. exact dedup: survivor = min doc_id per normalized digest
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    exact = normed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+    n1 = exact.count()
+
+    # 3. decontaminate against the src0 benchmark slice
+    bench = exact.filter(F.col("source") == "src0")
+    train = exact.filter(F.col("source") != "src0")
+    clean = decontaminate(train, bench, "doc_id", "text", n=4)
+    n2 = clean.count()
+
+    # 4. quality gate: repetition rules + language coverage
+    toks = clean.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("tok"),
+    )
+    uc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    stats = uc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top1"),
+    )
+    good_ids = stats.filter(
+        (2 * F.col("n_distinct") >= F.col("n_tok"))
+        & (5 * F.col("top1") <= F.col("n_tok"))
+        & (F.col("n_tok") >= 10)
+    ).select("doc_id")
+    lang_ok = clean.withColumn("lang_det", detect_language("text")).filter(
+        F.col("lang_det") != "und"
+    )
+    quality = lang_ok.join(good_ids, "doc_id", "left_semi")
+    n3 = quality.count()
+
+    # 5. near-dup sweep: MinHash-LSH -> components -> canonical survivors
+    sig = minhash_signatures(quality, "doc_id", "text", n_hashes=16, shingle_n=3, mode="xxhash64")
+    pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes=16, n_bands=4)
+    survivors = (
+        dedup_canonical(quality, pairs, "doc_id")
+        .filter(F.col("canonical_id") == F.col("doc_id"))
+        .drop("canonical_id")
+    )
+    n4 = survivors.count()
+
+    # 6. chunk + pack
+    tl = survivors.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0)).alias("t"),
+    )
+    n = F.size("t")
+    grid = F.sequence(F.lit(0), F.floor((F.greatest(n - 1, F.lit(0))) / STRIDE).cast("int"))
+    chunks = (
+        tl.select("doc_id", "t", F.explode(grid).alias("chunk_id"))
+        .filter(F.col("chunk_id") * STRIDE < n)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.slice("t", F.col("chunk_id") * STRIDE + 1, CHUNK)).alias("n_tokens"),
+        )
+    )
+    n5 = chunks.count()
+    ordered = chunks.withColumn(
+        "_ord", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    packed = pack_sequences(
+        ordered, order_col="_ord", size_col="n_tokens", budget=BIN_BUDGET
+    )
+    bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill"))
+    n_bins = bins.count()
+    # packing contract: a chunk is never split, so a bin may overflow by
+    # at most (max chunk - 1) when a chunk spans the budget boundary
+    max_chunk = chunks.agg(F.max("n_tokens")).collect()[0][0]
+    over_contract = bins.filter(
+        F.col("fill") > BIN_BUDGET + max_chunk - 1
+    ).count()
+
+    print(
+        f"docs={n0} exact_dedup={n1} decontaminated={n2} quality={n3} "
+        f"neardup_survivors={n4} chunks={n5} bins={n_bins}"
+    )
+    assert n0 >= n1 >= n2 >= n3 >= n4 > 0, "gates must only remove rows"
+    assert n5 >= n4, "every surviving doc yields >= 1 chunk"
+    assert over_contract == 0, "bin overflow must stay under one chunk"
+    return {
+        "docs": n0, "exact": n1, "clean": n2, "quality": n3,
+        "survivors": n4, "chunks": n5, "bins": n_bins,
+    }
+
+
+if __name__ == "__main__":
+    from etl_market_survey_spark.session import get_spark
+
+    out = main(get_spark(), *(sys.argv[1:] or []))
+    print(out)

@@ -33,3 +33,13 @@ def test_beta_scan_example_recovers_jitter(tmp_path, spark):
     # memoized rerun is cheap and identical
     resolution2 = main(str(tmp_path / "out"))
     assert resolution2 == resolution
+
+
+def test_corpus_curation_pipeline(spark):
+    from examples.corpus_curation_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    # monotone-shrink + non-degenerate gates (asserts inside main also ran)
+    assert out["docs"] >= out["exact"] >= out["clean"] >= out["quality"] > 0
+    assert out["chunks"] >= out["survivors"]
+    assert out["bins"] > 0
