@@ -75,3 +75,50 @@ def sample_fraction(
     # < on the 128-bit value — one string compare, portable to any engine
     bound = format(int(fraction * (1 << 128)), "032x")[:32]
     return df.filter(_hash_rank(id_cols, seed) < F.lit(bound))
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_cols: Sequence[str],
+    seed: int = 42,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling without replacement (top-k), Efraimidis-Spirakis
+    A-ES: each row draws a deterministic uniform u from the portable
+    md5 rank and competes with key u^(1/w) — equivalently ln(u)/w, which
+    we use for numeric range. P(row in sample) increases with weight; the
+    whole draw is a pure function of (seed, ids, weights): reproducible
+    on any engine and any partitioning.
+
+    The key is rounded to 9 decimals so cross-engine libm differences in
+    ln() (last-ulp) cannot reorder ranks; ties break on the hash rank.
+    One window shuffle (per ``by`` group if given, else global top-k via
+    the same WindowGroupLimit trim as top_k_per_group).
+    """
+    from pyspark.sql.window import Window
+
+    # 13 hex digits -> exact double in [0,1): 16^13 < 2^53
+    h = _hash_rank(id_cols, seed)
+    u = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**13))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    ranked = df.withColumn("_es_key", key).withColumn("_es_tie", h)
+    w = Window.partitionBy(*(by or [])).orderBy(
+        F.col("_es_key").desc(), F.col("_es_tie")
+    )
+    return (
+        ranked.withColumn("es_rank", F.row_number().over(w))
+        .filter(F.col("es_rank") <= k)
+        .drop("_es_key", "_es_tie")
+    )
+
+
+def sql_weighted_key(id_exprs: Sequence[str], weight_expr: str, seed: int) -> str:
+    """DuckDB mirror of the A-ES key (rounded ln(u)/w)."""
+    h = sql_hash_rank(id_exprs, seed)
+    u = f"((CAST(concat('0x', substr({h}, 1, 13)) AS BIGINT) + 0.5) / {float(16**13)!r})"
+    return f"ROUND(LN({u}) / CAST({weight_expr} AS DOUBLE), 9)"

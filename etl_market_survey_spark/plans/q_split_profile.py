@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.sampling import sql_hash_rank, sql_weighted_key
 from .registry import load, register
 
 # split by first 7 hex digits of md5(doc_id) — engine-portable (same trick
@@ -148,4 +149,47 @@ def q66_sequence_packing(spark, sf_dir):
             F.sum("n_tok").cast("bigint").alias("bin_tokens"),
         )
         .orderBy("bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — weighted sampling without replacement (Efraimidis-Spirakis top-k
+# per language, weight = n_chars). The A-ES key is a pure function of
+# (seed, doc_id, weight) built on the portable md5 rank, so the oracle
+# replays the exact draw; ln() is rounded to 9 decimals so libm ulp
+# differences cannot reorder ranks.
+# ---------------------------------------------------------------------------
+
+_WK = 5
+_W_SEED = 7
+
+
+@register(
+    "q88_weighted_sample",
+    f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         {sql_weighted_key(['doc_id'], 'n_chars', _W_SEED)} AS es_key,
+         {sql_hash_rank(['doc_id'], _W_SEED)} AS tie
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, tie) AS rn
+  FROM keyed
+)
+SELECT lang, CAST(rn AS INT) AS rn, doc_id, n_chars
+FROM ranked WHERE rn <= {_WK} ORDER BY lang, rn
+""",
+)
+def q88_weighted_sample(spark, sf_dir):
+    from ..operators.sampling import weighted_sample_k
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    out = weighted_sample_k(
+        docs, k=_WK, weight_col="n_chars", id_cols=["doc_id"], seed=_W_SEED, by=["lang"]
+    )
+    return (
+        out.select("lang", F.col("es_rank").cast("int").alias("rn"), "doc_id", "n_chars")
+        .orderBy("lang", "rn")
     )

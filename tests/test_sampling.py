@@ -47,3 +47,30 @@ def test_sample_fraction_accuracy_and_determinism(df):
     sub = {r["id"] for r in sample_fraction(df, ["id"], 0.1, seed=3).collect()}
     sup = {r["id"] for r in out.collect()}
     assert sub <= sup
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from etl_market_survey_spark.operators.sampling import weighted_sample_k
+
+    # two weight classes: 100 light (w=1) vs 100 heavy (w=20)
+    rows = [(i, 1.0 if i < 100 else 20.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy_hits = light_hits = 0
+    for seed in range(12):
+        got = weighted_sample_k(df, k=20, weight_col="w", id_cols=["id"], seed=seed)
+        ids = [r.id for r in got.collect()]
+        assert len(ids) == 20 == len(set(ids))
+        heavy_hits += sum(1 for i in ids if i >= 100)
+        light_hits += sum(1 for i in ids if i < 100)
+    # with 20x weight, heavy rows should dominate the sample decisively
+    assert heavy_hits > 4 * light_hits
+
+
+def test_weighted_sample_deterministic(spark):
+    from etl_market_survey_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame([(i, float(i % 7 + 1)) for i in range(100)], "id long, w double")
+    a = {(r.id, r.es_rank) for r in weighted_sample_k(df, 10, "w", ["id"], seed=3).collect()}
+    b = {(r.id, r.es_rank) for r in
+         weighted_sample_k(df.repartition(7), 10, "w", ["id"], seed=3).collect()}
+    assert a == b  # partitioning-invariant
