@@ -331,3 +331,57 @@ def q87_cohort_retention(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — general event-pattern automaton (MATCH_RECOGNIZE-lite): the
+# funnel generalized to quantified tokens, here `signup view+ purchase`.
+# Spark side is the one-shuffle NFA-bitmask fold; the oracle rebuilds
+# each user's alphabet-filtered, time-ordered type string and counts
+# non-overlapping leftmost-shortest matches with a lazy RE2 regex
+# (equivalent policy; tie order at equal ts = event_type, mirrored in
+# the automaton's struct(ts, t) array_sort).
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type
+  FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+),
+strings AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                    WHEN 'view' THEN 'v'
+                                    ELSE 'p' END,
+                    '' ORDER BY us, event_type) AS seq
+  FROM base GROUP BY 1
+),
+per_user AS (
+  SELECT user_id, len(regexp_extract_all(seq, 'sv+?p')) AS n_matches
+  FROM strings
+)
+SELECT CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q89_pattern_match", _Q89_ORACLE)
+def q89_pattern_match(spark, sf_dir):
+    from ..operators.pattern import pattern_match
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_type"
+    )
+    pm = pattern_match(
+        ev,
+        ["user_id"],
+        "us",
+        "event_type",
+        [("signup", "1"), ("view", "+"), ("purchase", "1")],
+    )
+    return (
+        pm.groupBy(F.col("n_matches").cast("bigint").alias("n_matches"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("n_matches")
+    )

@@ -1,0 +1,119 @@
+"""Pattern automaton tests: NFA compile, quantifier semantics, Spark
+fold == driver reference == lazy-regex counting on random sequences."""
+
+import random
+import re
+
+import pytest
+
+from etl_market_survey_spark.operators.pattern import (
+    compile_nfa,
+    match_events_py,
+    pattern_match,
+)
+
+_ABC = [("a", "1"), ("b", "+"), ("c", "1")]
+
+
+def _run(spark, rows, pattern):
+    df = spark.createDataFrame(rows, "k long, us long, t string")
+    out = pattern_match(df, ["k"], "us", "t", pattern).collect()
+    return {r.k: (r.n_matches, r.first_match_end_ts) for r in out}
+
+
+def test_quantifier_semantics(spark):
+    rows = [
+        # k=1: a b b c -> shortest match ends at first c (ts 4)
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+        # k=2: a c -> b+ requires one b, no match
+        (2, 1, "a"), (2, 2, "c"),
+        # k=3: two disjoint matches a b c a b c
+        (3, 1, "a"), (3, 2, "b"), (3, 3, "c"),
+        (3, 4, "a"), (3, 5, "b"), (3, 6, "c"),
+        # k=4: noise types are ignored entirely
+        (4, 1, "a"), (4, 2, "x"), (4, 3, "b"), (4, 4, "y"), (4, 5, "c"),
+    ]
+    got = _run(spark, rows, _ABC)
+    assert got[1] == (1, 4)
+    assert got[2] == (0, None)
+    assert got[3] == (2, 3)
+    assert got[4] == (1, 5)
+
+
+def test_optional_and_star(spark):
+    pat = [("a", "1"), ("b", "?"), ("c", "*"), ("d", "1")]
+    rows = [
+        (1, 1, "a"), (1, 2, "d"),                                  # skip both
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "d"),                     # b only
+        (3, 1, "a"), (3, 2, "c"), (3, 3, "c"), (3, 4, "d"),        # c twice
+        (4, 1, "a"), (4, 2, "b"), (4, 3, "c"), (4, 4, "d"),        # both
+        (5, 1, "a"), (5, 2, "c"), (5, 3, "b"), (5, 4, "d"),        # wrong order
+    ]
+    got = _run(spark, rows, pat)
+    assert got[1] == (1, 2)
+    assert got[2] == (1, 3)
+    assert got[3] == (1, 4)
+    assert got[4] == (1, 4)
+    assert got[5] == (0, None)
+
+
+def test_overlap_restarts_strictly_after_match(spark):
+    # aa with pattern 'a a?': shortest match is the single 'a'; restart
+    # consumes the second 'a' as a new match -> 3 matches for 'aaa'
+    pat = [("a", "1"), ("a", "?")]
+    rows = [(1, i, "a") for i in range(1, 4)]
+    got = _run(spark, rows, pat)
+    assert got[1] == (3, 1)
+
+
+def test_empty_pattern_and_nullable_rejected():
+    with pytest.raises(ValueError):
+        compile_nfa([])
+    with pytest.raises(ValueError):
+        compile_nfa([("a", "*"), ("b", "?")])
+    with pytest.raises(ValueError):
+        compile_nfa([("a", "2")])
+
+
+def _lazy_regex_count(s: str, pattern) -> int:
+    frag = {"1": "{1}", "?": "??", "+": "+?", "*": "*?"}
+    rx = "".join(re.escape(sym) + frag[q] for sym, q in pattern)
+    return len(re.findall(rx, s))
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        _ABC,
+        [("a", "1"), ("b", "?"), ("a", "1")],
+        [("a", "+"), ("b", "*"), ("c", "?"), ("a", "1")],
+        [("s", "1"), ("v", "+"), ("p", "1")],
+    ],
+)
+def test_reference_matches_lazy_regex_on_random_sequences(pattern):
+    rng = random.Random(42)
+    alphabet = sorted({sym for sym, _ in pattern})
+    for _ in range(300):
+        seq = [rng.choice(alphabet) for _ in range(rng.randrange(0, 20))]
+        n_py, _ = match_events_py(seq, pattern)
+        assert n_py == _lazy_regex_count("".join(seq), pattern), (pattern, seq)
+
+
+def test_spark_fold_matches_reference_on_random_sequences(spark):
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c", "x"]
+    rows, expect = [], {}
+    for k in range(60):
+        seq = [rng.choice(alphabet) for _ in range(rng.randrange(1, 25))]
+        rows += [(k, i + 1, t) for i, t in enumerate(seq)]
+        filtered = [t for t in seq if t != "x"]
+        n, end_idx = match_events_py(filtered, _ABC)
+        end_ts = None
+        if end_idx is not None:
+            # map filtered index back to 1-based ts in the raw sequence
+            pos = [i + 1 for i, t in enumerate(seq) if t != "x"]
+            end_ts = pos[end_idx]
+        expect[k] = (n, end_ts)
+    got = _run(spark, rows, _ABC)
+    for k, want in expect.items():
+        assert got.get(k, (0, None)) == want, k
