@@ -96,3 +96,90 @@ def cms_heavy_hitters(
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV ("theta") distinct sketch + set operations.
+#
+# The bounded-state rung above exact DISTINCT and the set-operation
+# companion to approx_count_distinct (q56): a K-Minimum-Values sketch
+# (Bar-Yossef et al. 2002; Dasgupta et al. 2016 theta-sketch framing)
+# keeps the k smallest distinct hash values; theta = frac(kth value)
+# estimates n_distinct ~= (k-1)/theta, and two sketches support union /
+# intersection / Jaccard estimates the exact operators can't do without
+# a full shuffle of both sides.
+#
+# Build is two scans, both map-side-bounded: (1) approx_count_distinct
+# sizes the stream; (2) a literal hash-threshold filter keeps ~safety*k
+# candidate rows (the only exchange), which dedupe and TakeOrdered to k
+# on the driver. No per-task state beyond the HLL registers and the
+# filter; the shuffle is O(k), independent of corpus size. Deterministic:
+# xxhash64, no RNG — estimates are reproducible bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_TWO63 = float(2**63)
+_TWO64 = float(2**64)
+
+
+def _frac(h: int) -> float:
+    """Map a signed xxhash64 long to a uniform fraction in [0, 1)."""
+    return (h + _TWO63) / _TWO64
+
+
+class KmvSketch:
+    """k smallest distinct hashes (sorted, signed-long order)."""
+
+    def __init__(self, k: int, hashes: list[int]):
+        self.k = k
+        self.hashes = sorted(hashes)[:k]
+
+    @property
+    def theta(self) -> float:
+        if len(self.hashes) < self.k:
+            return 1.0  # saw everything: sketch IS the distinct set
+        return _frac(self.hashes[-1])
+
+    def estimate(self) -> float:
+        if len(self.hashes) < self.k:
+            return float(len(self.hashes))
+        return (self.k - 1) / self.theta
+
+    def union(self, other: "KmvSketch") -> "KmvSketch":
+        k = min(self.k, other.k)
+        return KmvSketch(k, sorted(set(self.hashes) | set(other.hashes))[:k])
+
+    def _below_theta(self, theta: float) -> set[int]:
+        return {h for h in self.hashes if _frac(h) < theta}
+
+    def intersect_estimate(self, other: "KmvSketch") -> float:
+        theta = min(self.theta, other.theta)
+        both = self._below_theta(theta) & other._below_theta(theta)
+        return len(both) / theta
+
+    def jaccard(self, other: "KmvSketch") -> float:
+        theta = min(self.theta, other.theta)
+        a, b = self._below_theta(theta), other._below_theta(theta)
+        denom = len(a | b)
+        return (len(a & b) / denom) if denom else 0.0
+
+
+def kmv_build(df: DataFrame, col: str, k: int = 1024) -> KmvSketch:
+    """Build a KMV sketch of ``df[col]``'s distinct values."""
+    hdf = df.select(F.xxhash64(F.col(col)).alias("h"))
+    approx = hdf.agg(F.approx_count_distinct("h").alias("c")).collect()[0]["c"]
+    if approx <= 8 * k:
+        rows = hdf.distinct().orderBy("h").limit(k).collect()
+        return KmvSketch(k, [r["h"] for r in rows])
+    safety = 4.0
+    while True:
+        cutoff = int(min(safety * k / approx, 1.0) * _TWO64 - _TWO63)
+        rows = (
+            hdf.filter(F.col("h") < F.lit(cutoff))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+        if len(rows) >= k or cutoff >= 2**63 - 1:
+            return KmvSketch(k, [r["h"] for r in rows])
+        safety *= 4.0  # HLL underestimated the tail; widen (rare)

@@ -97,3 +97,34 @@ def q43_rollup(spark, sf_dir):
         "n_customers",
         "total_acctbal",
     ).orderBy("region_name", "nation_name")
+
+
+@register("q90_kmv_set_ops")
+def q90_kmv_set_ops(spark, sf_dir):
+    """KMV ("theta") distinct sketch set operations — the bounded-state
+    path for distinct-cardinality algebra at 100 TB: estimate the
+    distinct order keys on each side of lineitem ⋈ orders and their
+    union/intersection/Jaccard WITHOUT a full distinct shuffle (the only
+    exchange is ~k candidate hashes per side). No SQL oracle: sketch
+    hashes are engine-specific (xxhash64); error bounds vs exact counts
+    are asserted in tests. Deterministic — no RNG, so rows are stable."""
+    from ..operators.sketch import kmv_build
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    a = kmv_build(li, "l_orderkey", k=512)
+    b = kmv_build(orders, "o_orderkey", k=512)
+    row = [
+        (
+            round(a.estimate(), 3),
+            round(b.estimate(), 3),
+            round(a.union(b).estimate(), 3),
+            round(a.intersect_estimate(b), 3),
+            round(a.jaccard(b), 6),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "est_lineitem_orders double, est_filtered_orders double, "
+        "est_union double, est_intersect double, est_jaccard double",
+    )
