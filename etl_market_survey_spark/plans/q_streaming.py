@@ -191,3 +191,63 @@ def q72_stream_static_join(spark, sf_dir):
     )
     name = run_available_now(rolled, f"q72_ss_{uuid.uuid4().hex[:8]}")
     return spark.table(name).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# q91 — streaming weighted reservoir (A-ES over the event stream): per
+# event type, keep the 5 highest-A-ES-key events by weight = value. The
+# key is the same pure hash function as batch q88, so the drained
+# reservoir is bit-identical to the batch draw and the DuckDB oracle
+# replays it directly — an exact gate on a stateful streaming operator.
+# ---------------------------------------------------------------------------
+
+_Q91_K = 5
+_Q91_SEED = 11
+
+
+def _q91_oracle() -> str:
+    from ..operators.sampling import sql_hash_rank, sql_weighted_key
+
+    key = sql_weighted_key(["event_id"], "value", _Q91_SEED)
+    tie = sql_hash_rank(["event_id"], _Q91_SEED)
+    return f"""
+WITH keyed AS (
+  SELECT event_type, event_id, value, {key} AS es_key, {tie} AS tie
+  FROM events WHERE value > 0
+),
+ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY es_key DESC, tie) AS rn
+  FROM keyed
+)
+SELECT event_type AS grp, CAST(rn AS INT) AS rn,
+       CAST(event_id AS VARCHAR) AS id, value AS weight
+FROM ranked WHERE rn <= {_Q91_K} ORDER BY grp, rn
+"""
+
+
+@register("q91_streaming_reservoir", _q91_oracle())
+def q91_streaming_reservoir(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..streaming.events import read_event_stream, run_available_now
+    from ..streaming.reservoir import weighted_reservoir_stream
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("value") > 0
+    )
+    res = weighted_reservoir_stream(
+        stream, _Q91_K, "value", ["event_id"], seed=_Q91_SEED, by=["event_type"]
+    )
+    name = run_available_now(
+        res, f"q91_reservoir_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    drained = spark.table(name)
+    last = drained.withColumn(
+        "_last", F.max("n_seen").over(Window.partitionBy("grp"))
+    )
+    return (
+        last.filter(F.col("n_seen") == F.col("_last"))
+        .select("grp", F.col("es_rank").cast("int").alias("rn"), "id", "weight")
+        .orderBy("grp", "rn")
+    )
