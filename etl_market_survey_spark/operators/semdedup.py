@@ -60,6 +60,33 @@ def assign_cells(
     return df.withColumn(out_col, F.reverse(F.array_sort(scores))[0]["cell"])
 
 
+def assign_cells_multi(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int,
+    out_col: str = "cell",
+) -> DataFrame:
+    """nprobe nearest-centroid cell ids per row, EXPLODED (one output row
+    per (row, probed cell)). The IVF multi-assignment recall fix: a
+    duplicate pair split by a cell boundary is recovered whenever any of
+    the nprobe probes of both rows coincide — at ~nprobe× replication
+    into the downstream self-join. Still map-only, no shuffle."""
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError("nprobe must be in [1, n_centroids]")
+    scores = F.array(
+        *[
+            F.struct(
+                dot(_to_double(F.col(vec_col)), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+    return df.withColumn(out_col, F.explode(top["cell"]))
+
+
 def semdedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -69,17 +96,27 @@ def semdedup_pairs(
     centroids: list[list[float]] | None = None,
     n_cells: int = 16,
     seed: int = 42,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Within-cell duplicate edges ``(id_a, id_b, cos)`` with
-    ``id_a < id_b`` and rounded cosine >= threshold."""
+    ``id_a < id_b`` and rounded cosine >= threshold. ``nprobe > 1``
+    (centroid mode only) multi-assigns rows to their nprobe nearest
+    cells to recover boundary pairs; a pair found in several shared
+    cells counts once (identical cos — dropDuplicates is exact)."""
+    multi = nprobe > 1
     if cell_col is None:
         cents = (
             centroids
             if centroids is not None
             else train_ivf_centroids(df, vec_col, n_cells, seed)
         )
-        df = assign_cells(df, vec_col, cents, "_cell")
+        if multi:
+            df = assign_cells_multi(df, vec_col, cents, nprobe, "_cell")
+        else:
+            df = assign_cells(df, vec_col, cents, "_cell")
         cell_col = "_cell"
+    elif multi:
+        raise ValueError("nprobe > 1 requires centroid mode, not cell_col")
     e = df.select(
         F.col(id_col), F.col(cell_col).alias("_c"), _to_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
@@ -95,7 +132,7 @@ def semdedup_pairs(
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
-    return (
+    pairs = (
         a.join(b, on="_c")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -108,6 +145,7 @@ def semdedup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    return pairs.dropDuplicates(["id_a", "id_b"]) if multi else pairs
 
 
 def semdedup(
@@ -119,11 +157,12 @@ def semdedup(
     centroids: list[list[float]] | None = None,
     n_cells: int = 16,
     seed: int = 42,
+    nprobe: int = 1,
 ) -> DataFrame:
     """``df`` plus ``canonical_id``: the duplicate-component minimum for
     rows in any semantic-duplicate cluster, the row's own id otherwise.
     ``filter(id == canonical_id)`` keeps one survivor per cluster."""
     pairs = semdedup_pairs(
-        df, id_col, vec_col, threshold, cell_col, centroids, n_cells, seed
+        df, id_col, vec_col, threshold, cell_col, centroids, n_cells, seed, nprobe
     )
     return dedup_canonical(df, pairs, id_col)

@@ -465,3 +465,96 @@ def q73_cosine_topk_arrow(spark, sf_dir):
     return cosine_topk_arrow(emb, queries, "vec_id", "embedding", k=_K).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — SemDeDup with nprobe=2 multi-assignment, exact-gated. Fixed
+# block-indicator centroids (literals in BOTH plans) make the IVF
+# assignment itself SQL-replayable: dot products against 0/1 vectors are
+# bit-identical across engines (0.0*x terms are exact no-ops in the
+# sequential fold), so the oracle reproduces argtop-2 cell probing, the
+# deduped within-cell pair set, the recursive transitive closure, and
+# the component-min survivors — the full multi-assignment chain.
+# ---------------------------------------------------------------------------
+
+_Q92_T = 0.4
+_Q92_NPROBE = 2
+_Q92_CENTS = [
+    [1.0 if 16 * i <= j < 16 * (i + 1) else 0.0 for j in range(64)]
+    for i in range(4)
+]
+
+
+def _q92_oracle() -> str:
+    cells = ", ".join(
+        f"({i}, {c!r})".replace("'", "") for i, c in enumerate(_Q92_CENTS)
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cells(cell, cv) AS (SELECT * FROM (VALUES {cells}) t(cell, cv)),
+scored AS (
+  SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS s
+  FROM e CROSS JOIN cells c
+),
+probed AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM scored) WHERE rn <= {_Q92_NPROBE}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probed pa JOIN probed pb ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+  JOIN e a ON a.vec_id = pa.vec_id
+  JOIN e b ON b.vec_id = pb.vec_id
+  WHERE ROUND(
+          list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+          6
+        ) >= {_Q92_T}
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS comp FROM reach GROUP BY 1)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN COALESCE(c.comp, e.vec_id) = e.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN COALESCE(c.comp, e.vec_id) <> e.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM e LEFT JOIN comp c ON e.vec_id = c.node
+GROUP BY label ORDER BY label
+"""
+
+
+@register("q92_semdedup_nprobe", _q92_oracle())
+def q92_semdedup_nprobe(spark, sf_dir):
+    from ..operators.semdedup import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    with_canon = semdedup(
+        emb.select("vec_id", "label", "embedding"),
+        "vec_id",
+        "embedding",
+        threshold=_Q92_T,
+        centroids=_Q92_CENTS,
+        nprobe=_Q92_NPROBE,
+    )
+    survives = (F.col("canonical_id") == F.col("vec_id")).cast("int")
+    return (
+        with_canon.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(survives).cast("bigint").alias("n_survivors"),
+            F.sum(1 - survives).cast("bigint").alias("n_removed"),
+        )
+        .orderBy("label")
+    )
