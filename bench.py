@@ -38,6 +38,8 @@ HEADLINE = [
     "q69_band_join",
     "q48_corpus_curation",
     "q81_funnel",
+    "q89_pattern_match",
+    "q92_semdedup_nprobe",
 ]
 
 
