@@ -417,3 +417,32 @@ def q83_normalize_redact(spark, sf_dir):
         .alias("n_num_runs"),
         F.md5(normalize_text("text")).alias("norm_digest"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q93 — BM25 relevance scoring (Okapi BM25, Robertson & Zaragoza 2009):
+# score every document against a 3-term topic query. tf/df/dl are exact
+# integers; ln and each term contribution round to 9 decimals and the
+# per-doc sum runs through the exact decimal kernel, so the oracle
+# (built by the same module, identical expression tree) matches
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q93_TERMS = ["spark", "vector", "join"]
+
+
+def _q93_oracle() -> str:
+    from ..functions.relevance import sql_bm25_scores
+
+    return f"""
+WITH scored AS ({sql_bm25_scores(_Q93_TERMS)})
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id
+"""
+
+
+@register("q93_bm25", _q93_oracle())
+def q93_bm25(spark, sf_dir):
+    from ..functions.relevance import bm25_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, _Q93_TERMS).orderBy(F.desc("score"), "doc_id")
