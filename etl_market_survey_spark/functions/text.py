@@ -214,3 +214,38 @@ def sql_normalize_text(expr: str) -> str:
         f"trim(regexp_replace(regexp_replace(lower({expr}), '[0-9]+', '<num>', 'g'),"
         f" '\\s+', ' ', 'g'))"
     )
+
+
+# --- PII redaction ----------------------------------------------------------
+# Ordered (pattern, tag) rules: emails first (their digits must not
+# half-match later rules), then IPs, then contiguous 13-19-digit card
+# numbers BEFORE the looser phone rule (which would otherwise swallow
+# them), phones last. Each is a single regexp_replace — the whole scrub
+# is a map-only JVM expression chain, no UDF; the SQL mirror applies the
+# identical rules in the identical order with RE2-compatible patterns
+# ('g' = replace-all, Spark's default).
+
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<email>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<ip>"),
+    (r"\b\d{13,19}\b", "<card>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<phone>"),
+]
+
+
+def redact_pii(c: str | Column) -> Column:
+    """Replace emails, IPv4s, phone-like digit runs, and long card-like
+    numbers with typed tags, in that order."""
+    col = F.col(c) if isinstance(c, str) else c
+    for pat, tag in PII_RULES:
+        col = F.regexp_replace(col, pat, tag)
+    return col
+
+
+def sql_redact_pii(expr: str) -> str:
+    """DuckDB mirror of redact_pii (same rules, same order)."""
+    out = expr
+    for pat, tag in PII_RULES:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{tag}', 'g')"
+    return out

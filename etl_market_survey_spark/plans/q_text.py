@@ -446,3 +446,46 @@ def q93_bm25(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_scores(docs, _Q93_TERMS).orderBy(F.desc("score"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q94 — PII redaction (emails / IPv4s / card numbers / phones -> typed
+# tags). The corpus carries no real PII, so both engines synthesize the
+# same PII-laced text from customer columns (the q77 pattern:
+# deterministic payloads from testdata), then apply the ordered rule
+# chain; the gate hash-compares the redacted strings row-by-row, pinning
+# every pattern, the rule order, and replace-all semantics.
+# ---------------------------------------------------------------------------
+
+
+def _q94_oracle() -> str:
+    from ..functions.text import sql_redact_pii
+
+    text = (
+        "'user ' || CAST(c_custkey AS VARCHAR) || ' <' || lower(c_name) || "
+        "'@corp.example.org> ip 10.' || CAST(c_nationkey AS VARCHAR) || '.0.' || "
+        "CAST(c_custkey % 200 AS VARCHAR) || ' card 4111 2222 3333 4444 or "
+        "4111222233334444, call +1 (415) 555-0199, acct ' || CAST(c_acctbal AS VARCHAR)"
+    )
+    return f"""
+SELECT c_custkey, {sql_redact_pii(f'({text})')} AS redacted
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register("q94_pii_redaction", _q94_oracle())
+def q94_pii_redaction(spark, sf_dir):
+    from ..functions.text import redact_pii
+
+    cust = load(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("user "), F.col("c_custkey").cast("string"),
+        F.lit(" <"), F.lower("c_name"), F.lit("@corp.example.org> ip 10."),
+        F.col("c_nationkey").cast("string"), F.lit(".0."),
+        (F.col("c_custkey") % 200).cast("string"),
+        F.lit(" card 4111 2222 3333 4444 or 4111222233334444, call +1 (415) 555-0199, acct "),
+        F.col("c_acctbal").cast("string"),
+    )
+    return cust.select(
+        "c_custkey", redact_pii(text).alias("redacted")
+    ).orderBy("c_custkey")

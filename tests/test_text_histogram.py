@@ -98,3 +98,43 @@ def test_distributed_stats_bit_equal_sorted(spark, sf_dir):
     ha = histogram(li, "l_extendedprice").orderBy("bin").collect()
     hb = histogram(li, "l_extendedprice", stats_impl="distributed").orderBy("bin").collect()
     assert ha == hb
+
+
+# --- PII redaction ----------------------------------------------------------
+
+from etl_market_survey_spark.functions.text import redact_pii, sql_redact_pii  # noqa: E402
+
+
+def test_redact_pii_rules_and_order(spark):
+    rows = [
+        ("mail john.doe+x@mail.example.com t", "mail <email> t"),
+        ("ip 192.168.0.1 end", "ip <ip> end"),
+        ("card 4111111111111111 w", "card <card> w"),
+        ("call +1 (415) 555-0199 now", "call <phone> now"),
+        ("both a@b.io and 10.0.0.7 and 555-123-4567", "both <email> and <ip> and <phone>"),
+        ("clean text 42", "clean text 42"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r[0] for r in df.select(redact_pii("text")).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_redact_pii_idempotent_and_sql_parity(spark):
+    import duckdb
+
+    texts = [
+        "a@b.cc 1.2.3.4 4111111111111111 +1 415 555 0199",
+        "edge 255.255.255.255.255 mail a.b@c.d.ee",
+        "digits 1234567890123 mid 12345678901234567890 long",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = [r[0] for r in df.select(redact_pii("text").alias("r")).collect()]
+    twice = [
+        r[0]
+        for r in df.select(redact_pii(redact_pii("text")).alias("r")).collect()
+    ]
+    assert once == twice  # tags contain no redactable substrings
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = [r[0] for r in con.execute(f"select {sql_redact_pii('text')} from t").fetchall()]
+    assert once == want
