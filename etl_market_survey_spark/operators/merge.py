@@ -98,3 +98,34 @@ def snapshot_diff(
             for c in value_cols
         ],
     )
+
+
+def upsert_latest(
+    base: DataFrame | None,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Event-time conditional MERGE: per key, the row with the greatest
+    ``order_cols`` tuple across base ∪ updates wins — an update only
+    replaces the base row if it is NEWER. Unlike last-write-wins
+    :func:`upsert`, the result is independent of how rows are split into
+    batches (apply order, micro-batch boundaries, replays), which is
+    what makes a streaming CDC apply replayable and exactly-once.
+
+    ``order_cols`` must totally order rows within a key (e.g.
+    ``[ts, event_id]``) or the winner is undefined. One shuffle: union +
+    per-key window, rn = 1.
+    """
+    from pyspark.sql.window import Window
+
+    keys, order_cols = list(keys), list(order_cols)
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    allrows = updates if base is None else base.unionByName(updates)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

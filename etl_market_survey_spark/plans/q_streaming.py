@@ -251,3 +251,46 @@ def q91_streaming_reservoir(spark, sf_dir):
         .select("grp", F.col("es_rank").cast("int").alias("rn"), "id", "weight")
         .orderBy("grp", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — streaming CDC apply: the event feed maintains a keyed
+# copy-on-write table (per (user, type): newest event wins by
+# (us, event_id)) through batch-id-versioned snapshots. Because the
+# merge is event-time-conditional (upsert_latest), the drained table is
+# a pure function of the row set — so the oracle is one argmax window
+# over the whole feed, whatever the micro-batch split was.
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = """
+WITH b AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY us DESC, event_id DESC) AS rn
+  FROM b
+)
+SELECT user_id, event_type, us, event_id, value
+FROM r WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+@register("q95_streaming_cdc", _Q95_ORACLE)
+def q95_streaming_cdc(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.cdc import read_cdc_table, write_stream_cdc
+    from ..streaming.events import read_event_stream
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us"),
+        "event_id", "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="q95_cdc_")
+    q = write_stream_cdc(
+        stream, f"{tmp}/tbl", f"{tmp}/ckpt",
+        keys=["user_id", "event_type"], order_cols=["us", "event_id"],
+    )
+    q.awaitTermination()
+    return read_cdc_table(spark, f"{tmp}/tbl").orderBy("user_id", "event_type")
