@@ -558,3 +558,48 @@ def q92_semdedup_nprobe(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — exact set-similarity self-join (entity resolution) with prefix
+# filtering (Vernica/Carey/Li 2010): customer-name trigram sets, Jaccard
+# >= 9/10. The Spark plan never forms a cross join — candidates come
+# from the rarest-token prefixes and an integer cross-multiplied verify
+# decides — while the oracle IS the brute-force quadratic join, so the
+# gate proves the filter is lossless end to end.
+# ---------------------------------------------------------------------------
+
+_Q96_NUM, _Q96_DEN = 9, 10
+
+
+def _q96_oracle() -> str:
+    from ..operators.simjoin import sql_trigrams
+
+    return f"""
+WITH t AS (
+  SELECT c_custkey AS id, {sql_trigrams('c_name')} AS tg FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.tg, b.tg)) AS INT) AS inter,
+       CAST(len(a.tg) AS BIGINT) AS n_a,
+       CAST(len(b.tg) AS BIGINT) AS n_b
+FROM t a JOIN t b ON a.id < b.id
+WHERE {_Q96_DEN} * len(list_intersect(a.tg, b.tg))
+      >= {_Q96_NUM} * (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg)))
+ORDER BY id_a, id_b
+"""
+
+
+@register("q96_similarity_join", _q96_oracle())
+def q96_similarity_join(spark, sf_dir):
+    from ..operators.simjoin import similarity_self_join, trigrams
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), trigrams("c_name").alias("tg")
+    )
+    out = similarity_self_join(cust, "id", "tg", _Q96_NUM, _Q96_DEN)
+    return out.select(
+        "id_a", "id_b", F.col("inter").cast("int").alias("inter"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    ).orderBy("id_a", "id_b")

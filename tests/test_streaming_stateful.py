@@ -110,16 +110,24 @@ def test_dedup_within_watermark_eviction(spark, tmp_path):
     base = 1_000_000_000_000_000  # clear of the epoch-0 initial watermark
     minute = 60_000_000
 
-    def write(name, rows):
+    def write(name, rows, mtime):
         pdf = pd.DataFrame(rows, columns=["k", "ts_us"])
-        spark.createDataFrame(pdf).write.parquet(str(tmp_path / "in" / name))
+        out = tmp_path / "in" / name
+        spark.createDataFrame(pdf).write.parquet(str(out))
+        # the file source orders batches by modification time; pin it so
+        # same-millisecond writes cannot flip the intended batch order
+        import os
+
+        for p in out.rglob("*"):
+            os.utime(p, (mtime, mtime))
+        os.utime(out, (mtime, mtime))
 
     # batch 1: key 1 twice within a minute (dup suppressed), plus a row
     # far ahead that drags the watermark past 1's eviction time
-    write("a.parquet", [(1, base), (1, base + minute), (99, base + 500 * minute)])
+    write("a.parquet", [(1, base), (1, base + minute), (99, base + 500 * minute)], 1_600_000_000)
     # batch 2: key 1 again, near the new watermark -> state was evicted,
     # so it re-emits; key 99 again within delay -> suppressed
-    write("b.parquet", [(1, base + 495 * minute), (99, base + 501 * minute)])
+    write("b.parquet", [(1, base + 495 * minute), (99, base + 501 * minute)], 1_600_000_600)
 
     stream = (
         spark.readStream.schema("k long, ts_us long")
