@@ -1,0 +1,83 @@
+"""Fixed-point integer PageRank — iterative graph algorithms as
+DataFrame loops, with bit-exact cross-engine semantics.
+
+Classic damped PageRank (Page et al. 1999) with one twist that makes it
+gate-able: ranks live on an integer fixed-point grid (``unit`` = 1e12)
+and every operation is integer arithmetic — contributions are
+``pr div degree`` (floor), the damped update is
+``base + (d_num * S) div d_den`` — so a run is a pure function of the
+edge set with NO float anywhere: any engine that replays the same
+integer recurrence produces the same bits (the q97 oracle unrolls the
+iterations as chained CTEs). The floor noise is bounded by
+``degree/unit`` per node per iteration — 1e-12-scale, the documented
+contract of the fixed-point semantics.
+
+Scale shape per iteration: one join ranks⋈edges on src (the rank table
+is nodes-sized; co-partitioning on node id persists across iterations
+since the key never changes — with bucketed edges the join exchange
+disappears), one groupBy dst with map-side combined LONG sums (decimal
+widening guards overflow: n_nodes * unit fits 38 digits far beyond any
+realistic graph). Iterations are a driver loop over lazy plans; each
+iteration checkpoints through the shuffle, state is the O(nodes) rank
+table — the standard Pregel-as-DataFrame shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000_000_000  # 1e12 fixed-point grid
+
+
+def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetrize + dedupe an edge list into ``(src, dst)`` both ways."""
+    a = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    b = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return a.unionByName(b).distinct()
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """``(node, pr)`` after ``n_iter`` integer fixed-point iterations over
+    the directed edge list ``(src, dst)``; ``pr`` is on the ``UNIT``
+    grid. Every node must have out-degree >= 1 (symmetrize with
+    :func:`undirected_edges` for graphs with sinks)."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    base = ((d_den - d_num) * UNIT) // (d_den * n_nodes)
+
+    pr = nodes.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
+    for _ in range(n_iter):
+        contrib = (
+            pr.join(deg, pr["node"] == deg["src"])
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div deg").alias("c"),  # integer floor, exact
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
+        )
+        pr = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({d_num} * coalesce(s, cast(0 as decimal(38,0)))) div {d_den}")
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+    return pr

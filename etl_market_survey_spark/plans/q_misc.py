@@ -540,3 +540,62 @@ def q85_ols_trend(spark, sf_dir):
         slope.alias("slope_cents_per_day"),
         intercept.alias("intercept_cents"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q97 — fixed-point integer PageRank over the customer–supplier
+# co-order graph (iterative algorithm as a DataFrame loop). Ranks live
+# on a 1e-12 integer grid and every op is integer floor arithmetic, so
+# the 3-iteration run is bit-exact on any engine; the oracle unrolls the
+# recurrence as chained CTEs over the same symmetrized edge list.
+# ---------------------------------------------------------------------------
+
+_Q97_UNIT = 1_000_000_000_000
+_Q97_OFF = 10_000_000  # supplier-node id offset
+
+
+def _q97_oracle() -> str:
+    it = """
+c{k} AS (
+  SELECT e.dst AS node, SUM(p.pr // dg.deg) AS s
+  FROM p{j} p JOIN deg dg ON p.node = dg.src JOIN edges e ON e.src = p.node
+  GROUP BY 1
+),
+p{k} AS (
+  SELECT n.node,
+         ((15 * {unit}::HUGEINT) // (100 * s.n))
+         + (85 * COALESCE(c{k}.s, 0)) // 100 AS pr
+  FROM nodes n CROSS JOIN scal s LEFT JOIN c{k} USING (node)
+)"""
+    its = ",".join(it.format(k=k, j=k - 1, unit=_Q97_UNIT) for k in (1, 2, 3))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {_Q97_OFF} AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+scal AS (SELECT COUNT(*) AS n FROM nodes),
+p0 AS (SELECT node, {_Q97_UNIT}::HUGEINT // s.n AS pr FROM nodes CROSS JOIN scal s),
+{its}
+SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY node
+"""
+
+
+@register("q97_pagerank", _q97_oracle())
+def q97_pagerank(spark, sf_dir):
+    from ..operators.pagerank import pagerank_fixed_point, undirected_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = undirected_edges(pairs, "a", "b")
+    return pagerank_fixed_point(edges, n_iter=3).orderBy("node")

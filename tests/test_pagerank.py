@@ -1,0 +1,61 @@
+"""Fixed-point PageRank: hand-checked small graphs, mass conservation,
+determinism under repartitioning."""
+
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.operators.pagerank import (
+    UNIT,
+    pagerank_fixed_point,
+    undirected_edges,
+)
+
+
+def _pr(spark, edge_rows, **kw):
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+    return {r.node: r.pr for r in pagerank_fixed_point(edges, **kw).collect()}
+
+
+def test_symmetric_pair_splits_mass_evenly(spark):
+    got = _pr(spark, [(1, 2), (2, 1)], n_iter=3)
+    assert got[1] == got[2]
+    # total mass stays within floor-loss of UNIT (few ulps of 1e-12 grid)
+    assert abs(sum(got.values()) - UNIT) < 100
+
+
+def test_star_center_dominates(spark):
+    pairs = [(0, i) for i in range(1, 6)]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    got = _pr(spark, edges, n_iter=5)
+    assert all(got[0] > got[i] for i in range(1, 6))
+    leaf = [got[i] for i in range(1, 6)]
+    assert max(leaf) == min(leaf)  # symmetry is exact in integer arithmetic
+
+
+def test_hand_computed_two_node_chain(spark):
+    # 1 <-> 2: deg 1 each, pr0 = UNIT//2; contribution = pr; update =
+    # base + (85 * pr) // 100 with base = 15*UNIT // (100*2)
+    got = _pr(spark, [(1, 2), (2, 1)], n_iter=1)
+    pr0 = UNIT // 2
+    base = 15 * UNIT // 200
+    assert got[1] == got[2] == base + (85 * pr0) // 100
+
+
+def test_partitioning_invariance(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = {(rng.randrange(30), 100 + rng.randrange(10)) for _ in range(120)}
+    raw = spark.createDataFrame(sorted(pairs), "a long, b long")
+    e1 = undirected_edges(raw, "a", "b")
+    e2 = undirected_edges(raw.repartition(17), "a", "b")
+    r1 = {r.node: r.pr for r in pagerank_fixed_point(e1, n_iter=3).collect()}
+    r2 = {r.node: r.pr for r in pagerank_fixed_point(e2, n_iter=3).collect()}
+    assert r1 == r2
+
+
+def test_n_iter_validation(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(edges, n_iter=0)
