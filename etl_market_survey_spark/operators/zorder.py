@@ -1,0 +1,110 @@
+"""Z-order (Morton) interleaved layout for multi-column data skipping.
+
+The lakehouse table-layout technique (Delta OPTIMIZE ZORDER, Iceberg
+sort orders): interleave the bits of two key columns and range-partition
++ sort files by the interleaved value, so every file covers a tight
+rectangle in (a, b) space and parquet min/max stats prune files for
+predicates on EITHER column — a linear sort only prunes its leading
+column. The interleave is five shift-and-mask steps per column (the
+standard magic-number bit spread), pure JVM integer expressions, exactly
+replayable in SQL — q99 pins the arithmetic against DuckDB.
+
+``zorder_write`` materializes the layout; the test proves the payoff on
+row counts: with a Z layout, a range filter on either column touches a
+small fraction of files, where the single-column sort layout touches
+every file for the non-leading column.
+
+16 bits per column (a 65536-cell grid per axis) is the standard
+granularity — layout quality needs only the high bits to spread; keys
+wider than 16 bits keep correctness (pruning decides from file min/max,
+never from z itself) and should pre-scale or hash-fold if their high
+bits carry all the variance.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(c: Column) -> Column:
+    """Spread the low 16 bits of ``c`` onto even bit positions (0,2,..30)."""
+    x = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _MASKS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def z2(a: Column | str, b: Column | str) -> Column:
+    """Morton-interleave the low 16 bits of two integral columns:
+    ``a`` on even bits, ``b`` on odd bits."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _spread16(ca).bitwiseOR(F.shiftleft(_spread16(cb), 1))
+
+
+def sql_z2(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`z2` (same shifts and masks)."""
+
+    def spread(e: str) -> str:
+        x = f"(CAST({e} AS BIGINT) & 65535)"
+        for shift, mask in _MASKS:
+            x = f"((({x} | ({x} << {shift})) & {mask}))"
+        return x
+
+    return f"({spread(a)} | ({spread(b)} << 1))"
+
+
+def _scale16(c: Column, mn: int, mx: int) -> Column:
+    """Affine-map [mn, mx] onto the full 16-bit grid (integer floor
+    arithmetic). Interleaving is only balanced when both columns spread
+    their HIGH bits — a column spanning [0, 9] left raw would sit in the
+    low bits and never influence file boundaries."""
+    span = max(1, mx - mn)
+    return ((c.cast("long") - F.lit(mn)) * F.lit(0xFFFF) / F.lit(span)).cast("long")
+
+
+def zorder_write(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int
+) -> None:
+    """Write ``df`` as ~``n_files`` parquet files range-partitioned and
+    sorted by the (col_a, col_b) Z-value, each column first normalized
+    to the 16-bit grid (one tiny min/max pre-pass)."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    z = z2(
+        _scale16(F.col(col_a), int(lo_a), int(hi_a)),
+        _scale16(F.col(col_b), int(lo_b), int(hi_b)),
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_touched(df: DataFrame) -> int:
+    """Number of distinct files holding rows of ``df`` — the data-skipping
+    payoff metric (files whose min/max stats cannot exclude the filter)."""
+    return (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+
+
+def n_data_files(path: str) -> int:
+    return sum(
+        1 for n in os.listdir(path) if n.endswith(".parquet") and not n.startswith("_")
+    )

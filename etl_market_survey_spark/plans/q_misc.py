@@ -599,3 +599,31 @@ def q97_pagerank(spark, sf_dir):
     )
     edges = undirected_edges(pairs, "a", "b")
     return pagerank_fixed_point(edges, n_iter=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q99 — Z-order (Morton) interleave arithmetic: the bit-spread behind
+# the multi-column data-skipping layout (operators/zorder, payoff proven
+# in test_zorder by files-touched counts). Pure integer shift/mask ops,
+# replayed bit-for-bit by the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _q99_oracle() -> str:
+    from ..operators.zorder import sql_z2
+
+    return f"""
+SELECT c_custkey, {sql_z2('c_custkey % 65536', 'c_nationkey * 2621')} AS z
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register("q99_zorder_key", _q99_oracle())
+def q99_zorder_key(spark, sf_dir):
+    from ..operators.zorder import z2
+
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        z2(F.col("c_custkey") % 65536, F.col("c_nationkey") * 2621).alias("z"),
+    ).orderBy("c_custkey")

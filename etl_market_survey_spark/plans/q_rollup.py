@@ -128,3 +128,40 @@ def q90_kmv_set_ops(spark, sf_dir):
         "est_lineitem_orders double, est_filtered_orders double, "
         "est_union double, est_intersect double, est_jaccard double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — grouped multi-quantile summary (p25/p50/p75/p95 + IQR). Spark's
+# `percentile` and DuckDB's `quantile_cont` are both exact interpolating
+# quantiles over the sorted group, so values agree (rounded to 6 as the
+# usual libm-ulp guard). The scale rung for quantiles is
+# histogram(stats_impl='distributed') — counted-rank selection with no
+# single-reducer sort; this query pins the semantics the sketch path
+# must reproduce.
+# ---------------------------------------------------------------------------
+
+_Q98_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       ROUND(quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25), 6) AS iqr
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q98_grouped_quantiles", _Q98_ORACLE)
+def q98_grouped_quantiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(q.alias("_q"))
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_q")[0], 6).alias("p25"),
+        F.round(F.col("_q")[1], 6).alias("p50"),
+        F.round(F.col("_q")[2], 6).alias("p75"),
+        F.round(F.col("_q")[3], 6).alias("p95"),
+        F.round(F.col("_q")[2] - F.col("_q")[0], 6).alias("iqr"),
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -1,0 +1,73 @@
+"""Z-order layout: interleave arithmetic parity with SQL, and the
+data-skipping payoff — range filters on EITHER column touch a small
+fraction of Z-ordered files, vs all files for the non-leading column of
+a linear sort."""
+
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.operators.zorder import (
+    files_touched,
+    n_data_files,
+    sql_z2,
+    z2,
+    zorder_write,
+)
+
+_N_FILES = 16
+
+
+def test_z2_matches_sql(spark):
+    import duckdb
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535, 70000) for b in (0, 3, 1024, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [r[0] for r in df.select(z2("a", "b")).collect()]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = [r[0] for r in con.execute(f"select {sql_z2('a', 'b')} from t").fetchall()]
+    assert got == want
+
+
+def test_z2_interleaves_bits(spark):
+    # a=0b11, b=0 -> 0b0101; a=0, b=0b11 -> 0b1010
+    df = spark.createDataFrame([(3, 0), (0, 3), (65535, 65535)], "a long, b long")
+    got = [r[0] for r in df.select(z2("a", "b")).collect()]
+    assert got == [0b0101, 0b1010, (1 << 32) - 1]
+
+
+def test_zorder_prunes_both_columns(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    maxp = li.agg(F.max("l_partkey")).collect()[0][0]
+    maxs = li.agg(F.max("l_suppkey")).collect()[0][0]
+
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    zorder_write(li, zpath, "l_partkey", "l_suppkey", _N_FILES)
+    (
+        li.repartitionByRange(_N_FILES, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    zdf, ldf = spark.read.parquet(zpath), spark.read.parquet(lpath)
+    assert n_data_files(zpath) >= _N_FILES // 2  # layout actually split
+
+    part_pred = F.col("l_partkey") < maxp // 8
+    supp_pred = F.col("l_suppkey") < maxs // 8
+    z_part = files_touched(zdf.filter(part_pred))
+    z_supp = files_touched(zdf.filter(supp_pred))
+    l_part = files_touched(ldf.filter(part_pred))
+    l_supp = files_touched(ldf.filter(supp_pred))
+
+    n_z = n_data_files(zpath)
+    # Z layout: both dimensions localized (a 1/8 range -> ~1/8 + boundary
+    # of files; allow <= 1/2)
+    assert z_part <= n_z // 2, (z_part, n_z)
+    assert z_supp <= n_z // 2, (z_supp, n_z)
+    # linear layout: leading column prunes, non-leading touches ~all files
+    assert l_part <= n_data_files(lpath) // 2
+    assert l_supp >= (n_data_files(lpath) * 3) // 4, l_supp
+    # and the row results are identical regardless of layout
+    assert zdf.filter(part_pred).count() == ldf.filter(part_pred).count()
