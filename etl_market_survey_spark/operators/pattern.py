@@ -38,23 +38,35 @@ from pyspark.sql import functions as F
 _QUANTS = ("1", "?", "+", "*")
 
 
-def compile_nfa(pattern: Sequence[tuple[str, str]]):
+def _token_syms(tok) -> tuple[str, ...]:
+    """A token's symbol set: a bare string or an iterable of strings
+    (symbol class = alternation within the token, e.g.
+    ``(("view", "click"), "+")`` reads as ``(view|click)+``)."""
+    if isinstance(tok, str):
+        return (tok,)
+    syms = tuple(tok)
+    if not syms or not all(isinstance(s, str) for s in syms):
+        raise ValueError(f"bad token symbols {tok!r}")
+    return syms
+
+
+def compile_nfa(pattern: Sequence[tuple]):
     """Compile quantified tokens into (alphabet, init_mask, accept_bit,
     table) where ``table[symbol][state]`` is the bitmask of
     epsilon-closed successor states.
 
     Linear chain construction — state ``i`` means "tokens 0..i-1
-    completed"; token ``i`` (symbol ``a``, quantifier ``q``) adds:
-    ``i --a--> i+1`` always; ``i --eps--> i+1`` for ``?``/``*``;
-    a self-loop ``i --a--> i`` for ``*``; a self-loop
-    ``i+1 --a--> i+1`` for ``+`` (extra repeats after completion).
+    completed"; token ``i`` (symbols ``A``, quantifier ``q``) adds:
+    ``i --a--> i+1`` for each a in A; ``i --eps--> i+1`` for ``?``/``*``;
+    self-loops ``i --a--> i`` for ``*``; self-loops ``i+1 --a--> i+1``
+    for ``+`` (extra repeats after completion).
     """
-    pattern = list(pattern)
+    pattern = [(_token_syms(tok), q) for tok, q in pattern]
     if not pattern:
         raise ValueError("pattern must be non-empty")
-    for sym, q in pattern:
+    for syms, q in pattern:
         if q not in _QUANTS:
-            raise ValueError(f"bad quantifier {q!r} for {sym!r} (use 1 ? + *)")
+            raise ValueError(f"bad quantifier {q!r} for {syms!r} (use 1 ? + *)")
     n_states = len(pattern) + 1
     if n_states > 62:
         raise ValueError("pattern too long (max 61 tokens)")
@@ -66,14 +78,15 @@ def compile_nfa(pattern: Sequence[tuple[str, str]]):
     def add_move(s: int, sym: str, t: int) -> None:
         moves[s].setdefault(sym, set()).add(t)
 
-    for i, (sym, q) in enumerate(pattern):
-        add_move(i, sym, i + 1)
+    for i, (syms, q) in enumerate(pattern):
+        for sym in syms:
+            add_move(i, sym, i + 1)
+            if q == "*":
+                add_move(i, sym, i)
+            if q == "+":
+                add_move(i + 1, sym, i + 1)
         if q in ("?", "*"):
             eps[i].add(i + 1)
-        if q == "*":
-            add_move(i, sym, i)
-        if q == "+":
-            add_move(i + 1, sym, i + 1)
 
     def closure(states: set[int]) -> set[int]:
         out, stack = set(states), list(states)
@@ -91,9 +104,10 @@ def compile_nfa(pattern: Sequence[tuple[str, str]]):
     init_mask = sum(1 << s for s in init)
 
     alphabet = []
-    for sym, _ in pattern:
-        if sym not in alphabet:
-            alphabet.append(sym)
+    for syms, _ in pattern:
+        for sym in syms:
+            if sym not in alphabet:
+                alphabet.append(sym)
     table: dict[str, list[int]] = {}
     for sym in alphabet:
         row = []

@@ -117,3 +117,38 @@ def test_spark_fold_matches_reference_on_random_sequences(spark):
     got = _run(spark, rows, _ABC)
     for k, want in expect.items():
         assert got.get(k, (0, None)) == want, k
+
+
+# --- symbol-class tokens (alternation within a token) -----------------------
+
+
+def test_symbol_class_tokens(spark):
+    # a (b|c)+ d : either symbol advances/extends the middle token
+    pat = [("a", "1"), (("b", "c"), "+"), ("d", "1")]
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"),
+        (2, 1, "a"), (2, 2, "c"), (2, 3, "d"),
+        (3, 1, "a"), (3, 2, "d"),          # no b/c at all -> no match
+    ]
+    got = _run(spark, rows, pat)
+    assert got[1] == (1, 4)
+    assert got[2] == (1, 3)
+    assert got[3] == (0, None)
+
+
+def test_symbol_class_reference_matches_regex():
+    pat = [("a", "1"), (("b", "c"), "*"), ("d", "1")]
+    rng = random.Random(9)
+    for _ in range(300):
+        seq = [rng.choice("abcd") for _ in range(rng.randrange(0, 16))]
+        n_py, _ = match_events_py(seq, pat)
+        assert n_py == len(re.findall("a[bc]*?d", "".join(seq))), seq
+
+
+def test_symbol_class_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        compile_nfa([((), "1")])
+    with pytest.raises(ValueError):
+        compile_nfa([((1, 2), "1")])
