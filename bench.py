@@ -39,7 +39,9 @@ HEADLINE = [
     "q48_corpus_curation",
     "q81_funnel",
     "q89_pattern_match",
-    "q92_semdedup_nprobe",
+    "q93_bm25",
+    "q96_similarity_join",
+    "q97_pagerank",
 ]
 
 
