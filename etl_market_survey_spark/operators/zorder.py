@@ -108,3 +108,40 @@ def n_data_files(path: str) -> int:
     return sum(
         1 for n in os.listdir(path) if n.endswith(".parquet") and not n.startswith("_")
     )
+
+
+def zk(cols: list[Column | str], bits: int | None = None) -> Column:
+    """Morton-interleave k >= 2 columns: bit ``i`` of column ``j`` lands
+    at position ``i*k + j``. ``bits`` defaults to the largest width that
+    keeps the result inside a positive signed long (62 // k, capped at
+    16). The k=2/16-bit case is :func:`z2`'s five-mask fast path; this
+    general form unrolls one OR-shift term per (column, bit) — still a
+    single JVM projection."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zk needs at least 2 columns")
+    if bits is None:
+        bits = min(16, 62 // k)
+    if not 1 <= bits * k <= 62:
+        raise ValueError("bits * k must stay within a positive signed long")
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        x = (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+        for i in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return out
+
+
+def zk_ref(values: list[int], bits: int) -> int:
+    """Driver-side reference of :func:`zk` for tests."""
+    k = len(values)
+    out = 0
+    for j, v in enumerate(values):
+        v &= (1 << bits) - 1
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * k + j)
+    return out

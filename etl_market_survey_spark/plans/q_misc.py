@@ -627,3 +627,66 @@ def q99_zorder_key(spark, sf_dir):
         "c_custkey",
         z2(F.col("c_custkey") % 65536, F.col("c_nationkey") * 2621).alias("z"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q101 — per-dimension embedding standardization (feature scaling before
+# training / similarity): posexplode to (vec, dim, x), exact-decimal
+# mean/std per dimension (64 tiny groups, map-side combined), broadcast
+# the dim stats back, z = (x - mean) / std rounded to 6, reassemble the
+# vector ordered by dim. The oracle replays the identical kernel with
+# generate_subscripts + list(z ORDER BY dim).
+# ---------------------------------------------------------------------------
+
+
+def _q101_oracle() -> str:
+    from ..functions.stats import sql_davg, sql_dstd
+
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, {sql_davg('x')} AS mu, {sql_dstd('x')} AS sigma
+  FROM e GROUP BY 1
+),
+z AS (
+  SELECT e.vec_id, e.dim, ROUND((e.x - s.mu) / s.sigma, 6) AS z
+  FROM e JOIN stats s USING (dim)
+)
+SELECT vec_id, list(z ORDER BY dim) AS zvec
+FROM z GROUP BY 1 ORDER BY vec_id
+"""
+
+
+@register("q101_standardize_embeddings", _q101_oracle())
+def q101_standardize_embeddings(spark, sf_dir):
+    from ..functions.stats import davg, dstd
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x0")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),  # 1-based like generate_subscripts
+        F.col("x0").cast("double").alias("x"),
+    )
+    stats = emb.groupBy("dim").agg(
+        davg("x").alias("mu"), dstd("x").alias("sigma")
+    )
+    z = emb.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim",
+        F.round((F.col("x") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+    return (
+        z.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                lambda s: s["z"],
+            ).alias("zvec")
+        )
+        .orderBy("vec_id")
+    )

@@ -165,3 +165,54 @@ def q98_grouped_quantiles(spark, sf_dir):
         F.round(F.col("_q")[3], 6).alias("p95"),
         F.round(F.col("_q")[2] - F.col("_q")[0], 6).alias("iqr"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# q100 — winsorization (outlier clipping to the per-group [p05, p95]
+# band) followed by a robust mean: the standard numeric-cleaning stage
+# before model training. Two aggregations over one shuffle key (AQE
+# reuses the exchange): exact interpolating quantiles per group, then a
+# broadcast join back to clip and the exact-decimal mean of the clipped
+# values. clamp = LEAST/GREATEST both engines; quantile parity as q98.
+# ---------------------------------------------------------------------------
+
+_Q100_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1
+),
+clipped AS (
+  SELECT l.l_returnflag,
+         LEAST(GREATEST(l.l_extendedprice, q.lo), q.hi) AS v
+  FROM lineitem l JOIN q USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1000000.0 / COUNT(*), 6) AS winsorized_mean
+FROM clipped GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q100_winsorize", _Q100_ORACLE)
+def q100_winsorize(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(q), "l_returnflag").withColumn(
+        "v", F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(dsum("v") / F.count("*"), 6).alias("winsorized_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

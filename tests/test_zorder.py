@@ -71,3 +71,28 @@ def test_zorder_prunes_both_columns(spark, sf_dir, tmp_path):
     assert l_supp >= (n_data_files(lpath) * 3) // 4, l_supp
     # and the row results are identical regardless of layout
     assert zdf.filter(part_pred).count() == ldf.filter(part_pred).count()
+
+
+# --- k-column interleave ----------------------------------------------------
+
+from etl_market_survey_spark.operators.zorder import zk, zk_ref  # noqa: E402
+
+
+def test_zk_matches_reference_and_z2(spark):
+    rows = [(a, b, c) for a in (0, 1, 1023) for b in (0, 7, 255) for c in (0, 3)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got3 = [r[0] for r in df.select(zk(["a", "b", "c"], bits=10)).collect()]
+    assert got3 == [zk_ref(list(r), 10) for r in rows]
+    # k=2 at 16 bits agrees with the magic-mask fast path
+    got2 = [r[0] for r in df.select(zk(["a", "b"], bits=16)).collect()]
+    fast = [r[0] for r in df.select(z2("a", "b")).collect()]
+    assert got2 == fast
+
+
+def test_zk_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        zk(["a"])
+    with pytest.raises(ValueError):
+        zk(["a", "b", "c", "d"], bits=16)  # 64 bits: sign overflow
