@@ -99,3 +99,89 @@ def write_stream_cdc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned COW: the scale path promised in the module docstring.
+# The table is hash-bucketed on the key; each micro-batch merges and
+# rewrites ONLY the buckets its keys touch (one read of those buckets'
+# latest snapshots, one merge, one partitioned write), so write
+# amplification is touched-fraction x table instead of 1 x table. A
+# version directory holds just its touched buckets; readers OVERLAY
+# versions — per bucket, the newest committed version wins. Replay of
+# batch N still re-reads bases < N and rewrites _v=N: exactly-once is
+# unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_col(keys: Sequence[str], n_buckets: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+def bucket_latest_dirs(
+    path: str, before: int | None = None
+) -> dict[int, int]:
+    """Per bucket, the newest committed version (< ``before``) holding it."""
+    out: dict[int, int] = {}
+    for v in table_versions(path):
+        if before is not None and v >= before:
+            continue
+        vdir = os.path.join(path, f"_v={v}")
+        for name in os.listdir(vdir):
+            if name.startswith("b="):
+                out[int(name[2:])] = v  # ascending scan: later wins
+    return out
+
+
+def read_cdc_table_partitioned(
+    spark: SparkSession, path: str, before: int | None = None
+) -> DataFrame | None:
+    latest = bucket_latest_dirs(path, before)
+    if not latest:
+        return None
+    dirs = [os.path.join(path, f"_v={v}", f"b={b}") for b, v in latest.items()]
+    return spark.read.parquet(*dirs)
+
+
+def cdc_upsert_writer_partitioned(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    n_buckets: int = 16,
+):
+    """``foreachBatch`` function: bucket-pruned COW merge (see above)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import upsert_latest
+
+    keys, order_cols = list(keys), list(order_cols)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        touched = sorted(
+            r["b"]
+            for r in batch_df.select(
+                _bucket_col(keys, n_buckets).alias("b")
+            ).distinct().collect()
+        )
+        if not touched:
+            return
+        latest = bucket_latest_dirs(path, before=bid)
+        base_dirs = [
+            os.path.join(path, f"_v={v}", f"b={b}")
+            for b, v in latest.items()
+            if b in set(touched)
+        ]
+        base = spark.read.parquet(*base_dirs) if base_dirs else None
+        merged = upsert_latest(base, batch_df, keys, order_cols)
+        (
+            merged.withColumn("b", _bucket_col(keys, n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(os.path.join(path, f"_v={bid}"))
+        )
+
+    return apply

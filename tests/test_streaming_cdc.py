@@ -91,3 +91,57 @@ def test_replayed_batch_converges(spark, tmp_path):
     assert sorted(read_cdc_table(spark, path).collect()) == after_once
     # replay must NOT have stacked an extra version
     assert table_versions(path) == [0, 1]
+
+
+# --- partition-pruned COW ---------------------------------------------------
+
+import os
+
+from etl_market_survey_spark.streaming.cdc import (
+    bucket_latest_dirs,
+    cdc_upsert_writer_partitioned,
+    read_cdc_table_partitioned,
+)
+
+
+def test_partitioned_cow_parity_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "ptbl")
+    flat = str(tmp_path / "ftbl")
+    n_buckets = 8
+    pw = cdc_upsert_writer_partitioned(spark, path, ["k"], ["ts"], n_buckets)
+    fw = cdc_upsert_writer(spark, flat, ["k"], ["ts"])
+
+    b0 = spark.createDataFrame(
+        [(k, 10, f"v{k}") for k in range(20)], _SCHEMA
+    )
+    # batch 1 touches exactly one key -> at most one bucket rewritten
+    b1 = spark.createDataFrame([(7, 20, "new7")], _SCHEMA)
+    for w in (pw, fw):
+        w(b0, 0)
+        w(b1, 1)
+
+    got = sorted(
+        (r.k, r.ts, r.v) for r in read_cdc_table_partitioned(spark, path).collect()
+    )
+    want = sorted((r.k, r.ts, r.v) for r in read_cdc_table(spark, flat).collect())
+    assert got == want
+
+    # write economy: version 1 holds only key 7's bucket
+    v1 = os.path.join(path, "_v=1")
+    v1_buckets = [n for n in os.listdir(v1) if n.startswith("b=")]
+    assert len(v1_buckets) == 1
+    # overlay: latest map mixes versions (untouched buckets stay at v0)
+    latest = bucket_latest_dirs(path)
+    assert set(latest.values()) == {0, 1}
+
+
+def test_partitioned_cow_replay_converges(spark, tmp_path):
+    path = str(tmp_path / "ptbl2")
+    pw = cdc_upsert_writer_partitioned(spark, path, ["k"], ["ts"], 4)
+    b0 = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], _SCHEMA)
+    b1 = spark.createDataFrame([(1, 20, "a2")], _SCHEMA)
+    pw(b0, 0)
+    pw(b1, 1)
+    once = sorted(read_cdc_table_partitioned(spark, path).collect())
+    pw(b1, 1)  # crash/replay
+    assert sorted(read_cdc_table_partitioned(spark, path).collect()) == once
