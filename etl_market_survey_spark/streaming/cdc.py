@@ -185,3 +185,54 @@ def cdc_upsert_writer_partitioned(
         )
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Table maintenance: compaction folds the version overlay back to one
+# snapshot (bounds read amplification after many partial versions);
+# vacuum deletes version directories fully shadowed by newer ones
+# (retention). `read_*_table(..., before=v)` is time travel over
+# whatever vacuum has retained.
+# ---------------------------------------------------------------------------
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    n_buckets: int = 16,
+) -> int | None:
+    """Rewrite the current overlay as one full snapshot at version
+    ``max+1``. Returns the new version (None on empty table). Readers
+    see the same rows before and after; afterwards every bucket's
+    latest points at the new version, so overlay reads touch one
+    directory again."""
+    current = read_cdc_table_partitioned(spark, path)
+    if current is None:
+        return None
+    new_v = table_versions(path)[-1] + 1
+    (
+        current.withColumn("b", _bucket_col(list(keys), n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .parquet(os.path.join(path, f"_v={new_v}"))
+    )
+    return new_v
+
+
+def vacuum_partitioned(path: str) -> list[int]:
+    """Delete version directories whose every bucket is shadowed by a
+    newer committed version. Returns the versions removed. Keeps any
+    version still serving at least one bucket, so concurrent overlay
+    reads of the CURRENT table stay valid; time travel older than the
+    removed versions is gone (the retention contract)."""
+    import shutil
+
+    latest = bucket_latest_dirs(path)
+    serving = set(latest.values())
+    removed = []
+    for v in table_versions(path):
+        if v not in serving:
+            shutil.rmtree(os.path.join(path, f"_v={v}"))
+            removed.append(v)
+    return removed

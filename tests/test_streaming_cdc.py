@@ -145,3 +145,28 @@ def test_partitioned_cow_replay_converges(spark, tmp_path):
     once = sorted(read_cdc_table_partitioned(spark, path).collect())
     pw(b1, 1)  # crash/replay
     assert sorted(read_cdc_table_partitioned(spark, path).collect()) == once
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    from etl_market_survey_spark.streaming.cdc import (
+        compact_partitioned,
+        vacuum_partitioned,
+    )
+
+    path = str(tmp_path / "ptbl3")
+    pw = cdc_upsert_writer_partitioned(spark, path, ["k"], ["ts"], 4)
+    pw(spark.createDataFrame([(k, 10, f"v{k}") for k in range(12)], _SCHEMA), 0)
+    pw(spark.createDataFrame([(3, 20, "n3")], _SCHEMA), 1)
+    pw(spark.createDataFrame([(5, 20, "n5")], _SCHEMA), 2)
+
+    before = sorted(read_cdc_table_partitioned(spark, path).collect())
+    new_v = compact_partitioned(spark, path, ["k"], 4)
+    assert new_v == 3
+    after = sorted(read_cdc_table_partitioned(spark, path).collect())
+    assert after == before
+    # every bucket now serves from the compacted snapshot
+    assert set(bucket_latest_dirs(path).values()) == {new_v}
+
+    removed = vacuum_partitioned(path)
+    assert removed == [0, 1, 2]
+    assert sorted(read_cdc_table_partitioned(spark, path).collect()) == before
