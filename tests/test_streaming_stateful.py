@@ -113,7 +113,11 @@ def test_dedup_within_watermark_eviction(spark, tmp_path):
     def write(name, rows, mtime):
         pdf = pd.DataFrame(rows, columns=["k", "ts_us"])
         out = tmp_path / "in" / name
-        spark.createDataFrame(pdf).write.parquet(str(out))
+        # one part file per logical batch: under maxFilesPerTrigger=1 each
+        # part FILE is a micro-batch, and same-mtime files order
+        # arbitrarily — a multi-part write could process the
+        # watermark-dragging row first and make key 1's rows late
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(out))
         # the file source orders batches by modification time; pin it so
         # same-millisecond writes cannot flip the intended batch order
         import os
@@ -122,12 +126,19 @@ def test_dedup_within_watermark_eviction(spark, tmp_path):
             os.utime(p, (mtime, mtime))
         os.utime(out, (mtime, mtime))
 
-    # batch 1: key 1 twice within a minute (dup suppressed), plus a row
-    # far ahead that drags the watermark past 1's eviction time
-    write("a.parquet", [(1, base), (1, base + minute), (99, base + 500 * minute)], 1_600_000_000)
-    # batch 2: key 1 again, near the new watermark -> state was evicted,
-    # so it re-emits; key 99 again within delay -> suppressed
-    write("b.parquet", [(1, base + 495 * minute), (99, base + 501 * minute)], 1_600_000_600)
+    # batch 1: key 1 twice within a minute (dup suppressed)
+    write("a.parquet", [(1, base), (1, base + minute)], 1_600_000_000)
+    # batch 2: a far-ahead row drags the watermark past 1's eviction
+    # time once this batch completes (the eviction watermark for batch N
+    # is computed from batches < N)
+    write("b.parquet", [(99, base + 500 * minute)], 1_600_000_600)
+    # batch 3: runs with the advanced watermark -> key 1's state is
+    # evicted at the END of this batch (rows are deduped against state
+    # before eviction, so the re-arrival needs yet another batch); the
+    # key-99 duplicate within delay is suppressed
+    write("c.parquet", [(99, base + 501 * minute)], 1_600_001_200)
+    # batch 4: key 1 again, after eviction -> state miss, re-emitted
+    write("d.parquet", [(1, base + 495 * minute)], 1_600_001_800)
 
     stream = (
         spark.readStream.schema("k long, ts_us long")
