@@ -118,12 +118,203 @@ def compile_nfa(pattern: Sequence[tuple]):
     return alphabet, init_mask, accept, table
 
 
-def match_events_py(types: Sequence[str], pattern: Sequence[tuple[str, str]]):
+# ---------------------------------------------------------------------------
+# Full regex patterns (alternation + grouping) — Thompson construction.
+#
+# ``compile_regex("signup (view|click)* purchase")`` accepts the grammar
+#
+#     alt    := concat ('|' concat)*
+#     concat := repeat+
+#     repeat := atom ('?' | '+' | '*')*
+#     atom   := SYMBOL | '(' alt ')'
+#
+# where SYMBOL is any run of characters outside ``()|?+*`` and
+# whitespace (event-type names). The classic Thompson fragments (two
+# states per symbol, two per alt/quantifier) build an eps-NFA; the
+# same epsilon-closure pass as ``compile_nfa`` flattens it into
+# per-symbol successor-mask tables, and unreachable states are
+# renumbered away so the unrolled JVM fold stays as small as the
+# pattern needs. Output contract is identical to ``compile_nfa`` —
+# ``pattern_match`` takes either form.
+# ---------------------------------------------------------------------------
+
+
+def _parse_regex(src: str):
+    """Parse to an AST of ('sym', s) | ('cat', a, b) | ('alt', a, b) |
+    ('rep', node, q)."""
+    toks: list[str] = []
+    i = 0
+    while i < len(src):
+        c = src[i]
+        if c.isspace():
+            i += 1
+        elif c in "()|?+*":
+            toks.append(c)
+            i += 1
+        else:
+            j = i
+            while j < len(src) and not src[j].isspace() and src[j] not in "()|?+*":
+                j += 1
+            toks.append(src[i:j])
+            i = j
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        pos += 1
+        return toks[pos - 1]
+
+    def atom():
+        t = peek()
+        if t == "(":
+            take()
+            node = alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in {src!r}")
+            take()
+            return node
+        if t is None or t in ")|?+*":
+            raise ValueError(f"expected symbol or '(' at token {t!r} in {src!r}")
+        return ("sym", take())
+
+    def repeat():
+        node = atom()
+        while peek() in ("?", "+", "*"):
+            node = ("rep", node, take())
+        return node
+
+    def concat():
+        node = repeat()
+        while peek() is not None and peek() not in (")", "|"):
+            node = ("cat", node, repeat())
+        return node
+
+    def alt():
+        node = concat()
+        while peek() == "|":
+            take()
+            node = ("alt", node, concat())
+        return node
+
+    tree = alt()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens {toks[pos:]!r} in {src!r}")
+    return tree
+
+
+def compile_regex(src: str):
+    """Compile a regex string to the same (alphabet, init_mask,
+    accept_bit, table) contract as ``compile_nfa``."""
+    tree = _parse_regex(src)
+
+    eps: list[set[int]] = []
+    moves: list[dict[str, set[int]]] = []
+    alphabet: list[str] = []
+
+    def new_state() -> int:
+        eps.append(set())
+        moves.append({})
+        return len(eps) - 1
+
+    def build(node) -> tuple[int, int]:
+        kind = node[0]
+        if kind == "sym":
+            s, t = new_state(), new_state()
+            moves[s].setdefault(node[1], set()).add(t)
+            if node[1] not in alphabet:
+                alphabet.append(node[1])
+            return s, t
+        if kind == "cat":
+            s1, t1 = build(node[1])
+            s2, t2 = build(node[2])
+            eps[t1].add(s2)
+            return s1, t2
+        if kind == "alt":
+            s1, t1 = build(node[1])
+            s2, t2 = build(node[2])
+            s, t = new_state(), new_state()
+            eps[s] |= {s1, s2}
+            eps[t1].add(t)
+            eps[t2].add(t)
+            return s, t
+        # rep
+        s1, t1 = build(node[1])
+        q = node[2]
+        s, t = new_state(), new_state()
+        eps[s].add(s1)
+        eps[t1].add(t)
+        if q in ("?", "*"):
+            eps[s].add(t)
+        if q in ("+", "*"):
+            eps[t1].add(s1)
+        return s, t
+
+    start, accept = build(tree)
+
+    def closure(states: set[int]) -> set[int]:
+        out, stack = set(states), list(states)
+        while stack:
+            s = stack.pop()
+            for t in eps[s]:
+                if t not in out:
+                    out.add(t)
+                    stack.append(t)
+        return out
+
+    init = closure({start})
+    if accept in init:
+        raise ValueError("pattern matches the empty sequence; add a concrete token")
+
+    # keep only states reachable via symbol moves (post-closure): they
+    # are the only bits the fold can ever set
+    live: list[int] = sorted(init)
+    seen = set(live)
+    frontier = list(live)
+    while frontier:
+        nxt: list[int] = []
+        for s in frontier:
+            for sym_targets in moves[s].values():
+                for t in closure(sym_targets):
+                    if t not in seen:
+                        seen.add(t)
+                        nxt.append(t)
+        live.extend(sorted(set(nxt)))
+        frontier = nxt
+    renum = {old: i for i, old in enumerate(live)}
+    n_states = len(live)
+    if n_states > 62:
+        raise ValueError(f"pattern too large ({n_states} NFA states; max 62)")
+
+    init_mask = sum(1 << renum[s] for s in init)
+    table: dict[str, list[int]] = {}
+    for sym in alphabet:
+        row = [0] * n_states
+        for old, new in renum.items():
+            succ = closure(moves[old].get(sym, set()))
+            row[new] = sum(1 << renum[t] for t in succ if t in renum)
+        table[sym] = row
+    accept_bit = renum.get(accept)
+    if accept_bit is None:
+        raise ValueError("pattern can never match (accept state unreachable)")
+    return alphabet, init_mask, accept_bit, table
+
+
+def _compile(pattern):
+    """Dispatch: regex string or quantified-token sequence."""
+    if isinstance(pattern, str):
+        return compile_regex(pattern)
+    return compile_nfa(pattern)
+
+
+def match_events_py(types: Sequence[str], pattern):
     """Driver-side reference of the identical semantics (for tests):
     returns (n_matches, first_end_index or None) over an already
     alphabet-filtered, time-ordered type sequence."""
-    _, init_mask, accept, table = compile_nfa(pattern)
-    n_states = len(list(pattern)) + 1
+    _, init_mask, accept, table = _compile(pattern)
+    n_states = len(next(iter(table.values())))
     mask, n_matches, first_end = init_mask, 0, None
     for idx, t in enumerate(types):
         row = table.get(t)
@@ -147,15 +338,19 @@ def pattern_match(
     key_cols: Sequence[str],
     ts_col: str,
     type_col: str,
-    pattern: Sequence[tuple[str, str]],
+    pattern,
 ) -> DataFrame:
     """Per key: ``n_matches`` (non-overlapping leftmost-shortest) and
     ``first_match_end_ts`` (ts of the event completing the first match,
     null if none). ``ts_col`` must be integral (e.g. epoch-µs); ties at
-    equal ts order by event type (mirrored in any oracle)."""
+    equal ts order by event type (mirrored in any oracle).
+
+    ``pattern`` is either a quantified-token sequence (``compile_nfa``)
+    or a regex string with alternation/grouping (``compile_regex``,
+    e.g. ``"signup (view|click)* purchase"``)."""
     key_cols = list(key_cols)
-    alphabet, init_mask, accept, table = compile_nfa(pattern)
-    n_states = len(list(pattern)) + 1
+    alphabet, init_mask, accept, table = _compile(pattern)
+    n_states = len(next(iter(table.values())))
 
     ev = events.filter(F.col(type_col).isin(alphabet)).select(
         *key_cols,

@@ -385,3 +385,53 @@ def q89_pattern_match(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("n_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — full-regex event pattern (alternation + grouping): the q89
+# automaton upgraded from quantified tokens to a Thompson-compiled
+# regex, `signup (view|click)* purchase`. Execution is unchanged (one
+# shuffle + JVM bitmask fold); the oracle replays the identical
+# leftmost-shortest non-overlapping policy with a lazy regex over each
+# user's alphabet-filtered, time-ordered code string.
+# ---------------------------------------------------------------------------
+
+_Q101_ORACLE = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type
+  FROM events WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+),
+strings AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                    WHEN 'view' THEN 'v'
+                                    WHEN 'click' THEN 'c'
+                                    ELSE 'p' END,
+                    '' ORDER BY us, event_type) AS seq
+  FROM base GROUP BY 1
+),
+per_user AS (
+  SELECT user_id, len(regexp_extract_all(seq, 's[vc]*?p')) AS n_matches
+  FROM strings
+)
+SELECT CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q101_regex_match", _Q101_ORACLE)
+def q101_regex_match(spark, sf_dir):
+    from ..operators.pattern import pattern_match
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_type"
+    )
+    pm = pattern_match(
+        ev, ["user_id"], "us", "event_type", "signup (view|click)* purchase"
+    )
+    return (
+        pm.groupBy(F.col("n_matches").cast("bigint").alias("n_matches"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("n_matches")
+    )
