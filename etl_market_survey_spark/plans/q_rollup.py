@@ -216,3 +216,37 @@ def q100_winsorize(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — KLL-sketch-guided EXACT quantiles (operators/kll). The
+# mergeable one-pass sketch brackets each target rank; an exact
+# counting pass verifies the bracket (falling back to the full range if
+# the sketch lied); selection is by exact counted rank inside the
+# bracket. Same contract as the CMS flow: the sketch only prunes, so
+# the result is bit-identical to DuckDB's quantile_disc (value at rank
+# ceil(q*n)) — no interpolation, so no float-parity concerns at all.
+# ---------------------------------------------------------------------------
+
+_Q102_ORACLE = """
+SELECT quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.75) AS p75,
+       quantile_disc(l_extendedprice, 0.95) AS p95,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n
+FROM lineitem
+"""
+
+
+@register("q102_kll_exact_quantiles", _Q102_ORACLE)
+def q102_kll_exact_quantiles(spark, sf_dir):
+    from ..operators.kll import kll_exact_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.50, 0.75, 0.95]
+    got = kll_exact_quantiles(li, "l_extendedprice", qs, k=512)
+    n = li.agg(F.count("l_extendedprice").cast("long")).collect()[0][0]
+    return spark.createDataFrame(
+        [(got[0.25], got[0.50], got[0.75], got[0.95], n)],
+        "p25 double, p50 double, p75 double, p95 double, n bigint",
+    )
