@@ -28,6 +28,8 @@ Deterministic: xxhash64 seeds are the row indices, no RNG.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -183,3 +185,101 @@ def kmv_build(df: DataFrame, col: str, k: int = 1024) -> KmvSketch:
         if len(rows) >= k or cutoff >= 2**63 - 1:
             return KmvSketch(k, [r["h"] for r in rows])
         safety *= 4.0  # HLL underestimated the tail; widen (rare)
+
+
+# ---------------------------------------------------------------------------
+# KMV as a GROUPED DataFrame aggregate (the distributed face of
+# KmvSketch, whose algebra above is driver-side).
+#
+# Build is two bounded phases: (1) mapInPandas keeps, per task, the k
+# smallest distinct hashes per observed group (state = one small sorted
+# array per group — never the rows); (2) groupBy(group) merges partials
+# with pure JVM array expressions (flatten -> distinct -> sort -> first
+# k), so the only exchange carries <= tasks x k hashes per group. All
+# estimates and set operations are then column expressions over the
+# (group, hashes) frame — union/intersection/Jaccard across two sketch
+# frames is a small-array join, no rescan of either input.
+#
+# Exactness contract: a sketch with fewer than k hashes saw EVERY
+# distinct hash of its group, so estimate == exact distinct count and
+# the pairwise set algebra is exact set algebra (theta = 1 both sides).
+# q103 gates exactly that path; saturated-sketch error bounds are
+# asserted in tests.
+# ---------------------------------------------------------------------------
+
+
+def _frac_col(h: Column) -> Column:
+    """SQL mirror of ``_frac``: signed long -> uniform [0, 1)."""
+    return (h.cast("double") + F.lit(_TWO63)) / F.lit(_TWO64)
+
+
+def kmv_grouped(
+    df: DataFrame, group_cols: Sequence[str], col: str, k: int = 1024
+) -> DataFrame:
+    """Per-group KMV sketches: ``(group..., hs array<long>)`` with
+    ``hs`` = the k smallest distinct xxhash64 values of ``col``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    group_cols = list(group_cols)
+    hashed = df.select(*group_cols, F.xxhash64(F.col(col)).alias("_h"))
+    schema = StructType(
+        [hashed.schema[c] for c in group_cols] + [StructField("hs", ArrayType(LongType()))]
+    )
+
+    def partial(batches):
+        state: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                arr = np.unique(sub["_h"].to_numpy(dtype=np.int64))
+                prev = state.get(key)
+                merged = arr if prev is None else np.unique(np.concatenate([prev, arr]))
+                state[key] = merged[:k]
+        if state:
+            yield pd.DataFrame(
+                [(*key, hs.tolist()) for key, hs in state.items()],
+                columns=group_cols + ["hs"],
+            )
+
+    partials = hashed.mapInPandas(partial, schema)
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))), 1, k
+    )
+    return partials.groupBy(*group_cols).agg(merged.alias("hs"))
+
+
+def kmv_estimate_col(hs: Column, k: int) -> Column:
+    """Distinct-count estimate from a sketch column; exact when the
+    sketch is unsaturated (saw < k distinct hashes)."""
+    saturated = F.size(hs) >= k
+    theta = _frac_col(F.element_at(hs, k))
+    return F.when(saturated, F.lit(float(k - 1)) / theta).otherwise(
+        F.size(hs).cast("double")
+    )
+
+
+def kmv_set_ops_col(a: Column, b: Column, k: int):
+    """(union_est, intersect_est, jaccard) column triple for two sketch
+    columns built with the same hash and k."""
+    both_unsat = (F.size(a) < k) & (F.size(b) < k)
+    theta = F.when(
+        both_unsat, F.lit(1.0)
+    ).otherwise(
+        F.least(
+            F.when(F.size(a) >= k, _frac_col(F.element_at(a, k))).otherwise(F.lit(1.0)),
+            F.when(F.size(b) >= k, _frac_col(F.element_at(b, k))).otherwise(F.lit(1.0)),
+        )
+    )
+    below = lambda c: F.filter(c, lambda h: _frac_col(h) < theta)  # noqa: E731
+    a_t, b_t = below(a), below(b)
+    inter = F.size(F.array_intersect(a_t, b_t))
+    uni = F.size(F.array_union(a_t, b_t))
+    union_sketch = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    union_est = kmv_estimate_col(union_sketch, k)
+    intersect_est = inter.cast("double") / theta
+    jaccard = F.when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return union_est, intersect_est, jaccard

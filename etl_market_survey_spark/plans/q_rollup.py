@@ -250,3 +250,57 @@ def q102_kll_exact_quantiles(spark, sf_dir):
         [(got[0.25], got[0.50], got[0.75], got[0.95], n)],
         "p25 double, p50 double, p75 double, p95 double, n bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — grouped KMV sketch algebra, exact-gated on the unsaturated
+# path: per-returnflag supplier sets are far below k, so each sketch
+# holds EVERY distinct hash and the estimate / union / intersection /
+# Jaccard columns are exact set algebra (theta = 1). The same plan at
+# 100 TB saturates the sketches and degrades gracefully to ~1/sqrt(k)
+# estimates (error bound asserted in tests) — the exchange never
+# carries more than tasks x k hashes per group either way. Jaccard is
+# one IEEE double division of the same exact ints in both engines.
+# ---------------------------------------------------------------------------
+
+_Q103_ORACLE = """
+WITH s AS (SELECT DISTINCT l_returnflag AS f, l_suppkey AS k FROM lineitem),
+cnt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1),
+inter AS (
+  SELECT a.f AS f1, b.f AS f2, CAST(COUNT(*) AS BIGINT) AS i
+  FROM s a JOIN s b ON a.k = b.k AND a.f < b.f
+  GROUP BY 1, 2
+)
+SELECT f1, f2, ca.c AS n1, cb.c AS n2, i AS n_intersect,
+       ca.c + cb.c - i AS n_union,
+       CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.f = f1
+JOIN cnt cb ON cb.f = f2
+ORDER BY 1, 2
+"""
+
+
+@register("q103_kmv_grouped_algebra", _Q103_ORACLE)
+def q103_kmv_grouped_algebra(spark, sf_dir):
+    from ..operators.sketch import kmv_estimate_col, kmv_grouped, kmv_set_ops_col
+
+    k = 16384
+    li = load(spark, sf_dir, "lineitem")
+    sk = kmv_grouped(li, ["l_returnflag"], "l_suppkey", k=k)
+    a = sk.select(F.col("l_returnflag").alias("f1"), F.col("hs").alias("ha"))
+    b = sk.select(F.col("l_returnflag").alias("f2"), F.col("hs").alias("hb"))
+    u, i, j = kmv_set_ops_col(F.col("ha"), F.col("hb"), k)
+    return (
+        a.join(b, F.col("f1") < F.col("f2"))
+        .select(
+            "f1",
+            "f2",
+            kmv_estimate_col(F.col("ha"), k).cast("bigint").alias("n1"),
+            kmv_estimate_col(F.col("hb"), k).cast("bigint").alias("n2"),
+            i.cast("bigint").alias("n_intersect"),
+            u.cast("bigint").alias("n_union"),
+            j.alias("jaccard"),
+        )
+        .orderBy("f1", "f2")
+    )

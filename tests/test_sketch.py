@@ -95,3 +95,75 @@ def test_kmv_union_merges_sorted_prefix():
     a = KmvSketch(4, [10, 20, 30, 40])
     b = KmvSketch(4, [15, 20, 35, 50])
     assert a.union(b).hashes == [10, 15, 20, 30]
+
+
+# --- grouped KMV DataFrame aggregate ----------------------------------------
+
+
+def test_kmv_grouped_unsaturated_is_exact(spark):
+    # every group has < k distinct values -> estimate is the exact count
+    from etl_market_survey_spark.operators.sketch import (
+        kmv_estimate_col,
+        kmv_grouped,
+    )
+
+    rows = [(g, f"v{g}_{i % (10 * (g + 1))}") for g in range(4) for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, v string").repartition(8)
+    sk = kmv_grouped(df, ["g"], "v", k=256)
+    got = {
+        r["g"]: r["est"]
+        for r in sk.select("g", kmv_estimate_col(F.col("hs"), 256).alias("est")).collect()
+    }
+    assert got == {g: float(10 * (g + 1)) for g in range(4)}
+
+
+def test_kmv_grouped_saturated_error_bound(spark):
+    from etl_market_survey_spark.operators.sketch import (
+        kmv_estimate_col,
+        kmv_grouped,
+    )
+
+    n_distinct = 20_000
+    df = spark.createDataFrame(
+        [(1, f"x{i}") for i in range(n_distinct)], "g int, v string"
+    ).repartition(16)
+    k = 512
+    est = (
+        kmv_grouped(df, ["g"], "v", k=k)
+        .select(kmv_estimate_col(F.col("hs"), k).alias("est"))
+        .collect()[0]["est"]
+    )
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 4.4%; allow 5 sigma
+    assert abs(est - n_distinct) / n_distinct < 5 / (k - 2) ** 0.5
+
+
+def test_kmv_grouped_set_ops_exact_when_unsaturated(spark):
+    from etl_market_survey_spark.operators.sketch import kmv_grouped, kmv_set_ops_col
+
+    # A = {0..99}, B = {50..179}: |A∪B| = 180, |A∩B| = 50, J = 50/180
+    rows = [("a", f"k{i}") for i in range(100)] + [("b", f"k{i}") for i in range(50, 180)]
+    df = spark.createDataFrame(rows, "side string, v string").repartition(4)
+    sk = kmv_grouped(df, ["side"], "v", k=1024)
+    a = sk.filter(F.col("side") == "a").select(F.col("hs").alias("a"))
+    b = sk.filter(F.col("side") == "b").select(F.col("hs").alias("b"))
+    u, i, j = kmv_set_ops_col(F.col("a"), F.col("b"), 1024)
+    row = a.crossJoin(b).select(
+        u.alias("u"), i.alias("i"), j.alias("j")
+    ).collect()[0]
+    assert row["u"] == 180.0
+    assert row["i"] == 50.0
+    assert abs(row["j"] - 50 / 180) < 1e-12
+
+
+def test_kmv_grouped_matches_driver_sketch(spark):
+    # the distributed aggregate and the driver-side kmv_build must agree
+    # on the identical hash set (same k, same input)
+    from etl_market_survey_spark.operators.sketch import kmv_build, kmv_grouped
+
+    df = spark.createDataFrame(
+        [(1, f"v{i % 3000}") for i in range(10_000)], "g int, v string"
+    ).repartition(8)
+    k = 128
+    grouped_hs = kmv_grouped(df, ["g"], "v", k=k).collect()[0]["hs"]
+    driver_sk = kmv_build(df, "v", k=k)
+    assert list(grouped_hs) == list(driver_sk.hashes)
