@@ -1,0 +1,136 @@
+"""Probabilistic record linkage (Fellegi & Sunter 1969) — the scoring
+layer of entity resolution, sitting on top of the blocking/similarity
+machinery already here (operators/simjoin prefix-filtered join,
+operators/dedup MinHash/SimHash, operators/components survivors).
+
+Beyond-reference operator (training-data curation: merging duplicate
+metadata records — author/source/license rows — before corpus
+assembly). The reference's closest analogue is the device-name
+dimension enrichment (J3, /root/reference/scripts/devices_info.py:17-26),
+which assumes keys already agree; linkage is what produces those keys
+when they don't.
+
+Model: for candidate pair (a, b) and field f with agreement indicator
+agr_f, the match evidence is the log-likelihood ratio
+
+    w_f = log2(m_f / u_f)            if agr_f  (agreement weight > 0)
+    w_f = log2((1-m_f) / (1-u_f))    otherwise (disagreement weight < 0)
+
+where m_f = P(agree | same entity), u_f = P(agree | different entity).
+score = sum_f w_f; classify by the two Fellegi-Sunter thresholds
+(match / possible / non-match). m/u are caller-supplied priors here —
+the EM estimation loop is a driver-side fixed-point over these same
+aggregates and is deliberately out of scope (documented, not hidden).
+
+Scale shape: candidate generation is an equality-blocked self-join —
+the shuffle is on the blocking key, each block's pair blowup is
+block_size², never corpus²; skewed blocks split via AQE. Agreement
+predicates are pure JVM expressions (levenshtein, abs-diff), and each
+pair's score is a fixed-length sum of literal weights — no Python, no
+UDF, deterministic bit-for-bit (same expression in any SQL engine with
+the same levenshtein definition).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One compared field: agreement predicate + m/u probabilities.
+
+    kind: 'exact' | 'levenshtein' (string distance <= ``tol``) |
+    'numeric' (abs difference <= ``tol``).
+    """
+
+    col: str
+    kind: str = "exact"
+    tol: float = 0.0
+    m: float = 0.95
+    u: float = 0.05
+
+    def agreement(self, a: Column, b: Column) -> Column:
+        if self.kind == "exact":
+            return a.eqNullSafe(b)
+        if self.kind == "levenshtein":
+            return F.levenshtein(a, b) <= F.lit(int(self.tol))
+        if self.kind == "numeric":
+            return F.abs(a - b) <= F.lit(float(self.tol))
+        raise ValueError(f"unknown field kind {self.kind!r}")
+
+    @property
+    def agree_weight(self) -> float:
+        return math.log2(self.m / self.u)
+
+    @property
+    def disagree_weight(self) -> float:
+        return math.log2((1.0 - self.m) / (1.0 - self.u))
+
+
+def blocked_pairs(
+    df: DataFrame, id_col: str, block_cols: Sequence[str], payload_cols: Sequence[str]
+) -> DataFrame:
+    """Candidate pairs by equality blocking: self-join on the block key,
+    ``id_a < id_b`` to keep each unordered pair once. Output columns:
+    block key, ``id_a``/``id_b``, and ``{col}_a``/``{col}_b`` payloads."""
+    block_cols = list(block_cols)
+    payload_cols = list(payload_cols)
+    sel = [F.col(id_col).alias("_id"), *block_cols, *payload_cols]
+    base = df.select(*sel)
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        *block_cols,
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        *block_cols,
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    return a.join(b, on=block_cols).filter(F.col("id_a") < F.col("id_b"))
+
+
+def score_pairs(pairs: DataFrame, fields: Sequence[FieldSpec]) -> DataFrame:
+    """Add per-field agreement flags, the summed log2-likelihood
+    ``score``, and nothing else (classification is a separate step so
+    thresholds stay visible in the plan)."""
+    out = pairs
+    score = F.lit(0.0)
+    for f in fields:
+        agr = f.agreement(F.col(f"{f.col}_a"), F.col(f"{f.col}_b"))
+        out = out.withColumn(f"agr_{f.col}", agr)
+        score = score + F.when(
+            F.col(f"agr_{f.col}"), F.lit(f.agree_weight)
+        ).otherwise(F.lit(f.disagree_weight))
+    return out.withColumn("score", score)
+
+
+def classify(
+    scored: DataFrame, lower: float, upper: float, col: str = "score"
+) -> DataFrame:
+    """Fellegi-Sunter three-way decision on the score column."""
+    return scored.withColumn(
+        "link_class",
+        F.when(F.col(col) >= F.lit(upper), F.lit("match"))
+        .when(F.col(col) <= F.lit(lower), F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )
+
+
+def link_records(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    fields: Sequence[FieldSpec],
+    lower: float,
+    upper: float,
+) -> DataFrame:
+    """blocked_pairs -> score_pairs -> classify, in one call."""
+    pairs = blocked_pairs(df, id_col, block_cols, [f.col for f in fields])
+    return classify(score_pairs(pairs, fields), lower, upper)

@@ -603,3 +603,84 @@ def q96_similarity_join(spark, sf_dir):
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q104 — Fellegi-Sunter record linkage (operators/linkage): equality-
+# blocked candidate pairs over `part` (block = p_type, p_size; the pair
+# blowup is block-squared, never corpus-squared), per-field agreement
+# via JVM levenshtein / exact / numeric-tolerance predicates, and the
+# summed log2 likelihood-ratio score. Weight literals are the same
+# float64 in both engines (repr round-trip) and the score is a fixed
+# left-fold of 3 doubles — bit-identical, no rounding needed. The
+# oracle replays blocking, agreement, and CASE weights in SQL
+# (DuckDB's levenshtein is the same classic edit distance as Spark's).
+# ---------------------------------------------------------------------------
+
+
+def _q104_fields():
+    from ..operators.linkage import FieldSpec
+
+    return [
+        FieldSpec("p_name", "levenshtein", tol=3, m=0.9, u=0.05),
+        FieldSpec("p_brand", "exact", m=0.85, u=0.04),
+        FieldSpec("p_retailprice", "numeric", tol=0.5, m=0.9, u=0.02),
+    ]
+
+
+def _q104_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    f_name, f_brand, f_price = _q104_fields()
+    terms = []
+    for f, agr in [
+        (f_name, "levenshtein(a.p_name, b.p_name) <= 3"),
+        (f_brand, "a.p_brand = b.p_brand"),
+        (f_price, "abs(a.p_retailprice - b.p_retailprice) <= 0.5"),
+    ]:
+        terms.append(
+            f"(CASE WHEN {agr} THEN CAST({f.agree_weight!r} AS DOUBLE)"
+            f" ELSE CAST({f.disagree_weight!r} AS DOUBLE) END)"
+        )
+    score = f"((CAST(0.0 AS DOUBLE) + {terms[0]}) + {terms[1]}) + {terms[2]}"
+    return f"""
+WITH pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, {score} AS score
+  FROM part a JOIN part b
+    ON a.p_type = b.p_type AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+),
+classed AS (
+  SELECT CASE WHEN score >= 4.0 THEN 'match'
+              WHEN score <= 0.0 THEN 'non_match'
+              ELSE 'possible' END AS link_class,
+         score
+  FROM pairs
+)
+SELECT link_class, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {sql_dsum('score')} AS total_score
+FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q104_record_linkage", _q104_oracle())
+def q104_record_linkage(spark, sf_dir):
+    from ..functions.stats import dsum
+    from ..operators.linkage import link_records
+
+    part = load(spark, sf_dir, "part")
+    linked = link_records(
+        part,
+        "p_partkey",
+        ["p_type", "p_size"],
+        _q104_fields(),
+        lower=0.0,
+        upper=4.0,
+    )
+    return (
+        linked.groupBy("link_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            dsum("score").alias("total_score"),
+        )
+        .orderBy("link_class")
+    )
