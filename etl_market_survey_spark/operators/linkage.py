@@ -18,9 +18,9 @@ agr_f, the match evidence is the log-likelihood ratio
 
 where m_f = P(agree | same entity), u_f = P(agree | different entity).
 score = sum_f w_f; classify by the two Fellegi-Sunter thresholds
-(match / possible / non-match). m/u are caller-supplied priors here —
-the EM estimation loop is a driver-side fixed-point over these same
-aggregates and is deliberately out of scope (documented, not hidden).
+(match / possible / non-match). m/u come either as caller-supplied
+priors or unsupervised from ``estimate_mu_em`` (Winkler's EM on the
+agreement-pattern contingency table, below).
 
 Scale shape: candidate generation is an equality-blocked self-join —
 the shuffle is on the blocking key, each block's pair blowup is
@@ -134,3 +134,102 @@ def link_records(
     """blocked_pairs -> score_pairs -> classify, in one call."""
     pairs = blocked_pairs(df, id_col, block_cols, [f.col for f in fields])
     return classify(score_pairs(pairs, fields), lower, upper)
+
+
+# ---------------------------------------------------------------------------
+# EM estimation of (m, u, prevalence) — Winkler's standard fixed-point
+# on agreement-PATTERN counts (Winkler 1988; the unsupervised way to
+# get the FieldSpec priors when no labeled pairs exist).
+#
+# Scale shape: ONE aggregation pass over the candidate pairs collapses
+# them to <= 2^F pattern-count rows (map-side combinable groupBy on F
+# booleans); EM then iterates on those counts driver-side — the
+# iteration cost is independent of corpus size, so this is not a
+# "driver loop over data", it's a loop over a 2^F-row contingency
+# table. Deterministic given the init.
+# ---------------------------------------------------------------------------
+
+
+def agreement_patterns(pairs: DataFrame, fields: Sequence[FieldSpec]) -> DataFrame:
+    """Collapse scored/unscored candidate pairs to agreement-pattern
+    counts: one row per observed (agr_f1, ..., agr_fk) combination."""
+    out = pairs
+    for f in fields:
+        name = f"agr_{f.col}"
+        if name not in out.columns:
+            out = out.withColumn(
+                name, f.agreement(F.col(f"{f.col}_a"), F.col(f"{f.col}_b"))
+            )
+    keys = [f"agr_{f.col}" for f in fields]
+    return out.groupBy(*keys).agg(F.count("*").cast("long").alias("n"))
+
+
+def estimate_mu_em(
+    pairs: DataFrame,
+    fields: Sequence[FieldSpec],
+    p_init: float = 0.1,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+    max_iter: int = 200,
+    tol: float = 1e-10,
+) -> tuple[float, list[FieldSpec]]:
+    """Fit match prevalence ``p`` and per-field (m, u) by EM over the
+    agreement-pattern table. Returns ``(p, fields_with_fitted_mu)``.
+
+    Conditional-independence model (the classic FS assumption):
+    P(pattern | match) = prod m_f^a (1-m_f)^(1-a), same with u for
+    non-match. Estimates are clamped to (1e-6, 1-1e-6) to keep the
+    log-weights finite under degenerate fields.
+    """
+    rows = agreement_patterns(pairs, fields).collect()
+    if not rows:
+        raise ValueError("no candidate pairs")
+    patterns = [
+        (tuple(bool(r[f"agr_{f.col}"]) for f in fields), r["n"]) for r in rows
+    ]
+    total = float(sum(n for _, n in patterns))
+    k = len(fields)
+    p = p_init
+    m = [m_init] * k
+    u = [u_init] * k
+
+    def clamp(x: float) -> float:
+        return min(max(x, 1e-6), 1.0 - 1e-6)
+
+    for _ in range(max_iter):
+        # E-step: responsibility of the match class per pattern
+        resp = []
+        for pat, n in patterns:
+            pm, pu = p, 1.0 - p
+            for i, a in enumerate(pat):
+                pm *= m[i] if a else (1.0 - m[i])
+                pu *= u[i] if a else (1.0 - u[i])
+            resp.append((pm / (pm + pu) if pm + pu > 0 else 0.0, pat, n))
+        # M-step
+        w_match = sum(w * n for w, _, n in resp)
+        w_non = total - w_match
+        new_p = clamp(w_match / total)
+        new_m = [
+            clamp(sum(w * n for w, pat, n in resp if pat[i]) / w_match)
+            if w_match > 0
+            else m[i]
+            for i in range(k)
+        ]
+        new_u = [
+            clamp(sum((1.0 - w) * n for w, pat, n in resp if pat[i]) / w_non)
+            if w_non > 0
+            else u[i]
+            for i in range(k)
+        ]
+        delta = abs(new_p - p) + sum(
+            abs(a - b) for a, b in zip(new_m + new_u, m + u)
+        )
+        p, m, u = new_p, new_m, new_u
+        if delta < tol:
+            break
+
+    fitted = [
+        FieldSpec(f.col, f.kind, f.tol, m=m[i], u=u[i])
+        for i, f in enumerate(fields)
+    ]
+    return p, fitted

@@ -684,3 +684,35 @@ def q104_record_linkage(spark, sf_dir):
         )
         .orderBy("link_class")
     )
+
+
+@register("q105_linkage_em")
+def q105_linkage_em(spark, sf_dir):
+    """Unsupervised Fellegi-Sunter parameter estimation: Winkler EM on
+    the agreement-pattern contingency table of q104's candidate pairs.
+    One aggregation pass collapses the pairs to <= 2^3 pattern counts;
+    the fixed-point iterates driver-side on those counts (cost
+    independent of corpus size). No SQL oracle — EM is iterative — but
+    the run is deterministic (fixed init, no RNG), so the rows-only
+    check is stable; recovery accuracy is pinned in tests against
+    synthetic pairs with known (p, m, u)."""
+    from ..operators.linkage import blocked_pairs, estimate_mu_em
+
+    part = load(spark, sf_dir, "part")
+    fields = _q104_fields()
+    pairs = blocked_pairs(
+        part, "p_partkey", ["p_type", "p_size"], [f.col for f in fields]
+    )
+    p, fitted = estimate_mu_em(pairs, fields, p_init=0.1, m_init=0.9, u_init=0.1)
+    row = [
+        (
+            round(p, 6),
+            *[round(f.m, 6) for f in fitted],
+            *[round(f.u, 6) for f in fitted],
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "prevalence double, m_name double, m_brand double, m_price double, "
+        "u_name double, u_brand double, u_price double",
+    )

@@ -74,3 +74,62 @@ def test_link_records_end_to_end(spark):
     by_pair = {(r["id_a"], r["id_b"]): r["link_class"] for r in linked.collect()}
     assert by_pair[(1, 2)] == "match"
     assert by_pair[(1, 3)] == "non_match"
+
+
+def test_em_recovers_known_mu(spark):
+    """Synthetic pairs drawn from known (p, m, u): EM must recover the
+    generating parameters within sampling tolerance."""
+    import random
+
+    rng = random.Random(42)
+    # >= 3 fields: the conditional-independence model is unidentifiable
+    # with 2 binary fields (5 params vs 3 free pattern stats)
+    p_true, m_true, u_true = 0.2, [0.95, 0.85, 0.9], [0.08, 0.2, 0.12]
+    rows = []
+    for i in range(20_000):
+        is_match = rng.random() < p_true
+        probs = m_true if is_match else u_true
+        rows.append((i, *[rng.random() < pr for pr in probs]))
+    pairs = spark.createDataFrame(
+        rows, "pid long, agr_f1 boolean, agr_f2 boolean, agr_f3 boolean"
+    )
+    from etl_market_survey_spark.operators.linkage import estimate_mu_em
+
+    fields = [FieldSpec("f1"), FieldSpec("f2"), FieldSpec("f3")]
+    p, fitted = estimate_mu_em(pairs, fields, p_init=0.3, m_init=0.8, u_init=0.3)
+    assert abs(p - p_true) < 0.05
+    # label swap cannot happen with these inits (m_init > u_init and the
+    # true classes are separable), so compare directly
+    for i in range(3):
+        assert abs(fitted[i].m - m_true[i]) < 0.05, i
+        assert abs(fitted[i].u - u_true[i]) < 0.05, i
+
+
+def test_em_deterministic(spark):
+    from etl_market_survey_spark.operators.linkage import estimate_mu_em
+
+    fields = [
+        FieldSpec("name", "levenshtein", tol=2),
+        FieldSpec("price", "numeric", tol=0.5),
+    ]
+    pairs = blocked_pairs(_df(spark), "id", ["blk"], ["name", "price"])
+    a = estimate_mu_em(pairs, fields)
+    b = estimate_mu_em(pairs, fields)
+    assert a[0] == b[0]
+    assert [(f.m, f.u) for f in a[1]] == [(f.m, f.u) for f in b[1]]
+
+
+def test_agreement_patterns_counts(spark):
+    from etl_market_survey_spark.operators.linkage import agreement_patterns
+
+    fields = [
+        FieldSpec("name", "levenshtein", tol=2),
+        FieldSpec("price", "numeric", tol=0.5),
+    ]
+    pairs = blocked_pairs(_df(spark), "id", ["blk"], ["name", "price"])
+    pats = {
+        (r["agr_name"], r["agr_price"]): r["n"]
+        for r in agreement_patterns(pairs, fields).collect()
+    }
+    # (1,2) agrees on both; (1,3) and (2,3) disagree on both
+    assert pats == {(True, True): 1, (False, False): 2}
