@@ -289,14 +289,24 @@ def kll_exact_quantiles(
     k: int = 512,
     max_distinct_collect: int = 100_000,
     n_buckets: int = 1024,
+    sketch: KllSketch | None = None,
 ) -> dict[float, float]:
     """Exact quantile_disc values (value at rank ceil(q*n), 1-based)
     for every q in ``qs`` — bit-identical to a full sort, computed as:
     sketch pass -> bracket verify/count pass -> per-rank selection by
     distinct-count collect or value-domain bisection. ~3 scans; no
-    exchange carries more than bucket/sketch rows."""
+    exchange carries more than bucket/sketch rows.
+
+    ``sketch``: pass a prebuilt sketch of the SAME data (e.g. the
+    merged streaming partials from ``streaming/quantiles``) to skip the
+    build pass; the bracket-verification still makes the result exact
+    even if the sketch is stale or wrong — a bad sketch only costs a
+    wider refinement."""
     vals = df.select(F.col(col).cast("double").alias("_x")).na.drop()
-    sk = kll_build(vals, "_x", k)
+    sk = sketch if sketch is not None else kll_build(vals, "_x", k)
+    if sketch is not None and sk.n != vals.count():
+        # stale sketch: ranks must come from the actual data size
+        sk = kll_build(vals, "_x", k)
     if sk.n == 0:
         raise ValueError("no rows")
     n = sk.n

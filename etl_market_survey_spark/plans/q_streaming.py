@@ -294,3 +294,45 @@ def q95_streaming_cdc(spark, sf_dir):
     )
     q.awaitTermination()
     return read_cdc_table(spark, f"{tmp}/tbl").orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q106 — streaming KLL sketch feeding the exact quantile path: the
+# event feed drains through the per-batch partial-sketch sink
+# (streaming/quantiles, exactly-once by batch-id overwrite); the merged
+# sketch then BRACKETS the target ranks for kll_exact_quantiles, whose
+# counting pass makes the final values exact — so the gate is the same
+# quantile_disc oracle as q102 even though the summary came from a
+# stream. The sketch only prunes; stream vs batch origin cannot change
+# a bit.
+# ---------------------------------------------------------------------------
+
+_Q106_ORACLE = """
+SELECT quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.90) AS p90,
+       CAST(COUNT(value) AS BIGINT) AS n
+FROM events
+"""
+
+
+@register("q106_streaming_quantile", _Q106_ORACLE)
+def q106_streaming_quantile(spark, sf_dir):
+    import tempfile
+
+    from ..operators.kll import kll_exact_quantiles
+    from ..streaming.events import read_event_stream
+    from ..streaming.quantiles import read_merged_sketch, write_stream_kll
+    from .registry import load
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        q = write_stream_kll(
+            stream.select("value"), "value", f"{tmp}/out", f"{tmp}/ckpt", k=512
+        )
+        q.awaitTermination()
+        sk = read_merged_sketch(spark, f"{tmp}/out", k=512)
+        batch = load(spark, sf_dir, "events")
+        got = kll_exact_quantiles(batch, "value", [0.5, 0.9], k=512, sketch=sk)
+    return spark.createDataFrame(
+        [(got[0.5], got[0.9], sk.n)], "p50 double, p90 double, n bigint"
+    )
