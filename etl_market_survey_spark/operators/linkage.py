@@ -233,3 +233,68 @@ def estimate_mu_em(
         for i, f in enumerate(fields)
     ]
     return p, fitted
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the
+# complement of equality blocking: order the corpus by a composite key
+# and compare each record only to its w nearest neighbors in that
+# order, catching near-duplicates whose blocking fields disagree
+# (typos in the blocking key kill equality blocks; a sort mostly keeps
+# neighbors adjacent).
+#
+# Scale shape: the global rank comes from operators/prefix
+# .distributed_cumsum (two-phase bucketed scan — no single-partition
+# window), and neighbor pairing is an equi-join on rank-bucket
+# floor(rank/w): a row only ever meets the two buckets that can hold
+# its w successors, so each side replicates at most 2x and the shuffle
+# key is uniform by construction (ranks are a permutation — no skew,
+# ever). Pair count is exactly n*w minus the tail, independent of key
+# distribution.
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    window: int,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b) where b is one of a's ``window``
+    successors in the total order of ``order_col`` (numeric, UNIQUE —
+    compose a tiebreaker into the key if needed; ties would make ranks
+    nondeterministic). Output mirrors ``blocked_pairs``:
+    ``id_a``/``id_b`` + ``{col}_a``/``{col}_b`` payloads, plus both
+    ranks."""
+    from .prefix import distributed_cumsum
+
+    payload_cols = list(payload_cols)
+    base = df.select(F.col(id_col).alias("_id"), order_col, *payload_cols)
+    ranked = distributed_cumsum(base, order_col, F.lit(1), out="_rank")
+    a = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_rank").alias("rank_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        F.explode(
+            F.array(
+                F.floor(F.col("_rank") / window),
+                F.floor(F.col("_rank") / window) + 1,
+            )
+        ).alias("_bkt"),
+    )
+    b = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_rank").alias("rank_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        F.floor(F.col("_rank") / window).alias("_bkt"),
+    )
+    return (
+        a.join(b, "_bkt")
+        .filter(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") <= F.col("rank_a") + window)
+        )
+        .drop("_bkt")
+        .dropDuplicates(["id_a", "id_b"])
+    )

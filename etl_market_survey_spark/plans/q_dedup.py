@@ -716,3 +716,78 @@ def q105_linkage_em(spark, sf_dir):
         "prevalence double, m_name double, m_brand double, m_price double, "
         "u_name double, u_brand double, u_price double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — sorted-neighborhood blocking (Hernandez-Stolfo): rank parts by
+# the unique composed key (price, partkey) — round(price*10)*1e6 +
+# partkey, exact integer in both engines — and score each record
+# against its w=4 successors. The rank comes from the distributed
+# prefix-sum (no single-partition window); pairing is the rank-bucket
+# equi-join (uniform by construction — ranks are a permutation). The
+# oracle replays the neighborhood with a plain row_number window and
+# rb - ra BETWEEN 1 AND w, then the same q104 weights.
+# ---------------------------------------------------------------------------
+
+_Q107_W = 4
+_Q107_KEY = "CAST(ROUND(p_retailprice * 10, 0) AS BIGINT) * 1000000 + p_partkey"
+
+
+def _q107_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    f_name, f_brand, f_price = _q104_fields()
+    terms = []
+    for f, agr in [
+        (f_name, "levenshtein(a.p_name, b.p_name) <= 3"),
+        (f_brand, "a.p_brand = b.p_brand"),
+        (f_price, "abs(a.p_retailprice - b.p_retailprice) <= 0.5"),
+    ]:
+        terms.append(
+            f"(CASE WHEN {agr} THEN CAST({f.agree_weight!r} AS DOUBLE)"
+            f" ELSE CAST({f.disagree_weight!r} AS DOUBLE) END)"
+        )
+    score = f"((CAST(0.0 AS DOUBLE) + {terms[0]}) + {terms[1]}) + {terms[2]}"
+    return f"""
+WITH ranked AS (
+  SELECT p_partkey, p_name, p_brand, p_retailprice,
+         row_number() OVER (ORDER BY {_Q107_KEY}) AS rnk
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, {score} AS score
+  FROM ranked a JOIN ranked b
+    ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_Q107_W}
+),
+classed AS (
+  SELECT CASE WHEN score >= 4.0 THEN 'match'
+              WHEN score <= 0.0 THEN 'non_match'
+              ELSE 'possible' END AS link_class,
+         score
+  FROM pairs
+)
+SELECT link_class, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {sql_dsum('score')} AS total_score
+FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q107_sorted_neighborhood", _q107_oracle())
+def q107_sorted_neighborhood(spark, sf_dir):
+    from ..functions.stats import dsum
+    from ..operators.linkage import classify, score_pairs, sorted_neighborhood_pairs
+
+    part = load(spark, sf_dir, "part").withColumn("_snkey", F.expr(_Q107_KEY))
+    fields = _q104_fields()
+    pairs = sorted_neighborhood_pairs(
+        part, "p_partkey", "_snkey", _Q107_W, [f.col for f in fields]
+    )
+    linked = classify(score_pairs(pairs, fields), lower=0.0, upper=4.0)
+    return (
+        linked.groupBy("link_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            dsum("score").alias("total_score"),
+        )
+        .orderBy("link_class")
+    )

@@ -133,3 +133,41 @@ def test_agreement_patterns_counts(spark):
     }
     # (1,2) agrees on both; (1,3) and (2,3) disagree on both
     assert pats == {(True, True): 1, (False, False): 2}
+
+
+def test_sorted_neighborhood_pairs_exact_window(spark):
+    from etl_market_survey_spark.operators.linkage import sorted_neighborhood_pairs
+
+    # ranks are the order of `key`; every row pairs with its w successors
+    rows = [(i, float(i * 7 % 101), f"n{i}") for i in range(40)]  # unique keys
+    df = spark.createDataFrame(rows, "id long, key double, name string")
+    w = 3
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "id", "key", w, ["name"]).collect()
+    )
+    order = [i for i, _, _ in sorted(rows, key=lambda r: r[1])]
+    want = sorted(
+        (order[i], order[j])
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w + 1, len(order)))
+    )
+    assert got == want
+    assert len(got) == 40 * w - w * (w + 1) // 2  # n*w minus the tail
+
+
+def test_sorted_neighborhood_partition_invariant(spark):
+    from etl_market_survey_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [(i, float(1000 - i), f"n{i}") for i in range(100)]
+    df1 = spark.createDataFrame(rows, "id long, key double, name string").repartition(2)
+    df2 = df1.repartition(16)
+    a = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df1, "id", "key", 5, ["name"]).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df2, "id", "key", 5, ["name"]).collect()
+    )
+    assert a == b
