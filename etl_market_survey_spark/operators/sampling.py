@@ -122,3 +122,73 @@ def sql_weighted_key(id_exprs: Sequence[str], weight_expr: str, seed: int) -> st
     h = sql_hash_rank(id_exprs, seed)
     u = f"((CAST(concat('0x', substr({h}, 1, 13)) AS BIGINT) + 0.5) / {float(16**13)!r})"
     return f"ROUND(LN({u}) / CAST({weight_expr} AS DOUBLE), 9)"
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixing (the data-mixing stage of a training
+# pipeline: rebalance a corpus so low-resource domains are upsampled
+# relative to their raw share — the alpha-sampling of multilingual
+# pretraining, e.g. XLM-R's p_d ∝ n_d^alpha).
+#
+# Targets are integer-exact and engine-portable: with alpha = 0.5,
+# weight_d = floor(sqrt(n_d * 1e6)) uses only the correctly-rounded
+# IEEE sqrt (identical in every libm/SQL engine), and target_d =
+# total * weight_d // sum(weights) is plain bigint arithmetic — so an
+# oracle can recompute the exact same per-domain quotas from the raw
+# counts. Selection reuses the deterministic hash-rank draw
+# (sample_exact_per_group's ordering) with a per-domain k joined from
+# the quota table: one counts pass (map-side combine), one window rank
+# per domain, one broadcast join. Other alphas are supported but
+# cross-engine parity is only guaranteed for 0.5 (pow is not
+# correctly-rounded; documented, not hidden).
+# ---------------------------------------------------------------------------
+
+
+def temperature_targets(
+    counts: dict[str, int], total_target: int, alpha: float = 0.5
+) -> dict[str, int]:
+    """Per-domain quotas: total * n_d^alpha / sum, floored, capped at
+    n_d. Integer-exact for alpha=0.5 (see module note)."""
+    import math
+
+    if alpha == 0.5:
+        w = {d: math.floor(math.sqrt(n * 1_000_000.0)) for d, n in counts.items()}
+    else:
+        w = {d: math.floor((float(n) ** alpha) * 1_000_000.0) for d, n in counts.items()}
+    sw = sum(w.values())
+    if sw == 0:
+        return {d: 0 for d in counts}
+    return {d: min(counts[d], total_target * w[d] // sw) for d in counts}
+
+
+def temperature_mixing(
+    df: DataFrame,
+    domain_col: str,
+    id_cols: Sequence[str],
+    total_target: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic alpha-mixed sample: exactly ``target_d`` rows per
+    domain (hash-rank draw, seed-redrawable), quotas from
+    ``temperature_targets`` over one exact counts pass."""
+    from pyspark.sql.window import Window
+
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    }
+    targets = temperature_targets(counts, total_target, alpha)
+    spark = df.sparkSession
+    quota = spark.createDataFrame(
+        sorted(targets.items()), f"{domain_col} string, _quota long"
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        _hash_rank(id_cols, seed), *[F.col(c) for c in id_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(quota), domain_col)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

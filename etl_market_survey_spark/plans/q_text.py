@@ -489,3 +489,57 @@ def q94_pii_redaction(spark, sf_dir):
     return cust.select(
         "c_custkey", redact_pii(text).alias("redacted")
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q108 — temperature-based domain mixing (XLM-R-style alpha sampling):
+# rebalance the corpus so low-resource languages are upsampled,
+# p_d ∝ n_d^0.5. Quotas are integer-exact cross-engine (correctly-
+# rounded sqrt -> floor -> bigint division), the draw is the
+# deterministic md5 hash rank, so the oracle recomputes the identical
+# quota table from raw counts and replays the identical draw with a
+# row_number window. Output is the selected rows themselves.
+# ---------------------------------------------------------------------------
+
+_Q108_TOTAL = 300
+_Q108_SEED = 13
+
+
+def _q108_oracle() -> str:
+    from ..operators.sampling import sql_hash_rank
+
+    h = sql_hash_rank(["doc_id"], _Q108_SEED)
+    return f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+w AS (
+  SELECT lang, n,
+         CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT) AS wd
+  FROM counts
+),
+quota AS (
+  SELECT lang, LEAST(n, {_Q108_TOTAL} * wd // (SELECT SUM(wd) FROM w)) AS q
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rk
+  FROM documents
+)
+SELECT r.lang, r.doc_id
+FROM ranked r JOIN quota USING (lang)
+WHERE r.rk <= quota.q
+ORDER BY 1, 2
+"""
+
+
+@register("q108_temperature_mixing", _q108_oracle())
+def q108_temperature_mixing(spark, sf_dir):
+    from ..operators.sampling import temperature_mixing
+
+    docs = load(spark, sf_dir, "documents")
+    out = temperature_mixing(
+        docs, "lang", ["doc_id"], _Q108_TOTAL, alpha=0.5, seed=_Q108_SEED
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")

@@ -74,3 +74,48 @@ def test_weighted_sample_deterministic(spark):
     b = {(r.id, r.es_rank) for r in
          weighted_sample_k(df.repartition(7), 10, "w", ["id"], seed=3).collect()}
     assert a == b  # partitioning-invariant
+
+
+# --- temperature mixing -----------------------------------------------------
+
+
+def test_temperature_targets_math():
+    import math
+
+    from etl_market_survey_spark.operators.sampling import temperature_targets
+
+    counts = {"en": 10_000, "fr": 100, "zh": 400}
+    t = temperature_targets(counts, 1000, alpha=0.5)
+    w = {d: math.floor(math.sqrt(n * 1e6)) for d, n in counts.items()}
+    sw = sum(w.values())
+    for d in counts:
+        assert t[d] == min(counts[d], 1000 * w[d] // sw)
+    # alpha upweights the tail: fr share in the sample > raw fr share
+    assert t["fr"] / 1000 > counts["fr"] / sum(counts.values())
+    # alpha=1 recovers ~proportional sampling
+    t1 = temperature_targets(counts, 1000, alpha=1.0)
+    assert abs(t1["en"] - 1000 * 10_000 // 10_500) <= 1
+
+
+def test_temperature_mixing_exact_quotas(spark):
+    from etl_market_survey_spark.operators.sampling import (
+        temperature_mixing,
+        temperature_targets,
+    )
+
+    rows = [(i, "en" if i < 900 else ("fr" if i < 960 else "zh")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(8)
+    out = temperature_mixing(df, "lang", ["doc_id"], 300, alpha=0.5, seed=7)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want = temperature_targets({"en": 900, "fr": 60, "zh": 40}, 300, alpha=0.5)
+    assert got == {d: k for d, k in want.items() if k > 0}
+    # deterministic: same seed -> same rows; different seed -> same quotas
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixing(df, "lang", ["doc_id"], 300, alpha=0.5, seed=7).collect()
+    )
+    assert a == b
+    c = temperature_mixing(df, "lang", ["doc_id"], 300, alpha=0.5, seed=8)
+    got_c = {r["lang"]: r["n"] for r in c.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got_c == got
