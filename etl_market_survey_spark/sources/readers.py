@@ -26,16 +26,47 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     Handles nanosecond-precision timestamp columns (Spark has no ns type):
     retried with ``nanosAsLong`` so ns columns surface as epoch-nano longs
     — callers convert with ``ns_to_timestamp`` when they need calendar ops.
+
+    Engine convention: the event-time column ``ts`` is an epoch-nano LONG.
+    Files that carry ``ts`` as a parquet timestamp (µs precision) are
+    normalized at the scan via :func:`ts_to_ns`, so downstream integer
+    time arithmetic (`ts div 1000` → µs) is format-independent.
     """
     try:
         df = spark.read.parquet(path)
         df.schema  # force analysis to surface PARQUET_TYPE_ILLEGAL
-        return df
+        return ts_to_ns(df)
     except Exception as e:  # noqa: BLE001 — analysis error type varies
         if "NANOS" in str(e):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            return spark.read.parquet(path)
+            return ts_to_ns(spark.read.parquet(path))
         raise
+
+
+def ts_to_ns(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to epoch-nano long.
+
+    No-op when ``col`` is absent or already integral (the historical
+    nanosecond-parquet layout). For timestamp columns the conversion is
+    timezone-independent: TIMESTAMP_NTZ wall-clock is measured against the
+    NTZ epoch with ``timestampdiff`` (no session-zone cast), matching
+    DuckDB's ``epoch_us`` on naive timestamps; instant-typed TIMESTAMP
+    uses ``unix_micros`` directly.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampNTZType):
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), `{col}`)"
+        )
+    elif isinstance(dt, TimestampType):
+        us = F.unix_micros(F.col(col))
+    else:
+        return df
+    return df.withColumn(col, (us * F.lit(1000)).cast("long"))
 
 
 def ns_to_timestamp(col):

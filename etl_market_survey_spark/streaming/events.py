@@ -17,22 +17,37 @@ EVENT_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+# Same table when the file stores ts as a parquet timestamp (µs); the
+# reader normalizes back to the engine's epoch-nano long convention.
+EVENT_SCHEMA_TS = EVENT_SCHEMA.replace("ts long", "ts timestamp_ntz")
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-based streaming source over event parquet files (ns timestamps
-    surface as epoch-nano longs, like the batch reader).
+    """File-based streaming source over event parquet files. Emits ``ts``
+    as epoch-nano long regardless of the file's physical type (long-ns
+    legacy layout or µs timestamp) — a one-file batch probe picks the
+    matching reader schema, then :func:`ts_to_ns` normalizes.
 
     Streaming file sources require a *directory*; a single-file path is
     split into (parent dir, pathGlobFilter)."""
     import os
 
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from ..sources.readers import ts_to_ns
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1)
+    probe = spark.read.parquet(path).schema["ts"].dataType
+    schema = (
+        EVENT_SCHEMA_TS
+        if isinstance(probe, (TimestampType, TimestampNTZType))
+        else EVENT_SCHEMA
+    )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    return reader.parquet(path)
+    return ts_to_ns(reader.parquet(path))
 
 
 def with_event_time(df: DataFrame) -> DataFrame:

@@ -142,9 +142,9 @@ def test_streaming_matches_batch(spark, sf_dir):
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     name = run_available_now(windowed_counts(stream), "t_events_rollup")
     streamed = spark.table(name)
-    batch = windowed_counts(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-    )
+    from etl_market_survey_spark.sources.readers import read_parquet
+
+    batch = windowed_counts(read_parquet(spark, f"{sf_dir}/events.parquet"))
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0

@@ -35,8 +35,9 @@ def test_upsert_latest_batch_split_invariant(spark):
 
 
 def test_drained_cdc_table_equals_global_argmax(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    from etl_market_survey_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "event_type", "ts", "event_id", "value"
     )
     for i, cond in enumerate(

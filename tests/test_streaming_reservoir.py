@@ -11,11 +11,9 @@ _K = 7
 
 
 def test_streaming_reservoir_matches_batch(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .filter(F.col("value") > 0)
-    )
+    from etl_market_survey_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").filter(F.col("value") > 0)
     # three files -> three micro-batches, split unevenly on purpose
     for i, cond in enumerate(
         [F.col("event_id") % 4 == 0, F.col("event_id") % 4 == 1, F.col("event_id") % 4 >= 2]

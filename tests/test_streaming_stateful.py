@@ -13,8 +13,9 @@ from etl_market_survey_spark.streaming.stateful import running_stats
 
 def test_running_stats_matches_batch(spark, sf_dir, tmp_path):
     # split events into two files -> two micro-batches (maxFilesPerTrigger=1)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from etl_market_survey_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     ev.filter(F.col("event_id") % 2 == 0).write.parquet(str(tmp_path / "in" / "a.parquet"))
     ev.filter(F.col("event_id") % 2 == 1).write.parquet(str(tmp_path / "in" / "b.parquet"))
 
