@@ -791,3 +791,113 @@ def q107_sorted_neighborhood(spark, sf_dir):
         )
         .orderBy("link_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# q109/q110 — exact substring-span dedup (Lee et al. n-gram relaxation):
+# positioned 4-gram seeds duplicated across >= 2 docs, interval-union
+# merged into maximal per-doc spans (operators/spandedup.py).
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 4
+
+_span_cte = f"""
+WITH ws AS (
+  SELECT doc_id, {sql_words('text')} AS w FROM documents
+),
+pos_sh AS (
+  SELECT doc_id, u.pos AS pos, u.sh AS shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(0, len(w) - {_SPAN_N}),
+        i -> struct_pack(pos := i, sh := array_to_string(w[i+1 : i+{_SPAN_N}], ' ')))) AS u
+    FROM ws WHERE len(w) >= {_SPAN_N})
+),
+dup AS (
+  SELECT shingle FROM pos_sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+),
+starts AS (
+  SELECT doc_id, pos FROM pos_sh WHERE shingle IN (SELECT shingle FROM dup)
+),
+marked AS (
+  SELECT doc_id, pos,
+         MAX(pos + {_SPAN_N - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM starts
+),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS start, MAX(pos + {_SPAN_N - 1}) AS "end"
+  FROM runs GROUP BY doc_id, span_id
+)
+"""
+
+_Q109_ORACLE = _span_cte + """
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM("end" - start + 1) AS BIGINT) AS dup_tokens,
+       CAST(len(ws.w) AS BIGINT) AS n_words,
+       SUM("end" - start + 1) / len(ws.w) AS dup_frac
+FROM spans s JOIN ws ON s.doc_id = ws.doc_id
+GROUP BY s.doc_id, len(ws.w) ORDER BY s.doc_id
+"""
+
+
+@register("q109_span_dedup", _Q109_ORACLE)
+def q109_span_dedup(spark, sf_dir):
+    from ..operators.spandedup import span_stats
+
+    docs = load(spark, sf_dir, "documents")
+    out = span_stats(docs, "doc_id", "text", _SPAN_N, min_docs=2, hash_mode="text")
+    return out.select(
+        "doc_id",
+        F.col("n_spans").cast("bigint"),
+        F.col("dup_tokens").cast("bigint"),
+        F.col("n_words").cast("bigint"),
+        "dup_frac",
+    ).orderBy("doc_id")
+
+
+_Q110_ORACLE = _span_cte + """
+, covered AS (
+  SELECT doc_id, unnest(generate_series(start, "end")) AS pos FROM spans
+),
+toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(0, len(w) - 1),
+        i -> struct_pack(pos := i, tok := w[i+1]))) AS u
+    FROM ws)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             list_sort(list(struct_pack(p := pos, t := tok))), x -> x.t), ' ') AS clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean, '') AS text,
+       CAST(len(ws.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+JOIN ws ON d.doc_id = ws.doc_id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("q110_span_clean", _Q110_ORACLE)
+def q110_span_clean(spark, sf_dir):
+    from ..operators.spandedup import remove_dup_spans
+
+    docs = load(spark, sf_dir, "documents")
+    out = remove_dup_spans(docs, "doc_id", "text", _SPAN_N, min_docs=2, hash_mode="text")
+    return out.select(
+        "doc_id", "text", F.col("n_removed").cast("bigint")
+    ).orderBy("doc_id")
