@@ -333,6 +333,147 @@ def match_events_py(types: Sequence[str], pattern):
     return n_matches, first_end
 
 
+def _captures_pattern(pattern: Sequence[tuple]):
+    """Validate + normalize a captures-capable pattern: quantifiers
+    restricted to 1/+ (no epsilon edges -> every chain state has exactly
+    one fresh predecessor and at most a self-loop). Returns
+    [(symbol_set, is_plus)] per token."""
+    toks = []
+    for tok, q in pattern:
+        if q not in ("1", "+"):
+            raise ValueError(
+                f"captures support quantifiers 1/+ only (got {q!r}); "
+                "?/* make token completion undefined"
+            )
+        toks.append((_token_syms(tok), q == "+"))
+    return toks
+
+
+def match_events_captures_py(types_ts: Sequence[tuple], pattern: Sequence[tuple]):
+    """Driver-side reference for ``pattern_match_captures`` semantics
+    (for tests): over an alphabet-filtered, time-ordered list of
+    (type, ts) pairs, returns (n_matches, [t_step1..t_stepK] or None).
+
+    Each active chain state carries the step-time history of the path
+    that reached it; on simultaneous self-loop + fresh entry the older
+    (leftmost) attempt wins. Captures freeze at the FIRST match; for a
+    ``+`` token the capture is the first event of its run."""
+    toks = _captures_pattern(pattern)
+    k = len(toks)
+    n_matches, caps = 0, None
+    # hist[j] = step-times list for chain state j+1, or None if inactive
+    hist: list = [None] * k
+    for t, ts in types_ts:
+        new_hist: list = [None] * k
+        for j, (syms, is_plus) in enumerate(toks):
+            if t in syms:
+                if is_plus and hist[j] is not None:  # self-loop: older wins
+                    new_hist[j] = hist[j]
+                elif j == 0 or hist[j - 1] is not None:  # fresh entry
+                    prev = hist[j - 1] if j > 0 else [None] * k
+                    new_hist[j] = prev[:j] + [ts] + [None] * (k - j - 1)
+        if new_hist[k - 1] is not None:  # accept
+            n_matches += 1
+            if caps is None:
+                caps = new_hist[k - 1]
+            new_hist = [None] * k
+        hist = new_hist
+    return n_matches, caps
+
+
+def pattern_match_captures(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    pattern: Sequence[tuple],
+) -> DataFrame:
+    """``pattern_match`` plus per-token capture timestamps: for the
+    FIRST match per key, ``t_step{j}`` (1-based) is the ts of the event
+    that completed token ``j`` on the match's own path — the funnel's
+    per-step times generalized to quantified contiguous patterns. For a
+    ``+`` token the capture is the first event of its run.
+
+    Token-list form with quantifiers ``1``/``+`` only: without epsilon
+    edges every chain state has exactly one fresh predecessor, so each
+    active state can carry the step-time history of the path that
+    reached it (history = k longs); when a self-loop and a fresh entry
+    derive the same state, the older (leftmost) attempt wins — matching
+    ``pattern_match``'s counting policy exactly.
+
+    Same execution contract as ``pattern_match``: one shuffle, one JVM
+    fold; per-key state grows to O(n_tokens^2) longs."""
+    key_cols = list(key_cols)
+    toks = _captures_pattern(pattern)
+    k = len(toks)
+    alphabet = []
+    for syms, _ in toks:
+        for sym in syms:
+            if sym not in alphabet:
+                alphabet.append(sym)
+
+    ev = events.filter(F.col(type_col).isin(alphabet)).select(
+        *key_cols,
+        F.struct(
+            F.col(ts_col).cast("long").alias("ts"), F.col(type_col).alias("t")
+        ).alias("e"),
+    )
+    per_key = ev.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list("e")).alias("_evs")
+    )
+
+    null_long = F.lit(None).cast("long")
+    null_hist = F.lit(None).cast("array<bigint>")
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.array(*[null_hist for _ in range(k)]).alias("h"),
+        null_hist.alias("caps"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        # new history per chain state j (1-based token j = element j of
+        # acc["h"]); built entirely from the pre-event state
+        new_h = []
+        for j, (syms, is_plus) in enumerate(toks):
+            sym_ok = x["t"].isin(list(syms))
+            prev_self = F.element_at(acc["h"], j + 1)
+            fresh_src = (
+                F.array(*[null_long for _ in range(k)])
+                if j == 0
+                else F.element_at(acc["h"], j)
+            )
+            stamped = F.array(
+                *[
+                    F.element_at(fresh_src, i + 1) if i < j else
+                    (x["ts"] if i == j else null_long)
+                    for i in range(k)
+                ]
+            )
+            fresh_ok = (
+                F.lit(True) if j == 0 else F.element_at(acc["h"], j).isNotNull()
+            )
+            cond_stay = sym_ok & F.lit(is_plus) & prev_self.isNotNull()
+            cond_fresh = sym_ok & fresh_ok
+            new_h.append(
+                F.when(cond_stay, prev_self)
+                .when(cond_fresh, stamped)
+                .otherwise(null_hist)
+            )
+        hit = new_h[k - 1].isNotNull()
+        reset = F.array(*[null_hist for _ in range(k)])
+        return F.struct(
+            F.when(hit, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+            F.when(hit, reset).otherwise(F.array(*new_h)).alias("h"),
+            F.coalesce(acc["caps"], F.when(hit, new_h[k - 1])).alias("caps"),
+        )
+
+    folded = per_key.select(*key_cols, F.aggregate("_evs", init, step).alias("_st"))
+    caps = [
+        F.element_at("_st.caps", j).alias(f"t_step{j}") for j in range(1, k + 1)
+    ]
+    return folded.select(*key_cols, F.col("_st.n").alias("n_matches"), *caps)
+
+
 def pattern_match(
     events: DataFrame,
     key_cols: Sequence[str],

@@ -435,3 +435,80 @@ def q101_regex_match(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("n_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — pattern captures: q89's automaton (`signup view+ purchase`)
+# upgraded to report per-token completion timestamps for each user's
+# FIRST match (funnel step times generalized to quantified contiguous
+# patterns). The oracle replays the identical fold as a recursive CTE:
+# chain-state histories as scalar columns (h11; h21,h22), transitions
+# as CASE arithmetic over the time-ordered event sequence, captures
+# frozen at the first accept. Bit-exact, including the leftmost-attempt
+# preference and the contiguity (attempt-killing) semantics.
+# ---------------------------------------------------------------------------
+
+_Q111_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY us, sym) AS rn,
+         us, sym
+  FROM (SELECT user_id, epoch_us(ts) AS us, event_type AS sym FROM events
+        WHERE event_type IN ('signup', 'view', 'purchase'))
+),
+fold AS (
+  SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS h11, CAST(NULL AS BIGINT) AS h21,
+         CAST(NULL AS BIGINT) AS h22, CAST(NULL AS BIGINT) AS c1,
+         CAST(NULL AS BIGINT) AS c2,  CAST(NULL AS BIGINT) AS c3
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT user_id, rn,
+         n + CASE WHEN hit THEN 1 ELSE 0 END,
+         CASE WHEN hit THEN NULL ELSE nh11 END,
+         CASE WHEN hit THEN NULL ELSE nh21 END,
+         CASE WHEN hit THEN NULL ELSE nh22 END,
+         COALESCE(c1, CASE WHEN hit THEN h21 END),
+         COALESCE(c2, CASE WHEN hit THEN h22 END),
+         COALESCE(c3, CASE WHEN hit THEN us END)
+  FROM (
+    SELECT f.user_id, b.rn, f.n, b.us, f.h21, f.h22, f.c1, f.c2, f.c3,
+           (b.sym = 'purchase' AND f.h21 IS NOT NULL) AS hit,
+           CASE WHEN b.sym = 'signup' THEN b.us END AS nh11,
+           CASE WHEN b.sym = 'view' AND f.h21 IS NOT NULL THEN f.h21
+                WHEN b.sym = 'view' AND f.h11 IS NOT NULL THEN f.h11 END AS nh21,
+           CASE WHEN b.sym = 'view' AND f.h21 IS NOT NULL THEN f.h22
+                WHEN b.sym = 'view' AND f.h11 IS NOT NULL THEN b.us END AS nh22
+    FROM fold f JOIN base b ON b.user_id = f.user_id AND b.rn = f.rn + 1
+  )
+)
+SELECT f.user_id, f.n AS n_matches,
+       f.c1 AS t_step1, f.c2 AS t_step2, f.c3 AS t_step3
+FROM fold f
+JOIN (SELECT user_id, MAX(rn) AS mx FROM base GROUP BY 1) m
+  ON f.user_id = m.user_id AND f.rn = m.mx
+ORDER BY f.user_id
+"""
+
+
+@register("q111_pattern_captures", _Q111_ORACLE)
+def q111_pattern_captures(spark, sf_dir):
+    from ..operators.pattern import pattern_match_captures
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_type"
+    )
+    out = pattern_match_captures(
+        ev,
+        ["user_id"],
+        "us",
+        "event_type",
+        [("signup", "1"), ("view", "+"), ("purchase", "1")],
+    )
+    return out.select(
+        "user_id",
+        F.col("n_matches").cast("bigint"),
+        "t_step1",
+        "t_step2",
+        "t_step3",
+    ).orderBy("user_id")

@@ -209,3 +209,86 @@ def test_regex_validation():
     for empty in ["a*", "(a|b)*", "a? b?"]:
         with pytest.raises(ValueError):
             compile_regex(empty)
+
+
+# ---------------------------------------------------------------------------
+# capture groups (per-token first-match timestamps)
+# ---------------------------------------------------------------------------
+
+CAPS_PAT = [("signup", "1"), ("view", "+"), ("purchase", "1")]
+
+
+def test_captures_known_sequences(spark):
+    from etl_market_survey_spark.operators.pattern import (
+        match_events_captures_py,
+        pattern_match_captures,
+    )
+
+    seqs = {
+        1: [("signup", 10), ("view", 20), ("view", 30), ("purchase", 40)],
+        2: [("signup", 10), ("purchase", 20), ("view", 30), ("purchase", 40)],
+        3: [("signup", 10), ("view", 20), ("signup", 25), ("view", 30), ("purchase", 40)],
+        4: [("signup", 1), ("signup", 2), ("view", 3), ("purchase", 4)],
+    }
+    # 1: plain match, view+ captures FIRST view. 2: contiguity kills the
+    # attempt (purchase interrupts) -> no match. 3: first attempt dies at
+    # the second signup; surviving attempt starts there. 4: leftmost
+    # regex start is the SECOND signup (first can't continue).
+    want = {
+        1: (1, 10, 20, 40),
+        2: (0, None, None, None),
+        3: (1, 25, 30, 40),
+        4: (1, 2, 3, 4),
+    }
+    rows = [(k, ts, t) for k, sq in seqs.items() for (t, ts) in sq]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r["user_id"]: (r["n_matches"], r["t_step1"], r["t_step2"], r["t_step3"])
+        for r in pattern_match_captures(df, ["user_id"], "ts", "event_type", CAPS_PAT).collect()
+    }
+    assert got == want
+    for k, sq in seqs.items():
+        n, caps = match_events_captures_py(sq, CAPS_PAT)
+        assert (n, *(caps or [None] * 3)) == want[k]
+
+
+def test_captures_count_equals_bitmask_reference():
+    import random
+
+    from etl_market_survey_spark.operators.pattern import (
+        match_events_captures_py,
+        match_events_py,
+    )
+
+    random.seed(1234)
+    m = {"s": "signup", "v": "view", "p": "purchase"}
+    for _ in range(2000):
+        seq = [(m[random.choice("svp")], i) for i in range(random.randint(0, 15))]
+        n_caps, caps = match_events_captures_py(seq, CAPS_PAT)
+        n_ref, _ = match_events_py([t for t, _ in seq], CAPS_PAT)
+        assert n_caps == n_ref
+        if n_caps > 0:
+            assert caps is not None and caps[0] < caps[1] < caps[2]
+        else:
+            assert caps is None
+
+
+def test_captures_rejects_optional_quantifiers():
+    from etl_market_survey_spark.operators.pattern import match_events_captures_py
+
+    with pytest.raises(ValueError):
+        match_events_captures_py([], [("a", "1"), ("b", "*"), ("c", "1")])
+    with pytest.raises(ValueError):
+        match_events_captures_py([], [("a", "?"), ("c", "1")])
+
+
+def test_captures_symbol_class_token(spark):
+    from etl_market_survey_spark.operators.pattern import pattern_match_captures
+
+    pat = [("signup", "1"), (("view", "click"), "+"), ("purchase", "1")]
+    rows = [
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "view"), (1, 40, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    r = pattern_match_captures(df, ["user_id"], "ts", "event_type", pat).collect()[0]
+    assert (r["n_matches"], r["t_step1"], r["t_step2"], r["t_step3"]) == (1, 10, 20, 40)
