@@ -543,3 +543,83 @@ def q108_temperature_mixing(spark, sf_dir):
         docs, "lang", ["doc_id"], _Q108_TOTAL, alpha=0.5, seed=_Q108_SEED
     )
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q112/q113 — TF-IDF vectors + inverted-index cosine similarity
+# (operators/tfidf.py). q112 gates the whole vector pipeline (tokenize
+# -> tf -> smooth idf -> L2 normalize) value-exact; q113 gates the
+# posting-list pair join + exact-decimal dot products at sim >= 0.8.
+# ---------------------------------------------------------------------------
+
+_TFIDF_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+idf AS (
+  SELECT term, round(ln((1.0 + n.n) / (1.0 + COUNT(*))) + 1.0, 9) AS idf
+  FROM tf, n GROUP BY term, n.n
+),
+w0 AS (
+  SELECT doc_id, tf.term, round(tf * idf, 9) AS w0
+  FROM tf JOIN idf ON tf.term = idf.term
+),
+nrm AS (
+  SELECT doc_id,
+         round(sqrt({dsum_w0sq}), 9) AS nrm
+  FROM w0 GROUP BY doc_id
+),
+v AS (
+  SELECT w0.doc_id, term, round(w0 / nrm, 9) AS w
+  FROM w0 JOIN nrm USING (doc_id)
+)
+"""
+
+
+def _tfidf_cte():
+    from ..functions.stats import sql_dsum
+
+    return _TFIDF_CTE.format(dsum_w0sq=sql_dsum("w0 * w0"))
+
+
+_Q112_ORACLE = _tfidf_cte() + """
+SELECT doc_id, term, w FROM v ORDER BY doc_id, term
+"""
+
+
+@register("q112_tfidf_vectors", _Q112_ORACLE)
+def q112_tfidf_vectors(spark, sf_dir):
+    from ..operators.tfidf import tfidf_postings
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_postings(docs, "doc_id", "text").orderBy("doc_id", "term")
+
+
+_Q113_MIN_SIM = 0.8
+
+
+def _q113_oracle():
+    from ..functions.stats import sql_dsum
+
+    return _tfidf_cte() + f"""
+, sims AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round({sql_dsum('a.w * b.w')}, 6) AS sim
+  FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, sim FROM sims WHERE sim >= {_Q113_MIN_SIM}
+ORDER BY id_a, id_b
+"""
+
+
+@register("q113_tfidf_cosine", _q113_oracle())
+def q113_tfidf_cosine(spark, sf_dir):
+    from ..operators.tfidf import tfidf_cosine_pairs, tfidf_postings
+
+    docs = load(spark, sf_dir, "documents")
+    post = tfidf_postings(docs, "doc_id", "text")
+    return tfidf_cosine_pairs(post, _Q113_MIN_SIM).orderBy("id_a", "id_b")
