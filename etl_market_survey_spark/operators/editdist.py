@@ -1,0 +1,153 @@
+"""Exact edit-distance similarity join (Ed-Join-style q-gram prefix filter).
+
+Entity resolution's other half (next to the Jaccard prefix-filter join in
+``operators/simjoin``): all pairs of strings within Levenshtein distance
+``d`` — exactly, with no cross join. The distributed shape follows
+Ed-Join (Xiao, Wang & Lin, VLDB 2008 "Ed-Join: an efficient algorithm
+for similarity joins with edit distance constraints"):
+
+1. **Positional q-grams.** Each string of length L yields L-q+1
+   (gram, pos) tokens. One edit operation destroys at most q of them, so
+   two strings within distance d share at least
+   ``max(La, Lb) - q + 1 - q*d`` grams, each surviving gram shifting
+   position by at most d.
+2. **Prefix filter.** Order every record's grams by ascending global
+   gram frequency (rarest first). Since d edits destroy at most ``q*d``
+   grams, any true pair must share at least one gram among each side's
+   first ``q*d + 1`` grams in that order — so the candidate join only
+   indexes those, and the hottest grams (think ``"00"`` in zero-padded
+   ids) never fan out beyond the few records where they are rare-est.
+3. **Filters only prune, never decide.** Candidates pass a length filter
+   (``|La - Lb| <= d``), then the exact ``levenshtein`` verifies — Spark
+   and the DuckDB oracle both implement unit-cost Levenshtein, so the
+   decision is integer-exact cross-engine. Spark's 3.5+ bounded
+   ``levenshtein(l, r, threshold)`` keeps verification O(d·min(L))
+   instead of O(La·Lb).
+
+Completeness edge: a string with at most ``q*d`` grams (length <=
+``q*d + q - 1``) can have ALL its grams destroyed, so the gram index can
+miss it. Those "shorts" are joined by brute force against every record
+within the length filter — at scale that set is tiny and broadcast.
+
+Scale shape: one shuffle for gram frequencies, one groupBy per record,
+one equi-join on prefix grams, verification by id join. No cross join,
+no quadratic stage; skew-hostile grams are excluded by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def positional_qgrams(s: Column, q: int) -> Column:
+    """``array<struct<gram,pos>>`` of the string's positional q-grams
+    (empty below length q). 1-based positions, mirrored by
+    :func:`sql_positional_qgrams`."""
+    return F.when(
+        F.length(s) >= q,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (q - 1)),
+            lambda i: F.struct(s.substr(i, F.lit(q)).alias("gram"), i.alias("pos")),
+        ),
+    ).otherwise(F.array().cast("array<struct<gram:string,pos:int>>"))
+
+
+def edit_distance_self_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    d: int,
+    q: int = 2,
+) -> DataFrame:
+    """All pairs ``id_a < id_b`` with ``levenshtein(text_a, text_b) <= d``
+    — exactly. Output: ``(id_a, id_b, dist)``.
+
+    The q-gram prefix index prunes; ``levenshtein`` decides. Strings too
+    short for the gram guarantee fall back to a broadcast length-window
+    join (complete by construction).
+    """
+    if d < 0:
+        raise ValueError("edit-distance threshold must be >= 0")
+    prefix_len = q * d + 1
+    min_safe_len = q * d + q  # > q*d grams survive the worst case
+
+    recs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_len"),
+    )
+
+    grams = recs.select(
+        "_id", "_len", F.explode(positional_qgrams(F.col("_txt"), q)).alias("g")
+    ).select("_id", "_len", F.col("g.gram").alias("gram"), F.col("g.pos").alias("pos"))
+
+    # Global gram frequencies -> per-record rarity order -> q*d+1 prefix.
+    freq = grams.groupBy("gram").agg(F.count("*").alias("freq"))
+    prefixes = (
+        grams.join(freq, "gram")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("freq", "gram", "pos")
+            ),
+        )
+        .filter(F.col("_rk") <= prefix_len)
+        .select("_id", "_len", "gram")
+    )
+
+    long_cand = (
+        prefixes.select(
+            F.col("_id").alias("id_a"), F.col("_len").alias("len_a"), "gram"
+        )
+        .join(
+            prefixes.select(
+                F.col("_id").alias("id_b"), F.col("_len").alias("len_b"), "gram"
+            ),
+            "gram",
+        )
+        # NOTE: no positional filter here — the prefix-intersection lemma
+        # guarantees shared gram CONTENT in the prefixes, not that this
+        # particular occurrence pair is the alignment-surviving one, so a
+        # |pos_a - pos_b| <= d cut could drop a true pair. Length filter
+        # only; levenshtein decides.
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Shorts: gram guarantee void -> brute candidates within the length
+    # filter (broadcast; the short set is bounded by construction).
+    shorts = recs.filter(F.col("_len") < min_safe_len)
+    short_cand = (
+        F.broadcast(
+            shorts.select(F.col("_id").alias("id_s"), F.col("_len").alias("len_s"))
+        )
+        .crossJoin(recs.select(F.col("_id").alias("id_o"), F.col("_len").alias("len_o")))
+        .filter(
+            (F.col("id_s") != F.col("id_o"))
+            & (F.abs(F.col("len_s") - F.col("len_o")) <= d)
+        )
+        .select(
+            F.least("id_s", "id_o").alias("id_a"),
+            F.greatest("id_s", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    cand = long_cand.unionByName(short_cand).distinct()
+
+    a = recs.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_txt_a"))
+    b = recs.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        # bounded levenshtein: early-exits at d+1, returns -1 past it
+        .withColumn("dist", F.levenshtein("_txt_a", "_txt_b", d))
+        .filter(F.col("dist") >= 0)
+    )
+    return verified.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))

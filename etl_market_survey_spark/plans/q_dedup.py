@@ -901,3 +901,33 @@ def q110_span_clean(spark, sf_dir):
     return out.select(
         "doc_id", "text", F.col("n_removed").cast("bigint")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q114 — exact edit-distance similarity join (Ed-Join q-gram prefix
+# filter, Xiao/Wang/Lin VLDB'08): all customer-name pairs within
+# Levenshtein distance 1. The Spark plan indexes only each record's
+# q·d+1 rarest positional q-grams (no cross join; hot grams never fan
+# out) and a bounded levenshtein verifies; the oracle IS the quadratic
+# brute-force join, so the gate proves the filter is lossless.
+# ---------------------------------------------------------------------------
+
+_Q114_D = 1
+
+_Q114_ORACLE = f"""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {_Q114_D}
+ORDER BY id_a, id_b
+"""
+
+
+@register("q114_editdist_join", _Q114_ORACLE)
+def q114_editdist_join(spark, sf_dir):
+    from ..operators.editdist import edit_distance_self_join
+
+    cust = load(spark, sf_dir, "customer")
+    return edit_distance_self_join(cust, "c_custkey", "c_name", d=_Q114_D).orderBy(
+        "id_a", "id_b"
+    )
