@@ -690,3 +690,56 @@ def q101_standardize_embeddings(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — incremental view maintenance (operators/ivm): a revenue rollup
+# is built from the pre-1999 base, then maintained through an insert
+# batch (post-1999 rows) and a retraction batch (deleting base rows with
+# l_quantity > 45) — never rescanning the base rows. The oracle recomputes
+# the final state from scratch over the surviving rows, proving
+# merge(partials(A), partials(B)) == partials(A ∪ B) bit-exactly.
+# ---------------------------------------------------------------------------
+
+_Q115_SPLIT = "1999-01-01"
+_Q115_QTY = 45
+
+
+def _q115_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    return f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_l_quantity,
+       {sql_dsum('l_quantity')} / COUNT(*) AS avg_l_quantity,
+       {sql_dsum('l_extendedprice')} AS sum_l_extendedprice,
+       {sql_dsum('l_extendedprice')} / COUNT(*) AS avg_l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q115_SPLIT}' OR l_quantity <= {_Q115_QTY}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q115_incremental_view", _q115_oracle())
+def q115_incremental_view(spark, sf_dir):
+    from ..operators.ivm import finalize, merge_partials, sum_partials
+
+    cols = ["l_quantity", "l_extendedprice"]
+    keys = ["l_returnflag"]
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_shipdate") < F.lit(_Q115_SPLIT).cast("timestamp"))
+
+    view = sum_partials(base, keys, cols)
+    inserts = sum_partials(
+        li.filter(F.col("l_shipdate") >= F.lit(_Q115_SPLIT).cast("timestamp")),
+        keys,
+        cols,
+    )
+    view = merge_partials(view, inserts, keys, cols)
+    retractions = sum_partials(
+        base.filter(F.col("l_quantity") > _Q115_QTY), keys, cols, sign=F.lit(-1)
+    )
+    view = merge_partials(view, retractions, keys, cols)
+    return finalize(view, cols).orderBy("l_returnflag")
