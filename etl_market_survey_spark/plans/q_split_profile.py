@@ -193,3 +193,37 @@ def q88_weighted_sample(spark, sf_dir):
         out.select("lang", F.col("es_rank").cast("int").alias("rn"), "doc_id", "n_chars")
         .orderBy("lang", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — deterministic corpus mixing (operators/mixing): mixture weights
+# + row budget -> largest-remainder quotas -> exact per-source bottom-k
+# draw by content hash -> global content-keyed shuffle order. src4's
+# quota exceeds its corpus (under-delivery path). Identical md5 keys on
+# both engines make the whole recipe SQL-replayable.
+# ---------------------------------------------------------------------------
+
+_Q116_WEIGHTS = {"src0": 5.0, "src1": 3.0, "src2": 2.0, "src3": 1.0, "src4": 20.0}
+_Q116_TOTAL = 100
+
+
+def _q116_oracle() -> str:
+    from ..operators.mixing import sql_weighted_mix
+
+    return sql_weighted_mix(
+        "documents",
+        "source",
+        _Q116_WEIGHTS,
+        _Q116_TOTAL,
+        ["doc_id"],
+        select="doc_id, source",
+    )
+
+
+@register("q116_corpus_mix", _q116_oracle())
+def q116_corpus_mix(spark, sf_dir):
+    from ..operators.mixing import weighted_mix
+
+    docs = load(spark, sf_dir, "documents")
+    out = weighted_mix(docs, "source", _Q116_WEIGHTS, _Q116_TOTAL, ["doc_id"])
+    return out.select("doc_id", "source", "mix_key")
