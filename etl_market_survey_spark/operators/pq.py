@@ -1,0 +1,249 @@
+"""Product quantization ANN (Jégou/Douze/Schmid, TPAMI 2011) — exact-int.
+
+The scale path for similarity search when even an IVF cell is too big to
+scan with full vectors: compress each embedding to ``m`` small codes
+(one per subspace; here m bytes-worth per vector vs d*4 bytes raw) and
+score queries against the *codes* with an asymmetric distance
+computation (ADC) — a per-query lookup table of subspace distances, so
+scoring a vector is ``m`` array lookups + adds, map-only over the codes
+table, no shuffle, broadcast-sized LUT. 100 TB of float vectors becomes
+~1.5 TB of codes that scan at memory bandwidth.
+
+Exactness discipline (what makes the q117 gate possible): embeddings are
+quantized to the integer grid ``floor(double(x) * 1000)`` — the same
+value on every engine — and codebooks/queries are integer literals, so
+code assignment (argmin of integer squared-L2, ties to the lowest code
+index) and ADC scores are exact integer arithmetic, bit-identical in
+Spark and the DuckDB oracle. Approximation lives ONLY in the PQ design
+itself (codes instead of vectors), never in engine nondeterminism.
+
+``train_pq_codebooks`` runs per-subspace Lloyd iterations on a driver
+sample (seeded, deterministic) — the standard PQ trainer; codebooks are
+tiny (m*k*dsub ints) and broadcast as literals into the plan, like the
+IVF centroid table.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1000.0  # integer grid for embedding quantization
+
+
+def quantized_vec(vec: Column, dim: int) -> Column:
+    """``array<long>`` of floor(double(x)*1000) per element — the exact
+    cross-engine representation all PQ arithmetic runs on."""
+    return F.array(
+        *[
+            F.floor(F.element_at(vec, i).cast("double") * F.lit(SCALE)).cast("long")
+            for i in range(1, dim + 1)
+        ]
+    )
+
+
+def sql_quantized_vec(expr: str, dim: int) -> str:
+    els = ", ".join(
+        f"CAST(FLOOR(CAST(({expr})[{i}] AS DOUBLE) * {SCALE}) AS BIGINT)"
+        for i in range(1, dim + 1)
+    )
+    return f"[{els}]"
+
+
+def random_codebooks(
+    m: int, k: int, dsub: int, lo: int, hi: int, seed: int = 42
+) -> list[list[list[int]]]:
+    """Deterministic integer codebooks on [lo, hi] — the data-free
+    fallback (and the gate's literal codebooks)."""
+    rng = random.Random(seed)
+    return [
+        [[rng.randint(lo, hi) for _ in range(dsub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int,
+    k: int,
+    seed: int = 42,
+    sample_n: int = 10_000,
+    iters: int = 10,
+) -> list[list[list[int]]]:
+    """Per-subspace Lloyd k-means on a deterministic driver sample,
+    returning integer codebooks on the quantized grid. Sample choice is
+    content-hash-free here (head of a seeded sort) because training only
+    affects QUALITY, never correctness — assignment/ADC stay exact for
+    any codebook."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_n).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    Xq = np.floor(X * SCALE)
+    dim = Xq.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        S = Xq[:, j * dsub : (j + 1) * dsub]
+        cents = S[rng.choice(len(S), size=k, replace=len(S) < k)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = S[assign == c]
+                if len(pts):
+                    cents[c] = np.floor(pts.mean(axis=0))
+        books.append([[int(v) for v in c] for c in cents])
+    return books
+
+
+def _sub_dist(qv: Column, cb_entry: Sequence[int], j: int, dsub: int) -> Column:
+    def _sq(t: int) -> Column:
+        diff = F.element_at(qv, j * dsub + t + 1) - F.lit(int(cb_entry[t]))
+        return diff * diff  # stays in long — integer-exact, no pow/double
+
+    terms = [_sq(t) for t in range(dsub)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def assign_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: Sequence[Sequence[Sequence[int]]],
+    dim: int,
+) -> DataFrame:
+    """The index build: map-only codes table ``(id, code_0..code_{m-1})``.
+    Argmin of integer squared-L2 per subspace; ties to the lowest code
+    index (struct-ordered array_min)."""
+    m, dsub = len(codebooks), dim // len(codebooks)
+    qv = quantized_vec(F.col(vec_col), dim).alias("_qv")
+    base = df.select(F.col(id_col).alias("vec_id"), qv)
+    cols = []
+    for j in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sub_dist(F.col("_qv"), codebooks[j][c], j, dsub).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(len(codebooks[j]))
+            ]
+        )
+        cols.append(F.array_min(cands)["c"].alias(f"code_{j}"))
+    return base.select("vec_id", *cols)
+
+
+def adc_lut(
+    query: Sequence[int], codebooks: Sequence[Sequence[Sequence[int]]]
+) -> list[list[int]]:
+    """Per-subspace distance lookup table for one integer query vector —
+    computed driver-side (m*k ints), broadcast as literals."""
+    m = len(codebooks)
+    dsub = len(query) // m
+    return [
+        [
+            sum(
+                (int(query[j * dsub + t]) - int(codebooks[j][c][t])) ** 2
+                for t in range(dsub)
+            )
+            for c in range(len(codebooks[j]))
+        ]
+        for j in range(m)
+    ]
+
+
+def adc_topk(
+    codes: DataFrame,
+    queries: Sequence[tuple[int, Sequence[int]]],
+    codebooks: Sequence[Sequence[Sequence[int]]],
+    k: int,
+) -> DataFrame:
+    """Approximate top-k per query over the codes table: ADC score =
+    sum_j lut_j[code_j], ties by vec_id. Map-only scan + TakeOrdered per
+    query — no shuffle, no full sort."""
+    outs = []
+    for qid, qvec in queries:
+        lut = adc_lut(qvec, codebooks)
+        dist = None
+        for j, row in enumerate(lut):
+            term = F.element_at(
+                F.array(*[F.lit(int(v)) for v in row]), F.col(f"code_{j}") + 1
+            )
+            dist = term if dist is None else dist + term
+        scored = codes.select(
+            F.lit(qid).alias("query_id"),
+            "vec_id",
+            dist.cast("long").alias("adc_dist"),
+        )
+        outs.append(scored.orderBy("adc_dist", "vec_id").limit(k))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors — keep in lockstep with the Spark expressions
+# ---------------------------------------------------------------------------
+
+def sql_assign_codes(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    codebooks: Sequence[Sequence[Sequence[int]]],
+    dim: int,
+) -> str:
+    """CTE text computing the same codes table (argmin via list_position
+    of the list minimum — first occurrence = lowest code index)."""
+    m, dsub = len(codebooks), dim // len(codebooks)
+    code_cols = []
+    for j in range(m):
+        ds = []
+        for c in range(len(codebooks[j])):
+            terms = " + ".join(
+                f"(qv[{j * dsub + t + 1}] - ({int(codebooks[j][c][t])}))"
+                f" * (qv[{j * dsub + t + 1}] - ({int(codebooks[j][c][t])}))"
+                for t in range(dsub)
+            )
+            ds.append(f"({terms})")
+        lst = f"[{', '.join(ds)}]"
+        code_cols.append(
+            f"(list_position({lst}, list_min({lst})) - 1) AS code_{j}"
+        )
+    return (
+        f"WITH qvt AS (SELECT {id_expr} AS vec_id, "
+        f"{sql_quantized_vec(vec_expr, dim)} AS qv FROM {table}),\n"
+        f"codes AS (SELECT vec_id, {', '.join(code_cols)} FROM qvt)"
+    )
+
+
+def sql_adc_topk(
+    codes_cte: str,
+    queries: Sequence[tuple[int, Sequence[int]]],
+    codebooks: Sequence[Sequence[Sequence[int]]],
+    k: int,
+) -> str:
+    selects = []
+    for qid, qvec in queries:
+        lut = adc_lut(qvec, codebooks)
+        dist = " + ".join(
+            f"([{', '.join(str(v) for v in row)}])[code_{j} + 1]"
+            for j, row in enumerate(lut)
+        )
+        selects.append(
+            f"(SELECT {qid} AS query_id, vec_id, CAST({dist} AS BIGINT) AS adc_dist"
+            f" FROM codes ORDER BY adc_dist, vec_id LIMIT {k})"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"{codes_cte}\nSELECT * FROM ({body}) ORDER BY query_id, adc_dist, vec_id"

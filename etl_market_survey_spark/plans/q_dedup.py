@@ -931,3 +931,51 @@ def q114_editdist_join(spark, sf_dir):
     return edit_distance_self_join(cust, "c_custkey", "c_name", d=_Q114_D).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — product quantization ANN (operators/pq): embeddings quantized to
+# the integer grid, codes assigned against literal codebooks (argmin of
+# integer squared-L2, ties to the lowest code), then ADC top-10 for three
+# literal queries via per-query lookup tables. Every number is integer
+# arithmetic over literals, so the ENTIRE index-build + scoring chain is
+# SQL-replayable — the approximation is PQ's design, not the engine.
+# ---------------------------------------------------------------------------
+
+_Q117_DIM, _Q117_M, _Q117_K = 64, 4, 16
+_Q117_TOPK = 10
+
+
+def _q117_setup():
+    import random as _r
+
+    from ..operators.pq import random_codebooks
+
+    books = random_codebooks(_Q117_M, _Q117_K, _Q117_DIM // _Q117_M, -530, 460, seed=117)
+    rng = _r.Random(1170)
+    queries = [
+        (qid, [rng.randint(-530, 460) for _ in range(_Q117_DIM)]) for qid in range(3)
+    ]
+    return books, queries
+
+
+def _q117_oracle() -> str:
+    from ..operators.pq import sql_adc_topk, sql_assign_codes
+
+    books, queries = _q117_setup()
+    codes_cte = sql_assign_codes(
+        "embeddings", "vec_id", "embedding", books, _Q117_DIM
+    )
+    return sql_adc_topk(codes_cte, queries, books, _Q117_TOPK)
+
+
+@register("q117_pq_adc_topk", _q117_oracle())
+def q117_pq_adc_topk(spark, sf_dir):
+    from ..operators.pq import adc_topk, assign_codes
+
+    books, queries = _q117_setup()
+    emb = load(spark, sf_dir, "embeddings")
+    codes = assign_codes(emb, "vec_id", "embedding", books, _Q117_DIM)
+    return adc_topk(codes, queries, books, _Q117_TOPK).orderBy(
+        "query_id", "adc_dist", "vec_id"
+    )
