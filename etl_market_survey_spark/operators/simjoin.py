@@ -83,6 +83,66 @@ def _sets_and_prefixes(
     return sets, prefixes
 
 
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """Directed containment pairs: all ``(id_a, id_b)``, ``a != b``, with
+    ``|tokens_a ∩ tokens_b| >= (t_num/t_den) * |tokens_a|`` — exactly.
+    The quote/subset detector: a is (nearly) contained in b.
+
+    One-sided prefix filter: overlap >= ceil(t*n_a) forces at least one
+    of a's ``n_a - ceil(t*n_a) + 1`` rarest tokens to appear in b (if
+    none did, overlap <= ceil(t*n_a) - 1). So only a's prefix joins the
+    full inverted index of b — at t=1 that is a SINGLE token per record.
+    The filter prunes; an exact integer array_intersect verify decides.
+    Output: ``(id_a, id_b, inter, n_a)``.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    toks_all = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.col(token_col))).alias("token"),
+    )
+    freq = toks_all.groupBy("token").agg(F.count("*").alias("freq"))
+    by_rarity = (
+        toks_all.join(freq, "token")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("freq", "token"))).alias("_st"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("tokens", F.transform("_st", lambda x: x["token"]))
+        # prefix for containment: n - ceil(t*n) + 1 over n_a only
+        .withColumn("p", _prefix_len(F.col("n"), t_num, t_den))
+    )
+    sets = by_rarity.select("_id", "tokens", "n")
+    a_prefix = by_rarity.select(
+        F.col("_id").alias("id_a"),
+        F.explode(F.slice("tokens", 1, F.col("p").cast("int"))).alias("token"),
+    )
+    cand = (
+        a_prefix.join(toks_all.select(F.col("_id").alias("id_b"), "token"), "token")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(
+        F.col("_id").alias("id_a"), F.col("tokens").alias("_ta"), F.col("n").alias("n_a")
+    )
+    b = sets.select(F.col("_id").alias("id_b"), F.col("tokens").alias("_tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
+        .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("n_a"))
+        .select("id_a", "id_b", "inter", "n_a")
+    )
+
+
 def similarity_self_join(
     df: DataFrame,
     id_col: str,

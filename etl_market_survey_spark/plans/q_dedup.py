@@ -979,3 +979,43 @@ def q117_pq_adc_topk(spark, sf_dir):
     return adc_topk(codes, queries, books, _Q117_TOPK).orderBy(
         "query_id", "adc_dist", "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — exact containment join (operators/simjoin.containment_join):
+# directed near-subset pairs |A∩B| >= 0.9|A| over word-token sets — the
+# quote/contained-document detector. Spark joins only each record's
+# n - ceil(0.9 n) + 1 rarest tokens against the inverted index and
+# verifies with integer array_intersect; the oracle is the quadratic
+# brute force, proving the one-sided prefix filter lossless.
+# ---------------------------------------------------------------------------
+
+_Q118_NUM, _Q118_DEN = 9, 10
+
+_Q118_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS inter,
+       CAST(len(a.toks) AS BIGINT) AS n_a
+FROM t a JOIN t b ON a.doc_id != b.doc_id
+WHERE {_Q118_DEN} * len(list_intersect(a.toks, b.toks)) >= {_Q118_NUM} * len(a.toks)
+ORDER BY id_a, id_b
+"""
+
+
+@register("q118_containment_join", _Q118_ORACLE)
+def q118_containment_join(spark, sf_dir):
+    from ..operators.simjoin import containment_join
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    out = containment_join(docs, "id", "toks", _Q118_NUM, _Q118_DEN)
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("inter").cast("int").alias("inter"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+    ).orderBy("id_a", "id_b")

@@ -89,3 +89,54 @@ def test_threshold_validation(spark):
         similarity_self_join(df, "id", "toks", 0, 5)
     with pytest.raises(ValueError):
         similarity_self_join(df, "id", "toks", 6, 5)
+
+
+def _brute_containment(rows, t_num, t_den):
+    out = set()
+    for (ia, ta) in rows:
+        for (ib, tb) in rows:
+            if ia == ib:
+                continue
+            inter = len(set(ta) & set(tb))
+            if t_den * inter >= t_num * len(set(ta)):
+                out.add((ia, ib))
+    return out
+
+
+def test_containment_matches_brute_force(spark):
+    from etl_market_survey_spark.operators.simjoin import containment_join
+
+    rows = [
+        (1, ["a", "b", "c"]),
+        (2, ["a", "b", "c", "d", "e"]),   # 1 fully contained in 2
+        (3, ["a", "b", "x"]),             # C(3->2) = 2/3
+        (4, ["z"]),
+        (5, ["z", "q"]),                  # 4 contained in 5
+        (6, ["a", "b", "c"]),             # mutual containment with 1
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    for t_num, t_den in ((1, 1), (9, 10), (2, 3), (1, 2)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_join(df, "id", "toks", t_num, t_den).collect()
+        }
+        assert got == _brute_containment(rows, t_num, t_den), (t_num, t_den)
+
+
+def test_containment_randomized(spark):
+    import random
+
+    from etl_market_survey_spark.operators.simjoin import containment_join
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, rng.sample(vocab, rng.randint(1, 8))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    for t_num, t_den in ((1, 1), (3, 4)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_join(df, "id", "toks", t_num, t_den).collect()
+        }
+        assert got == _brute_containment(rows, t_num, t_den), (t_num, t_den)
