@@ -336,3 +336,56 @@ def q106_streaming_quantile(spark, sf_dir):
     return spark.createDataFrame(
         [(got[0.5], got[0.9], sk.n)], "p50 double, p90 double, n bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — streaming session windows: the native session_window state
+# machine (dynamic [min_ts, max_ts + gap) windows merged incrementally
+# across micro-batches) drained in complete mode, vs the batch islands
+# replay (lag > gap starts a session — the boundary-inclusive merge
+# semantics the units pin) in DuckDB, with exact-decimal value sums.
+# ---------------------------------------------------------------------------
+
+_Q119_GAP = "2 hours"
+
+
+def _q119_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    return f"""
+WITH d AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '{_Q119_GAP}'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '{_Q119_GAP}' AS session_end,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("q119_streaming_sessions", _q119_oracle())
+def q119_streaming_sessions(spark, sf_dir):
+    from ..streaming.events import read_event_stream, run_available_now
+    from ..streaming.sessions import session_rollup
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    sess = session_rollup(stream, gap=_Q119_GAP)
+    name = run_available_now(
+        sess, f"q119_sessions_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
+    return spark.table(name).orderBy("user_id", "session_start")
