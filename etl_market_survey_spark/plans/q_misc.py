@@ -743,3 +743,99 @@ def q115_incremental_view(spark, sf_dir):
     )
     view = merge_partials(view, retractions, keys, cols)
     return finalize(view, cols).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q121 — exact triangle counting (operators/triangles): the co-presence
+# graph (users sharing an (event_type, 10-minute bucket)) -> degree-
+# ordered orientation -> wedge join closed by the third edge, per-node
+# triangle counts. Orientation bounds wedge volume at O(m^1.5) (Suri &
+# Vassilvitskii) — the oracle is the brute-force triple join over the
+# same canonical edge set.
+# ---------------------------------------------------------------------------
+
+_Q121_BUCKET_NS = 600 * 10**9
+
+_Q121_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT user_id, event_type, epoch_ns(ts) // {_Q121_BUCKET_NS} AS h
+  FROM events
+),
+e AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+                   AND x.user_id < y.user_id
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, COUNT(*) AS n_tri
+FROM (SELECT x AS node FROM tri UNION ALL
+      SELECT y FROM tri UNION ALL
+      SELECT z FROM tri)
+GROUP BY node
+ORDER BY node
+"""
+
+
+@register("q121_triangle_count", _Q121_ORACLE)
+def q121_triangle_count(spark, sf_dir):
+    from ..operators.triangles import canonical_edges, node_triangle_counts
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.expr(f"ts div {_Q121_BUCKET_NS}").alias("h")
+    ).distinct()
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(F.col("x.user_id").alias("a"), F.col("y.user_id").alias("b"))
+    )
+    edges = canonical_edges(pairs, "a", "b")
+    return node_triangle_counts(edges).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q120 — constraint audit (operators/audit): the per-ingest data-quality
+# gate — row count, null discipline, key-uniqueness violations (the
+# synthetic lineitem HAS duplicate (l_orderkey, l_linenumber) pairs),
+# and FK orphans against orders/part — one row, bounded passes.
+# ---------------------------------------------------------------------------
+
+_Q120_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+  (SELECT SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) FROM lineitem) AS nulls_l_quantity,
+  (SELECT SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) FROM lineitem) AS nulls_l_returnflag,
+  (SELECT COUNT(*) FROM (
+     SELECT l_orderkey, l_linenumber FROM lineitem
+     GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS dupkeys_l_orderkey_l_linenumber,
+  (SELECT COUNT(*) FROM lineitem li
+   WHERE li.l_orderkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)) AS orphans_l_orderkey,
+  (SELECT COUNT(*) FROM lineitem li
+   WHERE li.l_partkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = li.l_partkey)) AS orphans_l_partkey
+"""
+
+
+@register("q120_constraint_audit", _Q120_ORACLE)
+def q120_constraint_audit(spark, sf_dir):
+    from ..operators.audit import constraint_audit
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    return constraint_audit(
+        li,
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+        fks=[("l_orderkey", orders, "o_orderkey"), ("l_partkey", part, "p_partkey")],
+        not_null=["l_quantity", "l_returnflag"],
+    )
