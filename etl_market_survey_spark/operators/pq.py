@@ -104,9 +104,17 @@ def train_pq_codebooks(
     return books
 
 
-def _sub_dist(qv: Column, cb_entry: Sequence[int], j: int, dsub: int) -> Column:
+def _qel(vec: Column, i: int) -> Column:
+    # one quantized element straight off the stored array — NEVER build an
+    # intermediate array<long> here: projection collapse would inline the
+    # whole 64-element construction into every candidate reference
+    # (~1000x recompute; measured 10x wall-time on the codes build)
+    return F.floor(F.element_at(vec, i).cast("double") * F.lit(SCALE)).cast("long")
+
+
+def _sub_dist(vec: Column, cb_entry: Sequence[int], j: int, dsub: int) -> Column:
     def _sq(t: int) -> Column:
-        diff = F.element_at(qv, j * dsub + t + 1) - F.lit(int(cb_entry[t]))
+        diff = _qel(vec, j * dsub + t + 1) - F.lit(int(cb_entry[t]))
         return diff * diff  # stays in long — integer-exact, no pow/double
 
     terms = [_sq(t) for t in range(dsub)]
@@ -122,26 +130,73 @@ def assign_codes(
     vec_col: str,
     codebooks: Sequence[Sequence[Sequence[int]]],
     dim: int,
+    impl: str = "arrow",
 ) -> DataFrame:
     """The index build: map-only codes table ``(id, code_0..code_{m-1})``.
     Argmin of integer squared-L2 per subspace; ties to the lowest code
-    index (struct-ordered array_min)."""
+    index.
+
+    ``impl='arrow'`` (default) runs the batch numpy kernel — int64
+    arithmetic on the same floor(double*1000) grid, np.argmin's
+    first-minimum tie rule — bit-identical to the expression path and to
+    the SQL mirror, but without the pathologically large generated-code
+    method the m*k*dsub expression tree costs to JIT (measured: compile
+    time, not row throughput, dominated the expression variant).
+    ``impl='expr'`` keeps the pure-Catalyst plan (struct-ordered
+    array_min), useful as the in-engine cross-check."""
+    if impl == "arrow":
+        return _assign_codes_arrow(df, id_col, vec_col, codebooks, dim)
     m, dsub = len(codebooks), dim // len(codebooks)
-    qv = quantized_vec(F.col(vec_col), dim).alias("_qv")
-    base = df.select(F.col(id_col).alias("vec_id"), qv)
+    vec = F.col(vec_col)
     cols = []
     for j in range(m):
         cands = F.array(
             *[
                 F.struct(
-                    _sub_dist(F.col("_qv"), codebooks[j][c], j, dsub).alias("d"),
+                    _sub_dist(vec, codebooks[j][c], j, dsub).alias("d"),
                     F.lit(c).alias("c"),
                 )
                 for c in range(len(codebooks[j]))
             ]
         )
         cols.append(F.array_min(cands)["c"].alias(f"code_{j}"))
-    return base.select("vec_id", *cols)
+    return df.select(F.col(id_col).alias("vec_id"), *cols)
+
+
+def _assign_codes_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: Sequence[Sequence[Sequence[int]]],
+    dim: int,
+) -> DataFrame:
+    import numpy as np
+
+    m, dsub = len(codebooks), dim // len(codebooks)
+    books = [np.asarray(b, dtype=np.int64) for b in codebooks]
+    schema = ", ".join(
+        ["vec_id long"] + [f"code_{j} int" for j in range(m)]
+    )
+
+    def _kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            X = np.stack(pdf[vec_col].to_numpy())
+            # same grid as the SQL mirror: floor(double(x) * SCALE)
+            Xq = np.floor(X.astype(np.float64) * SCALE).astype(np.int64)
+            out = {"vec_id": ids}
+            for j in range(m):
+                S = Xq[:, j * dsub : (j + 1) * dsub]          # (n, dsub)
+                diff = S[:, None, :] - books[j][None, :, :]   # (n, k, dsub)
+                d2 = (diff * diff).sum(axis=2)                # int64-exact
+                out[f"code_{j}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        _kernel, schema=schema
+    )
 
 
 def adc_lut(
@@ -170,9 +225,16 @@ def adc_topk(
     k: int,
 ) -> DataFrame:
     """Approximate top-k per query over the codes table: ADC score =
-    sum_j lut_j[code_j], ties by vec_id. Map-only scan + TakeOrdered per
-    query — no shuffle, no full sort."""
-    outs = []
+    sum_j lut_j[code_j], ties by vec_id.
+
+    ONE scan scores the whole query batch (per-query LUT lookups emitted
+    as an exploded (query_id, dist) array per row — scanning the codes
+    table n_q times would repay the index build per query); the per-query
+    top-k rides the WindowGroupLimit rewrite, so each map task trims to k
+    per query before the only (tiny) shuffle."""
+    from .windows import top_k_per_group
+
+    per_query = []
     for qid, qvec in queries:
         lut = adc_lut(qvec, codebooks)
         dist = None
@@ -181,16 +243,15 @@ def adc_topk(
                 F.array(*[F.lit(int(v)) for v in row]), F.col(f"code_{j}") + 1
             )
             dist = term if dist is None else dist + term
-        scored = codes.select(
-            F.lit(qid).alias("query_id"),
-            "vec_id",
-            dist.cast("long").alias("adc_dist"),
+        per_query.append(
+            F.struct(F.lit(qid).alias("query_id"), dist.cast("long").alias("adc_dist"))
         )
-        outs.append(scored.orderBy("adc_dist", "vec_id").limit(k))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    exploded = codes.select(
+        "vec_id", F.explode(F.array(*per_query)).alias("q")
+    ).select("vec_id", F.col("q.query_id").alias("query_id"), F.col("q.adc_dist").alias("adc_dist"))
+    return top_k_per_group(
+        exploded, ["query_id"], [F.col("adc_dist"), F.col("vec_id")], k, rank_col="_rk"
+    ).drop("_rk").select("query_id", "vec_id", "adc_dist")
 
 
 # ---------------------------------------------------------------------------

@@ -90,3 +90,24 @@ def test_trained_recall_on_clustered_data(spark):
     # PQ is lossy; on well-clustered data trained codebooks should still
     # recover most of the true top-10
     assert len(set(got) & set(int(i) for i in exact)) >= 5
+
+
+def test_arrow_and_expr_impls_identical(spark):
+    rng = random.Random(99)
+    dim, m, k = 16, 4, 8
+    vecs = _vecs(rng, 80, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    books = [
+        [[rng.randint(-500, 500) for _ in range(dim // m)] for _ in range(k)]
+        for _ in range(m)
+    ]
+    a = sorted(
+        tuple(r) for r in assign_codes(df, "vec_id", "embedding", books, dim, impl="arrow").collect()
+    )
+    e = sorted(
+        tuple(r) for r in assign_codes(df, "vec_id", "embedding", books, dim, impl="expr").collect()
+    )
+    assert a == e
