@@ -42,6 +42,10 @@ HEADLINE = [
     "q93_bm25",
     "q96_similarity_join",
     "q97_pagerank",
+    "q115_incremental_view",
+    "q116_corpus_mix",
+    "q117_pq_adc_topk",
+    "q119_streaming_sessions",
 ]
 
 

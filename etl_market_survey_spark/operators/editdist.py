@@ -80,8 +80,11 @@ def edit_distance_self_join(
     )
 
     grams = recs.select(
-        "_id", "_len", F.explode(positional_qgrams(F.col("_txt"), q)).alias("g")
-    ).select("_id", "_len", F.col("g.gram").alias("gram"), F.col("g.pos").alias("pos"))
+        "_id", "_len", "_txt",
+        F.explode(positional_qgrams(F.col("_txt"), q)).alias("g"),
+    ).select(
+        "_id", "_len", "_txt", F.col("g.gram").alias("gram"), F.col("g.pos").alias("pos")
+    )
 
     # Global gram frequencies -> per-record rarity order -> q*d+1 prefix.
     freq = grams.groupBy("gram").agg(F.count("*").alias("freq"))
@@ -94,20 +97,30 @@ def edit_distance_self_join(
             ),
         )
         .filter(F.col("_rk") <= prefix_len)
-        .select("_id", "_len", "gram")
+        .select("_id", "_len", "_txt", "gram")
     )
 
-    long_cand = (
+    # Verify-before-dedup: the strings ride the prefix index (short by
+    # the nature of edit-distance workloads), so every candidate row
+    # already holds both texts and the bounded levenshtein (early exit at
+    # d+1, O(d*len)) runs INLINE on the join output — cheaper than the
+    # alternative of distinct-ing ~10^7 near-unique candidate pairs and
+    # re-joining ids back to texts twice (measured 4x on zero-padded
+    # ids, where prefix grams are weakly selective). The final distinct
+    # runs on the small verified set only.
+    long_pairs = (
         prefixes.select(
-            F.col("_id").alias("id_a"), F.col("_len").alias("len_a"), "gram"
+            F.col("_id").alias("id_a"), F.col("_len").alias("len_a"),
+            F.col("_txt").alias("_txt_a"), "gram",
         )
         .join(
             prefixes.select(
-                F.col("_id").alias("id_b"), F.col("_len").alias("len_b"), "gram"
+                F.col("_id").alias("id_b"), F.col("_len").alias("len_b"),
+                F.col("_txt").alias("_txt_b"), "gram",
             ),
             "gram",
         )
-        # NOTE: no positional filter here — the prefix-intersection lemma
+        # NOTE: no positional filter — the prefix-intersection lemma
         # guarantees shared gram CONTENT in the prefixes, not that this
         # particular occurrence pair is the alignment-surviving one, so a
         # |pos_a - pos_b| <= d cut could drop a true pair. Length filter
@@ -116,38 +129,37 @@ def edit_distance_self_join(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .withColumn("dist", F.levenshtein("_txt_a", "_txt_b", d))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
     )
 
     # Shorts: gram guarantee void -> brute candidates within the length
     # filter (broadcast; the short set is bounded by construction).
     shorts = recs.filter(F.col("_len") < min_safe_len)
-    short_cand = (
+    short_pairs = (
         F.broadcast(
-            shorts.select(F.col("_id").alias("id_s"), F.col("_len").alias("len_s"))
+            shorts.select(
+                F.col("_id").alias("id_s"), F.col("_len").alias("len_s"),
+                F.col("_txt").alias("_txt_s"),
+            )
         )
-        .crossJoin(recs.select(F.col("_id").alias("id_o"), F.col("_len").alias("len_o")))
+        .crossJoin(recs)
         .filter(
-            (F.col("id_s") != F.col("id_o"))
-            & (F.abs(F.col("len_s") - F.col("len_o")) <= d)
+            (F.col("id_s") != F.col("_id"))
+            & (F.abs(F.col("len_s") - F.col("_len")) <= d)
         )
+        .withColumn("dist", F.levenshtein("_txt_s", "_txt", d))
+        .filter(F.col("dist") >= 0)
         .select(
-            F.least("id_s", "id_o").alias("id_a"),
-            F.greatest("id_s", "id_o").alias("id_b"),
+            F.least("id_s", "_id").alias("id_a"),
+            F.greatest("id_s", "_id").alias("id_b"),
+            "dist",
         )
+    )
+
+    return (
+        long_pairs.unionByName(short_pairs)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
         .distinct()
     )
-
-    cand = long_cand.unionByName(short_cand).distinct()
-
-    a = recs.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_txt_a"))
-    b = recs.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"))
-    verified = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        # bounded levenshtein: early-exits at d+1, returns -1 past it
-        .withColumn("dist", F.levenshtein("_txt_a", "_txt_b", d))
-        .filter(F.col("dist") >= 0)
-    )
-    return verified.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
