@@ -839,3 +839,69 @@ def q120_constraint_audit(spark, sf_dir):
         fks=[("l_orderkey", orders, "o_orderkey"), ("l_partkey", part, "p_partkey")],
         not_null=["l_quantity", "l_returnflag"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — k-core decomposition (operators/kcore): iterative peeling of the
+# co-presence graph at k=19 (fixpoint after 5 cascading rounds on this
+# data). The oracle unrolls 8 peel rounds as CTE stages — peeling is
+# idempotent at the fixpoint, so unrolled-past-convergence equals the
+# operator's early-exit loop exactly.
+# ---------------------------------------------------------------------------
+
+_Q122_K = 19
+_Q122_ROUNDS = 8
+
+
+def _q122_oracle() -> str:
+    head = f"""
+WITH b AS (
+  SELECT DISTINCT user_id, event_type, epoch_ns(ts) // {_Q121_BUCKET_NS} AS h
+  FROM events
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+                   AND x.user_id < y.user_id
+)"""
+    stages = []
+    for i in range(_Q122_ROUNDS):
+        stages.append(f""",
+n{i} AS MATERIALIZED (
+  SELECT node FROM (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+  GROUP BY node HAVING COUNT(*) >= {_Q122_K}
+),
+e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT node FROM n{i}) AND b IN (SELECT node FROM n{i})
+)""")
+    final = f"""
+SELECT node, COUNT(*) AS deg
+FROM (SELECT a AS node FROM e{_Q122_ROUNDS} UNION ALL SELECT b FROM e{_Q122_ROUNDS})
+GROUP BY node HAVING COUNT(*) >= {_Q122_K}
+ORDER BY node
+"""
+    return head + "".join(stages) + final
+
+
+@register("q122_kcore", _q122_oracle())
+def q122_kcore(spark, sf_dir):
+    from ..operators.kcore import k_core
+    from ..operators.triangles import canonical_edges
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.expr(f"ts div {_Q121_BUCKET_NS}").alias("h")
+    ).distinct()
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(F.col("x.user_id").alias("a"), F.col("y.user_id").alias("b"))
+    )
+    edges = canonical_edges(pairs, "a", "b")
+    return k_core(edges, _Q122_K).orderBy("node")

@@ -87,3 +87,56 @@ def test_constraint_audit_seeded_violations(spark):
     assert row.nulls_qty == 1 and row.nulls_label == 1
     assert row.dupkeys_fk_ln == 1
     assert row.orphans_fk == 1
+
+
+def test_kcore_known_graph(spark):
+    from etl_market_survey_spark.operators.kcore import k_core
+
+    # K5 clique + a tail 4-5-... chain: 3-core = the clique only
+    k5 = list(itertools.combinations(range(5), 2))
+    tail = [(4, 10), (10, 11), (11, 12)]
+    df = canonical_edges(_edges_df(spark, k5 + tail), "a", "b")
+    core = {(r.node, r.deg) for r in k_core(df, 3).collect()}
+    assert core == {(n, 4) for n in range(5)}
+    # 5-core of K5 is empty (max degree 4)
+    assert k_core(df, 5).count() == 0
+
+
+def test_kcore_cascade(spark):
+    from etl_market_survey_spark.operators.kcore import k_core
+
+    # path graph: 2-core empty, but peeling cascades from the endpoints
+    path = [(i, i + 1) for i in range(12)]
+    df = canonical_edges(_edges_df(spark, path), "a", "b")
+    assert k_core(df, 2).count() == 0
+    # cycle: 2-core is the whole cycle
+    cycle = path + [(12, 0)]
+    df2 = canonical_edges(_edges_df(spark, cycle), "a", "b")
+    core = {r.node: r.deg for r in k_core(df2, 2).collect()}
+    assert core == {n: 2 for n in range(13)}
+
+
+def test_kcore_matches_brute_force(spark):
+    from etl_market_survey_spark.operators.kcore import k_core
+
+    rng = random.Random(31)
+    pairs = {(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(90)}
+    df = canonical_edges(_edges_df(spark, list(pairs)), "a", "b")
+    for k in (2, 3, 4, 5):
+        es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            ns = {(a, b) for a, b in es if a in keep and b in keep}
+            if ns == es:
+                break
+            es = ns
+        want = {}
+        for a, b in es:
+            want[a] = want.get(a, 0) + 1
+            want[b] = want.get(b, 0) + 1
+        got = {r.node: r.deg for r in k_core(df, k).collect()}
+        assert got == want, k
