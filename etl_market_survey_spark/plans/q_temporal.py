@@ -512,3 +512,36 @@ def q111_pattern_captures(spark, sf_dir):
         "t_step2",
         "t_step3",
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q123 — grid resampling with linear interpolation (operators/resample):
+# each user's irregular event series lands on a daily grid, values
+# linearly interpolated between bracketing events. One exchange, two
+# window fills, int64 timestamp deltas before any double cast, one
+# fixed-rounding interpolation expression — replayed verbatim by the
+# oracle.
+# ---------------------------------------------------------------------------
+
+_Q123_STEP_NS = 86_400 * 10**9  # 1 day
+
+
+def _q123_oracle() -> str:
+    from ..operators.resample import sql_resample_linear
+
+    return (
+        sql_resample_linear(
+            "events", "user_id", "epoch_ns(ts)", "value", _Q123_STEP_NS, "event_id"
+        )
+        + " ORDER BY user_id, ts_grid"
+    )
+
+
+@register("q123_resample_interp", _q123_oracle())
+def q123_resample_interp(spark, sf_dir):
+    from ..operators.resample import resample_linear
+
+    ev = load(spark, sf_dir, "events")
+    return resample_linear(
+        ev, "user_id", "ts", "value", _Q123_STEP_NS, seq_col="event_id"
+    ).orderBy("user_id", "ts_grid")
