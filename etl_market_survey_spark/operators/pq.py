@@ -258,6 +258,46 @@ def adc_topk(
 # DuckDB oracle mirrors — keep in lockstep with the Spark expressions
 # ---------------------------------------------------------------------------
 
+def sql_codes_cte(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    groups: Sequence[tuple[str, int, int, Sequence[Sequence[int]]]],
+    dim: int,
+) -> str:
+    """CTE text computing argmin-code columns (list_position of the list
+    minimum — first occurrence = lowest index). ``groups`` entries are
+    ``(col_name, dim_offset, dsub, codebook)`` — heterogeneous, so a
+    full-dim coarse quantizer (IVF cell) and per-subspace PQ codes can
+    share one pass.
+
+    Emitted as lambda list arithmetic over literal codebook arrays (NOT
+    unrolled per-term expressions: a few thousand unrolled squared terms
+    blew DuckDB's optimizer memory), with the distance lists materialized
+    once before the argmin stage."""
+    dist_cols = []
+    code_cols = []
+    for name, off, dsub, book in groups:
+        lits = ", ".join(
+            "[" + ", ".join(str(int(v)) for v in entry) + "]" for entry in book
+        )
+        sub = f"qv[{off + 1}:{off + dsub}]"
+        dist_cols.append(
+            f"list_transform([{lits}], c -> list_sum(list_transform("
+            f"range(1, {dsub + 1}), i -> ({sub}[i] - c[i]) * ({sub}[i] - c[i])"
+            f"))) AS d_{name}"
+        )
+        code_cols.append(
+            f"(list_position(d_{name}, list_min(d_{name})) - 1) AS {name}"
+        )
+    return (
+        f"WITH qvt AS MATERIALIZED (SELECT {id_expr} AS vec_id, "
+        f"{sql_quantized_vec(vec_expr, dim)} AS qv FROM {table}),\n"
+        f"dists AS MATERIALIZED (SELECT vec_id, {', '.join(dist_cols)} FROM qvt),\n"
+        f"codes AS (SELECT vec_id, {', '.join(code_cols)} FROM dists)"
+    )
+
+
 def sql_assign_codes(
     table: str,
     id_expr: str,
@@ -265,28 +305,12 @@ def sql_assign_codes(
     codebooks: Sequence[Sequence[Sequence[int]]],
     dim: int,
 ) -> str:
-    """CTE text computing the same codes table (argmin via list_position
-    of the list minimum — first occurrence = lowest code index)."""
+    """CTE text mirroring :func:`assign_codes` (uniform subspaces)."""
     m, dsub = len(codebooks), dim // len(codebooks)
-    code_cols = []
-    for j in range(m):
-        ds = []
-        for c in range(len(codebooks[j])):
-            terms = " + ".join(
-                f"(qv[{j * dsub + t + 1}] - ({int(codebooks[j][c][t])}))"
-                f" * (qv[{j * dsub + t + 1}] - ({int(codebooks[j][c][t])}))"
-                for t in range(dsub)
-            )
-            ds.append(f"({terms})")
-        lst = f"[{', '.join(ds)}]"
-        code_cols.append(
-            f"(list_position({lst}, list_min({lst})) - 1) AS code_{j}"
-        )
-    return (
-        f"WITH qvt AS (SELECT {id_expr} AS vec_id, "
-        f"{sql_quantized_vec(vec_expr, dim)} AS qv FROM {table}),\n"
-        f"codes AS (SELECT vec_id, {', '.join(code_cols)} FROM qvt)"
-    )
+    groups = [
+        (f"code_{j}", j * dsub, dsub, codebooks[j]) for j in range(m)
+    ]
+    return sql_codes_cte(table, id_expr, vec_expr, groups, dim)
 
 
 def sql_adc_topk(
@@ -305,6 +329,106 @@ def sql_adc_topk(
         selects.append(
             f"(SELECT {qid} AS query_id, vec_id, CAST({dist} AS BIGINT) AS adc_dist"
             f" FROM codes ORDER BY adc_dist, vec_id LIMIT {k})"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"{codes_cte}\nSELECT * FROM ({body}) ORDER BY query_id, adc_dist, vec_id"
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composition (the FAISS serving shape: coarse quantizer prunes
+# the scan to nprobe cells, PQ codes make the scan cheap)
+# ---------------------------------------------------------------------------
+
+def cell_of(query: Sequence[int], centroids: Sequence[Sequence[int]]) -> list[int]:
+    """Centroid indices sorted by ascending integer L2 (ties to the
+    lower index) — driver-side, exact; used for nprobe probe sets."""
+    dists = [
+        (sum((int(q) - int(c[t])) ** 2 for t, q in enumerate(query)), i)
+        for i, c in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(dists)]
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    queries: Sequence[tuple[int, Sequence[int]]],
+    codebooks: Sequence[Sequence[Sequence[int]]],
+    centroids: Sequence[Sequence[int]],
+    nprobe: int,
+    k: int,
+) -> DataFrame:
+    """Serve ADC top-k from an IVF-pruned codes table.
+
+    ``index`` carries ``vec_id``, ``cell`` (from ``assign_codes`` with
+    ``[centroids]`` as a one-subspace codebook — the coarse quantizer IS
+    a PQ with m=1) and ``code_j`` columns. Each query scores ONLY rows
+    whose cell is among its nprobe nearest centroids; one scan serves the
+    whole query batch (a per-query cell predicate gates each LUT entry,
+    nulls compacted away before the explode), top-k rides
+    WindowGroupLimit. Recall loss is exactly the IVF blocking — the gate
+    pins it with literal centroids, so approximation is still
+    deterministic design, not engine noise.
+    """
+    from .windows import top_k_per_group
+
+    per_query = []
+    for qid, qvec in queries:
+        probes = cell_of(qvec, centroids)[:nprobe]
+        lut = adc_lut(qvec, codebooks)
+        dist = None
+        for j, row in enumerate(lut):
+            term = F.element_at(
+                F.array(*[F.lit(int(v)) for v in row]), F.col(f"code_{j}") + 1
+            )
+            dist = term if dist is None else dist + term
+        per_query.append(
+            F.when(
+                F.col("cell").isin([int(p) for p in probes]),
+                F.struct(
+                    F.lit(qid).alias("query_id"), dist.cast("long").alias("adc_dist")
+                ),
+            )
+        )
+    exploded = (
+        index.select("vec_id", F.explode(F.array_compact(F.array(*per_query))).alias("q"))
+        .select(
+            "vec_id",
+            F.col("q.query_id").alias("query_id"),
+            F.col("q.adc_dist").alias("adc_dist"),
+        )
+    )
+    return (
+        top_k_per_group(
+            exploded, ["query_id"], [F.col("adc_dist"), F.col("vec_id")], k, rank_col="_rk"
+        )
+        .drop("_rk")
+        .select("query_id", "vec_id", "adc_dist")
+    )
+
+
+def sql_ivf_pq_topk(
+    codes_cte: str,
+    queries: Sequence[tuple[int, Sequence[int]]],
+    codebooks: Sequence[Sequence[Sequence[int]]],
+    centroids: Sequence[Sequence[int]],
+    nprobe: int,
+    k: int,
+) -> str:
+    """DuckDB mirror: same probe sets (computed by the same driver-side
+    integer arithmetic), same LUTs, same tie order."""
+    selects = []
+    for qid, qvec in queries:
+        probes = cell_of(qvec, centroids)[:nprobe]
+        lut = adc_lut(qvec, codebooks)
+        dist = " + ".join(
+            f"([{', '.join(str(v) for v in row)}])[code_{j} + 1]"
+            for j, row in enumerate(lut)
+        )
+        in_list = ", ".join(str(int(p)) for p in probes)
+        selects.append(
+            f"(SELECT {qid} AS query_id, vec_id, CAST({dist} AS BIGINT) AS adc_dist"
+            f" FROM codes WHERE cell IN ({in_list})"
+            f" ORDER BY adc_dist, vec_id LIMIT {k})"
         )
     body = " UNION ALL ".join(selects)
     return f"{codes_cte}\nSELECT * FROM ({body}) ORDER BY query_id, adc_dist, vec_id"

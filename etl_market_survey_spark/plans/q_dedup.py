@@ -1019,3 +1019,65 @@ def q118_containment_join(spark, sf_dir):
         F.col("id_a"), F.col("id_b"), F.col("inter").cast("int").alias("inter"),
         F.col("n_a").cast("bigint").alias("n_a"),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q125 — IVF + PQ serving composition (the FAISS shape): a coarse
+# quantizer (8 literal integer centroids — a PQ with m=1) prunes each
+# query's scan to its nprobe=2 nearest cells; PQ codes answer with ADC.
+# One scan serves the query batch. Centroids, codebooks, probe sets and
+# LUTs are identical integer literals in both engines, so the chain —
+# cell assignment, code assignment, pruning, scoring, tie order — is
+# SQL-replayable end to end.
+# ---------------------------------------------------------------------------
+
+_Q125_NPROBE, _Q125_TOPK = 2, 10
+_Q125_NCELLS = 8
+
+
+def _q125_setup():
+    import random as _r
+
+    from ..operators.pq import random_codebooks
+
+    books = random_codebooks(_Q125_M, _Q125_K, _Q117_DIM // _Q125_M, -530, 460, seed=125)
+    cents = [
+        [_r.Random(1250 + i).randint(-300, 300) for _ in range(_Q117_DIM)]
+        for i in range(_Q125_NCELLS)
+    ]
+    rng = _r.Random(12500)
+    queries = [
+        (qid, [rng.randint(-530, 460) for _ in range(_Q117_DIM)]) for qid in range(3)
+    ]
+    return books, cents, queries
+
+
+_Q125_M, _Q125_K = 4, 16
+
+
+def _q125_oracle() -> str:
+    from ..operators.pq import sql_codes_cte, sql_ivf_pq_topk
+
+    books, cents, queries = _q125_setup()
+    dsub = _Q117_DIM // _Q125_M
+    groups = [("cell", 0, _Q117_DIM, cents)] + [
+        (f"code_{j}", j * dsub, dsub, books[j]) for j in range(_Q125_M)
+    ]
+    cte = sql_codes_cte("embeddings", "vec_id", "embedding", groups, _Q117_DIM)
+    return sql_ivf_pq_topk(cte, queries, books, cents, _Q125_NPROBE, _Q125_TOPK)
+
+
+@register("q125_ivf_pq_topk", _q125_oracle())
+def q125_ivf_pq_topk(spark, sf_dir):
+    from ..operators.pq import assign_codes, ivf_pq_topk
+
+    books, cents, queries = _q125_setup()
+    emb = load(spark, sf_dir, "embeddings")
+    codes = assign_codes(emb, "vec_id", "embedding", books, _Q117_DIM)
+    cells = assign_codes(emb, "vec_id", "embedding", [cents], _Q117_DIM).withColumnRenamed(
+        "code_0", "cell"
+    )
+    index = codes.join(cells, "vec_id")
+    return ivf_pq_topk(
+        index, queries, books, cents, _Q125_NPROBE, _Q125_TOPK
+    ).orderBy("query_id", "adc_dist", "vec_id")

@@ -389,3 +389,62 @@ def q119_streaming_sessions(spark, sf_dir):
         sess, f"q119_sessions_{uuid.uuid4().hex[:8]}", output_mode="complete"
     )
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# q124 — hopping (sliding) windows: the built-in window(ts, 6h, 2h)
+# assigns each event to size/slide = 3 overlapping windows. The oracle
+# replays the assignment arithmetically (window starts = floor(ts/slide)
+# - k*slide for k in 0..2, epoch-aligned like Spark's windowing) with
+# exact-decimal value sums. Batch here; the same expression is the
+# streaming rollup shape of streaming/events.windowed_counts.
+# ---------------------------------------------------------------------------
+
+_Q124_SIZE_NS = 6 * 3600 * 10**9
+_Q124_SLIDE_NS = 2 * 3600 * 10**9
+
+
+def _q124_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    return f"""
+WITH assigned AS (
+  SELECT make_timestamp(((epoch_ns(ts) // {_Q124_SLIDE_NS}) - k)
+                        * {_Q124_SLIDE_NS} // 1000) AS window_start,
+         event_type, value
+  FROM events
+  CROSS JOIN (SELECT unnest(range(0, {_Q124_SIZE_NS // _Q124_SLIDE_NS})) AS k)
+)
+SELECT window_start,
+       window_start + INTERVAL '6 hours' AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM assigned
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("q124_hopping_windows", _q124_oracle())
+def q124_hopping_windows(spark, sf_dir):
+    from ..functions.stats import dsum
+    from ..streaming.events import with_event_time
+
+    from .registry import load
+
+    ev = with_event_time(load(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.window("event_time", "6 hours", "2 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -111,3 +111,44 @@ def test_arrow_and_expr_impls_identical(spark):
         tuple(r) for r in assign_codes(df, "vec_id", "embedding", books, dim, impl="expr").collect()
     )
     assert a == e
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark):
+    from etl_market_survey_spark.operators.pq import cell_of, ivf_pq_topk
+
+    rng = random.Random(41)
+    dim, m, k, ncells = 8, 2, 4, 3
+    vecs = _vecs(rng, 60, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    books = [
+        [[rng.randint(-400, 400) for _ in range(dim // m)] for _ in range(k)]
+        for _ in range(m)
+    ]
+    cents = [[rng.randint(-300, 300) for _ in range(dim)] for _ in range(ncells)]
+    codes = assign_codes(df, "vec_id", "embedding", books, dim)
+    cells = assign_codes(df, "vec_id", "embedding", [cents], dim).withColumnRenamed(
+        "code_0", "cell"
+    )
+    index = codes.join(cells, "vec_id")
+    queries = [(0, [rng.randint(-400, 400) for _ in range(dim)])]
+    full = sorted(
+        (r.query_id, r.vec_id, r.adc_dist)
+        for r in ivf_pq_topk(index, queries, books, cents, ncells, 10).collect()
+    )
+    plain = sorted(
+        (r.query_id, r.vec_id, r.adc_dist)
+        for r in adc_topk(codes, queries, books, 10).collect()
+    )
+    assert full == plain  # nprobe = all cells -> IVF prunes nothing
+
+    # nprobe monotonicity: results are always drawn from probed cells,
+    # and growing nprobe only adds candidates (each vec's ADC is fixed)
+    n1 = {r.vec_id for r in ivf_pq_topk(index, queries, books, cents, 1, 60).collect()}
+    n2 = {r.vec_id for r in ivf_pq_topk(index, queries, books, cents, 2, 60).collect()}
+    assert n1 <= n2
+    probe1 = cell_of(queries[0][1], cents)[:1]
+    in_cell = {r.vec_id for r in index.filter(index.cell.isin(probe1)).collect()}
+    assert n1 == in_cell  # k large enough -> exactly the probed cell
