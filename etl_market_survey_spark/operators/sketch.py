@@ -387,3 +387,19 @@ def sql_theta_bounds(k: int, num_std: float = 2.0) -> dict[str, str]:
         "lb": f"GREATEST({est} - {z!r} * {sd}, {float(k)!r})",
         "ub": f"({est} + {z!r} * {sd})",
     }
+
+
+def kmv_merge_agg(hs_col: str | Column, k: int) -> Column:
+    """Aggregate expression merging KMV sketch rows UP a grouping
+    hierarchy: union all hashes, keep the k smallest distinct — the
+    defining mergeability of KMV (merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B), exactly, saturated or not). JVM array expressions
+    end to end; the exchange carries <= k hashes per input sketch.
+
+    This is what makes one fine-grain sketch pass serve EVERY rollup
+    level: distinct counts for (a, b), (a) and () derive from the same
+    base sketches without touching the input again."""
+    c = F.col(hs_col) if isinstance(hs_col, str) else hs_col
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))), 1, k
+    )

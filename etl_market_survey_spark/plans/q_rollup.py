@@ -304,3 +304,59 @@ def q103_kmv_grouped_algebra(spark, sf_dir):
         )
         .orderBy("f1", "f2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — KMV sketch algebra across a rollup hierarchy: ONE sketch pass
+# over customers at (nation, segment) grain, then sketches merge up to
+# (nation) and () by array algebra — the input is never rescanned for
+# the coarser levels. Unsaturated here (1500 customers << k), so every
+# level's estimate is the exact distinct count and the DuckDB GROUPING
+# SETS oracle matches bit-for-bit; at 100 TB the same plan degrades to
+# ~1/sqrt(k) estimates with the exchange still bounded at k hashes per
+# group.
+# ---------------------------------------------------------------------------
+
+_Q126_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) AS n_distinct,
+       CAST(GROUPING(c_nationkey) AS INT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+FROM customer
+GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_nationkey), ())
+ORDER BY g_nation, g_segment, c_nationkey, c_mktsegment
+"""
+
+
+@register("q126_kmv_rollup", _Q126_ORACLE)
+def q126_kmv_rollup(spark, sf_dir):
+    from ..operators.sketch import kmv_estimate_col, kmv_grouped, kmv_merge_agg
+
+    k = 16384
+    cust = load(spark, sf_dir, "customer")
+    base = kmv_grouped(cust, ["c_nationkey", "c_mktsegment"], "c_custkey", k=k)
+
+    lvl2 = base.select(
+        "c_nationkey", "c_mktsegment",
+        kmv_estimate_col(F.col("hs"), k).alias("n_distinct"),
+        F.lit(0).alias("g_nation"), F.lit(0).alias("g_segment"),
+    )
+    by_nation = base.groupBy("c_nationkey").agg(kmv_merge_agg("hs", k).alias("hs"))
+    lvl1 = by_nation.select(
+        "c_nationkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        kmv_estimate_col(F.col("hs"), k).alias("n_distinct"),
+        F.lit(0).alias("g_nation"), F.lit(1).alias("g_segment"),
+    )
+    total = by_nation.agg(kmv_merge_agg("hs", k).alias("hs"))
+    lvl0 = total.select(
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        kmv_estimate_col(F.col("hs"), k).alias("n_distinct"),
+        F.lit(1).alias("g_nation"), F.lit(1).alias("g_segment"),
+    )
+    return (
+        lvl2.unionByName(lvl1)
+        .unionByName(lvl0)
+        .orderBy("g_nation", "g_segment", "c_nationkey", "c_mktsegment")
+    )

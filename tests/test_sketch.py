@@ -167,3 +167,26 @@ def test_kmv_grouped_matches_driver_sketch(spark):
     grouped_hs = kmv_grouped(df, ["g"], "v", k=k).collect()[0]["hs"]
     driver_sk = kmv_build(df, "v", k=k)
     assert list(grouped_hs) == list(driver_sk.hashes)
+
+
+def test_kmv_merge_agg_equals_rebuild(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) — exactly, saturated
+    or not (the property that lets one sketch pass serve every rollup
+    level)."""
+    from pyspark.sql import functions as F
+
+    from etl_market_survey_spark.operators.sketch import kmv_grouped, kmv_merge_agg
+
+    rows = [(f"g{i % 7}", f"v{i % 401}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    for k in (16, 4096):  # saturated and unsaturated
+        fine = kmv_grouped(df, ["g"], "v", k=k)
+        merged = sorted(
+            fine.agg(kmv_merge_agg("hs", k).alias("hs")).collect()[0].hs
+        )
+        rebuilt = sorted(
+            kmv_grouped(df.withColumn("g", F.lit("all")), ["g"], "v", k=k)
+            .collect()[0]
+            .hs
+        )
+        assert merged == rebuilt, k
