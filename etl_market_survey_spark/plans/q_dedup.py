@@ -1081,3 +1081,60 @@ def q125_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(
         index, queries, books, cents, _Q125_NPROBE, _Q125_TOPK
     ).orderBy("query_id", "adc_dist", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q128 — exact longest common substring per candidate pair
+# (operators/lcs): the precision refinement of span dedup. The Spark
+# side is a numpy run-length DP in mapInPandas (the sanctioned Python
+# path); the oracle does NOT trust it — it recomputes every pair's LCS
+# as a recursive CTE walking diagonal character-match runs (each match
+# visited exactly once), so the kernel's answer is proven, not assumed.
+# Candidate pairs here: (doc_id d, d + 450) for d < 50.
+# ---------------------------------------------------------------------------
+
+_Q128_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+  SELECT d.doc_id AS id_a, d.doc_id + 450 AS id_b
+  FROM documents d WHERE d.doc_id < 50
+),
+chars AS MATERIALIZED (
+  SELECT doc_id, i, text[i:i] AS c
+  FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i)
+  WHERE doc_id < 50 OR doc_id >= 450
+),
+matches AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, a.i AS i, b.i AS j
+  FROM pairs p
+  JOIN chars a ON a.doc_id = p.id_a
+  JOIN chars b ON b.doc_id = p.id_b AND b.c = a.c
+),
+runs AS (
+  SELECT m.id_a, m.id_b, m.i, m.j, 1 AS len
+  FROM matches m
+  WHERE NOT EXISTS (SELECT 1 FROM matches p
+                    WHERE p.id_a = m.id_a AND p.id_b = m.id_b
+                      AND p.i = m.i - 1 AND p.j = m.j - 1)
+  UNION ALL
+  SELECT r.id_a, r.id_b, m.i, m.j, r.len + 1
+  FROM runs r JOIN matches m
+    ON m.id_a = r.id_a AND m.id_b = r.id_b
+   AND m.i = r.i + 1 AND m.j = r.j + 1
+)
+SELECT p.id_a, p.id_b, COALESCE(MAX(r.len), 0) AS lcs_len
+FROM pairs p LEFT JOIN runs r ON r.id_a = p.id_a AND r.id_b = p.id_b
+GROUP BY p.id_a, p.id_b
+ORDER BY p.id_a
+"""
+
+
+@register("q128_lcs_pairs", _Q128_ORACLE)
+def q128_lcs_pairs(spark, sf_dir):
+    from ..operators.lcs import lcs_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 450).alias("id_b")
+    )
+    return lcs_pairs(pairs, docs, "doc_id", "text").orderBy("id_a")

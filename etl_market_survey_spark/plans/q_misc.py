@@ -905,3 +905,43 @@ def q122_kcore(spark, sf_dir):
     )
     edges = canonical_edges(pairs, "a", "b")
     return k_core(edges, _Q122_K).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q127 — null-aware anti join: NOT IN over a subquery is NOT a plain
+# left_anti when the probe key can be NULL (UNKNOWN drops the row).
+# Probe keys are synthesized NULL for urgent orders; the plan compiles
+# to Spark's BroadcastHashJoin(..., NullAwareAntiJoin) and both engines
+# agree on the three-valued logic row for row.
+# ---------------------------------------------------------------------------
+
+_Q127_ORACLE = """
+WITH probe AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_custkey END AS k,
+         o_orderstatus
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n
+FROM probe
+WHERE k NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("q127_null_aware_anti", _Q127_ORACLE)
+def q127_null_aware_anti(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_q127_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_q127_customer")
+    return spark.sql("""
+WITH probe AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_custkey END AS k,
+         o_orderstatus
+  FROM _q127_orders
+)
+SELECT o_orderstatus, COUNT(*) AS n
+FROM probe
+WHERE k NOT IN (SELECT c_custkey FROM _q127_customer WHERE c_acctbal < 0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""")
