@@ -101,3 +101,42 @@ def pack_sequences(
     return scanned.withColumn(
         bin_col, F.expr(f"_excl div {budget}").cast("long")
     ).drop("_excl")
+
+
+def distributed_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    out: str = "rank",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global 1-based rank over the total order ``(value_col,
+    tiebreak_cols...)`` — the two-phase scan specialized to counting:
+    order-preserving coarse buckets on the numeric value, per-bucket
+    counts exclusive-scanned on the driver (B numbers), within-bucket
+    row_number in parallel. Every row gets exactly the rank a
+    single-reducer ``row_number() OVER (ORDER BY ...)`` would emit.
+    The tiebreak must make the composite order total."""
+    mn, mx = df.agg(F.min(value_col), F.max(value_col)).first()
+    if mn is None:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    span = float(mx) - float(mn) + 1.0
+    bucket = (
+        (F.col(value_col).cast("double") - F.lit(float(mn))) * n_buckets / F.lit(span)
+    ).cast("int")
+    b = df.withColumn("_rb", bucket)
+    totals = {
+        r["_rb"]: r["_n"]
+        for r in b.groupBy("_rb").agg(F.count("*").alias("_n")).collect()
+    }
+    run, offsets = 0, []
+    for rb in sorted(totals):
+        offsets.append((rb, run))
+        run += totals[rb]
+    off = df.sparkSession.createDataFrame(offsets, "_rb int, _off long")
+    w = Window.partitionBy("_rb").orderBy(value_col, *tiebreak_cols)
+    return (
+        b.join(F.broadcast(off), "_rb")
+        .withColumn(out, F.row_number().over(w) + F.col("_off"))
+        .drop("_rb", "_off")
+    )

@@ -227,3 +227,97 @@ def q116_corpus_mix(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     out = weighted_mix(docs, "source", _Q116_WEIGHTS, _Q116_TOTAL, ["doc_id"])
     return out.select("doc_id", "source", "mix_key")
+
+
+# ---------------------------------------------------------------------------
+# q129 — rendezvous sharding (operators/sharding): stable shard
+# assignment by highest-random-weight. The gate computes each doc's
+# shard at S=7 AND S=8 and groups by the transition — every relocated
+# key must land on the NEW shard 7 (the rendezvous stability law;
+# modulo-hashing would scatter them), and the assignment replays
+# bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _q129_oracle() -> str:
+    from ..operators.sharding import sql_assign_shards
+
+    s7 = sql_assign_shards(["doc_id"], 7)
+    s8 = sql_assign_shards(["doc_id"], 8)
+    return f"""
+SELECT {s7} AS shard7, {s8} AS shard8, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q129_rendezvous_shards", _q129_oracle())
+def q129_rendezvous_shards(spark, sf_dir):
+    from ..operators.sharding import assign_shards
+
+    docs = load(spark, sf_dir, "documents")
+    out = assign_shards(
+        assign_shards(docs, ["doc_id"], 7, out="shard7"), ["doc_id"], 8, out="shard8"
+    )
+    return (
+        out.groupBy("shard7", "shard8")
+        .agg(F.count("*").alias("n"))
+        .orderBy("shard7", "shard8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — cross-source quantile normalization (operators/qnorm): every
+# source's n_chars distribution maps onto the pooled distribution (a row
+# at its source's p-th percentile takes the pooled value at p). Pooled
+# ranks ride the two-phase distributed_rank (no global window); the
+# bracketing index and fraction are exact integer div/mod, and the one
+# interpolation expression replays verbatim in the oracle's
+# window-function formulation.
+# ---------------------------------------------------------------------------
+
+_Q130_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+pooled AS (
+  SELECT n_chars AS pv,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS i
+  FROM documents
+),
+pairs AS (
+  SELECT p.i, p.pv, n.pv AS pv_next
+  FROM pooled p LEFT JOIN pooled n ON n.i = p.i + 1
+),
+pos AS (
+  SELECT doc_id, source, n_chars, rk, ns,
+         CASE WHEN ns > 1
+              THEN ((rk - 1) * ((SELECT COUNT(*) FROM documents) - 1)) // (ns - 1)
+              ELSE 0 END AS lo0,
+         CASE WHEN ns > 1
+              THEN ((rk - 1) * ((SELECT COUNT(*) FROM documents) - 1)) % (ns - 1)
+              ELSE 0 END AS rem
+  FROM ranked
+)
+SELECT s.doc_id, s.source, s.n_chars,
+       CASE WHEN s.rem = 0 THEN CAST(q.pv AS DOUBLE)
+            ELSE CAST(q.pv AS DOUBLE)
+                 + CAST(q.pv_next - q.pv AS DOUBLE)
+                   * (CAST(s.rem AS DOUBLE) / CAST(s.ns - 1 AS DOUBLE))
+       END AS norm_value
+FROM pos s JOIN pairs q ON q.i = s.lo0 + 1
+ORDER BY s.doc_id
+"""
+
+
+@register("q130_quantile_normalize", _Q130_ORACLE)
+def q130_quantile_normalize(spark, sf_dir):
+    from ..operators.qnorm import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    out = quantile_normalize(docs, "source", "n_chars", ["doc_id"])
+    return out.select("doc_id", "source", "n_chars", "norm_value").orderBy("doc_id")
