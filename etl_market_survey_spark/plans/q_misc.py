@@ -945,3 +945,58 @@ WHERE k NOT IN (SELECT c_custkey FROM _q127_customer WHERE c_acctbal < 0)
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """)
+
+
+# ---------------------------------------------------------------------------
+# q131 — co-occurrence itemsets with lift (the A-priori first level):
+# part pairs bought in the same order with support >= 3, scored by
+# lift = N * c(a,b) / (c(a) * c(b)). Baskets are distinct-itemized
+# before pairing (duplicate lineitems must not inflate support); pair
+# explosion is quadratic in basket size — bounded here by order width,
+# the documented lever at scale (cap basket length or df-prune hot
+# items BEFORE pairing; the support filter itself cannot be pushed
+# below the pair count).
+# ---------------------------------------------------------------------------
+
+_Q131_MINSUP = 3
+
+_Q131_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b),
+ic AS (SELECT p, COUNT(*) AS c FROM b GROUP BY p),
+pc AS (
+  SELECT a.p AS part_a, b2.p AS part_b, COUNT(*) AS support
+  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q131_MINSUP}
+)
+SELECT part_a, part_b, support,
+       CAST(n.n_orders * pc.support AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE) AS lift
+FROM pc, n
+JOIN ic ia ON ia.p = pc.part_a
+JOIN ic ib ON ib.p = pc.part_b
+ORDER BY part_a, part_b
+"""
+
+
+@register("q131_cooccurrence", _Q131_ORACLE)
+def q131_cooccurrence(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    n_orders = b.select("o").distinct().count()
+    ic = b.groupBy("p").agg(F.count("*").alias("c"))
+    pc = (
+        b.alias("a")
+        .join(b.alias("b2"), (F.col("a.o") == F.col("b2.o")) & (F.col("a.p") < F.col("b2.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b2.p").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _Q131_MINSUP)
+    )
+    lift = (F.lit(n_orders) * F.col("support")).cast("double") / (
+        F.col("ca") * F.col("cb")
+    ).cast("double")
+    return (
+        pc.join(ic.select(F.col("p").alias("part_a"), F.col("c").alias("ca")), "part_a")
+        .join(ic.select(F.col("p").alias("part_b"), F.col("c").alias("cb")), "part_b")
+        .select("part_a", "part_b", "support", lift.alias("lift"))
+        .orderBy("part_a", "part_b")
+    )
