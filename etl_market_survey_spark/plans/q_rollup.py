@@ -360,3 +360,50 @@ def q126_kmv_rollup(spark, sf_dir):
         .unionByName(lvl0)
         .orderBy("g_nation", "g_segment", "c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — sliding window distinct via KMV merge: daily sketches of active
+# users are built ONCE, then every 7-day trailing window merges its 7
+# sketches by array algebra — no rescan of events per window (the
+# COUNT(DISTINCT) OVER sliding-window query that engines cannot
+# incrementalize). Unsaturated here ⇒ exact, matching the oracle's
+# brute-force per-window distinct counts.
+# ---------------------------------------------------------------------------
+
+_Q132_DAY_NS = 86_400 * 10**9
+_Q132_WIN = 7
+
+_Q132_ORACLE = f"""
+WITH d AS (SELECT DISTINCT epoch_ns(ts) // {_Q132_DAY_NS} AS day FROM events)
+SELECT d.day,
+       CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+             WHERE epoch_ns(e.ts) // {_Q132_DAY_NS} BETWEEN d.day - {_Q132_WIN - 1} AND d.day
+            ) AS DOUBLE) AS n_distinct
+FROM d
+ORDER BY d.day
+"""
+
+
+@register("q132_sliding_distinct", _Q132_ORACLE)
+def q132_sliding_distinct(spark, sf_dir):
+    from ..operators.sketch import kmv_estimate_col, kmv_grouped, kmv_merge_agg
+
+    k = 16384
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr(f"ts div {_Q132_DAY_NS}")
+    )
+    daily = kmv_grouped(ev, ["day"], "user_id", k=k)
+    windows = (
+        daily.select(F.col("day").alias("src_day"), "hs")
+        .join(
+            daily.select(F.col("day").alias("day")),
+            (F.col("src_day") >= F.col("day") - (_Q132_WIN - 1))
+            & (F.col("src_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(kmv_merge_agg("hs", k).alias("hs"))
+    )
+    return windows.select(
+        "day", kmv_estimate_col(F.col("hs"), k).alias("n_distinct")
+    ).orderBy("day")

@@ -545,3 +545,128 @@ def q123_resample_interp(spark, sf_dir):
     return resample_linear(
         ev, "user_id", "ts", "value", _Q123_STEP_NS, seq_col="event_id"
     ).orderBy("user_id", "ts_grid")
+
+
+# ---------------------------------------------------------------------------
+# q133 — geometric-weight moving average (the bounded-horizon EWMA a
+# monitoring rollup wants): per user over event-time order, the last 4
+# observations weighted 8/4/2/1. Exact: values land on the 1e-6 decimal
+# grid BEFORE weighting, weights are integer powers of two, and partial
+# heads renormalize over the weights actually present — one double
+# division at the end, replayed verbatim by the oracle.
+# ---------------------------------------------------------------------------
+
+_Q133_H = 4
+
+
+def _q133_pieces(engine: str):
+    # weight 2^(H-1) for the current row, halving per step back
+    num, den = [], []
+    for i in range(_Q133_H):
+        w = 2 ** (_Q133_H - 1 - i)
+        if engine == "sql":
+            v = f"lag(vq, {i}) OVER w" if i else "vq"
+            num.append(f"COALESCE({v} * {w}, 0)")
+            den.append(f"(CASE WHEN {v} IS NOT NULL THEN {w} ELSE 0 END)")
+        else:
+            v = F.lag("vq", i).over(_q133_w()) if i else F.col("vq")
+            num.append(F.coalesce(v * w, F.lit(0)).cast("decimal(38,0)"))
+            den.append(F.when(v.isNotNull(), F.lit(w)).otherwise(F.lit(0)))
+    return num, den
+
+
+def _q133_w():
+    from pyspark.sql.window import Window
+
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@register(
+    "q133_weighted_moving_avg",
+    f"""
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)) AS vq
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST({' + '.join(_q133_pieces('sql')[0])} AS DOUBLE)
+       / (1000000.0 * ({' + '.join(_q133_pieces('sql')[1])})) AS wma
+FROM q
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def q133_weighted_moving_avg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "vq", F.floor(F.col("value") * 1000000.0).cast("decimal(38,0)")
+    )
+    num, den = _q133_pieces("spark")
+    total_num = num[0]
+    for n in num[1:]:
+        total_num = total_num + n
+    total_den = den[0]
+    for d in den[1:]:
+        total_den = total_den + d
+    wma = total_num.cast("double") / (F.lit(1000000.0) * total_den)
+    return ev.select("user_id", "event_id", wma.alias("wma")).orderBy(
+        "user_id", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134 — interval apportionment (operators/intervals): each order's
+# fulfillment span [o_orderdate, max(l_shipdate)) spreads over 7-day
+# epochs by exact overlap; per-epoch totals answer "active fulfillment
+# time per week" with no calendar join. All int64 ns arithmetic; the
+# oracle replays the explode arithmetically.
+# ---------------------------------------------------------------------------
+
+_Q134_BUCKET_NS = 7 * 86_400 * 10**9
+
+_Q134_ORACLE = f"""
+WITH iv AS (
+  SELECT o.o_orderkey,
+         epoch_ns(o.o_orderdate) AS s,
+         epoch_ns(MAX(l.l_shipdate)) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+x AS (
+  SELECT o_orderkey, s, e,
+         unnest(range(s // {_Q134_BUCKET_NS}, (e - 1) // {_Q134_BUCKET_NS} + 1)) AS bucket
+  FROM iv WHERE e > s
+),
+ap AS (
+  SELECT bucket,
+         LEAST(e, (bucket + 1) * {_Q134_BUCKET_NS})
+         - GREATEST(s, bucket * {_Q134_BUCKET_NS}) AS overlap_ns
+  FROM x
+)
+SELECT bucket, SUM(overlap_ns) AS total_ns, COUNT(*) AS n_intervals
+FROM ap WHERE overlap_ns > 0
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("q134_interval_apportion", _Q134_ORACLE)
+def q134_interval_apportion(spark, sf_dir):
+    from ..operators.intervals import apportion_intervals, bucket_totals
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("_maxship"))
+        .select(
+            "o_orderkey",
+            # scans surface TIMESTAMP_NTZ; the container runs UTC, so the
+            # cast is a no-op relabel and matches DuckDB's epoch_ns
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias("s"),
+            (F.unix_micros(F.col("_maxship").cast("timestamp")) * 1000).alias("e"),
+        )
+    )
+    ap = apportion_intervals(iv, "s", "e", _Q134_BUCKET_NS)
+    return bucket_totals(ap).orderBy("bucket")

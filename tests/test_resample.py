@@ -61,3 +61,43 @@ def test_layout_invariance(spark):
     ka = sorted((r.k, r.ts_grid, r.value) for r in a.collect())
     kb = sorted((r.k, r.ts_grid, r.value) for r in b.collect())
     assert ka == kb
+
+
+def test_interval_apportionment_known(spark):
+    from etl_market_survey_spark.operators.intervals import (
+        apportion_intervals,
+        bucket_totals,
+    )
+
+    rows = [
+        (1, 5, 25),    # spans buckets 0,1,2 with 5/10/5
+        (2, 10, 20),   # exactly bucket 1
+        (3, 7, 7),     # zero-length -> nothing
+        (4, 29, 31),   # crosses 2|3 boundary: 1/1
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    ap = apportion_intervals(df, "s", "e", 10, keep_cols=("id",))
+    got = {(r.id, r.bucket): r.overlap_ns for r in ap.collect()}
+    assert got == {
+        (1, 0): 5, (1, 1): 10, (1, 2): 5,
+        (2, 1): 10,
+        (4, 2): 1, (4, 3): 1,
+    }
+    # conservation: per-interval overlap sums equal interval lengths
+    totals = {r.bucket: (r.total_ns, r.n_intervals) for r in bucket_totals(ap).collect()}
+    assert totals == {0: (5, 1), 1: (20, 2), 2: (6, 2), 3: (1, 1)}
+
+
+def test_interval_conservation_randomized(spark):
+    import random
+
+    from etl_market_survey_spark.operators.intervals import apportion_intervals
+    from pyspark.sql import functions as F
+
+    rng = random.Random(77)
+    rows = [(i, rng.randint(0, 500), rng.randint(0, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    ap = apportion_intervals(df, "s", "e", 37, keep_cols=("id",))
+    per_iv = {r.id: r.t for r in ap.groupBy("id").agg(F.sum("overlap_ns").alias("t")).collect()}
+    for i, s, e in rows:
+        assert per_iv.get(i, 0) == max(0, e - s), (i, s, e)
