@@ -77,8 +77,14 @@ def _sets_and_prefixes(
         .withColumn("p", _prefix_len(F.col("n"), t_num, t_den))
     )
     sets = by_rarity.select("_id", "tokens", "n")
+    # the full rarity-sorted token array rides the prefix index: candidate
+    # pairs then verify INLINE on the join output instead of distinct-ing
+    # ~10^5-10^7 near-unique id pairs and re-joining both sides' sets
+    # (the same measured win as the edit-distance join; payload is one
+    # small array per row)
     prefixes = by_rarity.select(
-        "_id", F.explode(F.slice("tokens", 1, F.col("p").cast("int"))).alias("token")
+        "_id", "tokens", "n",
+        F.explode(F.slice("tokens", 1, F.col("p").cast("int"))).alias("token"),
     )
     return sets, prefixes
 
@@ -161,26 +167,23 @@ def similarity_self_join(
     freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
     sets, prefixes = _sets_and_prefixes(df, id_col, token_col, freq, t_num, t_den)
 
-    cand = (
-        prefixes.select(F.col("_id").alias("id_a"), "token")
-        .join(prefixes.select(F.col("_id").alias("id_b"), "token"), "token")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = sets.select(
-        F.col("_id").alias("id_a"), F.col("tokens").alias("_ta"), F.col("n").alias("n_a")
-    )
-    b = sets.select(
-        F.col("_id").alias("id_b"), F.col("tokens").alias("_tb"), F.col("n").alias("n_b")
-    )
     verified = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        prefixes.select(
+            F.col("_id").alias("id_a"), F.col("tokens").alias("_ta"),
+            F.col("n").alias("n_a"), "token",
+        )
+        .join(
+            prefixes.select(
+                F.col("_id").alias("id_b"), F.col("tokens").alias("_tb"),
+                F.col("n").alias("n_b"), "token",
+            ),
+            "token",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
         .filter(
             F.lit(t_den) * F.col("inter")
             >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
         )
     )
-    return verified.select("id_a", "id_b", "inter", "n_a", "n_b")
+    return verified.select("id_a", "id_b", "inter", "n_a", "n_b").distinct()
