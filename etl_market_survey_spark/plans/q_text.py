@@ -623,3 +623,58 @@ def q113_tfidf_cosine(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     post = tfidf_postings(docs, "doc_id", "text")
     return tfidf_cosine_pairs(post, _Q113_MIN_SIM).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q135 — Python UDTF (Spark 4 table function API): one doc row expands
+# to one row per delimiter-bounded segment with its index and length —
+# the shape (flatMap with computed metadata) that pure explode makes
+# awkward. The UDTF yields per-partition without driver involvement;
+# the oracle replays the segmentation with list arithmetic. Coverage
+# for the last PySpark API family (UDTF) next to pandas_udf /
+# applyInPandas / mapInPandas / applyInPandasWithState.
+# ---------------------------------------------------------------------------
+
+_Q135_ORACLE = """
+WITH segs AS (
+  SELECT doc_id,
+         string_split(text, ' the ') AS parts
+  FROM documents WHERE doc_id < 100
+),
+x AS (
+  SELECT doc_id,
+         generate_subscripts(parts, 1) AS seg_idx,
+         unnest(parts) AS seg
+  FROM segs
+)
+SELECT doc_id, CAST(seg_idx - 1 AS INT) AS seg_idx, seg,
+       CAST(len(seg) AS INT) AS seg_len
+FROM x
+WHERE len(seg) > 0
+ORDER BY doc_id, seg_idx
+"""
+
+
+@register("q135_udtf_segments", _Q135_ORACLE)
+def q135_udtf_segments(spark, sf_dir):
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="seg_idx int, seg string, seg_len int")
+    class Segment:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, seg in enumerate(text.split(" the ")):
+                if seg:
+                    yield i, seg, len(seg)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("_q135_docs")
+    spark.udtf.register("segment_udtf", Segment)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seg_idx, s.seg, s.seg_len
+        FROM _q135_docs d, LATERAL segment_udtf(d.text) s
+        ORDER BY d.doc_id, s.seg_idx
+        """
+    )
