@@ -88,6 +88,39 @@ def merge_partials(
     return out.filter(F.col("_n") != 0) if drop_empty else out
 
 
+def merge_partials_join(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Join-based combine — semantically identical to
+    :func:`merge_partials` (equivalence unit-tested), but expressed as a
+    full-outer join + coalesced addition so a view STORED BUCKETED by
+    ``keys`` merges with ZERO exchange on the base side (the union +
+    groupBy form re-shuffles the whole view every refresh, because a
+    union discards each input's output partitioning). Use this form for
+    the materialized refresh path; the union form remains the simplest
+    for ad-hoc in-plan merging."""
+    d = delta
+    for c in ["_n"] + [f"_s_{c}" for c in cols]:
+        d = d.withColumnRenamed(c, f"{c}_d")
+    out = view.join(d, list(keys), "full_outer")
+    zero = F.lit(0).cast("decimal(38,0)")
+    merged_cols = [
+        (F.coalesce(F.col("_n"), F.lit(0)) + F.coalesce(F.col("_n_d"), F.lit(0))).alias("_n")
+    ]
+    for c in cols:
+        merged_cols.append(
+            (
+                F.coalesce(F.col(f"_s_{c}"), zero) + F.coalesce(F.col(f"_s_{c}_d"), zero)
+            ).alias(f"_s_{c}")
+        )
+    out = out.select(*keys, *merged_cols)
+    return out.filter(F.col("_n") != 0) if drop_empty else out
+
+
 def finalize(
     partials: DataFrame,
     cols: Sequence[str],

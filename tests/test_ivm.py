@@ -78,3 +78,53 @@ def test_min_max_insert_only(spark):
     )
     row = finalize(merged, ["x"], min_max=True).collect()[0]
     assert (row.min_x, row.max_x, row.n) == (1.0, 9.0, 3)
+
+
+def test_join_merge_equals_union_merge(spark):
+    from etl_market_survey_spark.operators.ivm import merge_partials_join
+
+    rng = random.Random(23)
+    rows = [(rng.choice("abcd"), rng.uniform(-50, 50)) for _ in range(300)]
+    view = sum_partials(_mk(spark, rows[:200]), ["k"], ["x"])
+    # delta includes retractions
+    ins = sum_partials(_mk(spark, rows[200:]), ["k"], ["x"])
+    ret = sum_partials(_mk(spark, rows[:30]), ["k"], ["x"], sign=F.lit(-1))
+    delta = merge_partials(ins, ret, ["k"], ["x"], drop_empty=False)
+    a = _collect(finalize(merge_partials(view, delta, ["k"], ["x"]), ["x"]))
+    b = _collect(finalize(merge_partials_join(view, delta, ["k"], ["x"]), ["x"]))
+    assert a == b
+
+
+def test_bucketed_view_merges_without_base_exchange(spark, tmp_path):
+    import uuid
+
+    from etl_market_survey_spark.operators.ivm import merge_partials_join
+    from etl_market_survey_spark.sources.writers import write_bucketed
+
+    rng = random.Random(29)
+    rows = [(f"k{rng.randint(0, 99)}", rng.uniform(0, 10)) for _ in range(2000)]
+    view = sum_partials(_mk(spark, rows), ["k"], ["x"])
+    t = f"ivm_view_{uuid.uuid4().hex[:8]}"
+    write_bucketed(view, t, ["k"], n_buckets=8)
+    try:
+        base = spark.table(t)
+        delta = sum_partials(_mk(spark, rows[:100]), ["k"], ["x"])
+        merged = merge_partials_join(base, delta, ["k"], ["x"])
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        # the bucketed base scan feeds the join with its on-disk hash
+        # layout: no Exchange anywhere on the base branch (the ":-"
+        # child of the join); the delta side keeps its own aggregation
+        # exchanges, which is the whole point — refresh cost is O(delta)
+        assert "Bucketed: true" in plan, plan[:2000]
+        base_branch = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":")]
+        assert base_branch and not any("Exchange" in ln for ln in base_branch), plan[:2000]
+        # and the merge is still correct
+        got = _collect(finalize(merged, ["x"]))
+        want = _collect(
+            finalize(
+                merge_partials(view, delta, ["k"], ["x"]), ["x"]
+            )
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
