@@ -1000,3 +1000,44 @@ def q131_cooccurrence(spark, sf_dir):
         .select("part_a", "part_b", "support", lift.alias("lift"))
         .orderBy("part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — deterministic grouped mode: the most frequent value per group
+# with an EXPLICIT tie rule (highest count, then lowest value). Native
+# mode() leaves ties engine-defined — unusable under a cross-engine
+# hash gate; the max_by-over-struct formulation pins it. Two map-side-
+# combined aggregations, no window.
+# ---------------------------------------------------------------------------
+
+_Q136_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_shipmode_x AS v, COUNT(*) AS n
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS l_shipmode_x FROM lineitem)
+  GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       arg_max(v, n * 256 - v) AS mode_qty,
+       MAX(n) AS mode_count
+FROM c
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q136_grouped_mode", _Q136_ORACLE)
+def q136_grouped_mode(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("v")
+    )
+    counts = li.groupBy("l_returnflag", "v").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            # composite numeric key: count dominates, lower value wins
+            # ties (v < 256 here, so the packing is unambiguous)
+            F.max_by("v", F.col("n") * 256 - F.col("v")).alias("mode_qty"),
+            F.max("n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
