@@ -40,9 +40,12 @@ def apportion_intervals(
         *keep_cols,
         s.alias("_s"),
         e.alias("_e"),
+        # floor division via pmod (`div` truncates toward zero, which
+        # disagrees with DuckDB's `//` for pre-1970 negative timestamps)
         F.explode(
             F.sequence(
-                F.expr(f"{start_col} div {b}"), F.expr(f"({end_col} - 1) div {b}")
+                F.expr(f"({start_col} - pmod({start_col}, {b})) div {b}"),
+                F.expr(f"(({end_col} - 1) - pmod({end_col} - 1, {b})) div {b}"),
             )
         ).alias("bucket"),
     )

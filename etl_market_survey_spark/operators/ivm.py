@@ -33,9 +33,41 @@ copy-on-write discipline of operators/merge.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Session confs the bucketed refresh path depends on. Two planner
+#: heuristics can silently reintroduce an exchange on the base branch:
+#: ``DisableUnnecessaryBucketedScan`` drops the bucketed scan whenever the
+#: bucket count disagrees with the join's target partitioning (it then
+#: plans a fresh shuffle), and a small delta can flip the join to
+#: broadcast, which also abandons the on-disk hash layout. Pin both while
+#: planning/executing a refresh so the zero-exchange contract is a plan
+#: property, not a heuristic accident.
+REFRESH_CONFS = {
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextmanager
+def bucketed_refresh(spark: SparkSession):
+    """Pin :data:`REFRESH_CONFS` for the duration of a bucketed view
+    refresh (plan + action), restoring prior values on exit. Use around
+    :func:`merge_partials_join` against a ``write_bucketed`` view."""
+    saved = {k: spark.conf.get(k, None) for k in REFRESH_CONFS}
+    try:
+        for k, v in REFRESH_CONFS.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 _SCALE = 1_000_000.0  # keep in lockstep with functions/stats.dsum
 

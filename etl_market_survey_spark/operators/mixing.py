@@ -108,6 +108,9 @@ def sql_weighted_mix(
     cases = " ".join(f"WHEN '{s}' THEN {k}" for s, k in quotas.items())
     ids = ", ".join(id_exprs)
     srcs = ", ".join(f"'{s}'" for s in quotas)
+    # default '*' must not leak the internal _rk from the ranked CTE —
+    # the Spark path drops it, so the mirror must too (DuckDB EXCLUDE)
+    outer_select = "* EXCLUDE (_rk)" if select.strip() == "*" else select
     return f"""
 WITH ranked AS (
   SELECT {select},
@@ -118,7 +121,7 @@ WITH ranked AS (
   FROM {table}
   WHERE {source_col} IN ({srcs})
 )
-SELECT {select}, {sql_hash_rank(id_exprs, shuffle_seed)} AS mix_key
+SELECT {outer_select}, {sql_hash_rank(id_exprs, shuffle_seed)} AS mix_key
 FROM ranked
 WHERE _rk <= (CASE {source_col} {cases} END)
 ORDER BY mix_key, {ids}

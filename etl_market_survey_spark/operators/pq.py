@@ -75,15 +75,24 @@ def train_pq_codebooks(
     iters: int = 10,
 ) -> list[list[list[int]]]:
     """Per-subspace Lloyd k-means on a deterministic driver sample,
-    returning integer codebooks on the quantized grid. Sample choice is
-    content-hash-free here (head of a seeded sort) because training only
-    affects QUALITY, never correctness — assignment/ADC stay exact for
-    any codebook."""
+    returning integer codebooks on the quantized grid. The sample is the
+    head of a seeded *content-hash* order (same discipline as
+    sampling/mixing), so the trained codebooks are reproducible across
+    partition layouts and cluster sizes; assignment/ADC stay exact for
+    any codebook regardless."""
     import numpy as np
 
-    rows = df.select(vec_col).limit(sample_n).collect()
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col)))
+        .limit(sample_n)
+        .collect()
+    )
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     Xq = np.floor(X * SCALE)
+    # driver-side lexicographic sort: the trained codebooks depend only on
+    # the sample CONTENT, never on partition layout or shuffle order
+    Xq = Xq[np.lexsort(Xq.T[::-1])]
     dim = Xq.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

@@ -60,10 +60,17 @@ def quantile_normalize(
     nxt = pooled.select((F.col("_i") - 1).alias("_i"), F.col("_pv").alias("_pv_next"))
     pairs = pooled.join(nxt, "_i", "left")  # (_i, v_i, v_{i+1}); last row has null next
 
-    num = (F.col("_rk") - 1) * F.lit(int(n_total) - 1)
-    den = F.col("_ns") - 1
-    lo_idx = F.when(den > 0, (num / den).cast("long")).otherwise(F.lit(0))
-    rem = F.when(den > 0, num - lo_idx * den).otherwise(F.lit(0))
+    # long arithmetic throughout: int32*(N-1) overflows under ANSI once
+    # pooled N exceeds ~46k; and the bracketing index must be *integer*
+    # division (the oracle's `//`) — double division can land one ulp off
+    # the floor for large N. num/den are nonnegative, so `div`/`pmod`
+    # coincide with floor/mod semantics (the resample.py discipline).
+    n1 = int(n_total) - 1
+    num = (F.col("_rk").cast("long") - F.lit(1)) * F.lit(n1).cast("long")
+    den = F.col("_ns").cast("long") - F.lit(1)
+    idiv = F.expr(f"((cast(_rk as bigint) - 1) * {n1}L) div (cast(_ns as bigint) - 1)")
+    lo_idx = F.when(den > 0, idiv).otherwise(F.lit(0)).cast("long")
+    rem = F.when(den > 0, F.pmod(num, den)).otherwise(F.lit(0)).cast("long")
     scored = ranked.withColumn("_lo", lo_idx + 1).withColumn("_rem", rem)
 
     interp = F.when(

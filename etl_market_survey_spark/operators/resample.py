@@ -54,13 +54,15 @@ def resample_linear(
     )
     bounds = ev.groupBy("_k").agg(F.min("_ts").alias("_lo"), F.max("_ts").alias("_hi"))
     step = F.lit(int(step_ns))
-    # ceil/floor to the grid in pure int64 — `div`, never `/` (long/long
-    # is a DOUBLE divide in Spark; epoch-ns longs exceed double's 2^53
-    # integer range). A span containing no grid point yields start > stop,
-    # where Spark's sequence() throws — guard to an empty array (the
+    # ceil/floor to the grid in pure int64 — never `/` (long/long is a
+    # DOUBLE divide in Spark; epoch-ns longs exceed double's 2^53 integer
+    # range), and via pmod rather than `div` so negative (pre-1970)
+    # timestamps floor like DuckDB's `//` instead of truncating toward
+    # zero. A span containing no grid point yields start > stop, where
+    # Spark's sequence() throws — guard to an empty array (the
     # no-extrapolation contract; DuckDB's range() is empty natively).
-    g_start = F.expr(f"((_lo + {int(step_ns)} - 1) div {int(step_ns)}) * {int(step_ns)}")
-    g_stop = F.expr(f"(_hi div {int(step_ns)}) * {int(step_ns)}")
+    g_start = F.expr(f"_lo + pmod(-_lo, {int(step_ns)}L)")
+    g_stop = F.expr(f"_hi - pmod(_hi, {int(step_ns)}L)")
     grid = bounds.select(
         "_k",
         F.explode(

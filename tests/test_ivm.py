@@ -98,19 +98,30 @@ def test_join_merge_equals_union_merge(spark):
 def test_bucketed_view_merges_without_base_exchange(spark, tmp_path):
     import uuid
 
-    from etl_market_survey_spark.operators.ivm import merge_partials_join
+    from etl_market_survey_spark.operators.ivm import (
+        bucketed_refresh,
+        merge_partials_join,
+    )
     from etl_market_survey_spark.sources.writers import write_bucketed
 
     rng = random.Random(29)
     rows = [(f"k{rng.randint(0, 99)}", rng.uniform(0, 10)) for _ in range(2000)]
     view = sum_partials(_mk(spark, rows), ["k"], ["x"])
     t = f"ivm_view_{uuid.uuid4().hex[:8]}"
-    write_bucketed(view, t, ["k"], n_buckets=8)
+    # bucket count matches shuffle partitions so the planner never sees a
+    # layout mismatch it could "fix" with a shuffle
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed(view, t, ["k"], n_buckets=n_buckets)
     try:
-        base = spark.table(t)
-        delta = sum_partials(_mk(spark, rows[:100]), ["k"], ["x"])
-        merged = merge_partials_join(base, delta, ["k"], ["x"])
-        plan = merged._jdf.queryExecution().executedPlan().toString()
+        with bucketed_refresh(spark):
+            base = spark.table(t)
+            delta = sum_partials(_mk(spark, rows[:100]), ["k"], ["x"])
+            merged = merge_partials_join(base, delta, ["k"], ["x"])
+            # run first: under AQE the final physical plan only exists
+            # after execution (isFinalPlan=true)
+            merged.collect()
+            plan = merged._jdf.queryExecution().executedPlan().toString()
+            got = _collect(finalize(merged, ["x"]))
         # the bucketed base scan feeds the join with its on-disk hash
         # layout: no Exchange anywhere on the base branch (the ":-"
         # child of the join); the delta side keeps its own aggregation
@@ -119,7 +130,6 @@ def test_bucketed_view_merges_without_base_exchange(spark, tmp_path):
         base_branch = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":")]
         assert base_branch and not any("Exchange" in ln for ln in base_branch), plan[:2000]
         # and the merge is still correct
-        got = _collect(finalize(merged, ["x"]))
         want = _collect(
             finalize(
                 merge_partials(view, delta, ["k"], ["x"]), ["x"]
