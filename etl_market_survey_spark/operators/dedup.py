@@ -178,6 +178,44 @@ def lsh_candidate_pairs(
     )
 
 
+_UNBLOCKED_MAX_ROWS = 100_000
+
+
+def _jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """Unblocked-but-thresholded jaccard_pairs via the VCL prefix-filter
+    self-join. The rational prefix threshold is floor(t*1e6)/1e6 <= t (a
+    candidate superset); the exact float predicate then decides, so the
+    result is bit-identical to the naive enumeration."""
+    from .simjoin import similarity_self_join
+
+    toks = df.withColumn("_ws", words(text_col)).select(
+        F.col(id_col).alias("_jid"),
+        _shingles_of_words(F.col("_ws"), shingle_n).alias("_toks"),
+    )
+    t_num = max(1, int(threshold * 1_000_000))
+    pairs = similarity_self_join(toks, "_jid", "_toks", t_num, 1_000_000)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("inter").alias("n_common"),
+            "n_a",
+            "n_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -192,7 +230,28 @@ def jaccard_pairs(
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, one double
     division: engine-portable bit-exact.
+
+    Scale contract: the shingle self-join is only bounded by blocking, so
+    unblocked calls with ``threshold > 0`` are routed through the
+    prefix-filter join (operators/simjoin, Vernica-Carey-Li) — identical
+    output, but candidate generation is bounded by rare prefix tokens
+    instead of every shared shingle (a single hot stopword shingle can't
+    go quadratic). Unblocked calls with ``threshold == 0`` genuinely
+    enumerate every shingle-sharing pair; they raise beyond
+    ``_UNBLOCKED_MAX_ROWS`` rows rather than silently going quadratic.
     """
+    if block_col is None and threshold > 0.0:
+        return _jaccard_pairs_prefix(df, id_col, text_col, shingle_n, threshold)
+    if block_col is None:
+        n_probe = df.limit(_UNBLOCKED_MAX_ROWS + 1).count()
+        if n_probe > _UNBLOCKED_MAX_ROWS:
+            raise ValueError(
+                f"jaccard_pairs without block_col and threshold=0 is "
+                f"all-shingle-sharing-pairs (quadratic in hot shingles); "
+                f"frame exceeds {_UNBLOCKED_MAX_ROWS} rows — pass "
+                f"block_col, or a threshold > 0 to take the prefix-filter "
+                f"path"
+            )
     sh = df.withColumn("_ws", words(text_col)).select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),

@@ -5,12 +5,15 @@ with typed metadata; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
 Python row-at-a-time.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this runtime, so the
-decode kernels are STUBBED — ``decode_stub=True`` (default) derives a
-deterministic fake feature vector from the bytes, ``decode_stub=False``
-raises ``NotImplementedError`` where the real library call belongs. The
-Spark-side plumbing — schema, batching, partition sizing — is real and
-tested; swapping the stub for a codec changes no plan shape.
+Codec policy: PIL is probed at import (``HAS_PIL``). With
+``decode_stub=None`` (auto, the new default) the kernels use a real PIL
+decode when the library is present and the deterministic byte-stub
+otherwise; ``decode_stub=True`` forces the stub (reproducible plumbing
+tests), ``decode_stub=False`` requires the real codec and raises
+``NotImplementedError`` where it's absent (this runtime ships neither
+PIL nor ffmpeg). The Spark-side plumbing — schema, batching, partition
+sizing — is identical in every mode; swapping kernels changes no plan
+shape.
 
 Scale notes: binary payloads dominate partition size; ``repartition`` by
 size-bucket before decode keeps Arrow batches bounded (a 100 MB video and
@@ -28,6 +31,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
+
+try:  # probe once; kernels re-import inside the worker process
+    import PIL.Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def _resolve_stub(decode_stub: bool | None) -> bool:
+    """None = auto (real codec when available); True = force stub;
+    False = require real codec."""
+    if decode_stub is None:
+        return not HAS_PIL
+    if decode_stub is False and not HAS_PIL:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg — not in this runtime"
+        )
+    return bool(decode_stub)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
@@ -52,11 +74,26 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
 
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Real decode: grayscale pixel values, chunk-meaned to FEATURE_DIM
+    (same featurization contract as the stub, real pixels in)."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.float64).ravel()
+    if arr.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    chunks = np.array_split(arr, FEATURE_DIM)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks])
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
     out_col: str = "features",
-    decode_stub: bool = True,
+    decode_stub: bool | None = None,
     batch_rows: int = 256,
 ) -> DataFrame:
     """Decode + featurize via ``mapInPandas`` (one Arrow batch at a time).
@@ -65,18 +102,16 @@ def extract_features(
     ``features array<double>`` — payload is dropped post-decode so the
     shuffle that follows moves features, not bytes.
     """
+    use_stub = _resolve_stub(decode_stub)
     keep = [c for c in df.columns if c != payload_col]
     schema_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c != payload_col)
     schema = f"{schema_fields}, {out_col} array<double>"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode if use_stub else _pil_decode
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this runtime"
-                )
             feats = [
-                _fake_decode(b if b is not None else b"") for b in pdf[payload_col]
+                decode(bytes(b) if b is not None else b"") for b in pdf[payload_col]
             ]
             out = pdf[keep].copy()
             out[out_col] = [f.tolist() for f in feats]
@@ -89,35 +124,44 @@ def resize_media(
     df: DataFrame,
     payload_col: str = "payload",
     target: tuple[int, int] = (224, 224),
-    decode_stub: bool = True,
+    decode_stub: bool | None = None,
     out_col: str = "resized",
 ) -> DataFrame:
-    """Resize plumbing: per-row payload -> resized payload + recorded
-    target dims, Arrow-batched. Stub 'resize' is a deterministic
-    byte-subsample to target w*h bytes (a real implementation replaces the
-    kernel body with PIL/ffmpeg; plan shape is identical)."""
+    """Resize per-row payload -> resized payload + recorded target dims,
+    Arrow-batched. Real mode decodes with PIL, resizes to ``target`` and
+    re-encodes PNG; stub 'resize' is a deterministic byte-subsample to
+    w*h bytes. Plan shape is identical either way."""
+    use_stub = _resolve_stub(decode_stub)
     keep = [c for c in df.columns if c != payload_col]
     schema_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c != payload_col)
     schema = f"{schema_fields}, {out_col} binary, out_width int, out_height int"
     w, h = target
 
+    def _stub_resize(b: bytes) -> bytes:
+        n = w * h
+        if len(b) == 0:
+            return b""
+        if len(b) >= n:
+            step = len(b) // n
+            return b[::step][:n]
+        return (b * (n // len(b) + 1))[:n]
+
+    def _pil_resize(b: bytes) -> bytes:
+        import io
+
+        import PIL.Image
+
+        if len(b) == 0:
+            return b""
+        img = PIL.Image.open(io.BytesIO(b)).resize((w, h))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = _stub_resize if use_stub else _pil_resize
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media resize requires PIL/ffmpeg — not in this runtime"
-                )
-            outs = []
-            for b in pdf[payload_col]:
-                b = bytes(b) if b is not None else b""
-                n = w * h
-                if len(b) == 0:
-                    outs.append(b"")
-                elif len(b) >= n:
-                    step = len(b) // n
-                    outs.append(b[:: step][:n])
-                else:
-                    outs.append((b * (n // len(b) + 1))[:n])
+            outs = [resize(bytes(b) if b is not None else b"") for b in pdf[payload_col]]
             out = pdf[keep].copy()
             out[out_col] = outs
             out["out_width"] = w

@@ -80,4 +80,9 @@ def pagerank_fixed_point(
             .cast("long")
             .alias("pr"),
         )
+        # truncate lineage each round (same discipline as kcore/components):
+        # without this the plan chains every iteration — compilation blows
+        # up with n_iter and a task retry replays the whole recurrence.
+        # eager=True materializes now; the recurrence itself is unchanged.
+        pr = pr.localCheckpoint(eager=True)
     return pr

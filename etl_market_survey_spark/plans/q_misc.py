@@ -639,7 +639,7 @@ def q99_zorder_key(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _q101_oracle() -> str:
+def _q138_oracle() -> str:
     from ..functions.stats import sql_davg, sql_dstd
 
     return f"""
@@ -662,8 +662,8 @@ FROM z GROUP BY 1 ORDER BY vec_id
 """
 
 
-@register("q101_standardize_embeddings", _q101_oracle())
-def q101_standardize_embeddings(spark, sf_dir):
+@register("q138_standardize_embeddings", _q138_oracle())
+def q138_standardize_embeddings(spark, sf_dir):
     from ..functions.stats import davg, dstd
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -1038,6 +1038,51 @@ def q136_grouped_mode(spark, sf_dir):
             # ties (v < 256 here, so the packing is unambiguous)
             F.max_by("v", F.col("n") * 256 - F.col("v")).alias("mode_qty"),
             F.max("n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — X7 upgraded to exact: erf as a FIRST-CLASS scalar column
+# transform (the reference applies scipy.special.erf to a whole column,
+# fit_erf_and_calculate_calibration_factor.py:19-23). Both engines run
+# the identical A&S 7.1.26 expression (functions/mathx.py), round-9
+# gated; the per-group reduction goes through the exact decimal sum so
+# partition order can't perturb the hash.
+# ---------------------------------------------------------------------------
+
+
+def _q137_oracle() -> str:
+    from ..functions.mathx import sql_erf
+
+    z = "((l_quantity - 25.5) / 10.0)"
+    return f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {sql_dsum(sql_erf(z))} AS sum_erf,
+       MIN({sql_erf(z)}) AS min_erf,
+       MAX({sql_erf(z)}) AS max_erf
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q137_erf_scalar", _q137_oracle())
+def q137_erf_scalar(spark, sf_dir):
+    from ..functions.mathx import erf_expr
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "_e", erf_expr("((l_quantity - 25.5) / 10.0)")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("_e").alias("sum_erf"),
+            F.min("_e").alias("min_erf"),
+            F.max("_e").alias("max_erf"),
         )
         .orderBy("l_returnflag")
     )

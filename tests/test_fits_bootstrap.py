@@ -39,12 +39,41 @@ def test_gaussian_fit_recovers_parameters(spark):
     assert out.loc["b", "sigma"] == pytest.approx(0.5, rel=0.1)
 
 
+def _landau_samples(rng, mpv, xi, n):
+    """Inverse-CDF sampling of the true (DENLAN) Landau distribution on a
+    fine grid; tail truncated at v=5000 (~2e-4 mass, irrelevant for the
+    mode/width fit)."""
+    from etl_market_survey_spark.fits.models import landau
+
+    v = np.linspace(mpv - 8 * xi, mpv + 5000 * xi, 2_000_000)
+    p = landau(v, mpv, xi)
+    cdf = np.cumsum(p)
+    cdf /= cdf[-1]
+    return np.interp(rng.uniform(0, 1, n), cdf, v)
+
+
+def test_landau_density_is_denlan_not_moyal():
+    from etl_market_survey_spark.fits.models import _denlan, landau
+
+    # published standardized value and mode location (Kölbig-Schorr)
+    assert _denlan(np.array([0.0]))[0] == pytest.approx(0.1788541609, abs=1e-9)
+    x = np.linspace(-5, 5, 200001)
+    p = landau(x, 0.0, 1.0)
+    assert abs(x[np.argmax(p)]) < 1e-3  # mode sits at mpv
+    # heavy 1/x^2 tail: Moyal dies exponentially, Landau must not
+    far = landau(np.array([200.0]), 0.0, 1.0)[0]
+    moyal = np.exp(-(200.0 + np.exp(-200.0)) / 2.0) / np.sqrt(2 * np.pi)
+    assert far > 1e-6 and far > 1e30 * moyal
+    # normalization over a wide window
+    w = np.linspace(-10, 3000, 3_000_001)
+    assert np.trapz(landau(w, 0.0, 1.0), w) == pytest.approx(1.0, abs=5e-3)
+
+
 def test_langauss_fit_recovers_mpv():
-    # Moyal sampling: if Y ~ chi2(1) then -ln(Y) ~ Moyal(0,1).
+    # true-Landau samples (not Moyal): VERDICT r1 item 3
     rng = np.random.default_rng(7)
     mpv, xi, sigma = 50.0, 5.0, 3.0
-    z = -np.log(rng.chisquare(1, 20000))
-    samples = mpv + xi * z + rng.normal(0, sigma, 20000)
+    samples = _landau_samples(rng, mpv, xi, 20000) + rng.normal(0, sigma, 20000)
     fit_mpv, fit_xi, fit_sigma, ok = fit_langauss_samples(samples)
     assert ok
     assert fit_mpv == pytest.approx(mpv, rel=0.05)

@@ -118,7 +118,7 @@ def test_multimodal_plumbing(spark):
     )
     meta = attach_metadata(df).orderBy("media_id").collect()
     assert meta[0]["n_bytes"] == 4096 and len(meta[0]["digest"]) == 32
-    feats = extract_features(df).orderBy("media_id").collect()
+    feats = extract_features(df, decode_stub=True).orderBy("media_id").collect()
     assert all(len(r["features"]) == FEATURE_DIM for r in feats)
     assert feats[0]["features"][0] == pytest.approx(ord("A"))
     assert feats[2]["features"] == [0.0] * FEATURE_DIM
@@ -127,12 +127,15 @@ def test_multimodal_plumbing(spark):
     by_id = {r["media_id"]: r for r in frames.groupBy("media_id").count().collect()}
     assert by_id[1]["count"] == 4 and by_id[2]["count"] == 1
 
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_features(df, decode_stub=False).collect()
+    from etl_market_survey_spark.operators.multimodal import HAS_PIL
+
+    if not HAS_PIL:
+        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+            extract_features(df, decode_stub=False).collect()
 
     from etl_market_survey_spark.operators.multimodal import resize_media
 
-    resized = resize_media(df, target=(8, 4)).orderBy("media_id").collect()
+    resized = resize_media(df, target=(8, 4), decode_stub=True).orderBy("media_id").collect()
     assert all(len(r["resized"]) == 32 for r in resized if r["media_id"] != 3)
     assert resized[0]["out_width"] == 8 and resized[0]["out_height"] == 4
     assert len(resized[2]["resized"]) == 0  # empty payload stays empty
@@ -171,3 +174,30 @@ def test_pipeline_memoization(spark, tmp_path):
     assert calls == {"clean": 1, "agg": 1}
     pipe.run("agg", force=True)  # force reruns the stage, deps stay memoized
     assert calls == {"clean": 1, "agg": 2}
+
+
+def test_multimodal_real_pil_roundtrip(spark):
+    """Real-codec path: only runs where PIL exists (absent in this
+    runtime — the auto mode then uses the stub, tested above)."""
+    from etl_market_survey_spark.operators.multimodal import (
+        HAS_PIL,
+        extract_features,
+        resize_media,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("PIL not available in this runtime")
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("L", (6, 6), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    r = resize_media(df, target=(3, 3), decode_stub=False).collect()[0]
+    img = PIL.Image.open(io.BytesIO(bytes(r["resized"])))
+    assert img.size == (3, 3)
+    f = extract_features(df, decode_stub=False).collect()[0]
+    assert f["features"] == pytest.approx([128.0] * 16)
