@@ -46,6 +46,13 @@ HEADLINE = [
     "q116_corpus_mix",
     "q117_pq_adc_topk",
     "q119_streaming_sessions",
+    # r2 breadth: the remaining heavy families (VERDICT r1 item 9)
+    "q102_kll_exact_quantiles",
+    "q109_span_dedup",
+    "q114_editdist_join",
+    "q125_ivf_pq_topk",
+    "q137_erf_scalar",
+    "q139_maintained_view",
 ]
 
 

