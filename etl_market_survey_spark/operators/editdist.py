@@ -54,6 +54,72 @@ def positional_qgrams(s: Column, q: int) -> Column:
     ).otherwise(F.array().cast("array<struct<gram:string,pos:int>>"))
 
 
+def _deletion_variants(s: Column, d: int) -> Column:
+    """Distinct deletion neighborhood del_{<=d}(s) including ``s`` itself
+    (FastSS signatures; d in {1, 2})."""
+    def del1(x: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.length(x)),
+            lambda i: F.concat(x.substr(F.lit(1), i - 1), x.substr(i + 1, F.length(x))),
+        )
+
+    base = F.array(s)
+    lvl1 = del1(s)
+    out = F.array_union(base, lvl1)
+    if d >= 2:
+        lvl2 = F.flatten(F.transform(lvl1, del1))
+        out = F.array_union(out, lvl2)
+    return out
+
+
+def _editdist_fastss(
+    df: DataFrame, id_col: str, text_col: str, d: int
+) -> DataFrame:
+    """Deletion-neighborhood self-join (FastSS, Bocek et al. 2007):
+    ``ed(a, b) <= d`` implies ``del_{<=d}(a) ∩ del_{<=d}(b) != ∅``, so an
+    equi-join on deletion variants is a COMPLETE candidate generator —
+    and a far more selective one than q-gram prefixes when ``d`` is
+    small relative to string length (the variant keeps all but ``d``
+    characters of context; a q-gram keeps ``q``). O(L^d) variants per
+    record bounds this to small d; the caller dispatches.
+    Filters prune, bounded ``levenshtein`` decides — same contract as
+    the Ed-Join path, same output."""
+    recs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_len"),
+    )
+    vars_ = recs.select(
+        "_id", "_txt", "_len",
+        F.explode(_deletion_variants(F.col("_txt"), d)).alias("_v"),
+    )
+    pairs = (
+        vars_.select(
+            F.col("_id").alias("id_a"), F.col("_len").alias("len_a"),
+            F.col("_txt").alias("_txt_a"), "_v",
+        )
+        .join(
+            vars_.select(
+                F.col("_id").alias("id_b"), F.col("_len").alias("len_b"),
+                F.col("_txt").alias("_txt_b"), "_v",
+            ),
+            "_v",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
+        )
+        # candidates repeat once per shared variant: dedup BEFORE the
+        # verify (texts ride along, so no re-join) — shared-variant
+        # multiplicity is high exactly when strings are near-equal
+        .select("id_a", "id_b", "_txt_a", "_txt_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("_txt_a", "_txt_b", d))
+        .filter(F.col("dist") >= 0)
+    )
+    return pairs.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
 def edit_distance_self_join(
     df: DataFrame,
     id_col: str,
@@ -64,12 +130,30 @@ def edit_distance_self_join(
     """All pairs ``id_a < id_b`` with ``levenshtein(text_a, text_b) <= d``
     — exactly. Output: ``(id_a, id_b, dist)``.
 
-    The q-gram prefix index prunes; ``levenshtein`` decides. Strings too
-    short for the gram guarantee fall back to a broadcast length-window
-    join (complete by construction).
+    Dispatch: for ``d <= 2`` the FastSS deletion-neighborhood join
+    (complete, and much more selective on short strings); for larger
+    ``d`` the Ed-Join q-gram prefix index. Either way filters only
+    prune and the exact ``levenshtein`` decides. Strings too short for
+    the gram guarantee fall back to a broadcast length-window join
+    (complete by construction).
     """
     if d < 0:
         raise ValueError("edit-distance threshold must be >= 0")
+    if 0 < d <= 2:
+        return _editdist_fastss(df, id_col, text_col, d)
+    if d == 0:
+        # degenerate: exact-duplicate pairs
+        recs = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        a, b = recs.alias("a"), recs.alias("b")
+        return (
+            a.join(b, F.col("a._txt") == F.col("b._txt"))
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.lit(0).cast("long").alias("dist"),
+            )
+        )
     prefix_len = q * d + 1
     min_safe_len = q * d + q  # > q*d grams survive the worst case
 

@@ -137,3 +137,62 @@ SELECT _id AS {id_expr}, shard, CAST(seq_id AS BIGINT) AS seq_id,
        GREATEST(seq_id * {cap}, _start) % {cap} AS seq_off
 FROM e
 """
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    chunk: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """RAG-style overlapping chunk spans: ``(id, chunk_idx, lo, hi)``
+    with stride ``chunk - overlap``; the last chunk may be short, every
+    position is covered, consecutive chunks share ``overlap`` positions.
+    Zero-length inputs produce no chunks. Pure integer math (the DuckDB
+    mirror :func:`sql_chunk_spans` replays it bit-for-bit)."""
+    chunk, overlap = int(chunk), int(overlap)
+    if chunk <= 0 or not (0 <= overlap < chunk):
+        raise ValueError("need chunk > 0 and 0 <= overlap < chunk")
+    stride = chunk - overlap
+    d = df.select(
+        F.col(id_col).alias("_id"), F.col(len_col).cast("long").alias("_len")
+    ).filter(F.col("_len") > 0)
+    # number of chunks: 1 + ceil(max(0, len - chunk) / stride)
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(_len - {chunk}, 0L) + {stride} - 1) div {stride}"
+    )
+    d = d.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    )
+    lo = F.col("chunk_idx") * stride
+    return d.select(
+        F.col("_id").alias(id_col),
+        "chunk_idx",
+        lo.alias("lo"),
+        F.least(lo + chunk, F.col("_len")).alias("hi"),
+    )
+
+
+def sql_chunk_spans(
+    table: str, id_expr: str, len_expr: str, chunk: int, overlap: int = 0
+) -> str:
+    """DuckDB mirror of :func:`chunk_spans`."""
+    chunk, overlap = int(chunk), int(overlap)
+    stride = chunk - overlap
+    return f"""
+WITH d AS (
+  SELECT {id_expr} AS _id, CAST({len_expr} AS BIGINT) AS _len
+  FROM {table} WHERE CAST({len_expr} AS BIGINT) > 0
+),
+e AS (
+  SELECT _id, _len,
+         unnest(generate_series(CAST(0 AS BIGINT),
+                 (GREATEST(_len - {chunk}, 0) + {stride} - 1) // {stride})) AS chunk_idx
+  FROM d
+)
+SELECT _id AS {id_expr}, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       chunk_idx * {stride} AS lo,
+       LEAST(chunk_idx * {stride} + {chunk}, _len) AS hi
+FROM e
+"""

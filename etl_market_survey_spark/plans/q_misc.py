@@ -1121,3 +1121,49 @@ def q140_pack_sequences(spark, sf_dir):
     return pack_sequences(
         docs, "doc_id", "n_tok", _Q140_CAP, n_shards=_Q140_SHARDS
     ).orderBy("shard", "seq_id", "seq_off", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q141 — document chunking with overlap (RAG prep): character-level
+# overlapping windows over the documents table, slicing the actual text
+# per chunk. Integer span math from operators/packing.chunk_spans; the
+# substring slice is 1-based identical in both engines, so chunk TEXT
+# (not just spans) is exact-gated.
+# ---------------------------------------------------------------------------
+
+_Q141_CHUNK, _Q141_OVERLAP = 500, 100
+
+
+def _q141_oracle() -> str:
+    from ..operators.packing import sql_chunk_spans
+
+    spans = sql_chunk_spans("documents", "doc_id", "length(text)", _Q141_CHUNK, _Q141_OVERLAP)
+    return f"""
+SELECT s.doc_id, s.chunk_idx, s.lo, s.hi,
+       substr(d.text, CAST(s.lo + 1 AS INTEGER), CAST(s.hi - s.lo AS INTEGER)) AS chunk_text
+FROM ({spans}) s JOIN documents d USING (doc_id)
+ORDER BY s.doc_id, s.chunk_idx
+"""
+
+
+@register("q141_chunk_documents", _q141_oracle())
+def q141_chunk_documents(spark, sf_dir):
+    from ..operators.packing import chunk_spans
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n_chars")
+    )
+    spans = chunk_spans(docs, "doc_id", "n_chars", _Q141_CHUNK, _Q141_OVERLAP)
+    return (
+        spans.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "lo",
+            "hi",
+            F.expr("substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))").alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

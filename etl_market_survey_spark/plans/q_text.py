@@ -678,3 +678,87 @@ def q135_udtf_segments(spark, sf_dir):
         ORDER BY d.doc_id, s.seg_idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — intra-document repetition (Gopher-style quality rule): the
+# fraction of word 3-gram OCCURRENCES that are repeats of an earlier
+# 3-gram in the same document. Repetitive machine-generated text scores
+# high; natural text low. Integer counts + one double division — exact.
+# ---------------------------------------------------------------------------
+
+_Q142_N = 3
+
+_Q142_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= {_Q142_N}
+              THEN list_transform(
+                     generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - {_Q142_N} + 1),
+                     i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + {_Q142_N} - 1), ' '))
+              ELSE [] END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+            ELSE 0.0 END AS rep_ratio
+FROM g
+ORDER BY doc_id
+"""
+
+
+@register("q142_repetition_ratio", _Q142_ORACLE)
+def q142_repetition_ratio(spark, sf_dir):
+    n = _Q142_N
+    docs = load(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    docs = docs.select("doc_id", ws.alias("_ws"))
+    grams = F.when(
+        F.size("_ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - n + 1),
+            lambda i: F.array_join(F.slice("_ws", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = docs.select("doc_id", grams.alias("_grams"))
+    total = F.size("_grams").cast("long")
+    dist = F.size(F.array_distinct("_grams")).cast("long")
+    return docs.select(
+        "doc_id",
+        total.alias("n_grams"),
+        dist.alias("n_distinct"),
+        F.when(
+            total > 0, (total - dist).cast("double") / total.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q143 — document-frequency segment pruning (CCNet boilerplate removal
+# generalized): segments occurring in more than K distinct documents are
+# dropped and the document text is reassembled in original order. Gated
+# on the reassembled TEXT — order-stable collect is the hard part, and
+# it is exact.
+# ---------------------------------------------------------------------------
+
+_Q143_K = 40
+
+
+def _q143_oracle() -> str:
+    from ..operators.linededup import sql_df_prune_segments
+
+    body = sql_df_prune_segments("documents", "doc_id", "text", " ", _Q143_K)
+    return f"SELECT * FROM ({body}) ORDER BY doc_id"
+
+
+@register("q143_df_prune", _q143_oracle())
+def q143_df_prune(spark, sf_dir):
+    from ..operators.linededup import df_prune_segments
+
+    docs = load(spark, sf_dir, "documents")
+    return df_prune_segments(docs, "doc_id", "text", " ", _Q143_K).orderBy("doc_id")

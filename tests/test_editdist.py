@@ -79,3 +79,61 @@ def test_positional_qgrams_shape(spark):
     got = df.select(positional_qgrams(F.col("s"), 2).alias("g")).collect()
     assert [tuple(x) for x in got[0].g] == [("ab", 1), ("bc", 2), ("cd", 3)]
     assert got[1].g == []
+
+
+def test_fastss_equals_edjoin_paths(spark):
+    """The d<=2 deletion-neighborhood path and the q-gram Ed-Join path
+    must produce identical pair sets (both are exact)."""
+    import random
+
+    from etl_market_survey_spark.operators.editdist import (
+        _editdist_fastss,
+        edit_distance_self_join,
+    )
+
+    rng = random.Random(13)
+    alpha = "abcd"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(4, 9))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (1, 2):
+        fast = sorted(
+            map(tuple, _editdist_fastss(df, "id", "s", d).collect())
+        )
+        # force the Ed-Join path by calling with d>2 machinery: rebuild
+        # via the module's internal long/short construction using d
+        # through the public API is the fastss path now, so compare
+        # against a brute-force oracle instead
+        from pyspark.sql import functions as F
+
+        a, b = df.alias("a"), df.alias("b")
+        brute = sorted(
+            map(
+                tuple,
+                a.join(b, F.col("a.id") < F.col("b.id"))
+                .withColumn("dist", F.levenshtein("a.s", "b.s", d))
+                .filter(F.col("dist") >= 0)
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("dist").cast("long").alias("dist"),
+                )
+                .collect(),
+            )
+        )
+        assert fast == brute, f"d={d}"
+
+
+def test_editdist_d0_exact_duplicates(spark):
+    from etl_market_survey_spark.operators.editdist import edit_distance_self_join
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "ab"), (4, "aa")], "id long, s string"
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_self_join(df, "id", "s", 0).collect()
+    )
+    assert got == [(1, 2, 0), (1, 4, 0), (2, 4, 0)]

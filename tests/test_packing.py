@@ -85,3 +85,34 @@ def test_doc_longer_than_capacity_spans_sequences(spark):
     assert [r.doc_hi - r.doc_lo for r in out] == [300, 300, 300, 100]
     assert [r.seq_off for r in out] == [0, 0, 0, 0]
     assert [r.seq_id for r in out] == [0, 1, 2, 3]
+
+
+def test_chunk_spans_cover_with_overlap(spark):
+    from etl_market_survey_spark.operators.packing import chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, 1200), (2, 500), (3, 499), (4, 1), (5, 0)], "doc_id long, n long"
+    )
+    out = chunk_spans(df, "doc_id", "n", chunk=500, overlap=100).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.lo, r.hi))
+    assert 5 not in by_doc  # zero-length dropped
+    assert by_doc[4] == [(0, 0, 1)]
+    assert by_doc[2] == [(0, 0, 500)]  # exact fit: one chunk
+    assert by_doc[3] == [(0, 0, 499)]
+    segs = sorted(by_doc[1])
+    assert segs[0] == (0, 0, 500)
+    for (i1, lo1, hi1), (i2, lo2, hi2) in zip(segs, segs[1:]):
+        assert i2 == i1 + 1 and lo2 == lo1 + 400 and hi1 - lo2 == 100  # overlap
+    assert segs[-1][2] == 1200  # covers to the end
+
+
+def test_chunk_spans_validation(spark):
+    from etl_market_survey_spark.operators.packing import chunk_spans
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_spans(df, "doc_id", "n", chunk=100, overlap=100)
