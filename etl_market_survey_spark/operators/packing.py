@@ -196,3 +196,116 @@ SELECT _id AS {id_expr}, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        LEAST(chunk_idx * {stride} + {chunk}, _len) AS hi
 FROM e
 """
+
+
+def pack_bins_nosplit(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    capacity: int,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Boundary-respecting packing (next-fit): documents are NEVER split;
+    in per-shard hash order each doc goes into the current bin if it
+    fits, else opens the next bin. Docs longer than ``capacity`` get a
+    bin of their own (callers chunk them first via :func:`chunk_spans`
+    if that is not acceptable). Output: ``(id, shard, bin_id, bin_used)``
+    where ``bin_used`` is the bin's fill AFTER placing the doc.
+
+    Next-fit is a true sequential recurrence (each placement depends on
+    the previous remainder), so it runs as ``applyInPandas`` per shard —
+    state is one integer per shard, rows stream through Arrow in hash
+    order. The DuckDB oracle replays the identical recurrence as a
+    recursive CTE, making even this stateful operator exact-gated."""
+    import pandas as pd
+
+    cap = int(capacity)
+    if cap <= 0:
+        raise ValueError("capacity must be positive")
+    d = (
+        df.select(
+            F.col(id_col).alias("_id"), F.col(len_col).cast("long").alias("_len")
+        )
+        .filter(F.col("_len") > 0)
+        .withColumn("_h", _hash62("_id", seed))
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring("_h", 1, 15), 16, 10).cast("long"),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+    )
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, shard int, "
+        "bin_id long, bin_used long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", "_id"], kind="mergesort")
+        bins, used_out = [], []
+        bin_id, used = 0, 0
+        first = True
+        for ln in pdf["_len"]:
+            ln = int(ln)
+            if first:
+                bin_id, used, first = 0, ln, False
+            elif used + ln <= cap:
+                used += ln
+            else:
+                bin_id += 1
+                used = ln
+            bins.append(bin_id)
+            used_out.append(used)
+        return pd.DataFrame(
+            {
+                id_col: pdf["_id"].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "bin_id": bins,
+                "bin_used": used_out,
+            }
+        )
+
+    return d.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def sql_pack_bins_nosplit(
+    table: str,
+    id_expr: str,
+    len_expr: str,
+    capacity: int,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`pack_bins_nosplit` — the next-fit
+    recurrence as a recursive CTE over per-shard row numbers."""
+    cap = int(capacity)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {id_expr} AS _id, CAST({len_expr} AS BIGINT) AS _len,
+         md5(concat_ws(chr(31), '{seed}', CAST({id_expr} AS VARCHAR))) AS _h
+  FROM {table}
+  WHERE CAST({len_expr} AS BIGINT) > 0
+),
+s AS (
+  SELECT _id, _len, _h,
+         CAST(CAST(concat('0x', substr(_h, 1, 15)) AS BIGINT) % {n_shards} AS INTEGER) AS shard
+  FROM d
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _h, _id) AS _rn FROM s
+),
+p AS (
+  SELECT _id, shard, _rn, _len,
+         CAST(0 AS BIGINT) AS bin_id, _len AS bin_used
+  FROM r WHERE _rn = 1
+  UNION ALL
+  SELECT r._id, r.shard, r._rn, r._len,
+         CASE WHEN p.bin_used + r._len <= {cap} THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.bin_used + r._len <= {cap} THEN p.bin_used + r._len ELSE r._len END
+  FROM r JOIN p ON r.shard = p.shard AND r._rn = p._rn + 1
+)
+SELECT _id AS {id_expr}, shard, bin_id, bin_used FROM p
+"""

@@ -1167,3 +1167,40 @@ def q141_chunk_documents(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — no-split bin packing (next-fit, boundary-respecting): a TRUE
+# sequential recurrence (each placement depends on the previous bin
+# remainder), run as applyInPandas with one integer of state per hash
+# shard — and still exact-gated, because the DuckDB oracle replays the
+# identical recurrence as a recursive CTE. The strongest form of the
+# "custom stateful operator" claim: not even statefulness escapes the
+# bit-exact gate.
+# ---------------------------------------------------------------------------
+
+_Q144_CAP, _Q144_SHARDS = 2048, 8
+
+
+def _q144_oracle() -> str:
+    from ..functions.text import sql_n_tokens_ws
+    from ..operators.packing import sql_pack_bins_nosplit
+
+    inner = f"(SELECT doc_id, {sql_n_tokens_ws('text')} AS n_tok FROM documents)"
+    body = sql_pack_bins_nosplit(
+        inner, "doc_id", "n_tok", _Q144_CAP, n_shards=_Q144_SHARDS
+    )
+    return f"SELECT * FROM ({body}) ORDER BY shard, bin_id, doc_id"
+
+
+@register("q144_pack_bins_nosplit", _q144_oracle())
+def q144_pack_bins_nosplit(spark, sf_dir):
+    from ..functions.text import n_tokens_ws
+    from ..operators.packing import pack_bins_nosplit
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens_ws("text").alias("n_tok")
+    )
+    return pack_bins_nosplit(
+        docs, "doc_id", "n_tok", _Q144_CAP, n_shards=_Q144_SHARDS
+    ).orderBy("shard", "bin_id", "doc_id")

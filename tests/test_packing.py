@@ -116,3 +116,61 @@ def test_chunk_spans_validation(spark):
 
     with _pt.raises(ValueError):
         chunk_spans(df, "doc_id", "n", chunk=100, overlap=100)
+
+
+def test_nosplit_bins_respect_capacity_and_order(spark):
+    from etl_market_survey_spark.operators.packing import pack_bins_nosplit
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 700)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_bins_nosplit(df, "doc_id", "n_tok", capacity=1000).collect()
+    lens = dict(rows)
+    assert {r.doc_id for r in out} == set(lens)
+    fill = {}
+    for r in out:
+        key = (r.shard, r.bin_id)
+        fill[key] = fill.get(key, 0) + lens[r.doc_id]
+        assert r.bin_used <= 1000 or lens[r.doc_id] > 1000
+    for key, tot in fill.items():
+        assert tot <= 1000  # no doc split, no overfill (all lens <= cap)
+    # bin_used is the running fill: max bin_used per bin == total fill
+    mx = {}
+    for r in out:
+        key = (r.shard, r.bin_id)
+        mx[key] = max(mx.get(key, 0), r.bin_used)
+    assert mx == fill
+
+
+def test_nosplit_oversize_doc_gets_own_bin(spark):
+    from etl_market_survey_spark.operators.packing import pack_bins_nosplit
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 5000), (3, 60)], "doc_id long, n_tok long"
+    )
+    out = pack_bins_nosplit(df, "doc_id", "n_tok", 100, n_shards=1).collect()
+    big = [r for r in out if r.doc_id == 2][0]
+    others = [r for r in out if r.doc_id != 2]
+    assert all(
+        (o.shard, o.bin_id) != (big.shard, big.bin_id) for o in others
+    )
+
+
+def test_nosplit_deterministic_under_repartition(spark):
+    from etl_market_survey_spark.operators.packing import pack_bins_nosplit
+
+    import random
+
+    rng = random.Random(8)
+    rows = [(i, rng.randint(1, 300)) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    a = sorted(map(tuple, pack_bins_nosplit(df, "doc_id", "n_tok", 512).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_bins_nosplit(df.repartition(11), "doc_id", "n_tok", 512).collect(),
+        )
+    )
+    assert a == b
