@@ -118,3 +118,45 @@ def dedup_canonical(
         .withColumn("canonical_id", F.coalesce("comp", F.col(id_col)))
         .drop("comp")
     )
+
+
+def dedup_canonical_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Attach ``canonical_id`` — within each duplicate component the id
+    of the HIGHEST-``score_col`` row (ties: lowest id), the row's own id
+    for singletons. Curation keeps the best-quality survivor of a dup
+    cluster, not an arbitrary one; ``filter(id == canonical_id)`` again
+    keeps exactly one row per cluster.
+
+    Shape: components once, then one per-component argmax (max_by over a
+    (score, -id)-ordered struct) joined back — both shuffles are on the
+    component key."""
+    comp = connected_components(pairs, src, dst)
+    with_comp = df.join(
+        comp.select(F.col("node").alias(id_col), "comp"), id_col, "left"
+    )
+    # packed numeric ordering key (score dominates, lower id wins ties;
+    # requires integer ids < 1e10 — the struct form would be cleaner but
+    # the DuckDB mirror's arg_max cannot order structs/lists)
+    best = (
+        with_comp.filter(F.col("comp").isNotNull())
+        .groupBy("comp")
+        .agg(
+            F.max_by(
+                id_col,
+                F.col(score_col).cast("long") * F.lit(10_000_000_000)
+                - F.col(id_col).cast("long"),
+            ).alias("_best_id")
+        )
+    )
+    return (
+        with_comp.join(best, "comp", "left")
+        .withColumn("canonical_id", F.coalesce("_best_id", F.col(id_col)))
+        .drop("comp", "_best_id")
+    )

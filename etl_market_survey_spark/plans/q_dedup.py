@@ -1138,3 +1138,83 @@ def q128_lcs_pairs(spark, sf_dir):
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 450).alias("id_b")
     )
     return lcs_pairs(pairs, docs, "doc_id", "text").orderBy("id_a")
+
+
+# ---------------------------------------------------------------------------
+# q145 — quality-based canonical selection: inside each MinHash duplicate
+# component keep the HIGHEST-quality row (score = length(text); ties ->
+# lowest id) instead of the arbitrary component minimum. The oracle
+# replays the identical chain — LSH bands -> recursive reachability ->
+# per-component argmax over the [score, -id] key — so curation's
+# "keep-best survivor" policy is hash-checked end to end.
+# ---------------------------------------------------------------------------
+
+_Q145_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({sql_shingles('text', _SHINGLE_N)}) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {_sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+    CASE b.band_id
+      {_band_cases}
+    END AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band_id) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS comp FROM reach GROUP BY 1),
+scored AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents),
+wc AS (
+  SELECT s.doc_id, s.score, c.comp
+  FROM scored s LEFT JOIN comp c ON s.doc_id = c.node
+),
+best AS (
+  -- packed ordering key: score dominates, lower id wins ties
+  -- (doc_id < 1e10 by contract of the synthetic ids)
+  SELECT comp, arg_max(doc_id, score * 10000000000 - doc_id) AS best_id
+  FROM wc WHERE comp IS NOT NULL GROUP BY comp
+)
+SELECT wc.doc_id,
+       COALESCE(b.best_id, wc.doc_id) AS canonical_id,
+       CAST(COALESCE(b.best_id, wc.doc_id) = wc.doc_id AS BOOLEAN) AS is_survivor
+FROM wc LEFT JOIN best b ON wc.comp = b.comp
+ORDER BY wc.doc_id
+"""
+
+
+@register("q145_canonical_by_quality", _Q145_ORACLE)
+def q145_canonical_by_quality(spark, sf_dir):
+    from ..operators.components import dedup_canonical_by
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_n=_SHINGLE_N, mode="affine"
+    )
+    pairs = lsh_candidate_pairs(sig, "doc_id", _N_HASHES, _N_BANDS)
+    scored = docs.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    out = dedup_canonical_by(scored, pairs, "doc_id", "score")
+    return out.select(
+        "doc_id",
+        "canonical_id",
+        (F.col("canonical_id") == F.col("doc_id")).alias("is_survivor"),
+    ).orderBy("doc_id")

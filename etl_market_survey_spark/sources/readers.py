@@ -177,3 +177,19 @@ def read_measurement_list(spark: SparkSession, path: str) -> DataFrame:
         .filter((F.col("_rn") > 1) & (F.trim("value") != ""))
         .select(F.trim("value").alias("measurement_name"))
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-lines corpus reader — the lingua franca of LLM training data
+    (one JSON document per line). With ``schema`` the scan skips Spark's
+    inference pass (two reads of a 100 TB corpus otherwise); always pass
+    it in production. Malformed lines surface in ``_corrupt_record``
+    under the default PERMISSIVE mode rather than killing the scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -68,3 +68,15 @@ def _guard_small(df: DataFrame):
         raise ValueError(
             f"refusing driver-side export of {n}+ rows; use write_parquet"
         )
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by=None
+):
+    """JSON-lines sink (one document object per line, partitioned like
+    the parquet sink — jsonl is the interchange format LLM tooling
+    expects; parquet stays the internal format)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)

@@ -38,3 +38,22 @@ def test_dedup_canonical_keeps_one_per_cluster(spark):
     assert canon == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4, 6: 6, 7: 7}
     survivors = out.filter(F.col("doc_id") == F.col("canonical_id"))
     assert sorted(r["doc_id"] for r in survivors.collect()) == [0, 1, 4, 6, 7]
+
+
+def test_dedup_canonical_by_quality(spark):
+    from etl_market_survey_spark.operators.components import dedup_canonical_by
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 4), (9, 1)],
+        "doc_id long, score long",
+    )
+    got = {
+        r.doc_id: r.canonical_id
+        for r in dedup_canonical_by(docs, pairs, "doc_id", "score").collect()
+    }
+    # cluster {1,2,3}: best score 99 shared by 2 and 3 -> lowest id 2
+    # cluster {7,8}: 7 wins; singleton 9 -> itself
+    assert got == {1: 2, 2: 2, 3: 2, 7: 7, 8: 7, 9: 9}

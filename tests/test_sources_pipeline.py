@@ -201,3 +201,21 @@ def test_multimodal_real_pil_roundtrip(spark):
     assert img.size == (3, 3)
     f = extract_features(df, decode_stub=False).collect()[0]
     assert f["features"] == pytest.approx([128.0] * 16)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from etl_market_survey_spark.sources.readers import read_jsonl
+    from etl_market_survey_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello", ["a", "b"]), (2, "world", [])],
+        "doc_id long, text string, tags array<string>",
+    )
+    write_jsonl(df, str(tmp_path / "out"))
+    back = read_jsonl(
+        spark, str(tmp_path / "out"), "doc_id long, text string, tags array<string>"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # schema-less read still works (inference), same rows
+    inferred = read_jsonl(spark, str(tmp_path / "out"))
+    assert inferred.count() == 2
