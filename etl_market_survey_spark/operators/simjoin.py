@@ -82,9 +82,13 @@ def _sets_and_prefixes(
     # ~10^5-10^7 near-unique id pairs and re-joining both sides' sets
     # (the same measured win as the edit-distance join; payload is one
     # small array per row)
+    # posexplode keeps each prefix token's 0-based rank in the global
+    # rarity order — the PPJoin positional filter needs it
     prefixes = by_rarity.select(
         "_id", "tokens", "n",
-        F.explode(F.slice("tokens", 1, F.col("p").cast("int"))).alias("token"),
+        F.posexplode(F.slice("tokens", 1, F.col("p").cast("int"))).alias(
+            "ppos", "token"
+        ),
     )
     return sets, prefixes
 
@@ -167,19 +171,37 @@ def similarity_self_join(
     freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
     sets, prefixes = _sets_and_prefixes(df, id_col, token_col, freq, t_num, t_den)
 
+    # Cheap integer pre-filters before the array_intersect verify (both
+    # sound because for any qualifying pair the row of its FIRST shared
+    # token — which the prefix lemma puts inside both prefixes — passes):
+    #   length:     jacc >= t  =>  t * max(n) <= min(n)
+    #   positional: inter <= 1 + min(n_a - pa - 1, n_b - pb - 1) + ... =
+    #     min(n_a - pa, n_b - pb) for 0-based prefix ranks pa/pb, since
+    #     no shared token precedes the first one on either side (PPJoin,
+    #     Xiao-Wang-Lin-Yu 2008). jacc >= t <=> inter*(t_num+t_den) >=
+    #     t_num*(n_a+n_b), so prune when the bound can't reach it.
+    ub = F.least(F.col("n_a") - F.col("_pa"), F.col("n_b") - F.col("_pb"))
     verified = (
         prefixes.select(
             F.col("_id").alias("id_a"), F.col("tokens").alias("_ta"),
-            F.col("n").alias("n_a"), "token",
+            F.col("n").alias("n_a"), F.col("ppos").alias("_pa"), "token",
         )
         .join(
             prefixes.select(
                 F.col("_id").alias("id_b"), F.col("tokens").alias("_tb"),
-                F.col("n").alias("n_b"), "token",
+                F.col("n").alias("n_b"), F.col("ppos").alias("_pb"), "token",
             ),
             "token",
         )
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(t_den) * F.least("n_a", "n_b")
+            >= F.lit(t_num) * F.greatest("n_a", "n_b")
+        )
+        .filter(
+            ub * F.lit(t_num + t_den)
+            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b"))
+        )
         .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
         .filter(
             F.lit(t_den) * F.col("inter")
