@@ -57,3 +57,71 @@ def test_cut_tightening_is_monotone(sess, vals, cut1, delta):
         return apply_cuts(data, cuts).filter("accepted").count()
 
     assert accepted_count(cut1 + delta) <= accepted_count(cut1)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(
+        st.floats(min_value=-6.0, max_value=6.0, allow_nan=False, width=64),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_erf_expr_within_published_error(sess, xs):
+    """The shared A&S 7.1.26 erf expression stays within its published
+    1.5e-7 bound of the true erf on arbitrary inputs (both engines run
+    the identical expression; correctness vs math.erf checked here)."""
+    from etl_market_survey_spark.functions.mathx import erf_expr
+
+    df = sess.createDataFrame([(float(x),) for x in xs], "x double")
+    got = [r[0] for r in df.select(erf_expr("x")).collect()]
+    for x, g in zip(xs, got):
+        assert abs(g - math.erf(x)) < 2e-7  # 1.5e-7 approx + 5e-10 round
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=40),
+    cap=st.integers(min_value=1, max_value=700),
+)
+def test_pack_sequences_token_conservation(sess, lens, cap):
+    """Every input token lands in exactly one (shard, seq, slot)."""
+    from etl_market_survey_spark.operators.packing import pack_sequences
+
+    df = sess.createDataFrame(list(enumerate(lens)), "doc_id long, n long")
+    out = pack_sequences(df, "doc_id", "n", cap).collect()
+    placed = sum(r.doc_hi - r.doc_lo for r in out)
+    assert placed == sum(lens)
+    # and no slice exceeds capacity or its document
+    for r in out:
+        assert 0 < r.doc_hi - r.doc_lo <= min(cap, lens[r.doc_id])
+        assert 0 <= r.seq_off < cap
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=30),
+    chunk=st.integers(min_value=2, max_value=800),
+    data=st.data(),
+)
+def test_chunk_spans_tile_property(sess, lens, chunk, data):
+    from etl_market_survey_spark.operators.packing import chunk_spans
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    df = sess.createDataFrame(list(enumerate(lens)), "doc_id long, n long")
+    out = chunk_spans(df, "doc_id", "n", chunk, overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.lo, r.hi))
+    stride = chunk - overlap
+    for i, n in enumerate(lens):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        spans = sorted(by_doc[i])
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            # stride spacing; contiguous when overlap=0, overlapping else
+            assert lo2 == lo1 + stride and lo2 <= hi1
+            if overlap and hi1 < n:
+                assert hi1 - lo2 == overlap
