@@ -81,7 +81,7 @@ def distributed_cumsum(
     )
 
 
-def pack_sequences(
+def pack_bins_cumsum(
     docs: DataFrame,
     order_col: str = "doc_id",
     size_col: str = "n_tok",
@@ -94,6 +94,13 @@ def pack_sequences(
     one spanning a budget boundary swallows it (the skipped bin id is
     simply never assigned). The assignment is a pure function of (order,
     sizes): engine-replayable and invariant to partitioning.
+
+    One of three packing semantics in the engine — see
+    ``operators/packing`` for the GPT-style concat-and-chunk
+    (``pack_sequences``, documents split across capacity boundaries) and
+    the exact next-fit (``pack_bins_nosplit``, bins filled to the brim
+    without splitting). This cumsum form trades bin utilization for a
+    fully parallel two-phase scan (no sequential recurrence at all).
     """
     scanned = distributed_cumsum(
         docs, order_col, size_col, out="_excl", n_buckets=n_buckets, inclusive=False

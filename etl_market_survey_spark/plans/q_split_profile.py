@@ -136,12 +136,12 @@ FROM scanned GROUP BY 1 ORDER BY 1
 @register("q66_sequence_packing", _Q66_ORACLE)
 def q66_sequence_packing(spark, sf_dir):
     from ..functions.text import n_tokens_ws
-    from ..operators.prefix import pack_sequences
+    from ..operators.prefix import pack_bins_cumsum
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", n_tokens_ws("text").alias("n_tok")
     )
-    packed = pack_sequences(docs, "doc_id", "n_tok", budget=4096)
+    packed = pack_bins_cumsum(docs, "doc_id", "n_tok", budget=4096)
     return (
         packed.groupBy("bin_id")
         .agg(

@@ -40,7 +40,7 @@ from etl_market_survey_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from etl_market_survey_spark.operators.prefix import pack_sequences
+from etl_market_survey_spark.operators.prefix import pack_bins_cumsum
 
 CHUNK, STRIDE, BIN_BUDGET = 16, 12, 64
 
@@ -123,7 +123,7 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
     ordered = chunks.withColumn(
         "_ord", F.col("doc_id") * 1000 + F.col("chunk_id")
     )
-    packed = pack_sequences(
+    packed = pack_bins_cumsum(
         ordered, order_col="_ord", size_col="n_tokens", budget=BIN_BUDGET
     )
     bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill"))

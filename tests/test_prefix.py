@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_market_survey_spark.operators.prefix import distributed_cumsum, pack_sequences
+from etl_market_survey_spark.operators.prefix import distributed_cumsum, pack_bins_cumsum
 
 
 @pytest.fixture(scope="module")
@@ -38,7 +38,7 @@ def test_packing_invariants(spark):
     sizes = [100, 200, 4000, 50, 9000, 10, 10, 4096, 1]
     pdf = [(i, s) for i, s in enumerate(sizes)]
     df = spark.createDataFrame(pdf, "doc_id long, n_tok long")
-    out = pack_sequences(df, "doc_id", "n_tok", budget=4096, n_buckets=4)
+    out = pack_bins_cumsum(df, "doc_id", "n_tok", budget=4096, n_buckets=4)
     rows = {r["doc_id"]: r["bin_id"] for r in out.collect()}
     bins = [rows[i] for i in sorted(rows)]
     # exclusive cumsums: 0,100,300,4300,4350,13350,13360,13370,17466
