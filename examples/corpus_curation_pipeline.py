@@ -135,16 +135,44 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
         F.col("fill") > BIN_BUDGET + max_chunk - 1
     ).count()
 
+    # 7. exact next-fit packing of the same chunks (the strict-budget
+    #    alternative: never overflows, sequential per hash shard) and a
+    #    JSONL manifest export — the handoff format training jobs read.
+    from etl_market_survey_spark.operators.packing import pack_bins_nosplit
+    from etl_market_survey_spark.sources.writers import write_jsonl
+
+    strict = pack_bins_nosplit(
+        chunks.withColumn("_cid", F.col("doc_id") * 1000 + F.col("chunk_id")),
+        "_cid",
+        "n_tokens",
+        capacity=BIN_BUDGET,
+    )
+    strict_over = (
+        strict.groupBy("shard", "bin_id")
+        .agg(F.max("bin_used").alias("fill"))
+        .filter(F.col("fill") > BIN_BUDGET)
+        .count()
+    )
+    import tempfile
+
+    manifest_dir = tempfile.mkdtemp(prefix="curation_manifest_")
+    write_jsonl(strict, manifest_dir)
+    n_manifest = spark.read.json(manifest_dir).count()
+
     print(
         f"docs={n0} exact_dedup={n1} decontaminated={n2} quality={n3} "
-        f"neardup_survivors={n4} chunks={n5} bins={n_bins}"
+        f"neardup_survivors={n4} chunks={n5} bins={n_bins} "
+        f"strict_bins_overflowed={strict_over} manifest_rows={n_manifest}"
     )
     assert n0 >= n1 >= n2 >= n3 >= n4 > 0, "gates must only remove rows"
     assert n5 >= n4, "every surviving doc yields >= 1 chunk"
     assert over_contract == 0, "bin overflow must stay under one chunk"
+    assert strict_over == 0, "next-fit bins must never exceed the budget"
+    assert n_manifest == n5, "manifest covers every chunk exactly once"
     return {
         "docs": n0, "exact": n1, "clean": n2, "quality": n3,
         "survivors": n4, "chunks": n5, "bins": n_bins,
+        "manifest": n_manifest,
     }
 
 
