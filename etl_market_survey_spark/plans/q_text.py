@@ -762,3 +762,82 @@ def q143_df_prune(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return df_prune_segments(docs, "doc_id", "text", " ", _Q143_K).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q146 — frequency vocabulary + OOV rate (tokenizer prep): the top-V
+# corpus tokens under a DETERMINISTIC order (count desc, token asc —
+# native top-k ties are engine-defined, unusable under a hash gate),
+# then each document's out-of-vocabulary token fraction against it.
+# Scale shape: token groupBy with map-side combine; the vocabulary is
+# V rows -> broadcast; per-doc OOV is one more grouped count.
+# ---------------------------------------------------------------------------
+
+_Q146_V = 500
+
+_Q146_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+vocab AS (
+  SELECT token FROM freq ORDER BY cnt DESC, token ASC LIMIT {_Q146_V}
+),
+per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tok,
+         COUNT(*) - COUNT(v.token) AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (token)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN COALESCE(p.n_tok, 0) > 0
+            THEN CAST(p.n_oov AS DOUBLE) / CAST(p.n_tok AS DOUBLE)
+            ELSE 0.0 END AS oov_rate
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("q146_vocab_oov", _Q146_ORACLE)
+def q146_vocab_oov(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_Q146_V)
+        .select("token", F.lit(1).alias("_inv"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.coalesce("n_tok", F.lit(0)) > 0,
+                F.col("n_oov").cast("double") / F.col("n_tok").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
