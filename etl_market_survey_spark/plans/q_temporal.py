@@ -670,3 +670,45 @@ def q134_interval_apportion(spark, sf_dir):
     )
     ap = apportion_intervals(iv, "s", "e", _Q134_BUCKET_NS)
     return bucket_totals(ap).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q147 — rolling exact median (telemetry smoothing): per user, ordered by
+# (event time, event_id), the discrete median of the trailing 10-row
+# value window. Discrete = an actual element is returned (DuckDB
+# quantile_disc convention, 1-based rank ceil(n/2)), so both engines
+# pick the identical double and the hash is exact — no interpolation to
+# disagree about. Spark side: sort_array over the frame's collect_list;
+# window state is bounded at 10 rows.
+# ---------------------------------------------------------------------------
+
+_Q147_W = 10
+
+_Q147_ORACLE = f"""
+SELECT user_id, epoch_us(ts) AS us, event_id,
+       quantile_disc(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {_Q147_W - 1} PRECEDING AND CURRENT ROW
+       ) AS roll_med
+FROM events
+ORDER BY user_id, us, event_id
+"""
+
+
+@register("q147_rolling_median", _Q147_ORACLE)
+def q147_rolling_median(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(_Q147_W - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    med = F.element_at(arr, F.ceil(F.size(arr) / 2).cast("int"))
+    return ev.select(
+        "user_id", "us", "event_id", med.alias("roll_med")
+    ).orderBy("user_id", "us", "event_id")
