@@ -1204,3 +1204,136 @@ def q144_pack_bins_nosplit(spark, sf_dir):
     return pack_bins_nosplit(
         docs, "doc_id", "n_tok", _Q144_CAP, n_shards=_Q144_SHARDS
     ).orderBy("shard", "bin_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q148 — grouped WEIGHTED median (calibration workhorse): the smallest
+# value whose cumulative weight reaches half the group total, on a total
+# (value, tiebreak) order. All-integer comparison (2*cumw >= total), so
+# both engines pick the identical element. One window + one grouped min.
+# ---------------------------------------------------------------------------
+
+_Q148_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS wt,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING
+         ) AS cumw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(v) AS weighted_median,
+       CAST(MAX(tot) AS BIGINT) AS total_weight
+FROM w
+WHERE 2 * CAST(cumw AS BIGINT) >= CAST(tot AS BIGINT)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q148_weighted_median", _Q148_ORACLE)
+def q148_weighted_median(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    scored = li.withColumn("cumw", F.sum("wt").over(win)).withColumn(
+        "tot", F.sum("wt").over(tot_w)
+    )
+    return (
+        scored.filter(F.lit(2) * F.col("cumw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tot").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 — population stability index (distribution-drift monitor between
+# two event populations over fixed value bins). Bin fractions come from
+# integer counts; each bin's (p-q)*ln(p/q) term is round-9 gated (the
+# libm discipline) and the cross-bin reduction is an exact decimal sum,
+# so the drift score is bit-identical cross-engine. Standard practice:
+# bins empty on either side are excluded (reported separately).
+# ---------------------------------------------------------------------------
+
+_Q149_BIN = 10.0
+
+
+def _q149_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    term = (
+        "ROUND((CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b)"
+        " * LN((CAST(n_a AS DOUBLE) / tot_a) / (CAST(n_b AS DOUBLE) / tot_b)), 9)"
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(FLOOR(value / {_Q149_BIN}) AS BIGINT) AS bin,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS n_a,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS n_b
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+),
+t AS (
+  SELECT bin, n_a, n_b,
+         CAST((SELECT SUM(n_a) FROM b) AS DOUBLE) AS tot_a,
+         CAST((SELECT SUM(n_b) FROM b) AS DOUBLE) AS tot_b
+  FROM b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(COUNT(*) FILTER (WHERE n_a = 0 OR n_b = 0) AS BIGINT) AS n_excluded,
+       {sql_dsum(f"CASE WHEN n_a > 0 AND n_b > 0 THEN {term} ELSE 0.0 END")} AS psi
+FROM t
+"""
+
+
+@register("q149_psi_drift", _q149_oracle())
+def q149_psi_drift(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    b = ev.groupBy(
+        F.floor(F.col("value") / _Q149_BIN).cast("long").alias("bin")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_a"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_b"),
+    )
+    tot = b.agg(
+        F.sum("n_a").cast("double").alias("tot_a"),
+        F.sum("n_b").cast("double").alias("tot_b"),
+    )
+    t = b.crossJoin(F.broadcast(tot))
+    pa = F.col("n_a").cast("double") / F.col("tot_a")
+    pb = F.col("n_b").cast("double") / F.col("tot_b")
+    term = F.round((pa - pb) * F.log(pa / pb), 9)
+    return t.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.count(F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), 1))
+        .cast("long")
+        .alias("n_excluded"),
+        dsum(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), term).otherwise(0.0)
+        ).alias("psi"),
+    )
