@@ -1337,3 +1337,85 @@ def q149_psi_drift(spark, sf_dir):
             F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), term).otherwise(0.0)
         ).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — Spearman rank correlation per group, EXACT: average ranks come
+# from integer row_numbers (AVG over the tied-value partition), every
+# moment is an exact decimal sum of 2x-scaled ranks (halves -> ints),
+# and the final formula uses only IEEE-exact ops (+,*,/,sqrt are all
+# correctly rounded), so no round-9 guard is even needed.
+# ---------------------------------------------------------------------------
+
+_Q150_ORACLE = """
+WITH r0 AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber) AS rnx,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rny
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag,
+         CAST(2 * AVG(rnx) OVER (PARTITION BY l_returnflag, l_quantity) AS BIGINT) AS rx2,
+         CAST(2 * AVG(rny) OVER (PARTITION BY l_returnflag, l_extendedprice) AS BIGINT) AS ry2
+  FROM r0
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ry2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM r GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS spearman
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register("q150_spearman", _Q150_ORACLE)
+def q150_spearman(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+
+    def avg_rank2(value_col):
+        rn = F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy(
+                value_col, "l_orderkey", "l_linenumber"
+            )
+        )
+        return (
+            (F.lit(2) * F.avg(rn).over(
+                Window.partitionBy("l_returnflag", value_col)
+            )).cast("long")
+        )
+
+    r = li.select(
+        "l_returnflag",
+        avg_rank2("l_quantity").alias("rx2"),
+        avg_rank2("l_extendedprice").alias("ry2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = r.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("rx2")).cast("double").alias("sx"),
+        F.sum(dec("ry2")).cast("double").alias("sy"),
+        F.sum(dec("rx2") * dec("ry2")).cast("double").alias("sxy"),
+        F.sum(dec("rx2") * dec("rx2")).cast("double").alias("sxx"),
+        F.sum(dec("ry2") * dec("ry2")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", n.cast("long").alias("n"), rho.alias("spearman")
+    ).orderBy("l_returnflag")
