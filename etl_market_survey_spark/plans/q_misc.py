@@ -1419,3 +1419,59 @@ def q150_spearman(spark, sf_dir):
     return m.select(
         "l_returnflag", n.cast("long").alias("n"), rho.alias("spearman")
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q151 — Gini coefficient of document length per source (corpus balance
+# diagnostic): G = (2*Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over ascending
+# ranks i. Ranks are integer row_numbers on a total order; moments are
+# exact decimal sums; the closing expression is IEEE-exact — bit-equal
+# cross-engine with no rounding guard.
+# ---------------------------------------------------------------------------
+
+_Q151_ORACLE = """
+WITH r AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i
+  FROM (SELECT source, length(text) AS n_chars, doc_id FROM documents)
+),
+m AS (
+  SELECT source,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS six
+  FROM r GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       (2.0 * six - (n + 1.0) * sx) / (n * sx) AS gini
+FROM m
+ORDER BY source
+"""
+
+
+@register("q151_gini_lengths", _Q151_ORACLE)
+def q151_gini_lengths(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("long").alias("x"), "doc_id"
+    )
+    r = docs.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("x", "doc_id")
+        ),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = r.groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("i") * dec("x")).cast("double").alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return m.select(
+        "source",
+        n.cast("long").alias("n"),
+        ((F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx)).alias("gini"),
+    ).orderBy("source")
