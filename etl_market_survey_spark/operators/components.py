@@ -141,17 +141,21 @@ def dedup_canonical_by(
     with_comp = df.join(
         comp.select(F.col("node").alias(id_col), "comp"), id_col, "left"
     )
-    # packed numeric ordering key (score dominates, lower id wins ties;
-    # requires integer ids < 1e10 — the struct form would be cleaner but
-    # the DuckDB mirror's arg_max cannot order structs/lists)
+    # struct ordering: exact for ANY numeric score (no packing, no
+    # truncation, no overflow) — (score asc, -id asc) maximized picks
+    # highest score then lowest id. The q145 DuckDB mirror packs an
+    # integer key instead (its arg_max cannot order structs), which is
+    # equivalent there because that gate's score is an integer length.
     best = (
         with_comp.filter(F.col("comp").isNotNull())
         .groupBy("comp")
         .agg(
             F.max_by(
                 id_col,
-                F.col(score_col).cast("long") * F.lit(10_000_000_000)
-                - F.col(id_col).cast("long"),
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col).cast("long")).alias("negid"),
+                ),
             ).alias("_best_id")
         )
     )

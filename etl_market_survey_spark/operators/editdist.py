@@ -120,26 +120,46 @@ def _editdist_fastss(
     return pairs.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
+#: FastSS generates L+1 (d=1) / O(L^2) (d=2) variants per record, each
+#: carrying the text — selective on short keys, an O(L^d+1) shuffle
+#: blow-up on documents. Auto-dispatch probes max length (one cheap
+#: single-column scan) and only takes FastSS below these bounds.
+_FASTSS_MAX_LEN = {1: 512, 2: 64}
+
+
 def edit_distance_self_join(
     df: DataFrame,
     id_col: str,
     text_col: str,
     d: int,
     q: int = 2,
+    algo: str = "auto",
 ) -> DataFrame:
     """All pairs ``id_a < id_b`` with ``levenshtein(text_a, text_b) <= d``
     — exactly. Output: ``(id_a, id_b, dist)``.
 
-    Dispatch: for ``d <= 2`` the FastSS deletion-neighborhood join
-    (complete, and much more selective on short strings); for larger
-    ``d`` the Ed-Join q-gram prefix index. Either way filters only
-    prune and the exact ``levenshtein`` decides. Strings too short for
-    the gram guarantee fall back to a broadcast length-window join
-    (complete by construction).
+    Dispatch (``algo='auto'``): for ``0 < d <= 2`` AND short strings
+    (max length probed with a one-column scan, bounds in
+    ``_FASTSS_MAX_LEN``) the FastSS deletion-neighborhood join —
+    complete and far more selective on entity-resolution keys; otherwise
+    the Ed-Join q-gram prefix index, whose per-record index cost is a
+    few grams regardless of string length. ``algo='fastss'``/``'edjoin'``
+    forces a path. Either way filters only prune and the exact
+    ``levenshtein`` decides. Strings too short for the gram guarantee
+    fall back to a broadcast length-window join (complete by
+    construction).
     """
     if d < 0:
         raise ValueError("edit-distance threshold must be >= 0")
-    if 0 < d <= 2:
+    if algo not in ("auto", "fastss", "edjoin"):
+        raise ValueError(f"unknown algo {algo!r}")
+    if algo == "fastss" and not (0 < d <= 2):
+        raise ValueError("fastss path requires 0 < d <= 2")
+    if algo == "auto" and 0 < d <= 2:
+        max_len = df.agg(F.max(F.length(text_col))).first()[0] or 0
+        if max_len <= _FASTSS_MAX_LEN[d]:
+            algo = "fastss"
+    if algo == "fastss":
         return _editdist_fastss(df, id_col, text_col, d)
     if d == 0:
         # degenerate: exact-duplicate pairs

@@ -5,15 +5,19 @@ with typed metadata; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
 Python row-at-a-time.
 
-Codec policy: PIL is probed at import (``HAS_PIL``). With
-``decode_stub=None`` (auto, the new default) the kernels use a real PIL
-decode when the library is present and the deterministic byte-stub
-otherwise; ``decode_stub=True`` forces the stub (reproducible plumbing
-tests), ``decode_stub=False`` requires the real codec and raises
-``NotImplementedError`` where it's absent (this runtime ships neither
-PIL nor ffmpeg). The Spark-side plumbing — schema, batching, partition
-sizing — is identical in every mode; swapping kernels changes no plan
-shape.
+Codec policy: PIL is probed at import (``HAS_PIL``).
+``decode_stub=True`` (the default) always uses the deterministic
+byte-stub — output is a pure function of the bytes, never of the
+runtime's installed libraries, which is this engine's reproducibility
+contract. ``decode_stub=False`` requires the real PIL codec (raises
+``NotImplementedError`` where it's absent — this runtime ships neither
+PIL nor ffmpeg). ``decode_stub=None`` opts into auto (real codec when
+the DRIVER sees PIL, stub otherwise) for exploratory use; don't put it
+in a pipeline whose outputs feed hashes/dedup, and note a
+driver-with-PIL / executors-without cluster will surface the gap as a
+kernel-side NotImplementedError at task time. The Spark-side plumbing —
+schema, batching, partition sizing — is identical in every mode;
+swapping kernels changes no plan shape.
 
 Scale notes: binary payloads dominate partition size; ``repartition`` by
 size-bucket before decode keeps Arrow batches bounded (a 100 MB video and
@@ -79,7 +83,12 @@ def _pil_decode(payload: bytes) -> np.ndarray:
     (same featurization contract as the stub, real pixels in)."""
     import io
 
-    import PIL.Image
+    try:
+        import PIL.Image
+    except ImportError as e:  # driver had PIL, this executor doesn't
+        raise NotImplementedError(
+            "real media decode requires PIL on every executor"
+        ) from e
 
     img = PIL.Image.open(io.BytesIO(payload)).convert("L")
     arr = np.asarray(img, dtype=np.float64).ravel()
@@ -93,7 +102,7 @@ def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
     out_col: str = "features",
-    decode_stub: bool | None = None,
+    decode_stub: bool | None = True,
     batch_rows: int = 256,
 ) -> DataFrame:
     """Decode + featurize via ``mapInPandas`` (one Arrow batch at a time).
@@ -124,7 +133,7 @@ def resize_media(
     df: DataFrame,
     payload_col: str = "payload",
     target: tuple[int, int] = (224, 224),
-    decode_stub: bool | None = None,
+    decode_stub: bool | None = True,
     out_col: str = "resized",
 ) -> DataFrame:
     """Resize per-row payload -> resized payload + recorded target dims,
@@ -149,7 +158,12 @@ def resize_media(
     def _pil_resize(b: bytes) -> bytes:
         import io
 
-        import PIL.Image
+        try:
+            import PIL.Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "real media resize requires PIL on every executor"
+            ) from e
 
         if len(b) == 0:
             return b""

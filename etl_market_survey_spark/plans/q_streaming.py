@@ -511,9 +511,13 @@ def q139_maintained_view(spark, sf_dir):
         keys=["l_returnflag"], cols=["price"], n_buckets=8, sign_col="sign",
     )
     q.awaitTermination()
+    view = read_view(spark, table, ["price"])
+    if view is None:  # no batch committed (empty feed / replayed checkpoint)
+        return spark.createDataFrame(
+            [], "l_returnflag string, n bigint, sum_price double, avg_price double"
+        )
     out = (
-        read_view(spark, table, ["price"])
-        .select("l_returnflag", "n", "sum_price", "avg_price")
+        view.select("l_returnflag", "n", "sum_price", "avg_price")
         .orderBy("l_returnflag")
         .localCheckpoint(eager=True)  # cut lineage so the tables can drop
     )

@@ -67,19 +67,29 @@ def ivm_refresh_writer(
     n_buckets: int = 32,
     sign_col: str | None = None,
     plan_log: list[str] | None = None,
+    retain: int = 2,
 ):
     """``foreachBatch`` function maintaining the bucketed partial-state
     view. ``sign_col`` (±1) marks retractions; ``plan_log`` (if given)
     collects the physical plan of every join-form refresh so callers can
-    assert the zero-exchange property."""
+    assert the zero-exchange property. After each committed refresh, all
+    but the newest ``retain`` versions are dropped (>= 2 so a replaying
+    batch always finds its base and an in-flight reader of the previous
+    snapshot is never yanked) — without retention a long stream
+    accumulates O(batches x view) dead storage."""
     keys, cols = list(keys), list(cols)
+    retain = max(2, int(retain))
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_id = int(batch_id)
         sign = F.col(sign_col) if sign_col else None
-        delta = sum_partials(batch_df, keys, cols, sign=sign).filter(
-            F.col("_n") != 0
-        )
+        # NEVER drop _n == 0 groups from the DELTA: a same-batch update
+        # (retract old value + insert new value for one key) nets a zero
+        # signed row count with a NONZERO signed sum — filtering it here
+        # would lose the update. Empty-group dropping belongs only on the
+        # merged STATE, where (for a consistent feed) n == 0 implies the
+        # sums are zero too; merge_partials_join already applies it.
+        delta = sum_partials(batch_df, keys, cols, sign=sign)
         prior = [v for v in view_versions(spark, table) if v < batch_id]
         with bucketed_refresh(spark):
             if prior:
@@ -92,6 +102,9 @@ def ivm_refresh_writer(
             else:
                 merged = delta
             write_bucketed(merged, f"{table}_v{batch_id}", keys, n_buckets=n_buckets)
+        live = view_versions(spark, table)
+        for v in live[:-retain]:
+            spark.sql(f"DROP TABLE IF EXISTS {table}_v{v}")
 
     return apply
 
@@ -106,6 +119,7 @@ def write_stream_ivm_view(
     sign_col: str | None = None,
     available_now: bool = True,
     plan_log: list[str] | None = None,
+    retain: int = 2,
 ):
     """Start (and with ``available_now`` drain) a maintained-view stream.
     Returns the StreamingQuery."""
@@ -119,6 +133,7 @@ def write_stream_ivm_view(
                 n_buckets=n_buckets,
                 sign_col=sign_col,
                 plan_log=plan_log,
+                retain=retain,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -57,3 +57,17 @@ def test_dedup_canonical_by_quality(spark):
     # cluster {1,2,3}: best score 99 shared by 2 and 3 -> lowest id 2
     # cluster {7,8}: 7 wins; singleton 9 -> itself
     assert got == {1: 2, 2: 2, 3: 2, 7: 7, 8: 7, 9: 9}
+
+
+def test_dedup_canonical_by_fractional_scores(spark):
+    from etl_market_survey_spark.operators.components import dedup_canonical_by
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1, 1.2), (2, 1.9)], "doc_id long, score double"
+    )
+    got = {
+        r.doc_id: r.canonical_id
+        for r in dedup_canonical_by(docs, pairs, "doc_id", "score").collect()
+    }
+    assert got == {1: 2, 2: 2}  # 1.9 beats 1.2 — no integer truncation

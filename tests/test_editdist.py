@@ -137,3 +137,25 @@ def test_editdist_d0_exact_duplicates(spark):
         for r in edit_distance_self_join(df, "id", "s", 0).collect()
     )
     assert got == [(1, 2, 0), (1, 4, 0), (2, 4, 0)]
+
+
+def test_auto_dispatch_uses_edjoin_on_long_strings(spark):
+    """Documents (long strings) must not take the FastSS variant
+    explosion; short keys must."""
+    from etl_market_survey_spark.operators.editdist import (
+        edit_distance_self_join,
+    )
+
+    long_df = spark.createDataFrame(
+        [(1, "x" * 2000), (2, "x" * 2000)], "id long, s string"
+    )
+    plan = edit_distance_self_join(
+        long_df, "id", "s", d=2
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # Ed-Join signature: gram frequency ranking window; FastSS has none
+    assert "row_number" in plan
+    short_df = spark.createDataFrame([(1, "ab"), (2, "ac")], "id long, s string")
+    plan2 = edit_distance_self_join(
+        short_df, "id", "s", d=1
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan2

@@ -28,8 +28,18 @@ def _cleanup(spark, table):
 def test_maintained_view_end_to_end(spark, tmp_path):
     rng = random.Random(41)
     inserts = [(f"k{rng.randint(0, 19)}", round(rng.uniform(0, 10), 3), 1) for _ in range(600)]
-    # batch 3 retracts a slice of batch 1's rows
-    batches = [inserts[:200], inserts[200:600], [(k, x, -1) for k, x, _ in inserts[:50]]]
+    # batch 3 retracts a slice of batch 1's rows; batch 4 is a same-batch
+    # UPDATE (retract old + insert new per key — net signed count 0 but
+    # nonzero signed sums, the case a delta-side empty-group filter loses)
+    updates = [
+        p for (k, x, _) in inserts[100:120] for p in ((k, x, -1), (k, x + 1.0, 1))
+    ]
+    batches = [
+        inserts[:200],
+        inserts[200:600],
+        [(k, x, -1) for k, x, _ in inserts[:50]],
+        updates,
+    ]
     for i, rows in enumerate(batches):
         spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(
             str(tmp_path / "in" / f"{i}.parquet")
@@ -55,7 +65,8 @@ def test_maintained_view_end_to_end(spark, tmp_path):
             plan_log=plans,
         )
         q.awaitTermination()
-        assert len(view_versions(spark, table)) == 3
+        # retention: only the newest `retain` (default 2) versions survive
+        assert view_versions(spark, table) == [2, 3]
 
         got = {
             tuple(r[k] for k in sorted(r.asDict()))
@@ -76,9 +87,9 @@ def test_maintained_view_end_to_end(spark, tmp_path):
         }
         assert got == want
 
-        # every join-form refresh (batches 1 and 2) read the bucketed
+        # every join-form refresh (batches 1-3) read the bucketed
         # base with zero exchange on its branch
-        assert len(plans) == 2
+        assert len(plans) == 3
         for plan in plans:
             assert "Bucketed: true" in plan, plan[:2000]
             base_branch = [
@@ -92,7 +103,7 @@ def test_maintained_view_end_to_end(spark, tmp_path):
         writer = ivm_refresh_writer(
             spark, table, ["k"], ["x"], n_buckets=n_buckets, sign_col="sign"
         )
-        writer(spark.createDataFrame(batches[2], _SCHEMA), 2)
+        writer(spark.createDataFrame(batches[3], _SCHEMA), 3)
         got2 = {
             tuple(r[k] for k in sorted(r.asDict()))
             for r in read_view(spark, table, ["x"]).collect()
