@@ -53,6 +53,9 @@ HEADLINE = [
     "q125_ivf_pq_topk",
     "q137_erf_scalar",
     "q139_maintained_view",
+    "q143_df_prune",
+    "q148_weighted_median",
+    "q150_spearman",
 ]
 
 
