@@ -1475,3 +1475,72 @@ def q151_gini_lengths(spark, sf_dir):
         n.cast("long").alias("n"),
         ((F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx)).alias("gini"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q152 — Benford first-digit audit (fraud/quality screen on amounts):
+# observed first-significant-digit counts of l_extendedprice vs the
+# Benford expectation, plus the chi-square statistic. The nine Benford
+# probabilities are PYTHON float literals embedded in both engines'
+# SQL, so no runtime log10 can diverge; the chi-square reduction is an
+# exact decimal sum of round-9 terms.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _q152_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    cases = " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items())
+    term = (
+        "ROUND((CAST(n AS DOUBLE) - tot * p) * (CAST(n AS DOUBLE) - tot * p)"
+        " / (tot * p), 9)"
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1.0
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (
+  SELECT digit, n,
+         CAST((SELECT SUM(n) FROM c) AS DOUBLE) AS tot,
+         CASE digit {cases} END AS p
+  FROM c
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       {sql_dsum(term)} AS chi2
+FROM t
+"""
+
+
+@register("q152_benford", _q152_oracle())
+def q152_benford(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1.0)
+    d = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("double").alias("tot"))
+    p = F.element_at(
+        F.create_map(
+            *[x for dd, pp in _BENFORD.items() for x in (F.lit(dd), F.lit(pp))]
+        ),
+        F.col("digit"),
+    )
+    t = c.crossJoin(F.broadcast(tot)).withColumn("p", p)
+    nn = F.col("n").cast("double")
+    term = F.round((nn - F.col("tot") * F.col("p")) ** 2 / (F.col("tot") * F.col("p")), 9)
+    return t.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        dsum(term).alias("chi2"),
+    )
