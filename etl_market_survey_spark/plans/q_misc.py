@@ -1544,3 +1544,45 @@ def q152_benford(spark, sf_dir):
         F.sum("n").cast("long").alias("n_rows"),
         dsum(term).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — relational INTERSECT ALL / EXCEPT ALL (multiset set ops, the
+# relational surface q16's UNION left uncovered): supplier keys on
+# returned lineitems intersected with / minus those on accepted ones,
+# bag semantics (duplicicities preserved exactly — that's what ALL
+# means and what Spark's intersectAll/exceptAll implement).
+# ---------------------------------------------------------------------------
+
+_Q153_ORACLE = """
+WITH r AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+     a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A')
+SELECT 'both' AS which, l_suppkey, COUNT(*) AS n FROM (
+  SELECT * FROM r INTERSECT ALL SELECT * FROM a
+) GROUP BY 2
+UNION ALL
+SELECT 'only_r', l_suppkey, COUNT(*) FROM (
+  SELECT * FROM r EXCEPT ALL SELECT * FROM a
+) GROUP BY 2
+ORDER BY which, l_suppkey
+"""
+
+
+@register("q153_multiset_ops", _Q153_ORACLE)
+def q153_multiset_ops(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    both = (
+        r.intersectAll(a)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("both").alias("which"), "l_suppkey", "n")
+    )
+    only_r = (
+        r.exceptAll(a)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("only_r").alias("which"), "l_suppkey", "n")
+    )
+    return both.unionByName(only_r).orderBy("which", "l_suppkey")
