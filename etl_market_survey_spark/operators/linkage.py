@@ -187,6 +187,9 @@ def estimate_mu_em(
     patterns = [
         (tuple(bool(r[f"agr_{f.col}"]) for f in fields), r["n"]) for r in rows
     ]
+    # fixed fold order: float accumulation order must not depend on the
+    # partition layout behind collect() (engine-determinism discipline)
+    patterns.sort()
     total = float(sum(n for _, n in patterns))
     k = len(fields)
     p = p_init
