@@ -1,0 +1,91 @@
+"""Rotated product quantization (the OPQ family's baseline rotation).
+
+PQ quantizes each subspace independently, so correlated dimensions
+waste codebook entropy; rotating the space first decorrelates them.
+Full OPQ (Ge et al., CVPR 2013) alternates rotation and codebook
+updates; the standard data-free baseline — implemented here — applies a
+seeded random (near-)orthonormal BLOCK-DIAGONAL rotation: one d_sub ×
+d_sub block per subspace, coefficients rounded to 6 decimals so they
+are exact literals in BOTH engines.
+
+Exactness contract: the rotation is generated as arithmetic EXPRESSION
+TEXT — a left-folded chain ``c1*x1 + c2*x2 + …`` per output dimension —
+rendered for Spark (``element_at``) and DuckDB (1-based ``[]``) from
+the same term list. +, * on doubles are IEEE-exact and left-assoc in
+both parsers, and float→double widening of the stored embeddings is
+exact, so rotated values are bit-identical cross-engine (and in
+Python's identical left fold, used for query vectors). Everything
+downstream is the integer-exact PQ chain (operators/pq).
+
+Scale: the rotation is a per-row projection — map-only, no shuffle; the
+cost is m * d_sub^2 mult-adds per vector inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def rotation_blocks(
+    m: int, dsub: int, seed: int = 7, decimals: int = 6
+) -> list[list[list[float]]]:
+    """``m`` seeded near-orthonormal ``dsub x dsub`` blocks (QR of a
+    Gaussian, rounded to ``decimals`` so every coefficient is a short
+    exact literal)."""
+    rng = np.random.RandomState(seed)
+    blocks = []
+    for _ in range(m):
+        q, _ = np.linalg.qr(rng.randn(dsub, dsub))
+        blocks.append([[round(float(v), decimals) for v in row] for row in q])
+    return blocks
+
+
+def _row_terms(block_row: Sequence[float], base: int, idx) -> str:
+    """One rotated output dim: left-folded ``c*x`` chain in block order."""
+    return " + ".join(
+        f"{c!r} * {idx(base + i + 1)}" for i, c in enumerate(block_row)
+    )
+
+
+def _rotated_exprs(vec: str, blocks, idx) -> list[str]:
+    out = []
+    dsub = len(blocks[0])
+    for j, block in enumerate(blocks):
+        base = j * dsub
+        for row in block:
+            out.append(f"({_row_terms(row, base, idx)})")
+    return out
+
+
+def rotated_vec(vec_col: str, blocks) -> Column:
+    """Spark: ``array<double>`` of the block-rotated vector."""
+    exprs = _rotated_exprs(
+        vec_col, blocks, lambda k: f"CAST(element_at(`{vec_col}`, {k}) AS DOUBLE)"
+    )
+    return F.expr("array(" + ", ".join(exprs) + ")")
+
+
+def sql_rotated_list(vec_expr: str, blocks) -> str:
+    """DuckDB: list literal of the identically-ordered expressions."""
+    exprs = _rotated_exprs(
+        vec_expr, blocks, lambda k: f"CAST({vec_expr}[{k}] AS DOUBLE)"
+    )
+    return "[" + ", ".join(exprs) + "]"
+
+
+def rotate_query(qvec: Sequence[float], blocks) -> list[float]:
+    """Python replica of the same left fold for query-side vectors."""
+    dsub = len(blocks[0])
+    out = []
+    for j, block in enumerate(blocks):
+        base = j * dsub
+        for row in block:
+            acc = row[0] * float(qvec[base])
+            for i in range(1, dsub):
+                acc = acc + row[i] * float(qvec[base + i])
+            out.append(acc)
+    return out

@@ -1218,3 +1218,75 @@ def q145_canonical_by_quality(spark, sf_dir):
         "canonical_id",
         (F.col("canonical_id") == F.col("doc_id")).alias("is_survivor"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q154 — rotated PQ (the OPQ family's random-rotation baseline): a
+# seeded block-diagonal near-orthonormal rotation decorrelates the
+# embedding before the integer-exact PQ chain. The rotation is shared
+# EXPRESSION TEXT (left-folded c*x chains; +,* are IEEE-exact and
+# left-assoc in both engines), so the rotated doubles — and therefore
+# codes and ADC top-k — are bit-identical cross-engine: the whole
+# rotate -> quantize -> assign -> ADC chain is hash-gated.
+# ---------------------------------------------------------------------------
+
+_Q154_DIM, _Q154_M, _Q154_K, _Q154_TOPK = 64, 4, 16, 10
+
+
+def _q154_setup():
+    import random as _r
+
+    from ..operators.opq import rotation_blocks
+    from ..operators.pq import random_codebooks
+
+    blocks = rotation_blocks(_Q154_M, _Q154_DIM // _Q154_M, seed=154)
+    books = random_codebooks(
+        _Q154_M, _Q154_K, _Q154_DIM // _Q154_M, -530, 460, seed=1540
+    )
+    rng = _r.Random(15400)
+    raw_queries = [
+        (qid, [rng.uniform(-0.5, 0.5) for _ in range(_Q154_DIM)])
+        for qid in range(3)
+    ]
+    return blocks, books, raw_queries
+
+
+def _q154_rot_queries(blocks, raw_queries):
+    import math as _m
+
+    from ..operators.opq import rotate_query
+
+    return [
+        (qid, [int(_m.floor(v * 1000.0)) for v in rotate_query(q, blocks)])
+        for qid, q in raw_queries
+    ]
+
+
+def _q154_oracle() -> str:
+    from ..operators.opq import sql_rotated_list
+    from ..operators.pq import sql_adc_topk, sql_assign_codes
+
+    blocks, books, raw_queries = _q154_setup()
+    rot_table = (
+        f"(SELECT vec_id, {sql_rotated_list('embedding', blocks)} AS rvec"
+        " FROM embeddings)"
+    )
+    codes_cte = sql_assign_codes(rot_table, "vec_id", "rvec", books, _Q154_DIM)
+    return sql_adc_topk(
+        codes_cte, _q154_rot_queries(blocks, raw_queries), books, _Q154_TOPK
+    )
+
+
+@register("q154_rotated_pq_topk", _q154_oracle())
+def q154_rotated_pq_topk(spark, sf_dir):
+    from ..operators.opq import rotated_vec
+    from ..operators.pq import adc_topk, assign_codes
+
+    blocks, books, raw_queries = _q154_setup()
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", rotated_vec("embedding", blocks).alias("rvec")
+    )
+    codes = assign_codes(emb, "vec_id", "rvec", books, _Q154_DIM)
+    return adc_topk(
+        codes, _q154_rot_queries(blocks, raw_queries), books, _Q154_TOPK
+    ).orderBy("query_id", "adc_dist", "vec_id")

@@ -152,3 +152,27 @@ def test_ivf_pq_full_probe_equals_plain_adc(spark):
     probe1 = cell_of(queries[0][1], cents)[:1]
     in_cell = {r.vec_id for r in index.filter(index.cell.isin(probe1)).collect()}
     assert n1 == in_cell  # k large enough -> exactly the probed cell
+
+
+def test_rotation_matches_python_and_is_near_orthonormal(spark):
+    import numpy as np
+
+    from etl_market_survey_spark.operators.opq import (
+        rotate_query,
+        rotated_vec,
+        rotation_blocks,
+    )
+
+    blocks = rotation_blocks(4, 16, seed=9)
+    for b in blocks:
+        m = np.array(b)
+        assert np.abs(m @ m.T - np.eye(16)).max() < 1e-5  # rounded QR
+    rng = random.Random(5)
+    vec = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    got = df.select(rotated_vec("embedding", blocks).alias("r")).collect()[0]["r"]
+    # Python replica must match the engine expression bit-for-bit,
+    # including the float32 storage round-trip
+    f32 = [float(np.float32(v)) for v in vec]
+    want = rotate_query(f32, blocks)
+    assert got == want
