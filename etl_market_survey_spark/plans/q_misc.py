@@ -1586,3 +1586,69 @@ def q153_multiset_ops(spark, sf_dir):
         .select(F.lit("only_r").alias("which"), "l_suppkey", "n")
     )
     return both.unionByName(only_r).orderBy("which", "l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# q155 — per-group winsorization (outlier clipping before normalization,
+# the curation step that keeps one pathological doc from dragging a
+# source's score scale): clamp values to the group's discrete [p05, p95]
+# (actual elements at 1-based rank ceil(q*n) — the engine-portable
+# quantile_disc convention, no interpolation to disagree about), then
+# the clipped group stats through exact decimal sums. Cutoffs use the
+# per-group sorted-array path (fine to ~1e8 rows/group, same contract
+# as mean_std); beyond that, bracket the two ranks with
+# kll_exact_quantiles — clamping and stats are unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _q155_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    return f"""
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_disc(l_extendedprice, 0.05) AS lo,
+         quantile_disc(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l.l_returnflag,
+         LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi) AS v
+  FROM lineitem l JOIN b USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum("v")} AS sum_clipped,
+       MIN(v) AS lo_clip,
+       MAX(v) AS hi_clip
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q155_winsorize", _q155_oracle())
+def q155_winsorize(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v0")
+    )
+    arr = F.sort_array(F.collect_list("v0"))
+    pick = lambda q: F.element_at(  # noqa: E731
+        arr, F.ceil(F.size(arr) * F.lit(q)).cast("int")
+    )
+    b = li.groupBy("l_returnflag").agg(
+        pick(0.05).alias("lo"), pick(0.95).alias("hi")
+    )
+    c = li.join(F.broadcast(b), "l_returnflag").select(
+        "l_returnflag", F.least(F.greatest("v0", "lo"), "hi").alias("v")
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("v").alias("sum_clipped"),
+            F.min("v").alias("lo_clip"),
+            F.max("v").alias("hi_clip"),
+        )
+        .orderBy("l_returnflag")
+    )
