@@ -841,3 +841,70 @@ def q146_vocab_oov(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — unigram token entropy per document (quality signal: keyboard
+# mash and template spam sit at the entropy extremes). Counts are
+# integers; each token's -(c/n)*log2(c/n) term is round-9 gated and the
+# per-document reduction is an exact decimal sum.
+# ---------------------------------------------------------------------------
+
+
+def _q156_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    term = (
+        "ROUND(-(CAST(c AS DOUBLE) / n) * LOG2(CAST(c AS DOUBLE) / n), 9)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM c GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(ANY_VALUE(n.n), 0) AS BIGINT) AS n_tok,
+       COALESCE({sql_dsum(term)}, 0.0) AS entropy
+FROM documents d
+LEFT JOIN c ON d.doc_id = c.doc_id
+LEFT JOIN n ON d.doc_id = n.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("q156_token_entropy", _q156_oracle())
+def q156_token_entropy(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    c = t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = c.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log2(p), 9)
+    scored = (
+        c.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tok"),
+            dsum(term).alias("entropy"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
