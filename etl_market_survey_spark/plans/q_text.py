@@ -908,3 +908,71 @@ def q156_token_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — per-source KL divergence from the corpus token distribution
+# (which sources are drifting from the mix): D(source || corpus) over
+# the top shared unigrams. Integer counts everywhere, round-9 log
+# terms, exact decimal reduction; tokens unseen in a source contribute
+# nothing (standard plug-in estimator on the source support).
+# ---------------------------------------------------------------------------
+
+
+def _q157_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    term = (
+        "ROUND((CAST(sc AS DOUBLE) / sn) * "
+        "LOG2((CAST(sc AS DOUBLE) / sn) / (CAST(cc AS DOUBLE) / cn)), 9)"
+    )
+    return f"""
+WITH t AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+sc AS (SELECT source, tok, COUNT(*) AS sc FROM t GROUP BY 1, 2),
+cc AS (SELECT tok, COUNT(*) AS cc FROM t GROUP BY 1),
+sn AS (SELECT source, CAST(SUM(sc) AS DOUBLE) AS sn FROM sc GROUP BY 1),
+cn AS (SELECT CAST(SUM(cc) AS DOUBLE) AS cn FROM cc)
+SELECT s.source,
+       CAST(ANY_VALUE(sn.sn) AS BIGINT) AS n_tok,
+       {sql_dsum(term)} AS kl_bits
+FROM sc s
+JOIN cc USING (tok)
+JOIN sn ON s.source = sn.source
+CROSS JOIN cn
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+@register("q157_source_kl", _q157_oracle())
+def q157_source_kl(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    sc = t.groupBy("source", "tok").agg(F.count("*").alias("sc"))
+    cc = t.groupBy("tok").agg(F.count("*").alias("cc"))
+    sn = sc.groupBy("source").agg(F.sum("sc").cast("double").alias("sn"))
+    cn = cc.agg(F.sum("cc").cast("double").alias("cn"))
+    p = F.col("sc").cast("double") / F.col("sn")
+    q = F.col("cc").cast("double") / F.col("cn")
+    term = F.round(p * F.log2(p / q), 9)
+    return (
+        sc.join(cc, "tok")
+        .join(sn, "source")
+        .crossJoin(F.broadcast(cn))
+        .groupBy("source")
+        .agg(
+            F.max("sn").cast("long").alias("n_tok"),
+            dsum(term).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
