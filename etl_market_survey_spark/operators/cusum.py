@@ -1,0 +1,97 @@
+"""CUSUM change-point detection (Page 1954) — monitoring drift in a
+metric stream per key, the classic sequential detector: in event order,
+
+    s_i = max(0, s_{i-1} + (x_i - k)),  alarm when s_i > h
+
+(k = allowed slack per step, h = decision threshold). A true sequential
+recurrence over doubles — run as ``applyInPandas`` per key with one
+double of carried state (same shape as packing.pack_bins_nosplit);
+double ``+``/``max`` are IEEE-exact, so the DuckDB recursive-CTE mirror
+replays the recurrence bit-for-bit and the detector is hash-gated
+(q158). Parallelism = number of keys; state = 8 bytes per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cusum_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    k: float,
+    h: float,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per key (Page 1954): in order,
+    ``s_i = max(0, s_{i-1} + (x_i - k))``, alarm when ``s_i > h``.
+    A true sequential recurrence -> ``applyInPandas`` per key with one
+    double of carried state (the q144 pattern); double ``+``/``max`` are
+    IEEE-exact, so the DuckDB recursive-CTE oracle replays it
+    bit-for-bit. Output: key, order cols, value, ``cusum``, ``alarm``."""
+    import pandas as pd
+
+    order_cols = list(order_cols)
+    d = df.select(
+        F.col(key_col), *[F.col(c) for c in order_cols], F.col(value_col)
+    )
+    fields = dict(d.dtypes)
+    schema = (
+        ", ".join(f"`{c}` {fields[c]}" for c in [key_col, *order_cols, value_col])
+        + ", cusum double, alarm boolean"
+    )
+    kf, hf = float(k), float(h)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        s = 0.0
+        out_s, out_a = [], []
+        for x in pdf[value_col]:
+            s = s + (float(x) - kf)
+            if s < 0.0:
+                s = 0.0
+            out_s.append(s)
+            out_a.append(s > hf)
+        pdf = pdf.copy()
+        pdf["cusum"] = out_s
+        pdf["alarm"] = out_a
+        return pdf
+
+    return d.groupBy(key_col).applyInPandas(run, schema)
+
+
+def sql_cusum_per_key(
+    table: str,
+    key_expr: str,
+    order_exprs: Sequence[str],
+    value_expr: str,
+    k: float,
+    h: float,
+) -> str:
+    """DuckDB mirror of :func:`cusum_per_key` — the recurrence as a
+    recursive CTE over per-key row numbers."""
+    ob = ", ".join(order_exprs)
+    oc = ", ".join(f"{e}" for e in order_exprs)
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT {key_expr} AS _k, {oc}, {value_expr} AS _x,
+         ROW_NUMBER() OVER (PARTITION BY {key_expr} ORDER BY {ob}) AS _rn
+  FROM {table}
+),
+p AS (
+  SELECT _k, {oc}, _x, _rn,
+         GREATEST(0.0, CAST(_x AS DOUBLE) - {k!r}) AS cusum
+  FROM r WHERE _rn = 1
+  UNION ALL
+  SELECT r._k, {', '.join('r.' + e for e in order_exprs)}, r._x, r._rn,
+         GREATEST(0.0, p.cusum + (CAST(r._x AS DOUBLE) - {k!r}))
+  FROM r JOIN p ON r._k = p._k AND r._rn = p._rn + 1
+)
+SELECT _k AS {key_expr}, {oc}, _x AS {value_expr}, cusum,
+       cusum > {h!r} AS alarm
+FROM p
+"""

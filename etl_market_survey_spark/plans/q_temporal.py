@@ -712,3 +712,38 @@ def q147_rolling_median(spark, sf_dir):
     return ev.select(
         "user_id", "us", "event_id", med.alias("roll_med")
     ).orderBy("user_id", "us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q158 — CUSUM drift detection per user (operators/cusum): the Page
+# sequential detector over each user's event-value stream, alarms
+# included. A stateful recurrence on DOUBLES — and still hash-exact,
+# because +/max are IEEE-exact and the oracle's recursive CTE replays
+# the identical fold (the q144 pattern extended to float state).
+# ---------------------------------------------------------------------------
+
+_Q158_K, _Q158_H = 55.0, 120.0
+
+
+def _q158_oracle() -> str:
+    from ..operators.cusum import sql_cusum_per_key
+
+    inner = (
+        "(SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events)"
+    )
+    body = sql_cusum_per_key(
+        inner, "user_id", ["us", "event_id"], "value", _Q158_K, _Q158_H
+    )
+    return f"SELECT * FROM ({body}) ORDER BY user_id, us, event_id"
+
+
+@register("q158_cusum_drift", _q158_oracle())
+def q158_cusum_drift(spark, sf_dir):
+    from ..operators.cusum import cusum_per_key
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_id", "value"
+    )
+    return cusum_per_key(
+        ev, "user_id", ["us", "event_id"], "value", _Q158_K, _Q158_H
+    ).orderBy("user_id", "us", "event_id")
