@@ -95,3 +95,74 @@ SELECT _k AS {key_expr}, {oc}, _x AS {value_expr}, cusum,
        cusum > {h!r} AS alarm
 FROM p
 """
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``s_1 = x_1; s_i = alpha*x_i + (1-alpha)*s_{i-1}`` — the smoothing
+    companion to CUSUM, same stateful-recurrence contract (IEEE-exact
+    ops only, recursive-CTE oracle replays it bit-for-bit)."""
+    import pandas as pd
+
+    order_cols = list(order_cols)
+    d = df.select(
+        F.col(key_col), *[F.col(c) for c in order_cols], F.col(value_col)
+    )
+    fields = dict(d.dtypes)
+    schema = (
+        ", ".join(f"`{c}` {fields[c]}" for c in [key_col, *order_cols, value_col])
+        + ", ewma double"
+    )
+    a = float(alpha)
+    b = 1.0 - a
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        out = []
+        s = None
+        for x in pdf[value_col]:
+            x = float(x)
+            s = x if s is None else a * x + b * s
+            out.append(s)
+        pdf = pdf.copy()
+        pdf["ewma"] = out
+        return pdf
+
+    return d.groupBy(key_col).applyInPandas(run, schema)
+
+
+def sql_ewma_per_key(
+    table: str,
+    key_expr: str,
+    order_exprs: Sequence[str],
+    value_expr: str,
+    alpha: float,
+) -> str:
+    """DuckDB mirror of :func:`ewma_per_key`."""
+    a = float(alpha)
+    b = 1.0 - a
+    ob = ", ".join(order_exprs)
+    oc = ", ".join(order_exprs)
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT {key_expr} AS _k, {oc}, {value_expr} AS _x,
+         ROW_NUMBER() OVER (PARTITION BY {key_expr} ORDER BY {ob}) AS _rn
+  FROM {table}
+),
+p AS (
+  SELECT _k, {oc}, _x, _rn, CAST(_x AS DOUBLE) AS ewma
+  FROM r WHERE _rn = 1
+  UNION ALL
+  SELECT r._k, {', '.join('r.' + e for e in order_exprs)}, r._x, r._rn,
+         {a!r} * CAST(r._x AS DOUBLE) + {b!r} * p.ewma
+  FROM r JOIN p ON r._k = p._k AND r._rn = p._rn + 1
+)
+SELECT _k AS {key_expr}, {oc}, _x AS {value_expr}, ewma
+FROM p
+"""

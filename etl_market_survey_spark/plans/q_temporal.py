@@ -747,3 +747,34 @@ def q158_cusum_drift(spark, sf_dir):
     return cusum_per_key(
         ev, "user_id", ["us", "event_id"], "value", _Q158_K, _Q158_H
     ).orderBy("user_id", "us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q159 — EWMA smoothing per user (the monitoring companion to q158's
+# CUSUM): alpha*x + (1-alpha)*s fold in event order, IEEE-exact ops
+# only, recursive-CTE oracle — float recurrence, hash-gated.
+# ---------------------------------------------------------------------------
+
+_Q159_ALPHA = 0.25
+
+
+def _q159_oracle() -> str:
+    from ..operators.cusum import sql_ewma_per_key
+
+    inner = "(SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events)"
+    body = sql_ewma_per_key(
+        inner, "user_id", ["us", "event_id"], "value", _Q159_ALPHA
+    )
+    return f"SELECT * FROM ({body}) ORDER BY user_id, us, event_id"
+
+
+@register("q159_ewma", _q159_oracle())
+def q159_ewma(spark, sf_dir):
+    from ..operators.cusum import ewma_per_key
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_id", "value"
+    )
+    return ewma_per_key(
+        ev, "user_id", ["us", "event_id"], "value", _Q159_ALPHA
+    ).orderBy("user_id", "us", "event_id")

@@ -39,3 +39,21 @@ def test_cusum_hand_computed(spark):
 def test_cusum_partition_invariant(spark):
     df = spark.createDataFrame(ROWS, "k string, t long, x double")
     assert _run(spark, df) == _run(spark, df.repartition(7))
+
+
+def test_ewma_hand_computed_and_invariant(spark):
+    from etl_market_survey_spark.operators.cusum import ewma_per_key
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0)], "k string, t long, x double"
+    )
+    got = {
+        r.t: r.ewma
+        for r in ewma_per_key(df, "k", ["t"], "x", alpha=0.5).collect()
+    }
+    assert got == {1: 10.0, 2: 15.0, 3: 7.5}
+    got2 = {
+        r.t: r.ewma
+        for r in ewma_per_key(df.repartition(5), "k", ["t"], "x", 0.5).collect()
+    }
+    assert got == got2
