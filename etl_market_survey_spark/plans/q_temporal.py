@@ -778,3 +778,80 @@ def q159_ewma(spark, sf_dir):
     return ewma_per_key(
         ev, "user_id", ["us", "event_id"], "value", _Q159_ALPHA
     ).orderBy("user_id", "us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q160 — first/last-touch attribution: for every purchase, the first and
+# the most recent preceding touch ('click'/'view') by the same user
+# within a 7-day lookback. Pure min_by/max_by over an interval-bounded
+# join on integer microseconds — the product-analytics join OLAP teams
+# actually run; deterministic ties via (us, event_id) packing.
+# ---------------------------------------------------------------------------
+
+_Q160_LOOKBACK_US = 7 * 86_400_000_000
+
+
+def _q160_oracle() -> str:
+    return f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS touch_id, event_type, epoch_us(ts) AS touch_us
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT c.user_id, c.conv_id, c.conv_us, t.touch_id, t.event_type, t.touch_us
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.touch_us < c.conv_us
+   AND t.touch_us >= c.conv_us - {_Q160_LOOKBACK_US}
+)
+SELECT user_id, conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       arg_min(touch_id, CAST(touch_us AS DECIMAL(38,0)) * 1000000 + touch_id) AS first_touch_id,
+       arg_min(event_type, CAST(touch_us AS DECIMAL(38,0)) * 1000000 + touch_id) AS first_touch_type,
+       arg_max(touch_id, CAST(touch_us AS DECIMAL(38,0)) * 1000000 + touch_id) AS last_touch_id,
+       arg_max(event_type, CAST(touch_us AS DECIMAL(38,0)) * 1000000 + touch_id) AS last_touch_type
+FROM j
+GROUP BY user_id, conv_id
+ORDER BY user_id, conv_id
+"""
+
+
+@register("q160_touch_attribution", _q160_oracle())
+def q160_touch_attribution(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.expr("ts div 1000").alias("conv_us"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.expr("ts div 1000").alias("touch_us"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(_Q160_LOOKBACK_US))
+    )
+    # packed deterministic order key in decimal (µs epoch * 1e6 would
+    # overflow int64): time dominates, event_id breaks ties
+    key = (
+        F.col("touch_us").cast("decimal(38,0)") * F.lit(1_000_000)
+        + F.col("touch_id")
+    )
+    return (
+        j.groupBy("user_id", "conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.min_by("touch_id", key).alias("first_touch_id"),
+            F.min_by("event_type", key).alias("first_touch_type"),
+            F.max_by("touch_id", key).alias("last_touch_id"),
+            F.max_by("event_type", key).alias("last_touch_type"),
+        )
+        .orderBy("user_id", "conv_id")
+    )
