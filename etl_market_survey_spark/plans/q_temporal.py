@@ -855,3 +855,122 @@ def q160_touch_attribution(spark, sf_dir):
         )
         .orderBy("user_id", "conv_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — SCD Type-2 history from a change log (the warehouse dimension-
+# maintenance pattern): each user's event stream becomes versioned rows
+# with [valid_from, valid_to) intervals — valid_to = next change's
+# timestamp (lead window), open row NULL — plus a version number and
+# is_current flag. One window, no self-join.
+# ---------------------------------------------------------------------------
+
+_Q161_ORACLE = """
+SELECT user_id,
+       event_id,
+       event_type AS state,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+@register("q161_scd2_history", _Q161_ORACLE)
+def q161_scd2_history(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("us").over(w).isNull().alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+# ---------------------------------------------------------------------------
+# q162 — conversion-path analysis: for every purchase, the ordered
+# sequence of preceding touch types in the 7-day lookback joined into a
+# path string ("view>view>click"), then the top paths by conversion
+# count. Order-stable assembly (sort_array of (time,id)-keyed structs ==
+# string_agg ORDER BY), deterministic ranking ties.
+# ---------------------------------------------------------------------------
+
+_Q162_LOOKBACK_US = 7 * 86_400_000_000
+
+
+def _q162_oracle() -> str:
+    return f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS touch_id, event_type, epoch_us(ts) AS touch_us
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT c.conv_id, t.event_type, t.touch_us, t.touch_id
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.touch_us < c.conv_us
+   AND t.touch_us >= c.conv_us - {_Q162_LOOKBACK_US}
+),
+paths AS (
+  SELECT conv_id,
+         string_agg(event_type, '>' ORDER BY touch_us, touch_id) AS path
+  FROM j GROUP BY conv_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS conversions
+FROM paths
+GROUP BY path
+ORDER BY conversions DESC, path
+LIMIT 20
+"""
+
+
+@register("q162_conversion_paths", _q162_oracle())
+def q162_conversion_paths(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.expr("ts div 1000").alias("conv_us"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.expr("ts div 1000").alias("touch_us"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(_Q162_LOOKBACK_US))
+    )
+    paths = j.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("touch_us", "touch_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("conversions"))
+        .orderBy(F.col("conversions").desc(), "path")
+        .limit(20)
+    )
