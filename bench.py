@@ -56,6 +56,8 @@ HEADLINE = [
     "q143_df_prune",
     "q148_weighted_median",
     "q150_spearman",
+    "q163_shipping_priority",
+    "q164_local_supplier_volume",
 ]
 
 

@@ -187,3 +187,129 @@ def q04_join_enrich(spark, sf_dir):
         .agg(F.count("*").alias("n_lineitems"), dsum(revenue).alias("revenue"))
         .orderBy("region_name", "nation_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163/q164/q165 — the canonical TPC-H join-aggregate shapes (Q3 / Q5 /
+# Q10 analogs on this schema), exact-gated with decimal revenue sums.
+# The OLAP anchor set: each is the textbook plan — filters pushed to
+# every scan, dims broadcast, one map-side-combined revenue aggregation,
+# deterministic top-N ordering.
+# ---------------------------------------------------------------------------
+
+_REV = "l_extendedprice * (1.0 - l_discount)"
+
+_Q163_ORACLE = f"""
+SELECT l.l_orderkey,
+       {sql_dsum(_REV)} AS revenue,
+       epoch_us(o.o_orderdate) AS order_date_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q163_shipping_priority", _Q163_ORACLE)
+def q163_shipping_priority(spark, sf_dir):
+    # o_orderdate/l_shipdate surface as TIMESTAMP_NTZ; the session is
+    # pinned UTC, so a TIMESTAMP cast is instant-preserving and
+    # unix_micros mirrors DuckDB's epoch_us exactly
+    cutoff_us = 896_659_200_000_000  # 1998-06-01 UTC in epoch-µs (TPC-H date range)
+    order_us = "unix_micros(cast(o_orderdate as timestamp))"
+    ship_us = "unix_micros(cast(l_shipdate as timestamp))"
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.expr(order_us) < cutoff_us)
+    li = load(spark, sf_dir, "lineitem").filter(F.expr(ship_us) > cutoff_us)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.expr(order_us).alias("order_date_us"),
+            "o_orderpriority",
+        )
+        .agg(dsum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date_us", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q165_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {sql_dsum(_REV)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q165_returned_revenue", _Q165_ORACLE)
+def q165_returned_revenue(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(rev).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q164_ORACLE = f"""
+SELECT n.n_name,
+       {sql_dsum(_REV)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE s.s_nationkey = c.c_nationkey
+GROUP BY 1
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q164_local_supplier_volume", _Q164_ORACLE)
+def q164_local_supplier_volume(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
