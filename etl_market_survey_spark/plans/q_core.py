@@ -313,3 +313,66 @@ def q164_local_supplier_volume(spark, sf_dir):
         .agg(dsum(rev).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — promo revenue share (TPC-H Q14 shape): the part-dimension join
+# with a conditional aggregate ratio; both sums decimal-exact, the
+# closing division IEEE-exact.
+# q167 — order-priority fulfilment counts (TPC-H Q4 shape): orders with
+# at least one late lineitem, counted by priority — the EXISTS
+# semi-join surface (left_semi in Spark, EXISTS in SQL).
+# ---------------------------------------------------------------------------
+
+_Q166_ORACLE = f"""
+SELECT
+  {sql_dsum("CASE WHEN p.p_type LIKE 'STANDARD%' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")}
+    AS promo_revenue,
+  {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS total_revenue,
+  {sql_dsum("CASE WHEN p.p_type LIKE 'STANDARD%' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")}
+    / {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@register("q166_promo_share", _Q166_ORACLE)
+def q166_promo_share(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(0.0)
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        dsum(promo).alias("promo_revenue"),
+        dsum(rev).alias("total_revenue"),
+        (dsum(promo) / dsum(rev)).alias("promo_share"),
+    )
+
+
+_Q167_ORACLE = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("q167_priority_counts", _Q167_ORACLE)
+def q167_priority_counts(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
