@@ -376,3 +376,68 @@ def q167_priority_counts(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — percent-of-total window (ratio_to_report): each nation's share
+# of its region's revenue. Numerators/denominators are exact decimal
+# sums (the window SUM runs over the decimal partials), the share is
+# one IEEE-exact division — windowed ratio analytics under the gate.
+# ---------------------------------------------------------------------------
+
+_Q168_ORACLE = """
+WITH rev AS (
+  SELECT n.n_regionkey, n.n_name,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 1000000.0)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS nation_rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_regionkey, n_name, nation_rev,
+       nation_rev /
+       (CAST(SUM(CAST(FLOOR(nation_rev * 1000000.0) AS DECIMAL(38,0)))
+             OVER (PARTITION BY n_regionkey) AS DOUBLE) / 1000000.0)
+         AS region_share
+FROM rev
+ORDER BY n_regionkey, n_name
+"""
+
+
+@register("q168_region_share", _Q168_ORACLE)
+def q168_region_share(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    nation_rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_regionkey", "n_name")
+        .agg(dsum(rev).alias("nation_rev"))
+    )
+    # the per-region denominator sums 25/5 already-exact doubles — but
+    # window SUM order over doubles is engine-defined, so rescale to the
+    # decimal grid for the window too (same discipline as everywhere)
+    w = Window.partitionBy("n_regionkey")
+    den = (
+        F.sum(
+            F.floor(F.col("nation_rev") * F.lit(1_000_000.0)).cast("decimal(38,0)")
+        ).over(w)
+        .cast("double")
+        / F.lit(1_000_000.0)
+    )
+    return nation_rev.select(
+        "n_regionkey",
+        "n_name",
+        "nation_rev",
+        (F.col("nation_rev") / den).alias("region_share"),
+    ).orderBy("n_regionkey", "n_name")
