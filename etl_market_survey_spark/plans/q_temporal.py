@@ -974,3 +974,71 @@ def q162_conversion_paths(spark, sf_dir):
         .orderBy(F.col("conversions").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — point-in-time (AS OF) dimension lookup: every purchase event
+# enriched with the user's state VERSION that was valid at purchase
+# time, against the q161-style SCD2 intervals — the join that makes
+# training-data labels leak-free (no future state bleeding into past
+# examples). Interval containment join on integer microseconds.
+# ---------------------------------------------------------------------------
+
+_Q169_ORACLE = """
+WITH hist AS (
+  SELECT user_id, event_id AS ver_event_id, event_type AS state,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to_us
+  FROM events
+),
+conv AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.conv_id, c.conv_us,
+       h.ver_event_id, h.state, h.valid_from_us
+FROM conv c JOIN hist h
+  ON c.user_id = h.user_id
+ AND h.valid_from_us <= c.conv_us
+ AND (h.valid_to_us IS NULL OR c.conv_us < h.valid_to_us)
+ORDER BY c.user_id, c.conv_id
+"""
+
+
+@register("q169_pit_join", _Q169_ORACLE)
+def q169_pit_join(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "ver_event_id")
+    hist = (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("ver_event_id"),
+            F.col("event_type").alias("state"),
+            F.expr("ts div 1000").alias("us"),
+        )
+        .withColumn("valid_from_us", F.col("us"))
+        .withColumn("valid_to_us", F.lead("us").over(w))
+        .drop("us")
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.expr("ts div 1000").alias("conv_us"),
+    )
+    return (
+        conv.join(hist, "user_id")
+        .filter(
+            (F.col("valid_from_us") <= F.col("conv_us"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("conv_us") < F.col("valid_to_us"))
+            )
+        )
+        .select(
+            "user_id", "conv_id", "conv_us", "ver_event_id", "state", "valid_from_us"
+        )
+        .orderBy("user_id", "conv_id")
+    )
