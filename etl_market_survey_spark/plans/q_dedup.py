@@ -686,7 +686,117 @@ def q104_record_linkage(spark, sf_dir):
     )
 
 
-@register("q105_linkage_em")
+def _q105_oracle() -> str:
+    """Winkler EM replayed EXACTLY by a recursive CTE: pattern counts
+    pivot into one row (so the recursive member needs no aggregation),
+    and each iteration is the identical left-folded chain of IEEE-exact
+    ops (+ * / min max abs) the driver-side Python runs — absent
+    patterns contribute literal +0.0 terms, which cannot change a bit.
+    Every float literal is CAST to DOUBLE (bare literals are DECIMAL in
+    DuckDB and would silently switch the arithmetic)."""
+    P_INIT = "CAST(0.1 AS DOUBLE)"
+    M_INIT = "CAST(0.9 AS DOUBLE)"
+    U_INIT = "CAST(0.1 AS DOUBLE)"
+    TOL, MAX_IT = 1e-10, 200
+    CL_LO = "CAST(1e-6 AS DOUBLE)"
+    CL_HI = f"CAST({(1.0 - 1e-6)!r} AS DOUBLE)"
+    AGR = [
+        "levenshtein(a.p_name, b.p_name) <= 3",
+        "a.p_brand = b.p_brand",
+        "abs(a.p_retailprice - b.p_retailprice) <= 0.5",
+    ]
+
+    def bits(j):
+        return ((j >> 2) & 1, (j >> 1) & 1, j & 1)
+
+    def w_expr(j):
+        b = bits(j)
+        pm, pu = "p.p", "(CAST(1.0 AS DOUBLE) - p.p)"
+        for i, bi in enumerate(b):
+            pm = f"({pm} * {'p.m%d' % i if bi else '(1.0 - p.m%d)' % i})"
+            pu = f"({pu} * {'p.u%d' % i if bi else '(1.0 - p.u%d)' % i})"
+        return f"(CASE WHEN {pm} + {pu} > 0 THEN {pm} / ({pm} + {pu}) ELSE 0.0 END)"
+
+    def fold(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        return acc
+
+    def clamp(x):
+        return f"LEAST(GREATEST({x}, {CL_LO}), {CL_HI})"
+
+    wdefs = ", ".join(f"{w_expr(j)} AS w{j}" for j in range(8))
+    wm = fold([f"(s.w{j} * s.n{j})" for j in range(8)])
+    newp = clamp("(t.wm / t.tot)")
+    newm, newu = [], []
+    for i in range(3):
+        js = [j for j in range(8) if bits(j)[i]]
+        nm_sum = fold([f"(t.w{j} * t.n{j})" for j in js])
+        nu_sum = fold([f"((1.0 - t.w{j}) * t.n{j})" for j in js])
+        newm.append(
+            f"CASE WHEN t.wm > 0 THEN {clamp(f'({nm_sum} / t.wm)')} ELSE t.m{i} END"
+        )
+        newu.append(
+            f"CASE WHEN t.wn > 0 THEN {clamp(f'({nu_sum} / t.wn)')} ELSE t.u{i} END"
+        )
+    abs_terms = fold(
+        [f"ABS(f.nm{i} - f.m{i})" for i in range(3)]
+        + [f"ABS(f.nu{i} - f.u{i})" for i in range(3)]
+    )
+    delta = f"(ABS(f.np - f.p) + {abs_terms})"
+
+    def pat_flags(j):
+        return " AND ".join(
+            (f"agr{i}" if bits(j)[i] else f"NOT agr{i}") for i in range(3)
+        )
+
+    counts_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE {pat_flags(j)}) AS DOUBLE) AS n{j}"
+        for j in range(8)
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT {AGR[0]} AS agr0, {AGR[1]} AS agr1, {AGR[2]} AS agr2
+  FROM part a JOIN part b
+    ON a.p_type = b.p_type AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+),
+counts AS (
+  SELECT {counts_cols}, CAST(COUNT(*) AS DOUBLE) AS tot FROM pairs
+),
+em AS (
+  SELECT 0 AS it, CAST(NULL AS DOUBLE) AS delta,
+         {P_INIT} AS p,
+         {M_INIT} AS m0, {M_INIT} AS m1, {M_INIT} AS m2,
+         {U_INIT} AS u0, {U_INIT} AS u1, {U_INIT} AS u2,
+         n0, n1, n2, n3, n4, n5, n6, n7, tot
+  FROM counts
+  UNION ALL
+  SELECT f.it + 1, {delta},
+         f.np, f.nm0, f.nm1, f.nm2, f.nu0, f.nu1, f.nu2,
+         f.n0, f.n1, f.n2, f.n3, f.n4, f.n5, f.n6, f.n7, f.tot
+  FROM (
+    SELECT t.*, {newp} AS np,
+           {newm[0]} AS nm0, {newm[1]} AS nm1, {newm[2]} AS nm2,
+           {newu[0]} AS nu0, {newu[1]} AS nu1, {newu[2]} AS nu2
+    FROM (
+      SELECT s.*, {wm} AS wm, (s.tot - {wm}) AS wn
+      FROM (
+        SELECT p.*, {wdefs}
+        FROM em p
+        WHERE p.it < {MAX_IT} AND (p.delta IS NULL OR p.delta >= CAST({TOL!r} AS DOUBLE))
+      ) s
+    ) t
+  ) f
+)
+SELECT ROUND(p, 6) AS prevalence,
+       ROUND(m0, 6) AS m_name, ROUND(m1, 6) AS m_brand, ROUND(m2, 6) AS m_price,
+       ROUND(u0, 6) AS u_name, ROUND(u1, 6) AS u_brand, ROUND(u2, 6) AS u_price
+FROM em ORDER BY it DESC LIMIT 1
+"""
+
+
+@register("q105_linkage_em", _q105_oracle())
 def q105_linkage_em(spark, sf_dir):
     """Unsupervised Fellegi-Sunter parameter estimation: Winkler EM on
     the agreement-pattern contingency table of q104's candidate pairs.
