@@ -1042,3 +1042,65 @@ def q169_pit_join(spark, sf_dir):
         )
         .orderBy("user_id", "conv_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — gaps-and-islands: each user's longest streak of consecutive
+# active days. The classic day_number - dense_rank grouping constant:
+# rows in one unbroken run share (day - rank), so one groupBy collapses
+# islands. All-integer — exact.
+# ---------------------------------------------------------------------------
+
+_Q170_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+runs AS (
+  SELECT user_id, day,
+         day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+islands AS (
+  SELECT user_id, grp,
+         CAST(COUNT(*) AS BIGINT) AS streak_days,
+         MIN(day) AS start_day
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       MAX(streak_days) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       MIN(start_day) AS first_active_day
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("q170_active_streaks", _Q170_ORACLE)
+def q170_active_streaks(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).distinct()
+    runs = days.withColumn(
+        "grp",
+        F.col("day")
+        - F.dense_rank().over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    islands = runs.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("streak_days"),
+        F.min("day").alias("start_day"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.max("streak_days").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_streaks"),
+            F.min("start_day").alias("first_active_day"),
+        )
+        .orderBy("user_id")
+    )
