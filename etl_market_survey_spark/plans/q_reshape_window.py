@@ -325,3 +325,91 @@ def q80_ntile_deciles(spark, sf_dir):
         )
         .orderBy("l_returnflag", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — the remaining rank-function surface in one gated query:
+# percent_rank, cume_dist, dense_rank, lag/lead deltas. All derive from
+# integer ranks/counts (ratios of exact integers), so every column is
+# engine-exact with no rounding guard.
+# ---------------------------------------------------------------------------
+
+_Q171_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       DENSE_RANK() OVER w AS drank,
+       l_quantity - LAG(l_quantity) OVER w AS d_prev,
+       LEAD(l_quantity) OVER w - l_quantity AS d_next
+FROM lineitem
+WHERE l_orderkey <= 1000
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("q171_rank_functions", _Q171_ORACLE)
+def q171_rank_functions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+        (F.col("l_quantity") - F.lag("l_quantity").over(w)).alias("d_prev"),
+        (F.lead("l_quantity").over(w) - F.col("l_quantity")).alias("d_next"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# q172 — value-RANGE window frame (not rows): per user, activity in the
+# trailing ONE HOUR of event time — count and exact decimal sum over
+# RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW on integer
+# microseconds. The time-windowed running aggregate a rows-frame cannot
+# express when event spacing is irregular.
+# ---------------------------------------------------------------------------
+
+_Q172_ORACLE = """
+SELECT user_id, event_id, us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) OVER w AS DOUBLE)
+         / 1000000.0 AS sum_1h
+FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, us, event_id
+"""
+
+
+@register("q172_range_frame", _Q172_ORACLE)
+def q172_range_frame(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        (
+            F.sum(
+                F.floor(F.col("value") * 1_000_000.0).cast("decimal(38,0)")
+            ).over(w)
+            .cast("double")
+            / 1_000_000.0
+        ).alias("sum_1h"),
+    ).orderBy("user_id", "us", "event_id")
