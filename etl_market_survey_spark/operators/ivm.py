@@ -38,17 +38,22 @@ from contextlib import contextmanager
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Session confs the bucketed refresh path depends on. Two planner
+#: Session confs the bucketed refresh path depends on. Three planner
 #: heuristics can silently reintroduce an exchange on the base branch:
 #: ``DisableUnnecessaryBucketedScan`` drops the bucketed scan whenever the
 #: bucket count disagrees with the join's target partitioning (it then
-#: plans a fresh shuffle), and a small delta can flip the join to
-#: broadcast, which also abandons the on-disk hash layout. Pin both while
-#: planning/executing a refresh so the zero-exchange contract is a plan
-#: property, not a heuristic accident.
+#: plans a fresh shuffle); a small delta can flip the join to broadcast,
+#: which also abandons the on-disk hash layout; and AQE re-plans at
+#: runtime (stage coalescing / join-strategy switches), so the executed
+#: plan can differ from the compiled one per-environment. The refresh is
+#: a fixed two-table merge where AQE has nothing to optimize — the base
+#: side never shuffles and the delta is small by contract — so pin all
+#: three while planning/executing a refresh: the zero-exchange contract
+#: must be a plan property, not a heuristic accident.
 REFRESH_CONFS = {
     "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.enabled": "false",
 }
 
 
