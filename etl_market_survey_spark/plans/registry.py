@@ -55,3 +55,4 @@ from . import q_misc  # noqa: E402,F401
 from . import q_split_profile  # noqa: E402,F401
 from . import q_streaming  # noqa: E402,F401
 from . import q_decontam  # noqa: E402,F401
+from . import q_tpch  # noqa: E402,F401
