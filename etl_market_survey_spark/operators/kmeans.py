@@ -1,0 +1,96 @@
+"""Distributed Lloyd k-means over an embedding column (beyond reference).
+
+The classic iterative-ML-on-Spark shape, done Spark-first:
+
+- **assignment** is a pure column expression: centroids broadcast as
+  literals, squared distances evaluated per row with
+  ``zip_with``/``aggregate`` (JVM-side, whole-stage codegen — no Python
+  in the per-row path), argmin via ``array_min`` over (dist, cid)
+  structs (lexicographic struct order = deterministic cid tiebreak);
+- **update** is one map-side-combined shuffle on (cid, dim) keys:
+  ``posexplode`` the assigned vectors, ``davg`` per (cid, pos). Shuffle
+  volume is partitions × k × dim partial rows, independent of N;
+- the only driver traffic is the k×dim centroid table per iteration
+  (small by contract — the same bound every distributed Lloyd
+  implementation accepts, incl. Spark ML's).
+
+Exactness (the repo's cross-engine discipline): distances accumulate as
+``floor((x-c)^2 * 1e12)`` int64 terms — exact integers on every engine,
+so assignments never depend on float summation order; centroid means go
+through ``davg`` (exact decimal sum / count). A DuckDB oracle can replay
+the full recurrence (q189), making this one of the few bit-exact-gated
+distributed k-means implementations around.
+
+Empty clusters simply drop out of the centroid table for later
+iterations (no re-seeding), which both engines reproduce identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stats import davg
+
+_DIST_SCALE = 1e12
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Adds ``cid``: the id of the nearest centroid (exact int64 scaled
+    squared distance, cid tiebreak). ``centroids`` is [(cid, values)]."""
+    emb = F.col(vec_col).cast("array<double>")
+    cands = []
+    for cid, vals in centroids:
+        cent = F.array(*[F.lit(float(v)) for v in vals])
+        terms = F.zip_with(
+            emb,
+            cent,
+            lambda x, c: F.floor((x - c) * (x - c) * F.lit(_DIST_SCALE)).cast(
+                "long"
+            ),
+        )
+        dist = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        cands.append(F.struct(dist.alias("d"), F.lit(int(cid)).cast("int").alias("c")))
+    return df.withColumn("cid", F.array_min(F.array(*cands))["c"])
+
+
+def update_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """(cid, pos, c_val) centroid means — one shuffle, map-side combined."""
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        assigned.select("cid", F.posexplode(emb).alias("pos", "_v"))
+        .groupBy("cid", "pos")
+        .agg(davg("_v").alias("c_val"))
+    )
+
+
+def _collect_centroids(cent_df: DataFrame) -> list[tuple[int, list[float]]]:
+    rows = cent_df.orderBy("cid", "pos").collect()
+    out: dict[int, list[float]] = {}
+    for r in rows:
+        out.setdefault(r["cid"], []).append(r["c_val"])
+    return sorted(out.items())
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    init: list[tuple[int, list[float]]],
+    n_iter: int,
+) -> DataFrame:
+    """``n_iter`` assign+update rounds from ``init``; returns the final
+    (cid, pos, c_val, n_members) table (k×dim rows)."""
+    cents = init
+    assigned = cent_df = None
+    for _ in range(n_iter):
+        assigned = assign_clusters(df, vec_col, cents)
+        cent_df = update_centroids(assigned, vec_col)
+        cents = _collect_centroids(cent_df)
+    n = assigned.groupBy(F.col("cid").alias("_cid")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return cent_df.join(
+        F.broadcast(n), cent_df["cid"] == n["_cid"]
+    ).select("cid", "pos", "c_val", "n_members")

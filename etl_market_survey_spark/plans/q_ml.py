@@ -1,0 +1,353 @@
+"""Distributed-ML / profiling analytics batch (round 2).
+
+q189_kmeans_lloyd     — bit-exact distributed Lloyd k-means (2 rounds)
+                        on the embeddings table; DuckDB replays the full
+                        recurrence (int64 scaled distances, davg means).
+q190_profile_columns  — one-pass multi-column profiler (count / nulls /
+                        distinct / min / max), unpivoted to long form.
+q191_grouped_ols      — closed-form per-group OLS (slope / intercept /
+                        r²) from exact decimal moment sums.
+q192_mutual_information — MI between two categoricals from integer cell
+                        counts; round-9-gated log terms, decimal sum.
+q193_lag_autocorr     — per-type lag-1 autocorrelation of event values
+                        (window lag + closed-form Pearson on pairs).
+
+All five are exact-gated: every float reduction routes through
+``functions/stats`` decimal sums, every log term is round-9 gated (the
+q149/q157 libm discipline), and orderings carry integer tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import davg, dsum, sql_davg, sql_dsum
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# q189 — distributed Lloyd k-means, 2 exact rounds. Init = the k=8
+# lowest vec_ids. Assignment is JVM-side column algebra on broadcast
+# centroid literals; update is one (cid, dim)-keyed map-side-combined
+# shuffle; the oracle replays both rounds with unnested lists.
+# ---------------------------------------------------------------------------
+
+_K = 8
+_ITER = 2
+
+
+def _q189_oracle() -> str:
+    davg_val = sql_davg("e.val")
+    dist = "SUM(CAST(FLOOR((e.val - c.c_val) * (e.val - c.c_val) * 1e12) AS BIGINT))"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(g.i - 1 AS INT) AS pos,
+         CAST(list_extract(embedding, g.i) AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, pos, val AS c_val FROM e WHERE vec_id < {_K}
+),
+d1 AS (
+  SELECT e.vec_id, c.cid, {dist} AS dist
+  FROM e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.cid, e.pos, {davg_val} AS c_val
+  FROM e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY 1, 2
+),
+d2 AS (
+  SELECT e.vec_id, c.cid, {dist} AS dist
+  FROM e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+c2 AS (
+  SELECT a2.cid, e.pos, {davg_val} AS c_val
+  FROM e JOIN a2 ON e.vec_id = a2.vec_id GROUP BY 1, 2
+),
+n2 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM a2 GROUP BY 1)
+SELECT c2.cid, c2.pos, c2.c_val, n2.n_members
+FROM c2 JOIN n2 ON c2.cid = n2.cid
+ORDER BY c2.cid, c2.pos
+"""
+
+
+@register("q189_kmeans_lloyd", _q189_oracle())
+def q189_kmeans_lloyd(spark, sf_dir):
+    from ..operators.kmeans import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    init_rows = (
+        emb.filter(F.col("vec_id") < _K)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("_e"))
+        .collect()
+    )
+    init = sorted((int(r["vec_id"]), list(r["_e"])) for r in init_rows)
+    return kmeans_lloyd(emb, "embedding", init, _ITER).orderBy("cid", "pos")
+
+
+# ---------------------------------------------------------------------------
+# q190 — one-pass column profiler. A single wide aggregate row (Spark
+# plans the multi-distinct via Expand, still one scan of the fact) is
+# unpivoted JVM-side with stack(); the oracle mirrors with UNION ALL
+# branches. The generic operator shape every warehouse "dataset stats"
+# job needs before curation thresholds are chosen.
+# ---------------------------------------------------------------------------
+
+_PROF_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q190_oracle() -> str:
+    branches = [
+        f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_val,
+       CAST(MAX({c}) AS DOUBLE) AS max_val
+FROM lineitem"""
+        for c in _PROF_COLS
+    ]
+    return " UNION ALL ".join(branches) + " ORDER BY column_name"
+
+
+@register("q190_profile_columns", _q190_oracle())
+def q190_profile_columns(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROF_COLS:
+        aggs += [
+            F.count("*").cast("long").alias(f"_n_{c}"),
+            (F.count("*") - F.count(c)).cast("long").alias(f"_null_{c}"),
+            F.countDistinct(c).cast("long").alias(f"_dist_{c}"),
+            F.min(c).cast("double").alias(f"_min_{c}"),
+            F.max(c).cast("double").alias(f"_max_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', `_n_{c}`, `_null_{c}`, `_dist_{c}`, `_min_{c}`, `_max_{c}`"
+        for c in _PROF_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROF_COLS)}, {parts}) AS "
+            "(column_name, n_rows, n_null, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# q191 — grouped OLS via closed-form moments: one map-side-combined
+# aggregation collects n, Σx, Σy, Σxx, Σxy, Σyy as exact decimal sums;
+# slope/intercept/r² are identical single double expressions on both
+# engines. The distributed-regression shape that never needs an ML
+# library.
+# ---------------------------------------------------------------------------
+
+
+def _q191_oracle() -> str:
+    sx = sql_dsum("l_quantity")
+    sy = sql_dsum("l_extendedprice")
+    sxx = sql_dsum("l_quantity * l_quantity")
+    sxy = sql_dsum("l_quantity * l_extendedprice")
+    syy = sql_dsum("l_extendedprice * l_extendedprice")
+    return f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {sxy} AS sxy, {syy} AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS slope,
+       ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) AS intercept,
+       (((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))) AS r2
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register("q191_grouped_ols", _q191_oracle())
+def q191_grouped_ols(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(x * y).alias("sxy"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        m.select(
+            "l_returnflag",
+            n.cast("long").alias("n"),
+            slope.alias("slope"),
+            ((sy - slope * sx) / n).alias("intercept"),
+            (
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — mutual information between l_returnflag and l_linestatus. Cell
+# and margin counts are exact integers (one fact aggregation + two tiny
+# margin rollups, broadcast back); each cell's p*ln(p/(px*py)) term is
+# round-9 gated and the reduction is a decimal sum.
+# ---------------------------------------------------------------------------
+
+
+def _q192_oracle() -> str:
+    term = (
+        "ROUND((CAST(n_xy AS DOUBLE) / n_tot)"
+        " * LN((CAST(n_xy AS DOUBLE) * n_tot)"
+        " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 9)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_xy FROM lineitem GROUP BY 1, 2
+),
+mx AS (SELECT l_returnflag, COUNT(*) AS n_x FROM lineitem GROUP BY 1),
+my AS (SELECT l_linestatus, COUNT(*) AS n_y FROM lineitem GROUP BY 1),
+t AS (
+  SELECT cells.*, mx.n_x, my.n_y,
+         CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE) AS n_tot
+  FROM cells JOIN mx USING (l_returnflag) JOIN my USING (l_linestatus)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MAX(n_tot) AS BIGINT) AS n_rows,
+       {sql_dsum(term)} AS mi_nats
+FROM t
+"""
+
+
+@register("q192_mutual_information", _q192_oracle())
+def q192_mutual_information(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_xy")
+    )
+    mx = li.groupBy("l_returnflag").agg(F.count("*").alias("n_x"))
+    my = li.groupBy("l_linestatus").agg(F.count("*").alias("n_y"))
+    tot = li.agg(F.count("*").cast("double").alias("n_tot"))
+    t = (
+        cells.join(F.broadcast(mx), "l_returnflag")
+        .join(F.broadcast(my), "l_linestatus")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.round(
+        (F.col("n_xy").cast("double") / F.col("n_tot"))
+        * F.log(
+            (F.col("n_xy").cast("double") * F.col("n_tot"))
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        ),
+        9,
+    )
+    return t.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n_tot").cast("long").alias("n_rows"),
+        dsum(term).alias("mi_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — per-type lag-1 autocorrelation of event values. The lag pairs
+# come from one window pass ordered by (epoch-µs, event_id) — the
+# µs-truncated key keeps Spark's ns-long and DuckDB's µs-truncated
+# timestamps in the SAME total order — then closed-form Pearson over
+# exact decimal pair moments.
+# ---------------------------------------------------------------------------
+
+
+def _q193_oracle() -> str:
+    sx = sql_dsum("v")
+    sy = sql_dsum("vlag")
+    sxx = sql_dsum("v * v")
+    sxy = sql_dsum("v * vlag")
+    syy = sql_dsum("vlag * vlag")
+    return f"""
+WITH ordered AS (
+  SELECT event_type, value AS v,
+         LAG(value) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+         ) AS vlag
+  FROM events
+),
+pairs AS (SELECT event_type, v, vlag FROM ordered WHERE vlag IS NOT NULL),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {sxy} AS sxy, {syy} AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_pairs,
+       ((n * sxy - sx * sy)
+        / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))) AS acf1
+FROM m
+ORDER BY event_type
+"""
+
+
+@register("q193_lag_autocorr", _q193_oracle())
+def q193_lag_autocorr(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    # ts is epoch-nanos (long) Spark-side; truncate to µs so ordering
+    # matches DuckDB's µs-truncated timestamp (event_id breaks ties)
+    w = Window.partitionBy("event_type").orderBy(
+        F.expr("ts div 1000"), "event_id"
+    )
+    pairs = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.col("value").alias("v"),
+            F.lag("value").over(w).alias("vlag"),
+        )
+        .filter(F.col("vlag").isNotNull())
+    )
+    v, vl = F.col("v"), F.col("vlag")
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(v).alias("sx"),
+        dsum(vl).alias("sy"),
+        dsum(v * v).alias("sxx"),
+        dsum(v * vl).alias("sxy"),
+        dsum(vl * vl).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return (
+        m.select(
+            "event_type",
+            n.cast("long").alias("n_pairs"),
+            (
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ).alias("acf1"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,74 @@
+"""Distributed Lloyd k-means: recovery, determinism, empty clusters."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.operators.kmeans import (
+    assign_clusters,
+    kmeans_lloyd,
+    update_centroids,
+)
+
+
+def _blobs(spark, n_per=40, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    centers = [(-3.0, -3.0), (3.0, 3.0)]
+    for i in range(2 * n_per):
+        cx, cy = centers[i % 2]
+        rows.append(
+            (i, [cx + rng.uniform(-0.5, 0.5), cy + rng.uniform(-0.5, 0.5)])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_recovers_separated_blobs(spark):
+    df = _blobs(spark)
+    init = [(0, [-1.0, -1.0]), (1, [1.0, 1.0])]
+    out = kmeans_lloyd(df, "embedding", init, n_iter=3).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r.cid, {})[r.pos] = (r.c_val, r.n_members)
+    assert set(by_cid) == {0, 1}
+    # each centroid sits on its blob, membership split evenly
+    assert abs(by_cid[0][0][0] + 3.0) < 0.3 and abs(by_cid[1][0][0] - 3.0) < 0.3
+    assert by_cid[0][0][1] == 40 and by_cid[1][0][1] == 40
+
+
+def test_assignment_matches_argmin(spark):
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(j, [rng.uniform(-1, 1) for _ in range(4)]) for j in range(3)]
+    got = {
+        r.vec_id: r.cid
+        for r in assign_clusters(df, "embedding", cents).collect()
+    }
+    for vid, vec in rows:
+        dists = [
+            (sum(int((x - c) * (x - c) * 1e12) for x, c in zip(vec, cv)), cid)
+            for cid, cv in cents
+        ]
+        # same scaled-int64 distance with cid tiebreak
+        want = min(dists)[1]
+        assert got[vid] == want, (vid, dists, got[vid])
+
+
+def test_empty_cluster_drops_out(spark):
+    df = _blobs(spark, n_per=10)
+    # third centroid is far from all points -> never assigned, drops out
+    init = [(0, [-1.0, -1.0]), (1, [1.0, 1.0]), (2, [100.0, 100.0])]
+    out = kmeans_lloyd(df, "embedding", init, n_iter=2)
+    assert sorted({r.cid for r in out.collect()}) == [0, 1]
+
+
+def test_update_is_exact_decimal_mean(spark):
+    df = spark.createDataFrame(
+        [(0, [1.5, 2.0]), (0, [2.5, 4.0])], "cid int, embedding array<double>"
+    )
+    out = {
+        (r.cid, r.pos): r.c_val
+        for r in update_centroids(df, "embedding").collect()
+    }
+    assert out[(0, 0)] == 2.0 and out[(0, 1)] == 3.0
