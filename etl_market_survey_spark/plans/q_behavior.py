@@ -1,0 +1,219 @@
+"""Behavioral / graph-traversal analytics batch (round 2).
+
+q194_bfs_hops           — bounded-hop BFS over the part co-order graph
+                          (visited-pruned frontier expansion vs an
+                          unpruned recursive-CTE oracle — min-hop
+                          invariance makes them bit-equal).
+q195_cumulative_users   — daily active / new / cumulative-distinct
+                          users (the first-seen-flag decomposition of
+                          COUNT(DISTINCT) OVER, which Spark lacks).
+q196_retention_cohorts  — weekly cohort retention triangle.
+q197_markov_transitions — event-type transition counts/probabilities
+                          from per-user lag pairs.
+
+All exact: integer counts, integer day/week arithmetic via epoch-µs
+``div`` (both engines truncate nonnegative identically), one final
+double division where a rate is emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+_US_DAY = 86_400_000_000
+
+# ts is epoch-nanos (long) on the Spark side; µs-truncate to match
+# DuckDB's µs-resolution timestamps
+_EV_US = "(ts div 1000)"
+
+# ---------------------------------------------------------------------------
+# q194 — BFS min-hops from part 1 over the "shipped in the same order"
+# part graph, ≤3 hops. Spark prunes with a visited anti-join per level
+# (frontier cost stays proportional to NEW nodes); the oracle's
+# recursive CTE walks unpruned and takes MIN(hop) — identical result.
+# ---------------------------------------------------------------------------
+
+_Q194_SOURCE = 1
+_Q194_HOPS = 3
+
+_Q194_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+bfs AS (
+  SELECT CAST({_Q194_SOURCE} AS BIGINT) AS node, 0 AS hop
+  UNION
+  SELECT e.dst, b.hop + 1
+  FROM bfs b JOIN edges e ON b.node = e.src
+  WHERE b.hop < {_Q194_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS INT) AS hops
+FROM bfs GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q194_bfs_hops", _Q194_ORACLE)
+def q194_bfs_hops(spark, sf_dir):
+    from ..operators.bfs import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return bfs_hops(edges, _Q194_SOURCE, _Q194_HOPS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q195 — daily active / new / cumulative-distinct users. Cumulative
+# COUNT(DISTINCT) decomposes into "count users on their first day" +
+# running sum — two small-key aggregations instead of a quadratic
+# re-scan per day; the running sum windows over one row per day.
+# ---------------------------------------------------------------------------
+
+_Q195_ORACLE = f"""
+WITH ud AS (
+  SELECT user_id, epoch_us(ts) // {_US_DAY} AS day FROM events
+),
+active AS (
+  SELECT day, COUNT(DISTINCT user_id) AS n_active FROM ud GROUP BY 1
+),
+first_day AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY 1),
+news AS (SELECT day, COUNT(*) AS n_new FROM first_day GROUP BY 1)
+SELECT a.day,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+         ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM active a LEFT JOIN news n ON a.day = n.day
+ORDER BY a.day
+"""
+
+
+@register("q195_cumulative_users", _Q195_ORACLE)
+def q195_cumulative_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr(f"{_EV_US} div {_US_DAY}").alias("day")
+    )
+    active = ud.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("_fd"))
+    news = first_day.groupBy(F.col("_fd").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(news, "day", "left")
+        .select(
+            "day",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — weekly retention triangle: users bucketed by first-activity
+# week, distinct-counted at each week offset. Two aggregations + one
+# key join; the cohort dimension never leaves the cluster.
+# ---------------------------------------------------------------------------
+
+_Q196_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // {_US_DAY}) // 7 AS week FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+SELECT c.cohort_week,
+       CAST(u.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw u JOIN cohort c ON u.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q196_retention_cohorts", _Q196_ORACLE)
+def q196_retention_cohorts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr(f"({_EV_US} div {_US_DAY}) div 7").alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — event-type Markov transition matrix from per-user lag pairs:
+# one window pass (ordered by µs-truncated ts + event_id, the
+# cross-engine-stable total order), integer pair counts, and one double
+# division for the row-normalized probability.
+# ---------------------------------------------------------------------------
+
+_Q197_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type, COUNT(*) AS n_trans
+  FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, SUM(n_trans) AS n_from FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.event_type,
+       CAST(p.n_trans AS BIGINT) AS n_trans,
+       (CAST(p.n_trans AS DOUBLE) / CAST(t.n_from AS DOUBLE)) AS p_trans
+FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+ORDER BY 1, 2
+"""
+
+
+@register("q197_markov_transitions", _Q197_ORACLE)
+def q197_markov_transitions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr(_EV_US), "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = pairs.groupBy(F.col("prev_type").alias("_pt")).agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return (
+        pairs.join(F.broadcast(totals), pairs["prev_type"] == totals["_pt"])
+        .select(
+            "prev_type",
+            "event_type",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            (
+                F.col("n_trans").cast("double") / F.col("n_from").cast("double")
+            ).alias("p_trans"),
+        )
+        .orderBy("prev_type", "event_type")
+    )

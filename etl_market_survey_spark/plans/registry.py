@@ -57,3 +57,4 @@ from . import q_streaming  # noqa: E402,F401
 from . import q_decontam  # noqa: E402,F401
 from . import q_tpch  # noqa: E402,F401
 from . import q_ml  # noqa: E402,F401
+from . import q_behavior  # noqa: E402,F401
