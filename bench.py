@@ -58,6 +58,13 @@ HEADLINE = [
     "q150_spearman",
     "q163_shipping_priority",
     "q164_local_supplier_volume",
+    # r2: TPC-H completion + ML/behavior families
+    "q174_volume_shipping",
+    "q182_large_orders",
+    "q185_waiting_supplier",
+    "q189_kmeans_lloyd",
+    "q194_bfs_hops",
+    "q196_retention_cohorts",
 ]
 
 

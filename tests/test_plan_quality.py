@@ -93,3 +93,68 @@ def test_q24_exact_topk_never_shuffles_corpus(static_plan):
     assert len(shuffles) <= 2, plan[:1500]
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: TPC-H completion + ML/behavior batches
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q174_volume_shipping",
+        "q176_product_profit",
+        "q182_large_orders",
+        "q183_disjunctive_join",
+        "q185_waiting_supplier",
+        "q187_min_cost_supplier",
+        "q191_grouped_ols",
+        "q195_cumulative_users",
+        "q197_markov_transitions",
+    ],
+)
+def test_r2_no_cartesian_and_codegen(static_plan, name):
+    plan = static_plan(name)
+    assert "CartesianProduct" not in plan, name
+    assert re.search(r"\*\(\d+\)", plan), name
+
+
+def test_q176_all_dims_broadcast(static_plan):
+    # part, supplier, nation are all broadcast; only the orderkey
+    # fact-fact join may shuffle
+    plan = static_plan("q176_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_q182_aggregates_fact_before_joins(static_plan):
+    # the HAVING rollup must prune the lineitem scan to exactly the two
+    # columns the pre-aggregation needs — proof the fact is reduced
+    # before the orders/customer joins see it
+    plan = static_plan("q182_large_orders")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li_scan = next(ln for ln in scans if "l_orderkey" in ln)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", li_scan)
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert sorted(cols) == ["l_orderkey", "l_quantity"], cols
+
+
+def test_q183_disjunction_stays_residual_filter(static_plan):
+    # OR-of-triples must NOT become a union of scans: one broadcast
+    # equi-join on partkey, a single lineitem scan, predicate residual
+    plan = static_plan("q183_disjunctive_join")
+    assert "BroadcastHashJoin" in plan
+    li_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "l_quantity" in ln
+    ]
+    assert len(li_scans) == 1, plan[:2000]
+
+
+def test_q189_assignment_is_jvm_only(static_plan):
+    # k-means assignment/update must stay whole-stage-codegen column
+    # algebra — no Python evaluation anywhere in the plan
+    plan = static_plan("q189_kmeans_lloyd")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
