@@ -55,6 +55,19 @@ def allocate_quotas(weights: dict[str, float], total: int) -> dict[str, int]:
     return base
 
 
+def temperature_weights(weights: dict[str, float], tau: float) -> dict[str, float]:
+    """Temperature-scaled mixture weights ``w^(1/tau)`` (the standard
+    multilingual/multi-source rebalancing: tau > 1 flattens toward
+    uniform, tau < 1 sharpens toward the head, tau = 1 is identity).
+    Feed the result to :func:`weighted_mix` / :func:`sql_weighted_mix`;
+    quota allocation downstream renormalizes, so no normalization here.
+    Driver-side pure function of the recipe — engine-identical by
+    construction."""
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    return {s: float(w) ** (1.0 / tau) for s, w in weights.items()}
+
+
 def weighted_mix(
     df: DataFrame,
     source_col: str,

@@ -351,3 +351,127 @@ def q193_lag_autocorr(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — exact covariance matrix of the first 8 embedding dims: one
+# map-side-combined aggregation carrying d(d+1)/2 decimal moment cells,
+# unpivoted to long form; the PCA front half (operators/pca — the
+# eigh + projection back half is unit-tested, driver-side d×d only).
+# ---------------------------------------------------------------------------
+
+_Q198_DIMS = 8
+
+
+def _q198_oracle() -> str:
+    from ..operators.pca import sql_covariance_matrix
+
+    inner = sql_covariance_matrix("embeddings", "embedding", _Q198_DIMS)
+    return f"SELECT * FROM ({inner}) ORDER BY i, j"
+
+
+@register("q198_covariance_matrix", _q198_oracle())
+def q198_covariance_matrix(spark, sf_dir):
+    from ..operators.pca import covariance_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", _Q198_DIMS).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# q199 — temperature-scaled corpus mix (tau = 2 flattens the head-heavy
+# recipe toward uniform — the multilingual-rebalancing standard). The
+# scaled weights feed the same deterministic hash-quota mixer as q116;
+# the oracle replays the identical recipe.
+# ---------------------------------------------------------------------------
+
+_Q199_WEIGHTS = {"src0": 8.0, "src1": 4.0, "src2": 2.0, "src3": 1.0}
+_Q199_TAU = 2.0
+_Q199_TOTAL = 40
+
+
+def _q199_oracle() -> str:
+    from ..operators.mixing import sql_weighted_mix, temperature_weights
+
+    return sql_weighted_mix(
+        "documents",
+        "source",
+        temperature_weights(_Q199_WEIGHTS, _Q199_TAU),
+        _Q199_TOTAL,
+        ["doc_id"],
+        select="doc_id, source",
+    )
+
+
+@register("q199_temperature_mix", _q199_oracle())
+def q199_temperature_mix(spark, sf_dir):
+    from ..operators.mixing import temperature_weights, weighted_mix
+
+    docs = load(spark, sf_dir, "documents")
+    out = weighted_mix(
+        docs,
+        "source",
+        temperature_weights(_Q199_WEIGHTS, _Q199_TAU),
+        _Q199_TOTAL,
+        ["doc_id"],
+    )
+    return out.select("doc_id", "source", "mix_key")
+
+
+# ---------------------------------------------------------------------------
+# q200 — token-budget greedy selection: rank documents by quality
+# (n_chars desc), running token total over that order, keep while the
+# budget holds. Both the global rank and the running sum are two-phase
+# scans (operators/prefix) — no single-reducer window anywhere; the
+# oracle IS the single-reducer window, proving the decomposition exact.
+# ---------------------------------------------------------------------------
+
+_Q200_BUDGET = 12_000
+
+
+def _q200_oracle() -> str:
+    from ..functions.text import sql_n_tokens_ws
+
+    ntok = sql_n_tokens_ws("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars, CAST({ntok} AS BIGINT) AS n_tok FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY -n_chars, doc_id) AS sel_rank FROM t
+),
+c AS (
+  SELECT *, CAST(SUM(n_tok) OVER (
+    ORDER BY sel_rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS cum_tok FROM r
+)
+SELECT doc_id, n_chars, n_tok, CAST(sel_rank AS BIGINT) AS sel_rank, cum_tok
+FROM c WHERE cum_tok <= {_Q200_BUDGET}
+ORDER BY sel_rank
+"""
+
+
+@register("q200_token_budget_selection", _q200_oracle())
+def q200_token_budget_selection(spark, sf_dir):
+    from ..functions.text import n_tokens_ws
+    from ..operators.prefix import distributed_cumsum, distributed_rank
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        n_tokens_ws("text").cast("long").alias("n_tok"),
+        (-F.col("n_chars")).alias("_negq"),
+    )
+    ranked = distributed_rank(docs, "_negq", ["doc_id"], out="sel_rank")
+    scanned = distributed_cumsum(ranked, "sel_rank", "n_tok", out="cum_tok")
+    return (
+        scanned.filter(F.col("cum_tok") <= _Q200_BUDGET)
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tok",
+            F.col("sel_rank").cast("long").alias("sel_rank"),
+            "cum_tok",
+        )
+        .orderBy("sel_rank")
+    )

@@ -1,0 +1,77 @@
+"""PCA: exact covariance, axis recovery, JVM-side projection; and
+temperature-scaled mixture weights."""
+
+import math
+import random
+
+import pytest
+
+from etl_market_survey_spark.operators.mixing import temperature_weights
+from etl_market_survey_spark.operators.pca import (
+    covariance_matrix,
+    pca_fit,
+    pca_project,
+)
+
+
+def _aniso(spark, n=300, seed=5):
+    # dominant variance along (1,1,0)/sqrt(2), tiny elsewhere
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        t = rng.gauss(0, 3.0)
+        rows.append(
+            (
+                i,
+                [
+                    t / math.sqrt(2) + rng.gauss(0, 0.1),
+                    t / math.sqrt(2) + rng.gauss(0, 0.1),
+                    rng.gauss(0, 0.1),
+                ],
+            )
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_covariance_matches_numpy(spark):
+    import numpy as np
+
+    df = _aniso(spark, n=100)
+    X = np.array([r.embedding for r in df.collect()])
+    want = np.cov(X, rowvar=False)
+    got = {(r.i, r.j): r.cov for r in covariance_matrix(df, "embedding", 3).collect()}
+    for i in range(3):
+        for j in range(i, 3):
+            # dsum quantizes moments to the 1e-6 grid -> not bit-equal to
+            # numpy, but far inside 1e-3 for O(1)-scale data
+            assert got[(i, j)] == pytest.approx(want[i, j], abs=1e-3)
+
+
+def test_pca_recovers_dominant_axis(spark):
+    df = _aniso(spark)
+    vals, comps = pca_fit(df, "embedding", 3, 2)
+    v = comps[0]
+    align = abs(v[0] / math.sqrt(2) + v[1] / math.sqrt(2))
+    assert align > 0.99, (vals, comps)
+    assert vals[0] > 10 * vals[1]
+
+
+def test_projection_matches_driver_dot(spark):
+    df = _aniso(spark, n=50)
+    _, comps = pca_fit(df, "embedding", 3, 2)
+    out = {r.vec_id: (r.embedding, r.pc) for r in pca_project(df, "embedding", comps).collect()}
+    for vid, (emb, pc) in out.items():
+        for k in range(2):
+            want = sum(x * w for x, w in zip(emb, comps[k]))
+            assert pc[k] == pytest.approx(want, rel=1e-12)
+
+
+def test_temperature_weights_flatten_and_sharpen():
+    w = {"a": 8.0, "b": 2.0}
+    flat = temperature_weights(w, 4.0)
+    sharp = temperature_weights(w, 0.5)
+    assert flat["a"] / flat["b"] < 4.0 / 2.0 < sharp["a"] / sharp["b"]
+    ident = temperature_weights(w, 1.0)
+    assert ident == w
+    with pytest.raises(ValueError):
+        temperature_weights(w, 0.0)
