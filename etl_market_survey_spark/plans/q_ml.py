@@ -475,3 +475,41 @@ def q200_token_budget_selection(spark, sf_dir):
         )
         .orderBy("sel_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — DSIR importance-resampling selection (Xie et al. 2023,
+# arXiv:2302.03169, deterministic top-N variant): hashed-bigram bucket
+# features, target-vs-raw bag-of-buckets log-ratio (round-9 gated),
+# exact-decimal per-doc weights, TakeOrderedAndProject selection. The
+# target domain here is the head sources src0-src3; the raw pool is
+# everything else.
+# ---------------------------------------------------------------------------
+
+_Q201_TARGET = ("src0", "src1", "src2", "src3")
+_Q201_BUCKETS = 1024
+_Q201_N = 50
+
+
+def _q201_oracle() -> str:
+    from ..operators.dsir import sql_dsir_select
+
+    pred = "source IN ('" + "', '".join(_Q201_TARGET) + "')"
+    return sql_dsir_select(
+        "documents", "doc_id", "text", pred, _Q201_N, _Q201_BUCKETS
+    )
+
+
+@register("q201_dsir_selection", _q201_oracle())
+def q201_dsir_selection(spark, sf_dir):
+    from ..operators.dsir import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        "doc_id",
+        "text",
+        F.col("source").isin(*_Q201_TARGET),
+        _Q201_N,
+        _Q201_BUCKETS,
+    )
