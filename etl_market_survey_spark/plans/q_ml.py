@@ -513,3 +513,38 @@ def q201_dsir_selection(spark, sf_dir):
         _Q201_N,
         _Q201_BUCKETS,
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — k-anonymity / l-diversity governance audit over the customer
+# quasi-identifiers (nation, market segment), sensitive attribute =
+# coarse balance band. One aggregation, two counters of state per
+# equivalence class.
+# ---------------------------------------------------------------------------
+
+_Q202_K = 25
+_Q202_L = 5
+
+_Q202_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT)) AS BIGINT)
+         AS l_distinct,
+       (COUNT(*) >= {_Q202_K}) AS k_anonymous,
+       (COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT)) >= {_Q202_L})
+         AS l_diverse
+FROM customer
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q202_k_anonymity", _Q202_ORACLE)
+def q202_k_anonymity(spark, sf_dir):
+    from ..operators.anonymity import k_anonymity_audit
+
+    cust = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000.0).cast("long")
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], band, _Q202_K, _Q202_L
+    ).orderBy("c_nationkey", "c_mktsegment")
