@@ -192,3 +192,74 @@ def temperature_mixing(
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
     )
+
+
+def hash_ring_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    each row gets ``k`` partners — its successors on the md5 hash ring
+    (rank order of ``md5(seed, id)``, wrapping modulo N). The hash is
+    uniform on content, so partners are uniform "random" negatives, yet
+    the pairing is a pure function of (corpus, seed): reproducible on
+    any engine, layout or rerun, and every row serves as a negative for
+    exactly ``k`` anchors (balanced usage — rejection-free).
+
+    Scale: the global rank is the two-phase scan (``prefix.
+    distributed_rank`` — no single-reducer window); the partner lookup
+    is one self-equi-join on the rank. Output: (id, j, neg_id), j in
+    1..k. Requires k < N.
+
+    Long-form output keys: ``id_col``, ``j``, ``neg_id``.
+    """
+    from .prefix import distributed_rank
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hkey = F.conv(
+        F.substring(_hash_rank([id_col], seed), 1, 15), 16, 10
+    ).cast("long")
+    base = df.select(F.col(id_col)).withColumn("_hk", hkey)
+    ranked = distributed_rank(base, "_hk", [id_col], out="_r").drop("_hk")
+    n = ranked.count()
+    if k >= n:
+        raise ValueError(f"k={k} must be < corpus size {n}")
+    anchors = ranked.select(
+        id_col,
+        "_r",
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+    ).withColumn("_nr", (F.col("_r") - 1 + F.col("j")) % F.lit(n) + 1)
+    ring = ranked.select(
+        F.col("_r").alias("_nr"), F.col(id_col).alias("neg_id")
+    )
+    return anchors.join(ring, "_nr").select(
+        id_col, F.col("j").cast("int").alias("j"), "neg_id"
+    )
+
+
+def sql_hash_ring_negatives(
+    table: str, id_expr: str, k: int, seed: int = 42
+) -> str:
+    """DuckDB mirror of :func:`hash_ring_negatives` — keep in lockstep."""
+    h = sql_hash_rank([id_expr], seed)
+    js = ", ".join(str(j) for j in range(1, k + 1))
+    return f"""
+WITH h AS (
+  SELECT {id_expr} AS _id,
+         ('0x' || substr({h}, 1, 15))::BIGINT AS _hk
+  FROM {table}
+),
+r AS (
+  SELECT _id, ROW_NUMBER() OVER (ORDER BY _hk, _id) AS _r FROM h
+),
+n AS (SELECT COUNT(*) AS _c FROM r),
+a AS (
+  SELECT r._id, t.j, ((r._r - 1 + t.j) % n._c) + 1 AS _nr
+  FROM r, n, UNNEST([{js}]) AS t(j)
+)
+SELECT a._id AS {id_expr}, CAST(a.j AS INT) AS j, r2._id AS neg_id
+FROM a JOIN r r2 ON a._nr = r2._r
+"""

@@ -548,3 +548,29 @@ def q202_k_anonymity(spark, sf_dir):
     return k_anonymity_audit(
         cust, ["c_nationkey", "c_mktsegment"], band, _Q202_K, _Q202_L
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q203 — hash-ring negative sampling: each document's k=2 contrastive
+# negatives are its successors on the md5(seed,id) ring — uniform in
+# content, balanced (every doc serves exactly k anchors), reproducible
+# on any layout. Global rank via the two-phase scan; partner lookup is
+# one self-equi-join on the rank.
+# ---------------------------------------------------------------------------
+
+_Q203_K = 2
+
+
+def _q203_oracle() -> str:
+    from ..operators.sampling import sql_hash_ring_negatives
+
+    inner = sql_hash_ring_negatives("documents", "doc_id", _Q203_K)
+    return f"SELECT * FROM ({inner}) ORDER BY doc_id, j"
+
+
+@register("q203_negative_sampling", _q203_oracle())
+def q203_negative_sampling(spark, sf_dir):
+    from ..operators.sampling import hash_ring_negatives
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_ring_negatives(docs, "doc_id", _Q203_K).orderBy("doc_id", "j")

@@ -119,3 +119,32 @@ def test_temperature_mixing_exact_quotas(spark):
     c = temperature_mixing(df, "lang", ["doc_id"], 300, alpha=0.5, seed=8)
     got_c = {r["lang"]: r["n"] for r in c.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert got_c == got
+
+
+def test_hash_ring_negatives_balanced_and_distinct(spark):
+    from etl_market_survey_spark.operators.sampling import hash_ring_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = hash_ring_negatives(df, "doc_id", k=3).collect()
+    assert len(out) == 60
+    # no self-pairs, and every doc serves as negative exactly k times
+    served = {}
+    for r in out:
+        assert r.neg_id != r.doc_id
+        served[r.neg_id] = served.get(r.neg_id, 0) + 1
+    assert set(served.values()) == {3}
+    # per-anchor negatives are distinct
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.doc_id, set()).add(r.neg_id)
+    assert all(len(v) == 3 for v in by_anchor.values())
+
+
+def test_hash_ring_negatives_seed_redraw(spark):
+    from etl_market_survey_spark.operators.sampling import hash_ring_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    a = {(r.doc_id, r.j): r.neg_id for r in hash_ring_negatives(df, "doc_id", 1, seed=1).collect()}
+    b = {(r.doc_id, r.j): r.neg_id for r in hash_ring_negatives(df, "doc_id", 1, seed=2).collect()}
+    a2 = {(r.doc_id, r.j): r.neg_id for r in hash_ring_negatives(df, "doc_id", 1, seed=1).collect()}
+    assert a == a2 and a != b
