@@ -89,3 +89,68 @@ def rotate_query(qvec: Sequence[float], blocks) -> list[float]:
                 acc = acc + row[i] * float(qvec[base + i])
             out.append(acc)
     return out
+
+
+def train_opq_blocks(
+    df,
+    vec_col: str,
+    m: int,
+    k: int,
+    seed: int = 7,
+    sample_n: int = 2000,
+    iters: int = 8,
+    lloyd_iters: int = 6,
+    decimals: int = 6,
+):
+    """Data-driven OPQ rotation (Ge et al., CVPR 2013 — the alternating
+    non-parametric trainer), block-diagonal per subspace: alternate a
+    Lloyd codebook update in the rotated subspace with the orthogonal
+    Procrustes rotation update (SVD of S^T·recon), per block.
+
+    Deterministic end to end: the sample is content-hash-ordered (the
+    ``pq.train_pq_codebooks`` discipline — independent of partition
+    layout), numpy ops are seeded, and the returned blocks are rounded
+    to ``decimals`` so they obey the same exact-literal contract as
+    :func:`rotation_blocks` — drop-in for ``rotated_vec`` /
+    ``sql_rotated_list`` and the whole integer-exact PQ chain behind
+    them. Driver-side cost is O(sample_n · d²) — sample-sized by
+    contract, the corpus never leaves the cluster.
+    """
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col)))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X = X[np.lexsort(X.T[::-1])]
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m {m}")
+    dsub = d // m
+    blocks = []
+    for j in range(m):
+        rng = np.random.RandomState(seed * 1000 + j)
+        S = X[:, j * dsub : (j + 1) * dsub]
+        R = np.eye(dsub)
+        cents = None
+        for _ in range(iters):
+            Z = S @ R
+            if cents is None:
+                cents = Z[rng.choice(len(Z), size=k, replace=len(Z) < k)]
+            for _ in range(lloyd_iters):
+                d2 = ((Z[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(k):
+                    pts = Z[assign == c]
+                    if len(pts):
+                        cents[c] = pts.mean(axis=0)
+            recon = cents[assign]
+            u, _, vt = np.linalg.svd(S.T @ recon)
+            R = u @ vt
+        # rotated_vec applies out = B @ x (rows = output dims); training
+        # used the row-vector convention z = x @ R, so B = R^T
+        blocks.append(
+            [[round(float(v), decimals) for v in row] for row in R.T]
+        )
+    return blocks

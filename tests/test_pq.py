@@ -176,3 +176,63 @@ def test_rotation_matches_python_and_is_near_orthonormal(spark):
     f32 = [float(np.float32(v)) for v in vec]
     want = rotate_query(f32, blocks)
     assert got == want
+
+
+def test_opq_trainer_beats_random_rotation(spark):
+    """Alternating OPQ on within-block-correlated data must quantize
+    better than the seeded random rotation baseline."""
+    import random as pyrandom
+
+    import numpy as np
+
+    from etl_market_survey_spark.operators.opq import (
+        rotation_blocks,
+        train_opq_blocks,
+    )
+
+    rng = pyrandom.Random(3)
+    rows = []
+    for i in range(400):
+        t, u = rng.gauss(0, 2.0), rng.gauss(0, 2.0)
+        rows.append(
+            (i, [t, t + rng.gauss(0, 0.05), u, u + rng.gauss(0, 0.05)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def mse(blocks):
+        X = np.array([r[1] for r in rows])
+        total = 0.0
+        for j, B in enumerate(blocks):
+            B = np.array(B)
+            S = X[:, j * 2 : (j + 1) * 2]
+            Z = S @ B.T
+            # fixed-seed Lloyd in the rotated space, same budget per rotation
+            r2 = np.random.RandomState(11)
+            cents = Z[r2.choice(len(Z), 4, replace=False)]
+            for _ in range(10):
+                a = ((Z[:, None, :] - cents[None, :, :]) ** 2).sum(2).argmin(1)
+                for c in range(4):
+                    if (a == c).any():
+                        cents[c] = Z[a == c].mean(0)
+            total += ((Z - cents[a]) ** 2).sum()
+        return total / len(X)
+
+    trained = train_opq_blocks(df, "embedding", m=2, k=4, sample_n=400)
+    baseline = rotation_blocks(m=2, dsub=2)
+    assert mse(trained) < mse(baseline), (mse(trained), mse(baseline))
+    # blocks stay near-orthonormal after rounding (exact-literal contract)
+    for B in trained:
+        B = np.array(B)
+        assert np.allclose(B @ B.T, np.eye(2), atol=1e-4)
+
+
+def test_opq_trainer_deterministic(spark):
+    from etl_market_survey_spark.operators.opq import train_opq_blocks
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float(i % 3), float(i % 2)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    a = train_opq_blocks(df, "embedding", m=2, k=3, sample_n=100)
+    b = train_opq_blocks(df, "embedding", m=2, k=3, sample_n=100)
+    assert a == b
