@@ -574,3 +574,87 @@ def q203_negative_sampling(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return hash_ring_negatives(docs, "doc_id", _Q203_K).orderBy("doc_id", "j")
+
+
+# ---------------------------------------------------------------------------
+# q204 — Zipf-law fit of the corpus token distribution: token counts
+# (one map-side-combined aggregation), top-200 by frequency (TakeOrdered
+# — never a global sort), then closed-form OLS on (ln rank, ln freq)
+# with round-9 logs and decimal moment sums. slope ≈ -1 is the Zipf
+# diagnostic every corpus health check reports.
+# ---------------------------------------------------------------------------
+
+_Q204_TOP = 200
+
+
+def _q204_oracle() -> str:
+    lx = "ROUND(LN(CAST(rk AS DOUBLE)), 9)"
+    ly = "ROUND(LN(CAST(cnt AS DOUBLE)), 9)"
+    sx, sy = sql_dsum(lx), sql_dsum(ly)
+    sxx, sxy = sql_dsum(f"{lx} * {lx}"), sql_dsum(f"{lx} * {ly}")
+    syy = sql_dsum(f"{ly} * {ly}")
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+top AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+  FROM counts
+  ORDER BY cnt DESC, token
+  LIMIT {_Q204_TOP}
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {sxy} AS sxy, {syy} AS syy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS slope,
+       ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) AS intercept,
+       (((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))) AS r2
+FROM m
+"""
+
+
+@register("q204_zipf_fit", _q204_oracle())
+def q204_zipf_fit(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[A-Za-z]+|[0-9]+"), F.lit(0))
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(_Q204_TOP)
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "token")
+        ),
+    )
+    lx = F.round(F.log(F.col("rk").cast("double")), 9)
+    ly = F.round(F.log(F.col("cnt").cast("double")), 9)
+    m = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(lx).alias("sx"),
+        dsum(ly).alias("sy"),
+        dsum(lx * lx).alias("sxx"),
+        dsum(lx * ly).alias("sxy"),
+        dsum(ly * ly).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("long").alias("n_tokens"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
