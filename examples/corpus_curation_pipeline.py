@@ -13,6 +13,10 @@ way a 100 TB corpus run would chain them:
                                                    operators/components)
   6. context-window chunking (16-token windows, stride 12) and
      greedy sequence packing into 64-token bins   (operators/prefix)
+  7. strict next-fit packing + JSONL manifest     (operators/packing)
+  8. selection: DSIR domain weights, temperature-flattened mixture,
+     token-budget cap, hash-ring contrastive negatives
+                         (operators/dsir, mixing, prefix, sampling)
 
 Each stage prints its surviving-row count; the script asserts the
 monotone-shrink invariant (every gate only removes rows) and that the
@@ -159,20 +163,74 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
     write_jsonl(strict, manifest_dir)
     n_manifest = spark.read.json(manifest_dir).count()
 
+    # 8. round-2 selection stages on the near-dup survivors: DSIR
+    #    domain weighting (target = head sources), temperature-flattened
+    #    mixture draw, a token-budget cap, and hash-ring contrastive
+    #    negatives for the selected set.
+    from etl_market_survey_spark.operators.dsir import dsir_logweights
+    from etl_market_survey_spark.operators.mixing import (
+        temperature_weights,
+        weighted_mix,
+    )
+    from etl_market_survey_spark.operators.prefix import (
+        distributed_cumsum,
+        distributed_rank,
+    )
+    from etl_market_survey_spark.operators.sampling import hash_ring_negatives
+
+    surv = survivors  # full rows: quality gate minus near-dup losers
+    # src0 was consumed as the benchmark in stage 3 -> target the next head sources
+    target_srcs = ("src1", "src2", "src3")
+    dsir = dsir_logweights(
+        surv, "doc_id", "text", F.col("source").isin(*target_srcs), n_buckets=256
+    )
+    n_dsir_pos = dsir.filter(
+        ~F.col("is_target") & (F.col("logw") > 0)
+    ).count()
+
+    mix_w = temperature_weights(
+        {s: 2.0 ** i for i, s in enumerate(target_srcs)}, tau=2.0
+    )
+    mixed = weighted_mix(
+        surv, "source", mix_w, total=min(40, n4), id_cols=["doc_id"]
+    )
+    n_mixed = mixed.count()
+
+    sized = surv.select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).cast("long").alias("n_tok"),
+        (-F.col("n_chars")).alias("_negq"),
+    )
+    ranked = distributed_rank(sized, "_negq", ["doc_id"], out="_sel")
+    budgeted = distributed_cumsum(ranked, "_sel", "n_tok", out="_cum").filter(
+        F.col("_cum") <= 2000
+    )
+    n_budget = budgeted.count()
+
+    negs = hash_ring_negatives(surv, "doc_id", k=2)
+    n_negs = negs.count()
+
     print(
         f"docs={n0} exact_dedup={n1} decontaminated={n2} quality={n3} "
         f"neardup_survivors={n4} chunks={n5} bins={n_bins} "
-        f"strict_bins_overflowed={strict_over} manifest_rows={n_manifest}"
+        f"strict_bins_overflowed={strict_over} manifest_rows={n_manifest} "
+        f"dsir_in_domain={n_dsir_pos} mixed={n_mixed} budgeted={n_budget} "
+        f"negatives={n_negs}"
     )
     assert n0 >= n1 >= n2 >= n3 >= n4 > 0, "gates must only remove rows"
     assert n5 >= n4, "every surviving doc yields >= 1 chunk"
     assert over_contract == 0, "bin overflow must stay under one chunk"
     assert strict_over == 0, "next-fit bins must never exceed the budget"
     assert n_manifest == n5, "manifest covers every chunk exactly once"
+    assert n_mixed <= min(40, n4), "mixer never exceeds its total"
+    assert n_budget <= n4 and n_negs == 2 * n4, "selection stages consistent"
     return {
         "docs": n0, "exact": n1, "clean": n2, "quality": n3,
         "survivors": n4, "chunks": n5, "bins": n_bins,
-        "manifest": n_manifest,
+        "manifest": n_manifest, "mixed": n_mixed, "budgeted": n_budget,
     }
 
 
