@@ -60,9 +60,16 @@ def waveform_features(
     time_col: str = "Time (s)",
     amp_col: str = "Amplitude (V)",
     baseline_end: float | None = None,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Per (trigger, device): baseline, noise, amplitude, charge,
-    ``t_10 (s)`` .. ``t_90 (s)`` and ``Rise time (s)``."""
+    ``t_10 (s)`` .. ``t_90 (s)`` and ``Rise time (s)``.
+
+    ``exact_sums=True`` routes the charge integral's sample sum through
+    an exact decimal sum on a 1e-9 V grid — order-independent, so the
+    charge is bit-identical across partitionings and SQL-replayable
+    (the q47 gate); the default keeps the raw double sum (marginally
+    cheaper, and exact enough for physics use)."""
     keys = [trigger_col, device_col]
     t, a = F.col(time_col), F.col(amp_col)
 
@@ -84,7 +91,12 @@ def waveform_features(
             F.array_sort(F.collect_list(F.when(F.col("_pre"), a))).alias("_base_arr"),
             F.max(a).alias("_peak"),
             F.max_by(t, a).alias("_t_peak"),
-            F.sum(a).alias("_sum_a"),
+            (
+                F.sum(F.floor(a * F.lit(1e9)).cast("decimal(38,0)")).cast("double")
+                / F.lit(1e9)
+                if exact_sums
+                else F.sum(a)
+            ).alias("_sum_a"),
             F.count("*").alias("_n"),
             (F.max(t) - F.min(t)).alias("_span"),
         )

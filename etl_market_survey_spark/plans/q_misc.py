@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.stats import dsum, sql_dsum
+from ..functions.stats import davg, dsum, sql_dsum
 from ..operators.cuts import drop_incomplete_groups
 from .registry import load, register
 
@@ -109,29 +109,163 @@ def q54_zip_join(spark, sf_dir):
     )
 
 
-@register("q47_waveform_features")
+def _q47_oracle() -> str:
+    from ..functions.stats import K_MAD_TO_STD, sql_davg
+
+    noise = (
+        "(CAST((('0x' || substr(md5(dev || '|' || CAST(i AS VARCHAR)), 1, 6))::BIGINT"
+        " % 1000) - 500 AS DOUBLE)) * 0.000004"
+    )
+    pulse = (
+        "(CASE WHEN i < 20 THEN 0.0"
+        " WHEN i <= 60 THEN amp * CAST(i - 20 AS DOUBLE) / 40.0"
+        " ELSE amp * (1.0 - CAST(i - 60 AS DOUBLE) / 200.0) END)"
+    )
+    return f"""
+WITH ampt AS (
+  SELECT l_returnflag AS dev,
+         ({sql_davg("l_extendedprice")} / 100000.0 + 0.2) AS amp
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT dev, i, CAST(i AS DOUBLE) AS t, ({pulse} + {noise}) AS a
+  FROM ampt CROSS JOIN generate_series(0, 99) AS s(i)
+),
+pre AS (
+  SELECT dev, a, ROW_NUMBER() OVER (PARTITION BY dev ORDER BY a) AS rn,
+         COUNT(*) OVER (PARTITION BY dev) AS cnt
+  FROM w WHERE i < 15
+),
+bmed AS (
+  SELECT p1.dev, (p1.a + p2.a) / 2.0 AS baseline
+  FROM pre p1 JOIN pre p2
+    ON p1.dev = p2.dev
+   AND p1.rn = CAST(FLOOR((p1.cnt + 1) / 2) AS BIGINT)
+   AND p2.rn = CAST(FLOOR(p2.cnt / 2) + 1 AS BIGINT)
+),
+devs AS (
+  SELECT w.dev, ABS(w.a - b.baseline) AS d,
+         ROW_NUMBER() OVER (PARTITION BY w.dev ORDER BY ABS(w.a - b.baseline)) AS rn,
+         COUNT(*) OVER (PARTITION BY w.dev) AS cnt
+  FROM w JOIN bmed b ON w.dev = b.dev WHERE w.i < 15
+),
+nmed AS (
+  SELECT d1.dev, {K_MAD_TO_STD!r} * ((d1.d + d2.d) / 2.0) AS noise
+  FROM devs d1 JOIN devs d2
+    ON d1.dev = d2.dev
+   AND d1.rn = CAST(FLOOR((d1.cnt + 1) / 2) AS BIGINT)
+   AND d2.rn = CAST(FLOOR(d2.cnt / 2) + 1 AS BIGINT)
+),
+feat AS (
+  SELECT w.dev,
+         b.baseline,
+         n.noise,
+         MAX(w.a) - b.baseline AS amplitude,
+         ARG_MAX(w.t, w.a) AS t_peak,
+         (CAST(SUM(CAST(FLOOR(w.a * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1000000000.0) AS sum_a,
+         COUNT(*) AS n,
+         MAX(w.t) - MIN(w.t) AS span
+  FROM w JOIN bmed b ON w.dev = b.dev JOIN nmed n ON w.dev = n.dev
+  GROUP BY 1, 2, 3
+),
+lagd AS (
+  SELECT dev, t AS t0, a AS a0,
+         LEAD(t) OVER (PARTITION BY dev ORDER BY t) AS t1,
+         LEAD(a) OVER (PARTITION BY dev ORDER BY t) AS a1
+  FROM w
+),
+brak AS (
+  SELECT l.dev, k.k,
+         l.t0 + (f.baseline + f.amplitude * (CAST(k.k AS DOUBLE) / 100.0) - l.a0)
+           * (l.t1 - l.t0) / (l.a1 - l.a0) AS tk,
+         ROW_NUMBER() OVER (PARTITION BY l.dev, k.k ORDER BY l.t0) AS rn
+  FROM lagd l
+  JOIN feat f ON l.dev = f.dev
+  CROSS JOIN UNNEST([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS k(k)
+  WHERE l.a1 IS NOT NULL
+    AND l.a0 <= f.baseline + f.amplitude * (CAST(k.k AS DOUBLE) / 100.0)
+    AND l.a1 >  f.baseline + f.amplitude * (CAST(k.k AS DOUBLE) / 100.0)
+    AND l.t0 < f.t_peak
+),
+cr AS (
+  SELECT dev,
+         MAX(CASE WHEN k = 10 THEN tk END) AS tk10,
+         MAX(CASE WHEN k = 20 THEN tk END) AS tk20,
+         MAX(CASE WHEN k = 30 THEN tk END) AS tk30,
+         MAX(CASE WHEN k = 40 THEN tk END) AS tk40,
+         MAX(CASE WHEN k = 50 THEN tk END) AS tk50,
+         MAX(CASE WHEN k = 60 THEN tk END) AS tk60,
+         MAX(CASE WHEN k = 70 THEN tk END) AS tk70,
+         MAX(CASE WHEN k = 80 THEN tk END) AS tk80,
+         MAX(CASE WHEN k = 90 THEN tk END) AS tk90
+  FROM brak WHERE rn = 1 GROUP BY 1
+)
+SELECT CAST(0 AS INT) AS n_trigger,
+       f.dev AS device_name,
+       f.baseline AS "Baseline (V)",
+       f.noise AS "Noise (V)",
+       f.amplitude AS "Amplitude (V)",
+       (f.sum_a - f.baseline * f.n) * (f.span / (f.n - 1))
+         AS "Collected charge (V s)",
+       cr.tk10 AS "t_10 (s)", cr.tk20 AS "t_20 (s)", cr.tk30 AS "t_30 (s)",
+       cr.tk40 AS "t_40 (s)", cr.tk50 AS "t_50 (s)", cr.tk60 AS "t_60 (s)",
+       cr.tk70 AS "t_70 (s)", cr.tk80 AS "t_80 (s)", cr.tk90 AS "t_90 (s)",
+       (cr.tk90 - cr.tk10) AS "Rise time (s)"
+FROM feat f LEFT JOIN cr ON f.dev = cr.dev
+ORDER BY f.dev
+"""
+
+
+@register("q47_waveform_features", _q47_oracle())
 def q47_waveform_features(spark, sf_dir):
     """Waveform feature extraction (reconstructing FIXTURES §1 columns
-    from §2-shaped samples). Waveform synthesized per returnflag: the
-    price ECDF is a monotone rising curve, so t_k = the price at which it
-    crosses k% — CFD crossing on a real dataset. Rows-only check: the
-    oracle SQL would inline the entire operator (~100 lines of window +
-    pivot SQL); correctness is pinned by analytic unit tests
-    (tests/test_waveform.py: exact closed-form crossings on a ramp)."""
-    from ..functions.stats import ecdf
+    from §2-shaped samples), EXACT-gated: a deterministic pulse is
+    synthesized per returnflag (data-driven amplitude, portable
+    md5-derived noise on a 4e-6 V grid, 15-sample pre-pulse baseline
+    region), and the oracle replays the ENTIRE operator — baseline/MAD
+    medians as order statistics, the exact-decimal charge integral, and
+    all nine CFD bracket interpolations. Upgrades the r1 rows-only
+    check (the old synthetic input had an empty baseline region and
+    produced all-NULL features)."""
     from ..operators.waveform import waveform_features
 
     li = load(spark, sf_dir, "lineitem")
-    curve = ecdf(
-        li.select("l_returnflag", "l_extendedprice"), ["l_returnflag"], "l_extendedprice",
-        out="y",
-    ).select(
+    ampt = li.groupBy(F.col("l_returnflag").alias("device_name")).agg(
+        (davg("l_extendedprice") / F.lit(100000.0) + F.lit(0.2)).alias("_amp")
+    )
+    grid = ampt.select(
+        "device_name", "_amp", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("_i")
+    )
+    i, amp = F.col("_i"), F.col("_amp")
+    pulse = (
+        F.when(i < 20, F.lit(0.0))
+        .when(i <= 60, amp * (i - 20).cast("double") / F.lit(40.0))
+        .otherwise(amp * (F.lit(1.0) - (i - 60).cast("double") / F.lit(200.0)))
+    )
+    noise = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "device_name", i.cast("string"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+            - 500
+        ).cast("double")
+        * F.lit(0.000004)
+    )
+    curve = grid.select(
         F.lit(0).alias("n_trigger"),
-        F.col("l_returnflag").alias("device_name"),
-        F.col("l_extendedprice").alias("Time (s)"),
-        F.col("y").alias("Amplitude (V)"),
-    ).distinct()
-    return waveform_features(curve, baseline_end=1.0).orderBy("device_name")
+        "device_name",
+        i.cast("double").alias("Time (s)"),
+        (pulse + noise).alias("Amplitude (V)"),
+    )
+    return waveform_features(curve, baseline_end=15.0, exact_sums=True).orderBy(
+        "device_name"
+    )
 
 
 _Q62_ORACLE = f"""
