@@ -158,3 +158,43 @@ def test_q189_assignment_is_jvm_only(static_plan):
     plan = static_plan("q189_kmeans_lloyd")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's InjectRuntimeFilter must add a might_contain probe on the
+    fact side when the dim side is selectively filtered — the automatic
+    counterpart of operators/bloom's explicit semi-join pruning. At
+    100 TB this is the knob that keeps a 0.1%-selective dim filter from
+    shuffling the whole fact; thresholds here simulate that geometry
+    (creation side under the max, application side over the min)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # the probe must land on the FACT (lineitem) branch
+        probe = next(ln for ln in plan.splitlines() if "might_contain" in ln)
+        assert "l_orderkey" in probe
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
