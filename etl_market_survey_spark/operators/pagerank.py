@@ -57,18 +57,24 @@ def pagerank_fixed_point(
     already run an action per round; this one doesn't)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    # loop constants: persist once — with per-iteration lineage cuts each
-    # iteration runs as its own job, which would otherwise re-scan and
-    # re-shuffle these three subplans every round (plan reuse does not
-    # cross job boundaries)
-    edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    # loop constants: persist ONLY when lineage cuts will split the
+    # recurrence into multiple jobs (n_iter > checkpoint_every) — then
+    # each post-cut job would otherwise re-scan and re-shuffle these
+    # three subplans every round (plan reuse does not cross job
+    # boundaries). Below that, the whole recurrence is one job and the
+    # persist is pure materialization overhead (~2x on the q97 bench).
+    cuts_fire = n_iter > checkpoint_every
+    edges = edges.persist() if cuts_fire else edges
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    if cuts_fire:
+        deg = deg.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if cuts_fire:
+        nodes = nodes.persist()
     n_nodes = nodes.count()
     base = ((d_den - d_num) * UNIT) // (d_den * n_nodes)
 
