@@ -5,19 +5,28 @@ with typed metadata; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
 Python row-at-a-time.
 
-Codec policy: PIL is probed at import (``HAS_PIL``).
-``decode_stub=True`` (the default) always uses the deterministic
-byte-stub — output is a pure function of the bytes, never of the
-runtime's installed libraries, which is this engine's reproducibility
-contract. ``decode_stub=False`` requires the real PIL codec (raises
-``NotImplementedError`` where it's absent — this runtime ships neither
-PIL nor ffmpeg). ``decode_stub=None`` opts into auto (real codec when
-the DRIVER sees PIL, stub otherwise) for exploratory use; don't put it
-in a pipeline whose outputs feed hashes/dedup, and note a
-driver-with-PIL / executors-without cluster will surface the gap as a
-kernel-side NotImplementedError at task time. The Spark-side plumbing —
-schema, batching, partition sizing — is identical in every mode;
-swapping kernels changes no plan shape.
+Codec policy — three tiers:
+
+1. **Uncompressed formats decode for REAL with zero dependencies**:
+   binary netpbm images (P5/P6 -> ``decode_ppm``, pure numpy) and the
+   rawvid video container (``decode_rawvid``) — real pixels, real
+   nearest-neighbor resize, real per-frame luma features. These paths
+   are bit-deterministic pure functions of the bytes, so they are
+   always on, even under the stub contract.
+2. **Compressed formats need PIL/ffmpeg**: PIL is probed at import
+   (``HAS_PIL``). ``decode_stub=False`` requires it (raises
+   ``NotImplementedError`` where absent — this runtime ships neither
+   PIL nor ffmpeg); ``decode_stub=None`` opts into auto (real codec
+   when the DRIVER sees PIL) for exploratory use — don't put it in a
+   pipeline whose outputs feed hashes/dedup, and note a
+   driver-with-PIL / executors-without cluster will surface the gap as
+   a kernel-side NotImplementedError at task time.
+3. **Everything else** under ``decode_stub=True`` (the default) falls
+   back to the deterministic byte-statistics stand-in — output is a
+   pure function of the bytes, never of the runtime's libraries.
+
+The Spark-side plumbing — schema, batching, partition sizing — is
+identical in every tier; swapping kernels changes no plan shape.
 
 Scale notes: binary payloads dominate partition size; ``repartition`` by
 size-bucket before decode keeps Arrow batches bounded (a 100 MB video and
@@ -68,13 +77,69 @@ def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("n_bytes", F.length(p)).withColumn("digest", F.md5(p))
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode for the uncompressed netpbm formats — pure
+    numpy, zero codec dependency, a bit-deterministic pure function of
+    the bytes (so it is allowed even under the stub reproducibility
+    contract). P6 (binary RGB) -> (h, w, 3) uint8; P5 (binary gray) ->
+    (h, w) uint8. Raises ValueError on anything else."""
+    if not (payload.startswith(b"P6") or payload.startswith(b"P5")):
+        raise ValueError("not a binary netpbm payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    ch = 3 if payload.startswith(b"P6") else 1
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return raw.reshape((h, w, 3)) if ch == 3 else raw.reshape((h, w))
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (P6 for (h,w,3), P5 for (h,w))."""
+    a = np.ascontiguousarray(arr.astype(np.uint8))
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected (h,w,3) or (h,w), got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _luma(img: np.ndarray) -> np.ndarray:
+    """ITU-R 601 grayscale — fixed coefficients, deterministic."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    f = img.astype(np.float64)
+    return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a codec: FEATURE_DIM floats derived from
-    byte statistics. Replace with a real decode when codecs exist."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
+    """Library-free decode chain: netpbm payloads decode for REAL (pure
+    numpy, real pixels -> luma -> chunk means); anything else falls back
+    to the deterministic byte-statistics stand-in. Both paths are pure
+    functions of the bytes — the reproducibility contract holds."""
+    if payload.startswith(b"P6") or payload.startswith(b"P5"):
+        arr = _luma(decode_ppm(payload)).ravel()
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if arr.size == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float64)
-    chunks = np.array_split(arr.astype(np.float64), FEATURE_DIM)
+    chunks = np.array_split(arr, FEATURE_DIM)
     return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
 
@@ -147,6 +212,14 @@ def resize_media(
     w, h = target
 
     def _stub_resize(b: bytes) -> bytes:
+        # netpbm payloads resize for REAL: nearest-neighbor index grid
+        # (pure numpy, deterministic), re-encoded in the same format
+        if b.startswith(b"P6") or b.startswith(b"P5"):
+            img = decode_ppm(b)
+            ih, iw = img.shape[0], img.shape[1]
+            ys = (np.arange(h) * ih) // h
+            xs = (np.arange(w) * iw) // w
+            return encode_ppm(img[ys][:, xs])
         n = w * h
         if len(b) == 0:
             return b""
@@ -185,6 +258,73 @@ def resize_media(
     return df.mapInPandas(kernel, schema)
 
 
+#: Raw-video container: magic + uint16 w + uint16 h + uint16 n_frames
+#: (big-endian), then n_frames concatenated raw RGB frames. The
+#: uncompressed stand-in for a real codec container — lets the video
+#: path run REAL frame slicing and per-frame featurization with zero
+#: library dependencies (ffmpeg integration would replace only
+#: ``decode_video_frames``'s inner parser, not the plan shape).
+RAWVID_MAGIC = b"RVID"
+
+
+def encode_rawvid(frames: "np.ndarray") -> bytes:
+    """(n, h, w, 3) uint8 -> container bytes."""
+    f = np.ascontiguousarray(frames.astype(np.uint8))
+    n, h, w, _ = f.shape
+    import struct
+
+    return RAWVID_MAGIC + struct.pack(">HHH", w, h, n) + f.tobytes()
+
+
+def decode_rawvid(payload: bytes) -> "np.ndarray":
+    """Container bytes -> (n, h, w, 3) uint8. Pure function of bytes."""
+    import struct
+
+    if not payload.startswith(RAWVID_MAGIC):
+        raise ValueError("not a rawvid payload")
+    w, h, n = struct.unpack(">HHH", payload[4:10])
+    raw = np.frombuffer(payload, dtype=np.uint8, count=n * h * w * 3, offset=10)
+    return raw.reshape((n, h, w, 3))
+
+
+def decode_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    stride: int = 2,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL frame sampling + featurization for rawvid payloads: every
+    ``stride``-th frame (up to ``max_frames``) becomes one output row
+    with its luma chunk-mean features — the explode-then-featurize shape
+    an ffmpeg-backed pipeline would have, Arrow-batched, payload dropped
+    before anything shuffles. Non-rawvid payloads yield no rows (route
+    compressed formats through a PIL/ffmpeg kernel when available)."""
+    keep = [c for c in df.columns if c != payload_col]
+    schema_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c != payload_col)
+    schema = f"{schema_fields}, frame_idx int, features array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in enumerate(pdf[payload_col]):
+                payload = bytes(b) if b is not None else b""
+                if not payload.startswith(RAWVID_MAGIC):
+                    continue
+                frames = decode_rawvid(payload)
+                idxs = list(range(0, frames.shape[0], stride))[:max_frames]
+                for fi in idxs:
+                    lum = _luma(frames[fi]).ravel()
+                    chunks = np.array_split(lum, FEATURE_DIM)
+                    feats = [c.mean() if c.size else 0.0 for c in chunks]
+                    rec = {c: pdf[c].iloc[i] for c in keep}
+                    rec["frame_idx"] = fi
+                    rec["features"] = feats
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=keep + ["frame_idx", "features"])
+
+    return df.mapInPandas(kernel, schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",
@@ -193,7 +333,8 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame with a
     frame index — the explode pattern a video pipeline needs. Stubbed
-    frame extraction (byte-slice stand-in)."""
+    frame extraction (byte-slice stand-in); see
+    :func:`decode_video_frames` for the real rawvid path."""
     n = F.least(
         F.greatest(F.floor(F.length(payload_col) / every_n_bytes), F.lit(1)),
         F.lit(max_frames),
