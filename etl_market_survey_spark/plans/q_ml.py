@@ -737,3 +737,81 @@ def q205_ppm_codec_roundtrip(spark, sf_dir):
     return payloads.mapInPandas(
         decode_pixels, "l_returnflag string, pixel_idx int, val int"
     ).orderBy("l_returnflag", "pixel_idx")
+
+
+# ---------------------------------------------------------------------------
+# q206 — audio codec gate (the q205 pattern for WAV): deterministic
+# int16 waveforms (sample = md5(flag|i) % 65536 - 32768) are encoded to
+# real RIFF/PCM bytes, carried across Arrow as binary, decoded back —
+# every sample must equal the oracle's independent md5 arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q206_N = 64
+
+_Q206_ORACLE = f"""
+WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+sm AS (
+  SELECT l_returnflag, CAST(s.i AS INT) AS sample_idx,
+         CAST(('0x' || substr(md5(l_returnflag || '~' || CAST(s.i AS VARCHAR)), 1, 8))::BIGINT
+              % 65536 - 32768 AS INT) AS val
+  FROM flags CROSS JOIN generate_series(0, {_Q206_N - 1}) AS s(i)
+)
+SELECT l_returnflag, sample_idx, val FROM sm ORDER BY 1, 2
+"""
+
+
+@register("q206_wav_codec_roundtrip", _Q206_ORACLE)
+def q206_wav_codec_roundtrip(spark, sf_dir):
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_wav, encode_wav
+
+    n = _Q206_N
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for flag in pdf["l_returnflag"]:
+                s = np.array(
+                    [
+                        int(hashlib.md5(f"{flag}~{i}".encode()).hexdigest()[:8], 16)
+                        % 65536
+                        - 32768
+                        for i in range(n)
+                    ],
+                    dtype=np.int16,
+                )
+                payloads.append(encode_wav(s))
+            yield pd.DataFrame(
+                {"l_returnflag": pdf["l_returnflag"], "payload": payloads}
+            )
+
+    def decode_samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for flag, b in zip(pdf["l_returnflag"], pdf["payload"]):
+                _, vals = decode_wav(bytes(b))
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "l_returnflag": flag,
+                            "sample_idx": np.arange(len(vals), dtype=np.int32),
+                            "val": vals.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                columns=["l_returnflag", "sample_idx", "val"]
+            )
+
+    flags = load(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    payloads = flags.mapInPandas(
+        make_payloads, "l_returnflag string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_samples, "l_returnflag string, sample_idx int, val int"
+    ).orderBy("l_returnflag", "sample_idx")

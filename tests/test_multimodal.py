@@ -100,3 +100,54 @@ def test_rawvid_frame_sampling_real(spark):
     ).ravel()
     want = [c.mean() for c in np.array_split(lum, FEATURE_DIM)]
     assert r0.features == want
+
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+
+    from etl_market_survey_spark.operators.multimodal import (
+        FEATURE_DIM,
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(4)
+    samples = rng.randint(-32768, 32768, size=2048, dtype=np.int16)
+    payload = encode_wav(samples, rate=8000)
+    rate, back = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(back, samples)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"mp3junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_features(df).collect()}
+    x = samples.astype(float)
+    want = [
+        float(np.sqrt((c * c).mean()))
+        for c in np.array_split(x, FEATURE_DIM)
+    ]
+    assert rows[1].features == want and rows[1].sample_rate == 8000
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / (
+        len(x) - 1
+    )
+    assert rows[1].zcr == zc
+    assert rows[2].features is None  # non-WAV -> null, no crash
+
+
+def test_wav_tolerates_extra_chunks():
+    import numpy as np
+
+    from etl_market_survey_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.arange(-5, 5, dtype=np.int16)
+    p = encode_wav(s)
+    # splice a LIST chunk between fmt and data
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = p[:fmt_end] + extra + p[fmt_end:]
+    rate, back = decode_wav(spliced)
+    assert np.array_equal(back, s)
