@@ -217,3 +217,64 @@ def q197_markov_transitions(spark, sf_dir):
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — Kaplan-Meier churn curves per first-event type: duration =
+# active span in days, churn = no activity on the feed's final day
+# (still-active users are right-censored; the synthetic feed is dense,
+# so the horizon is tight). Risk sets from a reverse running
+# sum; the product limit rides exp(Σ round-9 ln terms) with an exact
+# decimal windowed sum — the libm discipline, survival edition.
+# ---------------------------------------------------------------------------
+
+
+def _q208_oracle() -> str:
+    from ..operators.survival import sql_kaplan_meier
+
+    users = f"""
+  SELECT user_id,
+         ARG_MIN(event_type,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                 lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_type,
+         (MAX(epoch_us(ts)) // {_US_DAY}) - (MIN(epoch_us(ts)) // {_US_DAY}) + 1
+           AS dur,
+         CASE WHEN MAX(epoch_us(ts)) // {_US_DAY} <=
+                   (SELECT MAX(epoch_us(ts)) // {_US_DAY} FROM events) - 1
+              THEN 1 ELSE 0 END AS churn
+  FROM events GROUP BY 1
+"""
+    inner = sql_kaplan_meier(f"({users})", "first_type", "dur", "churn")
+    return f"""
+SELECT g AS first_type, dur, n_at_risk, d_events, log_surv, surv
+FROM ({inner})
+ORDER BY first_type, dur
+"""
+
+
+@register("q208_kaplan_meier", _q208_oracle())
+def q208_kaplan_meier(spark, sf_dir):
+    from ..operators.survival import kaplan_meier
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"{_EV_US} div {_US_DAY}")
+    users = ev.groupBy("user_id").agg(
+        F.min_by(
+            "event_type",
+            F.concat(
+                F.lpad(F.expr(_EV_US).cast("string"), 20, "0"),
+                F.lit("|"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ),
+        ).alias("first_type"),
+        (F.max(day) - F.min(day) + 1).alias("dur"),
+        F.max(day).alias("_last"),
+    )
+    horizon = ev.agg(F.max(day).alias("_max_day"))
+    users = users.crossJoin(F.broadcast(horizon)).withColumn(
+        "churn",
+        F.when(F.col("_last") <= F.col("_max_day") - 1, 1).otherwise(0),
+    )
+    return kaplan_meier(users, ["first_type"], "dur", "churn").orderBy(
+        "first_type", "dur"
+    )

@@ -815,3 +815,45 @@ def q206_wav_codec_roundtrip(spark, sf_dir):
     return payloads.mapInPandas(
         decode_samples, "l_returnflag string, sample_idx int, val int"
     ).orderBy("l_returnflag", "sample_idx")
+
+
+# ---------------------------------------------------------------------------
+# q207 — grouped isotonic regression (PAVA), exact-gated: monotone fit
+# of monthly mean quantity per returnflag. The sequential pool-adjacent-
+# violators kernel carries exact integer (sum, count) state; the oracle
+# replays the fit through the Robertson-Wright minimax characterization
+# (max_{i<=k} min_{j>=k} avg(i..j)) from prefix sums — same integer-pair
+# divisions, bit-equal fitted values, no sequential replay needed.
+# ---------------------------------------------------------------------------
+
+
+def _q207_oracle() -> str:
+    from ..operators.isotonic import sql_isotonic_fit
+
+    inner = sql_isotonic_fit(
+        "lineitem",
+        "l_returnflag",
+        "CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)",
+        "l_quantity",
+    )
+    return f"""
+SELECT g AS l_returnflag, x AS month_idx, CAST(n AS BIGINT) AS n, y_mean, y_iso
+FROM ({inner})
+ORDER BY l_returnflag, month_idx
+"""
+
+
+@register("q207_isotonic_fit", _q207_oracle())
+def q207_isotonic_fit(spark, sf_dir):
+    from ..operators.isotonic import isotonic_fit
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("month_idx"),
+    )
+    return isotonic_fit(li, ["l_returnflag"], "month_idx", "l_quantity").orderBy(
+        "l_returnflag", "month_idx"
+    )
