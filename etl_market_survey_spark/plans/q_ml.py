@@ -857,3 +857,82 @@ def q207_isotonic_fit(spark, sf_dir):
     return isotonic_fit(li, ["l_returnflag"], "month_idx", "l_quantity").orderBy(
         "l_returnflag", "month_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# q209-q211 — offline model-eval metrics family (operators/evalmetrics):
+# a deterministic pseudo-classifier over lineitem (score = discount,
+# "probability" = 10x discount clipped, label = R-returnflag) feeds AUC
+# (integer Mann-Whitney ranks), calibration bins + Brier, and the
+# confusion matrix. The metrics are the point; the classifier is a
+# stand-in any scored table can replace.
+# ---------------------------------------------------------------------------
+
+
+def _q209_oracle() -> str:
+    from ..operators.evalmetrics import sql_auc_mann_whitney
+
+    inner = sql_auc_mann_whitney(
+        "lineitem", "l_linestatus", "l_discount",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+    )
+    return f"SELECT g AS l_linestatus, n, n_pos, auc FROM ({inner}) ORDER BY 1"
+
+
+@register("q209_auc", _q209_oracle())
+def q209_auc(spark, sf_dir):
+    from ..operators.evalmetrics import auc_mann_whitney
+
+    li = load(spark, sf_dir, "lineitem")
+    return auc_mann_whitney(
+        li,
+        ["l_linestatus"],
+        "l_discount",
+        (F.col("l_returnflag") == "R").cast("long"),
+    ).orderBy("l_linestatus")
+
+
+def _q210_oracle() -> str:
+    from ..operators.evalmetrics import sql_reliability_bins
+
+    return sql_reliability_bins(
+        "lineitem",
+        "LEAST(l_discount * 10.0, 1.0)",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+    )
+
+
+@register("q210_calibration_bins", _q210_oracle())
+def q210_calibration_bins(spark, sf_dir):
+    from ..operators.evalmetrics import reliability_bins
+
+    li = load(spark, sf_dir, "lineitem")
+    return reliability_bins(
+        li,
+        F.least(F.col("l_discount") * 10.0, F.lit(1.0)),
+        (F.col("l_returnflag") == "R").cast("long"),
+    )
+
+
+def _q211_oracle() -> str:
+    from ..operators.evalmetrics import sql_confusion_at_threshold
+
+    return sql_confusion_at_threshold(
+        "lineitem",
+        "LEAST(l_discount * 10.0, 1.0)",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+        threshold=0.5,
+    )
+
+
+@register("q211_confusion_matrix", _q211_oracle())
+def q211_confusion_matrix(spark, sf_dir):
+    from ..operators.evalmetrics import confusion_at_threshold
+
+    li = load(spark, sf_dir, "lineitem")
+    return confusion_at_threshold(
+        li,
+        F.least(F.col("l_discount") * 10.0, F.lit(1.0)),
+        (F.col("l_returnflag") == "R").cast("long"),
+        threshold=0.5,
+    )

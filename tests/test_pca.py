@@ -75,3 +75,31 @@ def test_temperature_weights_flatten_and_sharpen():
     assert ident == w
     with pytest.raises(ValueError):
         temperature_weights(w, 0.0)
+
+
+def test_auc_matches_sklearn_formula(spark):
+    """AUC on a hand-checkable set incl. ties."""
+    from etl_market_survey_spark.operators.evalmetrics import auc_mann_whitney
+    from pyspark.sql import functions as F
+
+    rows = [  # (score, label): perfect separation -> 1.0
+        (0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1),
+    ]
+    df = spark.createDataFrame([(s, l, "g") for s, l in rows], "s double, y int, g string")
+    out = auc_mann_whitney(df, ["g"], "s", "y").collect()[0]
+    assert out.auc == 1.0 and out.n == 4 and out.n_pos == 2
+
+    # ties: scores all equal -> AUC 0.5 exactly (average ranks)
+    df2 = spark.createDataFrame(
+        [(0.5, l, "g") for l in (0, 1, 0, 1)], "s double, y int, g string"
+    )
+    assert auc_mann_whitney(df2, ["g"], "s", "y").collect()[0].auc == 0.5
+
+    # mixed, verified by hand: scores .1(-) .4(+) .4(-) .9(+)
+    # pairs: (+ > -): (.4+ vs .1)=1, (.4+ vs .4-)=0.5, (.9 vs .1)=1, (.9 vs .4-)=1
+    # AUC = 3.5/4
+    df3 = spark.createDataFrame(
+        [(0.1, 0, "g"), (0.4, 1, "g"), (0.4, 0, "g"), (0.9, 1, "g")],
+        "s double, y int, g string",
+    )
+    assert auc_mann_whitney(df3, ["g"], "s", "y").collect()[0].auc == 3.5 / 4
