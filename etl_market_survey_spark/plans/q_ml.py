@@ -936,3 +936,186 @@ def q211_confusion_matrix(spark, sf_dir):
         (F.col("l_returnflag") == "R").cast("long"),
         threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — reciprocal-rank fusion for hybrid retrieval (Cormack et al.
+# SIGIR'09): a dense ranking (exact cosine from one query embedding)
+# and a lexical ranking (BM25) fuse as 1/(60+rank) sums — the standard
+# RAG-stack merge. Both rankings and the fusion replay in SQL; docs
+# absent from the lexical list contribute the dense term only.
+# ---------------------------------------------------------------------------
+
+_Q212_TERMS = ["hash", "scan", "merge"]
+_Q212_RRF_K = 60
+_Q212_TOP = 20
+
+
+def _q212_oracle() -> str:
+    from ..functions.relevance import sql_bm25_scores
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(
+           list_dot_product(q.qv, e.v)
+           / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(e.v, e.v))),
+           6) DESC, e.vec_id) AS rd
+  FROM e, q WHERE e.vec_id <> 0
+),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rl
+  FROM ({sql_bm25_scores(_Q212_TERMS)})
+),
+fused AS (
+  SELECT d.doc_id,
+         CAST(d.rd AS BIGINT) AS dense_rank,
+         CAST(l.rl AS BIGINT) AS lex_rank,
+         (1.0 / ({_Q212_RRF_K} + d.rd)
+          + COALESCE(1.0 / ({_Q212_RRF_K} + l.rl), 0.0)) AS rrf
+  FROM dense d LEFT JOIN lex l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, dense_rank, lex_rank, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_Q212_TOP}
+"""
+
+
+@register("q212_rrf_fusion", _q212_oracle())
+def q212_rrf_fusion(spark, sf_dir):
+    from ..functions.relevance import bm25_scores
+    from ..operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") == 0)
+    n = emb.count()
+    dense = (
+        cosine_topk(emb, queries, "vec_id", "embedding", k=n)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("rd"))
+    )
+    lex = bm25_scores(docs, _Q212_TERMS).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rl"),
+    )
+    k = F.lit(float(_Q212_RRF_K))
+    fused = dense.join(lex, "doc_id", "left").select(
+        "doc_id",
+        F.col("rd").cast("long").alias("dense_rank"),
+        F.col("rl").cast("long").alias("lex_rank"),
+        (
+            F.lit(1.0) / (k + F.col("rd"))
+            + F.coalesce(F.lit(1.0) / (k + F.col("rl")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_Q212_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q213 — leave-one-out target encoding (the Micci-Barreca mean-encoding
+# variant that avoids self-leakage): segment sums ride exact 1e-6
+# decimal integers broadcast back onto the rows, each row's own value
+# subtracted before ONE double division chain. Per-row feature
+# engineering with zero leakage and zero Python.
+# ---------------------------------------------------------------------------
+
+_Q213_ORACLE = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         SUM(CAST(FLOOR(c_acctbal * 1000000.0) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM customer GROUP BY 1
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       ((CAST(seg.s - CAST(FLOOR(c.c_acctbal * 1000000.0) AS BIGINT) AS DOUBLE)
+         / 1000000.0) / (seg.n - 1)) AS loo_enc
+FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+ORDER BY c.c_custkey
+"""
+
+
+@register("q213_target_encoding", _Q213_ORACLE)
+def q213_target_encoding(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    x_int = F.floor(F.col("c_acctbal") * F.lit(1e6)).cast("long")
+    seg = cust.groupBy(F.col("c_mktsegment").alias("_seg")).agg(
+        F.sum(x_int).alias("_s"), F.count("*").alias("_n")
+    )
+    return (
+        cust.join(F.broadcast(seg), cust["c_mktsegment"] == F.col("_seg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (
+                ((F.col("_s") - x_int).cast("double") / F.lit(1e6))
+                / (F.col("_n") - 1)
+            ).alias("loo_enc"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214 — forecast-quality MASE: per event type over the daily mean
+# value series, the naive-1 forecast's absolute error scaled by the
+# seasonal-naive-7 denominator (Hyndman-Koehler 2006), both reductions
+# exact decimal sums over the SAME aligned day range.
+# ---------------------------------------------------------------------------
+
+
+def _q214_oracle() -> str:
+    day = "epoch_us(ts) // 86400000000"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {sql_davg("value")} AS v
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, v,
+         LAG(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+         LAG(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS v7
+  FROM daily
+),
+aligned AS (SELECT * FROM lagged WHERE v7 IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ({sql_dsum("ABS(v - v1)")} / {sql_dsum("ABS(v - v7)")}) AS mase
+FROM aligned
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q214_mase", _q214_oracle())
+def q214_mase(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(davg("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+    ).filter(F.col("v7").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            (
+                dsum(F.abs(F.col("v") - F.col("v1")))
+                / dsum(F.abs(F.col("v") - F.col("v7")))
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
