@@ -1119,3 +1119,149 @@ def q214_mase(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — two-sample Kolmogorov-Smirnov drift test between the click and
+# view value distributions: per distinct pooled value, integer
+# cumulative counts give both ECDFs exactly; D = max |F_a - F_b| with
+# the smallest attaining value reported. The ECDF grid (distinct pooled
+# values) IS the statistic's size — the window is small-by-contract.
+# ---------------------------------------------------------------------------
+
+_Q215_ORACLE = """
+WITH s AS (
+  SELECT value AS v,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS ca,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS cb
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM s),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+  FROM s
+),
+diffs AS (
+  SELECT v,
+         ABS(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb) AS d
+  FROM cum, tot
+),
+mx AS (SELECT MAX(d) AS d_stat FROM diffs)
+SELECT mx.d_stat,
+       (SELECT MIN(v) FROM diffs WHERE d = mx.d_stat) AS at_value,
+       CAST(tot.na AS BIGINT) AS n_a,
+       CAST(tot.nb AS BIGINT) AS n_b
+FROM mx, tot
+"""
+
+
+@register("q215_ks_test", _Q215_ORACLE)
+def q215_ks_test(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
+    )
+    tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = s.select(
+        "v", F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cca").cast("double") / F.col("na")
+            - F.col("ccb").cast("double") / F.col("nb")
+        ).alias("d"),
+    )
+    mx = diffs.agg(F.max("d").alias("d_stat"))
+    return (
+        diffs.crossJoin(F.broadcast(mx))
+        .filter(F.col("d") == F.col("d_stat"))
+        .agg(
+            F.max("d_stat").alias("d_stat"),
+            F.min("v").alias("at_value"),
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — chi-square independence test + Cramér's V between market
+# segment and nation over customers: integer cell/margin counts,
+# round-9 (o-e)^2/e terms, decimal reduction — the categorical
+# association audit next to MI (q192) and KS (q215).
+# ---------------------------------------------------------------------------
+
+
+def _q216_oracle() -> str:
+    term = (
+        "ROUND((CAST(n_xy AS DOUBLE) - CAST(n_x AS DOUBLE) * n_y / n_tot)"
+        " * (CAST(n_xy AS DOUBLE) - CAST(n_x AS DOUBLE) * n_y / n_tot)"
+        " / (CAST(n_x AS DOUBLE) * n_y / n_tot), 9)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_xy FROM customer GROUP BY 1, 2
+),
+mx AS (SELECT c_mktsegment, COUNT(*) AS n_x FROM customer GROUP BY 1),
+my AS (SELECT c_nationkey, COUNT(*) AS n_y FROM customer GROUP BY 1),
+t AS (
+  SELECT cells.*, mx.n_x, my.n_y,
+         CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS n_tot
+  FROM cells JOIN mx USING (c_mktsegment) JOIN my USING (c_nationkey)
+),
+agg AS (
+  SELECT {sql_dsum(term)} AS chi2,
+         CAST(MAX(n_tot) AS BIGINT) AS n,
+         (SELECT COUNT(*) FROM mx) AS r,
+         (SELECT COUNT(*) FROM my) AS c
+  FROM t
+)
+SELECT chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 9) AS cramers_v,
+       n
+FROM agg
+"""
+
+
+@register("q216_chi_square", _q216_oracle())
+def q216_chi_square(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n_xy")
+    )
+    mx = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_x"))
+    my = cust.groupBy("c_nationkey").agg(F.count("*").alias("n_y"))
+    tot = cust.agg(F.count("*").cast("double").alias("n_tot"))
+    t = (
+        cells.join(F.broadcast(mx), "c_mktsegment")
+        .join(F.broadcast(my), "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("n_x").cast("double") * F.col("n_y") / F.col("n_tot")
+    term = F.round(
+        (F.col("n_xy").cast("double") - e) * (F.col("n_xy").cast("double") - e) / e,
+        9,
+    )
+    r_cnt = mx.count()
+    c_cnt = my.count()
+    agg = t.agg(
+        dsum(term).alias("chi2"), F.max("n_tot").cast("long").alias("n")
+    )
+    return agg.select(
+        "chi2",
+        F.lit((r_cnt - 1) * (c_cnt - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * min(r_cnt - 1, c_cnt - 1))), 9
+        ).alias("cramers_v"),
+        "n",
+    )
