@@ -65,6 +65,11 @@ HEADLINE = [
     "q189_kmeans_lloyd",
     "q194_bfs_hops",
     "q196_retention_cohorts",
+    # r2 continuation: curation/eval/retrieval families
+    "q201_dsir_selection",
+    "q207_isotonic_fit",
+    "q209_auc",
+    "q212_rrf_fusion",
 ]
 
 

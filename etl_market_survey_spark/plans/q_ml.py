@@ -1265,3 +1265,47 @@ def q216_chi_square(spark, sf_dir):
         ).alias("cramers_v"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — BPE first-round pair statistics (operators/bpe): weighted
+# adjacent-symbol pair counts over the frequency-weighted word-type
+# vocabulary (the Sennrich trick — per-merge cost is |vocab|, not
+# corpus tokens), top-20 with the training tiebreak. The merge LOOP is
+# pinned against an independent pure-Python BPE in tests/test_bpe.py;
+# this gate proves the distributed statistics feeding every round.
+# ---------------------------------------------------------------------------
+
+_Q217_ORACLE = """
+WITH vocab AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+')) AS word
+    FROM documents
+  ) GROUP BY 1
+),
+syms AS (
+  SELECT word, n, list_append(string_split(word, ''), '</w>') AS s FROM vocab
+),
+pairs AS (
+  SELECT s[i] AS a, s[i + 1] AS b, SUM(n) AS cnt
+  FROM syms, UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+FROM pairs
+ORDER BY cnt DESC, a, b
+LIMIT 20
+"""
+
+
+@register("q217_bpe_pair_stats", _Q217_ORACLE)
+def q217_bpe_pair_stats(spark, sf_dir):
+    from ..operators.bpe import _init_symbols, _pair_counts, word_vocab
+
+    docs = load(spark, sf_dir, "documents")
+    counts = _pair_counts(_init_symbols(word_vocab(docs)))
+    return (
+        counts.select("a", "b", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(20)
+    )
