@@ -574,13 +574,24 @@ def q184_dominant_suppliers(spark, sf_dir):
     rl = li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"]).select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
-    sp = rl.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("_q"))
-    pt = rl.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        dsum("l_quantity").alias("_tq")
+    # ONE pass over the semi-filtered fact: the (part, supplier) rollup
+    # keeps its EXACT DECIMAL partial, so the per-part total is a rollup
+    # of those integers (bit-equal to re-aggregating the fact — which is
+    # what the oracle does) instead of a second fact scan. The compiled
+    # plan still prints two sp branches, but both end in the IDENTICAL
+    # aggregate exchange, which AQE dedups at runtime (ReusedExchange —
+    # verified on the executed plan): the fact is scanned once.
+    scaled = F.floor(F.col("l_quantity") * F.lit(1e6)).cast("decimal(38,0)")
+    sp = rl.groupBy("l_partkey", "l_suppkey").agg(F.sum(scaled).alias("_qi"))
+    pt = sp.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qi").alias("_tqi")
     )
     dom = (
         sp.join(pt, sp["l_partkey"] == pt["_pk"])
-        .filter(F.col("_q") > F.lit(0.1) * F.col("_tq"))
+        .filter(
+            F.col("_qi").cast("double") / F.lit(1e6)
+            > F.lit(0.1) * (F.col("_tqi").cast("double") / F.lit(1e6))
+        )
         .select("l_suppkey")
     )
     return (
