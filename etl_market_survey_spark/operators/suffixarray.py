@@ -1,0 +1,63 @@
+"""Distributed suffix ranking via prefix doubling (beyond reference —
+the index behind exact substring search / substring dedup).
+
+Manber-Myers prefix doubling as DataFrame rounds: after round k every
+position holds the rank of its length-2^k prefix; a round is one
+self-equi-join on ``pos + 2^k`` (sentinel rank -1 past the end — the
+shorter-suffix-sorts-first convention of string comparison) and one
+dense re-ranking of the (rank, next_rank) pairs. O(log n) rounds, each
+an equi-join + rank — the classic distributed suffix-array construction
+(the same shape Flink/MapReduce SA papers use), with per-round
+``localCheckpoint`` lineage cuts.
+
+Ranking granularity: pairs re-rank per document with a window (documents
+bound the partition — right for a corpus of many docs, which is this
+engine's substring-dedup setting; a single giant string would swap the
+window for ``prefix.distributed_rank`` + a dense-ify pass, same
+algebra). Ranks are exact integers; suffixes of one string are pairwise
+distinct, so the final ranks are a permutation — q218 gates them
+against a brute-force suffix sort in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def suffix_ranks(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, sa_rank): 1-based lexicographic rank of the suffix
+    starting at 0-based ``pos`` within its document."""
+    chars = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "(?!^)")).alias("pos", "_c"),
+    ).filter(F.col("_c") != "")  # the zero-width split emits one trailing ""
+    w = Window.partitionBy(id_col).orderBy("_r", "_rn")
+    cur = chars.select(
+        id_col, "pos", F.ascii("_c").cast("long").alias("_r")
+    ).localCheckpoint(eager=True)
+    lens = docs.select(F.length(text_col).alias("_l")).agg(F.max("_l")).first()[0]
+    k = 1
+    while k < (lens or 1):
+        nxt = cur.select(
+            F.col(id_col).alias("_id2"),
+            (F.col("pos") - k).alias("_p2"),
+            F.col("_r").alias("_rn"),
+        )
+        paired = cur.join(
+            nxt,
+            (F.col(id_col) == F.col("_id2")) & (F.col("pos") == F.col("_p2")),
+            "left",
+        ).select(
+            id_col,
+            "pos",
+            "_r",
+            F.coalesce("_rn", F.lit(-1)).alias("_rn"),
+        )
+        cur = paired.withColumn("_nr", F.dense_rank().over(w)).select(
+            id_col, "pos", F.col("_nr").cast("long").alias("_r")
+        ).localCheckpoint(eager=True)
+        k *= 2
+    return cur.select(id_col, "pos", F.col("_r").alias("sa_rank"))

@@ -1309,3 +1309,64 @@ def q217_bpe_pair_stats(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "a", "b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — distributed suffix ranking (Manber-Myers prefix doubling as
+# O(log n) join+rank rounds, operators/suffixarray) over the first 20
+# documents, gated against a brute-force suffix sort (the oracle
+# compares whole suffix strings; suffixes are pairwise distinct, so the
+# ranks are a permutation and must match exactly).
+# ---------------------------------------------------------------------------
+
+_Q218_NDOCS = 20
+
+_Q218_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_Q218_NDOCS}),
+px AS (
+  SELECT doc_id, CAST(s.i AS INT) AS pos,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY substr(text, s.i + 1)
+         ) AS sa_rank
+  FROM d, UNNEST(generate_series(0, len(text) - 1)) AS s(i)
+)
+SELECT doc_id, pos, CAST(sa_rank AS BIGINT) AS sa_rank
+FROM px ORDER BY doc_id, pos
+"""
+
+
+@register("q218_suffix_ranks", _Q218_ORACLE)
+def q218_suffix_ranks(spark, sf_dir):
+    from ..operators.suffixarray import suffix_ranks
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Q218_NDOCS
+    )
+    return suffix_ranks(docs).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# q219 — Merkle dataset fingerprint of the documents table: leaf =
+# md5(doc_id | md5(text)), fanout-16 levels to a single root
+# (operators/merkle). Equal roots <=> byte-identical snapshots; a diff
+# walks one log-fanout path per changed bucket. The oracle unrolls the
+# levels for the gate's sf0.01 leaf count (the ENGINE loop is
+# scale-agnostic; only the oracle bakes its n).
+# ---------------------------------------------------------------------------
+
+_Q219_LEAVES_SF001 = 500
+
+
+def _q219_oracle() -> str:
+    from ..operators.merkle import sql_merkle_tree
+
+    inner = sql_merkle_tree("documents", "doc_id", "text", _Q219_LEAVES_SF001)
+    return f"SELECT * FROM ({inner}) ORDER BY level, idx"
+
+
+@register("q219_merkle_tree", _q219_oracle())
+def q219_merkle_tree(spark, sf_dir):
+    from ..operators.merkle import merkle_tree
+
+    docs = load(spark, sf_dir, "documents")
+    return merkle_tree(docs, "doc_id", F.col("text")).orderBy("level", "idx")

@@ -85,3 +85,14 @@ def test_word_vocab_counts(spark):
     df = spark.createDataFrame([("Low low NEW",)], "text string")
     counts = {r.word: r.n for r in word_vocab(df).collect()}
     assert counts == {"low": 2, "new": 1}
+
+
+def test_suffix_ranks_banana(spark):
+    """Classic 'banana' suffix array, hand-checkable."""
+    from etl_market_survey_spark.operators.suffixarray import suffix_ranks
+
+    df = spark.createDataFrame([(1, "banana")], "doc_id long, text string")
+    got = {r.pos: r.sa_rank for r in suffix_ranks(df).collect()}
+    # suffixes sorted: a(5)<ana(3)<anana(1)<banana(0)<na(4)<nana(2)
+    want_order = [5, 3, 1, 0, 4, 2]
+    assert got == {pos: rank + 1 for rank, pos in enumerate(want_order)}
