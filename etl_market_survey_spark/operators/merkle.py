@@ -107,3 +107,93 @@ lvl{lvl} AS (
         for i in range(lvl + 1)
     ]
     return sql + "\n" + "\nUNION ALL ".join(selects)
+
+
+def leaf_index(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, idx): dense 0-based leaf positions in id order — the mapping
+    a deployment persists next to the tree so updates never re-rank."""
+    from .prefix import distributed_rank
+
+    base = df.select(F.col(id_col).alias("_id"))
+    return distributed_rank(base, "_id", [], out="_rk").select(
+        F.col("_id").alias(id_col), (F.col("_rk") - 1).cast("long").alias("idx")
+    )
+
+
+def merkle_update(
+    old_tree: DataFrame,
+    leaf_idx: DataFrame,
+    changed: DataFrame,
+    id_col: str,
+    payload: Column,
+    fanout: int = 16,
+) -> DataFrame:
+    """Incrementally maintained tree after re-hashing the ``changed``
+    rows: only the log_fanout(n) ancestor path of each touched leaf is
+    recomputed — every untouched node rides through from ``old_tree``
+    verbatim. Exactly equal to a full rebuild over the updated table
+    (q220 gates this against the full SQL rebuild).
+
+    Per round: the touched parent set joins back to the CURRENT level
+    (old nodes + replacements) to gather all children of affected
+    buckets — a join proportional to |touched| * fanout, never n.
+    """
+    new_leaf = changed.select(
+        F.col(id_col).alias("_cid"),
+        F.md5(
+            F.concat_ws("|", F.col(id_col).cast("string"), F.md5(payload))
+        ).alias("hash"),
+    ).join(
+        leaf_idx, F.col("_cid") == F.col(id_col)
+    ).select("idx", "hash")
+
+    max_level = old_tree.agg(F.max("level")).first()[0]
+    out = [
+        old_tree.filter(F.col("level") == 0)
+        .join(new_leaf.select(F.col("idx").alias("_ri")), F.col("idx") == F.col("_ri"), "left_anti")
+        .select("idx", "hash")
+        .unionByName(new_leaf)
+        .withColumn("level", F.lit(0))
+    ]
+    touched = new_leaf.select(F.expr(f"idx div {fanout}").alias("_p")).distinct()
+    for lvl in range(1, (max_level or 0) + 1):
+        cur = out[lvl - 1]
+        kids = cur.join(
+            touched, F.expr(f"idx div {fanout}") == F.col("_p"), "left_semi"
+        )
+        replaced = (
+            kids.groupBy(F.expr(f"idx div {fanout}").alias("idx"))
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("idx", "hash"))),
+                            lambda x: x["hash"],
+                        ),
+                        "",
+                    )
+                ).alias("hash")
+            )
+            .localCheckpoint(eager=True)
+        )
+        lvl_out = (
+            old_tree.filter(F.col("level") == lvl)
+            .join(
+                replaced.select(F.col("idx").alias("_ri")),
+                F.col("idx") == F.col("_ri"),
+                "left_anti",
+            )
+            .select("idx", "hash")
+            .unionByName(replaced)
+            .withColumn("level", F.lit(lvl))
+        )
+        out.append(lvl_out)
+        touched = replaced.select(F.expr(f"idx div {fanout}").alias("_p")).distinct()
+    res = out[0]
+    for lv in out[1:]:
+        res = res.unionByName(lv)
+    return res.select(
+        F.col("level").cast("int").alias("level"),
+        F.col("idx").cast("long").alias("idx"),
+        "hash",
+    )

@@ -1370,3 +1370,37 @@ def q219_merkle_tree(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return merkle_tree(docs, "doc_id", F.col("text")).orderBy("level", "idx")
+
+
+# ---------------------------------------------------------------------------
+# q220 — INCREMENTAL Merkle maintenance: one document's text is
+# "edited" (reversed), and only its log-fanout ancestor path is
+# recomputed from the q219 tree — yet the result must hash-match the
+# oracle's FULL rebuild over the edited table. The fingerprint twin of
+# the IVM zero-recompute story.
+# ---------------------------------------------------------------------------
+
+_Q220_EDIT_ID = 123
+
+
+def _q220_oracle() -> str:
+    from ..operators.merkle import sql_merkle_tree
+
+    payload = (
+        f"CASE WHEN doc_id = {_Q220_EDIT_ID} THEN reverse(text) ELSE text END"
+    )
+    inner = sql_merkle_tree("documents", "doc_id", payload, _Q219_LEAVES_SF001)
+    return f"SELECT * FROM ({inner}) ORDER BY level, idx"
+
+
+@register("q220_merkle_incremental", _q220_oracle())
+def q220_merkle_incremental(spark, sf_dir):
+    from ..operators.merkle import leaf_index, merkle_tree, merkle_update
+
+    docs = load(spark, sf_dir, "documents")
+    old = merkle_tree(docs, "doc_id", F.col("text"))
+    idx = leaf_index(docs, "doc_id")
+    changed = docs.filter(F.col("doc_id") == _Q220_EDIT_ID)
+    return merkle_update(
+        old, idx, changed, "doc_id", F.reverse(F.col("text"))
+    ).orderBy("level", "idx")
