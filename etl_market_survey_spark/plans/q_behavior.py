@@ -278,3 +278,100 @@ def q208_kaplan_meier(spark, sf_dir):
     return kaplan_meier(users, ["first_type"], "dur", "churn").orderBy(
         "first_type", "dur"
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — A/B experiment readout: users deterministically hash-split
+# into two arms (the md5 discipline — stable on any layout/engine),
+# per-arm click-through rates, and the pooled two-proportion z-score
+# (round-9 gated sqrt). The experimentation staple, end to end exact.
+# ---------------------------------------------------------------------------
+
+_Q221_ORACLE = """
+WITH assign AS (
+  SELECT user_id,
+         CASE WHEN md5(concat_ws(chr(31), '17', CAST(user_id AS VARCHAR)))
+                   < '80000000000000000000000000000000'
+              THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+m AS (
+  SELECT a.arm,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks
+  FROM events e JOIN assign a ON e.user_id = a.user_id
+  GROUP BY 1
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN n_events END) AS na,
+    MAX(CASE WHEN arm = 'A' THEN n_clicks END) AS ca,
+    MAX(CASE WHEN arm = 'B' THEN n_events END) AS nb,
+    MAX(CASE WHEN arm = 'B' THEN n_clicks END) AS cb
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS clicks_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS clicks_b,
+       (CAST(ca AS DOUBLE) / na) AS rate_a,
+       (CAST(cb AS DOUBLE) / nb) AS rate_b,
+       ROUND(
+         (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+         / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 / na + 1.0 / nb)),
+         9) AS z_score
+FROM w
+"""
+
+
+@register("q221_ab_test", _Q221_ORACLE)
+def q221_ab_test(spark, sf_dir):
+    from ..operators.sampling import _hash_rank
+
+    ev = load(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "arm",
+            F.when(
+                _hash_rank(["user_id"], 17)
+                < "80000000000000000000000000000000",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    m = (
+        ev.join(F.broadcast(assign), "user_id")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "n_clicks"
+            ),
+        )
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_events"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_clicks"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_events"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_clicks"))).alias("cb"),
+    )
+    na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
+    nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
+    pooled = (ca + cb) / (na + nb)
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("clicks_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("clicks_b"),
+        (ca / na).alias("rate_a"),
+        (cb / nb).alias("rate_b"),
+        F.round(
+            (ca / na - cb / nb)
+            / F.sqrt(
+                pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            ),
+            9,
+        ).alias("z_score"),
+    )
