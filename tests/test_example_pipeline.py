@@ -43,3 +43,11 @@ def test_corpus_curation_pipeline(spark):
     assert out["docs"] >= out["exact"] >= out["clean"] >= out["quality"] > 0
     assert out["chunks"] >= out["survivors"]
     assert out["bins"] > 0
+
+
+def test_retrieval_pipeline(spark):
+    from examples.retrieval_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    assert out["corpus"] > 0 and len(out["fused"]) == 10
+    assert out["recall"] >= 0.5
