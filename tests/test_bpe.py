@@ -96,3 +96,45 @@ def test_suffix_ranks_banana(spark):
     # suffixes sorted: a(5)<ana(3)<anana(1)<banana(0)<na(4)<nana(2)
     want_order = [5, 3, 1, 0, 4, 2]
     assert got == {pos: rank + 1 for rank, pos in enumerate(want_order)}
+
+
+def test_merkle_update_touches_only_log_path(spark):
+    from etl_market_survey_spark.operators.merkle import (
+        leaf_index,
+        merkle_tree,
+        merkle_update,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(40)], "id long, body string"
+    )
+    old = merkle_tree(df, "id", F.col("body"), fanout=4).collect()
+    idx = leaf_index(df, "id")
+    changed = df.filter(F.col("id") == 7)
+    upd = merkle_update(
+        spark.createDataFrame(old),
+        idx,
+        changed,
+        "id",
+        F.concat(F.col("body"), F.lit("-v2")),
+        fanout=4,
+    ).collect()
+    # full rebuild over the edited table must agree
+    df2 = df.withColumn(
+        "body",
+        F.when(F.col("id") == 7, F.concat("body", F.lit("-v2"))).otherwise(
+            F.col("body")
+        ),
+    )
+    want = merkle_tree(df2, "id", F.col("body"), fanout=4).collect()
+    as_map = lambda rows: {(r.level, r.idx): r.hash for r in rows}
+    assert as_map(upd) == as_map(want)
+    # exactly one node differs from the OLD tree per level (the path)
+    old_map = as_map(old)
+    diff_per_level = {}
+    for (lvl, i), h in as_map(upd).items():
+        if old_map[(lvl, i)] != h:
+            diff_per_level[lvl] = diff_per_level.get(lvl, 0) + 1
+    # 40 leaves, fanout 4 -> levels 0..3, one changed node at each
+    assert diff_per_level == {0: 1, 1: 1, 2: 1, 3: 1}, diff_per_level
