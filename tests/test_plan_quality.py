@@ -112,6 +112,12 @@ def test_q24_exact_topk_never_shuffles_corpus(static_plan):
         "q191_grouped_ols",
         "q195_cumulative_users",
         "q197_markov_transitions",
+        "q201_dsir_selection",
+        "q212_rrf_fusion",
+        "q213_target_encoding",
+        "q215_ks_test",
+        "q217_bpe_pair_stats",
+        "q221_ab_test",
     ],
 )
 def test_r2_no_cartesian_and_codegen(static_plan, name):
