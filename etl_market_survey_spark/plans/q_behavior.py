@@ -375,3 +375,64 @@ def q221_ab_test(spark, sf_dir):
             9,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — frequent behavior sequences (PrefixSpan's contiguous-trigram
+# core): per-user event-type trigrams from two lag passes, counted by
+# occurrences AND by distinct supporting users, top-25 by support. The
+# sequence-mining staple over any event log.
+# ---------------------------------------------------------------------------
+
+_Q222_TOP = 25
+
+_Q222_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS prev1,
+         LAG(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+tri AS (
+  SELECT user_id, prev2 AS e1, prev1 AS e2, event_type AS e3
+  FROM ordered WHERE prev2 IS NOT NULL
+),
+counts AS (
+  SELECT e1, e2, e3,
+         COUNT(*) AS n_occur,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM tri GROUP BY 1, 2, 3
+)
+SELECT e1, e2, e3, CAST(n_occur AS BIGINT) AS n_occur,
+       CAST(n_users AS BIGINT) AS n_users
+FROM counts
+ORDER BY n_users DESC, n_occur DESC, e1, e2, e3
+LIMIT {_Q222_TOP}
+"""
+
+
+@register("q222_frequent_sequences", _Q222_ORACLE)
+def q222_frequent_sequences(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr(_EV_US), "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .filter(F.col("e1").isNotNull())
+    )
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count("*").cast("long").alias("n_occur"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(
+            F.col("n_users").desc(), F.col("n_occur").desc(), "e1", "e2", "e3"
+        )
+        .limit(_Q222_TOP)
+    )
