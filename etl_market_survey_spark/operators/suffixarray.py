@@ -39,6 +39,7 @@ def suffix_ranks(
         id_col, "pos", F.ascii("_c").cast("long").alias("_r")
     ).localCheckpoint(eager=True)
     lens = docs.select(F.length(text_col).alias("_l")).agg(F.max("_l")).first()[0]
+    n_total = cur.count()
     k = 1
     while k < (lens or 1):
         nxt = cur.select(
@@ -60,4 +61,11 @@ def suffix_ranks(
             id_col, "pos", F.col("_nr").cast("long").alias("_r")
         ).localCheckpoint(eager=True)
         k *= 2
+        # early termination: once the (dense) ranks are a permutation,
+        # every suffix is separated and further doubling is a no-op.
+        # Real text separates after a few rounds; the worst case stays
+        # ceil(log2(maxlen)). (Never fires before the first dense
+        # re-rank — the initial ranks are raw character codes.)
+        if cur.select(id_col, "_r").distinct().count() == n_total:
+            break
     return cur.select(id_col, "pos", F.col("_r").alias("sa_rank"))

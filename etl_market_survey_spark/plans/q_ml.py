@@ -1404,3 +1404,108 @@ def q220_merkle_incremental(spark, sf_dir):
     return merkle_update(
         old, idx, changed, "doc_id", F.reverse(F.col("text"))
     ).orderBy("level", "idx")
+
+
+# ---------------------------------------------------------------------------
+# q223 — longest repeated substring per document: the classic suffix-
+# array application (max LCP over lexicographically adjacent suffixes).
+# Suffix ranks come from the q218 prefix-doubling operator; adjacent
+# pairs self-join on rank r -> r+1; the per-pair LCP runs in one
+# Arrow-batched kernel per document. The oracle brute-forces adjacent
+# suffixes with a correlated MAX-prefix-equality subquery.
+# ---------------------------------------------------------------------------
+
+_Q223_NDOCS = 20
+
+_Q223_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_Q223_NDOCS}),
+ranked AS (
+  SELECT doc_id, text, CAST(s.i AS INT) AS pos,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY substr(text, s.i + 1)
+         ) AS rk
+  FROM d, UNNEST(generate_series(0, len(text) - 1)) AS s(i)
+),
+pairs AS (
+  SELECT a.doc_id, a.text, a.pos AS pa, b.pos AS pb
+  FROM ranked a JOIN ranked b
+    ON a.doc_id = b.doc_id AND b.rk = a.rk + 1
+),
+lcps AS (
+  SELECT doc_id, pa,
+         COALESCE((
+           SELECT MAX(s.l)
+           FROM generate_series(1, 600) AS s(l)
+           WHERE s.l <= len(text) - pa AND s.l <= len(text) - pb
+             AND substr(text, pa + 1, s.l) = substr(text, pb + 1, s.l)
+         ), 0) AS lcp,
+         text
+  FROM pairs
+),
+best AS (
+  SELECT doc_id, pa, lcp, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY lcp DESC, pa
+         ) AS rn
+  FROM lcps
+)
+SELECT doc_id, CAST(lcp AS INT) AS lrs_len,
+       substr(text, pa + 1, lcp) AS lrs, CAST(pa AS INT) AS at_pos
+FROM best WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("q223_longest_repeated_substring", _Q223_ORACLE)
+def q223_longest_repeated_substring(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.suffixarray import suffix_ranks
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Q223_NDOCS
+    )
+    ranks = suffix_ranks(docs)
+    nxt = ranks.select(
+        F.col("doc_id").alias("_d2"),
+        (F.col("sa_rank") - 1).alias("_rk2"),
+        F.col("pos").alias("pb"),
+    )
+    pairs = ranks.join(
+        nxt,
+        (F.col("doc_id") == F.col("_d2")) & (F.col("sa_rank") == F.col("_rk2")),
+    ).select("doc_id", F.col("pos").alias("pa"), "pb")
+    withtext = pairs.join(docs.select("doc_id", "text"), "doc_id")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        best = None  # (lcp, pa, text)
+        for _, row in pdf.iterrows():
+            t, pa, pb = row["text"], int(row["pa"]), int(row["pb"])
+            n = len(t)
+            l = 0
+            while pa + l < n and pb + l < n and t[pa + l] == t[pb + l]:
+                l += 1
+            cand = (-l, pa)
+            if best is None or cand < best[0]:
+                best = (cand, l, pa, t)
+        if best is None:
+            return pd.DataFrame(
+                columns=["doc_id", "lrs_len", "lrs", "at_pos"]
+            )
+        _, l, pa, t = best
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "lrs_len": [l],
+                "lrs": [t[pa : pa + l]],
+                "at_pos": [pa],
+            }
+        )
+
+    return (
+        withtext.groupBy("doc_id")
+        .applyInPandas(kernel, "doc_id long, lrs_len int, lrs string, at_pos int")
+        .orderBy("doc_id")
+    )
