@@ -62,12 +62,21 @@ def q194_bfs_hops(spark, sf_dir):
     from ..operators.bfs import bfs_hops
 
     li = load(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("dst"))
+    # co-order edges from per-order part SETS (one groupBy shuffle +
+    # in-array pair expansion) instead of a fact self-join — ~2x faster,
+    # same edge set. Safe because order width is bounded (<= ~13 parts);
+    # a pathological thousand-line key would want the join form back.
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("_ps"))
     edges = (
-        a.join(b, "_ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, x -> transform("
+                    "filter(_ps, y -> y != x), y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.src", "_p.dst")
         .distinct()
     )
     return bfs_hops(edges, _Q194_SOURCE, _Q194_HOPS).orderBy("node")
