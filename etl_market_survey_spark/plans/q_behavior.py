@@ -445,3 +445,97 @@ def q222_frequent_sequences(spark, sf_dir):
         )
         .limit(_Q222_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — mixed-language document audit: sentence segments re-run the
+# stopword language ID individually; a document whose segments disagree
+# (n_langs > 1, low dominant share) is flagged for curation review —
+# the code-switch / boilerplate-contamination check multilingual
+# corpora need. Integer counts + one division; the per-segment lang
+# CASE replays the q22 heuristic parameterized on the segment.
+# ---------------------------------------------------------------------------
+
+
+def _q224_lang_case(expr: str) -> str:
+    from ..functions.text import STOPWORDS, sql_stopword_hits
+
+    hits = {lang: sql_stopword_hits(expr, lang) for lang in sorted(STOPWORDS)}
+    mx = "GREATEST(" + ", ".join(hits.values()) + ")"
+    return (
+        f"CASE WHEN {mx} = 0 THEN 'und' "
+        + " ".join(f"WHEN {hits[lang]} = {mx} THEN '{lang}'" for lang in sorted(STOPWORDS))
+        + " END"
+    )
+
+
+def _q224_oracle() -> str:
+    case = _q224_lang_case("seg")
+    return f"""
+WITH segs AS (
+  SELECT doc_id, seg
+  FROM (
+    SELECT doc_id, unnest(string_split(text, '. ')) AS seg FROM documents
+  ) WHERE seg <> ''
+),
+langs AS (SELECT doc_id, {case} AS lang FROM segs),
+cnts AS (
+  SELECT doc_id, lang, COUNT(*) AS n FROM langs WHERE lang <> 'und' GROUP BY 1, 2
+),
+dom AS (
+  SELECT doc_id, lang AS dom_lang, n AS dom_n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn,
+         SUM(n) OVER (PARTITION BY doc_id) AS n_classified,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_langs
+  FROM cnts
+),
+base AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n_segs AS BIGINT) AS n_segs,
+       CAST(COALESCE(d.n_langs, 0) AS BIGINT) AS n_langs,
+       d.dom_lang,
+       (CAST(d.dom_n AS DOUBLE) / d.n_classified) AS dom_share
+FROM base b LEFT JOIN (SELECT * FROM dom WHERE rn = 1) d ON b.doc_id = d.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register("q224_mixed_language", _q224_oracle())
+def q224_mixed_language(spark, sf_dir):
+    from ..functions.text import detect_language
+
+    docs = load(spark, sf_dir, "documents")
+    segs = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "\\. ")).alias("seg")
+        )
+        .filter(F.col("seg") != "")
+    )
+    langs = segs.select("doc_id", detect_language("seg").alias("lang"))
+    cnts = (
+        langs.filter(F.col("lang") != "und")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    dom = (
+        cnts.withColumn(
+            "rn",
+            F.row_number().over(wdoc.orderBy(F.col("n").desc(), "lang")),
+        )
+        .withColumn("n_classified", F.sum("n").over(wdoc))
+        .withColumn("n_langs", F.count("*").over(wdoc))
+        .filter(F.col("rn") == 1)
+    )
+    base = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    return (
+        base.join(dom, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_segs").cast("long").alias("n_segs"),
+            F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+            F.col("lang").alias("dom_lang"),
+            (F.col("n").cast("double") / F.col("n_classified")).alias("dom_share"),
+        )
+        .orderBy("doc_id")
+    )
