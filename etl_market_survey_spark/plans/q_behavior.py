@@ -539,3 +539,51 @@ def q224_mixed_language(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — multi-class confusion matrix: the stopword language classifier
+# scored against the table's labeled lang column, with per-true-class
+# recall — the labeled-eval counterpart of the binary confusion q211.
+# ---------------------------------------------------------------------------
+
+
+def _q225_oracle() -> str:
+    case = _q224_lang_case("text")
+    return f"""
+WITH pred AS (SELECT lang AS true_lang, {case} AS pred_lang FROM documents),
+cells AS (
+  SELECT true_lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT true_lang, SUM(n) AS n_true FROM cells GROUP BY 1)
+SELECT c.true_lang, c.pred_lang,
+       CAST(c.n AS BIGINT) AS n,
+       (CAST(c.n AS DOUBLE) / t.n_true) AS frac_of_true
+FROM cells c JOIN tot t ON c.true_lang = t.true_lang
+ORDER BY 1, 2
+"""
+
+
+@register("q225_langid_confusion", _q225_oracle())
+def q225_langid_confusion(spark, sf_dir):
+    from ..functions.text import detect_language
+
+    docs = load(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        detect_language("text").alias("pred_lang"),
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+    tot = cells.groupBy(F.col("true_lang").alias("_tl")).agg(
+        F.sum("n").alias("n_true")
+    )
+    return (
+        cells.join(F.broadcast(tot), cells["true_lang"] == F.col("_tl"))
+        .select(
+            "true_lang",
+            "pred_lang",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("n_true")).alias("frac_of_true"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
