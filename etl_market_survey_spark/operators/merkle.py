@@ -197,3 +197,24 @@ def merkle_update(
         F.col("idx").cast("long").alias("idx"),
         "hash",
     )
+
+
+def merkle_diff(tree_a: DataFrame, tree_b: DataFrame) -> DataFrame:
+    """(level, idx, hash_a, hash_b) for every node whose hash differs
+    between two snapshots (NULL side = node absent, i.e. the dataset
+    grew/shrank past a bucket boundary). Level-0 rows localize the
+    changed leaf buckets WITHOUT comparing any data rows — the
+    snapshot-diff read path of the fingerprint: O(changed · log n)
+    nodes examined in a top-down walk, or one full-outer join over the
+    (tiny) trees as here."""
+    a = tree_a.select("level", "idx", F.col("hash").alias("hash_a"))
+    b = tree_b.select("level", "idx", F.col("hash").alias("hash_b"))
+    return (
+        a.join(b, ["level", "idx"], "full_outer")
+        .filter(
+            F.col("hash_a").isNull()
+            | F.col("hash_b").isNull()
+            | (F.col("hash_a") != F.col("hash_b"))
+        )
+        .select("level", "idx", "hash_a", "hash_b")
+    )

@@ -138,3 +138,23 @@ def test_merkle_update_touches_only_log_path(spark):
             diff_per_level[lvl] = diff_per_level.get(lvl, 0) + 1
     # 40 leaves, fanout 4 -> levels 0..3, one changed node at each
     assert diff_per_level == {0: 1, 1: 1, 2: 1, 3: 1}, diff_per_level
+
+
+def test_merkle_diff_localizes_change(spark):
+    from etl_market_survey_spark.operators.merkle import merkle_diff, merkle_tree
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"v-{i}") for i in range(32)], "id long, body string"
+    )
+    df2 = df.withColumn(
+        "body", F.when(F.col("id") == 5, "CHANGED").otherwise(F.col("body"))
+    )
+    ta = merkle_tree(df, "id", F.col("body"), fanout=4)
+    tb = merkle_tree(df2, "id", F.col("body"), fanout=4)
+    d = merkle_diff(ta, tb).collect()
+    # exactly the ancestor path of leaf 5: (0,5) (1,1) (2,0) and root
+    assert {(r.level, r.idx) for r in d} == {(0, 5), (1, 1), (2, 0), (3, 0)}
+    assert all(r.hash_a is not None and r.hash_b is not None for r in d)
+    # identical snapshots -> empty diff
+    assert merkle_diff(ta, ta).count() == 0
