@@ -51,3 +51,10 @@ def test_retrieval_pipeline(spark):
     out = main(spark, "/root/testdata/sf0.001")
     assert out["corpus"] > 0 and len(out["fused"]) == 10
     assert out["recall"] >= 0.5
+
+
+def test_streaming_pipeline(spark):
+    from examples.streaming_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    assert out["windows"] > 0 and out["view_groups"] == 5
