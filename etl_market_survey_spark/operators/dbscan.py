@@ -1,0 +1,146 @@
+"""DBSCAN* density clustering over embeddings (beyond reference).
+
+The deterministic core-only DBSCAN variant (Campello et al.'s DBSCAN*,
+the HDBSCAN building block): core points are those with >= min_pts
+neighbors within eps (self included); clusters are the connected
+components of the eps-graph restricted to core points; non-core points
+are noise. Unlike classic DBSCAN there is NO border-point ambiguity —
+the result is a pure function of the data, which is what lets q226
+hash-gate a density clustering bit-for-bit.
+
+Exactness: pairwise squared distances accumulate as int64
+``floor((x-y)^2 * 1e12)`` terms (the kmeans/q189 discipline) and the
+eps threshold is an integer compare — no float summation order
+anywhere; components come from the pointer-jumping operator (min-id
+labels), replayed by a recursive-CTE reachability oracle.
+
+Scale: the all-pairs candidate step here is the EXACT baseline
+(broadcast nested-loop — gate-scale by contract); at corpus scale
+candidate generation goes through the LSH / IVF blocking of
+``operators/similarity`` (same downstream core/component algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DIST_SCALE = 1e12
+
+
+def eps_pairs(
+    df: DataFrame, id_col: str, vec_col: str, eps2_scaled: int
+) -> DataFrame:
+    """(id_a, id_b) pairs (a < b) with exact scaled squared distance
+    <= ``eps2_scaled``."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    terms = F.zip_with(
+        F.col("_va"),
+        F.col("_vb"),
+        lambda x, y: F.floor((x - y) * (x - y) * F.lit(_DIST_SCALE)).cast("long"),
+    )
+    d2 = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("_d2", d2)
+        .filter(F.col("_d2") <= F.lit(int(eps2_scaled)))
+        .select("id_a", "id_b")
+    )
+
+
+def dbscan_star(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps2_scaled: int,
+    min_pts: int,
+) -> DataFrame:
+    """(id, is_core, cluster): cluster = min core id reachable through
+    core-core eps edges; NULL for noise (non-core) points."""
+    from .components import connected_components
+
+    near = eps_pairs(df, id_col, vec_col, eps2_scaled).localCheckpoint(
+        eager=True
+    )
+    deg = (
+        near.select(F.col("id_a").alias("_id"))
+        .unionAll(near.select(F.col("id_b").alias("_id")))
+        .groupBy("_id")
+        .agg(F.count("*").alias("_deg"))
+    )
+    core = deg.filter(F.col("_deg") + 1 >= min_pts).select("_id")
+    cedges = near.join(
+        core.select(F.col("_id").alias("id_a")), "id_a", "left_semi"
+    ).join(core.select(F.col("_id").alias("id_b")), "id_b", "left_semi")
+    comps = connected_components(cedges, "id_a", "id_b")
+    labels = core.join(
+        comps, core["_id"] == comps["node"], "left"
+    ).select(
+        F.col("_id"),
+        # isolated core points (no core-core edge) are their own cluster
+        F.coalesce(F.col("comp"), F.col("_id")).alias("cluster"),
+    )
+    return (
+        df.select(id_col)
+        .join(labels, F.col(id_col) == labels["_id"], "left")
+        .select(
+            id_col,
+            F.col("_id").isNotNull().alias("is_core"),
+            "cluster",
+        )
+    )
+
+
+def sql_dbscan_star(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    dims: int,
+    eps2_scaled: int,
+    min_pts: int,
+) -> str:
+    """DuckDB mirror: exact pair distances + recursive reachability."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT {id_expr} AS vid, g.i AS pos,
+         CAST(list_extract({vec_expr}, g.i) AS DOUBLE) AS v
+  FROM {table} CROSS JOIN generate_series(1, {dims}) AS g(i)
+),
+near AS (
+  SELECT a.vid AS ia, b.vid AS ib
+  FROM e a JOIN e b ON a.pos = b.pos AND a.vid < b.vid
+  GROUP BY 1, 2
+  HAVING SUM(CAST(FLOOR((a.v - b.v) * (a.v - b.v) * 1e12) AS BIGINT))
+         <= {int(eps2_scaled)}
+),
+deg AS (
+  SELECT vid, COUNT(*) AS n FROM (
+    SELECT ia AS vid FROM near UNION ALL SELECT ib FROM near
+  ) GROUP BY 1
+),
+core AS (SELECT vid FROM deg WHERE n + 1 >= {min_pts}),
+und AS (
+  SELECT n.ia AS a, n.ib AS b FROM near n
+  JOIN core ca ON n.ia = ca.vid JOIN core cb ON n.ib = cb.vid
+  UNION
+  SELECT n.ib, n.ia FROM near n
+  JOIN core ca ON n.ia = ca.vid JOIN core cb ON n.ib = cb.vid
+),
+reach(src, dst) AS (
+  SELECT vid, vid FROM core
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+labels AS (SELECT src AS vid, MIN(dst) AS cluster FROM reach GROUP BY 1)
+SELECT t.{id_expr},
+       (l.vid IS NOT NULL) AS is_core,
+       l.cluster
+FROM {table} t LEFT JOIN labels l ON t.{id_expr} = l.vid
+"""

@@ -1509,3 +1509,35 @@ def q223_longest_repeated_substring(spark, sf_dir):
         .applyInPandas(kernel, "doc_id long, lrs_len int, lrs string, at_pos int")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — DBSCAN* density clustering over the embeddings (Campello et
+# al.'s core-only DBSCAN — border-ambiguity-free, so a density
+# clustering can be hash-gated): int64-exact eps-graph, degree-based
+# core points, pointer-jumping components vs a recursive reachability
+# oracle. The exact all-pairs step is the gate baseline; LSH/IVF
+# blocking (operators/similarity) is the corpus-scale candidate path.
+# ---------------------------------------------------------------------------
+
+_Q226_EPS2 = int(1.30 * 1e12)
+_Q226_MINPTS = 3
+
+
+def _q226_oracle() -> str:
+    from ..operators.dbscan import sql_dbscan_star
+
+    inner = sql_dbscan_star(
+        "embeddings", "vec_id", "embedding", 64, _Q226_EPS2, _Q226_MINPTS
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY vec_id"
+
+
+@register("q226_dbscan_star", _q226_oracle())
+def q226_dbscan_star(spark, sf_dir):
+    from ..operators.dbscan import dbscan_star
+
+    emb = load(spark, sf_dir, "embeddings")
+    return dbscan_star(
+        emb, "vec_id", "embedding", _Q226_EPS2, _Q226_MINPTS
+    ).orderBy("vec_id")
