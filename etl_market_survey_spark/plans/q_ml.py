@@ -1524,11 +1524,15 @@ _Q226_EPS2 = int(1.30 * 1e12)
 _Q226_MINPTS = 3
 
 
+_Q226_NVEC = 300  # gate slice: bounds the exact all-pairs baseline's cost
+
+
 def _q226_oracle() -> str:
     from ..operators.dbscan import sql_dbscan_star
 
     inner = sql_dbscan_star(
-        "embeddings", "vec_id", "embedding", 64, _Q226_EPS2, _Q226_MINPTS
+        f"(SELECT * FROM embeddings WHERE vec_id < {_Q226_NVEC})",
+        "vec_id", "embedding", 64, _Q226_EPS2, _Q226_MINPTS,
     )
     return f"SELECT * FROM ({inner}) ORDER BY vec_id"
 
@@ -1537,7 +1541,7 @@ def _q226_oracle() -> str:
 def q226_dbscan_star(spark, sf_dir):
     from ..operators.dbscan import dbscan_star
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _Q226_NVEC)
     return dbscan_star(
         emb, "vec_id", "embedding", _Q226_EPS2, _Q226_MINPTS
     ).orderBy("vec_id")
