@@ -1,19 +1,14 @@
 """Behavioral / graph-traversal analytics batch (round 2).
 
-q194_bfs_hops           — bounded-hop BFS over the part co-order graph
-                          (visited-pruned frontier expansion vs an
-                          unpruned recursive-CTE oracle — min-hop
-                          invariance makes them bit-equal).
-q195_cumulative_users   — daily active / new / cumulative-distinct
-                          users (the first-seen-flag decomposition of
-                          COUNT(DISTINCT) OVER, which Spark lacks).
-q196_retention_cohorts  — weekly cohort retention triangle.
-q197_markov_transitions — event-type transition counts/probabilities
-                          from per-user lag pairs.
+q194 BFS min-hops (visited-pruned frontier vs unpruned recursive-CTE
+oracle), q195 cumulative-distinct users, q196 retention cohorts, q197
+Markov transitions, q208 Kaplan-Meier churn curves, q221 A/B z-test,
+q222 frequent trigram sequences, q224 mixed-language audit, q225
+language-classifier confusion.
 
 All exact: integer counts, integer day/week arithmetic via epoch-µs
-``div`` (both engines truncate nonnegative identically), one final
-double division where a rate is emitted.
+``div`` (both engines truncate nonnegative identically), round-9 libm
+terms, and single double divisions where rates are emitted.
 """
 
 from __future__ import annotations

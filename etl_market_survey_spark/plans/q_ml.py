@@ -1,20 +1,26 @@
-"""Distributed-ML / profiling analytics batch (round 2).
+"""Distributed-ML / curation-science / eval batch (round 2).
 
-q189_kmeans_lloyd     — bit-exact distributed Lloyd k-means (2 rounds)
-                        on the embeddings table; DuckDB replays the full
-                        recurrence (int64 scaled distances, davg means).
-q190_profile_columns  — one-pass multi-column profiler (count / nulls /
-                        distinct / min / max), unpivoted to long form.
-q191_grouped_ols      — closed-form per-group OLS (slope / intercept /
-                        r²) from exact decimal moment sums.
-q192_mutual_information — MI between two categoricals from integer cell
-                        counts; round-9-gated log terms, decimal sum.
-q193_lag_autocorr     — per-type lag-1 autocorrelation of event values
-                        (window lag + closed-form Pearson on pairs).
+Families (all exact-gated unless noted elsewhere):
 
-All five are exact-gated: every float reduction routes through
-``functions/stats`` decimal sums, every log term is round-9 gated (the
-q149/q157 libm discipline), and orderings carry integer tiebreaks.
+- ML kernels: Lloyd k-means q189, covariance/PCA q198, grouped OLS
+  q191, isotonic PAVA q207 (see q_behavior for Kaplan-Meier), DBSCAN*
+  density clustering q226.
+- Profiling & statistics: column profiler q190, mutual information
+  q192, lag autocorrelation q193, Zipf fit q204, KS test q215,
+  chi-square q216.
+- Curation science: temperature mix q199, token-budget selection q200,
+  DSIR importance resampling q201, k-anonymity audit q202, hash-ring
+  negatives q203, BPE pair statistics q217.
+- Eval & retrieval: AUC q209, calibration q210, confusion q211, RRF
+  fusion q212, target encoding q213, MASE q214.
+- Indexes & fingerprints: suffix ranks q218, longest repeated
+  substring q223, Merkle tree q219 / incremental q220.
+- Multimodal codec gates: PPM q205, WAV q206.
+
+Shared discipline: float reductions route through ``functions/stats``
+decimal sums, log/exp/sqrt terms are round-9 gated (the q149/q157 libm
+rule), orderings carry integer tiebreaks, and every scalar subquery is
+a broadcast one-row aggregate.
 """
 
 from __future__ import annotations
