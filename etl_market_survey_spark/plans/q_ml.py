@@ -1551,3 +1551,150 @@ def q226_dbscan_star(spark, sf_dir):
     return dbscan_star(
         emb, "vec_id", "embedding", _Q226_EPS2, _Q226_MINPTS
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q227 — segmented (broken-stick) regression: the single-breakpoint OLS
+# changepoint over the monthly revenue trend, solved in closed form —
+# per candidate break, both segments' SSEs come from exact decimal
+# PREFIX moment sums (one window pass), so model selection is plain
+# argmin over columns, no iterative fitting. Complements CUSUM (q158):
+# that detects where a mean shifts; this fits WHICH two-piece linear
+# model the series follows.
+# ---------------------------------------------------------------------------
+
+
+def _q227_oracle() -> str:
+    def seg(n, sx, sy, sxx, sxy, syy):
+        beta = f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
+        sse = (
+            f"(({syy} - {sy} * {sy} / {n})"
+            f" - {beta} * {beta} * ({sxx} - {sx} * {sx} / {n}))"
+        )
+        return beta, sse
+
+    lb, ls = seg("nl", "lsx", "lsy", "lsxx", "lsxy", "lsyy")
+    rb, rs = seg("nr", "rsx", "rsy", "rsxx", "rsxy", "rsyy")
+    return f"""
+WITH m AS (
+  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS x,
+         CAST(FLOOR({sql_dsum("l_extendedprice * (1.0 - l_discount)")} * 1000000.0) AS DECIMAL(38,0)) AS yi
+  FROM lineitem GROUP BY 1
+),
+-- every prefix/total moment is an EXACT decimal sum (windowed float
+-- sums are summation-order-dependent across engines); doubles appear
+-- only at the single unscaling division per moment
+p AS (
+  SELECT x,
+         ROW_NUMBER() OVER (ORDER BY x) AS k,
+         COUNT(*) OVER () AS n_tot,
+         CAST(SUM(x) OVER w AS DOUBLE) AS csx,
+         CAST(SUM(yi) OVER w AS DOUBLE) / 1e6 AS csy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) OVER w AS DOUBLE) AS csxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * yi) OVER w AS DOUBLE) / 1e6 AS csxy,
+         CAST(SUM(yi * yi) OVER w AS DOUBLE) / 1e12 AS csyy,
+         CAST(SUM(x) OVER () AS DOUBLE) AS tsx,
+         CAST(SUM(yi) OVER () AS DOUBLE) / 1e6 AS tsy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) OVER () AS DOUBLE) AS tsxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * yi) OVER () AS DOUBLE) / 1e6 AS tsxy,
+         CAST(SUM(yi * yi) OVER () AS DOUBLE) / 1e12 AS tsyy
+  FROM m
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT x AS break_x,
+         CAST(k AS DOUBLE) AS nl, csx AS lsx, csy AS lsy,
+         csxx AS lsxx, csxy AS lsxy, csyy AS lsyy,
+         CAST(n_tot - k AS DOUBLE) AS nr,
+         tsx - csx AS rsx, tsy - csy AS rsy, tsxx - csxx AS rsxx,
+         tsxy - csxy AS rsxy, tsyy - csyy AS rsyy
+  FROM p WHERE k >= 3 AND n_tot - k >= 3
+),
+scored AS (
+  SELECT break_x,
+         {lb} AS slope_left, {rb} AS slope_right,
+         ({ls} + {rs}) AS sse,
+         ROW_NUMBER() OVER (ORDER BY ({ls} + {rs}), break_x) AS rn
+  FROM cand
+)
+SELECT break_x, slope_left, slope_right, sse FROM scored WHERE rn = 1
+"""
+
+
+@register("q227_segmented_regression", _q227_oracle())
+def q227_segmented_regression(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # every prefix/total moment is an EXACT decimal sum (windowed float
+    # sums are summation-order-dependent across engines); doubles appear
+    # only at the single unscaling division per moment
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("x")
+    ).agg(
+        F.floor(dsum(rev) * F.lit(1e6)).cast("decimal(38,0)").alias("yi")
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x, yi = F.col("x"), F.col("yi")
+    xdec = x.cast("decimal(38,0)")
+    p = m.select(
+        "x",
+        F.row_number().over(Window.orderBy("x")).alias("k"),
+        F.count("*").over(wt).alias("n_tot"),
+        F.sum(x).over(wc).cast("double").alias("csx"),
+        (F.sum(yi).over(wc).cast("double") / F.lit(1e6)).alias("csy"),
+        F.sum((x * x).cast("decimal(38,0)")).over(wc).cast("double").alias("csxx"),
+        (F.sum(xdec * yi).over(wc).cast("double") / F.lit(1e6)).alias("csxy"),
+        (F.sum(yi * yi).over(wc).cast("double") / F.lit(1e12)).alias("csyy"),
+        F.sum(x).over(wt).cast("double").alias("tsx"),
+        (F.sum(yi).over(wt).cast("double") / F.lit(1e6)).alias("tsy"),
+        F.sum((x * x).cast("decimal(38,0)")).over(wt).cast("double").alias("tsxx"),
+        (F.sum(xdec * yi).over(wt).cast("double") / F.lit(1e6)).alias("tsxy"),
+        (F.sum(yi * yi).over(wt).cast("double") / F.lit(1e12)).alias("tsyy"),
+    )
+    cand = p.filter(
+        (F.col("k") >= 3) & (F.col("n_tot") - F.col("k") >= 3)
+    ).select(
+        F.col("x").alias("break_x"),
+        F.col("k").cast("double").alias("nl"),
+        F.col("csx").alias("lsx"),
+        F.col("csy").alias("lsy"),
+        F.col("csxx").alias("lsxx"),
+        F.col("csxy").alias("lsxy"),
+        F.col("csyy").alias("lsyy"),
+        (F.col("n_tot") - F.col("k")).cast("double").alias("nr"),
+        (F.col("tsx") - F.col("csx")).alias("rsx"),
+        (F.col("tsy") - F.col("csy")).alias("rsy"),
+        (F.col("tsxx") - F.col("csxx")).alias("rsxx"),
+        (F.col("tsxy") - F.col("csxy")).alias("rsxy"),
+        (F.col("tsyy") - F.col("csyy")).alias("rsyy"),
+    )
+
+    def seg(n, sx, sy, sxx, sxy, syy):
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        sse = (syy - sy * sy / n) - beta * beta * (sxx - sx * sx / n)
+        return beta, sse
+
+    lb, ls = seg(
+        F.col("nl"), F.col("lsx"), F.col("lsy"),
+        F.col("lsxx"), F.col("lsxy"), F.col("lsyy"),
+    )
+    rb, rs = seg(
+        F.col("nr"), F.col("rsx"), F.col("rsy"),
+        F.col("rsxx"), F.col("rsxy"), F.col("rsyy"),
+    )
+    scored = cand.select(
+        "break_x",
+        lb.alias("slope_left"),
+        rb.alias("slope_right"),
+        (ls + rs).alias("sse"),
+    ).withColumn(
+        "rn", F.row_number().over(Window.orderBy("sse", "break_x"))
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "break_x", "slope_left", "slope_right", "sse"
+    )
