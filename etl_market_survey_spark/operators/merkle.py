@@ -134,6 +134,12 @@ def merkle_update(
     verbatim. Exactly equal to a full rebuild over the updated table
     (q220 gates this against the full SQL rebuild).
 
+    Contract: IN-PLACE updates only (rows present in ``leaf_idx``).
+    Inserts/deletes shift the dense leaf indexing — rebuild via
+    :func:`merkle_tree` (or append-only: new leaves take indices past
+    the old maximum, touching only the rightmost path plus new
+    buckets — not implemented here).
+
     Per round: the touched parent set joins back to the CURRENT level
     (old nodes + replacements) to gather all children of affected
     buckets — a join proportional to |touched| * fanout, never n.
