@@ -582,3 +582,98 @@ def q225_langid_confusion(spark, sf_dir):
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — feature-store point-in-time training join: purchase labels
+# pick up each user's LATEST-AS-OF feature values (daily cumulative
+# clicks, daily mean view value — each published at its day boundary)
+# with no future leakage — the canonical leakage-free training-set
+# assembly, as two chained as-of joins (operators/asof), gated against
+# DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+
+def _q228_oracle() -> str:
+    from ..functions.stats import sql_davg
+
+    return f"""
+WITH labels AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_us(ts) // {_US_DAY} AS day, COUNT(*) AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+f1 AS (
+  SELECT user_id, (day + 1) * {_US_DAY} AS t_us,
+         CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS clicks_cum
+  FROM clicks
+),
+f2 AS (
+  SELECT user_id, (epoch_us(ts) // {_US_DAY} + 1) * {_US_DAY} AS t_us,
+         {sql_davg("value")} AS view_mean
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.t_us,
+       f1.clicks_cum AS clicks_cum_f1,
+       f2.view_mean AS view_mean_f2
+FROM labels l
+ASOF LEFT JOIN f1 ON l.user_id = f1.user_id AND l.t_us >= f1.t_us
+ASOF LEFT JOIN f2 ON l.user_id = f2.user_id AND l.t_us >= f2.t_us
+ORDER BY l.event_id
+"""
+
+
+@register("q228_feature_store_join", _q228_oracle())
+def q228_feature_store_join(spark, sf_dir):
+    from ..functions.stats import davg
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    us = F.expr(_EV_US)
+    day = F.expr(f"{_EV_US} div {_US_DAY}")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("t_us")
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.count("*").alias("c"))
+        .select(
+            "user_id",
+            ((F.col("day") + 1) * _US_DAY).alias("t_us"),
+            F.sum("c").over(wcum).cast("long").alias("clicks_cum"),
+        )
+    )
+    f2 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", day.alias("day"))
+        .agg(davg("value").alias("view_mean"))
+        .select(
+            "user_id", ((F.col("day") + 1) * _US_DAY).alias("t_us"), "view_mean"
+        )
+    )
+    j1 = asof_join(
+        labels, f1, on="t_us", by=["user_id"],
+        value_cols=["clicks_cum"], suffix="_f1x",
+    )
+    j2 = asof_join(
+        j1, f2, on="t_us", by=["user_id"],
+        value_cols=["view_mean"], suffix="_f2x",
+    )
+    return j2.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("clicks_cum_f1x").alias("clicks_cum_f1"),
+        F.col("view_mean_f2x").alias("view_mean_f2"),
+    ).orderBy("event_id")
