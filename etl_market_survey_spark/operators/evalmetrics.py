@@ -60,8 +60,11 @@ def auc_mann_whitney(
         )
     )
     npos, n = F.col("n_pos"), F.col("n")
-    auc = (F.col("_s2") - npos * (npos + 1)).cast("double") / (
-        (2 * npos * (n - npos)).cast("double")
+    den = (2 * npos * (n - npos)).cast("double")
+    # single-class groups have no pair ordering to score: NULL, never a
+    # fabricated number (ANSI division would otherwise throw)
+    auc = F.when(
+        den > 0, (F.col("_s2") - npos * (npos + 1)).cast("double") / den
     )
     return agg.select(
         *group_cols,
@@ -94,8 +97,10 @@ agg AS (
   FROM rk GROUP BY 1
 )
 SELECT g, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
-       (CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
-        / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)) AS auc
+       CASE WHEN 2 * n_pos * (n - n_pos) > 0
+            THEN (CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / CAST(2 * n_pos * (n - n_pos) AS DOUBLE))
+       END AS auc
 FROM agg
 """
 
@@ -156,8 +161,9 @@ def confusion_at_threshold(
         F.sum((1 - pred) * (1 - y)).alias("tn"),
     )
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
-    prec = tp.cast("double") / (tp + fp).cast("double")
-    rec = tp.cast("double") / (tp + fn).cast("double")
+    # empty prediction/label classes yield NULL (ANSI-safe), not 0/0
+    prec = F.when((tp + fp) > 0, tp.cast("double") / (tp + fp).cast("double"))
+    rec = F.when((tp + fn) > 0, tp.cast("double") / (tp + fn).cast("double"))
     return agg.select(
         tp.cast("long").alias("tp"),
         fp.cast("long").alias("fp"),
@@ -165,7 +171,10 @@ def confusion_at_threshold(
         F.col("tn").cast("long").alias("tn"),
         prec.alias("precision"),
         rec.alias("recall"),
-        ((2 * tp).cast("double") / (2 * tp + fp + fn).cast("double")).alias("f1"),
+        F.when(
+            (2 * tp + fp + fn) > 0,
+            (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double"),
+        ).alias("f1"),
     )
 
 
@@ -184,8 +193,8 @@ WITH c AS (
 )
 SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-       (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS precision,
-       (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) AS recall,
-       (CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)) AS f1
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
 FROM c
 """

@@ -103,3 +103,43 @@ def test_auc_matches_sklearn_formula(spark):
         "s double, y int, g string",
     )
     assert auc_mann_whitney(df3, ["g"], "s", "y").collect()[0].auc == 3.5 / 4
+
+
+def test_auc_degenerate_single_class_is_nan(spark):
+    import math
+
+    from etl_market_survey_spark.operators.evalmetrics import auc_mann_whitney
+
+    df = spark.createDataFrame(
+        [(0.1, 1, "g"), (0.9, 1, "g")], "s double, y int, g string"
+    )
+    out = auc_mann_whitney(df, ["g"], "s", "y").collect()[0]
+    # no negatives -> NULL, never a fabricated number
+    assert out.auc is None
+
+
+def test_dbscan_all_noise_when_sparse(spark):
+    from etl_market_survey_spark.operators.dbscan import dbscan_star
+
+    # four far-apart points, min_pts=2 -> nobody is core
+    df = spark.createDataFrame(
+        [(i, [float(i) * 100.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    out = dbscan_star(df, "vec_id", "embedding", eps2_scaled=int(1e12), min_pts=2).collect()
+    assert all((not r.is_core) and r.cluster is None for r in out)
+
+
+def test_dbscan_two_blobs_two_clusters(spark):
+    from etl_market_survey_spark.operators.dbscan import dbscan_star
+
+    pts = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [50.0 + 0.01 * i, 0.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = dbscan_star(df, "vec_id", "embedding", eps2_scaled=int(1e12), min_pts=3).collect()
+    clusters = {r.vec_id: r.cluster for r in out}
+    assert all(r.is_core for r in out)
+    assert len({clusters[i] for i in range(5)}) == 1
+    assert len({clusters[10 + i] for i in range(5)}) == 1
+    assert clusters[0] != clusters[10]
