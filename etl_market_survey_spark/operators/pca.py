@@ -40,8 +40,11 @@ def covariance_matrix(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
     cells = []
     for i in range(dims):
         for j in range(i, dims):
+            # n <= 1 has no sample covariance: NULL (ANSI-safe), same on
+            # both engines; identical values for n > 1
             cells.append(
-                f"{i}, {j}, (`_s_{i}_{j}` - `_s_{i}` * `_s_{j}` / `_n`) / (`_n` - 1.0)"
+                f"{i}, {j}, CASE WHEN `_n` > 1.0 THEN "
+                f"(`_s_{i}_{j}` - `_s_{i}` * `_s_{j}` / `_n`) / (`_n` - 1.0) END"
             )
     n_cells = dims * (dims + 1) // 2
     return wide.select(
@@ -68,7 +71,8 @@ def sql_covariance_matrix(table: str, vec_expr: str, dims: int) -> str:
             sums.append(f"{sql_dsum(f'{e(i)} * {e(j)}')} AS s_{i}_{j}")
     branches = [
         f"SELECT CAST({i} AS INT) AS i, CAST({j} AS INT) AS j,"
-        f" (s_{i}_{j} - s_{i} * s_{j} / n) / (n - 1.0) AS cov FROM m"
+        f" CASE WHEN n > 1.0 THEN (s_{i}_{j} - s_{i} * s_{j} / n) / (n - 1.0) END"
+        f" AS cov FROM m"
         for i in range(dims)
         for j in range(i, dims)
     ]
