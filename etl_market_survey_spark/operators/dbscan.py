@@ -55,20 +55,20 @@ def eps_pairs(
     )
 
 
-def dbscan_star(
+def dbscan_star_from_pairs(
     df: DataFrame,
     id_col: str,
-    vec_col: str,
-    eps2_scaled: int,
+    near: DataFrame,
     min_pts: int,
 ) -> DataFrame:
-    """(id, is_core, cluster): cluster = min core id reachable through
-    core-core eps edges; NULL for noise (non-core) points."""
+    """The blocking-agnostic half: given VERIFIED eps pairs (id_a < id_b,
+    exact predicate already applied), compute cores and components. Any
+    candidate generator that is a superset of the true eps pairs before
+    verification yields the identical clustering — which is what makes
+    the blocked scale path exact, not approximate."""
     from .components import connected_components
 
-    near = eps_pairs(df, id_col, vec_col, eps2_scaled).localCheckpoint(
-        eager=True
-    )
+    near = near.localCheckpoint(eager=True)
     deg = (
         near.select(F.col("id_a").alias("_id"))
         .unionAll(near.select(F.col("id_b").alias("_id")))
@@ -96,6 +96,85 @@ def dbscan_star(
             "cluster",
         )
     )
+
+
+def dbscan_star(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps2_scaled: int,
+    min_pts: int,
+) -> DataFrame:
+    """(id, is_core, cluster): exact all-pairs baseline — cluster = min
+    core id reachable through core-core eps edges; NULL for noise."""
+    return dbscan_star_from_pairs(
+        df, id_col, eps_pairs(df, id_col, vec_col, eps2_scaled), min_pts
+    )
+
+
+def dbscan_star_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps2_scaled: int,
+    min_pts: int,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The corpus-scale path: candidate pairs come from shared IVF cells
+    (multi-probe assignment over seeded centroids), then the EXACT eps
+    predicate verifies every candidate — so the only approximation is
+    RECALL of candidate generation (near pairs split across all probed
+    cells are missed; nprobe = n_cells degenerates to the exact
+    all-pairs result, unit-asserted). Shuffle volume is per-cell, never
+    corpus x corpus.
+
+    Note: the IVF centroids are unit-normalized (direction-partitioned)
+    — right for the usual normalized-embedding corpora; data whose eps
+    structure lives in magnitudes gets weak pruning (never wrong
+    results — verification is exact)."""
+    from .similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(df, vec_col, n_cells=n_cells, seed=seed)
+    nprobe = min(nprobe, len(cents))
+    emb = F.col(vec_col).cast("array<double>")
+    cands = []
+    for cid, cv in enumerate(cents):
+        c = F.array(*[F.lit(float(v)) for v in cv])
+        terms = F.zip_with(
+            emb, c,
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(_DIST_SCALE)).cast("long"),
+        )
+        d = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        cands.append(F.struct(d.alias("d"), F.lit(cid).cast("int").alias("c")))
+    probed = F.slice(F.array_sort(F.array(*cands)), 1, nprobe)
+    cells = df.select(
+        F.col(id_col),
+        emb.alias("_v"),
+        F.explode(F.transform(probed, lambda s: s["c"])).alias("_cell"),
+    )
+    a = cells.select(
+        F.col("_cell"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = cells.select(
+        F.col("_cell"), F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    terms = F.zip_with(
+        F.col("_va"), F.col("_vb"),
+        lambda x, y: F.floor((x - y) * (x - y) * F.lit(_DIST_SCALE)).cast("long"),
+    )
+    d2 = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    near = (
+        a.join(b, ["_cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()  # pairs sharing several probed cells count once
+        .withColumn("_d2", d2)
+        .filter(F.col("_d2") <= F.lit(int(eps2_scaled)))
+        .select("id_a", "id_b")
+    )
+    return dbscan_star_from_pairs(df, id_col, near, min_pts)
 
 
 def sql_dbscan_star(

@@ -143,3 +143,42 @@ def test_dbscan_two_blobs_two_clusters(spark):
     assert len({clusters[i] for i in range(5)}) == 1
     assert len({clusters[10 + i] for i in range(5)}) == 1
     assert clusters[0] != clusters[10]
+
+
+def test_dbscan_blocked_matches_exact(spark):
+    import random
+
+    from etl_market_survey_spark.operators.dbscan import (
+        dbscan_star,
+        dbscan_star_blocked,
+    )
+
+    rng = random.Random(21)
+    pts = []
+    for i in range(60):
+        cx = [(1.0, 0.0), (0.0, 1.0), (-1.0, 0.2)][i % 3]
+        pts.append(
+            (i, [cx[0] + rng.uniform(-0.05, 0.05), cx[1] + rng.uniform(-0.05, 0.05)])
+        )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    eps2 = int(0.05 * 1e12)
+    exact = {
+        (r.vec_id, r.is_core, r.cluster)
+        for r in dbscan_star(df, "vec_id", "embedding", eps2, 3).collect()
+    }
+    # full-probe blocked run must EQUAL the exact baseline
+    full = {
+        (r.vec_id, r.is_core, r.cluster)
+        for r in dbscan_star_blocked(
+            df, "vec_id", "embedding", eps2, 3, n_cells=4, nprobe=4
+        ).collect()
+    }
+    assert full == exact
+    # small-probe run on well-separated blobs also recovers it
+    blocked = {
+        (r.vec_id, r.is_core, r.cluster)
+        for r in dbscan_star_blocked(
+            df, "vec_id", "embedding", eps2, 3, n_cells=4, nprobe=2
+        ).collect()
+    }
+    assert blocked == exact
