@@ -135,10 +135,9 @@ def merkle_update(
     (q220 gates this against the full SQL rebuild).
 
     Contract: IN-PLACE updates only (rows present in ``leaf_idx``).
-    Inserts/deletes shift the dense leaf indexing — rebuild via
-    :func:`merkle_tree` (or append-only: new leaves take indices past
-    the old maximum, touching only the rightmost path plus new
-    buckets — not implemented here).
+    Inserts/deletes shift the dense leaf indexing — use
+    :func:`merkle_append` for the append-only growth case (indices past
+    the old maximum), :func:`merkle_tree` to rebuild otherwise.
 
     Per round: the touched parent set joins back to the CURRENT level
     (old nodes + replacements) to gather all children of affected
@@ -224,3 +223,51 @@ def merkle_diff(tree_a: DataFrame, tree_b: DataFrame) -> DataFrame:
         )
         .select("level", "idx", "hash_a", "hash_b")
     )
+
+
+def merkle_append(
+    old_tree: DataFrame,
+    old_leaf_idx: DataFrame,
+    new_rows: DataFrame,
+    id_col: str,
+    payload: Column,
+    fanout: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Append-only maintenance: new rows (ids strictly ABOVE every
+    existing id) take leaf indices past the old maximum, so only the
+    rightmost path plus the freshly created buckets rehash — the
+    O(new · log n) growth case of the fingerprint. Returns
+    ``(new_tree, new_leaf_idx)``.
+
+    Contract: ids append-ordered (asserted) and the tree HEIGHT must
+    not change (n stays within the old root's fanout capacity) —
+    height growth means a new root level; rebuild via
+    :func:`merkle_tree` then (raised explicitly)."""
+    import math
+
+    from .prefix import distributed_rank
+
+    n_old = old_leaf_idx.count()
+    bounds = old_leaf_idx.agg(F.max(id_col)).first()
+    new_min = new_rows.agg(F.min(id_col)).first()[0]
+    if bounds[0] is not None and new_min is not None and new_min <= bounds[0]:
+        raise ValueError(
+            f"append-only contract: new ids must exceed {bounds[0]}"
+        )
+    n_new = new_rows.count()
+    height = lambda n: max(1, math.ceil(math.log(max(n, 2)) / math.log(fanout)))
+    if height(n_old + n_new) != height(n_old):
+        raise ValueError(
+            "append grows the tree height — rebuild with merkle_tree"
+        )
+    appended = distributed_rank(
+        new_rows.select(F.col(id_col).alias("_id")), "_id", [], out="_rk"
+    ).select(
+        F.col("_id").alias(id_col),
+        (F.col("_rk") - 1 + n_old).cast("long").alias("idx"),
+    )
+    leaf_idx = old_leaf_idx.unionByName(appended)
+    new_tree = merkle_update(
+        old_tree, leaf_idx, new_rows, id_col, payload, fanout=fanout
+    )
+    return new_tree, leaf_idx

@@ -158,3 +158,42 @@ def test_merkle_diff_localizes_change(spark):
     assert all(r.hash_a is not None and r.hash_b is not None for r in d)
     # identical snapshots -> empty diff
     assert merkle_diff(ta, ta).count() == 0
+
+
+def test_merkle_append_equals_rebuild(spark):
+    import pytest as _pytest
+
+    from etl_market_survey_spark.operators.merkle import (
+        leaf_index,
+        merkle_append,
+        merkle_tree,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, f"v-{i}") for i in range(30)], "id long, body string"
+    )
+    extra = spark.createDataFrame(
+        [(i, f"v-{i}") for i in range(30, 35)], "id long, body string"
+    )
+    old = merkle_tree(base, "id", F.col("body"), fanout=4)
+    idx = leaf_index(base, "id")
+    new_tree, new_idx = merkle_append(
+        spark.createDataFrame(old.collect()), idx, extra, "id", F.col("body"), fanout=4
+    )
+    want = merkle_tree(base.unionByName(extra), "id", F.col("body"), fanout=4)
+    as_map = lambda df: {(r.level, r.idx): r.hash for r in df.collect()}
+    assert as_map(new_tree) == as_map(want)
+    assert new_idx.count() == 35
+
+    # interleaved ids violate the append-only contract
+    bad = spark.createDataFrame([(7, "x")], "id long, body string")
+    with _pytest.raises(ValueError, match="append-only"):
+        merkle_append(old, idx, bad, "id", F.col("body"), fanout=4)
+
+    # a height-growing append is refused, not silently wrong
+    big = spark.createDataFrame(
+        [(i, "y") for i in range(100, 200)], "id long, body string"
+    )
+    with _pytest.raises(ValueError, match="height"):
+        merkle_append(old, idx, big, "id", F.col("body"), fanout=4)
