@@ -69,3 +69,52 @@ def suffix_ranks(
         if cur.select(id_col, "_r").distinct().count() == n_total:
             break
     return cur.select(id_col, "pos", F.col("_r").alias("sa_rank"))
+
+
+def lcp_array(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sa_rank, pos, lcp): longest common prefix of each suffix
+    with its PREDECESSOR in suffix order (rank 1 -> 0) — Kasai et al.'s
+    O(n) recurrence per document, run as one Arrow-batched kernel per
+    doc over the distributed suffix ranks. The LCP array is what turns
+    a suffix array into a repeat/substring index (q223's longest
+    repeated substring is simply its argmax)."""
+    import pandas as pd
+
+    ranks = suffix_ranks(docs, id_col, text_col)
+    withtext = ranks.join(docs.select(id_col, text_col), id_col)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos", ignore_index=True)
+        text = pdf[text_col].iloc[0]
+        n = len(pdf)
+        rank = pdf["sa_rank"].to_numpy()  # rank[pos], 1-based
+        sa = [0] * (n + 1)
+        for pos in range(n):
+            sa[rank[pos]] = pos
+        lcp = [0] * (n + 1)
+        h = 0
+        for pos in range(n):
+            r = rank[pos]
+            if r > 1:
+                j = sa[r - 1]
+                while pos + h < n and j + h < n and text[pos + h] == text[j + h]:
+                    h += 1
+                lcp[r] = h
+                if h:
+                    h -= 1
+            else:
+                h = 0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].iloc[0],
+                "sa_rank": [rank[p] for p in range(n)],
+                "pos": list(range(n)),
+                "lcp": [lcp[rank[p]] for p in range(n)],
+            }
+        )
+
+    return withtext.groupBy(id_col).applyInPandas(
+        kernel, f"{id_col} long, sa_rank long, pos int, lcp int"
+    )

@@ -1698,3 +1698,48 @@ def q227_segmented_regression(spark, sf_dir):
     return scored.filter(F.col("rn") == 1).select(
         "break_x", "slope_left", "slope_right", "sse"
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — LCP array via Kasai's O(n) recurrence over the distributed
+# suffix ranks (one Arrow kernel per document), gated against the
+# brute-force oracle: every rank's LCP with its suffix-order
+# predecessor from a correlated MAX-prefix-equality subquery. Completes
+# the suffix index: (ranks q218, LCP q229, argmax application q223).
+# ---------------------------------------------------------------------------
+
+_Q229_NDOCS = 12
+
+_Q229_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_Q229_NDOCS}),
+ranked AS (
+  SELECT doc_id, text, CAST(s.i AS INT) AS pos,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY substr(text, s.i + 1)
+         ) AS rk
+  FROM d, UNNEST(generate_series(0, len(text) - 1)) AS s(i)
+),
+lcps AS (
+  SELECT a.doc_id, a.rk, a.pos,
+         CASE WHEN a.rk = 1 THEN 0 ELSE COALESCE((
+           SELECT MAX(s.l)
+           FROM generate_series(1, 600) AS s(l)
+           WHERE s.l <= len(a.text) - a.pos AND s.l <= len(a.text) - b.pos
+             AND substr(a.text, a.pos + 1, s.l) = substr(a.text, b.pos + 1, s.l)
+         ), 0) END AS lcp
+  FROM ranked a LEFT JOIN ranked b
+    ON a.doc_id = b.doc_id AND b.rk = a.rk - 1
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS sa_rank, pos, CAST(lcp AS INT) AS lcp
+FROM lcps ORDER BY doc_id, sa_rank
+"""
+
+
+@register("q229_lcp_array", _Q229_ORACLE)
+def q229_lcp_array(spark, sf_dir):
+    from ..operators.suffixarray import lcp_array
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Q229_NDOCS
+    )
+    return lcp_array(docs).orderBy("doc_id", "sa_rank")

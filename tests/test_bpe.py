@@ -197,3 +197,12 @@ def test_merkle_append_equals_rebuild(spark):
     )
     with _pytest.raises(ValueError, match="height"):
         merkle_append(old, idx, big, "id", F.col("body"), fanout=4)
+
+
+def test_lcp_array_banana(spark):
+    from etl_market_survey_spark.operators.suffixarray import lcp_array
+
+    df = spark.createDataFrame([(1, "banana")], "doc_id long, text string")
+    got = {r.sa_rank: r.lcp for r in lcp_array(df).collect()}
+    # sorted suffixes: a, ana, anana, banana, na, nana
+    assert got == {1: 0, 2: 1, 3: 3, 4: 0, 5: 0, 6: 2}
