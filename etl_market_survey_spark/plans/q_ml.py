@@ -1743,3 +1743,99 @@ def q229_lcp_array(spark, sf_dir):
         F.col("doc_id") < _Q229_NDOCS
     )
     return lcp_array(docs).orderBy("doc_id", "sa_rank")
+
+
+# ---------------------------------------------------------------------------
+# q230 — passage-level retrieval with document max-pooling: documents
+# split into overlapping token windows, BM25 scored per PASSAGE (the
+# granularity long-document RAG actually retrieves at), then max-pooled
+# back to documents with the best passage reported. Both the chunking
+# arithmetic and the scoring replay in SQL.
+# ---------------------------------------------------------------------------
+
+_Q230_W, _Q230_S = 30, 20
+_Q230_TERMS = ["hash", "scan", "merge"]
+_Q230_TOP = 15
+
+
+def _q230_oracle() -> str:
+    from ..functions.relevance import sql_bm25_scores
+
+    passages = f"""(
+  WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+') AS t
+    FROM documents
+  ),
+  grid AS (
+    SELECT doc_id, t, s.ci
+    FROM toks, UNNEST(generate_series(
+      0, GREATEST(CAST(CEIL(CAST(len(t) - {_Q230_W} AS DOUBLE) / {_Q230_S}) AS BIGINT), 0)
+    )) AS s(ci)
+    WHERE len(t) > 0 AND s.ci * {_Q230_S} < len(t)
+  )
+  SELECT doc_id * 1000 + ci AS pid,
+         array_to_string(t[ci * {_Q230_S} + 1 : ci * {_Q230_S} + {_Q230_W}], ' ') AS text
+  FROM grid
+)"""
+    scored = sql_bm25_scores(
+        _Q230_TERMS, id_col="pid", text_col="text", table=passages
+    )
+    return f"""
+WITH scored AS ({scored}),
+pooled AS (
+  SELECT pid // 1000 AS doc_id, pid, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY pid // 1000 ORDER BY score DESC, pid
+         ) AS rn
+  FROM scored
+)
+SELECT doc_id, pid AS best_pid, score AS best_score
+FROM pooled WHERE rn = 1
+ORDER BY best_score DESC, doc_id
+LIMIT {_Q230_TOP}
+"""
+
+
+@register("q230_passage_bm25", _q230_oracle())
+def q230_passage_bm25(spark, sf_dir):
+    from ..functions.relevance import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower("text"), F.lit("[A-Za-z]+|[0-9]+"), F.lit(0)
+        ).alias("t"),
+    ).filter(F.size("t") > 0)
+    n = F.size("t")
+    n_chunks = F.greatest(
+        F.ceil((n - _Q230_W).cast("double") / _Q230_S).cast("long"), F.lit(0)
+    )
+    grid = toks.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks)).alias("ci")
+    ).filter(F.col("ci") * _Q230_S < F.size("t"))
+    passages = grid.select(
+        (F.col("doc_id") * 1000 + F.col("ci")).alias("pid"),
+        F.array_join(
+            F.slice(F.col("t"), F.col("ci") * _Q230_S + 1, _Q230_W), " "
+        ).alias("text"),
+    )
+    scored = bm25_scores(passages, _Q230_TERMS, id_col="pid", text_col="text")
+    pooled = scored.select(
+        F.expr("pid div 1000").alias("doc_id"), "pid", "score"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "pid")
+        ),
+    )
+    return (
+        pooled.filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("pid").alias("best_pid"),
+            F.col("score").alias("best_score"),
+        )
+        .orderBy(F.col("best_score").desc(), "doc_id")
+        .limit(_Q230_TOP)
+    )
