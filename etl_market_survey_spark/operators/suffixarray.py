@@ -118,3 +118,78 @@ def lcp_array(
     return withtext.groupBy(id_col).applyInPandas(
         kernel, f"{id_col} long, sa_rank long, pos int, lcp int"
     )
+
+
+def suffix_ranks_global(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The giant-string variant of :func:`suffix_ranks`: per-round
+    re-ranking uses the two-phase ``prefix.distributed_rank`` over
+    packed (rank, next_rank) pairs plus a dense-ify join — NO per-key
+    window anywhere, so a single multi-gigabyte document (or any skewed
+    key) cannot pin one partition. Output is identical to
+    :func:`suffix_ranks` (unit-asserted); cost per round is one extra
+    distinct + join over the pair table."""
+    from .prefix import distributed_rank
+
+    chars = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "(?!^)")).alias("pos", "_c"),
+    ).filter(F.col("_c") != "")
+    cur = chars.select(
+        id_col, "pos", F.ascii("_c").cast("long").alias("_r")
+    ).localCheckpoint(eager=True)
+    lens = docs.select(F.length(text_col).alias("_l")).agg(F.max("_l")).first()[0]
+    n_total = cur.count()
+    n_docs = docs.count()
+    k = 1
+    while k < (lens or 1):
+        nxt = cur.select(
+            F.col(id_col).alias("_id2"),
+            (F.col("pos") - k).alias("_p2"),
+            F.col("_r").alias("_rn"),
+        )
+        paired = cur.join(
+            nxt,
+            (F.col(id_col) == F.col("_id2")) & (F.col("pos") == F.col("_p2")),
+            "left",
+        ).select(
+            id_col,
+            "pos",
+            "_r",
+            F.coalesce("_rn", F.lit(-1)).alias("_rn"),
+        )
+        # pack (doc, r, r_next) into one orderable long: ranks are dense
+        # (< n+1 after round 1; ascii < 2^21 before), docs bounded — the
+        # pack below is collision-free for n * n_docs < 2^62 positions
+        span = max(n_total + 2, 1 << 22)
+        packed = paired.withColumn(
+            "_pk",
+            (
+                F.col(id_col).cast("long") * span + F.col("_r")
+            ) * span
+            + (F.col("_rn") + 1),
+        )
+        dense = distributed_rank(
+            packed.select("_pk").distinct(), "_pk", [], out="_dr"
+        )
+        cur = (
+            packed.join(dense, "_pk")
+            .select(id_col, "pos", F.col("_dr").alias("_g"))
+        )
+        # per-doc dense ranks from the global ones: subtract each doc's
+        # minimum (global order sorts docs first via the pack prefix)
+        base = cur.groupBy(F.col(id_col).alias("_bid")).agg(
+            F.min("_g").alias("_g0")
+        )
+        cur = (
+            cur.join(base, F.col(id_col) == F.col("_bid"))
+            .select(
+                id_col, "pos", (F.col("_g") - F.col("_g0") + 1).alias("_r")
+            )
+            .localCheckpoint(eager=True)
+        )
+        k *= 2
+        if cur.select(id_col, "_r").distinct().count() == n_total:
+            break
+    return cur.select(id_col, "pos", F.col("_r").alias("sa_rank"))

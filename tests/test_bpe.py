@@ -206,3 +206,18 @@ def test_lcp_array_banana(spark):
     got = {r.sa_rank: r.lcp for r in lcp_array(df).collect()}
     # sorted suffixes: a, ana, anana, banana, na, nana
     assert got == {1: 0, 2: 1, 3: 3, 4: 0, 5: 0, 6: 2}
+
+
+def test_suffix_ranks_global_equals_windowed(spark):
+    from etl_market_survey_spark.operators.suffixarray import (
+        suffix_ranks,
+        suffix_ranks_global,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "banana"), (2, "mississippi"), (3, "abcabcabc")],
+        "doc_id long, text string",
+    )
+    a = {(r.doc_id, r.pos): r.sa_rank for r in suffix_ranks(df).collect()}
+    b = {(r.doc_id, r.pos): r.sa_rank for r in suffix_ranks_global(df).collect()}
+    assert a == b
