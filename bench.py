@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion with a count-style terminal action
-(results stay distributed; no toPandas of big frames).
+Each query is fully materialized with a noop datasource write (every result
+row and column is computed — Catalyst cannot prune the final projection the
+way it can under a bare count()).  Timing is best-of-3 per query; the
+per-query spread (max/min over the 3 runs) is reported on stderr and in the
+JSON "spread" map so a >2x round-over-round swing can be told apart from
+harness variance (VERDICT r2 item 1).
 """
 
 from __future__ import annotations
@@ -72,6 +76,19 @@ HEADLINE = [
     "q212_rrf_fusion",
 ]
 
+N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise
+
+
+def materialize(df) -> None:
+    """Fully materialize a result: every row, every column.
+
+    A bare count() lets Catalyst prune the final projection (expensive
+    derived columns would never be computed); the noop datasource sink
+    evaluates the complete result row-by-row on the executors without
+    writing bytes anywhere.
+    """
+    df.write.format("noop").mode("overwrite").save()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,18 +106,27 @@ def main() -> None:
     registry.QUERIES[HEADLINE[0]](spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        best, n = None, 0
-        for _ in range(2):  # best-of-2: steady-state, not JIT/GC noise
+        runs: list[float] = []
+        n = 0
+        for i in range(N_RUNS):
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+            materialize(df)
+            runs.append(time.time() - t0)
+            if i == 0:
+                n = df.count()  # row count reported untimed, once
+        best = min(runs)
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        spreads[name] = round(max(runs) / best, 2) if best > 0 else 1.0
+        print(
+            f"# {name}: {n} rows best {timings[name]}s "
+            f"(spread {spreads[name]}x over {N_RUNS} runs)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -110,6 +136,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )

@@ -25,11 +25,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Documents longer than this auto-route to the window-free global
+#: re-ranking (one giant document would otherwise serialize into a single
+#: per-doc window partition each round).
+GIANT_DOC_THRESHOLD = 1_000_000
+
+
 def suffix_ranks(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    giant_doc_threshold: int = GIANT_DOC_THRESHOLD,
 ) -> DataFrame:
     """(id, pos, sa_rank): 1-based lexicographic rank of the suffix
-    starting at 0-based ``pos`` within its document."""
+    starting at 0-based ``pos`` within its document.
+
+    Auto-routes: when the longest document exceeds
+    ``giant_doc_threshold`` characters the per-doc-window re-ranking
+    would pin one partition per round, so the window-free
+    :func:`suffix_ranks_global` path is used instead (identical output,
+    unit-asserted)."""
+    lens = docs.select(F.length(text_col).alias("_l")).agg(F.max("_l")).first()[0]
+    if lens is not None and giant_doc_threshold and lens > giant_doc_threshold:
+        return suffix_ranks_global(docs, id_col, text_col)
     chars = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "(?!^)")).alias("pos", "_c"),
@@ -38,7 +56,6 @@ def suffix_ranks(
     cur = chars.select(
         id_col, "pos", F.ascii("_c").cast("long").alias("_r")
     ).localCheckpoint(eager=True)
-    lens = docs.select(F.length(text_col).alias("_l")).agg(F.max("_l")).first()[0]
     n_total = cur.count()
     k = 1
     while k < (lens or 1):
@@ -124,72 +141,106 @@ def suffix_ranks_global(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """The giant-string variant of :func:`suffix_ranks`: per-round
-    re-ranking uses the two-phase ``prefix.distributed_rank`` over
-    packed (rank, next_rank) pairs plus a dense-ify join — NO per-key
+    re-ranking uses the two-phase ``prefix.distributed_rank`` over the
+    (doc, rank, next_rank) order plus a dense-ify join — NO per-key
     window anywhere, so a single multi-gigabyte document (or any skewed
     key) cannot pin one partition. Output is identical to
-    :func:`suffix_ranks` (unit-asserted); cost per round is one extra
-    distinct + join over the pair table."""
+    :func:`suffix_ranks` (unit-asserted).
+
+    Doc ids are densified to 1..n_docs BEFORE any arithmetic packing
+    (ADVICE r2: packing the raw id VALUE overflows int64 for large ids),
+    and the composite order is ranked in two count-bounded stages:
+
+    1. pair stage — ``_r * span_r + (_rn + 1)`` with
+       ``span_r = max(maxlen + 2, 2^22)``.  Per-doc ranks are bounded by
+       the longest document (< 2^31, the JVM string cap) and round-1 raw
+       code points are < 2^21, so this pack is always < 2^62.
+    2. doc stage — ``didx * (n_total + 2) + pair_index`` with the dense
+       doc index and the dense pair index (<= n_total + 1), collision-
+       and overflow-free iff ``(n_docs + 1) * (n_total + 2) < 2^63``, a
+       bound on COUNTS (guarded with an explicit error), not id values.
+    """
     from .prefix import distributed_rank
 
     chars = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "(?!^)")).alias("pos", "_c"),
     ).filter(F.col("_c") != "")
-    cur = chars.select(
-        id_col, "pos", F.ascii("_c").cast("long").alias("_r")
-    ).localCheckpoint(eager=True)
+    # dense 1..n_docs doc index — packs never see the raw id value
+    didx = distributed_rank(
+        docs.select(id_col).distinct(), id_col, [], out="_didx"
+    )
+    cur = (
+        chars.join(didx, id_col)
+        .select(
+            id_col, "_didx", "pos", F.ascii("_c").cast("long").alias("_r")
+        )
+        .localCheckpoint(eager=True)
+    )
     lens = docs.select(F.length(text_col).alias("_l")).agg(F.max("_l")).first()[0]
     n_total = cur.count()
     n_docs = docs.count()
+    span_r = max((lens or 0) + 2, 1 << 22)
+    span_tot = n_total + 2
+    if (n_docs + 1) * span_tot >= (1 << 63):
+        raise ValueError(
+            f"suffix_ranks_global: n_docs={n_docs} x n_total={n_total} "
+            "exceeds the int64 pack bound (n_docs+1)*(n_total+2) < 2^63; "
+            "shard the corpus before indexing"
+        )
     k = 1
     while k < (lens or 1):
         nxt = cur.select(
-            F.col(id_col).alias("_id2"),
+            F.col("_didx").alias("_id2"),
             (F.col("pos") - k).alias("_p2"),
             F.col("_r").alias("_rn"),
         )
         paired = cur.join(
             nxt,
-            (F.col(id_col) == F.col("_id2")) & (F.col("pos") == F.col("_p2")),
+            (F.col("_didx") == F.col("_id2")) & (F.col("pos") == F.col("_p2")),
             "left",
         ).select(
             id_col,
+            "_didx",
             "pos",
             "_r",
             F.coalesce("_rn", F.lit(-1)).alias("_rn"),
         )
-        # pack (doc, r, r_next) into one orderable long: ranks are dense
-        # (< n+1 after round 1; ascii < 2^21 before), docs bounded — the
-        # pack below is collision-free for n * n_docs < 2^62 positions
-        span = max(n_total + 2, 1 << 22)
-        packed = paired.withColumn(
-            "_pk",
-            (
-                F.col(id_col).cast("long") * span + F.col("_r")
-            ) * span
-            + (F.col("_rn") + 1),
+        # stage 1: dense index over distinct (r, r_next) pairs (< 2^62)
+        pk1 = paired.withColumn(
+            "_pk1", F.col("_r") * span_r + (F.col("_rn") + F.lit(1))
+        )
+        pairs = distributed_rank(
+            pk1.select("_pk1").distinct(), "_pk1", [], out="_pi"
+        )
+        # stage 2: docs-first global order over (didx, pair_index)
+        pk2 = (
+            pk1.join(pairs, "_pk1")
+            .withColumn("_pk2", F.col("_didx") * span_tot + F.col("_pi"))
         )
         dense = distributed_rank(
-            packed.select("_pk").distinct(), "_pk", [], out="_dr"
+            pk2.select("_pk2").distinct(), "_pk2", [], out="_dr"
         )
         cur = (
-            packed.join(dense, "_pk")
-            .select(id_col, "pos", F.col("_dr").alias("_g"))
+            pk2.join(dense, "_pk2")
+            .select(id_col, "_didx", "pos", F.col("_dr").alias("_g"))
         )
         # per-doc dense ranks from the global ones: subtract each doc's
-        # minimum (global order sorts docs first via the pack prefix)
-        base = cur.groupBy(F.col(id_col).alias("_bid")).agg(
+        # minimum (global order sorts docs first via the _didx prefix)
+        base = cur.groupBy(F.col("_didx").alias("_bid")).agg(
             F.min("_g").alias("_g0")
         )
         cur = (
-            cur.join(base, F.col(id_col) == F.col("_bid"))
+            cur.join(base, F.col("_didx") == F.col("_bid"))
             .select(
-                id_col, "pos", (F.col("_g") - F.col("_g0") + 1).alias("_r")
+                id_col,
+                "_didx",
+                "pos",
+                (F.col("_g") - F.col("_g0") + 1).alias("_r"),
             )
             .localCheckpoint(eager=True)
         )
         k *= 2
-        if cur.select(id_col, "_r").distinct().count() == n_total:
+        if cur.select("_didx", "_r").distinct().count() == n_total:
             break
     return cur.select(id_col, "pos", F.col("_r").alias("sa_rank"))

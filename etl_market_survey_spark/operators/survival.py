@@ -39,12 +39,20 @@ def kaplan_meier(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     risk = at.withColumn("n_at_risk", F.sum("_n_at").over(w_risk))
-    term = F.round(
-        F.log(
-            F.lit(1.0)
-            - F.col("d_events").cast("double") / F.col("n_at_risk").cast("double")
+    # d == n (everyone at risk dies — the standard case at the largest
+    # event time with no later censoring) means S(t) = 0 exactly; feeding
+    # it into ln() would NULL out the term (Spark) or raise (DuckDB).
+    # Guard: the term is only defined for d < n, and once any duration hit
+    # d == n the curve is pinned at surv = 0 with a NULL log_surv sentinel.
+    term = F.when(
+        F.col("d_events") < F.col("n_at_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_events").cast("double") / F.col("n_at_risk").cast("double")
+            ),
+            9,
         ),
-        9,
     )
     ev = risk.filter(F.col("d_events") > 0).withColumn("_term", term)
     w_cum = (
@@ -52,14 +60,25 @@ def kaplan_meier(
         .orderBy(duration_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    dead = F.max(
+        (F.col("d_events") >= F.col("n_at_risk")).cast("int")
+    ).over(w_cum)
     log_surv = (
-        F.sum(F.floor(F.col("_term") * F.lit(1e6)).cast("decimal(38,0)")).over(w_cum)
+        F.sum(F.floor(F.col("_term") * F.lit(1e9)).cast("decimal(38,0)")).over(w_cum)
         .cast("double")
-        / F.lit(1e6)
+        / F.lit(1e9)
     )
     return (
-        ev.withColumn("log_surv", log_surv)
-        .withColumn("surv", F.round(F.exp(F.col("log_surv")), 9))
+        ev.withColumn("_dead", dead)
+        .withColumn(
+            "log_surv", F.when(F.col("_dead") == 0, log_surv)
+        )
+        .withColumn(
+            "surv",
+            F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.col("log_surv")), 9)
+            ),
+        )
         .select(
             *group_cols,
             duration_col,
@@ -93,20 +112,27 @@ risk AS (
 ),
 ev AS (
   SELECT g, dur, n_at_risk, d_events,
-         ROUND(LN(1.0 - CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 9)
-           AS term
+         CASE WHEN d_events < n_at_risk THEN
+           ROUND(LN(1.0 - CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 9)
+         END AS term
   FROM risk WHERE d_events > 0
 ),
 cum AS (
   SELECT g, dur, n_at_risk, d_events,
-         (CAST(SUM(CAST(FLOOR(term * 1000000.0) AS DECIMAL(38,0))) OVER (
+         MAX(CASE WHEN d_events >= n_at_risk THEN 1 ELSE 0 END) OVER (
             PARTITION BY g ORDER BY dur
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-          ) AS DOUBLE) / 1000000.0) AS log_surv
+         ) AS dead,
+         (CAST(SUM(CAST(FLOOR(term * 1000000000.0) AS DECIMAL(38,0))) OVER (
+            PARTITION BY g ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS DOUBLE) / 1000000000.0) AS raw_log_surv
   FROM ev
 )
 SELECT g, dur, CAST(n_at_risk AS BIGINT) AS n_at_risk,
        CAST(d_events AS BIGINT) AS d_events,
-       log_surv, ROUND(EXP(log_surv), 9) AS surv
+       CASE WHEN dead = 0 THEN raw_log_surv END AS log_surv,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE ROUND(EXP(raw_log_surv), 9) END AS surv
 FROM cum
 """

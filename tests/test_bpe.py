@@ -214,10 +214,41 @@ def test_suffix_ranks_global_equals_windowed(spark):
         suffix_ranks_global,
     )
 
+    # the 2^40 doc_id would overflow the old raw-id pack (ADVICE r2):
+    # ids are densified before packing, so only COUNTS bound the pack now
     df = spark.createDataFrame(
-        [(1, "banana"), (2, "mississippi"), (3, "abcabcabc")],
+        [(1, "banana"), (2, "mississippi"), (1 << 40, "abcabcabc")],
         "doc_id long, text string",
     )
     a = {(r.doc_id, r.pos): r.sa_rank for r in suffix_ranks(df).collect()}
     b = {(r.doc_id, r.pos): r.sa_rank for r in suffix_ranks_global(df).collect()}
     assert a == b
+
+
+def test_suffix_ranks_auto_routes_giant_docs(spark):
+    from etl_market_survey_spark.operators.suffixarray import (
+        suffix_ranks,
+        suffix_ranks_global,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "banana"), (9, "mississippi")], "doc_id long, text string"
+    )
+    # threshold below the longest doc -> the windowed path must delegate
+    # to the window-free global re-rank and produce identical ranks
+    routed = {
+        (r.doc_id, r.pos): r.sa_rank
+        for r in suffix_ranks(df, giant_doc_threshold=5).collect()
+    }
+    direct = {
+        (r.doc_id, r.pos): r.sa_rank for r in suffix_ranks_global(df).collect()
+    }
+    assert routed == direct
+    # and to the brute-force per-doc suffix sort
+    rows = df.collect()
+    want = {}
+    for row in rows:
+        order = sorted(range(len(row.text)), key=lambda p: row.text[p:])
+        for rank, p in enumerate(order, 1):
+            want[(row.doc_id, p)] = rank
+    assert routed == want

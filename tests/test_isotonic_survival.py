@@ -47,8 +47,39 @@ def test_km_curve_is_nonincreasing_in_unit_interval(spark):
     df = spark.createDataFrame(rows, "g string, dur int, ev int")
     out = kaplan_meier(df, ["g"], "dur", "ev").orderBy("dur").collect()
     surv = [r.surv for r in out]
-    assert all(0.0 < s <= 1.0 for s in surv)
+    assert all(0.0 <= s <= 1.0 for s in surv)
     assert all(a >= b for a, b in zip(surv, surv[1:])), surv
     # risk sets shrink as duration grows
     risk = [r.n_at_risk for r in out]
     assert all(a >= b for a, b in zip(risk, risk[1:]))
+
+
+def test_km_all_die_at_last_duration_pins_surv_to_zero(spark):
+    """d == n at the largest event time (no later censoring): S(t) = 0
+    exactly, with a NULL log_surv sentinel — and the DuckDB mirror agrees
+    instead of raising on LN(0) (ADVICE r2 item 1)."""
+    import duckdb
+
+    from etl_market_survey_spark.operators.survival import sql_kaplan_meier
+
+    rows = (
+        [("c", 1, 0), ("c", 2, 1), ("c", 2, 0)]
+        + [("c", 5, 1)] * 4  # everyone still at risk dies at t=5
+    )
+    df = spark.createDataFrame(rows, "g string, dur int, ev int")
+    out = kaplan_meier(df, ["g"], "dur", "ev").orderBy("dur").collect()
+    assert out[-1].dur == 5
+    assert out[-1].surv == 0.0
+    assert out[-1].log_surv is None
+    assert all(r.surv > 0.0 for r in out[:-1])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (g VARCHAR, dur INTEGER, ev INTEGER)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = sql_kaplan_meier("t", "g", "dur", "ev") + " ORDER BY dur"
+    oracle = con.execute(sql).fetchall()
+    got = [(r.dur, r.n_at_risk, r.d_events, r.log_surv, r.surv) for r in out]
+    want = [(d, n, e, ls, s) for (_, d, n, e, ls, s) in oracle]
+    assert got == want
