@@ -69,11 +69,19 @@ def dbscan_star_from_pairs(
     from .components import connected_components
 
     near = near.localCheckpoint(eager=True)
-    deg = (
+    # degree over ALL points (left join + coalesce 0): a point with zero
+    # eps-neighbors never appears in `near`, but its self-count still
+    # applies — with min_pts == 1 an isolated point IS core (ADVICE r2)
+    pair_deg = (
         near.select(F.col("id_a").alias("_id"))
         .unionAll(near.select(F.col("id_b").alias("_id")))
         .groupBy("_id")
         .agg(F.count("*").alias("_deg"))
+    )
+    deg = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(pair_deg, "_id", "left")
+        .select("_id", F.coalesce(F.col("_deg"), F.lit(0)).alias("_deg"))
     )
     core = deg.filter(F.col("_deg") + 1 >= min_pts).select("_id")
     cedges = near.join(
@@ -199,10 +207,14 @@ near AS (
   HAVING SUM(CAST(FLOOR((a.v - b.v) * (a.v - b.v) * 1e12) AS BIGINT))
          <= {int(eps2_scaled)}
 ),
-deg AS (
+pair_deg AS (
   SELECT vid, COUNT(*) AS n FROM (
     SELECT ia AS vid FROM near UNION ALL SELECT ib FROM near
   ) GROUP BY 1
+),
+deg AS (
+  SELECT t.{id_expr} AS vid, COALESCE(pd.n, 0) AS n
+  FROM {table} t LEFT JOIN pair_deg pd ON t.{id_expr} = pd.vid
 ),
 core AS (SELECT vid FROM deg WHERE n + 1 >= {min_pts}),
 und AS (

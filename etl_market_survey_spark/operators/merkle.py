@@ -242,10 +242,19 @@ def merkle_append(
     Contract: ids append-ordered (asserted) and the tree HEIGHT must
     not change (n stays within the old root's fanout capacity) —
     height growth means a new root level; rebuild via
-    :func:`merkle_tree` then (raised explicitly)."""
-    import math
-
+    :func:`merkle_tree` then (raised explicitly). The guard counts
+    levels by integer repeated division (float logs are 1-ulp fragile
+    at exact fanout powers) and compares against the OLD tree's actual
+    max(level), so a single-leaf old tree (max level 0) always rejects
+    growth instead of returning a rootless multi-leaf tree."""
     from .prefix import distributed_rank
+
+    def _levels(n: int) -> int:
+        lvl = 0
+        while n > 1:
+            n = -(-n // fanout)
+            lvl += 1
+        return lvl
 
     n_old = old_leaf_idx.count()
     bounds = old_leaf_idx.agg(F.max(id_col)).first()
@@ -255,8 +264,8 @@ def merkle_append(
             f"append-only contract: new ids must exceed {bounds[0]}"
         )
     n_new = new_rows.count()
-    height = lambda n: max(1, math.ceil(math.log(max(n, 2)) / math.log(fanout)))
-    if height(n_old + n_new) != height(n_old):
+    old_max_level = old_tree.agg(F.max("level")).first()[0] or 0
+    if _levels(n_old + n_new) != old_max_level:
         raise ValueError(
             "append grows the tree height — rebuild with merkle_tree"
         )

@@ -199,6 +199,50 @@ def test_merkle_append_equals_rebuild(spark):
         merkle_append(old, idx, big, "id", F.col("body"), fanout=4)
 
 
+def test_merkle_append_height_guard_edges(spark):
+    """ADVICE r2: single-leaf old tree must reject growth (the old float
+    guard let it through and returned a rootless tree); exact fanout
+    powers are decided by integer arithmetic, not 1-ulp log ratios."""
+    import pytest as _pytest
+
+    from etl_market_survey_spark.operators.merkle import (
+        leaf_index,
+        merkle_append,
+        merkle_tree,
+    )
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame([(0, "a")], "id long, body string")
+    old1 = merkle_tree(one, "id", F.col("body"), fanout=4)
+    idx1 = leaf_index(one, "id")
+    more = spark.createDataFrame([(1, "b")], "id long, body string")
+    with _pytest.raises(ValueError, match="height"):
+        merkle_append(old1, idx1, more, "id", F.col("body"), fanout=4)
+
+    # n_old = fanout - 1, append 1 -> exactly fanout leaves: same height,
+    # allowed, and equal to the full rebuild
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(3)], "id long, body string"
+    )
+    old = merkle_tree(base, "id", F.col("body"), fanout=4)
+    idx = leaf_index(base, "id")
+    add = spark.createDataFrame([(3, "v3")], "id long, body string")
+    new_tree, _ = merkle_append(old, idx, add, "id", F.col("body"), fanout=4)
+    want = merkle_tree(base.unionByName(add), "id", F.col("body"), fanout=4)
+    as_map = lambda df: {(r.level, r.idx): r.hash for r in df.collect()}
+    assert as_map(new_tree) == as_map(want)
+
+    # n_old = fanout, append 1 -> needs a new root level: refused
+    base4 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "id long, body string"
+    )
+    old4 = merkle_tree(base4, "id", F.col("body"), fanout=4)
+    idx4 = leaf_index(base4, "id")
+    add4 = spark.createDataFrame([(4, "v4")], "id long, body string")
+    with _pytest.raises(ValueError, match="height"):
+        merkle_append(old4, idx4, add4, "id", F.col("body"), fanout=4)
+
+
 def test_lcp_array_banana(spark):
     from etl_market_survey_spark.operators.suffixarray import lcp_array
 

@@ -130,6 +130,36 @@ def test_dbscan_all_noise_when_sparse(spark):
     assert all((not r.is_core) and r.cluster is None for r in out)
 
 
+def test_dbscan_min_pts_one_isolated_point_is_core(spark):
+    """ADVICE r2: with min_pts=1 the self-count makes every point core —
+    including points with zero eps-neighbors, which the old pair-derived
+    degree table silently dropped. Spark and the DuckDB mirror agree."""
+    import duckdb
+
+    from etl_market_survey_spark.operators.dbscan import (
+        dbscan_star,
+        sql_dbscan_star,
+    )
+
+    pts = [(1, [0.0, 0.0]), (2, [0.01, 0.0]), (3, [999.0, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.is_core, r.cluster)
+        for r in dbscan_star(df, "vec_id", "embedding", int(1e12), 1).collect()
+    }
+    assert out[3] == (True, 3)  # isolated point: core, own singleton cluster
+    assert out[1] == (True, 1) and out[2] == (True, 1)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pts)
+    sql = sql_dbscan_star("t", "vec_id", "embedding", 2, int(1e12), 1)
+    oracle = {
+        vid: (bool(core), cl) for vid, core, cl in con.execute(sql).fetchall()
+    }
+    assert oracle == out
+
+
 def test_dbscan_two_blobs_two_clusters(spark):
     from etl_market_survey_spark.operators.dbscan import dbscan_star
 
