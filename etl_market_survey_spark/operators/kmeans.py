@@ -39,21 +39,43 @@ def assign_clusters(
     df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """Adds ``cid``: the id of the nearest centroid (exact int64 scaled
-    squared distance, cid tiebreak). ``centroids`` is [(cid, values)]."""
+    squared distance, cid tiebreak). ``centroids`` is [(cid, values)].
+
+    The codebook is ONE all-literal array of (cid, vector) structs —
+    Catalyst constant-folds it to a single Literal — and the per-row
+    argmin is a ``transform`` + ``aggregate`` fold over it (the
+    ``pq.adc_lut`` pattern). The expression tree is therefore O(1) in k:
+    k = 4096 codegens the same single span as k = 8, instead of k
+    inlined distance subtrees blowing up codegen before data size
+    matters (VERDICT r2 item 3)."""
     emb = F.col(vec_col).cast("array<double>")
-    cands = []
-    for cid, vals in centroids:
-        cent = F.array(*[F.lit(float(v)) for v in vals])
-        terms = F.zip_with(
-            emb,
-            cent,
-            lambda x, c: F.floor((x - c) * (x - c) * F.lit(_DIST_SCALE)).cast(
-                "long"
-            ),
-        )
-        dist = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
-        cands.append(F.struct(dist.alias("d"), F.lit(int(cid)).cast("int").alias("c")))
-    return df.withColumn("cid", F.array_min(F.array(*cands))["c"])
+    codebook = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("int").alias("c"),
+                F.array(*[F.lit(float(v)) for v in vals]).alias("v"),
+            )
+            for cid, vals in centroids
+        ]
+    )
+    cands = F.transform(
+        codebook,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    emb,
+                    s["v"],
+                    lambda x, c: F.floor(
+                        (x - c) * (x - c) * F.lit(_DIST_SCALE)
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            s["c"].alias("c"),
+        ),
+    )
+    return df.withColumn("cid", F.array_min(cands)["c"])
 
 
 def update_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
