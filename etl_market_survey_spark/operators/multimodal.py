@@ -7,13 +7,15 @@ Python row-at-a-time.
 
 Codec policy — three tiers:
 
-1. **Uncompressed formats decode for REAL with zero dependencies**:
-   binary netpbm images (P5/P6 -> ``decode_ppm``, pure numpy) and the
-   rawvid video container (``decode_rawvid``) — real pixels, real
-   nearest-neighbor resize, real per-frame luma features. These paths
-   are bit-deterministic pure functions of the bytes, so they are
-   always on, even under the stub contract.
-2. **Compressed formats need PIL/ffmpeg**: PIL is probed at import
+1. **Library-free formats decode for REAL with zero dependencies**:
+   binary netpbm images (P5/P6 -> ``decode_ppm``, pure numpy), PNG
+   (``decode_png`` — stdlib zlib inflate + the five scanline filters in
+   numpy; 8-bit gray/RGB/palette/alpha, non-interlaced), the rawvid
+   video container (``decode_rawvid``), and PCM WAV (``decode_wav``) —
+   real pixels, real nearest-neighbor resize, real per-frame luma
+   features. These paths are bit-deterministic pure functions of the
+   bytes, so they are always on, even under the stub contract.
+2. **Other compressed formats need PIL/ffmpeg**: PIL is probed at import
    (``HAS_PIL``). ``decode_stub=False`` requires it (raises
    ``NotImplementedError`` where absent — this runtime ships neither
    PIL nor ffmpeg); ``decode_stub=None`` opts into auto (real codec
@@ -120,21 +122,203 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
+# ---------------------------------------------------------------------------
+# PNG — the most common real-world image format, decoded library-free:
+# stdlib zlib inflate + the five PNG scanline filters in numpy/ints.
+# 8-bit depth, color types 0 (gray) / 2 (RGB) / 3 (palette) / 4
+# (gray+alpha) / 6 (RGBA), non-interlaced. A bit-deterministic pure
+# function of the bytes -> tier 1 (always on).
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter_scanline(
+    ft: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """One PNG scanline, filter type ``ft`` removed. Filters 0/1/2 are
+    vectorized (Sub is a per-lane mod-256 cumsum); Average/Paeth carry a
+    left-neighbor recurrence, unfiltered with a per-byte integer loop —
+    fine at gate scale, and real deployments route compressed images
+    through PIL executors when present anyway."""
+    if ft == 0:
+        return line.copy()
+    if ft == 1:  # Sub: out[x] = line[x] + out[x-bpp]
+        lanes = line.reshape(-1, bpp).astype(np.uint32)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).ravel()
+    if ft == 2:  # Up
+        return line + prev  # uint8 wraps mod 256
+    out = line.copy()
+    n = out.shape[0]
+    if ft == 3:  # Average
+        for i in range(n):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        return out
+    if ft == 4:  # Paeth
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(line[i]) + pred) & 0xFF
+        return out
+    raise ValueError(f"unknown PNG filter type {ft}")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with zero codec dependency: CRC-checked chunk
+    walk, stdlib ``zlib`` inflate, the five scanline filters removed in
+    numpy. Returns uint8 (h, w) for grayscale, (h, w, 2) gray+alpha,
+    (h, w, 3) RGB (palette images expand here), (h, w, 4) RGBA. Raises
+    ValueError on non-PNG bytes, depths other than 8, or Adam7
+    interlacing (rare in modern encoders; route through PIL)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, idat = len(PNG_MAGIC), []
+    w = h = ct = None
+    palette = None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, bitd, ct, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bitd != 8:
+                raise ValueError(f"only 8-bit depth supported, got {bitd}")
+            if ct not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {ct}")
+            if interlace:
+                raise ValueError("Adam7 interlacing not supported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    ch = _PNG_CHANNELS[ct]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        prev = _unfilter_scanline(ft, line, prev, ch)
+        out[y] = prev
+    if ct == 3:
+        if palette is None:
+            raise ValueError("palette image without PLTE chunk")
+        return palette[out.ravel()].reshape((h, w, 3))
+    return out.reshape((h, w)) if ch == 1 else out.reshape((h, w, ch))
+
+
+def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """Inverse of :func:`decode_png` for uint8 (h,w) gray / (h,w,2)
+    gray+alpha / (h,w,3) RGB / (h,w,4) RGBA. ``filter_type``: one of
+    0-4 applied to every row, or ``"mixed"`` = row index mod 5 (the
+    round-trip gate uses mixed so decode exercises all five filters)."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr.astype(np.uint8))
+    if a.ndim == 2:
+        ct, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        ch = a.shape[2]
+        ct = {2: 4, 3: 2, 4: 6}[ch]
+    else:
+        raise ValueError(f"expected (h,w[,2|3|4]) uint8, got {arr.shape}")
+    h, w = a.shape[0], a.shape[1]
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    zeros = np.zeros((1, w * ch), dtype=np.int32)
+    prev = np.vstack([zeros, flat[:-1]])
+    left = np.pad(flat, ((0, 0), (ch, 0)))[:, : w * ch]
+    upleft = np.pad(prev, ((0, 0), (ch, 0)))[:, : w * ch]
+
+    def _filter_row(y: int, ft: int) -> bytes:
+        r, p, l, ul = flat[y], prev[y], left[y], upleft[y]
+        if ft == 0:
+            f = r
+        elif ft == 1:
+            f = r - l
+        elif ft == 2:
+            f = r - p
+        elif ft == 3:
+            f = r - ((l + p) >> 1)
+        else:  # Paeth predictor
+            pr = l + p - ul
+            pa, pb, pc = np.abs(pr - l), np.abs(pr - p), np.abs(pr - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), l, np.where(pb <= pc, p, ul)
+            )
+            f = r - pred
+        return bytes([ft]) + (f % 256).astype(np.uint8).tobytes()
+
+    scan = b"".join(
+        _filter_row(y, (y % 5) if filter_type == "mixed" else int(filter_type))
+        for y in range(h)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _luma(img: np.ndarray) -> np.ndarray:
-    """ITU-R 601 grayscale — fixed coefficients, deterministic."""
+    """ITU-R 601 grayscale — fixed coefficients, deterministic. Alpha
+    channels (gray+alpha, RGBA) are dropped before weighting."""
     if img.ndim == 2:
         return img.astype(np.float64)
+    if img.shape[2] == 2:  # gray + alpha
+        return img[..., 0].astype(np.float64)
     f = img.astype(np.float64)
     return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Library-free decode chain: netpbm payloads decode for REAL (pure
-    numpy, real pixels -> luma -> chunk means); anything else falls back
-    to the deterministic byte-statistics stand-in. Both paths are pure
-    functions of the bytes — the reproducibility contract holds."""
+    """Library-free decode chain: netpbm AND PNG payloads decode for
+    REAL (pure numpy + stdlib zlib, real pixels -> luma -> chunk means);
+    anything else falls back to the deterministic byte-statistics
+    stand-in. Both paths are pure functions of the bytes — the
+    reproducibility contract holds."""
     if payload.startswith(b"P6") or payload.startswith(b"P5"):
         arr = _luma(decode_ppm(payload)).ravel()
+    elif payload.startswith(PNG_MAGIC):
+        arr = _luma(decode_png(payload)).ravel()
     else:
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if arr.size == 0:
@@ -212,14 +396,21 @@ def resize_media(
     w, h = target
 
     def _stub_resize(b: bytes) -> bytes:
-        # netpbm payloads resize for REAL: nearest-neighbor index grid
-        # (pure numpy, deterministic), re-encoded in the same format
+        # netpbm and PNG payloads resize for REAL: nearest-neighbor
+        # index grid (pure numpy, deterministic), re-encoded in the
+        # same format
         if b.startswith(b"P6") or b.startswith(b"P5"):
             img = decode_ppm(b)
             ih, iw = img.shape[0], img.shape[1]
             ys = (np.arange(h) * ih) // h
             xs = (np.arange(w) * iw) // w
             return encode_ppm(img[ys][:, xs])
+        if b.startswith(PNG_MAGIC):
+            img = decode_png(b)
+            ih, iw = img.shape[0], img.shape[1]
+            ys = (np.arange(h) * ih) // h
+            xs = (np.arange(w) * iw) // w
+            return encode_png(img[ys][:, xs])
         n = w * h
         if len(b) == 0:
             return b""

@@ -1839,3 +1839,84 @@ def q230_passage_bm25(spark, sf_dir):
         .orderBy(F.col("best_score").desc(), "doc_id")
         .limit(_Q230_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — PNG codec gate (the q205 pattern for PNG, VERDICT r2 item 2):
+# deterministic 8x8 RGB images are synthesized per returnflag
+# (pixel = md5(flag|i) % 256), ENCODED to real PNG bytes with MIXED
+# scanline filters (row y uses filter y mod 5 — decode exercises all
+# five), carried across an Arrow boundary as a Spark binary column,
+# then DECODED back via the library-free stdlib-zlib + numpy codec —
+# every pixel must equal the oracle's independent md5 arithmetic.
+# PIL-free end to end.
+# ---------------------------------------------------------------------------
+
+_Q231_W = _Q231_H = 8
+
+_Q231_ORACLE = f"""
+WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+px AS (
+  SELECT l_returnflag, CAST(s.i AS INT) AS pixel_idx,
+         CAST(('0x' || substr(md5(l_returnflag || '#' || CAST(s.i AS VARCHAR)), 1, 6))::BIGINT
+              % 256 AS INT) AS val
+  FROM flags CROSS JOIN generate_series(0, {_Q231_W * _Q231_H * 3 - 1}) AS s(i)
+)
+SELECT l_returnflag, pixel_idx, val FROM px ORDER BY 1, 2
+"""
+
+
+@register("q231_png_codec_roundtrip", _Q231_ORACLE)
+def q231_png_codec_roundtrip(spark, sf_dir):
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_png, encode_png
+
+    w, h = _Q231_W, _Q231_H
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for flag in pdf["l_returnflag"]:
+                px = np.array(
+                    [
+                        int(hashlib.md5(f"{flag}#{i}".encode()).hexdigest()[:6], 16)
+                        % 256
+                        for i in range(w * h * 3)
+                    ],
+                    dtype=np.uint8,
+                ).reshape((h, w, 3))
+                payloads.append(encode_png(px, filter_type="mixed"))
+            yield pd.DataFrame(
+                {"l_returnflag": pdf["l_returnflag"], "payload": payloads}
+            )
+
+    def decode_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for flag, b in zip(pdf["l_returnflag"], pdf["payload"]):
+                vals = decode_png(bytes(b)).ravel()
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "l_returnflag": flag,
+                            "pixel_idx": np.arange(len(vals), dtype=np.int32),
+                            "val": vals.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                columns=["l_returnflag", "pixel_idx", "val"]
+            )
+
+    flags = load(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    payloads = flags.mapInPandas(
+        make_payloads, "l_returnflag string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_pixels, "l_returnflag string, pixel_idx int, val int"
+    ).orderBy("l_returnflag", "pixel_idx")

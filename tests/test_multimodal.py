@@ -151,3 +151,88 @@ def test_wav_tolerates_extra_chunks():
     spliced = p[:fmt_end] + extra + p[fmt_end:]
     rate, back = decode_wav(spliced)
     assert np.array_equal(back, s)
+
+
+def test_png_roundtrip_all_shapes_and_filters():
+    import numpy as np
+
+    from etl_market_survey_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(42)
+    for shape in [(13, 17), (13, 17, 2), (13, 17, 3), (13, 17, 4), (1, 1)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for ft in [0, 1, 2, 3, 4, "mixed"]:
+            back = decode_png(encode_png(img, filter_type=ft))
+            assert back.shape == img.shape and (back == img).all(), (shape, ft)
+
+
+def test_png_palette_and_crc_guard():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from etl_market_survey_spark.operators.multimodal import decode_png
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    plte = b"".join(bytes([i, 255 - i, i // 2]) for i in range(4))
+    scan = b"".join(b"\x00" + bytes([0, 1, 2, 3]) for _ in range(2))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (2, 4, 3)
+    assert tuple(out[0, 1]) == (1, 254, 0)
+    assert np.array_equal(out[0], out[1])
+
+    corrupted = png[:40] + bytes([png[40] ^ 0xFF]) + png[41:]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(corrupted)
+
+
+def test_png_features_and_resize_are_real_pixels(spark):
+    import numpy as np
+
+    from etl_market_survey_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_png,
+        encode_png,
+        extract_features,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = encode_png(img, filter_type="mixed")
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = extract_features(df).collect()[0]
+    lum = (
+        0.299 * img[..., 0].astype(float)
+        + 0.587 * img[..., 1].astype(float)
+        + 0.114 * img[..., 2].astype(float)
+    ).ravel()
+    want = [c.mean() for c in np.array_split(lum, FEATURE_DIM)]
+    assert row.features == want
+
+    rrow = resize_media(df, target=(4, 4)).collect()[0]
+    got = decode_png(bytes(rrow.resized))
+    ys = (np.arange(4) * 16) // 4
+    xs = (np.arange(4) * 16) // 4
+    assert np.array_equal(got, img[ys][:, xs])
