@@ -524,3 +524,70 @@ def q139_maintained_view(spark, sf_dir):
     for v in view_versions(spark, table):
         spark.sql(f"DROP TABLE IF EXISTS {table}_v{v}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# q232 — exactly-once sink gate (VERDICT r2 item 5): the event feed
+# drains through the idempotent batch-id-overwrite parquet sink, then
+# every drained micro-batch is FORCIBLY REPLAYED through the same
+# foreachBatch writer (same batch_id, different partitioning) — the
+# at-least-once crash/retry case Structured Streaming's checkpoint
+# contract allows. A plain append sink would double the table; the
+# dynamic-partition overwrite must converge to the same rows, so the
+# post-replay aggregate hash-matches the batch oracle over the raw
+# events table bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q232_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000.0 AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q232_exactly_once_sink", _Q232_ORACLE)
+def q232_exactly_once_sink(spark, sf_dir):
+    import tempfile
+
+    from ..functions.stats import dsum
+    from ..streaming.events import read_event_stream
+    from ..streaming.sinks import (
+        idempotent_parquet_writer,
+        write_stream_idempotent,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q232_sink_")
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    q = write_stream_idempotent(stream, f"{tmp}/out", f"{tmp}/ckpt")
+    q.awaitTermination()
+
+    # forced duplicate replay of every drained batch (same batch_id,
+    # repartitioned -> different task layout); localCheckpoint pins the
+    # replay rows before their source files are overwritten
+    batches = [
+        r["_batch_id"]
+        for r in spark.read.parquet(f"{tmp}/out")
+        .select("_batch_id")
+        .distinct()
+        .collect()
+    ]
+    for bid in batches:
+        replay = (
+            spark.read.parquet(f"{tmp}/out")
+            .filter(F.col("_batch_id") == bid)
+            .drop("_batch_id")
+            .repartition(7)
+            .localCheckpoint(eager=True)
+        )
+        idempotent_parquet_writer(f"{tmp}/out")(replay, bid)
+
+    final = spark.read.parquet(f"{tmp}/out")
+    return (
+        final.groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
