@@ -144,6 +144,57 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return _sig(vec)
 
 
+def srp_signature_int(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bit string with EXACT integer signs: each
+    projection is an int64 sum of ``floor(x * (w * 1e12))`` terms over
+    pre-scaled literal plane weights, so the sign — and therefore every
+    bucket — is a pure function of (vector, planes) that any engine
+    replays bit-for-bit (``sql_srp_bits`` is the DuckDB mirror). This is
+    what upgrades SRP-bucketed operators from recall-tested to
+    exact-gated: candidate GENERATION itself becomes deterministic
+    arithmetic, not a float matmul whose near-zero dots may flip bits
+    across engines. One constant-folded nested literal array (the kmeans
+    codebook pattern), a transform + aggregate fold — O(1) expression
+    tree in the plane count."""
+    vec = _to_double(vec)
+    scaled = F.array(
+        *[
+            F.array(*[F.lit(float(w) * 1e12) for w in plane])
+            for plane in planes
+        ]
+    )
+    dots = F.transform(
+        scaled,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, w: F.floor(x * w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.array_join(
+        F.transform(
+            dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+
+
+def sql_srp_bits(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB mirror of :func:`srp_signature_int` — keep in lockstep.
+    ``vec_expr`` must be a ``DOUBLE[]`` expression."""
+    dim = len(planes[0])
+    lits = ", ".join(
+        "[" + ", ".join(repr(float(w) * 1e12) for w in plane) + "]"
+        for plane in planes
+    )
+    return (
+        f"array_to_string(list_transform([{lits}], p -> "
+        f"CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(FLOOR({vec_expr}[i] * p[i]) AS BIGINT))) >= 0 "
+        f"THEN '1' ELSE '0' END), '')"
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -294,23 +345,29 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    exact_buckets: bool = False,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket the corpus, score only the query's
-    bucket. Recall < 1 by design; the exact ``cosine_topk`` is the oracle.
+    bucket. Recall < 1 by design; the exact ``cosine_topk`` is the
+    recall baseline. ``exact_buckets=True`` uses the integer-sign
+    signature (:func:`srp_signature_int`) so the bucketing — and with it
+    the whole approximate result — is engine-replayable arithmetic,
+    giving q25 a bit-exact SQL gate instead of a rows-only check.
     """
     planes = _srp_planes(dim, n_planes, seed)
+    sig = srp_signature_int if exact_buckets else srp_signature
     c = corpus.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("_cv")
     ).select(
         id_col,
         "_cv",
         norm(F.col("_cv")).alias("_cn"),
-        srp_signature(F.col("_cv"), planes).alias("_bucket"),
+        sig(F.col("_cv"), planes).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("_qvec"),
-        srp_signature(F.col(vec_col), planes).alias("_bucket"),
+        sig(_to_double(F.col(vec_col)), planes).alias("_bucket"),
     ).withColumn("_qn", norm(F.col("_qvec")))
     scored = c.join(F.broadcast(q), on="_bucket").withColumn(
         "cos",
@@ -335,9 +392,16 @@ def embedding_neardup(
     band_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    exact_buckets: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cos)`` with
     ``id_a < id_b`` and rounded ``cos >= threshold``.
+
+    ``exact_buckets=True`` routes LSH banding through
+    :func:`srp_signature_int` (integer-sign projections over literal
+    planes) — same recall characteristics, but the whole chain becomes a
+    deterministic function a SQL oracle replays bit-for-bit (q60's exact
+    gate). The default Arrow matmul signature is the throughput path.
 
     ``mode='exact'`` — all-pairs self-join: the correctness baseline and
     the oracle for the LSH mode (O(n^2) scoring; right only when the
@@ -370,22 +434,46 @@ def embedding_neardup(
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     elif mode == "lsh":
         planes = _srp_planes(dim, n_bands * band_planes, seed)
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    srp_signature(
-                        F.col("_v"), planes[i * band_planes : (i + 1) * band_planes]
-                    ).alias("bucket"),
+        if exact_buckets:
+            bits = srp_signature_int(F.col("_v"), planes)
+            bands = F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring(
+                            F.col("_bits"), i * band_planes + 1, band_planes
+                        ).alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+            tagged = (
+                base.withColumn("_bits", bits)
+                .select("_id", F.explode(bands).alias("_bb"))
+                .select(
+                    "_id",
+                    F.col("_bb.band").alias("band"),
+                    F.col("_bb.bucket").alias("bucket"),
                 )
-                for i in range(n_bands)
-            ]
-        )
-        tagged = base.select("_id", F.explode(bands).alias("_bb")).select(
-            "_id",
-            F.col("_bb.band").alias("band"),
-            F.col("_bb.bucket").alias("bucket"),
-        )
+            )
+        else:
+            bands = F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        srp_signature(
+                            F.col("_v"),
+                            planes[i * band_planes : (i + 1) * band_planes],
+                        ).alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+            tagged = base.select("_id", F.explode(bands).alias("_bb")).select(
+                "_id",
+                F.col("_bb.band").alias("band"),
+                F.col("_bb.bucket").alias("bucket"),
+            )
         a = tagged.select(F.col("_id").alias("id_a"), "band", "bucket")
         b = tagged.select(F.col("_id").alias("id_b"), "band", "bucket")
         pairs = (

@@ -213,16 +213,55 @@ def q24_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q25 — SRP-LSH approximate top-k (no SQL oracle: approximate by design)
+# q25 — SRP-LSH approximate top-k. Approximate vs the true top-k, but
+# EXACT as a function: integer-sign projections over literal planes make
+# the bucketing deterministic arithmetic, so the oracle replays the whole
+# chain — buckets, candidate set, cosine, ranks — bit-for-bit
+# (VERDICT r2 item 6, the q117/q125 treatment applied to SRP).
 # ---------------------------------------------------------------------------
 
 
-@register("q25_srp_lsh_topk")
+def _srp_oracle_sig(vec_expr: str, n_planes: int, seed: int = 42, dim: int = 64):
+    from ..operators.similarity import _srp_planes, sql_srp_bits
+
+    return sql_srp_bits(vec_expr, _srp_planes(dim, n_planes, seed))
+
+
+def _q25_oracle() -> str:
+    bits = _srp_oracle_sig("v", 8)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sig AS (SELECT vec_id, v, {bits} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, s.vec_id,
+         ROUND(
+           list_dot_product(q.qv, s.v)
+           / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(s.v, s.v))),
+           6
+         ) AS cos
+  FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("q25_srp_lsh_topk", _q25_oracle())
 def q25_srp_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_bucket_topk(
-        emb, queries, "vec_id", "embedding", k=_K, n_planes=8, dim=64, seed=42
+        emb, queries, "vec_id", "embedding", k=_K, n_planes=8, dim=64, seed=42,
+        exact_buckets=True,
     ).orderBy("query_id", "rank")
 
 
@@ -296,21 +335,57 @@ def q57_embedding_neardup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q60 — embedding near-dup, LSH-banded scale mode (the 100 TB path; its
-# output is a recall-tested subset of q57's exact pairs, so no SQL oracle —
-# the q57 gate is the correctness witness for the shared cosine kernel)
+# q60 — embedding near-dup, LSH-banded scale mode (the 100 TB path).
+# Upgraded from rows-only to EXACT (VERDICT r2 item 6): integer-sign
+# bucketing over literal planes makes candidate generation itself
+# deterministic arithmetic, and the oracle replays banding + exact
+# scoring bit-for-bit. q233 runs the same chain at a low threshold
+# where real pairs survive, so both the empty (no-false-positive) and
+# the populated regimes are gated.
 # ---------------------------------------------------------------------------
 
 
-@register("q60_neardup_lsh")
+def _srp_neardup_oracle(
+    threshold: float, n_bands: int = 8, band_planes: int = 8
+) -> str:
+    bits = _srp_oracle_sig("v", n_bands * band_planes)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sig AS (SELECT vec_id, v, {bits} AS bits FROM e),
+tagged AS (
+  SELECT vec_id, b.band_id,
+         substr(bits, b.band_id * {band_planes} + 1, {band_planes}) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band_id) b
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM tagged a JOIN tagged b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(
+           list_dot_product(va.v, vb.v)
+           / (SQRT(list_dot_product(va.v, va.v)) * SQRT(list_dot_product(vb.v, vb.v))),
+           6
+         ) AS cos
+  FROM pairs JOIN e va ON pairs.id_a = va.vec_id
+             JOIN e vb ON pairs.id_b = vb.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold} ORDER BY id_a, id_b
+"""
+
+
+@register("q60_neardup_lsh", _srp_neardup_oracle(0.9))
 def q60_neardup_lsh(spark, sf_dir):
     """Near-dup regime (t=0.9, 8x8-bit bands): selective buckets, work =
     banding + candidate-bounded exact scoring. The synthetic embeddings
     contain no true near-dups (max pairwise cos ~= 0.51), so the correct
-    output is EMPTY — what the bench measures is the candidate machinery,
-    which is the part that exists at 100 TB. The low-threshold regime
-    (where LSH honestly loses to all-pairs) is pinned by the recall unit
-    test instead."""
+    output is EMPTY — and the oracle proves no false positive survives
+    the exact scoring stage. q233 gates the populated regime."""
     from ..operators.similarity import embedding_neardup
 
     emb = load(spark, sf_dir, "embeddings")
@@ -323,6 +398,28 @@ def q60_neardup_lsh(spark, sf_dir):
         n_bands=8,
         band_planes=8,
         seed=42,
+        exact_buckets=True,
+    ).orderBy("id_a", "id_b")
+
+
+@register("q233_neardup_lsh_low_t", _srp_neardup_oracle(0.35))
+def q233_neardup_lsh_low_t(spark, sf_dir):
+    """The populated-regime witness for q60's machinery: at t=0.35 the
+    8x8-bit bands recall a real subset of q57's exact pairs, and the
+    oracle replays buckets -> candidates -> exact cosines bit-for-bit."""
+    from ..operators.similarity import embedding_neardup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_NEARDUP_T,
+        mode="lsh",
+        n_bands=8,
+        band_planes=8,
+        seed=42,
+        exact_buckets=True,
     ).orderBy("id_a", "id_b")
 
 
