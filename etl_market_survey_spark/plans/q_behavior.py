@@ -115,6 +115,10 @@ def q195_cumulative_users(spark, sf_dir):
     news = first_day.groupBy(F.col("_fd").alias("day")).agg(
         F.count("*").alias("n_new")
     )
+    # DELIBERATE global window: it runs over the per-DAY aggregate, whose
+    # cardinality is bounded by the calendar (~thousands of rows at any
+    # corpus scale), not by the event count — the single-partition sort
+    # is a no-op cost-wise. Row-level scans never see this window.
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         active.join(news, "day", "left")

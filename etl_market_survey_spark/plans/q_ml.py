@@ -636,6 +636,10 @@ def q204_zipf_fit(spark, sf_dir):
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     top = counts.orderBy(F.col("cnt").desc(), "token").limit(_Q204_TOP)
+    # DELIBERATE global window: input is the top-_Q204_TOP (=200) token
+    # frame after the limit — bounded by construction at any corpus
+    # scale, so the single-partition rank is over 200 rows, never the
+    # token table.
     ranked = top.withColumn(
         "rk",
         F.row_number().over(
@@ -1173,6 +1177,10 @@ def q215_ks_test(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
     )
     tot = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # DELIBERATE global window over the DISTINCT-value aggregate (the
+    # empirical CDF support), not the event rows; for a truly
+    # high-cardinality value domain, swap in prefix.distributed_cumsum
+    # (same algebra, two-phase scan).
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = s.select(
         "v", F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
@@ -1635,6 +1643,10 @@ def q227_segmented_regression(spark, sf_dir):
     ).agg(
         F.floor(dsum(rev) * F.lit(1e6)).cast("decimal(38,0)").alias("yi")
     )
+    # DELIBERATE global windows: they run over the per-MONTH aggregate
+    # (x = year*12+month), whose cardinality is bounded by the calendar —
+    # a few hundred rows at any fact-table scale. The candidate-breakpoint
+    # rank below is over the same bounded frame.
     wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     wt = Window.orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
