@@ -34,8 +34,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# LCG-ish mix constants (Knuth multiplicative + Numerical Recipes) — chosen
-# to be exactly representable and overflow-free in int64 for our key ranges.
+# LCG-ish mix constants (Knuth multiplicative + Numerical Recipes). The
+# key is folded mod 2^31 BEFORE the multiply, so the arithmetic is
+# overflow-free for ANY non-negative int64 key: (2^31-1) * M1 + 4 * M3
+# < 2^63 (the unfolded form overflowed under ANSI once composite row
+# keys crossed ~3.5e9 — caught by the sf1 scale check, round 3).
 _M1 = 2_654_435_761
 _M2 = 40_503
 _M3 = 69_069
@@ -48,10 +51,13 @@ _POIS_CDF = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058, 0.9810
 def poisson_count_expr(key_expr, replica_expr):
     """Deterministic Poisson(1)-ish count in {0..4} from integer key+replica.
 
-    u = ((key*M1 + replica*M3) % 2^31) / 2^31 — identical arithmetic in any
-    engine; count = inverse-CDF bucket of u.
+    u = (((key % 2^31)*M1 + replica*M3) % 2^31) / 2^31 — identical
+    arithmetic in any engine, overflow-free for any non-negative int64
+    key; count = inverse-CDF bucket of u.
     """
-    h = (key_expr * F.lit(_M1) + replica_expr * F.lit(_M3)) % F.lit(_MOD)
+    h = (
+        (key_expr % F.lit(_MOD)) * F.lit(_M1) + replica_expr * F.lit(_M3)
+    ) % F.lit(_MOD)
     u = h.cast("double") / F.lit(float(_MOD))
     c = (
         F.when(u < _POIS_CDF[0], F.lit(0))
@@ -65,7 +71,7 @@ def poisson_count_expr(key_expr, replica_expr):
 
 def sql_poisson_count(key_expr: str, replica_expr: str) -> str:
     """DuckDB mirror of ``poisson_count_expr`` — keep in lockstep."""
-    h = f"((({key_expr}) * {_M1} + ({replica_expr}) * {_M3}) % {_MOD})"
+    h = f"(((({key_expr}) % {_MOD}) * {_M1} + ({replica_expr}) * {_M3}) % {_MOD})"
     u = f"(CAST({h} AS DOUBLE) / {_MOD}.0)"
     return (
         f"(CASE WHEN {u} < {_POIS_CDF[0]} THEN 0"

@@ -1,0 +1,193 @@
+"""sf1 scale spot-check (VERDICT r2 item 7): synthesize a 10x corpus
+from the driver's sf0.1 tables, bench the heaviest queries at both
+scales, and verify near-linear scaling — catching any hidden
+superlinear path the toy scale masks.
+
+Synthesis (deterministic, no RNG): each fact/entity table is replicated
+FACTOR times with key-space shifts that preserve the join topology and
+per-key group sizes (each replica is a disjoint copy of the world):
+
+- customer/orders/lineitem: custkey/orderkey shifted per replica,
+  lineitem rides its orders; part/supplier/nation/region stay (broadcast
+  dims — their fan-in grows linearly, like TPC-H's fixed region/nation)
+- events: event_id/user_id shifted — per-user timelines identical, so
+  sessionization/interval-join state stays per-key constant
+- documents: doc_id shifted and text prefixed with a replica token so
+  cross-replica near-dup pairs don't blow up quadratically (within-
+  replica pair structure is preserved exactly)
+- embeddings: vec_id shifted and one coordinate nudged per replica
+  (cross-replica vectors are near- but not exact duplicates)
+
+Usage: python tools/scale_check.py [--factor 10] [--out /tmp/...]
+Writes the per-query timing table to stdout as JSON; paste into
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "q194_bfs_hops",
+    "q26_bootstrap_hash",
+    "q189_kmeans_lloyd",
+    "q114_editdist_join",
+    "q139_maintained_view",
+    "q96_similarity_join",
+]
+
+SRC = "/root/testdata/sf0.1"
+
+
+def synthesize(spark, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    rep = spark.range(factor).select(F.col("id").cast("long").alias("_r"))
+
+    def load(name):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{SRC}/{name}.parquet")
+
+    def save(df, name):
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    for dim in ["region", "nation", "part", "supplier"]:
+        save(load(dim), dim)
+
+    cust = load("customer")
+    c_span = cust.agg(F.max("c_custkey")).first()[0] + 1
+    save(
+        cust.crossJoin(rep).withColumn(
+            "c_custkey", F.col("c_custkey") + F.col("_r") * c_span
+        ).drop("_r"),
+        "customer",
+    )
+
+    orders = load("orders")
+    o_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    save(
+        orders.crossJoin(rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * o_span)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("_r") * c_span)
+        .drop("_r"),
+        "orders",
+    )
+
+    li = load("lineitem")
+    save(
+        li.crossJoin(rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * o_span)
+        .drop("_r"),
+        "lineitem",
+    )
+
+    ev = load("events")
+    e_span = ev.agg(F.max("event_id")).first()[0] + 1
+    u_span = ev.agg(F.max("user_id")).first()[0] + 1
+    save(
+        ev.crossJoin(rep)
+        .withColumn("event_id", F.col("event_id") + F.col("_r") * e_span)
+        .withColumn("user_id", F.col("user_id") + F.col("_r") * u_span)
+        .drop("_r"),
+        "events",
+    )
+
+    docs = load("documents")
+    d_span = docs.agg(F.max("doc_id")).first()[0] + 1
+    save(
+        docs.crossJoin(rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * d_span)
+        .withColumn(
+            "text",
+            F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.lit("replica"),
+                    F.col("_r").cast("string"),
+                    F.lit(" "),
+                    F.col("text"),
+                )
+            ),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .drop("_r"),
+        "documents",
+    )
+
+    emb = load("embeddings")
+    v_span = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim_n = len(emb.select("embedding").first()[0])
+    save(
+        emb.crossJoin(rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * v_span)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    (F.col("_r") > 0)
+                    & (i == (F.col("_r") % F.lit(dim_n)).cast("int")),
+                    x + (F.col("_r").cast("float") / F.lit(1000.0)).cast("float"),
+                ).otherwise(x),
+            ),
+        )
+        .drop("_r"),
+        "embeddings",
+    )
+
+
+def bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from etl_market_survey_spark.plans import registry
+
+    out = {}
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+        print(f"# {sf_dir} {name}: {out[name]}s", file=sys.stderr)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    from etl_market_survey_spark.session import get_spark
+
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.skip_gen:
+        t0 = time.time()
+        synthesize(spark, args.out, args.factor)
+        print(f"# synthesized x{args.factor} in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    small = bench(spark, SRC, HEAVY)
+    big = bench(spark, args.out, HEAVY)
+    report = {
+        "factor": args.factor,
+        "queries": {
+            n: {
+                "sf0.1_s": small[n],
+                "sf1_s": big[n],
+                "ratio": round(big[n] / small[n], 2) if small[n] else None,
+            }
+            for n in HEAVY
+        },
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
