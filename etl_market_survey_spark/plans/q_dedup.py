@@ -270,12 +270,54 @@ def q25_srp_lsh_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("q52_minhash_fast")
+def _q52_oracle() -> str:
+    """Replays Spark's xxhash64 MinHash chain bit-for-bit in DuckDB:
+    the engine-specific hash is no longer a gate gap — XXH64 itself is
+    evaluated in SQL (functions/xxh64sql: recursive-CTE stripe/word
+    rounds, HUGEINT mod-2^64 multiplies), seeded per hash index with
+    the hashInt(i, 42) fold constants, then min/band/pair exactly as
+    q19's oracle."""
+    from ..functions.xxh64sql import hash_int, sql_xxhash64_str
+
+    seeds = [hash_int(i, 42) for i in range(_N_HASHES)]
+    xxh_block = sql_xxhash64_str("(SELECT DISTINCT shingle AS s FROM sh)", seeds)
+    sig_cols = ",\n    ".join(
+        f"MIN(CASE WHEN x.hi = {i} THEN x.hv END) AS h{i}"
+        for i in range(_N_HASHES)
+    )
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({sql_shingles('text', _SHINGLE_N)}) AS shingle
+  FROM documents
+),
+{xxh_block},
+sig AS (
+  SELECT sh.doc_id,
+    {sig_cols}
+  FROM sh JOIN xxh x ON sh.shingle = x.s
+  GROUP BY sh.doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+    CASE b.band_id
+      {_band_cases}
+    END AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band_id) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY 1, 2
+"""
+
+
+@register("q52_minhash_fast", _q52_oracle())
 def q52_minhash_fast(spark, sf_dir):
     """The 100 TB MinHash path: xxhash64 mode (JVM-native hashing, no md5
-    strings). Same topology as q19; no SQL oracle (xxhash64 is
-    Spark-specific) — q19's portable mode is the correctness witness for
-    the shared plan."""
+    strings). Same topology as q19 — and since round 3, EXACT: the
+    oracle replays XXH64 itself in DuckDB SQL (see _q52_oracle), so
+    'engine-specific hashing' no longer exempts the fast mode from the
+    bit-exact gate."""
     docs = load(spark, sf_dir, "documents")
     sig = minhash_signatures(
         docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_n=_SHINGLE_N, mode="xxhash64"
