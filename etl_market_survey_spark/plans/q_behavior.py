@@ -681,3 +681,57 @@ def q228_feature_store_join(spark, sf_dir):
         F.col("clicks_cum_f1x").alias("clicks_cum_f1"),
         F.col("view_mean_f2x").alias("view_mean_f2"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q234 — weighted single-source shortest paths (distributed Bellman-
+# Ford, operators/sssp) over the nation trade graph: directed edge
+# cust_nation -> supp_nation per trading pair, integer weight derived
+# from the pair's lineitem count (1 + cnt % 20). Distances are exact
+# int64 sums, so the DuckDB oracle — a bounded-hop walk enumeration
+# whose UNION-dedup state space is polynomial (V x maxdist x hops) —
+# replays the relaxation fixed point bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _q234_oracle() -> str:
+    from ..operators.sssp import sql_sssp
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(1 + (COUNT(*) % 20) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+{sql_sssp('e', 0, 24)}
+SELECT CAST(node AS BIGINT) AS node, dist FROM sssp_out ORDER BY node
+"""
+
+
+@register("q234_sssp", _q234_oracle())
+def q234_sssp(spark, sf_dir):
+    from ..operators.sssp import sssp
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg((F.lit(1) + F.count("*") % 20).cast("long").alias("w"))
+    )
+    return (
+        sssp(edges, 0, "src", "dst", "w")
+        .select(F.col("node").cast("long").alias("node"), "dist")
+        .orderBy("node")
+    )

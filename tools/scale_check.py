@@ -12,11 +12,17 @@ per-key group sizes (each replica is a disjoint copy of the world):
   dims — their fan-in grows linearly, like TPC-H's fixed region/nation)
 - events: event_id/user_id shifted — per-user timelines identical, so
   sessionization/interval-join state stays per-key constant
-- documents: doc_id shifted and text prefixed with a replica token so
-  cross-replica near-dup pairs don't blow up quadratically (within-
-  replica pair structure is preserved exactly)
-- embeddings: vec_id shifted and one coordinate nudged per replica
-  (cross-replica vectors are near- but not exact duplicates)
+- customer: c_name gets a 3-char replica tag (cross-replica edit
+  distance >= 3) so edit-distance joins scale 10x, not quadratically
+  over phantom duplicate-name clusters
+- documents: doc_id shifted and EVERY token tagged with the replica id
+  (cross-replica Jaccard ~ 0) so set-similarity joins see 10x the
+  work; within-replica pair structure is preserved exactly
+- embeddings: vec_id shifted and one coordinate nudged per replica.
+  CAVEAT: cross-replica cosine stays ~1, so embedding pair-generating
+  queries (q57/q60-style) would see quadratic phantom pairs at sf1 —
+  the heavy set only uses embeddings through row-linear operators
+  (k-means assignment), which is why they're not perturbed harder.
 
 Usage: python tools/scale_check.py [--factor 10] [--out /tmp/...]
 Writes the per-query timing table to stdout as JSON; paste into
@@ -64,9 +70,29 @@ def synthesize(spark, out_dir: str, factor: int) -> None:
     cust = load("customer")
     c_span = cust.agg(F.max("c_custkey")).first()[0] + 1
     save(
-        cust.crossJoin(rep).withColumn(
-            "c_custkey", F.col("c_custkey") + F.col("_r") * c_span
-        ).drop("_r"),
+        cust.crossJoin(rep)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("_r") * c_span)
+        # names must differ by >(typical edit threshold) across replicas,
+        # or replica copies form exact-duplicate clusters and pairwise
+        # operators (q114) go quadratic for a reason the real corpus
+        # doesn't have: a 3-char replica tag keeps cross-replica distance
+        # >= 3 while preserving within-replica name structure exactly
+        .withColumn(
+            "c_name",
+            F.when(F.col("_r") == 0, F.col("c_name")).otherwise(
+                F.concat(
+                    F.col("c_name"),
+                    F.lit(" "),
+                    F.concat_ws(
+                        "",
+                        F.col("_r").cast("string"),
+                        F.col("_r").cast("string"),
+                        F.col("_r").cast("string"),
+                    ),
+                )
+            ),
+        )
+        .drop("_r"),
         "customer",
     )
 
@@ -104,14 +130,18 @@ def synthesize(spark, out_dir: str, factor: int) -> None:
     save(
         docs.crossJoin(rep)
         .withColumn("doc_id", F.col("doc_id") + F.col("_r") * d_span)
+        # tag EVERY token with the replica id: cross-replica token sets
+        # become disjoint (Jaccard ~ 0), so set-similarity operators
+        # (q96) see 10x the work, not 100x phantom near-dup pairs the
+        # real corpus wouldn't have; within-replica structure — token
+        # counts, lengths, frequencies — is preserved exactly
         .withColumn(
             "text",
             F.when(F.col("_r") == 0, F.col("text")).otherwise(
-                F.concat(
-                    F.lit("replica"),
-                    F.col("_r").cast("string"),
-                    F.lit(" "),
+                F.regexp_replace(
                     F.col("text"),
+                    F.lit("(\\S+)"),
+                    F.concat(F.lit("$1x"), F.col("_r").cast("string")),
                 )
             ),
         )
