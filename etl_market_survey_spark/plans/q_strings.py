@@ -86,3 +86,39 @@ def q32_json_props(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — soundex-blocked phonetic candidate pairs (operators/phonetic)
+# over distinct part names: names sharing an American Soundex code are
+# candidates, exact levenshtein decides. The oracle replays the soundex
+# AUTOMATON itself in SQL (functions/soundexsql — recursive-CTE fold
+# pinned bit-exact against F.soundex, incl. the H/W-skip-no-reset and
+# non-letter-reset rules), so the phonetic blocking chain is gated end
+# to end despite DuckDB shipping no soundex.
+# ---------------------------------------------------------------------------
+
+
+def _q235_oracle() -> str:
+    from ..functions.soundexsql import sql_soundex_cte
+
+    return f"""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL
+),
+{sql_soundex_cte('names')},
+keyed AS (SELECT s AS name, sdx_code FROM sdx)
+SELECT a.name AS name_a, b.name AS name_b, a.sdx_code,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b
+  ON a.sdx_code = b.sdx_code AND a.name < b.name
+ORDER BY name_a, name_b
+"""
+
+
+@register("q235_soundex_blocking", _q235_oracle())
+def q235_soundex_blocking(spark, sf_dir):
+    from ..operators.phonetic import soundex_blocked_pairs
+
+    part = load(spark, sf_dir, "part")
+    return soundex_blocked_pairs(part, "p_name").orderBy("name_a", "name_b")
