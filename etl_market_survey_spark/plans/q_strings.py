@@ -122,3 +122,35 @@ def q235_soundex_blocking(spark, sf_dir):
 
     part = load(spark, sf_dir, "part")
     return soundex_blocked_pairs(part, "p_name").orderBy("name_a", "name_b")
+
+
+# ---------------------------------------------------------------------------
+# q236 — Jaro-Winkler name-similarity pairs (operators/phonetic) over
+# distinct part names, all-pairs baseline mode on the bounded distinct-
+# name set (the soundex-blocked mode is the scale path, recall-pinned in
+# tests). The Arrow kernel is calibrated bit-compatible with DuckDB's
+# jaro_winkler_similarity (empty-string zero, boost threshold 0.7,
+# prefix cap 4), both sides rounded to 6 — so an approximate-looking
+# fuzzy matcher is still an exactly-gated function.
+# ---------------------------------------------------------------------------
+
+_Q236_T = 0.6
+
+_Q236_ORACLE = f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+SELECT a.name AS name_a, b.name AS name_b,
+       ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+FROM names a JOIN names b ON a.name < b.name
+WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6) >= {_Q236_T}
+ORDER BY name_a, name_b
+"""
+
+
+@register("q236_jaro_winkler", _Q236_ORACLE)
+def q236_jaro_winkler(spark, sf_dir):
+    from ..operators.phonetic import jaro_winkler_pairs
+
+    part = load(spark, sf_dir, "part")
+    return jaro_winkler_pairs(part, "p_name", threshold=_Q236_T, block="all").orderBy(
+        "name_a", "name_b"
+    )

@@ -77,3 +77,51 @@ def test_blocked_pairs_share_code_and_verify(spark):
 
     capped = soundex_blocked_pairs(df, "name", max_dist=1).collect()
     assert {(r.name_a, r.name_b) for r in capped} == {("Smith", "Smyth")}
+
+
+def test_jw_model_matches_duckdb():
+    import duckdb
+    import random
+
+    from etl_market_survey_spark.operators.phonetic import jaro_winkler_py
+
+    rng = random.Random(3)
+    words = ["martha", "marhta", "dwayne", "duane", "dixon", "dicksonx",
+             "jellyfish", "smellyfish", "", "a", "ab", "same"]
+    words += ["".join(rng.choice("abcde") for _ in range(rng.randint(0, 10)))
+              for _ in range(40)]
+    con = duckdb.connect()
+    for a in words:
+        for b in words[:15]:
+            got = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert abs(got - jaro_winkler_py(a, b)) < 1e-12, (a, b)
+
+
+def test_jw_soundex_blocked_is_subset_with_high_recall(spark):
+    from etl_market_survey_spark.operators.phonetic import jaro_winkler_pairs
+
+    rows = [(i, n) for i, n in enumerate(
+        ["martha", "marhta", "marta", "dwayne", "duane", "jonathan",
+         "johnathan", "kristina", "christina", "smith", "smyth"]
+    )]
+    df = spark.createDataFrame(rows, "id long, name string")
+    full = {
+        (r.name_a, r.name_b): r.jw
+        for r in jaro_winkler_pairs(df, "name", 0.85, block="all").collect()
+    }
+    blocked = {
+        (r.name_a, r.name_b): r.jw
+        for r in jaro_winkler_pairs(df, "name", 0.85, block="soundex").collect()
+    }
+    # blocked is a subset scoring identically
+    for k, v in blocked.items():
+        assert full[k] == v
+    # phonetic variants with the same first letter are recalled
+    assert ("marhta", "martha") in blocked
+    assert ("smith", "smyth") in blocked
+    # the documented recall loss: different first letters fall outside
+    # soundex blocks (christina/kristina) — present in full, not blocked
+    assert ("christina", "kristina") in full
+    assert ("christina", "kristina") not in blocked
