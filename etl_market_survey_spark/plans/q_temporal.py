@@ -1104,3 +1104,105 @@ def q170_active_streaks(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — Theil-Sen robust trend (operators/robustfit) of monthly revenue
+# per returnflag: median of all pairwise month-slopes (breakdown ~29% —
+# one wild month can't drag the line, unlike q203's least squares). The
+# pairwise stage runs on the per-month AGGREGATE (bounded by calendar),
+# every slope is one double division of exact-decimal revenues, and the
+# medians are the interpolating percentile both engines share — the
+# oracle replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _q237_oracle() -> str:
+    from ..functions.stats import sql_dsum
+    from ..operators.robustfit import sql_theil_sen
+
+    rev = "l_extendedprice * (1.0 - l_discount)"
+    return f"""
+WITH pts AS (
+  SELECT l_returnflag AS g,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS DOUBLE) AS x,
+         {sql_dsum(rev)} AS y
+  FROM lineitem GROUP BY 1, 2
+),
+{sql_theil_sen('pts', 'l_returnflag')}
+SELECT l_returnflag, slope, intercept, n_points FROM ts_out ORDER BY l_returnflag
+"""
+
+
+@register("q237_theil_sen", _q237_oracle())
+def q237_theil_sen(spark, sf_dir):
+    from ..functions.stats import dsum
+    from ..operators.robustfit import theil_sen
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pts = li.groupBy(
+        F.col("l_returnflag"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("double")
+        .alias("_mx"),
+    ).agg(dsum(rev).alias("_my"))
+    return (
+        theil_sen(pts, ["l_returnflag"], "_mx", "_my")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — classical additive seasonal decomposition (operators/seasonal)
+# of monthly revenue per returnflag: centered MA-12 trend (half-weight
+# ends, integral decimal numerator), per-phase seasonal effects centered
+# to sum to zero, residual = y - trend - seasonal. Windows run over the
+# per-month aggregate (bounded by calendar); every division happens once
+# in double from exact decimal sums, so the oracle replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _q238_oracle() -> str:
+    from ..functions.stats import sql_dsum
+    from ..operators.seasonal import sql_seasonal_decompose
+
+    rev = "l_extendedprice * (1.0 - l_discount)"
+    return f"""
+WITH pts AS (
+  SELECT l_returnflag AS g,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS x,
+         {sql_dsum(rev)} AS y
+  FROM lineitem GROUP BY 1, 2
+),
+{sql_seasonal_decompose('pts', 12)}
+SELECT g AS l_returnflag, x AS month_x, y, trend, seasonal, resid
+FROM sd_out ORDER BY l_returnflag, month_x
+"""
+
+
+@register("q238_seasonal_decompose", _q238_oracle())
+def q238_seasonal_decompose(spark, sf_dir):
+    from ..functions.stats import dsum
+    from ..operators.seasonal import seasonal_decompose
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pts = li.groupBy(
+        F.col("l_returnflag"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("_mx"),
+    ).agg(dsum(rev).alias("_my"))
+    return (
+        seasonal_decompose(pts, ["l_returnflag"], "_mx", "_my", period=12)
+        .select(
+            "l_returnflag",
+            F.col("x").alias("month_x"),
+            "y",
+            "trend",
+            "seasonal",
+            "resid",
+        )
+        .orderBy("l_returnflag", "month_x")
+    )

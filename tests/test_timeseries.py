@@ -1,0 +1,59 @@
+"""Theil-Sen and seasonal decomposition property tests."""
+
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.operators.robustfit import theil_sen
+from etl_market_survey_spark.operators.seasonal import seasonal_decompose
+
+
+def test_theil_sen_recovers_line_exactly(spark):
+    rows = [("g", float(x), 3.0 * x + 7.0) for x in range(20)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = theil_sen(df, ["g"], "x", "y").collect()[0]
+    assert out.slope == 3.0 and out.intercept == 7.0 and out.n_points == 20
+
+
+def test_theil_sen_shrugs_off_outliers(spark):
+    rows = [("g", float(x), 2.0 * x) for x in range(21)]
+    rows[5] = ("g", 5.0, 1e6)  # one wild point
+    rows[17] = ("g", 17.0, -1e6)
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = theil_sen(df, ["g"], "x", "y").collect()[0]
+    assert abs(out.slope - 2.0) < 0.2  # OLS would be off by ~1e4
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    import math
+
+    period = 12
+    season = [10.0 * math.sin(2 * math.pi * k / period) for k in range(period)]
+    season = [s - sum(season) / period for s in season]  # centered
+    rows = [
+        ("g", x, 100.0 + 0.5 * x + season[x % period])
+        for x in range(5 * period)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = {
+        r.x: r for r in seasonal_decompose(df, ["g"], "x", "y", period).collect()
+    }
+    assert len(out) == 5 * period
+    # edges (incomplete MA window) are NULL
+    assert out[0].trend is None and out[59].trend is None
+    mid = out[30]
+    # linear trend passes through the centered MA exactly
+    assert abs(mid.trend - (100.0 + 0.5 * 30)) < 1e-6
+    # recovered seasonal effect matches the synthesized one
+    for x in range(12, 24):
+        assert abs(out[x].seasonal - season[x % period]) < 1e-6
+        assert abs(out[x].resid) < 1e-6  # noiseless input -> ~zero residual
+    # seasonal effects sum to ~zero (centering contract)
+    tot = sum(out[x].seasonal for x in range(12, 24))
+    assert abs(tot) < 1e-6
+
+
+def test_seasonal_decompose_rejects_odd_period(spark):
+    import pytest
+
+    df = spark.createDataFrame([("g", 0, 1.0)], "g string, x long, y double")
+    with pytest.raises(ValueError, match="even"):
+        seasonal_decompose(df, ["g"], "x", "y", period=7)
