@@ -166,3 +166,110 @@ p AS (
 SELECT _k AS {key_expr}, {oc}, _x AS {value_expr}, ewma
 FROM p
 """
+
+
+def holt_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing per key — the
+    trend-aware upgrade of :func:`ewma_per_key`, same stateful-
+    recurrence contract (IEEE-exact ops in a fixed order; the
+    recursive-CTE oracle replays every float bit-for-bit, q239):
+
+    ``l_1 = x_1``, ``t_1 = x_2 - x_1`` (classic init; single-row keys
+    emit a NULL trend and never recur); for i >= 2::
+
+        forecast_i = l_{i-1} + t_{i-1}          (one-step-ahead)
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + t_{i-1})
+        t_i = beta*(l_i - l_{i-1}) + (1-beta)*t_{i-1}
+    """
+    import pandas as pd
+
+    order_cols = list(order_cols)
+    d = df.select(
+        F.col(key_col), *[F.col(c) for c in order_cols], F.col(value_col)
+    )
+    fields = dict(d.dtypes)
+    schema = (
+        ", ".join(f"`{c}` {fields[c]}" for c in [key_col, *order_cols, value_col])
+        + ", level double, trend double, forecast double"
+    )
+    a = float(alpha)
+    ac = 1.0 - a
+    bt = float(beta)
+    bc = 1.0 - bt
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        xs = [float(v) for v in pdf[value_col]]
+        levels, trends, fcs = [], [], []
+        l = t = None
+        for i, x in enumerate(xs):
+            if i == 0:
+                l = x
+                t = (xs[1] - xs[0]) if len(xs) > 1 else None
+                fcs.append(None)
+            else:
+                f = l + t
+                fcs.append(f)
+                l_new = a * x + ac * (l + t)
+                t = bt * (l_new - l) + bc * t
+                l = l_new
+            levels.append(l)
+            trends.append(t)
+        pdf = pdf.copy()
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["forecast"] = fcs
+        return pdf
+
+    return d.groupBy(key_col).applyInPandas(run, schema)
+
+
+def sql_holt_per_key(
+    table: str,
+    key_expr: str,
+    order_exprs: Sequence[str],
+    value_expr: str,
+    alpha: float,
+    beta: float,
+) -> str:
+    """DuckDB mirror of :func:`holt_per_key` — keep in lockstep (the
+    recursive step spells l_i out twice so every float op matches the
+    kernel's order exactly)."""
+    a = float(alpha)
+    ac = 1.0 - a
+    bt = float(beta)
+    bc = 1.0 - bt
+    ob = ", ".join(order_exprs)
+    oc = ", ".join(order_exprs)
+    rcols = ", ".join("r." + e for e in order_exprs)
+    lnew = f"({a!r} * CAST(r._x AS DOUBLE) + {ac!r} * (p.lvl + p.tr))"
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT {key_expr} AS _k, {oc}, {value_expr} AS _x,
+         ROW_NUMBER() OVER (PARTITION BY {key_expr} ORDER BY {ob}) AS _rn,
+         LEAD({value_expr}) OVER (PARTITION BY {key_expr} ORDER BY {ob}) AS _x2
+  FROM {table}
+),
+p AS (
+  SELECT _k, {oc}, _x, _rn,
+         CAST(_x AS DOUBLE) AS lvl,
+         CAST(_x2 AS DOUBLE) - CAST(_x AS DOUBLE) AS tr,
+         CAST(NULL AS DOUBLE) AS forecast
+  FROM r WHERE _rn = 1
+  UNION ALL
+  SELECT r._k, {rcols}, r._x, r._rn,
+         {lnew},
+         {bt!r} * ({lnew} - p.lvl) + {bc!r} * p.tr,
+         p.lvl + p.tr
+  FROM r JOIN p ON r._k = p._k AND r._rn = p._rn + 1
+)
+SELECT _k AS {key_expr}, {oc}, _x AS {value_expr}, lvl AS level, tr AS trend, forecast
+FROM p
+"""

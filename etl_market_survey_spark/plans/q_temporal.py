@@ -1206,3 +1206,36 @@ def q238_seasonal_decompose(spark, sf_dir):
         )
         .orderBy("l_returnflag", "month_x")
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — Holt double-exponential (level + trend) smoothing per user
+# (operators/cusum.holt_per_key): the trend-aware monitoring smoother
+# next to q159's EWMA. A two-variable float recurrence in event order —
+# the recursive-CTE oracle replays every IEEE op bit-for-bit, incl. the
+# classic l1=x1 / t1=x2-x1 init and one-step-ahead forecasts.
+# ---------------------------------------------------------------------------
+
+_Q239_ALPHA, _Q239_BETA = 0.3, 0.1
+
+
+def _q239_oracle() -> str:
+    from ..operators.cusum import sql_holt_per_key
+
+    inner = "(SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events)"
+    body = sql_holt_per_key(
+        inner, "user_id", ["us", "event_id"], "value", _Q239_ALPHA, _Q239_BETA
+    )
+    return f"SELECT * FROM ({body}) ORDER BY user_id, us, event_id"
+
+
+@register("q239_holt_smoothing", _q239_oracle())
+def q239_holt_smoothing(spark, sf_dir):
+    from ..operators.cusum import holt_per_key
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_id", "value"
+    )
+    return holt_per_key(
+        ev, "user_id", ["us", "event_id"], "value", _Q239_ALPHA, _Q239_BETA
+    ).orderBy("user_id", "us", "event_id")

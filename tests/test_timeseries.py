@@ -57,3 +57,27 @@ def test_seasonal_decompose_rejects_odd_period(spark):
     df = spark.createDataFrame([("g", 0, 1.0)], "g string, x long, y double")
     with pytest.raises(ValueError, match="even"):
         seasonal_decompose(df, ["g"], "x", "y", period=7)
+
+
+def test_holt_smoothing_properties(spark):
+    from etl_market_survey_spark.operators.cusum import holt_per_key
+
+    # exact line: level tracks it exactly, trend constant, forecast exact
+    rows = [("u", i, 0, 5.0 + 2.0 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, us long, eid long, value double")
+    out = sorted(
+        holt_per_key(df, "k", ["us", "eid"], "value", 0.3, 0.1).collect(),
+        key=lambda r: r.us,
+    )
+    for i, r in enumerate(out):
+        assert abs(r.level - (5.0 + 2.0 * i)) < 1e-9
+        assert abs(r.trend - 2.0) < 1e-9
+        if i > 0:
+            assert abs(r.forecast - (5.0 + 2.0 * i)) < 1e-9  # one-step exact
+
+    # single-row key: level = x, trend/forecast NULL, no recurrence
+    one = spark.createDataFrame(
+        [("v", 1, 0, 7.0)], "k string, us long, eid long, value double"
+    )
+    r = holt_per_key(one, "k", ["us", "eid"], "value", 0.3, 0.1).collect()[0]
+    assert r.level == 7.0 and r.trend is None and r.forecast is None
