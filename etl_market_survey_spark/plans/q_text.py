@@ -976,3 +976,32 @@ def q157_source_kl(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — positional phrase search (operators/phrasesearch): exact
+# occurrence counts of a 2-token phrase via shifted-position-set
+# intersection over a posting-filtered inverted index (the scan keeps
+# only the phrase's tokens). The oracle slides a window over each
+# document's token array — an independent exact algorithm — and the
+# counts must hash-match.
+# ---------------------------------------------------------------------------
+
+_Q240_PHRASE = "table table"
+
+
+def _q240_oracle() -> str:
+    from ..operators.phrasesearch import sql_phrase_match_counts
+
+    body = sql_phrase_match_counts(
+        "documents", "doc_id", "text", _Q240_PHRASE
+    )
+    return f"SELECT * FROM ({body}) ORDER BY doc_id"
+
+
+@register("q240_phrase_search", _q240_oracle())
+def q240_phrase_search(spark, sf_dir):
+    from ..operators.phrasesearch import phrase_match_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return phrase_match_counts(docs, _Q240_PHRASE).orderBy("doc_id")

@@ -87,3 +87,44 @@ def test_topk_symmetric_and_ranked(spark, sf_dir):
         sims = [s for _, s, _ in rows]
         assert sims == sorted(sims, reverse=True)
         assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+
+
+def test_phrase_match_counts_overlaps_and_repeats(spark):
+    from etl_market_survey_spark.operators.phrasesearch import (
+        phrase_match_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # "a b a": overlapping matches at 0 and 2
+            (2, "a b c"),
+            (3, "b a b"),
+            (4, "x y z"),
+            (5, "A  B   a"),        # case/whitespace-normalized tokenizer
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_matches for r in phrase_match_counts(docs, "a b a").collect()}
+    assert out == {1: 2, 5: 1}  # doc 5 tokenizes to [a, b, a]
+    out2 = {r.doc_id: r.n_matches for r in phrase_match_counts(docs, "a b").collect()}
+    assert out2 == {1: 2, 2: 1, 3: 1, 5: 1}
+
+    # cross-engine parity on the same frame
+    import duckdb
+
+    from etl_market_survey_spark.operators.phrasesearch import (
+        sql_phrase_match_counts,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.collect()],
+    )
+    oracle = dict(
+        con.execute(
+            sql_phrase_match_counts("documents", "doc_id", "text", "a b a")
+        ).fetchall()
+    )
+    assert oracle == out
