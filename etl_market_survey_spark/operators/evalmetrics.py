@@ -198,3 +198,77 @@ SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
 FROM c
 """
+
+
+def bcubed(
+    df: DataFrame,
+    cluster_col: str,
+    label_col: str,
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998) — the
+    standard extrinsic score for dedup/entity clusters against gold
+    labels: per-element precision |C(e) ∩ L(e)| / |C(e)| and recall
+    |C(e) ∩ L(e)| / |L(e)|, averaged over elements. Computed from the
+    cluster-label contingency table only (never per element):
+    P = (1/N) * sum_cells n_cl^2 / n_c, R with n_l. One row out:
+    ``(bcubed_precision, bcubed_recall, bcubed_f1, n)``.
+
+    Exactness: integer contingency counts; each cell term is one double
+    division rounded to 9, summed as exact decimals; single final
+    divisions — the DuckDB oracle replays bit-for-bit (q242)."""
+    cells = df.groupBy(
+        F.col(cluster_col).alias("_c"), F.col(label_col).alias("_l")
+    ).agg(F.count("*").alias("_ncl"))
+    nc = cells.groupBy("_c").agg(F.sum("_ncl").alias("_nc"))
+    nl = cells.groupBy("_l").agg(F.sum("_ncl").alias("_nl"))
+    joined = cells.join(nc, "_c").join(nl, "_l")
+    term_p = F.round(
+        (F.col("_ncl") * F.col("_ncl")).cast("double") / F.col("_nc"), 9
+    )
+    term_r = F.round(
+        (F.col("_ncl") * F.col("_ncl")).cast("double") / F.col("_nl"), 9
+    )
+    agg = joined.agg(
+        dsum(term_p).alias("_sp"),
+        dsum(term_r).alias("_sr"),
+        F.sum("_ncl").cast("double").alias("_n"),
+    )
+    p = F.col("_sp") / F.col("_n")
+    r = F.col("_sr") / F.col("_n")
+    return agg.select(
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+        (F.lit(2.0) * (p * r) / (p + r)).alias("bcubed_f1"),
+        F.col("_n").cast("long").alias("n"),
+    )
+
+
+def sql_bcubed(pairs_cte: str) -> str:
+    """DuckDB mirror over a CTE exposing ``(c, l)`` per element — keep
+    in lockstep. Emits ``bc_out``."""
+    return f"""
+bc_cells AS (
+  SELECT c, l, COUNT(*) AS ncl FROM {pairs_cte} GROUP BY 1, 2
+),
+bc_nc AS (SELECT c, SUM(ncl) AS nc FROM bc_cells GROUP BY 1),
+bc_nl AS (SELECT l, SUM(ncl) AS nl FROM bc_cells GROUP BY 1),
+bc_terms AS (
+  SELECT ce.ncl,
+         ROUND(CAST(ce.ncl * ce.ncl AS DOUBLE) / nc.nc, 9) AS tp,
+         ROUND(CAST(ce.ncl * ce.ncl AS DOUBLE) / nl.nl, 9) AS tr
+  FROM bc_cells ce JOIN bc_nc nc ON ce.c = nc.c JOIN bc_nl nl ON ce.l = nl.l
+),
+bc_agg AS (
+  SELECT
+    CAST(SUM(CAST(FLOOR(tp * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sp,
+    CAST(SUM(CAST(FLOOR(tr * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sr,
+    CAST(SUM(ncl) AS DOUBLE) AS n
+  FROM bc_terms
+),
+bc_out AS (
+  SELECT sp / n AS bcubed_precision,
+         sr / n AS bcubed_recall,
+         2.0 * ((sp / n) * (sr / n)) / ((sp / n) + (sr / n)) AS bcubed_f1,
+         CAST(n AS BIGINT) AS n
+  FROM bc_agg
+)"""

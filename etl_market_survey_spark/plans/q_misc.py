@@ -1786,3 +1786,44 @@ def q155_winsorize(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — item-item collaborative filtering (operators/itemcf): top-5
+# similar parts by cosine over binary customer vectors, from the
+# (customer, part) implicit-feedback table. Integer co-occurrence and
+# popularity counts, one round-9 double division per pair — the oracle
+# replays the full chain. The per-user pair explosion is the standard
+# CF bound; the operator's max_user_items cap (hash-ordered truncation)
+# is the production lever, unit-tested separately.
+# ---------------------------------------------------------------------------
+
+_Q241_K, _Q241_MIN_COOC = 5, 2
+
+
+def _q241_oracle() -> str:
+    from ..operators.itemcf import sql_item_cf_topk
+
+    return f"""
+WITH ui AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+{sql_item_cf_topk('ui', _Q241_K, _Q241_MIN_COOC)}
+SELECT item_a, item_b, cooc, sim, rank FROM cf_out
+ORDER BY item_a, rank
+"""
+
+
+@register("q241_item_cf", _q241_oracle())
+def q241_item_cf(spark, sf_dir):
+    from ..operators.itemcf import item_cf_topk
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    ui = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+    )
+    return item_cf_topk(
+        ui, "cust", "part", k=_Q241_K, min_cooc=_Q241_MIN_COOC
+    ).orderBy("item_a", "rank")

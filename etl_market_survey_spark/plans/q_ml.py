@@ -1932,3 +1932,42 @@ def q231_png_codec_roundtrip(spark, sf_dir):
     return payloads.mapInPandas(
         decode_pixels, "l_returnflag string, pixel_idx int, val int"
     ).orderBy("l_returnflag", "pixel_idx")
+
+
+# ---------------------------------------------------------------------------
+# q242 — B-cubed evaluation (operators/evalmetrics.bcubed) of an
+# SRP-bucket clustering of the embeddings against their gold labels:
+# predicted cluster = integer-sign SRP signature over literal planes
+# (deterministic arithmetic, the q25/q60 machinery), so BOTH the
+# clustering and its extrinsic score replay exactly in SQL. The
+# contingency-table formulation never touches per-element pairs.
+# ---------------------------------------------------------------------------
+
+
+def _q242_oracle() -> str:
+    from ..operators.evalmetrics import sql_bcubed
+    from ..operators.similarity import _srp_planes, sql_srp_bits
+
+    bits = sql_srp_bits("list_transform(embedding, x -> CAST(x AS DOUBLE))",
+                        _srp_planes(64, 6, 99))
+    return f"""
+WITH pairs AS (
+  SELECT {bits} AS c, label AS l FROM embeddings
+),
+{sql_bcubed('pairs')}
+SELECT bcubed_precision, bcubed_recall, bcubed_f1, n FROM bc_out
+"""
+
+
+@register("q242_bcubed_eval", _q242_oracle())
+def q242_bcubed_eval(spark, sf_dir):
+    from ..operators.evalmetrics import bcubed
+    from ..operators.similarity import _srp_planes, srp_signature_int
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = _srp_planes(64, 6, 99)
+    clustered = emb.select(
+        srp_signature_int(F.col("embedding"), planes).alias("cluster"),
+        F.col("label"),
+    )
+    return bcubed(clustered, "cluster", "label")

@@ -81,3 +81,51 @@ def test_holt_smoothing_properties(spark):
     )
     r = holt_per_key(one, "k", ["us", "eid"], "value", 0.3, 0.1).collect()[0]
     assert r.level == 7.0 and r.trend is None and r.forecast is None
+
+
+def test_bcubed_hand_example(spark):
+    from etl_market_survey_spark.operators.evalmetrics import bcubed
+
+    # classic example: two clusters, labels partially mixed
+    rows = [("c1", "A"), ("c1", "A"), ("c1", "B"),
+            ("c2", "B"), ("c2", "B"), ("c2", "A")]
+    df = spark.createDataFrame(rows, "c string, l string")
+    out = bcubed(df, "c", "l").collect()[0]
+    # precision: cells (c1,A)=2,(c1,B)=1,(c2,B)=2,(c2,A)=1; nc=3 each
+    # P = (4/3 + 1/3 + 4/3 + 1/3)/6 = (10/3)/6 = 5/9
+    assert abs(out.bcubed_precision - 5 / 9) < 1e-6
+    # labels sizes both 3 -> symmetric here
+    assert abs(out.bcubed_recall - 5 / 9) < 1e-6
+    assert abs(out.bcubed_f1 - 5 / 9) < 1e-6
+    assert out.n == 6
+
+    # perfect clustering scores 1.0 everywhere
+    perf = spark.createDataFrame(
+        [("x", "A"), ("x", "A"), ("y", "B")], "c string, l string"
+    )
+    p = bcubed(perf, "c", "l").collect()[0]
+    assert p.bcubed_precision == 1.0 and p.bcubed_recall == 1.0
+
+
+def test_item_cf_hand_example(spark):
+    from etl_market_survey_spark.operators.itemcf import item_cf_topk
+
+    # users 1,2 both bought (a,b); user 3 bought (a,c)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "u long, i string")
+    out = {
+        (r.item_a, r.item_b): (r.cooc, r.sim)
+        for r in item_cf_topk(df, "u", "i", k=5, min_cooc=1).collect()
+    }
+    # cooc(a,b)=2, pop(a)=3, pop(b)=2 -> sim = 2/sqrt(6)
+    import math
+
+    assert out[("a", "b")][0] == 2
+    assert abs(out[("a", "b")][1] - round(2 / math.sqrt(6), 9)) < 1e-12
+    assert out[("a", "c")][0] == 1
+    # (b, c) never co-occur -> absent
+    assert ("b", "c") not in out
+
+    # the heavy-user cap truncates deterministically and only prunes
+    capped = item_cf_topk(df, "u", "i", k=5, min_cooc=1, max_user_items=1)
+    assert capped.count() <= len(out)
