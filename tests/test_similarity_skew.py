@@ -142,3 +142,27 @@ def test_ivf_kmeans_training_and_persistence(spark, emb, tmp_path):
     assert loaded == [[float(x) for x in c] for c in cents]
     pre = ivf_topk(emb, q, k=10, nprobe=4, centroids=loaded)
     assert {tuple(r) for r in pre.collect()} == {tuple(r) for r in km.collect()}
+
+
+def test_srp_int_arrow_equals_expr_form(spark):
+    import random
+
+    from etl_market_survey_spark.operators.similarity import (
+        _srp_planes,
+        srp_signature_int,
+        srp_signature_int_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = _srp_planes(16, 24, seed=5)
+    out = df.select(
+        "vec_id",
+        srp_signature_int(F.col("embedding"), planes).alias("a"),
+        srp_signature_int_expr(F.col("embedding"), planes).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in out)
