@@ -74,6 +74,19 @@ HEADLINE = [
     "q207_isotonic_fit",
     "q209_auc",
     "q212_rrf_fusion",
+    # r3: codecs, exactly-once sink, SRP exact gates, graph/ts/IR/CF adds
+    "q231_png_codec_roundtrip",
+    "q232_exactly_once_sink",
+    "q233_neardup_lsh_low_t",
+    "q234_sssp",
+    "q235_soundex_blocking",
+    "q236_jaro_winkler",
+    "q237_theil_sen",
+    "q238_seasonal_decompose",
+    "q239_holt_smoothing",
+    "q240_phrase_search",
+    "q241_item_cf",
+    "q242_bcubed_eval",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise

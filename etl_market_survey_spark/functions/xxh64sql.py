@@ -310,3 +310,44 @@ xxh_tail AS (
     )
   )
 )"""
+
+
+def sql_xxhash64_long_cte(
+    source_cte: str,
+    out_cte: str = "xxhl",
+    seed: int = 42,
+) -> str:
+    """CTE block computing Spark-exact ``xxhash64`` of ONE int64 column
+    — the closed ``hashLong`` form, no byte loops, so plain layered
+    selects suffice (no recursion). ``source_cte`` must expose
+    ``(v BIGINT)``; emits ``out_cte`` with ``(v, hv)`` where ``hv`` is
+    the SIGNED int64 hash, exactly ``F.xxhash64(col)`` for a LongType
+    column. Used to replay hash-ordered truncations (heavy-user caps,
+    deterministic samples) in oracles."""
+    h0 = (seed + P5 + 8) & M64
+    # k1 = rotl(v * P2, 31) * P1 ; h = rotl(h0 ^ k1, 27) * P1 + P4 ; fmix
+    uv = f"CAST((CAST(v AS HUGEINT) + {TWO64}) % {TWO64} AS UBIGINT)"
+    k1 = _mul(_rotl_sql(_mul(uv, P2), 31), P1)
+    h1 = _add(_mul(_rotl_sql(_xor(f"CAST({h0} AS UBIGINT)", "k1"), 27), P1), str(P4))
+    fmix_a = _mul("h", P2)
+    fmix_b = _mul("h", P3)
+    return f"""
+{out_cte}_k AS (SELECT v, {k1} AS k1 FROM {source_cte}),
+{out_cte}_h AS (SELECT v, {h1} AS h FROM {out_cte}_k),
+{out_cte} AS (
+  SELECT v,
+         CAST(CAST(h AS HUGEINT)
+              - CASE WHEN h >= {1 << 63} THEN CAST({TWO64} AS HUGEINT)
+                     ELSE 0 END AS BIGINT) AS hv
+  FROM (
+    SELECT v, {_xor("h", "h >> 32")} AS h FROM (
+      SELECT v, {fmix_b} AS h FROM (
+        SELECT v, {_xor("h", "h >> 29")} AS h FROM (
+          SELECT v, {fmix_a} AS h FROM (
+            SELECT v, {_xor("h", "h >> 33")} AS h FROM {out_cte}_h
+          )
+        )
+      )
+    )
+  )
+)"""

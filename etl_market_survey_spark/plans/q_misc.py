@@ -1791,23 +1791,36 @@ def q155_winsorize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q241 — item-item collaborative filtering (operators/itemcf): top-5
 # similar parts by cosine over binary customer vectors, from the
-# (customer, part) implicit-feedback table. Integer co-occurrence and
-# popularity counts, one round-9 double division per pair — the oracle
-# replays the full chain. The per-user pair explosion is the standard
-# CF bound; the operator's max_user_items cap (hash-ordered truncation)
-# is the production lever, unit-tested separately.
+# (customer, part) implicit-feedback table — WITH the production
+# heavy-user cap active: each user's history truncates to its 24
+# hash-first items (deterministic xxhash64 order), bounding the
+# per-user pair explosion that is CF's scale cliff. The oracle replays
+# the cap itself — xxhash64 of the item key via the closed hashLong
+# form in SQL (functions/xxh64sql) — then the integer co-occurrence /
+# round-9 cosine chain, bit-for-bit.
 # ---------------------------------------------------------------------------
 
-_Q241_K, _Q241_MIN_COOC = 5, 2
+_Q241_K, _Q241_MIN_COOC, _Q241_CAP = 5, 2, 24
 
 
 def _q241_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
     from ..operators.itemcf import sql_item_cf_topk
 
     return f"""
-WITH ui AS (
+WITH ui0 AS (
   SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+items AS (SELECT DISTINCT i AS v FROM ui0),
+{sql_xxhash64_long_cte('items')},
+ui AS (
+  SELECT u, i FROM (
+    SELECT ui0.u, ui0.i,
+           row_number() OVER (PARTITION BY ui0.u
+                              ORDER BY x.hv, ui0.i) AS rk
+    FROM ui0 JOIN xxhl x ON ui0.i = x.v
+  ) WHERE rk <= {_Q241_CAP}
 ),
 {sql_item_cf_topk('ui', _Q241_K, _Q241_MIN_COOC)}
 SELECT item_a, item_b, cooc, sim, rank FROM cf_out
@@ -1825,5 +1838,6 @@ def q241_item_cf(spark, sf_dir):
         F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
     )
     return item_cf_topk(
-        ui, "cust", "part", k=_Q241_K, min_cooc=_Q241_MIN_COOC
+        ui, "cust", "part", k=_Q241_K, min_cooc=_Q241_MIN_COOC,
+        max_user_items=_Q241_CAP,
     ).orderBy("item_a", "rank")
