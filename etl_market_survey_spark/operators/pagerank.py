@@ -107,3 +107,79 @@ def pagerank_fixed_point(
     # pressure) — unpersisting here would invalidate the un-checkpointed
     # tail of the recurrence.
     return pr
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_iter: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): the teleport
+    mass returns ONLY to the ``sources`` node set — scores measure
+    proximity to those seeds, the similar-entity / recommendation
+    variant of PageRank. Same integer fixed-point contract as
+    :func:`pagerank_fixed_point` (1e-12 grid, integer floor divisions,
+    q243's oracle unrolls the identical recurrence):
+
+    ``pr_0 = UNIT // |S|`` on S, 0 elsewhere;
+    ``pr_{t+1}(v) = [v in S] * ((d_den-d_num)*UNIT) // (d_den*|S|)
+    + (d_num * sum_in(pr_t // deg)) div d_den``.
+
+    ``sources`` must expose a single ``node`` column (subset of the
+    graph's nodes)."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    cuts_fire = n_iter > checkpoint_every
+    edges = edges.persist() if cuts_fire else edges
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if cuts_fire:
+        deg = deg.persist()
+        nodes = nodes.persist()
+    src_set = sources.select("node").distinct()
+    n_src = src_set.count()
+    if n_src == 0:
+        raise ValueError("personalization set is empty")
+    base = ((d_den - d_num) * UNIT) // (d_den * n_src)
+    seeded = nodes.join(
+        src_set.withColumn("_s", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("_s", F.lit(0)).alias("_s"))
+    if cuts_fire:
+        seeded = seeded.persist()
+
+    pr = seeded.select(
+        "node", (F.col("_s") * F.lit(UNIT // n_src)).cast("long").alias("pr")
+    )
+    for it in range(n_iter):
+        contrib = (
+            pr.join(deg, pr["node"] == deg["src"])
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div deg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
+        )
+        pr = seeded.join(sums, "node", "left").select(
+            "node",
+            (
+                F.col("_s") * F.lit(base)
+                + F.expr(
+                    f"({d_num} * coalesce(s, cast(0 as decimal(38,0)))) div {d_den}"
+                )
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            pr = pr.localCheckpoint(eager=True)
+    return pr

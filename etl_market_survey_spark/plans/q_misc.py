@@ -1841,3 +1841,84 @@ def q241_item_cf(spark, sf_dir):
         ui, "cust", "part", k=_Q241_K, min_cooc=_Q241_MIN_COOC,
         max_user_items=_Q241_CAP,
     ).orderBy("item_a", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q243 — personalized PageRank (operators/pagerank.personalized_pagerank)
+# over the q97 customer-supplier bipartite graph, seeded at the five
+# lowest customer keys: teleport mass returns only to the seeds, so
+# scores measure proximity to them (random walk with restart — the
+# recommendation variant). Identical integer fixed-point contract as
+# q97; the oracle unrolls the seeded recurrence.
+# ---------------------------------------------------------------------------
+
+_Q243_N_SEEDS = 5
+
+
+def _q243_oracle() -> str:
+    from ..operators.pagerank import UNIT
+
+    it = """
+pc{k} AS (
+  SELECT e.dst AS node, SUM(p.pr // dg.deg) AS s
+  FROM pp{j} p JOIN deg dg ON p.node = dg.src JOIN edges e ON e.src = p.node
+  GROUP BY 1
+),
+pp{k} AS (
+  SELECT n.node,
+         n._s * ((15 * {unit}::HUGEINT) // (100 * s.ns))
+         + (85 * COALESCE(pc{k}.s, 0)) // 100 AS pr
+  FROM seeded n CROSS JOIN sscal s LEFT JOIN pc{k} USING (node)
+)"""
+    its = ",".join(it.format(k=k, j=k - 1, unit=UNIT) for k in (1, 2, 3))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {_Q97_OFF} AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (
+  SELECT node FROM nodes WHERE node < {_Q97_OFF} ORDER BY node LIMIT {_Q243_N_SEEDS}
+),
+seeded AS (
+  SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS _s
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+),
+sscal AS (SELECT COUNT(*) AS ns FROM seeds),
+pp0 AS (
+  SELECT node, _s * ({UNIT}::HUGEINT // s.ns) AS pr
+  FROM seeded CROSS JOIN sscal s
+),
+{its}
+SELECT node, CAST(pr AS BIGINT) AS pr FROM pp3 ORDER BY node
+"""
+
+
+@register("q243_personalized_pagerank", _q243_oracle())
+def q243_personalized_pagerank(spark, sf_dir):
+    from ..operators.pagerank import personalized_pagerank, undirected_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = undirected_edges(pairs, "a", "b")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = (
+        nodes.filter(F.col("node") < _Q97_OFF)
+        .orderBy("node")
+        .limit(_Q243_N_SEEDS)
+    )
+    return personalized_pagerank(edges, seeds, n_iter=3).orderBy("node")

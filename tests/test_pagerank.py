@@ -59,3 +59,33 @@ def test_n_iter_validation(spark):
 
     with pytest.raises(ValueError):
         pagerank_fixed_point(edges, n_iter=0)
+
+
+def test_personalized_pagerank_mass_concentrates_at_seeds(spark):
+    from pyspark.sql import functions as F
+
+    from etl_market_survey_spark.operators.pagerank import (
+        UNIT,
+        personalized_pagerank,
+        undirected_edges,
+    )
+
+    # path graph 1-2-3-4-5-6; seed at node 1
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a long, b long"
+    )
+    edges = undirected_edges(pairs, "a", "b")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.pr for r in personalized_pagerank(edges, seeds, n_iter=5).collect()}
+    # proximity: mass decays with distance from the seed. The path is
+    # bipartite, so finite iterations oscillate between parities —
+    # compare distance PAIRS, which are parity-stable.
+    assert out[1] + out[2] > out[3] + out[4] > out[5] + out[6]
+    # total mass stays within the fixed-point grid of UNIT
+    assert abs(sum(out.values()) - UNIT) < 100  # floor noise only
+
+    # empty personalization set is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        personalized_pagerank(edges, seeds.filter(F.lit(False)), n_iter=1)
