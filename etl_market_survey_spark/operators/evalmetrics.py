@@ -272,3 +272,66 @@ bc_out AS (
          CAST(n AS BIGINT) AS n
   FROM bc_agg
 )"""
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction over a RESULTS table
+    (one row per hypothesis — bounded by contract, so the global
+    ordering window is a deliberate small-frame window): adds
+    ``bh_rank``, ``p_adj`` (monotone step-up, capped at 1, round-9) and
+    ``reject`` at level ``q``. Ties order deterministically through
+    ``tiebreak_cols``."""
+    order = [F.col(p_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.orderBy(*order)
+    wm = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wtail = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked = (
+        df.withColumn("bh_rank", F.row_number().over(w))
+        .withColumn("_m", F.count("*").over(wm))
+        .withColumn(
+            "_raw",
+            F.col(p_col) * F.col("_m").cast("double") / F.col("bh_rank"),
+        )
+    )
+    return (
+        ranked.withColumn(
+            "p_adj",
+            F.round(F.least(F.lit(1.0), F.min("_raw").over(wtail)), 9),
+        )
+        .withColumn("reject", F.col("p_adj") <= F.lit(float(q)))
+        .drop("_m", "_raw")
+    )
+
+
+def sql_bh_fdr(
+    results_cte: str,
+    p_expr: str,
+    q: float,
+    tiebreak_exprs: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`bh_fdr` — keep in lockstep. Emits
+    ``bh_out`` = ``results_cte`` columns + (bh_rank, p_adj, reject)."""
+    ob = ", ".join([p_expr, *tiebreak_exprs])
+    return f"""
+bh_r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY {ob}) AS bh_rank,
+         COUNT(*) OVER () AS _m
+  FROM {results_cte}
+),
+bh_out AS (
+  SELECT * EXCLUDE (_m, _raw),
+         ROUND(LEAST(1.0, MIN(_raw) OVER (
+           ORDER BY {ob}
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 9) AS p_adj,
+         ROUND(LEAST(1.0, MIN(_raw) OVER (
+           ORDER BY {ob}
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 9) <= {q!r}
+           AS reject
+  FROM (SELECT *, ({p_expr}) * CAST(_m AS DOUBLE) / bh_rank AS _raw FROM bh_r)
+)"""

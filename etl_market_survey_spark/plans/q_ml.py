@@ -1971,3 +1971,113 @@ def q242_bcubed_eval(spark, sf_dir):
         F.col("label"),
     )
     return bcubed(clustered, "cluster", "label")
+
+
+# ---------------------------------------------------------------------------
+# q245 — multiple-testing pipeline: per-brand two-proportion z-test
+# (brand's return rate vs the rest, pooled variance, round-9 sqrt),
+# p-values via the engine-shared exact erf, then Benjamini-Hochberg
+# step-up FDR (operators/evalmetrics.bh_fdr) across the 25 brands —
+# the experimentation-readout chain every metrics platform runs.
+# Integer counts, single double divisions, bounded-frame BH windows.
+# ---------------------------------------------------------------------------
+
+_Q245_Q = 0.1
+
+
+def _q245_oracle() -> str:
+    from ..functions.mathx import sql_erf
+    from ..operators.evalmetrics import sql_bh_fdr
+    from ..operators.robustfit import _SQRT2
+
+    return f"""
+WITH per AS (
+  SELECT p.p_brand,
+         COUNT(*) AS n_b,
+         SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r_b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n_b) AS n_all, SUM(r_b) AS r_all FROM per),
+tests AS (
+  SELECT p_brand,
+         CAST(n_b AS BIGINT) AS n_brand,
+         CAST(r_b AS BIGINT) AS n_returns,
+         ROUND(
+           (CAST(r_b AS DOUBLE) / n_b
+            - CAST(r_all - r_b AS DOUBLE) / (n_all - n_b))
+           / SQRT((CAST(r_all AS DOUBLE) / n_all)
+                  * (1.0 - CAST(r_all AS DOUBLE) / n_all)
+                  * (1.0 / n_b + 1.0 / (n_all - n_b))),
+           9) AS z
+  FROM per CROSS JOIN tot
+),
+scored AS (
+  SELECT p_brand, n_brand, n_returns, z,
+         ROUND(1.0 - {sql_erf(f'(abs(z) / {_SQRT2})')}, 9) AS p_value
+  FROM tests
+),
+{sql_bh_fdr('scored', 'p_value', _Q245_Q, ['p_brand'])}
+SELECT p_brand, n_brand, n_returns, z, p_value, bh_rank, p_adj, reject
+FROM bh_out ORDER BY bh_rank
+"""
+
+
+@register("q245_bh_fdr", _q245_oracle())
+def q245_bh_fdr(spark, sf_dir):
+    from ..functions.mathx import sql_erf
+    from ..operators.evalmetrics import bh_fdr
+    from ..operators.robustfit import _SQRT2
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    per = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_b"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("r_b"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_b").alias("n_all"), F.sum("r_b").alias("r_all")
+    )
+    pool = F.col("r_all").cast("double") / F.col("n_all")
+    z = F.round(
+        (
+            F.col("r_b").cast("double") / F.col("n_b")
+            - (F.col("r_all") - F.col("r_b")).cast("double")
+            / (F.col("n_all") - F.col("n_b"))
+        )
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (
+                F.lit(1.0) / F.col("n_b")
+                + F.lit(1.0) / (F.col("n_all") - F.col("n_b"))
+            )
+        ),
+        9,
+    )
+    scored = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("z", z)
+        .withColumn(
+            "p_value",
+            F.round(
+                F.lit(1.0) - F.expr(sql_erf(f"(abs(z) / {_SQRT2})")), 9
+            ),
+        )
+        .select(
+            "p_brand",
+            F.col("n_b").cast("long").alias("n_brand"),
+            F.col("r_b").cast("long").alias("n_returns"),
+            "z",
+            "p_value",
+        )
+    )
+    return bh_fdr(
+        scored, "p_value", q=_Q245_Q, tiebreak_cols=["p_brand"]
+    ).orderBy("bh_rank")

@@ -1239,3 +1239,49 @@ def q239_holt_smoothing(spark, sf_dir):
     return holt_per_key(
         ev, "user_id", ["us", "event_id"], "value", _Q239_ALPHA, _Q239_BETA
     ).orderBy("user_id", "us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q244 — Mann-Kendall monotone-trend test (operators/robustfit) of
+# monthly revenue per returnflag: the significance companion to q237's
+# Theil-Sen slope (the pair the monitoring literature prescribes
+# together). S is an exact integer pair-sign sum; the tie-corrected
+# variance is integer arithmetic over one double division; p-values go
+# through the engine-shared exact erf expression.
+# ---------------------------------------------------------------------------
+
+
+def _q244_oracle() -> str:
+    from ..functions.stats import sql_dsum
+    from ..operators.robustfit import sql_mann_kendall
+
+    rev = "l_extendedprice * (1.0 - l_discount)"
+    return f"""
+WITH pts AS (
+  SELECT l_returnflag AS g,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS DOUBLE) AS x,
+         {sql_dsum(rev)} AS y
+  FROM lineitem GROUP BY 1, 2
+),
+{sql_mann_kendall('pts', 'l_returnflag')}
+SELECT l_returnflag, s_stat, var_s, z, p_value, n_points FROM mk_out
+ORDER BY l_returnflag
+"""
+
+
+@register("q244_mann_kendall", _q244_oracle())
+def q244_mann_kendall(spark, sf_dir):
+    from ..functions.stats import dsum
+    from ..operators.robustfit import mann_kendall
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pts = li.groupBy(
+        F.col("l_returnflag"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("double")
+        .alias("_mx"),
+    ).agg(dsum(rev).alias("_my"))
+    return mann_kendall(pts, ["l_returnflag"], "_mx", "_my").orderBy(
+        "l_returnflag"
+    )

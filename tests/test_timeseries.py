@@ -129,3 +129,39 @@ def test_item_cf_hand_example(spark):
     # the heavy-user cap truncates deterministically and only prunes
     capped = item_cf_topk(df, "u", "i", k=5, min_cooc=1, max_user_items=1)
     assert capped.count() <= len(out)
+
+
+def test_mann_kendall_trend_and_no_trend(spark):
+    from etl_market_survey_spark.operators.robustfit import mann_kendall
+
+    up = [("u", float(i), float(i) * 1.5) for i in range(15)]
+    flat = [("f", float(i), 3.0) for i in range(15)]
+    df = spark.createDataFrame(up + flat, "g string, x double, y double")
+    out = {r.g: r for r in mann_kendall(df, ["g"], "x", "y").collect()}
+    # strictly increasing: S = C(15,2) = 105, tiny p
+    assert out["u"].s_stat == 105
+    assert out["u"].p_value < 1e-4
+    # constant: S = 0, variance fully tie-corrected to 0, p = 1
+    assert out["f"].s_stat == 0
+    assert out["f"].var_s == 0.0 and out["f"].p_value >= 0.999999  # erf(0) approx leaves round-9 residue
+
+
+def test_bh_fdr_step_up(spark):
+    from etl_market_survey_spark.operators.evalmetrics import bh_fdr
+
+    rows = [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.5), ("e", 0.9)]
+    df = spark.createDataFrame(rows, "h string, p double")
+    out = {r.h: r for r in bh_fdr(df, "p", q=0.1, tiebreak_cols=["h"]).collect()}
+    # adj_i = min_{j>=i} p_j * m / j
+    assert abs(out["a"].p_adj - 0.05) < 1e-9      # min(.01*5/1=.05, .05, .05, .625, .9)
+    assert abs(out["b"].p_adj - 0.05) < 1e-9      # .02*5/2 = .05
+    assert abs(out["c"].p_adj - 0.05) < 1e-9      # .03*5/3 = .05
+    assert abs(out["d"].p_adj - 0.625) < 1e-9
+    assert abs(out["e"].p_adj - 0.9) < 1e-9
+    assert out["a"].reject and out["b"].reject and out["c"].reject
+    assert not out["d"].reject and not out["e"].reject
+    # monotone nondecreasing in rank
+    ordered = sorted(out.values(), key=lambda r: r.bh_rank)
+    assert all(
+        x.p_adj <= y.p_adj for x, y in zip(ordered, ordered[1:])
+    )
