@@ -61,17 +61,46 @@ def q55_cube(spark, sf_dir):
     )
 
 
-@register("q56_approx_distinct")
+_Q56_RSD = 0.02
+
+
+def _q56_oracle() -> str:
+    """Since round 3, Spark's HLL++ itself replays in SQL
+    (functions/hllsql): xxhash64 closed hashLong form, register maxes,
+    the SEQUENTIAL float fold of 1/2^M (rounding order is semantics),
+    linear-counting and 6-NN empirical-bias-correction branches over
+    the published tables — so the 'engine-specific sketch' is now a
+    bit-exact-gated function of the key set."""
+    from ..functions.hllsql import sql_hll_count_longs
+
+    return f"""
+WITH RECURSIVE gp AS (
+  SELECT DISTINCT l_returnflag AS g, l_orderkey AS v FROM lineitem
+),
+{sql_hll_count_longs('gp', _Q56_RSD)},
+cnts AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+)
+SELECT c.l_returnflag,
+       CAST(h.approx AS BIGINT) AS approx_orders,
+       CAST(c.n_rows AS BIGINT) AS n_rows
+FROM cnts c JOIN hll_out h ON c.l_returnflag = h.g
+ORDER BY c.l_returnflag
+"""
+
+
+@register("q56_approx_distinct", _q56_oracle())
 def q56_approx_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct counts — the 100 TB counting
-    path (bounded sketch state vs an exact distinct's full shuffle). No
-    SQL oracle: HLL sketches are engine-specific; the error bound against
-    the exact count is asserted in tests."""
+    path (bounded sketch state vs an exact distinct's full shuffle).
+    EXACT since round 3: the oracle replays Spark's HLL++ end to end
+    (see _q56_oracle); the error bound against the exact count stays
+    asserted in tests."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=_Q56_RSD).alias("approx_orders"),
             F.count("*").alias("n_rows"),
         )
         .orderBy("l_returnflag")
@@ -99,15 +128,97 @@ def q43_rollup(spark, sf_dir):
     ).orderBy("region_name", "nation_name")
 
 
-@register("q90_kmv_set_ops")
+_Q90_K = 512
+
+
+def _q90_oracle() -> str:
+    """Since round 3 the 'engine-specific xxhash64' excuse is gone: the
+    closed hashLong form replays in SQL (functions/xxh64sql), so the
+    ENTIRE sketch chain — hashing, k-smallest selection, theta, the
+    (k-1)/theta estimator, union/intersection/Jaccard set algebra with
+    strict below-theta cuts — is oracle-replayable bit-for-bit."""
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    k = _Q90_K
+    two63 = "9223372036854775808.0"
+    two64 = "18446744073709551616.0"
+    frac = lambda h: f"((CAST({h} AS DOUBLE) + {two63}) / {two64})"  # noqa: E731
+
+    def side(out, src):
+        return f"""
+{out}_keep AS (
+  SELECT DISTINCT hv FROM {src} ORDER BY hv LIMIT {k}
+),
+{out}_st AS (
+  SELECT COUNT(*) AS cnt, MAX(hv) AS kth FROM {out}_keep
+),
+{out}_est AS (
+  SELECT cnt,
+         CASE WHEN cnt < {k} THEN 1.0 ELSE {frac('kth')} END AS theta,
+         CASE WHEN cnt < {k} THEN CAST(cnt AS DOUBLE)
+              ELSE ({k} - 1) / {frac('kth')} END AS est
+  FROM {out}_st
+)"""
+
+    return f"""
+WITH la AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
+{sql_xxhash64_long_cte('la', out_cte='xha')},
+lb AS (SELECT DISTINCT o_orderkey AS v FROM orders WHERE o_orderstatus = 'F'),
+{sql_xxhash64_long_cte('lb', out_cte='xhb')},
+{side('sa', 'xha')},
+{side('sb', 'xhb')},
+u_keep AS (
+  SELECT DISTINCT hv FROM (
+    SELECT hv FROM sa_keep UNION SELECT hv FROM sb_keep
+  ) ORDER BY hv LIMIT {k}
+),
+u_st AS (SELECT COUNT(*) AS cnt, MAX(hv) AS kth FROM u_keep),
+u_est AS (
+  SELECT CASE WHEN cnt < {k} THEN CAST(cnt AS DOUBLE)
+              ELSE ({k} - 1) / {frac('kth')} END AS est
+  FROM u_st
+),
+th AS (
+  SELECT LEAST(a.theta, b.theta) AS theta
+  FROM sa_est a CROSS JOIN sb_est b
+),
+a_below AS (
+  SELECT hv FROM sa_keep CROSS JOIN th WHERE {frac('hv')} < th.theta
+),
+b_below AS (
+  SELECT hv FROM sb_keep CROSS JOIN th WHERE {frac('hv')} < th.theta
+),
+inter AS (
+  SELECT COUNT(*) AS nb FROM (
+    SELECT hv FROM a_below INTERSECT SELECT hv FROM b_below
+  )
+),
+uni AS (
+  SELECT COUNT(*) AS nu FROM (
+    SELECT hv FROM a_below UNION SELECT hv FROM b_below
+  )
+)
+SELECT ROUND(sa_est.est, 3) AS est_lineitem_orders,
+       ROUND(sb_est.est, 3) AS est_filtered_orders,
+       ROUND(u_est.est, 3) AS est_union,
+       ROUND(CAST(inter.nb AS DOUBLE) / th.theta, 3) AS est_intersect,
+       ROUND(CASE WHEN uni.nu = 0 THEN 0.0
+                  ELSE CAST(inter.nb AS DOUBLE) / uni.nu END, 6) AS est_jaccard
+FROM sa_est CROSS JOIN sb_est CROSS JOIN u_est
+CROSS JOIN th CROSS JOIN inter CROSS JOIN uni
+"""
+
+
+@register("q90_kmv_set_ops", _q90_oracle())
 def q90_kmv_set_ops(spark, sf_dir):
     """KMV ("theta") distinct sketch set operations — the bounded-state
     path for distinct-cardinality algebra at 100 TB: estimate the
     distinct order keys on each side of lineitem ⋈ orders and their
     union/intersection/Jaccard WITHOUT a full distinct shuffle (the only
-    exchange is ~k candidate hashes per side). No SQL oracle: sketch
-    hashes are engine-specific (xxhash64); error bounds vs exact counts
-    are asserted in tests. Deterministic — no RNG, so rows are stable."""
+    exchange is ~k candidate hashes per side). EXACT since round 3: the
+    oracle replays xxhash64's closed hashLong form in SQL and with it
+    the whole theta-sketch algebra (see _q90_oracle). Deterministic —
+    no RNG, so every estimate is a pure function of the key sets."""
     from ..operators.sketch import kmv_build
 
     li = load(spark, sf_dir, "lineitem")

@@ -66,3 +66,50 @@ def test_sql_replay_matches_model():
     assert len(rows) == len(strings) * 4
     for s, hi, hv in rows:
         assert hv == xxhash64_int_str(hi, s), (repr(s), hi)
+
+
+def test_hll_model_matches_spark(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_market_survey_spark.functions.hllsql import hll_count_longs
+
+    rng = random.Random(31)
+    for n, rsd in [(30, 0.05), (5000, 0.02), (60000, 0.02), (20000, 0.05)]:
+        vals = [rng.randint(-2**62, 2**62) for _ in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = df.agg(F.approx_count_distinct("v", rsd=rsd)).first()[0]
+        assert got == hll_count_longs(vals, rsd), (n, rsd)
+
+
+def test_hll_sql_matches_model():
+    import random
+
+    import duckdb
+
+    from etl_market_survey_spark.functions.hllsql import (
+        hll_count_longs,
+        sql_hll_count_longs,
+    )
+
+    rng = random.Random(29)
+    datasets = {
+        "tiny": [rng.randint(0, 10**5) for _ in range(25)],       # linear count
+        "mid": [rng.randint(0, 10**9) for _ in range(7000)],      # bias branch
+        "big": [rng.randint(-2**60, 2**60) for _ in range(70000)],  # raw branch
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (g VARCHAR, v BIGINT)")
+    for g, vals in datasets.items():
+        con.executemany(
+            "INSERT INTO pairs VALUES (?, ?)", [(g, v) for v in set(vals)]
+        )
+    sql = (
+        "WITH RECURSIVE gp AS (SELECT DISTINCT g, v FROM pairs),\n"
+        + sql_hll_count_longs("gp", 0.05)
+        + "\nSELECT g, approx FROM hll_out"
+    )
+    rows = dict(con.execute(sql).fetchall())
+    for g, vals in datasets.items():
+        assert rows[g] == hll_count_longs(set(vals), 0.05), g
