@@ -327,14 +327,78 @@ def q52_minhash_fast(spark, sf_dir):
     )
 
 
-@register("q40_ivf_topk")
+def _q40_oracle() -> str:
+    """The serving path is exact-gateable: with the trained centroids
+    FROZEN as literals (the production train-once/persist/serve shape),
+    assignment, nprobe probing, cosine scoring and ranking are all
+    deterministic functions the oracle replays — cell order by
+    (dot DESC, cell DESC) mirrors the reversed ascending struct sort."""
+    from ..operators._ivf_centroids import Q40_CENTROIDS
+
+    cent_rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(Q40_CENTROIDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents(cell, cv) AS (VALUES
+    {cent_rows}
+),
+scored_cells AS (
+  SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS s
+  FROM e CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rk
+  FROM scored_cells
+),
+corpus AS (
+  SELECT rc.vec_id, rc.cell, e.v
+  FROM ranked_cells rc JOIN e ON rc.vec_id = e.vec_id
+  WHERE rc.rk = 1
+),
+probes AS (
+  SELECT rc.vec_id AS query_id, rc.cell, e.v AS qv
+  FROM ranked_cells rc JOIN e ON rc.vec_id = e.vec_id
+  WHERE rc.vec_id < 5 AND rc.rk <= 4
+),
+cand AS (
+  SELECT p.query_id, c.vec_id,
+         ROUND(
+           list_dot_product(p.qv, c.v)
+           / (SQRT(list_dot_product(p.qv, p.qv)) * SQRT(list_dot_product(c.v, c.v))),
+           6
+         ) AS cos
+  FROM probes p JOIN corpus c ON p.cell = c.cell AND c.vec_id <> p.query_id
+),
+rnk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cos, rank FROM rnk WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("q40_ivf_topk", _q40_oracle())
 def q40_ivf_topk(spark, sf_dir):
+    """IVF ANN serving from FROZEN trained centroids (train once,
+    persist, serve — the production shape). EXACT since round 3: the
+    literal-centroid chain replays end to end in the oracle; the live
+    trainer's determinism stays unit-tested separately."""
+    from ..operators._ivf_centroids import Q40_CENTROIDS
     from ..operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(
-        emb, queries, "vec_id", "embedding", k=_K, n_cells=16, nprobe=4, seed=42
+        emb, queries, "vec_id", "embedding", k=_K, n_cells=16, nprobe=4,
+        seed=42, centroids=Q40_CENTROIDS,
     ).orderBy("query_id", "rank")
 
 
