@@ -204,3 +204,47 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: graph/ts/IR/CF/phonetic batches
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q234_sssp",
+        "q235_soundex_blocking",
+        "q237_theil_sen",
+        "q238_seasonal_decompose",
+        "q240_phrase_search",
+        "q241_item_cf",
+        "q243_personalized_pagerank",
+        "q244_mann_kendall",
+        "q245_bh_fdr",
+    ],
+)
+def test_r3_no_cartesian_and_codegen(static_plan, name):
+    # (q236's all-pairs baseline mode deliberately cross-joins the
+    # bounded distinct-name set and is excluded; its soundex-blocked
+    # scale mode joins on the code.)
+    plan = static_plan(name)
+    assert "CartesianProduct" not in plan, name
+    assert re.search(r"\*\(\d+\)", plan), name
+
+
+def test_q240_postings_filter_reaches_scan(static_plan):
+    # phrase search must filter to the phrase's tokens BEFORE the
+    # groupBy(doc) shuffle: the exploded token stream is filtered by an
+    # IN list, so the aggregation input is posting-sized, not corpus-
+    # token-sized
+    plan = static_plan("q240_phrase_search")
+    assert "CartesianProduct" not in plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    # one shuffle on doc_id for the position-set aggregation (plus the
+    # output sort's range exchange)
+    assert len(shuffles) <= 2, plan[:1500]
