@@ -176,7 +176,7 @@ def holt_per_key(
     alpha: float,
     beta: float,
 ) -> DataFrame:
-    """Holt double-exponential (level + trend) smoothing per key — the
+    """Holt (1957) double-exponential (level + trend) smoothing per key — the
     trend-aware upgrade of :func:`ewma_per_key`, same stateful-
     recurrence contract (IEEE-exact ops in a fixed order; the
     recursive-CTE oracle replays every float bit-for-bit, q239):

@@ -280,7 +280,7 @@ def bh_fdr(
     q: float = 0.05,
     tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Benjamini-Hochberg step-up FDR correction over a RESULTS table
+    """Benjamini-Hochberg (1995) step-up FDR correction over a RESULTS table
     (one row per hypothesis — bounded by contract, so the global
     ordering window is a deliberate small-frame window): adds
     ``bh_rank``, ``p_adj`` (monotone step-up, capped at 1, round-9) and

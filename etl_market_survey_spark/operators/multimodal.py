@@ -125,14 +125,49 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 # PNG — the most common real-world image format, decoded library-free:
 # stdlib zlib inflate + the five PNG scanline filters in numpy/ints.
-# 8-bit depth, color types 0 (gray) / 2 (RGB) / 3 (palette) / 4
-# (gray+alpha) / 6 (RGBA), non-interlaced. A bit-deterministic pure
-# function of the bytes -> tier 1 (always on).
+# Bit depths 8 and 16, color types 0 (gray) / 2 (RGB) / 3 (palette) /
+# 4 (gray+alpha) / 6 (RGBA), both progressive layouts (non-interlaced
+# and Adam7). A bit-deterministic pure function of the bytes -> tier 1
+# (always on).
 # ---------------------------------------------------------------------------
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _decode_scanlines(
+    raw: bytes, offset: int, w: int, h: int, ch: int, depth: int
+) -> tuple["np.ndarray", int]:
+    """Unfilter one scanline block (a whole image or one Adam7 pass):
+    returns ``(samples, bytes_consumed)`` with samples shaped
+    (h, w*ch) in uint8 (depth 8) or uint16 (depth 16, big-endian
+    words per spec). Filters operate bytewise with bpp = ch * depth/8."""
+    sb = depth // 8
+    stride = w * ch * sb
+    bpp = ch * sb
+    need = h * (stride + 1)
+    if offset + need > len(raw):
+        raise ValueError("IDAT too short for dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = offset
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        prev = _unfilter_scanline(ft, line, prev, bpp)
+        out[y] = prev
+        pos += 1 + stride
+    if depth == 16:
+        pairs = out.reshape(h, w * ch, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1], pos - offset
+    return out, pos - offset
 
 
 def _unfilter_scanline(
@@ -173,17 +208,18 @@ def _unfilter_scanline(
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode with zero codec dependency: CRC-checked chunk
     walk, stdlib ``zlib`` inflate, the five scanline filters removed in
-    numpy. Returns uint8 (h, w) for grayscale, (h, w, 2) gray+alpha,
-    (h, w, 3) RGB (palette images expand here), (h, w, 4) RGBA. Raises
-    ValueError on non-PNG bytes, depths other than 8, or Adam7
-    interlacing (rare in modern encoders; route through PIL)."""
+    numpy; bit depths 8 and 16 (big-endian words -> uint16 output),
+    non-interlaced AND Adam7 progressive layouts. Returns (h, w) for
+    grayscale, (h, w, 2) gray+alpha, (h, w, 3) RGB (palette images
+    expand here), (h, w, 4) RGBA — dtype uint8 or uint16 per depth.
+    Raises ValueError on non-PNG bytes or unsupported depth/type."""
     import struct
     import zlib
 
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     pos, idat = len(PNG_MAGIC), []
-    w = h = ct = None
+    w = h = ct = bitd = interlace = None
     palette = None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -198,12 +234,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, bitd, ct, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bitd != 8:
-                raise ValueError(f"only 8-bit depth supported, got {bitd}")
+            if bitd not in (8, 16):
+                raise ValueError(f"only 8/16-bit depth supported, got {bitd}")
             if ct not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported color type {ct}")
-            if interlace:
-                raise ValueError("Adam7 interlacing not supported")
+            if ct == 3 and bitd != 8:
+                raise ValueError("palette images require depth 8")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -215,49 +253,44 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("no IHDR chunk")
     ch = _PNG_CHANNELS[ct]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        off = y * (stride + 1)
-        ft = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-        prev = _unfilter_scanline(ft, line, prev, ch)
-        out[y] = prev
+    dtype = np.uint16 if bitd == 16 else np.uint8
+    if interlace == 0:
+        grid, used = _decode_scanlines(raw, 0, w, h, ch, bitd)
+        if used != len(raw):
+            raise ValueError("IDAT length does not match dimensions")
+        full = grid.reshape(h, w, ch)
+    else:  # Adam7: seven sub-images, each its own filtered block
+        full = np.zeros((h, w, ch), dtype=dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = len(range(x0, w, dx))
+            ph = len(range(y0, h, dy))
+            if pw == 0 or ph == 0:
+                continue
+            sub, used = _decode_scanlines(raw, off, pw, ph, ch, bitd)
+            off += used
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("IDAT length does not match Adam7 passes")
     if ct == 3:
         if palette is None:
             raise ValueError("palette image without PLTE chunk")
-        return palette[out.ravel()].reshape((h, w, 3))
-    return out.reshape((h, w)) if ch == 1 else out.reshape((h, w, ch))
+        return palette[full.reshape(h, w)].reshape((h, w, 3))
+    return full.reshape((h, w)) if ch == 1 else full
 
 
-def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
-    """Inverse of :func:`decode_png` for uint8 (h,w) gray / (h,w,2)
-    gray+alpha / (h,w,3) RGB / (h,w,4) RGBA. ``filter_type``: one of
-    0-4 applied to every row, or ``"mixed"`` = row index mod 5 (the
-    round-trip gate uses mixed so decode exercises all five filters)."""
-    import struct
-    import zlib
-
-    a = np.ascontiguousarray(arr.astype(np.uint8))
-    if a.ndim == 2:
-        ct, ch = 0, 1
-        a = a[:, :, None]
-    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
-        ch = a.shape[2]
-        ct = {2: 4, 3: 2, 4: 6}[ch]
-    else:
-        raise ValueError(f"expected (h,w[,2|3|4]) uint8, got {arr.shape}")
-    h, w = a.shape[0], a.shape[1]
-    flat = a.reshape(h, w * ch).astype(np.int32)
-    zeros = np.zeros((1, w * ch), dtype=np.int32)
+def _filter_block(block: "np.ndarray", bpp: int, filter_type) -> bytes:
+    """Filter a scanline block (one image or one Adam7 pass): ``block``
+    is (h, stride) uint8 sample bytes; returns the filtered scanlines
+    with their per-row filter-type prefix bytes."""
+    h = block.shape[0]
+    flat = block.astype(np.int32)
+    zeros = np.zeros((1, block.shape[1]), dtype=np.int32)
     prev = np.vstack([zeros, flat[:-1]])
-    left = np.pad(flat, ((0, 0), (ch, 0)))[:, : w * ch]
-    upleft = np.pad(prev, ((0, 0), (ch, 0)))[:, : w * ch]
+    left = np.pad(flat, ((0, 0), (bpp, 0)))[:, : block.shape[1]]
+    upleft = np.pad(prev, ((0, 0), (bpp, 0)))[:, : block.shape[1]]
 
-    def _filter_row(y: int, ft: int) -> bytes:
+    def _row(y: int, ft: int) -> bytes:
         r, p, l, ul = flat[y], prev[y], left[y], upleft[y]
         if ft == 0:
             f = r
@@ -276,10 +309,60 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
             f = r - pred
         return bytes([ft]) + (f % 256).astype(np.uint8).tobytes()
 
-    scan = b"".join(
-        _filter_row(y, (y % 5) if filter_type == "mixed" else int(filter_type))
+    return b"".join(
+        _row(y, (y % 5) if filter_type == "mixed" else int(filter_type))
         for y in range(h)
     )
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int | str = 0, interlace: bool = False
+) -> bytes:
+    """Inverse of :func:`decode_png` for (h,w) gray / (h,w,2)
+    gray+alpha / (h,w,3) RGB / (h,w,4) RGBA — uint8 (depth 8) or
+    uint16 (depth 16, big-endian words). ``filter_type``: one of 0-4
+    applied to every row, or ``"mixed"`` = row index mod 5 (the
+    round-trip gate uses mixed so decode exercises all five filters).
+    ``interlace=True`` writes the Adam7 progressive layout."""
+    import struct
+    import zlib
+
+    depth = 16 if np.asarray(arr).dtype == np.uint16 else 8
+    a = np.ascontiguousarray(
+        arr.astype(np.uint16 if depth == 16 else np.uint8)
+    )
+    if a.ndim == 2:
+        ct, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        ch = a.shape[2]
+        ct = {2: 4, 3: 2, 4: 6}[ch]
+    else:
+        raise ValueError(f"expected (h,w[,2|3|4]), got {arr.shape}")
+    h, w = a.shape[0], a.shape[1]
+    sb = depth // 8
+    bpp = ch * sb
+
+    def to_bytes(sub: "np.ndarray") -> "np.ndarray":
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth == 16:
+            s16 = sub.reshape(ph, pw * ch).astype(np.uint16)
+            out = np.empty((ph, pw * ch * 2), dtype=np.uint8)
+            out[:, 0::2] = (s16 >> 8).astype(np.uint8)
+            out[:, 1::2] = (s16 & 0xFF).astype(np.uint8)
+            return out
+        return sub.reshape(ph, pw * ch).astype(np.uint8)
+
+    if not interlace:
+        scan = _filter_block(to_bytes(a), bpp, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(_filter_block(to_bytes(sub), bpp, filter_type))
+        scan = b"".join(parts)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -289,7 +372,7 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 1 if interlace else 0)
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)

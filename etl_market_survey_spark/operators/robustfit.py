@@ -1,5 +1,6 @@
-"""Theil-Sen robust slope estimation (beyond reference — the
-outlier-immune companion to the least-squares fits in q203/q227).
+"""Theil-Sen robust slope estimation (Theil 1950; Sen 1968) — beyond
+reference; the outlier-immune companion to the least-squares fits in
+q203/q227.
 
 slope = median of all pairwise slopes (y_j - y_i)/(x_j - x_i) over
 x_i < x_j; intercept = median of (y_i - slope * x_i). Breakdown point
@@ -90,7 +91,8 @@ def mann_kendall(
     x_col: str,
     y_col: str,
 ) -> DataFrame:
-    """Mann-Kendall monotone-trend test per group — the significance
+    """Mann-Kendall monotone-trend test (Mann 1945; Kendall 1975) per
+    group — the significance
     companion to :func:`theil_sen` (the pair the monitoring literature
     prescribes together): ``S = sum over time-ordered pairs of
     sign(y_j - y_i)`` (an exact integer), tie-corrected variance

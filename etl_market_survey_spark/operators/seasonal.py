@@ -1,5 +1,6 @@
-"""Classical additive seasonal decomposition (beyond reference — the
-time-series triage every metrics pipeline runs before alerting:
+"""Classical additive seasonal decomposition (Macaulay 1931 moving-
+average method, the statsmodels `seasonal_decompose` recipe) — beyond
+reference; the time-series triage every metrics pipeline runs before alerting:
 y = trend + seasonal + residual).
 
 The textbook moving-average decomposition for an even period p (the

@@ -236,3 +236,25 @@ def test_png_features_and_resize_are_real_pixels(spark):
     ys = (np.arange(4) * 16) // 4
     xs = (np.arange(4) * 16) // 4
     assert np.array_equal(got, img[ys][:, xs])
+
+
+def test_png_16bit_and_adam7_roundtrip():
+    import numpy as np
+
+    from etl_market_survey_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(13, 17), (13, 17, 3), (13, 17, 4), (1, 1), (8, 8, 2)]:
+        for dt in [np.uint8, np.uint16]:
+            hi = 256 if dt == np.uint8 else 65536
+            img = rng.randint(0, hi, size=shape).astype(dt)
+            for interlace in [False, True]:
+                back = decode_png(
+                    encode_png(img, filter_type="mixed", interlace=interlace)
+                )
+                assert back.dtype == img.dtype
+                assert back.shape == img.shape
+                assert (back == img).all(), (shape, dt, interlace)
