@@ -735,3 +735,108 @@ def q234_sssp(spark, sf_dir):
         .select(F.col("node").cast("long").alias("node"), "dist")
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — RFM customer segmentation (the marketing-analytics staple):
+# per customer, Recency (days since last order at the corpus horizon),
+# Frequency (order count) and Monetary (exact-decimal total spend),
+# each quintile-scored with a deterministic total order (metric +
+# custkey tiebreak), plus the classic "champion / loyal / at-risk /
+# hibernating / other" rule labels. Pure integer/decimal arithmetic +
+# ntile windows — both engines share the same quintile definition.
+# ---------------------------------------------------------------------------
+
+_Q246_ORACLE = """
+WITH horizon AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+base AS (
+  SELECT o.o_custkey AS custkey,
+         CAST(date_diff('day', MAX(o.o_orderdate), h.maxd) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1000000.0 AS monetary
+  FROM orders o CROSS JOIN horizon h
+  GROUP BY o.o_custkey, h.maxd
+),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey) AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS INT) AS m_score
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+            WHEN f_score <= 2 THEN 'loyal'
+            WHEN r_score >= 4 AND m_score <= 2 THEN 'at_risk'
+            WHEN r_score >= 4 THEN 'hibernating'
+            ELSE 'other' END AS segment
+FROM scored
+ORDER BY custkey
+"""
+
+
+@register("q246_rfm_segmentation", _Q246_ORACLE)
+def q246_rfm_segmentation(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.stats import dsum
+
+    orders = load(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col("o_custkey").alias("custkey"), "maxd")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .select(
+            "custkey",
+            F.datediff(F.col("maxd"), F.col("_last")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    # DELIBERATE global windows: they rank the per-CUSTOMER aggregate
+    # (dimension-sized, not fact-sized); at true scale swap in
+    # prefix.distributed_rank + ceil(rank*5/n) for the same quintiles.
+    scored = (
+        base.withColumn(
+            "r_score",
+            F.ntile(5).over(W.orderBy(F.asc("recency_days"), F.asc("custkey"))),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("custkey"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(W.orderBy(F.desc("monetary"), F.asc("custkey"))),
+        )
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") <= 2)
+            & (F.col("f_score") <= 2)
+            & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("m_score") <= 2), "at_risk")
+        .when(F.col("r_score") >= 4, "hibernating")
+        .otherwise("other")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        seg.alias("segment"),
+    ).orderBy("custkey")
