@@ -57,13 +57,14 @@ def pagerank_fixed_point(
     already run an action per round; this one doesn't)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    # loop constants: persist ONLY when lineage cuts will split the
-    # recurrence into multiple jobs (n_iter > checkpoint_every) — then
-    # each post-cut job would otherwise re-scan and re-shuffle these
-    # three subplans every round (plan reuse does not cross job
-    # boundaries). Below that, the whole recurrence is one job and the
-    # persist is pure materialization overhead (~2x on the q97 bench).
-    cuts_fire = n_iter > checkpoint_every
+    # Loop constants persist for any multi-round run: each iteration's
+    # plan references edges/deg/nodes, so without a persist the (often
+    # expensive) edge-building subplan re-scans and re-shuffles once per
+    # round even inside a single job. (The round-2 "persist costs 2x"
+    # claim was an artifact of the count()-pruned bench; a clean
+    # full-materialization A/B at sf0.1 shows persist slightly AHEAD
+    # (~3-10%), and the win grows with edge-build cost and n_iter.)
+    cuts_fire = n_iter > 1
     edges = edges.persist() if cuts_fire else edges
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     if cuts_fire:
@@ -132,7 +133,7 @@ def personalized_pagerank(
     graph's nodes)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    cuts_fire = n_iter > checkpoint_every
+    cuts_fire = n_iter > 1  # same persist rationale as pagerank_fixed_point
     edges = edges.persist() if cuts_fire else edges
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
