@@ -840,3 +840,134 @@ def q246_rfm_segmentation(spark, sf_dir):
         F.col("m_score").cast("int").alias("m_score"),
         seg.alias("segment"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# q247 — Markov-chain marketing attribution with removal effects
+# (operators/attribution, Anderl et al. 2014): per-user journeys cut at
+# the first purchase become a START -> touches -> CONV/NULL chain;
+# transition probabilities are single divisions of integer counts, the
+# absorption probabilities come from K-step value iteration on the
+# exact 1e-12 floor grid (order-free integer sums), and every channel's
+# removal effect re-runs the iteration with its inbound edges
+# redirected to NULL. The oracle replays journeys, counts, and the full
+# per-variant value iteration in one recursive CTE — the model-based
+# attribution answer, bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _q247_oracle() -> str:
+    from ..operators.attribution import K_STEPS
+
+    grid = "1000000000000.0"
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+fc AS (
+  SELECT user_id, MIN(rn) AS crn FROM ev WHERE event_type = 'purchase' GROUP BY 1
+),
+kept AS (
+  SELECT e.user_id, e.event_type, e.rn, f.crn
+  FROM ev e LEFT JOIN fc f USING (user_id)
+  WHERE f.crn IS NULL OR e.rn <= f.crn
+),
+lagged AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+  FROM kept
+),
+steps AS (
+  SELECT COALESCE(prev, '__start__') AS src_state,
+         CASE WHEN event_type = 'purchase' THEN '__conv__'
+              ELSE event_type END AS dst_state
+  FROM lagged
+),
+lasts AS (
+  SELECT event_type AS src_state, '__null__' AS dst_state
+  FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS lrn FROM kept)
+  WHERE crn IS NULL AND rn = lrn
+),
+cnt AS (
+  SELECT src_state, dst_state, COUNT(*) AS n
+  FROM (SELECT * FROM steps UNION ALL SELECT * FROM lasts)
+  GROUP BY 1, 2
+),
+tot AS (SELECT src_state, SUM(n) AS t FROM cnt GROUP BY 1),
+base_tr AS MATERIALIZED (
+  SELECT c.src_state, c.dst_state, CAST(c.n AS DOUBLE) / t.t AS p
+  FROM cnt c JOIN tot t USING (src_state)
+  UNION ALL SELECT '__conv__', '__conv__', 1.0
+  UNION ALL SELECT '__null__', '__null__', 1.0
+),
+channels AS MATERIALIZED (
+  SELECT DISTINCT ch FROM (
+    SELECT src_state AS ch FROM cnt UNION SELECT dst_state FROM cnt
+  ) WHERE ch NOT IN ('__start__', '__conv__', '__null__')
+),
+variants AS MATERIALIZED (
+  SELECT '__base__' AS variant, CAST(NULL AS VARCHAR) AS rc
+  UNION ALL SELECT ch, ch FROM channels
+),
+trans AS MATERIALIZED (
+  SELECT v.variant, b.src_state,
+         CASE WHEN v.rc IS NOT NULL AND b.dst_state = v.rc
+              THEN '__null__' ELSE b.dst_state END AS dst_state,
+         SUM(b.p) AS p
+  FROM variants v JOIN base_tr b ON v.rc IS NULL OR b.src_state <> v.rc
+  GROUP BY 1, 2, 3
+),
+states AS (
+  SELECT '__start__' AS s UNION SELECT '__conv__' UNION SELECT '__null__'
+  UNION SELECT ch FROM channels
+),
+vstates AS MATERIALIZED (
+  SELECT v.variant, st.s
+  FROM variants v JOIN states st ON v.rc IS NULL OR st.s <> v.rc
+),
+vit(variant, k, state, v) AS (
+  SELECT variant, 0, s,
+         CAST(CASE WHEN s = '__conv__' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+  FROM vstates
+  UNION ALL
+  SELECT t.variant, r.k + 1, t.src_state,
+         CAST(SUM(CAST(FLOOR(t.p * r.v * {grid}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {grid}
+  FROM vit r JOIN trans t
+    ON t.variant = r.variant AND t.dst_state = r.state
+  WHERE r.k < {K_STEPS}
+  GROUP BY t.variant, r.k, t.src_state
+),
+fin AS (
+  SELECT variant, v FROM vit WHERE k = {K_STEPS} AND state = '__start__'
+),
+basep AS (SELECT v AS bp FROM fin WHERE variant = '__base__'),
+eff AS (
+  SELECT f.variant AS channel, b.bp, f.v AS rp, b.bp - f.v AS effect
+  FROM fin f CROSS JOIN basep b WHERE f.variant <> '__base__'
+),
+tote AS (
+  SELECT CASE WHEN SUM(CAST(FLOOR(effect * 1000000000.0) AS BIGINT)) = 0
+              THEN 1
+              ELSE SUM(CAST(FLOOR(effect * 1000000000.0) AS BIGINT)) END AS te
+  FROM eff
+)
+SELECT channel, bp AS base_p, rp AS removed_p, effect AS removal_effect,
+       CAST(CAST(FLOOR(effect * 1000000000.0) AS BIGINT) AS DOUBLE)
+         / CAST(te AS DOUBLE) AS share
+FROM eff CROSS JOIN tote
+ORDER BY channel
+"""
+
+
+@register("q247_markov_attribution", _q247_oracle())
+def q247_markov_attribution(spark, sf_dir):
+    from ..operators.attribution import markov_attribution
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_id", "event_type"
+    )
+    return markov_attribution(
+        ev, "user_id", ["us", "event_id"], "event_type", "purchase"
+    ).orderBy("channel")

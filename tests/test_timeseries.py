@@ -165,3 +165,33 @@ def test_bh_fdr_step_up(spark):
     assert all(
         x.p_adj <= y.p_adj for x, y in zip(ordered, ordered[1:])
     )
+
+
+def test_markov_attribution_hand_graph(spark):
+    from etl_market_survey_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    # u1: a -> conv ; u2: b -> null ; u3: a -> b -> conv
+    rows = [
+        (1, 1, 1, "a"), (1, 2, 2, "conv"),
+        (2, 1, 3, "b"),
+        (3, 1, 4, "a"), (3, 2, 5, "b"), (3, 3, 6, "conv"),
+    ]
+    df = spark.createDataFrame(rows, "u long, us long, eid long, t string")
+    out = {r.channel: r for r in markov_attribution(
+        df, "u", ["us", "eid"], "t", "conv", k_steps=40
+    ).collect()}
+    assert set(out) == {"a", "b"}
+    # hand-computed first-order chain: base P(conv) = 2/3;
+    # remove a: START->NULL 2/3, START->b 1/3, b->conv 1/2 => 1/6;
+    # remove b: START->a 2/3, a->conv 1/2 => 1/3
+    assert abs(out["a"].base_p - 2 / 3) < 1e-9
+    assert abs(out["a"].removed_p - 1 / 6) < 1e-9
+    assert abs(out["b"].removed_p - 1 / 3) < 1e-9
+    assert abs(out["a"].removal_effect - 0.5) < 1e-9
+    assert abs(out["b"].removal_effect - 1 / 3) < 1e-9
+    assert out["a"].removal_effect > out["b"].removal_effect
+    # shares normalize over channels (3/5 vs 2/5)
+    assert abs(out["a"].share + out["b"].share - 1.0) < 1e-6
+    assert abs(out["a"].share - 0.6) < 1e-6
