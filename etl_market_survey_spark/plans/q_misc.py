@@ -1922,3 +1922,55 @@ def q243_personalized_pagerank(spark, sf_dir):
         .limit(_Q243_N_SEEDS)
     )
     return personalized_pagerank(edges, seeds, n_iter=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q248 — bill-of-materials explosion (operators/hierarchy): a synthetic
+# assembly forest over parts (parent = partkey div 7, per-edge unit
+# quantity 1 + p_size % 5) exploded to every (descendant, ancestor)
+# pair with the exact int64 PRODUCT of quantities along the unique path
+# — the CONNECT BY / recursive-CTE workload warehouses run on
+# hierarchies, as iterated parent-hop joins with per-round lineage
+# cuts. Forest paths are unique, so the recursive-CTE oracle replays
+# the identical row set.
+# ---------------------------------------------------------------------------
+
+
+def _q248_oracle() -> str:
+    from ..operators.hierarchy import sql_weighted_closure
+
+    return f"""
+WITH RECURSIVE pe AS (
+  SELECT p_partkey AS child, p_partkey // 7 AS parent,
+         1 + (p_size % 5) AS qty
+  FROM part WHERE p_partkey >= 7
+),
+{sql_weighted_closure('pe')}
+SELECT CAST(descendant AS BIGINT) AS descendant,
+       CAST(ancestor AS BIGINT) AS ancestor,
+       total_qty, CAST(depth AS INT) AS depth
+FROM wc_out
+ORDER BY descendant, depth
+"""
+
+
+@register("q248_bom_explosion", _q248_oracle())
+def q248_bom_explosion(spark, sf_dir):
+    from ..operators.hierarchy import weighted_closure
+
+    part = load(spark, sf_dir, "part")
+    edges = part.filter(F.col("p_partkey") >= 7).select(
+        F.col("p_partkey").cast("long").alias("child"),
+        F.expr("p_partkey div 7").cast("long").alias("parent"),
+        (F.lit(1) + F.col("p_size") % 5).cast("long").alias("qty"),
+    )
+    return (
+        weighted_closure(edges)
+        .select(
+            F.col("descendant").cast("long").alias("descendant"),
+            F.col("ancestor").cast("long").alias("ancestor"),
+            "total_qty",
+            F.col("depth").cast("int").alias("depth"),
+        )
+        .orderBy("descendant", "depth")
+    )

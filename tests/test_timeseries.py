@@ -195,3 +195,21 @@ def test_markov_attribution_hand_graph(spark):
     # shares normalize over channels (3/5 vs 2/5)
     assert abs(out["a"].share + out["b"].share - 1.0) < 1e-6
     assert abs(out["a"].share - 0.6) < 1e-6
+
+
+def test_weighted_closure_hand_tree(spark):
+    from etl_market_survey_spark.operators.hierarchy import weighted_closure
+
+    # 1 <- 2 (x3) <- 4 (x5) ; 1 <- 3 (x2)
+    edges = spark.createDataFrame(
+        [(2, 1, 3), (3, 1, 2), (4, 2, 5)], "child long, parent long, qty long"
+    )
+    out = {
+        (r.descendant, r.ancestor): (r.total_qty, r.depth)
+        for r in weighted_closure(edges).collect()
+    }
+    assert out[(2, 1)] == (3, 1)
+    assert out[(3, 1)] == (2, 1)
+    assert out[(4, 2)] == (5, 1)
+    assert out[(4, 1)] == (15, 2)  # 5 per level-2 x 3 per level-1
+    assert len(out) == 4
