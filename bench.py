@@ -87,6 +87,12 @@ HEADLINE = [
     "q240_phrase_search",
     "q241_item_cf",
     "q242_bcubed_eval",
+    "q243_personalized_pagerank",
+    "q244_mann_kendall",
+    "q245_bh_fdr",
+    "q246_rfm_segmentation",
+    "q247_markov_attribution",
+    "q248_bom_explosion",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise
