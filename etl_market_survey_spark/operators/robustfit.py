@@ -34,11 +34,14 @@ def theil_sen(
     line through (x, y). Duplicate x values within a group contribute
     no pair (slope undefined); groups need >= 2 distinct x."""
     g = list(group_cols)
+    # the input is a bounded aggregate by contract, but its UPSTREAM plan
+    # (often a fact-table aggregation) is referenced by the slope,
+    # intercept and count branches — checkpoint once so it runs once
     base = df.select(
         *g,
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
-    )
+    ).localCheckpoint(eager=True)
     a = base.select(*g, F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
     b = base.select(*g, F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
     cond = [a[c] == b[c] for c in g] + [F.col("_xa") < F.col("_xb")]
@@ -105,11 +108,13 @@ def mann_kendall(
     from ..functions.mathx import sql_erf
 
     g = list(group_cols)
+    # same bounded-aggregate checkpoint rationale as theil_sen: the S,
+    # count and tie branches would otherwise re-run the upstream plan
     base = df.select(
         *g,
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
-    )
+    ).localCheckpoint(eager=True)
     a = base.select(*g, F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
     b = base.select(*g, F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
     cond = [a[c] == b[c] for c in g] + [F.col("_xa") < F.col("_xb")]
