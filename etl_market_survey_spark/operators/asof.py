@@ -31,28 +31,68 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     tolerance: int | float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows + latest right values at-or-before.
+    """As-of join: left rows + matched right values.
+
+    ``direction``: ``'backward'`` (latest right at-or-before — the
+    market-data default), ``'forward'`` (earliest right at-or-after),
+    or ``'nearest'`` (smaller absolute gap, ties to backward — the
+    pandas ``merge_asof`` convention). All three run as the same
+    union + one-window-pass shape (two passes for nearest), one shuffle
+    on the key, no range-join explosion.
 
     ``on`` must be mutually comparable across both frames (numeric or
     timestamp). ``value_cols`` default: all right columns except keys.
-    ``tolerance``: max allowed (left.on - right.on); matches farther back
-    become NULL. Adds ``{on}{suffix}`` (matched right timestamp) and
-    ``{v}{suffix}`` per value column.
+    ``tolerance``: max allowed |left.on - right.on|; matches farther
+    away become NULL. Adds ``{on}{suffix}`` (matched right timestamp)
+    and ``{v}{suffix}`` per value column.
     """
     by = list(by)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest":
+        b = asof_join(
+            left, right, on, by, value_cols, tolerance, suffix="_bwd"
+        )
+        f = asof_join(
+            b, right, on, by, value_cols, tolerance, suffix="_fwd",
+            direction="forward",
+        )
+        if value_cols is None:
+            value_cols = [c for c in right.columns if c not in by and c != on]
+        gap_b = F.col(on) - F.col(f"{on}_bwd")
+        gap_f = F.col(f"{on}_fwd") - F.col(on)
+        use_b = F.col(f"{on}_fwd").isNull() | (
+            F.col(f"{on}_bwd").isNotNull() & (gap_b <= gap_f)
+        )
+        out = f
+        for c in [on] + list(value_cols):
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(use_b, F.col(f"{c}_bwd")).otherwise(F.col(f"{c}_fwd")),
+            )
+        return out.drop(
+            *[f"{c}_bwd" for c in [on, *value_cols]],
+            *[f"{c}_fwd" for c in [on, *value_cols]],
+        )
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in by and c != on]
+    backward = direction == "backward"
+    # tie ordering: for <= semantics the equal-`on` right row must fall
+    # INSIDE the frame — before left for the backward frame, after left
+    # for the forward frame
+    r_side, l_side = (0, 1) if backward else (1, 0)
     r = right.select(
         *by,
         F.col(on).alias(on),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         F.col(on).alias(f"{on}{suffix}"),
         *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
     )
     l = left.select(
         "*",
-        F.lit(1).alias("_side"),
+        F.lit(l_side).alias("_side"),
         F.lit(None).cast(r.schema[f"{on}{suffix}"].dataType).alias(f"{on}{suffix}"),
         *[
             F.lit(None).cast(r.schema[f"{v}{suffix}"].dataType).alias(f"{v}{suffix}")
@@ -60,18 +100,24 @@ def asof_join(
         ],
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    # right rows (side 0) sort before left rows at equal `on`: <= semantics
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wbase = Window.partitionBy(*by).orderBy(F.col(on), F.col("_side"))
+    if backward:
+        w = wbase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = wbase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = unioned
     for c in [f"{on}{suffix}"] + [f"{v}{suffix}" for v in value_cols]:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = carried.filter(F.col("_side") == 1).drop("_side")
+        carried = carried.withColumn(c, pick(c))
+    out = carried.filter(F.col("_side") == l_side).drop("_side")
     if tolerance is not None:
-        stale = (F.col(on) - F.col(f"{on}{suffix}")) > F.lit(tolerance)
+        gap = (
+            (F.col(on) - F.col(f"{on}{suffix}"))
+            if backward
+            else (F.col(f"{on}{suffix}") - F.col(on))
+        )
+        stale = gap > F.lit(tolerance)
         for c in [f"{on}{suffix}"] + [f"{v}{suffix}" for v in value_cols]:
             out = out.withColumn(c, F.when(~stale, F.col(c)))
     return out

@@ -1285,3 +1285,79 @@ def q244_mann_kendall(spark, sf_dir):
     return mann_kendall(pts, ["l_returnflag"], "_mx", "_my").orderBy(
         "l_returnflag"
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — as-of join direction surface (operators/asof): for every
+# purchase, the latest click at-or-before (backward), the earliest
+# click at-or-after (forward), and the nearest click (ties to backward,
+# the pandas merge_asof convention) — all three from the union+window
+# shape, one shuffle on the user key, no range-join explosion. The
+# oracle computes each direction independently via arg_min/arg_max over
+# an interval join, so the window algebra is checked against a
+# different algorithm entirely.
+# ---------------------------------------------------------------------------
+
+_Q249_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+),
+bwd AS (
+  SELECT p.purchase_id,
+         arg_max(c.cus, CAST(c.cus AS DECIMAL(38,0)) * 10000000 + c.click_id) AS bwd_us
+  FROM p JOIN c ON p.user_id = c.user_id AND c.cus <= p.us
+  GROUP BY 1
+),
+fwd AS (
+  SELECT p.purchase_id,
+         arg_min(c.cus, CAST(c.cus AS DECIMAL(38,0)) * 10000000 + c.click_id) AS fwd_us
+  FROM p JOIN c ON p.user_id = c.user_id AND c.cus >= p.us
+  GROUP BY 1
+)
+SELECT p.user_id, p.purchase_id, p.us,
+       b.bwd_us, f.fwd_us,
+       CASE WHEN f.fwd_us IS NULL THEN b.bwd_us
+            WHEN b.bwd_us IS NOT NULL AND (p.us - b.bwd_us) <= (f.fwd_us - p.us)
+            THEN b.bwd_us ELSE f.fwd_us END AS nearest_us
+FROM p
+LEFT JOIN bwd b ON p.purchase_id = b.purchase_id
+LEFT JOIN fwd f ON p.purchase_id = f.purchase_id
+ORDER BY p.user_id, p.purchase_id
+"""
+
+
+@register("q249_asof_directions", _Q249_ORACLE)
+def q249_asof_directions(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.expr("ts div 1000").alias("us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts div 1000").alias("us")
+    )
+    b = asof_join(p, c, "us", ["user_id"], value_cols=[], suffix="_b")
+    f = asof_join(
+        b, c, "us", ["user_id"], value_cols=[], suffix="_f",
+        direction="forward",
+    )
+    n = asof_join(
+        f, c, "us", ["user_id"], value_cols=[], suffix="_n",
+        direction="nearest",
+    )
+    return n.select(
+        "user_id",
+        "purchase_id",
+        "us",
+        F.col("us_b").alias("bwd_us"),
+        F.col("us_f").alias("fwd_us"),
+        F.col("us_n").alias("nearest_us"),
+    ).orderBy("user_id", "purchase_id")

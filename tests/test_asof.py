@@ -59,3 +59,52 @@ def test_sessionize_boundaries(spark):
     sessions = [r["session_id"] for r in out]
     # gaps: 10, 15 (<=20: same), 75 (new), 5 (same), 195 (new)
     assert sessions == [1, 1, 1, 2, 2, 3]
+
+
+def test_asof_forward_and_nearest(spark):
+    from etl_market_survey_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 25), ("k", 40)], "g string, us long"
+    )
+    right = spark.createDataFrame(
+        [("k", 8), ("k", 22), ("k", 30)], "g string, us long"
+    )
+    fwd = {
+        r.us: r.us_f
+        for r in asof_join(
+            left, right, "us", ["g"], value_cols=[], suffix="_f",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {10: 22, 25: 30, 40: None}
+
+    near = {
+        r.us: r.us_n
+        for r in asof_join(
+            left, right, "us", ["g"], value_cols=[], suffix="_n",
+            direction="nearest",
+        ).collect()
+    }
+    # 10: bwd 8 (gap 2) vs fwd 22 (gap 12) -> 8
+    # 25: bwd 22 (gap 3) vs fwd 30 (gap 5) -> 22
+    # 40: only bwd 30
+    assert near == {10: 8, 25: 22, 40: 30}
+
+    # equal-timestamp tie matches in BOTH directions (<= and >=)
+    eq = spark.createDataFrame([("k", 22)], "g string, us long")
+    row = asof_join(
+        eq, right, "us", ["g"], value_cols=[], suffix="_f",
+        direction="forward",
+    ).collect()[0]
+    assert row.us_f == 22
+
+    # tolerance nulls far-away forward matches
+    tol = {
+        r.us: r.us_f
+        for r in asof_join(
+            left, right, "us", ["g"], value_cols=[], tolerance=5,
+            suffix="_f", direction="forward",
+        ).collect()
+    }
+    assert tol == {10: None, 25: 30, 40: None}
