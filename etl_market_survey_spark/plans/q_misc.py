@@ -1974,3 +1974,88 @@ def q248_bom_explosion(spark, sf_dir):
         )
         .orderBy("descendant", "depth")
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — full correlation MATRIX over the lineitem numerics in ONE
+# aggregation pass (the q84 moment-sum kernel widened to all pairs):
+# four integer-grid variables, 4 first moments + 10 second moments in a
+# single scan, every pairwise Pearson r emitted long-format. Exact
+# HUGEINT/decimal integer sums; one double division chain per pair.
+# ---------------------------------------------------------------------------
+
+_Q250_VARS = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price", "CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)"),
+    ("disc", "CAST(FLOOR(l_discount * 100.0) AS BIGINT)"),
+    ("tax", "CAST(FLOOR(l_tax * 100.0) AS BIGINT)"),
+]
+
+
+def _q250_oracle() -> str:
+    firsts = ",\n         ".join(
+        f"SUM(CAST({e} AS HUGEINT)) AS s_{n}" for n, e in _Q250_VARS
+    )
+    seconds = ",\n         ".join(
+        f"SUM(CAST(CAST({ea} AS BIGINT) * CAST({eb} AS BIGINT) AS HUGEINT)) AS s_{na}_{nb}"
+        for i, (na, ea) in enumerate(_Q250_VARS)
+        for nb, eb in _Q250_VARS[i:]
+    )
+    pair_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{na}' AS var_a, '{nb}' AS var_b,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * s_{na}_{nb} - s_{na} * s_{nb} AS DOUBLE)
+         / (SQRT(CAST(n * s_{na}_{na} - s_{na} * s_{na} AS DOUBLE))
+            * SQRT(CAST(n * s_{nb}_{nb} - s_{nb} * s_{nb} AS DOUBLE))) AS r
+  FROM s"""
+        for i, (na, _) in enumerate(_Q250_VARS)
+        for nb, _ in [v for v in _Q250_VARS[i + 1 :]]
+    )
+    return f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         {firsts},
+         {seconds}
+  FROM lineitem
+)
+{pair_rows}
+ORDER BY var_a, var_b
+"""
+
+
+@register("q250_corr_matrix", _q250_oracle())
+def q250_corr_matrix(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    cols = {
+        "qty": F.col("l_quantity").cast("bigint"),
+        "price": F.floor(F.col("l_extendedprice") * 100.0).cast("bigint"),
+        "disc": F.floor(F.col("l_discount") * 100.0).cast("bigint"),
+        "tax": F.floor(F.col("l_tax") * 100.0).cast("bigint"),
+    }
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    names = [n for n, _ in _Q250_VARS]
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(dec(cols[n])).alias(f"s_{n}") for n in names]
+    for i, na in enumerate(names):
+        for nb in names[i:]:
+            aggs.append(F.sum(dec(cols[na] * cols[nb])).alias(f"s_{na}_{nb}"))
+    s = li.agg(*aggs)
+    n = F.col("n").cast("decimal(38,0)")
+    parts = []
+    for i, na in enumerate(names):
+        for nb in names[i + 1 :]:
+            num = (n * F.col(f"s_{na}_{nb}") - F.col(f"s_{na}") * F.col(f"s_{nb}")).cast("double")
+            da = (n * F.col(f"s_{na}_{na}") - F.col(f"s_{na}") * F.col(f"s_{na}")).cast("double")
+            db = (n * F.col(f"s_{nb}_{nb}") - F.col(f"s_{nb}") * F.col(f"s_{nb}")).cast("double")
+            parts.append(
+                s.select(
+                    F.lit(na).alias("var_a"),
+                    F.lit(nb).alias("var_b"),
+                    F.col("n").cast("bigint").alias("n"),
+                    (num / (F.sqrt(da) * F.sqrt(db))).alias("r"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("var_a", "var_b")

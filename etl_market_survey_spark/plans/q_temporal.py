@@ -1361,3 +1361,57 @@ def q249_asof_directions(spark, sf_dir):
         F.col("us_f").alias("fwd_us"),
         F.col("us_n").alias("nearest_us"),
     ).orderBy("user_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# q251 — period-over-period BI readout: monthly revenue per returnflag
+# with month-over-month and year-over-year percent changes (lag 1 and
+# lag 12 over the bounded per-month aggregate — the reporting staple).
+# Exact-decimal revenue, one double division per ratio.
+# ---------------------------------------------------------------------------
+
+
+def _q251_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    rev = "l_extendedprice * (1.0 - l_discount)"
+    return f"""
+WITH pts AS (
+  SELECT l_returnflag AS g,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mx,
+         {sql_dsum(rev)} AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT g AS l_returnflag, mx AS month_x, rev,
+       (rev - LAG(rev, 1) OVER w) / LAG(rev, 1) OVER w AS mom_pct,
+       (rev - LAG(rev, 12) OVER w) / LAG(rev, 12) OVER w AS yoy_pct
+FROM pts
+WINDOW w AS (PARTITION BY g ORDER BY mx)
+ORDER BY l_returnflag, month_x
+"""
+
+
+@register("q251_period_over_period", _q251_oracle())
+def q251_period_over_period(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.stats import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pts = li.groupBy(
+        F.col("l_returnflag"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("month_x"),
+    ).agg(dsum(rev).alias("rev"))
+    w = W.partitionBy("l_returnflag").orderBy("month_x")
+    mom = (F.col("rev") - F.lag("rev", 1).over(w)) / F.lag("rev", 1).over(w)
+    yoy = (F.col("rev") - F.lag("rev", 12).over(w)) / F.lag("rev", 12).over(w)
+    return pts.select(
+        "l_returnflag",
+        "month_x",
+        "rev",
+        mom.alias("mom_pct"),
+        yoy.alias("yoy_pct"),
+    ).orderBy("l_returnflag", "month_x")
