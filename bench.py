@@ -93,6 +93,9 @@ HEADLINE = [
     "q246_rfm_segmentation",
     "q247_markov_attribution",
     "q248_bom_explosion",
+    "q249_asof_directions",
+    "q250_corr_matrix",
+    "q251_period_over_period",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise
