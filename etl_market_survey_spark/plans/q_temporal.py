@@ -1415,3 +1415,67 @@ def q251_period_over_period(spark, sf_dir):
         mom.alias("mom_pct"),
         yoy.alias("yoy_pct"),
     ).orderBy("l_returnflag", "month_x")
+
+
+# ---------------------------------------------------------------------------
+# q252 — sweep-line interval concurrency: how many orders are OPEN
+# (ordered but not yet shipped) at each boundary day, and each month's
+# peak. Classic interval analytics: +1/-1 boundary events, a running
+# sum over the day axis — routed through the two-phase
+# prefix.distributed_cumsum (no single-reducer window over the
+# boundary stream), then a per-month max. The oracle replays with a
+# plain ordered window, proving the two-phase scan exact.
+# ---------------------------------------------------------------------------
+
+_Q252_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderdate AS d0, MAX(l.l_shipdate) AS d1
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+bounds AS (
+  SELECT CAST(epoch_us(d0) // 86400000000 AS BIGINT) AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT CAST(epoch_us(d1) // 86400000000 AS BIGINT) AS day, -1 AS delta FROM spans
+),
+daily AS (
+  SELECT day, SUM(delta) AS net FROM bounds GROUP BY 1
+),
+running AS (
+  SELECT day,
+         CAST(SUM(net) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_orders
+  FROM daily
+)
+SELECT CAST(day // 30 AS BIGINT) AS month_bucket,
+       CAST(MAX(open_orders) AS BIGINT) AS peak_open
+FROM running
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q252_interval_concurrency", _Q252_ORACLE)
+def q252_interval_concurrency(spark, sf_dir):
+    from ..operators.prefix import distributed_cumsum
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("d1"))
+    )
+    day = lambda c: F.expr(  # noqa: E731
+        f"unix_micros(cast({c} as timestamp)) div 86400000000"
+    ).cast("long")
+    bounds = spans.select(day("o_orderdate").alias("day"), F.lit(1).alias("delta")).unionByName(
+        spans.select(day("d1").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = bounds.groupBy("day").agg(F.sum("delta").alias("net"))
+    running = distributed_cumsum(daily, "day", "net", out="open_orders")
+    return (
+        running.groupBy(F.expr("day div 30").cast("long").alias("month_bucket"))
+        .agg(F.max("open_orders").cast("long").alias("peak_open"))
+        .orderBy("month_bucket")
+    )
