@@ -2059,3 +2059,93 @@ def q250_corr_matrix(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("var_a", "var_b")
+
+
+# ---------------------------------------------------------------------------
+# q253 — local clustering coefficient (Watts-Strogatz 1998) per node
+# over the q121 co-presence graph: cc = 2*tri(v) / (deg(v)*(deg(v)-1))
+# for deg >= 2 — the neighborhood-density diagnostic community
+# detection starts from. Composes the degree-oriented triangle counts
+# with the degree table; one double division per node.
+# ---------------------------------------------------------------------------
+
+_Q253_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT user_id, event_type, epoch_ns(ts) // {_Q121_BUCKET_NS} AS h
+  FROM events
+),
+e AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+                   AND x.user_id < y.user_id
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nt AS (
+  SELECT node, COUNT(*) AS n_tri
+  FROM (SELECT x AS node FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL
+        SELECT z FROM tri)
+  GROUP BY node
+)
+SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(nt.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(2 * COALESCE(nt.n_tri, 0) AS DOUBLE)
+         / (CAST(d.d AS DOUBLE) * (d.d - 1)) AS clustering_coef
+FROM deg d LEFT JOIN nt ON d.node = nt.node
+WHERE d.d >= 2
+ORDER BY d.node
+"""
+
+
+@register("q253_clustering_coefficient", _Q253_ORACLE)
+def q253_clustering_coefficient(spark, sf_dir):
+    from ..operators.triangles import canonical_edges, node_triangle_counts
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.expr(f"ts div {_Q121_BUCKET_NS}").alias("h")
+    ).distinct()
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(F.col("x.user_id").alias("a"), F.col("y.user_id").alias("b"))
+    )
+    edges = canonical_edges(pairs, "a", "b")
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    nt = node_triangle_counts(edges)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(nt, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            (
+                (F.lit(2) * F.coalesce("n_tri", F.lit(0))).cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - F.lit(1))
+                )
+            ).alias("clustering_coef"),
+        )
+        .orderBy("node")
+    )
