@@ -2149,3 +2149,80 @@ def q253_clustering_coefficient(spark, sf_dir):
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — Tukey IQR-fence outlier screen per group (the boxplot rule
+# every data-quality pass runs): exact interpolating quartiles, fences
+# at 1.5*IQR, per-group outlier counts and the extreme values. Spark's
+# percentile and DuckDB's quantile_cont share the exact definition
+# (the q98 contract), so the whole screen replays.
+# ---------------------------------------------------------------------------
+
+_Q254_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY 1
+),
+f AS (
+  SELECT l_returnflag, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l.l_extendedprice < f.lo
+                       OR l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       MIN(l.l_extendedprice) AS min_price,
+       MAX(l.l_extendedprice) AS max_price,
+       ROUND(f.lo, 6) AS fence_lo, ROUND(f.hi, 6) AS fence_hi
+FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+GROUP BY l.l_returnflag, f.lo, f.hi
+ORDER BY l.l_returnflag
+"""
+
+
+@register("q254_iqr_outliers", _Q254_ORACLE)
+def q254_iqr_outliers(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    f = q.select(
+        "l_returnflag",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(f), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_outliers",
+            "min_price",
+            "max_price",
+            F.round("lo", 6).alias("fence_lo"),
+            F.round("hi", 6).alias("fence_hi"),
+        )
+        .orderBy("l_returnflag")
+    )
