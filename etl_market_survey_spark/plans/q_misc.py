@@ -2226,3 +2226,76 @@ def q254_iqr_outliers(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — edge-weighted PageRank (operators/pagerank.weighted_pagerank)
+# over the nation trade graph with lineitem-count edge weights:
+# contributions split proportionally to integer weights, same exact
+# 1e-12 fixed-point contract as q97 — the oracle unrolls the weighted
+# recurrence (pr * w div W_total per edge).
+# ---------------------------------------------------------------------------
+
+
+def _q255_oracle() -> str:
+    from ..operators.pagerank import UNIT
+
+    it = """
+wc{k} AS (
+  SELECT e.dst AS node, SUM((CAST(p.pr AS HUGEINT) * e.w) // wt.wt) AS s
+  FROM wp{j} p JOIN wtot wt ON p.node = wt.src JOIN wedges e ON e.src = p.node
+  GROUP BY 1
+),
+wp{k} AS (
+  SELECT n.node,
+         ((15 * {unit}::HUGEINT) // (100 * s.n))
+         + (85 * COALESCE(wc{k}.s, 0)) // 100 AS pr
+  FROM wnodes n CROSS JOIN wscal s LEFT JOIN wc{k} USING (node)
+)"""
+    its = ",".join(it.format(k=k, j=k - 1, unit=UNIT) for k in (1, 2, 3))
+    return f"""
+WITH pairs AS (
+  SELECT c.c_nationkey AS a, s.s_nationkey + 100 AS b, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+wedges AS (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL SELECT b, a, w FROM pairs
+),
+wtot AS (SELECT src, SUM(w) AS wt FROM wedges GROUP BY 1),
+wnodes AS (SELECT DISTINCT src AS node FROM wedges),
+wscal AS (SELECT COUNT(*) AS n FROM wnodes),
+wp0 AS (SELECT node, {UNIT}::HUGEINT // s.n AS pr FROM wnodes CROSS JOIN wscal s),
+{its}
+SELECT node, CAST(pr AS BIGINT) AS pr FROM wp3 ORDER BY node
+"""
+
+
+@register("q255_weighted_pagerank", _q255_oracle())
+def q255_weighted_pagerank(spark, sf_dir):
+    from ..operators.pagerank import weighted_pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("a"),
+            (F.col("s_nationkey") + 100).cast("long").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    return weighted_pagerank(edges, n_iter=3).orderBy("node")

@@ -89,3 +89,17 @@ def test_personalized_pagerank_mass_concentrates_at_seeds(spark):
 
     with pytest.raises(ValueError, match="empty"):
         personalized_pagerank(edges, seeds.filter(F.lit(False)), n_iter=1)
+
+
+def test_weighted_pagerank_favors_heavy_edges(spark):
+    from etl_market_survey_spark.operators.pagerank import (
+        UNIT,
+        weighted_pagerank,
+    )
+
+    # star: center 0 sends 9x weight to node 1 vs node 2 (symmetrized)
+    pairs = [(0, 1, 9), (1, 0, 9), (0, 2, 1), (2, 0, 1)]
+    edges = spark.createDataFrame(pairs, "src long, dst long, w long")
+    out = {r.node: r.pr for r in weighted_pagerank(edges, n_iter=6).collect()}
+    assert out[1] > out[2]  # heavier inbound weight -> more rank
+    assert abs(sum(out.values()) - UNIT) < 100  # mass conserved mod floor noise
