@@ -6,9 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized with a noop datasource write (every result
 row and column is computed — Catalyst cannot prune the final projection the
 way it can under a bare count()).  Timing is best-of-3 per query; the
-per-query spread (max/min over the 3 runs) is reported on stderr and in the
-JSON "spread" map so a >2x round-over-round swing can be told apart from
-harness variance (VERDICT r2 item 1).
+per-query spread (max/min over the 3 runs) is reported on stderr and written
+to BENCH_SPREAD.json next to this file so a >2x round-over-round swing can
+be told apart from harness variance (VERDICT r2 item 1).
+
+The stdout JSON line is kept minimal (medians only, 3 decimals, no spread
+map) and is printed twice — once after a sentinel and once as the final
+line — so both head- and tail-style output captures parse it
+(VERDICT r3 item 1: the r3 line outgrew the driver's tail capture).
 """
 
 from __future__ import annotations
@@ -151,18 +156,28 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    # Spread map goes to a sidecar file, NOT stdout — keeps the stdout
+    # JSON line small enough for the driver's capture window.
+    spread_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+    )
+    with open(spread_path, "w") as f:
+        json.dump({"sf": sf, "spread": spreads}, f, indent=1, sort_keys=True)
+    # Emit twice (sentinel + final line) so either head- or tail-style
+    # capture of stdout contains one complete copy.
+    print("BENCH_JSON_BEGIN")
+    print(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -248,3 +248,30 @@ def test_q240_postings_filter_reaches_scan(static_plan):
     # one shuffle on doc_id for the position-set aggregation (plus the
     # output sort's range exchange)
     assert len(shuffles) <= 2, plan[:1500]
+
+
+def test_q250_single_scan_moment_kernel(static_plan):
+    # the correlation matrix must be a TRUE single-pass kernel: one
+    # parquet scan, one aggregate, six rows generated from the single
+    # moment row (VERDICT r3: the union-of-selects shape re-scanned the
+    # fact 6x because exchange reuse never fired across union branches)
+    plan = static_plan("q250_corr_matrix")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan[:2000]
+    assert "Generate inline" in plan or "Generate" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize("name", ["q78_upsert", "q79_snapshot_diff"])
+def test_merge_family_base_cached_single_scan(spark, name):
+    # the merge-family inputs are self-referential (updates derived from
+    # the base), so the base is cache()d: every reference must go through
+    # the cache (InMemoryTableScan / TableCacheQueryStage), which computes
+    # the underlying parquet scan ONCE per action. (FileScan lines in the
+    # toString are the cached relation's plan reprinted under each cache
+    # node, not separate executions.)
+    df = registry.QUERIES[name](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_cache_refs = plan.count("InMemoryTableScan")
+    assert n_cache_refs >= 3, plan[:2000]
+    spark.catalog.clearCache()
