@@ -101,6 +101,8 @@ HEADLINE = [
     "q249_asof_directions",
     "q250_corr_matrix",
     "q251_period_over_period",
+    # r4: JPEG codec
+    "q256_jpeg_codec_roundtrip",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise

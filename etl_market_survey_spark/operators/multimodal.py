@@ -10,11 +10,14 @@ Codec policy — three tiers:
 1. **Library-free formats decode for REAL with zero dependencies**:
    binary netpbm images (P5/P6 -> ``decode_ppm``, pure numpy), PNG
    (``decode_png`` — stdlib zlib inflate + the five scanline filters in
-   numpy; 8-bit gray/RGB/palette/alpha, non-interlaced), the rawvid
-   video container (``decode_rawvid``), and PCM WAV (``decode_wav``) —
-   real pixels, real nearest-neighbor resize, real per-frame luma
-   features. These paths are bit-deterministic pure functions of the
-   bytes, so they are always on, even under the stub contract.
+   numpy; 8-bit gray/RGB/palette/alpha, 16-bit, Adam7), baseline JPEG
+   (``jpeg.decode_jpeg`` — full marker parse, canonical Huffman,
+   dequant + float64 IDCT; grayscale/4:4:4/4:2:0, restart intervals),
+   the rawvid video container (``decode_rawvid``), and PCM WAV
+   (``decode_wav``) — real pixels, real nearest-neighbor resize, real
+   per-frame luma features. These paths are bit-deterministic pure
+   functions of the bytes, so they are always on, even under the stub
+   contract.
 2. **Other compressed formats need PIL/ffmpeg**: PIL is probed at import
    (``HAS_PIL``). ``decode_stub=False`` requires it (raises
    ``NotImplementedError`` where absent — this runtime ships neither
@@ -402,6 +405,10 @@ def _fake_decode(payload: bytes) -> np.ndarray:
         arr = _luma(decode_ppm(payload)).ravel()
     elif payload.startswith(PNG_MAGIC):
         arr = _luma(decode_png(payload)).ravel()
+    elif payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        arr = _luma(decode_jpeg(payload)).ravel()
     else:
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if arr.size == 0:
@@ -494,6 +501,14 @@ def resize_media(
             ys = (np.arange(h) * ih) // h
             xs = (np.arange(w) * iw) // w
             return encode_png(img[ys][:, xs])
+        if b.startswith(b"\xff\xd8"):
+            from .jpeg import decode_jpeg, encode_jpeg
+
+            img = decode_jpeg(b)
+            ih, iw = img.shape[0], img.shape[1]
+            ys = (np.arange(h) * ih) // h
+            xs = (np.arange(w) * iw) // w
+            return encode_jpeg(img[ys][:, xs], quality=95)
         n = w * h
         if len(b) == 0:
             return b""

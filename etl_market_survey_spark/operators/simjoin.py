@@ -24,10 +24,52 @@ integer arithmetic, bit-identical on any engine.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SET = "_sim_tokens"
+
+# ~rows of candidate-pair state a single verify task should hold; with
+# ~100 B/candidate (two ids + two short token arrays) this keeps task
+# memory in the low hundreds of MB — far from spill at executor defaults.
+_CAND_ROWS_PER_PARTITION = 2_000_000
+_MAX_VERIFY_PARTITIONS = 8192
+
+
+def _size_verify_partitions(prefixes: DataFrame, key: str = "token"):
+    """Size the verify-stage shuffle to CANDIDATE volume, not input rows
+    (VERDICT r3 item 4: q96's residual 1.7x at sf1 was the verify
+    shuffle spilling at 32 static partitions).
+
+    The candidate count is exactly ``sum over prefix tokens of
+    C(freq_in_prefix_index, 2)`` — computable from the prefix index
+    itself with one cheap aggregate. The index is persisted first (the
+    verify join needs it twice anyway), the histogram job runs over the
+    cache, and the index is hash-repartitioned on the join key to
+    ``ceil(candidates / _CAND_ROWS_PER_PARTITION)`` partitions (never
+    fewer than the session's shuffle default — AQE coalesces small ones
+    back). Returns the (persisted, possibly repartitioned) index."""
+    prefixes = prefixes.persist()
+    row = (
+        prefixes.groupBy(key)
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                (F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)) / 2
+            ).alias("cand")
+        )
+        .collect()[0]
+    )
+    n_cand = int(row["cand"] or 0)
+    spark = prefixes.sparkSession
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = max(default, math.ceil(n_cand / _CAND_ROWS_PER_PARTITION))
+    n = min(n, _MAX_VERIFY_PARTITIONS)
+    if n > default:
+        prefixes = prefixes.repartition(n, key)
+    return prefixes
 
 
 def trigrams(c: str | Column) -> Column:
@@ -99,6 +141,7 @@ def containment_join(
     token_col: str,
     t_num: int,
     t_den: int,
+    size_verify: bool = True,
 ) -> DataFrame:
     """Directed containment pairs: all ``(id_a, id_b)``, ``a != b``, with
     ``|tokens_a ∩ tokens_b| >= (t_num/t_den) * |tokens_a|`` — exactly.
@@ -134,8 +177,35 @@ def containment_join(
         F.col("_id").alias("id_a"),
         F.explode(F.slice("tokens", 1, F.col("p").cast("int"))).alias("token"),
     )
+    index_b = toks_all.select(F.col("_id").alias("id_b"), "token")
+    if size_verify:
+        # candidate volume here is sum_token |a_prefix(token)| * |index(token)|
+        # — the asymmetric analogue of the self-join's C(freq, 2)
+        a_prefix = a_prefix.persist()
+        index_b = index_b.persist()
+        ha = a_prefix.groupBy("token").agg(F.count("*").alias("ca"))
+        hb = index_b.groupBy("token").agg(F.count("*").alias("cb"))
+        row = (
+            ha.join(hb, "token")
+            .agg(
+                F.sum(
+                    F.col("ca").cast("decimal(38,0)") * F.col("cb")
+                ).alias("cand")
+            )
+            .collect()[0]
+        )
+        n_cand = int(row["cand"] or 0)
+        spark = df.sparkSession
+        default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n = min(
+            max(default, math.ceil(n_cand / _CAND_ROWS_PER_PARTITION)),
+            _MAX_VERIFY_PARTITIONS,
+        )
+        if n > default:
+            a_prefix = a_prefix.repartition(n, "token")
+            index_b = index_b.repartition(n, "token")
     cand = (
-        a_prefix.join(toks_all.select(F.col("_id").alias("id_b"), "token"), "token")
+        a_prefix.join(index_b, "token")
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -159,10 +229,17 @@ def similarity_self_join(
     token_col: str,
     t_num: int,
     t_den: int,
+    size_verify: bool = True,
 ) -> DataFrame:
     """All pairs ``id_a < id_b`` with Jaccard(tokens_a, tokens_b) >=
     t_num/t_den — exactly (prefix filter prunes, integer verify decides).
-    Output: ``(id_a, id_b, inter, n_a, n_b)``."""
+    Output: ``(id_a, id_b, inter, n_a, n_b)``.
+
+    ``size_verify`` (default on) persists the prefix index, counts the
+    exact candidate-pair volume from its token histogram, and sizes the
+    verify-stage shuffle to it — the partition count a static
+    ``spark.sql.shuffle.partitions`` cannot know. Costs one bounded
+    aggregate job over the cached index; turn off for tiny ad-hoc runs."""
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
     toks = df.select(
@@ -170,6 +247,8 @@ def similarity_self_join(
     )
     freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
     sets, prefixes = _sets_and_prefixes(df, id_col, token_col, freq, t_num, t_den)
+    if size_verify:
+        prefixes = _size_verify_partitions(prefixes)
 
     # Cheap integer pre-filters before the array_intersect verify (both
     # sound because for any qualifying pair the row of its FIRST shared

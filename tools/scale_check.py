@@ -46,6 +46,11 @@ HEAVY = [
     "q114_editdist_join",
     "q139_maintained_view",
     "q96_similarity_join",
+    # r3 heavy additions (VERDICT r3 item 6): never saw 10x data before
+    "q243_personalized_pagerank",
+    "q239_holt_smoothing",
+    "q241_item_cf",
+    "q247_markov_attribution",
 ]
 
 SRC = "/root/testdata/sf0.1"
@@ -191,7 +196,9 @@ def main():
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--queries", nargs="*", help="subset of HEAVY to run")
     args = ap.parse_args()
+    heavy = args.queries or HEAVY
 
     from etl_market_survey_spark.session import get_spark
 
@@ -203,8 +210,8 @@ def main():
         synthesize(spark, args.out, args.factor)
         print(f"# synthesized x{args.factor} in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    small = bench(spark, SRC, HEAVY)
-    big = bench(spark, args.out, HEAVY)
+    small = bench(spark, SRC, heavy)
+    big = bench(spark, args.out, heavy)
     report = {
         "factor": args.factor,
         "queries": {
@@ -213,7 +220,7 @@ def main():
                 "sf1_s": big[n],
                 "ratio": round(big[n] / small[n], 2) if small[n] else None,
             }
-            for n in HEAVY
+            for n in heavy
         },
     }
     print(json.dumps(report, indent=2))
