@@ -2309,3 +2309,86 @@ def q255_weighted_pagerank(spark, sf_dir):
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
     return weighted_pagerank(edges, n_iter=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q257 — lakehouse snapshot table + time travel (sources/lakehouse,
+# VERDICT r3 item 8 / ROADMAP 22/26): a three-snapshot table is built
+# from orders on the Iceberg-shaped JSON-manifest protocol (append /
+# append / delete-partition — immutable data files, versioned manifests,
+# atomic current pointer), then read back at v1 (version pin), v2
+# (as-of-timestamp travel), and v3 (current, with driver-side manifest
+# partition pruning to two priorities). Each read aggregates per
+# priority; the oracle rebuilds every version's logical content from
+# orders with pure SQL. Proves: time travel returns EXACTLY the old
+# content after later commits, deletes never touch files, and pruning
+# is content-correct.
+# ---------------------------------------------------------------------------
+
+_Q257_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp FROM orders
+),
+v1 AS (SELECT * FROM o WHERE k % 3 = 0),
+v2 AS (SELECT * FROM o WHERE k % 3 IN (0, 1)),
+v3 AS (SELECT * FROM v2 WHERE pr <> '1-URGENT'),
+v3f AS (SELECT * FROM v3 WHERE pr IN ('2-HIGH', '5-LOW')),
+u AS (
+  SELECT 'v1' AS version_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents FROM v1 GROUP BY 1, 2
+  UNION ALL
+  SELECT 'v2_asof', pr, COUNT(*), SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) FROM v2 GROUP BY 1, 2
+  UNION ALL
+  SELECT 'v3_pruned', pr, COUNT(*), SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) FROM v3f GROUP BY 1, 2
+)
+SELECT version_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY version_tag, o_orderpriority
+"""
+
+
+@register("q257_lakehouse_time_travel", _Q257_ORACLE)
+def q257_lakehouse_time_travel(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.lakehouse import commit_snapshot, read_snapshot
+
+    # rebuild the table deterministically per sf_dir (idempotent gate)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_lakehouse_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    commit_snapshot(
+        spark, path, o.filter(F.col("k") % 3 == 0),
+        operation="append", partition_col="pr", commit_ts=100, stat_cols=["k"],
+    )
+    commit_snapshot(
+        spark, path, o.filter(F.col("k") % 3 == 1),
+        operation="append", partition_col="pr", commit_ts=200, stat_cols=["k"],
+    )
+    commit_snapshot(
+        spark, path, None,
+        operation="delete", delete_partition_values=["1-URGENT"], commit_ts=300,
+    )
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("version_tag"), "*")
+
+    v1 = read_snapshot(spark, path, version=1)
+    v2 = read_snapshot(spark, path, as_of_ts=250)  # newest commit_ts <= 250
+    v3 = read_snapshot(
+        spark, path, partition_filter={"pr": ["2-HIGH", "5-LOW"]}
+    )
+    return (
+        agg(v1, "v1")
+        .unionByName(agg(v2, "v2_asof"))
+        .unionByName(agg(v3, "v3_pruned"))
+        .orderBy("version_tag", "o_orderpriority")
+    )

@@ -1,0 +1,92 @@
+"""Lakehouse snapshot protocol (sources/lakehouse): immutability, time
+travel, manifest pruning, history. The content-correctness of every
+read path is gated end-to-end by q257; these units pin the file-level
+mechanics the hash gate can't see."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.sources.lakehouse import (
+    commit_snapshot,
+    read_snapshot,
+    table_history,
+)
+
+PATH = "/tmp/spark_graft_lakehouse_unit"
+
+
+@pytest.fixture()
+def table(spark):
+    shutil.rmtree(PATH, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10.0) for i in range(20)], "k long, p string, x double"
+    )
+    commit_snapshot(
+        spark, PATH, df.filter(F.col("k") < 10),
+        operation="append", partition_col="p", commit_ts=100, stat_cols=["k"],
+    )
+    commit_snapshot(
+        spark, PATH, df.filter(F.col("k") >= 10),
+        operation="append", partition_col="p", commit_ts=200, stat_cols=["k"],
+    )
+    commit_snapshot(
+        spark, PATH, None,
+        operation="delete", delete_partition_values=["a"], commit_ts=300,
+    )
+    yield PATH
+    shutil.rmtree(PATH, ignore_errors=True)
+
+
+def test_time_travel_versions(spark, table):
+    assert read_snapshot(spark, table, version=1).count() == 10
+    assert read_snapshot(spark, table, version=2).count() == 20
+    assert read_snapshot(spark, table).count() == 10  # only p='b' left
+    # as-of timestamp picks the newest commit <= ts
+    assert read_snapshot(spark, table, as_of_ts=150).count() == 10
+    assert read_snapshot(spark, table, as_of_ts=250).count() == 20
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, as_of_ts=50)
+
+
+def test_delete_never_touches_files(spark, table):
+    # v3 dropped partition 'a' from the MANIFEST; v2 must still read the
+    # full content because data files are immutable
+    v2 = read_snapshot(spark, table, version=2)
+    assert v2.filter(F.col("p") == "a").count() == 10
+    # and the files referenced by v1 still exist on disk
+    v1_files = read_snapshot(spark, table, version=1).inputFiles()
+    assert v1_files and all(os.path.exists(f.replace("file:", "")) for f in v1_files)
+
+
+def test_manifest_pruning_reduces_file_list(spark, table):
+    full = read_snapshot(spark, table, version=2)
+    pruned = read_snapshot(spark, table, version=2, partition_filter={"p": "a"})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.count() == 10
+    assert pruned.select("p").distinct().collect()[0][0] == "a"
+    # pruning to nothing yields an empty frame with the table schema
+    empty = read_snapshot(spark, table, partition_filter={"p": "zzz"})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "p", "x"}
+
+
+def test_history_and_stats(spark, table):
+    hist = table_history(table)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["operation"] for h in hist] == ["append", "append", "delete"]
+    assert [h["row_count"] for h in hist] == [10, 20, 10]
+    assert hist[1]["parent"] == 1
+    # manifest column bounds recorded for stat_cols
+    import json
+
+    snap = json.load(open(os.path.join(table, "metadata", "v00001.json")))
+    bounds = [e["bounds"]["k"] for e in snap["manifest"]]
+    assert all(lo is not None and hi is not None for lo, hi in bounds)
+
+
+def test_conflicting_travel_args(spark, table):
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, version=1, as_of_ts=100)
