@@ -1005,3 +1005,44 @@ def q240_phrase_search(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return phrase_match_counts(docs, _Q240_PHRASE).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q258 — Aho-Corasick multi-pattern dictionary scan
+# (operators/ahocorasick): every occurrence of a 7-pattern blocklist
+# over documents — including NESTED matches ('tab'/'able' inside
+# 'table', 'an' inside 'scan'), which only fire through the automaton's
+# failure/output links. One O(text) pass per doc, no shuffle; the
+# oracle replays per-pattern position scans (substr equality over a
+# lateral position series) — quadratic in SQL, linear here, identical
+# rows. The blocklist-scrub primitive of corpus curation.
+# ---------------------------------------------------------------------------
+
+_Q258_PATTERNS = ["table", "tab", "able", "scan", "an", "value", "row"]
+
+
+def _q258_oracle() -> str:
+    vals = ", ".join(f"('{p}')" for p in _Q258_PATTERNS)
+    return f"""
+WITH pats(pattern) AS (VALUES {vals}),
+m AS (
+  SELECT d.doc_id, p.pattern,
+         unnest(list_filter(
+           generate_series(1, len(d.text) - len(p.pattern) + 1),
+           i -> substr(d.text, CAST(i AS INT), CAST(len(p.pattern) AS INT)) = p.pattern
+         )) AS pos
+  FROM documents d CROSS JOIN pats p
+)
+SELECT doc_id, pattern, CAST(pos AS INT) AS pos
+FROM m ORDER BY doc_id, pattern, pos
+"""
+
+
+@register("q258_aho_corasick_scan", _q258_oracle())
+def q258_aho_corasick_scan(spark, sf_dir):
+    from ..operators.ahocorasick import multi_pattern_scan
+
+    docs = load(spark, sf_dir, "documents")
+    return multi_pattern_scan(docs, "doc_id", "text", _Q258_PATTERNS).orderBy(
+        "doc_id", "pattern", "pos"
+    )
