@@ -2392,3 +2392,157 @@ def q257_lakehouse_time_travel(spark, sf_dir):
         .unionByName(agg(v3, "v3_pruned"))
         .orderBy("version_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — grid-blocked spatial neighbor join (operators/spatial): all
+# customer pairs within integer radius 500 on synthetic LCG coordinates
+# (x = key*48271 % 10007, y = key*16807 % 10007 — exact int64 modular
+# arithmetic both engines replay bit-for-bit). Blocking = radius-sized
+# grid cells, candidates = 3x3 neighborhood equi-join (one explode, one
+# shuffle, never a cross join), verify = integer dx^2+dy^2 <= r^2. The
+# oracle brute-forces the same predicate through a cell-range self-join.
+# ---------------------------------------------------------------------------
+
+_Q259_R = 500
+_Q259_M = 10007
+
+_Q259_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 48271) % {_Q259_M} AS x,
+         (c_custkey * 16807) % {_Q259_M} AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_Q259_R * _Q259_R}
+ORDER BY id_a, id_b
+"""
+
+
+@register("q259_spatial_neighbor_join", _Q259_ORACLE)
+def q259_spatial_neighbor_join(spark, sf_dir):
+    from ..operators.spatial import grid_neighbor_join
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") * 48271 % _Q259_M).alias("x"),
+        (F.col("c_custkey") * 16807 % _Q259_M).alias("y"),
+    )
+    return grid_neighbor_join(pts, "id", "x", "y", _Q259_R).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260 — Borůvka minimum spanning forest (operators/boruvka): MSF of a
+# deterministic supplier graph (ring + LCG chords, integer weights from
+# modular arithmetic both engines replay exactly). Per round every
+# component picks its cheapest outgoing edge under the TOTAL (w, u, v)
+# struct order — so the forest is the unique lexicographic MSF and the
+# oracle replays the rounds verbatim: min-edge selection via
+# row_number, component merge via an unrolled min-label fixpoint whose
+# converged labels are representation-independent (only the partition
+# matters, as in the Spark merge). R=8 rounds x J=12 jumps covers any
+# graph this gate sees (components at least halve per round; label
+# reach doubles per jump).
+# ---------------------------------------------------------------------------
+
+_Q260_R = 8
+_Q260_J = 12
+
+
+def _q260_oracle() -> str:
+    rounds = []
+    for k in range(1, _Q260_R + 1):
+        jumps = []
+        for t in range(_Q260_J):
+            jumps.append(f"""
+j{k}_{t + 1} AS MATERIALIZED (
+  SELECT x.node, LEAST(x.lbl, p.lbl, nm.mn) AS lbl
+  FROM j{k}_{t} x
+  JOIN j{k}_{t} p ON p.node = x.lbl
+  JOIN (SELECT g.a AS node, MIN(y.lbl) AS mn
+        FROM g{k} g JOIN j{k}_{t} y ON y.node = g.b GROUP BY g.a) nm
+    ON nm.node = x.node
+)""")
+        rounds.append(f"""
+el{k} AS MATERIALIZED (
+  SELECT ca.comp AS cu, cb.comp AS cv, e.w, e.u, e.v
+  FROM und e
+  JOIN lab{k - 1} ca ON e.u = ca.node
+  JOIN lab{k - 1} cb ON e.v = cb.node
+  WHERE ca.comp <> cb.comp
+),
+sel{k} AS MATERIALIZED (
+  SELECT cu, w, u, v, cv FROM (
+    SELECT cu, w, u, v, cv,
+           ROW_NUMBER() OVER (PARTITION BY cu ORDER BY w, u, v) AS rn
+    FROM el{k}
+  ) WHERE rn = 1
+),
+ch{k} AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v, w FROM sel{k}),
+g{k} AS MATERIALIZED (SELECT cu AS a, cv AS b FROM sel{k} UNION SELECT cv, cu FROM sel{k}),
+j{k}_0 AS MATERIALIZED (
+  SELECT g.a AS node, LEAST(g.a, MIN(g.b)) AS lbl FROM g{k} g GROUP BY g.a
+),{",".join(jumps)},
+lab{k} AS MATERIALIZED (
+  SELECT l.node, COALESCE(p.lbl, l.comp) AS comp
+  FROM lab{k - 1} l LEFT JOIN j{k}_{_Q260_J} p ON p.node = l.comp
+)""")
+    forest_union = "\nUNION\n".join(
+        f"SELECT u, v, w FROM ch{k}" for k in range(1, _Q260_R + 1)
+    )
+    return f"""
+WITH params AS (SELECT COUNT(*) AS n FROM supplier),
+raw AS (
+  SELECT s_suppkey AS a, (s_suppkey + 1) % n AS b,
+         (s_suppkey * 48271) % 9973 + 1 AS w
+  FROM supplier CROSS JOIN params
+  UNION ALL
+  SELECT s_suppkey, (s_suppkey * 31 + 7) % n,
+         5000 + (s_suppkey * 16807) % 9973
+  FROM supplier CROSS JOIN params
+),
+base AS MATERIALIZED (
+  SELECT LEAST(a, b) AS eu, GREATEST(a, b) AS ev, MIN(w) AS w
+  FROM raw WHERE a <> b GROUP BY 1, 2
+),
+und AS MATERIALIZED (SELECT eu AS u, ev AS v, w FROM base UNION ALL SELECT ev, eu, w FROM base),
+lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS comp FROM und),
+{",".join(rounds)}
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, CAST(w AS BIGINT) AS w
+FROM ({forest_union}) ORDER BY u, v
+"""
+
+
+@register("q260_boruvka_msf", _q260_oracle())
+def q260_boruvka_msf(spark, sf_dir):
+    from ..operators.boruvka import minimum_spanning_forest
+
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey")
+    n_row = sup.agg(F.count("*").alias("n"))
+    s = sup.crossJoin(F.broadcast(n_row))
+    ring = s.select(
+        F.col("s_suppkey").alias("u"),
+        ((F.col("s_suppkey") + 1) % F.col("n")).alias("v"),
+        ((F.col("s_suppkey") * 48271) % 9973 + 1).alias("w"),
+    )
+    chord = s.select(
+        F.col("s_suppkey").alias("u"),
+        ((F.col("s_suppkey") * 31 + 7) % F.col("n")).alias("v"),
+        (F.lit(5000) + (F.col("s_suppkey") * 16807) % 9973).alias("w"),
+    )
+    edges = ring.unionByName(chord)
+    return (
+        minimum_spanning_forest(edges, "u", "v", "w")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .orderBy("u", "v")
+    )
