@@ -128,3 +128,61 @@ def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 out.append(s)
         syms = out
     return syms
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a trained merge table to one word — standard greedy BPE
+    (Sennrich et al. 2016 apply_bpe): repeatedly merge the LOWEST-rank
+    adjacent pair present (leftmost occurrence on rank ties) until no
+    rule applies. One merge per iteration, which is equivalent to the
+    batch formulation (merging the chosen pair's occurrences one at a
+    time left-to-right visits the same states) — and is exactly the
+    recurrence q263's recursive-CTE oracle replays."""
+    seq = list(word)
+    while True:
+        best_rank = None
+        best_pos = None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pos = i
+        if best_pos is None:
+            return seq
+        seq[best_pos : best_pos + 2] = [seq[best_pos] + seq[best_pos + 1]]
+
+
+def bpe_encode_words(
+    words: "DataFrame",
+    word_col: str,
+    merges: list[tuple[str, str]],
+) -> "DataFrame":
+    """Segment each word with the (rank-ordered) ``merges`` table.
+    Output: ``(word, encoded string [pieces space-joined], n_pieces)``.
+    The merge table is bounded by contract (a trained tokenizer, not
+    data) and rides into the Arrow kernel closure; encoding is one map
+    stage, no shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ranks = {pair: i + 1 for i, pair in enumerate(merges)}
+    if len(ranks) != len(merges):
+        raise ValueError("duplicate merge rules")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pieces = [
+                bpe_encode_word(w, ranks) for w in pdf[word_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "word": pdf[word_col],
+                    "encoded": [" ".join(p) for p in pieces],
+                    "n_pieces": [len(p) for p in pieces],
+                }
+            )
+
+    return words.select(F.col(word_col)).mapInPandas(
+        kernel, "word string, encoded string, n_pieces int"
+    )

@@ -335,3 +335,94 @@ bh_out AS (
            AS reject
   FROM (SELECT *, ({p_expr}) * CAST(_m AS DOUBLE) / bh_rank AS _raw FROM bh_r)
 )"""
+
+
+def simplified_silhouette(
+    pts: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Simplified silhouette (centroid form, squared-distance variant)
+    per point — the O(n*k) clustering-quality score (vs the O(n^2)
+    full silhouette): a(i) = d^2(x_i, centroid(own)), b(i) = min over
+    other clusters of d^2(x_i, centroid_k), s(i) = (b-a)/max(a,b)
+    (0 for singleton clusters, the classic convention; 0 when both
+    distances vanish or no other cluster exists).
+
+    Exactness: vectors are integer-scaled (``floor(x * scale)`` — floor
+    of an identical double product, engine-identical with no tie
+    semantics), centroids stay RATIONAL (sum vector s_k, count n_k; the
+    mean is never materialized): d^2(x, s/n) = ||n*x - s||^2 / n^2 with
+    an integer numerator summed in decimal (order-independent), one
+    deterministic double division at the end. Output doubles rounded to
+    6 (the q24 final-guard convention).
+
+    Scale shape: one posexplode + (cluster, pos) groupBy for the sum
+    vectors (map-side combined), the centroid table is k rows and
+    broadcast, one map stage scores every point against all k — no
+    point-to-point pairs anywhere.
+    """
+    xi = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    p = pts.select(
+        F.col(id_col).alias("_id"),
+        F.col(cluster_col).alias("_own"),
+        xi.alias("_xi"),
+    )
+    sums = (
+        p.select("_own", F.posexplode("_xi").alias("_pos", "_v"))
+        .groupBy("_own", "_pos")
+        .agg(F.sum("_v").alias("_s"))
+        .groupBy("_own")
+        .agg(
+            F.count("*").alias("_dim"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+                lambda z: z["_s"],
+            ).alias("_sv"),
+        )
+        .drop("_dim")
+    )
+    counts = p.groupBy("_own").agg(F.count("*").alias("_n"))
+    clusters = sums.join(counts, "_own").select(
+        F.col("_own").alias("_cl"), "_n", "_sv"
+    )
+    diff = F.zip_with(
+        F.col("_xi"), F.col("_sv"), lambda x, s: F.col("_n") * x - s
+    )
+    num = F.aggregate(
+        diff,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + (v.cast("decimal(19,0)") * v.cast("decimal(19,0)")).cast(
+            "decimal(38,0)"
+        ),
+    )
+    scored = (
+        p.crossJoin(F.broadcast(clusters))  # k rows by contract
+        .withColumn(
+            "_val",
+            num.cast("double") / (F.col("_n") * F.col("_n")).cast("double"),
+        )
+    )
+    sil = scored.groupBy("_id", "_own").agg(
+        F.max(F.when(F.col("_cl") == F.col("_own"), F.col("_val"))).alias("a"),
+        F.min(F.when(F.col("_cl") != F.col("_own"), F.col("_val"))).alias("b"),
+        F.max(F.when(F.col("_cl") == F.col("_own"), F.col("_n"))).alias("_n_own"),
+    )
+    s = (
+        F.when(F.col("_n_own") == 1, F.lit(0.0))
+        .when(F.col("b").isNull(), F.lit(0.0))
+        .when(F.greatest("a", "b") == 0.0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+    )
+    return sil.select(
+        F.col("_id").alias(id_col),
+        F.col("_own").alias(cluster_col),
+        F.round("a", 6).alias("a_sq"),
+        F.round("b", 6).alias("b_sq"),
+        F.round(s, 6).alias("silhouette"),
+    )

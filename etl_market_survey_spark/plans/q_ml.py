@@ -2181,3 +2181,88 @@ def q256_jpeg_codec_roundtrip(spark, sf_dir):
     return payloads.mapInPandas(
         decode_pixels, "l_returnflag string, pixel_idx int, val int"
     ).orderBy("l_returnflag", "pixel_idx")
+
+
+# ---------------------------------------------------------------------------
+# q262 — simplified silhouette (operators/evalmetrics.
+# simplified_silhouette) of the SRP-bucket clustering (4 literal planes
+# -> 16 clusters, the q242 machinery): per point, squared distance to
+# its own cluster's RATIONAL centroid vs the nearest other centroid —
+# the O(n*k) clustering-quality readout. Integer-scaled vectors,
+# decimal numerators, one double division per (point, cluster); the
+# oracle replays the identical arithmetic with HUGEINT folds. Scale
+# 1e3 keeps ||n*x - s||^2 under 2^53, so the integer->double conversion
+# is value-preserving on BOTH engines (at 1e6 the ~1e21 numerators
+# rounded differently in Spark's decimal cast vs DuckDB's HUGEINT cast
+# and the b = min-over-clusters selection amplified the last-bit
+# noise — measured 17/500 mismatches before the change).
+# ---------------------------------------------------------------------------
+
+_Q262_SCALE = 1_000
+
+
+def _q262_oracle() -> str:
+    from ..operators.similarity import _srp_planes, sql_srp_bits
+
+    bits = sql_srp_bits(
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+        _srp_planes(64, 4, 99),
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_Q262_SCALE}) AS BIGINT)) AS xi,
+         {bits} AS cl
+  FROM embeddings
+),
+px AS (
+  SELECT e.cl, u.i AS pos, SUM(xi[u.i]) AS s
+  FROM e CROSS JOIN generate_series(1, 64) u(i)
+  GROUP BY 1, 2
+),
+cv AS (
+  SELECT cl, list(s ORDER BY pos) AS sv FROM px GROUP BY cl
+),
+cn AS (SELECT cl, COUNT(*) AS n FROM e GROUP BY 1),
+cl_tab AS (SELECT cv.cl, cn.n, cv.sv FROM cv JOIN cn ON cv.cl = cn.cl),
+pairs AS (
+  SELECT e.vec_id, e.cl AS own, c.cl, c.n,
+         CAST(list_sum(list_transform(list_zip(e.xi, c.sv),
+           z -> CAST(c.n * z[1] - z[2] AS HUGEINT)
+              * CAST(c.n * z[1] - z[2] AS HUGEINT))) AS DOUBLE)
+         / CAST(c.n * c.n AS DOUBLE) AS val
+  FROM e CROSS JOIN cl_tab c
+),
+sil AS (
+  SELECT vec_id, own,
+         MAX(CASE WHEN cl = own THEN val END) AS a,
+         MIN(CASE WHEN cl <> own THEN val END) AS b,
+         MAX(CASE WHEN cl = own THEN n END) AS n_own
+  FROM pairs GROUP BY 1, 2
+)
+SELECT vec_id, own AS cluster,
+       ROUND(a, 6) AS a_sq, ROUND(b, 6) AS b_sq,
+       ROUND(CASE WHEN n_own = 1 THEN 0
+                  WHEN b IS NULL THEN 0
+                  WHEN GREATEST(a, b) = 0 THEN 0
+                  ELSE (b - a) / GREATEST(a, b) END, 6) AS silhouette
+FROM sil ORDER BY vec_id
+"""
+
+
+@register("q262_simplified_silhouette", _q262_oracle())
+def q262_simplified_silhouette(spark, sf_dir):
+    from ..operators.evalmetrics import simplified_silhouette
+    from ..operators.similarity import _srp_planes, srp_signature_int
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = _srp_planes(64, 4, 99)
+    pts = emb.select(
+        "vec_id",
+        srp_signature_int(F.col("embedding"), planes).alias("cluster"),
+        "embedding",
+    )
+    return simplified_silhouette(
+        pts, "vec_id", "cluster", "embedding", scale=_Q262_SCALE
+    ).orderBy("vec_id")

@@ -8,6 +8,7 @@ q42_sessionize — gap-based sessions (30 min) per user, rolled up.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join, sessionize
@@ -1479,3 +1480,66 @@ def q252_interval_concurrency(spark, sf_dir):
         .agg(F.max("open_orders").cast("long").alias("peak_open"))
         .orderBy("month_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — SAX symbolization + motif support (operators/sax): each user's
+# event-value series (integer cents, ordered by ts then event_id)
+# collapses to an 8-segment SAX word over breakpoints [500, 1000, 1500]
+# cents; output is per-user word plus how many users share it (the
+# motif-candidate support). Counted segment allocation
+# (seg = (rank-1)*W div n) and cross-multiplied symbol tests keep every
+# step in exact integer arithmetic — the oracle replays it verbatim.
+# ---------------------------------------------------------------------------
+
+_Q261_W = 8
+_Q261_BP = [500, 1000, 1500]
+
+_Q261_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+seg AS (
+  SELECT user_id, ((rn - 1) * {_Q261_W}) // n AS s,
+         SUM(v) AS sv, COUNT(*) AS c, MAX(n) AS n
+  FROM r GROUP BY 1, 2
+),
+sym AS (
+  SELECT user_id, s, n,
+         CASE WHEN sv < {_Q261_BP[0]} * c THEN 'a'
+              WHEN sv < {_Q261_BP[1]} * c THEN 'b'
+              WHEN sv < {_Q261_BP[2]} * c THEN 'c'
+              ELSE 'd' END AS y
+  FROM seg
+),
+words AS (
+  SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_points,
+         STRING_AGG(y, '' ORDER BY s) AS sax_word
+  FROM sym GROUP BY 1
+)
+SELECT user_id, n_points, sax_word,
+       CAST(COUNT(*) OVER (PARTITION BY sax_word) AS BIGINT) AS n_users_same_word
+FROM words ORDER BY user_id
+"""
+
+
+@register("q261_sax_motifs", _Q261_ORACLE)
+def q261_sax_motifs(spark, sf_dir):
+    from ..operators.sax import sax_words
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    words = sax_words(
+        ev, "user_id", ["ts", "event_id"], "cents", _Q261_W, _Q261_BP,
+    )
+    return words.withColumn(
+        "n_users_same_word",
+        F.count("*").over(Window.partitionBy("sax_word")).cast("long"),
+    ).orderBy("user_id")

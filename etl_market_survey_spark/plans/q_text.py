@@ -1046,3 +1046,86 @@ def q258_aho_corasick_scan(spark, sf_dir):
     return multi_pattern_scan(docs, "doc_id", "text", _Q258_PATTERNS).orderBy(
         "doc_id", "pattern", "pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — BPE tokenizer APPLY (operators/bpe.bpe_encode_word): segment
+# every distinct corpus word with a pretrained 17-rule merge table
+# (literal in both engines — applying a trained tokenizer is the
+# production op; training itself is q217). Inference is standard greedy
+# BPE: repeatedly merge the lowest-rank adjacent pair (leftmost on
+# ties). The oracle replays the EXACT recurrence with a recursive CTE:
+# per step, rank lookup via a literal CASE over adjacent pairs,
+# best = list_min of rank*100000+pos codes, one list-splice merge —
+# the XXH64/Winkler-EM treatment applied to tokenizer inference.
+# ---------------------------------------------------------------------------
+
+_Q263_MERGES = [
+    ("a", "n"), ("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"),
+    ("s", "c"), ("sc", "an"), ("r", "o"), ("ro", "w"), ("e", "r"),
+    ("v", "a"), ("u", "e"), ("va", "l"), ("val", "ue"), ("o", "r"),
+    ("d", "a"), ("da", "ta"),
+]
+
+
+def _q263_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{a}|{b}' THEN {i + 1}"
+        for i, (a, b) in enumerate(_Q263_MERGES)
+    )
+    return f"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS n_occurrences FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+enc AS (
+  SELECT w, list_transform(generate_series(1, len(w)), i -> w[i:i]) AS seq,
+         0 AS step
+  FROM words
+  UNION ALL
+  SELECT w,
+         seq[1:pos - 1]
+           || [seq[pos] || seq[pos + 1]]
+           || seq[pos + 2:len(seq)] AS seq,
+         step + 1
+  FROM (
+    SELECT w, seq, step,
+           CAST(list_min(list_filter(
+             list_transform(generate_series(1, len(seq) - 1),
+               i -> (CASE seq[i] || '|' || seq[i + 1] {case} END) * 100000 + i),
+             x -> x IS NOT NULL)) % 100000 AS INT) AS pos
+    FROM enc
+  ) WHERE pos IS NOT NULL
+),
+final AS (
+  SELECT w, seq,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+  FROM enc
+)
+SELECT f.w AS word, array_to_string(f.seq, ' ') AS encoded,
+       CAST(len(f.seq) AS INT) AS n_pieces,
+       CAST(words.n_occurrences AS BIGINT) AS n_occurrences
+FROM final f JOIN words ON f.w = words.w
+WHERE f.rn = 1
+ORDER BY word
+"""
+
+
+@register("q263_bpe_encode", _q263_oracle())
+def q263_bpe_encode(spark, sf_dir):
+    from ..operators.bpe import bpe_encode_words
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    words = toks.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    enc = bpe_encode_words(words, "w", _Q263_MERGES)
+    return (
+        enc.join(words, enc["word"] == words["w"])
+        .select("word", "encoded", "n_pieces", "n_occurrences")
+        .orderBy("word")
+    )

@@ -296,3 +296,36 @@ def test_suffix_ranks_auto_routes_giant_docs(spark):
         for rank, p in enumerate(order, 1):
             want[(row.doc_id, p)] = rank
     assert routed == want
+
+
+def test_bpe_encode_word_greedy_rank_order():
+    from etl_market_survey_spark.operators.bpe import bpe_encode_word
+
+    # rank order decides: with (a,b) ranked above (b,c), 'abc' merges
+    # left; flipping ranks merges right
+    assert bpe_encode_word("abc", {("a", "b"): 1, ("b", "c"): 2}) == ["ab", "c"]
+    assert bpe_encode_word("abc", {("a", "b"): 2, ("b", "c"): 1}) == ["a", "bc"]
+    # cascade: merges feed later rules
+    ranks = {("a", "b"): 1, ("ab", "c"): 2}
+    assert bpe_encode_word("abcabc", ranks) == ["abc", "abc"]
+    # overlapping same-pair runs merge leftmost-first
+    assert bpe_encode_word("aaa", {("a", "a"): 1}) == ["aa", "a"]
+    # no applicable rule -> characters
+    assert bpe_encode_word("xyz", {("a", "b"): 1}) == ["x", "y", "z"]
+
+
+def test_bpe_encode_words_frame(spark):
+    from etl_market_survey_spark.operators.bpe import bpe_encode_words
+
+    df = spark.createDataFrame([("table",), ("data",), ("xy",)], "w string")
+    got = {
+        r["word"]: (r["encoded"], r["n_pieces"])
+        for r in bpe_encode_words(
+            df, "w",
+            [("a", "n"), ("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"),
+             ("d", "a"), ("da", "ta")],
+        ).collect()
+    }
+    assert got["table"] == ("table", 1)
+    assert got["data"] == ("data", 1)
+    assert got["xy"] == ("x y", 2)
