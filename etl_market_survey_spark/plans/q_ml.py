@@ -2266,3 +2266,64 @@ def q262_simplified_silhouette(spark, sf_dir):
     return simplified_silhouette(
         pts, "vec_id", "cluster", "embedding", scale=_Q262_SCALE
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q264 — feature hashing (the hashing-trick vectorizer, Weinberger et
+# al. 2009): every token occurrence lands in bucket
+# pmod(xxhash64(0, tok), 256) with sign 2*pmod(xxhash64(1, tok), 2)-1;
+# per-doc signed sums are the sparse feature triples every
+# vocabulary-free text model trains on. Engine-exact because XXH64
+# itself replays in SQL (functions/xxh64sql, the q52 machinery) — the
+# hash indices and signs are the SAME bits on both engines. One
+# explode + one (doc, idx) groupBy; no vocabulary state anywhere.
+# ---------------------------------------------------------------------------
+
+_Q264_N_FEAT = 256
+
+
+def _q264_oracle() -> str:
+    from ..functions.xxh64sql import hash_int, sql_xxhash64_str
+
+    seeds = [hash_int(0, 42), hash_int(1, 42)]
+    xxh_block = sql_xxhash64_str("(SELECT DISTINCT s FROM toks)", seeds)
+    n = _Q264_N_FEAT
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS s
+  FROM documents
+),
+{xxh_block},
+feat AS (
+  SELECT t.doc_id,
+         ((x0.hv % {n}) + {n}) % {n} AS idx,
+         CASE WHEN ((x1.hv % 2) + 2) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM toks t
+  JOIN xxh x0 ON x0.s = t.s AND x0.hi = 0
+  JOIN xxh x1 ON x1.s = t.s AND x1.hi = 1
+)
+SELECT doc_id, CAST(idx AS INT) AS idx, CAST(SUM(sgn) AS BIGINT) AS val
+FROM feat GROUP BY 1, 2
+HAVING SUM(sgn) <> 0
+ORDER BY doc_id, idx
+"""
+
+
+@register("q264_feature_hashing", _q264_oracle())
+def q264_feature_hashing(spark, sf_dir):
+    n = _Q264_N_FEAT
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("s")
+    ).filter(F.col("s") != "")
+    feat = toks.select(
+        "doc_id",
+        F.pmod(F.xxhash64(F.lit(0), F.col("s")), F.lit(n)).cast("int").alias("idx"),
+        (F.pmod(F.xxhash64(F.lit(1), F.col("s")), F.lit(2)) * 2 - 1).alias("sgn"),
+    )
+    return (
+        feat.groupBy("doc_id", "idx")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+        .orderBy("doc_id", "idx")
+    )

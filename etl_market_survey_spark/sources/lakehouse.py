@@ -259,3 +259,85 @@ def read_snapshot(
             raise ValueError(f"snapshot v{version} is empty and schema unknown")
         return spark.read.parquet(all_files[0]).limit(0)
     return spark.read.parquet(*files)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_rows: int,
+    commit_ts: int,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: within each partition tuple, next-fit-pack
+    the current snapshot's files into bins of ~``target_rows`` and
+    rewrite every multi-file bin as one new data file; commit the result
+    as a ``compact`` snapshot. Logical content is unchanged (same rows),
+    single-file bins keep their original immutable file, and partition
+    boundaries are never crossed — manifest pruning works exactly as
+    before. Returns the new version.
+
+    This is the maintenance loop every lakehouse runs (Iceberg
+    rewrite_data_files / Delta OPTIMIZE): at 100 TB the cost model is
+    driven by file count, and the protocol makes compaction just
+    another immutable commit — time travel to pre-compaction versions
+    still reads the old files."""
+    current = _read_current_version(path)
+    if current == 0:
+        raise ValueError(f"no snapshots at {path}")
+    snap = _load_snapshot(path, current)
+    by_part: dict[tuple, list[dict]] = {}
+    for e in snap["manifest"]:
+        key = tuple(sorted(e["partition"].items()))
+        by_part.setdefault(key, []).append(e)
+
+    new_manifest: list[dict] = []
+    stat_cols = stat_cols or []
+    n_bin = 0
+    for key in sorted(by_part, key=str):
+        entries = sorted(by_part[key], key=lambda e: e["file"])
+        bins: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_rows = 0
+        for e in entries:  # next-fit in file-name order (deterministic)
+            if cur and cur_rows + e["row_count"] > target_rows:
+                bins.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(e)
+            cur_rows += e["row_count"]
+        if cur:
+            bins.append(cur)
+        for b in bins:
+            if len(b) == 1:
+                new_manifest.append(b[0])
+                continue
+            n_bin += 1
+            files = [os.path.join(path, e["file"]) for e in b]
+            fname = f"compact-{uuid.uuid5(uuid.NAMESPACE_URL, f'{current + 1}|{n_bin}').hex}.parquet"
+            fdir = os.path.join(_data_dir(path), fname)
+            spark.read.parquet(*files).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(fdir)
+            new_manifest.append(
+                {
+                    "file": os.path.relpath(fdir, path),
+                    "partition": dict(key),
+                    **_stats_for_file(spark, fdir, stat_cols),
+                }
+            )
+
+    version = current + 1
+    out = {
+        "version": version,
+        "parent": current,
+        "commit_ts": int(commit_ts),
+        "operation": "compact",
+        "manifest": new_manifest,
+    }
+    with open(_snapshot_path(path, version), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    tmp = os.path.join(_meta_dir(path), f"{_CURRENT}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_meta_dir(path), _CURRENT))
+    return version

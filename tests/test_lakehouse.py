@@ -90,3 +90,24 @@ def test_history_and_stats(spark, table):
 def test_conflicting_travel_args(spark, table):
     with pytest.raises(ValueError):
         read_snapshot(spark, table, version=1, as_of_ts=100)
+
+
+def test_compaction_preserves_content_and_prunes(spark, table):
+    from etl_market_survey_spark.sources.lakehouse import compact_snapshot
+
+    before = read_snapshot(spark, table)  # v3: only p='b', two files
+    before_rows = sorted((r["k"], r["p"], r["x"]) for r in before.collect())
+    n_files_before = len(before.inputFiles())
+    v = compact_snapshot(spark, table, target_rows=100, commit_ts=400, stat_cols=["k"])
+    after = read_snapshot(spark, table)
+    assert v == 4
+    assert sorted((r["k"], r["p"], r["x"]) for r in after.collect()) == before_rows
+    assert len(after.inputFiles()) < n_files_before
+    # pre-compaction version still reads the ORIGINAL files (time travel)
+    assert read_snapshot(spark, table, version=3).count() == 10
+    hist = table_history(table)
+    assert hist[-1]["operation"] == "compact"
+    assert hist[-1]["row_count"] == 10
+    # pruning still keyed on partition values
+    assert read_snapshot(spark, table, partition_filter={"p": "b"}).count() == 10
+    assert read_snapshot(spark, table, partition_filter={"p": "zzz"}).count() == 0
