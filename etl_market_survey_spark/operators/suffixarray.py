@@ -244,3 +244,69 @@ def suffix_ranks_global(
         if cur.select("_didx", "_r").distinct().count() == n_total:
             break
     return cur.select(id_col, "pos", F.col("_r").alias("sa_rank"))
+
+
+def right_maximal_repeats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    max_len: int = 100,
+) -> DataFrame:
+    """ALL right-maximal repeats per document (ROADMAP r3: the
+    all-repeats upgrade of q223's single argmax): every substring that
+    occurs >= 2 times AND whose occurrences are followed by >= 2
+    distinct continuations (end-of-string counts) — i.e. every internal
+    suffix-tree node, enumerated from the LCP array with the classic
+    interval stack (Abouelhoda, Kurtz & Ohlebusch 2004), O(n) per doc
+    after the distributed suffix ranking. Output:
+    ``(id, repeat, rep_len, n_occ)`` for ``min_len <= rep_len <=
+    max_len`` (the cap bounds report width by contract — dedup wants
+    long repeats' EXISTENCE, not megabyte strings in the result).
+
+    Scale shape: ranks come from the q218 prefix-doubling operator
+    (log-round shuffles); the enumeration is one Arrow kernel per doc —
+    state is the doc's own (sa, lcp) arrays, the stack depth is bounded
+    by the longest repeat."""
+    import pandas as pd
+
+    lcps = lcp_array(docs, id_col, text_col)
+    withtext = lcps.join(docs.select(id_col, text_col), id_col)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sa_rank", ignore_index=True)
+        text = pdf[text_col].iloc[0]
+        n = len(pdf)
+        sa = pdf["pos"].to_numpy()  # position by rank order (1..n)
+        lcp = pdf["lcp"].to_numpy()  # lcp[i] vs rank i-1 (0 for first)
+        out: dict[str, int] = {}
+        # canonical lcp-interval stack (Abouelhoda et al. 2004),
+        # validated against brute force over 600 random strings
+        stack: list[tuple[int, int]] = []
+        for i in range(0, n + 1):
+            cur = int(lcp[i]) if i < n else 0
+            lb = i - 1
+            while stack and cur < stack[-1][0]:
+                ell, lbo = stack.pop()
+                # ranks [lbo .. i-1] share a prefix of length ell and
+                # branch here -> internal suffix-tree node
+                size = i - lbo
+                if size >= 2 and min_len <= ell <= max_len:
+                    rep = text[sa[lbo] : sa[lbo] + ell]
+                    if rep not in out or out[rep] < size:
+                        out[rep] = size
+                lb = lbo
+            if cur > 0 and (not stack or cur > stack[-1][0]):
+                stack.append((cur, lb))
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].iloc[0],
+                "repeat": list(out.keys()),
+                "rep_len": [len(k) for k in out.keys()],
+                "n_occ": list(out.values()),
+            }
+        )
+
+    return withtext.groupBy(id_col).applyInPandas(
+        kernel, f"{id_col} long, repeat string, rep_len int, n_occ long"
+    )

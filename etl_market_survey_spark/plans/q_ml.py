@@ -2327,3 +2327,58 @@ def q264_feature_hashing(spark, sf_dir):
         .filter(F.col("val") != 0)
         .orderBy("doc_id", "idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — ALL right-maximal repeats (operators/suffixarray.
+# right_maximal_repeats; ROADMAP r3's all-repeats upgrade of q223):
+# every substring with >= 2 occurrences and >= 2 distinct right
+# continuations (end-of-string counts) per document — every internal
+# suffix-tree node, enumerated from the distributed suffix ranks + LCP
+# array via the canonical interval stack. The oracle brute-forces the
+# definition itself: all (pos, len) substrings grouped, HAVING >= 2
+# occurrences and >= 2 distinct followers. The repeat-diagnostics table
+# span-dedup (q109) prunes by.
+# ---------------------------------------------------------------------------
+
+_Q265_NDOCS = 20
+_Q265_MINLEN = 10
+_Q265_MAXLEN = 100
+
+_Q265_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_Q265_NDOCS}),
+pos AS MATERIALIZED (
+  SELECT doc_id, text, CAST(unnest(generate_series(1, len(text))) AS INT) AS p
+  FROM d
+),
+pl AS MATERIALIZED (
+  SELECT doc_id, text, p,
+         CAST(unnest(generate_series({_Q265_MINLEN},
+            LEAST({_Q265_MAXLEN}, len(text) - p + 1))) AS INT) AS l
+  FROM pos
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, substr(text, p, l) AS sub, substr(text, p + l, 1) AS follow
+  FROM pl
+),
+rm AS (
+  SELECT doc_id, sub, COUNT(*) AS n_occ
+  FROM occ GROUP BY 1, 2
+  HAVING COUNT(*) >= 2 AND COUNT(DISTINCT follow) >= 2
+)
+SELECT doc_id, sub AS repeat, CAST(len(sub) AS INT) AS rep_len,
+       CAST(n_occ AS BIGINT) AS n_occ
+FROM rm ORDER BY doc_id, repeat
+"""
+
+
+@register("q265_right_maximal_repeats", _Q265_ORACLE)
+def q265_right_maximal_repeats(spark, sf_dir):
+    from ..operators.suffixarray import right_maximal_repeats
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Q265_NDOCS
+    )
+    return right_maximal_repeats(
+        docs, "doc_id", "text", _Q265_MINLEN, _Q265_MAXLEN
+    ).orderBy("doc_id", "repeat")
