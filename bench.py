@@ -101,8 +101,15 @@ HEADLINE = [
     "q249_asof_directions",
     "q250_corr_matrix",
     "q251_period_over_period",
-    # r4: JPEG codec
+    # r4: JPEG codec, dictionary scan, spatial join, SAX, silhouette,
+    # feature hashing, all-repeats
     "q256_jpeg_codec_roundtrip",
+    "q258_aho_corasick_scan",
+    "q259_spatial_neighbor_join",
+    "q261_sax_motifs",
+    "q262_simplified_silhouette",
+    "q264_feature_hashing",
+    "q265_right_maximal_repeats",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise
