@@ -209,6 +209,7 @@ def read_snapshot(
     version: int | None = None,
     as_of_ts: int | None = None,
     partition_filter: dict | None = None,
+    bounds_filter: dict | None = None,
 ) -> DataFrame:
     """Read the table at a snapshot (current by default; time-travel via
     ``version=`` or ``as_of_ts=`` — the newest snapshot with
@@ -218,6 +219,15 @@ def read_snapshot(
     FILE LIST on the driver before Spark sees it — manifest-metadata
     pruning, the lakehouse fast path. Partition columns are stored in
     the data files themselves, so surviving files need no path parsing.
+
+    ``bounds_filter`` ({col: value} or {col: (lo, hi)} inclusive) prunes
+    by the per-file min/max recorded for ``stat_cols`` at commit time —
+    zone maps over NON-partition columns (Iceberg's column-stats
+    skipping). Sound only as a pruning step: a surviving file may still
+    contain no matching rows, so callers apply the real predicate too
+    (the usual contract — this filter only discards files that provably
+    cannot match; files with no recorded bounds are kept).
+
     Returns an empty-manifest read as an empty DataFrame of the newest
     file's schema if no file survives (caller's responsibility to have
     committed at least once)."""
@@ -251,6 +261,20 @@ def read_snapshot(
                 for k, vals in norm.items()
             )
         ]
+    if bounds_filter:
+        def survives(e: dict) -> bool:
+            for col, want in bounds_filter.items():
+                b = e.get("bounds", {}).get(col)
+                if not b or b[0] is None or b[1] is None:
+                    continue  # no stats recorded -> cannot prune
+                lo, hi = (want if isinstance(want, (tuple, list)) else (want, want))
+                if (hi is not None and b[0] > hi) or (
+                    lo is not None and b[1] < lo
+                ):
+                    return False
+            return True
+
+        entries = [e for e in entries if survives(e)]
     files = [os.path.join(path, e["file"]) for e in entries]
     if not files:
         # preserve schema by reading the full manifest's first file 0-rows

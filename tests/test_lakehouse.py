@@ -111,3 +111,27 @@ def test_compaction_preserves_content_and_prunes(spark, table):
     # pruning still keyed on partition values
     assert read_snapshot(spark, table, partition_filter={"p": "b"}).count() == 10
     assert read_snapshot(spark, table, partition_filter={"p": "zzz"}).count() == 0
+
+
+def test_bounds_filter_zone_map_pruning(spark, table):
+    # v2: files per (partition, commit) with k-bounds [0..9] and [10..19]
+    full = read_snapshot(spark, table, version=2)
+    # equality probe k=15 can only live in the second commit's files
+    pruned = read_snapshot(spark, table, version=2, bounds_filter={"k": 15})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # pruning is SOUND: applying the real predicate gives the same rows
+    assert (
+        pruned.filter(F.col("k") == 15).count()
+        == full.filter(F.col("k") == 15).count()
+        == 1
+    )
+    # range probe
+    rng = read_snapshot(spark, table, version=2, bounds_filter={"k": (0, 4)})
+    assert rng.filter(F.col("k") <= 4).count() == 5
+    assert len(rng.inputFiles()) < len(full.inputFiles())
+    # probing outside every bound prunes to the empty frame
+    none = read_snapshot(spark, table, version=2, bounds_filter={"k": 999})
+    assert none.count() == 0
+    # columns without recorded stats never prune
+    keep = read_snapshot(spark, table, version=2, bounds_filter={"x": 123.0})
+    assert keep.count() == 20
