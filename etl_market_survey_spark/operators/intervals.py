@@ -20,7 +20,7 @@ allows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,4 +62,63 @@ def bucket_totals(apportioned: DataFrame) -> DataFrame:
     return apportioned.groupBy("bucket").agg(
         F.sum("overlap_ns").alias("total_ns"),
         F.count("*").alias("n_intervals"),
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching ``[start, end]`` intervals per key —
+    the classic gaps-and-islands union (uptime stitching, covered-time
+    accounting, span-dedup post-processing). Inclusive touch: an
+    interval starting exactly at the running max end extends the
+    island.
+
+    Shape: one window over (key, start, end) — the island flag is
+    ``start > max(end) over preceding rows``, island id its running
+    sum, then one (key, island) groupBy: min start, max end, count.
+    Integer-exact; state per key is one running max.
+
+    Output: ``(key, island_id, start, end, n_merged)``.
+    """
+    flagged = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_s")
+            > F.max("_e").over(
+                Window.partitionBy("_k")
+                .orderBy("_s", "_e")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            Window.partitionBy("_k")
+            .orderBy("_s", "_e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("_k", "_island")
+        .agg(
+            F.min("_s").alias("start"),
+            F.max("_e").alias("end"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_island").cast("long").alias("island_id"),
+            "start",
+            "end",
+            "n_merged",
+        )
     )

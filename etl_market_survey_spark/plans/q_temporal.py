@@ -1543,3 +1543,56 @@ def q261_sax_motifs(spark, sf_dir):
         "n_users_same_word",
         F.count("*").over(Window.partitionBy("sax_word")).cast("long"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q266 — interval coalescing (operators/intervals.coalesce_intervals):
+# each event covers [t, t+300] seconds; overlapping/touching covers
+# merge into per-user islands (uptime stitching / covered-time union —
+# the complement of q252's concurrency count). One window + one
+# groupBy, integer seconds throughout; the oracle replays the same
+# running-max island recurrence.
+# ---------------------------------------------------------------------------
+
+_Q266_COVER_S = 300
+
+_Q266_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
+         epoch_ns(ts) // 1000000000 + {_Q266_COVER_S} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island_id,
+       CAST(MIN(s) AS BIGINT) AS start, CAST(MAX(e) AS BIGINT) AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY 1, 2
+ORDER BY user_id, island_id
+"""
+
+
+@register("q266_interval_coalesce", _Q266_ORACLE)
+def q266_interval_coalesce(spark, sf_dir):
+    from ..operators.intervals import coalesce_intervals
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("s"),
+        (F.expr("ts div 1000000000") + _Q266_COVER_S).alias("e"),
+    )
+    return coalesce_intervals(ev, "user_id", "s", "e").orderBy(
+        "user_id", "island_id"
+    )

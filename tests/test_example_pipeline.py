@@ -58,3 +58,12 @@ def test_streaming_pipeline(spark):
 
     out = main(spark, "/root/testdata/sf0.001")
     assert out["windows"] > 0 and out["view_groups"] == 5
+
+
+def test_lakehouse_example_lifecycle(spark):
+    from examples.lakehouse_pipeline import main
+
+    post = main(spark, "/root/testdata/sf0.001")
+    # delete removed the partition; appends summed to the remainder
+    assert post.filter(post["pr"] == "1-URGENT").count() == 0
+    assert post.count() > 0
