@@ -1129,3 +1129,72 @@ def q263_bpe_encode(spark, sf_dir):
         .select("word", "encoded", "n_pieces", "n_occurrences")
         .orderBy("word")
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — WARC corpus scan (sources/warc): a two-file WARC fixture (one
+# plain, one per-record-gzip — both layouts of ISO 28500) is built
+# deterministically from documents (doc_id < 100), then read back
+# through the distributed binaryFile + Arrow-kernel parser; output is
+# (target_uri, content_type, n_bytes, payload md5). The oracle rebuilds
+# every field from documents with pure SQL — proving header parse,
+# Content-Length slicing, gzip member handling, and payload integrity
+# end to end. The Common Crawl ingestion shape.
+# ---------------------------------------------------------------------------
+
+_Q267_NDOCS = 100
+
+_Q267_ORACLE = f"""
+SELECT 'http://example.com/doc/' || doc_id AS target_uri,
+       'text/plain' AS content_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id < {_Q267_NDOCS}
+ORDER BY target_uri
+"""
+
+
+@register("q267_warc_scan", _Q267_ORACLE)
+def q267_warc_scan(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.warc import build_warc, read_warc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_warc_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _Q267_NDOCS)
+        .select("doc_id", "text")
+        .collect()  # bounded fixture build (driver-side, q257 pattern)
+    )
+    half = _Q267_NDOCS // 2
+
+    def rec(r):
+        return {
+            "warc_type": "response",
+            "target_uri": f"http://example.com/doc/{r['doc_id']}",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "content_type": "text/plain",
+            "payload": r["text"].encode("utf-8"),
+        }
+
+    a = [rec(r) for r in docs if r["doc_id"] < half]
+    b = [rec(r) for r in docs if r["doc_id"] >= half]
+    with open(f"{out_dir}/part-0.warc", "wb") as f:
+        f.write(build_warc(a, compress=False))
+    with open(f"{out_dir}/part-1.warc.gz", "wb") as f:
+        f.write(build_warc(b, compress=True))
+
+    recs = read_warc(spark, f"{out_dir}/*")
+    return recs.select(
+        "target_uri",
+        "content_type",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("target_uri")
