@@ -13,8 +13,9 @@ Codec policy — three tiers:
    numpy; 8-bit gray/RGB/palette/alpha, 16-bit, Adam7), baseline JPEG
    (``jpeg.decode_jpeg`` — full marker parse, canonical Huffman,
    dequant + float64 IDCT; grayscale/4:4:4/4:2:0, restart intervals),
-   the rawvid video container (``decode_rawvid``), and PCM WAV
-   (``decode_wav``) — real pixels, real nearest-neighbor resize, real
+   GIF (``gif.decode_gif`` — real variable-width LZW, interlace,
+   local/global palettes), the rawvid video container
+   (``decode_rawvid``), and PCM WAV (``decode_wav``) — real pixels, real nearest-neighbor resize, real
    per-frame luma features. These paths are bit-deterministic pure
    functions of the bytes, so they are always on, even under the stub
    contract.
@@ -409,6 +410,10 @@ def _fake_decode(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         arr = _luma(decode_jpeg(payload)).ravel()
+    elif payload.startswith(b"GIF8"):
+        from .gif import decode_gif
+
+        arr = _luma(decode_gif(payload)).ravel()
     else:
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if arr.size == 0:
@@ -509,6 +514,14 @@ def resize_media(
             ys = (np.arange(h) * ih) // h
             xs = (np.arange(w) * iw) // w
             return encode_jpeg(img[ys][:, xs], quality=95)
+        if b.startswith(b"GIF8"):
+            from .gif import decode_gif, encode_gif
+
+            img = decode_gif(b)
+            ih, iw = img.shape[0], img.shape[1]
+            ys = (np.arange(h) * ih) // h
+            xs = (np.arange(w) * iw) // w
+            return encode_gif(img[ys][:, xs])
         n = w * h
         if len(b) == 0:
             return b""

@@ -2382,3 +2382,84 @@ def q265_right_maximal_repeats(spark, sf_dir):
     return right_maximal_repeats(
         docs, "doc_id", "text", _Q265_MINLEN, _Q265_MAXLEN
     ).orderBy("doc_id", "repeat")
+
+
+# ---------------------------------------------------------------------------
+# q268 — GIF codec gate (the q231 pattern for GIF): deterministic
+# 12x12 RGB images per returnflag (pixel = md5(flag|i) % 256), encoded
+# INTERLACED via the library-free real-LZW encoder (operators/gif),
+# carried over an Arrow boundary, decoded back — every pixel must equal
+# the oracle's independent md5 arithmetic. GIF is lossless for <= 256
+# colors (always true at 144 pixels), so the gate is bit-exact:
+# variable-width LZW, palette round-trip, and the 4-pass interlace
+# reorder all verified end to end. PIL-free.
+# ---------------------------------------------------------------------------
+
+_Q268_W = _Q268_H = 12
+
+_Q268_ORACLE = f"""
+WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+px AS (
+  SELECT l_returnflag, CAST(s.i AS INT) AS pixel_idx,
+         CAST(('0x' || substr(md5(l_returnflag || '#' || CAST(s.i AS VARCHAR)), 1, 6))::BIGINT
+              % 256 AS INT) AS val
+  FROM flags CROSS JOIN generate_series(0, {_Q268_W * _Q268_H * 3 - 1}) AS s(i)
+)
+SELECT l_returnflag, pixel_idx, val FROM px ORDER BY 1, 2
+"""
+
+
+@register("q268_gif_codec_roundtrip", _Q268_ORACLE)
+def q268_gif_codec_roundtrip(spark, sf_dir):
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.gif import decode_gif, encode_gif
+
+    w, h = _Q268_W, _Q268_H
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for flag in pdf["l_returnflag"]:
+                px = np.array(
+                    [
+                        int(hashlib.md5(f"{flag}#{i}".encode()).hexdigest()[:6], 16)
+                        % 256
+                        for i in range(w * h * 3)
+                    ],
+                    dtype=np.uint8,
+                ).reshape((h, w, 3))
+                payloads.append(encode_gif(px, interlace=True))
+            yield pd.DataFrame(
+                {"l_returnflag": pdf["l_returnflag"], "payload": payloads}
+            )
+
+    def decode_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for flag, b in zip(pdf["l_returnflag"], pdf["payload"]):
+                vals = decode_gif(bytes(b)).ravel()
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "l_returnflag": flag,
+                            "pixel_idx": np.arange(len(vals), dtype=np.int32),
+                            "val": vals.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                columns=["l_returnflag", "pixel_idx", "val"]
+            )
+
+    flags = load(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    payloads = flags.mapInPandas(
+        make_payloads, "l_returnflag string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_pixels, "l_returnflag string, pixel_idx int, val int"
+    ).orderBy("l_returnflag", "pixel_idx")
