@@ -14,7 +14,8 @@ Codec policy — three tiers:
    (``jpeg.decode_jpeg`` — full marker parse, canonical Huffman,
    dequant + float64 IDCT; grayscale/4:4:4/4:2:0, restart intervals),
    GIF (``gif.decode_gif`` — real variable-width LZW, interlace,
-   local/global palettes), the rawvid video container
+   local/global palettes), BMP (``bmp.decode_bmp`` — 8-bit paletted +
+   24-bit, both row orders), the rawvid video container
    (``decode_rawvid``), and PCM WAV (``decode_wav``) — real pixels, real nearest-neighbor resize, real
    per-frame luma features. These paths are bit-deterministic pure
    functions of the bytes, so they are always on, even under the stub
@@ -414,6 +415,10 @@ def _fake_decode(payload: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         arr = _luma(decode_gif(payload)).ravel()
+    elif payload.startswith(b"BM"):
+        from .bmp import decode_bmp
+
+        arr = _luma(decode_bmp(payload)).ravel()
     else:
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if arr.size == 0:
@@ -522,6 +527,14 @@ def resize_media(
             ys = (np.arange(h) * ih) // h
             xs = (np.arange(w) * iw) // w
             return encode_gif(img[ys][:, xs])
+        if b.startswith(b"BM"):
+            from .bmp import decode_bmp, encode_bmp
+
+            img = decode_bmp(b)
+            ih, iw = img.shape[0], img.shape[1]
+            ys = (np.arange(h) * ih) // h
+            xs = (np.arange(w) * iw) // w
+            return encode_bmp(img[ys][:, xs])
         n = w * h
         if len(b) == 0:
             return b""

@@ -69,3 +69,25 @@ def test_rejects():
     ).reshape(20, 15, 3)  # 300 distinct colors
     with pytest.raises(ValueError, match="256"):
         encode_gif(many)
+
+
+def test_bmp_roundtrips_and_rejects():
+    from etl_market_survey_spark.operators.bmp import decode_bmp, encode_bmp
+
+    r = np.random.RandomState(3)
+    rgb = r.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+    gray = r.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_bmp(encode_bmp(gray)), np.stack([gray] * 3, axis=-1)
+    )
+    # top-down variant: negate height in the header, drop the row flip
+    payload = bytearray(encode_bmp(rgb))
+    import struct as st
+
+    h = st.unpack("<i", payload[22:26])[0]
+    payload[22:26] = st.pack("<i", -h)
+    flipped = decode_bmp(bytes(payload))
+    np.testing.assert_array_equal(flipped, rgb[::-1])
+    with pytest.raises(ValueError):
+        decode_bmp(b"GIF89a")
