@@ -591,3 +591,133 @@ def q232_exactly_once_sink(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q269/q270 — LEFT OUTER event-time interval join (streaming/joins.
+# event_interval_join_outer): every click appears, with its qualifying
+# purchase(s) or nulls. q269 runs the definition as a batch frame
+# (plain LEFT JOIN oracle); q270 drains the STREAMING run — watermarks
+# evict state AND license the null emissions, and a far-future sentinel
+# file (processed last via maxFilesPerTrigger=1 + later mtime) advances
+# the watermark past the data so the drained output is complete. Both
+# hash against the same oracle.
+# ---------------------------------------------------------------------------
+
+_OJ_ORACLE = """
+WITH c AS (
+  SELECT event_id AS left_id, user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS right_id, user_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.left_id, c.user_id,
+       p.right_id, p.pus - c.cus AS delay_us
+FROM c LEFT JOIN p ON p.user_id = c.user_id
+ AND c.cus <= p.pus AND c.cus > p.pus - 1800000000
+ORDER BY left_id, right_id
+"""
+
+
+@register("q269_outer_interval_join", _OJ_ORACLE)
+def q269_outer_interval_join(spark, sf_dir):
+    from ..streaming.joins import event_interval_join_outer
+
+    ev = load(spark, sf_dir, "events")
+    out = event_interval_join_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id",
+        interval="30 minutes",
+    )
+    return out.orderBy("left_id", "right_id")
+
+
+@register("q270_streaming_outer_interval_join", _OJ_ORACLE)
+def q270_streaming_outer_interval_join(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.events import read_event_stream, run_available_now
+    from ..streaming.joins import event_interval_join_outer
+
+    # staging dir: the real feed + a far-future sentinel file whose later
+    # mtime makes it the LAST micro-batch — it advances both watermarks
+    # past every real row so all null emissions flush before the drain
+    # ends; sentinel rows (negative ids) are filtered from the output
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stage = f"/tmp/spark_graft_outerj_{tag}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/a-events.parquet")
+
+    ev = load(spark, sf_dir, "events")
+    max_ns = ev.agg(F.max("ts")).collect()[0][0]
+    sent_ns = max_ns + 24 * 3600 * 1_000_000_000  # 1 day past the data
+    sent = spark.createDataFrame(
+        [
+            (-1, sent_ns, -1, "click", 0.0, ""),
+            (-2, sent_ns, -1, "purchase", 0.0, ""),
+        ],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # the sentinel file must carry ts in the SAME physical type as the
+    # real feed (µs timestamp in current testdata, legacy long-ns
+    # otherwise) — a mixed-type directory makes the stream reader drop
+    # the sentinel rows and the watermark never passes the data
+    raw_ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema[
+        "ts"
+    ].dataType.simpleString()
+    if raw_ts_type != "bigint":
+        sent = sent.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast(raw_ts_type)
+        )
+    # SECOND sentinel, one batch later still: watermark updates commit at
+    # the END of a batch, so null emissions licensed by sentinel #1's
+    # update need one more batch to flush (the one-batch-behind rule)
+    day = (
+        F.lit(24 * 3600 * 1_000_000_000)
+        if raw_ts_type == "bigint"
+        else F.expr("INTERVAL 24 HOURS")
+    )
+    sent2 = sent.withColumn("ts", F.col("ts") + day) \
+        .withColumn("event_id", F.col("event_id") - 10)
+
+    def _write_flat(df, name, mtime):
+        # the streaming file source lists only top-level files (no
+        # recursion into .parquet output DIRECTORIES) — flatten the
+        # single part file up and pin its mtime to fix batch order
+        import glob as _glob
+
+        tmp = f"{stage}/_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{stage}/{name}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    base_mtime = os.path.getmtime(f"{stage}/a-events.parquet")
+    _write_flat(sent, "b-sentinel", base_mtime + 10)
+    _write_flat(sent2, "c-sentinel", base_mtime + 20)
+
+    def src():
+        return read_event_stream(spark, stage)
+
+    joined = event_interval_join_outer(
+        src().filter(F.col("event_type") == "click"),
+        src().filter(F.col("event_type") == "purchase"),
+        key="user_id",
+        interval="30 minutes",
+    )
+    name = run_available_now(
+        joined, f"q270_oj_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return (
+        spark.table(name)
+        .filter(F.col("left_id") >= 0)
+        .orderBy("left_id", "right_id")
+    )

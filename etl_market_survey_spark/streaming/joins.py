@@ -66,3 +66,49 @@ def event_interval_join(
         F.col("_lk").alias(key),
         (F.unix_micros("right_time") - F.unix_micros("left_time")).alias("delay_us"),
     )
+
+
+def event_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`event_interval_join`: every left
+    event appears — matched rows carry ``(right_id, delay_us)``,
+    unmatched ones nulls. On streams this is the semantics that needs
+    the watermark twice over: the time bound EVICTS state, and the
+    watermark passing ``left_time + interval`` is what licenses the
+    engine to EMIT the null row (the match can provably never arrive).
+    A drained run therefore needs the watermark to advance past the
+    data — q270 appends a far-future sentinel file for exactly that,
+    the streaming analogue of closing the books.
+
+    Output: ``(left_id, <key>, right_id, delay_us)`` — right side
+    nullable."""
+    l = with_event_time(left).select(
+        F.col("event_id").alias("left_id"),
+        F.col(key).alias("_lk"),
+        F.col("event_time").alias("left_time"),
+    )
+    r = with_event_time(right).select(
+        F.col("event_id").alias("right_id"),
+        F.col(key).alias("_rk"),
+        F.col("event_time").alias("right_time"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("left_time", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("right_time", watermark)
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("left_time") <= F.col("right_time"))
+        & (F.col("left_time") > F.col("right_time") - F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "leftOuter").select(
+        "left_id",
+        F.col("_lk").alias(key),
+        "right_id",
+        (F.unix_micros("right_time") - F.unix_micros("left_time")).alias("delay_us"),
+    )
