@@ -2546,3 +2546,91 @@ def q260_boruvka_msf(spark, sf_dir):
         )
         .orderBy("u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 — deterministic random-walk corpus (operators/randomwalk) over
+# the q97 customer–supplier co-purchase graph: 2 hash-driven walks of 4
+# steps from every 50th customer node. Step t at node v moves to
+# sorted_neighbors[xxhash64(v*1e6 + w*1e3 + t) mod deg] — the DeepWalk
+# corpus as a pure function of the edge set, replayed step-by-step in
+# SQL through the closed hashLong form (functions/xxh64sql).
+# ---------------------------------------------------------------------------
+
+_Q271_WALKS = 2
+_Q271_LEN = 4
+
+
+def _q271_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    steps = []
+    for t in range(1, _Q271_LEN + 1):
+        key = f"node * 1000000 + walk_id * 1000 + {t}"
+        xxh = sql_xxhash64_long_cte(f"v{t}", out_cte=f"h{t}")
+        steps.append(f"""
+v{t} AS (SELECT DISTINCT {key} AS v FROM w{t - 1}),
+{xxh},
+w{t} AS (
+  SELECT w.start, w.walk_id, {t} AS step,
+         a.nbrs[CAST(((h.hv % a.deg) + a.deg) % a.deg AS INT) + 1] AS node
+  FROM w{t - 1} w
+  JOIN adj a ON w.node = a.src
+  JOIN h{t} h ON h.v = w.node * 1000000 + w.walk_id * 1000 + {t}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT start, walk_id, step, node FROM w{t}"
+        for t in range(0, _Q271_LEN + 1)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {_Q97_OFF} AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+),
+adj AS MATERIALIZED (
+  SELECT src, list(dst ORDER BY dst) AS nbrs, COUNT(*) AS deg
+  FROM edges GROUP BY 1
+),
+starts AS (
+  SELECT DISTINCT src AS node FROM edges
+  WHERE src % 50 = 0 AND src < {_Q97_OFF}
+),
+w0 AS (
+  SELECT node AS start, CAST(wid.i AS BIGINT) AS walk_id, 0 AS step, node
+  FROM starts CROSS JOIN generate_series(0, {_Q271_WALKS - 1}) wid(i)
+),
+{",".join(steps)}
+SELECT start, walk_id, CAST(step AS INT) AS step, node
+FROM ({unions}) ORDER BY start, walk_id, step
+"""
+
+
+@register("q271_random_walks", _q271_oracle())
+def q271_random_walks(spark, sf_dir):
+    from ..operators.pagerank import undirected_edges
+    from ..operators.randomwalk import random_walks
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = undirected_edges(pairs, "a", "b")
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter((F.col("node") % 50 == 0) & (F.col("node") < _Q97_OFF))
+    )
+    return random_walks(
+        edges, starts, n_walks=_Q271_WALKS, walk_len=_Q271_LEN
+    ).select(
+        "start", "walk_id", F.col("step").cast("int").alias("step"), "node"
+    ).orderBy("start", "walk_id", "step")
