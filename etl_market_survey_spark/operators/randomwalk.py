@@ -79,3 +79,58 @@ def random_walks(
         )
         out = out.unionByName(frontier)
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    vocab: DataFrame,
+    window: int = 2,
+    n_negatives: int = 2,
+) -> DataFrame:
+    """Skip-gram training pairs with hash-driven negative sampling —
+    the word2vec/node2vec data layer over a walk corpus.
+
+    Positives: every (center, context) pair within ``window`` steps of
+    the same walk (label 1). Negatives: for each positive, ``n_negatives``
+    nodes drawn by ``xxhash64(packed key) mod |vocab|`` against a
+    RANK-INDEXED vocab table (label 0) — a join, not an array literal,
+    so the vocabulary can be corpus-sized. Deterministic end to end;
+    q272 replays both the pair window and every negative draw in SQL.
+
+    ``walks``: (start, walk_id, step, node); ``vocab``: one ``node``
+    column (ranked internally by node order). Output: (start, walk_id,
+    center, other, label)."""
+    if window < 1 or n_negatives < 0:
+        raise ValueError("window >= 1, n_negatives >= 0")
+    from pyspark.sql import Window as W
+
+    ranked = vocab.select("node").distinct().withColumn(
+        "_rank", F.row_number().over(W.orderBy("node")) - 1
+    )
+    n_vocab = ranked.count()  # bounded: the node vocabulary
+    a = walks.select("start", "walk_id", F.col("step").alias("_t"),
+                     F.col("node").alias("center"))
+    b = walks.select("start", "walk_id", F.col("step").alias("_u"),
+                     F.col("node").alias("other"))
+    pos = (
+        a.join(b, ["start", "walk_id"])
+        .filter(
+            (F.col("_u") != F.col("_t"))
+            & (F.abs(F.col("_u") - F.col("_t")) <= window)
+        )
+        .select("start", "walk_id", "_t", "_u", "center", "other")
+    )
+    positives = pos.select(
+        "start", "walk_id", "center", "other", F.lit(1).alias("label")
+    )
+    if n_negatives == 0:
+        return positives
+    j = F.explode(F.sequence(F.lit(0), F.lit(n_negatives - 1))).alias("_j")
+    negs = pos.select("start", "walk_id", "_t", "_u", "center", j)
+    key = ((F.col("start") * 100 + F.col("_t")) * 100 + F.col("_u")) * 10 + F.col("_j")
+    negs = negs.withColumn("_rank", F.pmod(F.xxhash64(key), F.lit(n_vocab)))
+    negatives = negs.join(ranked, "_rank").select(
+        "start", "walk_id", "center",
+        F.col("node").alias("other"), F.lit(0).alias("label"),
+    )
+    return positives.unionByName(negatives)

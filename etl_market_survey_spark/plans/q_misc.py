@@ -2561,7 +2561,9 @@ _Q271_WALKS = 2
 _Q271_LEN = 4
 
 
-def _q271_oracle() -> str:
+def _q271_walk_ctes() -> str:
+    """The shared walk-replay CTE block (q271 + q272): pairs/edges/adj/
+    starts/w0..wL — paste after WITH."""
     from ..functions.xxh64sql import sql_xxhash64_long_cte
 
     steps = []
@@ -2578,12 +2580,8 @@ w{t} AS (
   JOIN adj a ON w.node = a.src
   JOIN h{t} h ON h.v = w.node * 1000000 + w.walk_id * 1000 + {t}
 )""")
-    unions = "\nUNION ALL\n".join(
-        f"SELECT start, walk_id, step, node FROM w{t}"
-        for t in range(0, _Q271_LEN + 1)
-    )
     return f"""
-WITH pairs AS MATERIALIZED (
+pairs AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {_Q97_OFF} AS b
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
@@ -2603,6 +2601,16 @@ w0 AS (
   FROM starts CROSS JOIN generate_series(0, {_Q271_WALKS - 1}) wid(i)
 ),
 {",".join(steps)}
+"""
+
+
+def _q271_oracle() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT start, walk_id, step, node FROM w{t}"
+        for t in range(0, _Q271_LEN + 1)
+    )
+    return f"""
+WITH {_q271_walk_ctes()}
 SELECT start, walk_id, CAST(step AS INT) AS step, node
 FROM ({unions}) ORDER BY start, walk_id, step
 """
@@ -2634,3 +2642,98 @@ def q271_random_walks(spark, sf_dir):
     ).select(
         "start", "walk_id", F.col("step").cast("int").alias("step"), "node"
     ).orderBy("start", "walk_id", "step")
+
+
+# ---------------------------------------------------------------------------
+# q272 — skip-gram pairs + hash-driven negative sampling
+# (operators/randomwalk.skipgram_pairs) over the q271 walk corpus:
+# positives = all same-walk pairs within window 2; each positive draws
+# 2 negatives by xxhash64(packed key) mod |vocab| against the
+# rank-indexed node vocabulary. The word2vec data layer, deterministic
+# end to end — the oracle replays the walks, the window self-join, and
+# every negative draw (closed hashLong form + row_number vocab).
+# ---------------------------------------------------------------------------
+
+_Q272_WINDOW = 2
+_Q272_NEG = 2
+
+
+def _q272_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT start, walk_id, step, node FROM w{t}"
+        for t in range(0, _Q271_LEN + 1)
+    )
+    xxh = sql_xxhash64_long_cte("nkeys", out_cte="hneg")
+    return f"""
+WITH {_q271_walk_ctes()},
+walks AS MATERIALIZED ({unions}),
+vocab AS MATERIALIZED (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS rnk
+  FROM (SELECT DISTINCT src AS node FROM edges)
+),
+nv AS (SELECT COUNT(*) AS n FROM vocab),
+pos AS MATERIALIZED (
+  SELECT a.start, a.walk_id, a.step AS t, b.step AS u,
+         a.node AS center, b.node AS other
+  FROM walks a JOIN walks b
+    ON a.start = b.start AND a.walk_id = b.walk_id
+   AND b.step <> a.step AND ABS(b.step - a.step) <= {_Q272_WINDOW}
+),
+nkeys AS (
+  SELECT DISTINCT ((start * 100 + t) * 100 + u) * 10 + j.i AS v
+  FROM pos CROSS JOIN generate_series(0, {_Q272_NEG - 1}) j(i)
+),
+{xxh},
+negs AS (
+  SELECT p.start, p.walk_id, p.center, v.node AS other, 0 AS label
+  FROM pos p
+  CROSS JOIN generate_series(0, {_Q272_NEG - 1}) j(i)
+  JOIN hneg h ON h.v = ((p.start * 100 + p.t) * 100 + p.u) * 10 + j.i
+  CROSS JOIN nv
+  JOIN vocab v ON v.rnk = ((h.hv % nv.n) + nv.n) % nv.n
+)
+SELECT start, walk_id, center, other, CAST(label AS INT) AS label
+FROM (
+  SELECT start, walk_id, center, other, 1 AS label FROM pos
+  UNION ALL
+  SELECT start, walk_id, center, other, label FROM negs
+) ORDER BY start, walk_id, center, other, label
+"""
+
+
+@register("q272_skipgram_negatives", _q272_oracle())
+def q272_skipgram_negatives(spark, sf_dir):
+    from ..operators.randomwalk import random_walks, skipgram_pairs
+
+    # rebuild the q271 corpus (same graph/starts), then the pair layer
+    from ..operators.pagerank import undirected_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = undirected_edges(pairs, "a", "b")
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter((F.col("node") % 50 == 0) & (F.col("node") < _Q97_OFF))
+    )
+    walks = random_walks(
+        edges, starts, n_walks=_Q271_WALKS, walk_len=_Q271_LEN
+    )
+    vocab = edges.select(F.col("src").alias("node"))
+    out = skipgram_pairs(
+        walks, vocab, window=_Q272_WINDOW, n_negatives=_Q272_NEG
+    )
+    return out.select(
+        "start", "walk_id", "center", "other",
+        F.col("label").cast("int").alias("label"),
+    ).orderBy("start", "walk_id", "center", "other", "label")

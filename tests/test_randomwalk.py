@@ -47,3 +47,25 @@ def test_validation(spark):
         random_walks(e, starts, n_walks=0)
     with pytest.raises(ValueError):
         random_walks(e, starts, n_walks=1000, walk_len=999)
+
+
+def test_skipgram_pairs_window_and_negatives(spark):
+    from etl_market_survey_spark.operators.randomwalk import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(1, 0, 0, 10), (1, 0, 1, 20), (1, 0, 2, 30), (1, 0, 3, 40)],
+        "start long, walk_id long, step long, node long",
+    )
+    vocab = spark.createDataFrame([(i,) for i in (10, 20, 30, 40, 50)], "node long")
+    out = skipgram_pairs(walks, vocab, window=1, n_negatives=0).collect()
+    got = sorted((r["center"], r["other"]) for r in out)
+    # window 1 on a 4-step walk: 3 adjacent pairs, both directions
+    assert got == [(10, 20), (20, 10), (20, 30), (30, 20), (30, 40), (40, 30)]
+
+    withneg = skipgram_pairs(walks, vocab, window=1, n_negatives=3).collect()
+    negs = [r for r in withneg if r["label"] == 0]
+    assert len(negs) == 6 * 3
+    assert all(r["other"] in (10, 20, 30, 40, 50) for r in negs)
+    # deterministic across runs
+    again = skipgram_pairs(walks, vocab, window=1, n_negatives=3).collect()
+    assert sorted(map(tuple, withneg)) == sorted(map(tuple, again))
