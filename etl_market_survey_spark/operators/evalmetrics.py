@@ -426,3 +426,96 @@ def simplified_silhouette(
         F.round("b", 6).alias("b_sq"),
         F.round(s, 6).alias("silhouette"),
     )
+
+
+def ndcg_mrr_at_k(
+    runs: DataFrame,
+    gold: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k and MRR@k per query — the retrieval-eval pair missing
+    between AUC (classification) and RRF (fusion).
+
+    ``runs``: (query, doc, rank 1..k); ``gold``: (query, doc,
+    integer graded relevance >= 0; absent pairs = 0).
+
+    Exactness: DCG is evaluated as a FIXED left-to-right expression
+    tree over rank-pivoted gain columns — ``g1/log2(2) + g2/log2(3) +
+    ...`` with literal double denominators — not a SUM aggregate, so
+    the float addition order is pinned and identical on any engine
+    (SUM over grouped doubles is partition-order-dependent; this
+    matters because q273 hash-compares the values). IDCG uses the same
+    tree over desc-sorted gains (ties broken by doc id). Gain =
+    2^rel - 1 (the burges formulation), integer until the division.
+    MRR = 1/min rank with rel > 0 (0 when none). NDCG = 0 for queries
+    with no relevant documents.
+
+    Scale shape: one join runs⋈gold on (query, doc), one groupBy query
+    with k pivot cells each — state per query is 2k cells.
+    """
+    import math
+
+    if k < 1 or k > 64:
+        raise ValueError("k must be in [1, 64]")
+    joined = (
+        runs.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).alias("_rk"),
+        )
+        .filter(F.col("_rk") <= k)
+        .join(
+            gold.select(
+                F.col(query_col).alias("_q"),
+                F.col(doc_col).alias("_d"),
+                F.col(rel_col).alias("_rel"),
+            ),
+            ["_q", "_d"],
+            "left",
+        )
+        .withColumn("_g", F.expr("shiftleft(1L, coalesce(_rel, 0)) - 1L"))
+    )
+    # ideal rank: gains desc, doc id asc for ties
+    iw = Window.partitionBy("_q").orderBy(F.col("_g").desc(), F.col("_d"))
+    joined = joined.withColumn("_irk", F.row_number().over(iw))
+    aggs = [
+        F.max(F.when(F.col("_rk") == i, F.col("_g"))).alias(f"g{i}")
+        for i in range(1, k + 1)
+    ] + [
+        F.max(F.when(F.col("_irk") == i, F.col("_g"))).alias(f"ig{i}")
+        for i in range(1, k + 1)
+    ] + [
+        F.min(F.when(F.col("_g") > 0, F.col("_rk"))).alias("_first_rel")
+    ]
+    cells = joined.groupBy("_q").agg(*aggs)
+
+    def tree(prefix: str):
+        expr = None
+        for i in range(1, k + 1):
+            term = F.coalesce(F.col(f"{prefix}{i}"), F.lit(0)).cast(
+                "double"
+            ) / F.lit(math.log2(i + 1))
+            expr = term if expr is None else expr + term
+        return expr
+
+    dcg = tree("g")
+    idcg = tree("ig")
+    out = cells.select(
+        F.col("_q").alias(query_col),
+        F.round(dcg, 9).alias("dcg"),
+        F.round(
+            F.when(idcg > 0.0, dcg / idcg).otherwise(F.lit(0.0)), 9
+        ).alias("ndcg"),
+        F.round(
+            F.when(
+                F.col("_first_rel").isNotNull(),
+                F.lit(1.0) / F.col("_first_rel").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("mrr"),
+    )
+    return out

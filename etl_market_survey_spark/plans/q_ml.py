@@ -2463,3 +2463,115 @@ def q268_gif_codec_roundtrip(spark, sf_dir):
     return payloads.mapInPandas(
         decode_pixels, "l_returnflag string, pixel_idx int, val int"
     ).orderBy("l_returnflag", "pixel_idx")
+
+
+# ---------------------------------------------------------------------------
+# q273 — retrieval eval: NDCG@10 + MRR (operators/evalmetrics.
+# ndcg_mrr_at_k) of a term-frequency ranking over documents against
+# md5-graded relevance judgments. DCG is a FIXED left-to-right
+# expression tree over rank-pivoted gains with literal log2
+# denominators — never a float SUM aggregate — so the doubles are
+# bit-identical on both engines; the oracle replays ranking, judgments,
+# pivots, and the identical tree.
+# ---------------------------------------------------------------------------
+
+_Q273_TERMS = ["table", "scan", "value", "window", "stream"]
+_Q273_K = 10
+
+
+def _q273_oracle() -> str:
+    import math
+
+    gcells = ",\n         ".join(
+        f"MAX(CASE WHEN rk = {i} THEN g END) AS g{i}"
+        for i in range(1, _Q273_K + 1)
+    )
+    igcells = ",\n         ".join(
+        f"MAX(CASE WHEN irk = {i} THEN g END) AS ig{i}"
+        for i in range(1, _Q273_K + 1)
+    )
+    dcg = " + ".join(
+        f"COALESCE(g{i}, 0) / {math.log2(i + 1)!r}" for i in range(1, _Q273_K + 1)
+    )
+    idcg = " + ".join(
+        f"COALESCE(ig{i}, 0) / {math.log2(i + 1)!r}" for i in range(1, _Q273_K + 1)
+    )
+    terms = ", ".join(f"('{t}')" for t in _Q273_TERMS)
+    return f"""
+WITH qs(q) AS (VALUES {terms}),
+tf AS (
+  SELECT qs.q, d.doc_id,
+         len(list_filter(string_split(d.text, ' '), t -> t = qs.q)) AS tf
+  FROM documents d CROSS JOIN qs
+),
+runs AS (
+  SELECT q, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY tf DESC, doc_id) AS rk
+  FROM tf WHERE tf > 0
+),
+j AS (
+  SELECT q, doc_id, rk,
+         CAST(POWER(2, ('0x' || substr(md5(q || '#' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4) AS BIGINT) - 1 AS g
+  FROM runs WHERE rk <= {_Q273_K}
+),
+ji AS (
+  SELECT q, doc_id, rk, g,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY g DESC, doc_id) AS irk
+  FROM j
+),
+cells AS (
+  SELECT q,
+         {gcells},
+         {igcells},
+         MIN(CASE WHEN g > 0 THEN rk END) AS first_rel
+  FROM ji GROUP BY q
+)
+SELECT q AS query_id,
+       ROUND({dcg}, 9) AS dcg,
+       ROUND(CASE WHEN ({idcg}) > 0 THEN ({dcg}) / ({idcg}) ELSE 0 END, 9) AS ndcg,
+       ROUND(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0 END, 9) AS mrr
+FROM cells ORDER BY query_id
+"""
+
+
+@register("q273_ndcg_mrr", _q273_oracle())
+def q273_ndcg_mrr(spark, sf_dir):
+    from ..operators.evalmetrics import ndcg_mrr_at_k
+
+    docs = load(spark, sf_dir, "documents")
+    qs = spark.createDataFrame([(t,) for t in _Q273_TERMS], "q string")
+    tf = docs.crossJoin(F.broadcast(qs)).select(
+        F.col("q").alias("query_id"),
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t == F.col("q"))
+        ).alias("tf"),
+    )
+    runs = (
+        tf.filter(F.col("tf") > 0)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("tf").desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _Q273_K)
+    )
+    gold = runs.select(
+        "query_id",
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat("query_id", F.lit("#"), F.col("doc_id").cast("string"))),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("long") % 4
+        ).cast("int").alias("rel"),
+    )
+    return ndcg_mrr_at_k(
+        runs, gold, "query_id", "doc_id", "rank", "rel", k=_Q273_K
+    ).orderBy("query_id")
