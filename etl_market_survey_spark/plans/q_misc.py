@@ -2737,3 +2737,39 @@ def q272_skipgram_negatives(spark, sf_dir):
         "start", "walk_id", "center", "other",
         F.col("label").cast("int").alias("label"),
     ).orderBy("start", "walk_id", "center", "other", "label")
+
+
+# ---------------------------------------------------------------------------
+# q274 — Hilbert-curve layout index (operators/hilbert): the
+# locality-optimal space-filling index over (c_custkey-derived 8-bit
+# coords), the q99 Morton gate's sibling. Same unrolled rotate-and-flip
+# integer recurrence on both engines (Spark column tree vs a chained
+# CTE — textual unrolling would grow 4^order). The unit proves the
+# defining property the gate can't see: consecutive indices are UNIT
+# steps in (x, y) — no Morton diagonal jumps.
+# ---------------------------------------------------------------------------
+
+
+def _q274_oracle() -> str:
+    from ..operators.hilbert import sql_hilbert_cte
+
+    block = sql_hilbert_cte("src", out_cte="hb")
+    return f"""
+WITH src AS (
+  SELECT c_custkey AS k, c_custkey % 256 AS x, (c_custkey * 7919) % 256 AS y
+  FROM customer
+),
+{block}
+SELECT k AS c_custkey, CAST(d AS BIGINT) AS hilbert_d
+FROM hb ORDER BY c_custkey
+"""
+
+
+@register("q274_hilbert_index", _q274_oracle())
+def q274_hilbert_index(spark, sf_dir):
+    from ..operators.hilbert import with_hilbert
+
+    cust = load(spark, sf_dir, "customer")
+    return with_hilbert(
+        cust, F.col("c_custkey") % 256, (F.col("c_custkey") * 7919) % 256
+    ).select("c_custkey", "hilbert_d").orderBy("c_custkey")
