@@ -365,3 +365,82 @@ def compact_snapshot(
         f.write(str(version))
     os.replace(tmp, os.path.join(_meta_dir(path), _CURRENT))
     return version
+
+
+def read_incremental(
+    spark: SparkSession,
+    path: str,
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental scan: rows in data files ADDED strictly after
+    ``from_version`` up to ``to_version`` (current by default) — the
+    Iceberg incremental-append read that turns a snapshot table into a
+    micro-batch source ("process only what's new since my last
+    checkpoint"). Only valid across append/compact history: if any
+    intermediate snapshot deleted or overwrote files, the file-set
+    difference under-represents the logical change — use
+    :func:`snapshot_changes` there. Raises in that case.
+    """
+    current = _read_current_version(path)
+    to_version = current if to_version is None else to_version
+    if not 0 <= from_version <= to_version <= current:
+        raise ValueError(f"bad version range {from_version}..{to_version}")
+    for v in range(from_version + 1, to_version + 1):
+        op = _load_snapshot(path, v)["operation"]
+        if op not in ("append", "compact"):
+            raise ValueError(
+                f"incremental read crosses a '{op}' snapshot (v{v}); "
+                "use snapshot_changes for logical diffs"
+            )
+    old_files = (
+        {e["file"] for e in _load_snapshot(path, from_version)["manifest"]}
+        if from_version
+        else set()
+    )
+    new = _load_snapshot(path, to_version)["manifest"]
+    # compaction rewrites old rows into new files — exclude any file
+    # whose rows all came from files present at from_version by reading
+    # only files introduced by APPEND snapshots in the range
+    appended: set[str] = set()
+    for v in range(from_version + 1, to_version + 1):
+        snap = _load_snapshot(path, v)
+        prev = (
+            {e["file"] for e in _load_snapshot(path, v - 1)["manifest"]}
+            if v > 1
+            else set()
+        )
+        if snap["operation"] == "append":
+            appended |= {e["file"] for e in snap["manifest"]} - prev
+    files = [
+        os.path.join(path, e["file"])
+        for e in new
+        if e["file"] in appended and e["file"] not in old_files
+    ]
+    if not files:
+        all_files = [os.path.join(path, e["file"]) for e in new]
+        if not all_files:
+            raise ValueError("empty table")
+        return spark.read.parquet(all_files[0]).limit(0)
+    return spark.read.parquet(*files)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    *,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Logical change feed between two versions — full-outer diff on
+    ``keys`` over the materialized snapshots (works across deletes and
+    overwrites, unlike :func:`read_incremental`). Output = the
+    ``operators/merge.snapshot_diff`` shape: every row with a
+    ``change_type`` in insert/delete/update/unchanged."""
+    from ..operators.merge import snapshot_diff
+
+    old = read_snapshot(spark, path, version=from_version)
+    new = read_snapshot(spark, path, version=to_version)
+    return snapshot_diff(old, new, keys=keys)

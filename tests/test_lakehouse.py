@@ -135,3 +135,23 @@ def test_bounds_filter_zone_map_pruning(spark, table):
     # columns without recorded stats never prune
     keep = read_snapshot(spark, table, version=2, bounds_filter={"x": 123.0})
     assert keep.count() == 20
+
+
+def test_incremental_read_appends_only(spark, table):
+    from etl_market_survey_spark.sources.lakehouse import read_incremental
+
+    inc = read_incremental(spark, table, from_version=1, to_version=2)
+    ks = sorted(r["k"] for r in inc.collect())
+    assert ks == list(range(10, 20))  # exactly the v2 append
+    assert read_incremental(spark, table, from_version=0, to_version=1).count() == 10
+    # crossing the v3 delete must refuse
+    with pytest.raises(ValueError, match="delete"):
+        read_incremental(spark, table, from_version=2, to_version=3)
+
+
+def test_snapshot_changes_logical_diff(spark, table):
+    from etl_market_survey_spark.sources.lakehouse import snapshot_changes
+
+    ch = snapshot_changes(spark, table, from_version=2, to_version=3, keys=["k"])
+    counts = {r["change_type"]: r["n"] for r in ch.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"delete": 10, "unchanged": 10}
