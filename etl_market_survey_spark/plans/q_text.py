@@ -1198,3 +1198,122 @@ def q267_warc_scan(spark, sf_dir):
         "n_bytes",
         F.md5("payload").alias("payload_md5"),
     ).orderBy("target_uri")
+
+
+# ---------------------------------------------------------------------------
+# q275 — URL structure + per-domain cap (functions/urls): deterministic
+# URLs are synthesized per doc (md5-arithmetic subdomain/tld/port/path/
+# query), parsed back into host, registrable domain, port, path depth,
+# and query-param count — a regex round-trip both engines replay — then
+# a 3-per-domain cap is applied in xxhash64(doc_id) order (the q241
+# heavy-key-cap recipe at domain granularity). The domain-dominance
+# control every web corpus applies.
+# ---------------------------------------------------------------------------
+
+_Q275_CAP = 3
+
+
+def _q275_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    xxh = sql_xxhash64_long_cte("(SELECT DISTINCT doc_id AS v FROM documents)")
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS h
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         'https://'
+         || (CASE h % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.' ELSE 'blog.' END)
+         || 'site' || CAST(doc_id % 50 AS VARCHAR)
+         || '.' || (CASE (h // 4) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+         || (CASE WHEN (h // 12) % 5 = 0 THEN ':8080' ELSE '' END)
+         || (CASE (h // 60) % 4 WHEN 0 THEN '' WHEN 1 THEN '/p0' WHEN 2 THEN '/p0/p1' ELSE '/p0/p1/p2' END)
+         || (CASE (h // 240) % 3 WHEN 0 THEN '?a=1&b=2' WHEN 1 THEN '?x=9' ELSE '' END)
+         AS url,
+         h
+  FROM m
+),
+parsed AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         CASE WHEN regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) = ''
+              THEN NULL
+              ELSE CAST(regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS INT) END AS port,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS pth,
+         regexp_extract(url, '\\?([^#]*)', 1) AS qry
+  FROM u
+),
+dom AS (
+  SELECT doc_id, url, host, port,
+         CASE WHEN len(string_split(host, '.')) >= 2
+              THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+              ELSE host END AS domain,
+         CAST(len(list_filter(string_split(pth, '/'), x -> x <> '')) AS INT) AS path_depth,
+         CAST(CASE WHEN qry = '' THEN 0 ELSE len(string_split(qry, '&')) END AS INT) AS n_params
+  FROM parsed
+),
+{xxh},
+ranked AS (
+  SELECT d.*, ROW_NUMBER() OVER (
+           PARTITION BY d.domain ORDER BY x.hv, d.doc_id) AS rn
+  FROM dom d JOIN xxhl x ON x.v = d.doc_id
+)
+SELECT doc_id, url, host, port, domain, path_depth, n_params,
+       rn <= {_Q275_CAP} AS kept
+FROM ranked ORDER BY doc_id
+"""
+
+
+@register("q275_url_domain_cap", _q275_oracle())
+def q275_url_domain_cap(spark, sf_dir):
+    from ..functions.urls import (
+        cap_per_domain,
+        n_query_params,
+        path_depth,
+        url_host,
+        url_port,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    docs = docs.withColumn("_h", h)
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(
+            F.array(F.lit(""), F.lit("www."), F.lit("cdn."), F.lit("blog.")),
+            (F.col("_h") % 4 + 1).cast("int"),
+        ),
+        F.lit("site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+            ((F.col("_h") / 4).cast("long") % 3 + 1).cast("int"),
+        ),
+        F.when((F.col("_h") / 12).cast("long") % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.element_at(
+            F.array(F.lit(""), F.lit("/p0"), F.lit("/p0/p1"), F.lit("/p0/p1/p2")),
+            ((F.col("_h") / 60).cast("long") % 4 + 1).cast("int"),
+        ),
+        F.element_at(
+            F.array(F.lit("?a=1&b=2"), F.lit("?x=9"), F.lit("")),
+            ((F.col("_h") / 240).cast("long") % 3 + 1).cast("int"),
+        ),
+    )
+    withurl = docs.withColumn("url", url)
+    capped = cap_per_domain(withurl, "url", "doc_id", _Q275_CAP)
+    return capped.select(
+        "doc_id",
+        "url",
+        url_host("url").alias("host"),
+        url_port("url").alias("port"),
+        "domain",
+        path_depth("url").alias("path_depth"),
+        n_query_params("url").alias("n_params"),
+        "kept",
+    ).orderBy("doc_id")
