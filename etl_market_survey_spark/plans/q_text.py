@@ -1317,3 +1317,67 @@ def q275_url_domain_cap(spark, sf_dir):
         n_query_params("url").alias("n_params"),
         "kept",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q276 — HTML text extraction (functions/html): deterministic HTML is
+# synthesized around each document (title, style+script blocks, a
+# comment, bold-wrapped text, an href, entities), then stripped back to
+# clean text — title, clean-text md5, token count, and extracted links
+# must hash-match the oracle running the IDENTICAL regex chain (all
+# patterns chosen to behave the same under Java regex and RE2 — no \\s,
+# lazy quantifiers + negated classes only). The WARC->text step of web
+# curation.
+# ---------------------------------------------------------------------------
+
+
+def _q276_oracle() -> str:
+    from ..functions.html import sql_html_links, sql_html_title, sql_strip_html
+
+    html = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>"
+        "<style>p { color: red; }</style></head><body>"
+        "<!-- comment --><h1>Header</h1><p>' || text || '</p>"
+        "<script>var x = 1 < 2;</script>"
+        "<a href=\"https://site' || CAST(doc_id % 50 AS VARCHAR) || '.com/p\">x</a>"
+        " &amp; tail</body></html>'"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {html} AS page FROM documents)
+SELECT doc_id,
+       {sql_html_title('page')} AS title,
+       md5({sql_strip_html('page')}) AS clean_md5,
+       CAST(len(list_filter(string_split({sql_strip_html('page')}, ' '),
+                            t -> t <> '')) AS INT) AS n_tokens,
+       {sql_html_links('page')} AS links
+FROM h ORDER BY doc_id
+"""
+
+
+@register("q276_html_extract", _q276_oracle())
+def q276_html_extract(spark, sf_dir):
+    from ..functions.html import html_links, html_title, strip_html
+
+    docs = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: red; }</style></head><body>"),
+        F.lit("<!-- comment --><h1>Header</h1><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x = 1 < 2;</script>"),
+        F.lit('<a href="https://site'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('.com/p">x</a> &amp; tail</body></html>'),
+    )
+    h = docs.select("doc_id", page.alias("page"))
+    clean = strip_html("page")
+    return h.select(
+        "doc_id",
+        html_title("page").alias("title"),
+        F.md5(clean).alias("clean_md5"),
+        F.size(F.filter(F.split(clean, " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+        html_links("page").alias("links"),
+    ).orderBy("doc_id")
