@@ -67,3 +67,12 @@ def test_lakehouse_example_lifecycle(spark):
     # delete removed the partition; appends summed to the remainder
     assert post.filter(post["pr"] == "1-URGENT").count() == 0
     assert post.count() > 0
+
+
+def test_web_curation_example(spark):
+    from examples.web_curation_pipeline import main
+
+    surv = main(spark, "/root/testdata/sf0.001")
+    assert surv.count() > 0
+    cols = set(surv.columns)
+    assert {"row_id", "url", "text", "domain"} <= cols
