@@ -627,3 +627,96 @@ def cosine_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cos", "rank")
     )
+
+
+def sq8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Scalar int8 quantization (the SQ8 of faiss/pgvector — the most
+    deployed embedding compression): per-dimension corpus min/max, then
+    ``q_d = floor(255 * (x_d - min_d) / (max_d - min_d))`` clamped to
+    [0, 255] — 4x smaller vectors, integer dot products downstream.
+
+    floor (never round) keeps the mapping bit-deterministic across
+    engines: the scale division is the same double arithmetic
+    everywhere and floor has no tie semantics (q277 replays it).
+
+    Returns ``(quantized, stats)``: quantized = (id, qvec array<int>),
+    stats = one row per dim (pos, mn, mx) — broadcastable, and the
+    piece a serving tier persists next to the codebook."""
+    x = F.col(vec_col)
+    exploded = emb.select(
+        F.col(id_col).alias("_id"), F.posexplode(x).alias("_pos", "_v")
+    ).withColumn("_v", F.col("_v").cast("double"))
+    stats = (
+        exploded.groupBy("_pos")
+        .agg(F.min("_v").alias("mn"), F.max("_v").alias("mx"))
+        .select(F.col("_pos").alias("pos"), "mn", "mx")
+    )
+    q = (
+        exploded.join(F.broadcast(stats), exploded["_pos"] == stats["pos"])
+        .withColumn(
+            "_q",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            F.lit(255.0)
+                            * (F.col("_v") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn"))
+                        ).cast("int"),
+                    ),
+                )
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_q"))),
+                lambda z: z["_q"],
+            ).alias("qvec")
+        )
+        .select(F.col("_id").alias(id_col), "qvec")
+    )
+    return q, stats
+
+
+def sq8_topk(
+    quantized: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by integer quantized dot product (exact integer sums —
+    order-free): ``(query_id, vec_id, qdot, rank)``; ties by vec_id.
+    Queries are the quantized rows whose ids appear in ``queries``
+    (one ``query_id`` column) — broadcast, corpus never shuffles."""
+    qs = quantized.join(
+        queries.select(F.col("query_id").alias(id_col)), id_col
+    ).select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"))
+    scored = (
+        quantized.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with("qvec", "qv", lambda a, b: a.cast("long") * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col(id_col))
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "qdot", "rank")
+    )

@@ -1603,3 +1603,68 @@ def q154_rotated_pq_topk(spark, sf_dir):
     return adc_topk(
         codes, _q154_rot_queries(blocks, raw_queries), books, _Q154_TOPK
     ).orderBy("query_id", "adc_dist", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q277 — SQ8 scalar quantization + integer top-k (operators/similarity.
+# sq8_quantize/sq8_topk): per-dimension corpus min/max, floor-scaled
+# int8 codes (floor, never round — no tie semantics), then top-10 by
+# exact integer quantized dot product for 5 query vectors. The
+# faiss/pgvector SQ8 serving path; the oracle replays stats, codes, and
+# integer dots bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q277_K = 10
+
+_Q277_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+px AS (
+  SELECT u.i AS pos, MIN(v[u.i]) AS mn, MAX(v[u.i]) AS mx
+  FROM e CROSS JOIN generate_series(1, 64) u(i)
+  GROUP BY 1
+),
+mnl AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM px
+),
+q AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, 64),
+           i -> CASE WHEN m.mxs[i] = m.mns[i] THEN 0
+                     ELSE LEAST(255, GREATEST(0,
+                       CAST(FLOOR(255.0 * (e.v[i] - m.mns[i]) / (m.mxs[i] - m.mns[i])) AS INT)))
+                END) AS qv
+  FROM e CROSS JOIN mnl m
+),
+qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 5),
+scored AS (
+  SELECT qs.query_id, q.vec_id,
+         CAST(list_sum(list_transform(list_zip(q.qv, qs.qqv),
+              z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT) AS qdot
+  FROM q CROSS JOIN qs WHERE q.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, qdot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, qdot, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_Q277_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("q277_sq8_quantized_topk", _Q277_ORACLE)
+def q277_sq8_quantized_topk(spark, sf_dir):
+    from ..operators.similarity import sq8_quantize, sq8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    quantized, _stats = sq8_quantize(emb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return sq8_topk(quantized, queries, k=_Q277_K).select(
+        "query_id", "vec_id", "qdot", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
