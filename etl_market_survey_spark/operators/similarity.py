@@ -687,36 +687,69 @@ def sq8_quantize(
 
 def sq8_topk(
     quantized: DataFrame,
+    stats: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     k: int = 10,
 ) -> DataFrame:
-    """Top-k by integer quantized dot product (exact integer sums —
-    order-free): ``(query_id, vec_id, qdot, rank)``; ties by vec_id.
-    Queries are the quantized rows whose ids appear in ``queries``
-    (one ``query_id`` column) — broadcast, corpus never shuffles."""
-    qs = quantized.join(
+    """Top-k by cosine over DEQUANTIZED vectors — how SQ8 serving
+    actually ranks (ranking raw shifted-integer dots ignores the per-dim
+    offset and the norm, and recall collapses — measured at 0.0-0.2
+    before this was reconstruction-based). Reconstruction
+    ``x̂_d = mn_d + q_d * (mx_d - mn_d) / 255`` happens once per stored
+    row against the broadcast stats; the cosine fold is the q24 kernel
+    (deterministic double arithmetic). Output: ``(query_id, vec_id,
+    cos, rank)``, ties by vec_id; queries broadcast, corpus never
+    shuffles."""
+    mns = stats.orderBy("pos").agg(
+        F.collect_list("mn").alias("mns"), F.collect_list("mx").alias("mxs")
+    )
+    recon = (
+        quantized.crossJoin(F.broadcast(mns))
+        .withColumn(
+            "rv",
+            F.zip_with(
+                "qvec",
+                F.arrays_zip("mns", "mxs"),
+                lambda q, mm: mm["mns"]
+                + q.cast("double") * (mm["mxs"] - mm["mns"]) / F.lit(255.0),
+            ),
+        )
+        .select(id_col, "rv")
+    )
+    qs = recon.join(
         queries.select(F.col("query_id").alias(id_col)), id_col
-    ).select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"))
+    ).select(F.col(id_col).alias("query_id"), F.col("rv").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
     scored = (
-        quantized.crossJoin(F.broadcast(qs))
+        recon.crossJoin(F.broadcast(qs))
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "qdot",
-            F.aggregate(
-                F.zip_with("qvec", "qv", lambda a, b: a.cast("long") * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
+            "cos",
+            F.round(
+                dot(F.col("rv"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("rv"), F.col("rv")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                ),
+                6,
             ),
         )
     )
     from pyspark.sql import Window as W
 
     rk = F.row_number().over(
-        W.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col(id_col))
+        W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
     )
     return (
         scored.withColumn("rank", rk)
         .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "qdot", "rank")
+        .select("query_id", id_col, "cos", "rank")
     )

@@ -1638,19 +1638,25 @@ q AS (
                 END) AS qv
   FROM e CROSS JOIN mnl m
 ),
-qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 5),
+rec AS (
+  SELECT q.vec_id,
+         list_transform(generate_series(1, 64),
+           i -> m.mns[i] + CAST(q.qv[i] AS DOUBLE) * (m.mxs[i] - m.mns[i]) / 255.0) AS rv
+  FROM q CROSS JOIN mnl m
+),
+qs AS (SELECT vec_id AS query_id, rv AS qrv FROM rec WHERE vec_id < 5),
 scored AS (
-  SELECT qs.query_id, q.vec_id,
-         CAST(list_sum(list_transform(list_zip(q.qv, qs.qqv),
-              z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT) AS qdot
-  FROM q CROSS JOIN qs WHERE q.vec_id <> qs.query_id
+  SELECT qs.query_id, rec.vec_id,
+         ROUND(list_dot_product(rec.rv, qs.qrv)
+           / (SQRT(list_dot_product(rec.rv, rec.rv)) * SQRT(list_dot_product(qs.qrv, qs.qrv))), 6) AS cos
+  FROM rec CROSS JOIN qs WHERE rec.vec_id <> qs.query_id
 ),
 ranked AS (
-  SELECT query_id, vec_id, qdot,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, qdot, CAST(rank AS INT) AS rank
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {_Q277_K}
 ORDER BY query_id, rank
 """
@@ -1661,10 +1667,110 @@ def q277_sq8_quantized_topk(spark, sf_dir):
     from ..operators.similarity import sq8_quantize, sq8_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    quantized, _stats = sq8_quantize(emb)
+    quantized, stats = sq8_quantize(emb)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id")
     )
-    return sq8_topk(quantized, queries, k=_Q277_K).select(
-        "query_id", "vec_id", "qdot", F.col("rank").cast("int").alias("rank")
+    return sq8_topk(quantized, stats, queries, k=_Q277_K).select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q278 — ANN quality readout: recall@10 of the SQ8 quantized ranking
+# (q277) against the EXACT float cosine top-10 (q24's kernel) per
+# query — the self-evaluation loop every vector-serving deployment
+# runs before flipping traffic to a compressed index. Both rankings
+# and the intersection replay in SQL.
+# ---------------------------------------------------------------------------
+
+_Q278_K = 10
+
+_Q278_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+exact_scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(q.qv, e.v)
+           / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+exact_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+    FROM exact_scored) WHERE rk <= {_Q278_K}
+),
+px AS (
+  SELECT u.i AS pos, MIN(v[u.i]) AS mn, MAX(v[u.i]) AS mx
+  FROM e CROSS JOIN generate_series(1, 64) u(i) GROUP BY 1
+),
+mnl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM px),
+qc AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, 64),
+           i -> CASE WHEN m.mxs[i] = m.mns[i] THEN 0
+                     ELSE LEAST(255, GREATEST(0,
+                       CAST(FLOOR(255.0 * (e.v[i] - m.mns[i]) / (m.mxs[i] - m.mns[i])) AS INT)))
+                END) AS qv
+  FROM e CROSS JOIN mnl m
+),
+rec AS (
+  SELECT qc.vec_id,
+         list_transform(generate_series(1, 64),
+           i -> m.mns[i] + CAST(qc.qv[i] AS DOUBLE) * (m.mxs[i] - m.mns[i]) / 255.0) AS rv
+  FROM qc CROSS JOIN mnl m
+),
+qqs AS (SELECT vec_id AS query_id, rv AS qrv FROM rec WHERE vec_id < 5),
+sq_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qqs.query_id, rec.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qqs.query_id ORDER BY
+             ROUND(list_dot_product(rec.rv, qqs.qrv)
+               / (SQRT(list_dot_product(rec.rv, rec.rv)) * SQRT(list_dot_product(qqs.qrv, qqs.qrv))), 6)
+             DESC, rec.vec_id) AS rk
+    FROM rec CROSS JOIN qqs WHERE rec.vec_id <> qqs.query_id) WHERE rk <= {_Q278_K}
+)
+SELECT et.query_id,
+       CAST(COUNT(st.vec_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(st.vec_id) AS DOUBLE) / {_Q278_K}, 6) AS recall_at_k
+FROM exact_top et
+LEFT JOIN sq_top st ON st.query_id = et.query_id AND st.vec_id = et.vec_id
+GROUP BY et.query_id
+ORDER BY et.query_id
+"""
+
+
+@register("q278_sq8_recall", _Q278_ORACLE)
+def q278_sq8_recall(spark, sf_dir):
+    from ..operators.similarity import cosine_topk, sq8_quantize, sq8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=_Q278_K).select(
+        "query_id", "vec_id"
+    )
+    quantized, stats = sq8_quantize(emb)
+    approx = sq8_topk(
+        quantized, stats, queries.select(F.col("vec_id").alias("query_id")),
+        k=_Q278_K,
+    ).select("query_id", F.col("vec_id").alias("sq_vec"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["vec_id"] == approx["sq_vec"]),
+        "left",
+    ).select(exact["query_id"], "sq_vec")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("sq_vec").cast("long").alias("n_hit"),
+            F.round(
+                F.count("sq_vec").cast("double") / F.lit(_Q278_K), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
