@@ -754,3 +754,50 @@ def audio_features(
             yield out
 
     return df.mapInPandas(kernel, schema)
+
+
+def scene_cuts(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_cols: list[str] | None = None,
+    threshold_num: int = 10,
+) -> DataFrame:
+    """Shot-boundary detection over rawvid payloads: for every adjacent
+    frame pair, the integer sum of absolute pixel differences; a cut is
+    flagged when mean |diff| exceeds ``threshold_num`` — compared as
+    ``diff_sum > threshold_num * n_px`` so the decision is pure integer
+    arithmetic (q279 replays it). The frame-sampling front end of video
+    curation: sample AT cuts instead of blindly every Nth frame.
+
+    Output: id columns + (frame_idx >= 1, diff_sum, is_cut). Arrow-
+    batched per payload; payloads never shuffle."""
+    id_cols = id_cols or ["media_id"]
+    schema_fields = ", ".join(
+        f"`{c}` {t}" for c, t in df.dtypes if c in id_cols
+    )
+    schema = f"{schema_fields}, frame_idx int, diff_sum long, is_cut boolean"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = decode_rawvid(bytes(r[payload_col]))
+                n_px = int(np.prod(frames.shape[1:]))
+                prev = frames[0].astype(np.int64)
+                for f in range(1, frames.shape[0]):
+                    cur = frames[f].astype(np.int64)
+                    d = int(np.abs(cur - prev).sum())
+                    rows.append(
+                        {
+                            **{c: r[c] for c in id_cols},
+                            "frame_idx": f,
+                            "diff_sum": d,
+                            "is_cut": d > threshold_num * n_px,
+                        }
+                    )
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=id_cols + ["frame_idx", "diff_sum", "is_cut"]
+            )
+
+    return df.select(*id_cols, payload_col).mapInPandas(kernel, schema)

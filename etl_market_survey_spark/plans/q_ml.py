@@ -2575,3 +2575,87 @@ def q273_ndcg_mrr(spark, sf_dir):
     return ndcg_mrr_at_k(
         runs, gold, "query_id", "doc_id", "rank", "rel", k=_Q273_K
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# q279 — video scene-cut detection (operators/multimodal.scene_cuts):
+# 12-frame rawvid clips are synthesized per returnflag (scene s = f//4;
+# pixel = md5(flag|s|i) % 250 + f % 4 — identical-scene frames differ
+# only by the tiny deterministic jitter, scene boundaries jump), then
+# the operator flags cuts by integer sum-of-absolute-differences vs
+# threshold*n_px. The oracle recomputes every frame diff from the
+# closed pixel model. The sample-at-cuts front end of video curation.
+# ---------------------------------------------------------------------------
+
+_Q279_W = _Q279_H = 8
+_Q279_FRAMES = 12
+_Q279_THRESH = 10
+
+_Q279_ORACLE = f"""
+WITH flags AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+px AS (
+  SELECT flag, f.i AS frame, p.i AS pix,
+         ('0x' || substr(md5(flag || '|' || CAST(f.i // 4 AS VARCHAR) || '|' || CAST(p.i AS VARCHAR)), 1, 6))::BIGINT
+           % 250 + f.i % 4 AS val
+  FROM flags
+  CROSS JOIN generate_series(0, {_Q279_FRAMES - 1}) f(i)
+  CROSS JOIN generate_series(0, {_Q279_W * _Q279_H * 3 - 1}) p(i)
+),
+d AS (
+  SELECT a.flag, a.frame AS frame_idx,
+         CAST(SUM(ABS(a.val - b.val)) AS BIGINT) AS diff_sum
+  FROM px a JOIN px b
+    ON a.flag = b.flag AND a.pix = b.pix AND b.frame = a.frame - 1
+  GROUP BY 1, 2
+)
+SELECT flag AS l_returnflag, CAST(frame_idx AS INT) AS frame_idx, diff_sum,
+       diff_sum > {_Q279_THRESH * _Q279_W * _Q279_H * 3} AS is_cut
+FROM d ORDER BY l_returnflag, frame_idx
+"""
+
+
+@register("q279_scene_cuts", _Q279_ORACLE)
+def q279_scene_cuts(spark, sf_dir):
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_rawvid, scene_cuts
+
+    w, h, nf = _Q279_W, _Q279_H, _Q279_FRAMES
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for flag in pdf["l_returnflag"]:
+                frames = np.zeros((nf, h, w, 3), dtype=np.uint8)
+                for f in range(nf):
+                    scene = f // 4
+                    base = np.array(
+                        [
+                            int(
+                                hashlib.md5(
+                                    f"{flag}|{scene}|{i}".encode()
+                                ).hexdigest()[:6],
+                                16,
+                            )
+                            % 250
+                            for i in range(w * h * 3)
+                        ],
+                        dtype=np.int64,
+                    )
+                    frames[f] = (base + f % 4).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_rawvid(frames))
+            yield pd.DataFrame(
+                {"l_returnflag": pdf["l_returnflag"], "payload": payloads}
+            )
+
+    flags = load(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    clips = flags.mapInPandas(
+        make_payloads, "l_returnflag string, payload binary"
+    )
+    return scene_cuts(
+        clips, "payload", ["l_returnflag"], threshold_num=_Q279_THRESH
+    ).orderBy("l_returnflag", "frame_idx")
