@@ -2659,3 +2659,109 @@ def q279_scene_cuts(spark, sf_dir):
     return scene_cuts(
         clips, "payload", ["l_returnflag"], threshold_num=_Q279_THRESH
     ).orderBy("l_returnflag", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# q280 — tone detection (operators/dsp): per returnflag, a 256-sample
+# integer square wave (period 2^(3 + md5%3), amplitude 1000, md5
+# jitter) is scored for zero-crossing rate (integer-exact) and Goertzel
+# power at bin k=32 (the 8-sample-period probe): the flag whose wave
+# matches the probe frequency lights up. The sequential float
+# recurrence runs per key in an Arrow kernel and the oracle replays the
+# IDENTICAL fold as a recursive CTE with the same 2cos(w) literal —
+# the Holt/CUSUM treatment applied to DSP.
+# ---------------------------------------------------------------------------
+
+_Q280_N = 256
+_Q280_K = 32
+_Q280_AMP = 1000
+
+
+def _q280_oracle() -> str:
+    from ..operators.dsp import goertzel_coeff
+
+    coeff = goertzel_coeff(_Q280_K, _Q280_N)
+    from ..operators.dsp import sql_goertzel_cte
+
+    goe = sql_goertzel_cte("samples", coeff)
+    return f"""
+WITH RECURSIVE flags AS (SELECT DISTINCT l_returnflag AS key FROM lineitem),
+samples AS (
+  SELECT f.key, CAST(s.i AS BIGINT) AS n,
+         CAST(
+           (CASE WHEN (s.i // (p.period // 2)) % 2 = 0 THEN {_Q280_AMP} ELSE -{_Q280_AMP} END)
+           + ('0x' || substr(md5(f.key || '|' || CAST(s.i AS VARCHAR)), 1, 4))::BIGINT % 21 - 10
+         AS DOUBLE) AS x
+  FROM flags f
+  CROSS JOIN LATERAL (
+    SELECT CAST(POWER(2, 3 + ('0x' || substr(md5(f.key), 1, 4))::BIGINT % 3) AS BIGINT) AS period
+  ) p
+  CROSS JOIN generate_series(0, {_Q280_N - 1}) s(i)
+),
+zc AS (
+  SELECT key, CAST(SUM(chg) AS BIGINT) AS zero_crossings FROM (
+    SELECT key,
+           CASE WHEN LAG(CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+                     OVER (PARTITION BY key ORDER BY n)
+                  <> (CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+                THEN 1 ELSE 0 END AS chg
+    FROM samples
+  ) GROUP BY key
+),
+{goe}
+SELECT g.key AS l_returnflag,
+       CAST(g.n_samples AS BIGINT) AS n_samples,
+       zc.zero_crossings,
+       ROUND(g.s1 * g.s1 + g.s2 * g.s2 - {coeff!r} * g.s1 * g.s2, 6) AS goertzel_power
+FROM goe g JOIN zc ON zc.key = g.key
+ORDER BY l_returnflag
+"""
+
+
+@register("q280_goertzel_tone", _q280_oracle())
+def q280_goertzel_tone(spark, sf_dir):
+    from ..operators.dsp import audio_tone_features
+
+    flags = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("key")
+    ).distinct()
+    period = F.pow(
+        F.lit(2.0),
+        (
+            F.lit(3)
+            + F.conv(F.substring(F.md5("key"), 1, 4), 16, 10).cast("long") % 3
+        ).cast("double"),
+    ).cast("long")
+    samples = (
+        flags.withColumn("period", period)
+        .select(
+            "key",
+            "period",
+            F.explode(F.sequence(F.lit(0), F.lit(_Q280_N - 1))).alias("n"),
+        )
+        .withColumn(
+            "x",
+            (
+                F.when(
+                    F.expr("(n div (period div 2)) % 2 = 0"),
+                    F.lit(_Q280_AMP),
+                ).otherwise(F.lit(-_Q280_AMP))
+                + F.conv(
+                    F.substring(
+                        F.md5(F.concat("key", F.lit("|"), F.col("n").cast("string"))),
+                        1, 4,
+                    ),
+                    16, 10,
+                ).cast("long") % 21
+                - 10
+            ).cast("long"),
+        )
+    )
+    return audio_tone_features(
+        samples, ["key"], "x", "n", _Q280_K, _Q280_N
+    ).select(
+        F.col("key").alias("l_returnflag"),
+        "n_samples",
+        "zero_crossings",
+        "goertzel_power",
+    ).orderBy("l_returnflag")
