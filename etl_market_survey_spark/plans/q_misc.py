@@ -2773,3 +2773,84 @@ def q274_hilbert_index(spark, sf_dir):
     return with_hilbert(
         cust, F.col("c_custkey") % 256, (F.col("c_custkey") * 7919) % 256
     ).select("c_custkey", "hilbert_d").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q281 — temporal reachability (operators/temporalbfs): earliest
+# arrival over TIME-INCREASING contact paths (<= 3 hops) from every
+# 40th user, over the q121 co-presence contact edges stamped with their
+# bucket hour. Static BFS over-counts (an edge that fired before you
+# arrived cannot carry you); the earliest-arrival recurrence has
+# optimal substructure, so the per-hop min-combine is exact and the
+# oracle unrolls the identical three hops.
+# ---------------------------------------------------------------------------
+
+_Q281_HOPS = 3
+
+_Q281_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT user_id, event_type, epoch_ns(ts) // {_Q121_BUCKET_NS} AS h
+  FROM events
+),
+e AS (
+  SELECT DISTINCT x.user_id AS src, y.user_id AS dst, x.h AS t
+  FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+                   AND x.user_id <> y.user_id
+),
+seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 40 = 0),
+b1 AS (
+  SELECT s.node AS seed, e.dst AS node, MIN(e.t) AS arr
+  FROM seeds s JOIN e ON e.src = s.node GROUP BY 1, 2
+),
+n2 AS (
+  SELECT b.seed, e.dst AS node, MIN(e.t) AS arr
+  FROM b1 b JOIN e ON e.src = b.node AND e.t > b.arr GROUP BY 1, 2
+),
+b2 AS (
+  SELECT seed, node, MIN(arr) AS arr FROM (
+    SELECT * FROM b1 UNION ALL SELECT * FROM n2) GROUP BY 1, 2
+),
+n3 AS (
+  SELECT b.seed, e.dst AS node, MIN(e.t) AS arr
+  FROM b2 b JOIN e ON e.src = b.node AND e.t > b.arr GROUP BY 1, 2
+),
+b3 AS (
+  SELECT seed, node, MIN(arr) AS arr FROM (
+    SELECT * FROM b2 UNION ALL SELECT * FROM n3) GROUP BY 1, 2
+)
+SELECT seed, node, CAST(arr AS BIGINT) AS arrival
+FROM b3 ORDER BY seed, node
+"""
+
+
+@register("q281_temporal_reachability", _Q281_ORACLE)
+def q281_temporal_reachability(spark, sf_dir):
+    from ..operators.temporalbfs import temporal_reachability
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.expr(f"ts div {_Q121_BUCKET_NS}").alias("h")
+    ).distinct()
+    e = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.user_id") != F.col("y.user_id")),
+        )
+        .select(
+            F.col("x.user_id").alias("src"),
+            F.col("y.user_id").alias("dst"),
+            F.col("x.h").alias("t"),
+        )
+        .distinct()
+    )
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 40 == 0)
+    )
+    return temporal_reachability(e, seeds, max_hops=_Q281_HOPS).orderBy(
+        "seed", "node"
+    )
