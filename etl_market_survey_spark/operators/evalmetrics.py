@@ -519,3 +519,74 @@ def ndcg_mrr_at_k(
         ).alias("mrr"),
     )
     return out
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    scale: int = 1,
+) -> DataFrame:
+    """CUPED (Deng et al., WSDM 2013) — the experimentation-platform
+    staple: reduce metric variance with a pre-experiment covariate,
+    ``y_adj = y - theta (x - mean(x))`` with ``theta = cov(x,y)/var(x)``
+    estimated on the POOLED sample. Per variant: n, mean(y),
+    mean(y_adj), plus the global theta and the variance-reduction
+    factor ``1 - corr(x,y)^2``.
+
+    Exactness: metric/covariate are integers (caller pre-scales by
+    ``scale``); every moment is an exact decimal integer sum, and the
+    handful of final divisions follow one pinned expression order —
+    the q84 deterministic-covariance kernel extended to the CUPED
+    readout. One groupBy for moments, one tiny broadcast join.
+    """
+    x = F.col(covariate_col).cast("decimal(38,0)")
+    y = F.col(metric_col).cast("decimal(38,0)")
+    g = df.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov_num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_num = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_num = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    gl = g.select(
+        (cov_num / varx_num).alias("theta"),
+        (F.lit(1.0) - (cov_num * cov_num) / (varx_num * vary_num)).alias(
+            "var_reduction_factor"
+        ),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mean_x"),
+    )
+    per = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count("*").alias("n_units"),
+        F.sum(y).alias("vsy"),
+        F.sum(x).alias("vsx"),
+    )
+    out = per.crossJoin(F.broadcast(gl)).select(
+        "variant",
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round(
+            F.col("vsy").cast("double") / F.col("n_units").cast("double") / F.lit(float(scale)),
+            9,
+        ).alias("mean_y"),
+        F.round(
+            (
+                F.col("vsy").cast("double") / F.col("n_units").cast("double")
+                - F.col("theta")
+                * (
+                    F.col("vsx").cast("double") / F.col("n_units").cast("double")
+                    - F.col("mean_x")
+                )
+            )
+            / F.lit(float(scale)),
+            9,
+        ).alias("mean_y_adj"),
+        F.round("theta", 9).alias("theta"),
+        F.round("var_reduction_factor", 9).alias("var_reduction_factor"),
+    )
+    return out

@@ -2765,3 +2765,76 @@ def q280_goertzel_tone(spark, sf_dir):
         "zero_crossings",
         "goertzel_power",
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q282 — CUPED variance reduction (operators/evalmetrics.
+# cuped_adjusted_means): per-user experiment metric = second-half spend
+# (cents), covariate = first-half spend, variant = user parity; pooled
+# theta = cov/var from exact decimal moments, per-variant adjusted
+# means and the 1 - corr^2 variance-reduction factor. The modern A/B
+# readout (Deng et al. 2013); one pinned expression order, oracle
+# replays it from HUGEINT moments.
+# ---------------------------------------------------------------------------
+
+_Q282_SPLIT_NS = 1_705_000_000_000_000_000  # mid-January 2024 (epoch ns)
+
+_Q282_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         user_id % 2 AS variant,
+         SUM(CASE WHEN epoch_ns(ts) <  {_Q282_SPLIT_NS}
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN epoch_ns(ts) >= {_Q282_SPLIT_NS}
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM per_user
+),
+gl AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         1.0 - (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS vrf,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+  FROM g
+),
+per AS (
+  SELECT variant, COUNT(*) AS n_units,
+         SUM(CAST(y AS HUGEINT)) AS vsy, SUM(CAST(x AS HUGEINT)) AS vsx
+  FROM per_user GROUP BY 1
+)
+SELECT p.variant, CAST(p.n_units AS BIGINT) AS n_units,
+       ROUND(CAST(p.vsy AS DOUBLE) / CAST(p.n_units AS DOUBLE) / 100.0, 9) AS mean_y,
+       ROUND((CAST(p.vsy AS DOUBLE) / CAST(p.n_units AS DOUBLE)
+              - gl.theta * (CAST(p.vsx AS DOUBLE) / CAST(p.n_units AS DOUBLE) - gl.mean_x))
+             / 100.0, 9) AS mean_y_adj,
+       ROUND(gl.theta, 9) AS theta,
+       ROUND(gl.vrf, 9) AS var_reduction_factor
+FROM per p CROSS JOIN gl
+ORDER BY variant
+"""
+
+
+@register("q282_cuped", _Q282_ORACLE)
+def q282_cuped(spark, sf_dir):
+    from ..operators.evalmetrics import cuped_adjusted_means
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < _Q282_SPLIT_NS, cents).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= _Q282_SPLIT_NS, cents).otherwise(F.lit(0))
+        ).alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
+    return cuped_adjusted_means(
+        per_user, "variant", "y", "x", scale=100
+    ).orderBy("variant")
