@@ -2838,3 +2838,139 @@ def q282_cuped(spark, sf_dir):
     return cuped_adjusted_means(
         per_user, "variant", "y", "x", scale=100
     ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# q283 — difference-in-differences (the observational-causal workhorse
+# next to q282's CUPED): per (variant = user parity, period = pre/post
+# split) exact-decimal spend means; DiD = (postT - preT) - (postC -
+# preC). Pure rational arithmetic until four pinned double divisions.
+# ---------------------------------------------------------------------------
+
+_Q283_ORACLE = f"""
+WITH cells AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN epoch_ns(ts) < {_Q282_SPLIT_NS} THEN 0 ELSE 1 END AS period,
+         SUM(CAST(ROUND(value * 100) AS HUGEINT)) AS cents,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT variant, period,
+         CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_val,
+         n
+  FROM cells
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 1 AND period = 1 THEN mean_val END) AS t_post,
+    MAX(CASE WHEN variant = 1 AND period = 0 THEN mean_val END) AS t_pre,
+    MAX(CASE WHEN variant = 0 AND period = 1 THEN mean_val END) AS c_post,
+    MAX(CASE WHEN variant = 0 AND period = 0 THEN mean_val END) AS c_pre
+  FROM m
+)
+SELECT ROUND(t_pre, 9) AS t_pre, ROUND(t_post, 9) AS t_post,
+       ROUND(c_pre, 9) AS c_pre, ROUND(c_post, 9) AS c_post,
+       ROUND((t_post - t_pre) - (c_post - c_pre), 9) AS did
+FROM w
+"""
+
+
+@register("q283_diff_in_diff", _Q283_ORACLE)
+def q283_diff_in_diff(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("ts") < _Q282_SPLIT_NS, F.lit(0)).otherwise(F.lit(1)).alias(
+            "period"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias("cents"),
+        F.count("*").alias("n"),
+    )
+    m = cells.withColumn(
+        "mean_val",
+        F.col("cents").cast("double") / F.col("n").cast("double") / F.lit(100.0),
+    )
+    w = m.agg(
+        F.max(F.when((F.col("variant") == 1) & (F.col("period") == 1), F.col("mean_val"))).alias("t_post"),
+        F.max(F.when((F.col("variant") == 1) & (F.col("period") == 0), F.col("mean_val"))).alias("t_pre"),
+        F.max(F.when((F.col("variant") == 0) & (F.col("period") == 1), F.col("mean_val"))).alias("c_post"),
+        F.max(F.when((F.col("variant") == 0) & (F.col("period") == 0), F.col("mean_val"))).alias("c_pre"),
+    )
+    return w.select(
+        F.round("t_pre", 9).alias("t_pre"),
+        F.round("t_post", 9).alias("t_post"),
+        F.round("c_pre", 9).alias("c_pre"),
+        F.round("c_post", 9).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 9
+        ).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q284 — quantile treatment effects: per-variant exact interpolating
+# deciles of per-user spend, pivoted and differenced — where in the
+# outcome DISTRIBUTION the treatment moves (means hide tail effects).
+# Quantile parity as q98; pinned single subtractions.
+# ---------------------------------------------------------------------------
+
+_Q284_PS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+_Q284_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS variant,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT variant,
+         {", ".join(f"quantile_cont(cents, {p}) AS q{int(p * 100)}" for p in _Q284_PS)}
+  FROM per_user GROUP BY 1
+),
+w AS (
+  SELECT
+    {", ".join(f"MAX(CASE WHEN variant = 1 THEN q{int(p * 100)} END) AS t{int(p * 100)}, MAX(CASE WHEN variant = 0 THEN q{int(p * 100)} END) AS c{int(p * 100)}" for p in _Q284_PS)}
+  FROM q
+)
+{" UNION ALL ".join(f"SELECT {p!r} AS p, ROUND(t{int(p * 100)} / 100.0, 6) AS q_treat, ROUND(c{int(p * 100)} / 100.0, 6) AS q_control, ROUND((t{int(p * 100)} - c{int(p * 100)}) / 100.0, 6) AS qte FROM w" for p in _Q284_PS)}
+ORDER BY p
+"""
+
+
+@register("q284_quantile_treatment_effects", _Q284_ORACLE)
+def q284_quantile_treatment_effects(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    ps = _Q284_PS
+    q = per_user.groupBy("variant").agg(
+        F.expr(f"percentile(cents, array({', '.join(map(str, ps))}))").alias("_q")
+    )
+    w = q.agg(
+        *[
+            F.max(F.when(F.col("variant") == 1, F.col("_q")[i])).alias(f"t{int(p * 100)}")
+            for i, p in enumerate(ps)
+        ],
+        *[
+            F.max(F.when(F.col("variant") == 0, F.col("_q")[i])).alias(f"c{int(p * 100)}")
+            for i, p in enumerate(ps)
+        ],
+    )
+    # all five rows from ONE select over the single pivot row (the q250
+    # single-scan rule: union branches over a shared aggregate defeat
+    # exchange reuse and re-run it once per branch)
+    rows = [
+        F.struct(
+            F.lit(p).alias("p"),
+            F.round(F.col(f"t{int(p * 100)}") / 100.0, 6).alias("q_treat"),
+            F.round(F.col(f"c{int(p * 100)}") / 100.0, 6).alias("q_control"),
+            F.round(
+                (F.col(f"t{int(p * 100)}") - F.col(f"c{int(p * 100)}")) / 100.0, 6
+            ).alias("qte"),
+        )
+        for p in ps
+    ]
+    return w.select(F.inline(F.array(*rows))).orderBy("p")
