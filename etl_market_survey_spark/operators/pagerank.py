@@ -31,7 +31,13 @@ UNIT = 1_000_000_000_000  # 1e12 fixed-point grid
 
 
 def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
-    """Symmetrize + dedupe an edge list into ``(src, dst)`` both ways."""
+    """Symmetrize + dedupe an edge list into ``(src, dst)`` both ways.
+
+    ``pairs`` is usually a derived aggregate (joins + distinct); the
+    symmetrize union references it twice, so it is cached here — one
+    computation feeds both directions (the q78 merge-family rule:
+    self-referential inputs share one scan)."""
+    pairs = pairs.cache()
     a = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     b = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     return a.unionByName(b).distinct()

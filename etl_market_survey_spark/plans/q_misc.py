@@ -2302,7 +2302,7 @@ def q255_weighted_pagerank(spark, sf_dir):
             (F.col("s_nationkey") + 100).cast("long").alias("b"),
         )
         .agg(F.count("*").alias("w"))
-    )
+    ).cache()  # referenced by both union directions (q78 rule)
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionByName(

@@ -445,7 +445,11 @@ def q126_kmv_rollup(spark, sf_dir):
 
     k = 16384
     cust = load(spark, sf_dir, "customer")
-    base = kmv_grouped(cust, ["c_nationkey", "c_mktsegment"], "c_custkey", k=k)
+    # three rollup levels read this grouped-sketch aggregate — cache it
+    # so the union computes it once (q78 merge-family rule)
+    base = kmv_grouped(
+        cust, ["c_nationkey", "c_mktsegment"], "c_custkey", k=k
+    ).cache()
 
     lvl2 = base.select(
         "c_nationkey", "c_mktsegment",
