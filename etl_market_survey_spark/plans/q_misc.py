@@ -2854,3 +2854,167 @@ def q281_temporal_reachability(spark, sf_dir):
     return temporal_reachability(e, seeds, max_hops=_Q281_HOPS).orderBy(
         "seed", "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# q285 — local community via PPR sweep cut (Andersen-Chung-Lang 2006):
+# personalized PageRank from ONE seed (the q243 integer fixed-point
+# recurrence), nodes ranked by pr/deg, and for every prefix S_k of the
+# top-20 ranking the EXACT integer cut and volume — conductance =
+# cut / min(vol, 2m - vol); its argmin is the community boundary. Cut
+# and volume are counted over the symmetric directed edge list (each
+# undirected edge twice — consistent in both engines, a pure scaling
+# of the conductance). Ranking score is one double division; all
+# set-membership counting is integer.
+# ---------------------------------------------------------------------------
+
+_Q285_K = 20
+
+
+def _q285_oracle() -> str:
+    from ..operators.pagerank import UNIT
+
+    it = """
+pc{k} AS (
+  SELECT e.dst AS node, SUM(p.pr // dg.deg) AS s
+  FROM pp{j} p JOIN deg dg ON p.node = dg.src JOIN edges e ON e.src = p.node
+  GROUP BY 1
+),
+pp{k} AS (
+  SELECT n.node,
+         n._s * ((15 * {unit}::HUGEINT) // 100)
+         + (85 * COALESCE(pc{k}.s, 0)) // 100 AS pr
+  FROM seeded n LEFT JOIN pc{k} USING (node)
+)"""
+    its = ",".join(it.format(k=k, j=k - 1, unit=UNIT) for k in (1, 2, 3))
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {_Q97_OFF} AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seed AS (SELECT MIN(node) AS node FROM nodes WHERE node < {_Q97_OFF}),
+seeded AS (
+  SELECT n.node, CASE WHEN n.node = s.node THEN 1 ELSE 0 END AS _s
+  FROM nodes n CROSS JOIN seed s
+),
+pp0 AS (SELECT node, CAST(_s AS HUGEINT) * {UNIT} AS pr FROM seeded),
+{its},
+scored AS (
+  SELECT p.node, p.pr, d.deg,
+         CAST(p.pr AS DOUBLE) / CAST(d.deg AS DOUBLE) AS score
+  FROM pp3 p JOIN deg d ON d.src = p.node
+),
+topk AS MATERIALIZED (
+  SELECT node, deg, rk FROM (
+    SELECT node, deg, ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rk
+    FROM scored) WHERE rk <= {_Q285_K}
+),
+m2 AS (SELECT COUNT(*) AS m FROM edges),
+er AS MATERIALIZED (
+  SELECT COALESCE(ta.rk, {1 << 30}) AS ra, COALESCE(tb.rk, {1 << 30}) AS rb
+  FROM edges e
+  LEFT JOIN topk ta ON ta.node = e.src
+  LEFT JOIN topk tb ON tb.node = e.dst
+),
+per_k AS (
+  SELECT k.i AS k,
+         CAST(SUM(CASE WHEN (er.ra <= k.i) <> (er.rb <= k.i) THEN 1 ELSE 0 END) AS BIGINT) AS cut
+  FROM er CROSS JOIN generate_series(1, {_Q285_K}) k(i)
+  GROUP BY 1
+),
+vols AS (
+  SELECT rk AS k, node,
+         CAST(SUM(deg) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vol
+  FROM topk
+)
+SELECT v.k, v.node AS added_node, p.cut, v.vol,
+       ROUND(CAST(p.cut AS DOUBLE) / CAST(LEAST(v.vol, m2.m - v.vol) AS DOUBLE), 9) AS conductance
+FROM vols v JOIN per_k p ON p.k = v.k CROSS JOIN m2
+ORDER BY v.k
+"""
+
+
+@register("q285_ppr_sweep_cut", _q285_oracle())
+def q285_ppr_sweep_cut(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.pagerank import personalized_pagerank, undirected_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = undirected_edges(pairs, "a", "b").cache()
+    seed = (
+        edges.filter(F.col("src") < _Q97_OFF)
+        .agg(F.min("src").alias("node"))
+    )
+    pr = personalized_pagerank(edges, seed, n_iter=3)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    scored = pr.join(deg, pr["node"] == deg["src"]).select(
+        "node", "deg",
+        (F.col("pr").cast("double") / F.col("deg").cast("double")).alias("score"),
+    )
+    topk = (
+        scored.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("score").desc(), "node"))
+        )
+        .filter(F.col("rk") <= _Q285_K)
+        .select("node", "deg", "rk")
+        .cache()
+    )
+    m2 = edges.count()  # directed edge count (2m), bounded scalar
+    er = (
+        edges.join(
+            topk.select(F.col("node").alias("src"), F.col("rk").alias("ra")),
+            "src", "left",
+        )
+        .join(
+            topk.select(F.col("node").alias("dst"), F.col("rk").alias("rb")),
+            "dst", "left",
+        )
+        .select(
+            F.coalesce("ra", F.lit(1 << 30)).alias("ra"),
+            F.coalesce("rb", F.lit(1 << 30)).alias("rb"),
+        )
+    )
+    ks = er.select(
+        "ra", "rb",
+        F.explode(F.sequence(F.lit(1), F.lit(_Q285_K))).alias("k"),
+    )
+    per_k = ks.groupBy("k").agg(
+        F.sum(
+            F.when(
+                (F.col("ra") <= F.col("k")) != (F.col("rb") <= F.col("k")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("cut")
+    )
+    vols = topk.select(
+        F.col("rk").alias("k"),
+        F.col("node").alias("added_node"),
+        F.sum("deg").over(
+            W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
+        ).cast("long").alias("vol"),
+    )
+    return (
+        vols.join(per_k, "k")
+        .select(
+            "k", "added_node", "cut", "vol",
+            F.round(
+                F.col("cut").cast("double")
+                / F.least(F.col("vol"), F.lit(m2) - F.col("vol")).cast("double"),
+                9,
+            ).alias("conductance"),
+        )
+        .orderBy("k")
+    )
