@@ -1596,3 +1596,88 @@ def q266_interval_coalesce(spark, sf_dir):
     return coalesce_intervals(ev, "user_id", "s", "e").orderBy(
         "user_id", "island_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q286 — rolling OLS slope: per user, the trailing-10-event linear
+# trend of spend (cents) against the event index — the windowed trend
+# feature time-series models consume. All four moment sums are exact
+# integers over ROWS frames; the slope is one pinned double division
+# (the q84/q191 deterministic-OLS kernel in a window).
+# ---------------------------------------------------------------------------
+
+_Q286_W = 10
+
+_Q286_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x
+  FROM events
+),
+wsum AS (
+  SELECT user_id, event_id, x,
+         COUNT(*) OVER wf AS n,
+         SUM(x) OVER wf AS sx,
+         SUM(y) OVER wf AS sy,
+         SUM(x * y) OVER wf AS sxy,
+         SUM(x * x) OVER wf AS sxx
+  FROM r
+  WINDOW wf AS (PARTITION BY user_id ORDER BY x
+                ROWS BETWEEN {_Q286_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END, 9) AS slope_cents
+FROM wsum
+WHERE n >= 3
+ORDER BY user_id, event_id
+"""
+
+
+@register("q286_rolling_ols_slope", _Q286_ORACLE)
+def q286_rolling_ols_slope(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    ).withColumn(
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long"),
+    ).drop("ts")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(_Q286_W - 1), 0)
+    )
+    wsum = r.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        wsum.filter(F.col("n") >= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.when(den == 0, F.lit(0.0)).otherwise(
+                    num.cast("double") / den.cast("double")
+                ),
+                9,
+            ).alias("slope_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
