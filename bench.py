@@ -110,6 +110,9 @@ HEADLINE = [
     "q262_simplified_silhouette",
     "q264_feature_hashing",
     "q265_right_maximal_repeats",
+    "q266_interval_coalesce",
+    "q275_url_domain_cap",
+    "q276_html_extract",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise
