@@ -275,3 +275,43 @@ def test_merge_family_base_cached_single_scan(spark, name):
     n_cache_refs = plan.count("InMemoryTableScan")
     assert n_cache_refs >= 3, plan[:2000]
     spark.catalog.clearCache()
+
+
+# round-4 additions: no cartesian products; whole-stage codegen spans
+# exist; BroadcastNestedLoopJoin appears ONLY where it is the intended
+# plan — a broadcast crossJoin of a bounded-by-contract frame (cluster
+# centroids, query sets, one-row global aggregates)
+_R4_BOUNDED_BNLJ = {
+    "q262_simplified_silhouette",  # 2^planes cluster rows
+    "q273_ndcg_mrr",               # 5-query literal set
+    "q277_sq8_quantized_topk",     # 5 queries + 1-row dim stats
+    "q282_cuped",                  # 1-row pooled moments
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q258_aho_corasick_scan",
+        "q259_spatial_neighbor_join",
+        "q261_sax_motifs",
+        "q262_simplified_silhouette",
+        "q263_bpe_encode",
+        "q264_feature_hashing",
+        "q266_interval_coalesce",
+        "q273_ndcg_mrr",
+        "q275_url_domain_cap",
+        "q276_html_extract",
+        "q277_sq8_quantized_topk",
+        "q282_cuped",
+        "q283_diff_in_diff",
+        "q284_quantile_treatment_effects",
+        "q286_rolling_ols_slope",
+    ],
+)
+def test_r4_no_cartesian_and_codegen(static_plan, name):
+    plan = static_plan(name)
+    assert "CartesianProduct" not in plan, name
+    assert re.search(r"\*\(\d+\)", plan), name
+    if name not in _R4_BOUNDED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, name
