@@ -2974,3 +2974,146 @@ def q284_quantile_treatment_effects(spark, sf_dir):
         for p in ps
     ]
     return w.select(F.inline(F.array(*rows))).orderBy("p")
+
+
+# ---------------------------------------------------------------------------
+# q287 — split-conformal prediction intervals (Vovk; the
+# distribution-free uncertainty wrapper production ML ships): train /
+# calibration / test splits by orderkey mod 3, point model = per-flag
+# TRAIN mean, conformal radius = the ceil((n_cal+1)*0.9)-th smallest
+# calibration residual — an EXACT integer order statistic (never an
+# interpolated quantile), so marginal ~90% coverage holds by
+# construction. Residuals are kept in the n_train-scaled integer form
+# |y*n_t - s_t| so no division touches the comparisons; the oracle
+# replays ranks and counts. Output per flag: radius and the measured
+# test coverage.
+# ---------------------------------------------------------------------------
+
+_Q287_ALPHA_NUM = 1  # alpha = 0.1
+_Q287_ALPHA_DEN = 10
+
+_Q287_ORACLE = f"""
+WITH rows_ AS (
+  SELECT l_returnflag AS flag, l_orderkey % 3 AS split,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+tr AS (
+  SELECT flag, COUNT(*) AS n_t, SUM(CAST(y AS HUGEINT)) AS s_t
+  FROM rows_ WHERE split = 0 GROUP BY 1
+),
+cal AS (
+  SELECT r.flag, ABS(CAST(r.y AS HUGEINT) * t.n_t - t.s_t) AS res
+  FROM rows_ r JOIN tr t ON t.flag = r.flag WHERE r.split = 1
+),
+caln AS (SELECT flag, COUNT(*) AS n_cal FROM cal GROUP BY 1),
+ranked AS (
+  SELECT flag, res,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY res) AS rk
+  FROM cal
+),
+qhat AS (
+  SELECT r.flag, r.res AS q_scaled
+  FROM ranked r JOIN caln c ON c.flag = r.flag
+  WHERE r.rk = CAST(CEIL((c.n_cal + 1) * (1.0 - {_Q287_ALPHA_NUM} / {_Q287_ALPHA_DEN}.0)) AS BIGINT)
+),
+test AS (
+  SELECT r.flag,
+         COUNT(*) AS n_test,
+         SUM(CASE WHEN ABS(CAST(r.y AS HUGEINT) * t.n_t - t.s_t) <= q.q_scaled
+                  THEN 1 ELSE 0 END) AS covered
+  FROM rows_ r
+  JOIN tr t ON t.flag = r.flag
+  JOIN qhat q ON q.flag = r.flag
+  WHERE r.split = 2
+  GROUP BY 1
+)
+SELECT t.flag AS l_returnflag,
+       CAST(c.n_cal AS BIGINT) AS n_cal,
+       ROUND(CAST(q.q_scaled AS DOUBLE) / CAST(tr.n_t AS DOUBLE) / 100.0, 6) AS radius,
+       CAST(t.n_test AS BIGINT) AS n_test,
+       ROUND(CAST(t.covered AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6) AS coverage
+FROM test t
+JOIN caln c ON c.flag = t.flag
+JOIN qhat q ON q.flag = t.flag
+JOIN tr ON tr.flag = t.flag
+ORDER BY l_returnflag
+"""
+
+
+@register("q287_conformal_intervals", _Q287_ORACLE)
+def q287_conformal_intervals(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") % 3).alias("split"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    tr = (
+        rows.filter(F.col("split") == 0)
+        .groupBy("flag")
+        .agg(
+            F.count("*").alias("n_t"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("s_t"),
+        )
+    )
+    res = F.abs(
+        F.col("y").cast("decimal(38,0)") * F.col("n_t") - F.col("s_t")
+    ).alias("res")
+    cal = rows.filter(F.col("split") == 1).join(F.broadcast(tr), "flag").select(
+        "flag", res
+    )
+    caln = cal.groupBy("flag").agg(F.count("*").alias("n_cal"))
+    ranked = cal.withColumn(
+        "rk", F.row_number().over(W.partitionBy("flag").orderBy("res"))
+    )
+    target = F.ceil(
+        (F.col("n_cal") + 1)
+        * (1.0 - _Q287_ALPHA_NUM / float(_Q287_ALPHA_DEN))
+    ).cast("long")
+    qhat = ranked.join(F.broadcast(caln), "flag").filter(
+        F.col("rk") == target
+    ).select("flag", F.col("res").alias("q_scaled"))
+    test = (
+        rows.filter(F.col("split") == 2)
+        .join(F.broadcast(tr), "flag")
+        .join(F.broadcast(qhat), "flag")
+        .groupBy("flag")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("y").cast("decimal(38,0)") * F.col("n_t")
+                        - F.col("s_t")
+                    )
+                    <= F.col("q_scaled"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(caln), "flag")
+        .join(F.broadcast(qhat), "flag")
+        .join(F.broadcast(tr), "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.round(
+                F.col("q_scaled").cast("double")
+                / F.col("n_t").cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("radius"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.round(
+                F.col("covered").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("l_returnflag")
+    )
