@@ -136,3 +136,78 @@ SELECT g, dur, CAST(n_at_risk AS BIGINT) AS n_at_risk,
             ELSE ROUND(EXP(raw_log_surv), 9) END AS surv
 FROM cum
 """
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i <= t} d_i/n_i —
+    Kaplan-Meier's additive sibling (the hazard view the product-limit
+    curve hides; exp(-H) is the Breslow survival estimate).
+
+    Fully INTEGER: each increment lives on a 1e-9 fixed-point grid as
+    ``(d * 10^9) div n`` (no floats anywhere until the final display
+    division — even stricter than KM's round-9 log terms, because the
+    hazard increments are plain rationals). One groupBy to (group,
+    duration) counts, one reverse running sum for the risk set, one
+    forward running integer sum."""
+    at = df.groupBy(*group_cols, duration_col).agg(
+        F.count("*").alias("_n_at"),
+        F.sum(F.col(event_col).cast("long")).alias("d_events"),
+    )
+    w_risk = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(duration_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = at.withColumn("n_at_risk", F.sum("_n_at").over(w_risk))
+    ev = risk.filter(F.col("d_events") > 0).withColumn(
+        "_inc",
+        F.expr("(d_events * 1000000000L) div n_at_risk"),
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.withColumn(
+        "cum_hazard_g9", F.sum("_inc").over(w_cum)
+    ).select(
+        *group_cols,
+        duration_col,
+        "n_at_risk",
+        "d_events",
+        F.col("cum_hazard_g9").cast("long").alias("cum_hazard_g9"),
+        F.round(F.col("cum_hazard_g9").cast("double") / F.lit(1e9), 9).alias(
+            "cum_hazard"
+        ),
+    )
+
+
+def sql_nelson_aalen(
+    source: str, group_expr: str, dur_expr: str, event_expr: str
+) -> str:
+    """DuckDB replay of :func:`nelson_aalen` — same integer grid."""
+    return f"""
+SELECT g, dur, n_at_risk, d_events,
+       CAST(SUM(inc) OVER (PARTITION BY g ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_g9,
+       ROUND(CAST(SUM(inc) OVER (PARTITION BY g ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9, 9) AS cum_hazard
+FROM (
+  SELECT g, dur, n_at_risk, d_events,
+         (d_events * 1000000000) // n_at_risk AS inc
+  FROM (
+    SELECT g, dur, d_events,
+           SUM(n_at) OVER (PARTITION BY g ORDER BY dur DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+    FROM (
+      SELECT {group_expr} AS g, {dur_expr} AS dur,
+             COUNT(*) AS n_at, SUM({event_expr}) AS d_events
+      FROM {source} GROUP BY 1, 2
+    )
+  ) WHERE d_events > 0
+)"""

@@ -971,3 +971,69 @@ def q247_markov_attribution(spark, sf_dir):
     return markov_attribution(
         ev, "user_id", ["us", "event_id"], "event_type", "purchase"
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# q288 — Nelson-Aalen cumulative hazard (operators/survival.
+# nelson_aalen): the additive hazard view over the q208 churn cohort
+# (duration = active-span days per user, churn = inactive on the final
+# day). Every increment is (d * 1e9) div n — pure integer fixed-point,
+# no float until display; the oracle replays the identical grid.
+# ---------------------------------------------------------------------------
+
+
+def _q288_oracle() -> str:
+    from ..operators.survival import sql_nelson_aalen
+
+    users = f"""
+  SELECT user_id,
+         ARG_MIN(event_type,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                 lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_type,
+         (MAX(epoch_us(ts)) // {_US_DAY}) - (MIN(epoch_us(ts)) // {_US_DAY}) + 1
+           AS dur,
+         CASE WHEN MAX(epoch_us(ts)) // {_US_DAY} <=
+                   (SELECT MAX(epoch_us(ts)) // {_US_DAY} FROM events) - 1
+              THEN 1 ELSE 0 END AS churn
+  FROM events GROUP BY 1
+"""
+    inner = sql_nelson_aalen(f"({users})", "first_type", "dur", "churn")
+    return f"""
+SELECT g AS first_type, dur, n_at_risk, d_events, cum_hazard_g9, cum_hazard
+FROM ({inner})
+ORDER BY first_type, dur
+"""
+
+
+@register("q288_nelson_aalen", _q288_oracle())
+def q288_nelson_aalen(spark, sf_dir):
+    from ..operators.survival import nelson_aalen
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"{_EV_US} div {_US_DAY}")
+    users = ev.groupBy("user_id").agg(
+        F.min_by(
+            "event_type",
+            F.concat(
+                F.lpad(F.expr(_EV_US).cast("string"), 20, "0"),
+                F.lit("|"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ),
+        ).alias("first_type"),
+        (F.max(day) - F.min(day) + 1).alias("dur"),
+    )
+    horizon = ev.agg(F.max(day).alias("_h"))
+    last_day = ev.groupBy("user_id").agg(F.max(day).alias("_last"))
+    cohort = (
+        users.join(last_day, "user_id")
+        .crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "churn",
+            F.when(F.col("_last") <= F.col("_h") - 1, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    return nelson_aalen(cohort, ["first_type"], "dur", "churn").orderBy(
+        "first_type", "dur"
+    )
