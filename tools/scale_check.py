@@ -51,6 +51,14 @@ HEAVY = [
     "q239_holt_smoothing",
     "q241_item_cf",
     "q247_markov_attribution",
+    # r4 additions with per-row/per-doc linear shapes. (q259 spatial and
+    # q281 temporal-BFS are deliberately EXCLUDED: the synthesis shifts
+    # keys but keeps the coordinate grid / co-presence buckets fixed, so
+    # 10x points legitimately produce ~100x neighbor pairs / contact
+    # edges — a density effect of the synthetic world, not an operator
+    # flaw; a faithful scale test for them needs a 10x-larger space.)
+    "q258_aho_corasick_scan",
+    "q265_right_maximal_repeats",
 ]
 
 SRC = "/root/testdata/sf0.1"
