@@ -210,6 +210,7 @@ def read_snapshot(
     as_of_ts: int | None = None,
     partition_filter: dict | None = None,
     bounds_filter: dict | None = None,
+    merge_schema: bool = True,
 ) -> DataFrame:
     """Read the table at a snapshot (current by default; time-travel via
     ``version=`` or ``as_of_ts=`` — the newest snapshot with
@@ -276,13 +277,19 @@ def read_snapshot(
 
         entries = [e for e in entries if survives(e)]
     files = [os.path.join(path, e["file"]) for e in entries]
+    reader = spark.read
+    if merge_schema:
+        # schema EVOLUTION across commits: without mergeSchema, Spark
+        # takes the first file's footer and silently drops columns added
+        # by later appends — the classic lakehouse data-loss trap
+        reader = reader.option("mergeSchema", "true")
     if not files:
         # preserve schema by reading the full manifest's first file 0-rows
         all_files = [os.path.join(path, e["file"]) for e in snap["manifest"]]
         if not all_files:
             raise ValueError(f"snapshot v{version} is empty and schema unknown")
-        return spark.read.parquet(all_files[0]).limit(0)
-    return spark.read.parquet(*files)
+        return reader.parquet(*all_files).limit(0)
+    return reader.parquet(*files)
 
 
 def compact_snapshot(

@@ -155,3 +155,23 @@ def test_snapshot_changes_logical_diff(spark, table):
     ch = snapshot_changes(spark, table, from_version=2, to_version=3, keys=["k"])
     counts = {r["change_type"]: r["n"] for r in ch.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
     assert counts == {"delete": 10, "unchanged": 10}
+
+
+def test_schema_evolution_across_appends(spark, table):
+    # append a NEW column in a later commit: the unified read must
+    # surface it (nulls for old files) instead of silently dropping it
+    from etl_market_survey_spark.sources.lakehouse import commit_snapshot
+
+    extra = spark.createDataFrame(
+        [(100, "b", 1.0, "fresh")], "k long, p string, x double, note string"
+    )
+    commit_snapshot(
+        spark, table, extra, operation="append", partition_col="p",
+        commit_ts=500, stat_cols=["k"],
+    )
+    cur = read_snapshot(spark, table)
+    assert "note" in cur.columns
+    assert cur.filter(F.col("note") == "fresh").count() == 1
+    assert cur.filter(F.col("note").isNull()).count() == cur.count() - 1
+    # old versions unaffected
+    assert "note" not in read_snapshot(spark, table, version=2).columns
