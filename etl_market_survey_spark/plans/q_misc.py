@@ -3018,3 +3018,85 @@ def q285_ppr_sweep_cut(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q289 — Horvitz-Thompson estimation from an unequal-probability hash
+# sample: orders are sampled with probability proportional to price
+# (include iff pmod(xxhash64(key), D) < c_i, c_i = ceil(D * cents /
+# max_cents) — every inclusion probability is the exact rational
+# c_i/D), then the HT estimator sum(y_i * D / c_i) recovers the
+# population total with a certificate: the query outputs estimate,
+# truth, and relative error. The survey-sampling identity every
+# sampled-pipeline metric should ship with; inclusion replays via the
+# closed hashLong form.
+# ---------------------------------------------------------------------------
+
+_Q289_D = 1_000_000
+
+
+def _q289_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    xxh = sql_xxhash64_long_cte("(SELECT DISTINCT o_orderkey AS v FROM orders)")
+    d = _Q289_D
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+),
+mx AS (SELECT MAX(cents) AS m FROM base),
+probs AS (
+  SELECT b.k, b.cents,
+         CAST((CAST({d} AS HUGEINT) * b.cents + mx.m - 1) // mx.m AS BIGINT) AS c
+  FROM base b CROSS JOIN mx
+),
+{xxh},
+sampled AS (
+  SELECT p.k, p.cents, p.c
+  FROM probs p JOIN xxhl x ON x.v = p.k
+  WHERE ((x.hv % {d}) + {d}) % {d} < p.c
+),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         SUM((CAST(cents AS HUGEINT) * {d}) // c) AS ht_num
+  FROM sampled
+),
+truth AS (SELECT SUM(CAST(cents AS HUGEINT)) AS total FROM base)
+SELECT est.n_sampled,
+       ROUND(CAST(est.ht_num AS DOUBLE) / 100.0, 2) AS ht_estimate,
+       ROUND(CAST(truth.total AS DOUBLE) / 100.0, 2) AS true_total,
+       ROUND(CAST(est.ht_num AS DOUBLE) / CAST(truth.total AS DOUBLE) - 1.0, 9)
+         AS rel_error
+FROM est CROSS JOIN truth
+"""
+
+
+@register("q289_horvitz_thompson", _q289_oracle())
+def q289_horvitz_thompson(spark, sf_dir):
+    d = _Q289_D
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    mx = base.agg(F.max("cents").alias("m"))
+    probs = base.crossJoin(F.broadcast(mx)).withColumn(
+        "c",
+        F.expr(f"(cast({d} as bigint) * cents + m - 1) div m"),
+    )
+    sampled = probs.filter(F.pmod(F.xxhash64(F.col("k")), F.lit(d)) < F.col("c"))
+    est = sampled.agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum(F.expr(f"(cents * cast({d} as bigint)) div c")).alias("ht_num"),
+    )
+    truth = base.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"))
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_sampled",
+        F.round(F.col("ht_num").cast("double") / 100.0, 2).alias("ht_estimate"),
+        F.round(F.col("total").cast("double") / 100.0, 2).alias("true_total"),
+        F.round(
+            F.col("ht_num").cast("double") / F.col("total").cast("double")
+            - 1.0,
+            9,
+        ).alias("rel_error"),
+    )
