@@ -90,3 +90,54 @@ def grid_neighbor_join(
         .filter(F.col("dist2") <= F.lit(r * r))
         .select("id_a", "id_b", "dist2")
     )
+
+
+def point_in_polygon(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    polygon: list[tuple[int, int]],
+    out_col: str = "inside",
+) -> DataFrame:
+    """Ray-casting point-in-polygon on INTEGER coordinates — crossing
+    parity with the division-free orientation test
+    ``t = (x2-x1)(y-y1) - (x-x1)(y2-y1)`` (a crossing counts when the
+    edge straddles the scanline, ``(y1>y) != (y2>y)``, and the point
+    lies left of the edge, ``(t>0) == (y2>y1)``). Pure int64
+    arithmetic, so the classification is bit-identical on any engine
+    (q290 unrolls the same per-edge terms in SQL). Works for any simple
+    polygon, convex or not; boundary semantics are the half-open
+    ray-casting convention. The geofence filter of spatial curation —
+    one map stage, k CASE terms per row, no joins."""
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    crossings = None
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        t = (F.lit(x2 - x1)) * (y - F.lit(y1)) - (x - F.lit(x1)) * F.lit(y2 - y1)
+        left = (t > 0) == F.lit(y2 > y1)
+        term = F.when(straddles & left, F.lit(1)).otherwise(F.lit(0))
+        crossings = term if crossings is None else crossings + term
+    return df.withColumn(out_col, F.pmod(crossings, F.lit(2)) == 1)
+
+
+def sql_point_in_polygon(
+    x_expr: str, y_expr: str, polygon: list[tuple[int, int]]
+) -> str:
+    """DuckDB mirror of :func:`point_in_polygon` — identical unrolled
+    per-edge terms."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        straddles = f"(({y1} > ({y_expr})) <> ({y2} > ({y_expr})))"
+        t = f"(({x2 - x1}) * (({y_expr}) - {y1}) - (({x_expr}) - {x1}) * ({y2 - y1}))"
+        left = f"(({t} > 0) = {str(y2 > y1).upper()})"
+        terms.append(f"(CASE WHEN {straddles} AND {left} THEN 1 ELSE 0 END)")
+    return f"((({' + '.join(terms)}) % 2) = 1)"

@@ -3100,3 +3100,49 @@ def q289_horvitz_thompson(spark, sf_dir):
             9,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q290 — geofence classification (operators/spatial.point_in_polygon):
+# the q259 LCG customer points classified against a literal non-convex
+# polygon by division-free integer ray casting — identical unrolled
+# per-edge orientation terms on both engines. The spatial-filter
+# companion to the neighbor join.
+# ---------------------------------------------------------------------------
+
+_Q290_POLY = [
+    (2000, 1000), (8000, 2000), (9000, 6000), (6000, 5000),
+    (5000, 9000), (1500, 7000),
+]
+
+
+def _q290_oracle() -> str:
+    from ..operators.spatial import sql_point_in_polygon
+
+    inside = sql_point_in_polygon("x", "y", _Q290_POLY)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 48271) % {_Q259_M} AS x,
+         (c_custkey * 16807) % {_Q259_M} AS y
+  FROM customer
+)
+SELECT id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       {inside} AS inside
+FROM pts ORDER BY id
+"""
+
+
+@register("q290_point_in_polygon", _q290_oracle())
+def q290_point_in_polygon(spark, sf_dir):
+    from ..operators.spatial import point_in_polygon
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") * 48271 % _Q259_M).alias("x"),
+        (F.col("c_custkey") * 16807 % _Q259_M).alias("y"),
+    )
+    return point_in_polygon(pts, "x", "y", _Q290_POLY).select(
+        "id", F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"), "inside",
+    ).orderBy("id")

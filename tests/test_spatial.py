@@ -55,3 +55,29 @@ def test_invalid_radius(spark):
     df = spark.range(1).select("id", F.lit(0).alias("x"), F.lit(0).alias("y"))
     with pytest.raises(ValueError):
         grid_neighbor_join(df, "id", "x", "y", 0)
+
+
+def test_point_in_polygon_known_cases(spark):
+    from etl_market_survey_spark.operators.spatial import point_in_polygon
+
+    square = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    # notch: the top dips to (5,5) — interior at x is y in (0, min(x, 10-x)+5)
+    concave = [(0, 0), (10, 0), (10, 10), (5, 5), (0, 10)]
+    pts = [
+        (1, 5, 5),   # concave-polygon VERTEX -> boundary -> outside
+        (2, 15, 5), (3, -1, 5), (4, 5, 15),
+        (5, 5, 8),   # in the notch cut out of the concave polygon
+        (6, 2, 7),   # below the notch edge y = 10 - x = 8 -> inside both
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    sq = {r["id"]: r["inside"] for r in point_in_polygon(df, "x", "y", square).collect()}
+    assert sq == {1: True, 2: False, 3: False, 4: False, 5: True, 6: True}
+    cc = {r["id"]: r["inside"] for r in point_in_polygon(df, "x", "y", concave).collect()}
+    assert cc[1] is False  # vertex: half-open boundary convention
+    assert cc[5] is False  # notch
+    assert cc[6] is True
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        point_in_polygon(df, "x", "y", [(0, 0), (1, 1)])
