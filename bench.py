@@ -131,6 +131,19 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # local-validation escape hatch: run a subset (comma/space separated
+    # names or "i:j" slice of HEADLINE) without changing the contract
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    global HEADLINE
+    if only:
+        if ":" in only and all(
+            p.isdigit() or p == "" for p in only.split(":")
+        ):
+            lo, hi = only.split(":")
+            HEADLINE = HEADLINE[int(lo or 0) : int(hi) if hi else None]
+        else:
+            want = set(only.replace(",", " ").split())
+            HEADLINE = [n for n in HEADLINE if n in want]
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
