@@ -69,3 +69,25 @@ def constraint_audit(
         )
         out = out.crossJoin(orphans)
     return out
+
+
+def with_inline_metrics(
+    df: DataFrame,
+    name: str,
+    metrics: dict[str, Column],
+):
+    """Attach Spark ``Observation`` metrics to a frame: the metrics are
+    computed DURING the action that consumes ``df`` — zero extra jobs,
+    zero extra scans — and read on the driver afterwards. The
+    observability idiom for production pipelines: row counts, null
+    rates, late-data counts ride along with the write instead of
+    re-running the query.
+
+    Returns ``(observed_df, observation)``; call ``observation.get``
+    after an action. Aggregates must be Observation-legal (no
+    distinct)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    cols = [v.alias(k) for k, v in metrics.items()]
+    return df.observe(obs, *cols), obs
