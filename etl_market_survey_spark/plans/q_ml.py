@@ -3117,3 +3117,100 @@ def q287_conformal_intervals(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q291 — inverse-propensity-weighted ATE, completing the causal family
+# (q282 CUPED / q283 DiD / q287 conformal): treatment assigned with a
+# KNOWN nation-dependent propensity (include iff pmod(xxhash64(key), D)
+# < c_n, c_n = D/2 or D/4 by nation parity — every propensity an exact
+# rational), outcome = account balance cents; ATE-hat =
+# mean(T*y*D/c) - mean((1-T)*y*D/(D-c)) in pure integer/rational
+# arithmetic with two pinned final divisions. The estimator every
+# observational readout starts from, with its weights replayable via
+# the closed hashLong form.
+# ---------------------------------------------------------------------------
+
+_Q291_D = 1_000_000
+
+
+def _q291_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    xxh = sql_xxhash64_long_cte("(SELECT DISTINCT c_custkey AS v FROM customer)")
+    d = _Q291_D
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT c_custkey AS k, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS y,
+         CASE WHEN c_nationkey % 2 = 0 THEN {d // 2} ELSE {d // 4} END AS c
+  FROM customer
+),
+{xxh},
+assigned AS (
+  SELECT b.k, b.y, b.c,
+         CASE WHEN ((x.hv % {d}) + {d}) % {d} < b.c THEN 1 ELSE 0 END AS t
+  FROM base b JOIN xxhl x ON x.v = b.k
+),
+sums AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN t = 1 THEN (CAST(y AS HUGEINT) * {d}) // c ELSE 0 END) AS s_t,
+         SUM(CASE WHEN t = 0 THEN (CAST(y AS HUGEINT) * {d}) // ({d} - c) ELSE 0 END) AS s_c,
+         SUM(t) AS n_treated
+  FROM assigned
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_treated AS BIGINT) AS n_treated,
+       ROUND(CAST(s_t AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mu_treated,
+       ROUND(CAST(s_c AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mu_control,
+       ROUND((CAST(s_t AS DOUBLE) - CAST(s_c AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0, 6) AS ate_hat
+FROM sums
+"""
+
+
+@register("q291_ipw_ate", _q291_oracle())
+def q291_ipw_ate(spark, sf_dir):
+    d = _Q291_D
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100.0).cast("long").alias("y"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit(d // 2))
+        .otherwise(F.lit(d // 4))
+        .cast("long")
+        .alias("c"),
+    )
+    assigned = base.withColumn(
+        "t",
+        (F.pmod(F.xxhash64(F.col("k")), F.lit(d)) < F.col("c")).cast("int"),
+    )
+    sums = assigned.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("t") == 1,
+                F.expr(f"(cast(y as decimal(38,0)) * {d}) div c"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("s_t"),
+        F.sum(
+            F.when(
+                F.col("t") == 0,
+                F.expr(f"(cast(y as decimal(38,0)) * {d}) div ({d} - c)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("s_c"),
+        F.sum("t").alias("n_treated"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.round(
+            F.col("s_t").cast("double") / F.col("n").cast("double") / 100.0, 6
+        ).alias("mu_treated"),
+        F.round(
+            F.col("s_c").cast("double") / F.col("n").cast("double") / 100.0, 6
+        ).alias("mu_control"),
+        F.round(
+            (F.col("s_t").cast("double") - F.col("s_c").cast("double"))
+            / F.col("n").cast("double")
+            / 100.0,
+            6,
+        ).alias("ate_hat"),
+    )
