@@ -76,3 +76,12 @@ def test_web_curation_example(spark):
     assert surv.count() > 0
     cols = set(surv.columns)
     assert {"row_id", "url", "text", "domain"} <= cols
+
+
+def test_sft_assembly_example(spark):
+    from examples.sft_assembly_pipeline import main
+
+    train = main(spark, "/root/testdata/sf0.001")
+    assert train.count() > 0
+    row = train.limit(1).collect()[0]
+    assert "<|assistant|>" in row["sample"] and row["sample"].endswith("<|end|>")
