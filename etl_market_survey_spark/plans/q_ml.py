@@ -3214,3 +3214,135 @@ def q291_ipw_ate(spark, sf_dir):
             6,
         ).alias("ate_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q292 — AIPW doubly-robust ATE, the modern completion of the causal
+# family: outcome models m1/m0 = per-nation treated/control mean
+# RATIONALS (sum, count — never materialized as floats), propensities
+# the q291 rational c/D thresholds, and every augmented term evaluated
+# on a 1e-9 integer grid with floor divisions:
+#   A_i = T*(y*n1 - s1)*D*K div (n1*c) + s1*K div n1
+#   B_i = (1-T)*(y*n0 - s0)*D*K div (n0*(D-c)) + s0*K div n0
+#   ate = (sum A - sum B) / (N * K)
+# Doubly robust: consistent if EITHER the propensity or the outcome
+# model is right — here both are, by construction. Pure integer sums;
+# one final double division.
+# ---------------------------------------------------------------------------
+
+_Q292_K = 1_000_000_000
+
+
+def _q292_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    xxh = sql_xxhash64_long_cte("(SELECT DISTINCT c_custkey AS v FROM customer)")
+    d = _Q291_D
+    k = _Q292_K
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT c_custkey AS ck, c_nationkey AS nat,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS y,
+         CASE WHEN c_nationkey % 2 = 0 THEN {d // 2} ELSE {d // 4} END AS c
+  FROM customer
+),
+{xxh},
+assigned AS (
+  SELECT b.ck, b.nat, b.y, b.c,
+         CASE WHEN ((x.hv % {d}) + {d}) % {d} < b.c THEN 1 ELSE 0 END AS t
+  FROM base b JOIN xxhl x ON x.v = b.ck
+),
+om AS (
+  SELECT nat,
+         SUM(CASE WHEN t = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS s1,
+         SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN t = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS s0,
+         SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n0
+  FROM assigned GROUP BY 1
+),
+terms AS (
+  SELECT a.ck,
+         (CASE WHEN a.t = 1
+               THEN ((CAST(a.y AS HUGEINT) * o.n1 - o.s1) * {d} * {k})
+                    // (o.n1 * a.c)
+               ELSE 0 END)
+         + (o.s1 * {k}) // o.n1 AS av,
+         (CASE WHEN a.t = 0
+               THEN ((CAST(a.y AS HUGEINT) * o.n0 - o.s0) * {d} * {k})
+                    // (o.n0 * ({d} - a.c))
+               ELSE 0 END)
+         + (o.s0 * {k}) // o.n0 AS bv
+  FROM assigned a JOIN om o ON o.nat = a.nat
+  WHERE o.n1 > 0 AND o.n0 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(av) - SUM(bv) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {k}) / 100.0, 6) AS ate_hat
+FROM terms
+"""
+
+
+@register("q292_aipw_ate", _q292_oracle())
+def q292_aipw_ate(spark, sf_dir):
+    d = _Q291_D
+    k = _Q292_K
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") * 100.0).cast("long").alias("y"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit(d // 2))
+        .otherwise(F.lit(d // 4))
+        .cast("long")
+        .alias("c"),
+    )
+    assigned = base.withColumn(
+        "t",
+        (F.pmod(F.xxhash64(F.col("ck")), F.lit(d)) < F.col("c")).cast("int"),
+    )
+    om = assigned.groupBy("nat").agg(
+        F.sum(
+            F.when(F.col("t") == 1, F.col("y").cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("s1"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("t") == 0, F.col("y").cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("s0"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+    )
+    terms = (
+        assigned.join(F.broadcast(om), "nat")
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            F.expr(
+                f"""(CASE WHEN t = 1
+                     THEN ((cast(y as decimal(38,0)) * n1 - s1) * {d} * {k})
+                          div (n1 * c)
+                     ELSE cast(0 as decimal(38,0)) END)
+                 + (s1 * {k}) div n1"""
+            ).alias("av"),
+            F.expr(
+                f"""(CASE WHEN t = 0
+                     THEN ((cast(y as decimal(38,0)) * n0 - s0) * {d} * {k})
+                          div (n0 * ({d} - c))
+                     ELSE cast(0 as decimal(38,0)) END)
+                 + (s0 * {k}) div n0"""
+            ).alias("bv"),
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            (F.sum("av") - F.sum("bv")).cast("double")
+            / (F.count("*").cast("double") * k)
+            / 100.0,
+            6,
+        ).alias("ate_hat"),
+    )
