@@ -1381,3 +1381,395 @@ def q276_html_extract(spark, sf_dir):
         ),
         html_links("page").alias("links"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q293 — trigram language-model scoring with stupid backoff (Brants et
+# al. 2007), the CCNet-style perplexity quality filter a curation
+# pipeline runs before training. Train counts on even doc_ids, score
+# odd doc_ids: S(c|a,b) = c3/c2(a,b), backing off to 0.4*c2(b,c)/c1(b),
+# then 0.16*(c1(c)+1)/(N+V). Every log2 term is round-9 gated (the
+# q149/q157 libm rule) and per-doc bits average through the exact
+# decimal sum. Scale shape: three map-side-combined count shuffles on
+# gram keys + token-keyed joins — no driver state, no Python.
+# ---------------------------------------------------------------------------
+
+
+def _q293_oracle() -> str:
+    from ..functions.stats import sql_davg
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS w
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, pos, w AS c,
+         LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
+         LAG(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+  FROM toks
+),
+train AS (SELECT * FROM grams WHERE doc_id % 2 = 0),
+uni AS (SELECT c AS w, COUNT(*) AS c1 FROM train GROUP BY 1),
+nv AS (SELECT COUNT(*) AS n, COUNT(DISTINCT c) AS v FROM train),
+bi AS (SELECT b, c, COUNT(*) AS c2 FROM train WHERE b IS NOT NULL GROUP BY 1, 2),
+tri AS (SELECT a, b, c, COUNT(*) AS c3
+        FROM train WHERE a IS NOT NULL GROUP BY 1, 2, 3),
+score AS (
+  SELECT g.doc_id,
+         CASE
+           WHEN t.c3 IS NOT NULL
+             THEN ROUND(-LOG2(CAST(t.c3 AS DOUBLE) / ab.c2), 9)
+           WHEN bc.c2 IS NOT NULL
+             THEN ROUND(-LOG2(0.4 * CAST(bc.c2 AS DOUBLE) / ub.c1), 9)
+           ELSE ROUND(-LOG2(0.16 * (CAST(COALESCE(uc.c1, 0) AS DOUBLE) + 1.0)
+                            / (nv.n + nv.v)), 9)
+         END AS bits
+  FROM grams g
+  LEFT JOIN tri t ON t.a = g.a AND t.b = g.b AND t.c = g.c
+  LEFT JOIN bi ab ON ab.b = g.a AND ab.c = g.b
+  LEFT JOIN bi bc ON bc.b = g.b AND bc.c = g.c
+  LEFT JOIN uni ub ON ub.w = g.b
+  LEFT JOIN uni uc ON uc.w = g.c
+  CROSS JOIN nv
+  WHERE g.doc_id % 2 = 1 AND g.a IS NOT NULL
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       {sql_davg('bits')} AS bits_per_token
+FROM score GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q293_lm_perplexity", _q293_oracle())
+def q293_lm_perplexity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.stats import davg
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.col("w").alias("c"),
+        F.lag("w", 1).over(win).alias("b"),
+        F.lag("w", 2).over(win).alias("a"),
+    )
+    train = grams.filter(F.col("doc_id") % 2 == 0)
+    uni = train.groupBy(F.col("c").alias("w")).agg(F.count("*").alias("c1"))
+    nv = train.agg(
+        F.count("*").alias("n"), F.countDistinct("c").alias("v")
+    )
+    bi = (
+        train.filter(F.col("b").isNotNull())
+        .groupBy("b", "c")
+        .agg(F.count("*").alias("c2"))
+    )
+    tri = (
+        train.filter(F.col("a").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("c3"))
+    )
+    g = grams.filter((F.col("doc_id") % 2 == 1) & F.col("a").isNotNull())
+    scored = (
+        g.join(
+            tri.select(
+                F.col("a").alias("ta"), F.col("b").alias("tb"),
+                F.col("c").alias("tc"), "c3",
+            ),
+            (F.col("ta") == F.col("a"))
+            & (F.col("tb") == F.col("b"))
+            & (F.col("tc") == F.col("c")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("b").alias("ab_b"), F.col("c").alias("ab_c"),
+                F.col("c2").alias("ab_c2"),
+            ),
+            (F.col("ab_b") == F.col("a")) & (F.col("ab_c") == F.col("b")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("b").alias("bc_b"), F.col("c").alias("bc_c"),
+                F.col("c2").alias("bc_c2"),
+            ),
+            (F.col("bc_b") == F.col("b")) & (F.col("bc_c") == F.col("c")),
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("ub_w"), F.col("c1").alias("ub_c1"))),
+            F.col("ub_w") == F.col("b"),
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("uc_w"), F.col("c1").alias("uc_c1"))),
+            F.col("uc_w") == F.col("c"),
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    bits = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.round(-F.log2(F.col("c3").cast("double") / F.col("ab_c2")), 9),
+        )
+        .when(
+            F.col("bc_c2").isNotNull(),
+            F.round(
+                -F.log2(0.4 * F.col("bc_c2").cast("double") / F.col("ub_c1")), 9
+            ),
+        )
+        .otherwise(
+            F.round(
+                -F.log2(
+                    0.16
+                    * (F.coalesce(F.col("uc_c1"), F.lit(0)).cast("double") + 1.0)
+                    / (F.col("n") + F.col("v"))
+                ),
+                9,
+            )
+        )
+    )
+    return (
+        scored.select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            davg("bits").alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q294 — PMI collocations: top-20 adjacent bigrams by pointwise mutual
+# information with a min-count support floor — the classic phrase-mining
+# primitive (Church & Hanks 1990) a tokenizer-vocabulary pipeline runs
+# to find multi-word units. pmi = log2((c2/N2) / ((c1x/N)(c1y/N))),
+# round-9 gated; deterministic (pmi DESC, x, y) ordering.
+# ---------------------------------------------------------------------------
+
+_Q294_MIN_COUNT = 5
+_Q294_TOP = 20
+
+
+def _q294_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS w
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, w AS y,
+         LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS x
+  FROM toks
+),
+uni AS (SELECT y AS w, COUNT(*) AS c1 FROM grams GROUP BY 1),
+n1 AS (SELECT COUNT(*) AS n FROM grams),
+bi AS (SELECT x, y, COUNT(*) AS c2 FROM grams WHERE x IS NOT NULL GROUP BY 1, 2),
+n2 AS (SELECT SUM(c2) AS n2 FROM bi)
+SELECT b.x, b.y, CAST(b.c2 AS BIGINT) AS c2,
+       ROUND(LOG2((CAST(b.c2 AS DOUBLE) / n2.n2)
+                  / ((CAST(ux.c1 AS DOUBLE) / n1.n)
+                     * (CAST(uy.c1 AS DOUBLE) / n1.n))), 9) AS pmi
+FROM bi b
+JOIN uni ux ON ux.w = b.x
+JOIN uni uy ON uy.w = b.y
+CROSS JOIN n1 CROSS JOIN n2
+WHERE b.c2 >= {_Q294_MIN_COUNT}
+ORDER BY pmi DESC, b.x, b.y
+LIMIT {_Q294_TOP}
+"""
+
+
+@register("q294_pmi_collocations", _q294_oracle())
+def q294_pmi_collocations(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.col("w").alias("y"),
+        F.lag("w", 1).over(win).alias("x"),
+    )
+    uni = grams.groupBy(F.col("y").alias("w")).agg(F.count("*").alias("c1"))
+    n1 = grams.agg(F.count("*").alias("n"))
+    bi = (
+        grams.filter(F.col("x").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c2"))
+    )
+    n2 = bi.agg(F.sum("c2").alias("n2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c2").cast("double") / F.col("n2"))
+            / (
+                (F.col("ux_c1").cast("double") / F.col("n"))
+                * (F.col("uy_c1").cast("double") / F.col("n"))
+            )
+        ),
+        9,
+    )
+    return (
+        bi.filter(F.col("c2") >= _Q294_MIN_COUNT)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("ux_w"), F.col("c1").alias("ux_c1"))),
+            F.col("ux_w") == F.col("x"),
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("uy_w"), F.col("c1").alias("uy_c1"))),
+            F.col("uy_w") == F.col("y"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "x", "y", F.col("c2").cast("long").alias("c2"), pmi.alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(_Q294_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q295 — multinomial naive-Bayes language classifier, trained on even
+# doc_ids (Laplace alpha=1 over the train vocab), scored on odd doc_ids
+# as a confusion matrix. Every log-likelihood term is round-9 gated,
+# token sums go through the exact decimal sum, and the argmax is a
+# deterministic (score DESC, lang) row_number — so both engines pick
+# identical winners. Train state is two count tables (lang, token) and
+# (lang) — broadcastable at any corpus size with a bounded vocab.
+# ---------------------------------------------------------------------------
+
+
+def _q295_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT d.doc_id, d.lang, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS w
+  FROM documents d
+),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+cls AS (
+  SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM train GROUP BY 1
+),
+tot AS (SELECT SUM(nd) AS td FROM cls),
+cw AS (SELECT lang, w, COUNT(*) AS c FROM train GROUP BY 1, 2),
+nl AS (SELECT lang, COUNT(*) AS nt FROM train GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM train),
+dt AS (
+  SELECT doc_id, w, COUNT(*) AS m FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+scores AS (
+  SELECT dt.doc_id, c.lang,
+         ROUND(LOG2(CAST(c.nd AS DOUBLE) / t.td), 9)
+         + (CAST(SUM(CAST(FLOOR(
+               (dt.m * ROUND(LOG2((CAST(COALESCE(cw.c, 0) AS DOUBLE) + 1.0)
+                                  / (nl.nt + vb.v)), 9)) * 1000000.0
+             ) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS s
+  FROM dt
+  CROSS JOIN cls c
+  CROSS JOIN tot t
+  CROSS JOIN vocab vb
+  JOIN nl ON nl.lang = c.lang
+  LEFT JOIN cw ON cw.lang = c.lang AND cw.w = dt.w
+  GROUP BY dt.doc_id, c.lang, c.nd, t.td
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rk
+  FROM scores
+)
+SELECT d.lang AS true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+WHERE p.rk = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q295_naive_bayes_langid", _q295_oracle())
+def q295_naive_bayes_langid(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.stats import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    cls = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
+    tot = cls.agg(F.sum("nd").alias("td"))
+    cw = train.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    nl = train.groupBy("lang").agg(F.count("*").alias("nt"))
+    vocab = train.agg(F.countDistinct("w").alias("v"))
+    dt = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("m"))
+    )
+    term = F.col("m") * F.round(
+        F.log2(
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1.0)
+            / (F.col("nt") + F.col("v"))
+        ),
+        9,
+    )
+    scores = (
+        dt.crossJoin(F.broadcast(cls.select(F.col("lang").alias("cl"), "nd")))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(nl.select(F.col("lang").alias("nll"), "nt")),
+            F.col("nll") == F.col("cl"),
+        )
+        .join(
+            cw.select(
+                F.col("lang").alias("cwl"), F.col("w").alias("cww"), "c"
+            ),
+            (F.col("cwl") == F.col("cl")) & (F.col("cww") == F.col("w")),
+            "left",
+        )
+        .groupBy("doc_id", F.col("cl").alias("lang"), "nd", "td")
+        .agg(dsum(term).alias("tok_s"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.round(F.log2(F.col("nd").cast("double") / F.col("td")), 9)
+                + F.col("tok_s")
+            ).alias("s"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("s"), "lang")
+    pred = scores.select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        F.row_number().over(win).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
