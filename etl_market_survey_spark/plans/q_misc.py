@@ -3146,3 +3146,48 @@ def q290_point_in_polygon(spark, sf_dir):
         "id", F.col("x").cast("long").alias("x"),
         F.col("y").cast("long").alias("y"), "inside",
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# q296 — HITS hubs & authorities (operators/hits) over the DIRECTED
+# customer→supplier co-order graph: customers are pure hubs, suppliers
+# pure authorities, 2 mutual-reinforcement rounds with integer L1
+# normalization on the 1e-12 grid. The oracle unrolls the rounds as
+# chained CTEs over the same edge list — bit-exact, like q97.
+# ---------------------------------------------------------------------------
+
+_Q296_ITER = 2
+
+
+def _q296_oracle() -> str:
+    from ..operators.hits import sql_hits_rounds
+
+    k = _Q296_ITER
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_Q97_OFF} AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+{sql_hits_rounds(k)}
+SELECT node, 'hub' AS kind, CAST(h AS BIGINT) AS score FROM h{k}
+UNION ALL
+SELECT node, 'authority' AS kind, CAST(a AS BIGINT) AS score FROM a{k}
+ORDER BY kind, node
+"""
+
+
+@register("q296_hits", _q296_oracle())
+def q296_hits(spark, sf_dir):
+    from ..operators.hits import hits_fixed_point
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_fixed_point(edges, n_iter=_Q296_ITER).orderBy("kind", "node")

@@ -3346,3 +3346,214 @@ def q292_aipw_ate(spark, sf_dir):
             6,
         ).alias("ate_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q297 — exact decision-stump induction (CART depth 1, gini impurity):
+# for each candidate feature (embedding dims 0-3) and each candidate
+# threshold (every distinct quantized value but the max), compute the
+# split's weighted gini from window cumulative counts, and take the
+# global argmin with a deterministic (gini, dim, threshold) order. All
+# counts are integers; the impurity is an IEEE-deterministic double
+# expression over them, so both engines rank splits identically.
+# Scale shape: one posexplode + one (dim, value) groupBy + a per-dim
+# cumulative window — no per-row Python, no candidate materialization
+# beyond the distinct-value table.
+# ---------------------------------------------------------------------------
+
+_Q297_DIMS = 4
+
+
+def _q297_oracle() -> str:
+    gini = """
+(
+  (nl - (CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl)
+  + ((n - nl) - (CAST(p - pl AS DOUBLE) * (p - pl)
+                 + CAST((n - nl) - (p - pl) AS DOUBLE) * ((n - nl) - (p - pl)))
+               / (n - nl))
+) / n"""
+    return f"""
+WITH pts AS (
+  SELECT vec_id, CAST(g.i - 1 AS INT) AS dim,
+         CAST(FLOOR(CAST(list_extract(embedding, g.i) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS gq,
+         CAST(label % 2 AS INT) AS y
+  FROM embeddings CROSS JOIN generate_series(1, {_Q297_DIMS}) AS g(i)
+),
+tot AS (SELECT COUNT(*) AS n, SUM(y) AS p FROM pts WHERE dim = 0),
+vals AS (
+  SELECT dim, gq, COUNT(*) AS cnt, SUM(y) AS pos FROM pts GROUP BY 1, 2
+),
+cum AS (
+  SELECT dim, gq,
+         SUM(cnt) OVER (PARTITION BY dim ORDER BY gq) AS nl,
+         SUM(pos) OVER (PARTITION BY dim ORDER BY gq) AS pl
+  FROM vals
+),
+scored AS (
+  SELECT c.dim, c.gq, c.nl, c.pl, {gini} AS gini
+  FROM cum c CROSS JOIN tot
+  WHERE c.nl < tot.n
+)
+SELECT CAST(dim AS INT) AS dim, CAST(gq AS DOUBLE) / 1000000.0 AS threshold,
+       ROUND(gini, 9) AS gini,
+       CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left
+FROM scored ORDER BY gini, dim, gq LIMIT 1
+"""
+
+
+@register("q297_decision_stump", _q297_oracle())
+def q297_decision_stump(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, _Q297_DIMS)).alias("dim", "v"),
+        (F.col("label") % 2).cast("int").alias("y"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000.0).cast("long").alias("gq"),
+        "y",
+    )
+    tot = pts.filter(F.col("dim") == 0).agg(
+        F.count("*").alias("n"), F.sum("y").alias("p")
+    )
+    vals = pts.groupBy("dim", "gq").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    win = Window.partitionBy("dim").orderBy("gq")
+    cum = vals.select(
+        "dim",
+        "gq",
+        F.sum("cnt").over(win).alias("nl"),
+        F.sum("pos").over(win).alias("pl"),
+    )
+    gini = F.expr(
+        """
+(
+  (nl - (CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl)
+  + ((n - nl) - (CAST(p - pl AS DOUBLE) * (p - pl)
+                 + CAST((n - nl) - (p - pl) AS DOUBLE) * ((n - nl) - (p - pl)))
+               / (n - nl))
+) / n"""
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("gq").cast("double") / 1000000.0).alias("threshold"),
+            F.round(gini, 9).alias("gini"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("pl").cast("long").alias("pos_left"),
+        )
+        .orderBy("gini", "dim", "threshold")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q298 — ridge regression in closed form (2 features + intercept): exact
+# decimal sufficient statistics in ONE scan of lineitem, then the
+# (X'X + lambda*I) normal equations solved by Cramer's rule. The 3x3
+# determinants are emitted as ONE shared SQL expression string evaluated
+# by both engines (the opq shared-expression-text rule), so the float
+# arithmetic shape is identical and the coefficients match bit-for-bit
+# after the round-6 gate. Scale shape: map-side-combined single-pass
+# aggregate -> 9 scalars; the solve is O(1) on the one-row frame.
+# ---------------------------------------------------------------------------
+
+_Q298_LAMBDA = "10.0"
+
+
+def _q298_dets() -> dict[str, str]:
+    lam = _Q298_LAMBDA
+    xtx = [
+        ["dn", "sx1", "sx2"],
+        ["sx1", f"sx11 + {lam}", "sx12"],
+        ["sx2", "sx12", f"sx22 + {lam}"],
+    ]
+    v = ["sy", "sx1y", "sx2y"]
+
+    def det3(m):
+        def mnr(r1, c1, r2, c2):
+            return (
+                f"((({m[r1][c1]}) * ({m[r2][c2]}))"
+                f" - (({m[r1][c2]}) * ({m[r2][c1]})))"
+            )
+
+        return (
+            f"(({m[0][0]}) * {mnr(1, 1, 2, 2)}"
+            f" - ({m[0][1]}) * {mnr(1, 0, 2, 2)}"
+            f" + ({m[0][2]}) * {mnr(1, 0, 2, 1)})"
+        )
+
+    def repl(col, vec):
+        return [
+            [vec[r] if c == col else xtx[r][c] for c in range(3)]
+            for r in range(3)
+        ]
+
+    return {
+        "d": det3(xtx),
+        "d0": det3(repl(0, v)),
+        "d1": det3(repl(1, v)),
+        "d2": det3(repl(2, v)),
+    }
+
+
+def _q298_oracle() -> str:
+    d = _q298_dets()
+    dec = "DECIMAL(38,0)"
+    return f"""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS dn,
+         CAST(SUM(CAST(x1 AS {dec})) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(x2 AS {dec})) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(y AS {dec})) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS {dec})) AS DOUBLE) AS sx11,
+         CAST(SUM(CAST(x1 * x2 AS {dec})) AS DOUBLE) AS sx12,
+         CAST(SUM(CAST(x2 * x2 AS {dec})) AS DOUBLE) AS sx22,
+         CAST(SUM(CAST(x1 * y AS {dec})) AS DOUBLE) AS sx1y,
+         CAST(SUM(CAST(x2 * y AS {dec})) AS DOUBLE) AS sx2y
+  FROM (
+    SELECT CAST(l_quantity AS BIGINT) AS x1,
+           CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS x2,
+           CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+    FROM lineitem
+  )
+)
+SELECT CAST(dn AS BIGINT) AS n,
+       ROUND(({d['d0']}) / ({d['d']}), 6) AS b0_cents,
+       ROUND(({d['d1']}) / ({d['d']}), 6) AS b1_cents,
+       ROUND(({d['d2']}) / ({d['d']}), 6) AS b2_cents
+FROM stats
+"""
+
+
+@register("q298_ridge_closed_form", _q298_oracle())
+def q298_ridge_closed_form(spark, sf_dir):
+    d = _q298_dets()
+    dec = "decimal(38,0)"
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    stats = li.agg(
+        F.count("*").cast("double").alias("dn"),
+        F.sum(F.col("x1").cast(dec)).cast("double").alias("sx1"),
+        F.sum(F.col("x2").cast(dec)).cast("double").alias("sx2"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).cast("double").alias("sx11"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).cast("double").alias("sx12"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).cast("double").alias("sx22"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).cast("double").alias("sx1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).cast("double").alias("sx2y"),
+    )
+    return stats.select(
+        F.col("dn").cast("long").alias("n"),
+        F.expr(f"ROUND(({d['d0']}) / ({d['d']}), 6)").alias("b0_cents"),
+        F.expr(f"ROUND(({d['d1']}) / ({d['d']}), 6)").alias("b1_cents"),
+        F.expr(f"ROUND(({d['d2']}) / ({d['d']}), 6)").alias("b2_cents"),
+    )
