@@ -1774,3 +1774,224 @@ def q278_sq8_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q299 — perceptual-hash near-duplicate detection (pHash family): each
+# 64-dim embedding is an 8x8 gray tile; a FIXED-POINT 2D DCT-II (integer
+# basis literals, round(16384 * c_u * cos((2x+1)u*pi/16)) shared by both
+# engines) produces 63 AC coefficients, the signature bit i is
+# coeff_i > median(AC) (median = deterministic 32nd order statistic),
+# and near-dups are found by 4x16-bit band blocking + hamming verify —
+# the image-dedup shape of the LSH family (banding means candidates,
+# never all-pairs). A twin corpus (ids + 100000, +1 on every third
+# grid cell) provides the populated regime; everything is integer
+# arithmetic, so the oracle replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q299_OFF = 100_000
+_Q299_TWINS = 32
+_Q299_HAM_T = 8
+
+
+def _q299_basis_rows() -> str:
+    import math
+
+    rows = []
+    for u in range(8):
+        cu = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            b = round(16384 * cu * math.cos((2 * x + 1) * u * math.pi / 16))
+            rows.append((u, x, b))
+    return ", ".join(f"({u}, {x}, {b})" for u, x, b in rows)
+
+
+def _q299_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS gq
+  FROM embeddings
+),
+corpus AS (
+  SELECT id, pos, gq FROM base
+  UNION ALL
+  SELECT id + {_Q299_OFF}, pos,
+         gq + CASE WHEN pos % 3 = 0 THEN 1 ELSE 0 END
+  FROM base WHERE id < {_Q299_TWINS}
+),
+cells AS (SELECT id, pos // 8 AS xr, pos % 8 AS yc, gq FROM corpus),
+basis AS (SELECT * FROM (VALUES {_q299_basis_rows()}) AS t(u, x, b)),
+t1 AS (
+  SELECT c.id, bu.u, c.yc, SUM(bu.b * c.gq) AS t
+  FROM cells c JOIN basis bu ON bu.x = c.xr GROUP BY 1, 2, 3
+),
+co AS (
+  SELECT t1.id, t1.u, bv.u AS v, CAST(SUM(bv.b * t1.t) AS BIGINT) AS coeff
+  FROM t1 JOIN basis bv ON bv.x = t1.yc GROUP BY 1, 2, 3
+),
+ac AS (
+  SELECT id, u, v, coeff, u * 8 + v - 1 AS idx
+  FROM co WHERE NOT (u = 0 AND v = 0)
+),
+med AS (
+  SELECT id, coeff AS med FROM (
+    SELECT id, coeff,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY coeff, u, v) AS rn
+    FROM ac
+  ) WHERE rn = 32
+),
+sig AS (
+  SELECT a.id,
+         SUM(CASE WHEN a.coeff > m.med
+                  THEN (CAST(1 AS BIGINT) << a.idx) ELSE 0 END) AS sig
+  FROM ac a JOIN med m ON m.id = a.id GROUP BY 1
+),
+bands AS (
+  SELECT id, sig, g.j, (sig >> (16 * g.j)) & 65535 AS band
+  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y
+    ON x.j = y.j AND x.band = y.band AND x.id < y.id
+)
+SELECT c.a, c.b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.id = c.a
+JOIN sig sb ON sb.id = c.b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {_Q299_HAM_T}
+ORDER BY a, b
+"""
+
+
+@register("q299_phash_neardup", _q299_oracle())
+def q299_phash_neardup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "id",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("gq"),
+    )
+    # base feeds both the identity branch and the twin branch: one scan.
+    base = base.cache()
+    twins = base.filter(F.col("id") < _Q299_TWINS).select(
+        (F.col("id") + _Q299_OFF).alias("id"),
+        "pos",
+        (
+            F.col("gq")
+            + F.when(F.col("pos") % 3 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("gq"),
+    )
+    corpus = base.unionByName(twins)
+    cells = corpus.select(
+        "id",
+        F.expr("pos div 8").alias("xr"),
+        (F.col("pos") % 8).alias("yc"),
+        "gq",
+    )
+    basis = spark.range(1).selectExpr(
+        f"inline(array({_q299_basis_struct_rows()}))"
+    )
+    t1 = (
+        cells.join(F.broadcast(basis.select(F.col("u"), F.col("x"), F.col("b"))),
+                   F.col("x") == F.col("xr"))
+        .groupBy("id", "u", "yc")
+        .agg(F.sum(F.col("b") * F.col("gq")).alias("t"))
+    )
+    co = (
+        t1.join(
+            F.broadcast(
+                basis.select(
+                    F.col("u").alias("v"), F.col("x").alias("bx"),
+                    F.col("b").alias("bv"),
+                )
+            ),
+            F.col("bx") == F.col("yc"),
+        )
+        .groupBy("id", "u", "v")
+        .agg(F.sum(F.col("bv") * F.col("t")).cast("long").alias("coeff"))
+    )
+    ac = co.filter(~((F.col("u") == 0) & (F.col("v") == 0))).select(
+        "id", "u", "v", "coeff", (F.col("u") * 8 + F.col("v") - 1).alias("idx")
+    )
+    win = Window.partitionBy("id").orderBy("coeff", "u", "v")
+    med = (
+        ac.select("id", "coeff", F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") == 32)
+        .select(F.col("id").alias("mid"), F.col("coeff").alias("med"))
+    )
+    sig = (
+        ac.join(med, F.col("mid") == F.col("id"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("coeff") > F.col("med"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), idx)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sig")
+        )
+    )
+    # sig feeds band explosion + two verify joins: one computation.
+    sig = sig.cache()
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).select(
+        "id",
+        "j",
+        F.expr("(sig >> (16 * j)) & 65535").alias("band"),
+    )
+    left = bands.select(
+        F.col("id").alias("a"), F.col("j").alias("ja"), F.col("band").alias("ba")
+    )
+    right = bands.select(
+        F.col("id").alias("b"), F.col("j").alias("jb"), F.col("band").alias("bb")
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("ja") == F.col("jb"))
+            & (F.col("ba") == F.col("bb"))
+            & (F.col("a") < F.col("b")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("id").alias("b"), F.col("sig").alias("sb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _Q299_HAM_T)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
+
+
+def _q299_basis_struct_rows() -> str:
+    import math
+
+    rows = []
+    for u in range(8):
+        cu = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            b = round(16384 * cu * math.cos((2 * x + 1) * u * math.pi / 16))
+            rows.append(f"struct({u} as u, {x} as x, {b} as b)")
+    return ", ".join(rows)
