@@ -1995,3 +1995,71 @@ def _q299_basis_struct_rows() -> str:
             b = round(16384 * cu * math.cos((2 * x + 1) * u * math.pi / 16))
             rows.append(f"struct({u} as u, {x} as x, {b} as b)")
     return ", ".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# q300 — winnowing fingerprints (operators/winnowing — Schleimer et al.
+# 2003, the MOSS algorithm): k-gram XXH64, per-window-of-w minimum with
+# rightmost tiebreak, stop-fingerprint cap, shared-fingerprint doc
+# pairs. The oracle replays XXH64 itself (functions/xxh64sql) and the
+# window argmin, so the fast JVM hash path is bit-exact-gated like q52.
+# ---------------------------------------------------------------------------
+
+_Q300_K = 3
+_Q300_W = 4
+
+
+def _q300_oracle() -> str:
+    from ..functions.xxh64sql import hash_int, sql_xxhash64_str
+
+    xxh_block = sql_xxhash64_str(
+        "(SELECT DISTINCT s FROM g2)", [hash_int(0, 42)]
+    )
+    w = _Q300_W
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS tok
+  FROM (SELECT doc_id AS id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents)
+),
+grams AS (
+  SELECT id, pos,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS s,
+         LEAD(tok, 2) OVER w IS NOT NULL AS isfull
+  FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+),
+g2 AS (SELECT id, pos, s FROM grams WHERE isfull),
+{xxh_block},
+hashed AS (SELECT g.id, g.pos, x.hv AS h FROM g2 g JOIN xxh x ON x.s = g.s),
+m AS (SELECT id, COUNT(*) AS m FROM hashed GROUP BY 1),
+expl AS (
+  SELECT id, pos, h,
+         unnest(generate_series(GREATEST(pos - {w - 1}, 0),
+                                LEAST(pos, m - {w}))) AS ws
+  FROM hashed JOIN m USING (id) WHERE m >= {w}
+),
+sel AS (
+  SELECT id, pos, h,
+         ROW_NUMBER() OVER (PARTITION BY id, ws ORDER BY h, pos DESC) AS rn
+  FROM expl
+),
+fp AS (SELECT DISTINCT id, h FROM sel WHERE rn = 1),
+dfc AS (SELECT h, COUNT(*) AS df FROM fp GROUP BY 1),
+kept AS (SELECT f.id, f.h FROM fp f JOIN dfc USING (h) WHERE dfc.df <= 50)
+SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY 1, 2
+"""
+
+
+@register("q300_winnowing", _q300_oracle())
+def q300_winnowing(spark, sf_dir):
+    from ..operators.winnowing import shared_fingerprint_pairs, winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=_Q300_K, w=_Q300_W)
+    return shared_fingerprint_pairs(fps, min_shared=2, max_df=50).orderBy(
+        "id_a", "id_b"
+    )
