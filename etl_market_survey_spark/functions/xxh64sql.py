@@ -170,6 +170,7 @@ def sql_xxhash64_str(
     source_cte: str,
     seeds: list[int],
     out_cte: str = "xxh",
+    prefix: str = "xxh",
 ) -> str:
     """CTE block computing Spark-exact XXH64 over strings.
 
@@ -179,7 +180,9 @@ def sql_xxhash64_str(
     rows ``(s, hi, hv)``: hash index 0..len(seeds)-1 and the SIGNED
     int64 hash, exactly ``F.xxhash64(F.lit(i), F.col(s))``.
 
-    Paste inside a ``WITH RECURSIVE`` list.
+    Paste inside a ``WITH RECURSIVE`` list. To embed TWO independent
+    blocks in one statement, give each a distinct ``prefix`` (internal
+    CTE names are ``{prefix}_src`` etc. and would otherwise collide).
     """
     seed_rows = ", ".join(
         f"({i}, CAST({s & M64} AS UBIGINT))" for i, s in enumerate(seeds)
@@ -214,7 +217,7 @@ def sql_xxhash64_str(
     fmix1 = _mul("h", P2)
     fmix2 = _mul("h", P3)
 
-    return f"""
+    block = f"""
 xxh_src AS (
   SELECT s, octet_length(encode(s)) AS n,
          list_transform(generate_series(1, octet_length(encode(s))),
@@ -310,6 +313,9 @@ xxh_tail AS (
     )
   )
 )"""
+    if prefix != "xxh":
+        block = block.replace("xxh_", f"{prefix}_")
+    return block
 
 
 def sql_xxhash64_long_cte(

@@ -2063,3 +2063,127 @@ def q300_winnowing(spark, sf_dir):
     return shared_fingerprint_pairs(fps, min_shared=2, max_df=50).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# q301 — content-defined chunking dedup (the rsync/LBFS idea at token
+# granularity): a chunk boundary falls AFTER every token whose XXH64 is
+# 0 mod D — boundaries depend only on content, so identical runs dedupe
+# across documents regardless of offset (what fixed-size chunking
+# misses). Chunks are order-stable token joins, fingerprinted with a
+# second XXH64, and the output is every chunk shared by >= 2 docs.
+# Both hash stages are replayed bit-for-bit by the oracle
+# (functions/xxh64sql). Scale shape: per-doc window cumsum for chunk
+# ids, one (id, cid) groupBy, one fingerprint groupBy — no all-pairs.
+# ---------------------------------------------------------------------------
+
+_Q301_D = 8  # ~D-token average chunks
+
+
+def _q301_oracle() -> str:
+    from ..functions.xxh64sql import hash_int, sql_xxhash64_str
+
+    tok_xxh = sql_xxhash64_str(
+        "(SELECT DISTINCT tok AS s FROM toks)",
+        [hash_int(1, 42)],
+        out_cte="txxh",
+        prefix="tx",
+    )
+    chk_xxh = sql_xxhash64_str(
+        "(SELECT DISTINCT chunk_text AS s FROM chunks)",
+        [hash_int(2, 42)],
+        out_cte="cxxh",
+        prefix="cx",
+    )
+    d = _Q301_D
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS tok
+  FROM (SELECT doc_id AS id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents)
+),
+{tok_xxh},
+flags AS (
+  SELECT t.id, t.pos, t.tok,
+         CASE WHEN ((x.hv % {d}) + {d}) % {d} = 0 THEN 1 ELSE 0 END AS brk
+  FROM toks t JOIN txxh x ON x.s = t.tok
+),
+cids AS (
+  SELECT id, pos, tok,
+         COALESCE(SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM flags
+),
+chunks AS (
+  SELECT id, cid, COUNT(*) AS n_tok,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+  FROM cids GROUP BY 1, 2
+),
+{chk_xxh}
+SELECT c.hv AS fp, MIN(ch.n_tok) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT ch.id) AS BIGINT) AS n_docs
+FROM chunks ch JOIN cxxh c ON c.s = ch.chunk_text
+GROUP BY 1 HAVING COUNT(DISTINCT ch.id) >= 2
+ORDER BY fp
+"""
+
+
+@register("q301_cdc_chunk_dedup", _q301_oracle())
+def q301_cdc_chunk_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("pos", "tok"),
+    )
+    flags = toks.select(
+        "id",
+        "pos",
+        "tok",
+        F.when(
+            F.pmod(F.xxhash64(F.lit(1), F.col("tok")), F.lit(_Q301_D)) == 0, 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cids = flags.select(
+        "id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("brk").over(win), F.lit(0)).alias("cid"),
+    )
+    chunks = cids.groupBy("id", "cid").agg(
+        F.count("*").alias("n_tok"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return (
+        chunks.select(
+            "id",
+            "n_tok",
+            F.xxhash64(F.lit(2), F.col("chunk_text")).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("n_tok").alias("n_tok"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.countDistinct("id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fp")
+    )
