@@ -59,6 +59,12 @@ def dsum(c: str | Column) -> Column:
     below ~1e-6 (e.g. picosecond physics quantities) truncate to zero —
     rescale to natural units first, or use plain ``F.sum``/``F.stddev``
     when cross-engine bit-exactness is not required.
+
+    UPPER BOUND: |x| must stay below ~9.2e12 — Spark's ``floor(double)``
+    returns LONG, so ``x * 1e6`` beyond int64 saturates (silently in
+    non-ANSI mode) while DuckDB floors in double; the engines then
+    diverge. Squared-residual sums are the classic trap: rescale to
+    units where the square fits (q302 evaluates in dollars, not cents).
     """
     col = F.col(c) if isinstance(c, str) else c
     scaled = F.floor(col * F.lit(_SCALE)).cast("decimal(38,0)")

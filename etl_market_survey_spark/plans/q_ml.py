@@ -3557,3 +3557,157 @@ def q298_ridge_closed_form(spark, sf_dir):
         F.expr(f"ROUND(({d['d1']}) / ({d['d']}), 6)").alias("b1_cents"),
         F.expr(f"ROUND(({d['d2']}) / ({d['d']}), 6)").alias("b2_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q302 — 5-fold cross-validated ridge via sufficient-statistic
+# SUBTRACTION: per-fold exact decimal stats in ONE scan, then each
+# fold's training stats are total - fold (decimal arithmetic, exact) —
+# k models trained for the price of one aggregate, the scale-correct CV
+# shape (no k passes over the fact table). Folds are grouped by
+# l_orderkey % 5 (order-level assignment, leakage-free across line
+# items of one order). Coefficients come from the q298 shared-text
+# Cramer solve; held-out RMSE is an exact-decimal residual sum.
+# ---------------------------------------------------------------------------
+
+_Q302_FOLDS = 5
+
+
+def _q302_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    d = _q298_dets()
+    dec = "DECIMAL(38,0)"
+    # residuals in DOLLARS: cents-scale squares would push the dsum
+    # 1e-6 grid past int64 (floor(double)->long saturates in Spark)
+    res = "((CAST(y AS DOUBLE) - (b0 + b1 * x1 + b2 * x2)) / 100.0)"
+    return f"""
+WITH rows_q AS (
+  SELECT l_orderkey % {_Q302_FOLDS} AS fold,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS x2,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem
+),
+fs AS (
+  SELECT fold, COUNT(*) AS fn,
+         SUM(CAST(x1 AS {dec})) AS fsx1,
+         SUM(CAST(x2 AS {dec})) AS fsx2,
+         SUM(CAST(y AS {dec})) AS fsy,
+         SUM(CAST(x1 * x1 AS {dec})) AS fsx11,
+         SUM(CAST(x1 * x2 AS {dec})) AS fsx12,
+         SUM(CAST(x2 * x2 AS {dec})) AS fsx22,
+         SUM(CAST(x1 * y AS {dec})) AS fsx1y,
+         SUM(CAST(x2 * y AS {dec})) AS fsx2y
+  FROM rows_q GROUP BY 1
+),
+tot AS (
+  SELECT SUM(fn) AS tn, SUM(fsx1) AS tsx1, SUM(fsx2) AS tsx2,
+         SUM(fsy) AS tsy, SUM(fsx11) AS tsx11, SUM(fsx12) AS tsx12,
+         SUM(fsx22) AS tsx22, SUM(fsx1y) AS tsx1y, SUM(fsx2y) AS tsx2y
+  FROM fs
+),
+train AS (
+  SELECT fold,
+         CAST(tn - fn AS DOUBLE) AS dn,
+         CAST(tsx1 - fsx1 AS DOUBLE) AS sx1,
+         CAST(tsx2 - fsx2 AS DOUBLE) AS sx2,
+         CAST(tsy - fsy AS DOUBLE) AS sy,
+         CAST(tsx11 - fsx11 AS DOUBLE) AS sx11,
+         CAST(tsx12 - fsx12 AS DOUBLE) AS sx12,
+         CAST(tsx22 - fsx22 AS DOUBLE) AS sx22,
+         CAST(tsx1y - fsx1y AS DOUBLE) AS sx1y,
+         CAST(tsx2y - fsx2y AS DOUBLE) AS sx2y
+  FROM fs CROSS JOIN tot
+),
+coef AS (
+  SELECT fold,
+         ({d['d0']}) / ({d['d']}) AS b0,
+         ({d['d1']}) / ({d['d']}) AS b1,
+         ({d['d2']}) / ({d['d']}) AS b2
+  FROM train
+),
+ev AS (
+  SELECT r.fold, COUNT(*) AS n_test,
+         {sql_dsum(f'{res} * {res}')} AS sse
+  FROM rows_q r JOIN coef USING (fold)
+  GROUP BY 1
+)
+SELECT e.fold, CAST(e.n_test AS BIGINT) AS n_test,
+       ROUND(c.b0, 6) AS b0_cents, ROUND(c.b1, 6) AS b1_cents,
+       ROUND(c.b2, 6) AS b2_cents,
+       ROUND(SQRT(e.sse / e.n_test), 6) AS rmse_dollars
+FROM ev e JOIN coef c USING (fold)
+ORDER BY e.fold
+"""
+
+
+@register("q302_cv_ridge", _q302_oracle())
+def q302_cv_ridge(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    d = _q298_dets()
+    dec = "decimal(38,0)"
+    rows_q = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % _Q302_FOLDS).alias("fold"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    rows_q = rows_q.cache()  # feeds both the stats pass and the eval join
+    fs = rows_q.groupBy("fold").agg(
+        F.count("*").alias("fn"),
+        F.sum(F.col("x1").cast(dec)).alias("fsx1"),
+        F.sum(F.col("x2").cast(dec)).alias("fsx2"),
+        F.sum(F.col("y").cast(dec)).alias("fsy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).alias("fsx11"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("fsx12"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).alias("fsx22"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).alias("fsx1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).alias("fsx2y"),
+    )
+    tot = fs.agg(
+        F.sum("fn").alias("tn"),
+        *[
+            F.sum(f"fs{c}").alias(f"ts{c}")
+            for c in ("x1", "x2", "y", "x11", "x12", "x22", "x1y", "x2y")
+        ],
+    )
+    train = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (F.col("tn") - F.col("fn")).cast("double").alias("dn"),
+        *[
+            (F.col(f"ts{c}") - F.col(f"fs{c}")).cast("double").alias(f"s{c}")
+            for c in ("x1", "x2", "y", "x11", "x12", "x22", "x1y", "x2y")
+        ],
+    )
+    coef = train.select(
+        "fold",
+        F.expr(f"({d['d0']}) / ({d['d']})").alias("b0"),
+        F.expr(f"({d['d1']}) / ({d['d']})").alias("b1"),
+        F.expr(f"({d['d2']}) / ({d['d']})").alias("b2"),
+    )
+    coef = coef.cache()  # feeds both the eval join and the output join
+    res = F.expr("((CAST(y AS DOUBLE) - (b0 + b1 * x1 + b2 * x2)) / 100.0)")
+    ev = (
+        rows_q.join(F.broadcast(coef), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_test"),
+            dsum(res * res).alias("sse"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(coef), "fold")
+        .select(
+            "fold",
+            F.col("n_test").cast("long").alias("n_test"),
+            F.round("b0", 6).alias("b0_cents"),
+            F.round("b1", 6).alias("b1_cents"),
+            F.round("b2", 6).alias("b2_cents"),
+            F.round(F.sqrt(F.col("sse") / F.col("n_test")), 6).alias(
+                "rmse_dollars"
+            ),
+        )
+        .orderBy("fold")
+    )
