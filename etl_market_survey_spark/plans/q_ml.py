@@ -3711,3 +3711,235 @@ def q302_cv_ridge(spark, sf_dir):
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — gradient boosting with depth-1 regression trees (2 rounds,
+# squared loss): round 1 fits the best SSE-reducing stump to
+# y = embedding[0] over features dims 1-4 (integer sufficient stats,
+# cumulative-window split scan — the q297 shape with sum-targets);
+# residuals are re-quantized to a 1e-12 grid and round 2 fits a second
+# stump to them. Split scores, leaf values and MSEs are
+# IEEE-deterministic doubles over exact decimal sums, argbests are
+# (score DESC, dim, threshold) row_numbers — both engines pick
+# identical trees. Scale shape per round: one join to the O(n·d)
+# feature table, one (dim, value) groupBy + cumulative window; no
+# per-candidate passes.
+# ---------------------------------------------------------------------------
+
+
+def _q303_oracle() -> str:
+    from ..functions.stats import sql_davg
+
+    sc = (
+        "(CAST({sl} AS DOUBLE) * CAST({sl} AS DOUBLE) / {nl}"
+        " + CAST({st} - {sl} AS DOUBLE) * CAST({st} - {sl} AS DOUBLE)"
+        " / ({nt} - {nl}))"
+    )
+    sc1 = sc.format(sl="c.syl", nl="c.nl", st="t.sy", nt="t.n")
+    sc2 = sc.format(sl="c.srl", nl="c.nl", st="t.sr", nt="t.n")
+    r2d = (
+        "((CAST(r.rq AS DOUBLE)"
+        " - CASE WHEN x.gq <= b2.gq THEN b2.vlf ELSE b2.vrf END)"
+        " / 1000000000000.0)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(g.i - 1 AS INT) AS dim,
+         CAST(FLOOR(CAST(list_extract(embedding, g.i) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS gq
+  FROM embeddings CROSS JOIN generate_series(1, 5) AS g(i)
+),
+yv AS (SELECT vec_id, gq AS y FROM e WHERE dim = 0),
+x AS (SELECT vec_id, dim, gq FROM e WHERE dim >= 1),
+tot AS (
+  SELECT COUNT(*) AS n, SUM(CAST(y AS DECIMAL(38,0))) AS sy FROM yv
+),
+vals AS (
+  SELECT x.dim, x.gq, COUNT(*) AS cnt,
+         SUM(CAST(yv.y AS DECIMAL(38,0))) AS sy
+  FROM x JOIN yv USING (vec_id) GROUP BY 1, 2
+),
+cum AS (
+  SELECT dim, gq, SUM(cnt) OVER w AS nl, SUM(sy) OVER w AS syl
+  FROM vals WINDOW w AS (PARTITION BY dim ORDER BY gq)
+),
+b1 AS (
+  SELECT c.dim, c.gq,
+         CAST(c.syl AS DOUBLE) / c.nl AS vl,
+         CAST(t.sy - c.syl AS DOUBLE) / (t.n - c.nl) AS vr
+  FROM cum c CROSS JOIN tot t
+  WHERE c.nl < t.n
+  ORDER BY {sc1} DESC, c.dim, c.gq LIMIT 1
+),
+r AS (
+  SELECT yv.vec_id,
+         CAST(FLOOR((CAST(yv.y AS DOUBLE)
+              - CASE WHEN x.gq <= b1.gq THEN b1.vl ELSE b1.vr END)
+              * 1000000.0) AS BIGINT) AS rq
+  FROM yv JOIN x USING (vec_id) CROSS JOIN b1 WHERE x.dim = b1.dim
+),
+tot2 AS (
+  SELECT COUNT(*) AS n, SUM(CAST(rq AS DECIMAL(38,0))) AS sr,
+         CAST(SUM(CAST(rq AS DECIMAL(38,0)) * rq) AS DOUBLE) AS srr
+  FROM r
+),
+vals2 AS (
+  SELECT x.dim, x.gq, COUNT(*) AS cnt,
+         SUM(CAST(r.rq AS DECIMAL(38,0))) AS sr
+  FROM x JOIN r USING (vec_id) GROUP BY 1, 2
+),
+cum2 AS (
+  SELECT dim, gq, SUM(cnt) OVER w AS nl, SUM(sr) OVER w AS srl
+  FROM vals2 WINDOW w AS (PARTITION BY dim ORDER BY gq)
+),
+b2 AS (
+  SELECT c.dim, c.gq,
+         CAST(c.srl AS DOUBLE) / c.nl AS vlf,
+         CAST(t.sr - c.srl AS DOUBLE) / (t.n - c.nl) AS vrf
+  FROM cum2 c CROSS JOIN tot2 t
+  WHERE c.nl < t.n
+  ORDER BY {sc2} DESC, c.dim, c.gq LIMIT 1
+),
+mse2 AS (
+  SELECT {sql_davg(f'{r2d} * {r2d}')} AS m
+  FROM r JOIN x USING (vec_id) CROSS JOIN b2 WHERE x.dim = b2.dim
+)
+SELECT * FROM (
+  SELECT 1 AS round, b1.dim,
+         CAST(b1.gq AS DOUBLE) / 1000000.0 AS threshold,
+         ROUND(b1.vl / 1000000.0, 9) AS v_left,
+         ROUND(b1.vr / 1000000.0, 9) AS v_right,
+         ROUND(t.srr / t.n / 1e24, 9) AS mse_after
+  FROM b1 CROSS JOIN tot2 t
+  UNION ALL
+  SELECT 2 AS round, b2.dim,
+         CAST(b2.gq AS DOUBLE) / 1000000.0 AS threshold,
+         ROUND(b2.vlf / 1000000000000.0, 9) AS v_left,
+         ROUND(b2.vrf / 1000000000000.0, 9) AS v_right,
+         ROUND(m.m, 9) AS mse_after
+  FROM b2 CROSS JOIN mse2 m
+) ORDER BY round
+"""
+
+
+@register("q303_gbdt_stumps", _q303_oracle())
+def q303_gbdt_stumps(spark, sf_dir):
+    from ..functions.stats import davg
+
+    dec = "decimal(38,0)"
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, 5)).alias("dim", "v"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("gq"),
+    )
+    e = e.cache()  # feeds the target slice and the feature slice
+    yv = e.filter(F.col("dim") == 0).select("vec_id", F.col("gq").alias("y"))
+    x = e.filter(F.col("dim") >= 1).select("vec_id", "dim", "gq")
+    sc = (
+        "(CAST({sl} AS DOUBLE) * CAST({sl} AS DOUBLE) / {nl}"
+        " + CAST({st} - {sl} AS DOUBLE) * CAST({st} - {sl} AS DOUBLE)"
+        " / ({nt} - {nl}))"
+    )
+
+    def best_stump(rows, target_col, sum_alias):
+        tot = rows.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(target_col).cast(dec)).alias("st"),
+        )
+        vals = (
+            x.join(rows, "vec_id")
+            .groupBy("dim", "gq")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col(target_col).cast(dec)).alias("ssum"),
+            )
+        )
+        win = Window.partitionBy("dim").orderBy("gq")
+        cum = vals.select(
+            "dim",
+            "gq",
+            F.sum("cnt").over(win).alias("nl"),
+            F.sum("ssum").over(win).alias(sum_alias),
+        )
+        score = F.expr(
+            sc.format(sl=sum_alias, nl="nl", st="st", nt="n")
+        )
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("nl") < F.col("n"))
+            .orderBy(score.desc(), "dim", "gq")
+            .limit(1)
+        )
+
+    b1 = best_stump(yv, "y", "syl").select(
+        F.col("dim").alias("d1"),
+        F.col("gq").alias("t1"),
+        F.expr("CAST(syl AS DOUBLE) / nl").alias("vl"),
+        F.expr("CAST(st - syl AS DOUBLE) / (n - nl)").alias("vr"),
+    )
+    r = (
+        yv.join(x, "vec_id")
+        .crossJoin(F.broadcast(b1))
+        .filter(F.col("dim") == F.col("d1"))
+        .select(
+            "vec_id",
+            F.floor(
+                (
+                    F.col("y").cast("double")
+                    - F.when(F.col("gq") <= F.col("t1"), F.col("vl")).otherwise(
+                        F.col("vr")
+                    )
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("rq"),
+        )
+    )
+    r = r.cache()  # feeds round-2 stats, the stump scan, and the final MSE
+    tot2 = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rq").cast(dec)).alias("sr"),
+        F.sum(F.col("rq").cast(dec) * F.col("rq")).cast("double").alias("srr"),
+    )
+    b2 = best_stump(r, "rq", "srl").select(
+        F.col("dim").alias("d2"),
+        F.col("gq").alias("t2"),
+        F.expr("CAST(srl AS DOUBLE) / nl").alias("vlf"),
+        F.expr("CAST(st - srl AS DOUBLE) / (n - nl)").alias("vrf"),
+    )
+    r2d = F.expr(
+        "((CAST(rq AS DOUBLE)"
+        " - CASE WHEN gq <= t2 THEN vlf ELSE vrf END)"
+        " / 1000000000000.0)"
+    )
+    mse2 = (
+        r.join(x, "vec_id")
+        .crossJoin(F.broadcast(b2))
+        .filter(F.col("dim") == F.col("d2"))
+        .agg(davg(r2d * r2d).alias("m"))
+    )
+    row1 = b1.crossJoin(F.broadcast(tot2)).select(
+        F.lit(1).alias("round"),
+        F.col("d1").alias("dim"),
+        (F.col("t1").cast("double") / 1000000.0).alias("threshold"),
+        F.round(F.col("vl") / 1000000.0, 9).alias("v_left"),
+        F.round(F.col("vr") / 1000000.0, 9).alias("v_right"),
+        F.round(F.col("srr") / F.col("n") / F.lit(1e24), 9).alias("mse_after"),
+    )
+    row2 = b2.crossJoin(F.broadcast(mse2)).select(
+        F.lit(2).alias("round"),
+        F.col("d2").alias("dim"),
+        (F.col("t2").cast("double") / 1000000.0).alias("threshold"),
+        F.round(F.col("vlf") / 1000000000000.0, 9).alias("v_left"),
+        F.round(F.col("vrf") / 1000000000000.0, 9).alias("v_right"),
+        F.round(F.col("m"), 9).alias("mse_after"),
+    )
+    return row1.unionByName(row2).orderBy("round")
