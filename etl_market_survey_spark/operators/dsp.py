@@ -107,3 +107,69 @@ def sql_goertzel_cte(
     FROM {out_cte}_steps
   ) WHERE rn = 1
 )"""
+
+
+def audio_filterbank_powers(
+    df: DataFrame,
+    key_cols: list[str],
+    sample_col: str,
+    order_col: str,
+    bin_col: str,
+    n: int,
+) -> DataFrame:
+    """Per (key, bin): Goertzel power at DFT bin ``bin_col`` of ``n``
+    (round 6) — the multi-frequency filterbank sweep behind MFCC-style
+    features. Input is one row per (key, bin, sample); the sequential
+    fold runs per (key, bin) group with the group's own ``2cos(w)``
+    coefficient, computed by :func:`goertzel_coeff` — the identical
+    literal the SQL replay embeds per bin."""
+    schema_fields = ", ".join(
+        f"`{c}` {t}" for c, t in df.dtypes if c in key_cols
+    )
+    schema = f"{schema_fields}, `{bin_col}` int, power double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, ignore_index=True)
+        k = int(pdf[bin_col].iloc[0])
+        coeff = goertzel_coeff(k, n)
+        s1 = 0.0
+        s2 = 0.0
+        for v in pdf[sample_col].to_numpy(dtype=np.int64).tolist():
+            s0 = float(v) + coeff * s1 - s2
+            s2 = s1
+            s1 = s0
+        power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        out = {c: pdf[c].iloc[0] for c in key_cols}
+        out[bin_col] = k
+        out["power"] = round(power, 6)
+        return pd.DataFrame([out])
+
+    return df.groupBy(*key_cols, bin_col).applyInPandas(kernel, schema)
+
+
+def sql_goertzel_multi_cte(source_cte: str, out_cte: str = "goem") -> str:
+    """Recursive-CTE replay of per-key Goertzel folds whose coefficient
+    varies by key: ``source_cte`` must expose
+    ``(key VARCHAR, n BIGINT, x DOUBLE, coeff DOUBLE)`` with n dense
+    from 0 and ``coeff`` constant within a key. Emits ``out_cte`` with
+    ``(key, coeff, s1, s2, n_samples)``."""
+    return f"""
+{out_cte}_steps AS (
+  SELECT key, coeff, CAST(-1 AS BIGINT) AS n, CAST(0 AS DOUBLE) AS s1,
+         CAST(0 AS DOUBLE) AS s2
+  FROM (SELECT DISTINCT key, coeff FROM {source_cte})
+  UNION ALL
+  SELECT g.key, g.coeff, g.n + 1,
+         src.x + src.coeff * g.s1 - g.s2,
+         g.s1
+  FROM {out_cte}_steps g
+  JOIN {source_cte} src ON src.key = g.key AND src.n = g.n + 1
+),
+{out_cte} AS (
+  SELECT key, coeff, s1, s2, n + 1 AS n_samples
+  FROM (
+    SELECT key, coeff, n, s1, s2,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY n DESC) AS rn
+    FROM {out_cte}_steps
+  ) WHERE rn = 1
+)"""

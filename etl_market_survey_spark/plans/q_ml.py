@@ -3943,3 +3943,156 @@ def q303_gbdt_stumps(spark, sf_dir):
         F.round(F.col("m"), 9).alias("mse_after"),
     )
     return row1.unionByName(row2).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q304 — MFCC-lite audio features (operators/dsp): a log-spaced
+# 6-bin Goertzel filterbank over each clip's PCM (the q280 synthetic
+# square waves), log2 energies, then a 4-coefficient DCT-II cepstrum
+# with the q299 integer-literal basis — the classic
+# filterbank -> log -> DCT chain a speech-curation pipeline computes,
+# without an FFT. Per-(clip, bin) sequential folds run in Arrow kernels
+# with bin-specific 2cos(w) literals; the oracle replays every fold in
+# a recursive CTE carrying the SAME literals, and the cepstral combine
+# is one shared expression text.
+# ---------------------------------------------------------------------------
+
+_Q304_N = 256
+_Q304_BINS = (2, 4, 8, 16, 32, 64)
+_Q304_NCEP = 4
+
+
+def _q304_cepstra() -> list[str]:
+    """Shared-text cepstral expressions over columns l0..l5."""
+    import math
+
+    nb = len(_Q304_BINS)
+    exprs = []
+    for m in range(_Q304_NCEP):
+        cm = math.sqrt(1.0 / nb) if m == 0 else math.sqrt(2.0 / nb)
+        terms = []
+        for j in range(nb):
+            b = round(16384 * cm * math.cos((2 * j + 1) * m * math.pi / (2 * nb)))
+            terms.append(f"{b} * l{j}")
+        exprs.append(f"ROUND(({' + '.join(terms)}) / 16384.0, 9)")
+    return exprs
+
+
+def _q304_oracle() -> str:
+    from ..operators.dsp import goertzel_coeff, sql_goertzel_multi_cte
+
+    coeff_case = " ".join(
+        f"WHEN {k} THEN {goertzel_coeff(k, _Q304_N)!r}" for k in _Q304_BINS
+    )
+    bins_values = ", ".join(f"({k})" for k in _Q304_BINS)
+    log_cols = ",\n       ".join(
+        f"ROUND(LOG2(MAX(CASE WHEN k = {k} THEN pw END) + 1.0), 9) AS l{j}"
+        for j, k in enumerate(_Q304_BINS)
+    )
+    ceps = ",\n       ".join(
+        f"{e} AS c{m}" for m, e in enumerate(_q304_cepstra())
+    )
+    goe = sql_goertzel_multi_cte("samples")
+    return f"""
+WITH RECURSIVE flags AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+samples AS (
+  SELECT f.flag || '|' || CAST(b.k AS VARCHAR) AS key,
+         CASE b.k {coeff_case} END AS coeff,
+         CAST(s.i AS BIGINT) AS n,
+         CAST(
+           (CASE WHEN (s.i // (p.period // 2)) % 2 = 0 THEN {_Q280_AMP} ELSE -{_Q280_AMP} END)
+           + ('0x' || substr(md5(f.flag || '|' || CAST(s.i AS VARCHAR)), 1, 4))::BIGINT % 21 - 10
+         AS DOUBLE) AS x
+  FROM flags f
+  CROSS JOIN LATERAL (
+    SELECT CAST(POWER(2, 3 + ('0x' || substr(md5(f.flag), 1, 4))::BIGINT % 3) AS BIGINT) AS period
+  ) p
+  CROSS JOIN (VALUES {bins_values}) b(k)
+  CROSS JOIN generate_series(0, {_Q304_N - 1}) s(i)
+),
+{goe},
+powers AS (
+  SELECT split_part(key, '|', 1) AS flag,
+         CAST(split_part(key, '|', 2) AS INT) AS k,
+         ROUND(s1 * s1 + s2 * s2 - coeff * s1 * s2, 6) AS pw
+  FROM goem
+),
+logs AS (
+  SELECT flag,
+       {log_cols}
+  FROM powers GROUP BY 1
+)
+SELECT flag AS l_returnflag,
+       {ceps}
+FROM logs ORDER BY l_returnflag
+"""
+
+
+@register("q304_mfcc_lite", _q304_oracle())
+def q304_mfcc_lite(spark, sf_dir):
+    from ..operators.dsp import audio_filterbank_powers
+
+    flags = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+    )
+    period = F.pow(
+        F.lit(2.0),
+        (
+            F.lit(3)
+            + F.conv(F.substring(F.md5("flag"), 1, 4), 16, 10).cast("long") % 3
+        ).cast("double"),
+    ).cast("long")
+    bins = ", ".join(str(k) for k in _Q304_BINS)
+    samples = (
+        flags.withColumn("period", period)
+        .select(
+            "flag",
+            "period",
+            F.explode(F.sequence(F.lit(0), F.lit(_Q304_N - 1))).alias("n"),
+        )
+        .withColumn(
+            "x",
+            (
+                F.when(
+                    F.expr("(n div (period div 2)) % 2 = 0"),
+                    F.lit(_Q280_AMP),
+                ).otherwise(F.lit(-_Q280_AMP))
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat("flag", F.lit("|"), F.col("n").cast("string"))
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 21
+                - 10
+            ).cast("long"),
+        )
+        .withColumn("k", F.explode(F.expr(f"array({bins})")))
+    )
+    powers = audio_filterbank_powers(
+        samples, ["flag"], "x", "n", "k", _Q304_N
+    )
+    log_cols = [
+        F.round(
+            F.log2(
+                F.max(F.when(F.col("k") == k, F.col("power"))) + F.lit(1.0)
+            ),
+            9,
+        ).alias(f"l{j}")
+        for j, k in enumerate(_Q304_BINS)
+    ]
+    logs = powers.groupBy("flag").agg(*log_cols)
+    return logs.select(
+        F.col("flag").alias("l_returnflag"),
+        *[
+            F.expr(e).alias(f"c{m}")
+            for m, e in enumerate(_q304_cepstra())
+        ],
+    ).orderBy("l_returnflag")
