@@ -1681,3 +1681,99 @@ def q286_rolling_ols_slope(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q305 — banded dynamic time warping between daily revenue series
+# (operators/dtw): Sakoe-Chiba ASYMMETRIC step pattern, |i-j| <= 8
+# band, integer |a-b| costs over dense per-event-type daily cent
+# totals. The asymmetric pattern makes the DP a pure row recurrence,
+# so the oracle replays the entire alignment as a recursive CTE
+# carrying the previous DP row as a list — the kernel's answer is
+# proven, not assumed (the q128 rule applied to time-series warping).
+# ---------------------------------------------------------------------------
+
+_Q305_R = 8
+
+
+def _q305_oracle() -> str:
+    from ..operators.dtw import sql_dtw_cte
+
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS absday,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT MIN(absday) AS d0, MAX(absday) AS d1 FROM ev),
+daily AS (
+  SELECT t, absday - b.d0 AS day, CAST(SUM(cents) AS BIGINT) AS v
+  FROM ev CROSS JOIN bounds b GROUP BY 1, 2
+),
+grid AS (
+  SELECT tt.t, g.day
+  FROM (SELECT DISTINCT t FROM ev) tt CROSS JOIN bounds b
+  CROSS JOIN LATERAL (SELECT unnest(range(0, b.d1 - b.d0 + 1)) AS day) g
+),
+dense AS (
+  SELECT g.t, g.day, COALESCE(d.v, 0) AS v
+  FROM grid g LEFT JOIN daily d ON d.t = g.t AND d.day = g.day
+),
+series AS (SELECT t, list(v ORDER BY day) AS arr FROM dense GROUP BY 1),
+pairs AS (
+  SELECT a.t AS key_a, b.t AS key_b, a.arr AS aa, b.arr AS bb
+  FROM series a JOIN series b ON a.t < b.t
+),
+{sql_dtw_cte('pairs', 'len(aa)', _Q305_R)}
+SELECT key_a, key_b, CAST(dtw_dist AS BIGINT) AS dtw_dist
+FROM dtw ORDER BY key_a, key_b
+"""
+
+
+@register("q305_dtw_series", _q305_oracle())
+def q305_dtw_series(spark, sf_dir):
+    from ..operators.dtw import dtw_pairs
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("(ts div 1000) div 86400000000").alias("absday"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    ev = ev.cache()  # feeds bounds, daily sums, and the type dimension
+    bounds = ev.agg(
+        F.min("absday").alias("d0"), F.max("absday").alias("d1")
+    )
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("t", (F.col("absday") - F.col("d0")).alias("day"), "cents")
+        .groupBy("t", "day")
+        .agg(F.sum("cents").alias("v"))
+    )
+    grid = (
+        ev.select("t")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.col("d1") - F.col("d0"))
+            ).alias("day"),
+        )
+    )
+    dense = grid.join(daily, ["t", "day"], "left").select(
+        "t", "day", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    series = dense.groupBy("t").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))),
+            lambda s: s["v"],
+        ).alias("arr")
+    )
+    pairs = (
+        series.select(F.col("t").alias("key_a"), F.col("arr").alias("aa"))
+        .join(
+            series.select(F.col("t").alias("key_b"), F.col("arr").alias("bb")),
+            F.col("key_a") < F.col("key_b"),
+        )
+    )
+    return dtw_pairs(pairs, r=_Q305_R).orderBy("key_a", "key_b")
