@@ -1037,3 +1037,129 @@ def q288_nelson_aalen(spark, sf_dir):
     return nelson_aalen(cohort, ["first_type"], "dur", "churn").orderBy(
         "first_type", "dur"
     )
+
+
+# ---------------------------------------------------------------------------
+# q306 — Shapley-value channel attribution (Shapley 1953 as applied to
+# marketing paths, e.g. Zhao et al. 2018): users' touched-channel SETS
+# become 4-bit masks, v(S) = conversion rate of users with exactly that
+# set (data-driven characteristic function), and each channel's credit
+# is the exact Shapley sum over the 8 subsets not containing it with
+# literal |S|!(n-|S|-1)!/n! weights. Everything after the one per-user
+# aggregate is algebra over a 16-row mask table — the scale-correct
+# shape (the fact table is touched once; Shapley runs on the bounded
+# coalition lattice). Complements q247's Markov removal-effect model.
+# ---------------------------------------------------------------------------
+
+_Q306_CHANNELS = ("click", "error", "signup", "view")  # sorted; bit i
+
+
+def _q306_oracle() -> str:
+    n = len(_Q306_CHANNELS)
+    bit_case = " ".join(
+        f"WHEN '{c}' THEN {1 << i}" for i, c in enumerate(_Q306_CHANNELS)
+    )
+    # |S|! (n-|S|-1)! / n! for |S| = 0..3 with n = 4
+    w_case = "CASE bit_count(s) WHEN 0 THEN 0.25 WHEN 1 THEN " \
+        "0.08333333333333333 WHEN 2 THEN 0.08333333333333333 " \
+        "WHEN 3 THEN 0.25 END"
+    chan_rows = ", ".join(
+        f"({i}, '{c}')" for i, c in enumerate(_Q306_CHANNELS)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(DISTINCT CASE event_type {bit_case} ELSE 0 END) AS BIGINT)
+           AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+mask_stats AS (
+  SELECT mask, COUNT(*) AS users, SUM(conv) AS convs FROM per_user GROUP BY 1
+),
+lattice AS (
+  SELECT g.m AS mask,
+         COALESCE(CAST(ms.convs AS DOUBLE) / ms.users, 0.0) AS v
+  FROM (SELECT unnest(range(0, {1 << n})) AS m) g
+  LEFT JOIN mask_stats ms ON ms.mask = g.m
+),
+chans AS (SELECT * FROM (VALUES {chan_rows}) AS t(i, channel)),
+terms AS (
+  SELECT c.channel,
+         ({w_case}) * (lw.v - lo.v) AS term
+  FROM chans c
+  JOIN (SELECT unnest(range(0, {1 << n})) AS s) sub
+    ON (s & (1 << c.i)) = 0
+  JOIN lattice lo ON lo.mask = sub.s
+  JOIN lattice lw ON lw.mask = sub.s + (1 << c.i)
+)
+SELECT channel,
+       ROUND(CAST(SUM(CAST(FLOOR(term * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000000.0, 9) AS shapley
+FROM terms GROUP BY 1 ORDER BY channel
+"""
+
+
+@register("q306_shapley_attribution", _q306_oracle())
+def q306_shapley_attribution(spark, sf_dir):
+    n = len(_Q306_CHANNELS)
+    bit = F.lit(0)
+    for i, c in enumerate(_Q306_CHANNELS):
+        bit = F.when(F.col("event_type") == c, F.lit(1 << i)).otherwise(bit)
+    per_user = (
+        load(spark, sf_dir, "events")
+        .select("user_id", bit.alias("b"),
+                (F.col("event_type") == "purchase").cast("int").alias("cv"))
+        .groupBy("user_id")
+        .agg(
+            F.sum_distinct(F.col("b")).cast("long").alias("mask"),
+            F.max("cv").alias("conv"),
+        )
+    )
+    mask_stats = per_user.groupBy("mask").agg(
+        F.count("*").alias("users"), F.sum("conv").alias("convs")
+    )
+    grid = spark.range(0, 1 << n).select(F.col("id").alias("m"))
+    lattice = grid.join(
+        F.broadcast(mask_stats), F.col("mask") == F.col("m"), "left"
+    ).select(
+        F.col("m").alias("mask"),
+        F.coalesce(
+            F.col("convs").cast("double") / F.col("users"), F.lit(0.0)
+        ).alias("v"),
+    )
+    chans = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_Q306_CHANNELS)], "i int, channel string"
+    )
+    subs = spark.range(0, 1 << n).select(F.col("id").alias("s"))
+    w = (
+        F.when(F.expr("bit_count(s)") == 0, F.lit(0.25))
+        .when(F.expr("bit_count(s)") == 1, F.lit(0.08333333333333333))
+        .when(F.expr("bit_count(s)") == 2, F.lit(0.08333333333333333))
+        .when(F.expr("bit_count(s)") == 3, F.lit(0.25))
+    )
+    lo = lattice.select(F.col("mask").alias("lo_mask"), F.col("v").alias("lo_v"))
+    lw = lattice.select(F.col("mask").alias("lw_mask"), F.col("v").alias("lw_v"))
+    terms = (
+        F.broadcast(chans)
+        .join(subs, F.expr("(s & (1 << i)) = 0"))
+        .join(F.broadcast(lo), F.col("lo_mask") == F.col("s"))
+        .join(
+            F.broadcast(lw),
+            F.col("lw_mask") == F.expr("s + (1 << i)"),
+        )
+        .select("channel", (w * (F.col("lw_v") - F.col("lo_v"))).alias("term"))
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(F.col("term") * 1000000000000.0).cast("long")
+                ).cast("double")
+                / 1000000000000.0,
+                9,
+            ).alias("shapley")
+        )
+        .orderBy("channel")
+    )
