@@ -1163,3 +1163,149 @@ def q306_shapley_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q308 — Bradley-Terry preference strengths via Hunter's (2004) MM
+# iterations — the pairwise-comparison model behind reward-model /
+# ranking pipelines. Comparisons: per user, event_type a "beats" b
+# when the user did a more often; n_ab aggregates wins. Three MM
+# rounds w_i <- W_i / sum_j m_ij/(w_i+w_j) run as chained algebra over
+# the 5-item table; every cross-item sum goes through a 1e-9
+# integer-grid fold and every update is round-9 gated, so the float
+# trajectory is engine-independent and the oracle replays it exactly.
+# Scale shape: one per-(user, type) count, one per-user pair compare
+# (bounded by the type dimension), then O(items^2) iteration algebra.
+# ---------------------------------------------------------------------------
+
+_Q308_ITER = 3
+
+
+def _q308_oracle() -> str:
+    it = """
+w{k} AS (
+  SELECT m.i,
+         ROUND(MAX(wn.wins) /
+           (CAST(SUM(CAST(FLOOR((m.m / (wa.wv + wb.wv)) * 1000000000.0)
+                          AS BIGINT)) AS DOUBLE) / 1000000000.0), 9) AS wv
+  FROM m
+  JOIN w{j} wa ON wa.i = m.i
+  JOIN w{j} wb ON wb.i = m.j
+  JOIN wins wn ON wn.i = m.i
+  GROUP BY m.i
+)"""
+    its = ",".join(
+        it.format(k=k, j=k - 1) for k in range(1, _Q308_ITER + 1)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, event_type AS t, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+duels AS (
+  SELECT a.t AS i, b.t AS j, COUNT(*) AS n
+  FROM per_user a JOIN per_user b
+    ON a.user_id = b.user_id AND a.t <> b.t AND a.c > b.c
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT i, j, CAST(SUM(n) AS DOUBLE) AS m FROM (
+    SELECT i, j, n FROM duels
+    UNION ALL SELECT j, i, n FROM duels
+  ) GROUP BY 1, 2
+),
+wins AS (
+  SELECT i, CAST(SUM(n) AS DOUBLE) AS wins FROM duels GROUP BY 1
+),
+w0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS wv FROM m),
+{its},
+tot AS (
+  SELECT CAST(SUM(CAST(FLOOR(wv * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 AS t
+  FROM w{_Q308_ITER}
+)
+SELECT w.i AS event_type,
+       CAST(wn.wins AS BIGINT) AS wins,
+       ROUND(w.wv / tot.t, 9) AS strength
+FROM w{_Q308_ITER} w JOIN wins wn ON wn.i = w.i CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
+@register("q308_bradley_terry", _q308_oracle())
+def q308_bradley_terry(spark, sf_dir):
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("event_type").alias("t"))
+        .agg(F.count("*").alias("c"))
+    )
+    per_user = per_user.cache()  # both sides of the duel self-join
+    a = per_user.select(
+        F.col("user_id").alias("u"), F.col("t").alias("i"), F.col("c").alias("ca")
+    )
+    b = per_user.select(
+        F.col("user_id").alias("u"), F.col("t").alias("j"), F.col("c").alias("cb")
+    )
+    duels = (
+        a.join(b, "u")
+        .filter((F.col("i") != F.col("j")) & (F.col("ca") > F.col("cb")))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("n"))
+    )
+    duels = duels.cache()  # feeds m (twice), wins
+    m = (
+        duels.select("i", "j", "n")
+        .unionByName(
+            duels.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "n"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("double").alias("m"))
+    )
+    m = m.cache()  # referenced every iteration
+    wins = duels.groupBy("i").agg(F.sum("n").cast("double").alias("wins"))
+    wins = wins.cache()
+    w = m.select("i").distinct().select("i", F.lit(1.0).alias("wv"))
+    for _ in range(_Q308_ITER):
+        wa = w.select(F.col("i").alias("ai"), F.col("wv").alias("wva"))
+        wb = w.select(F.col("i").alias("bi"), F.col("wv").alias("wvb"))
+        w = (
+            m.join(wa, F.col("ai") == F.col("i"))
+            .join(wb, F.col("bi") == F.col("j"))
+            .join(F.broadcast(wins), "i")
+            .groupBy("i")
+            .agg(
+                F.round(
+                    F.max("wins")
+                    / (
+                        F.sum(
+                            F.floor(
+                                (F.col("m") / (F.col("wva") + F.col("wvb")))
+                                * 1000000000.0
+                            ).cast("long")
+                        ).cast("double")
+                        / 1000000000.0
+                    ),
+                    9,
+                ).alias("wv")
+            )
+        )
+    tot = w.agg(
+        (
+            F.sum(F.floor(F.col("wv") * 1000000000.0).cast("long")).cast(
+                "double"
+            )
+            / 1000000000.0
+        ).alias("t")
+    )
+    return (
+        w.join(F.broadcast(wins), "i")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("wins").cast("long").alias("wins"),
+            F.round(F.col("wv") / F.col("t"), 9).alias("strength"),
+        )
+        .orderBy("event_type")
+    )

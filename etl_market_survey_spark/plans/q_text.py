@@ -1773,3 +1773,106 @@ def q295_naive_bayes_langid(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 — TextRank keyword extraction (Mihalcea & Tarau 2004): the
+# corpus co-occurrence graph (adjacent-token pairs, symmetrized
+# count weights) ranked by edge-weighted integer PageRank
+# (operators/pagerank.weighted_pagerank, the q255 fixed-point
+# contract), top-20 tokens. Token strings are the node keys — no id
+# remapping — and the oracle unrolls the identical 1e-12-grid
+# recurrence over the same edge list, so the keyword list is bit-exact.
+# ---------------------------------------------------------------------------
+
+_Q307_TOP = 20
+_Q307_ITER = 3
+
+
+def _q307_oracle() -> str:
+    from ..operators.pagerank import UNIT
+
+    it = """
+wc{k} AS (
+  SELECT e.dst AS node, SUM((CAST(p.pr AS HUGEINT) * e.w) // wt.wt) AS s
+  FROM wp{j} p JOIN wtot wt ON p.node = wt.src JOIN wedges e ON e.src = p.node
+  GROUP BY 1
+),
+wp{k} AS (
+  SELECT n.node,
+         ((15 * {unit}::HUGEINT) // (100 * s.n))
+         + (85 * COALESCE(wc{k}.s, 0)) // 100 AS pr
+  FROM wnodes n CROSS JOIN wscal s LEFT JOIN wc{k} USING (node)
+)"""
+    its = ",".join(
+        it.format(k=k, j=k - 1, unit=UNIT)
+        for k in range(1, _Q307_ITER + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS tok
+  FROM (SELECT doc_id AS id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents)
+),
+bi AS (
+  SELECT x, y, COUNT(*) AS w FROM (
+    SELECT LAG(tok, 1) OVER (PARTITION BY id ORDER BY pos) AS x, tok AS y
+    FROM toks
+  ) WHERE x IS NOT NULL AND x <> y
+  GROUP BY 1, 2
+),
+wedges AS (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT x AS src, y AS dst, w FROM bi
+    UNION ALL SELECT y, x, w FROM bi
+  ) GROUP BY 1, 2
+),
+wtot AS (SELECT src, SUM(w) AS wt FROM wedges GROUP BY 1),
+wnodes AS (SELECT DISTINCT src AS node FROM wedges),
+wscal AS (SELECT COUNT(*) AS n FROM wnodes),
+wp0 AS (SELECT node, {UNIT}::HUGEINT // s.n AS pr FROM wnodes CROSS JOIN wscal s),
+{its}
+SELECT node AS token, CAST(pr AS BIGINT) AS pr
+FROM wp{_Q307_ITER}
+ORDER BY pr DESC, token LIMIT {_Q307_TOP}
+"""
+
+
+@register("q307_textrank_keywords", _q307_oracle())
+def q307_textrank_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.pagerank import weighted_pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("pos", "tok"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    bi = (
+        toks.select(
+            F.lag("tok", 1).over(win).alias("x"), F.col("tok").alias("y")
+        )
+        .filter(F.col("x").isNotNull() & (F.col("x") != F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("w"))
+    )
+    bi = bi.cache()  # feeds both directions of the symmetrize union
+    wedges = (
+        bi.select(F.col("x").alias("src"), F.col("y").alias("dst"), "w")
+        .unionByName(
+            bi.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    return (
+        weighted_pagerank(wedges, n_iter=_Q307_ITER)
+        .select(F.col("node").alias("token"), "pr")
+        .orderBy(F.desc("pr"), "token")
+        .limit(_Q307_TOP)
+    )
