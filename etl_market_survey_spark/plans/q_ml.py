@@ -4096,3 +4096,134 @@ def q304_mfcc_lite(spark, sf_dir):
             for m, e in enumerate(_q304_cepstra())
         ],
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q309 — logistic regression trained by 2 Newton-Raphson steps,
+# bit-exact: P(return | discount) = sigmoid(b0 + b1*x) over lineitem
+# with x = discount cents (11 distinct values). The scale-right trick:
+# rows collapse to per-value sufficient statistics FIRST (n_x, k_x), so
+# each Newton step is algebra over 11 groups — per-group sigmoids are
+# round-9 gated (the libm rule), cross-group sums run on the exact
+# 1e-6 decimal grid, the 2x2 Hessian solve is shared-text Cramer, and
+# coefficients re-round to 1e-9 after every step. The oracle replays
+# the identical float trajectory; final log-loss is gated the same way.
+# ---------------------------------------------------------------------------
+
+_Q309_STEPS = 2
+
+
+def _q309_step_sql(k: int) -> str:
+    from ..functions.stats import sql_dsum
+
+    j = k - 1
+    det = "(s.h00 * s.h11 - s.h01 * s.h01)"
+    return f"""
+p{k} AS (
+  SELECT st.x, st.n, st.k,
+         ROUND(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * st.x))), 9) AS p
+  FROM stats st CROSS JOIN b{j} b
+),
+s{k} AS (
+  SELECT {sql_dsum('(k - n * p)')} AS g0,
+         {sql_dsum('(x * (k - n * p))')} AS g1,
+         {sql_dsum('(n * p * (1.0 - p))')} AS h00,
+         {sql_dsum('(x * n * p * (1.0 - p))')} AS h01,
+         {sql_dsum('(x * x * n * p * (1.0 - p))')} AS h11
+  FROM p{k}
+),
+b{k} AS (
+  SELECT ROUND(b.b0 + (s.h11 * s.g0 - s.h01 * s.g1) / {det}, 9) AS b0,
+         ROUND(b.b1 + (s.h00 * s.g1 - s.h01 * s.g0) / {det}, 9) AS b1
+  FROM s{k} s CROSS JOIN b{j} b
+)"""
+
+
+def _q309_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    steps = ",".join(_q309_step_sql(k) for k in range(1, _Q309_STEPS + 1))
+    kf = _Q309_STEPS
+    return f"""
+WITH stats AS (
+  SELECT CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS x,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+  FROM lineitem GROUP BY 1
+),
+b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+{steps},
+pf AS (
+  SELECT st.x, st.n, st.k,
+         ROUND(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * st.x))), 9) AS p
+  FROM stats st CROSS JOIN b{kf} b
+),
+ll AS (
+  SELECT {sql_dsum(
+      '(k * ROUND(LOG2(p), 9) + (n - k) * ROUND(LOG2(1.0 - p), 9))'
+  )} AS s, SUM(n) AS nn
+  FROM pf
+)
+SELECT CAST(ll.nn AS BIGINT) AS n,
+       ROUND(b.b0, 6) AS b0, ROUND(b.b1, 6) AS b1,
+       ROUND(-(ll.s) / ll.nn, 9) AS logloss_bits
+FROM b{kf} b CROSS JOIN ll
+"""
+
+
+@register("q309_logistic_newton", _q309_oracle())
+def q309_logistic_newton(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    stats = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.floor(F.col("l_discount") * 100.0).cast("long").alias("x"),
+            (F.col("l_returnflag") == "R").cast("int").alias("r"),
+        )
+        .groupBy("x")
+        .agg(F.count("*").alias("n"), F.sum("r").alias("k"))
+    )
+    stats = stats.cache()  # referenced by every Newton step + final loss
+    det = "(h00 * h11 - h01 * h01)"
+    b = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_Q309_STEPS):
+        p = stats.crossJoin(F.broadcast(b)).select(
+            "x",
+            "n",
+            "k",
+            F.expr("ROUND(1.0 / (1.0 + EXP(-(b0 + b1 * x))), 9)").alias("p"),
+        )
+        s = p.agg(
+            dsum(F.expr("(k - n * p)")).alias("g0"),
+            dsum(F.expr("(x * (k - n * p))")).alias("g1"),
+            dsum(F.expr("(n * p * (1.0 - p))")).alias("h00"),
+            dsum(F.expr("(x * n * p * (1.0 - p))")).alias("h01"),
+            dsum(F.expr("(x * x * n * p * (1.0 - p))")).alias("h11"),
+        )
+        b = s.crossJoin(F.broadcast(b)).select(
+            F.expr(f"ROUND(b0 + (h11 * g0 - h01 * g1) / {det}, 9)").alias("b0"),
+            F.expr(f"ROUND(b1 + (h00 * g1 - h01 * g0) / {det}, 9)").alias("b1"),
+        )
+    pf = stats.crossJoin(F.broadcast(b)).select(
+        "x",
+        "n",
+        "k",
+        F.expr("ROUND(1.0 / (1.0 + EXP(-(b0 + b1 * x))), 9)").alias("p"),
+    )
+    ll = pf.agg(
+        dsum(
+            F.expr(
+                "(k * ROUND(LOG2(p), 9) + (n - k) * ROUND(LOG2(1.0 - p), 9))"
+            )
+        ).alias("s"),
+        F.sum("n").alias("nn"),
+    )
+    return b.crossJoin(F.broadcast(ll)).select(
+        F.col("nn").cast("long").alias("n"),
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round(-F.col("s") / F.col("nn"), 9).alias("logloss_bits"),
+    )
