@@ -2187,3 +2187,116 @@ def q301_cdc_chunk_dedup(spark, sf_dir):
         .filter(F.col("n_docs") >= 2)
         .orderBy("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q310 — dedup-quality self-eval: the q19 MinHash-LSH candidate set is
+# scored against the EXACT trigram-Jaccard >= 0.2 truth set (unblocked
+# prefix-filter path — never all-pairs on the Spark side), producing
+# the precision / recall / F1 a curation team reads before trusting a
+# banding config. The oracle recomputes the truth naively (quadratic is
+# fine for a gate) and replays the affine MinHash chain, so the scores
+# themselves are bit-exact. The eval-harness pattern of q278 applied to
+# the dedup family.
+# ---------------------------------------------------------------------------
+
+_Q310_T = 0.2
+
+
+def _q310_oracle() -> str:
+    m = (
+        "ROUND(CAST(tp.c AS DOUBLE) / nc.c, 9) AS precision_,\n"
+        "       ROUND(CAST(tp.c AS DOUBLE) / nt.c, 9) AS recall_,\n"
+        "       ROUND(2.0 * (CAST(tp.c AS DOUBLE) / nc.c)"
+        " * (CAST(tp.c AS DOUBLE) / nt.c)"
+        " / ((CAST(tp.c AS DOUBLE) / nc.c) + (CAST(tp.c AS DOUBLE) / nt.c)),"
+        " 9) AS f1"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles('text', _SHINGLE_N)}) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {_sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+    CASE b.band_id
+      {_band_cases}
+    END AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+ssets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ssets GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ssets a JOIN ssets b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = common.id_a
+  JOIN sizes sb ON sb.doc_id = common.id_b
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {_Q310_T}
+),
+nc AS (SELECT COUNT(*) AS c FROM cand),
+nt AS (SELECT COUNT(*) AS c FROM truth),
+tp AS (SELECT COUNT(*) AS c FROM cand JOIN truth USING (id_a, id_b))
+SELECT CAST(nc.c AS BIGINT) AS n_candidates,
+       CAST(nt.c AS BIGINT) AS n_truth,
+       CAST(tp.c AS BIGINT) AS n_true_positive,
+       {m}
+FROM nc CROSS JOIN nt CROSS JOIN tp
+"""
+
+
+@register("q310_minhash_quality", _q310_oracle())
+def q310_minhash_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        docs, "doc_id", "text",
+        n_hashes=_N_HASHES, shingle_n=_SHINGLE_N, mode="affine",
+    )
+    cand = lsh_candidate_pairs(sig, "doc_id", _N_HASHES, _N_BANDS).select(
+        "id_a", "id_b"
+    )
+    truth = (
+        jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=_Q310_T
+        )
+        .filter(F.col("jaccard") >= _Q310_T)
+        .select("id_a", "id_b")
+    )
+    cand = cand.cache()  # counted and intersected
+    truth = truth.cache()
+    nc = cand.agg(F.count("*").alias("nc"))
+    nt = truth.agg(F.count("*").alias("nt"))
+    tp = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("tp"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            F.col("nc").cast("long").alias("n_candidates"),
+            F.col("nt").cast("long").alias("n_truth"),
+            F.col("tp").cast("long").alias("n_true_positive"),
+            F.expr("ROUND(CAST(tp AS DOUBLE) / nc, 9)").alias("precision_"),
+            F.expr("ROUND(CAST(tp AS DOUBLE) / nt, 9)").alias("recall_"),
+            F.expr(
+                "ROUND(2.0 * (CAST(tp AS DOUBLE) / nc)"
+                " * (CAST(tp AS DOUBLE) / nt)"
+                " / ((CAST(tp AS DOUBLE) / nc) + (CAST(tp AS DOUBLE) / nt)),"
+                " 9)"
+            ).alias("f1"),
+        )
+    )
