@@ -4227,3 +4227,170 @@ def q309_logistic_newton(spark, sf_dir):
         F.round("b1", 6).alias("b1"),
         F.round(-F.col("s") / F.col("nn"), 9).alias("logloss_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q311 — one alternation of ALS matrix factorization (k=2,
+# Zhou et al. 2008), bit-exact: implicit ratings r(u,i) = event counts,
+# item factors seeded from a deterministic rank index, then the two
+# closed-form ridge solves — per-USER p_u = (V'V + lam*I)^-1 V'r over
+# the user's rated items, per-ITEM v_j = (P'P + lam*I)^-1 P'r over the
+# item's raters. Every cross-row sum is a 1e-9 integer-grid fold,
+# every factor re-rounds to 1e-9, and the 2x2 solves share one Cramer
+# expression text — the q309 Newton discipline applied to the
+# alternating recommender update. Scale shape: two fact-table groupBys
+# (by user, then by item) with broadcast factor tables; no per-user
+# Python, no driver loops over entities.
+# ---------------------------------------------------------------------------
+
+_Q311_LAM = "0.1"
+
+
+def _q311_grid(e: str) -> str:
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({e}) * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000000.0)"
+    )
+
+
+def _q311_solve() -> tuple[str, str]:
+    lam = _Q311_LAM
+    det = f"((a11 + {lam}) * (a22 + {lam}) - a12 * a12)"
+    # explicit floor(x*1e9 + 0.5) half-up: ROUND(double, 9) resolves
+    # exact .5e-9 ties differently across engines (Spark HALF_UP vs
+    # DuckDB), and a tie DID occur here — the shared floor formula is
+    # tie-mode-free
+    def _r9(e):
+        # CAST ... AS DOUBLE: a bare BIGINT / 1000000000.0 is DECIMAL
+        # division in DuckDB (numeric literals parse as DECIMAL there)
+        return (
+            f"(CAST(FLOOR((({e}) * 1000000000.0) + 0.5) AS DOUBLE)"
+            f" / 1000000000.0)"
+        )
+
+    f1 = _r9(f"(b1 * (a22 + {lam}) - b2 * a12) / {det}")
+    f2 = _r9(f"(b2 * (a11 + {lam}) - b1 * a12) / {det}")
+    return f1, f2
+
+
+def _q311_oracle() -> str:
+    from ..functions.stats import sql_davg
+
+    f1, f2 = _q311_solve()
+    g = _q311_grid
+    return f"""
+WITH r AS (
+  SELECT user_id AS u, event_type AS it, CAST(COUNT(*) AS DOUBLE) AS rt
+  FROM events GROUP BY 1, 2
+),
+items AS (
+  SELECT it, ROW_NUMBER() OVER (ORDER BY it) - 1 AS idx
+  FROM (SELECT DISTINCT it FROM r)
+),
+v0 AS (
+  SELECT it, 1.0e0 + 0.1e0 * idx AS v1, 1.0e0 - 0.1e0 * idx AS v2 FROM items
+),
+usolve AS (
+  SELECT r.u,
+         {g('v1 * v1')} AS a11, {g('v1 * v2')} AS a12,
+         {g('v2 * v2')} AS a22,
+         {g('rt * v1')} AS b1, {g('rt * v2')} AS b2
+  FROM r JOIN v0 USING (it) GROUP BY 1
+),
+p AS (SELECT u, {f1} AS p1, {f2} AS p2 FROM usolve),
+isolve AS (
+  SELECT r.it,
+         {g('p1 * p1')} AS a11, {g('p1 * p2')} AS a12,
+         {g('p2 * p2')} AS a22,
+         {g('rt * p1')} AS b1, {g('rt * p2')} AS b2
+  FROM r JOIN p USING (u) GROUP BY 1
+),
+v1t AS (SELECT it, {f1} AS v1, {f2} AS v2 FROM isolve),
+fit AS (
+  SELECT {sql_davg(
+      '(rt - (p1 * v1 + p2 * v2)) * (rt - (p1 * v1 + p2 * v2))'
+  )} AS mse
+  FROM r JOIN p USING (u) JOIN v1t USING (it)
+)
+SELECT v.it AS event_type,
+       v.v1, v.v2,
+       ROUND(SQRT(f.mse), 9) AS train_rmse
+FROM v1t v CROSS JOIN fit f
+ORDER BY event_type
+"""
+
+
+@register("q311_als_round", _q311_oracle())
+def q311_als_round(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.stats import davg
+
+    f1, f2 = _q311_solve()
+
+    def grid(e):
+        return (
+            F.sum(F.floor(e * F.lit(1000000000.0)).cast("long")).cast("double")
+            / 1000000000.0
+        )
+
+    r = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("u"), F.col("event_type").alias("it"))
+        .agg(F.count("*").cast("double").alias("rt"))
+    )
+    r = r.cache()  # both solves + the fit join
+    items = (
+        r.select("it")
+        .distinct()
+        .select(
+            "it",
+            (F.row_number().over(Window.orderBy("it")) - 1).alias("idx"),
+        )
+    )
+    v0 = items.select(
+        "it",
+        (F.lit(1.0) + 0.1 * F.col("idx")).alias("v1"),
+        (F.lit(1.0) - 0.1 * F.col("idx")).alias("v2"),
+    )
+    usolve = (
+        r.join(F.broadcast(v0), "it")
+        .groupBy("u")
+        .agg(
+            grid(F.col("v1") * F.col("v1")).alias("a11"),
+            grid(F.col("v1") * F.col("v2")).alias("a12"),
+            grid(F.col("v2") * F.col("v2")).alias("a22"),
+            grid(F.col("rt") * F.col("v1")).alias("b1"),
+            grid(F.col("rt") * F.col("v2")).alias("b2"),
+        )
+    )
+    p = usolve.select("u", F.expr(f1).alias("p1"), F.expr(f2).alias("p2"))
+    p = p.cache()  # item solve + fit join
+    isolve = (
+        r.join(p, "u")
+        .groupBy("it")
+        .agg(
+            grid(F.col("p1") * F.col("p1")).alias("a11"),
+            grid(F.col("p1") * F.col("p2")).alias("a12"),
+            grid(F.col("p2") * F.col("p2")).alias("a22"),
+            grid(F.col("rt") * F.col("p1")).alias("b1"),
+            grid(F.col("rt") * F.col("p2")).alias("b2"),
+        )
+    )
+    v1t = isolve.select("it", F.expr(f1).alias("v1"), F.expr(f2).alias("v2"))
+    resid = F.expr("(rt - (p1 * v1 + p2 * v2))")
+    fit = (
+        r.join(p, "u")
+        .join(F.broadcast(v1t), "it")
+        .agg(davg(resid * resid).alias("mse"))
+    )
+    return (
+        v1t.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("it").alias("event_type"),
+            "v1",
+            "v2",
+            F.round(F.sqrt("mse"), 9).alias("train_rmse"),
+        )
+        .orderBy("event_type")
+    )
