@@ -113,6 +113,17 @@ HEADLINE = [
     "q266_interval_coalesce",
     "q275_url_domain_cap",
     "q276_html_extract",
+    # r4 continuation: LM scoring, fingerprint/chunk dedup, pHash, CV,
+    # DTW, TextRank, GLM Newton, ALS
+    "q293_lm_perplexity",
+    "q299_phash_neardup",
+    "q300_winnowing",
+    "q301_cdc_chunk_dedup",
+    "q302_cv_ridge",
+    "q305_dtw_series",
+    "q307_textrank_keywords",
+    "q309_logistic_newton",
+    "q311_als_round",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise

@@ -4394,3 +4394,226 @@ def q311_als_round(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q312 — weight-of-evidence / information-value scorecard encoding (the
+# credit-risk standard; Siddiqi 2006): per discount level, WOE_x =
+# ln((k_x/K)/((n_x-k_x)/(N-K))) round-9 gated, and the total IV =
+# sum (k_x/K - (n_x-k_x)/(N-K)) * WOE_x through the exact decimal
+# grid. One scan -> an 11-group table; the event rate uses returnflag
+# 'R' as the "bad" label. Complements q213's leave-one-out target
+# encoding with the interpretable scorecard variant.
+# ---------------------------------------------------------------------------
+
+
+def _q312_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    woe = ("ROUND(LN((CAST(k AS DOUBLE) / kk)"
+           " / (CAST(n - k AS DOUBLE) / (nn - kk))), 9)")
+    return f"""
+WITH stats AS (
+  SELECT CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS x,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS nn, SUM(k) AS kk FROM stats),
+w AS (
+  SELECT x, n, k, {woe} AS woe,
+         (CAST(k AS DOUBLE) / kk - CAST(n - k AS DOUBLE) / (nn - kk)) AS gap
+  FROM stats CROSS JOIN tot
+),
+iv AS (SELECT {sql_dsum('(gap * woe)')} AS iv FROM w)
+SELECT w.x AS discount_cents, CAST(w.n AS BIGINT) AS n,
+       CAST(w.k AS BIGINT) AS n_bad, w.woe,
+       ROUND(iv.iv, 9) AS iv_total
+FROM w CROSS JOIN iv
+ORDER BY discount_cents
+"""
+
+
+@register("q312_woe_iv", _q312_oracle())
+def q312_woe_iv(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    stats = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.floor(F.col("l_discount") * 100.0).cast("long").alias("x"),
+            (F.col("l_returnflag") == "R").cast("int").alias("r"),
+        )
+        .groupBy("x")
+        .agg(F.count("*").alias("n"), F.sum("r").alias("k"))
+    )
+    tot = stats.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "n",
+        "k",
+        F.expr(
+            "ROUND(LN((CAST(k AS DOUBLE) / kk)"
+            " / (CAST(n - k AS DOUBLE) / (nn - kk))), 9)"
+        ).alias("woe"),
+        F.expr(
+            "(CAST(k AS DOUBLE) / kk - CAST(n - k AS DOUBLE) / (nn - kk))"
+        ).alias("gap"),
+    )
+    w = w.cache()  # feeds the IV fold and the output rows
+    iv = w.agg(dsum(F.col("gap") * F.col("woe")).alias("iv"))
+    return (
+        w.crossJoin(F.broadcast(iv))
+        .select(
+            F.col("x").alias("discount_cents"),
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("n_bad"),
+            "woe",
+            F.round("iv", 9).alias("iv_total"),
+        )
+        .orderBy("discount_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q313 — Huber robust regression via 2 IRLS rounds (Huber 1964):
+# y = extendedprice dollars on x = quantity, starting from the OLS fit
+# (round 0, unit weights) and reweighting w = min(1, c/|r|) with the
+# fixed c = 500-dollar elbow. Per-round weighted normal-equation sums
+# run on the exact 1e-6 decimal grid, weights and coefficients are
+# round-9 gated, and the 2x2 solve shares one Cramer text — the q309
+# Newton discipline for M-estimation. The outlier-resistant
+# complement to q85/q191 OLS and q237 Theil-Sen.
+# ---------------------------------------------------------------------------
+
+_Q313_C = "500.0"
+_Q313_ROUNDS = 2
+
+
+def _q313_irls_round(k: int) -> str:
+    from ..functions.stats import sql_dsum
+
+    j = k - 1
+    det = "(sw * swxx - swx * swx)"
+    return f"""
+w{k} AS (
+  SELECT r.x, r.y,
+         ROUND(LEAST(1.0, {_Q313_C} / GREATEST(ABS(r.y - (b.b0 + b.b1 * r.x)),
+                                               1.0e-9)), 9) AS wt
+  FROM rows_d r CROSS JOIN b{j} b
+),
+s{k} AS (
+  SELECT {sql_dsum('wt')} AS sw, {sql_dsum('(wt * x)')} AS swx,
+         {sql_dsum('(wt * x * x)')} AS swxx,
+         {sql_dsum('(wt * y)')} AS swy, {sql_dsum('(wt * x * y)')} AS swxy
+  FROM w{k}
+),
+b{k} AS (
+  SELECT ROUND((swxx * swy - swx * swxy) / {det}, 9) AS b0,
+         ROUND((sw * swxy - swx * swy) / {det}, 9) AS b1
+  FROM s{k}
+)"""
+
+
+def _q313_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    rounds = ",".join(
+        _q313_irls_round(k) for k in range(1, _Q313_ROUNDS + 1)
+    )
+    kf = _Q313_ROUNDS
+    det = "(sw * swxx - swx * swx)"
+    return f"""
+WITH rows_d AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) / 100.0e0 AS y
+  FROM lineitem
+),
+s0 AS (
+  SELECT {sql_dsum('1.0')} AS sw, {sql_dsum('(1.0 * x)')} AS swx,
+         {sql_dsum('(1.0 * x * x)')} AS swxx,
+         {sql_dsum('(1.0 * y)')} AS swy, {sql_dsum('(1.0 * x * y)')} AS swxy
+  FROM rows_d
+),
+b0 AS (
+  SELECT ROUND((swxx * swy - swx * swxy) / {det}, 9) AS b0,
+         ROUND((sw * swxy - swx * swy) / {det}, 9) AS b1
+  FROM s0
+),
+{rounds},
+dw AS (SELECT {sql_dsum('wt')} AS total_weight, COUNT(*) AS n FROM w{kf})
+SELECT CAST(dw.n AS BIGINT) AS n,
+       ROUND(o.b0, 6) AS ols_b0, ROUND(o.b1, 6) AS ols_b1,
+       ROUND(b.b0, 6) AS huber_b0, ROUND(b.b1, 6) AS huber_b1,
+       ROUND(dw.total_weight / dw.n, 9) AS mean_weight
+FROM b{kf} b CROSS JOIN b0 o CROSS JOIN dw
+"""
+
+
+@register("q313_huber_irls", _q313_oracle())
+def q313_huber_irls(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    rows_d = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (
+            F.floor(F.col("l_extendedprice") * 100.0).cast("long") / F.lit(100.0)
+        ).alias("y"),
+    )
+    rows_d = rows_d.cache()  # every IRLS round re-reads the same slim frame
+    det = "(sw * swxx - swx * swx)"
+
+    def solve(s):
+        return s.select(
+            F.expr(f"ROUND((swxx * swy - swx * swxy) / {det}, 9)").alias("b0"),
+            F.expr(f"ROUND((sw * swxy - swx * swy) / {det}, 9)").alias("b1"),
+        )
+
+    s0 = rows_d.agg(
+        dsum(F.lit(1.0)).alias("sw"),
+        dsum(F.lit(1.0) * F.col("x")).alias("swx"),
+        dsum(F.lit(1.0) * F.col("x") * F.col("x")).alias("swxx"),
+        dsum(F.lit(1.0) * F.col("y")).alias("swy"),
+        dsum(F.lit(1.0) * F.col("x") * F.col("y")).alias("swxy"),
+    )
+    b_ols = solve(s0)
+    b_ols = b_ols.cache()  # round-1 input + final output
+    b = b_ols
+    w = None
+    for _ in range(_Q313_ROUNDS):
+        w = rows_d.crossJoin(F.broadcast(b)).select(
+            "x",
+            "y",
+            F.expr(
+                f"ROUND(LEAST(1.0, {_Q313_C}"
+                " / GREATEST(ABS(y - (b0 + b1 * x)), 1.0e-9)), 9)"
+            ).alias("wt"),
+        )
+        s = w.agg(
+            dsum("wt").alias("sw"),
+            dsum(F.col("wt") * F.col("x")).alias("swx"),
+            dsum(F.col("wt") * F.col("x") * F.col("x")).alias("swxx"),
+            dsum(F.col("wt") * F.col("y")).alias("swy"),
+            dsum(F.col("wt") * F.col("x") * F.col("y")).alias("swxy"),
+        )
+        b = solve(s)
+    dw = w.agg(
+        dsum("wt").alias("total_weight"), F.count("*").alias("n")
+    )
+    ols = b_ols.select(
+        F.col("b0").alias("ob0"), F.col("b1").alias("ob1")
+    )
+    return (
+        b.crossJoin(F.broadcast(ols))
+        .crossJoin(F.broadcast(dw))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round("ob0", 6).alias("ols_b0"),
+            F.round("ob1", 6).alias("ols_b1"),
+            F.round("b0", 6).alias("huber_b0"),
+            F.round("b1", 6).alias("huber_b1"),
+            F.round(F.col("total_weight") / F.col("n"), 9).alias(
+                "mean_weight"
+            ),
+        )
+    )
