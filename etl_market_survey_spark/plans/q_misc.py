@@ -3191,3 +3191,70 @@ def q296_hits(spark, sf_dir):
         .distinct()
     )
     return hits_fixed_point(edges, n_iter=_Q296_ITER).orderBy("kind", "node")
+
+
+# ---------------------------------------------------------------------------
+# q314 — integer-exact bilinear resize (operators/imageops): the 8x8
+# gray tiles (embeddings on the 1e-6 grid, the q299 convention)
+# upsampled to 11x11 with align-corners rational weights — no float in
+# the kernel, so the oracle replays the identical integer algebra.
+# Resize is the most common op a multimodal curation pipeline runs
+# after decode (thumbnails, model-input normalization); this is its
+# exact-gated pixel-table form, composing with any of the codec gates.
+# ---------------------------------------------------------------------------
+
+_Q314_OUT = 11
+
+
+def _q314_oracle() -> str:
+    from ..operators.imageops import sql_resize_bilinear_int
+
+    rs = sql_resize_bilinear_int("cells", 8, 8, _Q314_OUT, _Q314_OUT)
+    return f"""
+WITH cells AS (
+  SELECT vec_id AS id,
+         (generate_subscripts(embedding, 1) - 1) // 8 AS y,
+         (generate_subscripts(embedding, 1) - 1) % 8 AS x,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS g
+  FROM embeddings
+),
+rs AS ({rs})
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(val_scaled * (r * {_Q314_OUT} + c + 1)) AS BIGINT)
+         AS checksum,
+       CAST(MIN(val_scaled) AS BIGINT) AS v_min,
+       CAST(MAX(val_scaled) AS BIGINT) AS v_max
+FROM rs GROUP BY 1 ORDER BY id
+"""
+
+
+@register("q314_bilinear_resize", _q314_oracle())
+def q314_bilinear_resize(spark, sf_dir):
+    from ..operators.imageops import resize_bilinear_int
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "id",
+        F.expr("pos div 8").alias("y"),
+        (F.col("pos") % 8).alias("x"),
+        F.floor(F.col("v").cast("double") * 1000000.0).cast("long").alias("g"),
+    )
+    rs = resize_bilinear_int(cells, 8, 8, _Q314_OUT, _Q314_OUT)
+    return (
+        rs.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_px"),
+            F.sum(
+                F.col("val_scaled") * (F.col("r") * _Q314_OUT + F.col("c") + 1)
+            )
+            .cast("long")
+            .alias("checksum"),
+            F.min("val_scaled").cast("long").alias("v_min"),
+            F.max("val_scaled").cast("long").alias("v_max"),
+        )
+        .orderBy("id")
+    )
