@@ -315,3 +315,59 @@ def test_r4_no_cartesian_and_codegen(static_plan, name):
     assert re.search(r"\*\(\d+\)", plan), name
     if name not in _R4_BOUNDED_BNLJ:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+_R4B_BOUNDED_BNLJ = {
+    "q293_lm_perplexity",        # 1-row (n, vocab) scalars
+    "q294_pmi_collocations",     # 1-row token/bigram totals
+    "q295_naive_bayes_langid",   # 5-row class priors + 1-row totals
+    "q296_hits",                 # 1-row L1 normalizers per round
+    "q297_decision_stump",       # 1-row (n, positives) totals
+    "q302_cv_ridge",             # 1-row total-stats row
+    "q303_gbdt_stumps",          # 1-row stump/total rows per round
+    "q305_dtw_series",           # 1-row day bounds + series pair join
+    "q306_shapley_attribution",  # 16-row literal coalition lattice
+    "q308_bradley_terry",        # 1-row normalizer
+    "q309_logistic_newton",      # 1-row coefficient row per step
+    "q310_minhash_quality",      # 1-row metric counts
+    "q311_als_round",            # 1-row fit row
+    "q312_woe_iv",               # 1-row totals + IV scalar
+    "q313_huber_irls",           # 1-row coefficient rows
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q292_aipw_ate",
+        "q293_lm_perplexity",
+        "q294_pmi_collocations",
+        "q295_naive_bayes_langid",
+        "q296_hits",
+        "q297_decision_stump",
+        "q298_ridge_closed_form",
+        "q299_phash_neardup",
+        "q300_winnowing",
+        "q301_cdc_chunk_dedup",
+        "q302_cv_ridge",
+        "q303_gbdt_stumps",
+        "q306_shapley_attribution",
+        "q307_textrank_keywords",
+        "q308_bradley_terry",
+        "q309_logistic_newton",
+        "q310_minhash_quality",
+        "q311_als_round",
+        "q312_woe_iv",
+        "q313_huber_irls",
+        "q314_bilinear_resize",
+    ],
+)
+def test_r4b_no_cartesian_and_codegen(static_plan, name):
+    """Session additions: every scalar 'join' is a broadcast of a
+    one-row (or literal-bounded) aggregate — never a cartesian; and
+    expressions stay inside whole-stage codegen."""
+    plan = static_plan(name)
+    assert "CartesianProduct" not in plan, name
+    assert re.search(r"\*\(\d+\)", plan), name
+    if name not in _R4B_BOUNDED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, name
