@@ -85,3 +85,13 @@ def test_sft_assembly_example(spark):
     assert train.count() > 0
     row = train.limit(1).collect()[0]
     assert "<|assistant|>" in row["sample"] and row["sample"].endswith("<|end|>")
+
+
+def test_preference_data_example(tmp_path, spark):
+    from examples.preference_data_pipeline import main
+
+    n_pairs, n_dropped, strengths = main(
+        "/root/testdata/sf0.001", str(tmp_path / "out")
+    )
+    assert n_pairs > 0
+    assert abs(sum(strengths.values()) - 1.0) < 1e-6
