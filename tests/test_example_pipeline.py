@@ -94,4 +94,5 @@ def test_preference_data_example(tmp_path, spark):
         "/root/testdata/sf0.001", str(tmp_path / "out")
     )
     assert n_pairs > 0
-    assert abs(sum(strengths.values()) - 1.0) < 1e-6
+    # report values are rounded to 6 dp, so allow that much slack
+    assert abs(sum(strengths.values()) - 1.0) < 1e-4
