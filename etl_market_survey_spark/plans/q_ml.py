@@ -4617,3 +4617,119 @@ def q313_huber_irls(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q316 — RANSAC line fit (Fischler & Bolles 1981), deterministic and
+# exact: candidate models are 16 point PAIRS chosen by XXH64 rank
+# (rank i paired with rank i+250 — a fixed random-ish design with no
+# RNG), and the consensus test is the cross-multiplied integer
+# residual |dy*(x-xa) - dx*(y-ya)| <= tol*|dx| — no division anywhere,
+# so inlier counts are pure integer facts both engines agree on. The
+# winner is (inliers DESC, candidate). Completes the robust-fitting
+# family (Huber q313, Theil-Sen q237) with the high-breakdown member.
+# Scale shape: one hash-rank window, a 16-row broadcast of candidates
+# against the point table, one count per candidate.
+# ---------------------------------------------------------------------------
+
+_Q316_CANDS = 16
+_Q316_TOL = 50_000  # 0.05 in 1e-6 embedding grid units
+
+
+def _q316_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    xxh = sql_xxhash64_long_cte("(SELECT DISTINCT vec_id AS v FROM embeddings)")
+    c, tol = _Q316_CANDS, _Q316_TOL
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+  FROM embeddings
+),
+{xxh},
+ranked AS (
+  SELECT p.vec_id, p.x, p.y,
+         ROW_NUMBER() OVER (ORDER BY h.hv, p.vec_id) AS rk
+  FROM pts p JOIN xxhl h ON h.v = p.vec_id
+),
+cands AS (
+  SELECT a.rk AS cand, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+  FROM ranked a JOIN ranked b ON b.rk = a.rk + 250
+  WHERE a.rk <= {c} AND b.x <> a.x
+),
+scored AS (
+  SELECT c.cand, COUNT(*) AS n_inliers
+  FROM pts p CROSS JOIN cands c
+  WHERE ABS((c.yb - c.ya) * (p.x - c.xa) - (c.xb - c.xa) * (p.y - c.ya))
+        <= {tol} * ABS(c.xb - c.xa)
+  GROUP BY 1
+)
+SELECT s.cand AS candidate, CAST(s.n_inliers AS BIGINT) AS n_inliers,
+       ROUND(CAST(c.yb - c.ya AS DOUBLE) / (c.xb - c.xa), 9) AS slope,
+       ROUND((c.ya - (CAST(c.yb - c.ya AS DOUBLE) / (c.xb - c.xa)) * c.xa)
+             / 1000000.0, 9) AS intercept
+FROM scored s JOIN cands c ON c.cand = s.cand
+ORDER BY s.n_inliers DESC, s.cand LIMIT 1
+"""
+
+
+@register("q316_ransac_line", _q316_oracle())
+def q316_ransac_line(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(F.col("embedding").getItem(0).cast("double") * 1000000.0)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * 1000000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    pts = pts.cache()  # ranked candidates + the consensus scan
+    ranked = pts.select(
+        "vec_id",
+        "x",
+        "y",
+        F.row_number()
+        .over(Window.orderBy(F.xxhash64(F.col("vec_id")), "vec_id"))
+        .alias("rk"),
+    )
+    ranked = ranked.cache()  # both sides of the pair join
+    a = ranked.filter(F.col("rk") <= _Q316_CANDS).select(
+        F.col("rk").alias("cand"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = ranked.select(
+        (F.col("rk") - 250).alias("cand"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    cands = a.join(b, "cand").filter(F.col("xb") != F.col("xa"))
+    scored = (
+        pts.crossJoin(F.broadcast(cands))
+        .filter(
+            F.abs(
+                (F.col("yb") - F.col("ya")) * (F.col("x") - F.col("xa"))
+                - (F.col("xb") - F.col("xa")) * (F.col("y") - F.col("ya"))
+            )
+            <= _Q316_TOL * F.abs(F.col("xb") - F.col("xa"))
+        )
+        .groupBy("cand")
+        .agg(F.count("*").alias("n_inliers"))
+    )
+    slope = F.expr("CAST(yb - ya AS DOUBLE) / (xb - xa)")
+    return (
+        scored.join(F.broadcast(cands), "cand")
+        .select(
+            F.col("cand").alias("candidate"),
+            F.col("n_inliers").cast("long").alias("n_inliers"),
+            F.round(slope, 9).alias("slope"),
+            F.round(
+                (F.col("ya") - slope * F.col("xa")) / 1000000.0, 9
+            ).alias("intercept"),
+        )
+        .orderBy(F.desc("n_inliers"), "candidate")
+        .limit(1)
+    )

@@ -1777,3 +1777,126 @@ def q305_dtw_series(spark, sf_dir):
         )
     )
     return dtw_pairs(pairs, r=_Q305_R).orderBy("key_a", "key_b")
+
+
+# ---------------------------------------------------------------------------
+# q315 — dominant-period detection: a Goertzel periodogram (bins
+# k=2..10 over the N-day grid) on each event type's daily cent totals,
+# reporting the strongest frequency — the seasonality probe a
+# monitoring pipeline runs before fitting seasonal models (q238). The
+# per-(series, bin) sequential folds run in the q304 Arrow kernel with
+# bin-specific 2cos(w) literals; the oracle replays every fold in a
+# recursive CTE carrying the SAME literals. N is pinned to the data's
+# day span at build time via the deterministic day grid.
+# ---------------------------------------------------------------------------
+
+_Q315_BINS = tuple(range(2, 11))
+_Q315_N = 30  # events.parquet spans 30 days at every sf (TESTDATA.md)
+
+
+def _q315_oracle() -> str:
+    from ..operators.dsp import goertzel_coeff, sql_goertzel_multi_cte
+
+    n = _Q315_N
+    coeff_case = " ".join(
+        f"WHEN {k} THEN {goertzel_coeff(k, n)!r}" for k in _Q315_BINS
+    )
+    bins_values = ", ".join(f"({k})" for k in _Q315_BINS)
+    goe = sql_goertzel_multi_cte("samples")
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS absday,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT MIN(absday) AS d0 FROM ev),
+daily AS (
+  SELECT t, absday - b.d0 AS day, CAST(SUM(cents) AS BIGINT) AS v
+  FROM ev CROSS JOIN bounds b GROUP BY 1, 2
+),
+grid AS (
+  SELECT tt.t, g.day
+  FROM (SELECT DISTINCT t FROM ev) tt
+  CROSS JOIN (SELECT unnest(range(0, {n})) AS day) g
+),
+dense AS (
+  SELECT g.t, g.day, COALESCE(d.v, 0) AS v
+  FROM grid g LEFT JOIN daily d ON d.t = g.t AND d.day = g.day
+),
+samples AS (
+  SELECT d.t || '|' || CAST(b.k AS VARCHAR) AS key,
+         CASE b.k {coeff_case} END AS coeff,
+         d.day AS n, CAST(d.v AS DOUBLE) AS x
+  FROM dense d CROSS JOIN (VALUES {bins_values}) b(k)
+),
+{goe},
+powers AS (
+  SELECT split_part(key, '|', 1) AS t,
+         CAST(split_part(key, '|', 2) AS INT) AS k,
+         ROUND(LOG2(s1 * s1 + s2 * s2 - coeff * s1 * s2 + 1.0), 9) AS pwb
+  FROM goem
+),
+best AS (
+  SELECT t, k, pwb,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY pwb DESC, k) AS rn
+  FROM powers
+)
+SELECT t AS event_type, k AS dominant_bin,
+       ROUND(CAST({n} AS DOUBLE) / k, 6) AS period_days, pwb AS power_bits
+FROM best WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@register("q315_periodogram", _q315_oracle())
+def q315_periodogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.dsp import audio_filterbank_powers
+
+    n = _Q315_N
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("(ts div 1000) div 86400000000").alias("absday"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    ev = ev.cache()  # bounds + daily + type dimension
+    bounds = ev.agg(F.min("absday").alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("t", (F.col("absday") - F.col("d0")).alias("day"), "cents")
+        .groupBy("t", "day")
+        .agg(F.sum("cents").alias("v"))
+    )
+    grid = (
+        ev.select("t")
+        .distinct()
+        .select(
+            "t", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("day")
+        )
+    )
+    dense = grid.join(daily, ["t", "day"], "left").select(
+        "t", "day", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    bins = ", ".join(str(k) for k in _Q315_BINS)
+    samples = dense.withColumn("k", F.explode(F.expr(f"array({bins})")))
+    powers = audio_filterbank_powers(
+        samples, ["t"], "v", "day", "k", n
+    ).select(
+        "t",
+        "k",
+        # log2 round-9: raw powers at 1e12 magnitude carry cross-engine
+        # 1-ulp fold noise that ROUND(x, 6) cannot mask (the q304 rule)
+        F.round(F.log2(F.col("power") + F.lit(1.0)), 9).alias("pwb"),
+    )
+    win = Window.partitionBy("t").orderBy(F.desc("pwb"), "k")
+    return (
+        powers.select("t", "k", "pwb", F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("k").alias("dominant_bin"),
+            F.round(F.lit(float(n)) / F.col("k"), 6).alias("period_days"),
+            F.col("pwb").alias("power_bits"),
+        )
+        .orderBy("event_type")
+    )
