@@ -4733,3 +4733,158 @@ def q316_ransac_line(spark, sf_dir):
         .orderBy(F.desc("n_inliers"), "candidate")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q317 — bootstrap confidence interval for AUC: B=33 deterministic
+# Poisson(1) replicas (operators/bootstrap hash weights — the q26
+# machinery, the reference's own N=33 convention from
+# time_resolution_beta_scan.py:16) of the q209 pseudo-classifier, each
+# scored with the WEIGHTED tie-averaged Mann-Whitney (the q209 rank
+# formula runs on weighted counts unchanged), then point AUC, replica
+# mean/std, and nearest-rank p05/p95. Weight key = orderkey*100 +
+# linenumber; the few duplicate (orderkey, linenumber) pairs share
+# weights — a documented row-group resampling. Eval metrics with error
+# bars, the rigor step most offline eval pipelines skip.
+# ---------------------------------------------------------------------------
+
+_Q317_B = 33
+
+
+def _q317_oracle() -> str:
+    from ..functions.stats import sql_davg, sql_dstd
+    from ..operators.bootstrap import sql_poisson_count
+    from ..operators.evalmetrics import sql_auc_mann_whitney
+
+    w = sql_poisson_count("l_orderkey * 100 + l_linenumber", "r.b")
+    point = sql_auc_mann_whitney(
+        "lineitem", "'all'", "l_discount",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+    )
+    b = _Q317_B
+    lo = max(1, int(0.05 * b))       # nearest-rank p05 (rank 1-based)
+    hi = min(b, int(0.95 * b) + 1)   # nearest-rank p95
+    return f"""
+WITH reps AS (
+  SELECT l.l_discount AS s,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         r.b, {w} AS w
+  FROM lineitem l CROSS JOIN (SELECT unnest(range(0, {b})) AS b) r
+),
+sc AS (
+  SELECT b, s, SUM(w * y) AS np_at, SUM(w) AS n_at
+  FROM reps GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+rk AS (
+  SELECT b, s, np_at, n_at,
+         2 * COALESCE(SUM(n_at) OVER (
+           PARTITION BY b ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + n_at + 1 AS r2
+  FROM sc
+),
+agg AS (
+  SELECT b, SUM(n_at) AS n, SUM(np_at) AS n_pos, SUM(np_at * r2) AS s2
+  FROM rk GROUP BY 1
+),
+aucs AS (
+  SELECT b, (CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)) AS auc
+  FROM agg
+),
+ranked AS (
+  SELECT auc, ROW_NUMBER() OVER (ORDER BY auc, b) AS rn FROM aucs
+),
+summ AS (
+  SELECT {sql_davg('auc')} AS boot_mean, {sql_dstd('auc')} AS boot_std
+  FROM aucs
+),
+pt AS ({point})
+SELECT pt.auc AS auc_point,
+       ROUND(summ.boot_mean, 9) AS boot_mean,
+       ROUND(summ.boot_std, 9) AS boot_std,
+       (SELECT auc FROM ranked WHERE rn = {lo}) AS p05,
+       (SELECT auc FROM ranked WHERE rn = {hi}) AS p95
+FROM pt CROSS JOIN summ
+"""
+
+
+@register("q317_auc_bootstrap_ci", _q317_oracle())
+def q317_auc_bootstrap_ci(spark, sf_dir):
+    from ..functions.stats import davg, dstd
+    from ..operators.bootstrap import poisson_count_expr
+    from ..operators.evalmetrics import auc_mann_whitney
+
+    b = _Q317_B
+    lo = max(1, int(0.05 * b))
+    hi = min(b, int(0.95 * b) + 1)
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("s"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("k"),
+    )
+    li = li.cache()  # point AUC + the replica fan-out
+    reps = li.select(
+        "s",
+        "y",
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
+    ).select(
+        "s",
+        "y",
+        "b",
+        poisson_count_expr(F.col("k"), F.col("b")).alias("w"),
+    )
+    sc = (
+        reps.groupBy("b", "s")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).alias("np_at"),
+            F.sum("w").alias("n_at"),
+        )
+        .filter(F.col("n_at") > 0)
+    )
+    win = (
+        Window.partitionBy("b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r2 = 2 * F.coalesce(F.sum("n_at").over(win), F.lit(0)) + F.col("n_at") + 1
+    agg = (
+        sc.withColumn("r2", r2)
+        .groupBy("b")
+        .agg(
+            F.sum("n_at").alias("n"),
+            F.sum("np_at").alias("n_pos"),
+            F.sum(F.col("np_at") * F.col("r2")).alias("s2"),
+        )
+    )
+    aucs = agg.select(
+        "b",
+        (
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))).cast("double")
+        ).alias("auc"),
+    )
+    aucs = aucs.cache()  # summary stats + both order statistics
+    ranked = aucs.select(
+        "auc", F.row_number().over(Window.orderBy("auc", "b")).alias("rn")
+    )
+    ranked = ranked.cache()
+    summ = aucs.agg(davg("auc").alias("boot_mean"), dstd("auc").alias("boot_std"))
+    p05 = ranked.filter(F.col("rn") == lo).select(F.col("auc").alias("p05"))
+    p95 = ranked.filter(F.col("rn") == hi).select(F.col("auc").alias("p95"))
+    point = auc_mann_whitney(
+        li.select(F.lit("all").alias("g"), "s", "y"), ["g"], "s", "y"
+    ).select(F.col("auc").alias("auc_point"))
+    return (
+        point.crossJoin(F.broadcast(summ))
+        .crossJoin(F.broadcast(p05))
+        .crossJoin(F.broadcast(p95))
+        .select(
+            "auc_point",
+            F.round("boot_mean", 9).alias("boot_mean"),
+            F.round("boot_std", 9).alias("boot_std"),
+            "p05",
+            "p95",
+        )
+    )
