@@ -721,3 +721,64 @@ def q270_streaming_outer_interval_join(spark, sf_dir):
         .filter(F.col("left_id") >= 0)
         .orderBy("left_id", "right_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q318 — streaming trending top-k: the q53 watermarked windowed rollup
+# drained through the memory sink, then ranked top-3 event types per
+# hour window by (count DESC, type) — the live "trending" dashboard
+# shape (windowed state stays bounded by the watermark; ranking is a
+# post-drain batch step over the emitted windows, exactly how a serving
+# layer consumes the sink). The oracle computes the same windows +
+# rank from the raw table, so streaming emission order cannot matter.
+# ---------------------------------------------------------------------------
+
+_Q318_K = 3
+
+_Q318_ORACLE = f"""
+WITH w AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT window_start_us, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY window_start_us
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM w
+)
+SELECT window_start_us, CAST(rnk AS INT) AS rnk, event_type, n
+FROM rk WHERE rnk <= {_Q318_K}
+ORDER BY window_start_us, rnk
+"""
+
+
+@register("q318_streaming_trending", _Q318_ORACLE)
+def q318_streaming_trending(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..streaming.events import (
+        read_event_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    name = run_available_now(
+        windowed_counts(stream), f"q318_trend_{uuid.uuid4().hex[:8]}"
+    )
+    drained = spark.table(name)
+    win = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), "event_type"
+    )
+    return (
+        drained.select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            "n",
+            F.row_number().over(win).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _Q318_K)
+        .select("window_start_us", "rnk", "event_type", "n")
+        .orderBy("window_start_us", "rnk")
+    )
