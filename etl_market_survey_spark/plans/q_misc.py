@@ -3258,3 +3258,45 @@ def q314_bilinear_resize(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q319 — skyline / Pareto frontier (operators/skyline): the parts that
+# are Pareto-optimal on (retail price, size), both minimized — the
+# multi-criteria "best offers" operator. The Spark side grid-prunes
+# cells dominated by a strictly-smaller occupied cell before the exact
+# dominance anti-join (survivors-only quadratic, bounded by the grid
+# staircase; pruning-soundness: if a pruned point dominated a
+# survivor, its own dominator — strictly smaller in both — dominates
+# that survivor too, and dominator chains terminate in a surviving
+# cell). The oracle runs the INDEPENDENT naive NOT-EXISTS algorithm,
+# so the pruning logic itself is what the gate proves.
+# ---------------------------------------------------------------------------
+
+_Q319_ORACLE = """
+WITH pts AS (
+  SELECT p_partkey AS id,
+         CAST(FLOOR(p_retailprice * 100.0) AS BIGINT) AS x,
+         CAST(p_size AS BIGINT) AS y
+  FROM part
+)
+SELECT a.id, a.x, a.y
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)
+)
+ORDER BY a.id
+"""
+
+
+@register("q319_skyline", _Q319_ORACLE)
+def q319_skyline(spark, sf_dir):
+    from ..operators.skyline import skyline2
+
+    pts = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.floor(F.col("p_retailprice") * 100.0).cast("long").alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+    return skyline2(pts, "x", "y").select("id", "x", "y").orderBy("id")

@@ -138,3 +138,24 @@ def test_filterbank_matches_single_bin(spark):
     ]
     assert got[8] == single
     assert got[8] > 10 * got[4]
+
+
+def test_skyline_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from etl_market_survey_spark.operators.skyline import skyline2
+
+    rng = random.Random(11)
+    pts = [(i, rng.randint(0, 40), rng.randint(0, 40)) for i in range(80)]
+
+    def dominated(a, b):  # b dominates a
+        return b[1] <= a[1] and b[2] <= a[2] and (b[1] < a[1] or b[2] < a[2])
+
+    truth = {
+        p[0] for p in pts if not any(dominated(p, q) for q in pts if q != p)
+    }
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    for grid in (2, 4, 16):
+        got = {r["id"] for r in skyline2(df, "x", "y", grid=grid).collect()}
+        assert got == truth, grid
