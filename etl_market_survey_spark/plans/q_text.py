@@ -1462,7 +1462,11 @@ def q293_lm_perplexity(spark, sf_dir):
         F.lag("w", 1).over(win).alias("b"),
         F.lag("w", 2).over(win).alias("a"),
     )
+    # one tokenize+window pass feeds the three count tables AND the
+    # scoring join (the merge-family one-scan rule)
+    grams = grams.cache()
     train = grams.filter(F.col("doc_id") % 2 == 0)
+    train = train.cache()
     uni = train.groupBy(F.col("c").alias("w")).agg(F.count("*").alias("c1"))
     nv = train.agg(
         F.count("*").alias("n"), F.countDistinct("c").alias("v")
@@ -1609,6 +1613,7 @@ def q294_pmi_collocations(spark, sf_dir):
         F.col("w").alias("y"),
         F.lag("w", 1).over(win).alias("x"),
     )
+    grams = grams.cache()  # feeds uni, the total, and the bigram counts
     uni = grams.groupBy(F.col("y").alias("w")).agg(F.count("*").alias("c1"))
     n1 = grams.agg(F.count("*").alias("n"))
     bi = (
@@ -1717,7 +1722,9 @@ def q295_naive_bayes_langid(spark, sf_dir):
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
         ).alias("w"),
     )
+    toks = toks.cache()  # feeds the train tables and the scoring side
     train = toks.filter(F.col("doc_id") % 2 == 0)
+    train = train.cache()
     cls = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
     tot = cls.agg(F.sum("nd").alias("td"))
     cw = train.groupBy("lang", "w").agg(F.count("*").alias("c"))

@@ -141,7 +141,6 @@ def test_filterbank_matches_single_bin(spark):
 
 
 def test_skyline_matches_brute_force(spark):
-    import itertools
     import random
 
     from etl_market_survey_spark.operators.skyline import skyline2
