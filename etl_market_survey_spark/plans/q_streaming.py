@@ -782,3 +782,76 @@ def q318_streaming_trending(spark, sf_dir):
         .select("window_start_us", "rnk", "event_type", "n")
         .orderBy("window_start_us", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q320 — streaming CUSUM drift alarms (streaming/stateful.
+# streaming_cusum): the q158 Page recurrence as a CUSTOM STATEFUL
+# operator — applyInPandasWithState carries (s, n, alarms) per
+# event_type across micro-batches, folding rows in (ts, event_id)
+# order. The drained per-key final state must equal the batch
+# recursive-CTE replay of the identical IEEE fold — micro-batching is
+# proven not to change a bit. Gated on the 'purchase' series alone:
+# the recursive oracle folds one row per step, so its cost scales with
+# the series length, not the operator's (the operator itself is keyed
+# and runs all series at once).
+# ---------------------------------------------------------------------------
+
+_Q320_K = 5.0
+_Q320_H = 50.0
+
+_Q320_ORACLE = f"""
+WITH RECURSIVE r AS (
+  SELECT event_type AS k, epoch_ns(ts) AS t, event_id AS rid,
+         CAST(value AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY epoch_ns(ts), event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+p AS (
+  SELECT k, rn, GREATEST(0.0, x - {_Q320_K!r}) AS s
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.k, r.rn, GREATEST(0.0, p.s + (r.x - {_Q320_K!r}))
+  FROM r JOIN p ON r.k = p.k AND r.rn = p.rn + 1
+)
+SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n_seen,
+       MAX_BY(s, rn) AS cusum,
+       CAST(SUM(CASE WHEN s > {_Q320_H!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms
+FROM p GROUP BY 1 ORDER BY event_type
+"""
+
+
+@register("q320_streaming_cusum", _Q320_ORACLE)
+def q320_streaming_cusum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..streaming.events import read_event_stream, run_available_now
+    from ..streaming.stateful import streaming_cusum
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    out = streaming_cusum(
+        stream, "event_type", "ts", "event_id", "value", _Q320_K, _Q320_H
+    )
+    name = run_available_now(
+        out, f"q320_cusum_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    drained = spark.table(name)
+    win = Window.partitionBy("key").orderBy(F.desc("n_seen"))
+    return (
+        drained.select(
+            "key", "n_seen", "cusum", "n_alarms",
+            F.row_number().over(win).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("key").alias("event_type"),
+            "n_seen",
+            "cusum",
+            "n_alarms",
+        )
+        .orderBy("event_type")
+    )

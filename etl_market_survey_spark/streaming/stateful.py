@@ -53,3 +53,58 @@ def running_stats(keyed_stream, key_col: str = "event_type", value_col: str = "v
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_STATE_SCHEMA = "s double, n long, alarms long"
+CUSUM_OUTPUT_SCHEMA = "key string, n_seen long, cusum double, n_alarms long"
+
+
+def streaming_cusum(
+    keyed_stream,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    k: float,
+    h: float,
+):
+    """Per-key streaming CUSUM drift detector (Page 1954) —
+    ``s = max(0, s + (x - k))``, alarm counted when ``s > h`` — carried
+    across micro-batches in one (s, n, alarms) state tuple per key.
+    Rows are folded in (ts, id) order within each batch; with the
+    file-replay source's ordered delivery the fold equals the batch
+    recurrence bit-for-bit (IEEE double + / max), which is what the
+    q320 gate proves against the recursive-CTE oracle.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    kf, hf = float(k), float(h)
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state):
+        s, n, alarms = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "rid"], kind="mergesort")
+            for x in pdf["value"].astype(float).tolist():
+                s = max(0.0, s + (x - kf))
+                n += 1
+                if s > hf:
+                    alarms += 1
+        state.update((s, n, alarms))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_seen": [n], "cusum": [s], "n_alarms": [alarms]}
+        )
+
+    prepared = keyed_stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
