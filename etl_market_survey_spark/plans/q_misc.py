@@ -3300,3 +3300,80 @@ def q319_skyline(spark, sf_dir):
         F.col("p_size").cast("long").alias("y"),
     )
     return skyline2(pts, "x", "y").select("id", "x", "y").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# q321 — l-diversity audit (Machanavajjhala et al. 2007), the
+# governance step after q202's k-anonymity: per quasi-identifier group
+# (nation, account-balance band), the count of DISTINCT sensitive
+# values (market segment), the round-9 entropy of the sensitive
+# distribution, and the l>=3 distinct-l-diversity flag. Groups passing
+# k-anonymity can still leak when the sensitive attribute is uniform —
+# which is exactly what this surfaces.
+# ---------------------------------------------------------------------------
+
+_Q321_L = 3
+
+
+def _q321_oracle() -> str:
+    return f"""
+WITH cells AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment AS seg, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT nation, bal_band, n,
+         CAST(FLOOR(
+           -(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY nation, bal_band))
+            * LOG2(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY nation, bal_band))
+            * 1000000000.0) AS BIGINT) AS t
+  FROM cells
+),
+grp AS (
+  SELECT nation, bal_band, SUM(n) AS n_rows, COUNT(*) AS n_distinct,
+         CAST(SUM(t) AS DOUBLE) / -1000000000.0 AS neg_h
+  FROM terms GROUP BY 1, 2
+)
+SELECT nation, bal_band, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct AS BIGINT) AS l_distinct,
+       ROUND(-neg_h, 9) AS entropy_bits,
+       n_distinct >= {_Q321_L} AS l_diverse
+FROM grp ORDER BY nation, bal_band
+"""
+
+
+@register("q321_l_diversity", _q321_oracle())
+def q321_l_diversity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cells = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("nation", "bal_band")
+    p = F.col("n").cast("double") / F.sum("n").over(w)
+    term = F.floor(-(p * F.log2(p)) * 1000000000.0).cast("long")
+    grp = (
+        cells.select("nation", "bal_band", "n", term.alias("t"))
+        .groupBy("nation", "bal_band")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("l_distinct"),
+            (F.sum("t").cast("double") / -1000000000.0).alias("neg_h"),
+        )
+    )
+    return grp.select(
+        "nation",
+        "bal_band",
+        "n_rows",
+        "l_distinct",
+        F.round(-F.col("neg_h"), 9).alias("entropy_bits"),
+        (F.col("l_distinct") >= _Q321_L).alias("l_diverse"),
+    ).orderBy("nation", "bal_band")

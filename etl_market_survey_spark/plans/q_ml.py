@@ -4888,3 +4888,95 @@ def q317_auc_bootstrap_ci(spark, sf_dir):
             "p95",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q322 — (sharp) regression-discontinuity design: local linear fits on
+# both sides of the discount cutoff (c = 5 cents, bandwidth 3) and the
+# treatment effect as the difference of the two fits AT the cutoff —
+# completing the causal family (CUPED q282, DiD q283, QTE q284, IPW
+# q291, AIPW q292) with the quasi-experimental boundary design. Both
+# side fits are exact decimal sufficient stats + the shared Cramer 2x2
+# text; one scan, two filtered aggregates.
+# ---------------------------------------------------------------------------
+
+_Q322_CUT = 5
+_Q322_BW = 3
+
+
+def _q322_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    det = "(sw * swxx - swx * swx)"
+    b0 = f"ROUND((swxx * swy - swx * swxy) / {det}, 9)"
+    b1 = f"ROUND((sw * swxy - swx * swy) / {det}, 9)"
+    c = _Q322_CUT
+
+    def side(name, cond):
+        return f"""
+{name} AS (
+  SELECT {sql_dsum('1.0')} AS sw, {sql_dsum('(1.0 * x)')} AS swx,
+         {sql_dsum('(1.0 * x * x)')} AS swxx,
+         {sql_dsum('(1.0 * y)')} AS swy, {sql_dsum('(1.0 * x * y)')} AS swxy
+  FROM rows_r WHERE {cond}
+),
+{name}b AS (SELECT {b0} AS b0, {b1} AS b1 FROM {name})"""
+
+    lo, hi = _Q322_CUT - _Q322_BW, _Q322_CUT + _Q322_BW - 1
+    return f"""
+WITH rows_r AS (
+  SELECT CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) / 100.0e0 AS y
+  FROM lineitem
+),{side('ls', f'x >= {lo} AND x < {c}')},{side('rs', f'x >= {c} AND x <= {hi}')}
+SELECT l.b0 AS left_b0, l.b1 AS left_b1,
+       r.b0 AS right_b0, r.b1 AS right_b1,
+       ROUND((r.b0 + r.b1 * {c}) - (l.b0 + l.b1 * {c}), 6) AS rdd_effect
+FROM lsb l CROSS JOIN rsb r
+"""
+
+
+@register("q322_regression_discontinuity", _q322_oracle())
+def q322_regression_discontinuity(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    det = "(sw * swxx - swx * swx)"
+    c, bw = _Q322_CUT, _Q322_BW
+    rows_r = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100.0).cast("long").alias("x"),
+        (
+            F.floor(F.col("l_extendedprice") * 100.0).cast("long") / F.lit(100.0)
+        ).alias("y"),
+    )
+    rows_r = rows_r.cache()  # both side fits read the same slim frame
+
+    def fit(cond):
+        s = rows_r.filter(cond).agg(
+            dsum(F.lit(1.0)).alias("sw"),
+            dsum(F.lit(1.0) * F.col("x")).alias("swx"),
+            dsum(F.lit(1.0) * F.col("x") * F.col("x")).alias("swxx"),
+            dsum(F.lit(1.0) * F.col("y")).alias("swy"),
+            dsum(F.lit(1.0) * F.col("x") * F.col("y")).alias("swxy"),
+        )
+        return s.select(
+            F.expr(f"ROUND((swxx * swy - swx * swxy) / {det}, 9)").alias("b0"),
+            F.expr(f"ROUND((sw * swxy - swx * swy) / {det}, 9)").alias("b1"),
+        )
+
+    left = fit((F.col("x") >= c - bw) & (F.col("x") < c)).select(
+        F.col("b0").alias("left_b0"), F.col("b1").alias("left_b1")
+    )
+    right = fit((F.col("x") >= c) & (F.col("x") <= c + bw - 1)).select(
+        F.col("b0").alias("right_b0"), F.col("b1").alias("right_b1")
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "left_b0",
+        "left_b1",
+        "right_b0",
+        "right_b1",
+        F.round(
+            (F.col("right_b0") + F.col("right_b1") * c)
+            - (F.col("left_b0") + F.col("left_b1") * c),
+            6,
+        ).alias("rdd_effect"),
+    )
