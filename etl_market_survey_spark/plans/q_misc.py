@@ -3377,3 +3377,157 @@ def q321_l_diversity(spark, sf_dir):
         F.round(-F.col("neg_h"), 9).alias("entropy_bits"),
         (F.col("l_distinct") >= _Q321_L).alias("l_diverse"),
     ).orderBy("nation", "bal_band")
+
+
+# ---------------------------------------------------------------------------
+# q323 — polygon metrics via star-polygon construction: each nation's
+# hashed point cloud is ordered around its mean anchor by the INTEGER-
+# ARITHMETIC pseudo-angle (dy>=0 ? 1 - dx/(|dx|+|dy|) : 3 + dx/(...)
+# — monotone in true angle, no atan2/libm, so the ordering is
+# cross-engine identical), then the shoelace formula gives exact
+# integer 2*area, the polygon centroid is an integer-sum ratio, and
+# the perimeter folds IEEE sqrt edge lengths through the exact decimal
+# grid. Computational geometry without a single transcendental.
+# ---------------------------------------------------------------------------
+
+
+def _q323_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    m = _Q259_M
+    return f"""
+WITH pts AS (
+  SELECT c_nationkey AS nat, c_custkey AS id,
+         CAST((c_custkey * 48271) % {m} AS BIGINT) AS x,
+         CAST((c_custkey * 16807) % {m} AS BIGINT) AS y
+  FROM customer
+),
+anchor AS (
+  SELECT nat, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ay
+  FROM pts GROUP BY 1
+),
+ang AS (
+  SELECT p.nat, p.id, p.x, p.y,
+         CASE WHEN (p.x - a.ax) = 0 AND (p.y - a.ay) = 0 THEN -9.0
+              WHEN (p.y - a.ay) >= 0
+              THEN 1.0 - (p.x - a.ax) / (ABS(p.x - a.ax) + ABS(p.y - a.ay))
+              ELSE 3.0 + (p.x - a.ax) / (ABS(p.x - a.ax) + ABS(p.y - a.ay))
+         END AS pa
+  FROM pts p JOIN anchor a USING (nat)
+),
+ordered AS (
+  SELECT nat, x, y,
+         ROW_NUMBER() OVER (PARTITION BY nat ORDER BY pa, id) AS rn,
+         COUNT(*) OVER (PARTITION BY nat) AS n
+  FROM ang
+),
+edges AS (
+  SELECT o.nat, o.x AS x1, o.y AS y1, nx.x AS x2, nx.y AS y2
+  FROM ordered o
+  JOIN ordered nx ON nx.nat = o.nat AND nx.rn = o.rn % o.n + 1
+),
+met AS (
+  SELECT nat,
+         SUM(x1 * y2 - x2 * y1) AS area2,
+         SUM((x1 + x2) * (x1 * y2 - x2 * y1)) AS cxn,
+         SUM((y1 + y2) * (x1 * y2 - x2 * y1)) AS cyn,
+         {sql_dsum(
+             'SQRT(CAST((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)'
+             ' AS DOUBLE))'
+         )} AS perim,
+         COUNT(*) AS n
+  FROM edges GROUP BY 1
+)
+SELECT nat AS nation, CAST(n AS BIGINT) AS n_vertices,
+       ABS(CAST(area2 AS DOUBLE)) / 2.0 AS area,
+       ROUND(CAST(cxn AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)), 6) AS cx,
+       ROUND(CAST(cyn AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)), 6) AS cy,
+       ROUND(perim, 6) AS perimeter
+FROM met ORDER BY nation
+"""
+
+
+@register("q323_polygon_metrics", _q323_oracle())
+def q323_polygon_metrics(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.stats import dsum
+
+    m = _Q259_M
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % m).cast("long").alias("x"),
+        ((F.col("c_custkey") * 16807) % m).cast("long").alias("y"),
+    )
+    pts = pts.cache()  # anchor aggregate + the angle join
+    anchor = pts.groupBy("nat").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("ax"),
+        (F.sum("y").cast("double") / F.count("*")).alias("ay"),
+    )
+    dx = F.col("x") - F.col("ax")
+    dy = F.col("y") - F.col("ay")
+    pa = (
+        F.when((dx == 0) & (dy == 0), F.lit(-9.0))
+        .when(dy >= 0, F.lit(1.0) - dx / (F.abs(dx) + F.abs(dy)))
+        .otherwise(F.lit(3.0) + dx / (F.abs(dx) + F.abs(dy)))
+    )
+    ang = pts.join(F.broadcast(anchor), "nat").select(
+        "nat", "id", "x", "y", pa.alias("pa")
+    )
+    w = Window.partitionBy("nat").orderBy("pa", "id")
+    wn = Window.partitionBy("nat")
+    ordered = ang.select(
+        "nat",
+        "x",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    ordered = ordered.cache()  # both sides of the wrap-around edge join
+    nxt = ordered.select(
+        F.col("nat").alias("nat2"),
+        F.col("rn").alias("rn2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    edges = ordered.join(
+        nxt,
+        (F.col("nat2") == F.col("nat"))
+        & (F.col("rn2") == F.col("rn") % F.col("n") + 1),
+    ).select(
+        "nat",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        "x2",
+        "y2",
+    )
+    cross = F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    elen = F.sqrt(
+        (
+            (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+            + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+        ).cast("double")
+    )
+    met = edges.groupBy("nat").agg(
+        F.sum(cross).alias("area2"),
+        F.sum((F.col("x1") + F.col("x2")) * cross).alias("cxn"),
+        F.sum((F.col("y1") + F.col("y2")) * cross).alias("cyn"),
+        dsum(elen).alias("perim"),
+        F.count("*").alias("n"),
+    )
+    return met.select(
+        F.col("nat").alias("nation"),
+        F.col("n").cast("long").alias("n_vertices"),
+        (F.abs(F.col("area2").cast("double")) / 2.0).alias("area"),
+        F.round(
+            F.col("cxn").cast("double") / (3.0 * F.col("area2").cast("double")),
+            6,
+        ).alias("cx"),
+        F.round(
+            F.col("cyn").cast("double") / (3.0 * F.col("area2").cast("double")),
+            6,
+        ).alias("cy"),
+        F.round("perim", 6).alias("perimeter"),
+    ).orderBy("nation")
