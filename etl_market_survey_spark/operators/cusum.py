@@ -273,3 +273,83 @@ p AS (
 SELECT _k AS {key_expr}, {oc}, _x AS {value_expr}, lvl AS level, tr AS trend, forecast
 FROM p
 """
+
+
+def croston_per_key(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    qty_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Croston (1972) intermittent-demand forecast per key: over the
+    DEMAND events only (zero days carry no row), smooth the demand size
+    ``z = a*q + (1-a)*z`` and the inter-demand interval
+    ``p = a*tau + (1-a)*p`` (tau = day gap to the previous demand),
+    initialized ``z = q_1, p = 1``; forecast per period = ``z / p``.
+    The sequential fold runs per key in an Arrow kernel (the Holt
+    contract) and the oracle replays the identical IEEE recurrence as
+    a recursive CTE. Output: key, n_demands, level round-9, interval
+    round-9, forecast round-9."""
+    import pandas as pd
+
+    a = float(alpha)
+    fields = dict(df.dtypes)
+    schema = (
+        f"`{key_col}` {fields[key_col]}, n_demands long, "
+        f"level double, interval double, forecast double"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col, kind="mergesort")
+        days = pdf[day_col].to_numpy()
+        qs = pdf[qty_col].astype(float).to_numpy()
+        z = float(qs[0])
+        p = 1.0
+        for i in range(1, len(qs)):
+            tau = float(days[i] - days[i - 1])
+            z = a * float(qs[i]) + (1.0 - a) * z
+            p = a * tau + (1.0 - a) * p
+        return pd.DataFrame(
+            [
+                {
+                    key_col: pdf[key_col].iloc[0],
+                    "n_demands": len(qs),
+                    "level": round(z, 9),
+                    "interval": round(p, 9),
+                    "forecast": round(z / p, 9),
+                }
+            ]
+        )
+
+    return df.groupBy(key_col).applyInPandas(run, schema)
+
+
+def sql_croston_per_key(
+    table: str, key_expr: str, day_expr: str, qty_expr: str, alpha: float
+) -> str:
+    """DuckDB mirror of :func:`croston_per_key` — keep in lockstep."""
+    a = float(alpha)
+    return f"""
+WITH RECURSIVE cr_r AS (
+  SELECT {key_expr} AS k, {day_expr} AS d, CAST({qty_expr} AS DOUBLE) AS q,
+         ROW_NUMBER() OVER (PARTITION BY {key_expr} ORDER BY {day_expr})
+           AS rn,
+         {day_expr} - LAG({day_expr}) OVER (
+           PARTITION BY {key_expr} ORDER BY {day_expr}) AS tau
+  FROM {table}
+),
+cr_p AS (
+  SELECT k, rn, q AS z, CAST(1.0 AS DOUBLE) AS p
+  FROM cr_r WHERE rn = 1
+  UNION ALL
+  SELECT r.k, r.rn,
+         {a!r} * r.q + {1.0 - a!r} * s.z,
+         {a!r} * CAST(r.tau AS DOUBLE) + {1.0 - a!r} * s.p
+  FROM cr_r r JOIN cr_p s ON r.k = s.k AND r.rn = s.rn + 1
+),
+cr AS (
+  SELECT k, MAX(rn) AS n_demands,
+         MAX_BY(z, rn) AS z, MAX_BY(p, rn) AS p
+  FROM cr_p GROUP BY 1
+)"""

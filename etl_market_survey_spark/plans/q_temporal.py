@@ -1900,3 +1900,60 @@ def q315_periodogram(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q324 — Croston intermittent-demand forecasting (operators/cusum.
+# croston_per_key): per slow-moving part (5 pinned keys), smooth
+# demand sizes and inter-demand intervals over demand days only —
+# THE standard for sparse/lumpy series where Holt (q239) and seasonal
+# models (q238) degenerate. Per-key Arrow fold; recursive-CTE oracle
+# replays the identical IEEE recurrence (gate cost scales with series
+# length, the q320 rule).
+# ---------------------------------------------------------------------------
+
+_Q324_ALPHA = 0.1
+_Q324_PARTS = (1, 2, 3, 4, 5)
+
+
+def _q324_oracle() -> str:
+    from ..operators.cusum import sql_croston_per_key
+
+    keys = ", ".join(str(k) for k in _Q324_PARTS)
+    body = sql_croston_per_key(
+        "demand", "part", "day", "q", _Q324_ALPHA
+    )
+    return f"""
+WITH RECURSIVE demand AS (
+  SELECT l_partkey AS part,
+         CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS day,
+         SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem WHERE l_partkey IN ({keys})
+  GROUP BY 1, 2
+),
+{body.split('WITH RECURSIVE', 1)[1]}
+SELECT k AS part, CAST(n_demands AS BIGINT) AS n_demands,
+       ROUND(z, 9) AS level, ROUND(p, 9) AS interval,
+       ROUND(z / p, 9) AS forecast
+FROM cr ORDER BY part
+"""
+
+
+@register("q324_croston_forecast", _q324_oracle())
+def q324_croston_forecast(spark, sf_dir):
+    from ..operators.cusum import croston_per_key
+
+    demand = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isin(*_Q324_PARTS))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    return croston_per_key(demand, "part", "day", "q", _Q324_ALPHA).orderBy(
+        "part"
+    )
