@@ -1883,3 +1883,192 @@ def q307_textrank_keywords(spark, sf_dir):
         .orderBy(F.desc("pr"), "token")
         .limit(_Q307_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q325 — team-draft interleaving (Radlinski et al., CIKM 2008): the
+# online ranker-comparison protocol. Ranker A = BM25 (q93), ranker B =
+# raw term-frequency; per round a deterministic coin (XXH64 of the
+# round index, pinned as literals by the shared Python model) decides
+# which team drafts first, each team picks its best not-yet-picked
+# doc, and deterministic "clicks" (docs containing all three query
+# terms) credit the team that picked them. The draft is a sequential
+# state machine: the Spark side runs it in a per-query Arrow kernel,
+# and the oracle replays it as a recursive CTE carrying the picked
+# list — the q305 list-state treatment applied to evaluation.
+# ---------------------------------------------------------------------------
+
+_Q325_DEPTH = 10  # 5 rounds x 2 picks
+_Q325_TOP = 20
+
+
+def _q325_coins() -> list[int]:
+    from ..functions.xxh64sql import hash_long, to_signed
+
+    return [
+        abs(to_signed(hash_long(r, 42))) % 2
+        for r in range(_Q325_DEPTH // 2)
+    ]
+
+
+def _q325_oracle() -> str:
+    from ..functions.relevance import sql_bm25_scores
+
+    coins = _q325_coins()
+    coin_case = " ".join(
+        f"WHEN {r} THEN {c}" for r, c in enumerate(coins)
+    )
+    terms_any = " OR ".join(f"tok = '{t}'" for t in _Q93_TERMS)
+    n_terms = len(_Q93_TERMS)
+    return f"""
+WITH RECURSIVE scored AS ({sql_bm25_scores(_Q93_TERMS)}),
+la AS (
+  SELECT list(doc_id ORDER BY rn) AS l FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_Q325_TOP}
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+tfb AS (
+  SELECT doc_id, COUNT(*) AS tf
+  FROM toks WHERE {terms_any} GROUP BY 1
+),
+lb AS (
+  SELECT list(doc_id ORDER BY rn) AS l FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rn
+    FROM tfb
+  ) WHERE rn <= {_Q325_TOP}
+),
+rel AS (
+  SELECT doc_id FROM toks WHERE {terms_any}
+  GROUP BY 1 HAVING COUNT(DISTINCT tok) = {n_terms}
+),
+draft AS (
+  SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked,
+         CAST([] AS VARCHAR[]) AS teams
+  UNION ALL
+  SELECT step + 1,
+         picked || [p1] || [p2],
+         teams || [t1] || [CASE WHEN t1 = 'A' THEN 'B' ELSE 'A' END]
+  FROM (
+    SELECT d.step, d.picked, d.teams,
+           CASE (CASE d.step {coin_case} END)
+             WHEN 0 THEN 'A' ELSE 'B' END AS t1,
+           list_filter(
+             CASE (CASE d.step {coin_case} END)
+               WHEN 0 THEN la.l ELSE lb.l END,
+             x -> NOT list_contains(d.picked, x))[1] AS p1,
+           CASE (CASE d.step {coin_case} END)
+             WHEN 0 THEN lb.l ELSE la.l END AS lsec
+    FROM draft d CROSS JOIN la CROSS JOIN lb
+    WHERE d.step < {_Q325_DEPTH // 2}
+  ) s
+  CROSS JOIN LATERAL (
+    SELECT list_filter(
+      s.lsec, x -> NOT list_contains(s.picked || [s.p1], x))[1] AS p2
+  ) q
+),
+finals AS (
+  SELECT picked, teams FROM draft WHERE step = {_Q325_DEPTH // 2}
+),
+rows_o AS (
+  SELECT g.i AS pos, picked[g.i] AS doc_id, teams[g.i] AS team
+  FROM finals CROSS JOIN generate_series(1, {_Q325_DEPTH}) g(i)
+)
+SELECT r.pos, r.doc_id, r.team,
+       EXISTS (SELECT 1 FROM rel WHERE rel.doc_id = r.doc_id) AS clicked
+FROM rows_o r ORDER BY r.pos
+"""
+
+
+@register("q325_team_draft_interleave", _q325_oracle())
+def q325_team_draft_interleave(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ..functions.relevance import bm25_scores
+
+    coins = _q325_coins()
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.cache()  # BM25 + tf ranker + relevance set
+    scored = bm25_scores(docs, _Q93_TERMS)
+    wa = Window.orderBy(F.desc("score"), "doc_id")
+    la = (
+        scored.select("doc_id", F.row_number().over(wa).alias("rn"))
+        .filter(F.col("rn") <= _Q325_TOP)
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                lambda s: s["doc_id"],
+            ).alias("la")
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    ).filter(F.col("tok").isin(*_Q93_TERMS))
+    toks = toks.cache()  # tf ranker + relevance set
+    tfb = toks.groupBy("doc_id").agg(F.count("*").alias("tf"))
+    wb = Window.orderBy(F.desc("tf"), "doc_id")
+    lb = (
+        tfb.select("doc_id", F.row_number().over(wb).alias("rn"))
+        .filter(F.col("rn") <= _Q325_TOP)
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                lambda s: s["doc_id"],
+            ).alias("lb")
+        )
+    )
+    rel = (
+        toks.groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("nt"))
+        .filter(F.col("nt") == len(_Q93_TERMS))
+        .groupBy()
+        .agg(F.collect_list("doc_id").alias("rel"))
+    )
+    state = (
+        la.crossJoin(F.broadcast(lb))
+        .crossJoin(F.broadcast(rel))
+        .withColumn("qid", F.lit(0))
+    )
+    depth = _Q325_DEPTH
+
+    def draft(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        la_, lb_ = list(row["la"]), list(row["lb"])
+        rel_ = set(row["rel"])
+        picked, teams = [], []
+        for r in range(depth // 2):
+            first = "A" if coins[r] == 0 else "B"
+            lists = {"A": la_, "B": lb_}
+            p1 = next(d for d in lists[first] if d not in picked)
+            picked.append(p1)
+            teams.append(first)
+            second = "B" if first == "A" else "A"
+            p2 = next(d for d in lists[second] if d not in picked)
+            picked.append(p2)
+            teams.append(second)
+        return pd.DataFrame(
+            {
+                "pos": range(1, depth + 1),
+                "doc_id": picked,
+                "team": teams,
+                "clicked": [d in rel_ for d in picked],
+            }
+        )
+
+    return (
+        state.groupBy("qid")
+        .applyInPandas(
+            draft, "pos long, doc_id long, team string, clicked boolean"
+        )
+        .orderBy("pos")
+    )
