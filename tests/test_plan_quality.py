@@ -333,6 +333,14 @@ _R4B_BOUNDED_BNLJ = {
     "q311_als_round",            # 1-row fit row
     "q312_woe_iv",               # 1-row totals + IV scalar
     "q313_huber_irls",           # 1-row coefficient rows
+    "q315_periodogram",          # 1-row day-bound grid row
+    "q316_ransac_line",          # 16-row candidate broadcast
+    "q317_auc_bootstrap_ci",     # 1-row metric/percentile rows
+    "q319_skyline",              # bounded staircase anti-join
+    "q322_regression_discontinuity",  # 1-row side-fit rows
+    "q323_polygon_metrics",      # per-nation anchor broadcast
+    "q324_croston_forecast",     # pinned 5-part series
+    "q325_team_draft_interleave",  # 1-row ranking-list state
 }
 
 
@@ -360,6 +368,15 @@ _R4B_BOUNDED_BNLJ = {
         "q312_woe_iv",
         "q313_huber_irls",
         "q314_bilinear_resize",
+        "q315_periodogram",
+        "q316_ransac_line",
+        "q317_auc_bootstrap_ci",
+        "q319_skyline",
+        "q321_l_diversity",
+        "q322_regression_discontinuity",
+        "q323_polygon_metrics",
+        "q324_croston_forecast",
+        "q325_team_draft_interleave",
     ],
 )
 def test_r4b_no_cartesian_and_codegen(static_plan, name):
