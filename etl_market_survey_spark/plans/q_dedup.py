@@ -2300,3 +2300,137 @@ def q310_minhash_quality(spark, sf_dir):
             ).alias("f1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q326 — margin-based bitext mining (Artetxe & Schwenk 2019), the
+# parallel-corpus miner behind CCMatrix-scale translation data: the
+# embedding corpus splits into a "source" and "target" half, every
+# cross-side dot product lives on the exact 1e-12 integer grid
+# (floor-scaled coordinates, so both engines agree bit-for-bit),
+# margin(x, y) = 2*dot / (avgtop4(x) + avgtop4(y)), and a pair is
+# mined when x and y are MUTUAL cross-side argmaxes with margin above
+# threshold. The gate computes all cross dots (bounded halves); the
+# production path swaps in the ANN family (q40/q117) for candidate
+# generation — the margin/mutual algebra is candidate-source-agnostic.
+# ---------------------------------------------------------------------------
+
+_Q326_SPLIT = 250
+_Q326_K = 4
+_Q326_MARGIN = 1.05
+
+
+def _q326_oracle() -> str:
+    k, m = _Q326_K, _Q326_MARGIN
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS g
+  FROM embeddings
+),
+src AS (SELECT * FROM e WHERE vec_id < {_Q326_SPLIT}),
+tgt AS (SELECT * FROM e WHERE vec_id >= {_Q326_SPLIT}),
+dots AS (
+  SELECT s.vec_id AS x, t.vec_id AS y, SUM(s.g * t.g) AS dot
+  FROM src s JOIN tgt t ON s.d = t.d
+  GROUP BY 1, 2
+),
+ax AS (
+  SELECT x, CAST(SUM(dot) AS DOUBLE) / {k} AS avg_x FROM (
+    SELECT x, dot, ROW_NUMBER() OVER (PARTITION BY x ORDER BY dot DESC, y)
+             AS rn
+    FROM dots
+  ) WHERE rn <= {k} GROUP BY 1
+),
+ay AS (
+  SELECT y, CAST(SUM(dot) AS DOUBLE) / {k} AS avg_y FROM (
+    SELECT y, dot, ROW_NUMBER() OVER (PARTITION BY y ORDER BY dot DESC, x)
+             AS rn
+    FROM dots
+  ) WHERE rn <= {k} GROUP BY 1
+),
+bx AS (
+  SELECT x, y FROM (
+    SELECT x, y, ROW_NUMBER() OVER (PARTITION BY x ORDER BY dot DESC, y)
+             AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+by_ AS (
+  SELECT x, y FROM (
+    SELECT x, y, ROW_NUMBER() OVER (PARTITION BY y ORDER BY dot DESC, x)
+             AS rn
+    FROM dots
+  ) WHERE rn = 1
+)
+SELECT d.x AS src_id, d.y AS tgt_id,
+       ROUND(2.0 * CAST(d.dot AS DOUBLE) / (ax.avg_x + ay.avg_y), 9)
+         AS margin
+FROM dots d
+JOIN bx ON bx.x = d.x AND bx.y = d.y
+JOIN by_ ON by_.y = d.y AND by_.x = d.x
+JOIN ax ON ax.x = d.x
+JOIN ay ON ay.y = d.y
+WHERE 2.0 * CAST(d.dot AS DOUBLE) / (ax.avg_x + ay.avg_y) >= {m}
+ORDER BY src_id
+"""
+
+
+@register("q326_bitext_margin_mining", _q326_oracle())
+def q326_bitext_margin_mining(spark, sf_dir):
+    from pyspark.sql import Window
+
+    k, m = _Q326_K, _Q326_MARGIN
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("v").cast("double") * 1000000.0).cast("long").alias("g"),
+    )
+    e = e.cache()  # both halves come from one explode
+    src = e.filter(F.col("vec_id") < _Q326_SPLIT).select(
+        F.col("vec_id").alias("x"), "d", F.col("g").alias("gx")
+    )
+    tgt = e.filter(F.col("vec_id") >= _Q326_SPLIT).select(
+        F.col("vec_id").alias("y"), "d", F.col("g").alias("gy")
+    )
+    dots = (
+        src.join(tgt, "d")
+        .groupBy("x", "y")
+        .agg(F.sum(F.col("gx") * F.col("gy")).alias("dot"))
+    )
+    dots = dots.cache()  # top-k stats + both argmaxes + the final join
+    wx = Window.partitionBy("x").orderBy(F.desc("dot"), "y")
+    wy = Window.partitionBy("y").orderBy(F.desc("dot"), "x")
+    ranked = dots.select(
+        "x", "y", "dot",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    ranked = ranked.cache()
+    ax = (
+        ranked.filter(F.col("rx") <= k)
+        .groupBy("x")
+        .agg((F.sum("dot").cast("double") / k).alias("avg_x"))
+    )
+    ay = (
+        ranked.filter(F.col("ry") <= k)
+        .groupBy("y")
+        .agg((F.sum("dot").cast("double") / k).alias("avg_y"))
+    )
+    mutual = ranked.filter((F.col("rx") == 1) & (F.col("ry") == 1))
+    margin = 2.0 * F.col("dot").cast("double") / (F.col("avg_x") + F.col("avg_y"))
+    return (
+        mutual.join(ax, "x")
+        .join(ay, "y")
+        .filter(margin >= m)
+        .select(
+            F.col("x").alias("src_id"),
+            F.col("y").alias("tgt_id"),
+            F.round(margin, 9).alias("margin"),
+        )
+        .orderBy("src_id")
+    )
