@@ -88,3 +88,82 @@ def cap_per_domain(
     return out.withColumn(
         "kept", F.row_number().over(w) <= max_per_domain
     )
+
+
+def canonical_url(c: str | Column) -> Column:
+    """Canonical form for dedup keys: lowercase scheme/host, default
+    ports dropped, fragment dropped, tracking params (utm_*, gclid,
+    fbclid, ref) dropped, remaining query params sorted, trailing
+    path slashes stripped (root stays '/'). Keep in lockstep with
+    :func:`sql_canonical_url`."""
+    s = F.col(c) if isinstance(c, str) else c
+    scheme = F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    port = F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    raw_path = F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    path = F.regexp_replace(raw_path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(s, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("gclid=")
+            & ~p.startswith("fbclid=")
+            & ~p.startswith("ref="),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def sql_canonical_url(expr: str) -> str:
+    """DuckDB mirror of :func:`canonical_url` — keep in lockstep."""
+    scheme = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host = (
+        f"lower(regexp_extract({expr},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+    )
+    port = (
+        f"regexp_extract({expr},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1)"
+    )
+    raw_path = (
+        f"regexp_extract({expr},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)"
+    )
+    path = (
+        f"(CASE WHEN regexp_replace({raw_path}, '/+$', '') = '' THEN '/'"
+        f" ELSE regexp_replace({raw_path}, '/+$', '') END)"
+    )
+    q = f"regexp_extract({expr}, '\\?([^#]*)', 1)"
+    params = (
+        f"array_to_string(list_sort(list_filter(string_split({q}, '&'),"
+        f" p -> p <> '' AND NOT starts_with(p, 'utm_')"
+        f" AND NOT starts_with(p, 'gclid=')"
+        f" AND NOT starts_with(p, 'fbclid=')"
+        f" AND NOT starts_with(p, 'ref='))), '&')"
+    )
+    keep_port = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80')"
+        f" AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    return (
+        f"({scheme} || '://' || {host}"
+        f" || (CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END)"
+        f" || {path}"
+        f" || (CASE WHEN {params} <> '' THEN '?' || {params} ELSE '' END))"
+    )

@@ -2072,3 +2072,86 @@ def q325_team_draft_interleave(spark, sf_dir):
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# q327 — URL canonicalization (functions/urls.canonical_url): the
+# dedup-key normalization every web-curation pipeline runs before
+# per-URL dedup — case-folded scheme/host, default ports and fragments
+# dropped, tracking params (utm_*, gclid, fbclid, ref) removed,
+# surviving query params SORTED, trailing path slashes stripped. Three
+# synthesized variants per document (shuffled params, UTM noise,
+# default port, fragment, trailing slash) must collapse to ONE
+# canonical each; pure string expressions, SQL-replayed.
+# ---------------------------------------------------------------------------
+
+
+def _q327_oracle() -> str:
+    from ..functions.urls import sql_canonical_url
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         'https://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+           || '.com:443/articles/' || CAST(doc_id AS VARCHAR)
+           || '?b=2&a=1#sec' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://www.site' || CAST(doc_id % 50 AS VARCHAR)
+           || '.com/articles/' || CAST(doc_id AS VARCHAR)
+           || '/?a=1&b=2&utm_source=x' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://www.site' || CAST(doc_id % 50 AS VARCHAR)
+           || '.com/articles/' || CAST(doc_id AS VARCHAR)
+           || '?a=1&utm_campaign=y&b=2' AS url
+  FROM documents
+)
+SELECT {sql_canonical_url('url')} AS canonical,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
+FROM raw GROUP BY 1 ORDER BY canonical
+"""
+
+
+@register("q327_url_canonicalize", _q327_oracle())
+def q327_url_canonicalize(spark, sf_dir):
+    from ..functions.urls import canonical_url
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.cache()  # three variant branches off one scan
+    k = F.col("doc_id") % 50
+    i = F.col("doc_id")
+
+    def u(*parts):
+        return F.concat(*[p if isinstance(p, F.Column) else F.lit(p) for p in parts])
+
+    v0 = docs.select(
+        u(
+            "https://WWW.Site", k.cast("string"), ".com:443/articles/",
+            i.cast("string"), "?b=2&a=1#sec",
+        ).alias("url")
+    )
+    v1 = docs.select(
+        u(
+            "https://www.site", k.cast("string"), ".com/articles/",
+            i.cast("string"), "/?a=1&b=2&utm_source=x",
+        ).alias("url")
+    )
+    v2 = docs.select(
+        u(
+            "https://www.site", k.cast("string"), ".com/articles/",
+            i.cast("string"), "?a=1&utm_campaign=y&b=2",
+        ).alias("url")
+    )
+    raw = v0.unionByName(v1).unionByName(v2)
+    return (
+        raw.groupBy(canonical_url("url").alias("canonical"))
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.countDistinct("url").cast("long").alias("n_distinct_raw"),
+        )
+        .orderBy("canonical")
+    )
