@@ -4980,3 +4980,125 @@ def q322_regression_discontinuity(spark, sf_dir):
             6,
         ).alias("rdd_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q328 — Mann-Whitney U test (two-sample, normal approximation with
+# tie correction): U from the exact doubled-rank machinery the q209
+# AUC shares, sigma with the tie-correction term from per-value
+# counts, z continuity-corrected, and the two-sided p-value through
+# the shared-text erf polynomial (q137 — A&S 7.1.26, identical
+# expression both engines). Completes the nonparametric-test family
+# (KS q215, chi-square q216, Mann-Kendall q244) with the rank-sum
+# member. Sample A = returned lines, B = the rest; variable = quantity.
+# ---------------------------------------------------------------------------
+
+
+def _q328_oracle() -> str:
+    from ..functions.mathx import sql_erf
+
+    z = "zc"
+    p = f"ROUND(1.0 - ({sql_erf(f'ABS({z}) / 1.4142135623730951')}), 9)"
+    return f"""
+WITH vals AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+  FROM lineitem
+),
+sc AS (
+  SELECT v, SUM(a) AS na_at, COUNT(*) AS n_at FROM vals GROUP BY 1
+),
+rk AS (
+  SELECT v, na_at, n_at,
+         2 * COALESCE(SUM(n_at) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + n_at + 1 AS r2
+  FROM sc
+),
+agg AS (
+  SELECT SUM(n_at) AS n, SUM(na_at) AS na, SUM(na_at * r2) AS s2,
+         SUM(CAST(n_at AS HUGEINT) * n_at * n_at - n_at) AS ties
+  FROM rk
+),
+stat AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+         (CAST(s2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * (na + 1) / 2.0)
+           AS u,
+         CAST(na AS DOUBLE) * (n - na) / 2.0 AS mu,
+         SQRT(CAST(na AS DOUBLE) * (n - na) / 12.0
+              * ((n + 1) - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE)
+                 * (n - 1))))
+           AS sigma
+  FROM agg
+),
+zz AS (
+  SELECT n_a, n_b, ROUND(u, 6) AS u,
+         ROUND((u - mu - (CASE WHEN u > mu THEN 0.5
+                               WHEN u < mu THEN -0.5 ELSE 0.0 END)) / sigma,
+               9) AS zc
+  FROM stat
+)
+SELECT n_a, n_b, u, zc AS z, {p} AS p_two_sided
+FROM zz
+"""
+
+
+@register("q328_mann_whitney_u", _q328_oracle())
+def q328_mann_whitney_u(spark, sf_dir):
+    from ..functions.mathx import sql_erf
+
+    vals = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v"),
+        (F.col("l_returnflag") == "R").cast("int").alias("a"),
+    )
+    sc = vals.groupBy("v").agg(
+        F.sum("a").alias("na_at"), F.count("*").alias("n_at")
+    )
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rk = sc.select(
+        "v",
+        "na_at",
+        "n_at",
+        (
+            2 * F.coalesce(F.sum("n_at").over(win), F.lit(0))
+            + F.col("n_at")
+            + 1
+        ).alias("r2"),
+    )
+    agg = rk.agg(
+        F.sum("n_at").alias("n"),
+        F.sum("na_at").alias("na"),
+        F.sum(F.col("na_at") * F.col("r2")).alias("s2"),
+        F.sum(
+            F.col("n_at").cast("decimal(38,0)") * F.col("n_at") * F.col("n_at")
+            - F.col("n_at")
+        ).alias("ties"),
+    )
+    stat = agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        (F.col("n") - F.col("na")).cast("long").alias("n_b"),
+        F.expr(
+            "(CAST(s2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * (na + 1) / 2.0)"
+        ).alias("u"),
+        F.expr("CAST(na AS DOUBLE) * (n - na) / 2.0").alias("mu"),
+        F.expr(
+            "SQRT(CAST(na AS DOUBLE) * (n - na) / 12.0"
+            " * ((n + 1) - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE)"
+            " * (n - 1))))"
+        ).alias("sigma"),
+    )
+    zz = stat.select(
+        "n_a",
+        "n_b",
+        F.round("u", 6).alias("u"),
+        F.expr(
+            "ROUND((u - mu - (CASE WHEN u > mu THEN 0.5"
+            " WHEN u < mu THEN -0.5 ELSE 0.0 END)) / sigma, 9)"
+        ).alias("zc"),
+    )
+    p = F.expr(
+        f"ROUND(1.0 - ({sql_erf('ABS(zc) / 1.4142135623730951')}), 9)"
+    )
+    return zz.select(
+        "n_a", "n_b", "u", F.col("zc").alias("z"), p.alias("p_two_sided")
+    )
