@@ -5102,3 +5102,114 @@ def q328_mann_whitney_u(spark, sf_dir):
     return zz.select(
         "n_a", "n_b", "u", F.col("zc").alias("z"), p.alias("p_two_sided")
     )
+
+
+# ---------------------------------------------------------------------------
+# q329 — raking / iterative proportional fitting (Deming & Stephan
+# 1940): calibrate survey weights so the sample (every third customer)
+# reproduces the population's nation AND market-segment margins. Three
+# IPF rounds, each a nation-step then a segment-step; weights are
+# constant within a (nation, segment) cell so the whole fit runs on
+# the ~125-cell table — margins fold through 1e-9 integer grids and
+# each scaling is round-9 gated, so the float trajectory replays
+# exactly. The survey-statistics member of the weighting family
+# (Horvitz-Thompson q289, DSIR q201).
+# ---------------------------------------------------------------------------
+
+_Q329_ROUNDS = 3
+
+
+def _q329_round(k: int) -> str:
+    j = k - 1
+    g = (
+        "(CAST(SUM(CAST(FLOOR(w * n * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / 1000000000.0)"
+    )
+    return f"""
+rm{k} AS (
+  SELECT nat, {g} AS cur FROM w{j} GROUP BY 1
+),
+wn{k} AS (
+  SELECT w.nat, w.seg, w.n,
+         ROUND(w.w * tn.t / rm{k}.cur, 9) AS w
+  FROM w{j} w JOIN rm{k} USING (nat) JOIN tnat tn USING (nat)
+),
+cm{k} AS (
+  SELECT seg, {g} AS cur FROM wn{k} GROUP BY 1
+),
+w{k} AS (
+  SELECT w.nat, w.seg, w.n,
+         ROUND(w.w * ts.t / cm{k}.cur, 9) AS w
+  FROM wn{k} w JOIN cm{k} USING (seg) JOIN tseg ts USING (seg)
+)"""
+
+
+def _q329_oracle() -> str:
+    rounds = ",".join(_q329_round(k) for k in range(1, _Q329_ROUNDS + 1))
+    return f"""
+WITH pop AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg FROM customer
+),
+tnat AS (SELECT nat, CAST(COUNT(*) AS DOUBLE) AS t FROM pop GROUP BY 1),
+tseg AS (SELECT seg, CAST(COUNT(*) AS DOUBLE) AS t FROM pop GROUP BY 1),
+cells AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg, COUNT(*) AS n
+  FROM customer WHERE c_custkey % 3 = 0 GROUP BY 1, 2
+),
+w0 AS (SELECT nat, seg, n, CAST(1.0 AS DOUBLE) AS w FROM cells),
+{rounds}
+SELECT nat AS nation, seg AS segment, CAST(n AS BIGINT) AS n_sample,
+       w AS weight
+FROM w{_Q329_ROUNDS}
+ORDER BY nation, segment
+"""
+
+
+@register("q329_raking_ipf", _q329_oracle())
+def q329_raking_ipf(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cust = cust.cache()  # population margins + the sample cells
+    tnat = cust.groupBy("nat").agg(F.count("*").cast("double").alias("tn"))
+    tseg = cust.groupBy("seg").agg(F.count("*").cast("double").alias("ts"))
+    w = (
+        cust.filter(F.col("ck") % 3 == 0)
+        .groupBy("nat", "seg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("w", F.lit(1.0))
+    )
+
+    def gridsum(e):
+        return (
+            F.sum(F.floor(e * F.lit(1000000000.0)).cast("long")).cast("double")
+            / 1000000000.0
+        )
+
+    for _ in range(_Q329_ROUNDS):
+        rm = w.groupBy("nat").agg(gridsum(F.col("w") * F.col("n")).alias("cur"))
+        w = (
+            w.join(F.broadcast(rm), "nat")
+            .join(F.broadcast(tnat), "nat")
+            .select(
+                "nat", "seg", "n",
+                F.round(F.col("w") * F.col("tn") / F.col("cur"), 9).alias("w"),
+            )
+        )
+        cm = w.groupBy("seg").agg(gridsum(F.col("w") * F.col("n")).alias("cur"))
+        w = (
+            w.join(F.broadcast(cm), "seg")
+            .join(F.broadcast(tseg), "seg")
+            .select(
+                "nat", "seg", "n",
+                F.round(F.col("w") * F.col("ts") / F.col("cur"), 9).alias("w"),
+            )
+        )
+    return w.select(
+        F.col("nat").alias("nation"),
+        F.col("seg").alias("segment"),
+        F.col("n").cast("long").alias("n_sample"),
+        F.col("w").alias("weight"),
+    ).orderBy("nation", "segment")
