@@ -2155,3 +2155,164 @@ def q327_url_canonicalize(spark, sf_dir):
         )
         .orderBy("canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# q330 — Good-Turing frequency smoothing (Good 1953): the
+# frequency-of-frequencies table N_r and the discounted counts
+# r* = (r+1) N_{r+1} / N_r for r <= 10 — the classic unseen-mass
+# estimate (P0 = N_1 / N) that backs off n-gram models older than
+# stupid backoff (q293). Pure counting + one self-join on r+1;
+# integer-exact except the final round-9 ratios.
+# ---------------------------------------------------------------------------
+
+_Q330_MAX_R = 10
+
+_Q330_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+counts AS (SELECT w, COUNT(*) AS r FROM toks GROUP BY 1),
+fof AS (SELECT r, COUNT(*) AS nr FROM counts GROUP BY 1),
+tot AS (SELECT SUM(r * nr) AS n FROM fof)
+SELECT f.r, CAST(f.nr AS BIGINT) AS n_r,
+       ROUND((f.r + 1) * CAST(f2.nr AS DOUBLE) / f.nr, 9) AS r_star,
+       ROUND(CAST((SELECT nr FROM fof WHERE r = 1) AS DOUBLE)
+             / (SELECT n FROM tot), 9) AS p_unseen
+FROM fof f JOIN fof f2 ON f2.r = f.r + 1
+WHERE f.r <= {_Q330_MAX_R}
+ORDER BY f.r
+"""
+
+
+@register("q330_good_turing", _Q330_ORACLE)
+def q330_good_turing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("r"))
+    fof = counts.groupBy("r").agg(F.count("*").alias("nr"))
+    fof = fof.cache()  # self-join both sides + N1 + total
+    tot = fof.agg(F.sum(F.col("r") * F.col("nr")).alias("n"))
+    n1 = fof.filter(F.col("r") == 1).select(F.col("nr").alias("n1"))
+    f2 = fof.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr2"))
+    return (
+        fof.join(f2, "r")
+        .filter(F.col("r") <= _Q330_MAX_R)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            F.col("nr").cast("long").alias("n_r"),
+            F.round(
+                (F.col("r") + 1) * F.col("nr2").cast("double") / F.col("nr"), 9
+            ).alias("r_star"),
+            F.round(F.col("n1").cast("double") / F.col("n"), 9).alias(
+                "p_unseen"
+            ),
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q331 — Heaps'-law vocabulary growth (Herdan 1960 / Heaps 1978):
+# V(N) ~ K N^beta, fitted by log-log OLS over the corpus's own growth
+# curve. The curve is built DISTRIBUTED-EXACT without replaying the
+# stream: each token type contributes at its FIRST document (min
+# doc_id), so V after doc d = count of types with first_doc <= d and
+# N after doc d = running token total — two cumulative windows over
+# per-doc aggregates. Log terms are round-9 gated, the OLS runs on
+# exact decimal sums. Complements the q204 Zipf diagnostic.
+# ---------------------------------------------------------------------------
+
+
+def _q331_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    det = "(sn * sxx - sx * sx)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+firsts AS (SELECT w, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+new_types AS (SELECT fd AS doc_id, COUNT(*) AS nv FROM firsts GROUP BY 1),
+doc_tokens AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+curve AS (
+  SELECT d.doc_id,
+         SUM(d.nt) OVER (ORDER BY d.doc_id) AS n_tokens,
+         SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY d.doc_id) AS v_types
+  FROM doc_tokens d LEFT JOIN new_types nv USING (doc_id)
+),
+pts AS (
+  SELECT ROUND(LOG2(CAST(n_tokens AS DOUBLE)), 9) AS x,
+         ROUND(LOG2(CAST(v_types AS DOUBLE)), 9) AS y
+  FROM curve
+),
+s AS (
+  SELECT {sql_dsum('1.0')} AS sn, {sql_dsum('x')} AS sx,
+         {sql_dsum('(x * x)')} AS sxx, {sql_dsum('y')} AS sy,
+         {sql_dsum('(x * y)')} AS sxy,
+         COUNT(*) AS n
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND((sn * sxy - sx * sy) / {det}, 9) AS beta,
+       ROUND(POWER(2.0, (sxx * sy - sx * sxy) / {det}), 6) AS k
+FROM s
+"""
+
+
+@register("q331_heaps_law", _q331_oracle())
+def q331_heaps_law(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.stats import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    toks = toks.cache()  # firsts + per-doc totals off one pass
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    new_types = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").alias("nv")
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    win = Window.orderBy("doc_id")
+    curve = (
+        doc_tokens.join(new_types, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("nt").over(win).alias("n_tokens"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(win).alias("v_types"),
+        )
+    )
+    pts = curve.select(
+        F.round(F.log2(F.col("n_tokens").cast("double")), 9).alias("x"),
+        F.round(F.log2(F.col("v_types").cast("double")), 9).alias("y"),
+    )
+    det = "(sn * sxx - sx * sx)"
+    s = pts.agg(
+        dsum(F.lit(1.0)).alias("sn"),
+        dsum("x").alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count("*").alias("n"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.expr(f"ROUND((sn * sxy - sx * sy) / {det}, 9)").alias("beta"),
+        F.expr(
+            f"ROUND(POWER(2.0, (sxx * sy - sx * sxy) / {det}), 6)"
+        ).alias("k"),
+    )
