@@ -3531,3 +3531,208 @@ def q323_polygon_metrics(spark, sf_dir):
         ).alias("cy"),
         F.round("perim", 6).alias("perimeter"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# q332 — maximal independent set via Luby's algorithm (Luby 1986) with
+# DETERMINISTIC priorities: each round, an active node enters the MIS
+# when its XXH64 priority beats every active neighbor's (ties
+# impossible: priorities are distinct hashes of distinct ids, tiebreak
+# on id anyway); winners and their neighbors deactivate. Six rounds
+# suffice on the co-order graph (expected O(log n)); the oracle
+# replays every round as chained CTEs over the same edge list — the
+# q97 fixed-point treatment for the symmetry-breaking primitive behind
+# distributed scheduling/coloring.
+# ---------------------------------------------------------------------------
+
+_Q332_ROUNDS = 6
+
+
+def _q332_round(k: int) -> str:
+    j = k - 1
+    return f"""
+win{k} AS MATERIALIZED (
+  SELECT a.node FROM act{j} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e JOIN act{j} b ON b.node = e.dst
+    WHERE e.src = a.node
+      AND (b.pri > a.pri OR (b.pri = a.pri AND b.node > a.node))
+  )
+),
+mis{k} AS MATERIALIZED (
+  SELECT node FROM mis{j} UNION ALL SELECT node FROM win{k}
+),
+act{k} AS MATERIALIZED (
+  SELECT a.* FROM act{j} a
+  WHERE a.node NOT IN (SELECT node FROM win{k})
+    AND NOT EXISTS (
+      SELECT 1 FROM edges e JOIN win{k} w ON w.node = e.dst
+      WHERE e.src = a.node
+    )
+)"""
+
+
+def _q332_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    xxh = sql_xxhash64_long_cte("(SELECT DISTINCT node AS v FROM nodes0)")
+    rounds = ",".join(_q332_round(k) for k in range(1, _Q332_ROUNDS + 1))
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {_Q97_OFF} AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+),
+nodes0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+{xxh},
+act0 AS MATERIALIZED (
+  SELECT n.node, x.hv AS pri FROM nodes0 n JOIN xxhl x ON x.v = n.node
+),
+mis0 AS (SELECT node FROM nodes0 WHERE FALSE),
+{rounds}
+SELECT node FROM mis{_Q332_ROUNDS} ORDER BY node
+"""
+
+
+@register("q332_luby_mis", _q332_oracle())
+def q332_luby_mis(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    pairs = pairs.cache()
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    edges = edges.cache()  # referenced every round
+    act = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.xxhash64(F.col("node")).alias("pri"))
+    )
+    mis = act.select("node").limit(0)
+    for _ in range(_Q332_ROUNDS):
+        nbr = (
+            act.select(F.col("node").alias("bn"), F.col("pri").alias("bp"))
+        )
+        beaten = (
+            act.join(edges, act["node"] == edges["src"])
+            .join(nbr, F.col("bn") == F.col("dst"))
+            .filter(
+                (F.col("bp") > F.col("pri"))
+                | ((F.col("bp") == F.col("pri")) & (F.col("bn") > F.col("node")))
+            )
+            .select("node")
+            .distinct()
+        )
+        win = act.join(beaten, "node", "left_anti").select("node")
+        win = win.localCheckpoint(eager=True)
+        mis = mis.unionByName(win)
+        win_nbrs = (
+            edges.join(win.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"))
+            .distinct()
+        )
+        act = (
+            act.join(win, "node", "left_anti")
+            .join(win_nbrs, "node", "left_anti")
+        )
+        act = act.localCheckpoint(eager=True)
+    return mis.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q333 — degree assortativity (Newman 2002): the Pearson correlation
+# of (source degree, destination degree) over every directed edge of
+# the symmetrized co-order graph — positive means hubs attach to hubs.
+# Degrees and all five moments are exact integers/decimals; one double
+# expression at the end. The macro-structure diagnostic that pairs
+# with the local clustering coefficient (q253).
+# ---------------------------------------------------------------------------
+
+_Q333_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + {_Q97_OFF} AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+ed AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM ed
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         AS assortativity
+FROM m
+"""
+
+
+@register("q333_degree_assortativity", _Q333_ORACLE)
+def q333_degree_assortativity(spark, sf_dir):
+    from ..operators.pagerank import undirected_edges
+
+    dec = "decimal(38,0)"
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = undirected_edges(pairs, "a", "b")
+    edges = edges.cache()  # degree build + the edge moment pass
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ds = deg.select(F.col("src").alias("s_node"), F.col("d").alias("x"))
+    dd = deg.select(F.col("src").alias("d_node"), F.col("d").alias("y"))
+    ed = (
+        edges.join(ds, F.col("s_node") == F.col("src"))
+        .join(dd, F.col("d_node") == F.col("dst"))
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.expr(
+            "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)"
+        ).alias("assortativity"),
+    )
