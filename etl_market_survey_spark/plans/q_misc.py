@@ -3736,3 +3736,115 @@ def q333_degree_assortativity(spark, sf_dir):
             " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)"
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q335 — histogram equalization (the contrast-enhancement standard)
+# over pixel tables: per image, the 64-level histogram -> cumulative
+# distribution -> the classic (cdf - cdf_min) / (n - cdf_min) * (L-1)
+# integer remap, everything in exact integer/rational arithmetic over
+# the q299 8x8 tiles. Output: per-image remapped checksum + dynamic
+# range before/after — the pixel-op family (decode q231/q256, resize
+# q314) gains its point-op member.
+# ---------------------------------------------------------------------------
+
+_Q335_L = 64
+
+
+def _q335_oracle() -> str:
+    lvl = _Q335_L
+    return f"""
+WITH cells AS (
+  SELECT vec_id AS id,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS g
+  FROM embeddings
+),
+bounds AS (SELECT id, MIN(g) AS g0, MAX(g) AS g1 FROM cells GROUP BY 1),
+lev AS (
+  SELECT c.id,
+         CAST(LEAST((c.g - b.g0) * {lvl} // (b.g1 - b.g0 + 1), {lvl - 1})
+              AS BIGINT) AS v
+  FROM cells c JOIN bounds b USING (id)
+),
+hist AS (SELECT id, v, COUNT(*) AS n FROM lev GROUP BY 1, 2),
+cdf AS (
+  SELECT id, v, SUM(n) OVER (PARTITION BY id ORDER BY v) AS c,
+         MIN(v) OVER (PARTITION BY id) AS vmin
+  FROM hist
+),
+cm AS (
+  SELECT id, MIN(c) AS cmin, MAX(c) AS n FROM cdf GROUP BY 1
+),
+mapped AS (
+  SELECT l.id, l.v,
+         CAST((cd.c - cm.cmin) * ({lvl} - 1) // (cm.n - cm.cmin) AS BIGINT)
+           AS v_eq
+  FROM lev l
+  JOIN cdf cd ON cd.id = l.id AND cd.v = l.v
+  JOIN cm ON cm.id = l.id
+)
+SELECT id, CAST(SUM(v_eq * (v + 1)) AS BIGINT) AS checksum,
+       CAST(MAX(v) - MIN(v) AS BIGINT) AS range_before,
+       CAST(MAX(v_eq) - MIN(v_eq) AS BIGINT) AS range_after
+FROM mapped GROUP BY 1 ORDER BY id
+"""
+
+
+@register("q335_hist_equalize", _q335_oracle())
+def q335_hist_equalize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lvl = _Q335_L
+    cells = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.explode("embedding").alias("val"),
+    ).select(
+        "id",
+        F.floor(F.col("val").cast("double") * 1000000.0).cast("long").alias("g"),
+    )
+    cells = cells.cache()  # bounds + leveling off one pass
+    bounds = cells.groupBy("id").agg(
+        F.min("g").alias("g0"), F.max("g").alias("g1")
+    )
+    lev = cells.join(bounds, "id").select(
+        "id",
+        F.least(
+            F.expr(f"(g - g0) * {lvl} div (g1 - g0 + 1)"), F.lit(lvl - 1)
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    lev = lev.cache()  # histogram + the remap join
+    hist = lev.groupBy("id", "v").agg(F.count("*").alias("n"))
+    wc = Window.partitionBy("id").orderBy("v")
+    cdf = hist.select(
+        "id", "v", F.sum("n").over(wc).alias("c")
+    )
+    cdf = cdf.cache()
+    cm = cdf.groupBy("id").agg(
+        F.min("c").alias("cmin"), F.max("c").alias("n")
+    )
+    mapped = (
+        lev.join(
+            cdf.select(F.col("id").alias("cid"), F.col("v").alias("cv"), "c"),
+            (F.col("cid") == F.col("id")) & (F.col("cv") == F.col("v")),
+        )
+        .join(F.broadcast(cm), "id")
+        .select(
+            "id",
+            "v",
+            F.expr(f"(c - cmin) * ({lvl} - 1) div (n - cmin)")
+            .cast("long")
+            .alias("v_eq"),
+        )
+    )
+    return (
+        mapped.groupBy("id")
+        .agg(
+            F.sum(F.col("v_eq") * (F.col("v") + 1)).cast("long").alias("checksum"),
+            (F.max("v") - F.min("v")).cast("long").alias("range_before"),
+            (F.max("v_eq") - F.min("v_eq")).cast("long").alias("range_after"),
+        )
+        .orderBy("id")
+    )

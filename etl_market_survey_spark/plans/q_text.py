@@ -2316,3 +2316,63 @@ def q331_heaps_law(spark, sf_dir):
             f"ROUND(POWER(2.0, (sxx * sy - sx * sxy) / {det}), 6)"
         ).alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q334 — S-stemmer conflation (Harman 1991): the three-rule suffix
+# stemmer ("-ies"->"-y" unless e/a-ies, "-es"->"-e" unless o/a/e-es,
+# "-s"->"" unless us/ss/s) applied as one shared CASE cascade, with
+# the vocabulary-reduction report (types before/after, conflation
+# ratio) — the cheap recall-boosting normalization an index pipeline
+# applies before token matching. Pure string expressions; the heavier
+# Porter cascade is the same plan shape with more rules.
+# ---------------------------------------------------------------------------
+
+_Q334_CASE = """
+CASE
+  WHEN w LIKE '%ies' AND w NOT LIKE '%eies' AND w NOT LIKE '%aies'
+    THEN substr(w, 1, length(w) - 3) || 'y'
+  WHEN w LIKE '%es' AND w NOT LIKE '%aes' AND w NOT LIKE '%ees'
+       AND w NOT LIKE '%oes'
+    THEN substr(w, 1, length(w) - 1)
+  WHEN w LIKE '%s' AND w NOT LIKE '%us' AND w NOT LIKE '%ss'
+       AND length(w) > 2
+    THEN substr(w, 1, length(w) - 1)
+  ELSE w
+END"""
+
+_Q334_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+stemmed AS (SELECT w, {_Q334_CASE} AS stem FROM toks)
+SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS types_before,
+       CAST(COUNT(DISTINCT stem) AS BIGINT) AS types_after,
+       ROUND(CAST(COUNT(DISTINCT stem) AS DOUBLE)
+             / COUNT(DISTINCT w), 9) AS conflation_ratio,
+       CAST(SUM(CASE WHEN stem <> w THEN 1 ELSE 0 END) AS BIGINT)
+         AS tokens_changed
+FROM stemmed
+"""
+
+
+@register("q334_s_stemmer", _Q334_ORACLE)
+def q334_s_stemmer(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    )
+    stemmed = toks.select("w", F.expr(_Q334_CASE).alias("stem"))
+    return stemmed.agg(
+        F.countDistinct("w").cast("long").alias("types_before"),
+        F.countDistinct("stem").cast("long").alias("types_after"),
+        F.round(
+            F.countDistinct("stem").cast("double") / F.countDistinct("w"), 9
+        ).alias("conflation_ratio"),
+        F.sum(F.when(F.col("stem") != F.col("w"), 1).otherwise(0))
+        .cast("long")
+        .alias("tokens_changed"),
+    )
