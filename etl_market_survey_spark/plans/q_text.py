@@ -2376,3 +2376,199 @@ def q334_s_stemmer(spark, sf_dir):
         .cast("long")
         .alias("tokens_changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q336 — span-corruption data prep (the T5 denoising objective, Raffel
+# et al. 2020): deterministic ~15% Bernoulli seeds (XXH64 of a
+# doc/position key, replayed via the closed hashLong form) extended to
+# 3-token spans, masked runs collapsed to numbered sentinels — input =
+# text with <extra_id_k> holes, target = sentinel-prefixed masked
+# spans. Pure window/gaps-and-islands algebra over the token table;
+# outputs are md5 digests of the rebuilt strings so the gate pins
+# every byte. The pretraining-objective member of the data-prep family
+# (packing q140, chunking q141, SFT assembly example).
+# ---------------------------------------------------------------------------
+
+_Q336_RATE = 15   # percent of seed positions
+_Q336_SPAN = 3    # tokens per seeded span
+_Q336_KEYBASE = 9_000_000_000_000
+
+
+def _q336_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+
+    xxh = sql_xxhash64_long_cte("(SELECT DISTINCT key AS v FROM toks)")
+    sp = _Q336_SPAN
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS w,
+         {_Q336_KEYBASE} + doc_id * 131072
+           + (generate_subscripts(tok, 1) - 1) AS key
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents)
+),
+{xxh},
+seeded AS (
+  SELECT t.doc_id, t.pos, t.w,
+         CASE WHEN ((x.hv % 100) + 100) % 100 < {_Q336_RATE}
+              THEN 1 ELSE 0 END AS seed
+  FROM toks t JOIN xxhl x ON x.v = t.key
+),
+masked AS (
+  SELECT doc_id, pos, w,
+         GREATEST(
+           seed,
+           COALESCE(LAG(seed, 1) OVER w2, 0),
+           COALESCE(LAG(seed, 2) OVER w2, 0)) AS m
+  FROM seeded WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+),
+runs AS (
+  SELECT doc_id, pos, w, m,
+         CASE WHEN m = 1 AND COALESCE(LAG(m) OVER w2, 0) = 0
+              THEN 1 ELSE 0 END AS run_start
+  FROM masked WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos, w, m, run_start,
+         SUM(run_start) OVER (PARTITION BY doc_id ORDER BY pos) AS k
+  FROM runs
+),
+pieces AS (
+  SELECT doc_id, pos,
+         CASE WHEN m = 0 THEN w
+              WHEN run_start = 1 THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+         END AS in_piece,
+         CASE WHEN m = 1 AND run_start = 1
+              THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || w
+              WHEN m = 1 THEN w
+         END AS tg_piece
+  FROM isl
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN in_piece IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN in_piece LIKE '<extra%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_masked,
+       CAST(MAX(k_total) AS BIGINT) AS n_sentinels,
+       md5(COALESCE(string_agg(in_piece, ' ' ORDER BY pos)
+           FILTER (WHERE in_piece IS NOT NULL), '')) AS input_md5,
+       md5(COALESCE(string_agg(tg_piece, ' ' ORDER BY pos)
+           FILTER (WHERE tg_piece IS NOT NULL), '')) AS target_md5
+FROM (SELECT p.*, MAX(k) OVER (PARTITION BY p.doc_id) AS k_total
+      FROM pieces p JOIN isl USING (doc_id, pos))
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
+@register("q336_span_corruption", _q336_oracle())
+def q336_span_corruption(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        (
+            F.lit(_Q336_KEYBASE) + F.col("doc_id") * 131072 + F.col("pos")
+        ).alias("key"),
+    )
+    seeded = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(F.pmod(F.xxhash64(F.col("key")), F.lit(100)) < _Q336_RATE, 1)
+        .otherwise(0)
+        .alias("seed"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    masked = seeded.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.greatest(
+            F.col("seed"),
+            F.coalesce(F.lag("seed", 1).over(w2), F.lit(0)),
+            F.coalesce(F.lag("seed", 2).over(w2), F.lit(0)),
+        ).alias("m"),
+    )
+    runs = masked.select(
+        "doc_id",
+        "pos",
+        "w",
+        "m",
+        F.when(
+            (F.col("m") == 1)
+            & (F.coalesce(F.lag("m").over(w2), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    isl = runs.select(
+        "doc_id", "pos", "w", "m", "run_start",
+        F.sum("run_start").over(w2).alias("k"),
+    )
+    pieces = isl.select(
+        "doc_id",
+        "pos",
+        "m",
+        "k",
+        F.when(F.col("m") == 0, F.col("w"))
+        .when(
+            F.col("run_start") == 1,
+            F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")),
+        )
+        .alias("in_piece"),
+        F.when(
+            (F.col("m") == 1) & (F.col("run_start") == 1),
+            F.concat(
+                F.lit("<extra_id_"),
+                F.col("k").cast("string"),
+                F.lit("> "),
+                F.col("w"),
+            ),
+        )
+        .when(F.col("m") == 1, F.col("w"))
+        .alias("tg_piece"),
+        F.max("k").over(Window.partitionBy("doc_id")).alias("k_total"),
+    )
+
+    def joined(col):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col(col).isNotNull(),
+                            F.struct("pos", F.col(col).alias("p")),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        )
+
+    return (
+        pieces.groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("in_piece").isNull(), 1).otherwise(0))
+                + F.sum(
+                    F.when(F.col("in_piece").startswith("<extra"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("n_masked"),
+            F.max("k_total").cast("long").alias("n_sentinels"),
+            F.md5(joined("in_piece")).alias("input_md5"),
+            F.md5(joined("tg_piece")).alias("target_md5"),
+        )
+        .orderBy("doc_id")
+    )
