@@ -2572,3 +2572,138 @@ def q336_span_corruption(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q337 — hard-negative mining for retrieval training (the DPR / dense-
+# retriever data-prep step, Karpukhin et al. 2020): each of 20 pseudo-
+# queries (a document's first three tokens) is paired with its source
+# doc as the positive and its BM25 top-3 OTHER docs as hard negatives.
+# Multi-query BM25 runs as one postings join (query-term-filtered scan,
+# the q240 discipline): idf/tf terms round-9 gated, per-(query, doc)
+# sums through the exact decimal grid, ranks deterministic. Output is
+# the labeled training-pair table a contrastive trainer consumes.
+# ---------------------------------------------------------------------------
+
+_Q337_NQ = 20
+_Q337_NEG = 3
+_Q337_K1 = "1.2"
+_Q337_B = "0.75"
+
+
+def _q337_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    k1, b = _Q337_K1, _Q337_B
+    term = (
+        f"(ROUND(LN((nd - df + 0.5) / (df + 0.5) + 1.0), 9)"
+        f" * ROUND((tf * ({k1} + 1.0))"
+        f" / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)), 9))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS w
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents)
+),
+qterms AS (
+  SELECT doc_id AS qid, w AS term FROM toks
+  WHERE doc_id < {_Q337_NQ} AND pos < 3
+),
+qt AS (SELECT DISTINCT qid, term FROM qterms),
+postings AS (SELECT w AS term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dlen
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         {sql_dsum(term)} AS score
+  FROM qt q
+  JOIN postings p ON p.term = q.term
+  JOIN dfs ON dfs.term = q.term
+  JOIN dlen ON dlen.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+negs AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+           AS rnk
+  FROM scored WHERE doc_id <> qid
+)
+SELECT qid, 0 AS rnk, qid AS doc_id, 'pos' AS label,
+       CAST(NULL AS DOUBLE) AS score
+FROM (SELECT DISTINCT qid FROM qt)
+UNION ALL
+SELECT qid, rnk, doc_id, 'neg' AS label, ROUND(score, 9) AS score
+FROM negs WHERE rnk <= {_Q337_NEG}
+ORDER BY qid, rnk
+"""
+
+
+@register("q337_hard_negative_mining", _q337_oracle())
+def q337_hard_negative_mining(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.stats import dsum
+
+    k1, b = _Q337_K1, _Q337_B
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("pos", "w"),
+    )
+    toks = toks.cache()  # qterms, postings, doc lengths off one pass
+    qt = (
+        toks.filter((F.col("doc_id") < _Q337_NQ) & (F.col("pos") < 3))
+        .select(F.col("doc_id").alias("qid"), F.col("w").alias("term"))
+        .distinct()
+    )
+    postings = toks.groupBy(F.col("w").alias("term"), "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dlen.agg(
+        F.count("*").cast("double").alias("nd"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    term = F.expr(
+        f"(ROUND(LN((nd - df + 0.5) / (df + 0.5) + 1.0), 9)"
+        f" * ROUND((tf * ({k1} + 1.0))"
+        f" / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)), 9))"
+    )
+    dfs = postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    scored = (
+        qt.join(postings, "term")
+        .join(F.broadcast(dfs), "term")
+        .join(dlen.withColumnRenamed("doc_id", "pd"), F.col("pd") == F.col("doc_id"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(dsum(term).alias("score"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    negs = (
+        scored.filter(F.col("doc_id") != F.col("qid"))
+        .select("qid", "doc_id", "score", F.row_number().over(wq).alias("rnk"))
+        .filter(F.col("rnk") <= _Q337_NEG)
+        .select(
+            "qid", "rnk", "doc_id", F.lit("neg").alias("label"),
+            F.round("score", 9).alias("score"),
+        )
+    )
+    pos = qt.select("qid").distinct().select(
+        "qid",
+        F.lit(0).alias("rnk"),
+        F.col("qid").alias("doc_id"),
+        F.lit("pos").alias("label"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return pos.unionByName(negs).orderBy("qid", "rnk")
