@@ -2707,3 +2707,106 @@ def q337_hard_negative_mining(spark, sf_dir):
         F.lit(None).cast("double").alias("score"),
     )
     return pos.unionByName(negs).orderBy("qid", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# q338 — tokenizer fertility by language: the q263 BPE inference chain
+# applied per distinct word ONCE, joined back to per-language word
+# counts — fertility = BPE pieces per word token, plus characters per
+# piece: the multilingual-tokenizer-equity diagnostic (a tokenizer
+# with high fertility on a language taxes its context budget). Exact:
+# the oracle replays the identical rank-ordered merge recursion and
+# the per-language rollup is integer/rational arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _q338_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{a}|{b}' THEN {i + 1}"
+        for i, (a, b) in enumerate(_Q263_MERGES)
+    )
+    return f"""
+WITH RECURSIVE lw AS MATERIALIZED (
+  SELECT lang, w, COUNT(*) AS n FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY 1, 2
+),
+words AS MATERIALIZED (SELECT DISTINCT w FROM lw),
+enc AS (
+  SELECT w, list_transform(generate_series(1, len(w)), i -> w[i:i]) AS seq,
+         0 AS step
+  FROM words
+  UNION ALL
+  SELECT w,
+         seq[1:pos - 1]
+           || [seq[pos] || seq[pos + 1]]
+           || seq[pos + 2:len(seq)] AS seq,
+         step + 1
+  FROM (
+    SELECT w, seq, step,
+           CAST(list_min(list_filter(
+             list_transform(generate_series(1, len(seq) - 1),
+               i -> (CASE seq[i] || '|' || seq[i + 1] {case} END) * 100000 + i),
+             x -> x IS NOT NULL)) % 100000 AS INT) AS pos
+    FROM enc
+  ) WHERE pos IS NOT NULL
+),
+final AS MATERIALIZED (
+  SELECT w, CAST(len(seq) AS BIGINT) AS n_pieces, length(w) AS n_chars
+  FROM (
+    SELECT w, seq, ROW_NUMBER() OVER (PARTITION BY w ORDER BY step DESC)
+             AS rn
+    FROM enc
+  ) WHERE rn = 1
+)
+SELECT lw.lang,
+       CAST(SUM(lw.n) AS BIGINT) AS n_word_tokens,
+       CAST(SUM(lw.n * f.n_pieces) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(lw.n * f.n_pieces) AS DOUBLE) / SUM(lw.n), 9)
+         AS fertility,
+       ROUND(CAST(SUM(lw.n * f.n_chars) AS DOUBLE)
+             / SUM(lw.n * f.n_pieces), 9) AS chars_per_piece
+FROM lw JOIN final f ON f.w = lw.w
+GROUP BY 1 ORDER BY lang
+"""
+
+
+@register("q338_tokenizer_fertility", _q338_oracle())
+def q338_tokenizer_fertility(spark, sf_dir):
+    from ..operators.bpe import bpe_encode_words
+
+    docs = load(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    lw = lw.cache()  # word dimension + the rollup join
+    words = lw.select("w").distinct()
+    enc = bpe_encode_words(words, "w", _Q263_MERGES).select(
+        F.col("word").alias("w"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.length("word").alias("n_chars"),
+    )
+    return (
+        lw.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_word_tokens"),
+            F.sum(F.col("n") * F.col("n_pieces")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+            F.round(
+                F.sum(F.col("n") * F.col("n_pieces")).cast("double")
+                / F.sum("n"),
+                9,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("n") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("n") * F.col("n_pieces")),
+                9,
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )
