@@ -1309,3 +1309,87 @@ def q308_bradley_terry(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q339 — dialogue transcript assembly + turn validation (the SFT-prep
+# step between raw logs and trainable conversations): each user's
+# event stream becomes a transcript — turns ordered by (ts, event_id),
+# roles alternating user/assistant from the turn index, each turn
+# rendered "role: event_type(value_cents)" — with the validity checks
+# a data pipeline enforces before training (starts with user, strict
+# alternation by construction, minimum 4 turns). Output: per-thread
+# turn count, md5 of the rendered transcript (pins every byte), and
+# the keep flag. Order-stable string assembly, zero Python.
+# ---------------------------------------------------------------------------
+
+_Q339_MIN_TURNS = 4
+
+_Q339_ORACLE = f"""
+WITH turns AS (
+  SELECT user_id AS thread_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts), event_id) - 1 AS turn,
+         event_type,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+rendered AS (
+  SELECT thread_id, turn,
+         (CASE WHEN turn % 2 = 0 THEN 'user: ' ELSE 'assistant: ' END)
+           || event_type || '(' || CAST(cents AS VARCHAR) || ')' AS line
+  FROM turns
+)
+SELECT thread_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       md5(string_agg(line, chr(10) ORDER BY turn)) AS transcript_md5,
+       COUNT(*) >= {_Q339_MIN_TURNS} AS keep
+FROM rendered GROUP BY 1 ORDER BY thread_id
+"""
+
+
+@register("q339_dialogue_flatten", _Q339_ORACLE)
+def q339_dialogue_flatten(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("thread_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("thread_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        "thread_id",
+        (F.row_number().over(w) - 1).alias("turn"),
+        "event_type",
+        "cents",
+    )
+    line = F.concat(
+        F.when(F.col("turn") % 2 == 0, F.lit("user: ")).otherwise(
+            F.lit("assistant: ")
+        ),
+        F.col("event_type"),
+        F.lit("("),
+        F.col("cents").cast("string"),
+        F.lit(")"),
+    )
+    return (
+        turns.select("thread_id", "turn", line.alias("line"))
+        .groupBy("thread_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("transcript_md5"),
+            (F.count("*") >= _Q339_MIN_TURNS).alias("keep"),
+        )
+        .orderBy("thread_id")
+    )
