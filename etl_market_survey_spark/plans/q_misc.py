@@ -3848,3 +3848,104 @@ def q335_hist_equalize(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q340 — referential-integrity audit: orphan counts across the whole
+# FK graph (lineitem->orders/part/supplier, orders->customer,
+# customer->nation, supplier->nation, nation->region) as left-anti
+# probes — the cross-TABLE data-quality check q120's single-table
+# constraints don't cover. Each row: edge, child rows, orphans; at
+# scale each probe is one broadcast (dim) or shuffled (fact-fact)
+# anti-join, never a collect.
+# ---------------------------------------------------------------------------
+
+_Q340_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _q340_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _Q340_EDGES:
+        parts.append(f"""
+SELECT '{name}' AS edge,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{ck})) AS BIGINT) AS n_orphans""")
+    body = "\nUNION ALL".join(parts)
+    return f"SELECT * FROM ({body}) ORDER BY edge"
+
+
+@register("q340_referential_integrity", _q340_oracle())
+def q340_referential_integrity(spark, sf_dir):
+    rows = []
+    out = None
+    for name, child, ck, parent, pk in _Q340_EDGES:
+        c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        stats = c.join(p, "k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        ).crossJoin(F.broadcast(c.agg(F.count("*").alias("n_child")))).select(
+            F.lit(name).alias("edge"),
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# q341 — sequence-gap detection: the missing id ranges in the
+# event_id sequence (gaps = complement of the q170 islands machinery)
+# — the completeness check an ingestion pipeline runs against
+# monotonically assigned ids. Pure lag-window arithmetic; reports each
+# gap's (after_id, before_id, width) plus nothing when dense.
+# Gate seeds gaps by dropping ids divisible by 997.
+# ---------------------------------------------------------------------------
+
+_Q341_ORACLE = """
+WITH ids AS (
+  SELECT DISTINCT event_id AS id FROM events WHERE event_id % 997 <> 0
+),
+lagged AS (
+  SELECT id, LAG(id) OVER (ORDER BY id) AS prev FROM ids
+)
+SELECT prev AS gap_after, id AS gap_before,
+       CAST(id - prev - 1 AS BIGINT) AS width
+FROM lagged WHERE prev IS NOT NULL AND id - prev > 1
+ORDER BY gap_after
+"""
+
+
+@register("q341_sequence_gaps", _Q341_ORACLE)
+def q341_sequence_gaps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ids = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 997 != 0)
+        .select(F.col("event_id").alias("id"))
+        .distinct()
+    )
+    lagged = ids.select(
+        "id", F.lag("id").over(Window.orderBy("id")).alias("prev")
+    )
+    return (
+        lagged.filter(
+            F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1)
+        )
+        .select(
+            F.col("prev").alias("gap_after"),
+            F.col("id").alias("gap_before"),
+            (F.col("id") - F.col("prev") - 1).cast("long").alias("width"),
+        )
+        .orderBy("gap_after")
+    )
