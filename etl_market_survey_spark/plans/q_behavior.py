@@ -1393,3 +1393,99 @@ def q339_dialogue_flatten(spark, sf_dir):
         )
         .orderBy("thread_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q342 — token-bucket rate-limiter replay: simulate the standard
+# (capacity 5, refill 1/60s) bucket over each user's event stream and
+# report who would have been throttled — the abuse/quota audit an
+# API-log pipeline runs offline. A true sequential recurrence:
+# tokens = min(C, tokens + dt/60) then spend-or-reject per event —
+# per-key Arrow fold (the Holt/CUSUM contract), recursive-CTE oracle
+# replaying the identical IEEE arithmetic. Gated on users 0-14 (the
+# oracle folds one row per step; the operator itself is all-key).
+# ---------------------------------------------------------------------------
+
+_Q342_CAP = "5.0"
+_Q342_REFILL_S = "60.0"
+_Q342_USERS = 15
+
+
+def _q342_oracle() -> str:
+    c, rf = _Q342_CAP, _Q342_REFILL_S
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT user_id AS k, epoch_ns(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts), event_id) AS rn
+  FROM events WHERE user_id < {_Q342_USERS}
+),
+p AS (
+  SELECT k, rn, t, {c} - 1.0 AS tokens, 0 AS rejected
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.k, r.rn, r.t,
+         CASE WHEN LEAST({c}, p.tokens
+                         + (r.t - p.t) / 1000000000.0 / {rf}) >= 1.0
+              THEN LEAST({c}, p.tokens
+                         + (r.t - p.t) / 1000000000.0 / {rf}) - 1.0
+              ELSE LEAST({c}, p.tokens
+                         + (r.t - p.t) / 1000000000.0 / {rf}) END,
+         CASE WHEN LEAST({c}, p.tokens
+                         + (r.t - p.t) / 1000000000.0 / {rf}) >= 1.0
+              THEN 0 ELSE 1 END
+  FROM r JOIN p ON r.k = p.k AND r.rn = p.rn + 1
+)
+SELECT k AS user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(rejected) AS BIGINT) AS n_rejected,
+       ROUND(MAX_BY(tokens, rn), 9) AS tokens_left
+FROM p GROUP BY 1 ORDER BY user_id
+"""
+
+
+@register("q342_token_bucket", _q342_oracle())
+def q342_token_bucket(spark, sf_dir):
+    import pandas as pd
+
+    cap = float(_Q342_CAP)
+    rf = float(_Q342_REFILL_S)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < _Q342_USERS)
+        .select("user_id", "ts", "event_id")
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        tokens = cap - 1.0
+        rejected = 0
+        last = None
+        for t in pdf["ts"].tolist():
+            if last is None:
+                last = t
+                continue
+            tokens = min(cap, tokens + (t - last) / 1000000000.0 / rf)
+            if tokens >= 1.0:
+                tokens = tokens - 1.0
+            else:
+                rejected += 1
+            last = t
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "n_events": len(pdf),
+                    "n_rejected": rejected,
+                    "tokens_left": round(tokens, 9),
+                }
+            ]
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            run,
+            "user_id long, n_events long, n_rejected long, tokens_left double",
+        )
+        .orderBy("user_id")
+    )
