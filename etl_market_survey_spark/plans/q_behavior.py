@@ -1489,3 +1489,76 @@ def q342_token_bucket(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q343 — bot detection by inter-event regularity: per user, the
+# coefficient of variation of inter-event gaps (lag windows ->
+# exact-decimal mean/std in MILLISECOND units, the dsum domain) — near-
+# constant cadence (low CV) is the classic automation signature human
+# traffic doesn't show. Flags CV < 0.3 with a minimum-events floor.
+# Gaps are measured in SECONDS: the dstd sum-of-squares must stay
+# under the dsum int64 ceiling (the q302 rule; ms-squared would not).
+# ---------------------------------------------------------------------------
+
+_Q343_CV_T = 0.3
+_Q343_MIN_EVENTS = 20
+
+
+def _q343_oracle() -> str:
+    from ..functions.stats import sql_davg, sql_dstd
+
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           AS DOUBLE) / 1000000000.0 AS gap_s
+  FROM events
+),
+st AS (
+  SELECT user_id, COUNT(gap_s) AS n_gaps,
+         {sql_davg('gap_s')} AS mean_s, {sql_dstd('gap_s')} AS std_s
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       ROUND(mean_s, 6) AS mean_gap_s,
+       ROUND(std_s / mean_s, 9) AS cv,
+       (n_gaps >= {_Q343_MIN_EVENTS}
+        AND std_s / mean_s < {_Q343_CV_T}) AS bot_flag
+FROM st ORDER BY user_id
+"""
+
+
+@register("q343_bot_regularity", _q343_oracle())
+def q343_bot_regularity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.stats import davg, dstd
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = load(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            (F.col("ts") - F.lag("ts").over(w)).cast("double") / 1000000000.0
+        ).alias("gap_s"),
+    )
+    st = (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            davg("gap_s").alias("mean_s"),
+            dstd("gap_s").alias("std_s"),
+        )
+    )
+    return st.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.round("mean_s", 6).alias("mean_gap_s"),
+        F.round(F.col("std_s") / F.col("mean_s"), 9).alias("cv"),
+        (
+            (F.col("n_gaps") >= _Q343_MIN_EVENTS)
+            & (F.col("std_s") / F.col("mean_s") < _Q343_CV_T)
+        ).alias("bot_flag"),
+    ).orderBy("user_id")

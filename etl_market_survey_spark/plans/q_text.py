@@ -2810,3 +2810,104 @@ def q338_tokenizer_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q344 — Jensen-Shannon divergence between each source and the corpus:
+# the SYMMETRIC, bounded complement of q157's KL drift — JS(P||Q) =
+# (KL(P||M) + KL(Q||M)) / 2 with M the even mixture, all terms round-9
+# gated and folded through exact decimal sums. Bounded in [0, 1] bits,
+# so sources are directly comparable (KL is not symmetric and can
+# blow up on unseen tokens; JS cannot — the reason drift dashboards
+# prefer it).
+# ---------------------------------------------------------------------------
+
+
+def _q344_oracle() -> str:
+    from ..functions.stats import sql_dsum
+
+    t1 = (
+        "(CASE WHEN p > 0 THEN p * ROUND(LOG2(p / m), 9) ELSE 0.0 END)"
+    )
+    t2 = (
+        "(CASE WHEN q > 0 THEN q * ROUND(LOG2(q / m), 9) ELSE 0.0 END)"
+    )
+    return f"""
+WITH t AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+sc AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+sn AS (SELECT source, SUM(c) AS n FROM sc GROUP BY 1),
+cc AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+cn AS (SELECT SUM(c) AS n FROM cc),
+terms AS (
+  SELECT s.source,
+         COALESCE(CAST(sc.c AS DOUBLE) / sn.n, 0.0) AS p,
+         CAST(cc.c AS DOUBLE) / cn.n AS q,
+         (COALESCE(CAST(sc.c AS DOUBLE) / sn.n, 0.0)
+          + CAST(cc.c AS DOUBLE) / cn.n) / 2.0 AS m
+  FROM cc
+  CROSS JOIN cn
+  CROSS JOIN (SELECT DISTINCT source FROM t) s
+  JOIN sn ON sn.source = s.source
+  LEFT JOIN sc ON sc.source = s.source AND sc.tok = cc.tok
+)
+SELECT source,
+       ROUND(({sql_dsum(t1)} + {sql_dsum(t2)}) / 2.0, 9) AS js_bits
+FROM terms GROUP BY 1 ORDER BY source
+"""
+
+
+@register("q344_js_divergence", _q344_oracle())
+def q344_js_divergence(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    t = t.cache()  # source counts + corpus counts off one pass
+    sc = t.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    sn = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = t.groupBy("tok").agg(F.count("*").alias("cc_c"))
+    cn = cc.agg(F.sum("cc_c").alias("cn_n"))
+    srcs = t.select("source").distinct()
+    terms = (
+        cc.crossJoin(F.broadcast(cn))
+        .crossJoin(F.broadcast(srcs))
+        .join(F.broadcast(sn), "source")
+        .join(
+            sc.select(
+                F.col("source").alias("ss"), F.col("tok").alias("st"), "c"
+            ),
+            (F.col("ss") == F.col("source")) & (F.col("st") == F.col("tok")),
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("c").cast("double") / F.col("n"), F.lit(0.0)).alias("p"),
+            (F.col("cc_c").cast("double") / F.col("cn_n")).alias("q"),
+            (
+                (
+                    F.coalesce(
+                        F.col("c").cast("double") / F.col("n"), F.lit(0.0)
+                    )
+                    + F.col("cc_c").cast("double") / F.col("cn_n")
+                )
+                / 2.0
+            ).alias("m"),
+        )
+    )
+    t1 = F.expr("(CASE WHEN p > 0 THEN p * ROUND(LOG2(p / m), 9) ELSE 0.0 END)")
+    t2 = F.expr("(CASE WHEN q > 0 THEN q * ROUND(LOG2(q / m), 9) ELSE 0.0 END)")
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round((dsum(t1) + dsum(t2)) / 2.0, 9).alias("js_bits")
+        )
+        .orderBy("source")
+    )
