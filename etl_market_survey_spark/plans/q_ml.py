@@ -5213,3 +5213,106 @@ def q329_raking_ipf(spark, sf_dir):
         F.col("n").cast("long").alias("n_sample"),
         F.col("w").alias("weight"),
     ).orderBy("nation", "segment")
+
+
+# ---------------------------------------------------------------------------
+# q345 — fairness audit: demographic parity and equalized odds for a
+# classifier (the discount >= 5 rule scoring lineitem, labels = R
+# returns), sliced by the customer's nation — selection rate, TPR and
+# FPR per group plus the global disparate-impact ratio
+# (min rate / max rate, the 80%-rule statistic) and the worst TPR/FPR
+# gaps. All counting; two joins to reach the protected attribute. The
+# governance check an ML-deployment pipeline runs next to q202/q321.
+# ---------------------------------------------------------------------------
+
+_Q345_ORACLE = """
+WITH scored AS (
+  SELECT c.c_nationkey AS grp,
+         CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS yhat,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(yhat) AS sel,
+         SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg
+  FROM scored GROUP BY 1
+),
+rates AS (
+  SELECT grp, n,
+         CAST(sel AS DOUBLE) / n AS sel_rate,
+         CAST(tp AS DOUBLE) / pos AS tpr,
+         CAST(fp AS DOUBLE) / neg AS fpr
+  FROM g WHERE pos > 0 AND neg > 0
+),
+gstats AS (
+  SELECT MIN(sel_rate) / MAX(sel_rate) AS di_ratio,
+         MAX(tpr) - MIN(tpr) AS tpr_gap,
+         MAX(fpr) - MIN(fpr) AS fpr_gap
+  FROM rates
+)
+SELECT r.grp AS nation, CAST(r.n AS BIGINT) AS n,
+       ROUND(r.sel_rate, 9) AS sel_rate,
+       ROUND(r.tpr, 9) AS tpr, ROUND(r.fpr, 9) AS fpr,
+       ROUND(gl.di_ratio, 9) AS di_ratio,
+       ROUND(gl.tpr_gap, 9) AS tpr_gap,
+       ROUND(gl.fpr_gap, 9) AS fpr_gap
+FROM rates r CROSS JOIN gstats gl
+ORDER BY nation
+"""
+
+
+@register("q345_fairness_audit", _Q345_ORACLE)
+def q345_fairness_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_discount") >= 0.05).cast("int").alias("yhat"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("grp")
+    )
+    scored = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    g = scored.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("yhat").alias("sel"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("neg"),
+    )
+    rates = g.filter((F.col("pos") > 0) & (F.col("neg") > 0)).select(
+        "grp",
+        "n",
+        (F.col("sel").cast("double") / F.col("n")).alias("sel_rate"),
+        (F.col("tp").cast("double") / F.col("pos")).alias("tpr"),
+        (F.col("fp").cast("double") / F.col("neg")).alias("fpr"),
+    )
+    rates = rates.cache()  # per-group rows + the global extremes
+    glob = rates.agg(
+        (F.min("sel_rate") / F.max("sel_rate")).alias("di_ratio"),
+        (F.max("tpr") - F.min("tpr")).alias("tpr_gap"),
+        (F.max("fpr") - F.min("fpr")).alias("fpr_gap"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("grp").alias("nation"),
+            F.col("n").cast("long").alias("n"),
+            F.round("sel_rate", 9).alias("sel_rate"),
+            F.round("tpr", 9).alias("tpr"),
+            F.round("fpr", 9).alias("fpr"),
+            F.round("di_ratio", 9).alias("di_ratio"),
+            F.round("tpr_gap", 9).alias("tpr_gap"),
+            F.round("fpr_gap", 9).alias("fpr_gap"),
+        )
+        .orderBy("nation")
+    )
