@@ -2911,3 +2911,88 @@ def q344_js_divergence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q346 — inter-judge agreement (Cohen 1960): kappa between two
+# rule-based document judges (length >= 40 tokens; distinct-token
+# ratio >= 0.5) — the chance-corrected agreement statistic an
+# LLM-as-judge eval pipeline reports before trusting a single judge.
+# Pure contingency counting; po/pe/kappa are one double expression.
+# ---------------------------------------------------------------------------
+
+_Q346_ORACLE = """
+WITH j AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 40
+              THEN 1 ELSE 0 END AS j1,
+         CASE WHEN CAST(len(list_distinct(
+                     regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+                   / len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 0.5
+              THEN 1 ELSE 0 END AS j2
+  FROM documents
+),
+c AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN j1 = 1 AND j2 = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN j1 = 1 AND j2 = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN j1 = 0 AND j2 = 1 THEN 1 ELSE 0 END) AS cc,
+         SUM(CASE WHEN j1 = 0 AND j2 = 0 THEN 1 ELSE 0 END) AS d
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(a AS BIGINT) AS both_pass, CAST(d AS BIGINT) AS both_fail,
+       CAST(b AS BIGINT) AS only_j1, CAST(cc AS BIGINT) AS only_j2,
+       ROUND(CAST(a + d AS DOUBLE) / n, 9) AS po,
+       ROUND((CAST(a + b AS DOUBLE) * (a + cc)
+              + CAST(cc + d AS DOUBLE) * (b + d))
+             / (CAST(n AS DOUBLE) * n), 9) AS pe,
+       ROUND((CAST(a + d AS DOUBLE) / n
+              - (CAST(a + b AS DOUBLE) * (a + cc)
+                 + CAST(cc + d AS DOUBLE) * (b + d))
+                / (CAST(n AS DOUBLE) * n))
+             / (1.0 - (CAST(a + b AS DOUBLE) * (a + cc)
+                       + CAST(cc + d AS DOUBLE) * (b + d))
+                      / (CAST(n AS DOUBLE) * n)), 9) AS kappa
+FROM c
+"""
+
+
+@register("q346_cohens_kappa", _Q346_ORACLE)
+def q346_cohens_kappa(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    j = docs.select(
+        F.when(F.size(toks) >= 40, 1).otherwise(0).alias("j1"),
+        F.when(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            >= 0.5,
+            1,
+        )
+        .otherwise(0)
+        .alias("j2"),
+    )
+    c = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("j1") == 1) & (F.col("j2") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("j1") == 1) & (F.col("j2") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("j1") == 0) & (F.col("j2") == 1), 1).otherwise(0)).alias("cc"),
+        F.sum(F.when((F.col("j1") == 0) & (F.col("j2") == 0), 1).otherwise(0)).alias("d"),
+    )
+    pe = (
+        "(CAST(a + b AS DOUBLE) * (a + cc)"
+        " + CAST(cc + d AS DOUBLE) * (b + d)) / (CAST(n AS DOUBLE) * n)"
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a").cast("long").alias("both_pass"),
+        F.col("d").cast("long").alias("both_fail"),
+        F.col("b").cast("long").alias("only_j1"),
+        F.col("cc").cast("long").alias("only_j2"),
+        F.expr("ROUND(CAST(a + d AS DOUBLE) / n, 9)").alias("po"),
+        F.expr(f"ROUND({pe}, 9)").alias("pe"),
+        F.expr(
+            f"ROUND((CAST(a + d AS DOUBLE) / n - {pe})"
+            f" / (1.0 - {pe}), 9)"
+        ).alias("kappa"),
+    )
