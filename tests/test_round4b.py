@@ -158,3 +158,52 @@ def test_skyline_matches_brute_force(spark):
     for grid in (2, 4, 16):
         got = {r["id"] for r in skyline2(df, "x", "y", grid=grid).collect()}
         assert got == truth, grid
+
+
+def test_resize_bilinear_matches_numpy(spark):
+    from etl_market_survey_spark.operators.imageops import resize_bilinear_int
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(-1000, 1000, size=(8, 8)).astype(np.int64)
+    rows = [
+        (1, y, x, int(img[y, x])) for y in range(8) for x in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, y long, x long, g long")
+    h_out = w_out = 11
+    got = {
+        (r["r"], r["c"]): r["val_scaled"]
+        for r in resize_bilinear_int(df, 8, 8, h_out, w_out).collect()
+    }
+    qy = qx = h_out - 1
+    for r in range(h_out):
+        for c in range(w_out):
+            y0, fy = divmod(r * 7, qy)
+            x0, fx = divmod(c * 7, qx)
+            y1, x1 = min(y0 + 1, 7), min(x0 + 1, 7)
+            want = (
+                (qy - fy) * (qx - fx) * img[y0, x0]
+                + (qy - fy) * fx * img[y0, x1]
+                + fy * (qx - fx) * img[y1, x0]
+                + fy * fx * img[y1, x1]
+            )
+            assert got[(r, c)] == want, (r, c)
+    # corners are exact copies (align-corners contract)
+    assert got[(0, 0)] == qy * qx * img[0, 0]
+    assert got[(10, 10)] == qy * qx * img[7, 7]
+
+
+def test_canonical_url_rules(spark):
+    from etl_market_survey_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTPS://Example.COM:443/a/b/?b=2&a=1&utm_source=x#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("http://host.com:8080/p?x=1", "http://host.com:8080/p?x=1"),
+        ("http://host.com:80/", "http://host.com/"),
+        ("https://h.io/path/?utm_campaign=z&gclid=1", "https://h.io/path"),
+        ("https://h.io", "https://h.io/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
