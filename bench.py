@@ -124,6 +124,11 @@ HEADLINE = [
     "q307_textrank_keywords",
     "q309_logistic_newton",
     "q311_als_round",
+    "q314_bilinear_resize",
+    "q319_skyline",
+    "q326_bitext_margin_mining",
+    "q336_span_corruption",
+    "q337_hard_negative_mining",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise
