@@ -341,6 +341,17 @@ _R4B_BOUNDED_BNLJ = {
     "q323_polygon_metrics",      # per-nation anchor broadcast
     "q324_croston_forecast",     # pinned 5-part series
     "q325_team_draft_interleave",  # 1-row ranking-list state
+    "q326_bitext_margin_mining",   # bounded-half dot table (ANN-swappable)
+    "q328_mann_whitney_u",         # 1-row stat row
+    "q329_raking_ipf",             # broadcast margin tables
+    "q330_good_turing",            # 1-row totals
+    "q331_heaps_law",              # 1-row OLS stats
+    "q336_span_corruption",        # 1-row nothing (guard)
+    "q337_hard_negative_mining",   # 1-row corpus stats
+    "q344_js_divergence",          # source-dimension broadcast
+    "q345_fairness_audit",         # 1-row global extremes
+    "q346_cohens_kappa",           # 1-row contingency row
+    "q340_referential_integrity",  # 1-row per-edge child-count rows
 }
 
 
@@ -377,6 +388,25 @@ _R4B_BOUNDED_BNLJ = {
         "q323_polygon_metrics",
         "q324_croston_forecast",
         "q325_team_draft_interleave",
+        "q326_bitext_margin_mining",
+        "q327_url_canonicalize",
+        "q328_mann_whitney_u",
+        "q329_raking_ipf",
+        "q330_good_turing",
+        "q331_heaps_law",
+        "q333_degree_assortativity",
+        "q334_s_stemmer",
+        "q335_hist_equalize",
+        "q336_span_corruption",
+        "q337_hard_negative_mining",
+        "q338_tokenizer_fertility",
+        "q339_dialogue_flatten",
+        "q340_referential_integrity",
+        "q341_sequence_gaps",
+        "q343_bot_regularity",
+        "q344_js_divergence",
+        "q345_fairness_audit",
+        "q346_cohens_kappa",
     ],
 )
 def test_r4b_no_cartesian_and_codegen(static_plan, name):
