@@ -5316,3 +5316,220 @@ def q345_fairness_audit(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q347 — propensity-score matching with replacement (Rosenbaum & Rubin
+# 1983): treatment = deep discount (>= 5 cents), covariate = quantity,
+# outcome = price dollars. Propensities are exact per-quantity-level
+# rationals; each treated LEVEL matches the control level with the
+# nearest propensity (|Δe| then level id — deterministic), and ATT
+# averages y_treated - y_matched_control over treated rows via exact
+# decimal sums. Everything runs on the ~50-level sufficient-stat
+# table: the matching never touches row pairs. Completes the causal
+# family's matching member (vs weighting q291 and regression q322).
+# ---------------------------------------------------------------------------
+
+
+def _q347_oracle() -> str:
+    return """
+WITH rows_p AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem
+),
+lev AS (
+  SELECT x, COUNT(*) AS n, SUM(t) AS nt,
+         SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS syt,
+         SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS syc
+  FROM rows_p GROUP BY 1
+),
+el AS (
+  SELECT x, nt, n - nt AS nc, syt, syc,
+         CAST(nt AS DOUBLE) / n AS e
+  FROM lev
+),
+match_ AS (
+  SELECT tl.x AS tx, cl.x AS cx,
+         ROW_NUMBER() OVER (PARTITION BY tl.x
+                            ORDER BY ABS(tl.e - cl.e), cl.x) AS rn
+  FROM el tl JOIN el cl ON cl.nc > 0
+  WHERE tl.nt > 0
+),
+pairs AS (
+  SELECT m.tx, m.cx, t.nt, t.syt, c.syc, c.nc
+  FROM match_ m
+  JOIN el t ON t.x = m.tx
+  JOIN el c ON c.x = m.cx
+  WHERE m.rn = 1
+)
+SELECT CAST(SUM(nt) AS BIGINT) AS n_treated,
+       ROUND((CAST(SUM(syt) AS DOUBLE)
+              - CAST(SUM(CAST(nt AS DECIMAL(38,6))
+                         * (CAST(syc AS DECIMAL(38,6)) / nc)) AS DOUBLE))
+             / SUM(nt) / 100.0, 6) AS att_dollars
+FROM pairs
+"""
+
+
+@register("q347_psm_att", _q347_oracle())
+def q347_psm_att(spark, sf_dir):
+    from pyspark.sql import Window
+
+    rows_p = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_discount") >= 0.05).cast("int").alias("t"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    lev = rows_p.groupBy("x").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("nt"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("syt"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("syc"),
+    )
+    el = lev.select(
+        "x",
+        "nt",
+        (F.col("n") - F.col("nt")).alias("nc"),
+        "syt",
+        "syc",
+        (F.col("nt").cast("double") / F.col("n")).alias("e"),
+    )
+    el = el.cache()  # treated side, control side, and the stat joins
+    tl = el.filter(F.col("nt") > 0).select(
+        F.col("x").alias("tx"), F.col("e").alias("te")
+    )
+    cl = el.filter(F.col("nc") > 0).select(
+        F.col("x").alias("cx"), F.col("e").alias("ce")
+    )
+    w = Window.partitionBy("tx").orderBy(
+        F.abs(F.col("te") - F.col("ce")), "cx"
+    )
+    match_ = (
+        tl.join(F.broadcast(cl), F.lit(True))
+        .select("tx", "cx", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    t_stats = el.select(
+        F.col("x").alias("tx"), F.col("nt").alias("p_nt"),
+        F.col("syt").alias("p_syt"),
+    )
+    c_stats = el.select(
+        F.col("x").alias("cx"), F.col("syc").alias("p_syc"),
+        F.col("nc").alias("p_nc"),
+    )
+    pairs = match_.join(t_stats, "tx").join(c_stats, "cx")
+    return pairs.agg(
+        F.sum("p_nt").cast("long").alias("n_treated"),
+        F.round(
+            (
+                F.sum("p_syt").cast("double")
+                - F.sum(
+                    F.col("p_nt").cast("decimal(38,6)")
+                    * (
+                        F.col("p_syc").cast("decimal(38,6)") / F.col("p_nc")
+                    )
+                ).cast("double")
+            )
+            / F.sum("p_nt")
+            / 100.0,
+            6,
+        ).alias("att_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q348 — Oaxaca-Blinder decomposition (Oaxaca 1973): how much of the
+# mean price gap between returned and kept lines is EXPLAINED by
+# quantity composition vs coefficients. Two per-group OLS fits
+# (exact decimal sufficient stats, the q313 Cramer text), exact group
+# means, then the two-fold split E = (x̄A - x̄B) b1_B,
+# U = (b0_A - b0_B) + x̄A (b1_A - b1_B). One scan, two filtered
+# aggregates, a one-row combine — the econometrics member of the
+# causal family.
+# ---------------------------------------------------------------------------
+
+
+def _q348_side(name: str, cond: str) -> str:
+    from ..functions.stats import sql_dsum
+
+    det = "(sn * sxx - sx * sx)"
+    return f"""
+{name} AS (
+  SELECT {sql_dsum('1.0')} AS sn, {sql_dsum('x')} AS sx,
+         {sql_dsum('(x * x)')} AS sxx, {sql_dsum('y')} AS sy,
+         {sql_dsum('(x * y)')} AS sxy
+  FROM rows_o WHERE {cond}
+),
+{name}b AS (
+  SELECT ROUND((sxx * sy - sx * sxy) / {det}, 9) AS b0,
+         ROUND((sn * sxy - sx * sy) / {det}, 9) AS b1,
+         sx / sn AS xbar, sy / sn AS ybar
+  FROM {name}
+)"""
+
+
+def _q348_oracle() -> str:
+    return f"""
+WITH rows_o AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) / 100.0e0 AS y,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+  FROM lineitem
+),{_q348_side('ga', 'grp = 1')},{_q348_side('gb', 'grp = 0')}
+SELECT ROUND(a.ybar - b.ybar, 6) AS gap,
+       ROUND((a.xbar - b.xbar) * b.b1, 6) AS explained,
+       ROUND((a.b0 - b.b0) + a.xbar * (a.b1 - b.b1), 6) AS unexplained
+FROM gab a CROSS JOIN gbb b
+"""
+
+
+@register("q348_oaxaca_blinder", _q348_oracle())
+def q348_oaxaca_blinder(spark, sf_dir):
+    from ..functions.stats import dsum
+
+    det = "(sn * sxx - sx * sx)"
+    rows_o = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        (
+            F.floor(F.col("l_extendedprice") * 100.0).cast("long") / F.lit(100.0)
+        ).alias("y"),
+        (F.col("l_returnflag") == "R").cast("int").alias("grp"),
+    )
+    rows_o = rows_o.cache()  # both group fits off one slim frame
+
+    def side(cond):
+        s = rows_o.filter(cond).agg(
+            dsum(F.lit(1.0)).alias("sn"),
+            dsum("x").alias("sx"),
+            dsum(F.col("x") * F.col("x")).alias("sxx"),
+            dsum("y").alias("sy"),
+            dsum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        return s.select(
+            F.expr(f"ROUND((sxx * sy - sx * sxy) / {det}, 9)").alias("b0"),
+            F.expr(f"ROUND((sn * sxy - sx * sy) / {det}, 9)").alias("b1"),
+            F.expr("sx / sn").alias("xbar"),
+            F.expr("sy / sn").alias("ybar"),
+        )
+
+    a = side(F.col("grp") == 1).select(
+        F.col("b0").alias("a_b0"), F.col("b1").alias("a_b1"),
+        F.col("xbar").alias("a_xbar"), F.col("ybar").alias("a_ybar"),
+    )
+    b = side(F.col("grp") == 0).select(
+        F.col("b0").alias("b_b0"), F.col("b1").alias("b_b1"),
+        F.col("xbar").alias("b_xbar"), F.col("ybar").alias("b_ybar"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.round(F.col("a_ybar") - F.col("b_ybar"), 6).alias("gap"),
+        F.round((F.col("a_xbar") - F.col("b_xbar")) * F.col("b_b1"), 6).alias(
+            "explained"
+        ),
+        F.round(
+            (F.col("a_b0") - F.col("b_b0"))
+            + F.col("a_xbar") * (F.col("a_b1") - F.col("b_b1")),
+            6,
+        ).alias("unexplained"),
+    )
