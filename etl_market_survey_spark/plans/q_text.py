@@ -2996,3 +2996,179 @@ def q346_cohens_kappa(spark, sf_dir):
             f" / (1.0 - {pe}), 9)"
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q349 — n-gram novelty (the memorization diagnostic of McCoy et al.
+# 2023): what fraction of each "generated" document's 4-grams never
+# occur in the "training" half (even doc_ids)? Low novelty = the
+# generator is parroting its corpus. One gram build (the q293 window
+# shape), one distinct train-gram table, a left-anti-style flag join;
+# per-doc and corpus-level rates, all integer counting.
+# ---------------------------------------------------------------------------
+
+_Q349_N = 4
+
+
+def _q349_oracle() -> str:
+    n = _Q349_N
+    lags = " || ' ' || ".join(
+        ["w"] + [f"LEAD(w, {i}) OVER w2" for i in range(1, n)]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS w
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, pos, {lags} AS g,
+         LEAD(w, {n - 1}) OVER w2 IS NOT NULL AS ok
+  FROM toks WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+),
+g2 AS (SELECT doc_id, g FROM grams WHERE ok),
+train AS (SELECT DISTINCT g FROM g2 WHERE doc_id % 2 = 0),
+gen AS (
+  SELECT g2.doc_id, g2.g,
+         CASE WHEN t.g IS NULL THEN 1 ELSE 0 END AS novel
+  FROM g2 LEFT JOIN train t ON t.g = g2.g
+  WHERE g2.doc_id % 2 = 1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 9) AS novelty
+FROM gen GROUP BY 1 ORDER BY doc_id
+"""
+
+
+@register("q349_ngram_novelty", _q349_oracle())
+def q349_ngram_novelty(spark, sf_dir):
+    from pyspark.sql import Window
+
+    n = _Q349_N
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("pos", "w"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w2) for i in range(1, n)]
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("g"),
+        F.lead("w", n - 1).over(w2).isNotNull().alias("ok"),
+    ).filter("ok")
+    grams = grams.cache()  # train set + generated side off one pass
+    train = (
+        grams.filter(F.col("doc_id") % 2 == 0).select("g").distinct()
+    )
+    gen = (
+        grams.filter(F.col("doc_id") % 2 == 1)
+        .join(
+            train.withColumn("hit", F.lit(1)), "g", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("hit").isNull(), 1).otherwise(0).alias("novel"),
+        )
+    )
+    return (
+        gen.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("novel").cast("long").alias("n_novel"),
+            F.round(
+                F.sum("novel").cast("double") / F.count("*"), 9
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q350 — overdispersion index per event type: variance-to-mean ratio
+# of daily event counts with the chi-square-shaped dispersion
+# statistic (n-1)*VMR — VMR >> 1 signals bursty (negative-binomial)
+# traffic that a Poisson capacity model underestimates. Exact decimal
+# moments over the dense daily grid.
+# ---------------------------------------------------------------------------
+
+
+def _q350_oracle() -> str:
+    from ..functions.stats import sql_davg, sql_dstd
+
+    return f"""
+WITH ev AS (
+  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS absday
+  FROM events
+),
+bounds AS (SELECT MIN(absday) AS d0, MAX(absday) AS d1 FROM ev),
+daily AS (
+  SELECT t, absday - b.d0 AS day, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM ev CROSS JOIN bounds b GROUP BY 1, 2
+),
+grid AS (
+  SELECT tt.t, g.day
+  FROM (SELECT DISTINCT t FROM ev) tt CROSS JOIN bounds b
+  CROSS JOIN LATERAL (SELECT unnest(range(0, b.d1 - b.d0 + 1)) AS day) g
+),
+dense AS (
+  SELECT g.t, COALESCE(d.c, 0.0) AS c
+  FROM grid g LEFT JOIN daily d ON d.t = g.t AND d.day = g.day
+),
+st AS (
+  SELECT t, COUNT(*) AS n, {sql_davg('c')} AS mu, {sql_dstd('c')} AS sd
+  FROM dense GROUP BY 1
+)
+SELECT t AS event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(mu, 9) AS mean_daily,
+       ROUND(sd * sd / mu, 9) AS vmr,
+       ROUND((n - 1) * sd * sd / mu, 9) AS dispersion_stat
+FROM st ORDER BY event_type
+"""
+
+
+@register("q350_overdispersion", _q350_oracle())
+def q350_overdispersion(spark, sf_dir):
+    from ..functions.stats import davg, dstd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("(ts div 1000) div 86400000000").alias("absday"),
+    )
+    ev = ev.cache()
+    bounds = ev.agg(F.min("absday").alias("d0"), F.max("absday").alias("d1"))
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("t", (F.col("absday") - F.col("d0")).alias("day"))
+        .groupBy("t", "day")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    grid = (
+        ev.select("t")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "t",
+            F.explode(F.sequence(F.lit(0), F.col("d1") - F.col("d0"))).alias(
+                "day"
+            ),
+        )
+    )
+    dense = grid.join(daily, ["t", "day"], "left").select(
+        "t", F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    st = dense.groupBy("t").agg(
+        F.count("*").alias("n"), davg("c").alias("mu"), dstd("c").alias("sd")
+    )
+    return st.select(
+        F.col("t").alias("event_type"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round("mu", 9).alias("mean_daily"),
+        F.round(F.col("sd") * F.col("sd") / F.col("mu"), 9).alias("vmr"),
+        F.round(
+            (F.col("n") - 1) * F.col("sd") * F.col("sd") / F.col("mu"), 9
+        ).alias("dispersion_stat"),
+    ).orderBy("event_type")
