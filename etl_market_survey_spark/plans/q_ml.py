@@ -5533,3 +5533,225 @@ def q348_oaxaca_blinder(spark, sf_dir):
             6,
         ).alias("unexplained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q351 — sample-ratio mismatch (SRM) check: the experimentation
+# guardrail that invalidates an A/B readout when the observed variant
+# split deviates from the designed 50/50 (Fabijan et al. 2019 call SRM
+# the most common A/B bug). Chi-square with 1 df against expected
+# halves; p-value = erfc(sqrt(x/2)) through the shared-text erf
+# polynomial. Runs per experiment unit (user-level assignment, the
+# q282 parity convention).
+# ---------------------------------------------------------------------------
+
+
+def _q351_oracle() -> str:
+    from ..functions.mathx import sql_erf
+
+    x2 = "chi2"
+    p = f"ROUND(1.0 - ({sql_erf(f'SQRT(({x2}) / 2.0)')}), 9)"
+    return f"""
+WITH units AS (
+  SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+),
+c AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+  FROM units
+),
+stat AS (
+  SELECT n, n0, n1,
+         ROUND((CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+               * (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+               / (CAST(n AS DOUBLE) / 2.0)
+               + (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+               * (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+               / (CAST(n AS DOUBLE) / 2.0), 9) AS chi2
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_units, CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treat, chi2,
+       {p} AS p_value,
+       {p} < 0.001 AS srm_flag
+FROM stat
+"""
+
+
+@register("q351_srm_check", _q351_oracle())
+def q351_srm_check(spark, sf_dir):
+    from ..functions.mathx import sql_erf
+
+    units = (
+        load(spark, sf_dir, "events")
+        .select("user_id", (F.col("user_id") % 2).alias("variant"))
+        .distinct()
+    )
+    c = units.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    stat = c.select(
+        "n",
+        "n0",
+        "n1",
+        F.expr(
+            "ROUND((CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)"
+            " * (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)"
+            " / (CAST(n AS DOUBLE) / 2.0)"
+            " + (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)"
+            " * (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)"
+            " / (CAST(n AS DOUBLE) / 2.0), 9)"
+        ).alias("chi2"),
+    )
+    p = F.expr(f"ROUND(1.0 - ({sql_erf('SQRT((chi2) / 2.0)')}), 9)")
+    return stat.select(
+        F.col("n").cast("long").alias("n_units"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        "chi2",
+        p.alias("p_value"),
+        (p < 0.001).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q352 — optimal two-source mixture fit: the weight w minimizing
+# || w*P1 + (1-w)*P2 - T ||^2 over token distributions — the 1-D
+# closed form w* = <T - P2, P1 - P2> / ||P1 - P2||^2 of the
+# data-mixture problem (the DoReMi-family question "how much of source
+# A vs B to match a target"), clamped to [0, 1], plus the achieved L2
+# residual. P1/P2 = the two source groups, T = the corpus. All inner
+# products fold through 1e-9 integer grids over exact count ratios.
+# ---------------------------------------------------------------------------
+
+
+def _q352_oracle() -> str:
+    g = (
+        "(CAST(SUM(CAST(FLOOR(({e}) * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / 1000000000.0)"
+    )
+    num = g.format(e="(t - p2) * (p1 - p2)")
+    den = g.format(e="(p1 - p2) * (p1 - p2)")
+    res = g.format(e="(wv * p1 + (1.0 - wv) * p2 - t)"
+                     " * (wv * p1 + (1.0 - wv) * p2 - t)")
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+tagged AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 1 ELSE 2 END AS grp, tok
+  FROM toks
+),
+vocab AS (SELECT DISTINCT tok FROM tagged),
+gc AS (SELECT grp, tok, COUNT(*) AS c FROM tagged GROUP BY 1, 2),
+gn AS (SELECT grp, SUM(c) AS n FROM gc GROUP BY 1),
+cc AS (SELECT tok, COUNT(*) AS c FROM tagged GROUP BY 1),
+cn AS (SELECT SUM(c) AS n FROM cc),
+dist AS (
+  SELECT v.tok,
+         COALESCE(CAST(g1.c AS DOUBLE) / n1.n, 0.0) AS p1,
+         COALESCE(CAST(g2.c AS DOUBLE) / n2.n, 0.0) AS p2,
+         CAST(cc.c AS DOUBLE) / cn.n AS t
+  FROM vocab v
+  LEFT JOIN gc g1 ON g1.grp = 1 AND g1.tok = v.tok
+  LEFT JOIN gc g2 ON g2.grp = 2 AND g2.tok = v.tok
+  JOIN cc ON cc.tok = v.tok
+  CROSS JOIN cn
+  CROSS JOIN (SELECT n AS n FROM gn WHERE grp = 1) n1
+  CROSS JOIN (SELECT n AS n FROM gn WHERE grp = 2) n2
+),
+wfit AS (
+  SELECT ROUND(LEAST(1.0, GREATEST(0.0, {num} / {den})), 9) AS wv
+  FROM dist
+),
+resid AS (
+  SELECT ROUND(SQRT({res}), 9) AS l2_residual
+  FROM dist CROSS JOIN wfit
+)
+SELECT w.wv AS w_source1, r.l2_residual
+FROM wfit w CROSS JOIN resid r
+"""
+
+
+@register("q352_mixture_fit", _q352_oracle())
+def q352_mixture_fit(spark, sf_dir):
+    def grid(e):
+        return (
+            F.sum(F.floor(e * F.lit(1000000000.0)).cast("long")).cast("double")
+            / 1000000000.0
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0, 1
+        )
+        .otherwise(2)
+        .alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    tagged = tagged.cache()  # group counts + corpus counts off one pass
+    gc = tagged.groupBy("grp", "tok").agg(F.count("*").alias("c"))
+    gc = gc.cache()
+    gn = gc.groupBy("grp").agg(F.sum("c").alias("n"))
+    cc = tagged.groupBy("tok").agg(F.count("*").alias("cc_c"))
+    cn = cc.agg(F.sum("cc_c").alias("cn_n"))
+    n1 = gn.filter(F.col("grp") == 1).select(F.col("n").alias("n1"))
+    n2 = gn.filter(F.col("grp") == 2).select(F.col("n").alias("n2"))
+    g1 = gc.filter(F.col("grp") == 1).select(
+        F.col("tok").alias("t1"), F.col("c").alias("c1")
+    )
+    g2 = gc.filter(F.col("grp") == 2).select(
+        F.col("tok").alias("t2"), F.col("c").alias("c2")
+    )
+    dist = (
+        cc.join(g1, F.col("t1") == F.col("tok"), "left")
+        .join(g2, F.col("t2") == F.col("tok"), "left")
+        .crossJoin(F.broadcast(cn))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.coalesce(
+                F.col("c1").cast("double") / F.col("n1"), F.lit(0.0)
+            ).alias("p1"),
+            F.coalesce(
+                F.col("c2").cast("double") / F.col("n2"), F.lit(0.0)
+            ).alias("p2"),
+            (F.col("cc_c").cast("double") / F.col("cn_n")).alias("t"),
+        )
+    )
+    dist = dist.cache()  # the w fit and the residual pass
+    wfit = dist.agg(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    grid((F.col("t") - F.col("p2")) * (F.col("p1") - F.col("p2")))
+                    / grid(
+                        (F.col("p1") - F.col("p2")) * (F.col("p1") - F.col("p2"))
+                    ),
+                ),
+            ),
+            9,
+        ).alias("wv")
+    )
+    mix_err = (
+        F.col("wv") * F.col("p1")
+        + (F.lit(1.0) - F.col("wv")) * F.col("p2")
+        - F.col("t")
+    )
+    resid = (
+        dist.crossJoin(F.broadcast(wfit))
+        .agg(F.round(F.sqrt(grid(mix_err * mix_err)), 9).alias("l2_residual"))
+    )
+    return wfit.crossJoin(F.broadcast(resid)).select(
+        F.col("wv").alias("w_source1"), "l2_residual"
+    )
