@@ -352,6 +352,11 @@ _R4B_BOUNDED_BNLJ = {
     "q345_fairness_audit",         # 1-row global extremes
     "q346_cohens_kappa",           # 1-row contingency row
     "q340_referential_integrity",  # 1-row per-edge child-count rows
+    "q347_psm_att",                # ~50-level propensity table pairing
+    "q348_oaxaca_blinder",         # 1-row group-fit rows
+    "q350_overdispersion",         # 1-row day bounds
+    "q351_srm_check",              # 1-row contingency
+    "q352_mixture_fit",            # 1-row w / residual rows
 }
 
 
@@ -407,6 +412,12 @@ _R4B_BOUNDED_BNLJ = {
         "q344_js_divergence",
         "q345_fairness_audit",
         "q346_cohens_kappa",
+        "q347_psm_att",
+        "q348_oaxaca_blinder",
+        "q349_ngram_novelty",
+        "q350_overdispersion",
+        "q351_srm_check",
+        "q352_mixture_fit",
     ],
 )
 def test_r4b_no_cartesian_and_codegen(static_plan, name):
