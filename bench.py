@@ -197,23 +197,36 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # The driver's stdout capture window is ~2.2 KB (VERDICT r4 item 1:
+    # the full 94-entry medians map is ~2.4 KB and got truncated two
+    # rounds running).  Stdout carries the contract shape with a
+    # TRUNCATED queries map (slowest 20 only, ~600 B total line); the
+    # complete per-query medians live in the BENCH_QUERIES.json sidecar
+    # and spreads in BENCH_SPREAD.json.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": slowest,
+            "n_queries": len(timings),
             "sf": sf,
         },
         separators=(",", ":"),
     )
-    # Spread map goes to a sidecar file, NOT stdout — keeps the stdout
-    # JSON line small enough for the driver's capture window.
-    spread_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
-    )
-    with open(spread_path, "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SPREAD.json"), "w") as f:
         json.dump({"sf": sf, "spread": spreads}, f, indent=1, sort_keys=True)
+    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+        json.dump(
+            {"sf": sf, "total_sec": total, "queries": timings},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     # Emit twice (sentinel + final line) so either head- or tail-style
     # capture of stdout contains one complete copy.
     print("BENCH_JSON_BEGIN")
