@@ -37,6 +37,8 @@ surface (SURVEY.md §6).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -58,19 +60,45 @@ def _grid(vec: Column) -> Column:
 
 
 def _nearest_cells(vec: Column, cents: list[list[float]], n: int) -> Column:
-    """Indices of the ``n`` max-dot centroids, one JVM expression."""
-    scores = F.array(
-        *[
-            F.struct(
-                dot(_to_double(vec), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
-    return F.transform(
-        F.slice(F.reverse(F.array_sort(scores)), 1, n), lambda st: st["cell"]
-    )
+    """Indices of the ``n`` max-dot centroids.
+
+    Small codebooks (<= 32 cells) stay a pure JVM expression (literal
+    centroid arrays + aggregate folds — constant-folded, no Python).
+    Larger codebooks switch to an Arrow kernel: higher-order folds are
+    interpreted per element, so a 256-cell codebook costs rows x cells x
+    dim interpreted ops, while one (batch x dim) @ (dim x cells) GEMM +
+    argpartition per batch is ~two orders faster (the srp_signature
+    split, applied to IVF assignment — measured 28.8 s -> see SCALE.md
+    r5 batch for the q354 numbers)."""
+    if len(cents) <= 32:
+        scores = F.array(
+            *[
+                F.struct(
+                    dot(_to_double(vec), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(scores)), 1, n), lambda st: st["cell"]
+        )
+
+    C = np.asarray(cents, dtype=np.float64).T  # (dim, n_cells)
+
+    @F.pandas_udf("array<int>")
+    def _cells(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype=object)
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+        S = M @ C  # (batch, n_cells)
+        # top-n by score desc, ties by cell id asc (float-dot ties are
+        # measure-zero, and cell choice only shapes the candidate set —
+        # never the exact-gated margin algebra)
+        top = np.argsort(-S, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return _cells(_to_double(vec))
 
 
 def _ivf_candidates(
