@@ -129,9 +129,11 @@ HEADLINE = [
     "q326_bitext_margin_mining",
     "q336_span_corruption",
     "q337_hard_negative_mining",
-    # r5: bitext ANN candidate stages (VERDICT r4 item 2)
+    # r5: bitext ANN candidate stages (VERDICT r4 item 2), progressive
+    # JPEG (item 4)
     "q353_bitext_margin_srp",
     "q354_bitext_margin_ivf",
+    "q355_jpeg_progressive_roundtrip",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise

@@ -10,10 +10,19 @@ implemented with stdlib + numpy only — no PIL, no libjpeg:
   0xFF byte stuffing, optional restart intervals. Grayscale, YCbCr
   4:4:4 and 4:2:0.
 - **Decoder** (``decode_jpeg``): full marker parse (SOI/APPn/COM/DQT/
-  SOF0/DHT/DRI/SOS/EOI), canonical Huffman decode, dequantize,
+  SOF0/SOF2/DHT/DRI/SOS/EOI), canonical Huffman decode, dequantize,
   un-zigzag, inverse DCT, level shift + clamp, chroma replication
-  upsample, JFIF YCbCr->RGB. Baseline (SOF0) only — progressive and
-  arithmetic coding raise ``ValueError``.
+  upsample, JFIF YCbCr->RGB. Supports baseline sequential (SOF0) AND
+  progressive (SOF2, since r5 — VERDICT r4 item 4): spectral selection,
+  successive approximation (DC first/refine, AC first/refine with
+  EOB-run and correction-bit semantics per T.81 G.2), interleaved DC
+  scans, non-interleaved AC scans, restart markers. Arithmetic coding
+  and hierarchical modes raise ``ValueError``.
+- **Progressive encoder** (``encode_jpeg_progressive``): the same
+  coefficient pipeline emitted as an SOF2 multi-scan stream (DC Al=1 →
+  AC bands at Al>0 → AC refinement → DC refinement → final AC
+  refinement to Al=0), used to synthesize test streams; EOB runs are
+  flushed per block so the Annex K example tables stay sufficient.
 
 Like the PNG codec (``multimodal.decode_png``), both directions are
 bit-deterministic pure functions of their inputs: every float stage is
@@ -358,17 +367,15 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(
+def _prepare_planes(
     img: np.ndarray,
-    quality: int = 75,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-    luma_table: np.ndarray | None = None,
-) -> bytes:
-    """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 to baseline
-    sequential JPEG bytes. ``subsampling``: '444' or '420' (color only).
-    ``luma_table`` overrides the quality-scaled Annex K luma table (the
-    exact gate passes ``QT_FLAT16``)."""
+    quality: int,
+    subsampling: str,
+    luma_table: np.ndarray | None,
+):
+    """Shared encoder front end: color transform, subsample, MCU-pad.
+
+    Returns ``(h, w, padded_planes, samp, qts, mcux, mcuy)``."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -409,8 +416,7 @@ def encode_jpeg(
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     padded = [
-        _pad_to_blocks(p, 8 * sv * mcuy // mcuy if False else 8 * sv, 8 * sh)
-        for p, (sh, sv) in zip(planes, samp)
+        _pad_to_blocks(p, 8 * sv, 8 * sh) for p, (sh, sv) in zip(planes, samp)
     ]
     # pad each plane to the full MCU grid for its sampling factor
     padded = [
@@ -419,8 +425,24 @@ def encode_jpeg(
         else p[: 8 * sv * mcuy, : 8 * sh * mcux]
         for p, (sh, sv) in zip(padded, samp)
     ]
+    return h, w, padded, samp, qts, mcux, mcuy
 
-    n_comp = len(planes)
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    luma_table: np.ndarray | None = None,
+) -> bytes:
+    """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 to baseline
+    sequential JPEG bytes. ``subsampling``: '444' or '420' (color only).
+    ``luma_table`` overrides the quality-scaled Annex K luma table (the
+    exact gate passes ``QT_FLAT16``)."""
+    h, w, padded, samp, qts, mcux, mcuy = _prepare_planes(
+        img, quality, subsampling, luma_table
+    )
+    n_comp = len(padded)
     dc_tabs = [_build_codes(*HT_DC_LUMA)] + [_build_codes(*HT_DC_CHROMA)] * (n_comp - 1)
     ac_tabs = [_build_codes(*HT_AC_LUMA)] + [_build_codes(*HT_AC_CHROMA)] * (n_comp - 1)
 
@@ -486,6 +508,16 @@ def encode_jpeg(
 # --- decoder ------------------------------------------------------------
 
 
+def _read_symbol(reader: _BitReader, m: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = m.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code")
+
+
 def _decode_block(
     reader: _BitReader,
     pred_dc: int,
@@ -495,13 +527,7 @@ def _decode_block(
     zz = np.zeros(64, dtype=np.int32)
 
     def read_symbol(m: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.read_bit()
-            v = m.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("invalid Huffman code")
+        return _read_symbol(reader, m)
 
     s = read_symbol(dc_map)
     diff = _extend(reader.read_bits(s), s) if s else 0
@@ -525,9 +551,10 @@ def _decode_block(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline sequential JPEG bytes to ``(h, w)`` uint8
-    (grayscale stream) or ``(h, w, 3)`` uint8 RGB. Raises ``ValueError``
-    on progressive/arithmetic/unsupported streams."""
+    """Decode baseline sequential (SOF0) or progressive (SOF2) JPEG
+    bytes to ``(h, w)`` uint8 (grayscale stream) or ``(h, w, 3)`` uint8
+    RGB. Raises ``ValueError`` on arithmetic/hierarchical/unsupported
+    streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -536,12 +563,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ac_maps: dict[int, dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (h, w, [(id, sh, sv, tq)])
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per-comp (bh, bw, 64) int32
     while True:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and coef is not None:
+                return _reconstruct_progressive(frame, qts, coef)
             raise ValueError("no scan data before EOI")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
@@ -573,7 +604,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 m = _build_decode_map(bits, vals)
                 (ac_maps if tc else dc_maps)[th] = m
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             h, w = struct.unpack(">HH", seg[1:5])
             n_comp = seg[5]
             comps = []
@@ -581,22 +612,46 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported SOF marker 0x{marker:02X} (baseline only)")
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coef = [
+                    np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int32)
+                    for (_, sh, sv, _) in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported SOF marker 0x{marker:02X} (baseline/progressive only)"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tabs = {}
+            scan_ids = []
             for ci in range(ns):
                 cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-            pos += seg_len
-            return _decode_scan(
-                payload, pos, frame, scan_tabs, qts, dc_maps, ac_maps, restart_interval
+                scan_ids.append(cid)
+            if not progressive:
+                pos += seg_len
+                return _decode_scan(
+                    payload, pos, frame, scan_tabs, qts, dc_maps, ac_maps,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos + seg_len, frame, scan_ids, scan_tabs,
+                ss, se, ahal >> 4, ahal & 0x0F,
+                dc_maps, ac_maps, restart_interval, coef,
             )
+            continue
         # APPn / COM / others: skip
         pos += seg_len
 
@@ -647,6 +702,19 @@ def _decode_scan(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
 
+    return _finish_image(planes, comps, h, w, hmax, vmax, mcux, mcuy)
+
+
+def _finish_image(
+    planes: list[np.ndarray],
+    comps: list,
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+    mcux: int,
+    mcuy: int,
+) -> np.ndarray:
     if len(comps) == 1:
         out = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
         return out
@@ -662,3 +730,463 @@ def _decode_scan(
     # color transform so gray-in-color streams match grayscale streams
     ycc = np.clip(np.round(ycc), 0, 255)
     return _ycbcr_to_rgb(ycc)
+
+
+# --- progressive mode (SOF2): T.81 Annex G, Huffman coding --------------
+
+
+def _comp_block_dims(frame: tuple, ci: int) -> tuple[int, int]:
+    """Non-interleaved block grid of component ci: ceil over the ACTUAL
+    component dimensions (NOT the MCU-padded grid) — spec A.2.2/G.1."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, sh, sv, _ = comps[ci]
+    ch = (h * sv + vmax - 1) // vmax
+    cw = (w * sh + hmax - 1) // hmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _ac_first_block(
+    reader: _BitReader,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_map: dict,
+    eobrun: int,
+) -> int:
+    """First AC scan of a successive-approximation band (G.2.1)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, ac_map)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(
+    reader: _BitReader,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_map: dict,
+    eobrun: int,
+) -> int:
+    """AC refinement scan (G.2.2): newly-nonzero coefficients arrive as
+    ±1<<Al symbols; already-nonzero coefficients receive one correction
+    bit each as the scan passes over them; EOB runs cover whole blocks
+    whose remaining nonzero coefficients still receive correction bits."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(reader, ac_map)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit():
+                        if (abs(int(zz[k])) & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement run past end of band")
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit():
+                    if (abs(int(zz[k])) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan_ids: list[int],
+    scan_tabs: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_maps: dict,
+    ac_maps: dict,
+    restart_interval: int,
+    coef: list[np.ndarray],
+) -> int:
+    """Decode one progressive scan into the coefficient grids; returns
+    the stream position of the next marker."""
+    h, w, comps = frame
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(data, pos)
+    rst_n = 0
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        cis = [cid_to_ci[cid] for cid in scan_ids]
+        pred = {ci: 0 for ci in cis}
+        interleaved = len(cis) > 1
+
+        def dc_units():
+            """Yield (ci, by, bx) in scan order."""
+            if interleaved:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        yield None  # MCU boundary sentinel (restart cadence)
+                        for ci in cis:
+                            _, sh, sv, _ = comps[ci]
+                            for by in range(sv):
+                                for bx in range(sh):
+                                    yield (ci, my * sv + by, mx * sh + bx)
+            else:
+                ci = cis[0]
+                bh, bw = _comp_block_dims(frame, ci)
+                for by in range(bh):
+                    for bx in range(bw):
+                        yield None
+                        yield (ci, by, bx)
+
+        count = 0
+        for unit in dc_units():
+            if unit is None:  # restart cadence checkpoint (per MCU/block)
+                if restart_interval and count == restart_interval:
+                    reader.align_and_expect_rst(rst_n)
+                    rst_n += 1
+                    count = 0
+                    pred = {ci: 0 for ci in cis}
+                count += 1
+                continue
+            ci, by, bx = unit
+            zz = coef[ci][by, bx]
+            if ah == 0:
+                td = scan_tabs[comps[ci][0]][0]
+                s = _read_symbol(reader, dc_maps[td])
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                zz[0] = pred[ci] << al
+            else:
+                if reader.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+    else:
+        if len(scan_ids) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci = cid_to_ci[scan_ids[0]]
+        ta = scan_tabs[scan_ids[0]][1]
+        ac_map = ac_maps[ta]
+        bh, bw = _comp_block_dims(frame, ci)
+        eobrun = 0
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and count == restart_interval:
+                    reader.align_and_expect_rst(rst_n)
+                    rst_n += 1
+                    count = 0
+                    eobrun = 0
+                count += 1
+                zz = coef[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, zz, ss, se, al, ac_map, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, zz, ss, se, al, ac_map, eobrun)
+
+    # locate the next marker (pad bits may remain in the current byte)
+    if reader.marker is not None:
+        return reader.pos - 2
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    raise ValueError("unterminated progressive scan")
+
+
+def _reconstruct_progressive(
+    frame: tuple, qts: dict, coef: list[np.ndarray]
+) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for ci, (_, sh, sv, tq) in enumerate(comps):
+        grid = coef[ci]
+        bh, bw = grid.shape[:2]
+        plane = np.zeros((8 * bh, 8 * bw), dtype=np.float64)
+        qt = qts[tq]
+        for by in range(bh):
+            for bx in range(bw):
+                c = np.zeros(64, dtype=np.float64)
+                c[ZIGZAG] = grid[by, bx]
+                deq = c.reshape(8, 8) * qt
+                plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = _idct(deq) + 128.0
+        planes.append(plane)
+    return _finish_image(planes, comps, h, w, hmax, vmax, mcux, mcuy)
+
+
+# --- progressive encoder ------------------------------------------------
+
+
+def _default_scan_script(n_comp: int) -> list[dict]:
+    """A libjpeg-shaped successive-approximation script: coarse DC, AC
+    bands at reduced precision, then refinement passes down to full
+    precision (every coefficient is delivered exactly by the end)."""
+    if n_comp == 1:
+        return [
+            dict(comps=[0], ss=0, se=0, ah=0, al=1),
+            dict(comps=[0], ss=1, se=5, ah=0, al=2),
+            dict(comps=[0], ss=6, se=63, ah=0, al=2),
+            dict(comps=[0], ss=1, se=63, ah=2, al=1),
+            dict(comps=[0], ss=0, se=0, ah=1, al=0),
+            dict(comps=[0], ss=1, se=63, ah=1, al=0),
+        ]
+    return [
+        dict(comps=[0, 1, 2], ss=0, se=0, ah=0, al=1),
+        dict(comps=[0], ss=1, se=5, ah=0, al=2),
+        dict(comps=[2], ss=1, se=63, ah=0, al=1),
+        dict(comps=[1], ss=1, se=63, ah=0, al=1),
+        dict(comps=[0], ss=6, se=63, ah=0, al=2),
+        dict(comps=[0], ss=1, se=63, ah=2, al=1),
+        dict(comps=[0, 1, 2], ss=0, se=0, ah=1, al=0),
+        dict(comps=[2], ss=1, se=63, ah=1, al=0),
+        dict(comps=[1], ss=1, se=63, ah=1, al=0),
+        dict(comps=[0], ss=1, se=63, ah=1, al=0),
+    ]
+
+
+def _encode_ac_first_block(
+    writer: _BitWriter, band: np.ndarray, al: int, ac_codes: dict
+) -> None:
+    vals = [
+        (int(abs(int(v))) >> al) * (1 if v > 0 else -1) for v in band
+    ]
+    run = 0
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v != 0:
+            last_nz = i
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(bits, s)
+        run = 0
+    if last_nz != len(vals) - 1:
+        code, ln = ac_codes[0x00]  # EOB (run of exactly one block)
+        writer.write(code, ln)
+
+
+def _encode_ac_refine_block(
+    writer: _BitWriter, band: np.ndarray, ah: int, al: int, ac_codes: dict
+) -> None:
+    p_corr: list[int] = []  # buffered correction bits
+    run = 0
+    emitted_any = False
+    for v in band:
+        v = int(v)
+        if (abs(v) >> ah) != 0:  # already nonzero in earlier scans
+            p_corr.append((abs(v) >> al) & 1)
+            continue
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        # newly nonzero: t == 1 by construction of successive approximation
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            for b in p_corr:
+                writer.write(b, 1)
+            p_corr = []
+            run -= 16
+        code, ln = ac_codes[(run << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if v > 0 else 0, 1)
+        for b in p_corr:
+            writer.write(b, 1)
+        p_corr = []
+        run = 0
+        emitted_any = True
+    if run > 0 or p_corr:
+        code, ln = ac_codes[0x00]  # EOB flushes the rest of this block
+        writer.write(code, ln)
+        for b in p_corr:
+            writer.write(b, 1)
+    del emitted_any
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    luma_table: np.ndarray | None = None,
+    scans: list[dict] | None = None,
+) -> bytes:
+    """Encode to progressive (SOF2) JPEG bytes. Same coefficient
+    pipeline as :func:`encode_jpeg`; the entropy layer follows a
+    successive-approximation scan script (``_default_scan_script`` or a
+    caller-supplied list of ``dict(comps, ss, se, ah, al)``). Decoding
+    with :func:`decode_jpeg` reproduces the baseline decode of the same
+    image bit-for-bit (unit-asserted): progressive is a reordering of
+    the same quantized coefficients, not a different approximation."""
+    h, w, padded, samp, qts, mcux, mcuy = _prepare_planes(
+        img, quality, subsampling, luma_table
+    )
+    n_comp = len(padded)
+    # quantized coefficient grids on the MCU-padded geometry
+    grids = []
+    for ci in range(n_comp):
+        sh, sv = samp[ci]
+        g = np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int32)
+        for by in range(mcuy * sv):
+            for bx in range(mcux * sh):
+                g[by, bx] = _quantize_block(
+                    padded[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8], qts[ci]
+                )
+        grids.append(g)
+
+    dc_tabs = [_build_codes(*HT_DC_LUMA)] + [_build_codes(*HT_DC_CHROMA)] * (n_comp - 1)
+    ac_tabs = [_build_codes(*HT_AC_LUMA)] + [_build_codes(*HT_AC_CHROMA)] * (n_comp - 1)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts[: 2 if n_comp > 1 else 1]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(qt.ravel()[ZIGZAG][k]) for k in range(64)
+        )
+    sof = struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + sof  # SOF2: progressive DCT, Huffman
+    hts = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
+    if n_comp > 1:
+        hts += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
+    for tc, (bits, vals) in hts:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc)
+        out += bytes(bits) + bytes(vals)
+
+    frame_comps = [
+        (ci + 1, samp[ci][0], samp[ci][1], 0 if ci == 0 else 1)
+        for ci in range(n_comp)
+    ]
+    frame = (h, w, frame_comps)
+
+    for scan in scans or _default_scan_script(n_comp):
+        cis, ss, se = scan["comps"], scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        sos = struct.pack(">HB", 6 + 2 * len(cis), len(cis))
+        for ci in cis:
+            sos += bytes([ci + 1, (ci and 0x11) or 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + sos
+        writer = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                pred = {ci: 0 for ci in cis}
+                if len(cis) > 1:
+                    units = (
+                        (ci, my * samp[ci][1] + by, mx * samp[ci][0] + bx)
+                        for my in range(mcuy)
+                        for mx in range(mcux)
+                        for ci in cis
+                        for by in range(samp[ci][1])
+                        for bx in range(samp[ci][0])
+                    )
+                else:
+                    ci0 = cis[0]
+                    bh, bw = _comp_block_dims(frame, ci0)
+                    units = (
+                        (ci0, by, bx) for by in range(bh) for bx in range(bw)
+                    )
+                for ci, by, bx in units:
+                    v = int(grids[ci][by, bx, 0]) >> al
+                    s, bits = _magnitude(v - pred[ci])
+                    code, ln = dc_tabs[ci][s]
+                    writer.write(code, ln)
+                    if s:
+                        writer.write(bits, s)
+                    pred[ci] = v
+            else:
+                if len(cis) > 1:
+                    units = (
+                        (ci, my * samp[ci][1] + by, mx * samp[ci][0] + bx)
+                        for my in range(mcuy)
+                        for mx in range(mcux)
+                        for ci in cis
+                        for by in range(samp[ci][1])
+                        for bx in range(samp[ci][0])
+                    )
+                else:
+                    ci0 = cis[0]
+                    bh, bw = _comp_block_dims(frame, ci0)
+                    units = (
+                        (ci0, by, bx) for by in range(bh) for bx in range(bw)
+                    )
+                for ci, by, bx in units:
+                    writer.write((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+        else:
+            (ci,) = cis
+            bh, bw = _comp_block_dims(frame, ci)
+            for by in range(bh):
+                for bx in range(bw):
+                    band = grids[ci][by, bx, ss : se + 1]
+                    if ah == 0:
+                        _encode_ac_first_block(writer, band, al, ac_tabs[ci])
+                    else:
+                        _encode_ac_refine_block(writer, band, ah, al, ac_tabs[ci])
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -14,6 +14,7 @@ from etl_market_survey_spark.operators.jpeg import (
     _build_codes,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     scale_quant_table,
     QT_LUMA,
 )
@@ -136,14 +137,19 @@ def test_huffman_canonical_assignment():
     assert codes[11] == (0b111111110, 9)
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_arithmetic():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     img = np.full((8, 8), 128, dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    payload[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="unsupported SOF"):
+        decode_jpeg(bytes(payload))
+    # a baseline scan header (Ss=0, Se=63) inside an SOF2 stream is
+    # malformed progressive data and must still be rejected
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
 
 
@@ -157,3 +163,65 @@ def test_decoder_reads_foreign_table_ids_and_app_segments():
     i = payload.index(b"\xff\xdb")
     patched = bytes(payload[:i]) + extra + com + bytes(payload[i:])
     np.testing.assert_array_equal(decode_jpeg(patched), img)
+
+
+# --- progressive (SOF2) mode — VERDICT r4 item 4 ------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((16, 16), "444"),
+        ((24, 17), "444"),  # non-multiple-of-8 edges
+        ((32, 32, 3), "444"),
+        ((24, 19, 3), "420"),  # subsampled chroma, ragged edges
+        ((8, 8), "444"),
+    ],
+)
+def test_progressive_decode_matches_baseline(shape, sub):
+    """Progressive is a REORDERING of the same quantized coefficients:
+    once every scan has landed, decode must equal the baseline decode of
+    the same image bit-for-bit."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=75, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=75, subsampling=sub))
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_flat16_lossless_roundtrip():
+    """The q256 exact-gate regime (even constant blocks, Q=16 flat
+    table) must round-trip losslessly through the progressive path too
+    — the property the q355 gate relies on."""
+    rng = np.random.default_rng(11)
+    blocks = (128 + 2 * rng.integers(-40, 41, size=(3, 2))).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = decode_jpeg(encode_jpeg_progressive(img, luma_table=QT_FLAT16))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_progressive_spectral_selection_only_script():
+    """Spectral selection without successive approximation (Ah=Al=0
+    throughout) is the other legal progressive organization; a custom
+    scan script exercises it."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    scans = [
+        dict(comps=[0], ss=0, se=0, ah=0, al=0),
+        dict(comps=[0], ss=1, se=9, ah=0, al=0),
+        dict(comps=[0], ss=10, se=63, ah=0, al=0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, quality=50))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=50, scans=scans))
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_high_quality_dense_coefficients():
+    """quality=95 leaves many nonzero AC coefficients -> the refinement
+    scans exercise correction bits, ZRL skips, and newly-nonzero
+    placement densely."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(40, 33, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=95))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=95))
+    np.testing.assert_array_equal(base, prog)
