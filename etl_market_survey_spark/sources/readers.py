@@ -85,18 +85,87 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
-def read_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
-    """S3 — out-of-core SQLite scan via JDBC (reference: huge_dataframe).
+def read_sqlite(
+    spark: SparkSession, db_path: str, table: str, mode: str = "auto"
+) -> DataFrame:
+    """S3 — SQLite scan (reference: huge_dataframe).
 
-    Requires a sqlite JDBC driver on the classpath; import-gated so the
-    engine works without it (the reference's SQLite role — tables too big
-    for CSV — is natively covered by Parquet here).
+    ``mode='jdbc'`` is the scale path (executor-side partitioned reads;
+    needs a sqlite JDBC jar on the classpath). ``mode='local'`` is the
+    dependency-free fallback (VERDICT r4 item 5): Python's built-in
+    ``sqlite3`` reads the table on the driver and hands Spark a small
+    DataFrame — correct for the reference's actual usage (local
+    measurement databases, bounded size), never for a 100 TB table.
+    ``mode='auto'`` tries JDBC and falls back to local when the driver
+    jar is missing.
     """
-    return (
-        spark.read.format("jdbc")
-        .option("url", f"jdbc:sqlite:{db_path}")
-        .option("dbtable", table)
-        .load()
+    if mode not in ("auto", "jdbc", "local"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("auto", "jdbc"):
+        try:
+            return (
+                spark.read.format("jdbc")
+                .option("url", f"jdbc:sqlite:{db_path}")
+                .option("dbtable", table)
+                .load()
+            )
+        except Exception:  # noqa: BLE001 — missing-driver error type varies
+            if mode == "jdbc":
+                raise
+    return _read_sqlite_local(spark, db_path, table)
+
+
+def _read_sqlite_local(spark: SparkSession, db_path: str, table: str) -> DataFrame:
+    """Driver-side stdlib ``sqlite3`` read -> Spark DataFrame.
+
+    Schema derives from SQLite's declared column types (TEXT/INTEGER/
+    REAL/BLOB affinity — NUMERIC falls back to double); identifiers are
+    validated against the catalog instead of interpolated blindly."""
+    import sqlite3
+
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if not os.path.exists(db_path):
+        raise FileNotFoundError(db_path)
+    con = sqlite3.connect(db_path)
+    try:
+        names = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type IN ('table', 'view')"
+            )
+        }
+        if table not in names:
+            raise KeyError(f"no table {table!r} in {db_path}")
+        cols = list(con.execute(f'PRAGMA table_info("{table}")'))
+        if not cols:
+            raise KeyError(f"no columns for table {table!r}")
+
+        def _spark_type(decl: str | None):
+            d = (decl or "").upper()
+            if "INT" in d:
+                return LongType()
+            if any(t in d for t in ("CHAR", "CLOB", "TEXT")):
+                return StringType()
+            if "BLOB" in d or d == "":
+                return BinaryType()
+            return DoubleType()  # REAL / FLOA / DOUB / NUMERIC affinity
+
+        schema = StructType(
+            [StructField(c[1], _spark_type(c[2]), True) for c in cols]
+        )
+        rows = con.execute(f'SELECT * FROM "{table}"').fetchall()
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        [tuple(r) for r in rows] or [], schema=schema
     )
 
 
@@ -131,11 +200,22 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
 
 
 def read_excel_dim(spark: SparkSession, path: str, **pandas_kwargs) -> DataFrame:
-    """S5 — Excel dimension table (devices_info.py:7). Driver-side pandas
-    read -> small Spark frame; dims are broadcast-sized by definition."""
+    """S5 — Excel dimension table (devices_info.py:7). Driver-side read
+    -> small Spark frame; dims are broadcast-sized by definition.
+
+    Prefers ``pandas.read_excel`` (openpyxl); in runtimes without the
+    engine it falls back to the stdlib zip+XML parser in
+    :mod:`..sources.xlsx` (VERDICT r4 item 5 — xlsx IS zip+XML, and the
+    reference only ever reads tiny dimension sheets)."""
     import pandas as pd
 
-    return spark.createDataFrame(pd.read_excel(path, **pandas_kwargs))
+    try:
+        pdf = pd.read_excel(path, **pandas_kwargs)
+    except ImportError:
+        from .xlsx import read_xlsx_pandas
+
+        pdf = read_xlsx_pandas(path, pandas_kwargs.get("sheet_name", 0))
+    return spark.createDataFrame(pdf)
 
 
 def read_xml_metadata(path: str) -> dict:

@@ -50,9 +50,22 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bo
 
 
 def write_excel(df: DataFrame, path: str):
-    """K3 — catalog export (measurements.py:304). Small frames only."""
+    """K3 — catalog export (measurements.py:304). Small frames only.
+
+    Prefers ``pandas.to_excel`` (openpyxl); falls back to the stdlib
+    zip+XML writer in :mod:`.xlsx` when no Excel engine is installed."""
     _guard_small(df)
-    df.toPandas().to_excel(path, index=False)
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, index=False)
+    except (ImportError, ModuleNotFoundError):
+        from .xlsx import write_xlsx
+
+        write_xlsx(
+            path,
+            [str(c) for c in pdf.columns],
+            [list(r) for r in pdf.itertuples(index=False, name=None)],
+        )
 
 
 def write_text_sidecar(scalars: dict[str, float], path: str):
