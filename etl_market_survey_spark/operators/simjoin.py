@@ -230,6 +230,8 @@ def similarity_self_join(
     t_num: int,
     t_den: int,
     size_verify: bool = True,
+    salt: int = 1,
+    hot_token_threshold: int = 10_000,
 ) -> DataFrame:
     """All pairs ``id_a < id_b`` with Jaccard(tokens_a, tokens_b) >=
     t_num/t_den — exactly (prefix filter prunes, integer verify decides).
@@ -239,7 +241,14 @@ def similarity_self_join(
     exact candidate-pair volume from its token histogram, and sizes the
     verify-stage shuffle to it — the partition count a static
     ``spark.sql.shuffle.partitions`` cannot know. Costs one bounded
-    aggregate job over the cached index; turn off for tiny ad-hoc runs."""
+    aggregate job over the cached index; turn off for tiny ad-hoc runs.
+
+    ``salt > 1`` additionally salts prefix tokens hotter than
+    ``hot_token_threshold`` (VERDICT r4 item 8): rarity ordering keeps
+    common tokens OUT of prefixes, but near-duplicate-heavy corpora can
+    still concentrate one prefix token; salting spreads that token's
+    C(f, 2) candidates over ``salt`` partitions (:mod:`.salting`),
+    pair-identical to the unsalted join."""
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
     toks = df.select(
@@ -260,18 +269,27 @@ def similarity_self_join(
     #     Xiao-Wang-Lin-Yu 2008). jacc >= t <=> inter*(t_num+t_den) >=
     #     t_num*(n_a+n_b), so prune when the bound can't reach it.
     ub = F.least(F.col("n_a") - F.col("_pa"), F.col("n_b") - F.col("_pb"))
+    probe = prefixes.select(
+        F.col("_id").alias("id_a"), F.col("tokens").alias("_ta"),
+        F.col("n").alias("n_a"), F.col("ppos").alias("_pa"), "token",
+    )
+    build = prefixes.select(
+        F.col("_id").alias("id_b"), F.col("tokens").alias("_tb"),
+        F.col("n").alias("n_b"), F.col("ppos").alias("_pb"), "token",
+    )
+    if salt > 1:
+        from .salting import hot_keys, salted_join
+
+        if not size_verify:
+            prefixes = prefixes.persist()  # histogram + two join sides
+        hot = hot_keys(prefixes, "token", hot_token_threshold)
+        joined = salted_join(
+            probe, build, "token", F.col("id_a"), hot=hot, n_salt=salt
+        )
+    else:
+        joined = probe.join(build, "token")
     verified = (
-        prefixes.select(
-            F.col("_id").alias("id_a"), F.col("tokens").alias("_ta"),
-            F.col("n").alias("n_a"), F.col("ppos").alias("_pa"), "token",
-        )
-        .join(
-            prefixes.select(
-                F.col("_id").alias("id_b"), F.col("tokens").alias("_tb"),
-                F.col("n").alias("n_b"), F.col("ppos").alias("_pb"), "token",
-            ),
-            "token",
-        )
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.lit(t_den) * F.least("n_a", "n_b")
