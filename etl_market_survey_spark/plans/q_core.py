@@ -441,3 +441,140 @@ def q168_region_share(spark, sf_dir):
         "nation_rev",
         (F.col("nation_rev") / den).alias("region_share"),
     ).orderBy("n_regionkey", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# q357 — ROLLUP over the region>nation hierarchy (SQL-surface
+# completion: multi-level aggregates in ONE pass instead of N unioned
+# groupBys — at 100 TB the rollup reuses a single shuffle's partial
+# aggregates for every level, which is exactly why the operator exists).
+# grouping_id() disambiguates levels; rollup NULLs are coalesced to a
+# sentinel so level totals and genuine keys can't collide in the hash.
+# Oracle: DuckDB GROUP BY ROLLUP + GROUPING_ID (both engines follow the
+# standard bit order: first listed column = most significant bit).
+# ---------------------------------------------------------------------------
+
+_Q357_ORACLE = """
+SELECT COALESCE(r_name, '(all)') AS region,
+       COALESCE(n_name, '(all)') AS nation,
+       CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY gid, region, nation
+"""
+
+
+@register("q357_rollup_hierarchy", _Q357_ORACLE)
+def q357_rollup_hierarchy(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum(F.floor(F.col("c_acctbal") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "gid", "n_cust", "acctbal_cents",
+        )
+        .orderBy("gid", "region", "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q358 — CUBE over (priority, status): all four grouping sets — the
+# full cross-classification an OLAP dashboard reads from one shuffle.
+# Same sentinel + grouping_id discipline as q357.
+# ---------------------------------------------------------------------------
+
+_Q358_ORACLE = """
+SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+       COALESCE(o_orderstatus, '(all)') AS status,
+       CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS price_cents
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY gid, priority, status
+"""
+
+
+@register("q358_cube_priority_status", _Q358_ORACLE)
+def q358_cube_priority_status(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "gid", "n_orders", "price_cents",
+        )
+        .orderBy("gid", "priority", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q359 — explicit GROUPING SETS (the general form q357/q358
+# specialize): three hand-picked sets — (priority, year), (priority),
+# (year) — skipping the grand total, which neither rollup nor cube can
+# express alone. Spark spells it in SQL (the DataFrame API deliberately
+# exposes only rollup/cube); the plan still computes every set off one
+# Expand + one shuffle.
+# ---------------------------------------------------------------------------
+
+_Q359_ORACLE = """
+SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+       COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS year,
+       CAST(GROUPING_ID(o_orderpriority, EXTRACT(year FROM o_orderdate))
+            AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, EXTRACT(year FROM o_orderdate)),
+                        (o_orderpriority), (EXTRACT(year FROM o_orderdate)))
+ORDER BY gid, priority, year
+"""
+
+
+@register("q359_grouping_sets", _Q359_ORACLE)
+def q359_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_q359_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1L)
+                 AS year,
+               CAST(GROUPING_ID() AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM _q359_orders
+        GROUP BY GROUPING SETS
+          ((o_orderpriority, EXTRACT(year FROM o_orderdate)),
+           (o_orderpriority), (EXTRACT(year FROM o_orderdate)))
+        ORDER BY gid, priority, year
+        """
+    )
