@@ -4032,3 +4032,59 @@ def q356_delta_log_protocol(spark, sf_dir):
         .unionByName(agg(v2, "v2_pruned"))
         .orderBy("version_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q360 — distributed block matrix multiply (operators/matmul): count
+# matrices A (custkey%32 x custkey%16, from customer) and B
+# (custkey%16 x orderkey%24, from orders) multiplied with the tiled
+# SUMMA-style Arrow-GEMM path (bs=8 -> 4x2 and 2x3 block grids, so the
+# inner-dimension join, per-pair GEMM and partial-tile combine ALL
+# exercise multi-block traffic). Counts are positive integers, so the
+# block path's support equals the sparse path's and the SQL oracle
+# (plain join-agg matmul) replays it bit-exactly in int64.
+# ---------------------------------------------------------------------------
+
+_Q360_ORACLE = """
+WITH a AS (
+  SELECT c_custkey % 32 AS row, c_custkey % 16 AS col,
+         CAST(COUNT(*) AS DOUBLE) AS val
+  FROM customer GROUP BY 1, 2
+),
+b AS (
+  SELECT o_custkey % 16 AS row, o_orderkey % 24 AS col,
+         CAST(COUNT(*) AS DOUBLE) AS val
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.row AS row, b.col AS col,
+       CAST(SUM(a.val * b.val) AS BIGINT) AS val
+FROM a JOIN b ON a.col = b.row
+GROUP BY 1, 2
+ORDER BY row, col
+"""
+
+
+@register("q360_block_matmul", _Q360_ORACLE)
+def q360_block_matmul(spark, sf_dir):
+    from ..operators.matmul import block_matmul
+
+    a = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            (F.col("c_custkey") % 32).alias("row"),
+            (F.col("c_custkey") % 16).alias("col"),
+        )
+        .agg(F.count("*").cast("double").alias("val"))
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            (F.col("o_custkey") % 16).alias("row"),
+            (F.col("o_orderkey") % 24).alias("col"),
+        )
+        .agg(F.count("*").cast("double").alias("val"))
+    )
+    c = block_matmul(a, b, bs=8)
+    return c.select(
+        "row", "col", F.col("val").cast("bigint").alias("val")
+    ).orderBy("row", "col")
