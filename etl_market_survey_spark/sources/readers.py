@@ -273,3 +273,27 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other first-class columnar format Spark ships a
+    native vectorized reader for (no external jar). Same predicate
+    pushdown / column pruning / partition discovery story as parquet;
+    event-time normalization applied identically."""
+    return ts_to_ns(spark.read.orc(path))
+
+
+def read_avro(spark: SparkSession, path: str):
+    """Avro scan — import-gated: the `spark-avro` module is a separate
+    artifact not bundled in this runtime. Raises a clear error rather
+    than a classpath stack when absent; the scale path is identical to
+    the other readers once the package is on the classpath."""
+    try:
+        return ts_to_ns(spark.read.format("avro").load(path))
+    except Exception as e:  # noqa: BLE001 — jar-missing error type varies
+        if "avro" in str(e).lower() or "Failed to find" in str(e):
+            raise ImportError(
+                "spark-avro is not on the classpath; add "
+                "org.apache.spark:spark-avro to spark.jars.packages"
+            ) from e
+        raise

@@ -93,3 +93,12 @@ def write_jsonl(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    """ORC sink — native columnar alternative when the downstream stack
+    is Hive/Presto-flavored; same layout options as the parquet sink."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
