@@ -429,3 +429,44 @@ def test_r4b_no_cartesian_and_codegen(static_plan, name):
     assert re.search(r"\*\(\d+\)", plan), name
     if name not in _R4B_BOUNDED_BNLJ:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q353_bitext_margin_srp",
+        "q354_bitext_margin_ivf",
+        "q355_jpeg_progressive_roundtrip",
+        "q356_delta_log_protocol",
+        "q357_rollup_hierarchy",
+        "q358_cube_priority_status",
+        "q359_grouping_sets",
+        "q360_block_matmul",
+    ],
+)
+def test_r5_no_cartesian_and_codegen(static_plan, name):
+    """Round-5 additions: no cartesian products, expressions stay in
+    whole-stage codegen."""
+    plan = static_plan(name)
+    assert "CartesianProduct" not in plan, name
+    assert re.search(r"\*\(\d+\)", plan), name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q357_rollup_single_scan_expand(static_plan):
+    """The rollup levels must come from ONE Expand over one scan —
+    never unioned re-aggregations (that is the whole point of the
+    operator at scale)."""
+    plan = static_plan("q357_rollup_hierarchy")
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan parquet") <= 3  # customer+nation+region once
+    assert "Union" not in plan
+
+
+def test_q360_block_pairing_is_equi_join(static_plan):
+    """Tile pairing joins on the inner block index (SortMergeJoin or
+    hash join on k) — a cross join of tiles would be quadratic in the
+    block grid."""
+    plan = static_plan("q360_block_matmul")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
