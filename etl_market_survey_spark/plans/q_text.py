@@ -3172,3 +3172,64 @@ def q350_overdispersion(spark, sf_dir):
             (F.col("n") - 1) * F.col("sd") * F.col("sd") / F.col("mu"), 9
         ).alias("dispersion_stat"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q361 — Unicode NFC canonicalization (functions/unicodenorm): corpus
+# text is deterministically "de-normalized" (every 'e' becomes
+# 'e' + U+0301 combining acute on doc_id % 3 == 0 rows — the classic
+# decomposed-form pollution real crawls carry), then canonicalized with
+# the Arrow unicodedata kernel. Output: per-source rows changed +
+# codepoint counts before/after, proving the normalizer collapses
+# combining sequences and touches nothing else. Oracle: DuckDB's
+# nfc_normalize — an independent UAX #15 implementation — replays the
+# same pollution + normalization bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q361_ORACLE = """
+WITH polluted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0
+              THEN replace(text, 'e', 'e' || chr(769))
+              ELSE text END AS raw
+  FROM documents
+),
+normed AS (
+  SELECT doc_id, source, raw, nfc_normalize(raw) AS canon FROM polluted
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN canon <> raw THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(length(raw)) AS BIGINT) AS cp_before,
+       CAST(SUM(length(canon)) AS BIGINT) AS cp_after
+FROM normed
+GROUP BY source ORDER BY source
+"""
+
+
+@register("q361_unicode_nfc", _Q361_ORACLE)
+def q361_unicode_nfc(spark, sf_dir):
+    from ..functions.unicodenorm import unicode_normalize
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    polluted = docs.withColumn(
+        "raw",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.regexp_replace("text", "e", "e\u0301"),  # e + combining acute
+        ).otherwise(F.col("text")),
+    )
+    normed = polluted.withColumn("canon", unicode_normalize("raw", "NFC"))
+    return (
+        normed.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("canon") != F.col("raw")).cast("long"))
+            .cast("bigint")
+            .alias("n_changed"),
+            F.sum(F.length("raw")).cast("bigint").alias("cp_before"),
+            F.sum(F.length("canon")).cast("bigint").alias("cp_after"),
+        )
+        .orderBy("source")
+    )
