@@ -4088,3 +4088,38 @@ def q360_block_matmul(spark, sf_dir):
     return c.select(
         "row", "col", F.col("val").cast("bigint").alias("val")
     ).orderBy("row", "col")
+
+
+# ---------------------------------------------------------------------------
+# q362 — global sort index at scale (operators/globalindex): dense
+# 0-based ranks over the full events table in (ts, event_id) order
+# WITHOUT the `Exchange SinglePartition` a bare ROW_NUMBER() window
+# forces — range partition + local rank + broadcast offsets (the
+# terasort shape). Deterministic because (ts, event_id) is a total
+# order here; plan-asserted single-partition-free in
+# test_plan_quality. Output thinned to every 997th rank so the gate
+# frame stays bounded. Oracle: plain ROW_NUMBER() - 1.
+# ---------------------------------------------------------------------------
+
+_Q362_ORACLE = """
+WITH ranked AS (
+  SELECT event_id,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+)
+SELECT CAST(idx AS BIGINT) AS idx, CAST(event_id AS BIGINT) AS event_id
+FROM ranked WHERE idx % 997 = 0 ORDER BY idx
+"""
+
+
+@register("q362_global_sort_index", _Q362_ORACLE)
+def q362_global_sort_index(spark, sf_dir):
+    from ..operators.globalindex import global_sort_index
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_id")
+    idx = global_sort_index(ev, ["ts", "event_id"], num_partitions=32)
+    return (
+        idx.filter(F.col("idx") % 997 == 0)
+        .select("idx", F.col("event_id").cast("bigint").alias("event_id"))
+        .orderBy("idx")
+    )
