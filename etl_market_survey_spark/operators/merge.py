@@ -129,3 +129,74 @@ def upsert_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def scd2_apply(
+    dim: DataFrame | None,
+    updates: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    ts_col: str,
+    *,
+    end_of_time: int = 2**62,
+) -> DataFrame:
+    """SCD Type-2 apply: maintain full attribute HISTORY per key as
+    effective-dated rows ``(keys, value_cols, valid_from, valid_to,
+    is_current)`` — the warehouse dimension-versioning pattern (Kimball
+    SCD2), as one declarative plan.
+
+    ``dim`` is the current history (or None to bootstrap); ``updates``
+    carries ``(keys, value_cols, ts_col)`` observations. Per key, each
+    CHANGE in the value tuple (in ``ts_col`` order) opens a new version
+    effective [ts, next-change ts); unchanged observations are no-ops
+    (idempotent replay). Open versions end at ``end_of_time`` with
+    ``is_current`` true.
+
+    Scale shape: one union + one per-key window pass — no driver loops,
+    no row-at-a-time Python; history length per key is bounded by the
+    number of genuine changes, never by observation count (consecutive
+    duplicates collapse via the lag digest compare).
+    """
+    from pyspark.sql.window import Window
+
+    keys, value_cols = list(keys), list(value_cols)
+    obs = updates.select(
+        *keys, *value_cols, F.col(ts_col).cast("long").alias("_ts")
+    )
+    if dim is not None:
+        # re-open existing history as observations at their valid_from;
+        # the rebuild is then a pure function of the observation set
+        prior = dim.select(
+            *keys, *value_cols, F.col("valid_from").cast("long").alias("_ts")
+        )
+        obs = prior.unionByName(obs)
+
+    w = Window.partitionBy(*keys).orderBy("_ts")
+    dig = _digest(value_cols)
+    changed = (
+        obs.withColumn("_dig", dig)
+        .withColumn("_prev", F.lag("_dig").over(w))
+        # first observation per key, or a different value tuple than the
+        # immediately-preceding observation, opens a version
+        .filter(F.col("_prev").isNull() | (F.col("_dig") != F.col("_prev")))
+    )
+    w2 = Window.partitionBy(*keys).orderBy("_ts")
+    return (
+        changed.withColumn("_next", F.lead("_ts").over(w2))
+        .select(
+            *keys,
+            *value_cols,
+            F.col("_ts").alias("valid_from"),
+            F.coalesce("_next", F.lit(end_of_time)).alias("valid_to"),
+            F.col("_next").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_as_of(history: DataFrame, ts: int) -> DataFrame:
+    """The dimension as it was at time ``ts``: the version whose
+    [valid_from, valid_to) interval covers it. Pure filter — partition
+    pruning applies when history is stored partitioned on is_current."""
+    return history.filter(
+        (F.col("valid_from") <= F.lit(ts)) & (F.lit(ts) < F.col("valid_to"))
+    ).drop("is_current")

@@ -4123,3 +4123,72 @@ def q362_global_sort_index(spark, sf_dir):
         .select("idx", F.col("event_id").cast("bigint").alias("event_id"))
         .orderBy("idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q363 — SCD Type-2 dimension history (operators/merge.scd2_apply):
+# customer order-priority observations (one per customer-day,
+# deterministic min-priority tie-break) fold into effective-dated
+# versions [valid_from, valid_to) + is_current — the Kimball dimension-
+# versioning pattern as one union + window pass, consecutive duplicate
+# observations collapsing idempotently. Thinned to custkey % 97 == 0 so
+# the gate frame stays bounded. Oracle replays the lag-change/lead-close
+# algebra in pure SQL, including the 2^62 open-version sentinel.
+# ---------------------------------------------------------------------------
+
+_Q363_ORACLE = """
+WITH obs AS (
+  SELECT o_custkey AS k,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS ts,
+         MIN(o_orderpriority) AS pr
+  FROM orders GROUP BY 1, 2
+),
+marked AS (
+  SELECT k, pr, ts,
+         LAG(pr) OVER (PARTITION BY k ORDER BY ts) AS prev_pr
+  FROM obs
+),
+changes AS (
+  SELECT k, pr, ts FROM marked WHERE prev_pr IS NULL OR pr <> prev_pr
+),
+versions AS (
+  SELECT k, pr, ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY k ORDER BY ts),
+                  4611686018427387904) AS valid_to
+  FROM changes
+)
+SELECT CAST(k AS BIGINT) AS o_custkey, pr AS priority,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       valid_to = 4611686018427387904 AS is_current
+FROM versions WHERE k % 97 = 0
+ORDER BY o_custkey, valid_from
+"""
+
+
+@register("q363_scd2_history", _Q363_ORACLE)
+def q363_scd2_history(spark, sf_dir):
+    from ..operators.merge import scd2_apply
+
+    obs = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("o_custkey"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("ts"),
+        )
+        .agg(F.min("o_orderpriority").alias("priority"))
+    )
+    hist = scd2_apply(
+        None, obs, keys=["o_custkey"], value_cols=["priority"], ts_col="ts"
+    )
+    return (
+        hist.filter(F.col("o_custkey") % 97 == 0)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            "priority",
+            F.col("valid_from").cast("bigint").alias("valid_from"),
+            F.col("valid_to").cast("bigint").alias("valid_to"),
+            "is_current",
+        )
+        .orderBy("o_custkey", "valid_from")
+    )
