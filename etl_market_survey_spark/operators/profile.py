@@ -1,0 +1,112 @@
+"""Table profiling — per-column data-quality statistics in ONE pass
+(beyond reference; the Deequ/Great-Expectations "profiler" shape).
+
+Given any frame, emit one row per column: row count, null count,
+exact distinct count, min/max (canonical string form), and for string
+columns the average length. Everything folds into a SINGLE aggregate
+over one scan — Spark plans multi-distinct aggregates with one Expand
+(one shuffle), so profiling a 100-column table costs one pass over the
+data, not 100. The wide 1-row result is unpivoted to long form with
+``stack`` (driver never sees the data).
+
+The companion :func:`check_expectations` evaluates declarative
+data-quality rules (not-null, unique-key, value-range, referential
+containment) and returns one pass/fail row per rule — the CI gate shape
+for pipeline health at scale (all rules are aggregates; nothing
+collects raw rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: ``(column, n_rows, n_null, n_distinct,
+    min_value, max_value, avg_len)`` — min/max cast to string so mixed
+    column types share one schema; ``avg_len`` is null for non-strings."""
+    cols = columns or df.columns
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.countDistinct(c).alias(f"_dist_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+        if isinstance(types[c], StringType):
+            aggs.append(F.avg(F.length(c)).alias(f"_len_{c}"))
+    row = df.agg(*aggs)
+
+    stack_args = []
+    for c in cols:
+        len_expr = f"_len_{c}" if isinstance(types[c], StringType) else "CAST(NULL AS DOUBLE)"
+        stack_args.append(
+            f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}, {len_expr}"
+        )
+    stacked = row.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+        "(column, n_null, n_distinct, min_value, max_value, avg_len)",
+    )
+    return stacked.select(
+        "column", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value", "avg_len",
+    )
+
+
+def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate declarative expectations; one row per rule:
+    ``(rule, column, violations, passed)``.
+
+    Rule kinds:
+      {"kind": "not_null", "column": c}
+      {"kind": "unique", "columns": [c, ...]}
+      {"kind": "in_range", "column": c, "lo": x, "hi": y}   (closed)
+      {"kind": "in_set", "column": c, "values": [...]}
+      {"kind": "matches", "column": c, "pattern": regex}
+    Violations are COUNTED with aggregates (``unique`` via a groupBy on
+    the key — the only rule needing a shuffle); raw rows never move.
+    """
+    spark = df.sparkSession
+    out = []
+    for r in rules:
+        kind = r["kind"]
+        if kind == "not_null":
+            bad = F.sum(F.col(r["column"]).isNull().cast("long"))
+            n = df.agg(bad.alias("v")).collect()[0]["v"]
+            col_name = r["column"]
+        elif kind == "unique":
+            keys = list(r["columns"])
+            n = (
+                df.groupBy(*keys)
+                .agg(F.count("*").alias("_c"))
+                .filter(F.col("_c") > 1)
+                .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("v"))
+                .collect()[0]["v"]
+            )
+            col_name = ",".join(keys)
+        elif kind == "in_range":
+            c = F.col(r["column"])
+            pred = c.isNotNull() & ((c < F.lit(r["lo"])) | (c > F.lit(r["hi"])))
+            n = df.agg(F.sum(pred.cast("long")).alias("v")).collect()[0]["v"]
+            col_name = r["column"]
+        elif kind == "in_set":
+            c = F.col(r["column"])
+            pred = c.isNotNull() & ~c.isin(list(r["values"]))
+            n = df.agg(F.sum(pred.cast("long")).alias("v")).collect()[0]["v"]
+            col_name = r["column"]
+        elif kind == "matches":
+            c = F.col(r["column"])
+            pred = c.isNotNull() & ~c.rlike(r["pattern"])
+            n = df.agg(F.sum(pred.cast("long")).alias("v")).collect()[0]["v"]
+            col_name = r["column"]
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        out.append((kind, col_name, int(n or 0), int(n or 0) == 0))
+    return spark.createDataFrame(
+        out, "rule string, column string, violations long, passed boolean"
+    )

@@ -4192,3 +4192,118 @@ def q363_scd2_history(spark, sf_dir):
         )
         .orderBy("o_custkey", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# q364 — single-pass table profile (operators/profile): per-column
+# n/null/exact-distinct/min/max/avg-length over six lineitem columns,
+# ALL folded into one aggregate over one scan (Spark plans the
+# multi-distinct with one Expand) and unpivoted to long form with
+# stack. The Deequ-profiler shape; oracle = per-column UNION ALL of
+# the same statistics.
+# ---------------------------------------------------------------------------
+
+_Q364_COLS = [
+    "l_orderkey", "l_quantity", "l_returnflag",
+    "l_linestatus", "l_discount", "l_shipdate",
+]
+
+
+def _q364_oracle() -> str:
+    parts = []
+    for c in _Q364_COLS:
+        is_str = c in ("l_returnflag", "l_linestatus")
+        len_expr = f"AVG(length({c}))" if is_str else "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+  SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         CAST(MIN({c}) AS VARCHAR) AS min_value,
+         CAST(MAX({c}) AS VARCHAR) AS max_value,
+         ROUND({len_expr}, 6) AS avg_len
+  FROM lineitem""")
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY \"column\""
+
+
+@register("q364_table_profile", _q364_oracle())
+def q364_table_profile(spark, sf_dir):
+    from ..operators.profile import profile_table
+
+    li = load(spark, sf_dir, "lineitem").select(*_Q364_COLS)
+    prof = profile_table(li)
+    return prof.select(
+        "column", "n_rows",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value", "max_value",
+        F.round("avg_len", 6).alias("avg_len"),
+    ).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# q365 — declarative data-quality expectations (operators/profile.
+# check_expectations): five rule kinds over orders — not-null key,
+# unique key, price range, status domain, priority regex — each
+# evaluated as a pure aggregate (unique via groupBy; no raw rows ever
+# collected). The CI-gate shape for pipeline health. Oracle: UNION ALL
+# of the same rule aggregates.
+# ---------------------------------------------------------------------------
+
+_Q365_ORACLE = """
+SELECT * FROM (
+  SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+  FROM orders
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         CAST(COALESCE(SUM(c), 0) AS BIGINT), COALESCE(SUM(c), 0) = 0
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice',
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0 OR o_totalprice > 100000)
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         SUM(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 100000)
+                  THEN 1 ELSE 0 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'in_set', 'o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('F', 'O')
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         SUM(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F', 'O')
+                  THEN 1 ELSE 0 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority',
+         CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         SUM(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1 ELSE 0 END) = 0
+  FROM orders
+) ORDER BY rule, "column"
+"""
+
+
+@register("q365_expectations", _Q365_ORACLE)
+def q365_expectations(spark, sf_dir):
+    from ..operators.profile import check_expectations
+
+    orders = load(spark, sf_dir, "orders")
+    out = check_expectations(
+        orders,
+        [
+            {"kind": "not_null", "column": "o_custkey"},
+            {"kind": "unique", "columns": ["o_orderkey"]},
+            {"kind": "in_range", "column": "o_totalprice", "lo": 0, "hi": 100000},
+            {"kind": "in_set", "column": "o_orderstatus", "values": ["F", "O"]},
+            {"kind": "matches", "column": "o_orderpriority", "pattern": "^[1-5]-"},
+        ],
+    )
+    return out.orderBy("rule", "column")

@@ -1,0 +1,77 @@
+"""Table profiler + expectations (operators/profile): stat correctness
+on a hand-built frame, the single-scan plan property, and each rule
+kind's violation counting."""
+
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.operators.profile import (
+    check_expectations,
+    profile_table,
+)
+
+
+def _df(spark):
+    rows = [
+        (1, "alpha", 10.0),
+        (2, "beta", 20.0),
+        (2, None, 30.0),
+        (4, "gamma", None),
+        (5, "alpha", 50.0),
+    ]
+    return spark.createDataFrame(rows, "k long, name string, v double")
+
+
+class TestProfile:
+    def test_stats(self, spark):
+        prof = {r["column"]: r for r in profile_table(_df(spark)).collect()}
+        assert set(prof) == {"k", "name", "v"}
+        assert all(r["n_rows"] == 5 for r in prof.values())
+        assert prof["name"]["n_null"] == 1 and prof["v"]["n_null"] == 1
+        assert prof["k"]["n_distinct"] == 4  # countDistinct skips nothing here
+        assert prof["name"]["n_distinct"] == 3  # nulls excluded
+        assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "5"
+        assert prof["v"]["avg_len"] is None
+        assert abs(prof["name"]["avg_len"] - (5 + 4 + 5 + 5) / 4) < 1e-9
+
+    def test_single_scan(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        _df(spark).write.parquet(p)
+        df = spark.read.parquet(p)
+        plan = (
+            profile_table(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("FileScan parquet") == 1  # one pass, however many cols
+        assert "Expand" in plan  # the multi-distinct strategy
+
+    def test_column_subset(self, spark):
+        out = profile_table(_df(spark), columns=["k"])
+        assert [r["column"] for r in out.collect()] == ["k"]
+
+
+class TestExpectations:
+    def test_all_kinds(self, spark):
+        res = {
+            (r["rule"], r["column"]): (r["violations"], r["passed"])
+            for r in check_expectations(
+                _df(spark),
+                [
+                    {"kind": "not_null", "column": "name"},
+                    {"kind": "unique", "columns": ["k"]},
+                    {"kind": "in_range", "column": "v", "lo": 0, "hi": 25},
+                    {"kind": "in_set", "column": "name",
+                     "values": ["alpha", "beta"]},
+                    {"kind": "matches", "column": "name", "pattern": "^[ab]"},
+                ],
+            ).collect()
+        }
+        assert res[("not_null", "name")] == (1, False)
+        assert res[("unique", "k")] == (2, False)      # k=2 appears twice
+        assert res[("in_range", "v")] == (2, False)    # 30 and 50 out of range
+        assert res[("in_set", "name")] == (1, False)   # gamma
+        assert res[("matches", "name")] == (1, False)  # gamma
+        # nulls never count as violations for value rules
+        clean = check_expectations(
+            _df(spark).filter(F.col("k") == 1),
+            [{"kind": "unique", "columns": ["k"]}],
+        ).collect()[0]
+        assert clean["violations"] == 0 and clean["passed"]
