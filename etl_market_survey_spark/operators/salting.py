@@ -22,6 +22,11 @@ row's), so the output multiset is IDENTICAL to the unsalted join —
 proven row-for-row in tests — while a hot key's candidates now spread
 over ``n_salt`` shuffle partitions, cutting the max task by ``n_salt``
 for the cost of replicating only the hot build rows.
+
+Sibling of :mod:`.skew` (salted two-phase groupBy aggregation and the
+replicate-the-whole-small-side shuffle join): this module is the
+HOT-KEY-ONLY variant for self-joins, where replicating everything would
+multiply the dominant cost instead of the rare one.
 """
 
 from __future__ import annotations
