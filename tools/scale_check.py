@@ -67,6 +67,14 @@ HEAVY = [
     # scale path (q354 splits the corpus in half, so both sides grow).
     "q299_phash_neardup",
     "q354_bitext_margin_ivf",
+    # r5 continuation: the terasort-shaped global index (range shuffle +
+    # local windows — should be ~n log n) and the SCD2 window fold
+    # (per-key state, expected linear). q360 block-matmul is EXCLUDED:
+    # the synthesis shifts keys mod-space, so matrix DIMENSIONS stay
+    # fixed and only cell counts grow — a density effect, not a scale
+    # test of the tiling.
+    "q362_global_sort_index",
+    "q363_scd2_history",
 ]
 
 SRC = "/root/testdata/sf0.1"
