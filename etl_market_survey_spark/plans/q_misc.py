@@ -4307,3 +4307,77 @@ def q365_expectations(spark, sf_dir):
         ],
     )
     return out.orderBy("rule", "column")
+
+
+# ---------------------------------------------------------------------------
+# q366 — Iceberg table protocol over REAL Avro manifests (sources/
+# iceberg + sources/avro, the interop sibling of q356's Delta gate):
+# append / append / partition-delete snapshots whose manifest lists and
+# manifests are genuine Avro container files (pure-Python codec,
+# spec-pinned in tests), read back at snapshot-id pin, timestamp-ms
+# travel, and current with partition pruning. Same orders fixture and
+# oracle algebra as q356, so the two lakehouse wire formats are gated
+# against the SAME ground truth.
+# ---------------------------------------------------------------------------
+
+_Q366_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp FROM orders
+),
+v1 AS (SELECT * FROM o WHERE k % 3 = 0),
+v2 AS (SELECT * FROM o WHERE k % 3 IN (0, 1)),
+v3 AS (SELECT * FROM v2 WHERE pr <> '1-URGENT'),
+v3f AS (SELECT * FROM v3 WHERE pr IN ('2-HIGH', '5-LOW')),
+u AS (
+  SELECT 'v1' AS version_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents FROM v1 GROUP BY 1, 2
+  UNION ALL
+  SELECT 'v2_asof', pr, COUNT(*), SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) FROM v2 GROUP BY 1, 2
+  UNION ALL
+  SELECT 'v3_pruned', pr, COUNT(*), SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) FROM v3f GROUP BY 1, 2
+)
+SELECT version_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY version_tag, o_orderpriority
+"""
+
+
+@register("q366_iceberg_protocol", _Q366_ORACLE)
+def q366_iceberg_protocol(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import delete_partitions, read_iceberg, write_iceberg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_iceberg_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    s1 = write_iceberg(
+        spark, path, o.filter(F.col("k") % 3 == 0),
+        partition_col="pr", commit_ts=100,
+    )
+    write_iceberg(
+        spark, path, o.filter(F.col("k") % 3 == 1),
+        partition_col="pr", commit_ts=200,
+    )
+    delete_partitions(spark, path, ["1-URGENT"], commit_ts=300)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("version_tag"), "*")
+
+    v1 = read_iceberg(spark, path, snapshot_id=s1)
+    v2 = read_iceberg(spark, path, as_of_ms=250)
+    v3 = read_iceberg(spark, path, partition_filter={"pr": ["2-HIGH", "5-LOW"]})
+    return (
+        agg(v1, "v1")
+        .unionByName(agg(v2, "v2_asof"))
+        .unionByName(agg(v3, "v3_pruned"))
+        .orderBy("version_tag", "o_orderpriority")
+    )

@@ -283,17 +283,24 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return ts_to_ns(spark.read.orc(path))
 
 
-def read_avro(spark: SparkSession, path: str):
-    """Avro scan — import-gated: the `spark-avro` module is a separate
-    artifact not bundled in this runtime. Raises a clear error rather
-    than a classpath stack when absent; the scale path is identical to
-    the other readers once the package is on the classpath."""
+def read_avro(spark: SparkSession, path: str, schema: str | None = None):
+    """Avro scan. Prefers the `spark-avro` module (vectorized JVM path)
+    when its jar is on the classpath; without it, falls back to the
+    pure-Python container decoder in :mod:`.avro` — a DISTRIBUTED scan
+    (binaryFile source, one task per file, Arrow-batched decode), not a
+    driver funnel. ``schema`` (Spark DDL) prunes columns in the fallback;
+    omitted, it is inferred from one file's writer schema."""
     try:
         return ts_to_ns(spark.read.format("avro").load(path))
     except Exception as e:  # noqa: BLE001 — jar-missing error type varies
-        if "avro" in str(e).lower() or "Failed to find" in str(e):
-            raise ImportError(
-                "spark-avro is not on the classpath; add "
-                "org.apache.spark:spark-avro to spark.jars.packages"
-            ) from e
-        raise
+        if "avro" not in str(e).lower() and "Failed to find" not in str(e):
+            raise
+    from .avro import avro_schema_to_ddl, read_avro_distributed, read_avro_records
+
+    if schema is None:
+        import glob
+
+        candidates = sorted(glob.glob(os.path.join(path, "*.avro"))) or [path]
+        writer_schema, _ = read_avro_records(candidates[0])
+        schema = avro_schema_to_ddl(writer_schema)
+    return ts_to_ns(read_avro_distributed(spark, path, schema))

@@ -1,0 +1,204 @@
+"""Iceberg reader/writer (sources/iceberg) over pure-Python Avro
+manifests (sources/avro): golden-byte Avro pins from the published
+spec, container round-trips, snapshot reads, time travel, partition
+delete, and metadata pruning."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.sources.avro import (
+    _read_long,
+    _write_long,
+    decode_container,
+    encode_container,
+    read_avro_records,
+    write_avro_file,
+)
+from etl_market_survey_spark.sources.iceberg import (
+    delete_partitions,
+    read_iceberg,
+    snapshot_files,
+    table_history,
+    write_iceberg,
+)
+
+
+class TestAvroBinary:
+    def test_zigzag_golden_bytes(self):
+        # the worked examples from the Avro spec's binary-encoding table
+        import io
+
+        golden = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+                  2: b"\x04", 64: b"\x80\x01", -65: b"\x81\x01"}
+        for n, want in golden.items():
+            out = bytearray()
+            _write_long(out, n)
+            assert bytes(out) == want, n
+            assert _read_long(io.BytesIO(want)) == n
+
+    def test_string_golden_bytes(self):
+        # spec example: "foo" -> 06 66 6f 6f inside a record field
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "s", "type": "string"}]}
+        data = encode_container(schema, [{"s": "foo"}], codec="null")
+        assert b"\x06foo" in data
+
+    def test_container_round_trip_all_types(self):
+        schema = {
+            "type": "record", "name": "t", "fields": [
+                {"name": "l", "type": "long"},
+                {"name": "i", "type": "int"},
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "d", "type": "double"},
+                {"name": "f", "type": "float"},
+                {"name": "b", "type": "boolean"},
+                {"name": "by", "type": "bytes"},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "string"}},
+                {"name": "e", "type": {"type": "enum", "name": "col",
+                                       "symbols": ["R", "G", "B"]}},
+                {"name": "fx", "type": {"type": "fixed", "name": "f16",
+                                        "size": 4}},
+            ],
+        }
+        recs = [
+            {"l": -(2**50), "i": 7, "s": None, "d": 0.125, "f": 2.0,
+             "b": True, "by": b"\x00\xff", "arr": [1, -2, 3],
+             "m": {"a": "x"}, "e": "G", "fx": b"abcd"},
+            {"l": 0, "i": -1, "s": "héllo", "d": -1e300, "f": 0.0,
+             "b": False, "by": b"", "arr": [], "m": {}, "e": "B",
+             "fx": b"\x00\x00\x00\x00"},
+        ]
+        for codec in ("null", "deflate"):
+            s2, r2 = decode_container(encode_container(schema, recs, codec))
+            assert r2 == recs and s2 == schema
+
+    def test_nested_record_and_file_io(self, tmp_path):
+        schema = {
+            "type": "record", "name": "outer", "fields": [
+                {"name": "inner", "type": {
+                    "type": "record", "name": "pt", "fields": [
+                        {"name": "x", "type": "long"},
+                        {"name": "y", "type": "long"},
+                    ]}},
+            ],
+        }
+        recs = [{"inner": {"x": 1, "y": 2}}, {"inner": {"x": -3, "y": 4}}]
+        p = str(tmp_path / "t.avro")
+        write_avro_file(p, schema, recs)
+        s2, r2 = read_avro_records(p)
+        assert r2 == recs
+
+    def test_corrupt_magic_rejected(self):
+        with pytest.raises(ValueError):
+            decode_container(b"NOPE" + b"\x00" * 64)
+
+
+class TestIcebergTable:
+    def _mk(self, spark, n=20):
+        return spark.range(n).select(
+            F.col("id"),
+            (F.col("id") * 2.5).alias("v"),
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("cat"),
+        )
+
+    def test_append_read_and_history(self, spark, tmp_path):
+        root = str(tmp_path / "t1")
+        df = self._mk(spark)
+        s1 = write_iceberg(spark, root, df.filter("id < 10"),
+                           partition_col="cat", commit_ts=100)
+        s2 = write_iceberg(spark, root, df.filter("id >= 10"),
+                           partition_col="cat", commit_ts=200)
+        assert read_iceberg(spark, root).count() == 20
+        assert read_iceberg(spark, root, snapshot_id=s1).count() == 10
+        assert read_iceberg(spark, root, as_of_ms=150).count() == 10
+        h = table_history(root)
+        assert [x["snapshot_id"] for x in h] == [s1, s2]
+        # manifests on disk really are Avro container files
+        snaps = [f for f in os.listdir(os.path.join(root, "metadata"))
+                 if f.startswith("manifest-")]
+        with open(os.path.join(root, "metadata", snaps[0]), "rb") as f:
+            assert f.read(4) == b"Obj\x01"
+
+    def test_partition_delete_is_metadata_only(self, spark, tmp_path):
+        root = str(tmp_path / "t2")
+        write_iceberg(spark, root, self._mk(spark),
+                      partition_col="cat", commit_ts=100)
+        n_data = len(snapshot_files(root))
+        delete_partitions(spark, root, ["odd"], commit_ts=200)
+        out = read_iceberg(spark, root)
+        assert {r["cat"] for r in out.collect()} == {"even"}
+        # time travel still sees the full table; data files untouched
+        assert read_iceberg(spark, root, as_of_ms=100).count() == 20
+        assert len(snapshot_files(root, as_of_ms=100)) == n_data
+
+    def test_partition_and_stats_pruning(self, spark, tmp_path):
+        root = str(tmp_path / "t3")
+        write_iceberg(spark, root, self._mk(spark),
+                      partition_col="cat", commit_ts=100)
+        even = read_iceberg(spark, root, partition_filter={"cat": ["even"]})
+        files = even.inputFiles()
+        assert files and all("cat=even" in f for f in files)
+        none = read_iceberg(spark, root, stats_filter={"id": (1000, 2000)})
+        assert none.count() == 0
+        assert [f.name for f in none.schema.fields] == ["id", "v", "cat"]
+
+    def test_unpartitioned(self, spark, tmp_path):
+        root = str(tmp_path / "t4")
+        write_iceberg(spark, root, self._mk(spark).drop("cat"), commit_ts=100)
+        assert read_iceberg(spark, root).count() == 20
+
+    def test_bounds_recorded(self, spark, tmp_path):
+        root = str(tmp_path / "t5")
+        write_iceberg(spark, root, self._mk(spark),
+                      partition_col="cat", commit_ts=100)
+        f = snapshot_files(root)[0]
+        bounds = json.loads(f["bounds_json"])
+        assert "id" in bounds and bounds["id"][0] is not None
+
+
+class TestJarlessAvroScan:
+    def test_distributed_read_with_inferred_schema(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.readers import read_avro
+
+        schema = {
+            "type": "record", "name": "r", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+                {"name": "v", "type": "double"},
+            ],
+        }
+        d = str(tmp_path / "avrodir")
+        write_avro_file(
+            os.path.join(d, "part-0.avro"), schema,
+            [{"id": i, "name": f"n{i}", "v": i * 0.5} for i in range(50)],
+        )
+        write_avro_file(
+            os.path.join(d, "part-1.avro"), schema,
+            [{"id": 100 + i, "name": None, "v": 1.0} for i in range(30)],
+        )
+        df = read_avro(spark, d)
+        assert df.schema.simpleString() == "struct<id:bigint,name:string,v:double>"
+        assert df.count() == 80
+        assert df.filter(F.col("name").isNull()).count() == 30
+        assert df.agg(F.sum("v")).collect()[0][0] == 642.5
+
+    def test_column_pruned_read(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.readers import read_avro
+
+        schema = {
+            "type": "record", "name": "r", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "big", "type": "string"},
+            ],
+        }
+        d = str(tmp_path / "a2")
+        write_avro_file(
+            os.path.join(d, "p.avro"), schema,
+            [{"id": i, "big": "x" * 100} for i in range(10)],
+        )
+        df = read_avro(spark, d, schema="id long")
+        assert df.columns == ["id"] and df.count() == 10
