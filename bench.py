@@ -134,6 +134,16 @@ HEADLINE = [
     "q353_bitext_margin_srp",
     "q354_bitext_margin_ivf",
     "q355_jpeg_progressive_roundtrip",
+    # r5 continuation: lakehouse wire formats (Delta JSON log + Iceberg
+    # Avro manifests), rollup, block matmul, global index, profiler,
+    # SCD2
+    "q356_delta_log_protocol",
+    "q357_rollup_hierarchy",
+    "q360_block_matmul",
+    "q362_global_sort_index",
+    "q363_scd2_history",
+    "q364_table_profile",
+    "q366_iceberg_protocol",
 ]
 
 N_RUNS = 3  # best-of-3 (VERDICT r2 item 1): separates steady-state from GC/JIT noise
