@@ -96,3 +96,12 @@ def test_preference_data_example(tmp_path, spark):
     assert n_pairs > 0
     # report values are rounded to 6 dp, so allow that much slack
     assert abs(sum(strengths.values()) - 1.0) < 1e-4
+
+
+def test_format_interop_example(spark):
+    from examples.format_interop_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    # the example's own asserts cover protocol parity; sanity here:
+    assert out.count() > 0
+    assert set(out.columns) == {"k", "pr", "tp"}
