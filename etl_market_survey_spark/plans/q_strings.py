@@ -154,3 +154,54 @@ def q236_jaro_winkler(spark, sf_dir):
     return jaro_winkler_pairs(part, "p_name", threshold=_Q236_T, block="all").orderBy(
         "name_a", "name_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# q368 — higher-order array-function surface (SQL-surface completion):
+# per order, the sorted quantity array flows through transform (x2),
+# filter (> 40), aggregate (fold-sum), element_at head/tail — the
+# lambda-expression algebra Catalyst evaluates WITHOUT leaving codegen
+# (no UDFs anywhere). DuckDB replays with list_transform/list_filter/
+# list_sum/list_sort and native subscripts. Thinned to orderkey % 501.
+# ---------------------------------------------------------------------------
+
+_Q368_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey AS k,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(len(qs) AS INT) AS n_items,
+       qs[1] AS q_min,
+       qs[-1] AS q_max,
+       CAST(COALESCE(list_sum(list_filter(list_transform(qs, x -> x * 2),
+                                          y -> y > 40)), 0) AS BIGINT)
+         AS big_doubled_sum
+FROM per_order WHERE k % 501 = 0 ORDER BY k
+"""
+
+
+@register("q368_higher_order_arrays", _Q368_ORACLE)
+def q368_higher_order_arrays(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    per = li.groupBy("k").agg(F.array_sort(F.collect_list("q")).alias("qs"))
+    doubled = F.transform("qs", lambda x: x * 2)
+    big = F.filter(doubled, lambda y: y > 40)
+    return (
+        per.filter(F.col("k") % 501 == 0)
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.size("qs").cast("int").alias("n_items"),
+            F.element_at("qs", 1).alias("q_min"),
+            F.element_at("qs", -1).alias("q_max"),
+            F.coalesce(
+                F.aggregate(big, F.lit(0).cast("bigint"), lambda a, x: a + x),
+                F.lit(0).cast("bigint"),
+            ).alias("big_doubled_sum"),
+        )
+        .orderBy("k")
+    )

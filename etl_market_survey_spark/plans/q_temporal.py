@@ -1957,3 +1957,42 @@ def q324_croston_forecast(spark, sf_dir):
     return croston_per_key(demand, "part", "day", "q", _Q324_ALPHA).orderBy(
         "part"
     )
+
+
+# ---------------------------------------------------------------------------
+# q367 — calendar-function surface (SQL-surface completion): month
+# truncation, end-of-month, add_months with end-of-month clamping
+# (Jan 31 + 1m -> Feb 28 on BOTH engines), ISO week-of-year and
+# quarter extracts — the date algebra every partition-by-month 100 TB
+# layout leans on. Grouped to months so the gate frame stays bounded.
+# ---------------------------------------------------------------------------
+
+_Q367_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+       CAST(EXTRACT(week FROM o_orderdate) AS INT) AS iso_week,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY month_start, month_end, next_month, qtr, iso_week
+"""
+
+
+@register("q367_calendar_functions", _Q367_ORACLE)
+def q367_calendar_functions(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    return (
+        o.groupBy(
+            F.trunc("d", "month").alias("month_start"),
+            F.last_day("d").alias("month_end"),
+            F.add_months("d", 1).alias("next_month"),
+            F.quarter("d").cast("int").alias("qtr"),
+            F.weekofyear("d").cast("int").alias("iso_week"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("month_start", "month_end", "next_month", "qtr", "iso_week")
+    )
