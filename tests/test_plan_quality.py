@@ -470,3 +470,40 @@ def test_q360_block_pairing_is_equi_join(static_plan):
     plan = static_plan("q360_block_matmul")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q361_unicode_nfc",
+        "q362_global_sort_index",
+        "q363_scd2_history",
+        "q364_table_profile",
+        "q366_iceberg_protocol",
+        "q367_calendar_functions",
+        "q368_higher_order_arrays",
+    ],
+)
+def test_r5b_no_cartesian_and_codegen(static_plan, name):
+    """Round-5 continuation (q365 excluded: the expectations runner
+    evaluates rules eagerly, so its returned frame is a local table)."""
+    plan = static_plan(name)
+    assert "CartesianProduct" not in plan, name
+    assert re.search(r"\*\(\d+\)", plan), name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q362_no_single_partition_exchange(static_plan):
+    """The operator's reason to exist: global ranks WITHOUT the
+    Exchange SinglePartition a bare ROW_NUMBER() window forces."""
+    plan = static_plan("q362_global_sort_index")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_q368_lambdas_stay_in_codegen(static_plan):
+    """Higher-order functions are Catalyst expressions — the plan must
+    contain NO Python evaluation nodes at all."""
+    plan = static_plan("q368_higher_order_arrays")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "transform" in plan and "filter" in plan
