@@ -605,3 +605,87 @@ def _write_single_parquet(df: DataFrame, dest: str):
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     shutil.move(os.path.join(tmp, part), dest)
     shutil.rmtree(tmp)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    commit_ts: int = 0,
+) -> int:
+    """OPTIMIZE-style compaction: rewrite each partition's live files
+    into ONE file and commit remove+add actions (``dataChange: false``
+    per the protocol — readers of any version see identical rows, only
+    the file layout changes). Small-file pressure is the classic
+    lakehouse failure mode at streaming ingest rates; compaction keeps
+    scan task counts proportional to data, not commit history.
+
+    Returns the new version. Prior versions still time-travel exactly
+    (their files are never deleted, only de-referenced going forward).
+    """
+    snap = load_snapshot(spark, path)
+    pcols = snap.partition_columns
+    schema = snap.schema()
+    from pyspark.sql.types import StructType
+
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+
+    by_part: dict[tuple, list[str]] = {}
+    for rel, a in snap.adds.items():
+        pv = a.get("partitionValues") or {}
+        by_part.setdefault(tuple(pv.get(c) for c in pcols), []).append(rel)
+
+    new_version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": commit_ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {},
+            }
+        }
+    ]
+    for key, rels in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        if len(rels) == 1:
+            continue  # already compact
+        files = [os.path.join(path, r) for r in rels]
+        merged = spark.read.schema(data_schema).parquet(*files)
+        if pcols:
+            rel_dir = "/".join(
+                f"{c}={v}" for c, v in zip(pcols, key)
+            )
+            rel = f"{rel_dir}/part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+        else:
+            rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+        _write_single_parquet(merged.coalesce(1), os.path.join(path, rel))
+        for old in rels:
+            actions.append(
+                {
+                    "remove": {
+                        "path": old,
+                        "deletionTimestamp": commit_ts,
+                        "dataChange": False,
+                    }
+                }
+            )
+        fpath = os.path.join(path, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": dict(zip(pcols, key)),
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": commit_ts,
+                    "dataChange": False,
+                    "stats": _file_stats_json(spark, fpath, data_schema),
+                }
+            }
+        )
+    if len(actions) == 1:  # nothing to do — no empty commits
+        return snap.version
+    tmp = _commit_path(path, new_version) + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, _commit_path(path, new_version))
+    return new_version

@@ -250,3 +250,37 @@ class TestWriterRoundTrip:
         empty = read_delta(spark, root, stats_filter={"id": (1000, 2000)})
         assert empty.count() == 0
         assert [f.name for f in empty.schema.fields] == ["id", "v", "cat"]
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import compact, load_snapshot
+
+        root = str(tmp_path / "tc")
+        df = spark.range(30).select(
+            "id", F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cat")
+        )
+        for i in range(3):  # 3 commits x 2 partitions = 6 small files
+            write_delta(spark, root, df.filter(F.col("id") % 3 == i),
+                        partition_col="cat", commit_ts=100 + i)
+        before = load_snapshot(spark, root)
+        assert len(before.adds) == 6
+        v = compact(spark, root, commit_ts=400)
+        after = load_snapshot(spark, root)
+        assert len(after.adds) == 2  # one file per partition
+        got = {(r["id"], r["cat"]) for r in read_delta(spark, root).collect()}
+        want = {(r["id"], r["cat"]) for r in df.collect()}
+        assert got == want
+        # prior versions still time-travel to identical content
+        assert read_delta(spark, root, version=v - 1).count() == 30
+        assert read_delta(spark, root, version=0).count() == 10
+
+    def test_compact_idempotent(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import compact, load_snapshot
+
+        root = str(tmp_path / "tc2")
+        df = spark.range(10).select("id")
+        write_delta(spark, root, df, commit_ts=100)
+        v1 = compact(spark, root, commit_ts=200)
+        assert v1 == 0  # single file already — no empty commit written
+        assert len(load_snapshot(spark, root).adds) == 1
