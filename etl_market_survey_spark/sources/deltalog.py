@@ -689,3 +689,45 @@ def compact(
             f.write(json.dumps(a) + "\n")
     os.replace(tmp, _commit_path(path, new_version))
     return new_version
+
+
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    *,
+    keep_versions: int = 1,
+    dry_run: bool = False,
+) -> list[str]:
+    """Physically delete data files no live-enough version references —
+    Delta's VACUUM. ``keep_versions`` counts back from the current
+    version (1 = only the current snapshot survives); every file
+    referenced by ANY kept version is retained, so time travel within
+    the retention window stays exact, and — as in real Delta — travel
+    BEYOND it stops resolving (that is the documented, intended trade).
+
+    Returns the deleted relative paths (``dry_run`` lists without
+    deleting). The log itself is never touched: history stays auditable
+    even where data files are gone.
+    """
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = _list_commit_versions(path)
+    kept = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in kept:
+        referenced.update(load_snapshot(spark, path, version=v).adds)
+
+    # every file any version ever added
+    all_files: set[str] = set()
+    for v in versions:
+        for a in _read_actions(path, v):
+            if "add" in a:
+                all_files.add(a["add"]["path"])
+
+    doomed = sorted(all_files - referenced)
+    if not dry_run:
+        for rel in doomed:
+            fp = os.path.join(path, rel)
+            if os.path.exists(fp):
+                os.remove(fp)
+    return doomed

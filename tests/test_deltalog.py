@@ -284,3 +284,42 @@ class TestCompaction:
         v1 = compact(spark, root, commit_ts=200)
         assert v1 == 0  # single file already — no empty commit written
         assert len(load_snapshot(spark, root).adds) == 1
+
+
+class TestVacuum:
+    def test_vacuum_respects_retention(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import compact, vacuum
+
+        root = str(tmp_path / "tv")
+        df = spark.range(20).select(
+            "id", F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cat")
+        )
+        write_delta(spark, root, df.filter("id < 10"),
+                    partition_col="cat", commit_ts=100)
+        write_delta(spark, root, df.filter("id >= 10"),
+                    partition_col="cat", commit_ts=200)
+        compact(spark, root, commit_ts=300)
+
+        # dry run deletes nothing
+        doomed = vacuum(spark, root, keep_versions=1, dry_run=True)
+        assert doomed and all(
+            os.path.exists(os.path.join(root, r)) for r in doomed
+        )
+        # keep_versions=2 also protects the pre-compaction snapshot
+        protected = vacuum(spark, root, keep_versions=3, dry_run=True)
+        assert protected == []
+
+        deleted = vacuum(spark, root, keep_versions=1)
+        assert set(deleted) == set(doomed)
+        # current read is intact; vacuumed version no longer resolves
+        assert read_delta(spark, root).count() == 20
+        with pytest.raises(Exception):
+            read_delta(spark, root, version=0).collect()
+
+    def test_bad_retention_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import vacuum
+
+        root = str(tmp_path / "tv2")
+        write_delta(spark, root, spark.range(3).select("id"), commit_ts=100)
+        with pytest.raises(ValueError):
+            vacuum(spark, root, keep_versions=0)
