@@ -17,4 +17,21 @@ Submodules:
 - waveform    — measured-data feature reconstruction from raw samples.
 - asof        — as-of join + gap sessionization (composed built-ins).
 - skew        — salted aggregation / replicated join for hot keys.
+- salting     — hot-key-only salted equi-join (pair-identical; the
+                skew lever inside phonetic/simjoin blocking).
+- matmul      — distributed matrix multiply: sparse join-agg + tiled
+                Arrow-GEMM (SUMMA shape).
+- globalindex — global sort index without a SinglePartition exchange
+                (terasort shape).
+- profile     — single-pass per-column profiler + declarative
+                data-quality expectations.
+- merge       — SCD1 upsert, CDC snapshot diff, event-time conditional
+                merge, SCD2 effective-dated history.
+
+(Plus ~60 more: graph (pagerank/bfs/sssp/kcore/triangles/boruvka/
+randomwalk/temporalbfs/hits), ANN (pq/opq/semdedup/simjoin/editdist),
+sketches (kll/sketch/bloom), text (bpe/winnowing/spandedup/decontam/
+tfidf/phrasesearch), eval/causal (evalmetrics/survival/linkage),
+codecs (jpeg/gif/bmp/imageops/multimodal), time series (seasonal/dtw/
+sax/cusum/resample) — see COVERAGE.md for the per-query map.)
 """
