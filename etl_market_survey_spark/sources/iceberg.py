@@ -509,3 +509,73 @@ def delete_partitions(
     with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
         f.write(str(new_v))
     return snap_id
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    path: str,
+    *,
+    keep: int = 1,
+    dry_run: bool = False,
+) -> list[str]:
+    """Iceberg's ``expireSnapshots``: drop all but the newest ``keep``
+    snapshots from table metadata and physically delete data files only
+    THEY referenced (files shared with surviving snapshots are kept).
+    Manifests of expired snapshots are deleted too; the metadata JSON
+    history shrinks accordingly. Returns deleted relative paths."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    cur_v = _current_version(path)
+    meta = _load_metadata(path, cur_v)
+    snaps = sorted(meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"])
+    if len(snaps) <= keep:
+        return []
+    keep_snaps = snaps[-keep:]
+    drop_snaps = snaps[:-keep]
+
+    def files_of(s):
+        out = set()
+        _, manifests = read_avro_records(os.path.join(path, s["manifest-list"]))
+        for m in manifests:
+            _, entries = read_avro_records(
+                os.path.join(path, m["manifest_path"])
+            )
+            for e in entries:
+                if e["status"] != 2:
+                    out.add(e["data_file"]["file_path"])
+        return out
+
+    kept_files = set()
+    for s in keep_snaps:
+        kept_files |= files_of(s)
+    doomed_data = set()
+    doomed_meta = []
+    for s in drop_snaps:
+        doomed_data |= files_of(s) - kept_files
+        doomed_meta.append(s["manifest-list"])
+        _, manifests = read_avro_records(os.path.join(path, s["manifest-list"]))
+        doomed_meta.extend(m["manifest_path"] for m in manifests)
+    # manifests shared with kept snapshots must survive
+    kept_meta = set()
+    for s in keep_snaps:
+        kept_meta.add(s["manifest-list"])
+        _, manifests = read_avro_records(os.path.join(path, s["manifest-list"]))
+        kept_meta.update(m["manifest_path"] for m in manifests)
+    doomed_meta = [m for m in doomed_meta if m not in kept_meta]
+
+    doomed = sorted(doomed_data) + sorted(set(doomed_meta))
+    if not dry_run:
+        for rel in doomed:
+            fp = os.path.join(path, rel)
+            if os.path.exists(fp):
+                os.remove(fp)
+        new_v = cur_v + 1
+        meta = dict(meta)
+        meta["snapshots"] = keep_snaps
+        with open(
+            os.path.join(_meta_dir(path), f"v{new_v}.metadata.json"), "w"
+        ) as f:
+            json.dump(meta, f)
+        with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
+            f.write(str(new_v))
+    return doomed

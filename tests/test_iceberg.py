@@ -202,3 +202,40 @@ class TestJarlessAvroScan:
         )
         df = read_avro(spark, d, schema="id long")
         assert df.columns == ["id"] and df.count() == 10
+
+
+class TestExpireSnapshots:
+    def test_expiry_keeps_shared_files(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import expire_snapshots
+
+        root = str(tmp_path / "te")
+        df = spark.range(20).select(
+            "id", F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cat")
+        )
+        write_iceberg(spark, root, df.filter("id < 10"),
+                      partition_col="cat", commit_ts=100)
+        write_iceberg(spark, root, df.filter("id >= 10"),
+                      partition_col="cat", commit_ts=200)
+        # snapshot 2 carries snapshot 1's files as EXISTING entries, so
+        # expiring snapshot 1 must delete NO data files
+        doomed = expire_snapshots(spark, root, keep=1, dry_run=True)
+        assert not any(d.startswith("data/") for d in doomed)
+        expire_snapshots(spark, root, keep=1)
+        assert read_iceberg(spark, root).count() == 20
+        assert len(table_history(root)) == 1
+        with pytest.raises(ValueError):
+            read_iceberg(spark, root, as_of_ms=150)  # expired
+
+    def test_expiry_deletes_orphaned_files(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import expire_snapshots
+
+        root = str(tmp_path / "te2")
+        df = spark.range(20).select(
+            "id", F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cat")
+        )
+        write_iceberg(spark, root, df, partition_col="cat", commit_ts=100)
+        delete_partitions(spark, root, ["b"], commit_ts=200)
+        doomed = expire_snapshots(spark, root, keep=1)
+        # the b-partition file is referenced ONLY by the expired snapshot
+        assert any("cat=b" in d for d in doomed)
+        assert read_iceberg(spark, root).count() == 10
