@@ -248,7 +248,11 @@ def similarity_self_join(
     common tokens OUT of prefixes, but near-duplicate-heavy corpora can
     still concentrate one prefix token; salting spreads that token's
     C(f, 2) candidates over ``salt`` partitions (:mod:`.salting`),
-    pair-identical to the unsalted join."""
+    pair-identical to the unsalted join. Combining it with
+    ``size_verify`` costs one extra exchange (the sized repartition is
+    on ``token`` alone, the salted join re-shuffles on ``(token,
+    _salt)``) — on corpora skewed enough to need salt, prefer salt and
+    let AQE size the rest."""
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
     toks = df.select(
