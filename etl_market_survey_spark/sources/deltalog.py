@@ -371,15 +371,31 @@ def write_delta(
     partition_col: str | None = None,
     commit_ts: int = 0,
     collect_stats: bool = True,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Commit ``df`` to a Delta table; returns the new version.
 
     Deterministic by contract: ``commit_ts`` is caller-supplied (the
     same rule as :func:`..sources.lakehouse.commit_snapshot`), so time
     travel is replayable in tests and oracles. ``mode='overwrite'``
-    emits remove actions for every previously-live file."""
+    emits remove actions for every previously-live file.
+
+    ``txn_app`` + ``txn_version`` record the protocol's ``txn``
+    (SetTransaction) action — Delta's idempotent-writer mechanism: a
+    commit whose (appId, version) is <= the log's last recorded version
+    for that app is SKIPPED (returns the current table version, writes
+    nothing). This is exactly how a streaming ``foreachBatch`` sink gets
+    exactly-once: pass the micro-batch id as ``txn_version`` and batch
+    replays become no-ops (see :func:`foreach_batch_sink`)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version go together")
+    if txn_app is not None:
+        last = last_txn_version(path, txn_app)
+        if last is not None and txn_version <= last:
+            return _list_commit_versions(path)[-1]  # replay — skip
     versions = []
     try:
         versions = _list_commit_versions(path)
@@ -442,6 +458,11 @@ def write_delta(
             }
         }
     )
+    if txn_app is not None:
+        actions.append(
+            {"txn": {"appId": txn_app, "version": int(txn_version),
+                     "lastUpdated": commit_ts}}
+        )
     if new_version == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -731,3 +752,51 @@ def vacuum(
             if os.path.exists(fp):
                 os.remove(fp)
     return doomed
+
+
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Newest ``txn`` version the log records for ``app_id`` (None if
+    the app never committed) — the idempotence watermark."""
+    try:
+        versions = _list_commit_versions(path)
+    except FileNotFoundError:
+        return None
+    last = None
+    for v in versions:
+        for a in _read_actions(path, v):
+            t = a.get("txn")
+            if t and t.get("appId") == app_id:
+                tv = int(t["version"])
+                last = tv if last is None else max(last, tv)
+    return last
+
+
+def foreach_batch_sink(
+    path: str,
+    app_id: str,
+    *,
+    partition_col: str | None = None,
+):
+    """An exactly-once streaming sink for ``writeStream.foreachBatch``:
+    each micro-batch commits with ``txn`` (appId = ``app_id``, version =
+    batch id), so Structured Streaming's replay-on-recovery becomes a
+    no-op instead of a duplicate — the protocol's own idempotence, not a
+    dedup pass. Usage::
+
+        q = (df.writeStream
+               .foreachBatch(foreach_batch_sink("/t", "job1"))
+               .start())
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int):
+        write_delta(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            partition_col=partition_col,
+            commit_ts=int(batch_id),
+            txn_app=app_id,
+            txn_version=int(batch_id),
+        )
+
+    return apply

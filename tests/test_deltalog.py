@@ -323,3 +323,67 @@ class TestVacuum:
         write_delta(spark, root, spark.range(3).select("id"), commit_ts=100)
         with pytest.raises(ValueError):
             vacuum(spark, root, keep_versions=0)
+
+
+class TestTxnIdempotence:
+    def test_replayed_txn_is_noop(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            last_txn_version,
+            write_delta,
+        )
+
+        root = str(tmp_path / "tx")
+        df = spark.range(10).select("id")
+        v0 = write_delta(spark, root, df, commit_ts=100,
+                         txn_app="job1", txn_version=0)
+        assert v0 == 0
+        # replay of batch 0: skipped, no new commit, no duplicate rows
+        v_again = write_delta(spark, root, df, commit_ts=150,
+                              txn_app="job1", txn_version=0)
+        assert v_again == 0
+        assert read_delta(spark, root).count() == 10
+        # batch 1 commits normally
+        v1 = write_delta(spark, root, spark.range(10, 15).select("id"),
+                         commit_ts=200, txn_app="job1", txn_version=1)
+        assert v1 == 1 and read_delta(spark, root).count() == 15
+        assert last_txn_version(root, "job1") == 1
+        assert last_txn_version(root, "other") is None
+        # a different app is not blocked by job1's watermark
+        v2 = write_delta(spark, root, spark.range(15, 16).select("id"),
+                         commit_ts=300, txn_app="job2", txn_version=0)
+        assert v2 == 2
+
+    def test_txn_args_must_pair(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import write_delta
+
+        with pytest.raises(ValueError):
+            write_delta(spark, str(tmp_path / "t"), spark.range(1),
+                        txn_app="x")
+
+    def test_foreach_batch_sink_exactly_once(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import foreach_batch_sink
+
+        root = str(tmp_path / "sink")
+        # two input files -> two micro-batches
+        spark.range(0, 50).select("id").write.parquet(
+            str(tmp_path / "in" / "a.parquet"))
+        spark.range(50, 80).select("id").write.parquet(
+            str(tmp_path / "in" / "b.parquet"))
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "in" / "*"))
+        )
+        sink = foreach_batch_sink(root, "stream_job")
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        assert read_delta(spark, root).count() == 80
+        # simulate recovery replaying the last micro-batch: still 80
+        replay = spark.read.parquet(str(tmp_path / "in" / "b.parquet"))
+        sink(replay, 1)
+        assert read_delta(spark, root).count() == 80
