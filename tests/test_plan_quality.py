@@ -472,6 +472,11 @@ def test_q360_block_pairing_is_equi_join(static_plan):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+_R5B_BOUNDED_BNLJ = {
+    "q364_table_profile",  # 1-row x 1-row stitch of the two agg passes
+}
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -490,7 +495,8 @@ def test_r5b_no_cartesian_and_codegen(static_plan, name):
     plan = static_plan(name)
     assert "CartesianProduct" not in plan, name
     assert re.search(r"\*\(\d+\)", plan), name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    if name not in _R5B_BOUNDED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_q362_no_single_partition_exchange(static_plan):

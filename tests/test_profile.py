@@ -33,15 +33,23 @@ class TestProfile:
         assert prof["v"]["avg_len"] is None
         assert abs(prof["name"]["avg_len"] - (5 + 4 + 5 + 5) / 4) < 1e-9
 
-    def test_single_scan(self, spark, tmp_path):
+    def test_two_scan_split(self, spark, tmp_path):
+        # exactly TWO scans by design: a plain min/max/null/len pass
+        # over unexpanded rows + a fixed-width multi-distinct pass —
+        # measured 4x faster than one mixed agg (SortAggregate trap)
         p = str(tmp_path / "t")
         _df(spark).write.parquet(p)
         df = spark.read.parquet(p)
         plan = (
             profile_table(df)._jdf.queryExecution().executedPlan().toString()
         )
-        assert plan.count("FileScan parquet") == 1  # one pass, however many cols
+        assert plan.count("FileScan parquet") == 2
         assert "Expand" in plan  # the multi-distinct strategy
+        # the aggregate ABOVE the Expand (the x(2n+1)-row side) must be
+        # hash-based — that's the point of the split; the plain pass may
+        # stay SortAggregate (key=[] over unexpanded rows: no sort)
+        head = plan[: plan.rindex("Expand")]
+        assert head.rfind("HashAggregate") > head.rfind("SortAggregate")
 
     def test_column_subset(self, spark):
         out = profile_table(_df(spark), columns=["k"])
