@@ -125,3 +125,53 @@ def test_chunk_spans_tile_property(sess, lens, chunk, data):
             assert lo2 == lo1 + stride and lo2 <= hi1
             if overlap and hi1 < n:
                 assert hi1 - lo2 == overlap
+
+
+# ---------------------------------------------------------------------------
+# Avro codec round-trip (sources/avro) — pure Python, no Spark needed:
+# arbitrary values through every primitive + nullable-union + array/map
+# shape must decode bit-identically under both codecs.
+# ---------------------------------------------------------------------------
+
+_AVRO_SCHEMA = {
+    "type": "record", "name": "fuzz", "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "bytes"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+_avro_records = st.lists(
+    st.fixed_dictionaries(
+        {
+            "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "s": st.one_of(st.none(), st.text(max_size=40)),
+            "d": st.floats(allow_nan=False, width=64),
+            "b": st.binary(max_size=32),
+            "arr": st.lists(
+                st.integers(min_value=-(2**40), max_value=2**40), max_size=8
+            ),
+            "m": st.dictionaries(st.text(min_size=1, max_size=8),
+                                 st.integers(min_value=0, max_value=2**32),
+                                 max_size=5),
+        }
+    ),
+    max_size=20,
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(recs=_avro_records)
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_round_trip_fuzz(recs, codec):
+    from etl_market_survey_spark.sources.avro import (
+        decode_container,
+        encode_container,
+    )
+
+    schema, back = decode_container(encode_container(_AVRO_SCHEMA, recs, codec))
+    assert schema == _AVRO_SCHEMA
+    assert back == recs
