@@ -333,25 +333,15 @@ def write_iceberg(
         for i, c in enumerate(pcols)
     ]
 
-    # ---- data files (identity partitioning keeps columns IN the files)
+    # ---- data files (identity partitioning keeps columns IN the files).
+    # One shuffle+write job for ALL partitions (a duplicated "_pk" dir
+    # key so the identity column itself stays in the file content —
+    # Spark's partitionBy strips the dir column) plus ONE grouped bounds
+    # aggregate — never a per-partition driver loop (same batching as
+    # deltalog._stage_partitioned; measured ~25% there).
     entries = []
-    if partition_col:
-        pvals = [r[0] for r in df.select(partition_col).distinct().collect()]
-        groups = [
-            (pv, df.filter(df[partition_col].eqNullSafe(pv)))
-            for pv in sorted(pvals, key=str)
-        ]
-    else:
-        groups = [(None, df)]
-    for pv, part_df in groups:
-        rel = (
-            f"data/{partition_col}={pv}/{uuid.uuid4().hex}.parquet"
-            if partition_col
-            else f"data/{uuid.uuid4().hex}.parquet"
-        )
-        fpath = os.path.join(path, rel)
-        _write_single_parquet(part_df.coalesce(1), fpath)
-        bounds, n = _bounds_json(spark, fpath)
+    staged = _stage_iceberg_files(spark, path, df, partition_col)
+    for rel, pv, bounds, n in staged:
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -361,7 +351,9 @@ def write_iceberg(
                     "file_format": "PARQUET",
                     "partition": {partition_col: pv} if partition_col else {},
                     "record_count": n,
-                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
                     "bounds_json": bounds,
                 },
             }
@@ -579,3 +571,90 @@ def expire_snapshots(
         with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
             f.write(str(new_v))
     return doomed
+
+
+def _pv_caster(dtype):
+    s = dtype.simpleString()
+    if s in ("bigint", "int", "long", "integer"):
+        return int
+    if s in ("double", "float"):
+        return float
+    if s == "boolean":
+        return lambda raw: raw == "true"
+    return str
+
+
+def _stage_iceberg_files(spark, path, df, pcol):
+    """One-job staged write for all partitions; returns
+    [(rel, partition_value, bounds_json, record_count)]."""
+    import glob as _glob
+    import shutil
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    if pcol:
+        (
+            df.withColumn("_pk", F.col(pcol))
+            .repartition(F.col(pcol))
+            .write.partitionBy("_pk")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        pattern = os.path.join(stage, "_pk=*", "part-*.parquet")
+    else:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        pattern = os.path.join(stage, "part-*.parquet")
+    staged_files = sorted(_glob.glob(pattern))
+    bounds_by_file = _batch_bounds(spark, staged_files, df.schema)
+    caster = _pv_caster(df.schema[pcol].dataType) if pcol else None
+    out = []
+    for sp in staged_files:
+        if pcol:
+            raw = os.path.basename(os.path.dirname(sp)).split("=", 1)[1]
+            pv = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__"
+                else caster(unquote(raw))
+            )
+            rel = f"data/{pcol}={pv}/{uuid.uuid4().hex}.parquet"
+        else:
+            pv, rel = None, f"data/{uuid.uuid4().hex}.parquet"
+        dest = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(sp, dest)
+        bounds, n = bounds_by_file[sp]
+        out.append((rel, pv, bounds, n))
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _batch_bounds(spark, files: list[str], schema) -> dict:
+    """Per-file (bounds_json, record_count) for many files in ONE
+    grouped aggregate, keyed by input_file_name."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    if not files:
+        return {}
+    df = (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .withColumn("_f", F.input_file_name())
+    )
+    num_str = [
+        f.name for f in schema.fields
+        if f.dataType.simpleString() in
+        ("int", "bigint", "double", "float", "string")
+    ]
+    aggs = [F.count("*").alias("_n")]
+    for c in num_str:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    out = {}
+    for r in df.groupBy("_f").agg(*aggs).collect():
+        d = r.asDict()
+        local = unquote(urlparse(d["_f"]).path)
+        bounds = {c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in num_str}
+        out[local] = (json.dumps(bounds, default=str), int(d["_n"]))
+    return out
