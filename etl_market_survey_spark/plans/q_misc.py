@@ -4381,3 +4381,58 @@ def q366_iceberg_protocol(spark, sf_dir):
         .unionByName(agg(v3, "v3_pruned"))
         .orderBy("version_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q369 — Delta stats-based data skipping, content-gated (sources/
+# deltalog.read_delta stats_filter): a two-commit partitioned table
+# carries per-file min/max stats; the read prunes files by a k-range
+# BEFORE Spark lists them, then the exact residual filter applies (the
+# filter-only-prunes / verify-decides contract every skipping index in
+# this repo follows). The oracle is a plain WHERE over orders — if
+# pruning ever dropped a file it shouldn't, the hash breaks.
+# ---------------------------------------------------------------------------
+
+_Q369_LO, _Q369_HI = 1000, 20000
+
+_Q369_ORACLE = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey BETWEEN {_Q369_LO} AND {_Q369_HI}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q369_delta_data_skipping", _Q369_ORACLE)
+def q369_delta_data_skipping(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import read_delta, write_delta
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_deltaskip_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_delta(spark, path, o.filter(F.col("k") % 2 == 0),
+                partition_col="pr", commit_ts=100)
+    write_delta(spark, path, o.filter(F.col("k") % 2 == 1),
+                partition_col="pr", commit_ts=200)
+
+    pruned = read_delta(
+        spark, path, stats_filter={"k": (_Q369_LO, _Q369_HI)}
+    )
+    return (
+        pruned.filter(F.col("k").between(_Q369_LO, _Q369_HI))
+        .groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
