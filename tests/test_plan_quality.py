@@ -487,6 +487,7 @@ _R5B_BOUNDED_BNLJ = {
         "q366_iceberg_protocol",
         "q367_calendar_functions",
         "q368_higher_order_arrays",
+        "q369_delta_data_skipping",
     ],
 )
 def test_r5b_no_cartesian_and_codegen(static_plan, name):
