@@ -58,12 +58,19 @@ def block_matmul(a: DataFrame, b: DataFrame, bs: int = 512) -> DataFrame:
         raise ValueError("block size must be >= 1")
 
     def tiles(df: DataFrame, bi_of: str, bj_of: str) -> DataFrame:
+        # integer arithmetic, not float division: `/` goes through double
+        # (loses exactness above 2^53) and `%` is not floor-mod for
+        # negative indices. Block index = (i - pmod(i, bs)) div bs —
+        # the numerator is exactly divisible, so truncating `div` equals
+        # floor division even for negative i, matching pmod.
         return (
             df.select(
-                (F.col(bi_of) / bs).cast("long").alias("bi"),
-                (F.col(bj_of) / bs).cast("long").alias("bj"),
-                (F.col(bi_of) % bs).cast("int").alias("li"),
-                (F.col(bj_of) % bs).cast("int").alias("lj"),
+                F.expr(f"({bi_of} - pmod({bi_of}, {bs})) div {bs}")
+                .cast("long").alias("bi"),
+                F.expr(f"({bj_of} - pmod({bj_of}, {bs})) div {bs}")
+                .cast("long").alias("bj"),
+                F.pmod(F.col(bi_of), F.lit(bs)).cast("int").alias("li"),
+                F.pmod(F.col(bj_of), F.lit(bs)).cast("int").alias("lj"),
                 F.col("val").cast("double").alias("v"),
             )
             .groupBy("bi", "bj")

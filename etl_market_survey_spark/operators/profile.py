@@ -79,40 +79,57 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     the key — the only rule needing a shuffle); raw rows never move.
     """
     spark = df.sparkSession
-    out = []
+    # Every scalar rule is an independent filtered sum, so ALL of them
+    # fold into ONE df.agg(...) — one scan regardless of rule count
+    # (twenty rules on a 100 TB table must not mean twenty passes).
+    # Only `unique` rules genuinely need their own groupBy job (a
+    # shuffle on that rule's key); they run separately, one job each.
+    scalar_exprs: list = []          # aggregate column per scalar rule
+    slots: list = []                 # (kind, col_name, source) per rule,
+    #                                  source = ("scalar", i) | ("unique", keys)
     for r in rules:
         kind = r["kind"]
         if kind == "not_null":
-            bad = F.sum(F.col(r["column"]).isNull().cast("long"))
-            n = df.agg(bad.alias("v")).collect()[0]["v"]
+            pred = F.col(r["column"]).isNull()
             col_name = r["column"]
         elif kind == "unique":
             keys = list(r["columns"])
+            slots.append((kind, ",".join(keys), ("unique", keys)))
+            continue
+        elif kind == "in_range":
+            c = F.col(r["column"])
+            pred = c.isNotNull() & ((c < F.lit(r["lo"])) | (c > F.lit(r["hi"])))
+            col_name = r["column"]
+        elif kind == "in_set":
+            c = F.col(r["column"])
+            pred = c.isNotNull() & ~c.isin(list(r["values"]))
+            col_name = r["column"]
+        elif kind == "matches":
+            c = F.col(r["column"])
+            pred = c.isNotNull() & ~c.rlike(r["pattern"])
+            col_name = r["column"]
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        idx = len(scalar_exprs)
+        scalar_exprs.append(F.sum(pred.cast("long")).alias(f"_v{idx}"))
+        slots.append((kind, col_name, ("scalar", idx)))
+
+    scalar_vals: list = []
+    if scalar_exprs:
+        scalar_vals = list(df.agg(*scalar_exprs).collect()[0])  # ONE scan
+
+    out = []
+    for kind, col_name, src in slots:
+        if src[0] == "scalar":
+            n = scalar_vals[src[1]]
+        else:
             n = (
-                df.groupBy(*keys)
+                df.groupBy(*src[1])
                 .agg(F.count("*").alias("_c"))
                 .filter(F.col("_c") > 1)
                 .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("v"))
                 .collect()[0]["v"]
             )
-            col_name = ",".join(keys)
-        elif kind == "in_range":
-            c = F.col(r["column"])
-            pred = c.isNotNull() & ((c < F.lit(r["lo"])) | (c > F.lit(r["hi"])))
-            n = df.agg(F.sum(pred.cast("long")).alias("v")).collect()[0]["v"]
-            col_name = r["column"]
-        elif kind == "in_set":
-            c = F.col(r["column"])
-            pred = c.isNotNull() & ~c.isin(list(r["values"]))
-            n = df.agg(F.sum(pred.cast("long")).alias("v")).collect()[0]["v"]
-            col_name = r["column"]
-        elif kind == "matches":
-            c = F.col(r["column"])
-            pred = c.isNotNull() & ~c.rlike(r["pattern"])
-            n = df.agg(F.sum(pred.cast("long")).alias("v")).collect()[0]["v"]
-            col_name = r["column"]
-        else:
-            raise ValueError(f"unknown expectation kind {kind!r}")
         out.append((kind, col_name, int(n or 0), int(n or 0) == 0))
     return spark.createDataFrame(
         out, "rule string, column string, violations long, passed boolean"

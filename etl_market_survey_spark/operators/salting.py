@@ -101,7 +101,23 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """``probe.join(build, key)`` with hot-key salting; drops ``_salt``
-    from the result. Output multiset identical to the unsalted join."""
+    from the result. Output multiset identical to the unsalted join.
+
+    Only probe-preserving joins are supported: the build side's hot rows
+    are replicated to every salt, so a right/full outer join would emit
+    one null-extended row PER REPLICA for an unmatched hot build row,
+    breaking the identical-multiset contract. Those joins must go
+    through the unsalted path (or swap sides for right outer)."""
+    _ok = {
+        "inner", "cross", "left", "leftouter", "semi", "leftsemi",
+        "anti", "leftanti",
+    }
+    if how.lower().replace("_", "") not in _ok:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: build-side "
+            "replication breaks right/full outer semantics (unmatched hot "
+            "build rows would emit one null row per salt replica)"
+        )
     if n_salt < 2 or not hot:
         return probe.join(build, key, how)
     p = salt_probe(probe, key, salt_src, hot, n_salt)

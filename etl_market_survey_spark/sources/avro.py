@@ -252,6 +252,18 @@ def _union_index(union: list, value) -> int:
                 continue
             if isinstance(value, list) and k != "array":
                 continue
+            # numeric kinds must match too: an int falling through to a
+            # 'string' branch crashes deep in _encode, and an int taking
+            # a 'float'/'double' branch listed first silently loses
+            # precision above 2^53
+            if (
+                isinstance(value, int)
+                and not isinstance(value, bool)
+                and k not in ("int", "long")
+            ):
+                continue
+            if isinstance(value, float) and k not in ("float", "double"):
+                continue
             return i
     raise ValueError(f"no union branch for {type(value)} in {union}")
 

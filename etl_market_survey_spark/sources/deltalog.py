@@ -233,10 +233,16 @@ def _stats_prune(add: dict, col: str, lo, hi) -> bool:
         return True
     if mn is None or mx is None:
         return True
-    if hi is not None and mn > hi:
-        return False
-    if lo is not None and mx < lo:
-        return False
+    # External writers may serialize min/max as strings (json default=str
+    # for dates/decimals, or truncated string stats); a cross-type compare
+    # raises TypeError — keep the file (conservative) rather than crash.
+    try:
+        if hi is not None and mn > hi:
+            return False
+        if lo is not None and mx < lo:
+            return False
+    except TypeError:
+        return True
     return True
 
 

@@ -450,24 +450,26 @@ def delete_partitions(
                 "data_file": fentry,
             }
         )
+    # Derive the partition's Avro type from the TABLE SCHEMA (spec
+    # field source-id -> schema field id -> Iceberg type), never from a
+    # sampled manifest entry — a null first entry or mixed entries would
+    # mistype non-string partition values and crash the Avro encoder.
+    spec_field = (meta.get("partition-specs") or [{}])[0]["fields"][0]
+    schema_fields = (
+        meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    ).get("fields", [])
+    src = next(
+        (f for f in schema_fields if f.get("id") == spec_field.get("source-id")),
+        None,
+    )
+    avro_type = _ICE_TO_AVRO.get((src or {}).get("type"), "string")
     pf_meta = [
         {
             "name": pcols[0],
-            "id": 1000,
-            "avro_type": "string",
+            "id": spec_field.get("field-id", 1000),
+            "avro_type": avro_type,
         }
     ]
-    # partition values may be non-string; re-derive the avro type from a
-    # live entry when available
-    for fentry in snapshot_files(path):
-        pv = (fentry.get("partition") or {}).get(pcols[0])
-        if isinstance(pv, bool):
-            pf_meta[0]["avro_type"] = "boolean"
-        elif isinstance(pv, int):
-            pf_meta[0]["avro_type"] = "long"
-        elif isinstance(pv, float):
-            pf_meta[0]["avro_type"] = "double"
-        break
     man_rel = f"metadata/manifest-{new_v:05d}-{uuid.uuid4().hex}.avro"
     write_avro_file(
         os.path.join(path, man_rel), _manifest_schema(pf_meta), entries

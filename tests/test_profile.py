@@ -83,3 +83,36 @@ class TestExpectations:
             [{"kind": "unique", "columns": ["k"]}],
         ).collect()[0]
         assert clean["violations"] == 0 and clean["passed"]
+
+    def test_scalar_rules_fold_into_one_job(self, spark, monkeypatch):
+        # N scalar rules must cost ONE aggregate job (one table scan),
+        # plus one groupBy job per `unique` rule — twenty expectations
+        # on a 100 TB table must not mean twenty full passes
+        df = _df(spark)
+        cls = type(df)  # the concrete (classic) DataFrame class
+        agg_calls = []
+        orig_agg = cls.agg
+
+        def counting_agg(self, *exprs):
+            agg_calls.append(len(exprs))
+            return orig_agg(self, *exprs)
+
+        monkeypatch.setattr(cls, "agg", counting_agg)
+        rules = [
+            {"kind": "not_null", "column": "name"},
+            {"kind": "in_range", "column": "v", "lo": 0, "hi": 25},
+            {"kind": "in_set", "column": "name", "values": ["alpha", "beta"]},
+            {"kind": "matches", "column": "name", "pattern": "^[ab]"},
+            {"kind": "not_null", "column": "v"},
+            {"kind": "unique", "columns": ["k"]},
+        ]
+        res = check_expectations(df, rules)
+        # one agg carrying ALL five scalar rules, plus the unique rule's
+        # grouped count + its final coalesce-sum agg
+        assert agg_calls[0] == 5, agg_calls
+        scans = [n for n in agg_calls if n == 5]
+        assert len(scans) == 1
+        # ordering of the result rows still follows the rule list
+        assert [r["rule"] for r in res.collect()] == [
+            "not_null", "in_range", "in_set", "matches", "not_null", "unique"
+        ]
