@@ -109,9 +109,10 @@ def _ivf_candidates(
     n_cells: int,
     nprobe: int,
     seed: int,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF cell-blocked (x, y) candidate pairs, both probe directions."""
-    cents = train_ivf_centroids(
+    cents = centroids if centroids is not None else train_ivf_centroids(
         vec_pool, vec_col=vec_col, n_cells=n_cells, seed=seed
     )
     # Direction 1: tgt assigned 1 cell, src probes nprobe cells.
@@ -182,6 +183,7 @@ def bitext_margin_mine(
     n_planes: int = 8,
     n_bands: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Mine (src_id, tgt_id, margin) pairs.
 
@@ -191,7 +193,11 @@ def bitext_margin_mine(
     to candidate volume, not |src| x |tgt|.  ``method='srp'`` blocks by
     banded integer-sign SRP signatures — approximate AND exact-gated,
     because the candidate set itself is replayable in SQL
-    (``sql_srp_bits``).
+    (``sql_srp_bits``).  Pass ``centroids`` (a frozen trained codebook,
+    the train-once/persist/serve shape) to skip in-query training and
+    make the IVF ANN mode fully deterministic — assignment, probing and
+    the margin algebra all become literal arithmetic a SQL oracle can
+    replay.
     """
     sv = src.select(
         F.col(id_col).alias("x"), _grid(F.col(vec_col)).alias("gx"),
@@ -203,9 +209,13 @@ def bitext_margin_mine(
     )
 
     if method == "ivf":
+        if centroids is not None:
+            n_cells = len(centroids)
         nprobe = n_cells if nprobe is None else min(nprobe, n_cells)
         pool = src.select(F.col(vec_col)).unionByName(tgt.select(F.col(vec_col)))
-        cand = _ivf_candidates(sv, tv, pool, vec_col, n_cells, nprobe, seed)
+        cand = _ivf_candidates(
+            sv, tv, pool, vec_col, n_cells, nprobe, seed, centroids
+        )
     elif method == "srp":
         cand = _srp_candidates(sv, tv, n_planes, n_bands, seed)
     else:
@@ -225,7 +235,6 @@ def bitext_margin_mine(
             ).alias("dot"),
         )
     )
-    dots = dots.cache()  # top-k stats + both argmaxes + final join
     wx = Window.partitionBy("x").orderBy(F.desc("dot"), "y")
     wy = Window.partitionBy("y").orderBy(F.desc("dot"), "x")
     ranked = dots.select(
@@ -233,6 +242,10 @@ def bitext_margin_mine(
         F.row_number().over(wx).alias("rx"),
         F.row_number().over(wy).alias("ry"),
     )
+    # ONE cache, at the point all three consumers (top-k stats for both
+    # sides + the mutual-argmax/margin join) branch from; caching `dots`
+    # too just double-materialized the same rows — `dots` has a single
+    # consumer (this select), so its lineage runs once either way.
     ranked = ranked.cache()
     ax = (
         ranked.filter(F.col("rx") <= k)

@@ -2506,27 +2506,106 @@ def q353_bitext_margin_srp(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # q354 — bitext margin mining, IVF ANN mode: the 100 TB scale path.
-# n_cells grows with the corpus (FAISS-style nlist sizing: ~N/48 keeps
-# per-cell membership bounded), nprobe stays small, so candidate volume
-# is O(N * nprobe * cell_size) — linear, not all-pairs. Centroids are
-# data-trained (k-means on a bounded sample), hence no static SQL
-# oracle; the driver records the rows-only check and q326/q353 carry
-# the exact gates for the shared margin algebra.
+# nprobe stays small, so candidate volume is O(N * nprobe * cell_size)
+# — linear, not all-pairs. EXACT since round 6: centroids are FROZEN
+# (trained once, persisted as literals — the q40 train-once/persist/
+# serve pattern), so assignment (argmax cell by dot, tie -> higher
+# cell: the reversed ascending struct sort), nprobe probing, the
+# two-direction candidate union, and the margin algebra over candidate
+# dots are ALL deterministic arithmetic DuckDB replays bit-for-bit.
+# The in-query trainer path stays unit-tested; its determinism is not
+# what this gate certifies.
 # ---------------------------------------------------------------------------
 
+_Q354_NPROBE = 2
 
-@register("q354_bitext_margin_ivf")
+
+def _q354_oracle() -> str:
+    from ..operators._bitext_centroids import Q354_CENTROIDS
+
+    k, m, np_ = _Q326_K, _Q326_MARGIN, _Q354_NPROBE
+    cent_rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(Q354_CENTROIDS)
+    )
+    return f"""
+WITH spl AS (SELECT COUNT(*) // 2 AS s FROM embeddings),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents(cell, cv) AS (VALUES
+    {cent_rows}
+),
+scored AS (
+  SELECT ev.vec_id, c.cell, list_dot_product(ev.v, c.cv) AS sc
+  FROM ev CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell DESC)
+           AS rk
+  FROM scored
+),
+x_assign AS (SELECT vec_id AS x, cell FROM ranked_cells, spl
+             WHERE rk = 1 AND vec_id < spl.s),
+x_probe  AS (SELECT vec_id AS x, cell FROM ranked_cells, spl
+             WHERE rk <= {np_} AND vec_id < spl.s),
+y_assign AS (SELECT vec_id AS y, cell FROM ranked_cells, spl
+             WHERE rk = 1 AND vec_id >= spl.s),
+y_probe  AS (SELECT vec_id AS y, cell FROM ranked_cells, spl
+             WHERE rk <= {np_} AND vec_id >= spl.s),
+cand AS (
+  SELECT p.x, a.y FROM x_probe p JOIN y_assign a USING (cell)
+  UNION
+  SELECT a.x, p.y FROM x_assign a JOIN y_probe p USING (cell)
+),
+g AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS gg
+  FROM embeddings
+),
+dots AS (
+  SELECT c.x, c.y, SUM(sg.gg * tg.gg) AS dot
+  FROM cand c
+  JOIN g sg ON sg.vec_id = c.x
+  JOIN g tg ON tg.vec_id = c.y AND tg.d = sg.d
+  GROUP BY 1, 2
+),
+rnk AS (
+  SELECT x, y, dot,
+         ROW_NUMBER() OVER (PARTITION BY x ORDER BY dot DESC, y) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY y ORDER BY dot DESC, x) AS ry
+  FROM dots
+),
+axs AS (SELECT x, CAST(SUM(dot) AS DOUBLE) / {k} AS avg_x
+        FROM rnk WHERE rx <= {k} GROUP BY 1),
+ays AS (SELECT y, CAST(SUM(dot) AS DOUBLE) / {k} AS avg_y
+        FROM rnk WHERE ry <= {k} GROUP BY 1)
+SELECT r.x AS src_id, r.y AS tgt_id,
+       ROUND(2.0 * CAST(r.dot AS DOUBLE) / (axs.avg_x + ays.avg_y), 9)
+         AS margin
+FROM rnk r JOIN axs ON axs.x = r.x JOIN ays ON ays.y = r.y
+WHERE r.rx = 1 AND r.ry = 1
+  AND 2.0 * CAST(r.dot AS DOUBLE) / (axs.avg_x + ays.avg_y) >= {m}
+ORDER BY src_id
+"""
+
+
+@register("q354_bitext_margin_ivf", _q354_oracle())
 def q354_bitext_margin_ivf(spark, sf_dir):
+    from ..operators._bitext_centroids import Q354_CENTROIDS
     from ..operators.bitext import bitext_margin_mine
 
     e = load(spark, sf_dir, "embeddings")
-    n = e.count()  # one cheap metadata-only job; sizes the IVF index
+    n = e.count()  # one cheap metadata-only job; sizes the split
     return bitext_margin_mine(
         e.filter(F.col("vec_id") < F.lit(n // 2)),
         e.filter(F.col("vec_id") >= F.lit(n // 2)),
         k=_Q326_K,
         margin_threshold=_Q326_MARGIN,
         method="ivf",
-        n_cells=max(8, min(256, n // 48)),
-        nprobe=2,
+        nprobe=_Q354_NPROBE,
+        centroids=Q354_CENTROIDS,
     )
