@@ -4436,3 +4436,103 @@ def q369_delta_data_skipping(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q370 — Delta DELETION VECTORS + COLUMN MAPPING (sources/deltalog +
+# sources/dvbitmap, VERDICT r5 item 4): a merge-on-read table. Two
+# sorted single-file commits go through a column-mapped writer (parquet
+# files carry physical `col-*` names; logical names live only in the
+# schemaString metadata — mode 'name', reader protocol v2), then row
+# positions matching k % 7 = 0 are deleted via REAL roaring-bitmap
+# deletion vectors (z85-named .bin sidecar, big-endian size/CRC frames,
+# portable RoaringBitmapArray — protocol v3 readerFeatures). The read
+# applies the DVs with a (file, _metadata.row_index) anti-join, so a
+# reader that silently resurrected deleted rows (the r5 verdict's
+# failure mode) breaks the hash. Version-0 time travel reads THROUGH
+# the later protocol upgrade back to the undeleted state. Positions are
+# content-derived (rank of k in each sorted file), so the oracle is a
+# plain predicate delete over orders.
+# ---------------------------------------------------------------------------
+
+_Q370_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+),
+cur AS (SELECT * FROM o WHERE k % 7 <> 0),
+u AS (
+  SELECT 'v0_undeleted' AS version_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents
+  FROM o GROUP BY 1, 2
+  UNION ALL
+  SELECT 'v2_mor', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM cur GROUP BY 1, 2
+)
+SELECT version_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY version_tag, o_orderpriority
+"""
+
+
+@register("q370_delta_deletion_vectors", _Q370_ORACLE)
+def q370_delta_deletion_vectors(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.deltalog import (
+        add_deletion_vectors,
+        load_snapshot,
+        read_delta,
+        write_delta,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_deltadv_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    # two single-file commits, each file sorted by k so row POSITIONS
+    # are the rank of k within its file — content-derived, no RNG
+    write_delta(spark, path, o.filter(F.col("k") % 3 == 0).orderBy("k"),
+                commit_ts=100, column_mapping=True)
+    write_delta(spark, path, o.filter(F.col("k") % 3 == 1).orderBy("k"),
+                commit_ts=200)
+
+    # version -> file rel path (v0's file is the older add)
+    snap = load_snapshot(spark, path)
+    rel_of = {}
+    for rel, a in snap.adds.items():
+        rel_of[a["modificationTime"]] = rel
+
+    deletes = {}
+    for ts, residue in ((100, 0), (200, 1)):
+        sub = o.filter(F.col("k") % 3 == residue)
+        w = Window.orderBy("k")
+        pos = [
+            r["p"]
+            for r in sub.select(
+                (F.row_number().over(w) - 1).alias("p"), "k"
+            ).filter(F.col("k") % 7 == 0).select("p").collect()
+        ]
+        deletes[rel_of[ts]] = pos
+    add_deletion_vectors(spark, path, deletes, commit_ts=300)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("version_tag"), "*")
+
+    v0 = read_delta(spark, path, version=1)  # both files, pre-DV
+    cur = read_delta(spark, path)            # deletion vectors applied
+    return (
+        agg(v0, "v0_undeleted")
+        .unionByName(agg(cur, "v2_mor"))
+        .orderBy("version_tag", "o_orderpriority")
+    )

@@ -90,16 +90,23 @@ def _read_last_checkpoint(path: str) -> dict | None:
         return json.load(f)
 
 
+# reader capabilities of THIS implementation, per the protocol's
+# feature-gating rules: minReaderVersion 1 = base, 2 = column mapping,
+# 3 = table-feature list (readerFeatures must be a subset of these)
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+
+
 class DeltaSnapshot:
     """Materialized table state at one version: schema metadata + the
     live ``add`` entries (path-keyed fold of adds minus removes)."""
 
     def __init__(self, version: int, metadata: dict, adds: dict[str, dict],
-                 timestamp: int):
+                 timestamp: int, protocol: dict | None = None):
         self.version = version
         self.metadata = metadata
         self.adds = adds
         self.timestamp = timestamp
+        self.protocol = protocol or {"minReaderVersion": 1}
 
     @property
     def partition_columns(self) -> list[str]:
@@ -110,8 +117,52 @@ class DeltaSnapshot:
 
         return StructType.fromJson(json.loads(self.metadata["schemaString"]))
 
+    @property
+    def column_mapping_mode(self) -> str:
+        return (self.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
 
-def _fold_actions(state_adds: dict, metadata_ref: list, actions: list[dict]):
+    def physical_names(self) -> dict[str, str]:
+        """logical column name -> physical (parquet) name. Identity map
+        unless column mapping is active; partition values and per-file
+        stats in the log are ALSO keyed by physical names then."""
+        if self.column_mapping_mode == "none":
+            return {f.name: f.name for f in self.schema().fields}
+        out = {}
+        for f in json.loads(self.metadata["schemaString"])["fields"]:
+            md = f.get("metadata") or {}
+            out[f["name"]] = md.get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+        return out
+
+    def check_reader_support(self):
+        p = self.protocol
+        v = int(p.get("minReaderVersion", 1))
+        if v <= 2:  # 2 = column mapping, which we speak
+            pass
+        elif v == 3:
+            feats = set(p.get("readerFeatures") or [])
+            unsupported = feats - _SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise NotImplementedError(
+                    f"table requires reader features {sorted(unsupported)}; "
+                    f"this reader supports {sorted(_SUPPORTED_READER_FEATURES)}"
+                )
+        else:
+            raise NotImplementedError(
+                f"minReaderVersion {v} not supported (max 3)"
+            )
+        if self.column_mapping_mode == "id":
+            raise NotImplementedError(
+                "columnMapping.mode='id' (parquet field-id resolution) is "
+                "not supported; mode='name' is"
+            )
+
+
+def _fold_actions(state_adds: dict, metadata_ref: list, actions: list[dict],
+                  protocol_ref: list | None = None):
     for a in actions:
         if "metaData" in a:
             metadata_ref[0] = a["metaData"]
@@ -119,6 +170,8 @@ def _fold_actions(state_adds: dict, metadata_ref: list, actions: list[dict]):
             state_adds[a["add"]["path"]] = a["add"]
         elif "remove" in a:
             state_adds.pop(a["remove"]["path"], None)
+        elif "protocol" in a and protocol_ref is not None:
+            protocol_ref[0] = a["protocol"]
 
 
 def _load_checkpoint_state(
@@ -144,10 +197,13 @@ def _load_checkpoint_state(
     rows = spark.read.parquet(*files).collect()
     adds: dict[str, dict] = {}
     metadata = None
+    protocol = None
     for r in rows:
         d = r.asDict(recursive=True)
         if d.get("metaData") and d["metaData"].get("schemaString"):
             metadata = d["metaData"]
+        if d.get("protocol") and d["protocol"].get("minReaderVersion"):
+            protocol = d["protocol"]
         add = d.get("add")
         if add and add.get("path"):
             if isinstance(add.get("partitionValues"), list):  # map-as-list form
@@ -155,7 +211,7 @@ def _load_checkpoint_state(
                     kv["key"]: kv["value"] for kv in add["partitionValues"]
                 }
             adds[add["path"]] = add
-    return adds, metadata or {}, v
+    return adds, metadata or {}, v, protocol
 
 
 def load_snapshot(
@@ -192,20 +248,23 @@ def load_snapshot(
 
     adds: dict[str, dict] = {}
     metadata_ref: list = [None]
+    protocol_ref: list = [None]
     start = 0
     cp = _read_last_checkpoint(path)
     if cp and int(cp["version"]) <= version:
-        adds, meta, cpv = _load_checkpoint_state(spark, path, cp)
+        adds, meta, cpv, proto = _load_checkpoint_state(spark, path, cp)
         if meta:
             metadata_ref[0] = meta
+        if proto:
+            protocol_ref[0] = proto
         start = cpv + 1
     for v in versions:
         if start <= v <= version:
-            _fold_actions(adds, metadata_ref, per_commit[v])
+            _fold_actions(adds, metadata_ref, per_commit[v], protocol_ref)
     if metadata_ref[0] is None:
         raise ValueError(f"no metaData action found up to version {version}")
     ts = _commit_timestamp(path, version, per_commit[version])
-    return DeltaSnapshot(version, metadata_ref[0], adds, ts)
+    return DeltaSnapshot(version, metadata_ref[0], adds, ts, protocol_ref[0])
 
 
 def _typed_partition_lit(raw: str | None, dtype):
@@ -265,14 +324,33 @@ def read_delta(
     the surviving files.
 
     Returns an empty frame with the table schema when nothing survives.
+
+    Merge-on-read support: ``add`` entries carrying a ``deletionVector``
+    (reader feature, protocol v3) have their deleted row positions
+    applied via an anti-join on ``(file, _metadata.row_index)`` — the
+    natural Spark shape: the DV bitmaps (KB-scale metadata) decode in a
+    distributed ``mapInPandas`` over the descriptor list, and the scan
+    itself stays a plain pruned parquet read. Tables with
+    ``delta.columnMapping.mode = 'name'`` read through the physical
+    (parquet) column names recorded in the schema metadata — partition
+    values and per-file stats in the log are keyed by physical names
+    too, so all pruning happens pre-rename.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
     snap = load_snapshot(spark, path, version=version, timestamp=timestamp)
+    snap.check_reader_support()
     schema = snap.schema()
     pcols = snap.partition_columns
+    phys = snap.physical_names()  # logical -> physical (identity w/o mapping)
 
     adds = list(snap.adds.values())
     if partition_filter:
-        allowed = {k: {str(x) for x in v} for k, v in partition_filter.items()}
+        allowed = {
+            phys.get(k, k): {str(x) for x in v}
+            for k, v in partition_filter.items()
+        }
         adds = [
             a for a in adds
             if all(
@@ -283,37 +361,115 @@ def read_delta(
     if stats_filter:
         adds = [
             a for a in adds
-            if all(_stats_prune(a, c, lo, hi)
+            if all(_stats_prune(a, phys.get(c, c), lo, hi)
                    for c, (lo, hi) in stats_filter.items())
         ]
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
-    from pyspark.sql.types import StructType
-
-    data_schema = StructType(data_fields)
+    data_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable)
+         for f in data_fields]
+    )
     if not adds:
         return spark.createDataFrame([], schema).select(
             *[f.name for f in schema.fields]
         )
 
+    has_dv = any(a.get("deletionVector") for a in adds)
+
     # group by partition tuple; one scan per group with typed literals
     by_part: dict[tuple, list[str]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
+        key = tuple(pv.get(phys.get(c, c)) for c in pcols)
         by_part.setdefault(key, []).append(os.path.join(path, a["path"]))
 
     pieces = []
     ptypes = {f.name: f.dataType for f in schema.fields}
     for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*files)
+        sel = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        if has_dv:
+            sel += [
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_dv_name"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            ]
+        df = df.select(*sel)
         for c, raw in zip(pcols, key):
             df = df.withColumn(c, _typed_partition_lit(raw, ptypes[c]))
-        pieces.append(df.select(*[f.name for f in schema.fields]))
+        cols = [f.name for f in schema.fields]
+        pieces.append(df.select(*(cols + (["_dv_name", "_dv_pos"]
+                                          if has_dv else []))))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    return out
+    if has_dv:
+        deleted = _dv_positions_df(spark, path, adds)
+        out = (
+            out.join(deleted, ["_dv_name", "_dv_pos"], "left_anti")
+            .drop("_dv_name", "_dv_pos")
+        )
+    return out.select(*[f.name for f in schema.fields])
+
+
+def _dv_location(table_path: str, dvd: dict) -> tuple[str, int, int]:
+    """Resolve a deletionVector descriptor to (file path, offset, size)."""
+    from .dvbitmap import decode_dv_path, dv_file_name
+
+    st = dvd.get("storageType")
+    if st == "u":
+        prefix, u = decode_dv_path(dvd["pathOrInlineDv"])
+        dv_path = os.path.join(table_path, prefix, dv_file_name(u)) \
+            if prefix else os.path.join(table_path, dv_file_name(u))
+    elif st == "p":
+        dv_path = dvd["pathOrInlineDv"]
+    else:
+        raise NotImplementedError(
+            f"deletionVector storageType {st!r} (inline) not supported"
+        )
+    return dv_path, int(dvd.get("offset", 1)), int(dvd["sizeInBytes"])
+
+
+def _dv_positions_df(spark: SparkSession, table_path: str, adds: list[dict]):
+    """Deleted ``(_dv_name, _dv_pos)`` rows for every DV-carrying add:
+    one descriptor row per file, expanded to positions by a distributed
+    ``mapInPandas`` decode of the roaring bitmaps (each DV is KB-scale;
+    the expansion is bounded by that file's deleted-row count and never
+    touches the driver)."""
+    descs = []
+    for a in adds:
+        dvd = a.get("deletionVector")
+        if not dvd:
+            continue
+        dv_path, off, size = _dv_location(table_path, dvd)
+        descs.append((os.path.basename(a["path"]), dv_path, off, size))
+
+    def expand(batches):
+        import pandas as pd
+
+        from .dvbitmap import deserialize_rbm64, read_dv_blob
+
+        for pdf in batches:
+            names: list[str] = []
+            poss: list[int] = []
+            for nm, p, off, sz in zip(
+                pdf["_dv_name"], pdf["dv_path"], pdf["off"], pdf["size"]
+            ):
+                for pos in deserialize_rbm64(read_dv_blob(p, int(off), int(sz))):
+                    names.append(nm)
+                    poss.append(pos)
+            yield pd.DataFrame(
+                {
+                    "_dv_name": pd.Series(names, dtype=object),
+                    "_dv_pos": pd.Series(poss, dtype="int64"),
+                }
+            )
+
+    return spark.createDataFrame(
+        descs, "_dv_name string, dv_path string, off long, size long"
+    ).mapInPandas(expand, "_dv_name string, _dv_pos long")
 
 
 def delta_history(path: str) -> list[dict]:
@@ -379,6 +535,7 @@ def write_delta(
     collect_stats: bool = True,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    column_mapping: bool = False,
 ) -> int:
     """Commit ``df`` to a Delta table; returns the new version.
 
@@ -426,9 +583,39 @@ def write_delta(
 
     schema = df.schema
     pcols = [partition_col] if partition_col else []
-    from pyspark.sql.types import StructType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
 
-    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    # Column mapping (mode 'name'): the parquet files carry PHYSICAL
+    # column names; the logical names live only in schemaString field
+    # metadata. partitionValues and stats keys are physical too. New
+    # tables opt in with ``column_mapping=True``; appends to a mapped
+    # table pick the map up from the prior metadata automatically.
+    phys_map: dict[str, str] | None = None
+    if prior is not None and prior.column_mapping_mode == "name":
+        phys_map = prior.physical_names()
+    elif prior is None and column_mapping:
+        phys_map = {
+            f.name: f"col-{uuid.uuid4().hex[:12]}" for f in schema.fields
+        }
+
+    stage_df, stage_pcol = df, partition_col
+    if phys_map:
+        stage_df = df.select(
+            *[F.col(f.name).alias(phys_map[f.name]) for f in schema.fields]
+        )
+        stage_pcol = phys_map[partition_col] if partition_col else None
+        data_schema = StructType(
+            [
+                StructField(phys_map[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+                if f.name not in pcols
+            ]
+        )
+    else:
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in pcols]
+        )
 
     # write data files under the table root, Hive-style dirs for
     # partitioned tables (cosmetic per the protocol — the log is truth).
@@ -441,12 +628,12 @@ def write_delta(
     adds = []  # (rel, partitionValues, stats_json | None)
     if partition_col:
         adds = _stage_partitioned(
-            spark, path, df, partition_col, new_version, data_schema,
+            spark, path, stage_df, stage_pcol, new_version, data_schema,
             collect_stats,
         )
     else:
         rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
-        _write_single_parquet(df.coalesce(1), os.path.join(path, rel))
+        _write_single_parquet(stage_df.coalesce(1), os.path.join(path, rel))
         stats = (
             _file_stats_json(spark, os.path.join(path, rel), data_schema)
             if collect_stats
@@ -470,17 +657,39 @@ def write_delta(
                      "lastUpdated": commit_ts}}
         )
     if new_version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        if phys_map:
+            mapped = StructType(
+                [
+                    StructField(
+                        f.name, f.dataType, f.nullable,
+                        {
+                            "delta.columnMapping.id": i + 1,
+                            "delta.columnMapping.physicalName":
+                                phys_map[f.name],
+                        },
+                    )
+                    for i, f in enumerate(schema.fields)
+                ]
+            )
+            schema_string = mapped.json()
+            config = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(schema.fields)),
+            }
+            proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        else:
+            schema_string = schema.json()
+            config = {}
+            proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions.append({"protocol": proto})
         actions.append(
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": pcols,
-                    "configuration": {},
+                    "configuration": config,
                     "createdTime": commit_ts,
                 }
             }
@@ -544,8 +753,9 @@ def delete_where(
             }
         }
     ]
+    pkey = snap.physical_names().get(pcols[0], pcols[0])
     for rel in sorted(snap.adds):
-        pv = (snap.adds[rel].get("partitionValues") or {}).get(pcols[0])
+        pv = (snap.adds[rel].get("partitionValues") or {}).get(pkey)
         if str(pv) in drop:
             actions.append(
                 {
@@ -556,6 +766,101 @@ def delete_where(
                     }
                 }
             )
+    tmp = _commit_path(path, new_version) + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, _commit_path(path, new_version))
+    return new_version
+
+
+def add_deletion_vectors(
+    spark: SparkSession,
+    path: str,
+    deletes: dict[str, list[int]],
+    *,
+    commit_ts: int = 0,
+) -> int:
+    """Row-level merge-on-read delete: for each live data file (keyed by
+    its log-relative path), mark the given 0-based row positions deleted
+    via a roaring-bitmap deletion vector — no data file is rewritten.
+
+    Per the protocol, a file's DV REPLACES any prior one, so existing
+    deleted positions are merged in; the commit re-adds each touched
+    file (remove + add with the same path) carrying the new descriptor,
+    and upgrades the protocol to reader v3 with the ``deletionVectors``
+    feature (plus ``columnMapping`` if the table uses it — v3 must list
+    every reader feature in use). All DVs of one commit share one
+    ``.bin`` file, addressed by (offset, size) frames."""
+    from .dvbitmap import dv_file_name, encode_dv_path, serialize_rbm64
+
+    snap = load_snapshot(spark, path)
+    for rel in deletes:
+        if rel not in snap.adds:
+            raise ValueError(f"{rel!r} is not a live file of {path}")
+
+    merged: dict[str, list[int]] = {}
+    for rel, poss in deletes.items():
+        existing: list[int] = []
+        prior_dv = snap.adds[rel].get("deletionVector")
+        if prior_dv:
+            from .dvbitmap import deserialize_rbm64, read_dv_blob
+
+            dv_path, off, size = _dv_location(path, prior_dv)
+            existing = deserialize_rbm64(read_dv_blob(dv_path, off, size))
+        merged[rel] = sorted(set(existing) | {int(p) for p in poss})
+
+    u = uuid.uuid4()
+    from .dvbitmap import write_dv_file
+
+    rels = sorted(merged)
+    blobs = [serialize_rbm64(merged[rel]) for rel in rels]
+    frames = write_dv_file(os.path.join(path, dv_file_name(u)), blobs)
+
+    feats = {"deletionVectors"}
+    if snap.column_mapping_mode != "none":
+        feats.add("columnMapping")
+    new_version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": commit_ts,
+                "operation": "DELETE",
+                "operationParameters": {"mode": "merge-on-read"},
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats),
+                "writerFeatures": sorted(feats),
+            }
+        },
+    ]
+    for rel, frame, blob in zip(rels, frames, blobs):
+        old = snap.adds[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": commit_ts,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = dict(old)
+        new_add["dataChange"] = True
+        new_add["modificationTime"] = commit_ts
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": encode_dv_path(u),
+            "offset": frame["offset"],
+            "sizeInBytes": frame["sizeInBytes"],
+            "cardinality": len(merged[rel]),
+        }
+        actions.append({"add": new_add})
+
     tmp = _commit_path(path, new_version) + ".tmp"
     with open(tmp, "w") as f:
         for a in actions:

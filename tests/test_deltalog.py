@@ -387,3 +387,204 @@ class TestTxnIdempotence:
         replay = spark.read.parquet(str(tmp_path / "in" / "b.parquet"))
         sink(replay, 1)
         assert read_delta(spark, root).count() == 80
+
+
+class TestDvBitmap:
+    """dvbitmap codec: Z85 spec vector, roaring round trips across all
+    container kinds, DV file framing + CRC."""
+
+    def test_z85_spec_vector(self):
+        from etl_market_survey_spark.sources.dvbitmap import (
+            z85_decode, z85_encode,
+        )
+
+        # the 32/Z85 spec's published test case
+        raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+        assert z85_encode(raw) == "HelloWorld"
+        assert z85_decode("HelloWorld") == raw
+
+    def test_roaring_round_trip_all_containers(self):
+        import random
+
+        from etl_market_survey_spark.sources.dvbitmap import (
+            deserialize_rbm64, serialize_rbm64,
+        )
+
+        rng = random.Random(11)
+        cases = [
+            [],                                    # empty
+            [0],                                   # single
+            [0, 1, 2, 65535, 65536, 1 << 31, (1 << 33) + 5],  # multi-key
+            sorted(rng.sample(range(300000), 7000)),  # bitset containers
+            list(range(5000, 15000)),              # dense
+            [7, 7, 7, 3],                          # dupes + unsorted
+        ]
+        for vals in cases:
+            assert deserialize_rbm64(serialize_rbm64(vals)) == sorted(set(vals))
+
+    def test_run_container_decodes(self):
+        import struct
+
+        from etl_market_survey_spark.sources.dvbitmap import (
+            _MAGIC, deserialize_rbm64,
+        )
+
+        # hand-build a cookie-12347 bitmap with ONE run container
+        # (runs [5..9] and [100..101]) to prove the external-writer path
+        bm = struct.pack("<I", 12347 | (0 << 16))     # cookie, 1 container
+        bm += bytes([0b1])                            # run flag for c0
+        bm += struct.pack("<HH", 0, 6)                # key 0, card-1=6
+        bm += struct.pack("<H", 2)                    # 2 runs
+        bm += struct.pack("<HH", 5, 4)                # 5..9
+        bm += struct.pack("<HH", 100, 1)              # 100..101
+        blob = struct.pack("<Iq", _MAGIC, 1) + struct.pack("<I", 0) + bm
+        assert deserialize_rbm64(blob) == [5, 6, 7, 8, 9, 100, 101]
+
+    def test_dv_file_framing_and_crc(self, tmp_path):
+        from etl_market_survey_spark.sources.dvbitmap import (
+            read_dv_blob, serialize_rbm64, write_dv_file,
+        )
+
+        p = str(tmp_path / "dv.bin")
+        blobs = [serialize_rbm64([1, 2, 3]), serialize_rbm64(range(4097))]
+        frames = write_dv_file(p, blobs)
+        for blob, fr in zip(blobs, frames):
+            assert read_dv_blob(p, fr["offset"], fr["sizeInBytes"]) == blob
+        # corrupt one byte -> checksum must catch it
+        with open(p, "r+b") as f:
+            f.seek(frames[0]["offset"] + 5)
+            b = f.read(1)
+            f.seek(frames[0]["offset"] + 5)
+            f.write(bytes([b[0] ^ 0xFF]))
+        with pytest.raises(ValueError, match="checksum"):
+            read_dv_blob(p, frames[0]["offset"], frames[0]["sizeInBytes"])
+
+
+class TestDeletionVectors:
+    def _table(self, spark, path):
+        df = spark.range(0, 60).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        write_delta(spark, path, df.orderBy("k"), commit_ts=100)
+
+    def test_mor_delete_and_merge(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors,
+        )
+
+        path = str(tmp_path / "dvt")
+        self._table(spark, path)
+        rel = next(iter(load_snapshot(spark, path).adds))
+        add_deletion_vectors(spark, path, {rel: [0, 5, 59]}, commit_ts=200)
+        got = {r["k"] for r in read_delta(spark, path).collect()}
+        assert got == set(range(60)) - {0, 5, 59}
+        # second DV REPLACES the first -> must merge prior positions
+        add_deletion_vectors(spark, path, {rel: [5, 7]}, commit_ts=300)
+        got = {r["k"] for r in read_delta(spark, path).collect()}
+        assert got == set(range(60)) - {0, 5, 7, 59}
+        # time travel to pre-DV state resurrects everything
+        assert read_delta(spark, path, version=0).count() == 60
+
+    def test_protocol_guard_unknown_feature(self, spark, tmp_path):
+        path = str(tmp_path / "guard")
+        self._table(spark, path)
+        # hand-append a protocol upgrade demanding a feature we lack
+        with open(os.path.join(path, "_delta_log",
+                               f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }}) + "\n")
+        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+            read_delta(spark, path)
+        # but the pre-upgrade version still reads
+        assert read_delta(spark, path, version=0).count() == 60
+
+    def test_protocol_guard_future_reader_version(self, spark, tmp_path):
+        path = str(tmp_path / "guard2")
+        self._table(spark, path)
+        with open(os.path.join(path, "_delta_log",
+                               f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 4, "minWriterVersion": 9,
+            }}) + "\n")
+        with pytest.raises(NotImplementedError, match="minReaderVersion 4"):
+            read_delta(spark, path)
+
+    def test_dv_protocol_upgrade_recorded(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors,
+        )
+
+        path = str(tmp_path / "dvp")
+        self._table(spark, path)
+        rel = next(iter(load_snapshot(spark, path).adds))
+        add_deletion_vectors(spark, path, {rel: [1]}, commit_ts=200)
+        snap = load_snapshot(spark, path)
+        assert snap.protocol["minReaderVersion"] == 3
+        assert "deletionVectors" in snap.protocol["readerFeatures"]
+        dvd = snap.adds[rel]["deletionVector"]
+        assert dvd["storageType"] == "u" and dvd["cardinality"] == 1
+
+
+class TestColumnMapping:
+    def test_physical_names_on_disk_logical_on_read(self, spark, tmp_path):
+        import glob
+
+        path = str(tmp_path / "cm")
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("cat"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        write_delta(spark, path, df, partition_col="cat", commit_ts=100,
+                    column_mapping=True)
+        snap = load_snapshot(spark, path)
+        assert snap.column_mapping_mode == "name"
+        phys = snap.physical_names()
+        assert all(p.startswith("col-") for p in phys.values())
+        # parquet files + dirs carry ONLY physical names
+        pfile = glob.glob(os.path.join(path, "*", "*.parquet"))[0]
+        footer_cols = set(pq.read_schema(pfile).names)
+        assert footer_cols == {phys["k"], phys["v"]}
+        assert os.path.basename(os.path.dirname(pfile)).startswith(
+            phys["cat"] + "="
+        )
+        # the read speaks logical names, values intact
+        out = read_delta(spark, path)
+        assert set(out.columns) == {"k", "cat", "v"}
+        assert out.count() == 40
+        assert out.filter(F.col("cat") == "1").count() == 13
+
+    def test_append_inherits_mapping_and_stats_prune(self, spark, tmp_path):
+        path = str(tmp_path / "cm2")
+        d1 = spark.range(0, 20).select(F.col("id").alias("k"))
+        d2 = spark.range(100, 120).select(F.col("id").alias("k"))
+        write_delta(spark, path, d1, commit_ts=100, column_mapping=True)
+        write_delta(spark, path, d2, commit_ts=200)  # inherits mapping
+        snap = load_snapshot(spark, path)
+        assert len({a.get("partitionValues") is not None
+                    for a in snap.adds.values()}) == 1
+        # stats keys are physical; the LOGICAL-name stats_filter prunes
+        out = read_delta(spark, path, stats_filter={"k": (0, 50)})
+        assert out.count() == 20
+        assert {r["k"] for r in out.collect()} == set(range(20))
+
+    def test_mapping_plus_dv_compose(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors,
+        )
+
+        path = str(tmp_path / "cm3")
+        df = spark.range(0, 30).select(F.col("id").alias("k"))
+        write_delta(spark, path, df.orderBy("k"), commit_ts=100,
+                    column_mapping=True)
+        rel = next(iter(load_snapshot(spark, path).adds))
+        add_deletion_vectors(spark, path, {rel: [2, 3]}, commit_ts=200)
+        snap = load_snapshot(spark, path)
+        assert set(snap.protocol["readerFeatures"]) == {
+            "columnMapping", "deletionVectors"
+        }
+        got = {r["k"] for r in read_delta(spark, path).collect()}
+        assert got == set(range(30)) - {2, 3}
