@@ -4536,3 +4536,76 @@ def q370_delta_deletion_vectors(spark, sf_dir):
         .unionByName(agg(cur, "v2_mor"))
         .orderBy("version_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q371 — Iceberg v2 POSITION DELETES (sources/iceberg delete_rows_
+# iceberg + read_iceberg, VERDICT r5 item 5): the same merge-on-read
+# contract as q370 but on the Iceberg wire format — a content=1 delete
+# manifest (genuine Avro) pointing at a sorted (file_path, pos) parquet
+# delete file, applied by read_iceberg's (file, _metadata.row_index)
+# anti-join. Two sorted single-file append snapshots, positions derived
+# from the rank of k within each file (content-determined), snapshot-id
+# time travel back to the undeleted state. Same oracle family as
+# q356/q366/q370, so all four lakehouse gates share one algebra.
+# ---------------------------------------------------------------------------
+
+_Q371_ORACLE = _Q370_ORACLE  # identical logical content, by design
+
+
+@register("q371_iceberg_position_deletes", _Q371_ORACLE)
+def q371_iceberg_position_deletes(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.iceberg import (
+        delete_rows_iceberg,
+        read_iceberg,
+        snapshot_files,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_icedel_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    s1 = write_iceberg(spark, path, o.filter(F.col("k") % 3 == 0).orderBy("k"),
+                       commit_ts=100)
+    first = {f["file_path"] for f in snapshot_files(path, snapshot_id=s1)}
+    s2 = write_iceberg(spark, path, o.filter(F.col("k") % 3 == 1).orderBy("k"),
+                       commit_ts=200)
+    second = {
+        f["file_path"] for f in snapshot_files(path, snapshot_id=s2)
+    } - first
+
+    deletes = {}
+    for rel_set, residue in ((first, 0), (second, 1)):
+        sub = o.filter(F.col("k") % 3 == residue)
+        w = Window.orderBy("k")
+        pos = [
+            r["p"]
+            for r in sub.select(
+                (F.row_number().over(w) - 1).alias("p"), "k"
+            ).filter(F.col("k") % 7 == 0).select("p").collect()
+        ]
+        deletes[next(iter(rel_set))] = pos
+    delete_rows_iceberg(spark, path, deletes, commit_ts=300)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("version_tag"), "*")
+
+    v0 = read_iceberg(spark, path, snapshot_id=s2)  # both files, pre-delete
+    cur = read_iceberg(spark, path)                 # deletes applied
+    return (
+        agg(v0, "v0_undeleted")
+        .unionByName(agg(cur, "v2_mor"))
+        .orderBy("version_tag", "o_orderpriority")
+    )

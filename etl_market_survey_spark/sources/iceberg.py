@@ -53,6 +53,40 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
+        # v2: 0 = data manifest, 1 = delete manifest (field-id 517);
+        # nullable so v1 lists (and files written before this field
+        # existed — the Avro reader uses the embedded writer schema)
+        # fold to data
+        {"name": "content", "type": ["null", "int"], "field-id": 517},
+    ],
+}
+
+# v2 position-delete manifest: entries point at PARQUET delete files
+# whose rows are (file_path, pos) pairs — spec field-ids 2147483546/
+# 2147483545 inside the delete file itself; the manifest entry mirrors
+# the data-file shape with content=1
+_DELETE_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ],
+            },
+            "field-id": 2,
+        },
     ],
 }
 
@@ -184,9 +218,34 @@ def snapshot_files(
     )
     out = []
     for m in manifests:
+        if m.get("content"):  # 1 = delete manifest (v2)
+            continue
         _, entries = read_avro_records(os.path.join(path, m["manifest_path"]))
         for e in entries:
             if e["status"] != 2:  # 0 EXISTING / 1 ADDED live; 2 DELETED
+                out.append(e["data_file"])
+    return out
+
+
+def snapshot_delete_files(
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> list[dict]:
+    """Live position-delete file entries (v2, manifest ``content=1``)
+    for the chosen snapshot — empty for v1/append-only tables."""
+    meta = _load_metadata(path)
+    snap = _select_snapshot(meta, snapshot_id, as_of_ms)
+    _, manifests = read_avro_records(
+        os.path.join(path, snap["manifest-list"])
+    )
+    out = []
+    for m in manifests:
+        if not m.get("content"):
+            continue
+        _, entries = read_avro_records(os.path.join(path, m["manifest_path"]))
+        for e in entries:
+            if e["status"] != 2 and (e["data_file"].get("content") == 1):
                 out.append(e["data_file"])
     return out
 
@@ -205,8 +264,17 @@ def read_iceberg(
     ``partition_filter``: partition field -> allowed values (compared on
     the manifest's partition tuple). ``stats_filter``: column -> (lo,
     hi) closed range against per-file bounds. Skipped files are never
-    listed by Spark."""
+    listed by Spark.
+
+    v2 merge-on-read: when the snapshot carries position-delete files
+    (``content=1`` manifests), they are applied with an anti-join on
+    ``(file, _metadata.row_index)`` — the delete parquet scans stay
+    distributed, and a file skipped by pruning never pays for its
+    deletes either."""
+    from pyspark.sql import functions as F
+
     files = snapshot_files(path, snapshot_id, as_of_ms)
+    delete_files = snapshot_delete_files(path, snapshot_id, as_of_ms)
     if partition_filter:
         files = [
             f for f in files
@@ -236,7 +304,33 @@ def read_iceberg(
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f["file_path"]) for f in files]
-    return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(schema).parquet(*paths)
+    if not delete_files:
+        return df
+    # merge-on-read: anti-join deleted (file, pos) pairs. File identity
+    # is the basename (file names carry a uuid, unique per table), which
+    # joins _metadata.file_path URIs against the manifests' table-
+    # relative paths without URI normalization.
+    dels = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*[os.path.join(path, f["file_path"]) for f in delete_files])
+        .select(
+            F.element_at(F.split("file_path", "/"), -1).alias("_if"),
+            F.col("pos").alias("_ip"),
+        )
+    )
+    cols = df.columns
+    return (
+        df.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_if"),
+            F.col("_metadata.row_index").alias("_ip"),
+        )
+        .join(dels, ["_if", "_ip"], "left_anti")
+        .select(*cols)
+    )
 
 
 def table_history(path: str) -> list[dict]:
@@ -380,6 +474,7 @@ def write_iceberg(
                 "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
                 "partition_spec_id": 0,
                 "added_snapshot_id": snap_id,
+                "content": 0,
             }
         ],
     )
@@ -484,10 +579,116 @@ def delete_partitions(
                 "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
                 "partition_spec_id": 0,
                 "added_snapshot_id": snap_id,
+                "content": 0,
             }
         ],
     )
     meta = dict(meta)
+    meta["snapshots"] = (meta.get("snapshots") or []) + [
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": commit_ts,
+            "manifest-list": mlist_rel,
+            "summary": {"operation": "delete"},
+        }
+    ]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-updated-ms"] = commit_ts
+    with open(os.path.join(_meta_dir(path), f"v{new_v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
+        f.write(str(new_v))
+    return snap_id
+
+
+def delete_rows_iceberg(
+    spark: SparkSession,
+    path: str,
+    deletes: dict[str, list[int]],
+    commit_ts: int = 0,
+) -> int:
+    """v2 merge-on-read row delete: commit a POSITION-DELETE file (spec
+    ``content=1``) marking 0-based row positions of live data files as
+    deleted — no data file is rewritten.
+
+    The delete file is parquet rows ``(file_path, pos)`` sorted by
+    (path, position) per the spec; its manifest entry goes into a
+    ``content=1`` delete manifest, and the new snapshot's manifest list
+    carries every prior manifest forward plus the new one — so earlier
+    delete files keep applying (Iceberg deletes ACCUMULATE across
+    snapshots; nothing to merge, unlike Delta's replace-the-DV rule).
+    Upgrades the table to format-version 2."""
+    cur_v = _current_version(path)
+    meta = _load_metadata(path, cur_v)
+    live = {f["file_path"] for f in snapshot_files(path)}
+    for rel in deletes:
+        if rel not in live:
+            raise ValueError(f"{rel!r} is not a live data file of {path}")
+
+    new_v = cur_v + 1
+    snap_id = new_v
+    pairs = sorted(
+        (rel, int(p))
+        for rel, poss in deletes.items()
+        for p in poss
+    )
+    del_rel = f"data/delete-{new_v:05d}-{uuid.uuid4().hex}.parquet"
+    _write_single_parquet(
+        spark.createDataFrame(pairs, "file_path string, pos long")
+        .orderBy("file_path", "pos")
+        .coalesce(1),
+        os.path.join(path, del_rel),
+    )
+
+    man_rel = f"metadata/manifest-del-{new_v:05d}-{uuid.uuid4().hex}.avro"
+    write_avro_file(
+        os.path.join(path, man_rel),
+        _DELETE_MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": del_rel,
+                    "file_format": "PARQUET",
+                    "record_count": len(pairs),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, del_rel)
+                    ),
+                },
+            }
+        ],
+    )
+
+    # carry every prior manifest forward + append the delete manifest
+    snap = _select_snapshot(meta, None, None)
+    _, prior_manifests = read_avro_records(
+        os.path.join(path, snap["manifest-list"])
+    )
+    mlist_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    rows = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+            "content": m.get("content") or 0,
+        }
+        for m in prior_manifests
+    ] + [
+        {
+            "manifest_path": man_rel,
+            "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+            "content": 1,
+        }
+    ]
+    write_avro_file(os.path.join(path, mlist_rel), _MANIFEST_LIST_SCHEMA, rows)
+
+    meta = dict(meta)
+    meta["format-version"] = 2
     meta["snapshots"] = (meta.get("snapshots") or []) + [
         {
             "snapshot-id": snap_id,

@@ -239,3 +239,97 @@ class TestExpireSnapshots:
         # the b-partition file is referenced ONLY by the expired snapshot
         assert any("cat=b" in d for d in doomed)
         assert read_iceberg(spark, root).count() == 10
+
+
+class TestPositionDeletes:
+    """v2 merge-on-read: content=1 delete manifests + (file_path, pos)
+    parquet delete files, applied via the row_index anti-join."""
+
+    def _two_file_table(self, spark, path):
+        from etl_market_survey_spark.sources.iceberg import (
+            snapshot_files, write_iceberg,
+        )
+
+        d1 = spark.range(0, 50).select(F.col("id").alias("k"))
+        d2 = spark.range(100, 150).select(F.col("id").alias("k"))
+        s1 = write_iceberg(spark, path, d1.orderBy("k"), commit_ts=100)
+        first = {f["file_path"] for f in snapshot_files(path, snapshot_id=s1)}
+        s2 = write_iceberg(spark, path, d2.orderBy("k"), commit_ts=200)
+        second = {
+            f["file_path"] for f in snapshot_files(path, snapshot_id=s2)
+        } - first
+        return s2, next(iter(first)), next(iter(second))
+
+    def test_delete_apply_and_accumulate(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_iceberg, read_iceberg,
+        )
+
+        path = str(tmp_path / "icedel")
+        s2, f1, f2 = self._two_file_table(spark, path)
+        delete_rows_iceberg(spark, path, {f1: [0, 1], f2: [49]},
+                            commit_ts=300)
+        got = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert got == (set(range(50)) - {0, 1}) | (set(range(100, 150)) - {149})
+        # deletes ACCUMULATE across snapshots (no merge semantics)
+        delete_rows_iceberg(spark, path, {f1: [5]}, commit_ts=400)
+        got = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert got == (set(range(50)) - {0, 1, 5}) | (
+            set(range(100, 150)) - {149}
+        )
+        # snapshot time travel back to pre-delete
+        assert read_iceberg(spark, path, snapshot_id=s2).count() == 100
+
+    def test_v1_tables_unaffected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, snapshot_delete_files, write_iceberg,
+        )
+
+        path = str(tmp_path / "icev1")
+        df = spark.range(0, 30).select(F.col("id").alias("k"))
+        write_iceberg(spark, path, df, commit_ts=100)
+        assert snapshot_delete_files(path) == []
+        assert read_iceberg(spark, path).count() == 30
+
+    def test_delete_file_is_sorted_parquet(self, spark, tmp_path):
+        import glob
+
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_iceberg, snapshot_delete_files,
+        )
+
+        path = str(tmp_path / "icedel2")
+        _, f1, f2 = self._two_file_table(spark, path)
+        delete_rows_iceberg(spark, path, {f2: [3, 1], f1: [2, 0]},
+                            commit_ts=300)
+        dels = snapshot_delete_files(path)
+        assert len(dels) == 1 and dels[0]["content"] == 1
+        assert dels[0]["record_count"] == 4
+        pdf = spark.read.parquet(
+            os.path.join(path, dels[0]["file_path"])
+        ).toPandas()
+        pairs = list(zip(pdf["file_path"], pdf["pos"]))
+        assert pairs == sorted(pairs)  # spec: sorted by (path, pos)
+
+    def test_unknown_file_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_iceberg,
+        )
+
+        path = str(tmp_path / "icedel3")
+        self._two_file_table(spark, path)
+        with pytest.raises(ValueError, match="not a live data file"):
+            delete_rows_iceberg(spark, path, {"data/nope.parquet": [0]})
+
+    def test_format_version_upgraded(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            _current_version, _load_metadata, delete_rows_iceberg,
+        )
+
+        path = str(tmp_path / "icedel4")
+        _, f1, _ = self._two_file_table(spark, path)
+        assert _load_metadata(path, _current_version(path)).get(
+            "format-version") == 1
+        delete_rows_iceberg(spark, path, {f1: [0]}, commit_ts=300)
+        assert _load_metadata(path, _current_version(path))[
+            "format-version"] == 2
