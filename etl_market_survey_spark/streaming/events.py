@@ -50,6 +50,49 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     return ts_to_ns(reader.parquet(path))
 
 
+def event_csv_line(row: tuple) -> str:
+    """Wire format for :func:`read_event_stream_socket` feeders: one
+    TAB-separated line per event (tab, not comma — ``props`` may carry
+    commas). Floats go through ``repr`` so the string->double cast on
+    the receive side round-trips bit-exactly."""
+    event_id, ts, user_id, event_type, value, props = row
+    return "\t".join(
+        [str(int(event_id)), str(int(ts)), str(int(user_id)),
+         str(event_type), repr(float(value)), str(props or "")]
+    )
+
+
+def read_event_stream_socket(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
+) -> DataFrame:
+    """Event stream from a LIVE TCP socket — a genuinely unbounded,
+    non-file source. Each line is :func:`event_csv_line`'s TAB format;
+    parsing lands on the exact same schema (``ts`` epoch-nano long) as
+    :func:`read_event_stream`, so every downstream operator
+    (windowed_counts, session_rollup, the stateful counters) consumes
+    either source unchanged — the source-agnostic claim as code, proven
+    by the drained hash-parity test against the file-replay twin.
+
+    (Spark's socket source is a test/dev source by design; the point
+    here is the unbounded-source code path — micro-batches arrive on
+    the source's schedule, not a file listing's.)"""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    p = F.split(F.col("value"), "\t")
+    return raw.select(
+        p[0].cast("long").alias("event_id"),
+        p[1].cast("long").alias("ts"),
+        p[2].cast("long").alias("user_id"),
+        p[3].alias("event_type"),
+        p[4].cast("double").alias("value"),
+        p[5].alias("props"),
+    )
+
+
 def with_event_time(df: DataFrame) -> DataFrame:
     # Integer floor-div: ts is epoch-NANO long (~1.7e18), where a double
     # round-trip has ~256 ns ulp — exact µs matters to the interval join.
