@@ -2283,6 +2283,102 @@ def q355_jpeg_progressive_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q372 — FLAC codec gate (operators/flac, VERDICT r5 item 8: the last
+# "codec = stub" row — one real COMPRESSED audio decode). Per flag, a
+# deterministic md5-synthesized signal (a base level stepping every 64
+# samples + per-sample noise, so FIXED-predictor residuals stay small
+# and the Rice path genuinely compresses) is encoded to a
+# spec-conformant FLAC stream and decoded back by the library-free
+# decoder — 6000 samples/flag crosses the 4096 block size, so multi-
+# frame assembly, the 16-bit blocksize-at-end path, UTF-8 frame
+# numbers, CRC-8/CRC-16 checks and the STREAMINFO MD5 verify all run.
+# FLAC is lossless, so decode(encode(x)) == x bit-for-bit and the
+# oracle predicts every sample with pure md5 arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q372_N = 6000
+
+_Q372_ORACLE = f"""
+WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+s AS (
+  SELECT l_returnflag, CAST(t.i AS INT) AS sample_idx
+  FROM flags CROSS JOIN generate_series(0, {_Q372_N - 1}) AS t(i)
+)
+SELECT l_returnflag, sample_idx,
+       CAST(
+         (CAST(('0x' || substr(md5(l_returnflag || '#F#'
+             || CAST(sample_idx // 64 AS VARCHAR)), 1, 6)) AS BIGINT)
+            % 3001 - 1500)
+         + (CAST(('0x' || substr(md5(l_returnflag || '#f#'
+             || CAST(sample_idx AS VARCHAR)), 1, 6)) AS BIGINT)
+            % 41 - 20)
+       AS INT) AS val
+FROM s ORDER BY 1, 2
+"""
+
+
+@register("q372_flac_roundtrip", _Q372_ORACLE)
+def q372_flac_roundtrip(spark, sf_dir):
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.flac import decode_flac, encode_flac
+
+    n = _Q372_N
+
+    def h6(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for flag in pdf["l_returnflag"]:
+                base = np.array(
+                    [h6(f"{flag}#F#{i // 64}") % 3001 - 1500 for i in range(n)]
+                )
+                noise = np.array(
+                    [h6(f"{flag}#f#{i}") % 41 - 20 for i in range(n)]
+                )
+                x = (base + noise).astype(np.int16)
+                blob = encode_flac(x, rate=16000)
+                assert blob[:4] == b"fLaC" and len(blob) < 2 * n  # compresses
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"l_returnflag": pdf["l_returnflag"], "payload": payloads}
+            )
+
+    def decode_samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for flag, b in zip(pdf["l_returnflag"], pdf["payload"]):
+                rate, vals = decode_flac(bytes(b))
+                assert rate == 16000
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "l_returnflag": flag,
+                            "sample_idx": np.arange(len(vals), dtype=np.int32),
+                            "val": np.asarray(vals, dtype=np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                columns=["l_returnflag", "sample_idx", "val"]
+            )
+
+    flags = load(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    payloads = flags.mapInPandas(
+        make_payloads, "l_returnflag string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_samples, "l_returnflag string, sample_idx int, val int"
+    ).orderBy("l_returnflag", "sample_idx")
+
+
+# ---------------------------------------------------------------------------
 # q262 — simplified silhouette (operators/evalmetrics.
 # simplified_silhouette) of the SRP-bucket clustering (4 literal planes
 # -> 16 clusters, the q242 machinery): per point, squared distance to
