@@ -874,11 +874,13 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     point ``_last_checkpoint`` at it, so cold reads fold one parquet +
     the JSON tail instead of every commit since 0."""
     snap = load_snapshot(spark, path)
-    rows = [{"metaData": snap.metadata, "add": None}]
+    rows = [
+        {"metaData": snap.metadata, "add": None, "protocol": snap.protocol},
+    ]
     for rel in sorted(snap.adds):
         a = dict(snap.adds[rel])
         a.setdefault("partitionValues", {})
-        rows.append({"metaData": None, "add": a})
+        rows.append({"metaData": None, "add": a, "protocol": None})
     import pandas as pd
 
     pdf = pd.DataFrame(
@@ -886,6 +888,8 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             "metaData": [json.dumps(r["metaData"]) if r["metaData"] else None
                          for r in rows],
             "add": [json.dumps(r["add"]) if r["add"] else None for r in rows],
+            "protocol": [json.dumps(r["protocol"]) if r["protocol"] else None
+                         for r in rows],
         }
     )
     # checkpoint rows carry struct columns; JSON-encoded structs keep the
@@ -905,16 +909,27 @@ def _pdf_to_struct_checkpoint(spark: SparkSession, pdf, cp_file: str):
 
     meta_schema = (
         "id STRING, format STRUCT<provider: STRING>, schemaString STRING, "
-        "partitionColumns ARRAY<STRING>, createdTime LONG"
+        "partitionColumns ARRAY<STRING>, "
+        "configuration MAP<STRING,STRING>, createdTime LONG"
     )
+    # deletionVector must survive the checkpoint fold — a checkpoint
+    # that drops DV descriptors silently resurrects deleted rows for
+    # every reader that cold-starts from it
     add_schema = (
         "path STRING, partitionValues MAP<STRING,STRING>, size LONG, "
-        "modificationTime LONG, dataChange BOOLEAN, stats STRING"
+        "modificationTime LONG, dataChange BOOLEAN, stats STRING, "
+        "deletionVector STRUCT<storageType: STRING, pathOrInlineDv: STRING, "
+        "offset: BIGINT, sizeInBytes: BIGINT, cardinality: BIGINT>"
+    )
+    proto_schema = (
+        "minReaderVersion INT, minWriterVersion INT, "
+        "readerFeatures ARRAY<STRING>, writerFeatures ARRAY<STRING>"
     )
     df = spark.createDataFrame(pdf)
     df = df.select(
         F.from_json("metaData", meta_schema).alias("metaData"),
         F.from_json("add", add_schema).alias("add"),
+        F.from_json("protocol", proto_schema).alias("protocol"),
     )
     _write_single_parquet(df.coalesce(1), cp_file)
 
@@ -953,17 +968,30 @@ def compact(
     Returns the new version. Prior versions still time-travel exactly
     (their files are never deleted, only de-referenced going forward).
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
     snap = load_snapshot(spark, path)
+    snap.check_reader_support()
     pcols = snap.partition_columns
     schema = snap.schema()
-    from pyspark.sql.types import StructType
+    phys = snap.physical_names()  # identity map without column mapping
 
-    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    # files are scanned by their PHYSICAL column names (column mapping),
+    # and any deletion vectors are MATERIALIZED during the rewrite (the
+    # merged file contains only live rows, its add carries no DV) —
+    # logical content is unchanged either way, so dataChange stays false
+    data_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable)
+         for f in schema.fields if f.name not in pcols]
+    )
 
     by_part: dict[tuple, list[str]] = {}
     for rel, a in snap.adds.items():
         pv = a.get("partitionValues") or {}
-        by_part.setdefault(tuple(pv.get(c) for c in pcols), []).append(rel)
+        by_part.setdefault(
+            tuple(pv.get(phys.get(c, c)) for c in pcols), []
+        ).append(rel)
 
     new_version = snap.version + 1
     actions: list[dict] = [
@@ -977,9 +1005,23 @@ def compact(
     ]
     for key, rels in sorted(by_part.items(), key=lambda kv: str(kv[0])):
         if len(rels) == 1:
-            continue  # already compact
+            continue  # already compact (a solo file keeps any DV as-is)
         files = [os.path.join(path, r) for r in rels]
         merged = spark.read.schema(data_schema).parquet(*files)
+        group_adds = [snap.adds[r] for r in rels]
+        if any(a.get("deletionVector") for a in group_adds):
+            deleted = _dv_positions_df(spark, path, group_adds)
+            merged = (
+                merged.select(
+                    "*",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_dv_name"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
+                .join(deleted, ["_dv_name", "_dv_pos"], "left_anti")
+                .drop("_dv_name", "_dv_pos")
+            )
         if pcols:
             rel_dir = "/".join(
                 f"{c}={v}" for c, v in zip(pcols, key)
@@ -1003,7 +1045,10 @@ def compact(
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": dict(zip(pcols, key)),
+                    # log keys are physical names under column mapping
+                    "partitionValues": dict(
+                        zip([phys.get(c, c) for c in pcols], key)
+                    ),
                     "size": os.path.getsize(fpath),
                     "modificationTime": commit_ts,
                     "dataChange": False,

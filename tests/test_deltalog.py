@@ -588,3 +588,75 @@ class TestColumnMapping:
         }
         got = {r["k"] for r in read_delta(spark, path).collect()}
         assert got == set(range(30)) - {2, 3}
+
+
+class TestDvInteractions:
+    """compact / checkpoint must respect deletion vectors and column
+    mapping — a compaction that re-read raw files would resurrect
+    DV-deleted rows (and null out mapped columns); a checkpoint that
+    dropped DV descriptors would do the same for cold-start readers."""
+
+    def _dv_table(self, spark, path, column_mapping=False):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors,
+        )
+
+        d1 = spark.range(0, 30).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+        )
+        d2 = spark.range(30, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+        )
+        write_delta(spark, path, d1.orderBy("k"), partition_col="p",
+                    commit_ts=100, column_mapping=column_mapping)
+        write_delta(spark, path, d2.orderBy("k"), partition_col="p",
+                    commit_ts=200)
+        snap = load_snapshot(spark, path)
+        # delete position 0 of every live file (the smallest k per file)
+        deletes = {rel: [0] for rel in snap.adds}
+        add_deletion_vectors(spark, path, deletes, commit_ts=300)
+        kept = {r["k"] for r in read_delta(spark, path).collect()}
+        assert len(kept) == 60 - len(snap.adds)
+        return kept
+
+    def test_compact_materializes_dvs(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import compact
+
+        path = str(tmp_path / "dvc")
+        kept = self._dv_table(spark, path)
+        v = compact(spark, path, commit_ts=400)
+        snap = load_snapshot(spark, path)
+        assert all(not a.get("deletionVector") for a in snap.adds.values())
+        after = {r["k"] for r in read_delta(spark, path).collect()}
+        assert after == kept  # no resurrection
+        # logical content unchanged -> prior version still reads
+        assert read_delta(spark, path, version=v - 1).count() == len(kept)
+
+    def test_compact_column_mapped_table(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import compact
+
+        path = str(tmp_path / "cmc")
+        kept = self._dv_table(spark, path, column_mapping=True)
+        compact(spark, path, commit_ts=400)
+        out = read_delta(spark, path)
+        assert set(out.columns) == {"k", "p"}
+        assert {r["k"] for r in out.collect()} == kept
+        # physical partition keys preserved in the compacted adds
+        snap = load_snapshot(spark, path)
+        pkey = snap.physical_names()["p"]
+        assert all(
+            pkey in (a.get("partitionValues") or {})
+            for a in snap.adds.values()
+        )
+
+    def test_checkpoint_preserves_dvs_and_mapping(self, spark, tmp_path):
+        path = str(tmp_path / "dvcp")
+        kept = self._dv_table(spark, path, column_mapping=True)
+        write_checkpoint(spark, path)
+        # force the cold-start path: fold from checkpoint + empty tail
+        snap = load_snapshot(spark, path)
+        assert any(a.get("deletionVector") for a in snap.adds.values())
+        assert snap.column_mapping_mode == "name"
+        assert snap.protocol["minReaderVersion"] == 3
+        after = {r["k"] for r in read_delta(spark, path).collect()}
+        assert after == kept

@@ -80,10 +80,13 @@ HEAVY = [
 SRC = "/root/testdata/sf0.1"
 
 
-def synthesize(spark, out_dir: str, factor: int) -> None:
+def synthesize(spark, out_dir: str, factor: int,
+               tables: set[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    def want(name):
+        return tables is None or name in tables
     rep = spark.range(factor).select(F.col("id").cast("long").alias("_r"))
 
     def load(name):
@@ -91,10 +94,16 @@ def synthesize(spark, out_dir: str, factor: int) -> None:
         return spark.read.parquet(f"{SRC}/{name}.parquet")
 
     def save(df, name):
+        if not want(name):
+            return
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
     for dim in ["region", "nation", "part", "supplier"]:
         save(load(dim), dim)
+    # heavy tables are independent below except orders->customer key
+    # spans; guard each block so --tables synthesizes only what the
+    # requested queries read (the 100x runs would otherwise spend
+    # minutes replicating documents/embeddings nobody scans)
 
     cust = load("customer")
     c_span = cust.agg(F.max("c_custkey")).first()[0] + 1
@@ -227,6 +236,8 @@ def main():
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--queries", nargs="*", help="subset of HEAVY to run")
+    ap.add_argument("--tables", nargs="*",
+                    help="synthesize only these tables (default all)")
     args = ap.parse_args()
     heavy = args.queries or HEAVY
 
@@ -237,7 +248,8 @@ def main():
 
     if not args.skip_gen:
         t0 = time.time()
-        synthesize(spark, args.out, args.factor)
+        synthesize(spark, args.out, args.factor,
+                   set(args.tables) if args.tables else None)
         print(f"# synthesized x{args.factor} in {time.time()-t0:.1f}s", file=sys.stderr)
 
     small = bench(spark, SRC, heavy)
