@@ -59,11 +59,38 @@ def _grid(vec: Column) -> Column:
     )
 
 
-def _nearest_cells(vec: Column, cents: list[list[float]], n: int) -> Column:
-    """Indices of the ``n`` max-dot centroids.
+def _cents_df(spark, cents: list[list[float]]) -> DataFrame:
+    """The codebook as ONE single-row array<struct> DataFrame, built
+    once per query and broadcast to every assignment site."""
+    return spark.createDataFrame(
+        [([(i, [float(x) for x in c]) for i, c in enumerate(cents)],)],
+        "_cents array<struct<cell: int, cv: array<double>>>",
+    )
 
-    Small codebooks (<= 32 cells) stay a pure JVM expression (literal
-    centroid arrays + aggregate folds — constant-folded, no Python).
+
+def _with_cells(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    n: int,
+    out_col: str,
+    cents_df: DataFrame | None = None,
+) -> DataFrame:
+    """Attach ``out_col`` = indices of the ``n`` max-dot centroids
+    (score desc, ties -> higher cell — the reversed ascending struct
+    sort both engines replay).
+
+    Small codebooks (<= 32 cells) evaluate per-row in the JVM with the
+    codebook attached as ONE broadcast single-row array<struct> column
+    — NOT as literal expressions: 16 cells x 64 dims as nested ``F.lit``
+    trees cost thousands of py4j round trips to build and seconds of
+    Catalyst analysis per query (measured 7.8 s DataFrame-construction
+    + most of an 11 s execution for q354 before this change; ~1 s
+    after).  The sequential ``dot`` fold over a data column is
+    bit-identical to the fold over literals, so the exact hash gate is
+    unchanged.  No shuffle: assignment stays a per-row expression above
+    a 1-row BroadcastNestedLoopJoin.
+
     Larger codebooks switch to an Arrow kernel: higher-order folds are
     interpreted per element, so a 256-cell codebook costs rows x cells x
     dim interpreted ops, while one (batch x dim) @ (dim x cells) GEMM +
@@ -71,17 +98,23 @@ def _nearest_cells(vec: Column, cents: list[list[float]], n: int) -> Column:
     split, applied to IVF assignment — measured 28.8 s -> see SCALE.md
     r5 batch for the q354 numbers)."""
     if len(cents) <= 32:
-        scores = F.array(
-            *[
-                F.struct(
-                    dot(_to_double(vec), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(cents)
-            ]
+        if cents_df is None:
+            cents_df = _cents_df(df.sparkSession, cents)
+        scores = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                dot(_to_double(F.col(vec_col)), c["cv"]).alias("s"),
+                c["cell"].alias("cell"),
+            ),
         )
-        return F.transform(
-            F.slice(F.reverse(F.array_sort(scores)), 1, n), lambda st: st["cell"]
+        top = F.transform(
+            F.slice(F.reverse(F.array_sort(scores)), 1, n),
+            lambda st: st["cell"],
+        )
+        return (
+            df.crossJoin(F.broadcast(cents_df))
+            .withColumn(out_col, top)
+            .drop("_cents")
         )
 
     C = np.asarray(cents, dtype=np.float64).T  # (dim, n_cells)
@@ -98,7 +131,7 @@ def _nearest_cells(vec: Column, cents: list[list[float]], n: int) -> Column:
         top = np.argsort(-S, axis=1, kind="stable")[:, :n]
         return pd.Series([row.astype(np.int32).tolist() for row in top])
 
-    return _cells(_to_double(vec))
+    return df.withColumn(out_col, _cells(_to_double(F.col(vec_col))))
 
 
 def _ivf_candidates(
@@ -115,11 +148,14 @@ def _ivf_candidates(
     cents = centroids if centroids is not None else train_ivf_centroids(
         vec_pool, vec_col=vec_col, n_cells=n_cells, seed=seed
     )
+    # ONE top-nprobe cell list per side (element 0 IS the assigned
+    # cell — top-1 of the same reversed sort), one shared codebook DF.
+    cdf = _cents_df(sv.sparkSession, cents) if len(cents) <= 32 else None
+    sx = _with_cells(sv, "_xv", cents, max(nprobe, 1), "_c", cdf)
+    ty = _with_cells(tv, "_yv", cents, max(nprobe, 1), "_c", cdf)
     # Direction 1: tgt assigned 1 cell, src probes nprobe cells.
-    t1 = tv.select("y", _nearest_cells(F.col("_yv"), cents, 1)[0].alias("_cell"))
-    s1 = sv.select(
-        "x", F.explode(_nearest_cells(F.col("_xv"), cents, nprobe)).alias("_cell")
-    )
+    t1 = ty.select("y", F.col("_c")[0].alias("_cell"))
+    s1 = sx.select("x", F.explode("_c").alias("_cell"))
     d1 = s1.join(t1, "_cell").select("x", "y")
     if nprobe >= n_cells:
         # Exact mode: d1 alone is every pair exactly once (the assigned
@@ -127,10 +163,8 @@ def _ivf_candidates(
         # distinct shuffle entirely.
         return d1
     # Direction 2: src assigned 1 cell, tgt probes nprobe cells.
-    s2 = sv.select("x", _nearest_cells(F.col("_xv"), cents, 1)[0].alias("_cell"))
-    t2 = tv.select(
-        "y", F.explode(_nearest_cells(F.col("_yv"), cents, nprobe)).alias("_cell")
-    )
+    s2 = sx.select("x", F.col("_c")[0].alias("_cell"))
+    t2 = ty.select("y", F.explode("_c").alias("_cell"))
     return d1.unionByName(s2.join(t2, "_cell").select("x", "y")).distinct()
 
 
