@@ -155,6 +155,7 @@ HEADLINE = [
     "q370_delta_deletion_vectors",
     "q371_iceberg_position_deletes",
     "q372_flac_roundtrip",
+    "q373_iceberg_equality_deletes",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

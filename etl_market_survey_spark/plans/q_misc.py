@@ -4609,3 +4609,88 @@ def q371_iceberg_position_deletes(spark, sf_dir):
         .unionByName(agg(cur, "v2_mor"))
         .orderBy("version_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q373 — Iceberg v2 EQUALITY DELETES (sources/iceberg
+# delete_rows_equality + read_iceberg): the spec's upsert/CDC building
+# block. A content=2 delete file carries (k) identity tuples; the read
+# applies it as a null-safe anti-join SCOPED BY DATA SEQUENCE NUMBER —
+# rows from files committed strictly before the delete die, and the
+# SAME keys re-appended afterwards are REBORN (priority 'REBORN'
+# below). The later append also proves delete manifests survive
+# append commits (a manifest list that dropped them would resurrect
+# the original rows AND kill the reborn ones' distinguishability —
+# either way the hash breaks). Same oracle family as q370/q371.
+# ---------------------------------------------------------------------------
+
+_Q373_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+cur AS (
+  SELECT k, pr, tp FROM o WHERE k % 21 <> 0
+  UNION ALL
+  SELECT k, 'REBORN' AS pr, tp FROM o WHERE k % 21 = 0
+),
+u AS (
+  SELECT 'v0_predelete' AS version_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents
+  FROM o GROUP BY 1, 2
+  UNION ALL
+  SELECT 'v2_eq_mor', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM cur GROUP BY 1, 2
+)
+SELECT version_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY version_tag, o_orderpriority
+"""
+
+
+@register("q373_iceberg_equality_deletes", _Q373_ORACLE)
+def q373_iceberg_equality_deletes(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_rows_equality,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_iceeq_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    s1 = write_iceberg(spark, path, o.orderBy("k"), commit_ts=100)
+    # delete by ROW IDENTITY (k), not position: k % 21 == 0
+    # (k % 3 == 0 and k % 7 == 0)
+    delete_rows_equality(
+        spark, path, o.filter(F.col("k") % 21 == 0).select("k"),
+        cols=["k"], commit_ts=200,
+    )
+    # re-append the SAME keys after the delete: sequence scoping must
+    # let them live (files at seq > the delete's are out of its scope)
+    reborn = o.filter(F.col("k") % 21 == 0).select(
+        "k", F.lit("REBORN").alias("pr"), "tp"
+    )
+    write_iceberg(spark, path, reborn, commit_ts=300)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("version_tag"), "*")
+
+    v0 = read_iceberg(spark, path, snapshot_id=s1)  # pre-delete
+    cur = read_iceberg(spark, path)                 # delete + rebirth
+    return (
+        agg(v0, "v0_predelete")
+        .unionByName(agg(cur, "v2_eq_mor"))
+        .orderBy("version_tag", "o_orderpriority")
+    )

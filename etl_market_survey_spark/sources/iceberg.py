@@ -58,13 +58,23 @@ _MANIFEST_LIST_SCHEMA = {
         # existed — the Avro reader uses the embedded writer schema)
         # fold to data
         {"name": "content", "type": ["null", "int"], "field-id": 517},
+        # v2 data sequence number (field-id 515): the commit order that
+        # scopes row-level deletes — an equality delete applies only to
+        # data files with a STRICTLY SMALLER sequence number (position
+        # deletes are implicitly scoped: they name exact file paths).
+        # Nullable: v1 lists fold to 0.
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 515},
     ],
 }
 
-# v2 position-delete manifest: entries point at PARQUET delete files
-# whose rows are (file_path, pos) pairs — spec field-ids 2147483546/
-# 2147483545 inside the delete file itself; the manifest entry mirrors
-# the data-file shape with content=1
+# v2 row-delete manifest: entries point at PARQUET delete files.
+# content=1 (position deletes): rows are (file_path, pos) pairs — spec
+# field-ids 2147483546/2147483545 inside the delete file itself.
+# content=2 (equality deletes): rows carry the equality columns named
+# by ``equality_ids`` (spec field-id 135, the table-schema field ids a
+# matching row is deleted on). The manifest entry mirrors the
+# data-file shape either way.
 _DELETE_MANIFEST_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -83,6 +93,11 @@ _DELETE_MANIFEST_SCHEMA = {
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    # null for position deletes (old files fold to null
+                    # via the embedded writer schema)
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "field-id": 135},
                 ],
             },
             "field-id": 2,
@@ -106,6 +121,12 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
         "fields": [
             {"name": "status", "type": "int", "field-id": 0},
             {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            # v2 inheritance: null on ADDED entries (inherit the
+            # manifest-list row's sequence_number); EXISTING entries
+            # carried into a newer manifest keep their ORIGINAL data
+            # sequence number here explicitly, per the spec.
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
             {
                 "name": "data_file",
                 "field-id": 2,
@@ -220,10 +241,17 @@ def snapshot_files(
     for m in manifests:
         if m.get("content"):  # 1 = delete manifest (v2)
             continue
+        m_seq = m.get("sequence_number") or 0
         _, entries = read_avro_records(os.path.join(path, m["manifest_path"]))
         for e in entries:
             if e["status"] != 2:  # 0 EXISTING / 1 ADDED live; 2 DELETED
-                out.append(e["data_file"])
+                # v2 inheritance: ADDED entries (null) take the
+                # manifest-list row's sequence number; EXISTING entries
+                # carry their original one explicitly
+                seq = e.get("sequence_number")
+                out.append(
+                    dict(e["data_file"], _seq=m_seq if seq is None else seq)
+                )
     return out
 
 
@@ -232,8 +260,11 @@ def snapshot_delete_files(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
 ) -> list[dict]:
-    """Live position-delete file entries (v2, manifest ``content=1``)
-    for the chosen snapshot — empty for v1/append-only tables."""
+    """Live row-delete file entries (v2, manifest ``content=1``) for
+    the chosen snapshot — empty for v1/append-only tables. Each entry
+    carries ``content`` (1 = position deletes, 2 = equality deletes),
+    ``_seq`` (the delete's data sequence number) and, for equality
+    deletes, ``equality_ids``."""
     meta = _load_metadata(path)
     snap = _select_snapshot(meta, snapshot_id, as_of_ms)
     _, manifests = read_avro_records(
@@ -243,10 +274,14 @@ def snapshot_delete_files(
     for m in manifests:
         if not m.get("content"):
             continue
+        m_seq = m.get("sequence_number") or 0
         _, entries = read_avro_records(os.path.join(path, m["manifest_path"]))
         for e in entries:
-            if e["status"] != 2 and (e["data_file"].get("content") == 1):
-                out.append(e["data_file"])
+            if e["status"] != 2 and (e["data_file"].get("content") in (1, 2)):
+                seq = e.get("sequence_number")
+                out.append(
+                    dict(e["data_file"], _seq=m_seq if seq is None else seq)
+                )
     return out
 
 
@@ -267,14 +302,20 @@ def read_iceberg(
     listed by Spark.
 
     v2 merge-on-read: when the snapshot carries position-delete files
-    (``content=1`` manifests), they are applied with an anti-join on
-    ``(file, _metadata.row_index)`` — the delete parquet scans stay
-    distributed, and a file skipped by pruning never pays for its
-    deletes either."""
+    (``content=1``), they are applied with an anti-join on
+    ``(file, _metadata.row_index)``; equality-delete files
+    (``content=2``) anti-join on their ``equality_ids`` columns
+    (null-safe), scoped by DATA SEQUENCE NUMBER — an equality delete
+    only affects rows from files committed strictly BEFORE it, so a
+    key deleted and then re-appended survives, per the spec. The
+    delete parquet scans stay distributed, and a file skipped by
+    pruning never pays for its deletes either."""
     from pyspark.sql import functions as F
 
     files = snapshot_files(path, snapshot_id, as_of_ms)
     delete_files = snapshot_delete_files(path, snapshot_id, as_of_ms)
+    pos_deletes = [f for f in delete_files if f.get("content") == 1]
+    eq_deletes = [f for f in delete_files if f.get("content") == 2]
     if partition_filter:
         files = [
             f for f in files
@@ -307,30 +348,94 @@ def read_iceberg(
     df = spark.read.schema(schema).parquet(*paths)
     if not delete_files:
         return df
-    # merge-on-read: anti-join deleted (file, pos) pairs. File identity
-    # is the basename (file names carry a uuid, unique per table), which
-    # joins _metadata.file_path URIs against the manifests' table-
-    # relative paths without URI normalization.
-    dels = (
-        spark.read.schema("file_path string, pos long")
-        .parquet(*[os.path.join(path, f["file_path"]) for f in delete_files])
-        .select(
-            F.element_at(F.split("file_path", "/"), -1).alias("_if"),
-            F.col("pos").alias("_ip"),
-        )
-    )
     cols = df.columns
-    return (
-        df.select(
-            "*",
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("_if"),
-            F.col("_metadata.row_index").alias("_ip"),
+    if pos_deletes:
+        # merge-on-read: anti-join deleted (file, pos) pairs. File
+        # identity is the basename (file names carry a uuid, unique per
+        # table), which joins _metadata.file_path URIs against the
+        # manifests' table-relative paths without URI normalization.
+        dels = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(
+                *[os.path.join(path, f["file_path"]) for f in pos_deletes]
+            )
+            .select(
+                F.element_at(F.split("file_path", "/"), -1).alias("_if"),
+                F.col("pos").alias("_ip"),
+            )
         )
-        .join(dels, ["_if", "_ip"], "left_anti")
-        .select(*cols)
-    )
+        df = (
+            df.select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_if"),
+                F.col("_metadata.row_index").alias("_ip"),
+            )
+            .join(dels, ["_if", "_ip"], "left_anti")
+            .select(*cols)
+        )
+    if eq_deletes:
+        df = _apply_equality_deletes(spark, path, df, files, eq_deletes, meta)
+    return df
+
+
+def _apply_equality_deletes(
+    spark, path: str, df, files: list[dict], eq_deletes: list[dict], meta: dict
+):
+    """Anti-join equality-delete rows, scoped by data sequence number.
+
+    Each data row gets its file's sequence number via a BROADCAST join
+    on file basename (the file list is metadata-sized — KBs on the
+    driver, never a shuffle); each delete file contributes its
+    ``equality_ids`` columns plus its own sequence number as ``_dseq``.
+    One null-safe anti-join per distinct equality-id set with the
+    residual predicate ``data._seq < delete._dseq`` — row-identity
+    deletes never apply forward to files committed at or after them."""
+    from pyspark.sql import functions as F
+
+    schema_fields = (
+        meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    ).get("fields", [])
+    id_to_name = {f["id"]: f["name"] for f in schema_fields}
+
+    cols = df.columns
+    seq_rows = [
+        (os.path.basename(f["file_path"]), int(f.get("_seq") or 0))
+        for f in files
+    ]
+    seq_df = spark.createDataFrame(seq_rows, "_if string, _seq long")
+    df = df.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_if"),
+    ).join(F.broadcast(seq_df), "_if")
+
+    by_ids: dict[tuple, list[dict]] = {}
+    for d in eq_deletes:
+        by_ids.setdefault(tuple(d.get("equality_ids") or ()), []).append(d)
+    for ids, dels in sorted(by_ids.items()):
+        names = [id_to_name[i] for i in ids]
+        if not names:
+            raise ValueError("equality delete file without equality_ids")
+        parts = [
+            spark.read.parquet(os.path.join(path, d["file_path"]))
+            .select(*names)
+            .withColumn("_dseq", F.lit(int(d.get("_seq") or 0)))
+            for d in dels
+        ]
+        del_df = parts[0]
+        for p in parts[1:]:
+            del_df = del_df.unionByName(p)
+        del_df = del_df.select(
+            *[F.col(c).alias(f"_d_{c}") for c in names], "_dseq"
+        )
+        cond = F.col("_seq") < F.col("_dseq")
+        for c in names:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_d_{c}"))
+        df = df.join(del_df, cond, "left_anti")
+    return df.select(*cols)
 
 
 def table_history(path: str) -> list[dict]:
@@ -440,6 +545,7 @@ def write_iceberg(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snap_id,
+                "sequence_number": None,  # inherit the new snapshot's
                 "data_file": {
                     "file_path": rel,
                     "file_format": "PARQUET",
@@ -453,40 +559,68 @@ def write_iceberg(
             }
         )
 
-    # carry forward prior live files on append
+    # carry forward prior live files on append — EXISTING entries keep
+    # their ORIGINAL data sequence number explicitly (spec inheritance
+    # rule), so older equality deletes still scope correctly around them
     if meta is not None and mode == "append":
         for fentry in snapshot_files(path):
             entries.append(
-                {"status": 0, "snapshot_id": None, "data_file": fentry}
+                {
+                    "status": 0,
+                    "snapshot_id": None,
+                    "sequence_number": fentry.pop("_seq", 0),
+                    "data_file": fentry,
+                }
             )
 
     man_rel = f"metadata/manifest-{new_v:05d}-{uuid.uuid4().hex}.avro"
     write_avro_file(
         os.path.join(path, man_rel), _manifest_schema(pf_meta), entries
     )
+    mlist_rows = [
+        {
+            "manifest_path": man_rel,
+            "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+            "content": 0,
+            "sequence_number": new_v,
+        }
+    ]
+    # append must keep prior DELETE manifests alive (with their original
+    # sequence numbers) — dropping them would resurrect deleted rows;
+    # overwrite starts the file set fresh, so deletes are retired with it
+    if meta is not None and mode == "append":
+        snap_prev = _select_snapshot(meta, None, None)
+        _, prior = read_avro_records(
+            os.path.join(path, snap_prev["manifest-list"])
+        )
+        for m in prior:
+            if m.get("content"):
+                mlist_rows.append(
+                    {
+                        "manifest_path": m["manifest_path"],
+                        "manifest_length": m["manifest_length"],
+                        "partition_spec_id": m.get("partition_spec_id", 0),
+                        "added_snapshot_id": m.get("added_snapshot_id"),
+                        "content": m.get("content") or 0,
+                        "sequence_number": m.get("sequence_number") or 0,
+                    }
+                )
     mlist_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex}.avro"
     write_avro_file(
-        os.path.join(path, mlist_rel),
-        _MANIFEST_LIST_SCHEMA,
-        [
-            {
-                "manifest_path": man_rel,
-                "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
-                "partition_spec_id": 0,
-                "added_snapshot_id": snap_id,
-                "content": 0,
-            }
-        ],
+        os.path.join(path, mlist_rel), _MANIFEST_LIST_SCHEMA, mlist_rows
     )
 
     snapshot = {
         "snapshot-id": snap_id,
         "timestamp-ms": commit_ts,
+        "sequence-number": new_v,
         "manifest-list": mlist_rel,
         "summary": {"operation": mode},
     }
     new_meta = {
-        "format-version": 1,
+        "format-version": (meta or {}).get("format-version", 1),
         "table-uuid": (meta or {}).get("table-uuid", uuid.uuid4().hex),
         "location": path,
         "last-updated-ms": commit_ts,
@@ -542,6 +676,7 @@ def delete_partitions(
             {
                 "status": 2 if dead else 0,
                 "snapshot_id": snap_id if dead else None,
+                "sequence_number": fentry.pop("_seq", 0),
                 "data_file": fentry,
             }
         )
@@ -569,25 +704,41 @@ def delete_partitions(
     write_avro_file(
         os.path.join(path, man_rel), _manifest_schema(pf_meta), entries
     )
+    mlist_rows = [
+        {
+            "manifest_path": man_rel,
+            "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+            "content": 0,
+            "sequence_number": new_v,
+        }
+    ]
+    # keep row-delete manifests alive (original sequence numbers)
+    snap_prev = _select_snapshot(meta, None, None)
+    _, prior = read_avro_records(os.path.join(path, snap_prev["manifest-list"]))
+    for m in prior:
+        if m.get("content"):
+            mlist_rows.append(
+                {
+                    "manifest_path": m["manifest_path"],
+                    "manifest_length": m["manifest_length"],
+                    "partition_spec_id": m.get("partition_spec_id", 0),
+                    "added_snapshot_id": m.get("added_snapshot_id"),
+                    "content": m.get("content") or 0,
+                    "sequence_number": m.get("sequence_number") or 0,
+                }
+            )
     mlist_rel = f"metadata/snap-{snap_id}-{uuid.uuid4().hex}.avro"
     write_avro_file(
-        os.path.join(path, mlist_rel),
-        _MANIFEST_LIST_SCHEMA,
-        [
-            {
-                "manifest_path": man_rel,
-                "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
-                "partition_spec_id": 0,
-                "added_snapshot_id": snap_id,
-                "content": 0,
-            }
-        ],
+        os.path.join(path, mlist_rel), _MANIFEST_LIST_SCHEMA, mlist_rows
     )
     meta = dict(meta)
     meta["snapshots"] = (meta.get("snapshots") or []) + [
         {
             "snapshot-id": snap_id,
             "timestamp-ms": commit_ts,
+            "sequence-number": new_v,
             "manifest-list": mlist_rel,
             "summary": {"operation": "delete"},
         }
@@ -640,6 +791,83 @@ def delete_rows_iceberg(
         os.path.join(path, del_rel),
     )
 
+    _commit_delete_manifest(
+        path, meta, new_v, del_rel,
+        content=1, record_count=len(pairs), equality_ids=None,
+        commit_ts=commit_ts,
+    )
+    return snap_id
+
+
+def delete_rows_equality(
+    spark: SparkSession,
+    path: str,
+    values,
+    cols: list[str],
+    commit_ts: int = 0,
+) -> int:
+    """v2 merge-on-read EQUALITY delete: commit a delete file (spec
+    ``content=2``) whose rows are (cols) tuples — any data row matching
+    one of them (null-safe) is deleted, but ONLY in files committed
+    strictly before this snapshot (data-sequence-number scoping). A row
+    with the same key appended afterwards is reborn — the spec's
+    upsert/CDC building block, and the shape engines like Flink use for
+    streaming upserts into Iceberg.
+
+    ``values``: list of dicts or a DataFrame holding exactly the
+    equality columns. ``cols``: table columns forming the row identity
+    (resolved to schema field ids for ``equality_ids``)."""
+    cur_v = _current_version(path)
+    meta = _load_metadata(path, cur_v)
+    schema_fields = (
+        meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    ).get("fields", [])
+    name_to_id = {f["name"]: f["id"] for f in schema_fields}
+    missing = [c for c in cols if c not in name_to_id]
+    if missing:
+        raise ValueError(f"not table columns: {missing}")
+    eq_ids = [name_to_id[c] for c in cols]
+
+    new_v = cur_v + 1
+    snap_id = new_v
+    if isinstance(values, DataFrame):
+        del_df = values.select(*cols)
+    else:
+        spark_schema = _spark_schema(meta)
+        from pyspark.sql.types import StructType
+
+        sub = StructType([spark_schema[c] for c in cols])
+        del_df = spark.createDataFrame(
+            [tuple(v.get(c) for c in cols) for v in values], sub
+        )
+    n_rows = del_df.count()
+    del_rel = f"data/eq-delete-{new_v:05d}-{uuid.uuid4().hex}.parquet"
+    _write_single_parquet(del_df.coalesce(1), os.path.join(path, del_rel))
+
+    _commit_delete_manifest(
+        path, meta, new_v, del_rel,
+        content=2, record_count=n_rows, equality_ids=eq_ids,
+        commit_ts=commit_ts,
+    )
+    return snap_id
+
+
+def _commit_delete_manifest(
+    path: str,
+    meta: dict,
+    new_v: int,
+    del_rel: str,
+    *,
+    content: int,
+    record_count: int,
+    equality_ids: list[int] | None,
+    commit_ts: int,
+) -> None:
+    """Shared commit tail for row-delete snapshots (position and
+    equality): write the content=1 delete manifest, carry every prior
+    manifest forward WITH its original sequence number, stamp the new
+    snapshot's sequence number, upgrade to format-version 2."""
+    snap_id = new_v
     man_rel = f"metadata/manifest-del-{new_v:05d}-{uuid.uuid4().hex}.avro"
     write_avro_file(
         os.path.join(path, man_rel),
@@ -649,13 +877,14 @@ def delete_rows_iceberg(
                 "status": 1,
                 "snapshot_id": snap_id,
                 "data_file": {
-                    "content": 1,
+                    "content": content,
                     "file_path": del_rel,
                     "file_format": "PARQUET",
-                    "record_count": len(pairs),
+                    "record_count": record_count,
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(path, del_rel)
                     ),
+                    "equality_ids": equality_ids,
                 },
             }
         ],
@@ -674,6 +903,7 @@ def delete_rows_iceberg(
             "partition_spec_id": m.get("partition_spec_id", 0),
             "added_snapshot_id": m.get("added_snapshot_id"),
             "content": m.get("content") or 0,
+            "sequence_number": m.get("sequence_number") or 0,
         }
         for m in prior_manifests
     ] + [
@@ -683,6 +913,7 @@ def delete_rows_iceberg(
             "partition_spec_id": 0,
             "added_snapshot_id": snap_id,
             "content": 1,
+            "sequence_number": new_v,
         }
     ]
     write_avro_file(os.path.join(path, mlist_rel), _MANIFEST_LIST_SCHEMA, rows)
@@ -693,6 +924,7 @@ def delete_rows_iceberg(
         {
             "snapshot-id": snap_id,
             "timestamp-ms": commit_ts,
+            "sequence-number": new_v,
             "manifest-list": mlist_rel,
             "summary": {"operation": "delete"},
         }
@@ -703,7 +935,6 @@ def delete_rows_iceberg(
         json.dump(meta, f)
     with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
         f.write(str(new_v))
-    return snap_id
 
 
 def expire_snapshots(

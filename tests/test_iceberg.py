@@ -333,3 +333,144 @@ class TestPositionDeletes:
         delete_rows_iceberg(spark, path, {f1: [0]}, commit_ts=300)
         assert _load_metadata(path, _current_version(path))[
             "format-version"] == 2
+
+
+class TestEqualityDeletes:
+    """v2 merge-on-read: content=2 equality-delete files scoped by DATA
+    SEQUENCE NUMBER — a delete hits only rows from files committed
+    strictly before it; re-appended keys are reborn (the spec's
+    upsert/CDC building block)."""
+
+    def _kv_table(self, spark, path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        df = spark.createDataFrame(
+            [(i, f"v{i % 3}") for i in range(20)], "k long, v string"
+        )
+        return write_iceberg(spark, path, df, commit_ts=100)
+
+    def test_basic_equality_delete(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, read_iceberg,
+        )
+
+        path = str(tmp_path / "eq1")
+        self._kv_table(spark, path)
+        delete_rows_equality(
+            spark, path, [{"k": 3}, {"k": 7}], cols=["k"], commit_ts=200
+        )
+        got = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert got == set(range(20)) - {3, 7}
+
+    def test_sequence_scoping_reborn_key(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, read_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "eq2")
+        self._kv_table(spark, path)
+        delete_rows_equality(spark, path, [{"k": 5}], cols=["k"],
+                             commit_ts=200)
+        # re-append the deleted key AFTER the delete: it must be reborn
+        reborn = spark.createDataFrame([(5, "reborn")], "k long, v string")
+        write_iceberg(spark, path, reborn, commit_ts=300)
+        rows = {(r["k"], r["v"]) for r in read_iceberg(spark, path).collect()}
+        assert (5, "reborn") in rows
+        assert (5, "v2") not in rows  # the pre-delete row stays deleted
+        assert len({k for k, _ in rows}) == 20
+
+    def test_multi_column_and_accumulate(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, read_iceberg,
+        )
+
+        path = str(tmp_path / "eq3")
+        self._kv_table(spark, path)
+        # (k, v) identity: only the exact pair dies
+        delete_rows_equality(
+            spark, path, [{"k": 4, "v": "v1"}], cols=["k", "v"],
+            commit_ts=200,
+        )
+        got = {(r["k"], r["v"]) for r in read_iceberg(spark, path).collect()}
+        assert (4, "v1") not in got and len(got) == 19
+        # deletes on a DIFFERENT identity accumulate alongside
+        delete_rows_equality(spark, path, [{"k": 9}], cols=["k"],
+                             commit_ts=300)
+        got = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert got == set(range(20)) - {4, 9}
+
+    def test_null_matches_null(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, read_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "eq4")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "k long, v string"
+        )
+        write_iceberg(spark, path, df, commit_ts=100)
+        delete_rows_equality(spark, path, [{"v": None}], cols=["v"],
+                             commit_ts=200)
+        got = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert got == {1, 3}
+
+    def test_time_travel_before_delete(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, read_iceberg,
+        )
+
+        path = str(tmp_path / "eq5")
+        s1 = self._kv_table(spark, path)
+        delete_rows_equality(spark, path, [{"k": 0}], cols=["k"],
+                             commit_ts=200)
+        assert read_iceberg(spark, path, snapshot_id=s1).count() == 20
+        assert read_iceberg(spark, path).count() == 19
+
+    def test_bad_column_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality,
+        )
+
+        path = str(tmp_path / "eq6")
+        self._kv_table(spark, path)
+        with pytest.raises(ValueError, match="not table columns"):
+            delete_rows_equality(spark, path, [{"zz": 1}], cols=["zz"])
+
+
+class TestDeleteCarryForward:
+    """Appends and partition deletes must carry prior row-delete
+    manifests forward — dropping them silently resurrects rows."""
+
+    def test_append_keeps_position_deletes(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_iceberg, read_iceberg, snapshot_files,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "cf1")
+        d1 = spark.range(0, 30).select(F.col("id").alias("k"))
+        write_iceberg(spark, path, d1.orderBy("k"), commit_ts=100)
+        f1 = snapshot_files(path)[0]["file_path"]
+        delete_rows_iceberg(spark, path, {f1: [0, 1, 2]}, commit_ts=200)
+        assert read_iceberg(spark, path).count() == 27
+        d2 = spark.range(100, 110).select(F.col("id").alias("k"))
+        write_iceberg(spark, path, d2, commit_ts=300)
+        got = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert got == (set(range(30)) - {0, 1, 2}) | set(range(100, 110))
+
+    def test_partition_delete_keeps_eq_deletes(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_partitions, delete_rows_equality, read_iceberg,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "cf2")
+        df = spark.createDataFrame(
+            [(i, str(i % 2)) for i in range(20)], "k long, p string"
+        )
+        write_iceberg(spark, path, df, partition_col="p", commit_ts=100)
+        delete_rows_equality(spark, path, [{"k": 4}], cols=["k"],
+                             commit_ts=200)
+        delete_partitions(spark, path, ["1"], commit_ts=300)
+        got = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert got == {k for k in range(20) if k % 2 == 0} - {4}
