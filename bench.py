@@ -156,6 +156,7 @@ HEADLINE = [
     "q371_iceberg_position_deletes",
     "q372_flac_roundtrip",
     "q373_iceberg_equality_deletes",
+    "q374_avi_mjpeg_roundtrip",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

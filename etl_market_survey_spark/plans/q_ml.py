@@ -5950,3 +5950,120 @@ def q352_mixture_fit(spark, sf_dir):
     return wfit.crossJoin(F.broadcast(resid)).select(
         F.col("wv").alias("w_source1"), "l2_residual"
     )
+
+
+# ---------------------------------------------------------------------------
+# q374 — MJPEG-in-AVI video container gate (operators/avi): the video
+# half of the "no codec is a stub" claim (FLAC closed audio in q372).
+# Per flag, 3 frames of 16x24 constant 8x8 blocks (md5 per
+# (flag, frame, block), even values) are encoded as REAL baseline-JPEG
+# frames inside a spec-shaped RIFF/AVI container (hdrl/strl headers,
+# word-aligned 00dc movi chunks, idx1 keyframe index, exact
+# dwScale/dwRate fps) and decoded back by the library-free parser,
+# which cross-validates idx1 against the movi chunks and the avih
+# frame count. Flat Q=16 + even constant blocks survive quantization
+# exactly (the q256/q355 regime), so decode(encode(x)) == x and the
+# oracle replays every pixel of every frame as md5 arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q374_W, _Q374_H, _Q374_NF = 24, 16, 3
+
+_Q374_ORACLE = f"""
+WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+px AS (
+  SELECT l_returnflag, CAST(fr.f AS INT) AS frame_idx,
+         CAST(s.i AS INT) AS pixel_idx,
+         ((s.i // {_Q374_W}) // 8) * {_Q374_W // 8} + ((s.i % {_Q374_W}) // 8) AS b
+  FROM flags
+  CROSS JOIN generate_series(0, {_Q374_NF - 1}) AS fr(f)
+  CROSS JOIN generate_series(0, {_Q374_W * _Q374_H - 1}) AS s(i)
+)
+SELECT l_returnflag, frame_idx, pixel_idx,
+       CAST(128 + 2 * (CAST(('0x' || substr(md5(l_returnflag || '#V#'
+             || CAST(frame_idx AS VARCHAR) || '#'
+             || CAST(b AS VARCHAR)), 1, 6))::BIGINT % 81 AS INT) - 40)
+         AS INT) AS val
+FROM px ORDER BY 1, 2, 3
+"""
+
+
+@register("q374_avi_mjpeg_roundtrip", _Q374_ORACLE)
+def q374_avi_mjpeg_roundtrip(spark, sf_dir):
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from ..operators.jpeg import QT_FLAT16
+
+    w, h, nf = _Q374_W, _Q374_H, _Q374_NF
+    bw, bh = w // 8, h // 8
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for flag in pdf["l_returnflag"]:
+                frames = []
+                for f in range(nf):
+                    blocks = np.array(
+                        [
+                            128
+                            + 2
+                            * (
+                                int(
+                                    hashlib.md5(
+                                        f"{flag}#V#{f}#{b}".encode()
+                                    ).hexdigest()[:6],
+                                    16,
+                                )
+                                % 81
+                                - 40
+                            )
+                            for b in range(bh * bw)
+                        ],
+                        dtype=np.uint8,
+                    ).reshape((bh, bw))
+                    frames.append(
+                        np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                    )
+                blob = encode_avi_mjpeg(frames, fps=25, luma_table=QT_FLAT16)
+                assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"l_returnflag": pdf["l_returnflag"], "payload": payloads}
+            )
+
+    def decode_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for flag, b in zip(pdf["l_returnflag"], pdf["payload"]):
+                fps, frames = decode_avi_mjpeg(bytes(b))
+                assert fps == 25.0
+                for f in range(frames.shape[0]):
+                    vals = frames[f].ravel()
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "l_returnflag": flag,
+                                "frame_idx": np.int32(f),
+                                "pixel_idx": np.arange(
+                                    len(vals), dtype=np.int32
+                                ),
+                                "val": vals.astype(np.int32),
+                            }
+                        )
+                    )
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                columns=["l_returnflag", "frame_idx", "pixel_idx", "val"]
+            )
+
+    flags = load(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    payloads = flags.mapInPandas(
+        make_payloads, "l_returnflag string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_pixels,
+        "l_returnflag string, frame_idx int, pixel_idx int, val int",
+    ).orderBy("l_returnflag", "frame_idx", "pixel_idx")
