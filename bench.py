@@ -157,6 +157,7 @@ HEADLINE = [
     "q372_flac_roundtrip",
     "q373_iceberg_equality_deletes",
     "q374_avi_mjpeg_roundtrip",
+    "q375_delta_merge",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

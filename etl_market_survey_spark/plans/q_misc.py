@@ -4694,3 +4694,82 @@ def q373_iceberg_equality_deletes(spark, sf_dir):
         .unionByName(agg(cur, "v2_eq_mor"))
         .orderBy("version_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q375 — Delta MERGE INTO (sources/deltalog.merge_delta): copy-on-write
+# upsert with file-level stats pruning. Target = orders keys k%3 in
+# (0,1) over two commits; source = every k%5==0 key rewritten to
+# priority 'MERGED' with doubled price — matched rows update in place
+# (only their files rewrite; the stats-pruned rest keep byte-identical
+# add entries), unmatched source keys (k%3==2) insert. The oracle is
+# the closed-form row algebra: target minus k%5==0 plus the source
+# rows. Pre-merge time travel pins the remove+add commit shape.
+# ---------------------------------------------------------------------------
+
+_Q375_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+),
+s AS (
+  SELECT o_orderkey AS k, 'MERGED' AS pr, o_totalprice * 2.0 AS tp
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+merged AS (
+  SELECT k, pr, tp FROM t WHERE k % 5 <> 0
+  UNION ALL
+  SELECT k, pr, tp FROM s
+),
+u AS (
+  SELECT 'v_premerge' AS version_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents
+  FROM t GROUP BY 1, 2
+  UNION ALL
+  SELECT 'v_merged', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM merged GROUP BY 1, 2
+)
+SELECT version_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY version_tag, o_orderpriority
+"""
+
+
+@register("q375_delta_merge", _Q375_ORACLE)
+def q375_delta_merge(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import merge_delta, read_delta, write_delta
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_deltamerge_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_delta(spark, path, o.filter(F.col("k") % 3 == 0).orderBy("k"),
+                commit_ts=100)
+    write_delta(spark, path, o.filter(F.col("k") % 3 == 1).orderBy("k"),
+                commit_ts=200)
+
+    src = o.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit("MERGED").alias("pr"), (F.col("tp") * 2.0).alias("tp")
+    )
+    v = merge_delta(spark, path, src, on=["k"], commit_ts=300)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("version_tag"), "*")
+
+    pre = read_delta(spark, path, version=v - 1)
+    cur = read_delta(spark, path)
+    return (
+        agg(pre, "v_premerge")
+        .unionByName(agg(cur, "v_merged"))
+        .orderBy("version_tag", "o_orderpriority")
+    )

@@ -952,6 +952,250 @@ def _write_single_parquet(df: DataFrame, dest: str):
     shutil.rmtree(tmp)
 
 
+def _scan_logical_with_file(spark: SparkSession, path: str, snap, adds):
+    """Logical rows of the given add entries plus a ``_file`` basename
+    column: column mapping translated, partition values attached as
+    typed literals, deletion vectors applied — the per-file-addressable
+    scan MERGE needs (mirror of :func:`read_delta`'s grouped loop)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    schema = snap.schema()
+    pcols = snap.partition_columns
+    phys = snap.physical_names()
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable)
+         for f in data_fields]
+    )
+    cols = [f.name for f in schema.fields]
+    if not adds:
+        empty = spark.createDataFrame([], schema).select(*cols)
+        return empty.withColumn("_file", F.lit(None).cast("string"))
+
+    has_dv = any(a.get("deletionVector") for a in adds)
+    by_part: dict[tuple, list[str]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(phys.get(c, c)) for c in pcols)
+        by_part.setdefault(key, []).append(os.path.join(path, a["path"]))
+
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    pieces = []
+    for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*files)
+        sel = [F.col(phys[f.name]).alias(f.name) for f in data_fields] + [
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        ]
+        df = df.select(*sel)
+        for c, raw in zip(pcols, key):
+            df = df.withColumn(c, _typed_partition_lit(raw, ptypes[c]))
+        pieces.append(df.select(*(cols + ["_file", "_dv_pos"])))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    if has_dv:
+        deleted = _dv_positions_df(spark, path, adds).withColumnRenamed(
+            "_dv_name", "_file"
+        )
+        out = out.join(deleted, ["_file", "_dv_pos"], "left_anti")
+    return out.drop("_dv_pos")
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    *,
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    commit_ts: int = 0,
+) -> int:
+    """MERGE INTO (upsert), copy-on-write with FILE-LEVEL pruning —
+    Delta's most-used write command (PROTOCOL.md has no MERGE action;
+    engines implement it as remove+add of exactly the touched files,
+    which is what this does).
+
+    ``on``: equality key columns. ``when_matched``: ``'update'``
+    (matched target rows are replaced by the full source row),
+    ``'delete'``, or ``None``. ``when_not_matched``: ``'insert'`` or
+    ``None``. Raises if any target row matches more than one source
+    row (the protocol's nondeterministic-update error).
+
+    Scale shape, in order:
+
+    1. **Stats pruning (driver, zero scan)**: files whose min/max range
+       on the first key column cannot intersect the source's key range
+       are untouched by construction and never scanned.
+    2. **Touched-file discovery (one job)**: candidates scan ⋈ source
+       keys; only the distinct matched file NAMES (metadata-sized, like
+       the log itself) come back to the driver.
+    3. **Rewrite exactly the touched files + insert file (one staged
+       write job)**: untouched candidates keep their add entries
+       byte-identical — a MERGE touching 10 of 100k files rewrites 10.
+
+    Deletion vectors on touched files are materialized by the rewrite;
+    column-mapped tables stage under physical names. An update that
+    changes a row's partition value migrates it naturally (the old
+    file is removed, the row is staged into its new partition)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"unknown when_matched {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"unknown when_not_matched {when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("MERGE with no clauses is a no-op by definition")
+
+    snap = load_snapshot(spark, path)
+    snap.check_reader_support()
+    schema = snap.schema()
+    cols = [f.name for f in schema.fields]
+    missing = [k for k in on if k not in cols]
+    if missing:
+        raise ValueError(f"key columns not in table schema: {missing}")
+    need_full = when_matched == "update" or when_not_matched == "insert"
+    src_missing = [c for c in (cols if need_full else on)
+                   if c not in source.columns]
+    if src_missing:
+        raise ValueError(f"source is missing columns: {src_missing}")
+    src = source.select(*(cols if need_full else on))
+    phys = snap.physical_names()
+    pcols = snap.partition_columns
+
+    # 1. stats pruning on the first key column: source key range
+    # (one tiny agg) vs per-file min/max from the log
+    adds_all = sorted(snap.adds.items())
+    k0 = on[0]
+    lo, hi = src.agg(F.min(k0), F.max(k0)).first()
+    candidates = [
+        (rel, a) for rel, a in adds_all
+        if _stats_prune(a, phys.get(k0, k0), lo, hi)
+    ]  # files outside the source key range are untouched by construction
+
+    tgt = _scan_logical_with_file(
+        spark, path, snap, [a for _, a in candidates]
+    ).cache()
+
+    # 2. touched files + the multiple-source-match guard, ONE job:
+    # only distinct matched file names reach the driver
+    src_keys = src.groupBy(*on).agg(F.count("*").alias("_cnt"))
+    hit = tgt.join(src_keys, on, "inner")
+    row = hit.agg(
+        F.collect_set("_file").alias("fs"), F.max("_cnt").alias("mc")
+    ).first()
+    touched = set(row["fs"] or [])
+    # duplicate source keys only poison MATCHED clauses (an insert-only
+    # MERGE legitimately inserts both copies)
+    if when_matched is not None and row["mc"] is not None and row["mc"] > 1:
+        raise ValueError(
+            "MERGE: a target row matches multiple source rows "
+            "(nondeterministic update/delete)"
+        )
+    if when_matched is None:
+        touched = set()
+
+    # 3. the new row set: surviving rows of touched files (+ updated
+    # values) + not-matched inserts
+    parts = []
+    if touched:
+        t_rows = tgt.filter(F.col("_file").isin(sorted(touched)))
+        kept = t_rows.join(src.select(*on), on, "left_anti").select(*cols)
+        parts.append(kept)
+        if when_matched == "update":
+            updated = (
+                t_rows.select(*on)
+                .join(src, on, "inner")
+                .select(*cols)
+            )
+            parts.append(updated)
+    if when_not_matched == "insert":
+        inserted = src.join(tgt.select(*on), on, "left_anti").select(*cols)
+        parts.append(inserted)
+    if not touched and when_not_matched is None:
+        return snap.version  # nothing matched, nothing to insert
+
+    new_rows = parts[0]
+    for p in parts[1:]:
+        new_rows = new_rows.unionByName(p)
+
+    # stage under physical names, one job (the write_delta shape)
+    new_version = snap.version + 1
+    stage_df = new_rows.select(
+        *[F.col(c).alias(phys.get(c, c)) for c in cols]
+    )
+    data_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable)
+         for f in schema.fields if f.name not in pcols]
+    )
+    if pcols:
+        staged = _stage_partitioned(
+            spark, path, stage_df, phys.get(pcols[0], pcols[0]),
+            new_version, data_schema, True,
+        )
+    else:
+        rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+        _write_single_parquet(stage_df.coalesce(1), os.path.join(path, rel))
+        stats = _file_stats_json(spark, os.path.join(path, rel), data_schema)
+        staged = [(rel, {}, stats)]
+    # drop empty staged files (e.g. delete-only MERGE with no survivors)
+    adds = []
+    for rel, pv, stats in staged:
+        if stats and json.loads(stats).get("numRecords") == 0:
+            os.remove(os.path.join(path, rel))
+            continue
+        adds.append((rel, pv, stats))
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": commit_ts,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "predicate": " AND ".join(f"t.{k} = s.{k}" for k in on),
+                    "matched": when_matched,
+                    "notMatched": when_not_matched,
+                },
+            }
+        }
+    ]
+    for rel in sorted(touched):
+        full = next(r for r, _ in adds_all if os.path.basename(r) == rel)
+        actions.append(
+            {
+                "remove": {
+                    "path": full,
+                    "deletionTimestamp": commit_ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel, pv, stats in adds:
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pv,
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": commit_ts,
+                    "dataChange": True,
+                    "stats": stats,
+                }
+            }
+        )
+    tmp = _commit_path(path, new_version) + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, _commit_path(path, new_version))
+    return new_version
+
+
 def compact(
     spark: SparkSession,
     path: str,

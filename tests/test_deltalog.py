@@ -660,3 +660,154 @@ class TestDvInteractions:
         assert snap.protocol["minReaderVersion"] == 3
         after = {r["k"] for r in read_delta(spark, path).collect()}
         assert after == kept
+
+
+class TestMergeDelta:
+    """Copy-on-write MERGE INTO: file-level stats pruning, exact-touch
+    rewrites, upsert/delete clauses, the multi-match guard, and
+    interaction with partitions, column mapping and deletion vectors."""
+
+    def _mk(self, spark, path, **kw):
+        d1 = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        d2 = spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        write_delta(spark, path, d1.orderBy("k"), commit_ts=100, **kw)
+        write_delta(spark, path, d2.orderBy("k"), commit_ts=200)
+
+    def test_basic_upsert(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import merge_delta
+
+        path = str(tmp_path / "m1")
+        self._mk(spark, path)
+        src = spark.createDataFrame(
+            [(3, -3), (120, -120), (999, -999)], "k long, v long"
+        )
+        merge_delta(spark, path, src, on=["k"], commit_ts=300)
+        got = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert got[3] == -3 and got[120] == -120 and got[999] == -999
+        assert got[4] == 40  # untouched row survives
+        assert len(got) == 101
+
+    def test_file_pruning_leaves_untouched_adds(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import merge_delta
+
+        path = str(tmp_path / "m2")
+        self._mk(spark, path)
+        before = dict(load_snapshot(spark, path).adds)
+        # keys hit ONLY the first file's [0, 49] stats range
+        src = spark.createDataFrame([(7, -7)], "k long, v long")
+        merge_delta(spark, path, src, on=["k"],
+                    when_not_matched=None, commit_ts=300)
+        after = load_snapshot(spark, path).adds
+        kept = set(before) & set(after)
+        # the second file's add entry survives BYTE-identical
+        assert any("part-00001" in r for r in kept)
+        assert before[next(r for r in kept if "part-00001" in r)] == \
+            after[next(r for r in kept if "part-00001" in r)]
+        got = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert got[7] == -7 and len(got) == 100
+
+    def test_delete_clause(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import merge_delta
+
+        path = str(tmp_path / "m3")
+        self._mk(spark, path)
+        src = spark.createDataFrame([(0,), (1,), (149,)], "k long")
+        merge_delta(spark, path, src, on=["k"], when_matched="delete",
+                    when_not_matched=None, commit_ts=300)
+        got = {r["k"] for r in read_delta(spark, path).collect()}
+        assert got == (set(range(2, 50)) | set(range(100, 149)))
+
+    def test_insert_only_allows_dup_source_keys(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import merge_delta
+
+        path = str(tmp_path / "m4")
+        self._mk(spark, path)
+        src = spark.createDataFrame(
+            [(500, 1), (500, 2), (3, -3)], "k long, v long"
+        )
+        merge_delta(spark, path, src, on=["k"], when_matched=None,
+                    commit_ts=300)
+        rows = [(r["k"], r["v"]) for r in read_delta(spark, path).collect()]
+        assert (500, 1) in rows and (500, 2) in rows
+        assert (3, 30) in rows and (3, -3) not in rows  # matched: untouched
+
+    def test_multi_match_raises(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import merge_delta
+
+        path = str(tmp_path / "m5")
+        self._mk(spark, path)
+        src = spark.createDataFrame([(3, 1), (3, 2)], "k long, v long")
+        with pytest.raises(ValueError, match="multiple source rows"):
+            merge_delta(spark, path, src, on=["k"], commit_ts=300)
+
+    def test_partition_migration(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import merge_delta
+
+        path = str(tmp_path / "m6")
+        d = spark.createDataFrame(
+            [(i, str(i % 2)) for i in range(20)], "k long, p string"
+        )
+        write_delta(spark, path, d, partition_col="p", commit_ts=100)
+        # move k=4 from p=0 to p=9 (a brand-new partition)
+        src = spark.createDataFrame([(4, "9")], "k long, p string")
+        merge_delta(spark, path, src, on=["k"], commit_ts=200)
+        got = {(r["k"], r["p"]) for r in read_delta(spark, path).collect()}
+        assert (4, "9") in got and (4, "0") not in got and len(got) == 20
+        snap = load_snapshot(spark, path)
+        assert any("p=9" in r for r in snap.adds)
+
+    def test_merge_materializes_dvs_on_touched(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors, merge_delta,
+        )
+
+        path = str(tmp_path / "m7")
+        self._mk(spark, path, column_mapping=True)
+        snap = load_snapshot(spark, path)
+        # delete position 0 of every file (k=0 and k=100)
+        add_deletion_vectors(
+            spark, path, {rel: [0] for rel in snap.adds}, commit_ts=250
+        )
+        # touch only the first file's range: its DV must be materialized
+        # (k=0 stays deleted), the other file keeps its DV entry
+        src = spark.createDataFrame([(5, -5)], "k long, v long")
+        merge_delta(spark, path, src, on=["k"],
+                    when_not_matched=None, commit_ts=300)
+        got = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert 0 not in got and 100 not in got
+        assert got[5] == -5 and len(got) == 98
+        snap2 = load_snapshot(spark, path)
+        dvs = [a for a in snap2.adds.values() if a.get("deletionVector")]
+        assert len(dvs) == 1  # untouched file still merge-on-read
+
+    def test_time_travel_pre_merge(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import merge_delta
+
+        path = str(tmp_path / "m8")
+        self._mk(spark, path)
+        v = merge_delta(
+            spark, path,
+            spark.createDataFrame([(3, -3)], "k long, v long"),
+            on=["k"], commit_ts=300,
+        )
+        old = {r["k"]: r["v"]
+               for r in read_delta(spark, path, version=v - 1).collect()}
+        assert old[3] == 30
+
+    def test_validation(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import merge_delta
+
+        path = str(tmp_path / "m9")
+        self._mk(spark, path)
+        src = spark.createDataFrame([(1, 1)], "k long, v long")
+        with pytest.raises(ValueError, match="no-op"):
+            merge_delta(spark, path, src, on=["k"], when_matched=None,
+                        when_not_matched=None)
+        with pytest.raises(ValueError, match="not in table schema"):
+            merge_delta(spark, path, src, on=["zz"])
+        with pytest.raises(ValueError, match="missing columns"):
+            merge_delta(spark, path, src.select("k"), on=["k"])
