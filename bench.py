@@ -158,6 +158,7 @@ HEADLINE = [
     "q373_iceberg_equality_deletes",
     "q374_avi_mjpeg_roundtrip",
     "q375_delta_merge",
+    "q376_iceberg_upsert",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -4773,3 +4773,54 @@ def q375_delta_merge(spark, sf_dir):
         .unionByName(agg(cur, "v_merged"))
         .orderBy("version_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q376 — Iceberg merge-on-read UPSERT (sources/iceberg.upsert_iceberg):
+# the SAME logical merge as q375 (update k%5==0 to 'MERGED'/doubled
+# price, insert the k%3==2 ones) executed as equality-delete + append —
+# zero data files rewritten, sequence-number scoping makes the
+# re-appended keys live. Shares q375's oracle verbatim: copy-on-write
+# Delta MERGE and merge-on-read Iceberg upsert must produce identical
+# logical content — the write-cheap vs read-cheap halves of one trade.
+# ---------------------------------------------------------------------------
+
+
+@register("q376_iceberg_upsert", _Q375_ORACLE)
+def q376_iceberg_upsert(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import read_iceberg, upsert_iceberg, write_iceberg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_iceupsert_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_iceberg(spark, path, o.filter(F.col("k") % 3 == 0).orderBy("k"),
+                  commit_ts=100)
+    s2 = write_iceberg(spark, path,
+                       o.filter(F.col("k") % 3 == 1).orderBy("k"),
+                       commit_ts=200)
+
+    src = o.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit("MERGED").alias("pr"), (F.col("tp") * 2.0).alias("tp")
+    )
+    upsert_iceberg(spark, path, src, on=["k"], commit_ts=300)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("version_tag"), "*")
+
+    pre = read_iceberg(spark, path, snapshot_id=s2)
+    cur = read_iceberg(spark, path)
+    return (
+        agg(pre, "v_premerge")
+        .unionByName(agg(cur, "v_merged"))
+        .orderBy("version_tag", "o_orderpriority")
+    )

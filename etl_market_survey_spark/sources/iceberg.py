@@ -852,6 +852,34 @@ def delete_rows_equality(
     return snap_id
 
 
+def upsert_iceberg(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    commit_ts: int = 0,
+) -> int:
+    """Merge-on-read UPSERT: one equality-delete snapshot on the key
+    columns followed by one append of the full source rows — the
+    Flink/CDC streaming-upsert shape (no data file is ever rewritten;
+    sequence-number scoping makes the re-appended keys the live ones).
+    Returns the append snapshot id. Contrast with the copy-on-write
+    MERGE in :mod:`.deltalog` — this is the write-cheap/read-deferred
+    half of the same trade."""
+    meta = _load_metadata(path)
+    cols = [f.name for f in _spark_schema(meta).fields]
+    missing = [c for c in cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing columns: {missing}")
+    delete_rows_equality(
+        spark, path, source.select(*on).dropDuplicates(on), cols=on,
+        commit_ts=commit_ts,
+    )
+    return write_iceberg(
+        spark, path, source.select(*cols), commit_ts=commit_ts
+    )
+
+
 def _commit_delete_manifest(
     path: str,
     meta: dict,

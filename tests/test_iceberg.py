@@ -474,3 +474,60 @@ class TestDeleteCarryForward:
         delete_partitions(spark, path, ["1"], commit_ts=300)
         got = {r["k"] for r in read_iceberg(spark, path).collect()}
         assert got == {k for k in range(20) if k % 2 == 0} - {4}
+
+
+class TestUpsert:
+    """Merge-on-read upsert = equality-delete + append: no rewrite,
+    re-appended keys live via sequence scoping."""
+
+    def test_upsert_updates_and_inserts(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, snapshot_files, upsert_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "ups1")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k long, v long"
+        )
+        write_iceberg(spark, path, df, commit_ts=100)
+        files_before = {f["file_path"] for f in snapshot_files(path)}
+        src = spark.createDataFrame(
+            [(3, -3), (7, -7), (99, -99)], "k long, v long"
+        )
+        upsert_iceberg(spark, path, src, on=["k"], commit_ts=200)
+        got = {r["k"]: r["v"] for r in read_iceberg(spark, path).collect()}
+        assert got[3] == -3 and got[7] == -7 and got[99] == -99
+        assert got[0] == 0 and len(got) == 11
+        # merge-on-read: the original data file was NOT rewritten
+        assert files_before <= {f["file_path"] for f in snapshot_files(path)}
+
+    def test_upsert_twice_latest_wins(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, upsert_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "ups2")
+        df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        write_iceberg(spark, path, df, commit_ts=100)
+        for ts, val in ((200, 111), (300, 222)):
+            src = spark.createDataFrame([(1, val)], "k long, v long")
+            upsert_iceberg(spark, path, src, on=["k"], commit_ts=ts)
+        got = {r["k"]: r["v"] for r in read_iceberg(spark, path).collect()}
+        assert got == {1: 222, 2: 20}
+
+    def test_missing_column_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            upsert_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "ups3")
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            commit_ts=100,
+        )
+        with pytest.raises(ValueError, match="missing columns"):
+            upsert_iceberg(
+                spark, path,
+                spark.createDataFrame([(1,)], "k long"), on=["k"],
+            )
