@@ -536,8 +536,18 @@ def write_delta(
     txn_app: str | None = None,
     txn_version: int | None = None,
     column_mapping: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to a Delta table; returns the new version.
+
+    Schema enforcement + evolution (the Delta contract): an append
+    missing table columns or changing a column's type is REJECTED; an
+    append with NEW columns is rejected unless ``merge_schema=True``,
+    which widens the table schema in the same commit (old files read
+    the new columns as null; time travel to earlier versions sees the
+    earlier schema — metaData folds per version). Under column mapping
+    the new fields get fresh physical names and the max column id
+    advances.
 
     Deterministic by contract: ``commit_ts`` is caller-supplied (the
     same rule as :func:`..sources.lakehouse.commit_snapshot`), so time
@@ -581,19 +591,48 @@ def write_delta(
                     f"write asked {partition_col!r}"
                 )
 
-    schema = df.schema
-    pcols = [partition_col] if partition_col else []
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
+
+    # Schema enforcement + evolution against the prior table schema
+    schema = df.schema
+    schema_changed = False
+    if prior is not None:
+        pschema = prior.schema()
+        ptypes = {f.name: f.dataType for f in pschema.fields}
+        lost = [f.name for f in pschema.fields if f.name not in df.columns]
+        if lost:
+            raise ValueError(f"write is missing table columns: {lost}")
+        clash = [
+            f.name for f in schema.fields
+            if f.name in ptypes and f.dataType != ptypes[f.name]
+        ]
+        if clash:
+            raise ValueError(f"column type change not allowed: {clash}")
+        new_fields = [f for f in schema.fields if f.name not in ptypes]
+        if new_fields and not merge_schema:
+            raise ValueError(
+                f"write adds columns {[f.name for f in new_fields]}; "
+                "pass merge_schema=True to evolve the table schema"
+            )
+        schema = StructType(list(pschema.fields) + new_fields)
+        df = df.select(*[f.name for f in schema.fields])
+        schema_changed = bool(new_fields)
+
+    pcols = [partition_col] if partition_col else []
 
     # Column mapping (mode 'name'): the parquet files carry PHYSICAL
     # column names; the logical names live only in schemaString field
     # metadata. partitionValues and stats keys are physical too. New
     # tables opt in with ``column_mapping=True``; appends to a mapped
-    # table pick the map up from the prior metadata automatically.
+    # table pick the map up from the prior metadata automatically
+    # (schema evolution mints fresh physical names for new fields).
     phys_map: dict[str, str] | None = None
     if prior is not None and prior.column_mapping_mode == "name":
         phys_map = prior.physical_names()
+        for f in schema.fields:
+            if f.name not in phys_map:
+                phys_map[f.name] = f"col-{uuid.uuid4().hex[:12]}"
     elif prior is None and column_mapping:
         phys_map = {
             f.name: f"col-{uuid.uuid4().hex[:12]}" for f in schema.fields
@@ -691,6 +730,47 @@ def write_delta(
                     "partitionColumns": pcols,
                     "configuration": config,
                     "createdTime": commit_ts,
+                }
+            }
+        )
+    elif schema_changed:
+        # schema evolution: a fresh metaData action in THIS commit (the
+        # table id persists; only schemaString — and the column-mapping
+        # bookkeeping — changes). Earlier versions keep their own
+        # metaData, so time travel sees the narrower schema.
+        if phys_map:
+            old_fields = json.loads(prior.metadata["schemaString"])["fields"]
+            by_name = {f["name"]: f for f in old_fields}
+            config = dict(prior.metadata.get("configuration") or {})
+            max_id = int(
+                config.get("delta.columnMapping.maxColumnId",
+                           len(old_fields))
+            )
+            fields_json = []
+            for f in schema.fields:
+                if f.name in by_name:
+                    fields_json.append(by_name[f.name])
+                    continue
+                max_id += 1
+                fj = json.loads(StructType([f]).json())["fields"][0]
+                fj["metadata"] = {
+                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.physicalName": phys_map[f.name],
+                }
+                fields_json.append(fj)
+            schema_string = json.dumps(
+                {"type": "struct", "fields": fields_json}
+            )
+            config["delta.columnMapping.maxColumnId"] = str(max_id)
+        else:
+            schema_string = schema.json()
+            config = dict(prior.metadata.get("configuration") or {})
+        actions.append(
+            {
+                "metaData": {
+                    **prior.metadata,
+                    "schemaString": schema_string,
+                    "configuration": config,
                 }
             }
         )

@@ -480,12 +480,21 @@ def write_iceberg(
     mode: str = "append",
     partition_col: str | None = None,
     commit_ts: int = 0,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
     ``mode='append'`` adds files; ``'overwrite'`` starts the file set
     fresh. Deterministic by contract (caller-supplied ``commit_ts``,
-    snapshot ids derived from the version counter)."""
+    snapshot ids derived from the version counter).
+
+    Schema enforcement + evolution: a write missing table columns or
+    changing a column's type is rejected; NEW columns need
+    ``merge_schema=True`` and evolve the schema with STABLE field ids
+    (existing fields keep their ids — the property equality-delete
+    ``equality_ids`` and partition-spec source-ids depend on; new
+    fields take ``last-column-id + 1``...). Old data files null-fill
+    the new columns on read."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_meta_dir(path), exist_ok=True)
@@ -513,14 +522,56 @@ def write_iceberg(
 
     new_v = cur_v + 1
     snap_id = new_v  # deterministic; spec only requires uniqueness
-    ice_fields = []
-    for i, f in enumerate(schema.fields):
+
+    # schema enforcement + evolution with STABLE field ids
+    prior_fields = (
+        (meta.get("schema") or (meta.get("schemas") or [{}])[0]).get(
+            "fields", []
+        )
+        if meta is not None
+        else []
+    )
+    by_name = {f["name"]: f for f in prior_fields}
+    if prior_fields:
+        lost = [f["name"] for f in prior_fields
+                if f["name"] not in df.columns]
+        if lost:
+            raise ValueError(f"write is missing table columns: {lost}")
+    ice_fields = list(prior_fields)
+    last_id = max(
+        [f["id"] for f in prior_fields]
+        + [int((meta or {}).get("last-column-id", 0))]
+        or [0]
+    )
+    new_names = []
+    for f in schema.fields:
         t = _SPARK_TO_ICE.get(f.dataType.simpleString())
         if t is None:
             raise ValueError(f"unsupported Spark type {f.dataType}")
+        old = by_name.get(f.name)
+        if old is not None:
+            if old["type"] != t:
+                raise ValueError(
+                    f"column type change not allowed: {f.name} "
+                    f"({old['type']} -> {t})"
+                )
+            continue
+        if prior_fields and not merge_schema:
+            raise ValueError(
+                f"write adds column {f.name!r}; pass merge_schema=True "
+                "to evolve the table schema"
+            )
+        last_id += 1
         ice_fields.append(
-            {"id": i + 1, "name": f.name, "required": False, "type": t}
+            {"id": last_id, "name": f.name, "required": False, "type": t}
         )
+        new_names.append(f.name)
+    # table column order: prior fields, then new fields
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+    ordered = [f["name"] for f in ice_fields]
+    df = df.select(*ordered)
+    schema = _ST([_SF(n, schema[n].dataType, True) for n in ordered])
     pf_meta = [
         {
             "name": c,
@@ -624,6 +675,7 @@ def write_iceberg(
         "table-uuid": (meta or {}).get("table-uuid", uuid.uuid4().hex),
         "location": path,
         "last-updated-ms": commit_ts,
+        "last-column-id": last_id,
         "schema": {"type": "struct", "fields": ice_fields},
         "partition-specs": [
             {

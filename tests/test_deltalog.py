@@ -811,3 +811,86 @@ class TestMergeDelta:
             merge_delta(spark, path, src, on=["zz"])
         with pytest.raises(ValueError, match="missing columns"):
             merge_delta(spark, path, src.select("k"), on=["k"])
+
+
+class TestSchemaEvolution:
+    """Schema enforcement + merge_schema evolution: mismatched appends
+    are rejected instead of silently corrupting the table; widened
+    schemas null-fill old files and time-travel narrow."""
+
+    def test_mismatches_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "se1")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1, 10)], "k long, v long"),
+                    commit_ts=100)
+        with pytest.raises(ValueError, match="missing table columns"):
+            write_delta(spark, path,
+                        spark.createDataFrame([(2,)], "k long"),
+                        commit_ts=200)
+        with pytest.raises(ValueError, match="type change"):
+            write_delta(spark, path,
+                        spark.createDataFrame([(2, "x")], "k long, v string"),
+                        commit_ts=200)
+        with pytest.raises(ValueError, match="merge_schema"):
+            write_delta(
+                spark, path,
+                spark.createDataFrame([(2, 20, "x")],
+                                      "k long, v long, w string"),
+                commit_ts=200,
+            )
+
+    def test_merge_schema_widens(self, spark, tmp_path):
+        path = str(tmp_path / "se2")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1, 10)], "k long, v long"),
+                    commit_ts=100)
+        v = write_delta(
+            spark, path,
+            spark.createDataFrame([(2, 20, "x")],
+                                  "k long, v long, w string"),
+            commit_ts=200, merge_schema=True,
+        )
+        cur = read_delta(spark, path)
+        assert cur.columns == ["k", "v", "w"]
+        got = {r["k"]: r["w"] for r in cur.collect()}
+        assert got == {1: None, 2: "x"}  # old file null-fills
+        # time travel sees the narrow schema
+        assert read_delta(spark, path, version=v - 1).columns == ["k", "v"]
+
+    def test_column_order_normalized(self, spark, tmp_path):
+        path = str(tmp_path / "se3")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1, 10)], "k long, v long"),
+                    commit_ts=100)
+        # source columns out of order: aligned to the table order
+        write_delta(spark, path,
+                    spark.createDataFrame([(20, 2)], "v long, k long"),
+                    commit_ts=200)
+        got = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert got == {1: 10, 2: 20}
+
+    def test_mapped_table_evolution(self, spark, tmp_path):
+        path = str(tmp_path / "se4")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1, 10)], "k long, v long"),
+                    commit_ts=100, column_mapping=True)
+        write_delta(
+            spark, path,
+            spark.createDataFrame([(2, 20, "x")],
+                                  "k long, v long, w string"),
+            commit_ts=200, merge_schema=True,
+        )
+        snap = load_snapshot(spark, path)
+        phys = snap.physical_names()
+        assert phys["w"].startswith("col-")
+        cfg = snap.metadata["configuration"]
+        assert cfg["delta.columnMapping.maxColumnId"] == "3"
+        got = {r["k"]: (r["v"], r["w"])
+               for r in read_delta(spark, path).collect()}
+        assert got == {1: (10, None), 2: (20, "x")}
+        # further appends with the widened schema keep working
+        write_delta(spark, path,
+                    spark.createDataFrame([(3, 30, "y")],
+                                          "k long, v long, w string"),
+                    commit_ts=300)
+        assert read_delta(spark, path).count() == 3

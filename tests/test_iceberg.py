@@ -531,3 +531,84 @@ class TestUpsert:
                 spark, path,
                 spark.createDataFrame([(1,)], "k long"), on=["k"],
             )
+
+
+class TestSchemaEvolution:
+    """merge_schema evolution with STABLE field ids (equality_ids and
+    partition source-ids depend on them); enforcement rejects silent
+    schema replacement."""
+
+    def test_mismatches_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        path = str(tmp_path / "ise1")
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(1, 10)], "k long, v long"),
+                      commit_ts=100)
+        with pytest.raises(ValueError, match="missing table columns"):
+            write_iceberg(spark, path,
+                          spark.createDataFrame([(2,)], "k long"),
+                          commit_ts=200)
+        with pytest.raises(ValueError, match="type change"):
+            write_iceberg(
+                spark, path,
+                spark.createDataFrame([(2, "x")], "k long, v string"),
+                commit_ts=200,
+            )
+        with pytest.raises(ValueError, match="merge_schema"):
+            write_iceberg(
+                spark, path,
+                spark.createDataFrame([(2, 20, "x")],
+                                      "k long, v long, w string"),
+                commit_ts=200,
+            )
+
+    def test_evolution_stable_ids_and_nullfill(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            _current_version, _load_metadata, read_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "ise2")
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(1, 10)], "k long, v long"),
+                      commit_ts=100)
+        ids0 = {
+            f["name"]: f["id"]
+            for f in _load_metadata(path, _current_version(path))["schema"][
+                "fields"]
+        }
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(2, 20, "x")],
+                                  "k long, v long, w string"),
+            commit_ts=200, merge_schema=True,
+        )
+        meta = _load_metadata(path, _current_version(path))
+        ids1 = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+        assert ids1["k"] == ids0["k"] and ids1["v"] == ids0["v"]
+        assert ids1["w"] == meta["last-column-id"] == max(ids1.values())
+        got = {r["k"]: r["w"] for r in read_iceberg(spark, path).collect()}
+        assert got == {1: None, 2: "x"}
+
+    def test_equality_delete_survives_evolution(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, read_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "ise3")
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(i, i * 10) for i in range(6)],
+                                  "k long, v long"),
+            commit_ts=100,
+        )
+        delete_rows_equality(spark, path, [{"k": 2}], cols=["k"],
+                             commit_ts=200)
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(9, 90, "x")],
+                                  "k long, v long, w string"),
+            commit_ts=300, merge_schema=True,
+        )
+        got = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert got == {0, 1, 3, 4, 5, 9}  # delete still applied, id stable

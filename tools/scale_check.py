@@ -75,6 +75,11 @@ HEAVY = [
     # test of the tiling.
     "q362_global_sort_index",
     "q363_scd2_history",
+    # r6: lakehouse write paths that scale with orders — the
+    # copy-on-write MERGE (stats-pruned rewrite) and the merge-on-read
+    # equality-delete read (anti-join scoped by sequence number)
+    "q375_delta_merge",
+    "q373_iceberg_equality_deletes",
 ]
 
 SRC = "/root/testdata/sf0.1"
