@@ -159,6 +159,7 @@ HEADLINE = [
     "q374_avi_mjpeg_roundtrip",
     "q375_delta_merge",
     "q376_iceberg_upsert",
+    "q377_delta_change_feed",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -4824,3 +4824,84 @@ def q376_iceberg_upsert(spark, sf_dir):
         .unionByName(agg(cur, "v_merged"))
         .orderBy("version_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q377 — Delta CHANGE DATA FEED (sources/deltalog.read_delta_changes):
+# the log-derived feed between versions. v0 appends k%3==0 (sorted, so
+# row positions are content-derived ranks), v1 marks k%21==0 deleted
+# via DELETION VECTORS — the feed is ROW-exact there (the bitmap's
+# position delta, not file-granular) — and v2 appends k%3==1 as plain
+# inserts. The gate aggregates (_commit_version, _change_type,
+# priority); the oracle is the closed-form change algebra. A feed that
+# resurrected file-granular deletes for the DV commit, missed the
+# timestamp mapping, or leaked compaction noise breaks the hash.
+# ---------------------------------------------------------------------------
+
+_Q377_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders
+),
+ch AS (
+  SELECT 1 AS commit_version, 'delete' AS change_type, pr, tp
+  FROM o WHERE k % 21 = 0
+  UNION ALL
+  SELECT 2, 'insert', pr, tp FROM o WHERE k % 3 = 1
+)
+SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+       pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS total_cents
+FROM ch GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@register("q377_delta_change_feed", _Q377_ORACLE)
+def q377_delta_change_feed(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.deltalog import (
+        add_deletion_vectors,
+        load_snapshot,
+        read_delta_changes,
+        write_delta,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_deltacdf_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    sub = o.filter(F.col("k") % 3 == 0)
+    write_delta(spark, path, sub.orderBy("k"), commit_ts=100)       # v0
+    rel = next(iter(load_snapshot(spark, path).adds))
+    w = Window.orderBy("k")
+    pos = [
+        r["p"]
+        for r in sub.select((F.row_number().over(w) - 1).alias("p"), "k")
+        .filter(F.col("k") % 7 == 0).select("p").collect()
+    ]
+    add_deletion_vectors(spark, path, {rel: pos}, commit_ts=200)    # v1
+    write_delta(spark, path, o.filter(F.col("k") % 3 == 1),
+                commit_ts=300)                                      # v2
+
+    feed = read_delta_changes(spark, path, 1)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            F.col("pr").alias("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("commit_version", "change_type", "o_orderpriority")
+    )

@@ -1032,11 +1032,73 @@ def _write_single_parquet(df: DataFrame, dest: str):
     shutil.rmtree(tmp)
 
 
-def _scan_logical_with_file(spark: SparkSession, path: str, snap, adds):
+def restore_delta(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    *,
+    commit_ts: int = 0,
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — a NEW commit whose actions
+    flip the live file set back to ``version``'s (re-add what was
+    dropped since, remove what was added since). History is preserved:
+    the restore is itself a version, and time travel across it still
+    works — exactly the protocol's representation (RESTORE has no
+    dedicated action; it is remove+add like any other commit)."""
+    snap_now = load_snapshot(spark, path)
+    snap_old = load_snapshot(spark, path, version=version)
+    if snap_old.metadata.get("schemaString") != snap_now.metadata.get(
+        "schemaString"
+    ):
+        # protocol-faithful engines restore the old schema too; emitting
+        # the old metaData action covers schema evolution in between
+        emit_meta = True
+    else:
+        emit_meta = False
+    new_version = snap_now.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": commit_ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    ]
+    if emit_meta:
+        actions.append({"metaData": snap_old.metadata})
+    for rel in sorted(set(snap_now.adds) - set(snap_old.adds)):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": commit_ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in sorted(snap_old.adds):
+        a = snap_old.adds[rel]
+        if rel in snap_now.adds and snap_now.adds[rel] == a:
+            continue  # identical live entry (incl. any DV) — keep as is
+        actions.append({"add": dict(a, path=rel, dataChange=True)})
+    tmp = _commit_path(path, new_version) + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, _commit_path(path, new_version))
+    return new_version
+
+
+def _scan_logical_with_file(
+    spark: SparkSession, path: str, snap, adds, keep_pos: bool = False
+):
     """Logical rows of the given add entries plus a ``_file`` basename
     column: column mapping translated, partition values attached as
     typed literals, deletion vectors applied — the per-file-addressable
-    scan MERGE needs (mirror of :func:`read_delta`'s grouped loop)."""
+    scan MERGE needs (mirror of :func:`read_delta`'s grouped loop).
+    ``keep_pos=True`` skips DV application and keeps the raw parquet
+    row position as ``_pos`` (the CDF position-delta path)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
@@ -1077,12 +1139,146 @@ def _scan_logical_with_file(spark: SparkSession, path: str, snap, adds):
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    if keep_pos:
+        return out.withColumnRenamed("_dv_pos", "_pos")
     if has_dv:
         deleted = _dv_positions_df(spark, path, adds).withColumnRenamed(
             "_dv_name", "_file"
         )
         out = out.join(deleted, ["_file", "_dv_pos"], "left_anti")
     return out.drop("_dv_pos")
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Log-derived CHANGE DATA FEED: every row change between
+    ``starting_version`` (inclusive) and ``ending_version`` (inclusive,
+    default latest), as table columns + ``_change_type``
+    ('insert'/'delete') + ``_commit_version`` + ``_commit_timestamp``.
+
+    Derivation granularity (the honest contract): without
+    ``_change_data`` sidecar files there is no update pre/post pairing,
+    so a copy-on-write rewrite (MERGE) surfaces as file-granular
+    delete+insert — exactly what engines emit for non-CDF tables.
+    DELETION-VECTOR commits, though, are ROW-exact: the feed is the
+    position delta between the old and new bitmap (grown = deletes,
+    shrunk = re-inserts, e.g. after RESTORE), semi-joined back to the
+    file by ``_metadata.row_index``. dataChange=false commits
+    (OPTIMIZE/compaction) contribute nothing, per the protocol.
+
+    Scale shape: the per-version diff is log metadata (driver-side,
+    KB); row materialization is pruned parquet scans of exactly the
+    changed files. DV bitmaps decode driver-side — they are KB-scale
+    by design (same budget as :func:`add_deletion_vectors`)."""
+    from pyspark.sql import functions as F
+
+    versions = _list_commit_versions(path)
+    end = versions[-1] if ending_version is None else ending_version
+    wanted = [v for v in versions if starting_version <= v <= end]
+    if not wanted:
+        raise ValueError(
+            f"no commits in [{starting_version}, {end}] (have {versions})"
+        )
+    snap_end = load_snapshot(spark, path, version=end)
+    snap_end.check_reader_support()
+    cols = [f.name for f in snap_end.schema().fields]
+
+    def tag(df, ct, v, ts):
+        return df.drop("_file").select(
+            *cols,
+            F.lit(ct).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.lit(ts).cast("long").alias("_commit_timestamp"),
+        )
+
+    def dv_positions(entry) -> set[int]:
+        dvd = (entry or {}).get("deletionVector")
+        if not dvd:
+            return set()
+        from .dvbitmap import deserialize_rbm64, read_dv_blob
+
+        dv_path, off, size = _dv_location(path, dvd)
+        return set(deserialize_rbm64(read_dv_blob(dv_path, off, size)))
+
+    pieces = []
+    prev_adds: dict[str, dict] = (
+        load_snapshot(spark, path, version=wanted[0] - 1).adds
+        if wanted[0] > 0
+        else {}
+    )
+    for v in wanted:
+        cur_adds = load_snapshot(spark, path, version=v).adds
+        ts = _commit_timestamp(path, v, _read_actions(path, v))
+        ins_entries = [
+            a for rel, a in cur_adds.items()
+            if rel not in prev_adds and a.get("dataChange", True)
+        ]
+        # removed files: only dataChange removes count (compaction's
+        # dataChange=false de-references are not logical changes)
+        dc_removes = {
+            a["remove"]["path"]
+            for a in _read_actions(path, v)
+            if "remove" in a and a["remove"].get("dataChange", True)
+        }
+        del_entries = [
+            a for rel, a in prev_adds.items()
+            if rel not in cur_adds and rel in dc_removes
+        ]
+        if ins_entries:
+            pieces.append(
+                tag(_scan_logical_with_file(spark, path, snap_end,
+                                            ins_entries),
+                    "insert", v, ts)
+            )
+        if del_entries:
+            pieces.append(
+                tag(_scan_logical_with_file(spark, path, snap_end,
+                                            del_entries),
+                    "delete", v, ts)
+            )
+        # DV delta on files live in both states: row-exact changes
+        for rel, a in cur_adds.items():
+            old = prev_adds.get(rel)
+            if old is None or old == a:
+                continue
+            old_pos, new_pos = dv_positions(old), dv_positions(a)
+            stripped = {k: x for k, x in a.items() if k != "deletionVector"}
+            for delta, ct in ((sorted(new_pos - old_pos), "delete"),
+                              (sorted(old_pos - new_pos), "insert")):
+                if not delta:
+                    continue
+                rows = _scan_logical_with_file(
+                    spark, path, snap_end, [stripped], keep_pos=True
+                )
+                pos_df = spark.createDataFrame(
+                    [(os.path.basename(rel), int(p)) for p in delta],
+                    "_file string, _pos long",
+                )
+                pieces.append(
+                    tag(
+                        rows.join(F.broadcast(pos_df), ["_file", "_pos"])
+                        .drop("_pos"),
+                        ct, v, ts,
+                    )
+                )
+        prev_adds = cur_adds
+
+    if not pieces:
+        empty = spark.createDataFrame([], snap_end.schema()).select(*cols)
+        return empty.select(
+            "*",
+            F.lit(None).cast("string").alias("_change_type"),
+            F.lit(None).cast("long").alias("_commit_version"),
+            F.lit(None).cast("long").alias("_commit_timestamp"),
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def merge_delta(

@@ -1017,6 +1017,28 @@ def _commit_delete_manifest(
         f.write(str(new_v))
 
 
+def rollback_iceberg(path: str, snapshot_id: int, commit_ts: int = 0) -> int:
+    """``rollback_to_snapshot``: make an EXISTING snapshot current again
+    by writing new table metadata that points at it — Iceberg's rollback
+    is purely a metadata swing (the snapshot log keeps every snapshot;
+    no file is touched, and rolling forward again is equally cheap)."""
+    cur_v = _current_version(path)
+    meta = _load_metadata(path, cur_v)
+    if not any(
+        s["snapshot-id"] == snapshot_id for s in meta.get("snapshots") or []
+    ):
+        raise ValueError(f"no snapshot {snapshot_id} in {path}")
+    new_v = cur_v + 1
+    meta = dict(meta)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = commit_ts
+    with open(os.path.join(_meta_dir(path), f"v{new_v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
+        f.write(str(new_v))
+    return new_v
+
+
 def expire_snapshots(
     spark: SparkSession,
     path: str,

@@ -894,3 +894,162 @@ class TestSchemaEvolution:
                                           "k long, v long, w string"),
                     commit_ts=300)
         assert read_delta(spark, path).count() == 3
+
+
+class TestRestore:
+    """RESTORE TO VERSION AS OF: a new remove+add commit that flips the
+    live set back; history preserved, time travel across it intact."""
+
+    def test_restore_after_merge(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, restore_delta,
+        )
+
+        path = str(tmp_path / "r1")
+        d = spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        v0 = write_delta(spark, path, d, commit_ts=100)
+        merge_delta(
+            spark, path,
+            spark.createDataFrame([(3, -3), (99, -99)], "k long, v long"),
+            on=["k"], commit_ts=200,
+        )
+        v2 = restore_delta(spark, path, v0, commit_ts=300)
+        got = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert got == {i: i * 10 for i in range(20)}
+        # the merged state is still reachable as a version
+        merged = {r["k"]: r["v"]
+                  for r in read_delta(spark, path, version=v2 - 1).collect()}
+        assert merged[3] == -3 and merged[99] == -99
+
+    def test_restore_undoes_deletion_vectors(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors, restore_delta,
+        )
+
+        path = str(tmp_path / "r2")
+        d = spark.range(0, 10).select(F.col("id").alias("k"))
+        v0 = write_delta(spark, path, d.orderBy("k"), commit_ts=100)
+        snap = load_snapshot(spark, path)
+        add_deletion_vectors(
+            spark, path, {next(iter(snap.adds)): [0, 1]}, commit_ts=200
+        )
+        assert read_delta(spark, path).count() == 8
+        restore_delta(spark, path, v0, commit_ts=300)
+        assert read_delta(spark, path).count() == 10
+
+    def test_restore_reverts_schema_evolution(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import restore_delta
+
+        path = str(tmp_path / "r3")
+        v0 = write_delta(spark, path,
+                         spark.createDataFrame([(1, 10)], "k long, v long"),
+                         commit_ts=100)
+        write_delta(
+            spark, path,
+            spark.createDataFrame([(2, 20, "x")],
+                                  "k long, v long, w string"),
+            commit_ts=200, merge_schema=True,
+        )
+        restore_delta(spark, path, v0, commit_ts=300)
+        cur = read_delta(spark, path)
+        assert cur.columns == ["k", "v"] and cur.count() == 1
+
+
+class TestChangeDataFeed:
+    """Log-derived CDF: inserts from added files, deletes from
+    dataChange removes, ROW-exact deltas for deletion-vector commits,
+    nothing from dataChange=false compaction."""
+
+    def test_append_and_dv_delete_feed(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors, read_delta_changes,
+        )
+
+        path = str(tmp_path / "cdf1")
+        d = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_delta(spark, path, d.orderBy("k"), commit_ts=100)   # v0
+        snap = load_snapshot(spark, path)
+        rel = next(iter(snap.adds))
+        add_deletion_vectors(spark, path, {rel: [2, 5]}, commit_ts=200)  # v1
+        d2 = spark.range(100, 103).select(F.col("id").alias("k"))
+        write_delta(spark, path, d2, commit_ts=300)               # v2
+
+        feed = read_delta_changes(spark, path, 1).collect()
+        by = {}
+        for r in feed:
+            by.setdefault((r["_commit_version"], r["_change_type"]),
+                          set()).add(r["k"])
+        assert by[(1, "delete")] == {2, 5}  # row-exact DV delta
+        assert by[(2, "insert")] == {100, 101, 102}
+        assert set(by) == {(1, "delete"), (2, "insert")}
+        ts = {r["_commit_version"]: r["_commit_timestamp"] for r in feed}
+        assert ts == {1: 200, 2: 300}
+
+    def test_start_zero_includes_initial_insert(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "cdf2")
+        write_delta(spark, path,
+                    spark.range(0, 4).select(F.col("id").alias("k")),
+                    commit_ts=100)
+        feed = read_delta_changes(spark, path, 0).collect()
+        assert {(r["_change_type"], r["k"]) for r in feed} == {
+            ("insert", k) for k in range(4)
+        }
+
+    def test_compaction_is_silent(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            compact, read_delta_changes,
+        )
+
+        path = str(tmp_path / "cdf3")
+        write_delta(spark, path,
+                    spark.range(0, 4).select(F.col("id").alias("k")),
+                    commit_ts=100)
+        write_delta(spark, path,
+                    spark.range(4, 8).select(F.col("id").alias("k")),
+                    commit_ts=200)
+        v = compact(spark, path, commit_ts=300)
+        feed = read_delta_changes(spark, path, v, v).collect()
+        assert feed == []
+
+    def test_merge_is_file_granular(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, read_delta_changes,
+        )
+
+        path = str(tmp_path / "cdf4")
+        d = spark.range(0, 6).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        write_delta(spark, path, d, commit_ts=100)
+        mv = merge_delta(
+            spark, path,
+            spark.createDataFrame([(2, -2)], "k long, v long"),
+            on=["k"], when_not_matched=None, commit_ts=200,
+        )
+        feed = read_delta_changes(spark, path, mv, mv).collect()
+        dels = {r["k"] for r in feed if r["_change_type"] == "delete"}
+        ins = {(r["k"], r["v"]) for r in feed if r["_change_type"] == "insert"}
+        assert dels == {0, 1, 2, 3, 4, 5}          # whole touched file out
+        assert (2, -2) in ins and len(ins) == 6    # rewritten file in
+
+    def test_restore_undeletes_rows_in_feed(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors, read_delta_changes, restore_delta,
+        )
+
+        path = str(tmp_path / "cdf5")
+        v0 = write_delta(spark, path,
+                         spark.range(0, 6).select(F.col("id").alias("k"))
+                         .orderBy("k"),
+                         commit_ts=100)
+        rel = next(iter(load_snapshot(spark, path).adds))
+        add_deletion_vectors(spark, path, {rel: [1]}, commit_ts=200)
+        rv = restore_delta(spark, path, v0, commit_ts=300)
+        feed = read_delta_changes(spark, path, rv, rv).collect()
+        assert {(r["_change_type"], r["k"]) for r in feed} == {("insert", 1)}

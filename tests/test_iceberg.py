@@ -612,3 +612,41 @@ class TestSchemaEvolution:
         )
         got = {r["k"] for r in read_iceberg(spark, path).collect()}
         assert got == {0, 1, 3, 4, 5, 9}  # delete still applied, id stable
+
+
+class TestRollback:
+    def test_rollback_and_forward(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, rollback_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "rb1")
+        s1 = write_iceberg(
+            spark, path,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            commit_ts=100,
+        )
+        s2 = write_iceberg(
+            spark, path,
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            commit_ts=200,
+        )
+        rollback_iceberg(path, s1, commit_ts=300)
+        assert {r["k"] for r in read_iceberg(spark, path).collect()} == {1}
+        # roll forward again — pure metadata, nothing was lost
+        rollback_iceberg(path, s2, commit_ts=400)
+        assert {r["k"] for r in read_iceberg(spark, path).collect()} == {1, 2}
+
+    def test_unknown_snapshot_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            rollback_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "rb2")
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            commit_ts=100,
+        )
+        with pytest.raises(ValueError, match="no snapshot"):
+            rollback_iceberg(path, 424242)
