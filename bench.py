@@ -160,6 +160,7 @@ HEADLINE = [
     "q375_delta_merge",
     "q376_iceberg_upsert",
     "q377_delta_change_feed",
+    "q378_iceberg_changelog",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

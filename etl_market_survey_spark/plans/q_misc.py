@@ -4905,3 +4905,62 @@ def q377_delta_change_feed(spark, sf_dir):
         )
         .orderBy("commit_version", "change_type", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q378 — Iceberg CHANGELOG scan (sources/iceberg.read_iceberg_changes):
+# the same change algebra as q377 on the Iceberg wire format — appends
+# insert, a position-delete snapshot contributes ROW-exact deletes from
+# its (file_path, pos) parquet, from-snapshot-exclusive semantics.
+# Shares q377's oracle verbatim (snapshot ids normalize to the same
+# 1/2 commit indexes): the Delta CDF and the Iceberg changelog must
+# describe identical logical change streams.
+# ---------------------------------------------------------------------------
+
+
+@register("q378_iceberg_changelog", _Q377_ORACLE)
+def q378_iceberg_changelog(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.iceberg import (
+        delete_rows_iceberg,
+        read_iceberg_changes,
+        snapshot_files,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_icecl_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    sub = o.filter(F.col("k") % 3 == 0)
+    s1 = write_iceberg(spark, path, sub.orderBy("k"), commit_ts=100)
+    rel = snapshot_files(path)[0]["file_path"]
+    w = Window.orderBy("k")
+    pos = [
+        r["p"]
+        for r in sub.select((F.row_number().over(w) - 1).alias("p"), "k")
+        .filter(F.col("k") % 7 == 0).select("p").collect()
+    ]
+    delete_rows_iceberg(spark, path, {rel: pos}, commit_ts=200)
+    write_iceberg(spark, path, o.filter(F.col("k") % 3 == 1), commit_ts=300)
+
+    feed = read_iceberg_changes(spark, path, from_snapshot_id=s1)
+    return (
+        feed.groupBy(
+            (F.col("_snapshot_id") - 1).cast("bigint").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            F.col("pr").alias("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("commit_version", "change_type", "o_orderpriority")
+    )

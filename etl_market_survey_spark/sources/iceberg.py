@@ -438,6 +438,190 @@ def _apply_equality_deletes(
     return df.select(*cols)
 
 
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental CHANGELOG scan between snapshots — Iceberg's
+    ``fromSnapshotId``-exclusive / ``toSnapshotId``-inclusive contract
+    (``from=None`` starts before the first snapshot). Rows are table
+    columns + ``_change_type`` ('insert'/'delete') + ``_snapshot_id`` +
+    ``_commit_timestamp``.
+
+    Per snapshot: newly added data files contribute inserts; data files
+    dropped from the live set (overwrite / partition delete) contribute
+    deletes; NEW position-delete files contribute ROW-exact deletes
+    (join on ``(file, _metadata.row_index)``); NEW equality-delete
+    files contribute key-matched deletes scoped to data files with a
+    smaller sequence number — the same algebra :func:`read_iceberg`
+    applies, replayed per commit. Metadata diffs are driver-side;
+    row materialization scans only the files each commit touched
+    (plus, for position deletes, the prior live set the join prunes
+    logically — a production scan would prune via delete-file stats)."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(path)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
+    )
+    if not snaps:
+        raise ValueError("table has no snapshots")
+    ids = [s["snapshot-id"] for s in snaps]
+    start = 0 if from_snapshot_id is None else ids.index(from_snapshot_id) + 1
+    end = len(ids) - 1 if to_snapshot_id is None else ids.index(to_snapshot_id)
+    schema = _spark_schema(meta)
+    cols = [f.name for f in schema.fields]
+    id_to_name = {
+        f["id"]: f["name"]
+        for f in (meta.get("schema") or (meta.get("schemas") or [{}])[0]).get(
+            "fields", []
+        )
+    }
+
+    def scan(entries, keep_pos=False, keep_seq=False):
+        if not entries:
+            return None
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(path, e["file_path"]) for e in entries]
+        )
+        extra = [
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_file"),
+        ]
+        if keep_pos:
+            extra.append(F.col("_metadata.row_index").alias("_pos"))
+        df = df.select(*cols, *extra)
+        if keep_seq:
+            seq_df = spark.createDataFrame(
+                [(os.path.basename(e["file_path"]), int(e.get("_seq") or 0))
+                 for e in entries],
+                "_file string, _seq long",
+            )
+            df = df.join(F.broadcast(seq_df), "_file")
+        return df
+
+    def tag(df, ct, sid, ts):
+        return df.select(
+            *cols,
+            F.lit(ct).alias("_change_type"),
+            F.lit(sid).cast("long").alias("_snapshot_id"),
+            F.lit(ts).cast("long").alias("_commit_timestamp"),
+        )
+
+    pieces = []
+    prev_files: dict[str, dict] = {}
+    prev_dels: set[str] = set()
+    if start > 0:
+        prev_files = {
+            f["file_path"]: f
+            for f in snapshot_files(path, snapshot_id=ids[start - 1])
+        }
+        prev_dels = {
+            d["file_path"]
+            for d in snapshot_delete_files(path, snapshot_id=ids[start - 1])
+        }
+    for i in range(start, end + 1):
+        sid, ts = ids[i], snaps[i]["timestamp-ms"]
+        cur_files = {
+            f["file_path"]: f for f in snapshot_files(path, snapshot_id=sid)
+        }
+        cur_dels = {
+            d["file_path"]: d
+            for d in snapshot_delete_files(path, snapshot_id=sid)
+        }
+        added = [f for p, f in cur_files.items() if p not in prev_files]
+        dropped = [f for p, f in prev_files.items() if p not in cur_files]
+        if added:
+            pieces.append(tag(scan(added), "insert", sid, ts))
+        if dropped:
+            # rows live at the PREVIOUS snapshot: apply the position
+            # deletes that already covered them
+            df = scan(dropped, keep_pos=True)
+            old_pos = [
+                d for p, d in cur_dels.items()
+                if p in prev_dels and d.get("content") == 1
+            ]
+            if old_pos:
+                pd_df = (
+                    spark.read.schema("file_path string, pos long")
+                    .parquet(*[os.path.join(path, d["file_path"])
+                               for d in old_pos])
+                    .select(
+                        F.element_at(
+                            F.split("file_path", "/"), -1
+                        ).alias("_file"),
+                        F.col("pos").alias("_pos"),
+                    )
+                )
+                df = df.join(pd_df, ["_file", "_pos"], "left_anti")
+            pieces.append(tag(df.drop("_file", "_pos"), "delete", sid, ts))
+        new_dels = [d for p, d in cur_dels.items() if p not in prev_dels]
+        pos_new = [d for d in new_dels if d.get("content") == 1]
+        eq_new = [d for d in new_dels if d.get("content") == 2]
+        if pos_new:
+            # row-exact: the (file, pos) pairs of the new delete files
+            pd_df = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(*[os.path.join(path, d["file_path"])
+                           for d in pos_new])
+                .select(
+                    F.element_at(
+                        F.split("file_path", "/"), -1
+                    ).alias("_file"),
+                    F.col("pos").alias("_pos"),
+                )
+            )
+            base = scan(list(prev_files.values()), keep_pos=True)
+            if base is not None:
+                pieces.append(
+                    tag(
+                        base.join(pd_df, ["_file", "_pos"])
+                        .drop("_file", "_pos"),
+                        "delete", sid, ts,
+                    )
+                )
+        for d in eq_new:
+            names = [id_to_name[i_] for i_ in (d.get("equality_ids") or [])]
+            if not names:
+                raise ValueError("equality delete file without equality_ids")
+            keys = (
+                spark.read.parquet(os.path.join(path, d["file_path"]))
+                .select(
+                    *[F.col(c).alias(f"_d_{c}") for c in names]
+                )
+                .withColumn("_dseq", F.lit(int(d.get("_seq") or 0)))
+            )
+            base = scan(list(prev_files.values()), keep_seq=True)
+            if base is None:
+                continue
+            cond = F.col("_seq") < F.col("_dseq")
+            for c in names:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_d_{c}"))
+            pieces.append(
+                tag(
+                    base.join(keys, cond).select(*cols),
+                    "delete", sid, ts,
+                )
+            )
+        prev_files, prev_dels = cur_files, set(cur_dels)
+
+    if not pieces:
+        empty = spark.createDataFrame([], schema).select(*cols)
+        return empty.select(
+            "*",
+            F.lit(None).cast("string").alias("_change_type"),
+            F.lit(None).cast("long").alias("_snapshot_id"),
+            F.lit(None).cast("long").alias("_commit_timestamp"),
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def table_history(path: str) -> list[dict]:
     meta = _load_metadata(path)
     return [

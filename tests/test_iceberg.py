@@ -650,3 +650,102 @@ class TestRollback:
         )
         with pytest.raises(ValueError, match="no snapshot"):
             rollback_iceberg(path, 424242)
+
+
+class TestChangelogScan:
+    """Incremental changelog between snapshots: appends insert, dropped
+    files delete, position-delete files are row-exact, equality-delete
+    files are key-exact and sequence-scoped."""
+
+    def test_appends_and_position_deletes(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_iceberg, read_iceberg_changes, snapshot_files,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "cl1")
+        d = spark.range(0, 8).select(F.col("id").alias("k"))
+        s1 = write_iceberg(spark, path, d.orderBy("k"), commit_ts=100)
+        rel = snapshot_files(path)[0]["file_path"]
+        s2 = delete_rows_iceberg(spark, path, {rel: [2, 5]}, commit_ts=200)
+        s3 = write_iceberg(
+            spark, path,
+            spark.range(100, 103).select(F.col("id").alias("k")),
+            commit_ts=300,
+        )
+        feed = read_iceberg_changes(spark, path, from_snapshot_id=s1)
+        by = {}
+        for r in feed.collect():
+            by.setdefault((r["_snapshot_id"], r["_change_type"]),
+                          set()).add(r["k"])
+        assert by[(s2, "delete")] == {2, 5}  # row-exact
+        assert by[(s3, "insert")] == {100, 101, 102}
+        assert set(by) == {(s2, "delete"), (s3, "insert")}
+
+    def test_equality_deletes_scoped(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, read_iceberg_changes, write_iceberg,
+        )
+
+        path = str(tmp_path / "cl2")
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(i, i * 10) for i in range(6)],
+                                  "k long, v long"),
+            commit_ts=100,
+        )
+        sd = delete_rows_equality(spark, path, [{"k": 4}], cols=["k"],
+                                  commit_ts=200)
+        # re-append k=4 AFTER the delete: the changelog of the delete
+        # snapshot must not include the reborn row
+        sr = write_iceberg(
+            spark, path,
+            spark.createDataFrame([(4, -4)], "k long, v long"),
+            commit_ts=300,
+        )
+        feed = read_iceberg_changes(spark, path).collect()
+        dels = [(r["_snapshot_id"], r["k"], r["v"])
+                for r in feed if r["_change_type"] == "delete"]
+        assert dels == [(sd, 4, 40)]
+        ins = {(r["_snapshot_id"], r["k"]) for r in feed
+               if r["_change_type"] == "insert"}
+        assert (sr, 4) in ins
+
+    def test_from_none_includes_first_snapshot(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg_changes, write_iceberg,
+        )
+
+        path = str(tmp_path / "cl3")
+        write_iceberg(
+            spark, path,
+            spark.range(0, 3).select(F.col("id").alias("k")),
+            commit_ts=100,
+        )
+        feed = read_iceberg_changes(spark, path).collect()
+        assert {(r["_change_type"], r["k"]) for r in feed} == {
+            ("insert", k) for k in range(3)
+        }
+
+    def test_overwrite_emits_file_deletes(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg_changes, write_iceberg,
+        )
+
+        path = str(tmp_path / "cl4")
+        s1 = write_iceberg(
+            spark, path,
+            spark.range(0, 4).select(F.col("id").alias("k")),
+            commit_ts=100,
+        )
+        s2 = write_iceberg(
+            spark, path,
+            spark.range(10, 12).select(F.col("id").alias("k")),
+            mode="overwrite", commit_ts=200,
+        )
+        feed = read_iceberg_changes(spark, path, from_snapshot_id=s1)
+        by = {}
+        for r in feed.collect():
+            by.setdefault(r["_change_type"], set()).add(r["k"])
+        assert by["delete"] == {0, 1, 2, 3}
+        assert by["insert"] == {10, 11}
