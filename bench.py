@@ -161,6 +161,7 @@ HEADLINE = [
     "q376_iceberg_upsert",
     "q377_delta_change_feed",
     "q378_iceberg_changelog",
+    "q379_delta_lite_datasource",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -4964,3 +4964,83 @@ def q378_iceberg_changelog(spark, sf_dir):
         )
         .orderBy("commit_version", "change_type", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q379 — delta_lite PYTHON DATA SOURCE gate (sources/pyds): the Delta
+# machinery surfaced as a REGISTERED Spark format — schema resolution,
+# one input partition per live file, DV row-drops, column-mapping
+# renames and typed partition reattachment all happen inside the
+# pyspark.sql.datasource API (pure-JSON log fold + pyarrow scan; no
+# SparkSession in the reader). Same table recipe as q370 (column-
+# mapped, partitioned by priority, k%21==0 rows DV-deleted), read via
+# spark.read.format("delta_lite") — so the oracle is the same closed
+# algebra, and any disagreement between the data-source path and the
+# read_delta path (q370) shows up as exactly one failing gate.
+# ---------------------------------------------------------------------------
+
+_Q379_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS total_cents
+FROM o WHERE k % 7 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q379_delta_lite_datasource", _Q379_ORACLE)
+def q379_delta_lite_datasource(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.deltalog import (
+        add_deletion_vectors,
+        load_snapshot,
+        write_delta,
+    )
+    from ..sources.pyds import DeltaLiteDataSource
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_pyds_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    # partitioned by priority, column-mapped: one file per pr value,
+    # each sorted by k so DV positions are content-derived ranks
+    write_delta(spark, path, o.orderBy("k"), partition_col="pr",
+                commit_ts=100, column_mapping=True)
+    snap = load_snapshot(spark, path)
+    pr_phys = snap.physical_names()["pr"]
+    rel_of_pr = {
+        (a.get("partitionValues") or {}).get(pr_phys): rel
+        for rel, a in snap.adds.items()
+    }
+    w = Window.partitionBy("pr").orderBy("k")
+    doomed = (
+        o.select("pr", "k", (F.row_number().over(w) - 1).alias("p"))
+        .filter(F.col("k") % 7 == 0)
+        .collect()
+    )
+    deletes: dict[str, list[int]] = {}
+    for r in doomed:
+        deletes.setdefault(rel_of_pr[r["pr"]], []).append(r["p"])
+    add_deletion_vectors(spark, path, deletes, commit_ts=200)
+
+    df = spark.read.format("delta_lite").load(path)
+    return (
+        df.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,345 @@
+"""``delta_lite`` — a registerable Spark Python Data Source (the
+Spark 4 ``pyspark.sql.datasource`` API) over the :mod:`.deltalog`
+wire format, batch AND streaming:
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.read.format("delta_lite").load(path)                  # batch
+    spark.readStream.format("delta_lite").load(path)            # stream
+
+This is the most Spark-native integration of the Delta machinery: the
+format string participates in normal reader resolution, partitions()
+gives Spark one input partition per live data file (scheduling and
+parallelism come from the engine, not from us), and the streaming
+source exposes the commit log as exactly-once micro-batches keyed by
+version offsets — Spark owns offset tracking in its checkpoint, we
+just answer read(start)/readBetweenOffsets(start, end).
+
+Everything here runs WITHOUT a SparkSession (DataSource objects are
+pickled into Python workers): the log fold is pure JSON (log JSONs are
+never deleted by this writer, so folding the tail from version 0 is
+always complete — checkpoints are a cold-start optimization, not a
+correctness requirement), parquet IO is pyarrow, deletion vectors
+decode with the pure-Python roaring codec, and column mapping is an
+Arrow rename.
+
+Semantics:
+- batch: live adds at the current version; DVs applied; partition
+  values attached as typed constants; column mapping translated.
+- streaming: micro-batch (v_start, v_end] = the rows of dataChange
+  ``add`` files of those commits — the append-stream contract of the
+  real Delta source. A commit carrying dataChange removes (MERGE,
+  DV delete, RESTORE) raises unless ``ignoreChanges=true``
+  (re-emitting rewritten files, the documented real-source fallback).
+
+Reference behavior source: SengerM/ETL_market_survey has no streaming
+or lakehouse component; this is beyond-reference surface (SURVEY.md
+§6) built on the public Delta PROTOCOL.md and the public PySpark
+DataSource API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+# ---------------------------------------------------------------------------
+# SparkSession-free log fold (pure JSON + pyarrow)
+# ---------------------------------------------------------------------------
+
+_LOG_DIR = "_delta_log"
+
+
+def _versions(path: str) -> list[int]:
+    log = os.path.join(path, _LOG_DIR)
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".json") and f[:-5].isdigit():
+            out.append(int(f[:-5]))
+    if not out:
+        raise FileNotFoundError(f"no commits in {log}")
+    return sorted(out)
+
+
+def _actions(path: str, v: int) -> list[dict]:
+    fp = os.path.join(path, _LOG_DIR, f"{v:020d}.json")
+    with open(fp) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _fold(path: str, version: int | None = None) -> dict:
+    """{'version', 'metadata', 'protocol', 'adds': {rel: add},
+    'acts_by_version'} — the pure-JSON snapshot fold."""
+    vs = _versions(path)
+    version = vs[-1] if version is None else version
+    adds: dict[str, dict] = {}
+    metadata = None
+    protocol = None
+    for v in vs:
+        if v > version:
+            break
+        for a in _actions(path, v):
+            if "metaData" in a:
+                metadata = a["metaData"]
+            elif "protocol" in a:
+                protocol = a["protocol"]
+            elif "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                adds.pop(a["remove"]["path"], None)
+    if metadata is None:
+        raise ValueError(f"no metaData up to version {version} in {path}")
+    return {
+        "version": version,
+        "metadata": metadata,
+        "protocol": protocol or {"minReaderVersion": 1},
+        "adds": adds,
+    }
+
+
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+
+
+def _check_protocol(protocol: dict) -> None:
+    v = int(protocol.get("minReaderVersion", 1))
+    if v not in (1, 2, 3):
+        raise ValueError(f"unsupported minReaderVersion {v}")
+    if v == 3:
+        feats = set(protocol.get("readerFeatures") or [])
+        unknown = feats - _SUPPORTED_READER_FEATURES
+        if unknown:
+            raise ValueError(f"unsupported reader features {sorted(unknown)}")
+
+
+def _schema_info(metadata: dict):
+    """(logical StructType, logical->physical map, partition cols)."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(metadata["schemaString"]))
+    mapped = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none"
+    phys = {}
+    for f in json.loads(metadata["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        phys[f["name"]] = (
+            md.get("delta.columnMapping.physicalName", f["name"])
+            if mapped
+            else f["name"]
+        )
+    return st, phys, list(metadata.get("partitionColumns") or [])
+
+
+def _pa_type(spark_type_json):
+    import pyarrow as pa
+
+    m = {
+        "long": pa.int64(), "integer": pa.int32(), "short": pa.int16(),
+        "byte": pa.int8(), "string": pa.string(), "double": pa.float64(),
+        "float": pa.float32(), "boolean": pa.bool_(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us"), "binary": pa.binary(),
+    }
+    if spark_type_json not in m:
+        raise ValueError(f"unsupported type {spark_type_json!r}")
+    return m[spark_type_json]
+
+
+def _typed_partition_value(raw, spark_type_json):
+    if raw is None:
+        return None
+    if spark_type_json in ("long", "integer", "short", "byte"):
+        return int(raw)
+    if spark_type_json in ("double", "float"):
+        return float(raw)
+    if spark_type_json == "boolean":
+        return raw == "true"
+    if spark_type_json == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    return raw
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, table_path, rel, partition_values, dv, fields, phys,
+                 pcols):
+        self.table_path = table_path
+        self.rel = rel
+        self.partition_values = partition_values  # physical-keyed strings
+        self.dv = dv  # deletionVector descriptor or None
+        self.fields = fields  # [(name, spark_type_json)] in schema order
+        self.phys = phys
+        self.pcols = pcols
+
+
+def _read_file_partition(p: _FilePartition):
+    """One live data file -> one pyarrow RecordBatch stream in the
+    LOGICAL schema (DV rows dropped, partition constants attached)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(p.table_path, p.rel),
+        columns=[p.phys[n] for n, _ in p.fields if n not in p.pcols],
+    )
+    if p.dv:
+        from .deltalog import _dv_location
+        from .dvbitmap import deserialize_rbm64, read_dv_blob
+
+        dv_path, off, size = _dv_location(p.table_path, p.dv)
+        dead = deserialize_rbm64(read_dv_blob(dv_path, off, size))
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        dead_arr = np.asarray(dead, dtype=np.int64)
+        mask[dead_arr[dead_arr < tbl.num_rows]] = False
+        tbl = tbl.filter(pa.array(mask))
+    arrays, names = [], []
+    for name, tjson in p.fields:
+        if name in p.pcols:
+            raw = (p.partition_values or {}).get(p.phys[name])
+            val = _typed_partition_value(raw, tjson)
+            arrays.append(pa.array([val] * tbl.num_rows, type=_pa_type(tjson)))
+        else:
+            arrays.append(
+                tbl.column(p.phys[name]).cast(_pa_type(tjson)).combine_chunks()
+            )
+        names.append(name)
+    out = pa.table(dict(zip(names, arrays))).select(names)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class _DeltaLiteReader(DataSourceReader):
+    def __init__(self, path: str, version: int | None):
+        self.path = path
+        self.version = version
+
+    def partitions(self):
+        snap = _fold(self.path, self.version)
+        _check_protocol(snap["protocol"])
+        st, phys, pcols = _schema_info(snap["metadata"])
+        fields = [
+            (f.name, json.loads(f.dataType.json())) for f in st.fields
+        ]
+        return [
+            _FilePartition(
+                self.path, rel, a.get("partitionValues"),
+                a.get("deletionVector"), fields, phys, pcols,
+            )
+            for rel, a in sorted(snap["adds"].items())
+        ]
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+
+class _DeltaLiteStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are ``{"version": v}`` = 'everything up to and including
+    v has been emitted'. Spark persists them in its own streaming
+    checkpoint — replays call readBetweenOffsets with the same bounds
+    and get identical rows (the log is immutable), which is the
+    exactly-once contract."""
+
+    def __init__(self, path: str, ignore_changes: bool,
+                 starting_version: int | None):
+        self.path = path
+        self.ignore_changes = ignore_changes
+        self.starting_version = starting_version
+
+    def initialOffset(self):
+        if self.starting_version is not None:
+            return {"version": self.starting_version - 1}
+        return {"version": -1}
+
+    def _rows_between(self, lo: int, hi: int):
+        snap = _fold(self.path)  # schema as of now
+        _check_protocol(snap["protocol"])
+        st, phys, pcols = _schema_info(snap["metadata"])
+        fields = [(f.name, json.loads(f.dataType.json())) for f in st.fields]
+        for v in _versions(self.path):
+            if not (lo < v <= hi):
+                continue
+            acts = _actions(self.path, v)
+            removes = [
+                a["remove"] for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if removes and not self.ignore_changes:
+                raise ValueError(
+                    f"version {v} contains dataChange removes (MERGE/"
+                    "DELETE/RESTORE); set ignoreChanges=true to re-emit "
+                    "rewritten files"
+                )
+            for a in acts:
+                if "add" not in a or not a["add"].get("dataChange", True):
+                    continue
+                p = _FilePartition(
+                    self.path, a["add"]["path"],
+                    a["add"].get("partitionValues"),
+                    a["add"].get("deletionVector"), fields, phys, pcols,
+                )
+                for batch in _read_file_partition(p):
+                    yield from (tuple(r.values()) for r in batch.to_pylist())
+
+    def read(self, start: dict):
+        # the prefetch cache needs an ITERATOR over picklable rows (it
+        # advances with next() and pickles what it collected) — a bare
+        # generator can't pickle, a bare list can't next(): iter(list)
+        latest = _versions(self.path)[-1]
+        lo = int(start["version"])
+        if latest <= lo:
+            return iter([]), {"version": lo}
+        return (
+            iter(list(self._rows_between(lo, latest))),
+            {"version": latest},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows_between(int(start["version"]),
+                                            int(end["version"]))))
+
+    def commit(self, end: dict):
+        pass  # the log is immutable; nothing to clean up
+
+
+class DeltaLiteDataSource(DataSource):
+    """Options: ``path`` (from .load(path)), ``versionAsOf`` (batch
+    time travel), ``startingVersion`` (streaming: first version to
+    emit, inclusive), ``ignoreChanges`` (streaming: re-emit rewritten
+    files instead of failing on dataChange removes)."""
+
+    @classmethod
+    def name(cls):
+        return "delta_lite"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_lite requires .load(<table path>)")
+        return path
+
+    def schema(self):
+        v = self.options.get("versionasof")
+        snap = _fold(self._path(), int(v) if v is not None else None)
+        st, _, _ = _schema_info(snap["metadata"])
+        return st
+
+    def reader(self, schema):
+        v = self.options.get("versionasof")
+        return _DeltaLiteReader(
+            self._path(), int(v) if v is not None else None
+        )
+
+    def simpleStreamReader(self, schema):
+        sv = self.options.get("startingversion")
+        return _DeltaLiteStreamReader(
+            self._path(),
+            str(self.options.get("ignorechanges", "false")).lower()
+            == "true",
+            int(sv) if sv is not None else None,
+        )

@@ -1,0 +1,140 @@
+"""delta_lite Python Data Source (sources/pyds): registered-format
+batch reads (DVs, column mapping, partitions, time travel) and the
+exactly-once streaming source over the commit log."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.sources.deltalog import (
+    add_deletion_vectors,
+    load_snapshot,
+    read_delta,
+    write_delta,
+)
+from etl_market_survey_spark.sources.pyds import DeltaLiteDataSource
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(DeltaLiteDataSource)
+    return spark
+
+
+class TestBatch:
+    def test_matches_read_delta(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "b1")
+        d = spark.createDataFrame(
+            [(i, str(i % 3)) for i in range(30)], "k long, p string"
+        )
+        write_delta(spark, path, d, partition_col="p", commit_ts=100,
+                    column_mapping=True)
+        rel = sorted(load_snapshot(spark, path).adds)[0]
+        add_deletion_vectors(spark, path, {rel: [0, 1]}, commit_ts=200)
+
+        via_ds = spark.read.format("delta_lite").load(path)
+        via_api = read_delta(spark, path)
+        # same names and types (nullability flags differ: the scan
+        # path re-derives them, the data source keeps schemaString's)
+        assert [(f.name, f.dataType) for f in via_ds.schema.fields] == [
+            (f.name, f.dataType) for f in via_api.schema.fields
+        ]
+        assert sorted(map(tuple, via_ds.collect())) == sorted(
+            map(tuple, via_api.collect())
+        )
+
+    def test_version_as_of(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "b2")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1,)], "k long"), commit_ts=100)
+        write_delta(spark, path,
+                    spark.createDataFrame([(2,)], "k long"), commit_ts=200)
+        old = (spark.read.format("delta_lite").option("versionAsOf", 0)
+               .load(path))
+        assert [r["k"] for r in old.collect()] == [1]
+
+    def test_one_partition_per_file(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "b3")
+        d = spark.createDataFrame(
+            [(i, str(i % 4)) for i in range(16)], "k long, p string"
+        )
+        write_delta(spark, path, d, partition_col="p", commit_ts=100)
+        df = spark.read.format("delta_lite").load(path)
+        assert df.rdd.getNumPartitions() == 4  # one per live file
+
+    def test_missing_path_rejected(self, registered):
+        with pytest.raises(Exception, match="load"):
+            registered.read.format("delta_lite").load()
+
+
+class TestStreaming:
+    def _drain(self, spark, path, ckpt, sink, **opts):
+        reader = spark.readStream.format("delta_lite")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(path)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_incremental_exactly_once(self, registered, tmp_path):
+        spark = registered
+        path, ckpt, sink = (str(tmp_path / n) for n in ("t", "c", "s"))
+        write_delta(spark, path,
+                    spark.createDataFrame([(1,), (2,)], "k long"),
+                    commit_ts=100)
+        self._drain(spark, path, ckpt, sink)
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == [1, 2]
+        write_delta(spark, path,
+                    spark.createDataFrame([(3,)], "k long"), commit_ts=200)
+        self._drain(spark, path, ckpt, sink)  # recovery from checkpoint
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == [1, 2, 3]
+        self._drain(spark, path, ckpt, sink)  # no new versions: no dupes
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == [1, 2, 3]
+
+    def test_starting_version(self, registered, tmp_path):
+        spark = registered
+        path, ckpt, sink = (str(tmp_path / n) for n in ("t2", "c2", "s2"))
+        write_delta(spark, path,
+                    spark.createDataFrame([(1,)], "k long"), commit_ts=100)
+        write_delta(spark, path,
+                    spark.createDataFrame([(2,)], "k long"), commit_ts=200)
+        self._drain(spark, path, ckpt, sink, startingVersion=1)
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == [2]
+
+    def test_data_change_removes_fail_without_option(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path, ckpt, sink = (str(tmp_path / n) for n in ("t3", "c3", "s3"))
+        d = spark.range(0, 6).select(F.col("id").alias("k"))
+        write_delta(spark, path, d.orderBy("k"), commit_ts=100)
+        rel = next(iter(load_snapshot(spark, path).adds))
+        add_deletion_vectors(spark, path, {rel: [0]}, commit_ts=200)
+        with pytest.raises(Exception, match="ignoreChanges"):
+            self._drain(spark, path, ckpt, sink)
+        # with ignoreChanges the rewritten file re-emits, DV applied
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        self._drain(spark, path, ckpt, sink, ignoreChanges="true")
+        ks = sorted(r["k"] for r in spark.read.parquet(sink).collect())
+        # v0 emits 0..5; v1 re-emits the rewritten file with its DV
+        # applied (k=0 gone) — the documented ignoreChanges duplication
+        assert ks == sorted([0, 1, 2, 3, 4, 5] + [1, 2, 3, 4, 5])
