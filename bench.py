@@ -162,6 +162,7 @@ HEADLINE = [
     "q377_delta_change_feed",
     "q378_iceberg_changelog",
     "q379_delta_lite_datasource",
+    "q380_iceberg_lite_datasource",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -5044,3 +5044,80 @@ def q379_delta_lite_datasource(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q380 — iceberg_lite PYTHON DATA SOURCE gate (sources/pyds_iceberg):
+# the Iceberg reader as a REGISTERED Spark format — Avro-manifest
+# planning driver-side (pure-Python codec, no JVM), one input
+# partition per live data file, position deletes dropped by row index
+# and equality deletes anti-joined (sequence-scoped) INSIDE the
+# pyarrow reader. Table: q373's recipe (equality-delete k%21==0, then
+# re-append as 'REBORN') plus position deletes of the first 2 rows of
+# the original file — both delete kinds active at once, which also
+# regression-pins the pos+eq interaction read_iceberg bug found while
+# building this (file identity must attach at the scan).
+# ---------------------------------------------------------------------------
+
+_Q380_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+ranked AS (
+  SELECT k, pr, tp, ROW_NUMBER() OVER (ORDER BY k) - 1 AS pos FROM o
+),
+cur AS (
+  SELECT k, pr, tp FROM ranked WHERE k % 21 <> 0 AND pos >= 2
+  UNION ALL
+  SELECT k, 'REBORN' AS pr, tp FROM o WHERE k % 21 = 0
+)
+SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS total_cents
+FROM cur GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q380_iceberg_lite_datasource", _Q380_ORACLE)
+def q380_iceberg_lite_datasource(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_rows_equality,
+        delete_rows_iceberg,
+        snapshot_files,
+        write_iceberg,
+    )
+    from ..sources.pyds_iceberg import IcebergLiteDataSource
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_pydsice_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    write_iceberg(spark, path, o.orderBy("k"), commit_ts=100)
+    rel = snapshot_files(path)[0]["file_path"]
+    delete_rows_iceberg(spark, path, {rel: [0, 1]}, commit_ts=200)
+    delete_rows_equality(
+        spark, path, o.filter(F.col("k") % 21 == 0).select("k"),
+        cols=["k"], commit_ts=300,
+    )
+    reborn = o.filter(F.col("k") % 21 == 0).select(
+        "k", F.lit("REBORN").alias("pr"), "tp"
+    )
+    write_iceberg(spark, path, reborn, commit_ts=400)
+
+    df = spark.read.format("iceberg_lite").load(path)
+    return (
+        df.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

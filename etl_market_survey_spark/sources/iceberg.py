@@ -349,6 +349,16 @@ def read_iceberg(
     if not delete_files:
         return df
     cols = df.columns
+    # attach file identity ONCE at the scan (``_metadata`` only
+    # resolves on the base relation — any projection in between would
+    # lose it, which is exactly the pos+eq combination bug this guards)
+    df = df.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_if"),
+        F.col("_metadata.row_index").alias("_ip"),
+    )
     if pos_deletes:
         # merge-on-read: anti-join deleted (file, pos) pairs. File
         # identity is the basename (file names carry a uuid, unique per
@@ -364,20 +374,10 @@ def read_iceberg(
                 F.col("pos").alias("_ip"),
             )
         )
-        df = (
-            df.select(
-                "*",
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("_if"),
-                F.col("_metadata.row_index").alias("_ip"),
-            )
-            .join(dels, ["_if", "_ip"], "left_anti")
-            .select(*cols)
-        )
+        df = df.join(dels, ["_if", "_ip"], "left_anti")
     if eq_deletes:
         df = _apply_equality_deletes(spark, path, df, files, eq_deletes, meta)
-    return df
+    return df.select(*cols)
 
 
 def _apply_equality_deletes(
@@ -385,8 +385,10 @@ def _apply_equality_deletes(
 ):
     """Anti-join equality-delete rows, scoped by data sequence number.
 
+    ``df`` must already carry the ``_if`` file-basename column (the
+    caller attaches it at the scan, where ``_metadata`` resolves).
     Each data row gets its file's sequence number via a BROADCAST join
-    on file basename (the file list is metadata-sized — KBs on the
+    on that basename (the file list is metadata-sized — KBs on the
     driver, never a shuffle); each delete file contributes its
     ``equality_ids`` columns plus its own sequence number as ``_dseq``.
     One null-safe anti-join per distinct equality-id set with the
@@ -405,12 +407,7 @@ def _apply_equality_deletes(
         for f in files
     ]
     seq_df = spark.createDataFrame(seq_rows, "_if string, _seq long")
-    df = df.select(
-        "*",
-        F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1
-        ).alias("_if"),
-    ).join(F.broadcast(seq_df), "_if")
+    df = df.join(F.broadcast(seq_df), "_if")
 
     by_ids: dict[tuple, list[dict]] = {}
     for d in eq_deletes:

@@ -1,0 +1,199 @@
+"""``iceberg_lite`` — a registerable Spark Python Data Source over the
+:mod:`.iceberg` wire format (Avro manifests + parquet), the batch twin
+of :mod:`.pyds`'s ``delta_lite``:
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    spark.read.format("iceberg_lite").load(path)
+    spark.read.format("iceberg_lite").option("snapshotId", s).load(path)
+
+Planning is pure Python on the driver (the Avro codec in
+:mod:`.avro` needs no JVM; metadata JSON needs no SparkSession);
+scanning is pyarrow in the Python workers — one input partition per
+live data file, so Spark owns scheduling and parallelism.
+
+Merge-on-read inside the reader:
+- position deletes (content=1): each partition reads the delete
+  parquet(s) and drops its own file's row indexes. The delete files
+  are re-read per partition — KB-scale metadata by construction here;
+  a production reader would push per-file delete spans into the
+  partition instead.
+- equality deletes (content=2): pandas anti-join on the equality
+  columns, scoped by data sequence number (rows from files committed
+  at or after the delete survive — the reborn-key rule).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _pure_spark_schema(meta: dict):
+    """Iceberg schema -> StructType WITHOUT an active SparkContext
+    (``iceberg._spark_schema`` parses DDL through the JVM; data-source
+    methods run in plain Python workers where none exists)."""
+    from pyspark.sql import types as T
+
+    m = {
+        "long": T.LongType(), "int": T.IntegerType(),
+        "string": T.StringType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "boolean": T.BooleanType(),
+        "binary": T.BinaryType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(), "timestamptz": T.TimestampType(),
+    }
+    schema = meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    fields = []
+    for f in schema.get("fields", []):
+        t = f["type"]
+        if not isinstance(t, str) or t not in m:
+            raise ValueError(f"unsupported Iceberg type {t!r}")
+        fields.append(
+            T.StructField(f["name"], m[t], not f.get("required", False))
+        )
+    return T.StructType(fields)
+
+
+class _IceFilePartition(InputPartition):
+    def __init__(self, table_path, rel, seq, fields, pos_delete_rels,
+                 eq_deletes):
+        self.table_path = table_path
+        self.rel = rel
+        self.seq = int(seq or 0)
+        self.fields = fields  # [(name, spark_type_json)] in schema order
+        self.pos_delete_rels = pos_delete_rels  # [rel]
+        # [(rel, seq, [equality col names])]
+        self.eq_deletes = eq_deletes
+
+
+def _pa_type(tjson):
+    from .pyds import _pa_type as _pt
+
+    return _pt(tjson)
+
+
+def _read_ice_partition(p: _IceFilePartition):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = [n for n, _ in p.fields]
+    tbl = pq.read_table(os.path.join(p.table_path, p.rel), columns=names)
+    base = os.path.basename(p.rel)
+
+    if p.pos_delete_rels:
+        dead: list[int] = []
+        for rel in p.pos_delete_rels:
+            dt = pq.read_table(
+                os.path.join(p.table_path, rel),
+                columns=["file_path", "pos"],
+            )
+            fp = np.asarray(
+                [os.path.basename(x) for x in dt.column("file_path").to_pylist()]
+            )
+            pos = np.asarray(dt.column("pos").to_pylist(), dtype=np.int64)
+            dead.extend(pos[fp == base].tolist())
+        if dead:
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            d = np.asarray(dead, dtype=np.int64)
+            mask[d[d < tbl.num_rows]] = False
+            tbl = tbl.filter(pa.array(mask))
+
+    for rel, dseq, cols in p.eq_deletes:
+        if not (p.seq < dseq) or tbl.num_rows == 0:
+            continue  # out of scope: this file is newer than the delete
+        keys = pq.read_table(
+            os.path.join(p.table_path, rel), columns=cols
+        ).to_pandas()
+        pdf = tbl.to_pandas()
+        merged = pdf.merge(
+            keys.drop_duplicates(), on=cols, how="left", indicator=True
+        )
+        tbl = pa.Table.from_pandas(
+            merged[merged["_merge"] == "left_only"][
+                [c for c in pdf.columns]
+            ],
+            preserve_index=False,
+        )
+
+    arrays = [
+        tbl.column(n).cast(_pa_type(t)).combine_chunks()
+        for n, t in p.fields
+    ]
+    out = pa.table(dict(zip(names, arrays))).select(names)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class _IcebergLiteReader(DataSourceReader):
+    def __init__(self, path: str, snapshot_id: int | None):
+        self.path = path
+        self.snapshot_id = snapshot_id
+
+    def partitions(self):
+        from .iceberg import (
+            _load_metadata,
+            snapshot_delete_files,
+            snapshot_files,
+        )
+
+        meta = _load_metadata(self.path)
+        st = _pure_spark_schema(meta)
+        import json as _json
+
+        fields = [(f.name, _json.loads(f.dataType.json())) for f in st.fields]
+        id_to_name = {
+            f["id"]: f["name"]
+            for f in (
+                meta.get("schema") or (meta.get("schemas") or [{}])[0]
+            ).get("fields", [])
+        }
+        dels = snapshot_delete_files(self.path, snapshot_id=self.snapshot_id)
+        pos_rels = [d["file_path"] for d in dels if d.get("content") == 1]
+        eq = [
+            (
+                d["file_path"],
+                int(d.get("_seq") or 0),
+                [id_to_name[i] for i in (d.get("equality_ids") or [])],
+            )
+            for d in dels
+            if d.get("content") == 2
+        ]
+        return [
+            _IceFilePartition(
+                self.path, f["file_path"], f.get("_seq"), fields,
+                pos_rels, eq,
+            )
+            for f in sorted(
+                snapshot_files(self.path, snapshot_id=self.snapshot_id),
+                key=lambda x: x["file_path"],
+            )
+        ]
+
+    def read(self, partition):
+        yield from _read_ice_partition(partition)
+
+
+class IcebergLiteDataSource(DataSource):
+    """Options: ``path`` (from .load(path)), ``snapshotId`` (time
+    travel to a snapshot)."""
+
+    @classmethod
+    def name(cls):
+        return "iceberg_lite"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_lite requires .load(<table path>)")
+        return path
+
+    def schema(self):
+        from .iceberg import _load_metadata
+
+        return _pure_spark_schema(_load_metadata(self._path()))
+
+    def reader(self, schema):
+        sid = self.options.get("snapshotid")
+        return _IcebergLiteReader(
+            self._path(), int(sid) if sid is not None else None
+        )

@@ -450,7 +450,18 @@ def test_r5_no_cartesian_and_codegen(static_plan, name):
     plan = static_plan(name)
     assert "CartesianProduct" not in plan, name
     assert re.search(r"\*\(\d+\)", plan), name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    if name == "q354_bitext_margin_ivf":
+        # r6: the frozen IVF codebook is attached as ONE single-row
+        # broadcast array<struct> DataFrame (replacing 4k-literal
+        # expression trees that cost ~8s of py4j/Catalyst per run).
+        # The attach subtree is re-referenced per consumer in the
+        # formatted plan, so we assert SHAPE, not count: every BNLJ
+        # must be the bounded BuildRight cross-attach of that 1-row
+        # broadcast — same class as the _R4B_BOUNDED_BNLJ stitches.
+        n = plan.count("BroadcastNestedLoopJoin")
+        assert n == plan.count("BroadcastNestedLoopJoin BuildRight, Cross"), name
+    else:
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_q357_rollup_single_scan_expand(static_plan):

@@ -138,3 +138,74 @@ class TestStreaming:
         # v0 emits 0..5; v1 re-emits the rewritten file with its DV
         # applied (k=0 gone) — the documented ignoreChanges duplication
         assert ks == sorted([0, 1, 2, 3, 4, 5] + [1, 2, 3, 4, 5])
+
+
+class TestIcebergLite:
+    """iceberg_lite registered format: Avro-manifest planning driver-
+    side, pyarrow scans, merge-on-read deletes inside the reader."""
+
+    @pytest.fixture()
+    def ice_registered(self, spark):
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        return spark
+
+    def test_matches_read_iceberg(self, ice_registered, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, delete_rows_iceberg, read_iceberg,
+            snapshot_files, write_iceberg,
+        )
+
+        spark = ice_registered
+        path = str(tmp_path / "il1")
+        d = spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "k long, v long"
+        )
+        write_iceberg(spark, path, d.orderBy("k"), commit_ts=100)
+        rel = snapshot_files(path)[0]["file_path"]
+        delete_rows_iceberg(spark, path, {rel: [0, 1]}, commit_ts=200)
+        delete_rows_equality(spark, path, [{"k": 7}], cols=["k"],
+                             commit_ts=300)
+        # re-append a deleted key: must be reborn in BOTH readers
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(7, -7)], "k long, v long"),
+                      commit_ts=400)
+
+        via_ds = spark.read.format("iceberg_lite").load(path)
+        via_api = read_iceberg(spark, path)
+        assert sorted(map(tuple, via_ds.collect())) == sorted(
+            map(tuple, via_api.collect())
+        )
+        got = {r["k"]: r["v"] for r in via_ds.collect()}
+        assert 0 not in got and 1 not in got and got[7] == -7
+
+    def test_snapshot_time_travel(self, ice_registered, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        spark = ice_registered
+        path = str(tmp_path / "il2")
+        s1 = write_iceberg(spark, path,
+                           spark.createDataFrame([(1,)], "k long"),
+                           commit_ts=100)
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(2,)], "k long"),
+                      commit_ts=200)
+        old = (spark.read.format("iceberg_lite")
+               .option("snapshotId", s1).load(path))
+        assert [r["k"] for r in old.collect()] == [1]
+
+    def test_one_partition_per_file(self, ice_registered, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        spark = ice_registered
+        path = str(tmp_path / "il3")
+        d = spark.createDataFrame(
+            [(i, str(i % 3)) for i in range(12)], "k long, p string"
+        )
+        write_iceberg(spark, path, d, partition_col="p", commit_ts=100)
+        df = spark.read.format("iceberg_lite").load(path)
+        assert df.rdd.getNumPartitions() == 3
+        assert df.count() == 12
