@@ -6,11 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized with a noop datasource write (every result
 row and column is computed — Catalyst cannot prune the final projection the
 way it can under a bare count()).  Timing is the MEDIAN over the query's
-runs: 3 sequential runs for every query, topped up to 5 for any query whose
-3-run max/min spread exceeds 1.5x — and the top-up runs are INTERLEAVED
-across the flagged set (A,B,C,A,B,C) so a transient ambient-load window
-hits each query once instead of all runs of one query (VERDICT r5 item 3;
-the ABBA lesson from tools/ab_pagerank.py generalized).  The per-query
+runs: 3 base runs per query taken as ROUND-ROBIN PASSES over the whole
+headline (pass 1 of every query, then pass 2, then pass 3), topped up to
+5 for any query whose 3-run max/min spread exceeds 1.5x, with the top-up
+runs likewise interleaved across the flagged set (VERDICT r5 item 3; the
+ABBA lesson from tools/ab_pagerank.py generalized). Round-robin means a
+time-localized ambient-load window poisons at most ONE run of each query
+it overlaps — sequential per-query runs gave the median no clean sample
+for every query scheduled inside the window.  The per-query
 spread written to BENCH_SPREAD.json is max/min for 3-run queries and the
 outlier-trimmed ratio (2nd-largest / 2nd-smallest) for 5-run ones — the
 robust reliability of the reported median, not the worst single run; raw
@@ -218,17 +221,22 @@ def main() -> None:
         materialize(df)
         return time.time() - t0, df
 
-    all_runs: dict[str, list[float]] = {}
+    # Base runs are ROUND-ROBIN over the whole headline (pass 1 of
+    # every query, then pass 2, then pass 3) — a time-localized ambient
+    # load window then poisons at most ONE run of each query it
+    # overlaps instead of ALL runs of the queries scheduled inside it
+    # (observed: a ~5-min window turned q93..q119's three sequential
+    # base runs into 10-90s outliers while their later top-up runs were
+    # normal; the sequential layout gave the median no clean run to
+    # fall back on).
+    all_runs: dict[str, list[float]] = {n: [] for n in HEADLINE}
     nrows: dict[str, int] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        runs: list[float] = []
-        for i in range(N_RUNS):
-            dt, df = one_run(fn)
-            runs.append(dt)
+    for i in range(N_RUNS):
+        for name in HEADLINE:
+            dt, df = one_run(registry.QUERIES[name])
+            all_runs[name].append(dt)
             if i == 0:
                 nrows[name] = df.count()  # row count untimed, once
-        all_runs[name] = runs
 
     # interleaved top-up for high-spread queries: cycle the flagged set
     # so transient ambient load spreads across queries, not across all

@@ -185,10 +185,13 @@ def _read_file_partition(p: _FilePartition):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(p.table_path, p.rel),
-        columns=[p.phys[n] for n, _ in p.fields if n not in p.pcols],
-    )
+    fpath = os.path.join(p.table_path, p.rel)
+    # schema evolution: files written before a merge_schema commit lack
+    # the new physical columns — request only what the file has and
+    # null-fill the rest (pq.read_table raises on missing columns)
+    have = set(pq.ParquetFile(fpath).schema_arrow.names)
+    want = [p.phys[n] for n, _ in p.fields if n not in p.pcols]
+    tbl = pq.read_table(fpath, columns=[c for c in want if c in have])
     if p.dv:
         from .deltalog import _dv_location
         from .dvbitmap import deserialize_rbm64, read_dv_blob
@@ -205,9 +208,13 @@ def _read_file_partition(p: _FilePartition):
             raw = (p.partition_values or {}).get(p.phys[name])
             val = _typed_partition_value(raw, tjson)
             arrays.append(pa.array([val] * tbl.num_rows, type=_pa_type(tjson)))
-        else:
+        elif p.phys[name] in tbl.column_names:
             arrays.append(
                 tbl.column(p.phys[name]).cast(_pa_type(tjson)).combine_chunks()
+            )
+        else:  # pre-evolution file: the column null-fills
+            arrays.append(
+                pa.array([None] * tbl.num_rows, type=_pa_type(tjson))
             )
         names.append(name)
     out = pa.table(dict(zip(names, arrays))).select(names)
@@ -246,10 +253,19 @@ class _DeltaLiteStreamReader(SimpleDataSourceStreamReader):
     exactly-once contract."""
 
     def __init__(self, path: str, ignore_changes: bool,
-                 starting_version: int | None):
+                 starting_version: int | None, schema=None):
         self.path = path
         self.ignore_changes = ignore_changes
         self.starting_version = starting_version
+        # the query's schema is FIXED at stream start; pin the emitted
+        # columns to it so a mid-stream merge_schema evolution widens
+        # future streams, not this one (new columns are simply not
+        # selected from evolved files)
+        self.pinned_fields = (
+            [(f.name, json.loads(f.dataType.json())) for f in schema.fields]
+            if schema is not None
+            else None
+        )
 
     def initialOffset(self):
         if self.starting_version is not None:
@@ -257,10 +273,12 @@ class _DeltaLiteStreamReader(SimpleDataSourceStreamReader):
         return {"version": -1}
 
     def _rows_between(self, lo: int, hi: int):
-        snap = _fold(self.path)  # schema as of now
+        snap = _fold(self.path)  # mapping/partition metadata as of now
         _check_protocol(snap["protocol"])
         st, phys, pcols = _schema_info(snap["metadata"])
-        fields = [(f.name, json.loads(f.dataType.json())) for f in st.fields]
+        fields = self.pinned_fields or [
+            (f.name, json.loads(f.dataType.json())) for f in st.fields
+        ]
         for v in _versions(self.path):
             if not (lo < v <= hi):
                 continue
@@ -342,4 +360,5 @@ class DeltaLiteDataSource(DataSource):
             str(self.options.get("ignorechanges", "false")).lower()
             == "true",
             int(sv) if sv is not None else None,
+            schema=schema,
         )

@@ -78,7 +78,11 @@ def _read_ice_partition(p: _IceFilePartition):
     import pyarrow.parquet as pq
 
     names = [n for n, _ in p.fields]
-    tbl = pq.read_table(os.path.join(p.table_path, p.rel), columns=names)
+    fpath = os.path.join(p.table_path, p.rel)
+    # schema evolution: pre-evolution files lack new columns — request
+    # what exists, null-fill the rest below
+    have = set(pq.ParquetFile(fpath).schema_arrow.names)
+    tbl = pq.read_table(fpath, columns=[n for n in names if n in have])
     base = os.path.basename(p.rel)
 
     if p.pos_delete_rels:
@@ -118,6 +122,8 @@ def _read_ice_partition(p: _IceFilePartition):
 
     arrays = [
         tbl.column(n).cast(_pa_type(t)).combine_chunks()
+        if n in tbl.column_names
+        else pa.array([None] * tbl.num_rows, type=_pa_type(t))
         for n, t in p.fields
     ]
     out = pa.table(dict(zip(names, arrays))).select(names)

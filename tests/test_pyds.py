@@ -209,3 +209,45 @@ class TestIcebergLite:
         df = spark.read.format("iceberg_lite").load(path)
         assert df.rdd.getNumPartitions() == 3
         assert df.count() == 12
+
+
+class TestDataSourceSchemaEvolution:
+    """Both registered formats must null-fill pre-evolution files
+    instead of crashing on missing physical columns."""
+
+    def test_delta_lite_evolved_table(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "ev1")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1, 10)], "k long, v long"),
+                    commit_ts=100, column_mapping=True)
+        write_delta(
+            spark, path,
+            spark.createDataFrame([(2, 20, "x")],
+                                  "k long, v long, w string"),
+            commit_ts=200, merge_schema=True,
+        )
+        df = spark.read.format("delta_lite").load(path)
+        got = {r["k"]: r["w"] for r in df.collect()}
+        assert got == {1: None, 2: "x"}
+
+    def test_iceberg_lite_evolved_table(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        path = str(tmp_path / "ev2")
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(1, 10)], "k long, v long"),
+                      commit_ts=100)
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(2, 20, "x")],
+                                  "k long, v long, w string"),
+            commit_ts=200, merge_schema=True,
+        )
+        df = spark.read.format("iceberg_lite").load(path)
+        got = {r["k"]: r["w"] for r in df.collect()}
+        assert got == {1: None, 2: "x"}
