@@ -166,6 +166,7 @@ HEADLINE = [
     "q378_iceberg_changelog",
     "q379_delta_lite_datasource",
     "q380_iceberg_lite_datasource",
+    "q381_delta_zorder",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -59,8 +59,11 @@ def with_hilbert(
         # rotate quadrant: if ry==0 { if rx==1 { x,y = s-1-y, s-1-x } else swap }
         df = df.withColumns(
             {
+                # s*s as a LONG literal: at order > 15 the int32
+                # product 3*s*s overflows (ANSI ArithmeticException)
                 "_hd": F.col("_hd")
-                + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry),
+                + F.lit(s * s).cast("long")
+                * (F.lit(3) * rx).bitwiseXOR(ry).cast("long"),
                 "_hx2": F.when(
                     ry == 0,
                     F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(

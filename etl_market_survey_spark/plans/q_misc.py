@@ -5121,3 +5121,85 @@ def q380_iceberg_lite_datasource(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q381 — Delta OPTIMIZE ZORDER BY (sources/deltalog.optimize_zorder):
+# the orders table (k = orderkey, c = custkey) is rewritten clustered
+# along a Hilbert curve into 16 curve-contiguous files, then queried as
+# a 2-D BOX via stats_filter — driver-side min/max pruning that is only
+# effective BECAUSE each file covers a compact (k, c) region (the
+# natural k-sorted layout prunes on k alone). The gate verifies three
+# things at once: the rewrite is content-preserving (full-scan tag),
+# the box read returns exactly the range-query rows (box tag), and the
+# pruned scan's result is identical to the unpruned predicate — if
+# zorder clustering dropped or duplicated rows anywhere, either tag's
+# hash breaks. Unit tests assert the file-skip counts; the oracle is
+# plain SQL over orders.
+# ---------------------------------------------------------------------------
+
+_Q381_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS tp FROM orders
+),
+spans AS (
+  SELECT MIN(k) + CAST(FLOOR(0.25 * (MAX(k) - MIN(k))) AS BIGINT) AS klo,
+         MIN(k) + CAST(FLOOR(0.50 * (MAX(k) - MIN(k))) AS BIGINT) AS khi,
+         MIN(c) + CAST(FLOOR(0.25 * (MAX(c) - MIN(c))) AS BIGINT) AS clo,
+         MIN(c) + CAST(FLOOR(0.50 * (MAX(c) - MIN(c))) AS BIGINT) AS chi
+  FROM o
+),
+u AS (
+  SELECT 'full' AS tag, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents
+  FROM o
+  UNION ALL
+  SELECT 'box', COUNT(*), SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM o, spans
+  WHERE k BETWEEN klo AND khi AND c BETWEEN clo AND chi
+)
+SELECT tag, CAST(n AS BIGINT) AS n_rows, CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY tag
+"""
+
+
+@register("q381_delta_zorder", _Q381_ORACLE)
+def q381_delta_zorder(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import optimize_zorder, read_delta, write_delta
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_zorder_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_delta(spark, path, o.orderBy("k"), commit_ts=100)
+    optimize_zorder(spark, path, ["k", "c"], n_files=16, commit_ts=200)
+
+    b = o.agg(F.min("k"), F.max("k"), F.min("c"), F.max("c")).first()
+    klo = b[0] + int(0.25 * (b[1] - b[0]))
+    khi = b[0] + int(0.50 * (b[1] - b[0]))
+    clo = b[2] + int(0.25 * (b[3] - b[2]))
+    chi = b[2] + int(0.50 * (b[3] - b[2]))
+
+    def agg(df, tag_):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("tag"), "*")
+
+    full = read_delta(spark, path)
+    box = read_delta(
+        spark, path, stats_filter={"k": (klo, khi), "c": (clo, chi)}
+    ).filter(
+        (F.col("k").between(klo, khi)) & (F.col("c").between(clo, chi))
+    )
+    return agg(box, "box").unionByName(agg(full, "full")).orderBy("tag")

@@ -55,6 +55,30 @@ def _commit_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.json")
 
 
+class DeltaConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first (the protocol's
+    optimistic-concurrency loss signal)."""
+
+
+def _write_commit(path: str, version: int, actions: list[dict]) -> None:
+    """PUT-IF-ABSENT commit, per the protocol's atomicity requirement:
+    the version file is created with ``os.link`` (atomic fail-if-exists
+    on POSIX), never ``os.replace`` — replace would silently CLOBBER a
+    concurrent writer's commit and fork the table's history."""
+    tmp = _commit_path(path, version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, _commit_path(path, version))
+    except FileExistsError:
+        raise DeltaConcurrentWriteError(
+            f"version {version} was committed concurrently in {path}"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
 def _list_commit_versions(path: str) -> list[int]:
     d = _log_dir(path)
     if not os.path.isdir(d):
@@ -800,12 +824,36 @@ def write_delta(
             }
         )
 
-    tmp = _commit_path(path, new_version) + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, _commit_path(path, new_version))
-    return new_version
+    # Optimistic concurrency: a lost race on a BLIND APPEND (add-only
+    # actions — no removes, no metaData/protocol) is rebased onto the
+    # next version after re-checking that the winner didn't change the
+    # schema or record our txn; anything else (overwrite, first commit,
+    # schema evolution) must fail and let the caller re-plan, exactly
+    # the protocol's conflict-resolution table.
+    blind_append = mode == "append" and not any(
+        ("remove" in a) or ("metaData" in a) or ("protocol" in a)
+        for a in actions
+    )
+    for _ in range(16):
+        try:
+            _write_commit(path, new_version, actions)
+            return new_version
+        except DeltaConcurrentWriteError:
+            if not blind_append:
+                raise
+            winner = load_snapshot(spark, path)
+            if winner.metadata.get("schemaString") != (
+                prior.metadata.get("schemaString") if prior else None
+            ):
+                raise  # concurrent schema change: our files are stale
+            if txn_app is not None:
+                last = last_txn_version(path, txn_app)
+                if last is not None and txn_version <= last:
+                    return winner.version  # winner recorded our txn
+            new_version = winner.version + 1
+    raise DeltaConcurrentWriteError(
+        f"append could not commit after 16 rebases in {path}"
+    )
 
 
 def delete_where(
@@ -846,11 +894,7 @@ def delete_where(
                     }
                 }
             )
-    tmp = _commit_path(path, new_version) + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, _commit_path(path, new_version))
+    _write_commit(path, new_version, actions)
     return new_version
 
 
@@ -941,11 +985,7 @@ def add_deletion_vectors(
         }
         actions.append({"add": new_add})
 
-    tmp = _commit_path(path, new_version) + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, _commit_path(path, new_version))
+    _write_commit(path, new_version, actions)
     return new_version
 
 
@@ -1032,6 +1072,138 @@ def _write_single_parquet(df: DataFrame, dest: str):
     shutil.rmtree(tmp)
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 16,
+    commit_ts: int = 0,
+    order: int = 16,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (col_a, col_b): rewrite the table's live
+    rows clustered along a HILBERT curve over the two columns, split
+    into ``n_files`` curve-contiguous files. Each file then covers a
+    compact 2-D region, so its min/max stats are tight on BOTH columns
+    and :func:`read_delta`'s ``stats_filter`` prunes box queries on
+    either or both dimensions — the reason ZORDER exists. A single
+    column degrades to a plain sort.
+
+    Logical content is unchanged (``dataChange: false``, like
+    :func:`compact`): deletion vectors are materialized by the rewrite
+    and prior versions still time-travel. Columns are scaled to the
+    curve grid by min/max (one aggregate — no global-rank window, which
+    would be a SinglePartition exchange; the trade is that extreme
+    outliers compress the useful grid range, where engines like Delta
+    use range-partition ids instead). Unpartitioned tables only — the
+    per-partition variant is a straightforward extension.
+
+    Shape at scale: one min/max aggregate, one range shuffle on the
+    curve index (terasort class), one staged write."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from ..operators.hilbert import with_hilbert
+
+    if not 1 <= len(cols) <= 2:
+        raise ValueError("zorder takes 1 or 2 columns")
+    snap = load_snapshot(spark, path)
+    snap.check_reader_support()
+    if snap.partition_columns:
+        raise ValueError("optimize_zorder supports unpartitioned tables")
+    schema = snap.schema()
+    names = [f.name for f in schema.fields]
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise ValueError(f"not table columns: {missing}")
+    phys = snap.physical_names()
+
+    df = read_delta(spark, path)  # logical rows, DVs applied
+    grid = (1 << order) - 1
+    if len(cols) == 1:
+        df = df.withColumn("_zd", F.col(cols[0]).cast("double"))
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+        b = df.agg(*aggs).first()
+        scaled = {}
+        for c in cols:
+            mn, mx = b[f"mn_{c}"], b[f"mx_{c}"]
+            span = (mx - mn) or 1.0
+            scaled[f"_g_{c}"] = F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+                * F.lit(float(grid))
+            ).cast("long")
+        df = df.withColumns(scaled)
+        df = with_hilbert(df, f"_g_{cols[0]}", f"_g_{cols[1]}",
+                          out_col="_zd", order=order)
+        df = df.drop(*[f"_g_{c}" for c in cols])
+
+    stage_cols = [F.col(n).alias(phys.get(n, n)) for n in names]
+    staged_df = (
+        df.repartitionByRange(n_files, "_zd")
+        .sortWithinPartitions("_zd")
+        .select(*stage_cols)
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    data_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable)
+         for f in schema.fields]
+    )
+    new_version = snap.version + 1
+    stage = os.path.join(path, f".zorder-{uuid.uuid4().hex}")
+    staged_df.write.mode("overwrite").parquet(stage)
+    files = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+    stats_by_file = _batch_stats(spark, files, data_schema)
+    adds = []
+    for sp in files:
+        rel = f"zorder-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+        os.replace(sp, os.path.join(path, rel))
+        adds.append((rel, stats_by_file.get(sp)))
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": commit_ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"zOrderBy": list(cols)},
+            }
+        }
+    ]
+    for rel in sorted(snap.adds):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": commit_ts,
+                    "dataChange": False,
+                }
+            }
+        )
+    for rel, stats in adds:
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": commit_ts,
+                    "dataChange": False,
+                    "stats": stats,
+                }
+            }
+        )
+    _write_commit(path, new_version, actions)
+    return new_version
+
+
 def restore_delta(
     spark: SparkSession,
     path: str,
@@ -1082,11 +1254,7 @@ def restore_delta(
         if rel in snap_now.adds and snap_now.adds[rel] == a:
             continue  # identical live entry (incl. any DV) — keep as is
         actions.append({"add": dict(a, path=rel, dataChange=True)})
-    tmp = _commit_path(path, new_version) + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, _commit_path(path, new_version))
+    _write_commit(path, new_version, actions)
     return new_version
 
 
@@ -1464,11 +1632,7 @@ def merge_delta(
                 }
             }
         )
-    tmp = _commit_path(path, new_version) + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, _commit_path(path, new_version))
+    _write_commit(path, new_version, actions)
     return new_version
 
 
@@ -1578,11 +1742,7 @@ def compact(
         )
     if len(actions) == 1:  # nothing to do — no empty commits
         return snap.version
-    tmp = _commit_path(path, new_version) + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, _commit_path(path, new_version))
+    _write_commit(path, new_version, actions)
     return new_version
 
 

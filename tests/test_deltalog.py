@@ -1053,3 +1053,191 @@ class TestChangeDataFeed:
         rv = restore_delta(spark, path, v0, commit_ts=300)
         feed = read_delta_changes(spark, path, rv, rv).collect()
         assert {(r["_change_type"], r["k"]) for r in feed} == {("insert", 1)}
+
+
+class TestOptimisticConcurrency:
+    """Commits are PUT-IF-ABSENT (os.link): a lost race never clobbers
+    the winner. Blind appends rebase; conflicting commits raise. The
+    race is injected by a _write_commit wrapper that lands the winner's
+    file AFTER the loser has planned (read the log) but BEFORE it
+    commits — the real interleaving."""
+
+    def _inject_winner(self, monkeypatch, path, actions_lines):
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        real = dl._write_commit
+        state = {"fired": False}
+
+        def wrapper(p, version, actions):
+            if not state["fired"] and p == path:
+                state["fired"] = True
+                with open(dl._commit_path(p, version), "w") as f:
+                    for line in actions_lines:
+                        f.write(line + "\n")
+            return real(p, version, actions)
+
+        monkeypatch.setattr(dl, "_write_commit", wrapper)
+        return state
+
+    def test_blind_append_rebases_past_winner(self, spark, tmp_path,
+                                              monkeypatch):
+        from etl_market_survey_spark.sources.deltalog import _commit_path
+
+        path = str(tmp_path / "oc1")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1,)], "k long"), commit_ts=100)
+        winner = [
+            json.dumps({"commitInfo": {"timestamp": 150,
+                                       "operation": "WRITE"}}),
+            json.dumps({"add": {"path": "winner.parquet",
+                                "partitionValues": {}, "size": 0,
+                                "modificationTime": 150,
+                                "dataChange": False}}),
+        ]
+        state = self._inject_winner(monkeypatch, path, winner)
+        v = write_delta(spark, path,
+                        spark.createDataFrame([(2,)], "k long"),
+                        commit_ts=200)
+        assert state["fired"] and v == 2  # lost v1, rebased to v2
+        with open(_commit_path(path, 1)) as f:
+            assert "winner.parquet" in f.read()  # never clobbered
+
+    def test_overwrite_race_raises(self, spark, tmp_path, monkeypatch):
+        from etl_market_survey_spark.sources.deltalog import (
+            DeltaConcurrentWriteError,
+        )
+
+        path = str(tmp_path / "oc2")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1,)], "k long"), commit_ts=100)
+        self._inject_winner(monkeypatch, path, [
+            json.dumps({"commitInfo": {"timestamp": 150}}),
+        ])
+        with pytest.raises(DeltaConcurrentWriteError):
+            write_delta(spark, path,
+                        spark.createDataFrame([(2,)], "k long"),
+                        mode="overwrite", commit_ts=200)
+
+    def test_concurrent_schema_change_raises(self, spark, tmp_path,
+                                             monkeypatch):
+        from etl_market_survey_spark.sources.deltalog import (
+            DeltaConcurrentWriteError,
+        )
+
+        path = str(tmp_path / "oc3")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1,)], "k long"), commit_ts=100)
+        meta = dict(load_snapshot(spark, path).metadata)
+        meta["schemaString"] = meta["schemaString"].replace(
+            '"k"', '"k_renamed"'
+        )
+        self._inject_winner(monkeypatch, path, [
+            json.dumps({"commitInfo": {"timestamp": 150}}),
+            json.dumps({"metaData": meta}),
+        ])
+        with pytest.raises(DeltaConcurrentWriteError):
+            write_delta(spark, path,
+                        spark.createDataFrame([(2,)], "k long"),
+                        commit_ts=200)
+
+    def test_txn_recorded_by_winner_short_circuits(self, spark, tmp_path,
+                                                   monkeypatch):
+        path = str(tmp_path / "oc4")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1,)], "k long"), commit_ts=100)
+        # the winner already recorded OUR (app, version) txn — the
+        # retry must become a no-op replay, not a duplicate append
+        self._inject_winner(monkeypatch, path, [
+            json.dumps({"commitInfo": {"timestamp": 150}}),
+            json.dumps({"txn": {"appId": "job", "version": 7,
+                                "lastUpdated": 150}}),
+        ])
+        v = write_delta(spark, path,
+                        spark.createDataFrame([(2,)], "k long"),
+                        commit_ts=200, txn_app="job", txn_version=7)
+        assert v == 1  # winner's version; nothing new appended
+        assert read_delta(spark, path).count() == 1
+
+
+class TestOptimizeZorder:
+    """ZORDER rewrite: content unchanged, curve-contiguous files give
+    tight 2-D stats so box queries prune on BOTH dimensions."""
+
+    def _grid_table(self, spark, path):
+        # 64x64 grid of (x, y) points appended in x-sorted order: the
+        # natural layout prunes on x but NOT on y
+        rows = [(x, y, x * 100 + y) for x in range(64) for y in range(64)]
+        d = spark.createDataFrame(rows, "x long, y long, v long")
+        write_delta(spark, path, d.orderBy("x", "y"), commit_ts=100)
+        return {(r[0], r[1]) for r in rows}
+
+    def test_content_unchanged_and_prunes_both_dims(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            load_snapshot, optimize_zorder,
+        )
+
+        path = str(tmp_path / "z1")
+        pts = self._grid_table(spark, path)
+        v = optimize_zorder(spark, path, ["x", "y"], n_files=16,
+                            commit_ts=200)
+        got = {(r["x"], r["y"])
+               for r in read_delta(spark, path).collect()}
+        assert got == pts  # logical content identical
+        # dataChange false + time travel intact
+        snap = load_snapshot(spark, path)
+        assert all(a.get("dataChange") is False for a in snap.adds.values())
+        assert read_delta(spark, path, version=v - 1).count() == len(pts)
+
+        # pruning: a small box on (x, y) must skip most of the 16 files
+        def surviving(filt):
+            s = load_snapshot(spark, path)
+            from etl_market_survey_spark.sources.deltalog import _stats_prune
+            return [
+                a for a in s.adds.values()
+                if all(_stats_prune(a, c, lo, hi)
+                       for c, (lo, hi) in filt.items())
+            ]
+
+        box = {"x": (8, 15), "y": (8, 15)}
+        assert len(surviving(box)) <= 4  # <= 1/4 of 16 files
+        # and a y-only slice prunes too (impossible pre-zorder)
+        assert len(surviving({"y": (0, 7)})) <= 8
+        rows = read_delta(spark, path, stats_filter=box).filter(
+            "x between 8 and 15 and y between 8 and 15"
+        )
+        assert rows.count() == 64
+
+    def test_single_column_sort(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import optimize_zorder
+
+        path = str(tmp_path / "z2")
+        pts = self._grid_table(spark, path)
+        optimize_zorder(spark, path, ["y"], n_files=8, commit_ts=200)
+        assert {(r["x"], r["y"])
+                for r in read_delta(spark, path).collect()} == pts
+
+    def test_materializes_dvs(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors, load_snapshot, optimize_zorder,
+        )
+
+        path = str(tmp_path / "z3")
+        d = spark.range(0, 100).select(
+            F.col("id").alias("x"), (F.col("id") * 7 % 100).alias("y")
+        )
+        write_delta(spark, path, d.orderBy("x"), commit_ts=100)
+        rel = next(iter(load_snapshot(spark, path).adds))
+        add_deletion_vectors(spark, path, {rel: [0, 1, 2]}, commit_ts=150)
+        optimize_zorder(spark, path, ["x", "y"], n_files=4, commit_ts=200)
+        snap = load_snapshot(spark, path)
+        assert all(not a.get("deletionVector") for a in snap.adds.values())
+        assert read_delta(spark, path).count() == 97
+
+    def test_partitioned_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import optimize_zorder
+
+        path = str(tmp_path / "z4")
+        d = spark.createDataFrame([(1, "a")], "k long, p string")
+        write_delta(spark, path, d, partition_col="p", commit_ts=100)
+        with pytest.raises(ValueError, match="unpartitioned"):
+            optimize_zorder(spark, path, ["k"], commit_ts=200)
