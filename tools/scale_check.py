@@ -80,6 +80,7 @@ HEAVY = [
     # equality-delete read (anti-join scoped by sequence number)
     "q375_delta_merge",
     "q373_iceberg_equality_deletes",
+    "q381_delta_zorder",
 ]
 
 SRC = "/root/testdata/sf0.1"
