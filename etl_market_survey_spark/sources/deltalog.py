@@ -1373,14 +1373,24 @@ def read_delta_changes(
         return set(deserialize_rbm64(read_dv_blob(dv_path, off, size)))
 
     pieces = []
+    # ONE incremental fold over the whole range (re-folding the log per
+    # version would be O(V^2) in commit count — a real cost on tables
+    # with long histories); prev/cur states evolve action by action
     prev_adds: dict[str, dict] = (
         load_snapshot(spark, path, version=wanted[0] - 1).adds
         if wanted[0] > 0
         else {}
     )
+    actions_of = {v: _read_actions(path, v) for v in wanted}
+    cur_state = dict(prev_adds)
     for v in wanted:
-        cur_adds = load_snapshot(spark, path, version=v).adds
-        ts = _commit_timestamp(path, v, _read_actions(path, v))
+        for a in actions_of[v]:
+            if "add" in a:
+                cur_state[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                cur_state.pop(a["remove"]["path"], None)
+        cur_adds = dict(cur_state)
+        ts = _commit_timestamp(path, v, actions_of[v])
         ins_entries = [
             a for rel, a in cur_adds.items()
             if rel not in prev_adds and a.get("dataChange", True)
@@ -1389,7 +1399,7 @@ def read_delta_changes(
         # dataChange=false de-references are not logical changes)
         dc_removes = {
             a["remove"]["path"]
-            for a in _read_actions(path, v)
+            for a in actions_of[v]
             if "remove" in a and a["remove"].get("dataChange", True)
         }
         del_entries = [
