@@ -1095,8 +1095,9 @@ def optimize_zorder(
     curve grid by min/max (one aggregate — no global-rank window, which
     would be a SinglePartition exchange; the trade is that extreme
     outliers compress the useful grid range, where engines like Delta
-    use range-partition ids instead). Unpartitioned tables only — the
-    per-partition variant is a straightforward extension.
+    use range-partition ids instead). Partitioned tables cluster WITHIN
+    each partition (range split on (partition, curve)); the zorder
+    columns must not themselves be partition columns.
 
     Shape at scale: one min/max aggregate, one range shuffle on the
     curve index (terasort class), one staged write."""
@@ -1110,13 +1111,14 @@ def optimize_zorder(
         raise ValueError("zorder takes 1 or 2 columns")
     snap = load_snapshot(spark, path)
     snap.check_reader_support()
-    if snap.partition_columns:
-        raise ValueError("optimize_zorder supports unpartitioned tables")
+    pcols = snap.partition_columns
     schema = snap.schema()
     names = [f.name for f in schema.fields]
     missing = [c for c in cols if c not in names]
     if missing:
         raise ValueError(f"not table columns: {missing}")
+    if any(c in pcols for c in cols):
+        raise ValueError("zorder columns must not be partition columns")
     phys = snap.physical_names()
 
     df = read_delta(spark, path)  # logical rows, DVs applied
@@ -1142,28 +1144,57 @@ def optimize_zorder(
                           out_col="_zd", order=order)
         df = df.drop(*[f"_g_{c}" for c in cols])
 
-    stage_cols = [F.col(n).alias(phys.get(n, n)) for n in names]
-    staged_df = (
-        df.repartitionByRange(n_files, "_zd")
-        .sortWithinPartitions("_zd")
-        .select(*stage_cols)
-    )
     from pyspark.sql.types import StructField, StructType
 
+    stage_cols = [F.col(n).alias(phys.get(n, n)) for n in names]
     data_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable)
-         for f in schema.fields]
+         for f in schema.fields if f.name not in pcols]
     )
     new_version = snap.version + 1
     stage = os.path.join(path, f".zorder-{uuid.uuid4().hex}")
-    staged_df.write.mode("overwrite").parquet(stage)
-    files = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
-    stats_by_file = _batch_stats(spark, files, data_schema)
-    adds = []
-    for sp in files:
-        rel = f"zorder-{new_version:05d}-{uuid.uuid4().hex}.parquet"
-        os.replace(sp, os.path.join(path, rel))
-        adds.append((rel, stats_by_file.get(sp)))
+    adds = []  # (rel, partitionValues, stats)
+    if pcols:
+        # per-partition clustering: range-split on (partition, curve) —
+        # a range partition straddling two values still writes separate
+        # curve-contiguous files per value under partitionBy
+        pphys = phys.get(pcols[0], pcols[0])
+        (
+            df.repartitionByRange(n_files, pcols[0], "_zd")
+            .sortWithinPartitions(pcols[0], "_zd")
+            .select(*stage_cols)
+            .write.partitionBy(pphys)
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        from urllib.parse import unquote
+
+        files = sorted(
+            _glob.glob(os.path.join(stage, f"{pphys}=*", "part-*.parquet"))
+        )
+        stats_by_file = _batch_stats(spark, files, data_schema)
+        for sp in files:
+            pv_dir = os.path.basename(os.path.dirname(sp))
+            raw = pv_dir.split("=", 1)[1]
+            pv = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+            rel = f"{pv_dir}/zorder-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(sp, dest)
+            adds.append((rel, {pphys: pv}, stats_by_file.get(sp)))
+    else:
+        staged_df = (
+            df.repartitionByRange(n_files, "_zd")
+            .sortWithinPartitions("_zd")
+            .select(*stage_cols)
+        )
+        staged_df.write.mode("overwrite").parquet(stage)
+        files = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+        stats_by_file = _batch_stats(spark, files, data_schema)
+        for sp in files:
+            rel = f"zorder-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+            os.replace(sp, os.path.join(path, rel))
+            adds.append((rel, {}, stats_by_file.get(sp)))
     import shutil as _shutil
 
     _shutil.rmtree(stage, ignore_errors=True)
@@ -1187,12 +1218,12 @@ def optimize_zorder(
                 }
             }
         )
-    for rel, stats in adds:
+    for rel, pv, stats in adds:
         actions.append(
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": {},
+                    "partitionValues": pv,
                     "size": os.path.getsize(os.path.join(path, rel)),
                     "modificationTime": commit_ts,
                     "dataChange": False,

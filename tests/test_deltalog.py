@@ -1233,11 +1233,25 @@ class TestOptimizeZorder:
         assert all(not a.get("deletionVector") for a in snap.adds.values())
         assert read_delta(spark, path).count() == 97
 
-    def test_partitioned_rejected(self, spark, tmp_path):
-        from etl_market_survey_spark.sources.deltalog import optimize_zorder
+    def test_partitioned_clusters_within_partitions(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            load_snapshot, optimize_zorder,
+        )
 
         path = str(tmp_path / "z4")
-        d = spark.createDataFrame([(1, "a")], "k long, p string")
-        write_delta(spark, path, d, partition_col="p", commit_ts=100)
-        with pytest.raises(ValueError, match="unpartitioned"):
-            optimize_zorder(spark, path, ["k"], commit_ts=200)
+        rows = [(x, y, str((x + y) % 2))
+                for x in range(32) for y in range(32)]
+        d = spark.createDataFrame(rows, "x long, y long, p string")
+        write_delta(spark, path, d.orderBy("x", "y"), partition_col="p",
+                    commit_ts=100)
+        optimize_zorder(spark, path, ["x", "y"], n_files=8, commit_ts=200)
+        got = {(r["x"], r["y"], r["p"])
+               for r in read_delta(spark, path).collect()}
+        assert got == set(rows)
+        snap = load_snapshot(spark, path)
+        # every new file belongs to exactly one partition dir
+        assert all(a["partitionValues"].get("p") in ("0", "1")
+                   for a in snap.adds.values())
+        # zorder col may not be the partition col
+        with pytest.raises(ValueError, match="partition columns"):
+            optimize_zorder(spark, path, ["p"], commit_ts=300)
