@@ -254,17 +254,31 @@ def load_snapshot(
     if not versions:
         raise FileNotFoundError(f"empty {_LOG_DIR} in {path}")
 
-    per_commit = {v: _read_actions(path, v) for v in versions}
+    # LAZY commit reads: snapshot load must be O(checkpoint + JSON
+    # tail), not O(history) — a long-lived table has thousands of
+    # commit files behind its checkpoint, and eagerly parsing them all
+    # defeats the _last_checkpoint cold-start path
+    per_commit: dict[int, list] = {}
+
+    def acts(v: int) -> list[dict]:
+        if v not in per_commit:
+            per_commit[v] = _read_actions(path, v)
+        return per_commit[v]
+
     if timestamp is not None:
-        eligible = [
-            v for v in versions
-            if _commit_timestamp(path, v, per_commit[v]) <= timestamp
-        ]
-        if not eligible:
+        # newest-first scan: per the protocol commit timestamps are
+        # non-decreasing, so the FIRST commit (from the tail) at or
+        # before the target is the answer — typical cost is a handful
+        # of reads, not the whole history
+        version = None
+        for v in reversed(versions):
+            if _commit_timestamp(path, v, acts(v)) <= timestamp:
+                version = v
+                break
+        if version is None:
             raise ValueError(
                 f"no commit at or before timestamp {timestamp} in {path}"
             )
-        version = max(eligible)
     elif version is None:
         version = versions[-1]
     elif version not in versions:
@@ -284,10 +298,10 @@ def load_snapshot(
         start = cpv + 1
     for v in versions:
         if start <= v <= version:
-            _fold_actions(adds, metadata_ref, per_commit[v], protocol_ref)
+            _fold_actions(adds, metadata_ref, acts(v), protocol_ref)
     if metadata_ref[0] is None:
         raise ValueError(f"no metaData action found up to version {version}")
-    ts = _commit_timestamp(path, version, per_commit[version])
+    ts = _commit_timestamp(path, version, acts(version))
     return DeltaSnapshot(version, metadata_ref[0], adds, ts, protocol_ref[0])
 
 

@@ -167,8 +167,44 @@ _ICE_TO_AVRO = {
 }
 
 
+class IcebergConcurrentWriteError(RuntimeError):
+    """Another writer committed this metadata version first (the
+    optimistic-concurrency loss signal — Iceberg's commit is an atomic
+    swap of the metadata pointer; two writers computing the same next
+    version must not both win)."""
+
+
 def _meta_dir(path: str) -> str:
     return os.path.join(path, "metadata")
+
+
+def _publish_metadata(path: str, new_v: int, meta: dict) -> None:
+    """Atomic PUT-IF-ABSENT metadata commit. ``v{N}.metadata.json`` is
+    published with ``os.link`` (fail-if-exists on POSIX — the same
+    primitive as :mod:`.deltalog`'s ``_write_commit``), so a concurrent
+    writer racing to the same version loses loudly instead of silently
+    clobbering; a mid-write crash leaves only a temp file, never a
+    truncated metadata file. ``version-hint.text`` is then advanced via
+    temp + ``os.replace`` (atomic rename — the hint is advisory: readers
+    fall back to scanning ``v*.metadata.json`` if it trails)."""
+    md = _meta_dir(path)
+    target = os.path.join(md, f"v{new_v}.metadata.json")
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise IcebergConcurrentWriteError(
+            f"metadata version {new_v} was committed concurrently in {path}"
+        ) from None
+    finally:
+        os.remove(tmp)
+    hint = os.path.join(md, "version-hint.text")
+    htmp = hint + f".tmp-{uuid.uuid4().hex}"
+    with open(htmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(htmp, hint)
 
 
 def _current_version(path: str) -> int:
@@ -510,14 +546,14 @@ def read_iceberg_changes(
 
     pieces = []
     prev_files: dict[str, dict] = {}
-    prev_dels: set[str] = set()
+    prev_dels: dict[str, dict] = {}
     if start > 0:
         prev_files = {
             f["file_path"]: f
             for f in snapshot_files(path, snapshot_id=ids[start - 1])
         }
         prev_dels = {
-            d["file_path"]
+            d["file_path"]: d
             for d in snapshot_delete_files(path, snapshot_id=ids[start - 1])
         }
     for i in range(start, end + 1):
@@ -535,11 +571,18 @@ def read_iceberg_changes(
             pieces.append(tag(scan(added), "insert", sid, ts))
         if dropped:
             # rows live at the PREVIOUS snapshot: apply the position
-            # deletes that already covered them
-            df = scan(dropped, keep_pos=True)
+            # AND equality deletes that already covered them — a row
+            # already logically deleted before this commit must not be
+            # re-emitted as a 'delete' change when its file drops. The
+            # PREVIOUS snapshot's delete set is authoritative (an
+            # overwrite drops delete manifests along with data files,
+            # so intersecting with the current set would miss them)
+            old_eq = [
+                d for d in prev_dels.values() if d.get("content") == 2
+            ]
+            df = scan(dropped, keep_pos=True, keep_seq=bool(old_eq))
             old_pos = [
-                d for p, d in cur_dels.items()
-                if p in prev_dels and d.get("content") == 1
+                d for d in prev_dels.values() if d.get("content") == 1
             ]
             if old_pos:
                 pd_df = (
@@ -554,7 +597,27 @@ def read_iceberg_changes(
                     )
                 )
                 df = df.join(pd_df, ["_file", "_pos"], "left_anti")
-            pieces.append(tag(df.drop("_file", "_pos"), "delete", sid, ts))
+            for d in old_eq:
+                names = [
+                    id_to_name[i_] for i_ in (d.get("equality_ids") or [])
+                ]
+                if not names:
+                    raise ValueError(
+                        "equality delete file without equality_ids"
+                    )
+                keys = (
+                    spark.read.parquet(os.path.join(path, d["file_path"]))
+                    .select(*[F.col(c).alias(f"_d_{c}") for c in names])
+                    .withColumn("_dseq", F.lit(int(d.get("_seq") or 0)))
+                )
+                cond = F.col("_seq") < F.col("_dseq")
+                for c in names:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"_d_{c}"))
+                df = df.join(keys, cond, "left_anti")
+            df = df.drop("_file", "_pos")
+            if old_eq:
+                df = df.drop("_seq")
+            pieces.append(tag(df, "delete", sid, ts))
         new_dels = [d for p, d in cur_dels.items() if p not in prev_dels]
         pos_new = [d for d in new_dels if d.get("content") == 1]
         eq_new = [d for d in new_dels if d.get("content") == 2]
@@ -603,7 +666,7 @@ def read_iceberg_changes(
                     "delete", sid, ts,
                 )
             )
-        prev_files, prev_dels = cur_files, set(cur_dels)
+        prev_files, prev_dels = cur_files, dict(cur_dels)
 
     if not pieces:
         empty = spark.createDataFrame([], schema).select(*cols)
@@ -876,10 +939,7 @@ def write_iceberg(
         "current-snapshot-id": snap_id,
         "snapshots": ((meta or {}).get("snapshots") or []) + [snapshot],
     }
-    with open(os.path.join(_meta_dir(path), f"v{new_v}.metadata.json"), "w") as f:
-        json.dump(new_meta, f)
-    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
-        f.write(str(new_v))
+    _publish_metadata(path, new_v, new_meta)
     return snap_id
 
 
@@ -978,10 +1038,7 @@ def delete_partitions(
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-updated-ms"] = commit_ts
-    with open(os.path.join(_meta_dir(path), f"v{new_v}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
-        f.write(str(new_v))
+    _publish_metadata(path, new_v, meta)
     return snap_id
 
 
@@ -1192,10 +1249,7 @@ def _commit_delete_manifest(
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-updated-ms"] = commit_ts
-    with open(os.path.join(_meta_dir(path), f"v{new_v}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
-        f.write(str(new_v))
+    _publish_metadata(path, new_v, meta)
 
 
 def rollback_iceberg(path: str, snapshot_id: int, commit_ts: int = 0) -> int:
@@ -1213,10 +1267,7 @@ def rollback_iceberg(path: str, snapshot_id: int, commit_ts: int = 0) -> int:
     meta = dict(meta)
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = commit_ts
-    with open(os.path.join(_meta_dir(path), f"v{new_v}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
-        f.write(str(new_v))
+    _publish_metadata(path, new_v, meta)
     return new_v
 
 
@@ -1241,6 +1292,22 @@ def expire_snapshots(
         return []
     keep_snaps = snaps[-keep:]
     drop_snaps = snaps[:-keep]
+    # The snapshot current-snapshot-id references must ALWAYS survive —
+    # after rollback_iceberg (or non-monotonic commit_ts) the current
+    # snapshot need not be the newest by timestamp, and expiring it would
+    # delete data files the table still points at (dangling pointer +
+    # data loss on the very next read).
+    cur_sid = meta.get("current-snapshot-id")
+    if cur_sid is not None and not any(
+        s["snapshot-id"] == cur_sid for s in keep_snaps
+    ):
+        rescued = [s for s in drop_snaps if s["snapshot-id"] == cur_sid]
+        keep_snaps = sorted(
+            keep_snaps + rescued, key=lambda s: s["timestamp-ms"]
+        )
+        drop_snaps = [s for s in drop_snaps if s["snapshot-id"] != cur_sid]
+        if not drop_snaps:
+            return []
 
     def files_of(s):
         out = set()
@@ -1281,12 +1348,7 @@ def expire_snapshots(
         new_v = cur_v + 1
         meta = dict(meta)
         meta["snapshots"] = keep_snaps
-        with open(
-            os.path.join(_meta_dir(path), f"v{new_v}.metadata.json"), "w"
-        ) as f:
-            json.dump(meta, f)
-        with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
-            f.write(str(new_v))
+        _publish_metadata(path, new_v, meta)
     return doomed
 
 

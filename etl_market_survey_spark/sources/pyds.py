@@ -122,9 +122,18 @@ def _schema_info(metadata: dict):
     from pyspark.sql.types import StructType
 
     st = StructType.fromJson(json.loads(metadata["schemaString"]))
-    mapped = (metadata.get("configuration") or {}).get(
+    mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
-    ) != "none"
+    )
+    if mode == "id":
+        # mirror deltalog.read_delta: 'id' mode resolves columns by
+        # parquet FIELD ID, not physical name — reading by physicalName
+        # here could silently return wrong/null columns
+        raise NotImplementedError(
+            "columnMapping.mode='id' (parquet field-id resolution) is "
+            "not supported by delta_lite; use mode='name'"
+        )
+    mapped = mode != "none"
     phys = {}
     for f in json.loads(metadata["schemaString"])["fields"]:
         md = f.get("metadata") or {}

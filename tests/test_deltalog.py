@@ -1255,3 +1255,56 @@ class TestOptimizeZorder:
         # zorder col may not be the partition col
         with pytest.raises(ValueError, match="partition columns"):
             optimize_zorder(spark, path, ["p"], commit_ts=300)
+
+
+class TestLazySnapshotLoad:
+    """Round-7 advice fix: snapshot load is O(checkpoint + JSON tail),
+    not O(history) — commits BEHIND the checkpoint are never parsed."""
+
+    def test_fold_reads_only_tail(self, spark, tmp_path, monkeypatch):
+        import etl_market_survey_spark.sources.deltalog as dl
+
+        root = str(tmp_path / "lz1")
+        df = spark.range(30).selectExpr("id", "id * 2 as v")
+        for i in range(4):
+            write_delta(spark, root, df.filter(f"id >= {i*5} and id < {i*5+5}"),
+                        commit_ts=100 * (i + 1))
+        write_checkpoint(spark, root)  # checkpoint at version 3
+        write_delta(spark, root, df.filter("id >= 20 and id < 25"),
+                    commit_ts=500)
+
+        reads = []
+        orig = dl._read_actions
+        monkeypatch.setattr(
+            dl, "_read_actions",
+            lambda path, v: (reads.append(v), orig(path, v))[1],
+        )
+        snap = dl.load_snapshot(spark, root)
+        assert snap.version == 4
+        # only the post-checkpoint tail (v4) is parsed — the four
+        # commits the checkpoint already covers are never opened
+        assert set(reads) == {4}
+
+    def test_timestamp_resolution_reads_from_tail(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import etl_market_survey_spark.sources.deltalog as dl
+
+        root = str(tmp_path / "lz2")
+        df = spark.range(10).selectExpr("id", "id * 2 as v")
+        for i in range(5):
+            write_delta(spark, root, df.filter(f"id = {i}"),
+                        commit_ts=100 * (i + 1))
+        reads = []
+        orig = dl._read_actions
+        monkeypatch.setattr(
+            dl, "_read_actions",
+            lambda path, v: (reads.append(v), orig(path, v))[1],
+        )
+        snap = dl.load_snapshot(spark, root, timestamp=450)
+        assert snap.version == 3
+        # newest-first scan touched only v4 (too new) and v3 (answer),
+        # plus the fold of 0..3; v4 was never folded twice and the
+        # pre-answer commits were read exactly once each
+        assert reads[:2] == [4, 3]
+        assert sorted(set(reads)) == [0, 1, 2, 3, 4]

@@ -749,3 +749,80 @@ class TestChangelogScan:
             by.setdefault(r["_change_type"], set()).add(r["k"])
         assert by["delete"] == {0, 1, 2, 3}
         assert by["insert"] == {10, 11}
+
+
+class TestAtomicCommitsAndExpiry:
+    """Round-7 advice fixes: put-if-absent metadata commits, expiry
+    that never drops the CURRENT snapshot, and a changelog that does
+    not re-emit rows already equality-deleted when their file drops."""
+
+    def test_expire_retains_current_after_rollback(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            expire_snapshots, read_iceberg, rollback_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "ex1")
+        s1 = write_iceberg(
+            spark, path,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            commit_ts=100,
+        )
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            commit_ts=200,
+        )
+        rollback_iceberg(path, s1, commit_ts=300)
+        # keep=1 by timestamp would pick s2 and EXPIRE the snapshot
+        # current-snapshot-id points at — the rescue must keep s1 so
+        # the very next read does not hit a dangling pointer
+        expire_snapshots(spark, path, keep=1)
+        assert {r["k"] for r in read_iceberg(spark, path).collect()} == {1}
+
+    def test_concurrent_commit_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            IcebergConcurrentWriteError, write_iceberg,
+        )
+
+        path = str(tmp_path / "cc1")
+        df = spark.createDataFrame([(1, 10)], "k long, v long")
+        write_iceberg(spark, path, df, commit_ts=100)
+        # simulate a racing writer that already published the next
+        # metadata version: our commit must LOSE LOUDLY, not clobber
+        md = os.path.join(path, "metadata")
+        with open(os.path.join(md, "version-hint.text")) as f:
+            cur_v = int(f.read().strip())
+        with open(os.path.join(md, f"v{cur_v + 1}.metadata.json"), "w") as f:
+            f.write("{}")
+        with pytest.raises(IcebergConcurrentWriteError):
+            write_iceberg(spark, path, df, commit_ts=200)
+
+    def test_changelog_dropped_files_respect_eq_deletes(
+        self, spark, tmp_path
+    ):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, read_iceberg_changes, write_iceberg,
+        )
+
+        path = str(tmp_path / "cl5")
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(i, i * 10) for i in range(4)],
+                                  "k long, v long"),
+            commit_ts=100,
+        )
+        sd = delete_rows_equality(spark, path, [{"k": 2}], cols=["k"],
+                                  commit_ts=200)
+        # overwrite drops the original data file: rows ALREADY
+        # eq-deleted at the previous snapshot must not re-emit
+        so = write_iceberg(
+            spark, path,
+            spark.createDataFrame([(9, 90)], "k long, v long"),
+            mode="overwrite", commit_ts=300,
+        )
+        feed = read_iceberg_changes(spark, path).collect()
+        dels = sorted(
+            (r["_snapshot_id"], r["k"]) for r in feed
+            if r["_change_type"] == "delete"
+        )
+        assert dels == [(sd, 2), (so, 0), (so, 1), (so, 3)]

@@ -251,3 +251,31 @@ class TestDataSourceSchemaEvolution:
         df = spark.read.format("iceberg_lite").load(path)
         got = {r["k"]: r["w"] for r in df.collect()}
         assert got == {1: None, 2: "x"}
+
+
+class TestIdModeRejected:
+    def test_column_mapping_id_mode_raises(self, registered, tmp_path):
+        """mode='id' resolves columns by parquet FIELD ID — delta_lite
+        reads by physicalName, which would silently return wrong/null
+        columns; it must refuse, mirroring deltalog.read_delta."""
+        import json
+        import os
+
+        spark = registered
+        path = str(tmp_path / "idm")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1, "a")], "k long, s string"),
+                    commit_ts=100, column_mapping=True)
+        # rewrite the metaData action's mapping mode to 'id'
+        log = os.path.join(path, "_delta_log")
+        f0 = os.path.join(log, f"{0:020d}.json")
+        lines = [json.loads(x) for x in open(f0) if x.strip()]
+        for a in lines:
+            md = a.get("metaData")
+            if md:
+                md["configuration"]["delta.columnMapping.mode"] = "id"
+        with open(f0, "w") as fh:
+            for a in lines:
+                fh.write(json.dumps(a) + "\n")
+        with pytest.raises(Exception, match="id"):
+            spark.read.format("delta_lite").load(path).collect()
