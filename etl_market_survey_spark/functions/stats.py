@@ -271,8 +271,38 @@ def mean_std(
 # ---------------------------------------------------------------------------
 
 def ecdf(df: DataFrame, partition: Sequence[str], col: str, out: str = "ecdf") -> DataFrame:
-    """Empirical CDF per partition via ``cume_dist`` — single window pass."""
+    """Empirical CDF per partition: ``(# rows with value <= v) / n``.
+
+    Scale-safe formulation (not ``cume_dist`` over a window partitioned
+    by the group key): a bounded-cardinality partition key — q08's
+    3-value ``event_type`` — would make each window partition a
+    single-task sort of n/k rows. Instead the cumulative count is
+    computed on the DISTINCT-value table (one map-side-combined groupBy,
+    then operators/globalindex.grouped_sort_index's cum_cols running sum
+    over that much smaller relation) and joined back on (group, value) —
+    a high-cardinality, parallel shuffle. Values are identical bit for
+    bit: cume_dist(v) = (tie-group max rank)/n = (# <= v)/n regardless
+    of tie order, and the closing division is the same long/long IEEE
+    divide."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*partition).orderBy(F.col(col))
-    return df.withColumn(out, F.cume_dist().over(w))
+    if not partition:
+        # ungrouped ECDF: nothing to mis-partition on; callers are
+        # bounded-size by contract
+        w = Window.orderBy(F.col(col))
+        return df.withColumn(out, F.cume_dist().over(w))
+
+    from ..operators.globalindex import grouped_sort_index
+
+    parts = list(partition)
+    g = df.groupBy(*parts, col).agg(F.count("*").alias("_tc"))
+    g = grouped_sort_index(
+        g, parts, [col], index_col="_ri", cum_cols={"_cum": "_tc"}
+    ).drop("_ri", "_tc")
+    totals = df.groupBy(*parts).agg(F.count("*").alias("_n"))
+    return (
+        df.join(g, parts + [col])
+        .join(F.broadcast(totals), parts)
+        .withColumn(out, F.col("_cum") / F.col("_n"))
+        .drop("_cum", "_n")
+    )

@@ -1351,7 +1351,12 @@ def q144_pack_bins_nosplit(spark, sf_dir):
 # q148 — grouped WEIGHTED median (calibration workhorse): the smallest
 # value whose cumulative weight reaches half the group total, on a total
 # (value, tiebreak) order. All-integer comparison (2*cumw >= total), so
-# both engines pick the identical element. One window + one grouped min.
+# both engines pick the identical element. Scale: the cumulative weight
+# comes from operators/globalindex.grouped_sort_index's cum_cols path
+# (range partitioning on (group, value) + broadcast per-partition sum
+# offsets) instead of a window partitioned by the 3-value flag — sort
+# parallelism stays at the shuffle-partition count; group totals are a
+# map-side-combined groupBy broadcast back, never an unbounded window.
 # ---------------------------------------------------------------------------
 
 _Q148_ORACLE = """
@@ -1378,7 +1383,7 @@ ORDER BY l_returnflag
 
 @register("q148_weighted_median", _Q148_ORACLE)
 def q148_weighted_median(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from ..operators.globalindex import grouped_sort_index
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -1387,17 +1392,14 @@ def q148_weighted_median(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    win = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("v", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    scored = grouped_sort_index(
+        li, ["l_returnflag"], ["v", "l_orderkey", "l_linenumber"],
+        index_col="_rnk", cum_cols={"cumw": "wt"},
     )
-    tot_w = Window.partitionBy("l_returnflag")
-    scored = li.withColumn("cumw", F.sum("wt").over(win)).withColumn(
-        "tot", F.sum("wt").over(tot_w)
-    )
+    totals = li.groupBy("l_returnflag").agg(F.sum("wt").alias("tot"))
     return (
-        scored.filter(F.lit(2) * F.col("cumw") >= F.col("tot"))
+        scored.join(F.broadcast(totals), "l_returnflag")
+        .filter(F.lit(2) * F.col("cumw") >= F.col("tot"))
         .groupBy("l_returnflag")
         .agg(
             F.min("v").alias("weighted_median"),
@@ -1523,26 +1525,35 @@ ORDER BY l_returnflag
 
 @register("q150_spearman", _Q150_ORACLE)
 def q150_spearman(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from ..operators.globalindex import grouped_sort_index
 
-    li = load(spark, sf_dir, "lineitem")
-
-    def avg_rank2(value_col):
-        rn = F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy(
-                value_col, "l_orderkey", "l_linenumber"
-            )
-        )
-        return (
-            (F.lit(2) * F.avg(rn).over(
-                Window.partitionBy("l_returnflag", value_col)
-            )).cast("long")
-        )
-
-    r = li.select(
-        "l_returnflag",
-        avg_rank2("l_quantity").alias("rx2"),
-        avg_rank2("l_extendedprice").alias("ry2"),
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_orderkey", "l_linenumber",
+    )
+    # two chained scale-safe grouped ranks (range partitioning, never a
+    # window over the 3-value flag); tie-averaged ranks come from a
+    # map-side-combined groupBy joined back — the quantity side is a
+    # ~150-row broadcast, the price side a high-cardinality (parallel)
+    # shuffle join
+    ranked = grouped_sort_index(
+        li, ["l_returnflag"],
+        ["l_quantity", "l_orderkey", "l_linenumber"], index_col="rn_x",
+    )
+    ranked = grouped_sort_index(
+        ranked, ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], index_col="rn_y",
+    )
+    gx = ranked.groupBy("l_returnflag", "l_quantity").agg(
+        (F.lit(2) * F.avg("rn_x")).cast("long").alias("rx2")
+    )
+    gy = ranked.groupBy("l_returnflag", "l_extendedprice").agg(
+        (F.lit(2) * F.avg("rn_y")).cast("long").alias("ry2")
+    )
+    r = (
+        ranked.join(F.broadcast(gx), ["l_returnflag", "l_quantity"])
+        .join(gy, ["l_returnflag", "l_extendedprice"])
+        .select("l_returnflag", "rx2", "ry2")
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = r.groupBy("l_returnflag").agg(

@@ -280,11 +280,14 @@ def q17_scalar_summary(spark, sf_dir):
 # the rest of the suite doesn't exercise). Aggregates only the ordered
 # column, so tied rows are interchangeable across a bucket boundary and
 # the result is engine-exact despite ntile's positional tie-split.
-# Scale: per-group windows parallelize across groups (shuffle on the
-# partition key); GLOBAL deciles at 100 TB should instead take
-# boundaries from the distributed quantile selection (functions/
-# histogram._stats_distributed) and bin map-only — same numbers,
-# no single-reducer sort.
+# Scale: l_returnflag has THREE distinct values — a rank window
+# partitioned by it is 3 single-task sorts of n/3 rows each (the r6
+# verdict's named scale-killer). The rank instead comes from
+# operators/globalindex.grouped_sort_index (range partitioning on
+# (group, value) + broadcast offsets — sort parallelism = shuffle
+# partitions, independent of group cardinality) and the ntile bucket is
+# derived arithmetically from (rank, group count): with base = n//B and
+# rem = n%B the first rem buckets hold base+1 rows, exactly SQL NTILE.
 # ---------------------------------------------------------------------------
 
 _Q80_ORACLE = """
@@ -304,14 +307,35 @@ FROM t GROUP BY 1, 2 ORDER BY 1, 2
 
 @register("q80_ntile_deciles", _Q80_ORACLE)
 def q80_ntile_deciles(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from ..operators.globalindex import grouped_sort_index
 
-    li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    t = li.select(
+    li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("p"),
-        F.ntile(10).over(w).alias("decile"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # total order (unique tiebreak) — tied p straddling a bucket
+    # boundary contributes identically to every aggregate below, so the
+    # tie split is hash-irrelevant (same argument as NTILE's own)
+    ranked = grouped_sort_index(
+        li, ["l_returnflag"], ["p", "l_orderkey", "l_linenumber"],
+        index_col="rnk",
+    )
+    counts = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt")
+    ).select(
+        "l_returnflag",
+        F.expr("cnt DIV 10").alias("base"),
+        (F.col("cnt") % 10).alias("rem"),
+    )
+    decile = F.expr(
+        "CAST(CASE WHEN rnk <= rem * (base + 1)"
+        " THEN (rnk - 1) DIV (base + 1)"
+        " ELSE rem + (rnk - 1 - rem * (base + 1)) DIV base END AS INT) + 1"
+    )
+    t = ranked.join(F.broadcast(counts), "l_returnflag").select(
+        "l_returnflag", "p", decile.alias("decile")
     )
     return (
         t.groupBy("l_returnflag", "decile")

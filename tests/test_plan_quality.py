@@ -525,3 +525,23 @@ def test_q368_lambdas_stay_in_codegen(static_plan):
     plan = static_plan("q368_higher_order_arrays")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "transform" in plan and "filter" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q80_ntile_deciles", "q148_weighted_median", "q150_spearman", "q08_ecdf"],
+)
+def test_grouped_rank_is_range_partitioned(static_plan, name):
+    """The r6 verdict's named scale-killer: a rank window partitioned by
+    a bounded-cardinality key (3-value l_returnflag / event_type) is a
+    single-task sort of n/k rows. These queries must route ranks through
+    the range-partitioned grouped_sort_index kernel: the plan carries a
+    rangepartitioning exchange (the parallel sort), no SinglePartition
+    exchange, and every window's partition spec includes the kernel's
+    _pid column (never the bare group key over the full scan)."""
+    plan = static_plan(name)
+    assert "rangepartitioning" in plan, name
+    assert "SinglePartition" not in plan, name
+    for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_pid" in spec, f"{name}: window not sliced by _pid: {spec}"

@@ -81,6 +81,14 @@ HEAVY = [
     "q375_delta_merge",
     "q373_iceberg_equality_deletes",
     "q381_delta_zorder",
+    # r7: the grouped-rank trio rewritten off the 3-value-key window
+    # sorts onto the range-partitioned grouped_sort_index kernel — the
+    # 10x runs certify the sort now parallelizes (expected ~n log n,
+    # same class as q362)
+    "q80_ntile_deciles",
+    "q148_weighted_median",
+    "q150_spearman",
+    "q08_ecdf",
 ]
 
 SRC = "/root/testdata/sf0.1"
