@@ -5214,3 +5214,81 @@ def q381_delta_zorder(spark, sf_dir):
         (F.col("k").between(klo, khi)) & (F.col("c").between(clo, chi))
     )
     return agg(box, "box").unionByName(agg(full, "full")).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# q382 — Delta CDF `_change_data` SIDECARS (sources/deltalog.merge_delta
+# + read_delta_changes): a table created with
+# delta.enableChangeDataFeed=true gets protocol "Add CDC File" actions
+# from MERGE — the feed then carries ROW-exact
+# update_preimage/update_postimage pairing (old AND new values of every
+# updated row), which the log-derived fallback cannot reconstruct from
+# a copy-on-write rewrite. The MERGE updates k%21==0 rows (tp doubled —
+# exact in IEEE, a power-of-two scale) and inserts the k%3==1 slice;
+# the gate aggregates (change_type, priority) with cent-exact sums, so
+# a feed that dropped the preimage, mispaired values, or leaked the
+# rewrite's kept rows breaks the hash. Partitioned by priority, so the
+# sidecars exercise the partitioned _change_data layout.
+# ---------------------------------------------------------------------------
+
+_Q382_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders
+),
+ch AS (
+  SELECT 'update_preimage' AS ct, pr, tp FROM o WHERE k % 21 = 0
+  UNION ALL
+  SELECT 'update_postimage', pr, tp * 2 FROM o WHERE k % 21 = 0
+  UNION ALL
+  SELECT 'insert', pr, tp FROM o WHERE k % 3 = 1
+)
+SELECT ct AS change_type, pr AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS total_cents
+FROM ch GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q382_delta_cdf_sidecar", _Q382_ORACLE)
+def q382_delta_cdf_sidecar(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_cdfsc_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_delta(
+        spark, path, o.filter(F.col("k") % 3 == 0), partition_col="pr",
+        commit_ts=100, properties={"delta.enableChangeDataFeed": "true"},
+    )                                                              # v0
+    src = (
+        o.filter(F.col("k") % 21 == 0)
+        .withColumn("tp", F.col("tp") * 2)                        # updates
+        .unionByName(o.filter(F.col("k") % 3 == 1))               # inserts
+    )
+    merge_delta(spark, path, src, ["k"], commit_ts=200)           # v1
+    feed = read_delta_changes(spark, path, 1)
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("pr").alias("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("change_type", "o_orderpriority")
+    )

@@ -575,8 +575,14 @@ def write_delta(
     txn_version: int | None = None,
     column_mapping: bool = False,
     merge_schema: bool = False,
+    properties: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to a Delta table; returns the new version.
+
+    ``properties``: table configuration entries (e.g.
+    ``{"delta.enableChangeDataFeed": "true"}``) — honored on table
+    CREATION only (the first commit's metaData action); later writes
+    inherit the table's configuration.
 
     Schema enforcement + evolution (the Delta contract): an append
     missing table columns or changing a column's type is REJECTED; an
@@ -758,6 +764,15 @@ def write_delta(
             schema_string = schema.json()
             config = {}
             proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if properties:
+            config = {**config, **{k: str(v) for k, v in properties.items()}}
+            if config.get("delta.enableChangeDataFeed") == "true":
+                # CDF is a writer feature (protocol: changeDataFeed,
+                # minWriterVersion 4); readers are unaffected
+                proto = dict(proto)
+                proto["minWriterVersion"] = max(
+                    int(proto.get("minWriterVersion", 2)), 4
+                )
         actions.append({"protocol": proto})
         actions.append(
             {
@@ -1362,6 +1377,46 @@ def _scan_logical_with_file(
     return out.drop("_dv_pos")
 
 
+def _scan_cdc(spark: SparkSession, path: str, snap, entries: list[dict]):
+    """Logical rows of ``cdc`` sidecar entries: physical->logical
+    column mapping and typed partition re-attachment (the
+    :func:`_scan_logical_with_file` shape, minus DV handling — sidecars
+    carry no deletion vectors), plus the embedded ``_change_type``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = snap.schema()
+    pcols = snap.partition_columns
+    phys = snap.physical_names()
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable)
+         for f in data_fields]
+        + [StructField("_change_type", StringType(), False)]
+    )
+    cols = [f.name for f in schema.fields]
+    by_part: dict[tuple, list[str]] = {}
+    for e in entries:
+        pv = e.get("partitionValues") or {}
+        key = tuple(pv.get(phys.get(c, c)) for c in pcols)
+        by_part.setdefault(key, []).append(os.path.join(path, e["path"]))
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    pieces = []
+    for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*files)
+        df = df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in data_fields],
+            "_change_type",
+        )
+        for c, raw in zip(pcols, key):
+            df = df.withColumn(c, _typed_partition_lit(raw, ptypes[c]))
+        pieces.append(df.select(*(cols + ["_change_type"])))
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def read_delta_changes(
     spark: SparkSession,
     path: str,
@@ -1373,10 +1428,14 @@ def read_delta_changes(
     default latest), as table columns + ``_change_type``
     ('insert'/'delete') + ``_commit_version`` + ``_commit_timestamp``.
 
-    Derivation granularity (the honest contract): without
-    ``_change_data`` sidecar files there is no update pre/post pairing,
-    so a copy-on-write rewrite (MERGE) surfaces as file-granular
-    delete+insert — exactly what engines emit for non-CDF tables.
+    Commits carrying ``cdc`` actions (written by :func:`merge_delta` on
+    tables with ``delta.enableChangeDataFeed=true``) are read from their
+    ``_change_data`` sidecar files EXCLUSIVELY, per the protocol — these
+    carry the row-exact ``update_preimage``/``update_postimage`` pairing
+    a copy-on-write rewrite cannot be reconstructed into. For commits
+    without cdc actions the feed is log-derived (the fallback contract):
+    no update pairing, so a MERGE on a non-CDF table surfaces as
+    file-granular delete+insert — exactly what engines emit there.
     DELETION-VECTOR commits, though, are ROW-exact: the feed is the
     position delta between the old and new bitmap (grown = deletes,
     shrunk = re-inserts, e.g. after RESTORE), semi-joined back to the
@@ -1436,6 +1495,22 @@ def read_delta_changes(
                 cur_state.pop(a["remove"]["path"], None)
         cur_adds = dict(cur_state)
         ts = _commit_timestamp(path, v, actions_of[v])
+        cdc_entries = [a["cdc"] for a in actions_of[v] if "cdc" in a]
+        if cdc_entries:
+            # protocol rule: when a commit has cdc actions, its changes
+            # come ONLY from the sidecar files (adds/removes of the same
+            # commit describe the rewrite, not the logical delta)
+            rows = _scan_cdc(spark, path, snap_end, cdc_entries)
+            pieces.append(
+                rows.select(
+                    *cols,
+                    F.col("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.lit(ts).cast("long").alias("_commit_timestamp"),
+                )
+            )
+            prev_adds = cur_adds
+            continue
         ins_entries = [
             a for rel, a in cur_adds.items()
             if rel not in prev_adds and a.get("dataChange", True)
@@ -1600,12 +1675,24 @@ def merge_delta(
         touched = set()
 
     # 3. the new row set: surviving rows of touched files (+ updated
-    # values) + not-matched inserts
+    # values) + not-matched inserts. When the table has
+    # delta.enableChangeDataFeed=true, the SAME frames feed the CDC
+    # sidecar (protocol "Add CDC File"): matched rows pair as
+    # update_preimage/update_postimage — the row-exact pairing the
+    # log-derived feed cannot reconstruct from a copy-on-write rewrite.
+    cdf_on = (
+        (snap.metadata.get("configuration") or {})
+        .get("delta.enableChangeDataFeed") == "true"
+    )
     parts = []
+    cdc_parts = []
     if touched:
         t_rows = tgt.filter(F.col("_file").isin(sorted(touched)))
         kept = t_rows.join(src.select(*on), on, "left_anti").select(*cols)
         parts.append(kept)
+        matched_old = (
+            t_rows.join(src.select(*on), on, "left_semi").select(*cols)
+        )
         if when_matched == "update":
             updated = (
                 t_rows.select(*on)
@@ -1613,9 +1700,28 @@ def merge_delta(
                 .select(*cols)
             )
             parts.append(updated)
+            if cdf_on:
+                cdc_parts.append(
+                    matched_old.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                cdc_parts.append(
+                    updated.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+        elif when_matched == "delete" and cdf_on:
+            cdc_parts.append(
+                matched_old.withColumn("_change_type", F.lit("delete"))
+            )
     if when_not_matched == "insert":
         inserted = src.join(tgt.select(*on), on, "left_anti").select(*cols)
         parts.append(inserted)
+        if cdf_on:
+            cdc_parts.append(
+                inserted.withColumn("_change_type", F.lit("insert"))
+            )
     if not touched and when_not_matched is None:
         return snap.version  # nothing matched, nothing to insert
 
@@ -1687,8 +1793,80 @@ def merge_delta(
                 }
             }
         )
+    if cdf_on and cdc_parts:
+        cdc_df = cdc_parts[0]
+        for cp in cdc_parts[1:]:
+            cdc_df = cdc_df.unionByName(cp)
+        cdc_stage = cdc_df.select(
+            *[F.col(c).alias(phys.get(c, c)) for c in cols], "_change_type"
+        )
+        for rel, pv in _stage_cdc(
+            spark, path, cdc_stage,
+            phys.get(pcols[0], pcols[0]) if pcols else None, new_version,
+        ):
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "dataChange": False,
+                    }
+                }
+            )
     _write_commit(path, new_version, actions)
     return new_version
+
+
+def _stage_cdc(
+    spark: SparkSession,
+    path: str,
+    cdc_df: DataFrame,
+    pcol: str | None,
+    new_version: int,
+) -> list[tuple[str, dict]]:
+    """Stage CDC rows under ``_change_data/`` (the protocol's sidecar
+    directory — VACUUM never touches it because cdc paths appear in no
+    ``add`` action). Partitioned tables get one sidecar per partition
+    value, mirroring the data-file layout; rows physically carry the
+    table's data columns (physical names) plus ``_change_type``.
+    Returns [(rel, partitionValues)]."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cdc_dir = "_change_data"
+    if pcol is None:
+        rel = f"{cdc_dir}/cdc-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+        _write_single_parquet(cdc_df.coalesce(1), os.path.join(path, rel))
+        return [(rel, {})]
+    from urllib.parse import unquote
+
+    stage = os.path.join(path, f".stage-cdc-{uuid.uuid4().hex}")
+    (
+        cdc_df.repartition(F.col(pcol))
+        .write.partitionBy(pcol)
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    out = []
+    for sp in sorted(
+        _glob.glob(os.path.join(stage, f"{pcol}=*", "part-*.parquet"))
+    ):
+        pv_dir = os.path.basename(os.path.dirname(sp))
+        raw = pv_dir.split("=", 1)[1]
+        pv = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+        rel = (
+            f"{cdc_dir}/{pv_dir}/"
+            f"cdc-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+        )
+        dest = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(sp, dest)
+        out.append((rel, {pcol: pv}))
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
 
 
 def compact(

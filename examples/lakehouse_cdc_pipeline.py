@@ -8,10 +8,15 @@ proving the copy-on-write and merge-on-read halves of the trade agree:
        Iceberg -> upsert       (merge-on-read: equality-delete + append)
   3. assert the two tables' final logical content is IDENTICAL
   4. read each side's change stream:
-       Delta   -> change data feed (read_delta_changes)
+       Delta   -> change data feed (read_delta_changes — the table is
+                  created with delta.enableChangeDataFeed=true, so the
+                  MERGE emits _change_data SIDECARS and the feed
+                  carries row-exact update_preimage/update_postimage
+                  PAIRING: old and new values of every updated key)
        Iceberg -> changelog scan   (read_iceberg_changes)
-     and assert each feed REPLAYS its own table: seed ⊎ inserts ∖
-     deletes == final state, per format
+     and assert each feed REPLAYS its own table — and, for Delta, that
+     every updated key appears as exactly one (preimage, postimage)
+     pair whose preimage is the seed row
   5. stream the Delta table through the REGISTERED delta_lite source
      (exactly-once version offsets) into parquet and assert the drained
      rows equal the batch read
@@ -61,8 +66,9 @@ def main() -> None:
         F.col("o_totalprice").alias("tp"),
     )
 
-    # 1. same seed into both formats
-    write_delta(spark, dpath, seed.orderBy("k"), commit_ts=100)
+    # 1. same seed into both formats (Delta with CDF sidecars on)
+    write_delta(spark, dpath, seed.orderBy("k"), commit_ts=100,
+                properties={"delta.enableChangeDataFeed": "true"})
     iseed = write_iceberg(spark, ipath, seed.orderBy("k"), commit_ts=100)
 
     # 2. one upsert batch: every k%5==0 key re-priced, new keys added
@@ -87,13 +93,27 @@ def main() -> None:
         (r["_change_type"], r)
         for r in read_delta_changes(spark, dpath, 1).collect()
     ]
-    # Delta MERGE is file-granular in the feed: apply deletes first
+    # CDF sidecars: removals are update_preimage (paired) or delete
     d_state = set(seed_rows)
-    for ct, r in sorted(d_feed, key=lambda x: x[0] != "delete"):
+    removing = ("delete", "update_preimage")
+    for ct, r in sorted(d_feed, key=lambda x: x[0] not in removing):
         t = (r["k"], r["pr"], r["tp"])
-        (d_state.discard if ct == "delete" else d_state.add)(t)
+        (d_state.discard if ct in removing else d_state.add)(t)
     assert d_state == d_rows, "Delta CDF does not replay the table"
-    print(f"Delta CDF replays: {len(d_feed)} change rows")
+    # row-exact pairing: every updated key has exactly one preimage
+    # (the seed row) and one postimage (the new row)
+    pre = {r["k"]: (r["pr"], r["tp"]) for ct, r in d_feed
+           if ct == "update_preimage"}
+    post = {r["k"]: (r["pr"], r["tp"]) for ct, r in d_feed
+            if ct == "update_postimage"}
+    assert set(pre) == set(post) and pre, "unpaired updates in the feed"
+    seed_by_k = {t[0]: (t[1], t[2]) for t in seed_rows}
+    assert all(pre[k] == seed_by_k[k] for k in pre), \
+        "preimage is not the pre-MERGE row"
+    assert all(post[k] == ("UPSERTED", seed_by_k[k][1] * 2.0)
+               for k in post), "postimage is not the merged row"
+    print(f"Delta CDF replays: {len(d_feed)} change rows, "
+          f"{len(pre)} row-exact update pairs")
 
     i_feed = read_iceberg_changes(
         spark, ipath,

@@ -1308,3 +1308,87 @@ class TestLazySnapshotLoad:
         # pre-answer commits were read exactly once each
         assert reads[:2] == [4, 3]
         assert sorted(set(reads)) == [0, 1, 2, 3, 4]
+
+
+class TestChangeDataFeedSidecars:
+    """Protocol 'Add CDC File': MERGE on a delta.enableChangeDataFeed
+    table writes _change_data sidecars with update_preimage/postimage
+    pairing; the reader uses them EXCLUSIVELY for that commit."""
+
+    def _mk_cdf(self, spark, path, n=12):
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(n)], "k long, v long"
+        )
+        write_delta(spark, path, df, commit_ts=100,
+                    properties={"delta.enableChangeDataFeed": "true"})
+        return df
+
+    def test_update_pairing_row_exact(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, read_delta_changes,
+        )
+
+        path = str(tmp_path / "cdf1")
+        self._mk_cdf(spark, path)
+        src = spark.createDataFrame(
+            [(3, 333), (7, 777), (50, 500)], "k long, v long"
+        )
+        merge_delta(spark, path, src, ["k"], commit_ts=200)
+        feed = {
+            (r["_change_type"], r["k"], r["v"])
+            for r in read_delta_changes(spark, path, 1).collect()
+        }
+        assert feed == {
+            ("update_preimage", 3, 30), ("update_postimage", 3, 333),
+            ("update_preimage", 7, 70), ("update_postimage", 7, 777),
+            ("insert", 50, 500),
+        }
+
+    def test_delete_clause_and_layout(self, spark, tmp_path):
+        import glob
+        import os
+
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, read_delta_changes, vacuum,
+        )
+
+        path = str(tmp_path / "cdf2")
+        self._mk_cdf(spark, path)
+        src = spark.createDataFrame([(2,), (5,)], "k long")
+        merge_delta(spark, path, src, ["k"], when_matched="delete",
+                    when_not_matched=None, commit_ts=200)
+        feed = {
+            (r["_change_type"], r["k"])
+            for r in read_delta_changes(spark, path, 1).collect()
+        }
+        assert feed == {("delete", 2), ("delete", 5)}
+        # sidecars live under _change_data/ and survive VACUUM (their
+        # paths appear in no add action)
+        side = glob.glob(os.path.join(path, "_change_data", "*.parquet"))
+        assert side
+        vacuum(spark, path, keep_versions=1)
+        assert all(os.path.exists(f) for f in side)
+
+    def test_non_cdf_table_stays_log_derived(self, spark, tmp_path):
+        import glob
+        import os
+
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, read_delta_changes,
+        )
+
+        path = str(tmp_path / "cdf3")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "k long, v long"
+        )
+        write_delta(spark, path, df, commit_ts=100)  # CDF off
+        merge_delta(spark, path,
+                    spark.createDataFrame([(1, 111)], "k long, v long"),
+                    ["k"], commit_ts=200)
+        assert not glob.glob(os.path.join(path, "_change_data", "*"))
+        cts = {
+            r["_change_type"]
+            for r in read_delta_changes(spark, path, 1).collect()
+        }
+        # honest fallback: file-granular delete+insert, no pairing
+        assert cts == {"insert", "delete"}
