@@ -5292,3 +5292,73 @@ def q382_delta_cdf_sidecar(spark, sf_dir):
         )
         .orderBy("change_type", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q383 — Iceberg HIDDEN PARTITIONING (sources/iceberg_transforms +
+# write_iceberg partition_transform): a bucket[8]-partitioned table on
+# the spec's exact murmur3 (Appendix-B golden-pinned). The reader's
+# partition_filter is keyed by SOURCE values; the transform is applied
+# at plan time, so non-matching buckets are never listed (asserted in
+# tests/test_iceberg.py + the q383 plan gate via inputFiles). The gate
+# reads (a) a source-value-pruned slice with its exact residual and
+# (b) the full table, so a bucket function that disagreed with the
+# manifest tuples (rows landing in the wrong bucket => pruned away)
+# breaks the hash. Oracle family of q366: plain SQL over orders.
+# ---------------------------------------------------------------------------
+
+_Q383_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders
+),
+sel AS (SELECT * FROM o WHERE k % 1000 = 0)
+SELECT 'full' AS slice_tag, pr AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS total_cents
+FROM o GROUP BY 1, 2
+UNION ALL
+SELECT 'pruned', pr,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+FROM sel GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q383_iceberg_bucket_transform", _Q383_ORACLE)
+def q383_iceberg_bucket_transform(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import read_iceberg, write_iceberg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_icebkt_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_iceberg(spark, path, o, partition_col="k",
+                  partition_transform="bucket[8]", commit_ts=100)
+    # the keys a consumer knows (bounded by contract: k % 1000 == 0)
+    keys = [r["k"] for r in o.filter(F.col("k") % 1000 == 0)
+            .select("k").collect()]
+    pruned = read_iceberg(
+        spark, path, partition_filter={"k": keys}
+    ).filter(F.col("k").isin(keys))
+    full = read_iceberg(spark, path)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("slice_tag"), "*")
+
+    return (
+        agg(full, "full")
+        .unionByName(agg(pruned, "pruned"))
+        .orderBy("slice_tag", "o_orderpriority")
+    )

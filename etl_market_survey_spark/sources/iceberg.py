@@ -40,6 +40,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .avro import read_avro_records, write_avro_file
 from .deltalog import _write_single_parquet
+from .iceberg_transforms import (
+    parse_transform,
+    partition_field_name,
+    result_ice_type,
+    transform_expr,
+    transform_value,
+)
 
 # ---------------------------------------------------------------------------
 # spec schemas (v1 subset; field ids per the spec tables)
@@ -353,11 +360,46 @@ def read_iceberg(
     pos_deletes = [f for f in delete_files if f.get("content") == 1]
     eq_deletes = [f for f in delete_files if f.get("content") == 2]
     if partition_filter:
+        # TRANSFORM-AWARE pruning: a filter keyed by the SOURCE column
+        # of a transformed spec field (bucket/truncate/days) has the
+        # spec transform applied to its values, so callers filter by
+        # the values they know — hidden partitioning's whole point.
+        # Filters keyed by the partition FIELD name compare raw.
+        meta0 = _load_metadata(path)
+        spec_fields = (meta0.get("partition-specs") or [{}])[0].get(
+            "fields", []
+        )
+        sfields = (
+            meta0.get("schema") or (meta0.get("schemas") or [{}])[0]
+        ).get("fields", [])
+        id2name = {f["id"]: f["name"] for f in sfields}
+        id2type = {f["id"]: f["type"] for f in sfields}
+        resolved: dict[str, set] = {}
+        for k, vals in partition_filter.items():
+            fld = next((sf for sf in spec_fields if sf["name"] == k), None)
+            if fld is None:
+                fld = next(
+                    (sf for sf in spec_fields
+                     if id2name.get(sf["source-id"]) == k),
+                    None,
+                )
+                if fld is None:
+                    raise ValueError(
+                        f"{k!r} matches no partition field or source "
+                        f"column of the partition spec"
+                    )
+                kind, param = parse_transform(fld["transform"])
+                vals = [
+                    transform_value(kind, param, v,
+                                    id2type[fld["source-id"]])
+                    for v in vals
+                ]
+            resolved[fld["name"]] = set(vals)
         files = [
             f for f in files
             if all(
-                (f.get("partition") or {}).get(k) in set(vals)
-                for k, vals in partition_filter.items()
+                (f.get("partition") or {}).get(k) in vals
+                for k, vals in resolved.items()
             )
         ]
     if stats_filter:
@@ -723,6 +765,7 @@ def write_iceberg(
     *,
     mode: str = "append",
     partition_col: str | None = None,
+    partition_transform: str = "identity",
     commit_ts: int = 0,
     merge_schema: bool = False,
 ) -> int:
@@ -731,6 +774,16 @@ def write_iceberg(
     ``mode='append'`` adds files; ``'overwrite'`` starts the file set
     fresh. Deterministic by contract (caller-supplied ``commit_ts``,
     snapshot ids derived from the version counter).
+
+    ``partition_transform``: the spec's HIDDEN-partitioning function
+    applied to ``partition_col`` — ``'identity'`` (default),
+    ``'bucket[N]'`` (spec murmur3 over the serialized value),
+    ``'truncate[W]'``, or ``'days'``. The partition tuple in the
+    manifests holds the TRANSFORMED value under the conventional field
+    name (``<col>_bucket`` etc.); data files still physically contain
+    the source column, so reads need no re-attachment, and
+    ``read_iceberg``'s ``partition_filter`` prunes transform-aware
+    (filter by SOURCE values; the reader applies the spec transform).
 
     Schema enforcement + evolution: a write missing table columns or
     changing a column's type is rejected; NEW columns need
@@ -749,19 +802,43 @@ def write_iceberg(
         cur_v, meta = 0, None
 
     schema = df.schema
-    pcols = [partition_col] if partition_col else []
+    t_kind, t_param = parse_transform(partition_transform)
+    if t_kind != "identity" and not partition_col:
+        raise ValueError("partition_transform requires partition_col")
+    pfield = (
+        partition_field_name(partition_col, t_kind) if partition_col else None
+    )
+    pcols = [pfield] if pfield else []
     if meta is not None:
-        prev_pcols = [
-            f["name"]
-            for f in (meta.get("partition-specs") or [{}])[0].get("fields", [])
-        ]
+        prev_fields = (meta.get("partition-specs") or [{}])[0].get(
+            "fields", []
+        )
+        prev_pcols = [f["name"] for f in prev_fields]
         if pcols != prev_pcols:
             if partition_col is None and prev_pcols:
+                # inherit the table's spec: source column via source-id
+                pf = prev_fields[0]
+                t_kind, t_param = parse_transform(pf["transform"])
+                sfields = (
+                    meta.get("schema") or (meta.get("schemas") or [{}])[0]
+                ).get("fields", [])
+                partition_col = next(
+                    f["name"] for f in sfields
+                    if f["id"] == pf["source-id"]
+                )
+                pfield = pf["name"]
                 pcols = prev_pcols
-                partition_col = prev_pcols[0]
-            elif pcols != prev_pcols:
+            else:
                 raise ValueError(
                     f"partitioning mismatch: table has {prev_pcols}"
+                )
+        elif prev_fields:
+            prev_t = prev_fields[0]["transform"]
+            if prev_t != (
+                f"{t_kind}[{t_param}]" if t_param is not None else t_kind
+            ):
+                raise ValueError(
+                    f"partition transform mismatch: table has {prev_t}"
                 )
 
     new_v = cur_v + 1
@@ -816,16 +893,21 @@ def write_iceberg(
     ordered = [f["name"] for f in ice_fields]
     df = df.select(*ordered)
     schema = _ST([_SF(n, schema[n].dataType, True) for n in ordered])
-    pf_meta = [
-        {
-            "name": c,
-            "id": 1000 + i,
-            "avro_type": _ICE_TO_AVRO[
-                _SPARK_TO_ICE[schema[c].dataType.simpleString()]
-            ],
-        }
-        for i, c in enumerate(pcols)
-    ]
+    src_ice_type = (
+        _SPARK_TO_ICE[schema[partition_col].dataType.simpleString()]
+        if partition_col else None
+    )
+    res_ice_type = (
+        result_ice_type(t_kind, src_ice_type) if partition_col else None
+    )
+    pf_meta = (
+        [{
+            "name": pfield,
+            "id": 1000,
+            "avro_type": _ICE_TO_AVRO.get(res_ice_type, "string"),
+        }]
+        if partition_col else []
+    )
 
     # ---- data files (identity partitioning keeps columns IN the files).
     # One shuffle+write job for ALL partitions (a duplicated "_pk" dir
@@ -834,7 +916,15 @@ def write_iceberg(
     # aggregate — never a per-partition driver loop (same batching as
     # deltalog._stage_partitioned; measured ~25% there).
     entries = []
-    staged = _stage_iceberg_files(spark, path, df, partition_col)
+    pexpr = (
+        transform_expr(partition_col, t_kind, t_param, src_ice_type)
+        if partition_col else None
+    )
+    staged = _stage_iceberg_files(
+        spark, path, df, partition_col,
+        pexpr=pexpr, pfield=pfield,
+        pv_caster=_pv_caster_ice(res_ice_type) if partition_col else None,
+    )
     for rel, pv, bounds, n in staged:
         entries.append(
             {
@@ -844,7 +934,7 @@ def write_iceberg(
                 "data_file": {
                     "file_path": rel,
                     "file_format": "PARQUET",
-                    "partition": {partition_col: pv} if partition_col else {},
+                    "partition": {pfield: pv} if partition_col else {},
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(path, rel)
@@ -924,16 +1014,19 @@ def write_iceberg(
         "partition-specs": [
             {
                 "spec-id": 0,
-                "fields": [
-                    {
-                        "name": c,
-                        "transform": "identity",
+                "fields": (
+                    [{
+                        "name": pfield,
+                        "transform": (
+                            f"{t_kind}[{t_param}]" if t_param is not None
+                            else t_kind
+                        ),
                         "source-id": [f["id"] for f in ice_fields
-                                      if f["name"] == c][0],
-                        "field-id": 1000 + i,
-                    }
-                    for i, c in enumerate(pcols)
-                ],
+                                      if f["name"] == partition_col][0],
+                        "field-id": 1000,
+                    }]
+                    if partition_col else []
+                ),
             }
         ],
         "current-snapshot-id": snap_id,
@@ -985,7 +1078,10 @@ def delete_partitions(
         (f for f in schema_fields if f.get("id") == spec_field.get("source-id")),
         None,
     )
-    avro_type = _ICE_TO_AVRO.get((src or {}).get("type"), "string")
+    kind, _param = parse_transform(spec_field.get("transform", "identity"))
+    avro_type = _ICE_TO_AVRO.get(
+        result_ice_type(kind, (src or {}).get("type")), "string"
+    )
     pf_meta = [
         {
             "name": pcols[0],
@@ -1363,9 +1459,26 @@ def _pv_caster(dtype):
     return str
 
 
-def _stage_iceberg_files(spark, path, df, pcol):
+def _pv_caster_ice(ice_type: str | None):
+    if ice_type in ("int", "long"):
+        return int
+    if ice_type in ("double", "float"):
+        return float
+    if ice_type == "boolean":
+        return lambda raw: raw == "true"
+    return str
+
+
+def _stage_iceberg_files(spark, path, df, pcol, *, pexpr=None, pfield=None,
+                         pv_caster=None):
     """One-job staged write for all partitions; returns
-    [(rel, partition_value, bounds_json, record_count)]."""
+    [(rel, partition_value, bounds_json, record_count)].
+
+    ``pexpr``: the partition-key Column (the spec TRANSFORM of
+    ``pcol``; identity when absent). Data files keep the SOURCE column
+    physically (hidden partitioning — ``partitionBy`` strips only the
+    duplicated ``_pk`` key); directory layout and manifest partition
+    tuples carry the transformed value under ``pfield``."""
     import glob as _glob
     import shutil
     from urllib.parse import unquote
@@ -1374,9 +1487,10 @@ def _stage_iceberg_files(spark, path, df, pcol):
 
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
     if pcol:
+        key = pexpr if pexpr is not None else F.col(pcol)
         (
-            df.withColumn("_pk", F.col(pcol))
-            .repartition(F.col(pcol))
+            df.withColumn("_pk", key)
+            .repartition(F.col("_pk"))
             .write.partitionBy("_pk")
             .mode("overwrite")
             .parquet(stage)
@@ -1387,7 +1501,11 @@ def _stage_iceberg_files(spark, path, df, pcol):
         pattern = os.path.join(stage, "part-*.parquet")
     staged_files = sorted(_glob.glob(pattern))
     bounds_by_file = _batch_bounds(spark, staged_files, df.schema)
-    caster = _pv_caster(df.schema[pcol].dataType) if pcol else None
+    if pcol:
+        caster = pv_caster or _pv_caster(df.schema[pcol].dataType)
+        dirname = pfield or pcol
+    else:
+        caster = dirname = None
     out = []
     for sp in staged_files:
         if pcol:
@@ -1396,7 +1514,7 @@ def _stage_iceberg_files(spark, path, df, pcol):
                 None if raw == "__HIVE_DEFAULT_PARTITION__"
                 else caster(unquote(raw))
             )
-            rel = f"data/{pcol}={pv}/{uuid.uuid4().hex}.parquet"
+            rel = f"data/{dirname}={pv}/{uuid.uuid4().hex}.parquet"
         else:
             pv, rel = None, f"data/{uuid.uuid4().hex}.parquet"
         dest = os.path.join(path, rel)

@@ -826,3 +826,130 @@ class TestAtomicCommitsAndExpiry:
             if r["_change_type"] == "delete"
         )
         assert dels == [(sd, 2), (so, 0), (so, 1), (so, 3)]
+
+
+class TestPartitionTransforms:
+    """Hidden partitioning (spec transforms): bucket[N] on the spec's
+    exact murmur3, truncate[W], days — writer spec emission, data files
+    keeping the SOURCE column, and transform-aware filter pruning."""
+
+    def test_spec_golden_hashes(self):
+        import datetime
+
+        from etl_market_survey_spark.sources.iceberg_transforms import (
+            hash_value,
+        )
+
+        # Iceberg spec Appendix B "32-bit Hash Requirements"
+        assert hash_value(34, "int") == 2017239379
+        assert hash_value(34, "long") == 2017239379
+        assert hash_value("iceberg", "string") == 1210000089
+        assert hash_value(datetime.date(2017, 11, 16), "date") == -653330422
+        assert hash_value(
+            datetime.datetime(2017, 11, 16, 22, 31, 8), "timestamp"
+        ) == -2047944441
+
+    def test_bucket_write_prune_and_hidden_column(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, snapshot_files, write_iceberg,
+        )
+        from etl_market_survey_spark.sources.iceberg_transforms import (
+            transform_value,
+        )
+
+        path = str(tmp_path / "tb1")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(64)], "k long, v long"
+        )
+        write_iceberg(spark, path, df, partition_col="k",
+                      partition_transform="bucket[8]", commit_ts=100)
+        files = snapshot_files(path)
+        assert {f["partition"]["k_bucket"] for f in files} <= set(range(8))
+        # manifest tuple matches the spec transform of file contents
+        out = read_iceberg(spark, path)
+        assert out.columns == ["k", "v"]  # source column physically kept
+        assert out.count() == 64
+        keys = [5, 41]
+        want = {transform_value("bucket", 8, k, "long") for k in keys}
+        pruned = read_iceberg(spark, path, partition_filter={"k": keys})
+        got_files = pruned.inputFiles()
+        assert got_files, "pruned scan lists no files"
+        assert all(
+            any(f"k_bucket={b}/" in f for b in want) for f in got_files
+        ), "non-matching buckets were read"
+        assert len(got_files) < len(files)
+        got = {r["k"] for r in pruned.collect()}
+        assert set(keys) <= got
+        # every surviving row's key really transforms into a wanted bucket
+        assert all(
+            transform_value("bucket", 8, k, "long") in want for k in got
+        )
+
+    def test_bucket_spark_expr_matches_driver_transform(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_market_survey_spark.sources.iceberg_transforms import (
+            transform_expr, transform_value,
+        )
+
+        df = spark.createDataFrame(
+            [(i * 48271 % 100003 - 50000,) for i in range(500)], "k long"
+        )
+        got = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", transform_expr("k", "bucket", 16, "long").alias("b")
+            ).collect()
+        }
+        for k, b in got.items():
+            assert b == transform_value("bucket", 16, k, "long"), k
+
+    def test_truncate_and_days(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, snapshot_files, write_iceberg,
+        )
+
+        path = str(tmp_path / "tt1")
+        df = spark.createDataFrame(
+            [(i - 10, f"w{i % 5}x{i}") for i in range(20)],
+            "k long, s string",
+        )
+        write_iceberg(spark, path, df, partition_col="k",
+                      partition_transform="truncate[10]", commit_ts=100)
+        parts = {f["partition"]["k_trunc"] for f in snapshot_files(path)}
+        assert parts == {-10, 0}  # floor division toward -inf
+        pruned = read_iceberg(spark, path, partition_filter={"k": [-3]})
+        assert all("k_trunc=-10" in f for f in pruned.inputFiles())
+
+        path2 = str(tmp_path / "td1")
+        ts = spark.sql(
+            "SELECT id AS k, timestamp_micros(CAST(id * 43200000000 AS LONG))"
+            " AS ts FROM range(8)"
+        )
+        write_iceberg(spark, path2, ts, partition_col="ts",
+                      partition_transform="days", commit_ts=100)
+        parts = {f["partition"]["ts_day"] for f in snapshot_files(path2)}
+        assert parts == {0, 1, 2, 3}  # two half-days per day
+        import datetime
+
+        pruned = read_iceberg(
+            spark, path2,
+            partition_filter={"ts": [datetime.datetime(1970, 1, 2, 1, 0)]},
+        )
+        assert all("ts_day=1" in f for f in pruned.inputFiles())
+
+    def test_append_inherits_and_mismatch_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "ti1")
+        df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+        write_iceberg(spark, path, df, partition_col="k",
+                      partition_transform="bucket[4]", commit_ts=100)
+        # bare append inherits the spec (column AND transform)
+        write_iceberg(spark, path, df, commit_ts=200)
+        assert read_iceberg(spark, path).count() == 20
+        with pytest.raises(ValueError, match="transform mismatch"):
+            write_iceberg(spark, path, df, partition_col="k",
+                          partition_transform="bucket[8]", commit_ts=300)

@@ -545,3 +545,30 @@ def test_grouped_rank_is_range_partitioned(static_plan, name):
     for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "_pid" in spec, f"{name}: window not sliced by _pid: {spec}"
+
+
+def test_q383_bucket_pruning_never_reads_other_buckets(spark):
+    """Hidden partitioning's scan contract: a source-value filter over
+    a bucket[8] spec lists ONLY files of the transformed buckets."""
+    from etl_market_survey_spark.plans import registry
+    from etl_market_survey_spark.sources.iceberg_transforms import (
+        transform_value,
+    )
+
+    df = registry.QUERIES["q383_iceberg_bucket_transform"](spark, SF)
+    df.collect()  # materialize so the table exists on disk
+    import hashlib
+
+    from etl_market_survey_spark.sources.iceberg import (
+        read_iceberg, snapshot_files,
+    )
+
+    path = f"/tmp/spark_graft_icebkt_{hashlib.md5(SF.encode()).hexdigest()[:10]}"
+    keys = [1000, 3000]
+    want = {transform_value("bucket", 8, k, "long") for k in keys}
+    pruned = read_iceberg(spark, path, partition_filter={"k": keys})
+    files = pruned.inputFiles()
+    assert files and all(
+        any(f"k_bucket={b}/" in f for b in want) for f in files
+    )
+    assert len(files) < len(snapshot_files(path))
