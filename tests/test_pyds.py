@@ -279,3 +279,58 @@ class TestIdModeRejected:
                 fh.write(json.dumps(a) + "\n")
         with pytest.raises(Exception, match="id"):
             spark.read.format("delta_lite").load(path).collect()
+
+
+class TestPartitionedStreamReader:
+    def test_stream_is_partition_planned(self):
+        """VERDICT r6 item 4: the stream side must be the partition-
+        planning DataSourceStreamReader (per-file executor reads), not
+        SimpleDataSourceStreamReader (driver-side micro-batches)."""
+        from pyspark.sql.datasource import DataSourceStreamReader
+
+        from etl_market_survey_spark.sources.pyds import (
+            _DeltaLiteStreamReader,
+        )
+
+        assert issubclass(_DeltaLiteStreamReader, DataSourceStreamReader)
+        # streamReader (not simpleStreamReader) is overridden
+        assert "streamReader" in DeltaLiteDataSource.__dict__
+        assert "simpleStreamReader" not in DeltaLiteDataSource.__dict__
+
+    def test_drain_parity_hash_vs_batch(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "pp1")
+        sink = str(tmp_path / "pp_sink")
+        ckpt = str(tmp_path / "pp_ckpt")
+        for i in range(3):  # 3 commits, partitioned -> many files
+            d = spark.createDataFrame(
+                [(i * 100 + j, str(j % 3)) for j in range(30)],
+                "k long, p string",
+            )
+            write_delta(spark, path, d, partition_col="p",
+                        commit_ts=100 * (i + 1))
+        # plan check: the reader plans one partition per live file
+        from etl_market_survey_spark.sources.pyds import (
+            _DeltaLiteStreamReader, _fold,
+        )
+
+        r = _DeltaLiteStreamReader(path, False, None)
+        parts = r.partitions({"version": -1}, r.latestOffset())
+        assert len(parts) == len(_fold(path)["adds"])
+        q = (
+            spark.readStream.format("delta_lite").load(path)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        drained = {
+            tuple(r) for r in spark.read.parquet(sink).collect()
+        }
+        batch = {
+            tuple(r)
+            for r in spark.read.format("delta_lite").load(path).collect()
+        }
+        assert drained == batch
