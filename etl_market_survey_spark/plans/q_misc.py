@@ -5362,3 +5362,93 @@ def q383_iceberg_bucket_transform(spark, sf_dir):
         .unionByName(agg(pruned, "pruned"))
         .orderBy("slice_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q384 — Delta OPTIMIZE ZORDER BY over THREE columns (the k>2
+# generalization: bit-interleaved Z-curve via operators/zorder.zk, grid
+# bits clamped to 62//k). Same gate family as q381: write orders
+# (k, c, tp), cluster on all three, read a 3-D box (stats-pruned +
+# exact residual) and the full table — a curve that mis-clustered any
+# dimension would still hash right (pruning is stats-decided), so the
+# pruning EFFECTIVENESS is asserted separately in
+# tests/test_deltalog.py::TestZOrder3Col against a linear-sort layout.
+# ---------------------------------------------------------------------------
+
+_Q384_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS tp FROM orders
+),
+spans AS (
+  SELECT MIN(k) + CAST(FLOOR(0.25 * (MAX(k) - MIN(k))) AS BIGINT) AS klo,
+         MIN(k) + CAST(FLOOR(0.50 * (MAX(k) - MIN(k))) AS BIGINT) AS khi,
+         MIN(c) + CAST(FLOOR(0.25 * (MAX(c) - MIN(c))) AS BIGINT) AS clo,
+         MIN(c) + CAST(FLOOR(0.50 * (MAX(c) - MIN(c))) AS BIGINT) AS chi,
+         MIN(tp) + 0.25 * (MAX(tp) - MIN(tp)) AS tlo,
+         MIN(tp) + 0.50 * (MAX(tp) - MIN(tp)) AS thi
+  FROM o
+),
+u AS (
+  SELECT 'full' AS tag, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents
+  FROM o
+  UNION ALL
+  SELECT 'box', COUNT(*), SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM o, spans
+  WHERE k BETWEEN klo AND khi AND c BETWEEN clo AND chi
+    AND tp BETWEEN tlo AND thi
+)
+SELECT tag, CAST(n AS BIGINT) AS n_rows, CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY tag
+"""
+
+
+@register("q384_delta_zorder3", _Q384_ORACLE)
+def q384_delta_zorder3(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import optimize_zorder, read_delta, write_delta
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_zorder3_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_delta(spark, path, o.orderBy("k"), commit_ts=100)
+    optimize_zorder(spark, path, ["k", "c", "tp"], n_files=16,
+                    commit_ts=200)
+
+    b = o.agg(
+        F.min("k"), F.max("k"), F.min("c"), F.max("c"),
+        F.min("tp"), F.max("tp"),
+    ).first()
+    klo = b[0] + int(0.25 * (b[1] - b[0]))
+    khi = b[0] + int(0.50 * (b[1] - b[0]))
+    clo = b[2] + int(0.25 * (b[3] - b[2]))
+    chi = b[2] + int(0.50 * (b[3] - b[2]))
+    tlo = b[4] + 0.25 * (b[5] - b[4])
+    thi = b[4] + 0.50 * (b[5] - b[4])
+
+    def agg(df, tag_):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("tag"), "*")
+
+    full = read_delta(spark, path)
+    box = read_delta(
+        spark, path,
+        stats_filter={"k": (klo, khi), "c": (clo, chi), "tp": (tlo, thi)},
+    ).filter(
+        F.col("k").between(klo, khi)
+        & F.col("c").between(clo, chi)
+        & F.col("tp").between(tlo, thi)
+    )
+    return agg(box, "box").unionByName(agg(full, "full")).orderBy("tag")

@@ -1110,13 +1110,20 @@ def optimize_zorder(
     commit_ts: int = 0,
     order: int = 16,
 ) -> int:
-    """OPTIMIZE ... ZORDER BY (col_a, col_b): rewrite the table's live
-    rows clustered along a HILBERT curve over the two columns, split
-    into ``n_files`` curve-contiguous files. Each file then covers a
-    compact 2-D region, so its min/max stats are tight on BOTH columns
-    and :func:`read_delta`'s ``stats_filter`` prunes box queries on
-    either or both dimensions — the reason ZORDER exists. A single
-    column degrades to a plain sort.
+    """OPTIMIZE ... ZORDER BY (cols): rewrite the table's live rows
+    clustered along a space-filling curve over 1-4 columns, split into
+    ``n_files`` curve-contiguous files. Each file then covers a compact
+    k-D region, so its min/max stats are tight on EVERY clustered
+    column and :func:`read_delta`'s ``stats_filter`` prunes box queries
+    on any subset of them — the reason ZORDER exists. One column
+    degrades to a plain sort; two use the HILBERT curve (locality-
+    optimal: consecutive indices are unit steps, no Morton diagonal
+    jumps); three and four use the bit-interleaved Z-curve
+    (:func:`..operators.zorder.zk` — Hilbert's rotate-flip state
+    machine generalizes via Gray-code transforms but buys little over
+    Morton above 2-D, the same trade engines make), with per-dimension
+    grid bits clamped to ``62 // k`` so the index stays a positive
+    signed long.
 
     Logical content is unchanged (``dataChange: false``, like
     :func:`compact`): deletion vectors are materialized by the rewrite
@@ -1136,8 +1143,8 @@ def optimize_zorder(
 
     from ..operators.hilbert import with_hilbert
 
-    if not 1 <= len(cols) <= 2:
-        raise ValueError("zorder takes 1 or 2 columns")
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder takes 1 to 4 columns")
     snap = load_snapshot(spark, path)
     snap.check_reader_support()
     pcols = snap.partition_columns
@@ -1151,8 +1158,10 @@ def optimize_zorder(
     phys = snap.physical_names()
 
     df = read_delta(spark, path)  # logical rows, DVs applied
-    grid = (1 << order) - 1
-    if len(cols) == 1:
+    k = len(cols)
+    bits = order if k <= 2 else min(order, 62 // k)
+    grid = (1 << bits) - 1
+    if k == 1:
         df = df.withColumn("_zd", F.col(cols[0]).cast("double"))
     else:
         aggs = []
@@ -1169,8 +1178,15 @@ def optimize_zorder(
                 * F.lit(float(grid))
             ).cast("long")
         df = df.withColumns(scaled)
-        df = with_hilbert(df, f"_g_{cols[0]}", f"_g_{cols[1]}",
-                          out_col="_zd", order=order)
+        if k == 2:
+            df = with_hilbert(df, f"_g_{cols[0]}", f"_g_{cols[1]}",
+                              out_col="_zd", order=bits)
+        else:
+            from ..operators.zorder import zk
+
+            df = df.withColumn(
+                "_zd", zk([f"_g_{c}" for c in cols], bits=bits)
+            )
         df = df.drop(*[f"_g_{c}" for c in cols])
 
     from pyspark.sql.types import StructField, StructType

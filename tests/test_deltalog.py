@@ -1392,3 +1392,70 @@ class TestChangeDataFeedSidecars:
         }
         # honest fallback: file-granular delete+insert, no pairing
         assert cts == {"insert", "delete"}
+
+
+class TestZOrder3Col:
+    def test_3col_zorder_prunes_where_linear_sort_cannot(
+        self, spark, tmp_path
+    ):
+        """Pruning effectiveness of the k=3 Z-curve: a box filter on
+        the two NON-LEADING columns must touch strictly fewer files
+        than the linear (k-sorted) layout, which only clusters its
+        leading column. Correctness is stats-decided either way; this
+        pins the layout's reason to exist."""
+        from etl_market_survey_spark.sources.deltalog import (
+            load_snapshot, optimize_zorder, read_delta, write_delta,
+        )
+
+        n = 20000
+        df = spark.range(n).selectExpr(
+            "id AS k",
+            "CAST((id * 48271) % 10007 AS LONG) AS c",
+            "CAST((id * 16807) % 7919 AS DOUBLE) AS tp",
+        )
+
+        def n_files_for_box(path):
+            snap = load_snapshot(spark, path)
+            total = len(snap.adds)
+            box = read_delta(
+                spark, path,
+                stats_filter={"c": (1000, 2000), "tp": (1000.0, 2000.0)},
+            )
+            return len(box.inputFiles()), total
+
+        zpath = str(tmp_path / "z3")
+        write_delta(spark, zpath, df, commit_ts=100)
+        optimize_zorder(spark, zpath, ["k", "c", "tp"], n_files=32,
+                        commit_ts=200)
+        z_touched, z_total = n_files_for_box(zpath)
+
+        lpath = str(tmp_path / "lin")
+        write_delta(spark, lpath, df, commit_ts=100)
+        optimize_zorder(spark, lpath, ["k"], n_files=32, commit_ts=200)
+        l_touched, l_total = n_files_for_box(lpath)
+
+        assert z_total == l_total == 32
+        assert l_touched == 32  # linear layout: c/tp spread everywhere
+        assert z_touched < l_touched // 2, (z_touched, l_touched)
+        # content identical regardless of layout
+        a = {tuple(r) for r in read_delta(spark, zpath).collect()}
+        b = {tuple(r) for r in read_delta(spark, lpath).collect()}
+        assert a == b and len(a) == n
+
+    def test_4col_and_too_many_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            optimize_zorder, read_delta, write_delta,
+        )
+
+        path = str(tmp_path / "z4")
+        df = spark.range(500).selectExpr(
+            "id AS a", "id * 3 % 101 AS b", "id * 7 % 103 AS c",
+            "id * 11 % 107 AS d",
+        )
+        write_delta(spark, path, df, commit_ts=100)
+        optimize_zorder(spark, path, ["a", "b", "c", "d"], n_files=4,
+                        commit_ts=200)
+        assert read_delta(spark, path).count() == 500
+        with pytest.raises(ValueError, match="1 to 4"):
+            optimize_zorder(spark, path, ["a", "b", "c", "d", "a"],
+                            commit_ts=300)

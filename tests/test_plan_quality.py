@@ -572,3 +572,32 @@ def test_q383_bucket_pruning_never_reads_other_buckets(spark):
         any(f"k_bucket={b}/" in f for b in want) for f in files
     )
     assert len(files) < len(snapshot_files(path))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q370_delta_deletion_vectors",
+        "q371_iceberg_position_deletes",
+        "q373_iceberg_equality_deletes",
+        "q375_delta_merge",
+        "q376_iceberg_upsert",
+        "q377_delta_change_feed",
+        "q378_iceberg_changelog",
+        "q379_delta_lite_datasource",
+        "q380_iceberg_lite_datasource",
+        "q381_delta_zorder",
+        "q382_delta_cdf_sidecar",
+        "q383_iceberg_bucket_transform",
+    ],
+)
+def test_r6_no_cartesian_and_codegen(static_plan, name):
+    """Round-6/7 lakehouse batch (VERDICT r6 item 5): the returned
+    frame's plan must stay JVM-side with no cartesian and no
+    unsanctioned nested-loop join. (q372/q374 are codec round-trips
+    whose gates return local comparison tables — no scan plan to
+    assert.)"""
+    plan = static_plan(name)
+    assert "CartesianProduct" not in plan, name
+    assert re.search(r"\*\(\d+\)", plan), name
+    assert "BroadcastNestedLoopJoin" not in plan, name
