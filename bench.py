@@ -74,6 +74,7 @@ HEADLINE = [
     "q143_df_prune",
     "q148_weighted_median",
     "q150_spearman",
+    "q80_ntile_deciles",
     "q163_shipping_priority",
     "q164_local_supplier_volume",
     # r2: TPC-H completion + ML/behavior families
@@ -167,11 +168,17 @@ HEADLINE = [
     "q379_delta_lite_datasource",
     "q380_iceberg_lite_datasource",
     "q381_delta_zorder",
+    "q382_delta_cdf_sidecar",
+    "q383_iceberg_bucket_transform",
+    "q384_delta_zorder3",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)
 N_RUNS_NOISY = 5    # total runs for queries whose 3-run spread > ...
 SPREAD_FLAG = 1.5   # ... this ratio (VERDICT r5 item 3)
+N_RUNS_MAX = 9      # escalation cap for stubborn >2x spreads ...
+SPREAD_HARD = 2.0   # ... (VERDICT r6 item 6: median-of-7+ before
+                    # conceding a query's spread to ambient load)
 
 
 def materialize(df) -> None:
@@ -251,16 +258,40 @@ def main() -> None:
         for name in flagged:
             all_runs[name].append(one_run(registry.QUERIES[name])[0])
 
+    def trimmed_spread(runs: list[float]) -> float:
+        rs = sorted(runs)
+        if len(rs) >= N_RUNS_NOISY:
+            # trimmed ratio: one outlier run allowed each side
+            return rs[-2] / rs[1] if rs[1] > 0 else 1.0
+        return rs[-1] / rs[0] if rs[0] > 0 else 1.0
+
+    # ESCALATION (VERDICT r6 item 6): queries whose TRIMMED spread is
+    # still > 2x get further interleaved rounds (median-of-7/9) — a
+    # transient load window then has to poison most of 9 time-separated
+    # runs to move the median. Queries that stay >2x at the cap are
+    # annotated as ambient suspects in the sidecar rather than trusted.
+    while True:
+        stubborn = [
+            n for n in HEADLINE
+            if len(all_runs[n]) < N_RUNS_MAX
+            and trimmed_spread(all_runs[n]) > SPREAD_HARD
+        ]
+        if not stubborn:
+            break
+        for _ in range(2):
+            for name in stubborn:
+                if len(all_runs[name]) < N_RUNS_MAX:
+                    all_runs[name].append(one_run(registry.QUERIES[name])[0])
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    ambient_suspect: list[str] = []
     for name in HEADLINE:
         runs = sorted(all_runs[name])
         timings[name] = round(median(runs), 3)
-        if len(runs) >= N_RUNS_NOISY:
-            # trimmed ratio: one outlier run allowed each side
-            spreads[name] = round(runs[-2] / runs[1], 2) if runs[1] > 0 else 1.0
-        else:
-            spreads[name] = round(runs[-1] / runs[0], 2) if runs[0] > 0 else 1.0
+        spreads[name] = round(trimmed_spread(runs), 2)
+        if spreads[name] > SPREAD_HARD:
+            ambient_suspect.append(name)
         print(
             f"# {name}: {nrows[name]} rows median {timings[name]}s "
             f"(spread {spreads[name]}x over {len(runs)} runs)",
@@ -294,6 +325,11 @@ def main() -> None:
             {
                 "sf": sf,
                 "spread": spreads,
+                # queries still > 2x trimmed spread after 9 interleaved
+                # runs: their medians are honest but an ambient load
+                # window overlapped most of the session — do not read a
+                # round-over-round regression from these
+                "ambient_suspect": sorted(ambient_suspect),
                 "runs": {k: [round(v, 3) for v in vs]
                          for k, vs in all_runs.items()},
             },
