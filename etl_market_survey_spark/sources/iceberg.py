@@ -157,6 +157,39 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
     }
 
 
+def _pf_meta_for_keys(meta: dict, keys: frozenset) -> tuple[list, int]:
+    """Reconstruct the partition Avro fields (+ spec id) for a set of
+    partition FIELD names, from the table's spec catalog — used to
+    carry forward manifests written under an OLDER partition spec
+    (spec evolution: entries keep their original tuple shape)."""
+    from .iceberg_transforms import parse_transform, result_ice_type
+
+    schema_fields = (
+        meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    ).get("fields", [])
+    by_id = {f["id"]: f for f in schema_fields}
+    for spec in meta.get("partition-specs") or []:
+        names = {f["name"] for f in spec.get("fields", [])}
+        if names == set(keys):
+            out = []
+            for f in spec["fields"]:
+                kind, _param = parse_transform(
+                    f.get("transform", "identity")
+                )
+                src = by_id.get(f.get("source-id")) or {}
+                out.append({
+                    "name": f["name"],
+                    "id": f.get("field-id", 1000),
+                    "avro_type": _ICE_TO_AVRO.get(
+                        result_ice_type(kind, src.get("type")), "string"
+                    ),
+                })
+            return out, spec["spec-id"]
+    if not keys:
+        return [], 0
+    raise ValueError(f"no partition spec matches fields {sorted(keys)}")
+
+
 _SPARK_TO_ICE = {
     "long": "long", "bigint": "long", "int": "int", "integer": "int",
     "string": "string", "double": "double", "float": "float",
@@ -366,9 +399,10 @@ def read_iceberg(
         # the values they know — hidden partitioning's whole point.
         # Filters keyed by the partition FIELD name compare raw.
         meta0 = _load_metadata(path)
-        spec_fields = (meta0.get("partition-specs") or [{}])[0].get(
-            "fields", []
-        )
+        spec_fields = [
+            f for sp in (meta0.get("partition-specs") or [{}])
+            for f in sp.get("fields", [])
+        ]
         sfields = (
             meta0.get("schema") or (meta0.get("schemas") or [{}])[0]
         ).get("fields", [])
@@ -398,7 +432,8 @@ def read_iceberg(
         files = [
             f for f in files
             if all(
-                (f.get("partition") or {}).get(k) in vals
+                k not in (f.get("partition") or {})  # older-spec file:
+                or (f.get("partition") or {}).get(k) in vals  # keep
                 for k, vals in resolved.items()
             )
         ]
@@ -768,6 +803,7 @@ def write_iceberg(
     partition_transform: str = "identity",
     commit_ts: int = 0,
     merge_schema: bool = False,
+    allow_spec_evolution: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -784,6 +820,14 @@ def write_iceberg(
     the source column, so reads need no re-attachment, and
     ``read_iceberg``'s ``partition_filter`` prunes transform-aware
     (filter by SOURCE values; the reader applies the spec transform).
+
+    ``allow_spec_evolution``: a write whose (column, transform) differs
+    from the table's current DEFAULT spec appends a NEW spec to the
+    catalog (fresh spec-id, default-spec-id advanced) instead of
+    raising — the spec's partition evolution. Prior manifests keep
+    their original tuple shape (carried forward as separate manifests
+    per key set); pruning skips files whose spec lacks the filtered
+    field (conservative keep).
 
     Schema enforcement + evolution: a write missing table columns or
     changing a column's type is rejected; NEW columns need
@@ -809,11 +853,19 @@ def write_iceberg(
         partition_field_name(partition_col, t_kind) if partition_col else None
     )
     pcols = [pfield] if pfield else []
+    spec_evolved = False
+    prior_specs = list((meta or {}).get("partition-specs") or [])
     if meta is not None:
-        prev_fields = (meta.get("partition-specs") or [{}])[0].get(
-            "fields", []
+        default_id = (meta.get("default-spec-id")
+                      if meta.get("default-spec-id") is not None
+                      else (prior_specs[-1]["spec-id"] if prior_specs else 0))
+        cur_spec = next(
+            (sp for sp in prior_specs if sp["spec-id"] == default_id),
+            {"spec-id": 0, "fields": []},
         )
+        prev_fields = cur_spec.get("fields", [])
         prev_pcols = [f["name"] for f in prev_fields]
+        new_t = f"{t_kind}[{t_param}]" if t_param is not None else t_kind
         if pcols != prev_pcols:
             if partition_col is None and prev_pcols:
                 # inherit the table's spec: source column via source-id
@@ -828,17 +880,19 @@ def write_iceberg(
                 )
                 pfield = pf["name"]
                 pcols = prev_pcols
+            elif allow_spec_evolution:
+                spec_evolved = True
             else:
                 raise ValueError(
                     f"partitioning mismatch: table has {prev_pcols}"
                 )
-        elif prev_fields:
-            prev_t = prev_fields[0]["transform"]
-            if prev_t != (
-                f"{t_kind}[{t_param}]" if t_param is not None else t_kind
-            ):
+        elif prev_fields and prev_fields[0]["transform"] != new_t:
+            if allow_spec_evolution:
+                spec_evolved = True
+            else:
                 raise ValueError(
-                    f"partition transform mismatch: table has {prev_t}"
+                    "partition transform mismatch: table has "
+                    f"{prev_fields[0]['transform']}"
                 )
 
     new_v = cur_v + 1
@@ -900,10 +954,18 @@ def write_iceberg(
     res_ice_type = (
         result_ice_type(t_kind, src_ice_type) if partition_col else None
     )
+    _pf_field_id = 1000 + (
+        (max(sp["spec-id"] for sp in prior_specs) + 1)
+        if spec_evolved and prior_specs
+        else (
+            (meta or {}).get("default-spec-id") or 0 if meta is not None
+            else 0
+        )
+    )
     pf_meta = (
         [{
             "name": pfield,
-            "id": 1000,
+            "id": _pf_field_id,
             "avro_type": _ICE_TO_AVRO.get(res_ice_type, "string"),
         }]
         if partition_col else []
@@ -946,18 +1008,58 @@ def write_iceberg(
 
     # carry forward prior live files on append — EXISTING entries keep
     # their ORIGINAL data sequence number explicitly (spec inheritance
-    # rule), so older equality deletes still scope correctly around them
+    # rule), so older equality deletes still scope correctly around
+    # them. Entries whose partition TUPLE SHAPE differs from the new
+    # spec (spec evolution) cannot share the new manifest's Avro
+    # partition record: they carry forward in their own manifests, one
+    # per key set, with the schema reconstructed from the spec catalog.
+    carried_rows = []
     if meta is not None and mode == "append":
+        new_keys = frozenset([pfield]) if pfield else frozenset()
+        groups: dict[frozenset, list] = {}
         for fentry in snapshot_files(path):
-            entries.append(
+            ks = frozenset((fentry.get("partition") or {}).keys())
+            e = {
+                "status": 0,
+                "snapshot_id": None,
+                "sequence_number": fentry.pop("_seq", 0),
+                "data_file": fentry,
+            }
+            if ks == new_keys:
+                entries.append(e)
+            else:
+                groups.setdefault(ks, []).append(e)
+        for ks, es in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
+            pfm, sid = _pf_meta_for_keys(meta, ks)
+            rel = f"metadata/manifest-{new_v:05d}-{uuid.uuid4().hex}.avro"
+            write_avro_file(
+                os.path.join(path, rel), _manifest_schema(pfm), es
+            )
+            carried_rows.append(
                 {
-                    "status": 0,
-                    "snapshot_id": None,
-                    "sequence_number": fentry.pop("_seq", 0),
-                    "data_file": fentry,
+                    "manifest_path": rel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                    "partition_spec_id": sid,
+                    "added_snapshot_id": snap_id,
+                    "content": 0,
+                    "sequence_number": new_v,
                 }
             )
 
+    if spec_evolved and prior_specs:
+        new_spec_id = max(sp["spec-id"] for sp in prior_specs) + 1
+    elif meta is not None and prior_specs:
+        # unchanged spec: new manifests are written under the table's
+        # current DEFAULT spec id, not 0
+        new_spec_id = (
+            meta.get("default-spec-id")
+            if meta.get("default-spec-id") is not None
+            else prior_specs[-1]["spec-id"]
+        )
+    else:
+        new_spec_id = 0
     man_rel = f"metadata/manifest-{new_v:05d}-{uuid.uuid4().hex}.avro"
     write_avro_file(
         os.path.join(path, man_rel), _manifest_schema(pf_meta), entries
@@ -966,12 +1068,12 @@ def write_iceberg(
         {
             "manifest_path": man_rel,
             "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
-            "partition_spec_id": 0,
+            "partition_spec_id": new_spec_id,
             "added_snapshot_id": snap_id,
             "content": 0,
             "sequence_number": new_v,
         }
-    ]
+    ] + carried_rows
     # append must keep prior DELETE manifests alive (with their original
     # sequence numbers) — dropping them would resurrect deleted rows;
     # overwrite starts the file set fresh, so deletes are retired with it
@@ -1011,9 +1113,9 @@ def write_iceberg(
         "last-updated-ms": commit_ts,
         "last-column-id": last_id,
         "schema": {"type": "struct", "fields": ice_fields},
-        "partition-specs": [
+        "partition-specs": prior_specs + [
             {
-                "spec-id": 0,
+                "spec-id": new_spec_id,
                 "fields": (
                     [{
                         "name": pfield,
@@ -1023,12 +1125,20 @@ def write_iceberg(
                         ),
                         "source-id": [f["id"] for f in ice_fields
                                       if f["name"] == partition_col][0],
-                        "field-id": 1000,
+                        # spec rule: partition field ids are unique
+                        # across the table's spec history
+                        "field-id": _pf_field_id,
                     }]
                     if partition_col else []
                 ),
             }
-        ],
+        ] if (spec_evolved or not prior_specs) else prior_specs,
+        "default-spec-id": new_spec_id if (
+            spec_evolved or not prior_specs
+        ) else (meta or {}).get(
+            "default-spec-id",
+            prior_specs[-1]["spec-id"] if prior_specs else 0,
+        ),
         "current-snapshot-id": snap_id,
         "snapshots": ((meta or {}).get("snapshots") or []) + [snapshot],
     }
@@ -1046,49 +1156,43 @@ def delete_partitions(
     marks matching files DELETED and carries the rest as EXISTING."""
     cur_v = _current_version(path)
     meta = _load_metadata(path, cur_v)
-    pcols = [
-        f["name"]
-        for f in (meta.get("partition-specs") or [{}])[0].get("fields", [])
-    ]
+    specs = meta.get("partition-specs") or [{}]
+    did = (meta.get("default-spec-id")
+           if meta.get("default-spec-id") is not None
+           else specs[-1].get("spec-id", 0))
+    cur_spec = next(
+        (sp for sp in specs if sp.get("spec-id", 0) == did), specs[0]
+    )
+    pcols = [f["name"] for f in cur_spec.get("fields", [])]
     if len(pcols) != 1:
         raise ValueError("delete_partitions needs one partition field")
     drop = set(partition_values)
     new_v = cur_v + 1
     snap_id = new_v
-    entries = []
+    entries = []          # entries shaped like the DEFAULT spec
+    other_groups: dict[frozenset, list] = {}  # spec-evolved carryovers
+    new_keys = frozenset(pcols)
     for fentry in snapshot_files(path):
-        dead = (fentry.get("partition") or {}).get(pcols[0]) in drop
-        entries.append(
-            {
-                "status": 2 if dead else 0,
-                "snapshot_id": snap_id if dead else None,
-                "sequence_number": fentry.pop("_seq", 0),
-                "data_file": fentry,
-            }
-        )
+        part = fentry.get("partition") or {}
+        ks = frozenset(part.keys())
+        # files of an OLDER spec lack the field: they cannot match a
+        # value-level delete on the current spec and carry forward live
+        dead = ks == new_keys and part.get(pcols[0]) in drop
+        e = {
+            "status": 2 if dead else 0,
+            "snapshot_id": snap_id if dead else None,
+            "sequence_number": fentry.pop("_seq", 0),
+            "data_file": fentry,
+        }
+        if ks == new_keys:
+            entries.append(e)
+        else:
+            other_groups.setdefault(ks, []).append(e)
     # Derive the partition's Avro type from the TABLE SCHEMA (spec
     # field source-id -> schema field id -> Iceberg type), never from a
     # sampled manifest entry — a null first entry or mixed entries would
     # mistype non-string partition values and crash the Avro encoder.
-    spec_field = (meta.get("partition-specs") or [{}])[0]["fields"][0]
-    schema_fields = (
-        meta.get("schema") or (meta.get("schemas") or [{}])[0]
-    ).get("fields", [])
-    src = next(
-        (f for f in schema_fields if f.get("id") == spec_field.get("source-id")),
-        None,
-    )
-    kind, _param = parse_transform(spec_field.get("transform", "identity"))
-    avro_type = _ICE_TO_AVRO.get(
-        result_ice_type(kind, (src or {}).get("type")), "string"
-    )
-    pf_meta = [
-        {
-            "name": pcols[0],
-            "id": spec_field.get("field-id", 1000),
-            "avro_type": avro_type,
-        }
-    ]
+    pf_meta, _sid = _pf_meta_for_keys(meta, new_keys)
     man_rel = f"metadata/manifest-{new_v:05d}-{uuid.uuid4().hex}.avro"
     write_avro_file(
         os.path.join(path, man_rel), _manifest_schema(pf_meta), entries
@@ -1097,12 +1201,28 @@ def delete_partitions(
         {
             "manifest_path": man_rel,
             "manifest_length": os.path.getsize(os.path.join(path, man_rel)),
-            "partition_spec_id": 0,
+            "partition_spec_id": did,
             "added_snapshot_id": snap_id,
             "content": 0,
             "sequence_number": new_v,
         }
     ]
+    # spec-evolved carryovers: older-shape entries live on, one
+    # manifest per key set, under their own reconstructed schema
+    for ks, es in sorted(other_groups.items(), key=lambda kv: sorted(kv[0])):
+        pfm, sid = _pf_meta_for_keys(meta, ks)
+        rel = f"metadata/manifest-{new_v:05d}-{uuid.uuid4().hex}.avro"
+        write_avro_file(os.path.join(path, rel), _manifest_schema(pfm), es)
+        mlist_rows.append(
+            {
+                "manifest_path": rel,
+                "manifest_length": os.path.getsize(os.path.join(path, rel)),
+                "partition_spec_id": sid,
+                "added_snapshot_id": snap_id,
+                "content": 0,
+                "sequence_number": new_v,
+            }
+        )
     # keep row-delete manifests alive (original sequence numbers)
     snap_prev = _select_snapshot(meta, None, None)
     _, prior = read_avro_records(os.path.join(path, snap_prev["manifest-list"]))

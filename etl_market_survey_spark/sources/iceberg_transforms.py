@@ -5,6 +5,7 @@ functions real large Iceberg tables are laid out with:
     bucket[N]    (murmur3_x86_32(serialized value) & Int.MaxValue) % N
     truncate[W]  ints: v - (((v % W) + W) % W); strings: first W chars
     days         days from epoch (int) of a date/timestamp
+    hours        hours from epoch (int) of a timestamp
     identity     the value itself
 
 Hash serialization per Appendix B: int/long/date/timestamp all hash as
@@ -78,7 +79,7 @@ def parse_transform(t: str) -> tuple[str, int | None]:
         if n < 1:
             raise ValueError(f"bad transform param in {t!r}")
         return m.group(1), n
-    if t in ("identity", "days"):
+    if t in ("identity", "days", "hours"):
         return t, None
     raise ValueError(f"unsupported partition transform {t!r}")
 
@@ -90,6 +91,7 @@ def partition_field_name(col: str, kind: str) -> str:
         "bucket": f"{col}_bucket",
         "truncate": f"{col}_trunc",
         "days": f"{col}_day",
+        "hours": f"{col}_hour",
     }[kind]
 
 
@@ -97,12 +99,13 @@ def result_ice_type(kind: str, src_ice_type: str) -> str:
     """Iceberg type of the partition tuple value."""
     if kind == "bucket":
         return "int"
-    if kind == "days":
-        return "int"  # spec: date-typed, an int of days from epoch
+    if kind in ("days", "hours"):
+        return "int"  # spec: an int of days/hours from epoch
     return src_ice_type  # identity / truncate preserve the source type
 
 
 _EPOCH_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
 
 
 def _to_hash_long(v, src_ice_type: str) -> int:
@@ -146,16 +149,18 @@ def transform_value(kind: str, param: int | None, v, src_ice_type: str):
             return str(v)[:param]
         iv = int(v)
         return iv - (((iv % param) + param) % param)
-    if kind == "days":
+    if kind in ("days", "hours"):
         import datetime
 
+        unit = _EPOCH_US if kind == "days" else _HOUR_US
         if isinstance(v, datetime.datetime):
             ts = v if v.tzinfo else v.replace(tzinfo=datetime.timezone.utc)
             us = int(ts.timestamp() * 1_000_000)
-            return us // _EPOCH_US
+            return us // unit
         if isinstance(v, datetime.date):
-            return (v - datetime.date(1970, 1, 1)).days
-        return int(v) // _EPOCH_US
+            d = (v - datetime.date(1970, 1, 1)).days
+            return d if kind == "days" else d * 24
+        return int(v) // unit
     raise ValueError(f"unsupported transform {kind}")
 
 
@@ -207,6 +212,11 @@ def transform_expr(col: str, kind: str, param: int | None,
         return F.datediff(
             F.col(col).cast("date"), F.lit("1970-01-01").cast("date")
         )
+    if kind == "hours":
+        # floor division toward -inf for pre-1970 timestamps
+        us = F.unix_micros(F.col(col))
+        h = F.lit(_HOUR_US).cast("long")
+        return ((us - (((us % h) + h) % h)) / h).cast("int")
     if kind == "bucket":
         from pyspark.sql.functions import pandas_udf
 

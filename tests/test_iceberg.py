@@ -953,3 +953,132 @@ class TestPartitionTransforms:
         with pytest.raises(ValueError, match="transform mismatch"):
             write_iceberg(spark, path, df, partition_col="k",
                           partition_transform="bucket[8]", commit_ts=300)
+
+
+class TestPartitionSpecEvolution:
+    """Spec evolution: a write with a different (column, transform)
+    appends a new spec (fresh spec-id, default advanced) when
+    allow_spec_evolution=True; older manifests keep their original
+    tuple shape and pruning is conservative across shapes."""
+
+    def _mixed(self, spark, path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        df = spark.createDataFrame(
+            [(i, f"c{i % 3}") for i in range(12)], "k long, cat string"
+        )
+        write_iceberg(spark, path, df, partition_col="cat", commit_ts=100)
+        write_iceberg(spark, path,
+                      df.selectExpr("k + 100 AS k", "cat"),
+                      partition_col="k", partition_transform="bucket[4]",
+                      commit_ts=200, allow_spec_evolution=True)
+        return df
+
+    def test_rejected_without_flag(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        path = str(tmp_path / "se0")
+        df = spark.createDataFrame([(1, "a")], "k long, cat string")
+        write_iceberg(spark, path, df, partition_col="cat", commit_ts=100)
+        with pytest.raises(ValueError, match="partitioning mismatch"):
+            write_iceberg(spark, path, df, partition_col="k",
+                          commit_ts=200)
+
+    def test_mixed_shapes_read_and_prune(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, snapshot_files, write_iceberg,
+        )
+
+        path = str(tmp_path / "se1")
+        self._mixed(spark, path)
+        out = read_iceberg(spark, path)
+        assert out.count() == 24
+        shapes = {
+            tuple(sorted((f.get("partition") or {}).keys()))
+            for f in snapshot_files(path)
+        }
+        assert shapes == {("cat",), ("k_bucket",)}
+        # spec catalog: two specs, default advanced, unique field ids
+        meta = json.loads(open(os.path.join(
+            path, "metadata",
+            f"v{int(open(os.path.join(path, 'metadata', 'version-hint.text')).read())}.metadata.json"
+        )).read())
+        specs = meta["partition-specs"]
+        assert [sp["spec-id"] for sp in specs] == [0, 1]
+        assert meta["default-spec-id"] == 1
+        fids = [f["field-id"] for sp in specs for f in sp["fields"]]
+        assert len(fids) == len(set(fids))
+        # conservative pruning: a 'cat' filter keeps new-spec files
+        pr = read_iceberg(spark, path, partition_filter={"cat": ["c1"]})
+        got = sorted(
+            r["k"] for r in pr.filter(F.col("cat") == "c1").collect()
+        )
+        assert got == [1, 4, 7, 10, 101, 104, 107, 110]
+        # a 'k' (bucket) filter keeps old-spec files
+        pr2 = read_iceberg(spark, path, partition_filter={"k": [105]})
+        assert 105 in {r["k"] for r in pr2.collect()}
+        assert len(pr2.inputFiles()) < len(snapshot_files(path))
+
+    def test_append_inherits_evolved_spec(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, snapshot_files, write_iceberg,
+        )
+
+        path = str(tmp_path / "se2")
+        df = self._mixed(spark, path)
+        write_iceberg(spark, path, df.selectExpr("k + 200 AS k", "cat"),
+                      commit_ts=300)
+        assert read_iceberg(spark, path).count() == 36
+        new_files = [
+            f for f in snapshot_files(path)
+            if "k_bucket" in (f.get("partition") or {})
+        ]
+        assert len(new_files) > 1  # both evolved writes used buckets
+
+    def test_delete_on_current_spec_keeps_old_shape_files(
+        self, spark, tmp_path
+    ):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_partitions, read_iceberg,
+        )
+        from etl_market_survey_spark.sources.iceberg_transforms import (
+            transform_value,
+        )
+
+        path = str(tmp_path / "se3")
+        self._mixed(spark, path)
+        b = transform_value("bucket", 4, 105, "long")
+        delete_partitions(spark, path, [b], commit_ts=300)
+        left = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert 105 not in left
+        assert all(k in left for k in range(12))  # old-shape untouched
+
+    def test_hours_transform(self, spark, tmp_path):
+        import datetime
+
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, snapshot_files, write_iceberg,
+        )
+
+        path = str(tmp_path / "hh1")
+        ts = spark.sql(
+            "SELECT id AS k, timestamp_micros(CAST(id * 1800000000 AS LONG))"
+            " AS ts FROM range(8)"  # half-hour steps
+        )
+        write_iceberg(spark, path, ts, partition_col="ts",
+                      partition_transform="hours", commit_ts=100)
+        parts = {f["partition"]["ts_hour"] for f in snapshot_files(path)}
+        assert parts == {0, 1, 2, 3}
+        pruned = read_iceberg(
+            spark, path,
+            partition_filter={"ts": [datetime.datetime(1970, 1, 1, 2, 10)]},
+        )
+        assert all("ts_hour=2" in f for f in pruned.inputFiles())
+        # spec Appendix-B example: 2017-11-16T22:31:08 -> hour 419686
+        from etl_market_survey_spark.sources.iceberg_transforms import (
+            transform_value,
+        )
+        assert transform_value(
+            "hours", None,
+            datetime.datetime(2017, 11, 16, 22, 31, 8), "timestamp",
+        ) == 419686
