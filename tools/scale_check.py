@@ -89,6 +89,11 @@ HEAVY = [
     "q148_weighted_median",
     "q150_spearman",
     "q08_ecdf",
+    # r7 lakehouse additions: CDF sidecar MERGE (write+pair+read),
+    # bucket-transform write + pruned read, 3-column Z-curve OPTIMIZE
+    "q382_delta_cdf_sidecar",
+    "q383_iceberg_bucket_transform",
+    "q384_delta_zorder3",
 ]
 
 SRC = "/root/testdata/sf0.1"
