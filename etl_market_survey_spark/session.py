@@ -28,6 +28,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         # Arrow for pandas_udf / applyInPandas / toPandas transfer.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python data-source filter pushdown (delta_lite prunes files
+        # by partition value / log stats inside pushFilters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Keep broadcast threshold default (10MB) — dims here are tiny.
         .config("spark.ui.enabled", "false")

@@ -27,7 +27,10 @@ Arrow rename.
 
 Semantics:
 - batch: live adds at the current version; DVs applied; partition
-  values attached as typed constants; column mapping translated.
+  values attached as typed constants; column mapping translated;
+  comparison filters PUSHED for file-level pruning (partition values
+  exactly, data columns via the log's min/max stats — rows keep the
+  Spark-side residual, the "partially pushed" contract).
 - streaming: micro-batch (v_start, v_end] = the rows of dataChange
   ``add`` files of those commits — the append-stream contract of the
   real Delta source. A commit carrying dataChange removes (MERGE,
@@ -233,7 +236,51 @@ def _read_file_partition(p: _FilePartition):
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
-class _DeltaLiteReader(DataSourceReader):
+def _interval_disjoint(lo, hi, flt) -> bool:
+    """True when a file's [lo, hi] column interval PROVABLY cannot
+    satisfy the filter — the only case that prunes. None bounds or
+    cross-type comparisons keep the file (conservative)."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+        LessThanOrEqual,
+    )
+
+    def cmp_ok(a, b):
+        try:
+            a < b  # noqa: B015 — probe comparability only
+            return True
+        except TypeError:
+            return False
+
+    v = getattr(flt, "value", None)
+    if isinstance(flt, In):
+        vals = [x for x in flt.value if x is not None]
+        if not vals or lo is None or hi is None:
+            return False
+        if not all(cmp_ok(lo, x) for x in vals):
+            return False
+        return all(x < lo or x > hi for x in vals)
+    if v is None or lo is None or hi is None or not cmp_ok(lo, v):
+        return False
+    if isinstance(flt, EqualTo):
+        return v < lo or v > hi
+    if isinstance(flt, GreaterThan):
+        return hi <= v
+    if isinstance(flt, GreaterThanOrEqual):
+        return hi < v
+    if isinstance(flt, LessThan):
+        return lo >= v
+    if isinstance(flt, LessThanOrEqual):
+        return lo > v
+    return False
+
+
+class _DeltaLitePlainReader(DataSourceReader):
+    """Pushdown-free batch reader — selected via
+    ``.option("pushdown", "false")`` for sessions where Spark's
+    ``spark.sql.python.filterPushdown.enabled`` is off (Spark rejects
+    any reader that IMPLEMENTS pushFilters under that conf)."""
+
     def __init__(self, path: str, version: int | None):
         self.path = path
         self.version = version
@@ -251,6 +298,89 @@ class _DeltaLiteReader(DataSourceReader):
                 a.get("deletionVector"), fields, phys, pcols,
             )
             for rel, a in sorted(snap["adds"].items())
+        ]
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+
+class _DeltaLiteReader(DataSourceReader):
+    def __init__(self, path: str, version: int | None):
+        self.path = path
+        self.version = version
+        self.pushed = []  # single-column comparison filters
+
+    def pushFilters(self, filters):
+        """FILE-level pruning (Spark 4.1 Python-source pushdown):
+        comparison filters on a single column prune files by partition
+        value (exact) or by the add entry's min/max stats (interval
+        test) in partitions(). Every filter is also RETURNED, i.e. kept
+        Spark-side — file pruning is coarse, rows still need the
+        residual evaluation, which is exactly the "partially pushed"
+        contract."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, In, GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual)
+            ) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            yield f
+
+    def _may_match(self, add, st, phys, pcols) -> bool:
+        from pyspark.sql.datasource import EqualTo, In
+
+        types = {f.name: json.loads(f.dataType.json()) for f in st.fields}
+        stats = None
+        if add.get("stats"):
+            try:
+                stats = json.loads(add["stats"])
+            except (TypeError, ValueError):
+                stats = None
+        for flt in self.pushed:
+            col = flt.attribute[0]
+            if col not in types:
+                continue
+            pname = phys.get(col, col)
+            if col in pcols:
+                raw = (add.get("partitionValues") or {}).get(pname)
+                val = _typed_partition_value(raw, types[col])
+                if val is None:
+                    # null partition satisfies no comparison filter
+                    return False
+                if isinstance(flt, EqualTo):
+                    if val != flt.value:
+                        return False
+                elif isinstance(flt, In):
+                    if val not in flt.value:
+                        return False
+                elif _interval_disjoint(val, val, flt):
+                    return False
+            elif stats:
+                lo = (stats.get("minValues") or {}).get(pname)
+                hi = (stats.get("maxValues") or {}).get(pname)
+                if _interval_disjoint(lo, hi, flt):
+                    return False
+        return True
+
+    def partitions(self):
+        snap = _fold(self.path, self.version)
+        _check_protocol(snap["protocol"])
+        st, phys, pcols = _schema_info(snap["metadata"])
+        fields = [
+            (f.name, json.loads(f.dataType.json())) for f in st.fields
+        ]
+        return [
+            _FilePartition(
+                self.path, rel, a.get("partitionValues"),
+                a.get("deletionVector"), fields, phys, pcols,
+            )
+            for rel, a in sorted(snap["adds"].items())
+            if self._may_match(a, st, phys, pcols)
         ]
 
     def read(self, partition):
@@ -359,6 +489,13 @@ class DeltaLiteDataSource(DataSource):
 
     def reader(self, schema):
         v = self.options.get("versionasof")
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            # escape hatch for sessions without
+            # spark.sql.python.filterPushdown.enabled (Spark refuses a
+            # reader that implements pushFilters when the conf is off)
+            return _DeltaLitePlainReader(
+                self._path(), int(v) if v is not None else None
+            )
         return _DeltaLiteReader(
             self._path(), int(v) if v is not None else None
         )

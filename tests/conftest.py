@@ -8,6 +8,7 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("etl-market-survey-spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

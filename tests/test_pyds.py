@@ -334,3 +334,79 @@ class TestPartitionedStreamReader:
             for r in spark.read.format("delta_lite").load(path).collect()
         }
         assert drained == batch
+
+
+class TestFilterPushdownPruning:
+    """Spark 4.1 Python-source pushdown: comparison filters prune
+    FILES (partition values exactly, data columns via log min/max
+    stats); rows keep the Spark-side residual, so results are exact."""
+
+    def _table(self, spark, path):
+        d = spark.createDataFrame(
+            [(i, str(i % 3)) for i in range(60)], "k long, p string"
+        )
+        write_delta(spark, path, d, partition_col="p", commit_ts=100)
+        return d
+
+    def _planned(self, path, filters):
+        from etl_market_survey_spark.sources.pyds import _DeltaLiteReader
+
+        r = _DeltaLiteReader(path, None)
+        residual = list(r.pushFilters(filters))
+        return r.partitions(), residual
+
+    def test_partition_value_pruning(self, registered, tmp_path):
+        from pyspark.sql.datasource import EqualTo, In
+
+        spark = registered
+        path = str(tmp_path / "fp1")
+        self._table(spark, path)
+        all_parts, _ = self._planned(path, [])
+        eq_parts, residual = self._planned(path, [EqualTo(("p",), "1")])
+        assert len(eq_parts) < len(all_parts)
+        assert all(p.partition_values.get("p") == "1" for p in eq_parts)
+        assert len(residual) == 1  # every filter stays Spark-side
+        in_parts, _ = self._planned(path, [In(("p",), ("0", "2"))])
+        assert {p.partition_values.get("p") for p in in_parts} == {"0", "2"}
+
+    def test_stats_interval_pruning(self, registered, tmp_path):
+        from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+        spark = registered
+        path = str(tmp_path / "fp2")
+        # three commits -> three files with disjoint k ranges
+        for i in range(3):
+            d = spark.createDataFrame(
+                [(i * 100 + j,) for j in range(50)], "k long"
+            )
+            write_delta(spark, path, d, commit_ts=100 * (i + 1))
+        all_parts, _ = self._planned(path, [])
+        assert len(all_parts) == 3
+        hi, _ = self._planned(path, [GreaterThan(("k",), 120)])
+        assert len(hi) == 2  # file [0,49] pruned by maxValues
+        lo, _ = self._planned(path, [LessThanOrEqual(("k",), 49)])
+        assert len(lo) == 1
+
+    def test_results_exact_with_pruning(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "fp3")
+        d = self._table(spark, path)
+        got = sorted(
+            map(tuple, spark.read.format("delta_lite").load(path)
+                .filter("p = '1' AND k > 10").collect())
+        )
+        want = sorted(
+            map(tuple, d.filter("p = '1' AND k > 10").collect())
+        )
+        assert got == want and got
+
+    def test_pushdown_false_escape_hatch(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "fp4")
+        d = self._table(spark, path)
+        got = sorted(
+            map(tuple, spark.read.format("delta_lite")
+                .option("pushdown", "false").load(path)
+                .filter("p = '2'").collect())
+        )
+        assert got == sorted(map(tuple, d.filter("p = '2'").collect()))
