@@ -5018,6 +5018,10 @@ def q379_delta_lite_datasource(spark, sf_dir):
     from ..sources.pyds import DeltaLiteDataSource
 
     spark.dataSource.register(DeltaLiteDataSource)
+    # the reader implements pushFilters (file-level pruning); Spark
+    # refuses such readers unless this conf is on — runtime-settable,
+    # so enable it for sessions we didn't build (the driver's gate)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = f"/tmp/spark_graft_pyds_{tag}"
     shutil.rmtree(path, ignore_errors=True)
