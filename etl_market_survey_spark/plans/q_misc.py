@@ -5108,6 +5108,9 @@ def q380_iceberg_lite_datasource(spark, sf_dir):
     from ..sources.pyds_iceberg import IcebergLiteDataSource
 
     spark.dataSource.register(IcebergLiteDataSource)
+    # the reader implements pushFilters — runtime-enable the conf for
+    # sessions we didn't build (the driver's gate), like q379
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = f"/tmp/spark_graft_pydsice_{tag}"
     shutil.rmtree(path, ignore_errors=True)

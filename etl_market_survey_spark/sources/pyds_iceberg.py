@@ -134,6 +134,88 @@ class _IcebergLiteReader(DataSourceReader):
     def __init__(self, path: str, snapshot_id: int | None):
         self.path = path
         self.snapshot_id = snapshot_id
+        self.pushed = []  # single-column comparison filters
+
+    def pushFilters(self, filters):
+        """FILE-level pruning, transform-aware (the delta_lite shape):
+        filters on a source column prune via the manifest partition
+        tuple — EqualTo/In map through ANY spec transform (incl.
+        bucket); range filters map through MONOTONIC transforms
+        (identity/truncate/days/hours) with strict bounds weakened to
+        non-strict on the transformed value — and via the per-file
+        bounds_json min/max. All filters stay Spark-side (partially
+        pushed: file pruning is coarse, rows keep the residual)."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, In, GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual)
+            ) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            yield f
+
+    def _may_match(self, fentry, meta, spec_by_src, id_types) -> bool:
+        import json as _json
+
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+            LessThanOrEqual,
+        )
+
+        from .iceberg_transforms import transform_value
+        from .pyds import _interval_disjoint
+
+        part = fentry.get("partition") or {}
+        bounds = None
+        if fentry.get("bounds_json"):
+            try:
+                bounds = _json.loads(fentry["bounds_json"])
+            except (TypeError, ValueError):
+                bounds = None
+        for flt in self.pushed:
+            col = flt.attribute[0]
+            spec = spec_by_src.get(col)
+            if spec is not None and spec["name"] in part:
+                kind, param = spec["kind"], spec["param"]
+                src_t = id_types.get(spec["source-id"])
+                pv = part[spec["name"]]
+                try:
+                    if isinstance(flt, EqualTo):
+                        if flt.value is not None and pv != transform_value(
+                            kind, param, flt.value, src_t
+                        ):
+                            return False
+                    elif isinstance(flt, In):
+                        tv = {
+                            transform_value(kind, param, x, src_t)
+                            for x in flt.value if x is not None
+                        }
+                        if tv and pv not in tv:
+                            return False
+                    elif kind != "bucket" and flt.value is not None:
+                        # monotonic transform: map the bound, weaken
+                        # strict to non-strict (a truncated bucket can
+                        # straddle the original strict boundary)
+                        tb = transform_value(kind, param, flt.value, src_t)
+                        weak = {
+                            GreaterThan: GreaterThanOrEqual,
+                            LessThan: LessThanOrEqual,
+                        }.get(type(flt), type(flt))
+                        if _interval_disjoint(
+                            pv, pv, weak(flt.attribute, tb)
+                        ):
+                            return False
+                except (TypeError, ValueError):
+                    pass  # un-transformable filter value: keep the file
+            if bounds and col in bounds:
+                lo, hi = bounds[col]
+                if _interval_disjoint(lo, hi, flt):
+                    return False
+        return True
 
     def partitions(self):
         from .iceberg import (
@@ -164,6 +246,22 @@ class _IcebergLiteReader(DataSourceReader):
             for d in dels
             if d.get("content") == 2
         ]
+        from .iceberg_transforms import parse_transform
+
+        id_types = {
+            f["id"]: f["type"]
+            for f in (
+                meta.get("schema") or (meta.get("schemas") or [{}])[0]
+            ).get("fields", [])
+        }
+        spec_by_src = {}
+        for sp in meta.get("partition-specs") or []:
+            for f in sp.get("fields", []):
+                kind, param = parse_transform(f.get("transform", "identity"))
+                spec_by_src[id_to_name.get(f["source-id"])] = {
+                    "name": f["name"], "kind": kind, "param": param,
+                    "source-id": f["source-id"],
+                }
         return [
             _IceFilePartition(
                 self.path, f["file_path"], f.get("_seq"), fields,
@@ -173,10 +271,22 @@ class _IcebergLiteReader(DataSourceReader):
                 snapshot_files(self.path, snapshot_id=self.snapshot_id),
                 key=lambda x: x["file_path"],
             )
+            if self._may_match(f, meta, spec_by_src, id_types)
         ]
 
     def read(self, partition):
         yield from _read_ice_partition(partition)
+
+
+class _IcebergLitePlainReader(_IcebergLiteReader):
+    """Pushdown-free variant for sessions where Spark's
+    ``spark.sql.python.filterPushdown.enabled`` is off (Spark rejects
+    readers that IMPLEMENT pushFilters there); selected via
+    ``.option("pushdown", "false")``. Re-binding the BASE class's
+    pushFilters makes Spark's override detection see a non-implementer
+    while partitions() still runs with an empty pushed set."""
+
+    pushFilters = DataSourceReader.pushFilters
 
 
 class IcebergLiteDataSource(DataSource):
@@ -200,6 +310,10 @@ class IcebergLiteDataSource(DataSource):
 
     def reader(self, schema):
         sid = self.options.get("snapshotid")
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return _IcebergLitePlainReader(
+                self._path(), int(sid) if sid is not None else None
+            )
         return _IcebergLiteReader(
             self._path(), int(sid) if sid is not None else None
         )

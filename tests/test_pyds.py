@@ -410,3 +410,111 @@ class TestFilterPushdownPruning:
                 .filter("p = '2'").collect())
         )
         assert got == sorted(map(tuple, d.filter("p = '2'").collect()))
+
+
+class TestIcebergLitePushdown:
+    """iceberg_lite pushFilters: transform-aware partition pruning
+    (bucket EqualTo/In; monotonic transforms get weakened range
+    bounds) + bounds_json interval pruning; rows keep the residual."""
+
+    @pytest.fixture()
+    def ice_registered(self, spark):
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        return spark
+
+    def _planned(self, path, filters):
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            _IcebergLiteReader,
+        )
+
+        r = _IcebergLiteReader(path, None)
+        residual = list(r.pushFilters(filters))
+        return r.partitions(), residual
+
+    def test_bucket_partition_pruning(self, ice_registered, tmp_path):
+        from pyspark.sql.datasource import EqualTo
+
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+        from etl_market_survey_spark.sources.iceberg_transforms import (
+            transform_value,
+        )
+
+        spark = ice_registered
+        path = str(tmp_path / "ip1")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(64)], "k long, v long"
+        )
+        write_iceberg(spark, path, df, partition_col="k",
+                      partition_transform="bucket[8]", commit_ts=100)
+        all_parts, _ = self._planned(path, [])
+        eq_parts, residual = self._planned(path, [EqualTo(("k",), 17)])
+        assert len(residual) == 1
+        assert len(eq_parts) < len(all_parts)
+        b = transform_value("bucket", 8, 17, "long")
+        assert all(f"k_bucket={b}/" in p.rel for p in eq_parts)
+        got = sorted(map(tuple, spark.read.format("iceberg_lite")
+                         .load(path).filter("k = 17").collect()))
+        assert got == [(17, 170)]
+
+    def test_identity_and_bounds_pruning(self, ice_registered, tmp_path):
+        from pyspark.sql.datasource import EqualTo, GreaterThan
+
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        spark = ice_registered
+        path = str(tmp_path / "ip2")
+        df = spark.createDataFrame(
+            [(i, f"c{i % 3}") for i in range(30)], "k long, cat string"
+        )
+        write_iceberg(spark, path, df, partition_col="cat", commit_ts=100)
+        all_parts, _ = self._planned(path, [])
+        eq_parts, _ = self._planned(path, [EqualTo(("cat",), "c1")])
+        assert len(eq_parts) == 1 and "cat=c1" in eq_parts[0].rel
+        # bounds_json pruning on a NON-partition column: k spans are
+        # per-partition-file; a k > 29 filter prunes everything
+        none_parts, _ = self._planned(path, [GreaterThan(("k",), 29)])
+        assert none_parts == []
+        got = sorted(map(tuple, spark.read.format("iceberg_lite")
+                         .load(path)
+                         .filter("cat = 'c1' AND k > 10").collect()))
+        want = sorted(map(tuple, df.filter("cat = 'c1' AND k > 10")
+                          .collect()))
+        assert got == want and got
+
+    def test_truncate_range_weakened_not_overpruned(
+        self, ice_registered, tmp_path
+    ):
+        from pyspark.sql.datasource import GreaterThan
+
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        spark = ice_registered
+        path = str(tmp_path / "ip3")
+        df = spark.createDataFrame([(i,) for i in range(40)], "k long")
+        write_iceberg(spark, path, df, partition_col="k",
+                      partition_transform="truncate[10]", commit_ts=100)
+        # k > 15: bucket k_trunc=10 STRADDLES the bound (16..19 live
+        # there) and must be kept; k_trunc=0 is provably disjoint
+        parts, _ = self._planned(path, [GreaterThan(("k",), 15)])
+        rels = {p.rel for p in parts}
+        assert not any("k_trunc=0/" in r for r in rels)
+        assert any("k_trunc=10/" in r for r in rels)
+        got = {r["k"] for r in spark.read.format("iceberg_lite")
+               .load(path).filter("k > 15").collect()}
+        assert got == set(range(16, 40))
+
+    def test_pushdown_false_escape_hatch(self, ice_registered, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        spark = ice_registered
+        path = str(tmp_path / "ip4")
+        df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+        write_iceberg(spark, path, df, commit_ts=100)
+        got = {r["k"] for r in spark.read.format("iceberg_lite")
+               .option("pushdown", "false").load(path)
+               .filter("k >= 5").collect()}
+        assert got == set(range(5, 10))
