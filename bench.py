@@ -171,6 +171,7 @@ HEADLINE = [
     "q382_delta_cdf_sidecar",
     "q383_iceberg_bucket_transform",
     "q384_delta_zorder3",
+    "q385_delta_cdf_stream",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -5459,3 +5459,70 @@ def q384_delta_zorder3(spark, sf_dir):
         & F.col("tp").between(tlo, thi)
     )
     return agg(box, "box").unionByName(agg(full, "full")).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# q385 — STREAMING change data feed (delta_lite readChangeFeed): the
+# registered source plans per-version change partitions — cdc sidecars
+# exclusively where present, insert/delete whole-file scans and
+# ROW-exact DV position deltas otherwise — and Spark drains them as
+# exactly-once micro-batches (version offsets in the checkpoint).
+# Shares q382's oracle verbatim: the DRAINED stream must aggregate to
+# the same cent-exact pairing as the batch feed.
+# ---------------------------------------------------------------------------
+
+
+@register("q385_delta_cdf_stream", _Q382_ORACLE)
+def q385_delta_cdf_stream(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import merge_delta, write_delta
+    from ..sources.pyds import DeltaLiteDataSource
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_cdfstr_{tag}"
+    sink = f"{path}_sink"
+    ckpt = f"{path}_ckpt"
+    for d in (path, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_delta(
+        spark, path, o.filter(F.col("k") % 3 == 0), partition_col="pr",
+        commit_ts=100, properties={"delta.enableChangeDataFeed": "true"},
+    )                                                              # v0
+    src = (
+        o.filter(F.col("k") % 21 == 0)
+        .withColumn("tp", F.col("tp") * 2)
+        .unionByName(o.filter(F.col("k") % 3 == 1))
+    )
+    merge_delta(spark, path, src, ["k"], commit_ts=200)           # v1
+    q = (
+        spark.readStream.format("delta_lite")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    feed = spark.read.parquet(sink)
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("pr").alias("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("change_type", "o_orderpriority")
+    )

@@ -387,6 +387,113 @@ class _DeltaLiteReader(DataSourceReader):
         yield from _read_file_partition(partition)
 
 
+class _CdfPartition(InputPartition):
+    """One change-feed unit: a data file read as insert/delete rows, a
+    POSITION-subset of a file (deletion-vector delta), or a cdc sidecar
+    file carrying its own ``_change_type`` column."""
+
+    def __init__(self, kind, table_path, rel, partition_values, dv,
+                 fields, phys, pcols, version, ts, positions=None):
+        self.kind = kind  # 'insert' | 'delete' | 'cdc' | 'pos'
+        self.table_path = table_path
+        self.rel = rel
+        self.partition_values = partition_values
+        self.dv = dv
+        self.fields = fields
+        self.phys = phys
+        self.pcols = pcols
+        self.version = version
+        self.ts = ts
+        # for kind='pos': (change_type, [row indexes in the raw file])
+        self.positions = positions
+
+
+def _read_cdf_partition(p: _CdfPartition):
+    """Change rows of one partition in the LOGICAL schema + the three
+    CDF meta columns (_change_type, _commit_version,
+    _commit_timestamp)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def with_meta(tbl, change_types):
+        n = tbl.num_rows
+        cols = {name: tbl.column(name) for name in tbl.column_names}
+        cols["_change_type"] = (
+            change_types if not isinstance(change_types, str)
+            else pa.array([change_types] * n, type=pa.string())
+        )
+        cols["_commit_version"] = pa.array([p.version] * n, type=pa.int64())
+        cols["_commit_timestamp"] = pa.array([p.ts] * n, type=pa.int64())
+        return pa.table(cols)
+
+    if p.kind == "cdc":
+        fpath = os.path.join(p.table_path, p.rel)
+        raw = pq.read_table(fpath)
+        arrays, names = [], []
+        for name, tjson in p.fields:
+            if name in p.pcols and p.phys[name] not in raw.column_names:
+                val = _typed_partition_value(
+                    (p.partition_values or {}).get(p.phys[name]), tjson
+                )
+                arrays.append(
+                    pa.array([val] * raw.num_rows, type=_pa_type(tjson))
+                )
+            else:
+                arrays.append(
+                    raw.column(p.phys[name]).cast(_pa_type(tjson))
+                    .combine_chunks()
+                )
+            names.append(name)
+        tbl = pa.table(dict(zip(names, arrays))).select(names)
+        ct = raw.column("_change_type").cast(pa.string()).combine_chunks()
+        yield from with_meta(tbl, ct).to_batches(max_chunksize=1 << 16)
+        return
+
+    if p.kind == "pos":
+        change_type, idx = p.positions
+        fpath = os.path.join(p.table_path, p.rel)
+        have = set(pq.ParquetFile(fpath).schema_arrow.names)
+        want = [p.phys[n] for n, _ in p.fields if n not in p.pcols]
+        raw = pq.read_table(fpath, columns=[c for c in want if c in have])
+        mask = np.zeros(raw.num_rows, dtype=bool)
+        ia = np.asarray(sorted(idx), dtype=np.int64)
+        mask[ia[ia < raw.num_rows]] = True
+        raw = raw.filter(pa.array(mask))
+        arrays, names = [], []
+        for name, tjson in p.fields:
+            if name in p.pcols:
+                val = _typed_partition_value(
+                    (p.partition_values or {}).get(p.phys[name]), tjson
+                )
+                arrays.append(
+                    pa.array([val] * raw.num_rows, type=_pa_type(tjson))
+                )
+            elif p.phys[name] in raw.column_names:
+                arrays.append(
+                    raw.column(p.phys[name]).cast(_pa_type(tjson))
+                    .combine_chunks()
+                )
+            else:
+                arrays.append(
+                    pa.array([None] * raw.num_rows, type=_pa_type(tjson))
+                )
+            names.append(name)
+        tbl = pa.table(dict(zip(names, arrays))).select(names)
+        yield from with_meta(tbl, change_type).to_batches(
+            max_chunksize=1 << 16
+        )
+        return
+
+    # 'insert' / 'delete': whole-file logical rows (DV applied)
+    fp = _FilePartition(p.table_path, p.rel, p.partition_values, p.dv,
+                        p.fields, p.phys, p.pcols)
+    for batch in _read_file_partition(fp):
+        yield from with_meta(
+            pa.Table.from_batches([batch]), p.kind
+        ).to_batches(max_chunksize=1 << 16)
+
+
 class _DeltaLiteStreamReader(DataSourceStreamReader):
     """PARTITION-PLANNING stream reader (the scale path — VERDICT r6
     item 4): offsets are ``{"version": v}`` = 'everything up to and
@@ -401,10 +508,12 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
     partitions — the exactly-once contract."""
 
     def __init__(self, path: str, ignore_changes: bool,
-                 starting_version: int | None, schema=None):
+                 starting_version: int | None, schema=None,
+                 read_change_feed: bool = False):
         self.path = path
         self.ignore_changes = ignore_changes
         self.starting_version = starting_version
+        self.read_change_feed = read_change_feed
         # the query's schema is FIXED at stream start; pin the emitted
         # columns to it so a mid-stream merge_schema evolution widens
         # future streams, not this one (new columns are simply not
@@ -431,6 +540,8 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         fields = self.pinned_fields or [
             (f.name, json.loads(f.dataType.json())) for f in st.fields
         ]
+        if self.read_change_feed:
+            return self._cdf_partitions(lo, hi, fields, phys, pcols)
         parts = []
         for v in _versions(self.path):
             if not (lo < v <= hi):
@@ -458,8 +569,117 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                 )
         return parts
 
+    def _cdf_partitions(self, lo: int, hi: int, fields, phys, pcols):
+        """Streaming CHANGE DATA FEED planning — the batch
+        read_delta_changes algebra, partition-planned: commits with cdc
+        actions contribute their sidecar files EXCLUSIVELY; otherwise
+        dataChange adds are inserts, dataChange removes of previously-
+        live files are deletes (rows as of the PREVIOUS state, old DV
+        applied), and a changed deletion vector on a live file yields
+        ROW-exact position-delta partitions. Driver work is log
+        metadata + KB-scale DV bitmaps; row scans happen in
+        executors."""
+        # CDF meta columns are pinned by the stream's schema; the
+        # fields list carries only TABLE columns
+        tfields = [f for f in fields
+                   if f[0] not in ("_change_type", "_commit_version",
+                                   "_commit_timestamp")]
+
+        def dv_positions(entry) -> set:
+            dvd = (entry or {}).get("deletionVector")
+            if not dvd:
+                return set()
+            from .deltalog import _dv_location
+            from .dvbitmap import deserialize_rbm64, read_dv_blob
+
+            dv_path, off, size = _dv_location(self.path, dvd)
+            return set(deserialize_rbm64(read_dv_blob(dv_path, off, size)))
+
+        versions = _versions(self.path)
+        state: dict[str, dict] = {}
+        for v in versions:
+            if v > lo:
+                break
+            for a in _actions(self.path, v):
+                if "add" in a:
+                    state[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    state.pop(a["remove"]["path"], None)
+        parts = []
+        for v in versions:
+            if not (lo < v <= hi):
+                continue
+            acts = _actions(self.path, v)
+            ts = None
+            for a in acts:
+                ci = a.get("commitInfo")
+                if ci and "timestamp" in ci:
+                    ts = int(ci["timestamp"])
+            if ts is None:
+                ts = int(os.path.getmtime(
+                    os.path.join(self.path, _LOG_DIR, f"{v:020d}.json")
+                ) * 1000)
+            prev = dict(state)
+            for a in acts:
+                if "add" in a:
+                    state[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    state.pop(a["remove"]["path"], None)
+            cdc_entries = [a["cdc"] for a in acts if "cdc" in a]
+            if cdc_entries:
+                for e in cdc_entries:
+                    parts.append(_CdfPartition(
+                        "cdc", self.path, e["path"],
+                        e.get("partitionValues"), None, tfields, phys,
+                        pcols, v, ts,
+                    ))
+                continue
+            dc_removed = {
+                a["remove"]["path"] for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            }
+            for rel in sorted(dc_removed):
+                old = prev.get(rel)
+                if old is None or rel in state:
+                    continue  # re-added same-commit or never live
+                parts.append(_CdfPartition(
+                    "delete", self.path, rel, old.get("partitionValues"),
+                    old.get("deletionVector"), tfields, phys, pcols,
+                    v, ts,
+                ))
+            for a in acts:
+                add = a.get("add")
+                if not add or not add.get("dataChange", True):
+                    continue
+                rel = add["path"]
+                old = prev.get(rel)
+                if old is None:
+                    parts.append(_CdfPartition(
+                        "insert", self.path, rel,
+                        add.get("partitionValues"),
+                        add.get("deletionVector"), tfields, phys, pcols,
+                        v, ts,
+                    ))
+                elif old != add:
+                    old_pos, new_pos = dv_positions(old), dv_positions(add)
+                    for delta, ct in (
+                        (sorted(new_pos - old_pos), "delete"),
+                        (sorted(old_pos - new_pos), "insert"),
+                    ):
+                        if delta:
+                            parts.append(_CdfPartition(
+                                "pos", self.path, rel,
+                                add.get("partitionValues"), None,
+                                tfields, phys, pcols, v, ts,
+                                positions=(ct, delta),
+                            ))
+        return parts
+
     def read(self, partition):
-        yield from _read_file_partition(partition)
+        if isinstance(partition, _CdfPartition):
+            yield from _read_cdf_partition(partition)
+        else:
+            yield from _read_file_partition(partition)
 
     def commit(self, end: dict):
         pass  # the log is immutable; nothing to clean up
@@ -485,6 +705,20 @@ class DeltaLiteDataSource(DataSource):
         v = self.options.get("versionasof")
         snap = _fold(self._path(), int(v) if v is not None else None)
         st, _, _ = _schema_info(snap["metadata"])
+        if str(self.options.get("readchangefeed", "false")).lower() \
+                == "true":
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType,
+            )
+
+            return StructType(
+                list(st.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                    StructField("_commit_timestamp", LongType(), False),
+                ]
+            )
         return st
 
     def reader(self, schema):
@@ -508,4 +742,7 @@ class DeltaLiteDataSource(DataSource):
             == "true",
             int(sv) if sv is not None else None,
             schema=schema,
+            read_change_feed=str(
+                self.options.get("readchangefeed", "false")
+            ).lower() == "true",
         )

@@ -518,3 +518,91 @@ class TestIcebergLitePushdown:
                .option("pushdown", "false").load(path)
                .filter("k >= 5").collect()}
         assert got == set(range(5, 10))
+
+
+class TestStreamingChangeFeed:
+    """readChangeFeed streaming: per-version change partitions (cdc
+    sidecars exclusive; insert/delete file scans; row-exact DV
+    position deltas), drained exactly-once; parity vs the batch feed."""
+
+    def test_drain_matches_batch_cdf(self, registered, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            add_deletion_vectors, load_snapshot, merge_delta,
+            read_delta_changes,
+        )
+
+        spark = registered
+        path = str(tmp_path / "scf1")
+        sink = str(tmp_path / "scf1_sink")
+        ckpt = str(tmp_path / "scf1_ckpt")
+        t = spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k long, v long"
+        )
+        write_delta(spark, path, t, commit_ts=100,
+                    properties={"delta.enableChangeDataFeed": "true"})
+        merge_delta(spark, path,
+                    spark.createDataFrame([(3, 333), (50, 500)],
+                                          "k long, v long"),
+                    ["k"], commit_ts=200)
+        rel = next(iter(load_snapshot(spark, path).adds))
+        add_deletion_vectors(spark, path, {rel: [0]}, commit_ts=300)
+        q = (
+            spark.readStream.format("delta_lite")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["_change_type"], r["_commit_version"], r["k"], r["v"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (r["_change_type"], r["_commit_version"], r["k"], r["v"])
+            for r in read_delta_changes(spark, path, 1).collect()
+        }
+        assert got == want
+        assert {"update_preimage", "update_postimage", "insert",
+                "delete"} <= {g[0] for g in got}
+
+    def test_incremental_restart_is_exactly_once(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "scf2")
+        sink = str(tmp_path / "scf2_sink")
+        ckpt = str(tmp_path / "scf2_ckpt")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1, 10)], "k long, v long"),
+                    commit_ts=100,
+                    properties={"delta.enableChangeDataFeed": "true"})
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_lite")
+                .option("readChangeFeed", "true")
+                .load(path)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        write_delta(spark, path,
+                    spark.createDataFrame([(2, 20)], "k long, v long"),
+                    commit_ts=200)
+        drain()
+        drain()  # nothing new: must add zero rows
+        rows = [
+            (r["_change_type"], r["_commit_version"], r["k"])
+            for r in spark.read.parquet(sink).collect()
+        ]
+        assert sorted(rows) == [("insert", 0, 1), ("insert", 1, 2)]
