@@ -1018,10 +1018,21 @@ def add_deletion_vectors(
     return new_version
 
 
-def write_checkpoint(spark: SparkSession, path: str) -> int:
-    """Materialize the current snapshot as ``N.checkpoint.parquet`` and
-    point ``_last_checkpoint`` at it, so cold reads fold one parquet +
-    the JSON tail instead of every commit since 0."""
+def write_checkpoint(
+    spark: SparkSession, path: str, *, parts: int | None = None
+) -> int:
+    """Materialize the current snapshot as ``N.checkpoint.parquet``
+    (or, with ``parts=K``, the protocol's MULTI-PART form
+    ``N.checkpoint.<part>.<K>.parquet``) and point ``_last_checkpoint``
+    at it, so cold reads fold one checkpoint + the JSON tail instead of
+    every commit since 0.
+
+    Multi-part is the 100-TB shape: a table with millions of live
+    files makes a single checkpoint parquet a one-task read; K parts
+    let the snapshot load scan them in parallel (the loader passes all
+    part paths to one ``spark.read.parquet``). Add actions round-robin
+    across parts; the metaData/protocol row lives in part 1, which the
+    fold accepts anywhere per the spec."""
     snap = load_snapshot(spark, path)
     rows = [
         {"metaData": snap.metadata, "add": None, "protocol": snap.protocol},
@@ -1032,21 +1043,47 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         rows.append({"metaData": None, "add": a, "protocol": None})
     import pandas as pd
 
-    pdf = pd.DataFrame(
-        {
-            "metaData": [json.dumps(r["metaData"]) if r["metaData"] else None
-                         for r in rows],
-            "add": [json.dumps(r["add"]) if r["add"] else None for r in rows],
-            "protocol": [json.dumps(r["protocol"]) if r["protocol"] else None
-                         for r in rows],
-        }
-    )
+    def to_pdf(chunk):
+        return pd.DataFrame(
+            {
+                "metaData": [
+                    json.dumps(r["metaData"]) if r["metaData"] else None
+                    for r in chunk
+                ],
+                "add": [json.dumps(r["add"]) if r["add"] else None
+                        for r in chunk],
+                "protocol": [
+                    json.dumps(r["protocol"]) if r["protocol"] else None
+                    for r in chunk
+                ],
+            }
+        )
+
     # checkpoint rows carry struct columns; JSON-encoded structs keep the
     # writer dependency-free while _load_checkpoint_state accepts both
-    cp_file = os.path.join(_log_dir(path), f"{snap.version:020d}.checkpoint.parquet")
-    _pdf_to_struct_checkpoint(spark, pdf, cp_file)
+    if parts:
+        if parts < 1:
+            raise ValueError("parts must be >= 1")
+        chunks: list[list] = [[] for _ in range(parts)]
+        chunks[0].append(rows[0])  # metaData/protocol row
+        for i, r in enumerate(rows[1:]):
+            chunks[i % parts].append(r)
+        for i, chunk in enumerate(chunks):
+            cp_file = os.path.join(
+                _log_dir(path),
+                f"{snap.version:020d}.checkpoint."
+                f"{i + 1:010d}.{parts:010d}.parquet",
+            )
+            _pdf_to_struct_checkpoint(spark, to_pdf(chunk), cp_file)
+        last = {"version": snap.version, "size": len(rows), "parts": parts}
+    else:
+        cp_file = os.path.join(
+            _log_dir(path), f"{snap.version:020d}.checkpoint.parquet"
+        )
+        _pdf_to_struct_checkpoint(spark, to_pdf(rows), cp_file)
+        last = {"version": snap.version, "size": len(rows)}
     with open(os.path.join(_log_dir(path), _LAST_CHECKPOINT), "w") as f:
-        json.dump({"version": snap.version, "size": len(rows)}, f)
+        json.dump(last, f)
     return snap.version
 
 
@@ -1074,7 +1111,12 @@ def _pdf_to_struct_checkpoint(spark: SparkSession, pdf, cp_file: str):
         "minReaderVersion INT, minWriterVersion INT, "
         "readerFeatures ARRAY<STRING>, writerFeatures ARRAY<STRING>"
     )
-    df = spark.createDataFrame(pdf)
+    # explicit schema: a multi-part chunk can be all-null in a
+    # column (metaData/protocol live only in part 1), which
+    # breaks inference
+    df = spark.createDataFrame(
+        pdf, "metaData string, add string, protocol string"
+    )
     df = df.select(
         F.from_json("metaData", meta_schema).alias("metaData"),
         F.from_json("add", add_schema).alias("add"),
@@ -2012,6 +2054,11 @@ def vacuum(
     Returns the deleted relative paths (``dry_run`` lists without
     deleting). The log itself is never touched: history stays auditable
     even where data files are gone.
+
+    CDF sidecars share the retention window: ``_change_data`` files of
+    commits OLDER than the kept versions are deleted too (their change
+    feed can no longer be read consistently anyway once the data files
+    of those versions are gone); sidecars of kept versions survive.
     """
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
@@ -2027,6 +2074,15 @@ def vacuum(
         for a in _read_actions(path, v):
             if "add" in a:
                 all_files.add(a["add"]["path"])
+
+    # cdc sidecars: referenced iff their commit is inside the window
+    cutoff = kept[0]
+    for v in versions:
+        for a in _read_actions(path, v):
+            if "cdc" in a:
+                all_files.add(a["cdc"]["path"])
+                if v >= cutoff:
+                    referenced.add(a["cdc"]["path"])
 
     doomed = sorted(all_files - referenced)
     if not dry_run:

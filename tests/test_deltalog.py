@@ -1459,3 +1459,77 @@ class TestZOrder3Col:
         with pytest.raises(ValueError, match="1 to 4"):
             optimize_zorder(spark, path, ["a", "b", "c", "d", "a"],
                             commit_ts=300)
+
+
+class TestVacuumChangeData:
+    def test_cdc_sidecars_follow_retention(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, vacuum,
+        )
+
+        path = str(tmp_path / "vcd1")
+        write_delta(spark, path,
+                    spark.createDataFrame([(i, i) for i in range(6)],
+                                          "k long, v long"),
+                    commit_ts=100,
+                    properties={"delta.enableChangeDataFeed": "true"})
+        merge_delta(spark, path,
+                    spark.createDataFrame([(1, 111)], "k long, v long"),
+                    ["k"], commit_ts=200)                       # v1 cdc
+        merge_delta(spark, path,
+                    spark.createDataFrame([(2, 222)], "k long, v long"),
+                    ["k"], commit_ts=300)                       # v2 cdc
+        import glob
+
+        side = sorted(glob.glob(os.path.join(path, "_change_data", "*")))
+        assert len(side) == 2
+        # keep 2 versions (v1, v2): v1's sidecar is INSIDE the window
+        doomed = vacuum(spark, path, keep_versions=2)
+        assert not any("_change_data" in d for d in doomed)
+        # keep only the current version: v1's sidecar expires, v2's stays
+        doomed = vacuum(spark, path, keep_versions=1)
+        gone = [d for d in doomed if "_change_data" in d]
+        assert len(gone) == 1
+        left = sorted(glob.glob(os.path.join(path, "_change_data", "*")))
+        assert len(left) == 1
+
+
+class TestMultiPartCheckpoint:
+    def test_parts_fold_identically(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            _read_last_checkpoint,
+        )
+
+        root = str(tmp_path / "mpc1")
+        df = spark.range(40).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS p"
+        )
+        for i in range(4):
+            write_delta(spark, root,
+                        df.filter(f"id >= {i*10} and id < {i*10+10}"),
+                        partition_col="p", commit_ts=100 * (i + 1))
+        write_checkpoint(spark, root, parts=3)
+        cp = _read_last_checkpoint(root)
+        assert cp["parts"] == 3
+        # part files exist with the protocol naming
+        log = os.path.join(root, "_delta_log")
+        names = sorted(
+            n for n in os.listdir(log) if ".checkpoint." in n
+        )
+        assert names == [
+            f"{3:020d}.checkpoint.{i + 1:010d}.{3:010d}.parquet"
+            for i in range(3)
+        ]
+        # a post-checkpoint commit folds from the parts + tail
+        write_delta(spark, root, df.filter("id < 5"), partition_col="p",
+                    commit_ts=500)
+        assert read_delta(spark, root).count() == 45
+        # time travel through the checkpoint boundary still works
+        assert read_delta(spark, root, version=3).count() == 40
+
+    def test_single_part_unchanged(self, spark, tmp_path):
+        root = str(tmp_path / "mpc2")
+        write_delta(spark, root, spark.range(10).selectExpr("id"),
+                    commit_ts=100)
+        write_checkpoint(spark, root)
+        assert read_delta(spark, root).count() == 10
