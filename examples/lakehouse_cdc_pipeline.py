@@ -20,6 +20,10 @@ proving the copy-on-write and merge-on-read halves of the trade agree:
   5. stream the Delta table through the REGISTERED delta_lite source
      (exactly-once version offsets) into parquet and assert the drained
      rows equal the batch read
+  6. stream the CHANGE FEED itself (readChangeFeed=true — per-version
+     change partitions: cdc sidecars, insert/delete file scans, DV
+     position deltas) and assert the drained feed row-matches the
+     batch read_delta_changes
 
 Run: python examples/lakehouse_cdc_pipeline.py [sf_dir]
 """
@@ -147,6 +151,32 @@ def main() -> None:
     assert d_rows <= latest, "stream drain missing rows"
     print(f"delta_lite stream drained {drained.count()} rows "
           f"(>= {len(d_rows)} current)")
+
+    # 6. the streaming CHANGE FEED drains row-equal to the batch feed
+    fsink, fckpt = f"{base}/feed_sink", f"{base}/feed_ckpt"
+    qf = (
+        spark.readStream.format("delta_lite")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(dpath)
+        .writeStream.format("parquet")
+        .option("path", fsink)
+        .option("checkpointLocation", fckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qf.awaitTermination(120)
+    streamed = {
+        (r["_change_type"], r["_commit_version"], r["k"], r["pr"], r["tp"])
+        for r in spark.read.parquet(fsink).collect()
+    }
+    batch_feed = {
+        (r["_change_type"], r["_commit_version"], r["k"], r["pr"], r["tp"])
+        for r in read_delta_changes(spark, dpath, 1).collect()
+    }
+    assert streamed == batch_feed, "streaming CDF != batch CDF"
+    print(f"streaming change feed drained {len(streamed)} change rows "
+          f"== batch feed")
     print("lakehouse CDC pipeline: ALL CHECKS PASSED")
 
 

@@ -589,6 +589,8 @@ def test_q383_bucket_pruning_never_reads_other_buckets(spark):
         "q381_delta_zorder",
         "q382_delta_cdf_sidecar",
         "q383_iceberg_bucket_transform",
+        "q384_delta_zorder3",
+        "q385_delta_cdf_stream",
     ],
 )
 def test_r6_no_cartesian_and_codegen(static_plan, name):
