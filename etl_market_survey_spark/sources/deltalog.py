@@ -863,9 +863,27 @@ def write_delta(
         ("remove" in a) or ("metaData" in a) or ("protocol" in a)
         for a in actions
     )
+    def _maybe_checkpoint(v: int) -> None:
+        # delta.checkpointInterval: auto-materialize a checkpoint every
+        # N commits (real Delta defaults to 10; here opt-in via the
+        # table property) so long-history tables keep O(tail) loads
+        # without a manual write_checkpoint call
+        cfg = {}
+        if prior is not None:
+            cfg = prior.metadata.get("configuration") or {}
+        elif properties:
+            cfg = {k: str(x) for k, x in properties.items()}
+        try:
+            interval = int(cfg.get("delta.checkpointInterval", 0))
+        except (TypeError, ValueError):
+            interval = 0
+        if interval > 0 and v > 0 and v % interval == 0:
+            write_checkpoint(spark, path)
+
     for _ in range(16):
         try:
             _write_commit(path, new_version, actions)
+            _maybe_checkpoint(new_version)
             return new_version
         except DeltaConcurrentWriteError:
             if not blind_append:

@@ -79,6 +79,26 @@ def _actions(path: str, v: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _version_at_timestamp(path: str, ts_ms: int) -> int:
+    """Delta's timestampAsOf rule: the newest commit whose timestamp
+    (commitInfo.timestamp, else log-file mtime) is <= the target —
+    resolved newest-first over the version-sorted log (the first hit
+    IS the max eligible version; see deltalog.load_snapshot)."""
+    for v in reversed(_versions(path)):
+        t = None
+        for a in _actions(path, v):
+            ci = a.get("commitInfo")
+            if ci and "timestamp" in ci:
+                t = int(ci["timestamp"])
+                break
+        if t is None:
+            t = int(os.path.getmtime(
+                os.path.join(path, _LOG_DIR, f"{v:020d}.json")) * 1000)
+        if t <= ts_ms:
+            return v
+    raise ValueError(f"no commit at or before timestamp {ts_ms} in {path}")
+
+
 def _fold(path: str, version: int | None = None) -> dict:
     """{'version', 'metadata', 'protocol', 'adds': {rel: add},
     'acts_by_version'} — the pure-JSON snapshot fold."""
@@ -686,10 +706,14 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
 
 
 class DeltaLiteDataSource(DataSource):
-    """Options: ``path`` (from .load(path)), ``versionAsOf`` (batch
-    time travel), ``startingVersion`` (streaming: first version to
-    emit, inclusive), ``ignoreChanges`` (streaming: re-emit rewritten
-    files instead of failing on dataChange removes)."""
+    """Options: ``path`` (from .load(path)), ``versionAsOf`` /
+    ``timestampAsOf`` (batch time travel), ``startingVersion``
+    (streaming: first version to emit, inclusive), ``ignoreChanges``
+    (streaming: re-emit rewritten files instead of failing on
+    dataChange removes), ``readChangeFeed`` (streaming: emit the
+    change feed — cdc sidecars, insert/delete scans, DV position
+    deltas), ``pushdown=false`` (disable the pushFilters reader for
+    sessions without spark.sql.python.filterPushdown.enabled)."""
 
     @classmethod
     def name(cls):
@@ -701,9 +725,18 @@ class DeltaLiteDataSource(DataSource):
             raise ValueError("delta_lite requires .load(<table path>)")
         return path
 
-    def schema(self):
+    def _version(self) -> int | None:
         v = self.options.get("versionasof")
-        snap = _fold(self._path(), int(v) if v is not None else None)
+        ts = self.options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError("pass versionAsOf OR timestampAsOf, not both")
+        if ts is not None:
+            return _version_at_timestamp(self._path(), int(ts))
+        return int(v) if v is not None else None
+
+    def schema(self):
+        v = self._version()
+        snap = _fold(self._path(), v)
         st, _, _ = _schema_info(snap["metadata"])
         if str(self.options.get("readchangefeed", "false")).lower() \
                 == "true":
@@ -722,17 +755,13 @@ class DeltaLiteDataSource(DataSource):
         return st
 
     def reader(self, schema):
-        v = self.options.get("versionasof")
+        v = self._version()
         if str(self.options.get("pushdown", "true")).lower() == "false":
             # escape hatch for sessions without
             # spark.sql.python.filterPushdown.enabled (Spark refuses a
             # reader that implements pushFilters when the conf is off)
-            return _DeltaLitePlainReader(
-                self._path(), int(v) if v is not None else None
-            )
-        return _DeltaLiteReader(
-            self._path(), int(v) if v is not None else None
-        )
+            return _DeltaLitePlainReader(self._path(), v)
+        return _DeltaLiteReader(self._path(), v)
 
     def streamReader(self, schema):
         sv = self.options.get("startingversion")

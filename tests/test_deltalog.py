@@ -1533,3 +1533,32 @@ class TestMultiPartCheckpoint:
                     commit_ts=100)
         write_checkpoint(spark, root)
         assert read_delta(spark, root).count() == 10
+
+
+class TestCheckpointInterval:
+    def test_auto_checkpoint_every_n_commits(self, spark, tmp_path):
+        import glob
+
+        from etl_market_survey_spark.sources.deltalog import (
+            _read_last_checkpoint,
+        )
+
+        root = str(tmp_path / "aci1")
+        df = spark.range(20).selectExpr("id")
+        write_delta(spark, root, df.filter("id < 5"), commit_ts=100,
+                    properties={"delta.checkpointInterval": "2"})  # v0
+        write_delta(spark, root, df.filter("id >= 5 and id < 10"),
+                    commit_ts=200)                                 # v1
+        assert _read_last_checkpoint(root) is None  # 1 % 2 != 0
+        write_delta(spark, root, df.filter("id >= 10 and id < 15"),
+                    commit_ts=300)                                 # v2
+        cp = _read_last_checkpoint(root)
+        assert cp and cp["version"] == 2
+        import glob as _g
+
+        assert _g.glob(os.path.join(root, "_delta_log",
+                                    "*.checkpoint.parquet"))
+        # folds keep working through and past the checkpoint
+        write_delta(spark, root, df.filter("id >= 15"), commit_ts=400)
+        assert read_delta(spark, root).count() == 20
+        assert read_delta(spark, root, version=1).count() == 10

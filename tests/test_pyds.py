@@ -606,3 +606,25 @@ class TestStreamingChangeFeed:
             for r in spark.read.parquet(sink).collect()
         ]
         assert sorted(rows) == [("insert", 0, 1), ("insert", 1, 2)]
+
+
+class TestTimestampAsOf:
+    def test_timestamp_time_travel(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "tsa1")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1,)], "k long"), commit_ts=100)
+        write_delta(spark, path,
+                    spark.createDataFrame([(2,)], "k long"), commit_ts=200)
+        got = {r["k"] for r in spark.read.format("delta_lite")
+               .option("timestampAsOf", "150").load(path).collect()}
+        assert got == {1}
+        both = {r["k"] for r in spark.read.format("delta_lite")
+                .option("timestampAsOf", "250").load(path).collect()}
+        assert both == {1, 2}
+        with pytest.raises(Exception, match="not both"):
+            spark.read.format("delta_lite").option("timestampAsOf", "150") \
+                .option("versionAsOf", "0").load(path).schema
+        with pytest.raises(Exception, match="no commit"):
+            spark.read.format("delta_lite").option("timestampAsOf", "50") \
+                .load(path).schema
