@@ -172,6 +172,7 @@ HEADLINE = [
     "q383_iceberg_bucket_transform",
     "q384_delta_zorder3",
     "q385_delta_cdf_stream",
+    "q386_delta_delete_where",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -5526,3 +5526,75 @@ def q385_delta_cdf_stream(spark, sf_dir):
         )
         .orderBy("change_type", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q386 — predicate row DELETE (sources/deltalog.delete_rows_where):
+# DELETE FROM t WHERE k % 7 = 0 with per-file auto-routing — lightly-
+# matched files fold positions into DELETION VECTORS (merged with any
+# prior DV), heavily-matched files rewrite copy-on-write — and, on
+# this CDF-enabled table, a _change_data sidecar carrying the deleted
+# rows. The gate reads the post-delete table AND the feed: a router
+# that resurrected DV-dead rows, re-deleted them, or lost sidecar rows
+# on either path breaks the hash.
+# ---------------------------------------------------------------------------
+
+_Q386_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+u AS (
+  SELECT 'table' AS slice_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents
+  FROM o WHERE k % 7 <> 0 GROUP BY 2
+  UNION ALL
+  SELECT 'feed_delete', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM o WHERE k % 7 = 0 GROUP BY 2
+)
+SELECT slice_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY 1, 2
+"""
+
+
+@register("q386_delta_delete_where", _Q386_ORACLE)
+def q386_delta_delete_where(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import (
+        delete_rows_where,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_delwhere_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    write_delta(
+        spark, path, o, partition_col="pr", commit_ts=100,
+        properties={"delta.enableChangeDataFeed": "true"},
+    )                                                              # v0
+    delete_rows_where(spark, path, "k % 7 = 0", commit_ts=200)    # v1
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("slice_tag"), "*")
+
+    feed = read_delta_changes(spark, path, 1).filter(
+        F.col("_change_type") == "delete"
+    )
+    return (
+        agg(feed, "feed_delete")
+        .unionByName(agg(read_delta(spark, path), "table"))
+        .orderBy("slice_tag", "o_orderpriority")
+    )

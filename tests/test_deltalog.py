@@ -1562,3 +1562,67 @@ class TestCheckpointInterval:
         write_delta(spark, root, df.filter("id >= 15"), commit_ts=400)
         assert read_delta(spark, root).count() == 20
         assert read_delta(spark, root, version=1).count() == 10
+
+
+class TestDeleteRowsWhere:
+    """Predicate DELETE: per-file DV / copy-on-write auto-routing,
+    prior-DV exclusion, CDF sidecar emission."""
+
+    def _mk(self, spark, path, cdf=False):
+        t = spark.createDataFrame(
+            [(i, i * 10, str(i % 2)) for i in range(100)],
+            "k long, v long, p string",
+        )
+        props = {"delta.enableChangeDataFeed": "true"} if cdf else None
+        write_delta(spark, path, t, partition_col="p", commit_ts=100,
+                    properties=props)
+        return t
+
+    def test_small_match_takes_dv_path(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            delete_rows_where,
+        )
+
+        path = str(tmp_path / "dw1")
+        self._mk(spark, path)
+        n_before = len(load_snapshot(spark, path).adds)
+        delete_rows_where(spark, path, "k % 25 = 0", commit_ts=200)
+        snap = load_snapshot(spark, path)
+        assert len(snap.adds) == n_before  # no rewrite
+        assert any(a.get("deletionVector") for a in snap.adds.values())
+        left = {r["k"] for r in read_delta(spark, path).collect()}
+        assert left == set(range(100)) - {0, 25, 50, 75}
+
+    def test_large_match_rewrites_and_prior_dv_respected(
+        self, spark, tmp_path
+    ):
+        from etl_market_survey_spark.sources.deltalog import (
+            delete_rows_where, read_delta_changes,
+        )
+
+        path = str(tmp_path / "dw2")
+        self._mk(spark, path, cdf=True)
+        delete_rows_where(spark, path, "k % 25 = 0", commit_ts=200)
+        v2 = delete_rows_where(spark, path, "k >= 50", commit_ts=300,
+                               rewrite_fraction=0.3)
+        snap = load_snapshot(spark, path)
+        # rewritten files carry no DV and all rows < 50 survive
+        left = {r["k"] for r in read_delta(spark, path).collect()}
+        assert left == set(range(50)) - {0, 25}
+        # CDF: v2's delete rows exclude the already-DV-deleted 50, 75
+        feed = read_delta_changes(spark, path, v2, ending_version=v2)
+        dels = {r["k"] for r in feed.collect()}
+        assert dels == set(range(50, 100)) - {50, 75}
+
+    def test_noop_and_idempotent(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            delete_rows_where,
+        )
+
+        path = str(tmp_path / "dw3")
+        self._mk(spark, path)
+        v = delete_rows_where(spark, path, "k = 7", commit_ts=200)
+        assert delete_rows_where(spark, path, "k = 424242",
+                                 commit_ts=300) == v   # no match: no-op
+        assert delete_rows_where(spark, path, "k = 7",
+                                 commit_ts=400) == v   # already dead
