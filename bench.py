@@ -173,6 +173,7 @@ HEADLINE = [
     "q384_delta_zorder3",
     "q385_delta_cdf_stream",
     "q386_delta_delete_where",
+    "q387_delta_update_where",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

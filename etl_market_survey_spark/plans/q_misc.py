@@ -5598,3 +5598,83 @@ def q386_delta_delete_where(spark, sf_dir):
         .unionByName(agg(read_delta(spark, path), "table"))
         .orderBy("slice_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q387 — predicate row UPDATE (sources/deltalog.update_rows_where):
+# UPDATE t SET tp = tp * 2 WHERE k % 7 = 0 in the merge-on-read shape
+# engines use — matched positions die under DELETION VECTORS, updated
+# values append as new files (heavy matches rewrite copy-on-write) —
+# with the _change_data sidecar pairing every matched row as
+# update_preimage/update_postimage. The gate reads the post-update
+# table AND both feed sides; tp*2 is an exact power-of-two scale, so
+# everything stays cent-exact.
+# ---------------------------------------------------------------------------
+
+_Q387_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+u AS (
+  SELECT 'table' AS slice_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(
+           (CASE WHEN k % 7 = 0 THEN tp * 2 ELSE tp END) * 100.0
+         ) AS DECIMAL(38,0))) AS cents
+  FROM o GROUP BY 2
+  UNION ALL
+  SELECT 'pre', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM o WHERE k % 7 = 0 GROUP BY 2
+  UNION ALL
+  SELECT 'post', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 2 * 100.0) AS DECIMAL(38,0)))
+  FROM o WHERE k % 7 = 0 GROUP BY 2
+)
+SELECT slice_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY 1, 2
+"""
+
+
+@register("q387_delta_update_where", _Q387_ORACLE)
+def q387_delta_update_where(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import (
+        read_delta,
+        read_delta_changes,
+        update_rows_where,
+        write_delta,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_updwhere_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    write_delta(
+        spark, path, o, partition_col="pr", commit_ts=100,
+        properties={"delta.enableChangeDataFeed": "true"},
+    )                                                              # v0
+    update_rows_where(spark, path, "k % 7 = 0", {"tp": "tp * 2"},
+                      commit_ts=200)                               # v1
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("slice_tag"), "*")
+
+    feed = read_delta_changes(spark, path, 1)
+    pre = feed.filter(F.col("_change_type") == "update_preimage")
+    post = feed.filter(F.col("_change_type") == "update_postimage")
+    return (
+        agg(post, "post")
+        .unionByName(agg(pre, "pre"))
+        .unionByName(agg(read_delta(spark, path), "table"))
+        .orderBy("slice_tag", "o_orderpriority")
+    )

@@ -1286,6 +1286,253 @@ def delete_rows_where(
     return new_version
 
 
+def update_rows_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+    *,
+    commit_ts: int = 0,
+    dv_row_limit: int = 100_000,
+    rewrite_fraction: float = 0.5,
+) -> int:
+    """Predicate row UPDATE — ``UPDATE t SET col = expr WHERE pred`` —
+    completing the DML triple with :func:`delete_rows_where` and
+    :func:`merge_delta`.
+
+    ``assignments``: column -> SQL expression over the row (e.g.
+    ``{"v": "v * 2"}``). The MERGE-ON-READ shape engines use for
+    updates: matched positions in lightly-touched files die under a
+    DELETION VECTOR while the updated row values append as new files —
+    no old file rewritten; heavily-matched files (> ``dv_row_limit``
+    rows or > ``rewrite_fraction``) rewrite copy-on-write instead (a
+    DV covering most of a file is pure read overhead). Updated rows
+    whose assignment changes the PARTITION column migrate naturally
+    (the staged append is partition-keyed on the new values).
+
+    CDF tables get a ``_change_data`` sidecar pairing every matched
+    row as update_preimage/update_postimage, row-exact across both
+    paths. Same scale budget as delete_rows_where: one scan, bounded
+    position collects, one staged append job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from .dvbitmap import (
+        deserialize_rbm64,
+        dv_file_name,
+        encode_dv_path,
+        read_dv_blob,
+        serialize_rbm64,
+        write_dv_file,
+    )
+
+    snap = load_snapshot(spark, path)
+    snap.check_reader_support()
+    schema = snap.schema()
+    cols = [f.name for f in schema.fields]
+    bad = [c for c in assignments if c not in cols]
+    if bad:
+        raise ValueError(f"assignments target unknown columns: {bad}")
+    phys = snap.physical_names()
+    pcols = snap.partition_columns
+    adds_all = sorted(snap.adds.items())
+    by_base = {os.path.basename(rel): rel for rel, _ in adds_all}
+
+    rows = _scan_logical_with_file(
+        spark, path, snap, [a for _, a in adds_all], keep_pos=True
+    )
+    prior_dead: dict[str, set[int]] = {}
+    for rel, a in adds_all:
+        dvd = a.get("deletionVector")
+        if dvd:
+            dv_path, off, size = _dv_location(path, dvd)
+            prior_dead[os.path.basename(rel)] = set(
+                deserialize_rbm64(read_dv_blob(dv_path, off, size))
+            )
+    if prior_dead:
+        dead_df = spark.createDataFrame(
+            [(b, int(p)) for b, ps in prior_dead.items() for p in ps],
+            "_file string, _pos long",
+        )
+        rows = rows.join(F.broadcast(dead_df), ["_file", "_pos"],
+                         "left_anti")
+    rows = rows.cache()
+    matched = rows.filter(predicate)
+    updated = matched
+    for c, expr in assignments.items():
+        updated = updated.withColumn(c, F.expr(expr))
+    updated = updated.select(*cols)
+
+    counts = {
+        r["_file"]: r["n"]
+        for r in matched.groupBy("_file").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        rows.unpersist()
+        return snap.version  # no-op
+
+    def file_rows(a):
+        st = a.get("stats")
+        if st:
+            try:
+                return int(json.loads(st).get("numRecords") or 0)
+            except (TypeError, ValueError):
+                pass
+        return None
+
+    dv_files, rewrite_files = [], []
+    for rel, a in adds_all:
+        n = counts.get(os.path.basename(rel))
+        if not n:
+            continue
+        total = file_rows(a)
+        if n > dv_row_limit or (total and n / total > rewrite_fraction):
+            rewrite_files.append(rel)
+        else:
+            dv_files.append(rel)
+
+    cdf_on = (
+        (snap.metadata.get("configuration") or {})
+        .get("delta.enableChangeDataFeed") == "true"
+    )
+    new_version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": commit_ts,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+            }
+        }
+    ]
+
+    if dv_files:
+        dv_bases = [os.path.basename(r) for r in dv_files]
+        pos_rows = (
+            matched.filter(F.col("_file").isin(dv_bases))
+            .select("_file", "_pos").collect()
+        )  # bounded by dv_row_limit per file
+        merged: dict[str, list[int]] = {}
+        for r in pos_rows:
+            merged.setdefault(r["_file"], []).append(int(r["_pos"]))
+        for b in list(merged):
+            merged[b] = sorted(set(merged[b]) | prior_dead.get(b, set()))
+        u = uuid.uuid4()
+        bases = sorted(merged)
+        blobs = [serialize_rbm64(merged[b]) for b in bases]
+        frames = write_dv_file(os.path.join(path, dv_file_name(u)), blobs)
+        feats = {"deletionVectors"}
+        if snap.column_mapping_mode != "none":
+            feats.add("columnMapping")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats),
+                    "writerFeatures": sorted(feats),
+                }
+            }
+        )
+        for b, frame in zip(bases, frames):
+            rel = by_base[b]
+            old = snap.adds[rel]
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": commit_ts,
+                            "dataChange": True}}
+            )
+            new_add = dict(old)
+            new_add["dataChange"] = True
+            new_add["modificationTime"] = commit_ts
+            new_add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": encode_dv_path(u),
+                "offset": frame["offset"],
+                "sizeInBytes": frame["sizeInBytes"],
+                "cardinality": len(merged[b]),
+            }
+            actions.append({"add": new_add})
+
+    # new rows: every matched row's UPDATED values (+ survivors of
+    # rewritten files), one staged append
+    new_rows = updated
+    if rewrite_files:
+        bases = [os.path.basename(r) for r in rewrite_files]
+        survivors = (
+            rows.filter(F.col("_file").isin(bases))
+            .filter(f"NOT ({predicate})")
+            .select(*cols)
+        )
+        new_rows = new_rows.unionByName(survivors)
+        for rel in sorted(rewrite_files):
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": commit_ts,
+                            "dataChange": True}}
+            )
+    stage_df = new_rows.select(
+        *[F.col(c).alias(phys.get(c, c)) for c in cols]
+    )
+    data_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable)
+         for f in schema.fields if f.name not in pcols]
+    )
+    if pcols:
+        staged = _stage_partitioned(
+            spark, path, stage_df, phys.get(pcols[0], pcols[0]),
+            new_version, data_schema, True,
+        )
+    else:
+        rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+        _write_single_parquet(stage_df.coalesce(1), os.path.join(path, rel))
+        stats = _file_stats_json(spark, os.path.join(path, rel), data_schema)
+        staged = [(rel, {}, stats)]
+    for rel, pv, stats in staged:
+        if stats and json.loads(stats).get("numRecords") == 0:
+            os.remove(os.path.join(path, rel))
+            continue
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pv,
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": commit_ts,
+                    "dataChange": True,
+                    "stats": stats,
+                }
+            }
+        )
+
+    if cdf_on:
+        cdc_df = matched.select(*cols).withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            updated.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        cdc_stage = cdc_df.select(
+            *[F.col(c).alias(phys.get(c, c)) for c in cols],
+            "_change_type",
+        )
+        for rel, pv in _stage_cdc(
+            spark, path, cdc_stage,
+            phys.get(pcols[0], pcols[0]) if pcols else None, new_version,
+        ):
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "dataChange": False,
+                    }
+                }
+            )
+    rows.unpersist()
+    _write_commit(path, new_version, actions)
+    return new_version
+
+
 def write_checkpoint(
     spark: SparkSession, path: str, *, parts: int | None = None
 ) -> int:

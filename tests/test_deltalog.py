@@ -1626,3 +1626,67 @@ class TestDeleteRowsWhere:
                                  commit_ts=300) == v   # no match: no-op
         assert delete_rows_where(spark, path, "k = 7",
                                  commit_ts=400) == v   # already dead
+
+
+class TestUpdateRowsWhere:
+    def test_dv_update_and_pairing(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            read_delta_changes, update_rows_where,
+        )
+
+        path = str(tmp_path / "uw1")
+        t = spark.createDataFrame(
+            [(i, i * 10) for i in range(40)], "k long, v long"
+        )
+        write_delta(spark, path, t, commit_ts=100,
+                    properties={"delta.enableChangeDataFeed": "true"})
+        v = update_rows_where(spark, path, "k % 10 = 0",
+                              {"v": "v * 2 + 1"}, commit_ts=200)
+        out = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert len(out) == 40 and out[10] == 201 and out[5] == 50
+        snap = load_snapshot(spark, path)
+        assert any(a.get("deletionVector") for a in snap.adds.values())
+        feed = sorted(
+            (r["_change_type"], r["k"], r["v"])
+            for r in read_delta_changes(spark, path, v).collect()
+        )
+        assert ("update_preimage", 10, 100) in feed
+        assert ("update_postimage", 10, 201) in feed
+        assert len(feed) == 8  # 4 pairs
+
+    def test_partition_migration_and_rewrite_path(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            update_rows_where,
+        )
+
+        path = str(tmp_path / "uw2")
+        t = spark.createDataFrame(
+            [(i, i * 10, str(i % 2)) for i in range(20)],
+            "k long, v long, p string",
+        )
+        write_delta(spark, path, t, partition_col="p", commit_ts=100)
+        # heavy match -> rewrite; assignment moves rows to partition '9'
+        update_rows_where(spark, path, "p = '1'", {"p": "'9'"},
+                          commit_ts=200, rewrite_fraction=0.3)
+        out = {(r["k"], r["p"]) for r in read_delta(spark, path).collect()}
+        assert all(p == "9" for k, p in out if k % 2 == 1)
+        assert len(out) == 20
+        snap = load_snapshot(spark, path)
+        assert not any(a.get("deletionVector")
+                       for a in snap.adds.values())  # pure rewrite
+
+    def test_unknown_column_rejected_and_noop(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            update_rows_where,
+        )
+
+        path = str(tmp_path / "uw3")
+        write_delta(spark, path,
+                    spark.createDataFrame([(1, 10)], "k long, v long"),
+                    commit_ts=100)
+        with pytest.raises(ValueError, match="unknown columns"):
+            update_rows_where(spark, path, "k = 1", {"zz": "1"},
+                              commit_ts=200)
+        v = update_rows_where(spark, path, "k = 999", {"v": "0"},
+                              commit_ts=300)
+        assert v == 0  # no match: no-op

@@ -592,6 +592,7 @@ def test_q383_bucket_pruning_never_reads_other_buckets(spark):
         "q384_delta_zorder3",
         "q385_delta_cdf_stream",
         "q386_delta_delete_where",
+        "q387_delta_update_where",
     ],
 )
 def test_r6_no_cartesian_and_codegen(static_plan, name):
