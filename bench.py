@@ -174,6 +174,7 @@ HEADLINE = [
     "q385_delta_cdf_stream",
     "q386_delta_delete_where",
     "q387_delta_update_where",
+    "q388_iceberg_delete_where",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -5678,3 +5678,52 @@ def q387_delta_update_where(spark, sf_dir):
         .unionByName(agg(read_delta(spark, path), "table"))
         .orderBy("slice_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q388 — Iceberg predicate row DELETE (delete_rows_where_iceberg): the
+# v2 merge-on-read twin of q386 on the OTHER wire format — matched
+# (file, pos) pairs flow straight into a sorted position-delete
+# parquet (never through the driver), prior pos+eq deletes are applied
+# before matching (no re-emission), and the changelog scan yields the
+# deleted rows row-exactly. SHARES q386's oracle verbatim: both
+# formats must describe the identical logical delete.
+# ---------------------------------------------------------------------------
+
+
+@register("q388_iceberg_delete_where", _Q386_ORACLE)
+def q388_iceberg_delete_where(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_rows_where_iceberg,
+        read_iceberg,
+        read_iceberg_changes,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_icedw_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    s1 = write_iceberg(spark, path, o, partition_col="pr", commit_ts=100)
+    delete_rows_where_iceberg(spark, path, "k % 7 = 0", commit_ts=200)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("slice_tag"), "*")
+
+    feed = read_iceberg_changes(spark, path, from_snapshot_id=s1).filter(
+        F.col("_change_type") == "delete"
+    )
+    return (
+        agg(feed, "feed_delete")
+        .unionByName(agg(read_iceberg(spark, path), "table"))
+        .orderBy("slice_tag", "o_orderpriority")
+    )

@@ -1305,6 +1305,84 @@ def delete_rows_iceberg(
     return snap_id
 
 
+def delete_rows_where_iceberg(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    commit_ts: int = 0,
+) -> int:
+    """Predicate row DELETE on the v2 merge-on-read path — the Iceberg
+    twin of :mod:`.deltalog`'s ``delete_rows_where``: one scan finds
+    matched LIVE rows (prior position AND equality deletes applied, so
+    already-dead rows are never re-emitted), and their
+    ``(file_path, pos)`` pairs write DIRECTLY into a sorted
+    position-delete parquet — the pairs never touch the driver, which
+    makes this strictly more scalable than a bitmap-bounded DV path.
+    Deletes accumulate across snapshots per the spec; the changelog
+    scan emits these rows as row-exact 'delete' changes."""
+    from pyspark.sql import functions as F
+
+    cur_v = _current_version(path)
+    meta = _load_metadata(path, cur_v)
+    schema = _spark_schema(meta)
+    files = snapshot_files(path)
+    if not files:
+        return _select_snapshot(meta, None, None)["snapshot-id"]
+    delete_files = snapshot_delete_files(path)
+    pos_deletes = [f for f in delete_files if f.get("content") == 1]
+    eq_deletes = [f for f in delete_files if f.get("content") == 2]
+
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, f["file_path"]) for f in files]
+    ).select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_if"),
+        F.col("_metadata.row_index").alias("_ip"),
+    )
+    if pos_deletes:
+        dels = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[os.path.join(path, f["file_path"])
+                       for f in pos_deletes])
+            .select(
+                F.element_at(F.split("file_path", "/"), -1).alias("_if"),
+                F.col("pos").alias("_ip"),
+            )
+        )
+        df = df.join(dels, ["_if", "_ip"], "left_anti")
+    if eq_deletes:
+        df = _apply_equality_deletes(spark, path, df, files, eq_deletes,
+                                     meta)
+    matched = df.filter(predicate).select("_if", "_ip")
+    # basename -> table-relative path (metadata-sized broadcast)
+    rel_map = spark.createDataFrame(
+        [(os.path.basename(f["file_path"]), f["file_path"])
+         for f in files],
+        "_if string, file_path string",
+    )
+    pairs = (
+        matched.join(F.broadcast(rel_map), "_if")
+        .select("file_path", F.col("_ip").alias("pos"))
+    )
+    n = pairs.count()
+    if n == 0:
+        return _select_snapshot(meta, None, None)["snapshot-id"]
+    new_v = cur_v + 1
+    del_rel = f"data/delete-{new_v:05d}-{uuid.uuid4().hex}.parquet"
+    _write_single_parquet(
+        pairs.orderBy("file_path", "pos").coalesce(1),
+        os.path.join(path, del_rel),
+    )
+    _commit_delete_manifest(
+        path, meta, new_v, del_rel,
+        content=1, record_count=n, equality_ids=None,
+        commit_ts=commit_ts,
+    )
+    return new_v
+
+
 def delete_rows_equality(
     spark: SparkSession,
     path: str,

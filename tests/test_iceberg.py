@@ -1082,3 +1082,46 @@ class TestPartitionSpecEvolution:
             "hours", None,
             datetime.datetime(2017, 11, 16, 22, 31, 8), "timestamp",
         ) == 419686
+
+
+class TestDeleteRowsWhereIceberg:
+    def test_predicate_delete_and_no_reemission(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg, read_iceberg, read_iceberg_changes,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "idw1")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(30)], "k long, v long"
+        )
+        s1 = write_iceberg(spark, path, df, commit_ts=100)
+        sd1 = delete_rows_where_iceberg(spark, path, "k % 10 = 0",
+                                        commit_ts=200)
+        left = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert left == set(range(30)) - {0, 10, 20}
+        # second overlapping delete: already-dead rows not re-emitted
+        sd2 = delete_rows_where_iceberg(spark, path, "k % 5 = 0",
+                                        commit_ts=300)
+        left = {r["k"] for r in read_iceberg(spark, path).collect()}
+        assert left == {k for k in range(30) if k % 5 != 0}
+        feed = read_iceberg_changes(spark, path, from_snapshot_id=s1)
+        by_snap = {}
+        for r in feed.collect():
+            assert r["_change_type"] == "delete"
+            by_snap.setdefault(r["_snapshot_id"], set()).add(r["k"])
+        assert by_snap[sd1] == {0, 10, 20}
+        assert by_snap[sd2] == {5, 15, 25}  # NOT 0/10/20 again
+
+    def test_noop_when_nothing_matches(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg, table_history, write_iceberg,
+        )
+
+        path = str(tmp_path / "idw2")
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(1, 10)], "k long, v long"),
+                      commit_ts=100)
+        n = len(table_history(path))
+        delete_rows_where_iceberg(spark, path, "k = 999", commit_ts=200)
+        assert len(table_history(path)) == n  # no snapshot added
