@@ -94,6 +94,11 @@ HEAVY = [
     "q382_delta_cdf_sidecar",
     "q383_iceberg_bucket_transform",
     "q384_delta_zorder3",
+    # r7 continuation: the predicate DML verbs (DV/rewrite routing,
+    # CDF sidecars; Iceberg positions never touch the driver)
+    "q386_delta_delete_where",
+    "q387_delta_update_where",
+    "q388_iceberg_delete_where",
 ]
 
 SRC = "/root/testdata/sf0.1"
