@@ -175,6 +175,7 @@ HEADLINE = [
     "q386_delta_delete_where",
     "q387_delta_update_where",
     "q388_iceberg_delete_where",
+    "q389_iceberg_update_where",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

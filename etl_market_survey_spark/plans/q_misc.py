@@ -5727,3 +5727,78 @@ def q388_iceberg_delete_where(spark, sf_dir):
         .unionByName(agg(read_iceberg(spark, path), "table"))
         .orderBy("slice_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q389 — Iceberg predicate row UPDATE (update_rows_where_iceberg): the
+# merge-on-read twin of q387 — a position-delete snapshot over matched
+# rows + one append of their updated values (the upsert composition;
+# nothing rewritten). Iceberg's changelog has no pre/post pairing, so
+# the feed surfaces the update as row-exact delete + insert — the
+# oracle pins exactly that contract alongside the post-update table.
+# ---------------------------------------------------------------------------
+
+_Q389_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+u AS (
+  SELECT 'table' AS slice_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(
+           (CASE WHEN k % 7 = 0 THEN tp * 2 ELSE tp END) * 100.0
+         ) AS DECIMAL(38,0))) AS cents
+  FROM o GROUP BY 2
+  UNION ALL
+  SELECT 'feed_delete', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM o WHERE k % 7 = 0 GROUP BY 2
+  UNION ALL
+  SELECT 'feed_insert', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 2 * 100.0) AS DECIMAL(38,0)))
+  FROM o WHERE k % 7 = 0 GROUP BY 2
+)
+SELECT slice_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY 1, 2
+"""
+
+
+@register("q389_iceberg_update_where", _Q389_ORACLE)
+def q389_iceberg_update_where(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        read_iceberg,
+        read_iceberg_changes,
+        update_rows_where_iceberg,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_iceuw_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    s1 = write_iceberg(spark, path, o, partition_col="pr", commit_ts=100)
+    update_rows_where_iceberg(spark, path, "k % 7 = 0",
+                              {"tp": "tp * 2"}, commit_ts=200)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("slice_tag"), "*")
+
+    feed = read_iceberg_changes(spark, path, from_snapshot_id=s1)
+    dels = feed.filter(F.col("_change_type") == "delete")
+    ins = feed.filter(F.col("_change_type") == "insert")
+    return (
+        agg(dels, "feed_delete")
+        .unionByName(agg(ins, "feed_insert"))
+        .unionByName(agg(read_iceberg(spark, path), "table"))
+        .orderBy("slice_tag", "o_orderpriority")
+    )

@@ -1464,6 +1464,48 @@ def upsert_iceberg(
     )
 
 
+def update_rows_where_iceberg(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+    commit_ts: int = 0,
+) -> int:
+    """Predicate row UPDATE, merge-on-read: a position-delete snapshot
+    over the matched rows followed by one append of their UPDATED
+    values — the :func:`upsert_iceberg` composition shape (no data
+    file rewritten; position deletes name exact files, so the appended
+    rows are untouched by them). ``assignments``: column -> SQL
+    expression. Returns the append snapshot id; a no-match update is a
+    no-op. The changelog surfaces this as row-exact delete + insert —
+    Iceberg's changelog has no pre/post pairing concept (that is
+    Delta CDF's extra; the logical change set is identical)."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(path)
+    schema = _spark_schema(meta)
+    cols = [f.name for f in schema.fields]
+    bad = [c for c in assignments if c not in cols]
+    if bad:
+        raise ValueError(f"assignments target unknown columns: {bad}")
+
+    live = read_iceberg(spark, path)  # pos+eq deletes applied
+    matched = live.filter(predicate)
+    updated = matched
+    for c, expr in assignments.items():
+        updated = updated.withColumn(c, F.expr(expr))
+    updated = updated.select(*cols)
+    if matched.limit(1).count() == 0:
+        return _select_snapshot(meta, None, None)["snapshot-id"]
+    # materialize the updated rows BEFORE the delete commit: the source
+    # parquet is immutable, but a driver-side staging keeps the append
+    # independent of the table's read path entirely
+    updated = updated.localCheckpoint()
+    delete_rows_where_iceberg(spark, path, predicate,
+                              commit_ts=commit_ts)
+    return write_iceberg(spark, path, updated, commit_ts=commit_ts)
+
+
 def _commit_delete_manifest(
     path: str,
     meta: dict,

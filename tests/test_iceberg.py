@@ -1125,3 +1125,45 @@ class TestDeleteRowsWhereIceberg:
         n = len(table_history(path))
         delete_rows_where_iceberg(spark, path, "k = 999", commit_ts=200)
         assert len(table_history(path)) == n  # no snapshot added
+
+
+class TestUpdateRowsWhereIceberg:
+    def test_update_values_and_changelog(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, read_iceberg_changes, update_rows_where_iceberg,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "iuw1")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "k long, v long"
+        )
+        s1 = write_iceberg(spark, path, df, commit_ts=100)
+        update_rows_where_iceberg(spark, path, "k % 5 = 0",
+                                  {"v": "v + 1"}, commit_ts=200)
+        out = {r["k"]: r["v"] for r in read_iceberg(spark, path).collect()}
+        assert len(out) == 20
+        assert out[5] == 51 and out[10] == 101 and out[7] == 70
+        feed = read_iceberg_changes(spark, path, from_snapshot_id=s1)
+        by = {}
+        for r in feed.collect():
+            by.setdefault(r["_change_type"], set()).add((r["k"], r["v"]))
+        assert by["delete"] == {(0, 0), (5, 50), (10, 100), (15, 150)}
+        assert by["insert"] == {(0, 1), (5, 51), (10, 101), (15, 151)}
+
+    def test_noop_and_unknown_column(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            table_history, update_rows_where_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "iuw2")
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(1, 10)], "k long, v long"),
+                      commit_ts=100)
+        with pytest.raises(ValueError, match="unknown columns"):
+            update_rows_where_iceberg(spark, path, "k = 1", {"zz": "1"},
+                                      commit_ts=200)
+        n = len(table_history(path))
+        update_rows_where_iceberg(spark, path, "k = 999", {"v": "0"},
+                                  commit_ts=300)
+        assert len(table_history(path)) == n
