@@ -176,6 +176,7 @@ HEADLINE = [
     "q387_delta_update_where",
     "q388_iceberg_delete_where",
     "q389_iceberg_update_where",
+    "q390_iceberg_compaction",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -5802,3 +5802,84 @@ def q389_iceberg_update_where(spark, sf_dir):
         .unionByName(agg(read_iceberg(spark, path), "table"))
         .orderBy("slice_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q390 — Iceberg rewrite_data_files (compaction): merge-on-read debt
+# paid down — position + equality deletes MATERIALIZED into fresh
+# files, delete manifests retired, optional sort-order clustering so
+# stats pruning starts working. The gate deletes k%7==0 rows (position
+# deletes), compacts sorted by k, and reads (a) a stats-pruned k-range
+# slice with its exact residual and (b) the full table — a compaction
+# that resurrected deleted rows, lost live ones, or broke the sort's
+# bounds would mismatch. Oracle: plain SQL over the logical survivors.
+# ---------------------------------------------------------------------------
+
+_Q390_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+),
+spans AS (
+  SELECT MIN(k) + CAST(FLOOR(0.25 * (MAX(k) - MIN(k))) AS BIGINT) AS klo,
+         MIN(k) + CAST(FLOOR(0.50 * (MAX(k) - MIN(k))) AS BIGINT) AS khi
+  FROM o
+),
+u AS (
+  SELECT 'full' AS slice_tag, pr, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents
+  FROM o GROUP BY 2
+  UNION ALL
+  SELECT 'range', pr, COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0)))
+  FROM o, spans WHERE k BETWEEN klo AND khi GROUP BY 2
+)
+SELECT slice_tag, pr AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY 1, 2
+"""
+
+
+@register("q390_iceberg_compaction", _Q390_ORACLE)
+def q390_iceberg_compaction(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_rows_where_iceberg,
+        read_iceberg,
+        rewrite_data_files,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_icecomp_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    write_iceberg(spark, path, o, commit_ts=100)
+    delete_rows_where_iceberg(spark, path, "k % 7 = 0", commit_ts=200)
+    rewrite_data_files(spark, path, sort_by=["k"], n_files=8,
+                       commit_ts=300)
+
+    b = o.filter(F.col("k") % 7 != 0).agg(F.min("k"), F.max("k")).first()
+    klo = b[0] + int(0.25 * (b[1] - b[0]))
+    khi = b[0] + int(0.50 * (b[1] - b[0]))
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("slice_tag"), "*")
+
+    full = read_iceberg(spark, path)
+    rng = read_iceberg(
+        spark, path, stats_filter={"k": (klo, khi)}
+    ).filter(F.col("k").between(klo, khi))
+    return (
+        agg(full, "full")
+        .unionByName(agg(rng, "range"))
+        .orderBy("slice_tag", "o_orderpriority")
+    )

@@ -804,6 +804,7 @@ def write_iceberg(
     commit_ts: int = 0,
     merge_schema: bool = False,
     allow_spec_evolution: bool = False,
+    preserve_layout: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -986,6 +987,7 @@ def write_iceberg(
         spark, path, df, partition_col,
         pexpr=pexpr, pfield=pfield,
         pv_caster=_pv_caster_ice(res_ice_type) if partition_col else None,
+        preserve_layout=preserve_layout,
     )
     for rel, pv, bounds, n in staged:
         entries.append(
@@ -1588,6 +1590,49 @@ def _commit_delete_manifest(
     _publish_metadata(path, new_v, meta)
 
 
+def rewrite_data_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    sort_by: list[str] | None = None,
+    n_files: int | None = None,
+    commit_ts: int = 0,
+) -> int:
+    """Iceberg's ``rewrite_data_files`` (compaction): rewrite the LIVE
+    logical rows — position and equality deletes MATERIALIZED into the
+    new files — as one overwrite snapshot, retiring every delete
+    manifest with the old file set (merge-on-read debt paid down, the
+    maintenance job every MOR table needs). Logical content is
+    unchanged; prior snapshots still time-travel (old files are not
+    deleted — that is :func:`expire_snapshots`'s job).
+
+    ``sort_by``: optional clustering columns — rows are range-
+    partitioned and sorted on them before staging (Iceberg sort-order
+    style), so per-file min/max bounds turn tight and
+    ``stats_filter`` pruning starts working on those columns.
+    ``n_files`` sizes that range split (defaults to the shuffle
+    parallelism). Partitioned tables keep their spec (the writer
+    restages per partition value)."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(path)
+    live = read_iceberg(spark, path)  # all row-level deletes applied
+    if sort_by:
+        missing = [c for c in sort_by if c not in live.columns]
+        if missing:
+            raise ValueError(f"sort_by columns not in table: {missing}")
+        n = n_files or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        live = live.repartitionByRange(
+            n, *[F.col(c) for c in sort_by]
+        ).sortWithinPartitions(*sort_by)
+    return write_iceberg(
+        spark, path, live, mode="overwrite", commit_ts=commit_ts,
+        preserve_layout=bool(sort_by),
+    )
+
+
 def rollback_iceberg(path: str, snapshot_id: int, commit_ts: int = 0) -> int:
     """``rollback_to_snapshot``: make an EXISTING snapshot current again
     by writing new table metadata that points at it — Iceberg's rollback
@@ -1710,7 +1755,7 @@ def _pv_caster_ice(ice_type: str | None):
 
 
 def _stage_iceberg_files(spark, path, df, pcol, *, pexpr=None, pfield=None,
-                         pv_caster=None):
+                         pv_caster=None, preserve_layout=False):
     """One-job staged write for all partitions; returns
     [(rel, partition_value, bounds_json, record_count)].
 
@@ -1736,6 +1781,11 @@ def _stage_iceberg_files(spark, path, df, pcol, *, pexpr=None, pfield=None,
             .parquet(stage)
         )
         pattern = os.path.join(stage, "_pk=*", "part-*.parquet")
+    elif preserve_layout:
+        # keep the caller's partitioning (e.g. a compaction's range
+        # split on the sort columns): one staged file per partition
+        df.write.mode("overwrite").parquet(stage)
+        pattern = os.path.join(stage, "part-*.parquet")
     else:
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         pattern = os.path.join(stage, "part-*.parquet")

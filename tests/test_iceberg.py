@@ -1167,3 +1167,58 @@ class TestUpdateRowsWhereIceberg:
         update_rows_where_iceberg(spark, path, "k = 999", {"v": "0"},
                                   commit_ts=300)
         assert len(table_history(path)) == n
+
+
+class TestRewriteDataFiles:
+    def test_deletes_materialized_and_content_stable(
+        self, spark, tmp_path
+    ):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality, delete_rows_where_iceberg, read_iceberg,
+            rewrite_data_files, snapshot_delete_files, snapshot_files,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "rw1")
+        df = spark.createDataFrame(
+            [(i, i * 10, str(i % 3)) for i in range(60)],
+            "k long, v long, p string",
+        )
+        write_iceberg(spark, path, df.filter("k < 30"),
+                      partition_col="p", commit_ts=100)
+        write_iceberg(spark, path, df.filter("k >= 30"),
+                      partition_col="p", commit_ts=200)
+        delete_rows_where_iceberg(spark, path, "k % 10 = 0",
+                                  commit_ts=300)
+        delete_rows_equality(spark, path, [{"k": 7}], cols=["k"],
+                             commit_ts=400)
+        before = {tuple(r) for r in read_iceberg(spark, path).collect()}
+        n_before = len(snapshot_files(path))
+        rewrite_data_files(spark, path, commit_ts=500)
+        after = {tuple(r) for r in read_iceberg(spark, path).collect()}
+        assert after == before
+        assert len(snapshot_files(path)) < n_before
+        assert snapshot_delete_files(path) == []  # MOR debt paid
+        # pre-compaction snapshots still time-travel
+        assert read_iceberg(spark, path, as_of_ms=250).count() == 60
+
+    def test_sort_by_tightens_bounds(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, rewrite_data_files, snapshot_files,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "rw2")
+        # interleaved writes: every file spans the whole k range
+        df = spark.range(4000).selectExpr(
+            "CAST((id * 48271) % 10007 AS LONG) AS k", "id AS v"
+        )
+        write_iceberg(spark, path, df, commit_ts=100)
+        rewrite_data_files(spark, path, sort_by=["k"], n_files=8,
+                           commit_ts=200)
+        files = snapshot_files(path)
+        assert len(files) >= 4
+        # clustered: a narrow k slice prunes most files
+        pruned = read_iceberg(spark, path,
+                              stats_filter={"k": (100, 400)})
+        assert 0 < len(pruned.inputFiles()) < len(files)

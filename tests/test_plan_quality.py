@@ -595,6 +595,7 @@ def test_q383_bucket_pruning_never_reads_other_buckets(spark):
         "q387_delta_update_where",
         "q388_iceberg_delete_where",
         "q389_iceberg_update_where",
+        "q390_iceberg_compaction",
     ],
 )
 def test_r6_no_cartesian_and_codegen(static_plan, name):
