@@ -665,6 +665,13 @@ def write_delta(
 
     pcols = [partition_col] if partition_col else []
 
+    # CHECK constraints: enforced on every appended/overwritten row
+    cons_cfg = (
+        (prior.metadata.get("configuration") or {}) if prior is not None
+        else {k: str(v) for k, v in (properties or {}).items()}
+    )
+    _enforce_constraints(df, cons_cfg)
+
     # Column mapping (mode 'name'): the parquet files carry PHYSICAL
     # column names; the logical names live only in schemaString field
     # metadata. partitionValues and stats keys are physical too. New
@@ -1036,6 +1043,35 @@ def add_deletion_vectors(
     return new_version
 
 
+def _enforce_constraints(df, config: dict) -> None:
+    """Protocol CHECK constraints (``delta.constraints.<name>`` table
+    properties): every row written must satisfy every constraint
+    expression — one combined job for all constraints; on violation a
+    second (failure-path-only) pass names the broken constraint."""
+    from pyspark.sql import functions as F
+
+    cons = {
+        k[len("delta.constraints."):]: v
+        for k, v in (config or {}).items()
+        if k.startswith("delta.constraints.")
+    }
+    if not cons:
+        return
+    bad = None
+    for expr in cons.values():
+        neg = ~F.expr(expr) | F.expr(expr).isNull()
+        bad = neg if bad is None else (bad | neg)
+    if df.filter(bad).limit(1).count() == 0:
+        return
+    for name, expr in sorted(cons.items()):
+        neg = ~F.expr(expr) | F.expr(expr).isNull()
+        if df.filter(neg).limit(1).count() > 0:
+            raise ValueError(
+                f"CHECK constraint {name!r} violated: ({expr}) is not "
+                "true for all written rows"
+            )
+
+
 def delete_rows_where(
     spark: SparkSession,
     path: str,
@@ -1362,6 +1398,9 @@ def update_rows_where(
     for c, expr in assignments.items():
         updated = updated.withColumn(c, F.expr(expr))
     updated = updated.select(*cols)
+    _enforce_constraints(
+        updated, snap.metadata.get("configuration") or {}
+    )
 
     counts = {
         r["_file"]: r["n"]
@@ -2301,6 +2340,9 @@ def merge_delta(
     new_rows = parts[0]
     for p in parts[1:]:
         new_rows = new_rows.unionByName(p)
+    _enforce_constraints(
+        new_rows, snap.metadata.get("configuration") or {}
+    )
 
     # stage under physical names, one job (the write_delta shape)
     new_version = snap.version + 1

@@ -367,10 +367,14 @@ def read_iceberg(
     *,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    ref: str | None = None,
     partition_filter: dict[str, list] | None = None,
     stats_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot with driver-side pruning.
+
+    ``ref``: a named tag/branch (:func:`set_ref`) — resolved to its
+    snapshot id before planning.
 
     ``partition_filter``: partition field -> allowed values (compared on
     the manifest's partition tuple). ``stats_filter``: column -> (lo,
@@ -388,6 +392,10 @@ def read_iceberg(
     pruning never pays for its deletes either."""
     from pyspark.sql import functions as F
 
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError("pass ref OR snapshot_id/as_of_ms, not both")
+        snapshot_id = resolve_ref(path, ref)
     files = snapshot_files(path, snapshot_id, as_of_ms)
     delete_files = snapshot_delete_files(path, snapshot_id, as_of_ms)
     pos_deletes = [f for f in delete_files if f.get("content") == 1]
@@ -1652,6 +1660,60 @@ def rollback_iceberg(path: str, snapshot_id: int, commit_ts: int = 0) -> int:
     return new_v
 
 
+def set_ref(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    *,
+    kind: str = "tag",
+    commit_ts: int = 0,
+) -> int:
+    """Named REF (spec v2 ``refs`` map): pin ``name`` to a snapshot as
+    a ``tag`` (immutable bookmark — 'the snapshot we trained v3 on') or
+    ``branch`` head. Defaults to the current snapshot. Refs survive
+    :func:`expire_snapshots` (their snapshots are always retained) and
+    resolve in :func:`read_iceberg` via ``ref=``."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"unknown ref kind {kind!r}")
+    cur_v = _current_version(path)
+    meta = dict(_load_metadata(path, cur_v))
+    sid = (
+        snapshot_id if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if not any(
+        sn["snapshot-id"] == sid for sn in meta.get("snapshots") or []
+    ):
+        raise ValueError(f"no snapshot {sid} in {path}")
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": kind}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = commit_ts
+    new_v = cur_v + 1
+    _publish_metadata(path, new_v, meta)
+    return sid
+
+
+def drop_ref(path: str, name: str, commit_ts: int = 0) -> None:
+    cur_v = _current_version(path)
+    meta = dict(_load_metadata(path, cur_v))
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} in {path}")
+    del refs[name]
+    meta["refs"] = refs
+    meta["last-updated-ms"] = commit_ts
+    _publish_metadata(path, cur_v + 1, meta)
+
+
+def resolve_ref(path: str, name: str) -> int:
+    meta = _load_metadata(path)
+    r = (meta.get("refs") or {}).get(name)
+    if not r:
+        raise ValueError(f"no ref {name!r} in {path}")
+    return int(r["snapshot-id"])
+
+
 def expire_snapshots(
     spark: SparkSession,
     path: str,
@@ -1679,14 +1741,21 @@ def expire_snapshots(
     # delete data files the table still points at (dangling pointer +
     # data loss on the very next read).
     cur_sid = meta.get("current-snapshot-id")
-    if cur_sid is not None and not any(
-        s["snapshot-id"] == cur_sid for s in keep_snaps
-    ):
-        rescued = [s for s in drop_snaps if s["snapshot-id"] == cur_sid]
+    pinned = {cur_sid} if cur_sid is not None else set()
+    # named refs pin their snapshots too — expiring a tagged snapshot
+    # would dangle the ref exactly like the current-pointer case
+    pinned |= {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
+    rescued_ids = pinned - {s["snapshot-id"] for s in keep_snaps}
+    if rescued_ids:
+        rescued = [s for s in drop_snaps if s["snapshot-id"] in rescued_ids]
         keep_snaps = sorted(
             keep_snaps + rescued, key=lambda s: s["timestamp-ms"]
         )
-        drop_snaps = [s for s in drop_snaps if s["snapshot-id"] != cur_sid]
+        drop_snaps = [
+            s for s in drop_snaps if s["snapshot-id"] not in rescued_ids
+        ]
         if not drop_snaps:
             return []
 

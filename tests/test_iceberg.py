@@ -1222,3 +1222,87 @@ class TestRewriteDataFiles:
         pruned = read_iceberg(spark, path,
                               stats_filter={"k": (100, 400)})
         assert 0 < len(pruned.inputFiles()) < len(files)
+
+
+class TestNamedRefs:
+    def test_tag_read_and_expiry_protection(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            drop_ref, expire_snapshots, read_iceberg, set_ref,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "ref1")
+        s1 = write_iceberg(spark, path,
+                           spark.createDataFrame([(1,)], "k long"),
+                           commit_ts=100)
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(2,)], "k long"),
+                      commit_ts=200)
+        set_ref(path, "train_v3", s1)
+        assert {r["k"] for r in read_iceberg(spark, path,
+                                             ref="train_v3").collect()} \
+            == {1}
+        # the tagged snapshot survives keep=1 expiry
+        expire_snapshots(spark, path, keep=1)
+        assert {r["k"] for r in read_iceberg(spark, path,
+                                             ref="train_v3").collect()} \
+            == {1}
+        assert read_iceberg(spark, path).count() == 2
+        drop_ref(path, "train_v3")
+        with pytest.raises(ValueError, match="no ref"):
+            read_iceberg(spark, path, ref="train_v3")
+
+    def test_unknown_snapshot_and_both_args_rejected(
+        self, spark, tmp_path
+    ):
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, set_ref, write_iceberg,
+        )
+
+        path = str(tmp_path / "ref2")
+        s1 = write_iceberg(spark, path,
+                           spark.createDataFrame([(1,)], "k long"),
+                           commit_ts=100)
+        with pytest.raises(ValueError, match="no snapshot"):
+            set_ref(path, "x", 424242)
+        set_ref(path, "x", s1)
+        with pytest.raises(ValueError, match="not both"):
+            read_iceberg(spark, path, ref="x", snapshot_id=s1)
+
+
+class TestCheckConstraints:
+    def test_all_write_paths_enforce(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, read_delta, update_rows_where, write_delta,
+        )
+
+        path = str(tmp_path / "cc1")
+        t = spark.createDataFrame([(i, i * 10) for i in range(1, 6)],
+                                  "k long, v long")
+        write_delta(spark, path, t, commit_ts=100,
+                    properties={"delta.constraints.v_positive": "v > 0"})
+        with pytest.raises(ValueError, match="v_positive"):
+            write_delta(spark, path,
+                        spark.createDataFrame([(9, -1)],
+                                              "k long, v long"),
+                        commit_ts=200)
+        with pytest.raises(ValueError, match="v_positive"):
+            update_rows_where(spark, path, "k = 1", {"v": "-5"},
+                              commit_ts=300)
+        with pytest.raises(ValueError, match="v_positive"):
+            merge_delta(spark, path,
+                        spark.createDataFrame([(1, -2)],
+                                              "k long, v long"),
+                        ["k"], commit_ts=400)
+        # nothing committed by the failed writes; valid writes pass
+        write_delta(spark, path,
+                    spark.createDataFrame([(9, 90)], "k long, v long"),
+                    commit_ts=500)
+        assert read_delta(spark, path).count() == 6
+        # null constraint results are violations too (SQL CHECK is
+        # 'not false' in ANSI; Delta enforces 'true' — the strict rule)
+        with pytest.raises(ValueError, match="v_positive"):
+            write_delta(spark, path,
+                        spark.createDataFrame([(10, None)],
+                                              "k long, v long"),
+                        commit_ts=600)
