@@ -1802,6 +1802,33 @@ def expire_snapshots(
     return doomed
 
 
+def expire_metadata_versions(path: str, keep: int = 5) -> list[str]:
+    """Metadata-log retention (the spec's
+    ``write.metadata.delete-after-commit`` behavior): delete
+    ``v*.metadata.json`` files older than the newest ``keep`` versions.
+    Snapshots/manifests/data are untouched — only superseded TABLE
+    metadata documents go; time travel (snapshot-addressed) is
+    unaffected, and every surviving metadata file still lists the full
+    snapshot log."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    md = _meta_dir(path)
+    versions = sorted(
+        int(f[1:-len(".metadata.json")])
+        for f in os.listdir(md)
+        if f.startswith("v") and f.endswith(".metadata.json")
+        and f[1:-len(".metadata.json")].isdigit()
+    )
+    cur = _current_version(path)
+    doomed = [v for v in versions[:-keep] if v != cur]
+    out = []
+    for v in doomed:
+        fp = os.path.join(md, f"v{v}.metadata.json")
+        os.remove(fp)
+        out.append(fp)
+    return out
+
+
 def _pv_caster(dtype):
     s = dtype.simpleString()
     if s in ("bigint", "int", "long", "integer"):

@@ -291,7 +291,8 @@ class _IcebergLitePlainReader(_IcebergLiteReader):
 
 class IcebergLiteDataSource(DataSource):
     """Options: ``path`` (from .load(path)), ``snapshotId`` (time
-    travel to a snapshot)."""
+    travel to a snapshot), ``ref`` (a named tag/branch),
+    ``pushdown=false`` (disable the pushFilters reader)."""
 
     @classmethod
     def name(cls):
@@ -308,12 +309,19 @@ class IcebergLiteDataSource(DataSource):
 
         return _pure_spark_schema(_load_metadata(self._path()))
 
-    def reader(self, schema):
+    def _snapshot(self) -> int | None:
         sid = self.options.get("snapshotid")
+        ref = self.options.get("ref")
+        if sid is not None and ref is not None:
+            raise ValueError("pass snapshotId OR ref, not both")
+        if ref is not None:
+            from .iceberg import resolve_ref
+
+            return resolve_ref(self._path(), ref)
+        return int(sid) if sid is not None else None
+
+    def reader(self, schema):
+        sid = self._snapshot()
         if str(self.options.get("pushdown", "true")).lower() == "false":
-            return _IcebergLitePlainReader(
-                self._path(), int(sid) if sid is not None else None
-            )
-        return _IcebergLiteReader(
-            self._path(), int(sid) if sid is not None else None
-        )
+            return _IcebergLitePlainReader(self._path(), sid)
+        return _IcebergLiteReader(self._path(), sid)

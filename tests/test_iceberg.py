@@ -1306,3 +1306,44 @@ class TestCheckConstraints:
                         spark.createDataFrame([(10, None)],
                                               "k long, v long"),
                         commit_ts=600)
+
+
+class TestMetadataRetention:
+    def test_old_metadata_expired_current_kept(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            expire_metadata_versions, read_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "mr1")
+        for i in range(6):
+            write_iceberg(spark, path,
+                          spark.createDataFrame([(i,)], "k long"),
+                          commit_ts=100 * (i + 1))
+        gone = expire_metadata_versions(path, keep=2)
+        assert len(gone) == 4
+        assert read_iceberg(spark, path).count() == 6
+        # snapshot-addressed time travel unaffected
+        assert read_iceberg(spark, path, as_of_ms=250).count() == 2
+
+
+class TestIcebergLiteRef:
+    def test_ref_option(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            set_ref, write_iceberg,
+        )
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        path = str(tmp_path / "lr1")
+        s1 = write_iceberg(spark, path,
+                           spark.createDataFrame([(1,)], "k long"),
+                           commit_ts=100)
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(2,)], "k long"),
+                      commit_ts=200)
+        set_ref(path, "pinned", s1)
+        got = {r["k"] for r in spark.read.format("iceberg_lite")
+               .option("ref", "pinned").load(path).collect()}
+        assert got == {1}
