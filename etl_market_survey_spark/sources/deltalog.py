@@ -510,6 +510,64 @@ def _dv_positions_df(spark: SparkSession, table_path: str, adds: list[dict]):
     ).mapInPandas(expand, "_dv_name string, _dv_pos long")
 
 
+def _prior_dead_df(spark: SparkSession, path: str, adds: list[dict]):
+    """Prior deletion-vector positions as a ``(_file, _pos)`` frame —
+    the distributed twin of the old driver-side DV loop. Returns None
+    when no add carries a DV (the common case skips the anti-join)."""
+    if not any(a.get("deletionVector") for a in adds):
+        return None
+    return (
+        _dv_positions_df(spark, path, adds)
+        .withColumnRenamed("_dv_name", "_file")
+        .withColumnRenamed("_dv_pos", "_pos")
+    )
+
+
+def _merged_dv_blobs(
+    new_pos_df, prior_dead_df, dv_bases: list[str]
+) -> list[tuple[str, bytes, int]]:
+    """Serialize per-file merged deletion vectors EXECUTOR-side.
+
+    ``new_pos_df``: (_file, _pos) rows newly matched by the DML predicate,
+    already restricted to ``dv_bases``. ``prior_dead_df``: prior DV
+    positions (or None); folded in so existing deletes neither re-delete
+    nor resurrect. Each file's positions stay on the executors — the
+    roaring bitmaps are built inside an ``applyInPandas`` grouped by
+    file, and only the KB-scale compressed blobs (one per file, bounded
+    by metadata not by deleted-row count) return to the driver.
+
+    Returns ``[(base_name, blob, cardinality)]`` sorted by base name,
+    byte-identical to the old driver-side ``sorted(set(new) | prior)``
+    construction."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    union = new_pos_df
+    if prior_dead_df is not None:
+        union = union.unionByName(
+            prior_dead_df.filter(F.col("_file").isin(dv_bases))
+        )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from .dvbitmap import serialize_rbm64
+
+        poss = sorted({int(p) for p in pdf["_pos"]})
+        return pd.DataFrame(
+            {
+                "_file": [pdf["_file"].iloc[0]],
+                "blob": [serialize_rbm64(poss)],
+                "card": [len(poss)],
+            }
+        )
+
+    rows = (
+        union.groupBy("_file")
+        .applyInPandas(build, "_file string, blob binary, card long")
+        .collect()
+    )  # one compressed bitmap per file — metadata-sized
+    return sorted((r["_file"], bytes(r["blob"]), r["card"]) for r in rows)
+
+
 def delta_history(path: str) -> list[dict]:
     """One row per commit: version, timestamp, operation, files added/
     removed — the ``DESCRIBE HISTORY`` shape."""
@@ -1096,24 +1154,21 @@ def delete_rows_where(
       file is pure read overhead.
 
     Scale shape: one scan computes matches; per-file match counts are
-    a metadata-sized aggregate; only DV-path positions are collected
-    (bounded by ``dv_row_limit`` per file — the same KB-scale budget
-    as :func:`add_deletion_vectors`); rewrites stage in one job.
-    Rows already dead under a prior DV are excluded (they neither
-    re-delete nor resurrect). On ``delta.enableChangeDataFeed`` tables
-    the commit carries a ``_change_data`` sidecar with the deleted
-    rows, so the feed stays row-exact across both paths."""
+    a metadata-sized aggregate. Deletion-vector work is fully
+    distributed: prior DVs expand to positions via the same
+    ``mapInPandas`` decode the read path uses and fold out through an
+    anti-join, and each file's merged bitmap is serialized inside an
+    ``applyInPandas`` grouped by file — only one KB-scale compressed
+    blob per file ever reaches the driver, never row positions.
+    Rewrites stage in one job. Rows already dead under a prior DV are
+    excluded (they neither re-delete nor resurrect). On
+    ``delta.enableChangeDataFeed`` tables the commit carries a
+    ``_change_data`` sidecar with the deleted rows, so the feed stays
+    row-exact across both paths."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
-    from .dvbitmap import (
-        deserialize_rbm64,
-        dv_file_name,
-        encode_dv_path,
-        read_dv_blob,
-        serialize_rbm64,
-        write_dv_file,
-    )
+    from .dvbitmap import dv_file_name, encode_dv_path, write_dv_file
 
     snap = load_snapshot(spark, path)
     snap.check_reader_support()
@@ -1127,22 +1182,11 @@ def delete_rows_where(
     rows = _scan_logical_with_file(
         spark, path, snap, [a for _, a in adds_all], keep_pos=True
     )
-    # exclude rows a prior DV already deleted (scan keeps raw positions)
-    prior_dead: dict[str, set[int]] = {}
-    for rel, a in adds_all:
-        dvd = a.get("deletionVector")
-        if dvd:
-            dv_path, off, size = _dv_location(path, dvd)
-            prior_dead[os.path.basename(rel)] = set(
-                deserialize_rbm64(read_dv_blob(dv_path, off, size))
-            )
-    if prior_dead:
-        dead_df = spark.createDataFrame(
-            [(b, int(p)) for b, ps in prior_dead.items() for p in ps],
-            "_file string, _pos long",
-        )
-        rows = rows.join(F.broadcast(dead_df), ["_file", "_pos"],
-                         "left_anti")
+    # exclude rows a prior DV already deleted (scan keeps raw positions);
+    # expansion runs executor-side — positions never touch the driver
+    prior_dead_df = _prior_dead_df(spark, path, [a for _, a in adds_all])
+    if prior_dead_df is not None:
+        rows = rows.join(prior_dead_df, ["_file", "_pos"], "left_anti")
     rows = rows.cache()
     matched = rows.filter(predicate)
 
@@ -1192,25 +1236,19 @@ def delete_rows_where(
         }
     ]
 
-    # merge-on-read half: fold matched positions into DVs
+    # merge-on-read half: fold matched positions into DVs (serialized
+    # executor-side; only per-file blobs reach the driver)
     if dv_files:
         dv_bases = [os.path.basename(r) for r in dv_files]
-        pos_rows = (
+        merged = _merged_dv_blobs(
             matched.filter(F.col("_file").isin(dv_bases))
-            .select("_file", "_pos").collect()
-        )  # bounded: <= dv_row_limit per file by routing
-        merged: dict[str, list[int]] = {}
-        for r in pos_rows:
-            merged.setdefault(r["_file"], []).append(int(r["_pos"]))
-        for b in list(merged):
-            merged[b] = sorted(
-                set(merged[b]) | prior_dead.get(b, set())
-            )
+            .select("_file", "_pos"),
+            prior_dead_df, dv_bases,
+        )
         u = uuid.uuid4()
-        bases = sorted(merged)
-        blobs = [serialize_rbm64(merged[b]) for b in bases]
         frames = write_dv_file(
-            os.path.join(path, dv_file_name(u)), blobs
+            os.path.join(path, dv_file_name(u)),
+            [blob for _, blob, _ in merged],
         )
         feats = {"deletionVectors"}
         if snap.column_mapping_mode != "none":
@@ -1225,7 +1263,7 @@ def delete_rows_where(
                 }
             }
         )
-        for b, frame in zip(bases, frames):
+        for (b, _, card), frame in zip(merged, frames):
             rel = by_base[b]
             old = snap.adds[rel]
             actions.append(
@@ -1240,7 +1278,7 @@ def delete_rows_where(
                 "pathOrInlineDv": encode_dv_path(u),
                 "offset": frame["offset"],
                 "sizeInBytes": frame["sizeInBytes"],
-                "cardinality": len(merged[b]),
+                "cardinality": card,
             }
             actions.append({"add": new_add})
 
@@ -1348,19 +1386,13 @@ def update_rows_where(
 
     CDF tables get a ``_change_data`` sidecar pairing every matched
     row as update_preimage/update_postimage, row-exact across both
-    paths. Same scale budget as delete_rows_where: one scan, bounded
-    position collects, one staged append job."""
+    paths. Same scale budget as delete_rows_where: one scan, fully
+    distributed DV decode/serialize (only per-file KB-scale blobs
+    reach the driver), one staged append job."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
-    from .dvbitmap import (
-        deserialize_rbm64,
-        dv_file_name,
-        encode_dv_path,
-        read_dv_blob,
-        serialize_rbm64,
-        write_dv_file,
-    )
+    from .dvbitmap import dv_file_name, encode_dv_path, write_dv_file
 
     snap = load_snapshot(spark, path)
     snap.check_reader_support()
@@ -1377,21 +1409,9 @@ def update_rows_where(
     rows = _scan_logical_with_file(
         spark, path, snap, [a for _, a in adds_all], keep_pos=True
     )
-    prior_dead: dict[str, set[int]] = {}
-    for rel, a in adds_all:
-        dvd = a.get("deletionVector")
-        if dvd:
-            dv_path, off, size = _dv_location(path, dvd)
-            prior_dead[os.path.basename(rel)] = set(
-                deserialize_rbm64(read_dv_blob(dv_path, off, size))
-            )
-    if prior_dead:
-        dead_df = spark.createDataFrame(
-            [(b, int(p)) for b, ps in prior_dead.items() for p in ps],
-            "_file string, _pos long",
-        )
-        rows = rows.join(F.broadcast(dead_df), ["_file", "_pos"],
-                         "left_anti")
+    prior_dead_df = _prior_dead_df(spark, path, [a for _, a in adds_all])
+    if prior_dead_df is not None:
+        rows = rows.join(prior_dead_df, ["_file", "_pos"], "left_anti")
     rows = rows.cache()
     matched = rows.filter(predicate)
     updated = matched
@@ -1448,19 +1468,16 @@ def update_rows_where(
 
     if dv_files:
         dv_bases = [os.path.basename(r) for r in dv_files]
-        pos_rows = (
+        merged = _merged_dv_blobs(
             matched.filter(F.col("_file").isin(dv_bases))
-            .select("_file", "_pos").collect()
-        )  # bounded by dv_row_limit per file
-        merged: dict[str, list[int]] = {}
-        for r in pos_rows:
-            merged.setdefault(r["_file"], []).append(int(r["_pos"]))
-        for b in list(merged):
-            merged[b] = sorted(set(merged[b]) | prior_dead.get(b, set()))
+            .select("_file", "_pos"),
+            prior_dead_df, dv_bases,
+        )
         u = uuid.uuid4()
-        bases = sorted(merged)
-        blobs = [serialize_rbm64(merged[b]) for b in bases]
-        frames = write_dv_file(os.path.join(path, dv_file_name(u)), blobs)
+        frames = write_dv_file(
+            os.path.join(path, dv_file_name(u)),
+            [blob for _, blob, _ in merged],
+        )
         feats = {"deletionVectors"}
         if snap.column_mapping_mode != "none":
             feats.add("columnMapping")
@@ -1474,7 +1491,7 @@ def update_rows_where(
                 }
             }
         )
-        for b, frame in zip(bases, frames):
+        for (b, _, card), frame in zip(merged, frames):
             rel = by_base[b]
             old = snap.adds[rel]
             actions.append(
@@ -1489,7 +1506,7 @@ def update_rows_where(
                 "pathOrInlineDv": encode_dv_path(u),
                 "offset": frame["offset"],
                 "sizeInBytes": frame["sizeInBytes"],
-                "cardinality": len(merged[b]),
+                "cardinality": card,
             }
             actions.append({"add": new_add})
 

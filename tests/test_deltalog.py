@@ -1690,3 +1690,67 @@ class TestUpdateRowsWhere:
         v = update_rows_where(spark, path, "k = 999", {"v": "0"},
                               commit_ts=300)
         assert v == 0  # no match: no-op
+
+
+class TestRowDmlStaysDistributed:
+    """Row DML must never materialize deletion-vector positions on the
+    driver: prior-DV exclusion and merged-bitmap serialization both run
+    inside executor Python workers. Workers are separate processes, so
+    poisoning the driver's bitmap codecs catches exactly a driver-side
+    decode/encode while leaving the distributed path untouched."""
+
+    def _poison(self, monkeypatch):
+        from etl_market_survey_spark.sources import dvbitmap
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "DV bitmap codec invoked on the DRIVER — row DML must "
+                "keep position expansion/serialization executor-side"
+            )
+
+        monkeypatch.setattr(dvbitmap, "deserialize_rbm64", boom)
+        monkeypatch.setattr(dvbitmap, "serialize_rbm64", boom)
+
+    def test_delete_over_prior_dv_never_decodes_on_driver(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from etl_market_survey_spark.sources.deltalog import (
+            delete_rows_where,
+        )
+
+        path = str(tmp_path / "dist_del")
+        t = spark.createDataFrame(
+            [(i, i * 10) for i in range(200)], "k long, v long"
+        )
+        write_delta(spark, path, t, commit_ts=100)
+        delete_rows_where(spark, path, "k % 20 = 0", commit_ts=200)
+        snap = load_snapshot(spark, path)
+        assert any(a.get("deletionVector") for a in snap.adds.values())
+
+        self._poison(monkeypatch)  # second DML folds the prior DV
+        delete_rows_where(spark, path, "k % 20 = 5", commit_ts=300)
+        monkeypatch.undo()
+        left = {r["k"] for r in read_delta(spark, path).collect()}
+        assert left == {k for k in range(200)
+                        if k % 20 not in (0, 5)}
+
+    def test_update_over_prior_dv_never_decodes_on_driver(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from etl_market_survey_spark.sources.deltalog import (
+            delete_rows_where, update_rows_where,
+        )
+
+        path = str(tmp_path / "dist_upd")
+        t = spark.createDataFrame(
+            [(i, i * 10) for i in range(200)], "k long, v long"
+        )
+        write_delta(spark, path, t, commit_ts=100)
+        delete_rows_where(spark, path, "k < 10", commit_ts=200)
+
+        self._poison(monkeypatch)
+        update_rows_where(spark, path, "k % 50 = 11", {"v": "v + 1"},
+                          commit_ts=300)
+        monkeypatch.undo()
+        out = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert len(out) == 190 and out[11] == 111 and out[61] == 611
