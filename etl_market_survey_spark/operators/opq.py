@@ -77,6 +77,32 @@ def sql_rotated_list(vec_expr: str, blocks) -> str:
     return "[" + ", ".join(exprs) + "]"
 
 
+def rotate_rows(X: "np.ndarray", blocks) -> "np.ndarray":
+    """Vectorized replica of the SAME left fold over a row-major batch
+    ``X`` (n, d) of float64 — the kernel-side twin of
+    :func:`rotated_vec`'s expression text.
+
+    Bit-exactness: numpy elementwise ``*``/``+`` on float64 are single
+    IEEE-754 ops (no FMA, no pairwise regrouping), applied here in the
+    identical left-association the SQL chain and :func:`rotate_query`
+    use, so every output double is bit-identical to the expression
+    path. This is the serving-path rotation: the coefficient blocks
+    ride along as plain ndarray task data instead of a ~d*dsub-literal
+    expression tree, which blows past the JVM's generated-method limit
+    and silently drops the whole stage to interpreted eval (the q154
+    disease; same cure as the q40 IVF centroids)."""
+    dsub = len(blocks[0])
+    out = []
+    for j, block in enumerate(blocks):
+        base = j * dsub
+        for row in block:
+            acc = row[0] * X[:, base]
+            for i in range(1, dsub):
+                acc = acc + row[i] * X[:, base + i]
+            out.append(acc)
+    return np.stack(out, axis=1)
+
+
 def rotate_query(qvec: Sequence[float], blocks) -> list[float]:
     """Python replica of the same left fold for query-side vectors."""
     dsub = len(blocks[0])

@@ -140,6 +140,7 @@ def assign_codes(
     codebooks: Sequence[Sequence[Sequence[int]]],
     dim: int,
     impl: str = "arrow",
+    rotate_blocks=None,
 ) -> DataFrame:
     """The index build: map-only codes table ``(id, code_0..code_{m-1})``.
     Argmin of integer squared-L2 per subspace; ties to the lowest code
@@ -152,9 +153,20 @@ def assign_codes(
     method the m*k*dsub expression tree costs to JIT (measured: compile
     time, not row throughput, dominated the expression variant).
     ``impl='expr'`` keeps the pure-Catalyst plan (struct-ordered
-    array_min), useful as the in-engine cross-check."""
+    array_min), useful as the in-engine cross-check.
+
+    ``rotate_blocks`` (OPQ/rotated-PQ serving): block-diagonal rotation
+    applied INSIDE the Arrow kernel via ``opq.rotate_rows`` — the
+    coefficients travel as task data, never as an expression tree, so
+    the upstream projection stays inside whole-stage codegen (a
+    d-output rotation rendered as literals overflows the generated
+    method and drops the stage to interpreted eval)."""
     if impl == "arrow":
-        return _assign_codes_arrow(df, id_col, vec_col, codebooks, dim)
+        return _assign_codes_arrow(
+            df, id_col, vec_col, codebooks, dim, rotate_blocks
+        )
+    if rotate_blocks is not None:
+        raise ValueError("rotate_blocks requires impl='arrow'")
     m, dsub = len(codebooks), dim // len(codebooks)
     vec = F.col(vec_col)
     cols = []
@@ -178,6 +190,7 @@ def _assign_codes_arrow(
     vec_col: str,
     codebooks: Sequence[Sequence[Sequence[int]]],
     dim: int,
+    rotate_blocks=None,
 ) -> DataFrame:
     import numpy as np
 
@@ -190,9 +203,13 @@ def _assign_codes_arrow(
     def _kernel(batches):
         import pandas as pd
 
+        from .opq import rotate_rows
+
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            X = np.stack(pdf[vec_col].to_numpy())
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if rotate_blocks is not None:
+                X = rotate_rows(X, rotate_blocks)
             # same grid as the SQL mirror: floor(double(x) * SCALE)
             Xq = np.floor(X.astype(np.float64) * SCALE).astype(np.int64)
             out = {"vec_id": ids}

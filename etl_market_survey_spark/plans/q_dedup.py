@@ -1592,14 +1592,17 @@ def _q154_oracle() -> str:
 
 @register("q154_rotated_pq_topk", _q154_oracle())
 def q154_rotated_pq_topk(spark, sf_dir):
-    from ..operators.opq import rotated_vec
     from ..operators.pq import adc_topk, assign_codes
 
     blocks, books, raw_queries = _q154_setup()
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", rotated_vec("embedding", blocks).alias("rvec")
+    # rotation fused into the Arrow kernel (opq.rotate_rows): same left
+    # fold bit-for-bit, but the 1024 coefficients ride as task data —
+    # the literal expression tree overflowed generated code and dropped
+    # the scan stage to interpreted eval
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = assign_codes(
+        emb, "vec_id", "embedding", books, _Q154_DIM, rotate_blocks=blocks
     )
-    codes = assign_codes(emb, "vec_id", "rvec", books, _Q154_DIM)
     return adc_topk(
         codes, _q154_rot_queries(blocks, raw_queries), books, _Q154_TOPK
     ).orderBy("query_id", "adc_dist", "vec_id")

@@ -608,3 +608,21 @@ def test_r6_no_cartesian_and_codegen(static_plan, name):
     assert "CartesianProduct" not in plan, name
     assert re.search(r"\*\(\d+\)", plan), name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q154_rotation_stays_out_of_generated_code(static_plan):
+    """VERDICT r7 item 2: the OPQ rotation must travel as task data,
+    not as a ~1024-literal expression tree — the literal form overflows
+    the JVM generated-method limit and silently drops the scan stage to
+    interpreted eval. Gate: no rotation coefficient appears in the plan
+    text, the rotation runs inside the Arrow kernel (MapInPandas), and
+    the surrounding stages keep whole-stage-codegen spans."""
+    from etl_market_survey_spark.plans.q_dedup import _q154_setup
+
+    blocks, _, _ = _q154_setup()
+    plan = static_plan("q154_rotated_pq_topk")
+    assert repr(blocks[0][0][0]) not in plan
+    assert repr(blocks[0][0][1]) not in plan
+    assert "MapInPandas" in plan
+    assert re.search(r"\*\(\d+\)", plan)
+    assert "CartesianProduct" not in plan

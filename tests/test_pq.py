@@ -178,6 +178,61 @@ def test_rotation_matches_python_and_is_near_orthonormal(spark):
     assert got == want
 
 
+def test_rotate_rows_bit_identical_to_expression_fold():
+    """The vectorized kernel rotation (opq.rotate_rows) must reproduce
+    the Python/SQL left fold bit-for-bit — it is the serving-path twin
+    that keeps the coefficients out of generated code."""
+    import numpy as np
+
+    from etl_market_survey_spark.operators.opq import (
+        rotate_query,
+        rotate_rows,
+        rotation_blocks,
+    )
+
+    blocks = rotation_blocks(4, 16, seed=154)
+    rng = random.Random(11)
+    X = np.array(
+        [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(50)],
+        dtype=np.float32,
+    ).astype(np.float64)
+    got = rotate_rows(X, blocks)
+    for r in range(X.shape[0]):
+        want = rotate_query([float(v) for v in X[r]], blocks)
+        assert [v for v in got[r]] == want  # exact, not allclose
+
+
+def test_assign_codes_rotated_matches_expression_rotation(spark):
+    """rotate_blocks fused into the Arrow kernel == rotated_vec
+    expression feeding the same codebooks (code-for-code)."""
+    from etl_market_survey_spark.operators.opq import (
+        rotated_vec,
+        rotation_blocks,
+    )
+    from etl_market_survey_spark.operators.pq import (
+        assign_codes,
+        random_codebooks,
+    )
+
+    blocks = rotation_blocks(2, 4, seed=7)
+    books = random_codebooks(2, 4, 4, -900, 900, seed=70)
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fused = assign_codes(
+        df, "vec_id", "embedding", books, 8, rotate_blocks=blocks
+    )
+    expr = assign_codes(
+        df.select("vec_id", rotated_vec("embedding", blocks).alias("r")),
+        "vec_id", "r", books, 8,
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, expr.collect())
+    )
+
+
 def test_opq_trainer_beats_random_rotation(spark):
     """Alternating OPQ on within-block-correlated data must quantize
     better than the seeded random rotation baseline."""
