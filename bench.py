@@ -177,6 +177,7 @@ HEADLINE = [
     "q388_iceberg_delete_where",
     "q389_iceberg_update_where",
     "q390_iceberg_compaction",
+    "q391_iceberg_changelog_stream",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

@@ -5883,3 +5883,82 @@ def q390_iceberg_compaction(spark, sf_dir):
         .unionByName(agg(rng, "range"))
         .orderBy("slice_tag", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q391 — STREAMING Iceberg changelog (iceberg_lite readChangelog): the
+# registered source plans per-snapshot change partitions — inserts for
+# added files, previous-state rows for dropped files, row-exact
+# position-delete matches, seq-scoped equality-delete matches — and
+# Spark drains them as exactly-once micro-batches (snapshot-id offsets
+# in the checkpoint). Same table recipe as q378 and SHARES q377's
+# oracle verbatim: the drained stream must aggregate to the identical
+# logical change set as the Delta CDF and the batch Iceberg changelog.
+# ---------------------------------------------------------------------------
+
+
+@register("q391_iceberg_changelog_stream", _Q377_ORACLE)
+def q391_iceberg_changelog_stream(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.iceberg import (
+        delete_rows_iceberg,
+        snapshot_files,
+        write_iceberg,
+    )
+    from ..sources.pyds_iceberg import IcebergLiteDataSource
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_iceclstr_{tag}"
+    sink = f"{path}_sink"
+    ckpt = f"{path}_ckpt"
+    for d in (path, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    sub = o.filter(F.col("k") % 3 == 0)
+    s1 = write_iceberg(spark, path, sub.orderBy("k"), commit_ts=100)
+    rel = snapshot_files(path)[0]["file_path"]
+    w = Window.orderBy("k")
+    pos = [
+        r["p"]
+        for r in sub.select((F.row_number().over(w) - 1).alias("p"), "k")
+        .filter(F.col("k") % 7 == 0).select("p").collect()
+    ]
+    delete_rows_iceberg(spark, path, {rel: pos}, commit_ts=200)
+    write_iceberg(spark, path, o.filter(F.col("k") % 3 == 1),
+                  commit_ts=300)
+
+    q = (
+        spark.readStream.format("iceberg_lite")
+        .option("readChangelog", "true")
+        .option("fromSnapshotId", str(s1))
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    feed = spark.read.parquet(sink)
+    return (
+        feed.groupBy(
+            (F.col("_snapshot_id") - 1).cast("bigint")
+            .alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            F.col("pr").alias("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("commit_version", "change_type", "o_orderpriority")
+    )

@@ -26,7 +26,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 def _pure_spark_schema(meta: dict):
@@ -120,14 +125,37 @@ def _read_ice_partition(p: _IceFilePartition):
             preserve_index=False,
         )
 
+    yield from _cast_to_fields(tbl, p.fields).to_batches(
+        max_chunksize=1 << 16
+    )
+
+
+def _cast_to_fields(tbl, fields):
+    """Project/cast a pyarrow table to the pinned field list (schema
+    evolution: absent columns null-fill)."""
+    import pyarrow as pa
+
+    names = [n for n, _ in fields]
     arrays = [
         tbl.column(n).cast(_pa_type(t)).combine_chunks()
         if n in tbl.column_names
         else pa.array([None] * tbl.num_rows, type=_pa_type(t))
-        for n, t in p.fields
+        for n, t in fields
     ]
-    out = pa.table(dict(zip(names, arrays))).select(names)
-    yield from out.to_batches(max_chunksize=1 << 16)
+    return pa.table(dict(zip(names, arrays))).select(names)
+
+
+def _load_raw(table_path: str, rel: str, fields):
+    """Raw file rows (NO deletes applied), cast to the field list."""
+    import pyarrow.parquet as pq
+
+    fpath = os.path.join(table_path, rel)
+    names = [n for n, _ in fields]
+    have = set(pq.ParquetFile(fpath).schema_arrow.names)
+    return _cast_to_fields(
+        pq.read_table(fpath, columns=[n for n in names if n in have]),
+        fields,
+    )
 
 
 class _IcebergLiteReader(DataSourceReader):
@@ -289,10 +317,331 @@ class _IcebergLitePlainReader(_IcebergLiteReader):
     pushFilters = DataSourceReader.pushFilters
 
 
+class _IceChangePartition(InputPartition):
+    """One streamed CHANGE work item — the partition-planned form of one
+    term in the batch changelog algebra (iceberg.read_iceberg_changes,
+    replayed per commit):
+
+    - kind='insert':   raw rows of a data file newly added at sid
+    - kind='dropped':  rows LIVE at the previous snapshot of a data file
+                       that left the live set (previous pos/eq deletes
+                       applied — already-dead rows are not re-emitted)
+    - kind='posmatch': row-exact deletes — the explicit positions a NEW
+                       position-delete file names in this data file
+    - kind='eqmatch':  key-matched deletes — rows of this (older-seq)
+                       data file matching a NEW equality-delete file
+    """
+
+    def __init__(self, kind, table_path, rel, fields, snapshot_id, ts,
+                 seq=0, pos_delete_rels=(), eq_deletes=(),
+                 positions=(), eq_rel=None, eq_cols=()):
+        self.kind = kind
+        self.table_path = table_path
+        self.rel = rel
+        self.fields = fields
+        self.snapshot_id = int(snapshot_id)
+        self.ts = int(ts)
+        self.seq = int(seq or 0)
+        self.pos_delete_rels = list(pos_delete_rels)
+        self.eq_deletes = list(eq_deletes)
+        self.positions = list(positions)
+        self.eq_rel = eq_rel
+        self.eq_cols = list(eq_cols)
+
+
+def _read_ice_change_partition(p: _IceChangePartition):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def with_meta(tbl):
+        ct = "insert" if p.kind == "insert" else "delete"
+        n = tbl.num_rows
+        return (
+            tbl.append_column(
+                "_change_type", pa.array([ct] * n, type=pa.string())
+            )
+            .append_column(
+                "_snapshot_id",
+                pa.array([p.snapshot_id] * n, type=pa.int64()),
+            )
+            .append_column(
+                "_commit_timestamp",
+                pa.array([p.ts] * n, type=pa.int64()),
+            )
+        )
+
+    if p.kind in ("insert", "dropped"):
+        fp = _IceFilePartition(
+            p.table_path, p.rel, p.seq, p.fields,
+            p.pos_delete_rels if p.kind == "dropped" else [],
+            p.eq_deletes if p.kind == "dropped" else [],
+        )
+        batches = list(_read_ice_partition(fp))
+        tbl = (
+            pa.Table.from_batches(batches)
+            if batches
+            else _cast_to_fields(pa.table({}), p.fields)
+        )
+    elif p.kind == "posmatch":
+        tbl = _load_raw(p.table_path, p.rel, p.fields)
+        idx = [i for i in sorted(p.positions) if i < tbl.num_rows]
+        tbl = tbl.take(pa.array(idx, type=pa.int64()))
+    elif p.kind == "eqmatch":
+        tbl = _load_raw(p.table_path, p.rel, p.fields)
+        keys = pq.read_table(
+            os.path.join(p.table_path, p.eq_rel), columns=p.eq_cols
+        ).to_pandas()
+        pdf = tbl.to_pandas()
+        # INNER join (not deduped) — the batch changelog's exact
+        # semantics: a key listed twice deletes-emits twice
+        merged = pdf.merge(keys, on=p.eq_cols, how="inner")
+        tbl = _cast_to_fields(
+            pa.Table.from_pandas(
+                merged[list(pdf.columns)], preserve_index=False
+            ),
+            p.fields,
+        )
+    else:  # pragma: no cover - planner emits only the kinds above
+        raise ValueError(f"unknown change kind {p.kind!r}")
+    yield from with_meta(tbl).to_batches(max_chunksize=1 << 16)
+
+
+class _IcebergLiteStreamReader(DataSourceStreamReader):
+    """PARTITION-PLANNING stream reader over the Iceberg snapshot log —
+    the format twin of pyds._DeltaLiteStreamReader (VERDICT r7 item 3).
+
+    Offsets are ``{"snapshot_id": s}`` = 'everything up to and
+    including snapshot s has been emitted' (-1 = before the first
+    snapshot), persisted by Spark in its streaming checkpoint. The
+    snapshot log is immutable and append-only, so replaying
+    ``partitions(start, end)`` with checkpointed bounds plans identical
+    partitions — the exactly-once contract. Planning is pure Python on
+    the driver (metadata JSON + Avro manifests + KB-scale delete-file
+    parquet); every row scan happens in an executor.
+
+    ``read_changelog=True`` emits the incremental changelog — the same
+    per-commit algebra as iceberg.read_iceberg_changes (inserts for
+    added files, previous-state rows for dropped files, row-exact
+    position-delete matches, seq-scoped equality-delete matches) with
+    ``_change_type``/``_snapshot_id``/``_commit_timestamp`` columns.
+    Plain mode streams appended files only and REFUSES snapshots that
+    drop files or add delete files (set readChangelog=true for those).
+    """
+
+    def __init__(self, path: str, read_changelog: bool,
+                 from_snapshot_id: int | None, schema=None):
+        import json as _json
+
+        self.path = path
+        self.read_changelog = read_changelog
+        self.from_snapshot_id = from_snapshot_id
+        meta_names = {"_change_type", "_snapshot_id", "_commit_timestamp"}
+        self.pinned_fields = (
+            [
+                (f.name, _json.loads(f.dataType.json()))
+                for f in schema.fields
+                if f.name not in meta_names
+            ]
+            if schema is not None
+            else None
+        )
+
+    def initialOffset(self):
+        if self.from_snapshot_id is not None:
+            return {"snapshot_id": int(self.from_snapshot_id)}
+        return {"snapshot_id": -1}
+
+    def latestOffset(self):
+        from .iceberg import _load_metadata
+
+        snaps = sorted(
+            _load_metadata(self.path).get("snapshots") or [],
+            key=lambda s: s["timestamp-ms"],
+        )
+        if not snaps:
+            return {"snapshot_id": -1}
+        return {"snapshot_id": int(snaps[-1]["snapshot-id"])}
+
+    def _index(self, ids, sid) -> int:
+        if sid == -1:
+            return -1
+        if sid not in ids:
+            raise ValueError(
+                f"snapshot {sid} is not in the table history (expired?)"
+            )
+        return ids.index(sid)
+
+    def partitions(self, start: dict, end: dict):
+        import json as _json
+
+        from .iceberg import (
+            _load_metadata,
+            snapshot_delete_files,
+            snapshot_files,
+        )
+
+        meta = _load_metadata(self.path)
+        snaps = sorted(
+            meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
+        )
+        ids = [s["snapshot-id"] for s in snaps]
+        if int(end["snapshot_id"]) == -1:
+            return []
+        lo = self._index(ids, int(start["snapshot_id"]))
+        hi = self._index(ids, int(end["snapshot_id"]))
+        st = _pure_spark_schema(meta)
+        fields = self.pinned_fields or [
+            (f.name, _json.loads(f.dataType.json())) for f in st.fields
+        ]
+        id_to_name = {
+            f["id"]: f["name"]
+            for f in (
+                meta.get("schema") or (meta.get("schemas") or [{}])[0]
+            ).get("fields", [])
+        }
+
+        prev_files: dict[str, dict] = {}
+        prev_dels: dict[str, dict] = {}
+        if lo >= 0:
+            prev_files = {
+                f["file_path"]: f
+                for f in snapshot_files(self.path, snapshot_id=ids[lo])
+            }
+            prev_dels = {
+                d["file_path"]: d
+                for d in snapshot_delete_files(
+                    self.path, snapshot_id=ids[lo]
+                )
+            }
+        parts: list[InputPartition] = []
+        for i in range(lo + 1, hi + 1):
+            sid, ts = ids[i], snaps[i]["timestamp-ms"]
+            cur_files = {
+                f["file_path"]: f
+                for f in snapshot_files(self.path, snapshot_id=sid)
+            }
+            cur_dels = {
+                d["file_path"]: d
+                for d in snapshot_delete_files(self.path, snapshot_id=sid)
+            }
+            added = [f for pth, f in cur_files.items()
+                     if pth not in prev_files]
+            dropped = [f for pth, f in prev_files.items()
+                       if pth not in cur_files]
+            new_dels = [d for pth, d in cur_dels.items()
+                        if pth not in prev_dels]
+            if not self.read_changelog:
+                if dropped or new_dels:
+                    raise ValueError(
+                        f"snapshot {sid} drops files or adds delete "
+                        "files; set readChangelog=true to stream the "
+                        "change feed"
+                    )
+                for f in sorted(added, key=lambda x: x["file_path"]):
+                    parts.append(_IceFilePartition(
+                        self.path, f["file_path"], f.get("_seq"),
+                        fields, [], [],
+                    ))
+                prev_files, prev_dels = cur_files, cur_dels
+                continue
+
+            for f in sorted(added, key=lambda x: x["file_path"]):
+                parts.append(_IceChangePartition(
+                    "insert", self.path, f["file_path"], fields, sid, ts,
+                    seq=f.get("_seq"),
+                ))
+            if dropped:
+                old_pos = [d["file_path"] for d in prev_dels.values()
+                           if d.get("content") == 1]
+                old_eq = [
+                    (
+                        d["file_path"],
+                        int(d.get("_seq") or 0),
+                        [id_to_name[i_]
+                         for i_ in (d.get("equality_ids") or [])],
+                    )
+                    for d in prev_dels.values() if d.get("content") == 2
+                ]
+                for f in sorted(dropped, key=lambda x: x["file_path"]):
+                    parts.append(_IceChangePartition(
+                        "dropped", self.path, f["file_path"], fields,
+                        sid, ts, seq=f.get("_seq"),
+                        pos_delete_rels=old_pos, eq_deletes=old_eq,
+                    ))
+            pos_new = [d for d in new_dels if d.get("content") == 1]
+            eq_new = [d for d in new_dels if d.get("content") == 2]
+            if pos_new:
+                by_base = self._positions_by_base(pos_new)
+                for f in sorted(prev_files.values(),
+                                key=lambda x: x["file_path"]):
+                    poss = by_base.get(
+                        os.path.basename(f["file_path"])
+                    )
+                    if poss:
+                        parts.append(_IceChangePartition(
+                            "posmatch", self.path, f["file_path"],
+                            fields, sid, ts, seq=f.get("_seq"),
+                            positions=poss,
+                        ))
+            for d in eq_new:
+                names = [id_to_name[i_]
+                         for i_ in (d.get("equality_ids") or [])]
+                if not names:
+                    raise ValueError(
+                        "equality delete file without equality_ids"
+                    )
+                dseq = int(d.get("_seq") or 0)
+                for f in sorted(prev_files.values(),
+                                key=lambda x: x["file_path"]):
+                    if int(f.get("_seq") or 0) < dseq:
+                        parts.append(_IceChangePartition(
+                            "eqmatch", self.path, f["file_path"],
+                            fields, sid, ts, seq=f.get("_seq"),
+                            eq_rel=d["file_path"], eq_cols=names,
+                        ))
+            prev_files, prev_dels = cur_files, cur_dels
+        return parts
+
+    def _positions_by_base(self, pos_new: list[dict]) -> dict[str, list]:
+        """Driver-side read of the NEW position-delete parquets (delete
+        metadata — KB-scale by construction, the same budget as
+        delta_lite's DV bitmaps) grouped by target file basename, so
+        only actually-affected data files get a partition."""
+        import pyarrow.parquet as pq
+
+        by_base: dict[str, list] = {}
+        for d in pos_new:
+            t = pq.read_table(
+                os.path.join(self.path, d["file_path"]),
+                columns=["file_path", "pos"],
+            )
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                by_base.setdefault(os.path.basename(fp), []).append(
+                    int(pos)
+                )
+        return by_base
+
+    def read(self, partition):
+        if isinstance(partition, _IceChangePartition):
+            yield from _read_ice_change_partition(partition)
+        else:
+            yield from _read_ice_partition(partition)
+
+    def commit(self, end: dict):
+        pass  # snapshot log is immutable; nothing to clean up
+
+
 class IcebergLiteDataSource(DataSource):
     """Options: ``path`` (from .load(path)), ``snapshotId`` (time
     travel to a snapshot), ``ref`` (a named tag/branch),
-    ``pushdown=false`` (disable the pushFilters reader)."""
+    ``pushdown=false`` (disable the pushFilters reader). Streaming:
+    ``fromSnapshotId`` (exclusive start, the batch changelog contract;
+    default = before the first snapshot), ``readChangelog`` (emit the
+    incremental change feed with _change_type/_snapshot_id/
+    _commit_timestamp; plain mode streams appends only)."""
 
     @classmethod
     def name(cls):
@@ -307,7 +656,22 @@ class IcebergLiteDataSource(DataSource):
     def schema(self):
         from .iceberg import _load_metadata
 
-        return _pure_spark_schema(_load_metadata(self._path()))
+        st = _pure_spark_schema(_load_metadata(self._path()))
+        if str(self.options.get("readchangelog", "false")).lower() \
+                == "true":
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType,
+            )
+
+            return StructType(
+                list(st.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_snapshot_id", LongType(), False),
+                    StructField("_commit_timestamp", LongType(), False),
+                ]
+            )
+        return st
 
     def _snapshot(self) -> int | None:
         sid = self.options.get("snapshotid")
@@ -325,3 +689,13 @@ class IcebergLiteDataSource(DataSource):
         if str(self.options.get("pushdown", "true")).lower() == "false":
             return _IcebergLitePlainReader(self._path(), sid)
         return _IcebergLiteReader(self._path(), sid)
+
+    def streamReader(self, schema):
+        fs = self.options.get("fromsnapshotid")
+        return _IcebergLiteStreamReader(
+            self._path(),
+            str(self.options.get("readchangelog", "false")).lower()
+            == "true",
+            int(fs) if fs is not None else None,
+            schema=schema,
+        )

@@ -24,6 +24,11 @@ proving the copy-on-write and merge-on-read halves of the trade agree:
      change partitions: cdc sidecars, insert/delete file scans, DV
      position deltas) and assert the drained feed row-matches the
      batch read_delta_changes
+  7. stream the Iceberg CHANGELOG through the registered iceberg_lite
+     source (readChangelog=true — snapshot-id offsets, per-snapshot
+     change partitions) and assert the drained feed row-matches the
+     batch read_iceberg_changes — format parity for incremental
+     consumption
 
 Run: python examples/lakehouse_cdc_pipeline.py [sf_dir]
 """
@@ -51,6 +56,7 @@ from etl_market_survey_spark.sources.iceberg import (
     write_iceberg,
 )
 from etl_market_survey_spark.sources.pyds import DeltaLiteDataSource
+from etl_market_survey_spark.sources.pyds_iceberg import IcebergLiteDataSource
 
 
 def main() -> None:
@@ -58,6 +64,8 @@ def main() -> None:
     spark = get_spark("lakehouse-cdc")
     spark.sparkContext.setLogLevel("ERROR")
     spark.dataSource.register(DeltaLiteDataSource)
+    spark.dataSource.register(IcebergLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
     base = "/tmp/spark_graft_example_cdc"
     dpath, ipath = f"{base}/delta", f"{base}/iceberg"
@@ -177,6 +185,34 @@ def main() -> None:
     assert streamed == batch_feed, "streaming CDF != batch CDF"
     print(f"streaming change feed drained {len(streamed)} change rows "
           f"== batch feed")
+
+    # 7. the Iceberg streaming CHANGELOG drains row-equal to the batch
+    #    changelog — format parity for incremental consumption
+    isink, ickpt = f"{base}/ice_sink", f"{base}/ice_ckpt"
+    qi = (
+        spark.readStream.format("iceberg_lite")
+        .option("readChangelog", "true")
+        .option("fromSnapshotId", str(iseed))
+        .load(ipath)
+        .writeStream.format("parquet")
+        .option("path", isink)
+        .option("checkpointLocation", ickpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qi.awaitTermination(120)
+    i_streamed = sorted(
+        (r["_change_type"], r["_snapshot_id"], r["k"], r["pr"], r["tp"])
+        for r in spark.read.parquet(isink).collect()
+    )
+    i_batch = sorted(
+        (r["_change_type"], r["_snapshot_id"], r["k"], r["pr"], r["tp"])
+        for r in i_feed
+    )
+    assert i_streamed == i_batch, \
+        "iceberg_lite streaming changelog != batch changelog"
+    print(f"iceberg_lite changelog stream drained {len(i_streamed)} "
+          f"change rows == batch changelog")
     print("lakehouse CDC pipeline: ALL CHECKS PASSED")
 
 

@@ -628,3 +628,188 @@ class TestTimestampAsOf:
         with pytest.raises(Exception, match="no commit"):
             spark.read.format("delta_lite").option("timestampAsOf", "50") \
                 .load(path).schema
+
+
+class TestIcebergLiteStreaming:
+    """iceberg_lite streamReader (VERDICT r7 item 3): snapshot-id
+    offsets, partition-planned changelog mirroring the batch
+    read_iceberg_changes algebra, exactly-once incremental drains,
+    plain append mode refusing non-append snapshots."""
+
+    @pytest.fixture()
+    def ice(self, spark):
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        return spark
+
+    def _drain(self, spark, path, sink, ckpt, changelog=True,
+               from_sid=None):
+        r = spark.readStream.format("iceberg_lite")
+        if changelog:
+            r = r.option("readChangelog", "true")
+        if from_sid is not None:
+            r = r.option("fromSnapshotId", str(from_sid))
+        q = (
+            r.load(path)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_changelog_drain_matches_batch(self, ice, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_iceberg, read_iceberg_changes, snapshot_files,
+            upsert_iceberg, write_iceberg,
+        )
+
+        spark = ice
+        path = str(tmp_path / "ics1")
+        sink = str(tmp_path / "ics1_sink")
+        ckpt = str(tmp_path / "ics1_ckpt")
+        t = spark.createDataFrame(
+            [(i, i * 10) for i in range(40)], "k long, v long"
+        )
+        write_iceberg(spark, path, t.orderBy("k"), commit_ts=100)
+        rel = snapshot_files(path)[0]["file_path"]
+        delete_rows_iceberg(spark, path, {rel: [0, 7, 21]},
+                            commit_ts=200)
+        upsert_iceberg(
+            spark, path,
+            spark.createDataFrame([(5, 555), (100, 1000)],
+                                  "k long, v long"),
+            ["k"], commit_ts=300,
+        )  # equality-delete snapshot + append snapshot
+        self._drain(spark, path, sink, ckpt)
+        cols = ("k", "v", "_change_type", "_snapshot_id",
+                "_commit_timestamp")
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(sink).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in read_iceberg_changes(spark, path).collect()
+        )
+        assert got == want
+        assert {"insert", "delete"} == {g[2] for g in got}
+
+    def test_changelog_covers_dropped_files(self, ice, tmp_path):
+        """An overwrite drops the previous live set: the stream must
+        emit those rows as deletes WITH prior position deletes applied
+        (already-dead rows are not re-emitted)."""
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_iceberg, read_iceberg_changes, snapshot_files,
+            write_iceberg,
+        )
+
+        spark = ice
+        path = str(tmp_path / "ics2")
+        sink = str(tmp_path / "ics2_sink")
+        ckpt = str(tmp_path / "ics2_ckpt")
+        t = spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k long, v long"
+        )
+        write_iceberg(spark, path, t.orderBy("k"), commit_ts=100)
+        rel = snapshot_files(path)[0]["file_path"]
+        delete_rows_iceberg(spark, path, {rel: [3]}, commit_ts=200)
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(99, 990)], "k long, v long"),
+            mode="overwrite", commit_ts=300,
+        )
+        self._drain(spark, path, sink, ckpt)
+        feed = spark.read.parquet(sink)
+        dropped = {
+            r["k"] for r in feed.filter(
+                "_change_type = 'delete' AND _snapshot_id = 3"
+            ).collect()
+        }
+        assert dropped == set(range(10)) - {3}  # pos-deleted row absent
+        want = sorted(
+            (r["k"], r["_change_type"], r["_snapshot_id"])
+            for r in read_iceberg_changes(spark, path).collect()
+        )
+        got = sorted(
+            (r["k"], r["_change_type"], r["_snapshot_id"])
+            for r in feed.collect()
+        )
+        assert got == want
+
+    def test_plain_append_incremental_exactly_once(self, ice, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        spark = ice
+        path = str(tmp_path / "ics3")
+        sink = str(tmp_path / "ics3_sink")
+        ckpt = str(tmp_path / "ics3_ckpt")
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            commit_ts=100,
+        )
+        self._drain(spark, path, sink, ckpt, changelog=False)
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            commit_ts=200,
+        )
+        self._drain(spark, path, sink, ckpt, changelog=False)
+        self._drain(spark, path, sink, ckpt, changelog=False)  # no-op
+        rows = sorted(
+            (r["k"], r["v"]) for r in spark.read.parquet(sink).collect()
+        )
+        assert rows == [(1, 10), (2, 20)]
+
+    def test_plain_mode_refuses_non_append(self, ice, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        spark = ice
+        path = str(tmp_path / "ics4")
+        sink = str(tmp_path / "ics4_sink")
+        ckpt = str(tmp_path / "ics4_ckpt")
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            commit_ts=100,
+        )
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            mode="overwrite", commit_ts=200,
+        )
+        with pytest.raises(StreamingQueryException,
+                           match="readChangelog"):
+            self._drain(spark, path, sink, ckpt, changelog=False)
+
+    def test_from_snapshot_id_is_exclusive(self, ice, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        spark = ice
+        path = str(tmp_path / "ics5")
+        sink = str(tmp_path / "ics5_sink")
+        ckpt = str(tmp_path / "ics5_ckpt")
+        s1 = write_iceberg(
+            spark, path,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            commit_ts=100,
+        )
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            commit_ts=200,
+        )
+        self._drain(spark, path, sink, ckpt, from_sid=s1)
+        rows = [(r["k"], r["_change_type"])
+                for r in spark.read.parquet(sink).collect()]
+        assert rows == [(2, "insert")]
