@@ -5962,3 +5962,67 @@ def q391_iceberg_changelog_stream(spark, sf_dir):
         )
         .orderBy("commit_version", "change_type", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q392 — delta_lite WRITER (sources/pyds._DeltaLiteWriter): the table
+# is created and grown entirely through the PUBLIC Spark write API —
+# df.write.format("delta_lite") — with executor-side parquet staging,
+# per-batch incremental stats, a CHECK constraint enforced in the
+# write tasks, and the put-if-absent log commit. v0 creates the table
+# partitioned by priority; v1 appends with PERMUTED column order (the
+# writer maps by name). The gate reads the result back through the
+# registered reader: a writer that lost rows, mis-keyed partition
+# values, or mis-ordered permuted columns breaks the hash.
+# ---------------------------------------------------------------------------
+
+_Q392_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0)))
+            AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q392_delta_lite_writer", _Q392_ORACLE)
+def q392_delta_lite_writer(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.pyds import DeltaLiteDataSource
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_dlwriter_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    (
+        o.filter(F.col("k") % 3 == 0)
+        .write.format("delta_lite").mode("append")
+        .option("partitionCol", "pr")
+        .option("commitTs", "100")
+        .option("property.delta.constraints.tp_pos", "tp >= 0")
+        .save(path)
+    )                                                              # v0
+    (
+        o.filter(F.col("k") % 3 == 1)
+        .select("tp", "k", "pr")  # permuted: the writer maps by name
+        .write.format("delta_lite").mode("append")
+        .option("commitTs", "200")
+        .save(path)
+    )                                                              # v1
+    back = spark.read.format("delta_lite").load(path)
+    return (
+        back.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

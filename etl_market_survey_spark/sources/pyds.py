@@ -47,12 +47,15 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # ---------------------------------------------------------------------------
@@ -705,6 +708,369 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         pass  # the log is immutable; nothing to clean up
 
 
+# ---------------------------------------------------------------------------
+# Writer — df.write.format("delta_lite").mode(...).save(path)
+# ---------------------------------------------------------------------------
+
+# Spark lowercases writer option keys; map the known camelCase Delta
+# configuration keys back so the log carries the protocol spelling the
+# readers match on. Unknown keys pass through lowercased.
+_CANON_PROPS = {
+    "delta.enablechangedatafeed": "delta.enableChangeDataFeed",
+    "delta.checkpointinterval": "delta.checkpointInterval",
+    "delta.enabledeletionvectors": "delta.enableDeletionVectors",
+}
+
+
+def _serialize_partition_value(v):
+    """Inverse of :func:`_typed_partition_value` — the string that lands
+    in the add action's partitionValues map."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(
+            v, datetime.datetime
+        ) else v.isoformat()
+    return str(v)
+
+
+class _DeltaWriteCommit(WriterCommitMessage):
+    """Per-task commit message: the staged add actions' raw material."""
+
+    def __init__(self, adds):
+        self.adds = adds  # [(rel, partitionValues, stats_json, size)]
+
+
+class _DeltaLiteWriter(DataSourceArrowWriter):
+    """Arrow-batched executor write + driver-side log commit.
+
+    Tasks stream their RecordBatches straight into one open
+    ``pyarrow.parquet.ParquetWriter`` per (task, partition value) —
+    rows never buffer beyond parquet's own row-group accumulation —
+    while min/max/nullCount/numRecords fold incrementally per batch, so
+    the add actions carry the same stats JSON :func:`deltalog
+    ._file_stats_json` computes without a second read of the staged
+    files. ``commit`` assembles the Delta actions and publishes through
+    the put-if-absent commit (:func:`deltalog._write_commit`): plain
+    appends rebase onto the winner after a lost race exactly like
+    :func:`deltalog.write_delta`; creation and overwrite conflicts
+    raise, per the protocol's conflict table.
+
+    CHECK constraints (``delta.constraints.*`` table properties) are
+    enforced EXECUTOR-SIDE, per Arrow batch, by evaluating the
+    constraint expression with DuckDB over the batch — the write fails
+    before any commit if a row violates, and no driver round-trip of
+    row data ever happens. Constraint expressions must therefore stay
+    in the ANSI subset both engines parse (comparisons, boolean
+    algebra, arithmetic — which is what CHECK expressions are).
+    """
+
+    def __init__(self, path: str, write_schema, overwrite: bool, options):
+        self.path = path
+        self.overwrite = overwrite
+        self.commit_ts = int(options.get("committs", 0))
+        try:
+            snap = _fold(path)
+        except (FileNotFoundError, ValueError):
+            snap = None
+        self.creating = snap is None
+        self.protocol_action = None
+        self.metadata_action = None
+        if snap is None:
+            pcol = options.get("partitioncol")
+            if pcol is not None and pcol not in write_schema.names:
+                raise ValueError(
+                    f"partitionCol {pcol!r} is not a written column"
+                )
+            table_schema = write_schema
+            self.partition_col = pcol
+            self.phys = {f.name: f.name for f in table_schema.fields}
+            config = {}
+            for k, v in options.items():
+                if k.startswith("property."):
+                    key = k[len("property."):]
+                    config[_CANON_PROPS.get(key, key)] = str(v)
+            proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+            if config.get("delta.enableChangeDataFeed") == "true":
+                proto["minWriterVersion"] = 4
+            self.protocol_action = {"protocol": proto}
+            self.metadata_action = {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": table_schema.json(),
+                    "partitionColumns": [pcol] if pcol else [],
+                    "configuration": config,
+                    "createdTime": self.commit_ts,
+                }
+            }
+            self.prior_version = None
+            self.prior_schema_string = table_schema.json()
+        else:
+            _check_protocol(snap["protocol"])
+            meta = snap["metadata"]
+            table_schema, self.phys, pcols = _schema_info(meta)
+            ptypes = {f.name: f.dataType for f in table_schema.fields}
+            lost = [
+                f.name for f in table_schema.fields
+                if f.name not in write_schema.names
+            ]
+            if lost:
+                raise ValueError(f"write is missing table columns: {lost}")
+            clash = [
+                f.name for f in write_schema.fields
+                if f.name in ptypes and f.dataType != ptypes[f.name]
+            ]
+            if clash:
+                raise ValueError(f"column type change not allowed: {clash}")
+            extra = [
+                f.name for f in write_schema.fields if f.name not in ptypes
+            ]
+            if extra:
+                raise ValueError(
+                    f"write adds columns {extra}; schema evolution goes "
+                    "through deltalog.write_delta(merge_schema=True)"
+                )
+            self.partition_col = pcols[0] if pcols else None
+            config = meta.get("configuration") or {}
+            self.prior_version = snap["version"]
+            self.prior_schema_string = meta.get("schemaString")
+        self.table_fields = [
+            (f.name, json.loads(f.dataType.json()))
+            for f in table_schema.fields
+        ]
+        self.constraints = {
+            k[len("delta.constraints."):]: v
+            for k, v in (config or {}).items()
+            if k.startswith("delta.constraints.")
+        }
+        os.makedirs(_log_dir_of(path), exist_ok=True)
+
+    # -- executor side ------------------------------------------------
+
+    def _check_batch_constraints(self, con, batch):
+        for name, expr in sorted(self.constraints.items()):
+            n = con.execute(
+                f"SELECT count(*) FROM _writebatch "
+                f"WHERE NOT ({expr}) OR ({expr}) IS NULL"
+            ).fetchone()[0]
+            if n:
+                raise ValueError(
+                    f"CHECK constraint {name!r} violated: ({expr}) is "
+                    "not true for all written rows"
+                )
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from urllib.parse import quote
+
+        pcol = self.partition_col
+        data_fields = [
+            (n, t) for n, t in self.table_fields if n != pcol
+        ]
+        con = None
+        if self.constraints:
+            import duckdb
+
+            con = duckdb.connect()
+        # pv_key -> [ParquetWriter, rel, pv_raw, n, {name: [lo, hi, nc]}]
+        open_files: dict = {}
+
+        def sink_for(pv):
+            key = _serialize_partition_value(pv)
+            st = open_files.get(key)
+            if st is None:
+                if pcol is None:
+                    rel = f"part-w-{uuid.uuid4().hex}.parquet"
+                else:
+                    dirname = (
+                        "__HIVE_DEFAULT_PARTITION__" if key is None
+                        else quote(key, safe="")
+                    )
+                    rel = (
+                        f"{self.phys[pcol]}={dirname}/"
+                        f"part-w-{uuid.uuid4().hex}.parquet"
+                    )
+                dest = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                st = [None, rel, key, 0,
+                      {n: [None, None, 0] for n, _ in data_fields}]
+                open_files[key] = st
+            return st
+
+        def fold_stats(st, tbl):
+            st[3] += tbl.num_rows
+            for n, _ in data_fields:
+                col = tbl.column(self.phys[n])
+                acc = st[4][n]
+                acc[2] += col.null_count
+                if col.null_count < len(col):
+                    mm = pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if acc[0] is None or lo < acc[0]:
+                        acc[0] = lo
+                    if acc[1] is None or hi > acc[1]:
+                        acc[1] = hi
+
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            if con is not None:
+                con.register("_writebatch", tbl)
+                self._check_batch_constraints(con, tbl)
+            groups = (
+                [(None, tbl)] if pcol is None else [
+                    (
+                        pv,
+                        tbl.filter(
+                            pc.is_null(tbl.column(pcol)) if pv is None
+                            else pc.equal(tbl.column(pcol), pv)
+                        ),
+                    )
+                    for pv in pc.unique(tbl.column(pcol)).to_pylist()
+                ]
+            )
+            for pv, part in groups:
+                if part.num_rows == 0:
+                    continue
+                data = pa.table(
+                    {self.phys[n]: part.column(n) for n, _ in data_fields}
+                )
+                st = sink_for(pv)
+                if st[0] is None:
+                    st[0] = pq.ParquetWriter(
+                        os.path.join(self.path, st[1]), data.schema
+                    )
+                st[0].write_table(data)
+                fold_stats(st, data)
+
+        adds = []
+        for st in open_files.values():
+            writer, rel, key, n, acc = st
+            writer.close()
+            stats = json.dumps(
+                {
+                    "numRecords": n,
+                    "minValues": {
+                        self.phys[c]: acc[c][0] for c, _ in data_fields
+                    },
+                    "maxValues": {
+                        self.phys[c]: acc[c][1] for c, _ in data_fields
+                    },
+                    "nullCount": {
+                        self.phys[c]: acc[c][2] for c, _ in data_fields
+                    },
+                },
+                default=str,
+            )
+            pv_map = {} if pcol is None else {self.phys[pcol]: key}
+            adds.append(
+                (rel, pv_map, stats,
+                 os.path.getsize(os.path.join(self.path, rel)))
+            )
+        return _DeltaWriteCommit(adds)
+
+    # -- driver side ---------------------------------------------------
+
+    def commit(self, messages):
+        from .deltalog import DeltaConcurrentWriteError, _write_commit
+
+        staged = [
+            a for m in messages if m is not None for a in m.adds
+        ]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": self.commit_ts,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "overwrite" if self.overwrite else "append"
+                    },
+                }
+            }
+        ]
+        try:
+            cur = _fold(self.path)
+        except (FileNotFoundError, ValueError):
+            cur = None
+        if self.creating:
+            if cur is not None:
+                raise DeltaConcurrentWriteError(
+                    f"table {self.path} was created concurrently"
+                )
+            actions.append(self.protocol_action)
+            actions.append(self.metadata_action)
+            version = 0
+        elif self.overwrite:
+            if cur is None or cur["version"] != self.prior_version:
+                raise DeltaConcurrentWriteError(
+                    f"concurrent commit in {self.path}: overwrite planned "
+                    f"at version {self.prior_version}"
+                )
+            for p in sorted(cur["adds"]):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": self.commit_ts,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            version = cur["version"] + 1
+        else:
+            version = (cur["version"] + 1) if cur is not None else 0
+        for rel, pv, stats, size in staged:
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": size,
+                        "modificationTime": self.commit_ts,
+                        "dataChange": True,
+                        "stats": stats,
+                    }
+                }
+            )
+        blind_append = not self.creating and not self.overwrite
+        for _ in range(16):
+            try:
+                _write_commit(self.path, version, actions)
+                return
+            except DeltaConcurrentWriteError:
+                if not blind_append:
+                    raise
+                winner = _fold(self.path)
+                if winner["metadata"].get("schemaString") != (
+                    self.prior_schema_string
+                ):
+                    raise  # concurrent schema change: our files are stale
+                version = winner["version"] + 1
+        raise DeltaConcurrentWriteError(
+            f"append could not commit after 16 rebases in {self.path}"
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for rel, _, _, _ in m.adds:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+
+
+def _log_dir_of(path: str) -> str:
+    return os.path.join(path, _LOG_DIR)
+
+
 class DeltaLiteDataSource(DataSource):
     """Options: ``path`` (from .load(path)), ``versionAsOf`` /
     ``timestampAsOf`` (batch time travel), ``startingVersion``
@@ -762,6 +1128,18 @@ class DeltaLiteDataSource(DataSource):
             # reader that implements pushFilters when the conf is off)
             return _DeltaLitePlainReader(self._path(), v)
         return _DeltaLiteReader(self._path(), v)
+
+    def writer(self, schema, overwrite):
+        """``df.write.format("delta_lite").mode("append"|"overwrite")
+        .save(path)``. Options: ``partitionCol`` (new tables only —
+        existing tables inherit their partitioning), ``commitTs``
+        (deterministic commit timestamp, same contract as
+        :func:`deltalog.write_delta`), ``property.<key>`` (table
+        configuration on CREATION, e.g.
+        ``property.delta.enableChangeDataFeed=true`` or
+        ``property.delta.constraints.<name>=<expr>``)."""
+        return _DeltaLiteWriter(self._path(), schema, overwrite,
+                                self.options)
 
     def streamReader(self, schema):
         sv = self.options.get("startingversion")

@@ -813,3 +813,191 @@ class TestIcebergLiteStreaming:
         rows = [(r["k"], r["_change_type"])
                 for r in spark.read.parquet(sink).collect()]
         assert rows == [(2, "insert")]
+
+
+class TestDeltaLiteWriter:
+    """df.write.format("delta_lite") — the writer half of the
+    registered data source (DataSourceArrowWriter + put-if-absent
+    commit)."""
+
+    def test_create_partitioned_roundtrip(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "w1")
+        d = spark.createDataFrame(
+            [(i, str(i % 3), i * 1.5) for i in range(60)],
+            "k long, p string, v double",
+        )
+        (
+            d.write.format("delta_lite").mode("append")
+            .option("partitionCol", "p").option("commitTs", "100")
+            .save(path)
+        )
+        back = spark.read.format("delta_lite").load(path)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, d.collect())
+        )
+        # library read path agrees (same log, same files)
+        assert sorted(map(tuple, read_delta(spark, path).collect())) \
+            == sorted(map(tuple, d.collect()))
+        # the log carries per-file stats in _file_stats_json's shape
+        import json as _json
+
+        snap = load_snapshot(spark, path)
+        assert snap.partition_columns == ["p"]
+        for add in snap.adds.values():
+            st = _json.loads(add["stats"])
+            assert set(st) == {
+                "numRecords", "minValues", "maxValues", "nullCount"
+            }
+            assert set(st["minValues"]) == {"k", "v"}  # pcol excluded
+
+    def test_append_overwrite_history(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "w2")
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+        b = spark.createDataFrame([(3, "z")], "k long, s string")
+        a.write.format("delta_lite").mode("append").save(path)
+        b.write.format("delta_lite").mode("append").save(path)
+        assert spark.read.format("delta_lite").load(path).count() == 3
+        b.write.format("delta_lite").mode("overwrite").save(path)
+        assert [
+            tuple(r) for r in
+            spark.read.format("delta_lite").load(path).collect()
+        ] == [(3, "z")]
+        # time travel still sees the pre-overwrite versions
+        assert (
+            spark.read.format("delta_lite").option("versionAsOf", 1)
+            .load(path).count()
+        ) == 3
+
+    def test_check_constraint_enforced_and_aborted(
+        self, registered, tmp_path
+    ):
+        import glob
+
+        spark = registered
+        path = str(tmp_path / "w3")
+        good = spark.createDataFrame([(1, 5), (2, 6)], "k long, v long")
+        (
+            good.write.format("delta_lite").mode("append")
+            .option("property.delta.constraints.pos", "v >= 0")
+            .save(path)
+        )
+        n_files = len(glob.glob(f"{path}/*.parquet"))
+        bad = spark.createDataFrame([(9, -1)], "k long, v long")
+        with pytest.raises(Exception, match="pos"):
+            bad.write.format("delta_lite").mode("append").save(path)
+        # no commit, and abort removed the staged files
+        assert spark.read.format("delta_lite").load(path).count() == 2
+        assert len(glob.glob(f"{path}/*.parquet")) == n_files
+
+    def test_mapped_table_append_permuted_columns(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "w4")
+        write_delta(
+            spark, path,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            column_mapping=True, commit_ts=10,
+        )
+        # DS append in a DIFFERENT column order: mapped by name, and
+        # the staged parquet must carry PHYSICAL column names
+        perm = spark.createDataFrame([(20, 2)], "v long, k long")
+        perm.write.format("delta_lite").mode("append").save(path)
+        got = sorted(map(tuple, read_delta(spark, path).collect()))
+        assert got == [(1, 10), (2, 20)]
+
+    def test_schema_enforcement(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "w5")
+        spark.createDataFrame([(1, 10)], "k long, v long").write.format(
+            "delta_lite"
+        ).mode("append").save(path)
+        with pytest.raises(Exception, match="missing"):
+            spark.createDataFrame([(1,)], "k long").write.format(
+                "delta_lite"
+            ).mode("append").save(path)
+        with pytest.raises(Exception, match="type change"):
+            spark.createDataFrame([(1, "s")], "k long, v string") \
+                .write.format("delta_lite").mode("append").save(path)
+        with pytest.raises(Exception, match="adds columns"):
+            spark.createDataFrame(
+                [(1, 2, 3)], "k long, v long, z long"
+            ).write.format("delta_lite").mode("append").save(path)
+
+    def test_blind_append_rebases_on_conflict(self, registered, tmp_path):
+        """A commit that loses the put-if-absent race retries onto the
+        winner's next version (the protocol's blind-append rule)."""
+        from etl_market_survey_spark.sources.pyds import _DeltaLiteWriter
+
+        spark = registered
+        path = str(tmp_path / "w6")
+        d = spark.createDataFrame([(1,)], "k long")
+        d.write.format("delta_lite").mode("append").save(path)
+
+        w = _DeltaLiteWriter(path, d.schema, False, {"committs": "50"})
+        # concurrent writer wins version 1 while w is in flight
+        write_delta(spark, path,
+                    spark.createDataFrame([(2,)], "k long"), commit_ts=60)
+        msg = w.write(iter(d.toPandas().pipe(
+            __import__("pyarrow").Table.from_pandas
+        ).to_batches()))
+        w.commit([msg])
+        assert sorted(
+            r["k"] for r in
+            spark.read.format("delta_lite").load(path).collect()
+        ) == [1, 1, 2]
+
+    def test_overwrite_conflict_raises(self, registered, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            DeltaConcurrentWriteError,
+        )
+        from etl_market_survey_spark.sources.pyds import _DeltaLiteWriter
+
+        spark = registered
+        path = str(tmp_path / "w7")
+        d = spark.createDataFrame([(1,)], "k long")
+        d.write.format("delta_lite").mode("append").save(path)
+        w = _DeltaLiteWriter(path, d.schema, True, {})
+        write_delta(spark, path,
+                    spark.createDataFrame([(2,)], "k long"), commit_ts=60)
+        msg = w.write(iter(d.toPandas().pipe(
+            __import__("pyarrow").Table.from_pandas
+        ).to_batches()))
+        with pytest.raises(DeltaConcurrentWriteError):
+            w.commit([msg])
+
+    def test_null_partition_value(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "w8")
+        d = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a")], "k long, p string"
+        )
+        d.write.format("delta_lite").mode("append").option(
+            "partitionCol", "p"
+        ).save(path)
+        back = spark.read.format("delta_lite").load(path)
+        assert sorted(
+            (r["k"], r["p"]) for r in back.collect()
+        ) == [(1, "a"), (2, None), (3, "a")]
+
+    def test_cdf_property_and_feed(self, registered, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            read_delta_changes,
+        )
+
+        spark = registered
+        path = str(tmp_path / "w9")
+        d = spark.createDataFrame([(1,), (2,)], "k long")
+        (
+            d.write.format("delta_lite").mode("append")
+            .option("property.delta.enableChangeDataFeed", "true")
+            .save(path)
+        )
+        d.write.format("delta_lite").mode("append").save(path)
+        feed = read_delta_changes(spark, path, 1, 1)
+        assert [
+            (r["k"], r["_change_type"]) for r in
+            feed.orderBy("k").collect()
+        ] == [(1, "insert"), (2, "insert")]
