@@ -179,6 +179,7 @@ HEADLINE = [
     "q390_iceberg_compaction",
     "q391_iceberg_changelog_stream",
     "q392_delta_lite_writer",
+    "q393_iceberg_lite_writer",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

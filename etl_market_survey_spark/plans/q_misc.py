@@ -6026,3 +6026,56 @@ def q392_delta_lite_writer(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q393 — iceberg_lite WRITER, sharing q392's oracle VERBATIM: the other
+# wire format's public-API write path (executor-staged parquet, spec
+# murmur3 bucket transform computed per distinct value in the write
+# tasks, manifest/metadata commit reused from the library) must
+# describe the IDENTICAL logical table as the Delta writer — same
+# rows, same aggregate, same hash. v0 creates the table bucket[8]-
+# partitioned on the order key; v1 appends with permuted columns.
+# ---------------------------------------------------------------------------
+
+
+@register("q393_iceberg_lite_writer", _Q392_ORACLE)
+def q393_iceberg_lite_writer(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.pyds_iceberg import IcebergLiteDataSource
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_ilwriter_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    (
+        o.filter(F.col("k") % 3 == 0)
+        .write.format("iceberg_lite").mode("append")
+        .option("partitionCol", "k")
+        .option("partitionTransform", "bucket[8]")
+        .option("commitTs", "100")
+        .save(path)
+    )                                                              # snap 1
+    (
+        o.filter(F.col("k") % 3 == 1)
+        .select("tp", "k", "pr")  # permuted: the writer maps by name
+        .write.format("iceberg_lite").mode("append")
+        .option("commitTs", "200")
+        .save(path)
+    )                                                              # snap 2
+    back = spark.read.format("iceberg_lite").load(path)
+    return (
+        back.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -845,6 +845,47 @@ def write_iceberg(
     ``equality_ids`` and partition-spec source-ids depend on; new
     fields take ``last-column-id + 1``...). Old data files null-fill
     the new columns on read."""
+    plan = _plan_write_iceberg(
+        path, df.schema, mode=mode, partition_col=partition_col,
+        partition_transform=partition_transform, merge_schema=merge_schema,
+        allow_spec_evolution=allow_spec_evolution,
+    )
+    df = df.select(*plan["ordered"])
+    partition_col = plan["partition_col"]
+    pexpr = (
+        transform_expr(partition_col, plan["t_kind"], plan["t_param"],
+                       plan["src_ice_type"])
+        if partition_col else None
+    )
+    staged = _stage_iceberg_files(
+        spark, path, df, partition_col,
+        pexpr=pexpr, pfield=plan["pfield"],
+        pv_caster=(
+            _pv_caster_ice(plan["res_ice_type"]) if partition_col else None
+        ),
+        preserve_layout=preserve_layout,
+    )
+    return _commit_planned_iceberg(
+        path, plan, staged, mode=mode, commit_ts=commit_ts
+    )
+
+
+def _plan_write_iceberg(
+    path: str,
+    schema,
+    *,
+    mode: str,
+    partition_col: str | None,
+    partition_transform: str,
+    merge_schema: bool,
+    allow_spec_evolution: bool,
+) -> dict:
+    """Everything :func:`write_iceberg` decides BEFORE any bytes stage:
+    partition-spec resolution (inheritance / evolution), schema
+    enforcement + evolution with stable field ids, version and snapshot
+    id. Pure metadata work — no SparkSession — so the registered
+    ``iceberg_lite`` writer plans on the driver and stages in
+    executors."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_meta_dir(path), exist_ok=True)
@@ -854,7 +895,6 @@ def write_iceberg(
     except FileNotFoundError:
         cur_v, meta = 0, None
 
-    schema = df.schema
     t_kind, t_param = parse_transform(partition_transform)
     if t_kind != "identity" and not partition_col:
         raise ValueError("partition_transform requires partition_col")
@@ -918,7 +958,7 @@ def write_iceberg(
     by_name = {f["name"]: f for f in prior_fields}
     if prior_fields:
         lost = [f["name"] for f in prior_fields
-                if f["name"] not in df.columns]
+                if f["name"] not in schema.names]
         if lost:
             raise ValueError(f"write is missing table columns: {lost}")
     ice_fields = list(prior_fields)
@@ -954,7 +994,6 @@ def write_iceberg(
     from pyspark.sql.types import StructField as _SF, StructType as _ST
 
     ordered = [f["name"] for f in ice_fields]
-    df = df.select(*ordered)
     schema = _ST([_SF(n, schema[n].dataType, True) for n in ordered])
     src_ice_type = (
         _SPARK_TO_ICE[schema[partition_col].dataType.simpleString()]
@@ -980,6 +1019,43 @@ def write_iceberg(
         if partition_col else []
     )
 
+    return {
+        "meta": meta,
+        "cur_v": cur_v,
+        "new_v": new_v,
+        "snap_id": snap_id,
+        "t_kind": t_kind,
+        "t_param": t_param,
+        "partition_col": partition_col,
+        "pfield": pfield,
+        "spec_evolved": spec_evolved,
+        "prior_specs": prior_specs,
+        "ice_fields": ice_fields,
+        "last_id": last_id,
+        "ordered": ordered,
+        "src_ice_type": src_ice_type,
+        "res_ice_type": res_ice_type,
+        "pf_meta": pf_meta,
+        "pf_field_id": _pf_field_id,
+    }
+
+
+def _commit_planned_iceberg(
+    path: str, plan: dict, staged: list, *, mode: str, commit_ts: int
+) -> int:
+    """The commit half of :func:`write_iceberg`: fold pre-staged data
+    files ``[(rel, partition_value, bounds_json, record_count)]`` into
+    manifests + manifest list + metadata and publish put-if-absent.
+    Pure Avro/JSON — callable from the driver without a SparkSession
+    (the ``iceberg_lite`` writer's commit path)."""
+    meta = plan["meta"]
+    new_v, snap_id = plan["new_v"], plan["snap_id"]
+    t_kind, t_param = plan["t_kind"], plan["t_param"]
+    partition_col, pfield = plan["partition_col"], plan["pfield"]
+    spec_evolved, prior_specs = plan["spec_evolved"], plan["prior_specs"]
+    ice_fields, last_id = plan["ice_fields"], plan["last_id"]
+    pf_meta, _pf_field_id = plan["pf_meta"], plan["pf_field_id"]
+
     # ---- data files (identity partitioning keeps columns IN the files).
     # One shuffle+write job for ALL partitions (a duplicated "_pk" dir
     # key so the identity column itself stays in the file content —
@@ -987,16 +1063,6 @@ def write_iceberg(
     # aggregate — never a per-partition driver loop (same batching as
     # deltalog._stage_partitioned; measured ~25% there).
     entries = []
-    pexpr = (
-        transform_expr(partition_col, t_kind, t_param, src_ice_type)
-        if partition_col else None
-    )
-    staged = _stage_iceberg_files(
-        spark, path, df, partition_col,
-        pexpr=pexpr, pfield=pfield,
-        pv_caster=_pv_caster_ice(res_ice_type) if partition_col else None,
-        preserve_layout=preserve_layout,
-    )
     for rel, pv, bounds, n in staged:
         entries.append(
             {

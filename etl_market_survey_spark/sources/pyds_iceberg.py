@@ -24,7 +24,9 @@ Merge-on-read inside the reader:
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -699,3 +701,232 @@ class IcebergLiteDataSource(DataSource):
             int(fs) if fs is not None else None,
             schema=schema,
         )
+
+    def writer(self, schema, overwrite):
+        """``df.write.format("iceberg_lite").mode("append"|"overwrite")
+        .save(path)``. Options: ``partitionCol`` + ``partitionTransform``
+        (new tables only — existing tables inherit their default spec,
+        hidden transforms included), ``commitTs`` (deterministic commit
+        timestamp, same contract as :func:`iceberg.write_iceberg`)."""
+        return _IcebergLiteWriter(
+            self._path(), schema, overwrite, self.options
+        )
+
+
+# ---------------------------------------------------------------------------
+# Writer — df.write.format("iceberg_lite").mode(...).save(path)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+class _IceWriteCommit(WriterCommitMessage):
+    """Per-task staged files: [(rel, partition_value, bounds_json, n)]."""
+
+    def __init__(self, staged):
+        self.staged = staged
+
+
+class _IcebergLiteWriter(DataSourceArrowWriter):
+    """Executor-staged parquet + driver-side manifest commit.
+
+    Planning (:func:`iceberg._plan_write_iceberg`) runs once on the
+    driver — spec inheritance, schema enforcement, snapshot/version
+    allocation — all pure metadata JSON. Tasks then stream their Arrow
+    batches into one open ``ParquetWriter`` per (task, partition
+    value): the spec's HIDDEN transform (identity / bucket[N] /
+    truncate[W] / days / hours) is applied per batch with the same
+    murmur3 the manifests carry (:func:`iceberg_transforms
+    .transform_value`, evaluated once per DISTINCT source value and
+    broadcast to rows via ``index_in``/``take`` — no per-row Python),
+    and int/float/string column bounds fold incrementally into the
+    manifest's ``bounds_json``. ``commit`` reuses the library's commit
+    half verbatim (:func:`iceberg._commit_planned_iceberg`: manifests,
+    carry-forward of prior data AND delete manifests, metadata
+    publish); a lost put-if-absent race on a plain append re-plans
+    against the winner's metadata and retries, raising if the winner
+    changed the partition spec out from under the staged layout."""
+
+    def __init__(self, path, write_schema, overwrite, options):
+        from .iceberg import _plan_write_iceberg
+
+        self.path = path
+        self.mode = "overwrite" if overwrite else "append"
+        self.commit_ts = int(options.get("committs", 0))
+        self.write_schema = write_schema
+        self.partition_col_opt = options.get("partitioncol")
+        self.transform_opt = options.get(
+            "partitiontransform", "identity"
+        )
+        if (
+            self.partition_col_opt is not None
+            and self.partition_col_opt not in write_schema.names
+        ):
+            raise ValueError(
+                f"partitionCol {self.partition_col_opt!r} is not a "
+                "written column"
+            )
+        self.plan = _plan_write_iceberg(
+            path, write_schema, mode=self.mode,
+            partition_col=self.partition_col_opt,
+            partition_transform=self.transform_opt,
+            merge_schema=False, allow_spec_evolution=False,
+        )
+        self.types = {
+            f.name: f.dataType.simpleString() for f in write_schema.fields
+        }
+
+    # -- executor side ------------------------------------------------
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .iceberg import _pv_caster_ice
+        from .iceberg_transforms import transform_value
+
+        plan = self.plan
+        pcol = plan["partition_col"]
+        pfield = plan["pfield"]
+        ordered = plan["ordered"]
+        kind, param = plan["t_kind"], plan["t_param"]
+        src_t, res_t = plan["src_ice_type"], plan["res_ice_type"]
+        caster = _pv_caster_ice(res_t) if pcol else None
+        bounds_cols = [
+            n for n in ordered
+            if self.types[n] in
+            ("int", "bigint", "double", "float", "string")
+        ]
+        # pv_key -> [ParquetWriter, rel, pv, n, {col: [lo, hi]}]
+        open_files: dict = {}
+
+        def sink_for(pv):
+            st = open_files.get(pv)
+            if st is None:
+                rel = (
+                    f"data/{pfield}={pv}/{uuid.uuid4().hex}.parquet"
+                    if pcol else f"data/{uuid.uuid4().hex}.parquet"
+                )
+                dest = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                st = [None, rel, pv, 0, {c: [None, None] for c in
+                                         bounds_cols}]
+                open_files[pv] = st
+            return st
+
+        def fold(st, part):
+            st[3] += part.num_rows
+            for c in bounds_cols:
+                col = part.column(c)
+                if col.null_count == len(col):
+                    continue
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                acc = st[4][c]
+                if acc[0] is None or lo < acc[0]:
+                    acc[0] = lo
+                if acc[1] is None or hi > acc[1]:
+                    acc[1] = hi
+
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch]).select(ordered)
+            if pcol is None:
+                groups = [(None, tbl)]
+            else:
+                src = tbl.column(pcol)
+                uniq = pc.unique(src)
+                uniq_py = uniq.to_pylist()
+                tvals = [
+                    None if u is None
+                    else caster(str(transform_value(kind, param, u, src_t)))
+                    for u in uniq_py
+                ]
+                groups = []
+                for tv in sorted(
+                    set(tvals), key=lambda x: (x is None, str(x))
+                ):
+                    members = pa.array(
+                        [u for u, t in zip(uniq_py, tvals) if t == tv],
+                        type=src.type,
+                    )
+                    mask = (
+                        pc.is_null(src) if (
+                            len(members) == 1 and not members[0].is_valid
+                        )
+                        else pc.is_in(src, value_set=members)
+                    )
+                    groups.append((tv, tbl.filter(mask)))
+            for pv, part in groups:
+                if part.num_rows == 0:
+                    continue
+                st = sink_for(pv)
+                if st[0] is None:
+                    st[0] = pq.ParquetWriter(
+                        os.path.join(self.path, st[1]), part.schema
+                    )
+                st[0].write_table(part)
+                fold(st, part)
+
+        staged = []
+        for st in open_files.values():
+            writer, rel, pv, n, acc = st
+            writer.close()
+            bounds = json.dumps(
+                {c: [acc[c][0], acc[c][1]] for c in bounds_cols},
+                default=str,
+            )
+            staged.append((rel, pv, bounds, n))
+        return _IceWriteCommit(staged)
+
+    # -- driver side ---------------------------------------------------
+
+    def commit(self, messages):
+        from .iceberg import (
+            IcebergConcurrentWriteError,
+            _commit_planned_iceberg,
+            _plan_write_iceberg,
+        )
+
+        staged = [
+            s for m in messages if m is not None for s in m.staged
+        ]
+        plan = self.plan
+        for _ in range(16):
+            try:
+                _commit_planned_iceberg(
+                    self.path, plan, staged, mode=self.mode,
+                    commit_ts=self.commit_ts,
+                )
+                return
+            except IcebergConcurrentWriteError:
+                if self.mode != "append":
+                    raise
+                replanned = _plan_write_iceberg(
+                    self.path, self.write_schema, mode=self.mode,
+                    partition_col=self.partition_col_opt,
+                    partition_transform=self.transform_opt,
+                    merge_schema=False, allow_spec_evolution=False,
+                )
+                if (
+                    replanned["pfield"], replanned["t_kind"],
+                    replanned["t_param"],
+                ) != (plan["pfield"], plan["t_kind"], plan["t_param"]):
+                    raise  # winner changed the spec: staged layout stale
+                plan = replanned
+        raise IcebergConcurrentWriteError(
+            f"append could not commit after 16 rebases in {self.path}"
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for rel, _, _, _ in m.staged:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass

@@ -1001,3 +1001,202 @@ class TestDeltaLiteWriter:
             (r["k"], r["_change_type"]) for r in
             feed.orderBy("k").collect()
         ] == [(1, "insert"), (2, "insert")]
+
+
+class TestIcebergLiteWriter:
+    """df.write.format("iceberg_lite") — executor-staged parquet with
+    spec-exact hidden transforms, committed through the library's
+    manifest/metadata half."""
+
+    @pytest.fixture()
+    def ice(self, spark):
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        return spark
+
+    def test_bucket_create_matches_library_tuples(self, ice, tmp_path):
+        """The DS writer's murmur3 bucket assignment must be
+        bit-identical to write_iceberg's (both are the spec's
+        Appendix-B hash) — compared as per-bucket row counts since the
+        DS writer legitimately stages one file per (task, bucket)."""
+        from collections import Counter
+
+        from etl_market_survey_spark.sources.iceberg import (
+            snapshot_files, write_iceberg,
+        )
+
+        spark = ice
+        a, b = str(tmp_path / "iwa"), str(tmp_path / "iwb")
+        d = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+        write_iceberg(spark, a, d, partition_col="k",
+                      partition_transform="bucket[4]", commit_ts=100)
+        (
+            d.write.format("iceberg_lite").mode("append")
+            .option("partitionCol", "k")
+            .option("partitionTransform", "bucket[4]")
+            .option("commitTs", "100").save(b)
+        )
+
+        def per_bucket(p):
+            c = Counter()
+            for f in snapshot_files(p):
+                c[str(f["partition"])] += f["record_count"]
+            return dict(c)
+
+        assert per_bucket(a) == per_bucket(b)
+        assert sorted(map(tuple, spark.read.format("iceberg_lite")
+                          .load(b).collect())) \
+            == sorted(map(tuple, d.collect()))
+
+    def test_append_inherits_spec_and_time_travel(self, ice, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import read_iceberg
+
+        spark = ice
+        p = str(tmp_path / "iw2")
+        d1 = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+        d2 = spark.createDataFrame([(3, "x")], "k long, s string")
+        (
+            d1.write.format("iceberg_lite").mode("append")
+            .option("partitionCol", "s").save(p)
+        )
+        # no partition options: the writer inherits the default spec
+        d2.write.format("iceberg_lite").mode("append").save(p)
+        assert spark.read.format("iceberg_lite").load(p).count() == 3
+        assert read_iceberg(spark, p).count() == 3
+        d2.write.format("iceberg_lite").mode("overwrite").save(p)
+        assert [
+            tuple(r) for r in
+            spark.read.format("iceberg_lite").load(p).collect()
+        ] == [(3, "x")]
+        old = (spark.read.format("iceberg_lite")
+               .option("snapshotId", 1).load(p))
+        assert old.count() == 2
+
+    def test_schema_enforcement(self, ice, tmp_path):
+        spark = ice
+        p = str(tmp_path / "iw3")
+        spark.createDataFrame([(1, 10)], "k long, v long").write.format(
+            "iceberg_lite"
+        ).mode("append").save(p)
+        with pytest.raises(Exception, match="missing"):
+            spark.createDataFrame([(1,)], "k long").write.format(
+                "iceberg_lite"
+            ).mode("append").save(p)
+        with pytest.raises(Exception, match="type change"):
+            spark.createDataFrame([(1, "s")], "k long, v string") \
+                .write.format("iceberg_lite").mode("append").save(p)
+        with pytest.raises(Exception, match="adds column"):
+            spark.createDataFrame(
+                [(1, 2, 3)], "k long, v long, z long"
+            ).write.format("iceberg_lite").mode("append").save(p)
+
+    def test_append_preserves_delete_manifests(self, ice, tmp_path):
+        """A DS append onto a merge-on-read table must carry the prior
+        position-delete manifests forward — dropping them would
+        resurrect deleted rows."""
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg, write_iceberg,
+        )
+
+        spark = ice
+        p = str(tmp_path / "iw4")
+        d = spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k long, v long"
+        )
+        write_iceberg(spark, p, d, commit_ts=100)
+        delete_rows_where_iceberg(spark, p, "k % 2 = 0", commit_ts=200)
+        extra = spark.createDataFrame([(100, 1000)], "k long, v long")
+        extra.write.format("iceberg_lite").mode("append").save(p)
+        got = sorted(
+            r["k"] for r in
+            spark.read.format("iceberg_lite").load(p).collect()
+        )
+        assert got == [1, 3, 5, 7, 9, 100]
+
+    def test_blind_append_rebases_on_conflict(self, ice, tmp_path):
+        import pyarrow as pa
+
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            _IcebergLiteWriter,
+        )
+
+        spark = ice
+        p = str(tmp_path / "iw5")
+        d = spark.createDataFrame([(1,)], "k long")
+        d.write.format("iceberg_lite").mode("append").save(p)
+        w = _IcebergLiteWriter(p, d.schema, False, {})
+        write_iceberg(spark, p,
+                      spark.createDataFrame([(2,)], "k long"),
+                      commit_ts=60)
+        msg = w.write(iter(
+            pa.Table.from_pandas(d.toPandas()).to_batches()
+        ))
+        w.commit([msg])
+        assert sorted(
+            r["k"] for r in
+            spark.read.format("iceberg_lite").load(p).collect()
+        ) == [1, 1, 2]
+
+    def test_overwrite_conflict_raises(self, ice, tmp_path):
+        import pyarrow as pa
+
+        from etl_market_survey_spark.sources.iceberg import (
+            IcebergConcurrentWriteError, write_iceberg,
+        )
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            _IcebergLiteWriter,
+        )
+
+        spark = ice
+        p = str(tmp_path / "iw6")
+        d = spark.createDataFrame([(1,)], "k long")
+        d.write.format("iceberg_lite").mode("append").save(p)
+        w = _IcebergLiteWriter(p, d.schema, True, {})
+        write_iceberg(spark, p,
+                      spark.createDataFrame([(2,)], "k long"),
+                      commit_ts=60)
+        msg = w.write(iter(
+            pa.Table.from_pandas(d.toPandas()).to_batches()
+        ))
+        with pytest.raises(IcebergConcurrentWriteError):
+            w.commit([msg])
+
+    def test_null_partition_value(self, ice, tmp_path):
+        spark = ice
+        p = str(tmp_path / "iw7")
+        d = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a")], "k long, s string"
+        )
+        d.write.format("iceberg_lite").mode("append").option(
+            "partitionCol", "s"
+        ).save(p)
+        assert sorted(
+            (r["k"], r["s"]) for r in
+            spark.read.format("iceberg_lite").load(p).collect()
+        ) == [(1, "a"), (2, None), (3, "a")]
+
+    def test_days_transform_roundtrip(self, ice, tmp_path):
+        import datetime
+
+        from etl_market_survey_spark.sources.iceberg import snapshot_files
+
+        spark = ice
+        p = str(tmp_path / "iw8")
+        d = spark.range(6).select(
+            F.col("id").alias("k"),
+            F.date_add(
+                F.lit(datetime.date(2024, 1, 1)), (F.col("id") % 2).cast("int")
+            ).alias("d"),
+        )
+        d.write.format("iceberg_lite").mode("append").option(
+            "partitionCol", "d"
+        ).option("partitionTransform", "days").save(p)
+        days = {f["partition"]["d_day"] for f in snapshot_files(p)}
+        assert days == {19723, 19724}  # 2024-01-01 / 02 since epoch
+        assert spark.read.format("iceberg_lite").load(p).count() == 6
