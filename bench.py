@@ -180,6 +180,9 @@ HEADLINE = [
     "q391_iceberg_changelog_stream",
     "q392_delta_lite_writer",
     "q393_iceberg_lite_writer",
+    "q394_iceberg_merge",
+    "q395_delta_merge_clauses",
+    "q396_iceberg_merge_clauses",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

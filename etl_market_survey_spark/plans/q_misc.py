@@ -6079,3 +6079,150 @@ def q393_iceberg_lite_writer(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q394 — Iceberg MERGE INTO clause form (sources/iceberg.merge_iceberg):
+# the SAME logical merge as q375/q376, executed as the clause-form verb
+# (matched-update + not-matched-insert) over position-delete + append —
+# matched rows die as (file_path, pos) entries written straight into a
+# sorted position-delete parquet, updated values and inserts append.
+# Shares q375's oracle VERBATIM: copy-on-write Delta MERGE,
+# equality-delete upsert, and position-delete clause MERGE must all
+# describe the identical logical table.
+# ---------------------------------------------------------------------------
+
+
+@register("q394_iceberg_merge", _Q375_ORACLE)
+def q394_iceberg_merge(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import merge_iceberg, read_iceberg, write_iceberg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_icemerge_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_iceberg(spark, path, o.filter(F.col("k") % 3 == 0).orderBy("k"),
+                  commit_ts=100)
+    s2 = write_iceberg(spark, path,
+                       o.filter(F.col("k") % 3 == 1).orderBy("k"),
+                       commit_ts=200)
+
+    src = o.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit("MERGED").alias("pr"), (F.col("tp") * 2.0).alias("tp")
+    )
+    merge_iceberg(spark, path, src, on=["k"], commit_ts=300)
+
+    def agg(df, tag_):
+        return df.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("version_tag"), "*")
+
+    pre = read_iceberg(spark, path, snapshot_id=s2)
+    cur = read_iceberg(spark, path)
+    return (
+        agg(pre, "v_premerge")
+        .unionByName(agg(cur, "v_merged"))
+        .orderBy("version_tag", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q395/q396 — MERGE INTO with FULL clause semantics, one oracle for
+# both formats: matched-update gated by a condition over t./s. columns
+# (urgent-priority rows refuse the update), a NOT MATCHED BY SOURCE
+# DELETE gated by its own condition (low-priority rows absent from the
+# source expire), and a conditional insert (even keys only). q395 runs
+# it copy-on-write on Delta (row identity = checkpointed _rid, exactly
+# the rows the clauses take leave their files); q396 runs the
+# IDENTICAL clause set merge-on-read on Iceberg (position deletes +
+# append). One closed-form SQL oracle decides both.
+# ---------------------------------------------------------------------------
+
+_Q395_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+),
+s AS (
+  SELECT o_orderkey AS k, 'MERGED' AS pr, o_totalprice * 2.0 AS tp
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+merged AS (
+  SELECT k, pr, tp FROM t
+  WHERE k % 5 <> 0 AND pr <> '5-LOW'
+  UNION ALL
+  SELECT k, pr, tp FROM t WHERE k % 5 = 0 AND pr = '1-URGENT'
+  UNION ALL
+  SELECT s.k, s.pr, s.tp FROM s JOIN t USING (k) WHERE t.pr <> '1-URGENT'
+  UNION ALL
+  SELECT k, pr, tp FROM s
+  WHERE k NOT IN (SELECT k FROM t) AND k % 2 = 0
+)
+SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS total_cents
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+_MERGE_CLAUSES = dict(
+    matched_condition="t.pr <> '1-URGENT'",
+    when_not_matched_by_source="delete",
+    by_source_condition="pr = '5-LOW'",
+    not_matched_condition="k % 2 = 0",
+)
+
+
+def _clause_merge_result(spark, sf_dir, fmt):
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_clmerge_{fmt}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    base = o.filter((F.col("k") % 3).isin(0, 1))
+    src = o.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit("MERGED").alias("pr"), (F.col("tp") * 2.0).alias("tp")
+    )
+    if fmt == "delta":
+        from ..sources.deltalog import merge_delta, read_delta, write_delta
+
+        write_delta(spark, path, base, commit_ts=100)
+        merge_delta(spark, path, src, on=["k"], commit_ts=200,
+                    **_MERGE_CLAUSES)
+        cur = read_delta(spark, path)
+    else:
+        from ..sources.iceberg import (
+            merge_iceberg, read_iceberg, write_iceberg,
+        )
+
+        write_iceberg(spark, path, base, commit_ts=100)
+        merge_iceberg(spark, path, src, on=["k"], commit_ts=200,
+                      **_MERGE_CLAUSES)
+        cur = read_iceberg(spark, path)
+    return (
+        cur.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).orderBy("o_orderpriority")
+    )
+
+
+@register("q395_delta_merge_clauses", _Q395_ORACLE)
+def q395_delta_merge_clauses(spark, sf_dir):
+    return _clause_merge_result(spark, sf_dir, "delta")
+
+
+@register("q396_iceberg_merge_clauses", _Q395_ORACLE)
+def q396_iceberg_merge_clauses(spark, sf_dir):
+    return _clause_merge_result(spark, sf_dir, "iceberg")

@@ -2216,6 +2216,10 @@ def merge_delta(
     *,
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
+    matched_condition: str | None = None,
+    not_matched_condition: str | None = None,
+    when_not_matched_by_source: str | None = None,
+    by_source_condition: str | None = None,
     commit_ts: int = 0,
 ) -> int:
     """MERGE INTO (upsert), copy-on-write with FILE-LEVEL pruning —
@@ -2228,6 +2232,17 @@ def merge_delta(
     ``'delete'``, or ``None``. ``when_not_matched``: ``'insert'`` or
     ``None``. Raises if any target row matches more than one source
     row (the protocol's nondeterministic-update error).
+
+    Clause conditions (the full MERGE INTO clause form — same surface
+    as :func:`..sources.iceberg.merge_iceberg`):
+    ``matched_condition`` (SQL over ``t.<col>`` / ``s.<col>``) gates
+    which matched rows the matched clause takes — failing rows stay
+    untouched; ``not_matched_condition`` (SQL over source columns)
+    gates inserts; ``when_not_matched_by_source='delete'`` removes
+    target rows with NO source key match, gated by
+    ``by_source_condition`` (SQL over target columns). With a
+    by-source clause, stats pruning is disabled — every file may hold
+    by-source rows by definition.
 
     Scale shape, in order:
 
@@ -2252,8 +2267,19 @@ def merge_delta(
         raise ValueError(f"unknown when_matched {when_matched!r}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"unknown when_not_matched {when_not_matched!r}")
-    if when_matched is None and when_not_matched is None:
+    if when_not_matched_by_source not in ("delete", None):
+        raise ValueError(
+            f"unknown when_not_matched_by_source "
+            f"{when_not_matched_by_source!r}"
+        )
+    if when_matched is None and when_not_matched is None \
+            and when_not_matched_by_source is None:
         raise ValueError("MERGE with no clauses is a no-op by definition")
+    has_clauses = (
+        matched_condition is not None
+        or not_matched_condition is not None
+        or when_not_matched_by_source is not None
+    )
 
     snap = load_snapshot(spark, path)
     snap.check_reader_support()
@@ -2275,11 +2301,27 @@ def merge_delta(
     # (one tiny agg) vs per-file min/max from the log
     adds_all = sorted(snap.adds.items())
     k0 = on[0]
-    lo, hi = src.agg(F.min(k0), F.max(k0)).first()
-    candidates = [
-        (rel, a) for rel, a in adds_all
-        if _stats_prune(a, phys.get(k0, k0), lo, hi)
-    ]  # files outside the source key range are untouched by construction
+    if when_not_matched_by_source is not None:
+        # by-source rows are the ones NOT in the source key range —
+        # stats pruning on that range is invalid; every file is a
+        # candidate (the clause's inherent cost, same in real engines)
+        candidates = adds_all
+    else:
+        lo, hi = src.agg(F.min(k0), F.max(k0)).first()
+        candidates = [
+            (rel, a) for rel, a in adds_all
+            if _stats_prune(a, phys.get(k0, k0), lo, hi)
+        ]  # files outside the source key range are untouched by construction
+
+    if has_clauses:
+        return _merge_delta_clauses(
+            spark, path, snap, src, on, candidates, adds_all,
+            when_matched=when_matched, when_not_matched=when_not_matched,
+            matched_condition=matched_condition,
+            not_matched_condition=not_matched_condition,
+            when_not_matched_by_source=when_not_matched_by_source,
+            by_source_condition=by_source_condition, commit_ts=commit_ts,
+        )
 
     tgt = _scan_logical_with_file(
         spark, path, snap, [a for _, a in candidates]
@@ -2354,6 +2396,44 @@ def merge_delta(
     if not touched and when_not_matched is None:
         return snap.version  # nothing matched, nothing to insert
 
+    op_params = {
+        "predicate": " AND ".join(f"t.{k} = s.{k}" for k in on),
+        "matched": when_matched,
+        "notMatched": when_not_matched,
+    }
+    return _merge_commit_tail(
+        spark, path, snap, parts, cdc_parts, touched, adds_all,
+        op_params, commit_ts,
+    )
+
+
+def _merge_commit_tail(
+    spark: SparkSession,
+    path: str,
+    snap,
+    parts: list,
+    cdc_parts: list,
+    touched: set,
+    adds_all: list,
+    op_params: dict,
+    commit_ts: int,
+) -> int:
+    """Shared MERGE commit: union the surviving/updated/inserted row
+    frames, stage under physical names (one job), emit remove actions
+    for exactly the touched files + add actions for the staged ones
+    (+ cdc sidecars when the table has CDF), put-if-absent commit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    schema = snap.schema()
+    cols = [f.name for f in schema.fields]
+    phys = snap.physical_names()
+    pcols = snap.partition_columns
+    cdf_on = (
+        (snap.metadata.get("configuration") or {})
+        .get("delta.enableChangeDataFeed") == "true"
+    )
+
     new_rows = parts[0]
     for p in parts[1:]:
         new_rows = new_rows.unionByName(p)
@@ -2393,11 +2473,7 @@ def merge_delta(
             "commitInfo": {
                 "timestamp": commit_ts,
                 "operation": "MERGE",
-                "operationParameters": {
-                    "predicate": " AND ".join(f"t.{k} = s.{k}" for k in on),
-                    "matched": when_matched,
-                    "notMatched": when_not_matched,
-                },
+                "operationParameters": op_params,
             }
         }
     ]
@@ -2448,6 +2524,140 @@ def merge_delta(
             )
     _write_commit(path, new_version, actions)
     return new_version
+
+
+def _merge_delta_clauses(
+    spark: SparkSession,
+    path: str,
+    snap,
+    src: DataFrame,
+    on: list[str],
+    candidates: list,
+    adds_all: list,
+    *,
+    when_matched: str | None,
+    when_not_matched: str | None,
+    matched_condition: str | None,
+    not_matched_condition: str | None,
+    when_not_matched_by_source: str | None,
+    by_source_condition: str | None,
+    commit_ts: int,
+) -> int:
+    """The clause-form MERGE body (conditions and/or a by-source
+    clause): copy-on-write like the plain path, but row identity is a
+    checkpointed ``_rid`` because a condition can split same-key target
+    rows into taken/untaken — key anti-joins can't express "remove
+    exactly the rows the clause took"."""
+    from pyspark.sql import functions as F
+
+    schema = snap.schema()
+    cols = [f.name for f in schema.fields]
+    cdf_on = (
+        (snap.metadata.get("configuration") or {})
+        .get("delta.enableChangeDataFeed") == "true"
+    )
+
+    tgt = (
+        _scan_logical_with_file(spark, path, snap,
+                                [a for _, a in candidates])
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+
+    # nondeterministic-update guard: only matched clauses care
+    if when_matched is not None:
+        src_keys = src.groupBy(*on).agg(F.count("*").alias("_cnt"))
+        mc = tgt.join(src_keys, on, "inner").agg(F.max("_cnt")).first()[0]
+        if mc is not None and mc > 1:
+            raise ValueError(
+                "MERGE: a target row matches multiple source rows "
+                "(nondeterministic update/delete)"
+            )
+
+    joined = tgt.alias("t").join(src.alias("s"), on, "inner")
+    if matched_condition:
+        joined = joined.filter(F.expr(matched_condition))
+    t_image = [F.col(c) if c in on else F.col(f"t.{c}") for c in cols]
+    s_image = [F.col(c) if c in on else F.col(f"s.{c}") for c in cols]
+
+    dead_parts = []  # (_file, _rid) rows the clauses remove from files
+    parts, cdc_parts = [], []
+    if when_matched in ("update", "delete"):
+        dead_parts.append(joined.select("_file", "_rid"))
+    if when_matched == "update":
+        updated = joined.select(*s_image)
+        parts.append(updated)
+        if cdf_on:
+            cdc_parts.append(
+                joined.select(*t_image).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            cdc_parts.append(
+                updated.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+    elif when_matched == "delete" and cdf_on:
+        cdc_parts.append(
+            joined.select(*t_image).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
+    if when_not_matched_by_source == "delete":
+        bysrc = tgt.join(src.select(*on), on, "left_anti")
+        if by_source_condition:
+            bysrc = bysrc.filter(F.expr(by_source_condition))
+        dead_parts.append(bysrc.select("_file", "_rid"))
+        if cdf_on:
+            cdc_parts.append(
+                bysrc.select(*cols).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+    if when_not_matched == "insert":
+        inserted = src.join(tgt.select(*on), on, "left_anti")
+        if not_matched_condition:
+            inserted = inserted.filter(F.expr(not_matched_condition))
+        inserted = inserted.select(*cols)
+        parts.append(inserted)
+        if cdf_on:
+            cdc_parts.append(
+                inserted.withColumn("_change_type", F.lit("insert"))
+            )
+
+    touched = set()
+    if dead_parts:
+        dead = dead_parts[0]
+        for p in dead_parts[1:]:
+            dead = dead.unionByName(p)
+        dead = dead.localCheckpoint()  # one scan; reused for files + anti
+        touched = {
+            r["_file"] for r in dead.select("_file").distinct().collect()
+        }
+        if touched:
+            kept = (
+                tgt.filter(F.col("_file").isin(sorted(touched)))
+                .join(dead.select("_rid"), ["_rid"], "left_anti")
+                .select(*cols)
+            )
+            parts.insert(0, kept)
+    if not touched and when_not_matched is None:
+        return snap.version  # no row removed, nothing to insert
+
+    op_params = {
+        "predicate": " AND ".join(f"t.{k} = s.{k}" for k in on),
+        "matched": when_matched,
+        "matchedCondition": matched_condition,
+        "notMatched": when_not_matched,
+        "notMatchedCondition": not_matched_condition,
+        "notMatchedBySource": when_not_matched_by_source,
+        "notMatchedBySourceCondition": by_source_condition,
+    }
+    return _merge_commit_tail(
+        spark, path, snap, parts, cdc_parts, touched, adds_all,
+        op_params, commit_ts,
+    )
 
 
 def _stage_cdc(

@@ -1400,10 +1400,27 @@ def delete_rows_where_iceberg(
 
     cur_v = _current_version(path)
     meta = _load_metadata(path, cur_v)
+    df = _scan_live_with_pos(spark, path, meta)
+    if df is None:
+        return _select_snapshot(meta, None, None)["snapshot-id"]
+    matched = df.filter(predicate).select("_if", "_ip")
+    return _commit_position_deletes(
+        spark, path, meta, cur_v, matched, commit_ts=commit_ts
+    )
+
+
+def _scan_live_with_pos(spark: SparkSession, path: str, meta: dict):
+    """LIVE logical rows with ``(_if, _ip)`` identity attached — the
+    file basename and 0-based row position — prior position AND
+    equality deletes applied (already-dead rows never re-emitted).
+    Returns None for an empty table. The row-DML scan every
+    merge-on-read write verb starts from."""
+    from pyspark.sql import functions as F
+
     schema = _spark_schema(meta)
     files = snapshot_files(path)
     if not files:
-        return _select_snapshot(meta, None, None)["snapshot-id"]
+        return None
     delete_files = snapshot_delete_files(path)
     pos_deletes = [f for f in delete_files if f.get("content") == 1]
     eq_deletes = [f for f in delete_files if f.get("content") == 2]
@@ -1431,7 +1448,25 @@ def delete_rows_where_iceberg(
     if eq_deletes:
         df = _apply_equality_deletes(spark, path, df, files, eq_deletes,
                                      meta)
-    matched = df.filter(predicate).select("_if", "_ip")
+    return df
+
+
+def _commit_position_deletes(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    cur_v: int,
+    matched,  # DataFrame[_if, _ip]
+    *,
+    commit_ts: int,
+) -> int:
+    """Write the matched ``(_if, _ip)`` identities straight into a
+    sorted position-delete parquet (pairs never touch the driver) and
+    commit the content=1 delete manifest. No-op (current snapshot id)
+    when nothing matched."""
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(path)
     # basename -> table-relative path (metadata-sized broadcast)
     rel_map = spark.createDataFrame(
         [(os.path.basename(f["file_path"]), f["file_path"])
@@ -1538,6 +1573,158 @@ def upsert_iceberg(
     return write_iceberg(
         spark, path, source.select(*cols), commit_ts=commit_ts
     )
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    *,
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    matched_condition: str | None = None,
+    not_matched_condition: str | None = None,
+    when_not_matched_by_source: str | None = None,
+    by_source_condition: str | None = None,
+    commit_ts: int = 0,
+) -> int:
+    """MERGE INTO with clause semantics, merge-on-read — the Iceberg
+    twin of :func:`..sources.deltalog.merge_delta` (same parameter
+    surface, same logical change set), composed from the v2
+    position-delete + append machinery: matched/by-source rows die as
+    ``(file_path, pos)`` entries in a sorted position-delete parquet
+    (positions flow executor-side, never through the driver), updated
+    values and inserts append as new data files. No data file is ever
+    rewritten — the write-cheap half of the trade
+    :func:`..sources.deltalog.merge_delta`'s copy-on-write is the
+    read-cheap half of.
+
+    Clauses:
+    - ``when_matched``: ``'update'`` (matched target rows are replaced
+      by the full source row), ``'delete'``, or ``None``;
+      ``matched_condition`` (SQL over ``t.<col>`` / ``s.<col>``) gates
+      which matched rows the clause takes — rows failing it stay
+      untouched.
+    - ``when_not_matched``: ``'insert'`` or ``None``;
+      ``not_matched_condition`` (SQL over source columns) gates which
+      unmatched source rows insert.
+    - ``when_not_matched_by_source``: ``'delete'`` or ``None`` —
+      target rows with NO source key match die; ``by_source_condition``
+      (SQL over target columns) gates them. This is the clause form
+      engines use to expire rows absent from a refreshed source.
+
+    Raises if any target row matches more than one source row while a
+    matched clause exists (the nondeterministic-update error). Returns
+    the final snapshot id (append snapshot when rows append, else the
+    delete snapshot, else the current one)."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"unknown when_matched {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"unknown when_not_matched {when_not_matched!r}")
+    if when_not_matched_by_source not in ("delete", None):
+        raise ValueError(
+            f"unknown when_not_matched_by_source "
+            f"{when_not_matched_by_source!r}"
+        )
+    if when_matched is None and when_not_matched is None \
+            and when_not_matched_by_source is None:
+        raise ValueError("MERGE with no clauses is a no-op by definition")
+
+    cur_v = _current_version(path)
+    meta = _load_metadata(path, cur_v)
+    schema = _spark_schema(meta)
+    cols = [f.name for f in schema.fields]
+    missing = [k for k in on if k not in cols]
+    if missing:
+        raise ValueError(f"key columns not in table schema: {missing}")
+    need_full = when_matched == "update" or when_not_matched == "insert"
+    src_missing = [c for c in (cols if need_full else on)
+                   if c not in source.columns]
+    if src_missing:
+        raise ValueError(f"source is missing columns: {src_missing}")
+    src = source.select(*(cols if need_full else on))
+    cur_sid = _select_snapshot(meta, None, None)["snapshot-id"]
+
+    live = _scan_live_with_pos(spark, path, meta)
+    if live is None:
+        # empty table: only the not-matched clause can fire
+        if when_not_matched != "insert":
+            return cur_sid
+        ins = src.select(*cols)
+        if not_matched_condition:
+            ins = ins.filter(not_matched_condition)
+        if ins.limit(1).count() == 0:
+            return cur_sid
+        return write_iceberg(spark, path, ins, commit_ts=commit_ts)
+
+    # nondeterministic-update guard: a target row matching >1 source row
+    if when_matched is not None:
+        src_keys = src.groupBy(*on).agg(F.count("*").alias("_cnt"))
+        mc = (
+            live.join(src_keys, on, "inner")
+            .agg(F.max("_cnt")).first()[0]
+        )
+        if mc is not None and mc > 1:
+            raise ValueError(
+                "MERGE: a target row matches multiple source rows "
+                "(nondeterministic update/delete)"
+            )
+
+    joined = live.alias("t").join(src.alias("s"), on, "inner")
+    if matched_condition:
+        joined = joined.filter(F.expr(matched_condition))
+
+    del_parts = []
+    append_parts = []
+    if when_matched in ("update", "delete"):
+        del_parts.append(joined.select("_if", "_ip"))
+    if when_matched == "update":
+        append_parts.append(
+            joined.select(
+                *[
+                    F.col(c) if c in on else F.col(f"s.{c}")
+                    for c in cols
+                ]
+            )
+        )
+    if when_not_matched_by_source == "delete":
+        bysrc = live.join(src.select(*on), on, "left_anti")
+        if by_source_condition:
+            bysrc = bysrc.filter(by_source_condition)
+        del_parts.append(bysrc.select("_if", "_ip"))
+    if when_not_matched == "insert":
+        ins = src.join(live.select(*on), on, "left_anti")
+        if not_matched_condition:
+            ins = ins.filter(not_matched_condition)
+        append_parts.append(ins.select(*cols))
+
+    appended = None
+    if append_parts:
+        appended = append_parts[0]
+        for p in append_parts[1:]:
+            appended = appended.unionByName(p)
+        # materialize BEFORE the delete commit: keeps the append
+        # independent of table state (the update_rows_where composition)
+        appended = appended.localCheckpoint()
+        if appended.limit(1).count() == 0:
+            appended = None
+
+    result_sid = cur_sid
+    if del_parts:
+        dels = del_parts[0]
+        for p in del_parts[1:]:
+            dels = dels.unionByName(p)
+        result_sid = _commit_position_deletes(
+            spark, path, meta, cur_v, dels, commit_ts=commit_ts
+        )
+    if appended is not None:
+        result_sid = write_iceberg(
+            spark, path, appended, commit_ts=commit_ts
+        )
+    return result_sid
 
 
 def update_rows_where_iceberg(

@@ -1347,3 +1347,178 @@ class TestIcebergLiteRef:
         got = {r["k"] for r in spark.read.format("iceberg_lite")
                .option("ref", "pinned").load(path).collect()}
         assert got == {1}
+
+
+class TestMergeIceberg:
+    """merge_iceberg — MERGE INTO with clause semantics on the
+    merge-on-read path (position deletes + append), sharing
+    merge_delta's parameter surface and logical change set."""
+
+    def _base(self, spark, p, cdf=False):
+        from etl_market_survey_spark.sources.iceberg import write_iceberg
+
+        t = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+             (4, "d", 40.0)],
+            "k long, s string, v double",
+        )
+        write_iceberg(spark, p, t, commit_ts=100)
+        return spark.createDataFrame(
+            [(2, "B", 200.0), (3, "C", 1.0), (9, "I", 90.0)],
+            "k long, s string, v double",
+        )
+
+    def test_upsert_shape_matches_merge_delta(self, spark, tmp_path):
+        """Plain update+insert MERGE: both formats must produce the
+        identical logical table from the same base and source."""
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, read_delta, write_delta,
+        )
+        from etl_market_survey_spark.sources.iceberg import (
+            merge_iceberg, read_iceberg,
+        )
+
+        pi, pd_ = str(tmp_path / "mi1"), str(tmp_path / "md1")
+        src = self._base(spark, pi)
+        t = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+             (4, "d", 40.0)],
+            "k long, s string, v double",
+        )
+        write_delta(spark, pd_, t, commit_ts=100)
+        merge_iceberg(spark, pi, src, ["k"], commit_ts=200)
+        merge_delta(spark, pd_, src, ["k"], commit_ts=200)
+        assert sorted(map(tuple, read_iceberg(spark, pi).collect())) == \
+            sorted(map(tuple, read_delta(spark, pd_).collect()))
+
+    def test_clause_conditions_and_by_source(self, spark, tmp_path):
+        """matched_condition gates which matched rows update; the
+        by-source clause deletes target rows absent from the source,
+        gated by its own condition — identical across formats."""
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, read_delta, write_delta,
+        )
+        from etl_market_survey_spark.sources.iceberg import (
+            merge_iceberg, read_iceberg,
+        )
+
+        pi, pd_ = str(tmp_path / "mi2"), str(tmp_path / "md2")
+        src = self._base(spark, pi)
+        t = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+             (4, "d", 40.0)],
+            "k long, s string, v double",
+        )
+        write_delta(spark, pd_, t, commit_ts=100)
+        kw = dict(
+            matched_condition="s.v > t.v",
+            when_not_matched_by_source="delete",
+            by_source_condition="v > 35",
+            commit_ts=200,
+        )
+        merge_iceberg(spark, pi, src, ["k"], **kw)
+        merge_delta(spark, pd_, src, ["k"], **kw)
+        got_i = sorted(map(tuple, read_iceberg(spark, pi).collect()))
+        got_d = sorted(map(tuple, read_delta(spark, pd_).collect()))
+        # k=2 updates (200>20); k=3 keeps (1<30); k=4 dies (40>35, no
+        # source match); k=1 survives (10<35); k=9 inserts
+        assert got_i == sorted(
+            [(1, "a", 10.0), (2, "B", 200.0), (3, "c", 30.0),
+             (9, "I", 90.0)]
+        )
+        assert got_i == got_d
+
+    def test_not_matched_condition_gates_insert(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            merge_iceberg, read_iceberg,
+        )
+
+        p = str(tmp_path / "mi3")
+        src = self._base(spark, p)
+        merge_iceberg(
+            spark, p, src, ["k"], when_matched=None,
+            not_matched_condition="v < 100", commit_ts=200,
+        )
+        got = sorted(r["k"] for r in read_iceberg(spark, p).collect())
+        assert got == [1, 2, 3, 4, 9]  # only k=9 (v=90) inserts
+
+    def test_delete_clause_and_changelog(self, spark, tmp_path):
+        """A matched-delete MERGE surfaces in the changelog as
+        row-exact deletes (the q388-style feed contract)."""
+        from etl_market_survey_spark.sources.iceberg import (
+            merge_iceberg, read_iceberg, read_iceberg_changes,
+        )
+
+        p = str(tmp_path / "mi4")
+        src = self._base(spark, p)
+        merge_iceberg(
+            spark, p, src.select("k"), ["k"], when_matched="delete",
+            when_not_matched=None, commit_ts=200,
+        )
+        assert sorted(
+            r["k"] for r in read_iceberg(spark, p).collect()
+        ) == [1, 4]
+        feed = read_iceberg_changes(spark, p, 1)
+        assert sorted(
+            (r["k"], r["_change_type"]) for r in feed.collect()
+        ) == [(2, "delete"), (3, "delete")]
+
+    def test_multi_match_raises(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import merge_iceberg
+
+        p = str(tmp_path / "mi5")
+        self._base(spark, p)
+        dup = spark.createDataFrame(
+            [(2, "x", 1.0), (2, "y", 2.0)], "k long, s string, v double"
+        )
+        with pytest.raises(ValueError, match="multiple source rows"):
+            merge_iceberg(spark, p, dup, ["k"], commit_ts=200)
+
+    def test_no_op_merge_returns_current_snapshot(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            merge_iceberg, table_history,
+        )
+
+        p = str(tmp_path / "mi6")
+        self._base(spark, p)
+        n_before = len(table_history(p))
+        miss = spark.createDataFrame([(99,)], "k long")
+        sid = merge_iceberg(
+            spark, p, miss, ["k"], when_matched="delete",
+            when_not_matched=None, commit_ts=200,
+        )
+        assert len(table_history(p)) == n_before
+        assert sid is not None
+
+    def test_delta_clause_cdf_pairing(self, spark, tmp_path):
+        """The Delta clause path must keep CDF exact: update pre/post
+        pairs for condition-passing rows, delete for by-source rows,
+        insert for not-matched — nothing for condition-failing rows."""
+        from etl_market_survey_spark.sources.deltalog import (
+            merge_delta, read_delta_changes, write_delta,
+        )
+
+        p = str(tmp_path / "mi7")
+        t = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+             (4, "d", 40.0)],
+            "k long, s string, v double",
+        )
+        write_delta(spark, p, t, commit_ts=100,
+                    properties={"delta.enableChangeDataFeed": "true"})
+        src = spark.createDataFrame(
+            [(2, "B", 200.0), (3, "C", 1.0), (9, "I", 90.0)],
+            "k long, s string, v double",
+        )
+        merge_delta(
+            spark, p, src, ["k"], matched_condition="s.v > t.v",
+            when_not_matched_by_source="delete",
+            by_source_condition="v > 35", commit_ts=200,
+        )
+        feed = read_delta_changes(spark, p, 1)
+        assert sorted(
+            (r["k"], r["_change_type"]) for r in feed.collect()
+        ) == [
+            (2, "update_postimage"), (2, "update_preimage"),
+            (4, "delete"), (9, "insert"),
+        ]
