@@ -183,6 +183,7 @@ HEADLINE = [
     "q394_iceberg_merge",
     "q395_delta_merge_clauses",
     "q396_iceberg_merge_clauses",
+    "q397_delta_pruned_state",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

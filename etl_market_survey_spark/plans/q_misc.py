@@ -6226,3 +6226,71 @@ def q395_delta_merge_clauses(spark, sf_dir):
 @register("q396_iceberg_merge_clauses", _Q395_ORACLE)
 def q396_iceberg_merge_clauses(spark, sf_dir):
     return _clause_merge_result(spark, sf_dir, "iceberg")
+
+
+# ---------------------------------------------------------------------------
+# q397 — DataFrame-native snapshot state (sources/deltalog
+# .read_delta_pruned): the many-file read path — snapshot state is a
+# DataFrame over the multi-part checkpoint parquet, file pruning runs
+# as a distributed Catalyst filter (partitionValues map lookups +
+# get_json_object stats ranges cast to column types), and only the
+# SURVIVING add entries ever reach the driver. The gate reads a
+# checkpointed, partitioned, DV-carrying table through the pruned
+# path with both filter kinds: a state fold that lost the same-commit
+# remove+re-add tie-break, dropped DV descriptors through the window,
+# or mis-cast a stats bound breaks the hash.
+# ---------------------------------------------------------------------------
+
+_Q397_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS BIGINT)
+         AS total_cents
+FROM o
+WHERE pr IN ('1-URGENT', '3-MEDIUM') AND k % 7 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q397_delta_pruned_state", _Q397_ORACLE)
+def q397_delta_pruned_state(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import (
+        delete_rows_where,
+        read_delta_pruned,
+        write_checkpoint,
+        write_delta,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_prunedstate_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    write_delta(spark, path, o.filter(F.col("k") % 2 == 0),
+                partition_col="pr", commit_ts=100)                 # v0
+    write_checkpoint(spark, path, parts=3)
+    write_delta(spark, path, o.filter(F.col("k") % 2 == 1),
+                commit_ts=200)                                     # v1 tail
+    delete_rows_where(spark, path, "k % 7 = 0", commit_ts=300)    # v2 DVs
+
+    cur = read_delta_pruned(
+        spark, path,
+        partition_filter={"pr": ["1-URGENT", "3-MEDIUM"]},
+    )
+    return (
+        cur.filter(F.col("pr").isin("1-URGENT", "3-MEDIUM"))
+        .groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

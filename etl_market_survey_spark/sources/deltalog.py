@@ -403,6 +403,18 @@ def read_delta(
                    for c, (lo, hi) in stats_filter.items())
         ]
 
+    return _assemble_scan(spark, path, schema, pcols, phys, adds)
+
+
+def _assemble_scan(
+    spark: SparkSession, path: str, schema, pcols, phys, adds: list
+) -> DataFrame:
+    """The scan half of :func:`read_delta`: surviving add entries ->
+    one pruned parquet read per partition tuple with typed partition
+    literals attached, DV positions anti-joined distributed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
     data_fields = [f for f in schema.fields if f.name not in pcols]
     data_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable)
@@ -450,6 +462,269 @@ def read_delta(
             .drop("_dv_name", "_dv_pos")
         )
     return out.select(*[f.name for f in schema.fields])
+
+
+_ADD_STATE_DDL = (
+    "path STRING, partitionValues MAP<STRING,STRING>, size LONG, "
+    "modificationTime LONG, dataChange BOOLEAN, stats STRING, "
+    "deletionVector STRUCT<storageType: STRING, pathOrInlineDv: STRING, "
+    "offset: BIGINT, sizeInBytes: BIGINT, cardinality: BIGINT>, "
+    "_v LONG, _idx LONG, _kind STRING"
+)
+
+_DV_FIELDS = (
+    "storageType", "pathOrInlineDv", "offset", "sizeInBytes", "cardinality"
+)
+
+
+def _action_state_row(a: dict, v: int, idx: int, kind: str) -> tuple:
+    dv = a.get("deletionVector")
+    return (
+        a["path"],
+        a.get("partitionValues") or {},
+        a.get("size"),
+        a.get("modificationTime"),
+        a.get("dataChange"),
+        a.get("stats") if isinstance(a.get("stats"), (str, type(None)))
+        else json.dumps(a.get("stats")),
+        tuple(dv.get(f) for f in _DV_FIELDS) if dv else None,
+        v,
+        idx,
+        kind,
+    )
+
+
+def snapshot_files_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot's LIVE add actions as a DATAFRAME — the state path
+    for tables whose file count outgrows a driver dict (the
+    "millions of live files" regime multi-part checkpoints target).
+
+    The checkpoint parquet is scanned, never collected; the JSON tail
+    (bounded by ``delta.checkpointInterval`` on any maintained table)
+    contributes its add/remove actions as a small literal frame; the
+    newest action per path wins via one window over the path key, and
+    only ``add`` winners survive. Columns:
+    ``path partitionValues size modificationTime dataChange stats
+    deletionVector`` — exactly the add-action fields
+    :func:`read_delta_pruned` prunes against and scans from."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    versions = _list_commit_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"empty {_LOG_DIR} in {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in log (have {versions})")
+
+    frames = []
+    start = 0
+    cp = _read_last_checkpoint(path)
+    if cp and int(cp["version"]) <= version:
+        v = int(cp["version"])
+        parts = cp.get("parts")
+        if parts:
+            files = [
+                os.path.join(
+                    _log_dir(path),
+                    f"{v:020d}.checkpoint."
+                    f"{i + 1:010d}.{int(parts):010d}.parquet",
+                )
+                for i in range(int(parts))
+            ]
+        else:
+            files = [
+                os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
+            ]
+        cp_df = (
+            spark.read.parquet(*files)
+            .filter(F.col("add.path").isNotNull())
+            .select(
+                F.col("add.path").alias("path"),
+                F.col("add.partitionValues").alias("partitionValues"),
+                F.col("add.size").alias("size"),
+                F.col("add.modificationTime").alias("modificationTime"),
+                F.col("add.dataChange").alias("dataChange"),
+                F.col("add.stats").alias("stats"),
+                F.col("add.deletionVector").alias("deletionVector"),
+                F.lit(v).alias("_v"),
+                F.lit(0).cast("long").alias("_idx"),
+                F.lit("add").alias("_kind"),
+            )
+        )
+        frames.append(cp_df)
+        start = v + 1
+
+    tail_rows = []
+    for v in versions:
+        if start <= v <= version:
+            # within a commit a path can carry remove THEN re-add (a DV
+            # rewrite); the action INDEX breaks the same-version tie the
+            # sequential fold resolves by order
+            for i, a in enumerate(_read_actions(path, v)):
+                if "add" in a:
+                    tail_rows.append(
+                        _action_state_row(a["add"], v, i, "add")
+                    )
+                elif "remove" in a:
+                    tail_rows.append(
+                        _action_state_row(a["remove"], v, i, "remove")
+                    )
+    if tail_rows or not frames:
+        frames.append(spark.createDataFrame(tail_rows, _ADD_STATE_DDL))
+
+    state = frames[0]
+    for fr in frames[1:]:
+        state = state.unionByName(fr)
+    w = Window.partitionBy("path").orderBy(F.desc("_v"), F.desc("_idx"))
+    return (
+        state.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_kind") == "add"))
+        .drop("_rn", "_v", "_idx", "_kind")
+    )
+
+
+def _load_metadata_only(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[dict, dict | None, int]:
+    """(metadata, protocol, version) WITHOUT folding add state — JSON
+    tail first, checkpoint parquet (a 2-row filtered scan) as the
+    cold-start fallback. The driver never holds the file list."""
+    versions = _list_commit_versions(path)
+    if version is None:
+        version = versions[-1]
+    cp = _read_last_checkpoint(path)
+    start = 0
+    if cp and int(cp["version"]) <= version:
+        start = int(cp["version"]) + 1
+    metadata = None
+    protocol = None
+    for v in versions:
+        if start <= v <= version:
+            for a in _read_actions(path, v):
+                if "metaData" in a:
+                    metadata = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+    if (metadata is None or protocol is None) and cp \
+            and int(cp["version"]) <= version:
+        from pyspark.sql import functions as F
+
+        v = int(cp["version"])
+        parts = cp.get("parts")
+        files = (
+            [
+                os.path.join(
+                    _log_dir(path),
+                    f"{v:020d}.checkpoint."
+                    f"{i + 1:010d}.{int(parts):010d}.parquet",
+                )
+                for i in range(int(parts))
+            ]
+            if parts
+            else [os.path.join(_log_dir(path),
+                               f"{v:020d}.checkpoint.parquet")]
+        )
+        rows = (
+            spark.read.parquet(*files)
+            .filter(
+                F.col("metaData.schemaString").isNotNull()
+                | F.col("protocol.minReaderVersion").isNotNull()
+            )
+            .select("metaData", "protocol")
+            .collect()
+        )
+        for r in rows:
+            d = r.asDict(recursive=True)
+            if metadata is None and d.get("metaData") \
+                    and d["metaData"].get("schemaString"):
+                metadata = d["metaData"]
+            if protocol is None and d.get("protocol") \
+                    and d["protocol"].get("minReaderVersion"):
+                protocol = d["protocol"]
+    elif metadata is None:
+        # no checkpoint: fold the whole tail (already done above with
+        # start=0, so reaching here means the log has no metaData)
+        pass
+    if metadata is None:
+        raise ValueError(f"no metaData action found up to version {version}")
+    return metadata, protocol, version
+
+
+def read_delta_pruned(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    partition_filter: dict[str, list] | None = None,
+    stats_filter: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """:func:`read_delta` for MANY-FILE tables: snapshot state stays a
+    DataFrame (:func:`snapshot_files_df`) and file pruning runs as a
+    distributed FILTER over the checkpoint parquet — partition values
+    against the ``partitionValues`` map, stats ranges against
+    ``get_json_object(stats)`` cast to the column's type (the same
+    conservative keep-on-null contract as :func:`_stats_prune`). Only
+    the SURVIVING add entries are collected to build the scan; the
+    full file list never materializes on the driver. Semantics are
+    identical to ``read_delta`` with the same filters — the library
+    keeps both because the dict fold is cheaper below ~10^5 files."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    metadata, protocol, version = _load_metadata_only(spark, path, version)
+    snap = DeltaSnapshot(version, metadata, {}, 0, protocol)
+    snap.check_reader_support()
+    schema = snap.schema()
+    pcols = snap.partition_columns
+    phys = snap.physical_names()
+    assert isinstance(schema, StructType)
+
+    files = snapshot_files_df(spark, path, version)
+    if partition_filter:
+        for k, vals in partition_filter.items():
+            files = files.filter(
+                F.col("partitionValues").getItem(phys.get(k, k))
+                .isin([str(x) for x in vals])
+            )
+    if stats_filter:
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        for c, (lo, hi) in stats_filter.items():
+            pc_ = phys.get(c, c)
+            mn = F.get_json_object(
+                "stats", f"$.minValues.{pc_}"
+            ).cast(dtypes[c])
+            mx = F.get_json_object(
+                "stats", f"$.maxValues.{pc_}"
+            ).cast(dtypes[c])
+            # a file is kept unless PROVABLY disjoint on this column
+            cond = F.col("stats").isNull() | mn.isNull() | mx.isNull()
+            disjoint = F.lit(False)
+            if hi is not None:
+                disjoint = disjoint | (mn > F.lit(hi))
+            if lo is not None:
+                disjoint = disjoint | (mx < F.lit(lo))
+            files = files.filter(cond | ~disjoint)
+
+    adds = [
+        {
+            "path": r["path"],
+            "partitionValues": r["partitionValues"],
+            "size": r["size"],
+            "modificationTime": r["modificationTime"],
+            "dataChange": r["dataChange"],
+            "stats": r["stats"],
+            **(
+                {"deletionVector": r["deletionVector"].asDict()}
+                if r["deletionVector"] is not None else {}
+            ),
+        }
+        for r in files.collect()  # SURVIVORS only reach the driver
+    ]
+    return _assemble_scan(spark, path, schema, pcols, phys, adds)
 
 
 def _dv_location(table_path: str, dvd: dict) -> tuple[str, int, int]:

@@ -1754,3 +1754,117 @@ class TestRowDmlStaysDistributed:
         monkeypatch.undo()
         out = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
         assert len(out) == 190 and out[11] == 111 and out[61] == 611
+
+
+class TestDataFrameSnapshotState:
+    """snapshot_files_df / read_delta_pruned — the many-file state path:
+    pruning runs as a distributed filter over the checkpoint parquet,
+    never a Python loop over a driver dict of adds."""
+
+    def _table(self, spark, p):
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        d1 = spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("p"),
+            (F.col("id") * 2.0).alias("v"),
+        )
+        dl.write_delta(spark, p, d1, partition_col="p", commit_ts=100)
+        dl.write_checkpoint(spark, p, parts=2)
+        d2 = spark.range(100, 140).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("p"),
+            (F.col("id") * 2.0).alias("v"),
+        )
+        dl.write_delta(spark, p, d2, commit_ts=200)
+        # DV rewrite: same-commit remove + re-add of the touched files
+        dl.delete_rows_where(spark, p, "k % 10 = 0", commit_ts=300)
+
+    def test_state_matches_dict_fold(self, spark, tmp_path):
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "st1")
+        self._table(spark, p)
+        snap = dl.load_snapshot(spark, p)
+        df_state = {
+            r["path"]: r for r in
+            dl.snapshot_files_df(spark, p).collect()
+        }
+        assert set(df_state) == set(snap.adds)
+        for rel, a in snap.adds.items():
+            r = df_state[rel]
+            assert (r["deletionVector"] is not None) == (
+                a.get("deletionVector") is not None
+            )
+            assert r["stats"] == a.get("stats")
+
+    def test_pruned_read_parity_and_no_dict_fold(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "st2")
+        self._table(spark, p)
+        flt = dict(
+            partition_filter={"p": ["1", "2"]},
+            stats_filter={"k": (20, 110)},
+        )
+        want_full = sorted(map(tuple, dl.read_delta(spark, p).collect()))
+        want_flt = sorted(
+            map(tuple, dl.read_delta(spark, p, **flt).collect())
+        )
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "read_delta_pruned fell back to the driver dict fold"
+            )
+
+        monkeypatch.setattr(dl, "_load_checkpoint_state", boom)
+        assert sorted(
+            map(tuple, dl.read_delta_pruned(spark, p).collect())
+        ) == want_full
+        assert sorted(
+            map(tuple, dl.read_delta_pruned(spark, p, **flt).collect())
+        ) == want_flt
+
+    def test_prune_planned_as_checkpoint_scan_filter(self, spark, tmp_path):
+        """Plan gate: the state frame's plan is a parquet scan of the
+        CHECKPOINT files with the prune as a Catalyst Filter on top —
+        not a collected list refiltered in Python."""
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "st3")
+        self._table(spark, p)
+        files = dl.snapshot_files_df(spark, p).filter(
+            F.col("partitionValues").getItem("p").isin(["1"])
+        )
+        # the frame READS the checkpoint parquet (never collected) ...
+        assert any(".checkpoint." in f for f in files.inputFiles())
+        # ... and the prune is a Catalyst Filter in the physical plan
+        plan = files._jdf.queryExecution().executedPlan().toString()
+        assert "Filter" in plan
+
+    def test_prune_effectiveness(self, spark, tmp_path):
+        """Survivor collection is bounded by the filter, not the table:
+        a selective stats range collects a strict subset of files."""
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "st4")
+        self._table(spark, p)
+        total = dl.snapshot_files_df(spark, p).count()
+        out = dl.read_delta_pruned(
+            spark, p, stats_filter={"k": (130, 139)}
+        )
+        # only the second-append files can hold k in [130, 139]; the
+        # filter prunes FILES (rows of surviving files all return — the
+        # read_delta contract), so the scan reads a strict file subset
+        # and every returned row comes from the second append
+        assert len(set(out.inputFiles())) < total
+        got = sorted(r["k"] for r in out.collect())
+        assert got == [k for k in range(100, 140) if k % 10 != 0]
+        want = sorted(
+            r["k"] for r in dl.read_delta(
+                spark, p, stats_filter={"k": (130, 139)}
+            ).collect()
+        )
+        assert got == want
