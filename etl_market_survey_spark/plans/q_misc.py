@@ -1535,7 +1535,14 @@ def q150_spearman(spark, sf_dir):
     # window over the 3-value flag); tie-averaged ranks come from a
     # map-side-combined groupBy joined back — the quantity side is a
     # ~150-row broadcast, the price side a high-cardinality (parallel)
-    # shuffle join
+    # shuffle join. MEASURED ALTERNATIVE (r8, rejected): folding every
+    # moment into the (flag, price) groupBy (Σrow rx2·ry2 = Σgroup
+    # ry2·Σrx2, exact in decimal) removes this join — but l_extended-
+    # price is near-unique, so that groupBy reduces ~nothing and pays
+    # per-group DECIMAL aggregation state on ~n groups where the join
+    # shuffles two narrow longs: 26.5s vs 16.6s back-to-back in one
+    # session, 47.6s vs 6.1s as bench medians. One exchange fewer,
+    # measurably slower — the join-back stays.
     ranked = grouped_sort_index(
         li, ["l_returnflag"],
         ["l_quantity", "l_orderkey", "l_linenumber"], index_col="rn_x",
