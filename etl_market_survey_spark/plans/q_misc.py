@@ -6301,3 +6301,69 @@ def q397_delta_pruned_state(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q398 — delta_lite STREAMING SINK (sources/pyds._DeltaLiteStreamWriter):
+# the full public-API streaming round-trip — readStream from one
+# registered Delta table, writeStream into another, exactly-once via
+# txn actions (appId + micro-batch id; a replayed batch drops its
+# staged duplicates instead of recommitting). The gate drains two
+# source commits through the stream and reads the SINK back through
+# the registered batch reader: a sink that lost a micro-batch,
+# double-committed a replay, or mis-staged partition values breaks
+# the hash against the plain orders oracle.
+# ---------------------------------------------------------------------------
+
+_Q398_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0)))
+            AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q398_delta_lite_stream_sink", _Q398_ORACLE)
+def q398_delta_lite_stream_sink(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import write_delta
+    from ..sources.pyds import DeltaLiteDataSource
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = f"/tmp/spark_graft_dlsink_src_{tag}"
+    sink = f"{src}_sink"
+    ckpt = f"{src}_ckpt"
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_delta(spark, src, o.filter(F.col("k") % 3 == 0),
+                commit_ts=100)                                     # v0
+    write_delta(spark, src, o.filter(F.col("k") % 3 == 1),
+                commit_ts=200)                                     # v1
+    q = (
+        spark.readStream.format("delta_lite").load(src)
+        .writeStream.format("delta_lite")
+        .option("checkpointLocation", ckpt)
+        .option("txnAppId", "q398")
+        .trigger(availableNow=True)
+        .start(sink)
+    )
+    q.awaitTermination(180)
+    back = spark.read.format("delta_lite").load(sink)
+    return (
+        back.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -1067,6 +1068,121 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                     pass
 
 
+class _DeltaLiteStreamWriter(_DeltaLiteWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("delta_lite")`` — the exactly-once
+    streaming sink through the public Spark API.
+
+    Executor staging is the batch writer's (per-partition-value
+    ParquetWriters, incremental stats, DuckDB CHECK constraints). Each
+    micro-batch commits with the protocol's ``txn`` action
+    (appId = the ``txnAppId`` option, version = the micro-batch id):
+    a replayed batch whose (appId, batchId) the log already records is
+    DROPPED — staged duplicates deleted, nothing committed — which is
+    Delta's own idempotent-writer mechanism, the same one
+    :func:`deltalog.foreach_batch_sink` uses, now behind
+    ``writeStream`` instead of ``foreachBatch``. Commit timestamps are
+    the batch id (deterministic, replayable oracles). Append-only:
+    ``outputMode("complete")`` is rejected at plan time. Set
+    ``txnAppId`` per logical job — two queries sharing an appId would
+    skip each other's batch ids."""
+
+    def __init__(self, path, write_schema, overwrite, options):
+        if overwrite:
+            raise ValueError(
+                "delta_lite streaming sink is append-only "
+                "(outputMode('append'))"
+            )
+        _DeltaLiteWriter.__init__(self, path, write_schema, False, options)
+        self.txn_app = options.get("txnappid", "delta_lite_stream")
+
+    def commit(self, messages, batchId):
+        from .deltalog import (
+            DeltaConcurrentWriteError,
+            _write_commit,
+            last_txn_version,
+        )
+
+        last = last_txn_version(self.path, self.txn_app)
+        if last is not None and batchId <= last:
+            # replay after recovery: the log already has this batch —
+            # drop the freshly staged duplicates, commit nothing
+            self.abort(messages, batchId)
+            return
+        staged = [a for m in messages if m is not None for a in m.adds]
+        ts = int(batchId)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "STREAMING UPDATE",
+                    "operationParameters": {
+                        "outputMode": "Append",
+                        "epochId": int(batchId),
+                    },
+                }
+            },
+            {
+                "txn": {
+                    "appId": self.txn_app,
+                    "version": int(batchId),
+                    "lastUpdated": ts,
+                }
+            },
+        ]
+        try:
+            cur = _fold(self.path)
+        except (FileNotFoundError, ValueError):
+            cur = None
+        creating = cur is None
+        if creating:
+            if self.protocol_action is None:
+                raise DeltaConcurrentWriteError(
+                    f"table {self.path} disappeared under the stream"
+                )
+            actions.append(self.protocol_action)
+            actions.append(self.metadata_action)
+            version = 0
+        else:
+            version = cur["version"] + 1
+        for rel, pv, stats, size in staged:
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": size,
+                        "modificationTime": ts,
+                        "dataChange": True,
+                        "stats": stats,
+                    }
+                }
+            )
+        for _ in range(16):
+            try:
+                _write_commit(self.path, version, actions)
+                return
+            except DeltaConcurrentWriteError:
+                if creating:
+                    raise
+                winner = _fold(self.path)
+                if winner["metadata"].get("schemaString") != (
+                    self.prior_schema_string
+                ):
+                    raise
+                last = last_txn_version(self.path, self.txn_app)
+                if last is not None and batchId <= last:
+                    self.abort(messages, batchId)
+                    return  # the winner recorded our txn
+                version = winner["version"] + 1
+        raise DeltaConcurrentWriteError(
+            f"stream batch {batchId} could not commit after 16 rebases "
+            f"in {self.path}"
+        )
+
+    def abort(self, messages, batchId):
+        _DeltaLiteWriter.abort(self, messages)
+
+
 def _log_dir_of(path: str) -> str:
     return os.path.join(path, _LOG_DIR)
 
@@ -1140,6 +1256,15 @@ class DeltaLiteDataSource(DataSource):
         ``property.delta.constraints.<name>=<expr>``)."""
         return _DeltaLiteWriter(self._path(), schema, overwrite,
                                 self.options)
+
+    def streamWriter(self, schema, overwrite):
+        """``df.writeStream.format("delta_lite").option("checkpoint
+        Location", ...).start(path)``. Options: ``txnAppId`` (the
+        exactly-once transaction id — set one per logical job),
+        ``partitionCol`` / ``property.*`` (table creation, as in the
+        batch writer)."""
+        return _DeltaLiteStreamWriter(self._path(), schema, overwrite,
+                                      self.options)
 
     def streamReader(self, schema):
         sv = self.options.get("startingversion")

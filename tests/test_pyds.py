@@ -1200,3 +1200,108 @@ class TestIcebergLiteWriter:
         days = {f["partition"]["d_day"] for f in snapshot_files(p)}
         assert days == {19723, 19724}  # 2024-01-01 / 02 since epoch
         assert spark.read.format("iceberg_lite").load(p).count() == 6
+
+
+class TestDeltaLiteStreamWriter:
+    """df.writeStream.format("delta_lite") — exactly-once micro-batch
+    commits through txn actions."""
+
+    def _stream(self, spark, src, sink, ckpt, app="job"):
+        q = (
+            spark.readStream.format("delta_lite").load(src)
+            .writeStream.format("delta_lite")
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", app)
+            .trigger(availableNow=True)
+            .start(sink)
+        )
+        q.awaitTermination(180)
+
+    def test_end_to_end_and_restart_no_duplicates(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        src = str(tmp_path / "s_src")
+        sink = str(tmp_path / "s_sink")
+        ckpt = str(tmp_path / "s_ckpt")
+        write_delta(spark, src, spark.createDataFrame(
+            [(i, i * 2.0) for i in range(50)], "k long, v double"
+        ), commit_ts=100)
+        write_delta(spark, src, spark.createDataFrame(
+            [(i, i * 2.0) for i in range(50, 80)], "k long, v double"
+        ), commit_ts=200)
+        self._stream(spark, src, sink, ckpt)
+        got = sorted(
+            map(tuple, spark.read.format("delta_lite").load(sink).collect())
+        )
+        assert got == sorted(map(tuple, read_delta(spark, src).collect()))
+        # restart from the same checkpoint: nothing new, nothing doubled
+        self._stream(spark, src, sink, ckpt)
+        assert spark.read.format("delta_lite").load(sink).count() == 80
+
+    def test_replayed_batch_is_dropped(self, registered, tmp_path):
+        """Calling commit twice with the same batch id (recovery
+        replay) must commit once and delete the duplicate staging."""
+        import glob
+
+        import pyarrow as pa
+
+        from etl_market_survey_spark.sources.deltalog import delta_history
+        from etl_market_survey_spark.sources.pyds import (
+            _DeltaLiteStreamWriter,
+        )
+
+        spark = registered
+        sink = str(tmp_path / "s_replay")
+        d = spark.createDataFrame([(1, 2.0)], "k long, v double")
+        w = _DeltaLiteStreamWriter(sink, d.schema, False,
+                                   {"txnappid": "rj"})
+        batches = pa.Table.from_pandas(d.toPandas()).to_batches()
+        m1 = w.write(iter(batches))
+        w.commit([m1], 0)
+        m2 = w.write(iter(
+            pa.Table.from_pandas(d.toPandas()).to_batches()
+        ))
+        w.commit([m2], 0)  # replay of batch 0
+        assert len(delta_history(sink)) == 1
+        assert spark.read.format("delta_lite").load(sink).count() == 1
+        # the replay's staged file was deleted, not orphaned
+        assert len(glob.glob(f"{sink}/*.parquet")) == 1
+
+    def test_complete_mode_rejected(self, registered, tmp_path):
+        from etl_market_survey_spark.sources.pyds import (
+            _DeltaLiteStreamWriter,
+        )
+
+        d = registered.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="append-only"):
+            _DeltaLiteStreamWriter(
+                str(tmp_path / "x"), d.schema, True, {}
+            )
+
+    def test_constraints_enforced_in_stream(self, registered, tmp_path):
+        spark = registered
+        src = str(tmp_path / "c_src")
+        sink = str(tmp_path / "c_sink")
+        ckpt = str(tmp_path / "c_ckpt")
+        write_delta(spark, src, spark.createDataFrame(
+            [(1, -5.0)], "k long, v double"
+        ), commit_ts=100)
+        # sink created WITH a CHECK the streamed rows violate
+        (
+            spark.createDataFrame([(0, 1.0)], "k long, v double")
+            .write.format("delta_lite").mode("append")
+            .option("property.delta.constraints.pos", "v >= 0")
+            .save(sink)
+        )
+        q = (
+            spark.readStream.format("delta_lite").load(src)
+            .writeStream.format("delta_lite")
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", "cj")
+            .trigger(availableNow=True)
+            .start(sink)
+        )
+        with pytest.raises(Exception, match="pos"):
+            q.awaitTermination(180)
+        assert spark.read.format("delta_lite").load(sink).count() == 1
