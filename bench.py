@@ -185,6 +185,7 @@ HEADLINE = [
     "q396_iceberg_merge_clauses",
     "q397_delta_pruned_state",
     "q398_delta_lite_stream_sink",
+    "q399_iceberg_lite_stream_sink",
 ]
 
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)

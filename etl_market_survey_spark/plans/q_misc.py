@@ -6367,3 +6367,59 @@ def q398_delta_lite_stream_sink(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q399 — iceberg_lite STREAMING SINK, sharing q398's oracle VERBATIM:
+# the other format's exactly-once streaming append — no Delta txn
+# action exists, so replays are fenced by the (streaming-app-id,
+# streaming-epoch-id) snapshot-summary markers real Iceberg sinks
+# record, with every micro-batch re-planning against current metadata.
+# The drained sink must aggregate identically to the Delta sink's.
+# ---------------------------------------------------------------------------
+
+
+@register("q399_iceberg_lite_stream_sink", _Q398_ORACLE)
+def q399_iceberg_lite_stream_sink(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import write_delta
+    from ..sources.pyds import DeltaLiteDataSource
+    from ..sources.pyds_iceberg import IcebergLiteDataSource
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.dataSource.register(IcebergLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = f"/tmp/spark_graft_ilsink_src_{tag}"
+    sink = f"{src}_sink"
+    ckpt = f"{src}_ckpt"
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+    write_delta(spark, src, o.filter(F.col("k") % 3 == 0),
+                commit_ts=100)                                     # v0
+    write_delta(spark, src, o.filter(F.col("k") % 3 == 1),
+                commit_ts=200)                                     # v1
+    q = (
+        spark.readStream.format("delta_lite").load(src)
+        .writeStream.format("iceberg_lite")
+        .option("checkpointLocation", ckpt)
+        .option("txnAppId", "q399")
+        .trigger(availableNow=True)
+        .start(sink)
+    )
+    q.awaitTermination(180)
+    back = spark.read.format("iceberg_lite").load(sink)
+    return (
+        back.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1041,13 +1041,16 @@ def _plan_write_iceberg(
 
 
 def _commit_planned_iceberg(
-    path: str, plan: dict, staged: list, *, mode: str, commit_ts: int
+    path: str, plan: dict, staged: list, *, mode: str, commit_ts: int,
+    summary_extra: dict | None = None,
 ) -> int:
     """The commit half of :func:`write_iceberg`: fold pre-staged data
     files ``[(rel, partition_value, bounds_json, record_count)]`` into
     manifests + manifest list + metadata and publish put-if-absent.
     Pure Avro/JSON — callable from the driver without a SparkSession
-    (the ``iceberg_lite`` writer's commit path)."""
+    (the ``iceberg_lite`` writer's commit path). ``summary_extra``
+    merges additional snapshot-summary properties (the streaming
+    sink's app-id/epoch-id exactly-once markers)."""
     meta = plan["meta"]
     new_v, snap_id = plan["new_v"], plan["snap_id"]
     t_kind, t_param = plan["t_kind"], plan["t_param"]
@@ -1180,7 +1183,7 @@ def _commit_planned_iceberg(
         "timestamp-ms": commit_ts,
         "sequence-number": new_v,
         "manifest-list": mlist_rel,
-        "summary": {"operation": mode},
+        "summary": {"operation": mode, **(summary_extra or {})},
     }
     new_meta = {
         "format-version": (meta or {}).get("format-version", 1),

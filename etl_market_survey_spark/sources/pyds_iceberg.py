@@ -712,6 +712,17 @@ class IcebergLiteDataSource(DataSource):
             self._path(), schema, overwrite, self.options
         )
 
+    def streamWriter(self, schema, overwrite):
+        """``df.writeStream.format("iceberg_lite").option(
+        "checkpointLocation", ...).start(path)``. Options: ``txnAppId``
+        (exactly-once marker recorded as snapshot-summary properties —
+        set one per logical job), ``partitionCol`` /
+        ``partitionTransform`` (table creation, as in the batch
+        writer)."""
+        return _IcebergLiteStreamWriter(
+            self._path(), schema, overwrite, self.options
+        )
+
 
 # ---------------------------------------------------------------------------
 # Writer — df.write.format("iceberg_lite").mode(...).save(path)
@@ -930,3 +941,96 @@ class _IcebergLiteWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self.path, rel))
                 except OSError:
                     pass
+
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamArrowWriter,
+)
+
+
+def _max_committed_epoch(meta: dict, app: str) -> int | None:
+    """Newest streaming epoch this app committed to the table — read
+    from snapshot-summary properties (the marker real Iceberg
+    streaming sinks use for exactly-once; metadata-sized scan)."""
+    best = None
+    for s in (meta or {}).get("snapshots") or []:
+        summ = s.get("summary") or {}
+        if summ.get("streaming-app-id") == app \
+                and "streaming-epoch-id" in summ:
+            e = int(summ["streaming-epoch-id"])
+            best = e if best is None or e > best else best
+    return best
+
+
+class _IcebergLiteStreamWriter(_IcebergLiteWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("iceberg_lite")`` — exactly-once
+    streaming appends, the Iceberg twin of delta_lite's stream sink.
+
+    Executor staging is the batch writer's (spec-exact hidden
+    transforms, incremental bounds). Iceberg has no Delta-style txn
+    action; the exactly-once marker is the pair of snapshot-summary
+    properties (``streaming-app-id``, ``streaming-epoch-id``) real
+    Iceberg sinks record — a replayed micro-batch whose epoch the
+    table already carries for this app deletes its staged duplicates
+    and commits nothing. Every commit RE-PLANS against the current
+    metadata (the table advances each batch) and raises if a
+    concurrent writer changed the partition spec under the staged
+    layout. Commit timestamps are the batch id. Append-only."""
+
+    def __init__(self, path, write_schema, overwrite, options):
+        if overwrite:
+            raise ValueError(
+                "iceberg_lite streaming sink is append-only "
+                "(outputMode('append'))"
+            )
+        _IcebergLiteWriter.__init__(self, path, write_schema, False,
+                                    options)
+        self.app = options.get("txnappid", "iceberg_lite_stream")
+
+    def commit(self, messages, batchId):
+        from .iceberg import (
+            IcebergConcurrentWriteError,
+            _commit_planned_iceberg,
+            _plan_write_iceberg,
+        )
+
+        staged = [s for m in messages if m is not None for s in m.staged]
+        for _ in range(16):
+            plan = _plan_write_iceberg(
+                self.path, self.write_schema, mode="append",
+                partition_col=self.partition_col_opt,
+                partition_transform=self.transform_opt,
+                merge_schema=False, allow_spec_evolution=False,
+            )
+            last = _max_committed_epoch(plan["meta"], self.app)
+            if last is not None and batchId <= last:
+                self.abort(messages, batchId)  # replay: drop duplicates
+                return
+            if (
+                plan["pfield"], plan["t_kind"], plan["t_param"],
+            ) != (
+                self.plan["pfield"], self.plan["t_kind"],
+                self.plan["t_param"],
+            ):
+                raise IcebergConcurrentWriteError(
+                    "partition spec changed under the streaming sink"
+                )
+            try:
+                _commit_planned_iceberg(
+                    self.path, plan, staged, mode="append",
+                    commit_ts=int(batchId),
+                    summary_extra={
+                        "streaming-app-id": self.app,
+                        "streaming-epoch-id": str(int(batchId)),
+                    },
+                )
+                return
+            except IcebergConcurrentWriteError:
+                continue  # lost the race: re-plan against the winner
+        raise IcebergConcurrentWriteError(
+            f"stream batch {batchId} could not commit after 16 rebases "
+            f"in {self.path}"
+        )
+
+    def abort(self, messages, batchId):
+        _IcebergLiteWriter.abort(self, messages)

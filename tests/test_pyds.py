@@ -1305,3 +1305,91 @@ class TestDeltaLiteStreamWriter:
         with pytest.raises(Exception, match="pos"):
             q.awaitTermination(180)
         assert spark.read.format("delta_lite").load(sink).count() == 1
+
+
+class TestIcebergLiteStreamWriter:
+    """df.writeStream.format("iceberg_lite") — exactly-once via
+    snapshot-summary epoch markers."""
+
+    def _drain(self, spark, src, sink, ckpt, **opts):
+        w = (
+            spark.readStream.format("delta_lite").load(src)
+            .writeStream.format("iceberg_lite")
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", "tij")
+        )
+        for k, v in opts.items():
+            w = w.option(k, v)
+        q = w.trigger(availableNow=True).start(sink)
+        q.awaitTermination(180)
+
+    def test_end_to_end_restart_and_new_epochs(self, registered, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            _load_metadata, read_iceberg,
+        )
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark = registered
+        spark.dataSource.register(IcebergLiteDataSource)
+        src = str(tmp_path / "is_src")
+        sink = str(tmp_path / "is_sink")
+        ckpt = str(tmp_path / "is_ckpt")
+        write_delta(spark, src, spark.createDataFrame(
+            [(i, i * 2.0) for i in range(40)], "k long, v double"
+        ), commit_ts=100)
+        self._drain(spark, src, sink, ckpt,
+                    partitionCol="k", partitionTransform="bucket[4]")
+        assert read_iceberg(spark, sink).count() == 40
+        # restart, no new data: nothing doubled
+        self._drain(spark, src, sink, ckpt)
+        assert read_iceberg(spark, sink).count() == 40
+        # new source commit -> next epoch appends
+        write_delta(spark, src, spark.createDataFrame(
+            [(100, 1.0)], "k long, v double"
+        ), commit_ts=200)
+        self._drain(spark, src, sink, ckpt)
+        assert read_iceberg(spark, sink).count() == 41
+        epochs = [
+            s["summary"].get("streaming-epoch-id")
+            for s in _load_metadata(sink)["snapshots"]
+        ]
+        assert epochs == ["0", "1"]
+        # the creation batch carried the hidden-partition spec
+        spec = _load_metadata(sink)["partition-specs"][-1]["fields"]
+        assert spec[0]["transform"] == "bucket[4]"
+
+    def test_replayed_epoch_dropped(self, registered, tmp_path):
+        import glob
+
+        import pyarrow as pa
+
+        from etl_market_survey_spark.sources.iceberg import (
+            _load_metadata, read_iceberg,
+        )
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            _IcebergLiteStreamWriter,
+        )
+
+        spark = registered
+        sink = str(tmp_path / "is_replay")
+        d = spark.createDataFrame([(1, 2.0)], "k long, v double")
+        w = _IcebergLiteStreamWriter(sink, d.schema, False,
+                                     {"txnappid": "rj"})
+        m1 = w.write(iter(pa.Table.from_pandas(d.toPandas()).to_batches()))
+        w.commit([m1], 0)
+        m2 = w.write(iter(pa.Table.from_pandas(d.toPandas()).to_batches()))
+        w.commit([m2], 0)  # replay
+        assert read_iceberg(spark, sink).count() == 1
+        assert len(_load_metadata(sink)["snapshots"]) == 1
+        assert len(glob.glob(f"{sink}/data/*.parquet")) == 1
+
+    def test_complete_mode_rejected(self, registered, tmp_path):
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            _IcebergLiteStreamWriter,
+        )
+
+        d = registered.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="append-only"):
+            _IcebergLiteStreamWriter(str(tmp_path / "x"), d.schema, True, {})
