@@ -1003,6 +1003,8 @@ def write_delta(
         (prior.metadata.get("configuration") or {}) if prior is not None
         else {k: str(v) for k, v in (properties or {}).items()}
     )
+    if mode == "overwrite" and prior is not None:
+        _check_append_only(cons_cfg, "overwrite")
     _enforce_constraints(df, cons_cfg)
 
     # Column mapping (mode 'name'): the parquet files carry PHYSICAL
@@ -1243,6 +1245,19 @@ def write_delta(
     )
 
 
+
+def _check_append_only(config: dict, operation: str) -> None:
+    """``delta.appendOnly=true`` (protocol writer invariant): any
+    commit carrying dataChange=true remove actions is rejected.
+    Maintenance rewrites (compact/zorder, dataChange=false) stay
+    legal; so do blind appends."""
+    if (config or {}).get("delta.appendOnly") == "true":
+        raise ValueError(
+            f"table is delta.appendOnly=true: {operation} would commit "
+            "dataChange removes"
+        )
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -1254,6 +1269,9 @@ def delete_where(
     value is in ``partition_values``. Metadata-only (no data rewrite) —
     the protocol's cheap-delete path."""
     snap = load_snapshot(spark, path)
+    _check_append_only(
+        snap.metadata.get("configuration") or {}, "DELETE"
+    )
     pcols = snap.partition_columns
     if len(pcols) != 1:
         raise ValueError("delete_where needs a single-partition-column table")
@@ -1306,6 +1324,9 @@ def add_deletion_vectors(
     from .dvbitmap import dv_file_name, encode_dv_path, serialize_rbm64
 
     snap = load_snapshot(spark, path)
+    _check_append_only(
+        snap.metadata.get("configuration") or {}, "DELETE (deletion vectors)"
+    )
     for rel in deletes:
         if rel not in snap.adds:
             raise ValueError(f"{rel!r} is not a live file of {path}")
@@ -1447,6 +1468,9 @@ def delete_rows_where(
 
     snap = load_snapshot(spark, path)
     snap.check_reader_support()
+    _check_append_only(
+        snap.metadata.get("configuration") or {}, "DELETE"
+    )
     schema = snap.schema()
     cols = [f.name for f in schema.fields]
     phys = snap.physical_names()
@@ -1671,6 +1695,9 @@ def update_rows_where(
 
     snap = load_snapshot(spark, path)
     snap.check_reader_support()
+    _check_append_only(
+        snap.metadata.get("configuration") or {}, "UPDATE"
+    )
     schema = snap.schema()
     cols = [f.name for f in schema.fields]
     bad = [c for c in assignments if c not in cols]
@@ -2182,6 +2209,9 @@ def restore_delta(
     works — exactly the protocol's representation (RESTORE has no
     dedicated action; it is remove+add like any other commit)."""
     snap_now = load_snapshot(spark, path)
+    _check_append_only(
+        snap_now.metadata.get("configuration") or {}, "RESTORE"
+    )
     snap_old = load_snapshot(spark, path, version=version)
     if snap_old.metadata.get("schemaString") != snap_now.metadata.get(
         "schemaString"
@@ -2558,6 +2588,10 @@ def merge_delta(
 
     snap = load_snapshot(spark, path)
     snap.check_reader_support()
+    if when_matched is not None or when_not_matched_by_source is not None:
+        _check_append_only(
+            snap.metadata.get("configuration") or {}, "MERGE"
+        )
     schema = snap.schema()
     cols = [f.name for f in schema.fields]
     missing = [k for k in on if k not in cols]

@@ -2058,6 +2058,69 @@ def expire_snapshots(
     return doomed
 
 
+def remove_orphan_files(
+    path: str,
+    *,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Iceberg's ``remove_orphan_files`` maintenance action: physically
+    delete files under the table location that NO snapshot references —
+    the debris of crashed or aborted writes (staged parquet whose
+    commit never published, manifests of a lost metadata race).
+
+    Referenced = every data/delete file and manifest of EVERY snapshot
+    in current metadata, every manifest list, every
+    ``v*.metadata.json`` plus the version hint. ``older_than_ms``
+    guards in-flight writers the way the real action's
+    ``older_than`` does: files with mtime >= the cutoff are kept even
+    when unreferenced (a concurrent writer may be about to commit
+    them). Returns deleted relative paths (``dry_run`` lists only).
+    Pure metadata + directory walk — no SparkSession."""
+    meta = _load_metadata(path)
+    referenced: set[str] = {"metadata/version-hint.text"}
+    md = _meta_dir(path)
+    for f in os.listdir(md):
+        if f.endswith(".metadata.json"):
+            referenced.add(f"metadata/{f}")
+    for s in meta.get("snapshots") or []:
+        referenced.add(s["manifest-list"])
+        _, manifests = read_avro_records(
+            os.path.join(path, s["manifest-list"])
+        )
+        for m in manifests:
+            referenced.add(m["manifest_path"])
+            _, entries = read_avro_records(
+                os.path.join(path, m["manifest_path"])
+            )
+            for e in entries:
+                referenced.add(e["data_file"]["file_path"])
+
+    doomed = []
+    for sub in ("data", "metadata"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                fp = os.path.join(dirpath, f)
+                rel = os.path.relpath(fp, path)
+                if rel in referenced:
+                    continue
+                if older_than_ms is not None and \
+                        os.path.getmtime(fp) * 1000 >= older_than_ms:
+                    continue  # possibly in-flight: too young to judge
+                doomed.append(rel)
+    doomed.sort()
+    if not dry_run:
+        for rel in doomed:
+            try:
+                os.remove(os.path.join(path, rel))
+            except OSError:
+                pass
+    return doomed
+
+
 def expire_metadata_versions(path: str, keep: int = 5) -> list[str]:
     """Metadata-log retention (the spec's
     ``write.metadata.delete-after-commit`` behavior): delete

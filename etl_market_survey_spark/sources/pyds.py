@@ -720,6 +720,7 @@ _CANON_PROPS = {
     "delta.enablechangedatafeed": "delta.enableChangeDataFeed",
     "delta.checkpointinterval": "delta.checkpointInterval",
     "delta.enabledeletionvectors": "delta.enableDeletionVectors",
+    "delta.appendonly": "delta.appendOnly",
 }
 
 
@@ -838,6 +839,11 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                 )
             self.partition_col = pcols[0] if pcols else None
             config = meta.get("configuration") or {}
+            if overwrite and config.get("delta.appendOnly") == "true":
+                raise ValueError(
+                    "table is delta.appendOnly=true: overwrite would "
+                    "commit dataChange removes"
+                )
             self.prior_version = snap["version"]
             self.prior_schema_string = meta.get("schemaString")
         self.table_fields = [

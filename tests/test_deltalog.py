@@ -1868,3 +1868,76 @@ class TestDataFrameSnapshotState:
             ).collect()
         )
         assert got == want
+
+
+class TestAppendOnly:
+    """delta.appendOnly=true — the protocol writer invariant: commits
+    with dataChange removes are rejected; appends and dataChange=false
+    maintenance rewrites stay legal."""
+
+    def _table(self, spark, p, partition=None):
+        from etl_market_survey_spark.sources.deltalog import write_delta
+
+        d = spark.createDataFrame(
+            [(i, str(i % 2), i * 2.0) for i in range(10)],
+            "k long, p string, v double",
+        )
+        write_delta(spark, p, d, partition_col=partition, commit_ts=100,
+                    properties={"delta.appendOnly": "true"})
+        return d
+
+    def test_appends_allowed_mutations_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "ao1")
+        d = self._table(spark, p, partition="p")
+        dl.write_delta(spark, p, d, commit_ts=200)  # append fine
+        assert dl.read_delta(spark, p).count() == 20
+        with pytest.raises(ValueError, match="appendOnly"):
+            dl.write_delta(spark, p, d, mode="overwrite", commit_ts=300)
+        with pytest.raises(ValueError, match="appendOnly"):
+            dl.delete_where(spark, p, partition_values=["0"],
+                            commit_ts=300)
+        with pytest.raises(ValueError, match="appendOnly"):
+            dl.delete_rows_where(spark, p, "k % 2 = 0", commit_ts=300)
+        with pytest.raises(ValueError, match="appendOnly"):
+            dl.update_rows_where(spark, p, "k = 1", {"v": "v * 2"},
+                                 commit_ts=300)
+        with pytest.raises(ValueError, match="appendOnly"):
+            dl.merge_delta(spark, p, d, ["k"], commit_ts=300)
+        with pytest.raises(ValueError, match="appendOnly"):
+            dl.restore_delta(spark, p, 0, commit_ts=300)
+        rel = sorted(dl.load_snapshot(spark, p).adds)[0]
+        with pytest.raises(ValueError, match="appendOnly"):
+            dl.add_deletion_vectors(spark, p, {rel: [0]}, commit_ts=300)
+
+    def test_insert_only_merge_and_compaction_allowed(
+        self, spark, tmp_path
+    ):
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "ao2")
+        self._table(spark, p)
+        src = spark.createDataFrame(
+            [(100, "0", 1.0)], "k long, p string, v double"
+        )
+        # MERGE with ONLY a not-matched clause never removes: legal
+        dl.merge_delta(spark, p, src, ["k"], when_matched=None,
+                       commit_ts=200)
+        assert dl.read_delta(spark, p).count() == 11
+        # compaction removes with dataChange=false: legal maintenance
+        dl.compact(spark, p, commit_ts=300)
+        assert dl.read_delta(spark, p).count() == 11
+
+    def test_ds_writer_overwrite_rejected(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.pyds import (
+            DeltaLiteDataSource,
+        )
+
+        spark.dataSource.register(DeltaLiteDataSource)
+        p = str(tmp_path / "ao3")
+        d = self._table(spark, p)
+        with pytest.raises(Exception, match="appendOnly"):
+            d.write.format("delta_lite").mode("overwrite").save(p)
+        # append through the DS writer stays legal
+        d.write.format("delta_lite").mode("append").save(p)

@@ -1522,3 +1522,55 @@ class TestMergeIceberg:
             (2, "update_postimage"), (2, "update_preimage"),
             (4, "delete"), (9, "insert"),
         ]
+
+
+class TestRemoveOrphanFiles:
+    def test_orphans_deleted_referenced_kept(self, spark, tmp_path):
+        import os
+
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, remove_orphan_files, write_iceberg,
+        )
+
+        p = str(tmp_path / "orph")
+        d = spark.createDataFrame([(1, 2.0), (2, 4.0)], "k long, v double")
+        write_iceberg(spark, p, d, commit_ts=100)
+        write_iceberg(spark, p, d, commit_ts=200)
+        before = sorted(map(tuple, read_iceberg(spark, p).collect()))
+        # plant debris: an aborted write's staged parquet + a stray
+        # manifest from a lost metadata race
+        orphan_data = os.path.join(p, "data", "deadbeef-orphan.parquet")
+        orphan_meta = os.path.join(p, "metadata", "manifest-orphan.avro")
+        for f in (orphan_data, orphan_meta):
+            with open(f, "wb") as fh:
+                fh.write(b"debris")
+        listed = remove_orphan_files(p, dry_run=True)
+        assert set(listed) == {
+            "data/deadbeef-orphan.parquet", "metadata/manifest-orphan.avro"
+        }
+        deleted = remove_orphan_files(p)
+        assert set(deleted) == set(listed)
+        assert not os.path.exists(orphan_data)
+        assert not os.path.exists(orphan_meta)
+        # every referenced byte survives: table reads identically
+        assert sorted(map(tuple, read_iceberg(spark, p).collect())) \
+            == before
+
+    def test_older_than_guards_inflight(self, spark, tmp_path):
+        import os
+        import time
+
+        from etl_market_survey_spark.sources.iceberg import (
+            remove_orphan_files, write_iceberg,
+        )
+
+        p = str(tmp_path / "orph2")
+        write_iceberg(spark, p,
+                      spark.createDataFrame([(1,)], "k long"),
+                      commit_ts=100)
+        fresh = os.path.join(p, "data", "inflight.parquet")
+        with open(fresh, "wb") as fh:
+            fh.write(b"staging")
+        cutoff = int((time.time() - 3600) * 1000)  # 1h ago
+        assert remove_orphan_files(p, older_than_ms=cutoff) == []
+        assert os.path.exists(fresh)
