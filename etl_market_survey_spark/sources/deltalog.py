@@ -161,6 +161,17 @@ class DeltaSnapshot:
             )
         return out
 
+    def field_ids(self) -> dict[str, int]:
+        """logical column name -> column-mapping field id (the id the
+        parquet files carry as PARQUET:field_id under mapping); empty
+        when the schema metadata records none."""
+        out = {}
+        for f in json.loads(self.metadata["schemaString"])["fields"]:
+            md = f.get("metadata") or {}
+            if "delta.columnMapping.id" in md:
+                out[f["name"]] = int(md["delta.columnMapping.id"])
+        return out
+
     def check_reader_support(self):
         p = self.protocol
         v = int(p.get("minReaderVersion", 1))
@@ -177,11 +188,6 @@ class DeltaSnapshot:
         else:
             raise NotImplementedError(
                 f"minReaderVersion {v} not supported (max 3)"
-            )
-        if self.column_mapping_mode == "id":
-            raise NotImplementedError(
-                "columnMapping.mode='id' (parquet field-id resolution) is "
-                "not supported; mode='name' is"
             )
 
 
@@ -305,6 +311,31 @@ def load_snapshot(
     return DeltaSnapshot(version, metadata_ref[0], adds, ts, protocol_ref[0])
 
 
+def _phys_cols(cols_logical, phys: dict, ids: dict | None):
+    """Physical-name projection for staging; when the table's schema
+    metadata records column-mapping field ids, each staged column also
+    carries ``parquet.field.id`` metadata so the parquet files stay
+    resolvable by FIELD ID (what ``columnMapping.mode='id'`` readers
+    match on — real Delta writers stamp ids under 'name' mode too)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for c in cols_logical:
+        p = phys.get(c, c)
+        if ids and c in ids:
+            out.append(
+                F.col(c).alias(p, metadata={"parquet.field.id": ids[c]})
+            )
+        else:
+            out.append(F.col(c).alias(p))
+    return out
+
+
+def _enable_field_id_writes(spark, ids: dict | None) -> None:
+    if ids:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
+
 def _typed_partition_lit(raw: str | None, dtype):
     """Delta serializes partitionValues as strings (null -> JSON null);
     cast back through the schema's type."""
@@ -403,23 +434,46 @@ def read_delta(
                    for c, (lo, hi) in stats_filter.items())
         ]
 
-    return _assemble_scan(spark, path, schema, pcols, phys, adds)
+    return _assemble_scan(
+        spark, path, schema, pcols, phys, adds,
+        ids=snap.field_ids() if snap.column_mapping_mode == "id" else None,
+    )
 
 
 def _assemble_scan(
-    spark: SparkSession, path: str, schema, pcols, phys, adds: list
+    spark: SparkSession, path: str, schema, pcols, phys, adds: list,
+    ids: dict | None = None,
 ) -> DataFrame:
     """The scan half of :func:`read_delta`: surviving add entries ->
     one pruned parquet read per partition tuple with typed partition
-    literals attached, DV positions anti-joined distributed."""
+    literals attached, DV positions anti-joined distributed.
+
+    ``ids`` (columnMapping.mode='id'): the read schema carries
+    ``parquet.field.id`` metadata and Spark's field-id resolution is
+    enabled, so columns resolve by the PARQUET FIELD ID the protocol
+    mandates for 'id' mode — physical names in the files are then
+    advisory only."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
-    data_schema = StructType(
-        [StructField(phys[f.name], f.dataType, f.nullable)
-         for f in data_fields]
-    )
+    if ids:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = StructType(
+            [
+                StructField(
+                    phys[f.name], f.dataType, f.nullable,
+                    {"parquet.field.id": ids[f.name]}
+                    if f.name in ids else None,
+                )
+                for f in data_fields
+            ]
+        )
+    else:
+        data_schema = StructType(
+            [StructField(phys[f.name], f.dataType, f.nullable)
+             for f in data_fields]
+        )
     if not adds:
         return spark.createDataFrame([], schema).select(
             *[f.name for f in schema.fields]
@@ -724,7 +778,10 @@ def read_delta_pruned(
         }
         for r in files.collect()  # SURVIVORS only reach the driver
     ]
-    return _assemble_scan(spark, path, schema, pcols, phys, adds)
+    return _assemble_scan(
+        spark, path, schema, pcols, phys, adds,
+        ids=snap.field_ids() if snap.column_mapping_mode == "id" else None,
+    )
 
 
 def _dv_location(table_path: str, dvd: dict) -> tuple[str, int, int]:
@@ -906,7 +963,7 @@ def write_delta(
     collect_stats: bool = True,
     txn_app: str | None = None,
     txn_version: int | None = None,
-    column_mapping: bool = False,
+    column_mapping: bool | str = False,
     merge_schema: bool = False,
     properties: dict[str, str] | None = None,
 ) -> int:
@@ -1007,15 +1064,24 @@ def write_delta(
         _check_append_only(cons_cfg, "overwrite")
     _enforce_constraints(df, cons_cfg)
 
-    # Column mapping (mode 'name'): the parquet files carry PHYSICAL
-    # column names; the logical names live only in schemaString field
-    # metadata. partitionValues and stats keys are physical too. New
-    # tables opt in with ``column_mapping=True``; appends to a mapped
-    # table pick the map up from the prior metadata automatically
-    # (schema evolution mints fresh physical names for new fields).
+    # Column mapping: the parquet files carry PHYSICAL column names;
+    # the logical names live only in schemaString field metadata.
+    # partitionValues and stats keys are physical too. New tables opt
+    # in with ``column_mapping=True`` (mode 'name') or
+    # ``column_mapping='id'`` (mode 'id': readers resolve columns by
+    # the PARQUET FIELD ID staged into every file); appends to a
+    # mapped table pick the map up from the prior metadata
+    # automatically (schema evolution mints fresh physical names for
+    # new fields). Field ids are stamped into staged files for BOTH
+    # modes (real Delta does the same), so a 'name' table is already
+    # id-resolvable.
+    if column_mapping not in (False, True, "name", "id"):
+        raise ValueError(f"column_mapping: {column_mapping!r}")
     phys_map: dict[str, str] | None = None
-    if prior is not None and prior.column_mapping_mode == "name":
+    ids_map: dict[str, int] = {}
+    if prior is not None and prior.column_mapping_mode in ("name", "id"):
         phys_map = prior.physical_names()
+        ids_map = prior.field_ids()
         for f in schema.fields:
             if f.name not in phys_map:
                 phys_map[f.name] = f"col-{uuid.uuid4().hex[:12]}"
@@ -1023,12 +1089,14 @@ def write_delta(
         phys_map = {
             f.name: f"col-{uuid.uuid4().hex[:12]}" for f in schema.fields
         }
+        ids_map = {f.name: i + 1 for i, f in enumerate(schema.fields)}
 
     stage_df, stage_pcol = df, partition_col
     if phys_map:
-        stage_df = df.select(
-            *[F.col(f.name).alias(phys_map[f.name]) for f in schema.fields]
-        )
+        _enable_field_id_writes(spark, ids_map)
+        stage_df = df.select(*_phys_cols(
+            [f.name for f in schema.fields], phys_map, ids_map
+        ))
         stage_pcol = phys_map[partition_col] if partition_col else None
         data_schema = StructType(
             [
@@ -1098,7 +1166,8 @@ def write_delta(
             )
             schema_string = mapped.json()
             config = {
-                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.mode":
+                    "id" if column_mapping == "id" else "name",
                 "delta.columnMapping.maxColumnId": str(len(schema.fields)),
             }
             proto = {"minReaderVersion": 2, "minWriterVersion": 5}
@@ -1589,8 +1658,9 @@ def delete_rows_where(
             .filter(f"NOT ({predicate})")
             .select(*cols)
         )
+        _enable_field_id_writes(spark, snap.field_ids())
         stage_df = survivors.select(
-            *[F.col(c).alias(phys.get(c, c)) for c in cols]
+            *_phys_cols(cols, phys, snap.field_ids())
         )
         data_schema = StructType(
             [StructField(phys[f.name], f.dataType, f.nullable)
@@ -1637,8 +1707,7 @@ def delete_rows_where(
             "_change_type", F.lit("delete")
         )
         cdc_stage = cdc_df.select(
-            *[F.col(c).alias(phys.get(c, c)) for c in cols],
-            "_change_type",
+            *_phys_cols(cols, phys, snap.field_ids()), "_change_type",
         )
         for rel, pv in _stage_cdc(
             spark, path, cdc_stage,
@@ -1828,9 +1897,8 @@ def update_rows_where(
                 {"remove": {"path": rel, "deletionTimestamp": commit_ts,
                             "dataChange": True}}
             )
-    stage_df = new_rows.select(
-        *[F.col(c).alias(phys.get(c, c)) for c in cols]
-    )
+    _enable_field_id_writes(spark, snap.field_ids())
+    stage_df = new_rows.select(*_phys_cols(cols, phys, snap.field_ids()))
     data_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable)
          for f in schema.fields if f.name not in pcols]
@@ -1869,8 +1937,7 @@ def update_rows_where(
             updated.withColumn("_change_type", F.lit("update_postimage"))
         )
         cdc_stage = cdc_df.select(
-            *[F.col(c).alias(phys.get(c, c)) for c in cols],
-            "_change_type",
+            *_phys_cols(cols, phys, snap.field_ids()), "_change_type",
         )
         for rel, pv in _stage_cdc(
             spark, path, cdc_stage,
@@ -2106,7 +2173,8 @@ def optimize_zorder(
 
     from pyspark.sql.types import StructField, StructType
 
-    stage_cols = [F.col(n).alias(phys.get(n, n)) for n in names]
+    _enable_field_id_writes(spark, snap.field_ids())
+    stage_cols = _phys_cols(names, phys, snap.field_ids())
     data_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable)
          for f in schema.fields if f.name not in pcols]
@@ -2752,9 +2820,8 @@ def _merge_commit_tail(
 
     # stage under physical names, one job (the write_delta shape)
     new_version = snap.version + 1
-    stage_df = new_rows.select(
-        *[F.col(c).alias(phys.get(c, c)) for c in cols]
-    )
+    _enable_field_id_writes(spark, snap.field_ids())
+    stage_df = new_rows.select(*_phys_cols(cols, phys, snap.field_ids()))
     data_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable)
          for f in schema.fields if f.name not in pcols]
@@ -2815,7 +2882,7 @@ def _merge_commit_tail(
         for cp in cdc_parts[1:]:
             cdc_df = cdc_df.unionByName(cp)
         cdc_stage = cdc_df.select(
-            *[F.col(c).alias(phys.get(c, c)) for c in cols], "_change_type"
+            *_phys_cols(cols, phys, snap.field_ids()), "_change_type"
         )
         for rel, pv in _stage_cdc(
             spark, path, cdc_stage,

@@ -148,23 +148,21 @@ def _check_protocol(protocol: dict) -> None:
 
 
 def _schema_info(metadata: dict):
-    """(logical StructType, logical->physical map, partition cols)."""
+    """(logical StructType, logical->physical map, partition cols,
+    logical->field-id map or None). The id map is non-None exactly for
+    ``columnMapping.mode='id'`` tables — there, parquet columns resolve
+    by the ``PARQUET:field_id`` each file carries, and the physical
+    NAME is advisory only (kept as the fallback for files that predate
+    id stamping)."""
     from pyspark.sql.types import StructType
 
     st = StructType.fromJson(json.loads(metadata["schemaString"]))
     mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode == "id":
-        # mirror deltalog.read_delta: 'id' mode resolves columns by
-        # parquet FIELD ID, not physical name — reading by physicalName
-        # here could silently return wrong/null columns
-        raise NotImplementedError(
-            "columnMapping.mode='id' (parquet field-id resolution) is "
-            "not supported by delta_lite; use mode='name'"
-        )
     mapped = mode != "none"
     phys = {}
+    ids = {}
     for f in json.loads(metadata["schemaString"])["fields"]:
         md = f.get("metadata") or {}
         phys[f["name"]] = (
@@ -172,7 +170,11 @@ def _schema_info(metadata: dict):
             if mapped
             else f["name"]
         )
-    return st, phys, list(metadata.get("partitionColumns") or [])
+        if "delta.columnMapping.id" in md:
+            ids[f["name"]] = int(md["delta.columnMapping.id"])
+    return st, phys, list(metadata.get("partitionColumns") or []), (
+        ids if mode == "id" else None
+    )
 
 
 def _pa_type(spark_type_json):
@@ -205,9 +207,26 @@ def _typed_partition_value(raw, spark_type_json):
     return raw
 
 
+def _file_resolver(fpath: str, ids: dict | None, phys: dict):
+    """Per-file physical-column resolver: ``columnMapping.mode='id'``
+    matches by the ``PARQUET:field_id`` the file carries (physical name
+    only as fallback for pre-id files); other modes use the physical
+    name directly."""
+    if not ids:
+        return lambda n: phys[n]
+    import pyarrow.parquet as pq
+
+    id2name = {}
+    for fld in pq.ParquetFile(fpath).schema_arrow:
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            id2name[int(fid)] = fld.name
+    return lambda n: id2name.get(ids.get(n), phys[n])
+
+
 class _FilePartition(InputPartition):
     def __init__(self, table_path, rel, partition_values, dv, fields, phys,
-                 pcols):
+                 pcols, ids=None):
         self.table_path = table_path
         self.rel = rel
         self.partition_values = partition_values  # physical-keyed strings
@@ -215,6 +234,7 @@ class _FilePartition(InputPartition):
         self.fields = fields  # [(name, spark_type_json)] in schema order
         self.phys = phys
         self.pcols = pcols
+        self.ids = ids  # logical -> field id (mode 'id' only)
 
 
 def _read_file_partition(p: _FilePartition):
@@ -228,8 +248,9 @@ def _read_file_partition(p: _FilePartition):
     # schema evolution: files written before a merge_schema commit lack
     # the new physical columns — request only what the file has and
     # null-fill the rest (pq.read_table raises on missing columns)
+    resolve = _file_resolver(fpath, getattr(p, "ids", None), p.phys)
     have = set(pq.ParquetFile(fpath).schema_arrow.names)
-    want = [p.phys[n] for n, _ in p.fields if n not in p.pcols]
+    want = [resolve(n) for n, _ in p.fields if n not in p.pcols]
     tbl = pq.read_table(fpath, columns=[c for c in want if c in have])
     if p.dv:
         from .deltalog import _dv_location
@@ -247,9 +268,10 @@ def _read_file_partition(p: _FilePartition):
             raw = (p.partition_values or {}).get(p.phys[name])
             val = _typed_partition_value(raw, tjson)
             arrays.append(pa.array([val] * tbl.num_rows, type=_pa_type(tjson)))
-        elif p.phys[name] in tbl.column_names:
+        elif resolve(name) in tbl.column_names:
             arrays.append(
-                tbl.column(p.phys[name]).cast(_pa_type(tjson)).combine_chunks()
+                tbl.column(resolve(name)).cast(_pa_type(tjson))
+                .combine_chunks()
             )
         else:  # pre-evolution file: the column null-fills
             arrays.append(
@@ -312,14 +334,14 @@ class _DeltaLitePlainReader(DataSourceReader):
     def partitions(self):
         snap = _fold(self.path, self.version)
         _check_protocol(snap["protocol"])
-        st, phys, pcols = _schema_info(snap["metadata"])
+        st, phys, pcols, ids = _schema_info(snap["metadata"])
         fields = [
             (f.name, json.loads(f.dataType.json())) for f in st.fields
         ]
         return [
             _FilePartition(
                 self.path, rel, a.get("partitionValues"),
-                a.get("deletionVector"), fields, phys, pcols,
+                a.get("deletionVector"), fields, phys, pcols, ids=ids,
             )
             for rel, a in sorted(snap["adds"].items())
         ]
@@ -394,14 +416,14 @@ class _DeltaLiteReader(DataSourceReader):
     def partitions(self):
         snap = _fold(self.path, self.version)
         _check_protocol(snap["protocol"])
-        st, phys, pcols = _schema_info(snap["metadata"])
+        st, phys, pcols, ids = _schema_info(snap["metadata"])
         fields = [
             (f.name, json.loads(f.dataType.json())) for f in st.fields
         ]
         return [
             _FilePartition(
                 self.path, rel, a.get("partitionValues"),
-                a.get("deletionVector"), fields, phys, pcols,
+                a.get("deletionVector"), fields, phys, pcols, ids=ids,
             )
             for rel, a in sorted(snap["adds"].items())
             if self._may_match(a, st, phys, pcols)
@@ -417,7 +439,8 @@ class _CdfPartition(InputPartition):
     file carrying its own ``_change_type`` column."""
 
     def __init__(self, kind, table_path, rel, partition_values, dv,
-                 fields, phys, pcols, version, ts, positions=None):
+                 fields, phys, pcols, version, ts, positions=None,
+                 ids=None):
         self.kind = kind  # 'insert' | 'delete' | 'cdc' | 'pos'
         self.table_path = table_path
         self.rel = rel
@@ -430,6 +453,7 @@ class _CdfPartition(InputPartition):
         self.ts = ts
         # for kind='pos': (change_type, [row indexes in the raw file])
         self.positions = positions
+        self.ids = ids
 
 
 def _read_cdf_partition(p: _CdfPartition):
@@ -453,10 +477,11 @@ def _read_cdf_partition(p: _CdfPartition):
 
     if p.kind == "cdc":
         fpath = os.path.join(p.table_path, p.rel)
+        resolve = _file_resolver(fpath, getattr(p, "ids", None), p.phys)
         raw = pq.read_table(fpath)
         arrays, names = [], []
         for name, tjson in p.fields:
-            if name in p.pcols and p.phys[name] not in raw.column_names:
+            if name in p.pcols and resolve(name) not in raw.column_names:
                 val = _typed_partition_value(
                     (p.partition_values or {}).get(p.phys[name]), tjson
                 )
@@ -465,7 +490,7 @@ def _read_cdf_partition(p: _CdfPartition):
                 )
             else:
                 arrays.append(
-                    raw.column(p.phys[name]).cast(_pa_type(tjson))
+                    raw.column(resolve(name)).cast(_pa_type(tjson))
                     .combine_chunks()
                 )
             names.append(name)
@@ -477,8 +502,9 @@ def _read_cdf_partition(p: _CdfPartition):
     if p.kind == "pos":
         change_type, idx = p.positions
         fpath = os.path.join(p.table_path, p.rel)
+        resolve = _file_resolver(fpath, getattr(p, "ids", None), p.phys)
         have = set(pq.ParquetFile(fpath).schema_arrow.names)
-        want = [p.phys[n] for n, _ in p.fields if n not in p.pcols]
+        want = [resolve(n) for n, _ in p.fields if n not in p.pcols]
         raw = pq.read_table(fpath, columns=[c for c in want if c in have])
         mask = np.zeros(raw.num_rows, dtype=bool)
         ia = np.asarray(sorted(idx), dtype=np.int64)
@@ -493,9 +519,9 @@ def _read_cdf_partition(p: _CdfPartition):
                 arrays.append(
                     pa.array([val] * raw.num_rows, type=_pa_type(tjson))
                 )
-            elif p.phys[name] in raw.column_names:
+            elif resolve(name) in raw.column_names:
                 arrays.append(
-                    raw.column(p.phys[name]).cast(_pa_type(tjson))
+                    raw.column(resolve(name)).cast(_pa_type(tjson))
                     .combine_chunks()
                 )
             else:
@@ -511,7 +537,8 @@ def _read_cdf_partition(p: _CdfPartition):
 
     # 'insert' / 'delete': whole-file logical rows (DV applied)
     fp = _FilePartition(p.table_path, p.rel, p.partition_values, p.dv,
-                        p.fields, p.phys, p.pcols)
+                        p.fields, p.phys, p.pcols,
+                        ids=getattr(p, "ids", None))
     for batch in _read_file_partition(fp):
         yield from with_meta(
             pa.Table.from_batches([batch]), p.kind
@@ -560,12 +587,13 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         snap = _fold(self.path)  # mapping/partition metadata as of now
         _check_protocol(snap["protocol"])
-        st, phys, pcols = _schema_info(snap["metadata"])
+        st, phys, pcols, ids = _schema_info(snap["metadata"])
         fields = self.pinned_fields or [
             (f.name, json.loads(f.dataType.json())) for f in st.fields
         ]
         if self.read_change_feed:
-            return self._cdf_partitions(lo, hi, fields, phys, pcols)
+            return self._cdf_partitions(lo, hi, fields, phys, pcols,
+                                        ids=ids)
         parts = []
         for v in _versions(self.path):
             if not (lo < v <= hi):
@@ -589,11 +617,13 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                         self.path, a["add"]["path"],
                         a["add"].get("partitionValues"),
                         a["add"].get("deletionVector"), fields, phys, pcols,
+                        ids=ids,
                     )
                 )
         return parts
 
-    def _cdf_partitions(self, lo: int, hi: int, fields, phys, pcols):
+    def _cdf_partitions(self, lo: int, hi: int, fields, phys, pcols,
+                        ids=None):
         """Streaming CHANGE DATA FEED planning — the batch
         read_delta_changes algebra, partition-planned: commits with cdc
         actions contribute their sidecar files EXCLUSIVELY; otherwise
@@ -655,7 +685,7 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                     parts.append(_CdfPartition(
                         "cdc", self.path, e["path"],
                         e.get("partitionValues"), None, tfields, phys,
-                        pcols, v, ts,
+                        pcols, v, ts, ids=ids,
                     ))
                 continue
             dc_removed = {
@@ -669,7 +699,7 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                 parts.append(_CdfPartition(
                     "delete", self.path, rel, old.get("partitionValues"),
                     old.get("deletionVector"), tfields, phys, pcols,
-                    v, ts,
+                    v, ts, ids=ids,
                 ))
             for a in acts:
                 add = a.get("add")
@@ -682,7 +712,7 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                         "insert", self.path, rel,
                         add.get("partitionValues"),
                         add.get("deletionVector"), tfields, phys, pcols,
-                        v, ts,
+                        v, ts, ids=ids,
                     ))
                 elif old != add:
                     old_pos, new_pos = dv_positions(old), dv_positions(add)
@@ -695,7 +725,7 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                                 "pos", self.path, rel,
                                 add.get("partitionValues"), None,
                                 tfields, phys, pcols, v, ts,
-                                positions=(ct, delta),
+                                positions=(ct, delta), ids=ids,
                             ))
         return parts
 
@@ -791,6 +821,7 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
             table_schema = write_schema
             self.partition_col = pcol
             self.phys = {f.name: f.name for f in table_schema.fields}
+            self.field_ids = None
             config = {}
             for k, v in options.items():
                 if k.startswith("property."):
@@ -815,7 +846,8 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
         else:
             _check_protocol(snap["protocol"])
             meta = snap["metadata"]
-            table_schema, self.phys, pcols = _schema_info(meta)
+            table_schema, self.phys, pcols, self.field_ids = \
+                _schema_info(meta)
             ptypes = {f.name: f.dataType for f in table_schema.fields}
             lost = [
                 f.name for f in table_schema.fields
@@ -948,6 +980,20 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                 data = pa.table(
                     {self.phys[n]: part.column(n) for n, _ in data_fields}
                 )
+                if self.field_ids:
+                    # stamp PARQUET field ids so columnMapping.mode='id'
+                    # readers resolve the staged files
+                    data = data.cast(pa.schema([
+                        pa.field(
+                            self.phys[n], data.schema.field(
+                                self.phys[n]).type,
+                            metadata={
+                                b"PARQUET:field_id":
+                                    str(self.field_ids[n]).encode()
+                            } if n in self.field_ids else None,
+                        )
+                        for n, _ in data_fields
+                    ]))
                 st = sink_for(pv)
                 if st[0] is None:
                     st[0] = pq.ParquetWriter(
@@ -1225,7 +1271,7 @@ class DeltaLiteDataSource(DataSource):
     def schema(self):
         v = self._version()
         snap = _fold(self._path(), v)
-        st, _, _ = _schema_info(snap["metadata"])
+        st, _, _, _ = _schema_info(snap["metadata"])
         if str(self.options.get("readchangefeed", "false")).lower() \
                 == "true":
             from pyspark.sql.types import (

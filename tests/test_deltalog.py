@@ -1941,3 +1941,120 @@ class TestAppendOnly:
             d.write.format("delta_lite").mode("overwrite").save(p)
         # append through the DS writer stays legal
         d.write.format("delta_lite").mode("append").save(p)
+
+
+class TestColumnMappingIdMode:
+    """columnMapping.mode='id' — parquet FIELD-ID resolution (the
+    protocol's second mapping mode, previously a rejected guard)."""
+
+    def _table(self, spark, p):
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        d = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, s string, v double",
+        )
+        dl.write_delta(spark, p, d, column_mapping="id", commit_ts=100)
+        return d
+
+    def test_roundtrip_append_and_dml(self, spark, tmp_path):
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "idm1")
+        d = self._table(spark, p)
+        snap = dl.load_snapshot(spark, p)
+        assert snap.column_mapping_mode == "id"
+        assert snap.field_ids() == {"k": 1, "s": 2, "v": 3}
+        assert sorted(map(tuple, dl.read_delta(spark, p).collect())) \
+            == sorted(map(tuple, d.collect()))
+        dl.write_delta(spark, p, d, commit_ts=200)  # append inherits
+        dl.delete_rows_where(spark, p, "k = 2", commit_ts=300)
+        assert sorted(
+            r["k"] for r in dl.read_delta(spark, p).collect()
+        ) == [1, 1, 3, 3]
+
+    def test_foreign_physical_names_resolve_by_id(self, spark, tmp_path):
+        """A file whose parquet column NAMES differ from physicalName
+        (an external engine after renames) must still read correctly —
+        resolution is by field id, names are advisory."""
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "idm2")
+        self._table(spark, p)
+        sch = pa.schema([
+            pa.field("x1", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("x2", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("x3", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+        ])
+        t = pa.table(
+            {"x1": pa.array([500], pa.int64()), "x2": ["f"],
+             "x3": [9.5]}
+        ).cast(sch)
+        rel = f"part-foreign-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(t, os.path.join(p, rel))
+        v = dl._list_commit_versions(p)[-1] + 1
+        dl._write_commit(p, v, [
+            {"commitInfo": {"timestamp": 400, "operation": "WRITE",
+                            "operationParameters": {}}},
+            {"add": {"path": rel, "partitionValues": {},
+                     "size": os.path.getsize(os.path.join(p, rel)),
+                     "modificationTime": 400, "dataChange": True,
+                     "stats": None}},
+        ])
+        got = sorted(map(tuple, dl.read_delta(spark, p).collect()))
+        assert (500, "f", 9.5) in got
+
+    def test_delta_lite_reader_and_writer(self, spark, tmp_path):
+        from etl_market_survey_spark.sources import deltalog as dl
+        from etl_market_survey_spark.sources.pyds import (
+            DeltaLiteDataSource,
+        )
+
+        spark.dataSource.register(DeltaLiteDataSource)
+        p = str(tmp_path / "idm3")
+        d = self._table(spark, p)
+        assert sorted(
+            map(tuple, spark.read.format("delta_lite").load(p).collect())
+        ) == sorted(map(tuple, d.collect()))
+        # DS append stamps field ids so its files stay id-resolvable
+        spark.createDataFrame(
+            [(99, "z", 9.0)], "k long, s string, v double"
+        ).write.format("delta_lite").mode("append").save(p)
+        assert sorted(
+            r["k"] for r in
+            spark.read.format("delta_lite").load(p).collect()
+        ) == [1, 2, 3, 99]
+        assert sorted(
+            r["k"] for r in dl.read_delta(spark, p).collect()
+        ) == [1, 2, 3, 99]
+
+    def test_name_mode_files_carry_ids_now(self, spark, tmp_path):
+        """'name'-mode staging stamps field ids too (real Delta
+        behavior) — the table stays readable by an id-first engine."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "idm4")
+        dl.write_delta(
+            spark, p,
+            spark.createDataFrame([(1, 2.0)], "k long, v double"),
+            column_mapping=True, commit_ts=100,
+        )
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        ids = {
+            int((fld.metadata or {}).get(b"PARQUET:field_id", b"-1"))
+            for fld in pq.ParquetFile(f).schema_arrow
+        }
+        assert ids == {1, 2}

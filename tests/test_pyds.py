@@ -253,11 +253,14 @@ class TestDataSourceSchemaEvolution:
         assert got == {1: None, 2: "x"}
 
 
-class TestIdModeRejected:
-    def test_column_mapping_id_mode_raises(self, registered, tmp_path):
-        """mode='id' resolves columns by parquet FIELD ID — delta_lite
-        reads by physicalName, which would silently return wrong/null
-        columns; it must refuse, mirroring deltalog.read_delta."""
+class TestIdModeSupported:
+    def test_column_mapping_id_mode_reads(self, registered, tmp_path):
+        """mode='id' resolves columns by parquet FIELD ID. Until r8
+        delta_lite refused these tables (reading by physicalName could
+        silently return wrong columns); the reader now resolves through
+        each file's PARQUET:field_id metadata. A 'name'-mode table
+        flipped to 'id' stays readable because staging stamps field
+        ids in both modes."""
         import json
         import os
 
@@ -277,8 +280,10 @@ class TestIdModeRejected:
         with open(f0, "w") as fh:
             for a in lines:
                 fh.write(json.dumps(a) + "\n")
-        with pytest.raises(Exception, match="id"):
+        assert [
+            tuple(r) for r in
             spark.read.format("delta_lite").load(path).collect()
+        ] == [(1, "a")]
 
 
 class TestPartitionedStreamReader:
