@@ -805,6 +805,12 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
         self.path = path
         self.overwrite = overwrite
         self.commit_ts = int(options.get("committs", 0))
+        # scale guard: one ParquetWriter stays open per (task,
+        # partition value); a task fed unclustered high-cardinality
+        # partition data would exhaust file handles/memory silently.
+        # Fail actionably instead — repartition(pcol) upstream, or
+        # raise the cap deliberately.
+        self.max_open_files = int(options.get("maxopenfiles", 200))
         try:
             snap = _fold(path)
         except (FileNotFoundError, ValueError):
@@ -925,6 +931,13 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
             key = _serialize_partition_value(pv)
             st = open_files.get(key)
             if st is None:
+                if len(open_files) >= self.max_open_files:
+                    raise ValueError(
+                        f"write task exceeded {self.max_open_files} open "
+                        f"partition files; repartition the input by "
+                        f"{pcol!r} before writing (or raise the "
+                        "maxOpenFiles option)"
+                    )
                 if pcol is None:
                     rel = f"part-w-{uuid.uuid4().hex}.parquet"
                 else:

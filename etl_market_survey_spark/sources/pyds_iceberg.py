@@ -789,6 +789,11 @@ class _IcebergLiteWriter(DataSourceArrowWriter):
         self.types = {
             f.name: f.dataType.simpleString() for f in write_schema.fields
         }
+        # scale guard: one ParquetWriter per (task, partition value) —
+        # unclustered high-cardinality partition input must fail
+        # actionably, not exhaust handles (repartition upstream or
+        # raise the cap)
+        self.max_open_files = int(options.get("maxopenfiles", 200))
 
     # -- executor side ------------------------------------------------
 
@@ -818,6 +823,13 @@ class _IcebergLiteWriter(DataSourceArrowWriter):
         def sink_for(pv):
             st = open_files.get(pv)
             if st is None:
+                if len(open_files) >= self.max_open_files:
+                    raise ValueError(
+                        f"write task exceeded {self.max_open_files} open "
+                        f"partition files; repartition the input by "
+                        f"{pcol!r} before writing (or raise the "
+                        "maxOpenFiles option)"
+                    )
                 rel = (
                     f"data/{pfield}={pv}/{uuid.uuid4().hex}.parquet"
                     if pcol else f"data/{uuid.uuid4().hex}.parquet"

@@ -1398,3 +1398,35 @@ class TestIcebergLiteStreamWriter:
         d = registered.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError, match="append-only"):
             _IcebergLiteStreamWriter(str(tmp_path / "x"), d.schema, True, {})
+
+
+class TestWriterOpenFileGuard:
+    def test_high_cardinality_partition_fails_actionably(
+        self, registered, tmp_path
+    ):
+        """One ParquetWriter stays open per (task, partition value); a
+        task fed unclustered high-cardinality partition data must fail
+        with the repartition hint, not exhaust file handles."""
+        spark = registered
+        p = str(tmp_path / "g1")
+        d = spark.range(500).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("p")
+        ).coalesce(1)
+        with pytest.raises(Exception, match="maxOpenFiles|repartition"):
+            (
+                d.write.format("delta_lite").mode("append")
+                .option("partitionCol", "p")
+                .option("maxOpenFiles", "100")
+                .save(p)
+            )
+        # repartitioned by the key, the same write succeeds: each task
+        # holds one partition value at a time
+        p2 = str(tmp_path / "g2")
+        (
+            d.repartition(8, "p")
+            .write.format("delta_lite").mode("append")
+            .option("partitionCol", "p")
+            .option("maxOpenFiles", "100")
+            .save(p2)
+        )
+        assert spark.read.format("delta_lite").load(p2).count() == 500
