@@ -105,3 +105,9 @@ def test_format_interop_example(spark):
     # the example's own asserts cover protocol parity; sanity here:
     assert out.count() > 0
     assert set(out.columns) == {"k", "pr", "tp"}
+
+
+def test_datasource_roundtrip_example(spark):
+    from examples.datasource_roundtrip_pipeline import main
+
+    main()
