@@ -226,7 +226,7 @@ def _file_resolver(fpath: str, ids: dict | None, phys: dict):
 
 class _FilePartition(InputPartition):
     def __init__(self, table_path, rel, partition_values, dv, fields, phys,
-                 pcols, ids=None):
+                 pcols, ids=None, split=None):
         self.table_path = table_path
         self.rel = rel
         self.partition_values = partition_values  # physical-keyed strings
@@ -235,6 +235,33 @@ class _FilePartition(InputPartition):
         self.phys = phys
         self.pcols = pcols
         self.ids = ids  # logical -> field id (mode 'id' only)
+        # (i, n): this partition reads the i-th of n contiguous
+        # ROW-GROUP chunks of the file — how a single huge file fans
+        # out across tasks instead of bottlenecking one (planned from
+        # the add action's numRecords stats; the task resolves chunk
+        # boundaries from the footer it opens anyway)
+        self.split = split
+
+
+def _n_splits(add: dict, max_rows: int) -> int:
+    """How many partitions a file should fan out to, from its add
+    action's numRecords stats (1 when stats are absent)."""
+    s = add.get("stats")
+    if not s or max_rows <= 0:
+        return 1
+    try:
+        n = int(json.loads(s).get("numRecords") or 0)
+    except (TypeError, ValueError):
+        return 1
+    return max(1, -(-n // max_rows))
+
+
+def _split_partitions(make, add, max_rows):
+    """[make(split)] — one per row-group chunk of the file."""
+    n = _n_splits(add, max_rows)
+    if n == 1:
+        return [make(None)]
+    return [make((i, n)) for i in range(n)]
 
 
 def _read_file_partition(p: _FilePartition):
@@ -249,9 +276,28 @@ def _read_file_partition(p: _FilePartition):
     # the new physical columns — request only what the file has and
     # null-fill the rest (pq.read_table raises on missing columns)
     resolve = _file_resolver(fpath, getattr(p, "ids", None), p.phys)
-    have = set(pq.ParquetFile(fpath).schema_arrow.names)
+    pf = pq.ParquetFile(fpath)
+    have = set(pf.schema_arrow.names)
     want = [resolve(n) for n, _ in p.fields if n not in p.pcols]
-    tbl = pq.read_table(fpath, columns=[c for c in want if c in have])
+    cols = [c for c in want if c in have]
+    split = getattr(p, "split", None)
+    row_offset = 0
+    if split is None:
+        tbl = pq.read_table(fpath, columns=cols)
+    else:
+        # contiguous row-group chunk i of n; boundaries from the footer
+        # (already open), DV positions stay file-global via row_offset
+        i, n = split
+        n_rg = pf.metadata.num_row_groups
+        lo = (n_rg * i) // n
+        hi = (n_rg * (i + 1)) // n
+        row_offset = sum(
+            pf.metadata.row_group(g).num_rows for g in range(lo)
+        )
+        if lo >= hi:
+            tbl = pf.schema_arrow.empty_table().select(cols)
+        else:
+            tbl = pf.read_row_groups(list(range(lo, hi)), columns=cols)
     if p.dv:
         from .deltalog import _dv_location
         from .dvbitmap import deserialize_rbm64, read_dv_blob
@@ -259,8 +305,9 @@ def _read_file_partition(p: _FilePartition):
         dv_path, off, size = _dv_location(p.table_path, p.dv)
         dead = deserialize_rbm64(read_dv_blob(dv_path, off, size))
         mask = np.ones(tbl.num_rows, dtype=bool)
-        dead_arr = np.asarray(dead, dtype=np.int64)
-        mask[dead_arr[dead_arr < tbl.num_rows]] = False
+        dead_arr = np.asarray(dead, dtype=np.int64) - row_offset
+        dead_arr = dead_arr[(dead_arr >= 0) & (dead_arr < tbl.num_rows)]
+        mask[dead_arr] = False
         tbl = tbl.filter(pa.array(mask))
     arrays, names = [], []
     for name, tjson in p.fields:
@@ -327,9 +374,11 @@ class _DeltaLitePlainReader(DataSourceReader):
     ``spark.sql.python.filterPushdown.enabled`` is off (Spark rejects
     any reader that IMPLEMENTS pushFilters under that conf)."""
 
-    def __init__(self, path: str, version: int | None):
+    def __init__(self, path: str, version: int | None,
+                 max_rows: int = 2_000_000):
         self.path = path
         self.version = version
+        self.max_rows = max_rows
 
     def partitions(self):
         snap = _fold(self.path, self.version)
@@ -339,11 +388,16 @@ class _DeltaLitePlainReader(DataSourceReader):
             (f.name, json.loads(f.dataType.json())) for f in st.fields
         ]
         return [
-            _FilePartition(
-                self.path, rel, a.get("partitionValues"),
-                a.get("deletionVector"), fields, phys, pcols, ids=ids,
-            )
+            p
             for rel, a in sorted(snap["adds"].items())
+            for p in _split_partitions(
+                lambda s, rel=rel, a=a: _FilePartition(
+                    self.path, rel, a.get("partitionValues"),
+                    a.get("deletionVector"), fields, phys, pcols,
+                    ids=ids, split=s,
+                ),
+                a, self.max_rows,
+            )
         ]
 
     def read(self, partition):
@@ -351,9 +405,11 @@ class _DeltaLitePlainReader(DataSourceReader):
 
 
 class _DeltaLiteReader(DataSourceReader):
-    def __init__(self, path: str, version: int | None):
+    def __init__(self, path: str, version: int | None,
+                 max_rows: int = 2_000_000):
         self.path = path
         self.version = version
+        self.max_rows = max_rows
         self.pushed = []  # single-column comparison filters
 
     def pushFilters(self, filters):
@@ -421,12 +477,17 @@ class _DeltaLiteReader(DataSourceReader):
             (f.name, json.loads(f.dataType.json())) for f in st.fields
         ]
         return [
-            _FilePartition(
-                self.path, rel, a.get("partitionValues"),
-                a.get("deletionVector"), fields, phys, pcols, ids=ids,
-            )
+            p
             for rel, a in sorted(snap["adds"].items())
             if self._may_match(a, st, phys, pcols)
+            for p in _split_partitions(
+                lambda s, rel=rel, a=a: _FilePartition(
+                    self.path, rel, a.get("partitionValues"),
+                    a.get("deletionVector"), fields, phys, pcols,
+                    ids=ids, split=s,
+                ),
+                a, self.max_rows,
+            )
         ]
 
     def read(self, partition):
@@ -560,11 +621,13 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str, ignore_changes: bool,
                  starting_version: int | None, schema=None,
-                 read_change_feed: bool = False):
+                 read_change_feed: bool = False,
+                 max_rows: int = 2_000_000):
         self.path = path
         self.ignore_changes = ignore_changes
         self.starting_version = starting_version
         self.read_change_feed = read_change_feed
+        self.max_rows = max_rows
         # the query's schema is FIXED at stream start; pin the emitted
         # columns to it so a mid-stream merge_schema evolution widens
         # future streams, not this one (new columns are simply not
@@ -612,14 +675,15 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
             for a in acts:
                 if "add" not in a or not a["add"].get("dataChange", True):
                     continue
-                parts.append(
-                    _FilePartition(
+                parts.extend(_split_partitions(
+                    lambda s, a=a: _FilePartition(
                         self.path, a["add"]["path"],
                         a["add"].get("partitionValues"),
-                        a["add"].get("deletionVector"), fields, phys, pcols,
-                        ids=ids,
-                    )
-                )
+                        a["add"].get("deletionVector"), fields, phys,
+                        pcols, ids=ids, split=s,
+                    ),
+                    a["add"], self.max_rows,
+                ))
         return parts
 
     def _cdf_partitions(self, lo: int, hi: int, fields, phys, pcols,
@@ -1301,14 +1365,22 @@ class DeltaLiteDataSource(DataSource):
             )
         return st
 
+    def _max_rows(self) -> int:
+        # one task per maxRowsPerTask rows of a file (planned from
+        # numRecords stats, resolved to row-group chunks in the task):
+        # a snapshot of few huge files fans out instead of riding one
+        # task per file. 0 disables splitting.
+        return int(self.options.get("maxrowspertask", 2_000_000))
+
     def reader(self, schema):
         v = self._version()
         if str(self.options.get("pushdown", "true")).lower() == "false":
             # escape hatch for sessions without
             # spark.sql.python.filterPushdown.enabled (Spark refuses a
             # reader that implements pushFilters when the conf is off)
-            return _DeltaLitePlainReader(self._path(), v)
-        return _DeltaLiteReader(self._path(), v)
+            return _DeltaLitePlainReader(self._path(), v,
+                                         max_rows=self._max_rows())
+        return _DeltaLiteReader(self._path(), v, max_rows=self._max_rows())
 
     def writer(self, schema, overwrite):
         """``df.write.format("delta_lite").mode("append"|"overwrite")
@@ -1342,4 +1414,5 @@ class DeltaLiteDataSource(DataSource):
             read_change_feed=str(
                 self.options.get("readchangefeed", "false")
             ).lower() == "true",
+            max_rows=self._max_rows(),
         )

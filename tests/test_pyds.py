@@ -1430,3 +1430,50 @@ class TestWriterOpenFileGuard:
             .save(p2)
         )
         assert spark.read.format("delta_lite").load(p2).count() == 500
+
+
+class TestRowGroupSplitting:
+    """maxRowsPerTask: one huge file fans out across tasks as
+    contiguous row-group chunks — counts, DV application, and sums
+    must be split-invariant."""
+
+    def test_split_parity_with_dv(self, registered, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            delete_rows_where,
+        )
+
+        spark = registered
+        p = str(tmp_path / "rg1")
+        d = spark.range(400_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+        )
+        write_delta(spark, p, d, commit_ts=100)  # one file
+        delete_rows_where(spark, p, "k % 100 = 0", commit_ts=200)
+        split = (
+            spark.read.format("delta_lite")
+            .option("maxRowsPerTask", "50000").load(p)
+        )
+        whole = (
+            spark.read.format("delta_lite")
+            .option("maxRowsPerTask", "0").load(p)
+        )
+        assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
+        a = split.agg(F.count("*"), F.sum("k"), F.sum("m")).collect()
+        b = whole.agg(F.count("*"), F.sum("k"), F.sum("m")).collect()
+        assert a == b
+        assert a[0][0] == 400_000 - 4_000
+
+    def test_more_splits_than_row_groups_is_lossless(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        p = str(tmp_path / "rg2")
+        write_delta(spark, p, spark.range(1000).select(
+            F.col("id").alias("k")
+        ), commit_ts=100)
+        df = (
+            spark.read.format("delta_lite")
+            .option("maxRowsPerTask", "10").load(p)
+        )  # ~100 planned splits over very few row groups
+        assert df.count() == 1000
+        assert df.agg(F.sum("k")).collect()[0][0] == 1000 * 999 // 2
