@@ -63,7 +63,7 @@ def _pure_spark_schema(meta: dict):
 
 class _IceFilePartition(InputPartition):
     def __init__(self, table_path, rel, seq, fields, pos_delete_rels,
-                 eq_deletes):
+                 eq_deletes, split=None):
         self.table_path = table_path
         self.rel = rel
         self.seq = int(seq or 0)
@@ -71,6 +71,24 @@ class _IceFilePartition(InputPartition):
         self.pos_delete_rels = pos_delete_rels  # [rel]
         # [(rel, seq, [equality col names])]
         self.eq_deletes = eq_deletes
+        # (i, n): read the i-th of n contiguous row-group chunks —
+        # how one huge file fans out across tasks (planned from the
+        # manifest's record_count; chunk bounds from the footer the
+        # task opens anyway)
+        self.split = split
+
+
+def _ice_splits(record_count, max_rows: int) -> list:
+    """Split specs for a file of ``record_count`` rows: [None] when it
+    fits one task, else [(i, n)] chunks."""
+    try:
+        rc = int(record_count or 0)
+    except (TypeError, ValueError):
+        rc = 0
+    if max_rows <= 0 or rc <= max_rows:
+        return [None]
+    n = -(-rc // max_rows)
+    return [(i, n) for i in range(n)]
 
 
 def _pa_type(tjson):
@@ -88,8 +106,25 @@ def _read_ice_partition(p: _IceFilePartition):
     fpath = os.path.join(p.table_path, p.rel)
     # schema evolution: pre-evolution files lack new columns — request
     # what exists, null-fill the rest below
-    have = set(pq.ParquetFile(fpath).schema_arrow.names)
-    tbl = pq.read_table(fpath, columns=[n for n in names if n in have])
+    pf = pq.ParquetFile(fpath)
+    have = set(pf.schema_arrow.names)
+    cols = [n for n in names if n in have]
+    split = getattr(p, "split", None)
+    row_offset = 0
+    if split is None:
+        tbl = pq.read_table(fpath, columns=cols)
+    else:
+        i, n = split
+        n_rg = pf.metadata.num_row_groups
+        lo = (n_rg * i) // n
+        hi = (n_rg * (i + 1)) // n
+        row_offset = sum(
+            pf.metadata.row_group(g).num_rows for g in range(lo)
+        )
+        if lo >= hi:
+            tbl = pf.schema_arrow.empty_table().select(cols)
+        else:
+            tbl = pf.read_row_groups(list(range(lo, hi)), columns=cols)
     base = os.path.basename(p.rel)
 
     if p.pos_delete_rels:
@@ -106,8 +141,9 @@ def _read_ice_partition(p: _IceFilePartition):
             dead.extend(pos[fp == base].tolist())
         if dead:
             mask = np.ones(tbl.num_rows, dtype=bool)
-            d = np.asarray(dead, dtype=np.int64)
-            mask[d[d < tbl.num_rows]] = False
+            d = np.asarray(dead, dtype=np.int64) - row_offset
+            d = d[(d >= 0) & (d < tbl.num_rows)]
+            mask[d] = False
             tbl = tbl.filter(pa.array(mask))
 
     for rel, dseq, cols in p.eq_deletes:
@@ -161,9 +197,11 @@ def _load_raw(table_path: str, rel: str, fields):
 
 
 class _IcebergLiteReader(DataSourceReader):
-    def __init__(self, path: str, snapshot_id: int | None):
+    def __init__(self, path: str, snapshot_id: int | None,
+                 max_rows: int = 2_000_000):
         self.path = path
         self.snapshot_id = snapshot_id
+        self.max_rows = max_rows
         self.pushed = []  # single-column comparison filters
 
     def pushFilters(self, filters):
@@ -295,13 +333,14 @@ class _IcebergLiteReader(DataSourceReader):
         return [
             _IceFilePartition(
                 self.path, f["file_path"], f.get("_seq"), fields,
-                pos_rels, eq,
+                pos_rels, eq, split=s,
             )
             for f in sorted(
                 snapshot_files(self.path, snapshot_id=self.snapshot_id),
                 key=lambda x: x["file_path"],
             )
             if self._may_match(f, meta, spec_by_src, id_types)
+            for s in _ice_splits(f.get("record_count"), self.max_rows)
         ]
 
     def read(self, partition):
@@ -431,12 +470,14 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, path: str, read_changelog: bool,
-                 from_snapshot_id: int | None, schema=None):
+                 from_snapshot_id: int | None, schema=None,
+                 max_rows: int = 2_000_000):
         import json as _json
 
         self.path = path
         self.read_changelog = read_changelog
         self.from_snapshot_id = from_snapshot_id
+        self.max_rows = max_rows
         meta_names = {"_change_type", "_snapshot_id", "_commit_timestamp"}
         self.pinned_fields = (
             [
@@ -540,10 +581,15 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
                         "change feed"
                     )
                 for f in sorted(added, key=lambda x: x["file_path"]):
-                    parts.append(_IceFilePartition(
-                        self.path, f["file_path"], f.get("_seq"),
-                        fields, [], [],
-                    ))
+                    parts.extend(
+                        _IceFilePartition(
+                            self.path, f["file_path"], f.get("_seq"),
+                            fields, [], [], split=s,
+                        )
+                        for s in _ice_splits(
+                            f.get("record_count"), self.max_rows
+                        )
+                    )
                 prev_files, prev_dels = cur_files, cur_dels
                 continue
 
@@ -686,11 +732,19 @@ class IcebergLiteDataSource(DataSource):
             return resolve_ref(self._path(), ref)
         return int(sid) if sid is not None else None
 
+    def _max_rows(self) -> int:
+        # one task per maxRowsPerTask rows of a data file (planned
+        # from the manifest record_count, resolved to row-group chunks
+        # in the task). 0 disables splitting.
+        return int(self.options.get("maxrowspertask", 2_000_000))
+
     def reader(self, schema):
         sid = self._snapshot()
         if str(self.options.get("pushdown", "true")).lower() == "false":
-            return _IcebergLitePlainReader(self._path(), sid)
-        return _IcebergLiteReader(self._path(), sid)
+            return _IcebergLitePlainReader(self._path(), sid,
+                                           max_rows=self._max_rows())
+        return _IcebergLiteReader(self._path(), sid,
+                                  max_rows=self._max_rows())
 
     def streamReader(self, schema):
         fs = self.options.get("fromsnapshotid")
@@ -700,6 +754,7 @@ class IcebergLiteDataSource(DataSource):
             == "true",
             int(fs) if fs is not None else None,
             schema=schema,
+            max_rows=self._max_rows(),
         )
 
     def writer(self, schema, overwrite):

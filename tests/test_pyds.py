@@ -1477,3 +1477,34 @@ class TestRowGroupSplitting:
         )  # ~100 planned splits over very few row groups
         assert df.count() == 1000
         assert df.agg(F.sum("k")).collect()[0][0] == 1000 * 999 // 2
+
+
+class TestIcebergRowGroupSplitting:
+    def test_split_parity_with_position_deletes(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg, write_iceberg,
+        )
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        p = str(tmp_path / "irg1")
+        d = spark.range(400_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+        )
+        write_iceberg(spark, p, d, commit_ts=100)  # one data file
+        delete_rows_where_iceberg(spark, p, "k % 100 = 0", commit_ts=200)
+        split = (
+            spark.read.format("iceberg_lite")
+            .option("maxRowsPerTask", "50000").load(p)
+        )
+        whole = (
+            spark.read.format("iceberg_lite")
+            .option("maxRowsPerTask", "0").load(p)
+        )
+        assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
+        a = split.agg(F.count("*"), F.sum("k"), F.sum("m")).collect()
+        b = whole.agg(F.count("*"), F.sum("k"), F.sum("m")).collect()
+        assert a == b
+        assert a[0][0] == 400_000 - 4_000
