@@ -188,12 +188,67 @@ HEADLINE = [
     "q399_iceberg_lite_stream_sink",
 ]
 
+# Transient infrastructure failures (VERDICT r8 item 1): the round-8
+# official bench returned rc=1 because ONE streaming query hit a
+# Python-worker spawn timeout under ambient load ("Timed out while
+# waiting for the Python worker to connect back") — a fork-latency
+# blip, not a query bug (the same query passed 5/5 in the quiet-window
+# re-run). Such failures get ONE retry, annotated in the sidecar as
+# transient_retries so a real failure still fails and an annotated
+# retry is auditable.
+TRANSIENT_MARKERS = (
+    "Timed out while waiting for the Python worker to connect back",
+    "Python worker failed to connect back",
+    "Python worker exited unexpectedly",
+    "Failed to open socket to Python daemon",
+)
+
+
+def is_transient_worker_failure(exc: BaseException) -> bool:
+    """True iff the exception (or its chained causes) carries a
+    Python-worker spawn/connect failure signature. Py4JJavaError and
+    StreamingQueryException stringify with the full JVM cause chain, so
+    substring match over str() sees nested SocketTimeoutExceptions."""
+    seen = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        s = str(e)
+        if any(m in s for m in TRANSIENT_MARKERS):
+            return True
+        e = e.__cause__ or e.__context__
+    return False
+
+
+def run_with_transient_retry(fn, *, retries: int = 1, on_retry=None):
+    """Run fn(); retry up to `retries` times ONLY for transient
+    worker-spawn failures (is_transient_worker_failure). Any other
+    exception — or a transient one past the budget — propagates, so a
+    deterministic failure still fails the bench."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered below
+            if attempt < retries and is_transient_worker_failure(e):
+                attempt += 1
+                if on_retry is not None:
+                    on_retry(e)
+                continue
+            raise
+
+
 N_RUNS = 3          # base runs per query (VERDICT r2 item 1)
 N_RUNS_NOISY = 5    # total runs for queries whose 3-run spread > ...
 SPREAD_FLAG = 1.5   # ... this ratio (VERDICT r5 item 3)
 N_RUNS_MAX = 9      # escalation cap for stubborn >2x spreads ...
 SPREAD_HARD = 2.0   # ... (VERDICT r6 item 6: median-of-7+ before
                     # conceding a query's spread to ambient load)
+
+# VERDICT r8 item 7: q125/q26 regressed >1.4x on r8 medians with large
+# raw spreads (first-run warmup / ambient). Force them straight to
+# median-of-9 every round so the round-over-round comparison is clean.
+FORCE_ESCALATE = {"q125_ivf_pq_topk", "q26_bootstrap_hash"}
 
 
 def materialize(df) -> None:
@@ -237,12 +292,25 @@ def main() -> None:
 
     from statistics import median
 
-    def one_run(fn) -> tuple[float, object]:
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        materialize(df)
-        return time.time() - t0, df
+    transient_retries: dict[str, int] = {}
+
+    def one_run(name: str) -> tuple[float, object]:
+        def attempt() -> tuple[float, object]:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = registry.QUERIES[name](spark, sf_dir)
+            materialize(df)
+            return time.time() - t0, df
+
+        def note(e: BaseException) -> None:
+            transient_retries[name] = transient_retries.get(name, 0) + 1
+            print(
+                f"# {name}: transient worker-spawn failure, retrying "
+                f"once ({type(e).__name__})",
+                file=sys.stderr,
+            )
+
+        return run_with_transient_retry(attempt, retries=1, on_retry=note)
 
     # Base runs are ROUND-ROBIN over the whole headline (pass 1 of
     # every query, then pass 2, then pass 3) — a time-localized ambient
@@ -256,7 +324,7 @@ def main() -> None:
     nrows: dict[str, int] = {}
     for i in range(N_RUNS):
         for name in HEADLINE:
-            dt, df = one_run(registry.QUERIES[name])
+            dt, df = one_run(name)
             all_runs[name].append(dt)
             if i == 0:
                 nrows[name] = df.count()  # row count untimed, once
@@ -266,12 +334,15 @@ def main() -> None:
     # runs of one query
     flagged = [
         n for n in HEADLINE
-        if min(all_runs[n]) > 0
-        and max(all_runs[n]) / min(all_runs[n]) > SPREAD_FLAG
+        if (
+            min(all_runs[n]) > 0
+            and max(all_runs[n]) / min(all_runs[n]) > SPREAD_FLAG
+        )
+        or n in FORCE_ESCALATE
     ]
     for _ in range(N_RUNS_NOISY - N_RUNS):
         for name in flagged:
-            all_runs[name].append(one_run(registry.QUERIES[name])[0])
+            all_runs[name].append(one_run(name)[0])
 
     def trimmed_spread(runs: list[float]) -> float:
         rs = sorted(runs)
@@ -289,14 +360,17 @@ def main() -> None:
         stubborn = [
             n for n in HEADLINE
             if len(all_runs[n]) < N_RUNS_MAX
-            and trimmed_spread(all_runs[n]) > SPREAD_HARD
+            and (
+                trimmed_spread(all_runs[n]) > SPREAD_HARD
+                or n in FORCE_ESCALATE
+            )
         ]
         if not stubborn:
             break
         for _ in range(2):
             for name in stubborn:
                 if len(all_runs[name]) < N_RUNS_MAX:
-                    all_runs[name].append(one_run(registry.QUERIES[name])[0])
+                    all_runs[name].append(one_run(name)[0])
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -323,17 +397,17 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,
-            "n_queries": len(timings),
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    if transient_retries:
+        payload["transient_retries"] = transient_retries
+    line = json.dumps(payload, separators=(",", ":"))
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_SPREAD.json"), "w") as f:
         json.dump(
@@ -345,6 +419,11 @@ def main() -> None:
                 # window overlapped most of the session — do not read a
                 # round-over-round regression from these
                 "ambient_suspect": sorted(ambient_suspect),
+                # queries that hit a transient Python-worker spawn
+                # failure and were retried once (VERDICT r8 item 1);
+                # the retry count is per query, audit trail for the
+                # run that replaced the crash
+                "transient_retries": transient_retries,
                 "runs": {k: [round(v, 3) for v in vs]
                          for k, vs in all_runs.items()},
             },

@@ -31,6 +31,21 @@ def get_spark(
         # Python data-source filter pushdown (delta_lite prunes files
         # by partition value / log stats inside pushFilters)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Python-worker spawn headroom (VERDICT r8 item 1): the round-8
+        # official bench died with "Timed out while waiting for the
+        # Python worker to connect back" (SocketTimeoutException in
+        # PythonWorkerFactory) while a streaming query was INITIALIZING
+        # under sustained ambient load. The accept/auth socket default
+        # is 15s; a loaded 32-core box forking a fresh daemon can
+        # genuinely exceed that. 120s trades a slower failure on a real
+        # hang for not zeroing a 135-query bench on one slow fork.
+        .config("spark.python.authenticate.socketTimeout", "120s")
+        # reuse is the default, but it is THE mitigation (fork once per
+        # executor, not per task) — pin it explicitly.
+        .config("spark.python.worker.reuse", "true")
+        # On a genuine worker crash, dump the Python faulthandler
+        # traceback into the JVM-side error instead of a bare EOF.
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Keep broadcast threshold default (10MB) — dims here are tiny.
         .config("spark.ui.enabled", "false")
