@@ -37,6 +37,7 @@ other engines write.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -331,9 +332,31 @@ def _phys_cols(cols_logical, phys: dict, ids: dict | None):
     return out
 
 
-def _enable_field_id_writes(spark, ids: dict | None) -> None:
-    if ids:
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+@contextlib.contextmanager
+def _field_id_write_conf(df: DataFrame):
+    """Scoped enable of parquet field-id persistence for ONE write.
+
+    ``spark.sql.parquet.fieldId.write.enabled`` only matters when the
+    written schema carries ``parquet.field.id`` metadata (our
+    columnMapping staging frames, via :func:`_phys_cols`); detect that
+    from the frame itself, set the conf around the eager write, and
+    RESTORE the prior value — a permanent session-wide set leaked into
+    unrelated parquet writes for the rest of the session (ADVICE r8)."""
+    needs = any(
+        "parquet.field.id" in (f.metadata or {})
+        for f in df.schema.fields
+    )
+    if not needs:
+        yield
+        return
+    spark = df.sparkSession
+    key = "spark.sql.parquet.fieldId.write.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
 
 
 def _typed_partition_lit(raw: str | None, dtype):
@@ -408,6 +431,28 @@ def read_delta(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
+    # Filtered reads of CHECKPOINTED tables route through the
+    # DataFrame-native planner by default (VERDICT r8 item 4): a
+    # checkpoint is the many-file regime's artifact, and there the
+    # dict fold would materialize the FULL file list on the driver
+    # just to throw most of it away; read_delta_pruned prunes as a
+    # distributed filter over the checkpoint parquet and collects
+    # survivors only. Semantics are identical (same conservative
+    # keep-on-null stats contract). Unfiltered reads and
+    # checkpoint-less (small) tables keep the cheaper dict fold.
+    if (partition_filter or stats_filter) \
+            and _read_last_checkpoint(path) is not None:
+        if timestamp is not None:
+            # pruned path addresses versions; resolve timestampAsOf
+            # through the same newest-commit-<=-ts rule
+            version = load_snapshot(
+                spark, path, timestamp=timestamp
+            ).version
+        return read_delta_pruned(
+            spark, path, version=version,
+            partition_filter=partition_filter, stats_filter=stats_filter,
+        )
+
     snap = load_snapshot(spark, path, version=version, timestamp=timestamp)
     snap.check_reader_support()
     schema = snap.schema()
@@ -448,32 +493,21 @@ def _assemble_scan(
     one pruned parquet read per partition tuple with typed partition
     literals attached, DV positions anti-joined distributed.
 
-    ``ids`` (columnMapping.mode='id'): the read schema carries
-    ``parquet.field.id`` metadata and Spark's field-id resolution is
-    enabled, so columns resolve by the PARQUET FIELD ID the protocol
-    mandates for 'id' mode — physical names in the files are then
-    advisory only."""
+    ``ids`` (columnMapping.mode='id'): columns resolve by the PARQUET
+    FIELD ID the protocol mandates for 'id' mode. Resolution is done
+    HERE from each file's footer (field id -> that file's column name;
+    metadata physicalName is the fallback for footers without ids) so
+    the read needs no ``spark.sql.parquet.fieldId.read.enabled``
+    session mutation — that conf is consumed at EXECUTION time, so a
+    set here would have to leak session-wide to keep the lazy frame
+    readable, changing how every later parquet read in the session
+    resolves columns (ADVICE r8). Footer sniffs are one driver-side
+    metadata read per add file, only for 'id'-mode tables, bounded by
+    the same ``adds`` list that already lives on the driver."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
-    if ids:
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        data_schema = StructType(
-            [
-                StructField(
-                    phys[f.name], f.dataType, f.nullable,
-                    {"parquet.field.id": ids[f.name]}
-                    if f.name in ids else None,
-                )
-                for f in data_fields
-            ]
-        )
-    else:
-        data_schema = StructType(
-            [StructField(phys[f.name], f.dataType, f.nullable)
-             for f in data_fields]
-        )
     if not adds:
         return spark.createDataFrame([], schema).select(
             *[f.name for f in schema.fields]
@@ -481,18 +515,53 @@ def _assemble_scan(
 
     has_dv = any(a.get("deletionVector") for a in adds)
 
-    # group by partition tuple; one scan per group with typed literals
+    default_names = tuple(phys[f.name] for f in data_fields)
+    if ids:
+        import pyarrow.parquet as _pq
+
+        def _footer_names(fp: str) -> tuple:
+            try:
+                sch = _pq.read_schema(fp)
+            except Exception:
+                return default_names
+            by_id: dict[int, str] = {}
+            for i in range(len(sch.names)):
+                fld = sch.field(i)
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    try:
+                        by_id[int(fid)] = fld.name
+                    except ValueError:
+                        pass
+            return tuple(
+                by_id.get(ids[f.name], phys[f.name]) if f.name in ids
+                else phys[f.name]
+                for f in data_fields
+            )
+
+    # group by (partition tuple, per-file physical names); one scan per
+    # group with typed literals — files whose footers spell the same
+    # field differently (renames across engines) land in separate scans
     by_part: dict[tuple, list[str]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(phys.get(c, c)) for c in pcols)
-        by_part.setdefault(key, []).append(os.path.join(path, a["path"]))
+        fp = os.path.join(path, a["path"])
+        pnames = _footer_names(fp) if ids else default_names
+        key = (tuple(pv.get(phys.get(c, c)) for c in pcols), pnames)
+        by_part.setdefault(key, []).append(fp)
 
     pieces = []
     ptypes = {f.name: f.dataType for f in schema.fields}
-    for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+    for (key, pnames), files in sorted(
+        by_part.items(), key=lambda kv: str(kv[0])
+    ):
+        data_schema = StructType(
+            [StructField(pn, f.dataType, f.nullable)
+             for pn, f in zip(pnames, data_fields)]
+        )
         df = spark.read.schema(data_schema).parquet(*files)
-        sel = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        sel = [F.col(pn).alias(f.name)
+               for pn, f in zip(pnames, data_fields)]
         if has_dv:
             sel += [
                 F.element_at(
@@ -748,11 +817,16 @@ def read_delta_pruned(
         dtypes = {f.name: f.dataType for f in schema.fields}
         for c, (lo, hi) in stats_filter.items():
             pc_ = phys.get(c, c)
+            # bracket-quoted path: column-mapped physical names are
+            # 'col-<hex>' and a hyphen (or dot) is invalid in an
+            # unquoted JSON path — $.minValues.col-ab12 returns null
+            # and keep-on-null would silently disable stats pruning on
+            # exactly the mapped tables this path targets (ADVICE r8)
             mn = F.get_json_object(
-                "stats", f"$.minValues.{pc_}"
+                "stats", f"$['minValues']['{pc_}']"
             ).cast(dtypes[c])
             mx = F.get_json_object(
-                "stats", f"$.maxValues.{pc_}"
+                "stats", f"$['maxValues']['{pc_}']"
             ).cast(dtypes[c])
             # a file is kept unless PROVABLY disjoint on this column
             cond = F.col("stats").isNull() | mn.isNull() | mx.isNull()
@@ -1093,7 +1167,6 @@ def write_delta(
 
     stage_df, stage_pcol = df, partition_col
     if phys_map:
-        _enable_field_id_writes(spark, ids_map)
         stage_df = df.select(*_phys_cols(
             [f.name for f in schema.fields], phys_map, ids_map
         ))
@@ -1658,7 +1731,6 @@ def delete_rows_where(
             .filter(f"NOT ({predicate})")
             .select(*cols)
         )
-        _enable_field_id_writes(spark, snap.field_ids())
         stage_df = survivors.select(
             *_phys_cols(cols, phys, snap.field_ids())
         )
@@ -1897,7 +1969,6 @@ def update_rows_where(
                 {"remove": {"path": rel, "deletionTimestamp": commit_ts,
                             "dataChange": True}}
             )
-    _enable_field_id_writes(spark, snap.field_ids())
     stage_df = new_rows.select(*_phys_cols(cols, phys, snap.field_ids()))
     data_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable)
@@ -2071,7 +2142,8 @@ def _write_single_parquet(df: DataFrame, dest: str):
     import shutil
 
     tmp = dest + f".__tmp_{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(tmp)
+    with _field_id_write_conf(df):
+        df.write.mode("overwrite").parquet(tmp)
     parts = [
         p for p in os.listdir(tmp) if p.endswith(".parquet") and p.startswith("part-")
     ]
@@ -2173,7 +2245,6 @@ def optimize_zorder(
 
     from pyspark.sql.types import StructField, StructType
 
-    _enable_field_id_writes(spark, snap.field_ids())
     stage_cols = _phys_cols(names, phys, snap.field_ids())
     data_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable)
@@ -2820,7 +2891,6 @@ def _merge_commit_tail(
 
     # stage under physical names, one job (the write_delta shape)
     new_version = snap.version + 1
-    _enable_field_id_writes(spark, snap.field_ids())
     stage_df = new_rows.select(*_phys_cols(cols, phys, snap.field_ids()))
     data_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable)
@@ -3321,12 +3391,13 @@ def _stage_partitioned(
     from pyspark.sql import functions as F
 
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    (
-        df.repartition(F.col(pcol))
-        .write.partitionBy(pcol)
-        .mode("overwrite")
-        .parquet(stage)
-    )
+    with _field_id_write_conf(df):
+        (
+            df.repartition(F.col(pcol))
+            .write.partitionBy(pcol)
+            .mode("overwrite")
+            .parquet(stage)
+        )
     staged = sorted(
         _glob.glob(os.path.join(stage, f"{pcol}=*", "part-*.parquet"))
     )

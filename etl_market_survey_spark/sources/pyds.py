@@ -1154,7 +1154,18 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                 )
             version = cur["version"] + 1
         else:
-            version = (cur["version"] + 1) if cur is not None else 0
+            if cur is None:
+                # Table existed at plan time (creating is False) but
+                # the log is gone at commit time: committing version 0
+                # with only add actions would publish a log with no
+                # metaData/protocol — a corrupt table every subsequent
+                # read rejects (ADVICE r8). Mirror the stream writer's
+                # "table disappeared under the stream" guard.
+                raise DeltaConcurrentWriteError(
+                    f"table {self.path} disappeared between append "
+                    "planning and commit"
+                )
+            version = cur["version"] + 1
         for rel, pv, stats, size in staged:
             actions.append(
                 {

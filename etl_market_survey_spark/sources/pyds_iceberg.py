@@ -856,6 +856,7 @@ class _IcebergLiteWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from urllib.parse import quote
 
         from .iceberg import _pv_caster_ice
         from .iceberg_transforms import transform_value
@@ -885,10 +886,21 @@ class _IcebergLiteWriter(DataSourceArrowWriter):
                         f"{pcol!r} before writing (or raise the "
                         "maxOpenFiles option)"
                     )
-                rel = (
-                    f"data/{pfield}={pv}/{uuid.uuid4().hex}.parquet"
-                    if pcol else f"data/{uuid.uuid4().hex}.parquet"
-                )
+                # URL-quote the partition value exactly as
+                # _DeltaLiteWriter does: a raw string value containing
+                # '/', '..' or '=' would otherwise escape the intended
+                # directory or produce a malformed layout (manifests
+                # still resolve the file, but the on-disk layout and
+                # orphan-file accounting break) — ADVICE r8. None maps
+                # to the Hive null-partition sentinel.
+                if pcol:
+                    pdir = (
+                        "__HIVE_DEFAULT_PARTITION__" if pv is None
+                        else quote(str(pv), safe="")
+                    )
+                    rel = f"data/{pfield}={pdir}/{uuid.uuid4().hex}.parquet"
+                else:
+                    rel = f"data/{uuid.uuid4().hex}.parquet"
                 dest = os.path.join(self.path, rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 st = [None, rel, pv, 0, {c: [None, None] for c in

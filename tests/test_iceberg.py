@@ -1113,6 +1113,40 @@ class TestDeleteRowsWhereIceberg:
         assert by_snap[sd1] == {0, 10, 20}
         assert by_snap[sd2] == {5, 15, 25}  # NOT 0/10/20 again
 
+    def test_large_match_writes_multiple_sorted_delete_files(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """VERDICT r8 item 2: a large match must fan the position-
+        delete write out across range partitions — several spec-sorted
+        delete files, one sort task each — instead of orderBy().
+        coalesce(1)'s single task sorting every matched position. Each
+        file must individually be sorted by (file_path, pos) per the
+        spec, and the table must read identically after."""
+        import pyarrow.parquet as pq
+
+        from etl_market_survey_spark.sources import iceberg as ice
+
+        path = str(tmp_path / "idw_multi")
+        df = spark.range(2000).selectExpr("id as k", "id * 2 as v")
+        ice.write_iceberg(spark, path, df.repartition(4), commit_ts=100)
+        monkeypatch.setattr(ice, "_DELETE_ROWS_PER_FILE", 300)
+        ice.delete_rows_where_iceberg(spark, path, "k % 2 = 0",
+                                      commit_ts=200)
+        dels = [f for f in ice.snapshot_delete_files(path)
+                if f.get("content") == 1]
+        assert len(dels) >= 3  # 1000 matches / 300 per file
+        total = 0
+        for f in dels:
+            t = pq.read_table(os.path.join(path, f["file_path"]))
+            rows = list(zip(t.column("file_path").to_pylist(),
+                            t.column("pos").to_pylist()))
+            assert rows == sorted(rows)  # spec: sorted per FILE
+            assert len(rows) == f["record_count"]
+            total += len(rows)
+        assert total == 1000
+        left = {r["k"] for r in ice.read_iceberg(spark, path).collect()}
+        assert left == {k for k in range(2000) if k % 2 == 1}
+
     def test_noop_when_nothing_matches(self, spark, tmp_path):
         from etl_market_survey_spark.sources.iceberg import (
             delete_rows_where_iceberg, table_history, write_iceberg,
@@ -1544,11 +1578,14 @@ class TestRemoveOrphanFiles:
         for f in (orphan_data, orphan_meta):
             with open(f, "wb") as fh:
                 fh.write(b"debris")
-        listed = remove_orphan_files(p, dry_run=True)
+        # ADVICE r8: default grace is now-3d (real Iceberg's default) —
+        # freshly staged debris is protected, even in dry_run listing
+        assert remove_orphan_files(p, dry_run=True) == []
+        listed = remove_orphan_files(p, dry_run=True, force=True)
         assert set(listed) == {
             "data/deadbeef-orphan.parquet", "metadata/manifest-orphan.avro"
         }
-        deleted = remove_orphan_files(p)
+        deleted = remove_orphan_files(p, force=True)
         assert set(deleted) == set(listed)
         assert not os.path.exists(orphan_data)
         assert not os.path.exists(orphan_meta)
@@ -1574,3 +1611,11 @@ class TestRemoveOrphanFiles:
         cutoff = int((time.time() - 3600) * 1000)  # 1h ago
         assert remove_orphan_files(p, older_than_ms=cutoff) == []
         assert os.path.exists(fresh)
+        # the DEFAULT cutoff (now-3d) guards an in-flight writer's
+        # staged parquet the same way — the concurrent _IcebergLiteWriter
+        # stages under data/ before the metadata publish (ADVICE r8)
+        assert remove_orphan_files(p) == []
+        assert os.path.exists(fresh)
+        # force sweeps it regardless of age
+        assert remove_orphan_files(p, force=True) == ["data/inflight.parquet"]
+        assert not os.path.exists(fresh)
