@@ -186,6 +186,8 @@ HEADLINE = [
     "q397_delta_pruned_state",
     "q398_delta_lite_stream_sink",
     "q399_iceberg_lite_stream_sink",
+    # r9: DataFrame-native Iceberg manifest planning (q397's twin)
+    "q400_iceberg_pruned_state",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

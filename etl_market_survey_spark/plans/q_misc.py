@@ -6423,3 +6423,57 @@ def q399_iceberg_lite_stream_sink(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q400 — DataFrame-native Iceberg manifest planning (sources/iceberg
+# .read_iceberg_pruned): the q397 twin for the Avro-manifest format —
+# the driver reads ONE manifest list, each manifest decodes inside its
+# own Arrow task (snapshot_files_df_iceberg), partition pruning is
+# transform-aware Catalyst filters over the entry's partition_json,
+# stats pruning casts bounds_json through the column type, and only
+# the SURVIVING entries reach the driver. The gate reads a
+# multi-commit, identity-partitioned, position-delete-carrying table
+# through the pruned path: a planner that dropped v2 sequence-number
+# inheritance, pruned a delete manifest, or mis-cast a bound breaks
+# the hash against the same closed-form oracle as q397.
+# ---------------------------------------------------------------------------
+
+
+@register("q400_iceberg_pruned_state", _Q397_ORACLE)
+def q400_iceberg_pruned_state(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_rows_where_iceberg,
+        read_iceberg_pruned,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_iceprunedstate_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    write_iceberg(spark, path, o.filter(F.col("k") % 2 == 0),
+                  partition_col="pr", commit_ts=100)
+    write_iceberg(spark, path, o.filter(F.col("k") % 2 == 1),
+                  partition_col="pr", commit_ts=200)
+    delete_rows_where_iceberg(spark, path, "k % 7 = 0", commit_ts=300)
+
+    cur = read_iceberg_pruned(
+        spark, path,
+        partition_filter={"pr": ["1-URGENT", "3-MEDIUM"]},
+    )
+    return (
+        cur.filter(F.col("pr").isin("1-URGENT", "3-MEDIUM"))
+        .groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -402,42 +402,9 @@ def read_iceberg(
     pos_deletes = [f for f in delete_files if f.get("content") == 1]
     eq_deletes = [f for f in delete_files if f.get("content") == 2]
     if partition_filter:
-        # TRANSFORM-AWARE pruning: a filter keyed by the SOURCE column
-        # of a transformed spec field (bucket/truncate/days) has the
-        # spec transform applied to its values, so callers filter by
-        # the values they know — hidden partitioning's whole point.
-        # Filters keyed by the partition FIELD name compare raw.
-        meta0 = _load_metadata(path)
-        spec_fields = [
-            f for sp in (meta0.get("partition-specs") or [{}])
-            for f in sp.get("fields", [])
-        ]
-        sfields = (
-            meta0.get("schema") or (meta0.get("schemas") or [{}])[0]
-        ).get("fields", [])
-        id2name = {f["id"]: f["name"] for f in sfields}
-        id2type = {f["id"]: f["type"] for f in sfields}
-        resolved: dict[str, set] = {}
-        for k, vals in partition_filter.items():
-            fld = next((sf for sf in spec_fields if sf["name"] == k), None)
-            if fld is None:
-                fld = next(
-                    (sf for sf in spec_fields
-                     if id2name.get(sf["source-id"]) == k),
-                    None,
-                )
-                if fld is None:
-                    raise ValueError(
-                        f"{k!r} matches no partition field or source "
-                        f"column of the partition spec"
-                    )
-                kind, param = parse_transform(fld["transform"])
-                vals = [
-                    transform_value(kind, param, v,
-                                    id2type[fld["source-id"]])
-                    for v in vals
-                ]
-            resolved[fld["name"]] = set(vals)
+        resolved = _resolve_partition_filter(
+            _load_metadata(path), partition_filter
+        )
         files = [
             f for f in files
             if all(
@@ -462,13 +429,260 @@ def read_iceberg(
             return True
 
         files = [f for f in files if survives(f)]
+    return _assemble_iceberg_scan(
+        spark, path, _load_metadata(path), files, pos_deletes, eq_deletes
+    )
+
+
+def snapshot_files_df_iceberg(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Manifest ENTRIES as a DATAFRAME — the planning path for tables
+    whose data-file count outgrows a driver loop, mirroring
+    :func:`..deltalog.snapshot_files_df` (q397). The driver reads ONE
+    manifest list (rows = #manifests, log-scale smaller than #files);
+    each manifest decodes inside its own Arrow task via the library's
+    avro reader; pruning then runs as Catalyst filters and only
+    SURVIVORS are ever collected.
+
+    Columns: ``file_path``, ``m_content`` (manifest: 0 data/1 deletes),
+    ``content`` (data_file: 0 data/1 pos-delete/2 eq-delete),
+    ``record_count``, ``file_size_in_bytes``, ``partition_json`` (the
+    spec-typed tuple as JSON), ``bounds_json``, ``equality_ids``,
+    ``_seq`` (v2 sequence-number inheritance applied)."""
     meta = _load_metadata(path)
+    snap = _select_snapshot(meta, snapshot_id, as_of_ms)
+    _, manifests = read_avro_records(
+        os.path.join(path, snap["manifest-list"])
+    )
+    ddl = (
+        "file_path string, m_content int, content int, "
+        "record_count long, file_size_in_bytes long, "
+        "partition_json string, bounds_json string, "
+        "equality_ids array<int>, _seq long"
+    )
+    rows = [
+        (
+            os.path.join(path, m["manifest_path"]),
+            int(m.get("content") or 0),
+            int(m.get("sequence_number") or 0),
+        )
+        for m in manifests
+    ]
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    mdf = spark.createDataFrame(
+        rows, "m_path string, m_content int, m_seq long"
+    ).repartition(min(len(rows), 32))
+
+    def decode(batches):
+        import json as _json
+
+        import pandas as pd
+
+        # absolute import: this closure executes in the Python worker
+        from etl_market_survey_spark.sources.avro import (
+            read_avro_records as _read,
+        )
+
+        names = [
+            "file_path", "m_content", "content", "record_count",
+            "file_size_in_bytes", "partition_json", "bounds_json",
+            "equality_ids", "_seq",
+        ]
+        for pdf in batches:
+            out: dict[str, list] = {n: [] for n in names}
+            for m_path, m_content, m_seq in zip(
+                pdf["m_path"], pdf["m_content"], pdf["m_seq"]
+            ):
+                _, entries = _read(m_path)
+                for e in entries:
+                    if e["status"] == 2:  # DELETED entry
+                        continue
+                    d = e["data_file"]
+                    seq = e.get("sequence_number")
+                    out["file_path"].append(d["file_path"])
+                    out["m_content"].append(int(m_content))
+                    out["content"].append(int(d.get("content") or 0))
+                    out["record_count"].append(int(d["record_count"]))
+                    out["file_size_in_bytes"].append(
+                        int(d["file_size_in_bytes"])
+                    )
+                    p = d.get("partition")
+                    out["partition_json"].append(
+                        None if p is None
+                        else _json.dumps(p, default=str)
+                    )
+                    out["bounds_json"].append(d.get("bounds_json"))
+                    out["equality_ids"].append(d.get("equality_ids"))
+                    out["_seq"].append(
+                        int(m_seq) if seq is None else int(seq)
+                    )
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    return mdf.mapInPandas(decode, _parse_datatype_string(ddl))
+
+
+def read_iceberg_pruned(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, list] | None = None,
+    stats_filter: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """:func:`read_iceberg` for MANY-FILE tables: manifest state stays
+    a DataFrame (:func:`snapshot_files_df_iceberg`) and file pruning
+    runs as distributed filters — partition values against the entry's
+    ``partition_json`` (transform-aware, same resolution as
+    ``read_iceberg``), stats ranges against ``bounds_json`` cast to the
+    column's type (the conservative keep-on-null contract). Only
+    SURVIVING entries reach the driver. One semantic delta vs the
+    driver loop, conservative by construction: a partition field whose
+    VALUE is null is kept (the dict loop prunes it) — fewer prunes,
+    never a wrong answer. Delete-file entries are metadata-sized and
+    collected unpruned, as in ``read_iceberg``."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(path)
+    entries = snapshot_files_df_iceberg(
+        spark, path, snapshot_id=snapshot_id
+    )
+    data = entries.filter(
+        (F.col("m_content") == 0) & (F.col("content") == 0)
+    )
+    if partition_filter:
+        for k, vals in _resolve_partition_filter(
+            meta, partition_filter
+        ).items():
+            pv = F.get_json_object("partition_json", f"$['{k}']")
+            data = data.filter(
+                pv.isNull()  # older-spec file or null value: keep
+                | pv.isin([str(v) for v in vals])
+            )
+    if stats_filter:
+        sfields = (
+            meta.get("schema") or (meta.get("schemas") or [{}])[0]
+        ).get("fields", [])
+        dtypes = {
+            f["name"]: _ICE_TO_SPARK.get(f["type"], "string")
+            for f in sfields
+            if isinstance(f.get("type"), str)
+        }
+        for c, (lo, hi) in stats_filter.items():
+            t = dtypes.get(c, "string")
+            mn = F.get_json_object("bounds_json", f"$['{c}'][0]").cast(t)
+            mx = F.get_json_object("bounds_json", f"$['{c}'][1]").cast(t)
+            keep = F.col("bounds_json").isNull() | mn.isNull() | mx.isNull()
+            disjoint = F.lit(False)
+            if hi is not None:
+                disjoint = disjoint | (mn > F.lit(hi))
+            if lo is not None:
+                disjoint = disjoint | (mx < F.lit(lo))
+            data = data.filter(keep | ~disjoint)
+
+    import json as _json
+
+    def to_entry(r) -> dict:
+        return {
+            "file_path": r["file_path"],
+            "content": r["content"],
+            "record_count": r["record_count"],
+            "file_size_in_bytes": r["file_size_in_bytes"],
+            "partition": (
+                None if r["partition_json"] is None
+                else _json.loads(r["partition_json"])
+            ),
+            "bounds_json": r["bounds_json"],
+            "equality_ids": (
+                list(r["equality_ids"])
+                if r["equality_ids"] is not None else None
+            ),
+            "_seq": r["_seq"],
+        }
+
+    # ONE decode job for both halves: data survivors + (metadata-sized,
+    # unpruned) delete entries collect together, split driver-side
+    rows = data.unionByName(
+        entries.filter(F.col("m_content") == 1)
+    ).collect()  # SURVIVORS only
+    files = [to_entry(r) for r in rows if r["m_content"] == 0]
+    dels = [to_entry(r) for r in rows if r["m_content"] == 1]
+    pos_deletes = [f for f in dels if f.get("content") == 1]
+    eq_deletes = [f for f in dels if f.get("content") == 2]
+    return _assemble_iceberg_scan(
+        spark, path, meta, files, pos_deletes, eq_deletes
+    )
+
+
+def _resolve_partition_filter(
+    meta: dict, partition_filter: dict[str, list]
+) -> dict[str, set]:
+    """TRANSFORM-AWARE filter resolution: a filter keyed by the SOURCE
+    column of a transformed spec field (bucket/truncate/days) has the
+    spec transform applied to its values, so callers filter by the
+    values they know — hidden partitioning's whole point. Filters keyed
+    by the partition FIELD name compare raw. Returns
+    {partition field name -> allowed value set}."""
+    spec_fields = [
+        f for sp in (meta.get("partition-specs") or [{}])
+        for f in sp.get("fields", [])
+    ]
+    sfields = (
+        meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    ).get("fields", [])
+    id2name = {f["id"]: f["name"] for f in sfields}
+    id2type = {f["id"]: f["type"] for f in sfields}
+    resolved: dict[str, set] = {}
+    for k, vals in partition_filter.items():
+        fld = next((sf for sf in spec_fields if sf["name"] == k), None)
+        if fld is None:
+            fld = next(
+                (sf for sf in spec_fields
+                 if id2name.get(sf["source-id"]) == k),
+                None,
+            )
+            if fld is None:
+                raise ValueError(
+                    f"{k!r} matches no partition field or source "
+                    f"column of the partition spec"
+                )
+            kind, param = parse_transform(fld["transform"])
+            vals = [
+                transform_value(kind, param, v,
+                                id2type[fld["source-id"]])
+                for v in vals
+            ]
+        resolved[fld["name"]] = set(vals)
+    return resolved
+
+
+def _assemble_iceberg_scan(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    files: list[dict],
+    pos_deletes: list[dict],
+    eq_deletes: list[dict],
+) -> DataFrame:
+    """The scan half shared by :func:`read_iceberg` (driver-pruned) and
+    :func:`read_iceberg_pruned` (DataFrame-pruned): surviving data-file
+    entries -> one pruned parquet read, v2 deletes anti-joined
+    distributed."""
+    from pyspark.sql import functions as F
+
     schema = _spark_schema(meta)
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f["file_path"]) for f in files]
     df = spark.read.schema(schema).parquet(*paths)
-    if not delete_files:
+    if not pos_deletes and not eq_deletes:
         return df
     cols = df.columns
     # attach file identity ONCE at the scan (``_metadata`` only
