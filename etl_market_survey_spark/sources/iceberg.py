@@ -397,6 +397,25 @@ def read_iceberg(
         if snapshot_id is not None or as_of_ms is not None:
             raise ValueError("pass ref OR snapshot_id/as_of_ms, not both")
         snapshot_id = resolve_ref(path, ref)
+    if partition_filter or stats_filter:
+        # Filtered reads of MANY-MANIFEST tables route through the
+        # DataFrame-native planner by default (mirrors read_delta's
+        # checkpoint rule): past the threshold the driver loop decodes
+        # every manifest just to throw most entries away, while the
+        # pruned path decodes them in executor tasks and collects
+        # survivors only. The manifest-list read is one small avro
+        # file — the same read snapshot_files starts with.
+        meta0 = _load_metadata(path)
+        snap0 = _select_snapshot(meta0, snapshot_id, as_of_ms)
+        _, mans = read_avro_records(
+            os.path.join(path, snap0["manifest-list"])
+        )
+        if len(mans) >= _PRUNED_PLANNING_MANIFESTS:
+            return read_iceberg_pruned(
+                spark, path, snapshot_id=snap0["snapshot-id"],
+                partition_filter=partition_filter,
+                stats_filter=stats_filter,
+            )
     files = snapshot_files(path, snapshot_id, as_of_ms)
     delete_files = snapshot_delete_files(path, snapshot_id, as_of_ms)
     pos_deletes = [f for f in delete_files if f.get("content") == 1]
@@ -432,6 +451,13 @@ def read_iceberg(
     return _assemble_iceberg_scan(
         spark, path, _load_metadata(path), files, pos_deletes, eq_deletes
     )
+
+
+# Filtered read_iceberg routes through the DataFrame-native planner at
+# this many manifests (one manifest per commit in this engine, so 64 ~
+# a well-maintained table past compaction cadence; below it the driver
+# loop is cheaper than a mapInPandas worker spin-up).
+_PRUNED_PLANNING_MANIFESTS = 64
 
 
 def snapshot_files_df_iceberg(

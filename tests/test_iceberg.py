@@ -1651,6 +1651,38 @@ class TestDataFrameManifestPlanning:
             ice.read_iceberg_pruned(spark, p).inputFiles()
         )
 
+    def test_filtered_read_iceberg_routes_through_pruned(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Mirror of read_delta's checkpoint rule: a FILTERED read of a
+        many-manifest table plans through read_iceberg_pruned; the
+        driver loop stays the small-table fast path."""
+        from etl_market_survey_spark.sources import iceberg as ice
+
+        p = str(tmp_path / "mdf4")
+        self._table(spark, p)
+        calls = []
+        real = ice.read_iceberg_pruned
+
+        def spy(*a, **k):
+            calls.append(k)
+            return real(*a, **k)
+
+        monkeypatch.setattr(ice, "read_iceberg_pruned", spy)
+        flt = {"stats_filter": {"k": (10, 20)}}
+        # below threshold: dict loop
+        want = sorted(map(tuple,
+                          ice.read_iceberg(spark, p, **flt).collect()))
+        assert calls == []
+        monkeypatch.setattr(ice, "_PRUNED_PLANNING_MANIFESTS", 1)
+        got = sorted(map(tuple,
+                         ice.read_iceberg(spark, p, **flt).collect()))
+        assert len(calls) == 1  # routed
+        assert got == want
+        # unfiltered read never routes
+        ice.read_iceberg(spark, p).collect()
+        assert len(calls) == 1
+
     def test_time_travel_snapshot_id(self, spark, tmp_path):
         from etl_market_survey_spark.sources import iceberg as ice
 
