@@ -9,6 +9,8 @@ q46_ts_offset — X8 timestamp + per-row seconds offset (probe-station
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..functions.stats import davg, dsum, sql_dsum
@@ -4881,7 +4883,6 @@ def q377_delta_change_feed(spark, sf_dir):
     import hashlib
     import shutil
 
-    from pyspark.sql import Window
 
     from ..sources.deltalog import (
         add_deletion_vectors,
@@ -4898,10 +4899,14 @@ def q377_delta_change_feed(spark, sf_dir):
     sub = o.filter(F.col("k") % 3 == 0)
     write_delta(spark, path, sub.orderBy("k"), commit_ts=100)       # v0
     rel = next(iter(load_snapshot(spark, path).adds))
-    w = Window.orderBy("k")
+    # positions read straight off the written file's
+    # _metadata.row_index — distributed, no global window sort (the
+    # file holds sub in k order, so row_index == the k-rank the old
+    # row_number fixture computed; hash-identical)
     pos = [
         r["p"]
-        for r in sub.select((F.row_number().over(w) - 1).alias("p"), "k")
+        for r in spark.read.parquet(os.path.join(path, rel))
+        .select(F.col("_metadata.row_index").alias("p"), "k")
         .filter(F.col("k") % 7 == 0).select("p").collect()
     ]
     add_deletion_vectors(spark, path, {rel: pos}, commit_ts=200)    # v1
@@ -4941,7 +4946,6 @@ def q378_iceberg_changelog(spark, sf_dir):
     import hashlib
     import shutil
 
-    from pyspark.sql import Window
 
     from ..sources.iceberg import (
         delete_rows_iceberg,
@@ -4958,10 +4962,14 @@ def q378_iceberg_changelog(spark, sf_dir):
     sub = o.filter(F.col("k") % 3 == 0)
     s1 = write_iceberg(spark, path, sub.orderBy("k"), commit_ts=100)
     rel = snapshot_files(path)[0]["file_path"]
-    w = Window.orderBy("k")
+    # positions read straight off the written file's
+    # _metadata.row_index — distributed, no global window sort (the
+    # file holds sub in k order, so row_index == the k-rank the old
+    # row_number fixture computed; hash-identical)
     pos = [
         r["p"]
-        for r in sub.select((F.row_number().over(w) - 1).alias("p"), "k")
+        for r in spark.read.parquet(os.path.join(path, rel))
+        .select(F.col("_metadata.row_index").alias("p"), "k")
         .filter(F.col("k") % 7 == 0).select("p").collect()
     ]
     delete_rows_iceberg(spark, path, {rel: pos}, commit_ts=200)
@@ -5909,7 +5917,6 @@ def q391_iceberg_changelog_stream(spark, sf_dir):
     import hashlib
     import shutil
 
-    from pyspark.sql import Window
 
     from ..sources.iceberg import (
         delete_rows_iceberg,
@@ -5931,10 +5938,14 @@ def q391_iceberg_changelog_stream(spark, sf_dir):
     sub = o.filter(F.col("k") % 3 == 0)
     s1 = write_iceberg(spark, path, sub.orderBy("k"), commit_ts=100)
     rel = snapshot_files(path)[0]["file_path"]
-    w = Window.orderBy("k")
+    # positions read straight off the written file's
+    # _metadata.row_index — distributed, no global window sort (the
+    # file holds sub in k order, so row_index == the k-rank the old
+    # row_number fixture computed; hash-identical)
     pos = [
         r["p"]
-        for r in sub.select((F.row_number().over(w) - 1).alias("p"), "k")
+        for r in spark.read.parquet(os.path.join(path, rel))
+        .select(F.col("_metadata.row_index").alias("p"), "k")
         .filter(F.col("k") % 7 == 0).select("p").collect()
     ]
     delete_rows_iceberg(spark, path, {rel: pos}, commit_ts=200)
