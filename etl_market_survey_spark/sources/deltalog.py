@@ -444,10 +444,22 @@ def read_delta(
             and _read_last_checkpoint(path) is not None:
         if timestamp is not None:
             # pruned path addresses versions; resolve timestampAsOf
-            # through the same newest-commit-<=-ts rule
-            version = load_snapshot(
-                spark, path, timestamp=timestamp
-            ).version
+            # by the newest-commit-<=-ts rule WITHOUT folding add
+            # state (folding is what this route exists to avoid)
+            version = next(
+                (
+                    v for v in reversed(_list_commit_versions(path))
+                    if _commit_timestamp(
+                        path, v, _read_actions(path, v)
+                    ) <= timestamp
+                ),
+                None,
+            )
+            if version is None:
+                raise ValueError(
+                    f"no commit at or before timestamp {timestamp} "
+                    f"in {path}"
+                )
         return read_delta_pruned(
             spark, path, version=version,
             partition_filter=partition_filter, stats_filter=stats_filter,
