@@ -329,7 +329,9 @@ def main() -> None:
             dt, df = one_run(name)
             all_runs[name].append(dt)
             if i == 0:
-                nrows[name] = df.count()  # row count untimed, once
+                # row count untimed, once — also a full execution, so
+                # it gets the same transient-spawn retry as timed runs
+                nrows[name] = run_with_transient_retry(df.count)
 
     # interleaved top-up for high-spread queries: cycle the flagged set
     # so transient ambient load spreads across queries, not across all
