@@ -251,6 +251,24 @@ SPREAD_HARD = 2.0   # ... (VERDICT r6 item 6: median-of-7+ before
 # raw spreads (first-run warmup / ambient). Force them straight to
 # median-of-9 every round so the round-over-round comparison is clean.
 FORCE_ESCALATE = {"q125_ivf_pq_topk", "q26_bootstrap_hash"}
+# a rename in HEADLINE must fail loudly, not silently no-op the
+# escalation (ADVICE r9)
+assert FORCE_ESCALATE <= set(HEADLINE), (
+    f"FORCE_ESCALATE names not in HEADLINE: "
+    f"{sorted(FORCE_ESCALATE - set(HEADLINE))}"
+)
+
+
+def loadavg1() -> float | None:
+    """1-min system load average — sampled around every run so the
+    sidecar is self-describing about ambient load (VERDICT r9 item 2:
+    two rounds of load-contaminated windows were only diagnosable from
+    session notes, not from the committed artifact)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def materialize(df) -> None:
@@ -282,6 +300,27 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # optional quiet-window gate (VERDICT r9 item 2): when a load
+    # ceiling is set, poll loadavg and defer the capture until the
+    # window is quiet (or the wait budget runs out — then proceed and
+    # let the recorded run_loads say so; never fail the bench on
+    # weather).
+    ceiling = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "0"))
+    wait_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600")
+    )
+    if ceiling > 0:
+        t_wait0 = time.time()
+        while (time.time() - t_wait0) < wait_budget:
+            ld = loadavg1()
+            if ld is None or ld <= ceiling:
+                break
+            print(
+                f"# waiting for quiet window: loadavg1={ld} > "
+                f"{ceiling}", file=sys.stderr,
+            )
+            time.sleep(15)
+
     from etl_market_survey_spark.plans import registry
     from etl_market_survey_spark.session import get_spark
 
@@ -295,6 +334,18 @@ def main() -> None:
     from statistics import median
 
     transient_retries: dict[str, int] = {}
+    run_loads: dict[str, list] = {n: [] for n in HEADLINE}
+
+    def note_for(name: str):
+        def note(e: BaseException) -> None:
+            transient_retries[name] = transient_retries.get(name, 0) + 1
+            print(
+                f"# {name}: transient worker-spawn failure, retrying "
+                f"once ({type(e).__name__})",
+                file=sys.stderr,
+            )
+
+        return note
 
     def one_run(name: str) -> tuple[float, object]:
         def attempt() -> tuple[float, object]:
@@ -304,15 +355,10 @@ def main() -> None:
             materialize(df)
             return time.time() - t0, df
 
-        def note(e: BaseException) -> None:
-            transient_retries[name] = transient_retries.get(name, 0) + 1
-            print(
-                f"# {name}: transient worker-spawn failure, retrying "
-                f"once ({type(e).__name__})",
-                file=sys.stderr,
-            )
-
-        return run_with_transient_retry(attempt, retries=1, on_retry=note)
+        run_loads[name].append(loadavg1())
+        return run_with_transient_retry(
+            attempt, retries=1, on_retry=note_for(name)
+        )
 
     # Base runs are ROUND-ROBIN over the whole headline (pass 1 of
     # every query, then pass 2, then pass 3) — a time-localized ambient
@@ -330,8 +376,11 @@ def main() -> None:
             all_runs[name].append(dt)
             if i == 0:
                 # row count untimed, once — also a full execution, so
-                # it gets the same transient-spawn retry as timed runs
-                nrows[name] = run_with_transient_retry(df.count)
+                # it gets the same transient-spawn retry as timed runs,
+                # with the same audit-trail note (ADVICE r9)
+                nrows[name] = run_with_transient_retry(
+                    df.count, on_retry=note_for(name)
+                )
 
     # interleaved top-up for high-spread queries: cycle the flagged set
     # so transient ambient load spreads across queries, not across all
@@ -413,10 +462,35 @@ def main() -> None:
         payload["transient_retries"] = transient_retries
     line = json.dumps(payload, separators=(",", ":"))
     here = os.path.dirname(os.path.abspath(__file__))
+    load_samples = [
+        x for vs in run_loads.values() for x in vs if x is not None
+    ]
+    load_summary = (
+        {
+            "min": round(min(load_samples), 2),
+            "max": round(max(load_samples), 2),
+            "mean": round(sum(load_samples) / len(load_samples), 2),
+            "n_samples": len(load_samples),
+        }
+        if load_samples else None
+    )
     with open(os.path.join(here, "BENCH_SPREAD.json"), "w") as f:
         json.dump(
             {
                 "sf": sf,
+                # self-describing artifact (VERDICT r9 item 2): what
+                # the committed numbers ARE (per-query medians over
+                # interleaved runs, never a best-run cherry-pick) and
+                # under what ambient load they were captured
+                "provenance": (
+                    "per-query MEDIANS over interleaved runs "
+                    f"({N_RUNS}-{N_RUNS_MAX} per query; see runs)"
+                ),
+                "loadavg1": load_summary,
+                "run_loads": {
+                    k: [None if x is None else round(x, 2) for x in vs]
+                    for k, vs in run_loads.items()
+                },
                 "spread": spreads,
                 # queries still > 2x trimmed spread after 9 interleaved
                 # runs: their medians are honest but an ambient load
@@ -435,7 +509,13 @@ def main() -> None:
         )
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
         json.dump(
-            {"sf": sf, "total_sec": total, "queries": timings},
+            {
+                "sf": sf,
+                "total_sec": total,
+                "provenance": "per-query medians (see BENCH_SPREAD.json)",
+                "loadavg1": load_summary,
+                "queries": timings,
+            },
             f,
             indent=1,
             sort_keys=True,

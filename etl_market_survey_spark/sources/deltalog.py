@@ -443,6 +443,12 @@ def read_delta(
     if (partition_filter or stats_filter) \
             and _read_last_checkpoint(path) is not None:
         if timestamp is not None:
+            if version is not None:
+                # same validation as load_snapshot — the routed path
+                # must not silently prefer one selector (ADVICE r9)
+                raise ValueError(
+                    "pass version OR timestamp, not both"
+                )
             # pruned path addresses versions; resolve timestampAsOf
             # by the newest-commit-<=-ts rule WITHOUT folding add
             # state (folding is what this route exists to avoid)
@@ -2270,14 +2276,20 @@ def optimize_zorder(
         # a range partition straddling two values still writes separate
         # curve-contiguous files per value under partitionBy
         pphys = phys.get(pcols[0], pcols[0])
-        (
+        staged_df = (
             df.repartitionByRange(n_files, pcols[0], "_zd")
             .sortWithinPartitions(pcols[0], "_zd")
             .select(*stage_cols)
-            .write.partitionBy(pphys)
-            .mode("overwrite")
-            .parquet(stage)
         )
+        # scoped field-id conf like every other staged write: an
+        # id-mode table rewritten by OPTIMIZE must keep footer field
+        # ids even when the session conf is off (ADVICE r9)
+        with _field_id_write_conf(staged_df):
+            (
+                staged_df.write.partitionBy(pphys)
+                .mode("overwrite")
+                .parquet(stage)
+            )
         from urllib.parse import unquote
 
         files = sorted(
@@ -2299,7 +2311,8 @@ def optimize_zorder(
             .sortWithinPartitions("_zd")
             .select(*stage_cols)
         )
-        staged_df.write.mode("overwrite").parquet(stage)
+        with _field_id_write_conf(staged_df):
+            staged_df.write.mode("overwrite").parquet(stage)
         files = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
         stats_by_file = _batch_stats(spark, files, data_schema)
         for sp in files:
@@ -3144,12 +3157,15 @@ def _stage_cdc(
     from urllib.parse import unquote
 
     stage = os.path.join(path, f".stage-cdc-{uuid.uuid4().hex}")
-    (
-        cdc_df.repartition(F.col(pcol))
-        .write.partitionBy(pcol)
-        .mode("overwrite")
-        .parquet(stage)
-    )
+    # id-mode tables: the sidecar carries parquet.field.id metadata
+    # like data files — keep the scoped conf here too (ADVICE r9)
+    with _field_id_write_conf(cdc_df):
+        (
+            cdc_df.repartition(F.col(pcol))
+            .write.partitionBy(pcol)
+            .mode("overwrite")
+            .parquet(stage)
+        )
     out = []
     for sp in sorted(
         _glob.glob(os.path.join(stage, f"{pcol}=*", "part-*.parquet"))

@@ -580,17 +580,32 @@ def read_iceberg_pruned(
     entries = snapshot_files_df_iceberg(
         spark, path, snapshot_id=snapshot_id
     )
-    data = entries.filter(
-        (F.col("m_content") == 0) & (F.col("content") == 0)
-    )
+    # build ONE keep-predicate over the single entries frame — a
+    # union of two filtered branches of the same mapInPandas frame
+    # would decode every manifest twice (ADVICE r9)
+    keep_data = (F.col("m_content") == 0) & (F.col("content") == 0)
     if partition_filter:
+        # TYPED comparison (mirrors the stats side below): the JSON
+        # text of a partition value diverges from str(v) for bool
+        # ('true' vs 'True') and float ('5.0' vs '5') — a text compare
+        # silently WRONG-PRUNES matching files. Cast the JSON value to
+        # the partition field's transform-result type and compare cast
+        # literals; a value the cast cannot parse keeps the file
+        # (conservative, same contract as the null case).
+        ptypes = _partition_result_types(meta)
         for k, vals in _resolve_partition_filter(
             meta, partition_filter
         ).items():
+            t = ptypes.get(k, "string")
             pv = F.get_json_object("partition_json", f"$['{k}']")
-            data = data.filter(
-                pv.isNull()  # older-spec file or null value: keep
-                | pv.isin([str(v) for v in vals])
+            pvt = pv.cast(t)
+            matched = F.lit(False)
+            for v in sorted(vals, key=repr):
+                matched = matched | pvt.eqNullSafe(F.lit(v).cast(t))
+            keep_data = keep_data & (
+                pv.isNull()   # older-spec file or null value: keep
+                | pvt.isNull()  # unparseable under the typed cast: keep
+                | matched
             )
     if stats_filter:
         sfields = (
@@ -611,7 +626,7 @@ def read_iceberg_pruned(
                 disjoint = disjoint | (mn > F.lit(hi))
             if lo is not None:
                 disjoint = disjoint | (mx < F.lit(lo))
-            data = data.filter(keep | ~disjoint)
+            keep_data = keep_data & (keep | ~disjoint)
 
     import json as _json
 
@@ -634,9 +649,10 @@ def read_iceberg_pruned(
         }
 
     # ONE decode job for both halves: data survivors + (metadata-sized,
-    # unpruned) delete entries collect together, split driver-side
-    rows = data.unionByName(
-        entries.filter(F.col("m_content") == 1)
+    # unpruned) delete entries collect together through a single filter
+    # over the single entries frame, split driver-side
+    rows = entries.filter(
+        (F.col("m_content") == 1) | keep_data
     ).collect()  # SURVIVORS only
     files = [to_entry(r) for r in rows if r["m_content"] == 0]
     dels = [to_entry(r) for r in rows if r["m_content"] == 1]
@@ -645,6 +661,28 @@ def read_iceberg_pruned(
     return _assemble_iceberg_scan(
         spark, path, meta, files, pos_deletes, eq_deletes
     )
+
+
+def _partition_result_types(meta: dict) -> dict[str, str]:
+    """{partition FIELD name -> SPARK type of the partition tuple
+    value}: the transform RESULT type per the spec (bucket/days/hours
+    -> int; identity/truncate -> the source column type), over every
+    spec in the table's spec catalog so older-spec entries resolve
+    too. Date/timestamp tuples are physically stored as strings in
+    this engine's manifests (``_pv_caster_ice``), which cast cleanly
+    through their Spark type — the typed compare is storage-agnostic."""
+    sfields = (
+        meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    ).get("fields", [])
+    id2type = {f["id"]: f["type"] for f in sfields}
+    out: dict[str, str] = {}
+    for sp in meta.get("partition-specs") or []:
+        for f in sp.get("fields", []):
+            kind, _ = parse_transform(f.get("transform", "identity"))
+            src = id2type.get(f.get("source-id"))
+            rt = result_ice_type(kind, src) if isinstance(src, str) else None
+            out[f["name"]] = _ICE_TO_SPARK.get(rt, "string")
+    return out
 
 
 def _resolve_partition_filter(
@@ -683,6 +721,22 @@ def _resolve_partition_filter(
             vals = [
                 transform_value(kind, param, v,
                                 id2type[fld["source-id"]])
+                for v in vals
+            ]
+        # date/timestamp partition tuples are stored as their string
+        # rendering (``_pv_caster_ice``): canonicalize date/datetime
+        # filter values to the same rendering so callers may filter
+        # with native date objects OR strings, identically on the
+        # driver-loop and DataFrame-pruned paths.
+        kind0, _p0 = parse_transform(fld.get("transform", "identity"))
+        rt = result_ice_type(kind0, id2type.get(fld["source-id"]))
+        if rt in ("date", "timestamp", "timestamptz"):
+            import datetime as _dt
+
+            vals = [
+                v.isoformat(sep=" ") if isinstance(v, _dt.datetime)
+                else v.isoformat() if isinstance(v, _dt.date)
+                else v
                 for v in vals
             ]
         resolved[fld["name"]] = set(vals)

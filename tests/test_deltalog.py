@@ -1895,6 +1895,25 @@ class TestDataFrameSnapshotState:
             map(tuple, dl.read_delta(spark, p2, **flt).collect())
         ) == got
 
+    def test_routed_read_rejects_version_plus_timestamp(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9: the routed (checkpointed + filtered) path must
+        validate version-vs-timestamp exactly like load_snapshot — not
+        silently resolve the timestamp and ignore the version."""
+        import pytest
+
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        p = str(tmp_path / "st5")
+        self._table(spark, p)
+        assert dl._read_last_checkpoint(p) is not None
+        with pytest.raises(ValueError, match="not both"):
+            dl.read_delta(
+                spark, p, version=0, timestamp=10**15,
+                stats_filter={"k": (20, 110)},
+            )
+
     def test_prune_planned_as_checkpoint_scan_filter(self, spark, tmp_path):
         """Plan gate: the state frame's plan is a parquet scan of the
         CHECKPOINT files with the prune as a Catalyst Filter on top —
@@ -2133,6 +2152,62 @@ class TestColumnMappingIdMode:
             assert spark.conf.get(wk) == "false"
         finally:
             spark.conf.set(rk, prior_r)
+            spark.conf.set(wk, prior_w)
+
+    def test_zorder_and_cdc_keep_field_ids_with_conf_off(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9: optimize_zorder's staged writes and the
+        partitioned CDC sidecar write bypassed _field_id_write_conf —
+        with the session conf off, their files lost footer field ids
+        (spec-level id-mode interop break). Both paths must stamp ids
+        under a false session conf."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from etl_market_survey_spark.sources import deltalog as dl
+
+        def footer_ids(f):
+            return {
+                int((fld.metadata or {}).get(b"PARQUET:field_id", b"-1"))
+                for fld in pq.ParquetFile(f).schema_arrow
+            }
+
+        wk = "spark.sql.parquet.fieldId.write.enabled"
+        prior_w = spark.conf.get(wk)
+        spark.conf.set(wk, "false")
+        try:
+            p = str(tmp_path / "idm_zorder")
+            dl.write_delta(
+                spark, p,
+                spark.createDataFrame(
+                    [(i, i % 3, float(i)) for i in range(30)],
+                    "k long, p long, v double",
+                ),
+                column_mapping="id",
+                properties={"delta.enableChangeDataFeed": "true"},
+                partition_col="p", commit_ts=100,
+            )
+            dl.optimize_zorder(spark, p, ["k", "v"], n_files=2,
+                               commit_ts=200)
+            zfiles = glob.glob(f"{p}/**/zorder-*.parquet",
+                               recursive=True)
+            assert zfiles
+            for f in zfiles:
+                assert -1 not in footer_ids(f), f"{f} missing field ids"
+            # partitioned CDC sidecar write (the _stage_cdc pcol path)
+            dl.delete_rows_where(spark, p, "k % 2 = 0", commit_ts=300)
+            cfiles = glob.glob(f"{p}/_change_data/**/*.parquet",
+                               recursive=True)
+            assert cfiles
+            for f in cfiles:
+                ids = footer_ids(f)
+                # data columns carry ids; _change_type has none, so
+                # just require SOME stamped ids survive the off-conf
+                assert ids - {-1}, f"{f} lost all field ids"
+            assert spark.conf.get(wk) == "false"
+        finally:
             spark.conf.set(wk, prior_w)
 
     def test_name_mode_files_carry_ids_now(self, spark, tmp_path):

@@ -1683,6 +1683,73 @@ class TestDataFrameManifestPlanning:
         ice.read_iceberg(spark, p).collect()
         assert len(calls) == 1
 
+    def test_identity_partition_type_parity(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r9 (medium): the pruned path's partition compare must
+        be TYPED — JSON text diverges from str(v) for bool ('true' vs
+        'True') and float ('5.0' vs '5'), silently wrong-pruning
+        matching files, and filtered read_iceberg AUTO-ROUTES here past
+        the manifest threshold. Sweep identity partitions over
+        {bool, int, float, date, string}: driver-loop read_iceberg ==
+        read_iceberg_pruned row-for-row on filtered reads, and both
+        match an independently computed expectation."""
+        import datetime
+
+        from etl_market_survey_spark.sources import iceberg as ice
+
+        cases = [
+            ("bool", "id % 2 = 0", [True]),
+            ("int", "CAST(id % 3 AS INT)", [1, 2]),
+            ("float", "CAST(id % 4 AS DOUBLE) / 2", [1, 0.5]),
+            ("date", "date_add(DATE'2024-01-01', CAST(id % 3 AS INT))",
+             [datetime.date(2024, 1, 2), "2024-01-03"]),
+            ("string", "concat('g', id % 3)", ["g0", "g2"]),
+        ]
+        for name, expr, filt_vals in cases:
+            p = str(tmp_path / f"tpar_{name}")
+            full = spark.range(0, 40).selectExpr(
+                "id", f"{expr} AS pk", "id * 2 AS v"
+            )
+            for lo in (0, 20):
+                ice.write_iceberg(
+                    spark, p,
+                    full.filter(f"id >= {lo} AND id < {lo + 20}"),
+                    partition_col="pk", commit_ts=100 + lo,
+                )
+            flt = {"pk": filt_vals}
+            # independent expectation: row-level filter on the input
+            lits = ", ".join(
+                f"DATE'{v}'" if name == "date"
+                else repr(v) if isinstance(v, str)
+                else str(v)
+                for v in (
+                    [datetime.date(2024, 1, 2), datetime.date(2024, 1, 3)]
+                    if name == "date" else filt_vals
+                )
+            )
+            expect = sorted(map(tuple, full.filter(
+                f"pk IN ({lits})").collect()))
+            assert expect, f"{name}: degenerate case — empty expectation"
+            n_full = full.count()
+            assert len(expect) < n_full, f"{name}: filter not selective"
+            # driver-loop path (route disabled)
+            monkeypatch.setattr(ice, "_PRUNED_PLANNING_MANIFESTS", 10**9)
+            loop = sorted(map(tuple, ice.read_iceberg(
+                spark, p, partition_filter=flt).collect()))
+            assert loop == expect, f"{name}: driver loop diverged"
+            # pruned path, via the forced auto-route
+            monkeypatch.setattr(ice, "_PRUNED_PLANNING_MANIFESTS", 1)
+            routed = sorted(map(tuple, ice.read_iceberg(
+                spark, p, partition_filter=flt).collect()))
+            assert routed == expect, f"{name}: pruned path diverged"
+            # and the pruned scan really pruned files
+            pruned_scan = ice.read_iceberg_pruned(
+                spark, p, partition_filter=flt)
+            assert len(pruned_scan.inputFiles()) < len(
+                ice.read_iceberg_pruned(spark, p).inputFiles()
+            ), f"{name}: partition filter pruned nothing"
+
     def test_time_travel_snapshot_id(self, spark, tmp_path):
         from etl_market_survey_spark.sources import iceberg as ice
 
