@@ -1185,6 +1185,57 @@ class TestUpdateRowsWhereIceberg:
         assert by["delete"] == {(0, 0), (5, 50), (10, 100), (15, 150)}
         assert by["insert"] == {(0, 1), (5, 51), (10, 101), (15, 151)}
 
+    def test_single_snapshot_no_intermediate_state(self, spark, tmp_path):
+        """VERDICT r9 item 4: an UPDATE commits ONE snapshot (real
+        Iceberg behavior) — delete + append are atomic, so no observer
+        (time travel, changelog, concurrent reader) can ever see the
+        intermediate deleted-only state the old delete-then-append
+        composition exposed."""
+        from etl_market_survey_spark.sources.iceberg import (
+            read_iceberg, read_iceberg_changes, table_history,
+            update_rows_where_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "iuw3")
+        df = spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(30)],
+            "k long, p long, v long",
+        )
+        write_iceberg(spark, path, df, partition_col="p", commit_ts=100)
+        n_before = len(table_history(path))
+        sid = update_rows_where_iceberg(
+            spark, path, "k % 5 = 0", {"v": "v + 1"}, commit_ts=200
+        )
+        hist = table_history(path)
+        assert len(hist) == n_before + 1  # exactly ONE snapshot
+        assert hist[-1]["snapshot_id"] == sid
+        assert hist[-1]["operation"] == "overwrite"
+        # EVERY observable snapshot holds the full 30 rows — the
+        # deleted-only intermediate (24 rows) exists at no snapshot
+        for h in hist:
+            assert read_iceberg(
+                spark, path, snapshot_id=h["snapshot_id"]
+            ).count() == 30
+        # the changelog pairs delete+insert at the SAME snapshot id
+        feed = read_iceberg_changes(spark, path).collect()
+        upd = [r for r in feed if r["_snapshot_id"] == sid]
+        kinds = {r["_change_type"] for r in upd}
+        assert kinds == {"delete", "insert"}
+        assert {(r["k"], r["v"]) for r in upd
+                if r["_change_type"] == "insert"} == {
+            (k, k * 10 + 1) for k in range(30) if k % 5 == 0
+        }
+        # updated rows land under the table's partition spec (the
+        # durable staging inherits it), and read back partition-pruned
+        got = {
+            r["k"]: r["v"]
+            for r in read_iceberg(
+                spark, path, partition_filter={"p": [0]}
+            ).collect()
+        }
+        assert got == {k: k * 10 + (1 if k % 5 == 0 else 0)
+                       for k in range(30) if k % 3 == 0}
+
     def test_noop_and_unknown_column(self, spark, tmp_path):
         from etl_market_survey_spark.sources.iceberg import (
             table_history, update_rows_where_iceberg, write_iceberg,
