@@ -188,6 +188,8 @@ HEADLINE = [
     "q399_iceberg_lite_stream_sink",
     # r9: DataFrame-native Iceberg manifest planning (q397's twin)
     "q400_iceberg_pruned_state",
+    # r10: distributed Feather/Arrow-IPC scan
+    "q401_feather_scan",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8
