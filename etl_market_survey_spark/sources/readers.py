@@ -221,6 +221,44 @@ def _plain_arrow_schema(schema):
     return pa.schema(fields)
 
 
+# Past this many files, per-file footer discovery (batch counts) runs
+# as a distributed mapInPandas pass instead of a driver loop — a real
+# Feather lake has 1e4-1e6 files and the driver should only ever hold
+# one int per file.
+_FEATHER_FOOTER_DRIVER_FILES = 64
+
+
+def _feather_paths(path: str) -> list[str]:
+    """Expand a file / directory / glob into a sorted file list."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        out = sorted(
+            _glob.glob(os.path.join(path, "*.fd"))
+            + _glob.glob(os.path.join(path, "*.feather"))
+            + _glob.glob(os.path.join(path, "*.arrow"))
+        )
+    elif any(ch in path for ch in "*?["):
+        out = sorted(_glob.glob(path))
+    else:
+        out = [path]
+    if not out:
+        raise FileNotFoundError(f"no feather files match {path}")
+    return out
+
+
+def _ipc_batch_count(path: str) -> int | None:
+    """Record-batch count from the IPC footer (a seek + KB-scale read);
+    None for legacy Feather v1 (no footer)."""
+    import pyarrow as pa
+
+    try:
+        with pa.memory_map(path, "r") as mm:
+            return pa.ipc.open_file(mm).num_record_batches
+    except pa.ArrowInvalid:
+        return None
+
+
 def read_feather(
     spark: SparkSession,
     path: str,
@@ -229,40 +267,84 @@ def read_feather(
 ) -> DataFrame:
     """Feather / Arrow-IPC scan (S1's native-format twin — the
     reference's PRIMARY storage format, measurements.py:66-87).
+    ``path`` may be one file, a directory of ``.fd``/``.feather``/
+    ``.arrow`` files, or a glob.
 
-    Large (v2/IPC) files scan RECORD-BATCH-PARALLEL: the driver reads
-    only the footer (block list + schema — metadata-sized, via
-    memory-map), then fans ``(path, batch_index)`` work items out as
-    Spark tasks whose Arrow kernels ``get_batch(i)`` — a seek-based
-    read of just that batch's bytes (decompression included), never the
-    whole file. This is the shape that holds on a 100 TB Feather lake:
-    no driver funnel, one task per batch, columnar end-to-end
+    Large (v2/IPC) inputs scan RECORD-BATCH-PARALLEL: footers (block
+    list + schema — metadata-sized) are read via memory-map, then
+    ``(path, batch_index)`` work items fan out as Spark tasks whose
+    Arrow kernels ``get_batch(i)`` — a seek-based read of just that
+    batch's bytes (decompression included), never a whole file. Past
+    ``_FEATHER_FOOTER_DRIVER_FILES`` files even the footer pass runs
+    distributed (mapInPandas), so the driver only ever holds one batch
+    count per file. This is the shape that holds on a 100 TB Feather
+    lake: no driver funnel, one task per batch, columnar end-to-end
     (VERDICT r9 item 5; the old path was driver-side
     ``feather.read_feather`` -> ``createDataFrame``).
 
-    Tiny files (< ``distributed_bytes``, default 32 MB) and legacy
-    Feather v1 (no IPC footer) keep the driver-side fast path — fewer
-    stages than a fan-out that would carry one batch anyway."""
+    Tiny inputs (< ``distributed_bytes`` total, default 32 MB) and
+    legacy Feather v1 (no IPC footer) keep the driver-side fast path —
+    fewer stages than a fan-out that would carry one batch anyway."""
     import pyarrow as pa
 
-    size = os.path.getsize(path)
+    paths = _feather_paths(path)
+    total = sum(os.path.getsize(p) for p in paths)
     limit = (
         _FEATHER_DISTRIBUTED_BYTES
         if distributed_bytes is None else distributed_bytes
     )
-    reader = None
-    if size >= limit:
+    counts: list[tuple[str, int]] | None = None
+    arrow_schema = None
+    if total >= limit:
         try:
-            with pa.memory_map(path, "r") as mm:
-                reader = pa.ipc.open_file(mm)
-                n_batches = reader.num_record_batches
-                arrow_schema = _plain_arrow_schema(reader.schema)
+            with pa.memory_map(paths[0], "r") as mm:
+                arrow_schema = _plain_arrow_schema(
+                    pa.ipc.open_file(mm).schema
+                )
         except pa.ArrowInvalid:
-            reader = None  # Feather v1: no IPC footer -> driver path
-    if reader is None:
+            arrow_schema = None  # v1 -> driver path
+        if arrow_schema is not None:
+            if len(paths) <= _FEATHER_FOOTER_DRIVER_FILES:
+                ns = [_ipc_batch_count(p) for p in paths]
+            else:  # distributed footer pass: one int per file returns
+                def footer(pdf_iter):
+                    import pandas as _pd
+
+                    from etl_market_survey_spark.sources.readers import (
+                        _ipc_batch_count as _cnt,
+                    )
+
+                    for pdf in pdf_iter:
+                        yield _pd.DataFrame({
+                            "path": pdf["path"],
+                            "n": [
+                                -1 if (c := _cnt(p)) is None else c
+                                for p in pdf["path"]
+                            ],
+                        })
+
+                par0 = spark.sparkContext.defaultParallelism
+                rows = (
+                    spark.createDataFrame(
+                        [(p,) for p in paths], "path string"
+                    )
+                    .repartition(min(len(paths), par0))
+                    .mapInPandas(footer, "path string, n int")
+                    .collect()
+                )
+                by = {r["path"]: r["n"] for r in rows}
+                ns = [None if by[p] < 0 else by[p] for p in paths]
+            if all(n is not None for n in ns):
+                counts = list(zip(paths, ns))
+    if counts is None:
+        # tiny input or v1 somewhere: driver-side fast path
+        import pandas as pd
         import pyarrow.feather as feather
 
-        return ts_to_ns(spark.createDataFrame(feather.read_feather(path)))
+        pdf = pd.concat(
+            [feather.read_feather(p) for p in paths], ignore_index=True
+        )
+        return ts_to_ns(spark.createDataFrame(pdf))
 
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -287,10 +369,14 @@ def read_feather(
                     yield out
 
     par = spark.sparkContext.defaultParallelism
+    work_items = [(p, i) for p, n in counts for i in range(n)]
     work = spark.createDataFrame(
-        [(path, i) for i in range(n_batches)], "path string, idx int"
-    ).repartition(min(n_batches, par))
+        work_items, "path string, idx int"
+    ).repartition(min(len(work_items), par))
     return ts_to_ns(work.mapInArrow(scan, spark_schema))
+
+
+def read_excel_dim(spark: SparkSession, path: str, **pandas_kwargs) -> DataFrame:
     """S5 — Excel dimension table (devices_info.py:7). Driver-side read
     -> small Spark frame; dims are broadcast-sized by definition.
 

@@ -97,6 +97,75 @@ class TestDistributedFeatherScan:
         }
         assert got == want
 
+    def test_directory_lake_multi_file_parity(self, spark, tmp_path):
+        lake = tmp_path / "lake"
+        lake.mkdir()
+        want = []
+        for f in range(3):
+            t = pa.table(
+                {
+                    "k": pa.array(range(f * 100, f * 100 + 100), pa.int64()),
+                    "s": pa.array([f"f{f}_{i % 5}" for i in range(100)]),
+                }
+            )
+            feather.write_feather(t, str(lake / f"part{f}.fd"), chunksize=40)
+            want += list(zip(t.column("k").to_pylist(),
+                             t.column("s").to_pylist()))
+        dist = readers.read_feather(spark, str(lake), distributed_bytes=0)
+        assert dist.rdd.getNumPartitions() > 1
+        assert _rows(dist) == sorted(want)
+        # glob form resolves identically
+        g = readers.read_feather(spark, str(lake / "*.fd"),
+                                 distributed_bytes=0)
+        assert _rows(g) == sorted(want)
+        # driver fast path agrees
+        drv = readers.read_feather(spark, str(lake),
+                                   distributed_bytes=10**18)
+        assert _rows(drv) == sorted(want)
+
+    def test_many_files_use_distributed_footer_pass(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Past _FEATHER_FOOTER_DRIVER_FILES the batch-count discovery
+        itself must run as Spark tasks — poison the driver-side counter
+        to prove no footer is read on the driver."""
+        lake = tmp_path / "biglake"
+        lake.mkdir()
+        n_files, per = 9, 30
+        for f in range(n_files):
+            t = pa.table(
+                {"k": pa.array(range(f * per, f * per + per), pa.int64())}
+            )
+            feather.write_feather(t, str(lake / f"p{f:03d}.fd"),
+                                  chunksize=10)
+        monkeypatch.setattr(readers, "_FEATHER_FOOTER_DRIVER_FILES", 4)
+        calls = []
+        real = readers._ipc_batch_count
+        monkeypatch.setattr(
+            readers, "_ipc_batch_count",
+            lambda p: calls.append(p) or real(p),
+        )
+        df = readers.read_feather(spark, str(lake), distributed_bytes=0)
+        assert sorted(r["k"] for r in df.collect()) == list(
+            range(n_files * per)
+        )
+        # driver read schema from file 0 only; counts came from tasks
+        assert calls == []
+
+    def test_mixed_v1_file_falls_back_whole_read(self, spark, tmp_path):
+        lake = tmp_path / "mixed"
+        lake.mkdir()
+        feather.write_feather(
+            pa.table({"k": pa.array([1, 2], pa.int64())}),
+            str(lake / "a.fd"),
+        )
+        feather.write_feather(
+            pa.table({"k": pa.array([3, 4], pa.int64())}),
+            str(lake / "b.fd"), version=1,
+        )
+        df = readers.read_feather(spark, str(lake), distributed_bytes=0)
+        assert sorted(r["k"] for r in df.collect()) == [1, 2, 3, 4]
+
     def test_feather_v1_falls_back_to_driver_path(self, spark, tmp_path):
         t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
         p = str(tmp_path / "v1.fd")
