@@ -83,6 +83,77 @@ def _guard_small(df: DataFrame):
         )
 
 
+def write_feather(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    max_chunksize: int = 1 << 16,
+) -> int:
+    """Feather v2 / Arrow-IPC SINK — the write half of
+    :func:`..readers.read_feather` (the reference's primary format,
+    measurements.py:66-87): EACH SPARK PARTITION writes one ``.fd``
+    file from inside its own task (Arrow batches stream straight to
+    the IPC writer — no driver funnel, no toPandas), producing a
+    multi-file feather lake the record-batch-parallel reader scans
+    back. Files are chunked at ``max_chunksize`` rows so the read side
+    has batch-level parallelism even within one file. Returns the
+    number of files written.
+
+    Tasks write to temp names and rename on success; ``mode`` follows
+    the Spark convention ('overwrite' clears the directory,
+    'error' refuses a non-empty one, 'append' adds files — uuid names
+    never collide)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    if mode not in ("overwrite", "append", "error"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if os.path.exists(path):
+        existing = [f for f in os.listdir(path) if f.endswith(".fd")]
+        if mode == "overwrite":
+            shutil.rmtree(path)
+        elif mode == "error" and existing:
+            raise FileExistsError(f"{path} already holds feather files")
+    os.makedirs(path, exist_ok=True)
+
+    comp = compression
+    chunk = int(max_chunksize)
+    dest = path
+
+    def sink(batch_iter):
+        import pyarrow as _pa
+
+        writer = None
+        tmp = None
+        final = None
+        n = 0
+        for b in batch_iter:
+            if writer is None:
+                name = f"part-{_uuid.uuid4().hex}.fd"
+                final = os.path.join(dest, name)
+                tmp = final + ".tmp"
+                writer = _pa.ipc.new_file(
+                    tmp, b.schema,
+                    options=_pa.ipc.IpcWriteOptions(compression=comp),
+                )
+            for off in range(0, b.num_rows, chunk):
+                writer.write_batch(b.slice(off, chunk))
+            n += b.num_rows
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, final)
+            yield _pa.RecordBatch.from_pydict(
+                {"file": _pa.array([os.path.basename(final)]),
+                 "rows": _pa.array([n], _pa.int64())}
+            )
+
+    stats = df.mapInArrow(sink, "file string, rows long").collect()
+    return len(stats)
+
+
 def write_jsonl(
     df: DataFrame, path: str, mode: str = "overwrite", partition_by=None
 ):

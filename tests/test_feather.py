@@ -173,6 +173,33 @@ class TestDistributedFeatherScan:
         df = readers.read_feather(spark, p, distributed_bytes=0)
         assert sorted(r["k"] for r in df.collect()) == [1, 2, 3]
 
+    def test_sink_roundtrip_task_parallel(self, spark, tmp_path):
+        """write_feather: one IPC file per Spark partition, written
+        inside the task (no driver funnel); the distributed reader
+        scans the lake back bit-identically."""
+        from etl_market_survey_spark.sources.writers import write_feather
+
+        p = str(tmp_path / "sink_lake")
+        df = (
+            spark.range(1000)
+            .selectExpr("id AS k", "id * 0.5 AS v",
+                        "concat('s', id % 7) AS s")
+            .repartition(4)
+        )
+        n_files = write_feather(df, p, max_chunksize=100)
+        assert n_files == 4
+        assert len([f for f in os.listdir(p) if f.endswith(".fd")]) == 4
+        back = readers.read_feather(spark, p, distributed_bytes=0)
+        assert back.rdd.getNumPartitions() > 1
+        assert _rows(back) == _rows(df)
+        # mode semantics
+        with pytest.raises(FileExistsError):
+            write_feather(df.limit(1), p, mode="error")
+        write_feather(df.limit(10), p, mode="append")
+        assert readers.read_feather(spark, p).count() == 1010
+        write_feather(df.limit(10), p, mode="overwrite")
+        assert readers.read_feather(spark, p).count() == 10
+
     def test_compressed_batches_decode_in_tasks(self, spark, tmp_path):
         t = pa.table(
             {
