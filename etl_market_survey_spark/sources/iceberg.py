@@ -1339,6 +1339,9 @@ def _commit_planned_iceberg(
     path: str, plan: dict, staged: list, *, mode: str, commit_ts: int,
     summary_extra: dict | None = None,
     position_delete_entries: list[tuple[str, int]] | None = None,
+    equality_delete_entries: (
+        tuple[list[tuple[str, int]], list[int]] | None
+    ) = None,
     summary_operation: str | None = None,
 ) -> int:
     """The commit half of :func:`write_iceberg`: fold pre-staged data
@@ -1351,10 +1354,15 @@ def _commit_planned_iceberg(
 
     ``position_delete_entries``: pre-written position-delete parquet
     files ``[(rel, record_count)]`` to commit IN THE SAME SNAPSHOT as
-    the staged data files — the single-commit row UPDATE shape
+    the staged data files — the single-commit row UPDATE/MERGE shape
     (VERDICT r9 item 4: delete-then-append exposed an intermediate
-    deleted-only state to changelog consumers). Forces format v2 and an
-    ``overwrite`` summary unless ``summary_operation`` overrides."""
+    deleted-only state to changelog consumers).
+    ``equality_delete_entries``: ``([(rel, record_count)], eq_ids)`` —
+    equality-delete files in the same snapshot; sequence-number
+    scoping (strictly-before) means they never touch the same-commit
+    data files, which is exactly the Flink streaming-upsert commit
+    shape. Either forces format v2 and an ``overwrite`` summary unless
+    ``summary_operation`` overrides."""
     meta = plan["meta"]
     new_v, snap_id = plan["new_v"], plan["snap_id"]
     t_kind, t_param = plan["t_kind"], plan["t_param"]
@@ -1477,9 +1485,19 @@ def _commit_planned_iceberg(
                         "sequence_number": m.get("sequence_number") or 0,
                     }
                 )
-    if position_delete_entries:
-        # same-snapshot position deletes: one content=1 manifest beside
-        # the data manifest — delete and append are one atomic commit
+    del_file_rows = [
+        (del_rel, record_count, 1, None)
+        for del_rel, record_count in (position_delete_entries or [])
+    ]
+    if equality_delete_entries:
+        eq_entries, eq_ids = equality_delete_entries
+        del_file_rows += [
+            (del_rel, record_count, 2, list(eq_ids))
+            for del_rel, record_count in eq_entries
+        ]
+    if del_file_rows:
+        # same-snapshot row-level deletes: one content=1 (deletes)
+        # manifest beside the data manifest — one atomic commit
         del_man_rel = (
             f"metadata/manifest-del-{new_v:05d}-{uuid.uuid4().hex}.avro"
         )
@@ -1491,17 +1509,17 @@ def _commit_planned_iceberg(
                     "status": 1,
                     "snapshot_id": snap_id,
                     "data_file": {
-                        "content": 1,
+                        "content": content,
                         "file_path": del_rel,
                         "file_format": "PARQUET",
                         "record_count": record_count,
                         "file_size_in_bytes": os.path.getsize(
                             os.path.join(path, del_rel)
                         ),
-                        "equality_ids": None,
+                        "equality_ids": eq,
                     },
                 }
-                for del_rel, record_count in position_delete_entries
+                for del_rel, record_count, content, eq in del_file_rows
             ],
         )
         mlist_rows.append(
@@ -1522,7 +1540,7 @@ def _commit_planned_iceberg(
     )
 
     operation = summary_operation or (
-        "overwrite" if position_delete_entries else mode
+        "overwrite" if del_file_rows else mode
     )
     snapshot = {
         "snapshot-id": snap_id,
@@ -1533,7 +1551,7 @@ def _commit_planned_iceberg(
     }
     new_meta = {
         "format-version": (
-            2 if position_delete_entries
+            2 if del_file_rows
             else (meta or {}).get("format-version", 1)
         ),
         "table-uuid": (meta or {}).get("table-uuid", uuid.uuid4().hex),
@@ -1967,24 +1985,58 @@ def upsert_iceberg(
     on: list[str],
     commit_ts: int = 0,
 ) -> int:
-    """Merge-on-read UPSERT: one equality-delete snapshot on the key
-    columns followed by one append of the full source rows — the
-    Flink/CDC streaming-upsert shape (no data file is ever rewritten;
-    sequence-number scoping makes the re-appended keys the live ones).
-    Returns the append snapshot id. Contrast with the copy-on-write
-    MERGE in :mod:`.deltalog` — this is the write-cheap/read-deferred
-    half of the same trade."""
-    meta = _load_metadata(path)
+    """Merge-on-read UPSERT in ONE snapshot: an equality-delete file on
+    the key columns AND the full source rows commit atomically — the
+    Flink/CDC streaming-upsert commit shape (no data file is ever
+    rewritten; sequence-number scoping is STRICTLY-BEFORE, so the
+    same-commit appended rows survive their own delete file and the
+    re-appended keys are the live ones). Returns the snapshot id.
+    Contrast with the copy-on-write MERGE in :mod:`.deltalog` — this is
+    the write-cheap/read-deferred half of the same trade."""
+    cur_v = _current_version(path)
+    meta = _load_metadata(path, cur_v)
     cols = [f.name for f in _spark_schema(meta).fields]
     missing = [c for c in cols if c not in source.columns]
     if missing:
         raise ValueError(f"source is missing columns: {missing}")
-    delete_rows_equality(
-        spark, path, source.select(*on).dropDuplicates(on), cols=on,
-        commit_ts=commit_ts,
+    schema_fields = (
+        meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    ).get("fields", [])
+    name_to_id = {f["name"]: f["id"] for f in schema_fields}
+    bad = [c for c in on if c not in name_to_id]
+    if bad:
+        raise ValueError(f"not table columns: {bad}")
+
+    plan = _plan_write_iceberg(
+        path, source.select(*cols).schema, mode="append",
+        partition_col=None, partition_transform="identity",
+        merge_schema=False, allow_spec_evolution=False,
     )
-    return write_iceberg(
-        spark, path, source.select(*cols), commit_ts=commit_ts
+    new_v = plan["new_v"]
+    keys = source.select(*on).dropDuplicates(on)
+    n_keys = keys.count()
+    del_rel = f"data/eq-delete-{new_v:05d}-{uuid.uuid4().hex}.parquet"
+    _write_single_parquet(keys.coalesce(1), os.path.join(path, del_rel))
+
+    partition_col = plan["partition_col"]
+    pexpr = (
+        transform_expr(partition_col, plan["t_kind"], plan["t_param"],
+                       plan["src_ice_type"])
+        if partition_col else None
+    )
+    staged = _stage_iceberg_files(
+        spark, path, source.select(*plan["ordered"]), partition_col,
+        pexpr=pexpr, pfield=plan["pfield"],
+        pv_caster=(
+            _pv_caster_ice(plan["res_ice_type"]) if partition_col else None
+        ),
+    )
+    return _commit_planned_iceberg(
+        path, plan, staged, mode="append", commit_ts=commit_ts,
+        equality_delete_entries=(
+            [(del_rel, n_keys)], [name_to_id[c] for c in on]
+        ),
+        summary_operation="overwrite",
     )
 
 
@@ -2119,25 +2171,90 @@ def merge_iceberg(
         appended = append_parts[0]
         for p in append_parts[1:]:
             appended = appended.unionByName(p)
-        # materialize BEFORE the delete commit: keeps the append
-        # independent of table state (the update_rows_where composition)
-        appended = appended.localCheckpoint()
-        if appended.limit(1).count() == 0:
-            appended = None
-
-    result_sid = cur_sid
+    dels = None
     if del_parts:
         dels = del_parts[0]
         for p in del_parts[1:]:
             dels = dels.unionByName(p)
-        result_sid = _commit_position_deletes(
+    # ONE atomic commit for the whole MERGE (real Iceberg behavior —
+    # no intermediate deleted-only snapshot; VERDICT r9 item 4's
+    # update_rows_where fix, shared)
+    return _single_commit_delete_append(
+        spark, path, meta, cur_v, dels, appended, commit_ts=commit_ts
+    )
+
+
+def _single_commit_delete_append(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    cur_v: int,
+    dels,      # DataFrame[_if, _ip] | None
+    appended,  # DataFrame[table columns] | None
+    *,
+    commit_ts: int,
+) -> int:
+    """Publish position deletes for ``dels`` and the ``appended`` rows
+    as ONE snapshot — the commit tail shared by
+    :func:`update_rows_where_iceberg` and :func:`merge_iceberg`.
+    Nothing commits until every byte is durably staged (delete parquet
+    + data parquet inside the table, unreferenced until the metadata
+    publishes), so evaluation always reads the still-current snapshot
+    and a crash leaves only orphans. Falls back to a delete-only or
+    append-only snapshot when one half is empty; returns the current
+    snapshot id when both are."""
+    from pyspark.sql import functions as F
+
+    if appended is not None and appended.limit(1).count() == 0:
+        appended = None
+    if appended is None:
+        if dels is None:
+            return _select_snapshot(meta, None, None)["snapshot-id"]
+        return _commit_position_deletes(
             spark, path, meta, cur_v, dels, commit_ts=commit_ts
         )
-    if appended is not None:
-        result_sid = write_iceberg(
-            spark, path, appended, commit_ts=commit_ts
+    plan = _plan_write_iceberg(
+        path, appended.schema, mode="append", partition_col=None,
+        partition_transform="identity", merge_schema=False,
+        allow_spec_evolution=False,
+    )
+    new_v = plan["new_v"]
+    del_entries: list[tuple[str, int]] = []
+    if dels is not None:
+        files = snapshot_files(path)
+        rel_map = spark.createDataFrame(
+            [(os.path.basename(f["file_path"]), f["file_path"])
+             for f in files],
+            "_if string, file_path string",
         )
-    return result_sid
+        pairs = (
+            dels.join(F.broadcast(rel_map), "_if")
+            .select("file_path", F.col("_ip").alias("pos"))
+        )
+        n = pairs.count()
+        if n:
+            del_entries = _write_position_delete_files(
+                spark, path, pairs, new_v, n
+            )
+    staged_df = appended.select(*plan["ordered"])
+    partition_col = plan["partition_col"]
+    pexpr = (
+        transform_expr(partition_col, plan["t_kind"], plan["t_param"],
+                       plan["src_ice_type"])
+        if partition_col else None
+    )
+    staged = _stage_iceberg_files(
+        spark, path, staged_df, partition_col,
+        pexpr=pexpr, pfield=plan["pfield"],
+        pv_caster=(
+            _pv_caster_ice(plan["res_ice_type"]) if partition_col else None
+        ),
+    )
+    return _commit_planned_iceberg(
+        path, plan, staged, mode="append", commit_ts=commit_ts,
+        position_delete_entries=del_entries or None,
+        summary_operation="overwrite" if del_entries else None,
+    )
 
 
 def update_rows_where_iceberg(
@@ -2182,57 +2299,13 @@ def update_rows_where_iceberg(
     if matched is None or matched.limit(1).count() == 0:
         return _select_snapshot(meta, None, None)["snapshot-id"]
 
-    # plan the append FIRST (inherits the table's partition spec); its
-    # version numbers the delete files too — one snapshot for both
-    plan = _plan_write_iceberg(
-        path, matched.drop("_if", "_ip").schema, mode="append",
-        partition_col=None, partition_transform="identity",
-        merge_schema=False, allow_spec_evolution=False,
-    )
-    new_v = plan["new_v"]
-
-    # position-delete files for the matched rows (pairs never touch
-    # the driver; spec-sorted, multi-file above _DELETE_ROWS_PER_FILE)
-    files = snapshot_files(path)
-    rel_map = spark.createDataFrame(
-        [(os.path.basename(f["file_path"]), f["file_path"])
-         for f in files],
-        "_if string, file_path string",
-    )
-    pairs = (
-        matched.select("_if", "_ip")
-        .join(F.broadcast(rel_map), "_if")
-        .select("file_path", F.col("_ip").alias("pos"))
-    )
-    del_entries = _write_position_delete_files(
-        spark, path, pairs, new_v, pairs.count()
-    )
-
-    # stage the UPDATED rows as data files (durable parquet; the scan
-    # reads the still-current snapshot — nothing commits until below)
     updated = matched
     for c, expr in assignments.items():
         updated = updated.withColumn(c, F.expr(expr))
-    updated = updated.select(*plan["ordered"])
-    partition_col = plan["partition_col"]
-    pexpr = (
-        transform_expr(partition_col, plan["t_kind"], plan["t_param"],
-                       plan["src_ice_type"])
-        if partition_col else None
-    )
-    staged = _stage_iceberg_files(
-        spark, path, updated, partition_col,
-        pexpr=pexpr, pfield=plan["pfield"],
-        pv_caster=(
-            _pv_caster_ice(plan["res_ice_type"]) if partition_col else None
-        ),
-    )
-
-    # ONE atomic commit: data manifest + delete manifest together
-    return _commit_planned_iceberg(
-        path, plan, staged, mode="append", commit_ts=commit_ts,
-        position_delete_entries=del_entries,
-        summary_operation="overwrite",
+    return _single_commit_delete_append(
+        spark, path, meta, cur_v,
+        matched.select("_if", "_ip"), updated.select(*cols),
+        commit_ts=commit_ts,
     )
 
 

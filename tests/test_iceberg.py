@@ -1236,6 +1236,63 @@ class TestUpdateRowsWhereIceberg:
         assert got == {k: k * 10 + (1 if k % 5 == 0 else 0)
                        for k in range(30) if k % 3 == 0}
 
+    def test_merge_and_upsert_single_snapshot(self, spark, tmp_path):
+        """merge_iceberg and upsert_iceberg share the single-commit
+        shape: one snapshot per verb, no observable intermediate state,
+        and (for upsert) the same-commit equality delete never touches
+        the same-commit appended rows (strictly-before seq scoping)."""
+        from etl_market_survey_spark.sources.iceberg import (
+            merge_iceberg, read_iceberg, read_iceberg_changes,
+            table_history, upsert_iceberg, write_iceberg,
+        )
+
+        path = str(tmp_path / "ium1")
+        write_iceberg(
+            spark, path,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(10)], "k long, v long"
+            ),
+            commit_ts=100,
+        )
+        # MERGE: update evens, insert new keys — ONE snapshot
+        n0 = len(table_history(path))
+        src = spark.createDataFrame(
+            [(k, k * 10 + 1) for k in range(0, 14, 2)], "k long, v long"
+        )
+        sid = merge_iceberg(spark, path, src, ["k"], commit_ts=200)
+        hist = table_history(path)
+        assert len(hist) == n0 + 1
+        assert hist[-1]["snapshot_id"] == sid
+        assert hist[-1]["operation"] == "overwrite"
+        got = {r["k"]: r["v"] for r in read_iceberg(spark, path).collect()}
+        assert got == {
+            k: (k * 10 + 1 if k % 2 == 0 else k * 10)
+            for k in list(range(10)) + [10, 12]
+        }
+        feed = [r for r in read_iceberg_changes(spark, path).collect()
+                if r["_snapshot_id"] == sid]
+        assert {r["_change_type"] for r in feed} == {"delete", "insert"}
+        # UPSERT: ONE snapshot; re-appended keys live, delete seq-scoped
+        n1 = len(table_history(path))
+        sid2 = upsert_iceberg(
+            spark, path,
+            spark.createDataFrame(
+                [(11, 999), (50, 500)], "k long, v long"
+            ),
+            ["k"], commit_ts=300,
+        )
+        hist = table_history(path)
+        assert len(hist) == n1 + 1
+        assert hist[-1]["snapshot_id"] == sid2
+        got = {r["k"]: r["v"] for r in read_iceberg(spark, path).collect()}
+        assert got[11] == 999 and got[50] == 500 and len(got) == 14
+        # every snapshot in history remains a consistent full state
+        # (never a deleted-only intermediate)
+        for h, want_n in zip(hist, (10, 12, 14)):
+            assert read_iceberg(
+                spark, path, snapshot_id=h["snapshot_id"]
+            ).count() == want_n
+
     def test_noop_and_unknown_column(self, spark, tmp_path):
         from etl_market_survey_spark.sources.iceberg import (
             table_history, update_rows_where_iceberg, write_iceberg,
