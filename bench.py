@@ -476,7 +476,12 @@ def main() -> None:
         }
         if load_samples else None
     )
-    with open(os.path.join(here, "BENCH_SPREAD.json"), "w") as f:
+    # SUBSET runs (SPARK_GRAFT_BENCH_ONLY) must never clobber the
+    # canonical full-headline sidecars — round 9's 11-query re-measure
+    # overwrote the committed 136-query medians map with an 11-entry
+    # one. Subset sidecars get a _subset suffix.
+    suffix = "_subset" if only else ""
+    with open(os.path.join(here, f"BENCH_SPREAD{suffix}.json"), "w") as f:
         json.dump(
             {
                 "sf": sf,
@@ -509,7 +514,7 @@ def main() -> None:
             },
             f, indent=1, sort_keys=True,
         )
-    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+    with open(os.path.join(here, f"BENCH_QUERIES{suffix}.json"), "w") as f:
         json.dump(
             {
                 "sf": sf,
