@@ -3480,3 +3480,39 @@ def _batch_stats(spark: SparkSession, files: list[str], schema) -> dict:
             default=str,
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# metadata-only COUNT (beyond reference — the "SELECT COUNT(*) on 100 TB
+# without touching data" path real Delta readers take)
+# ---------------------------------------------------------------------------
+
+
+def count_rows_delta(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    timestamp: int | None = None,
+) -> int:
+    """Exact row count of the table at a version/timestamp from the LOG
+    alone: sum of every live add action's ``stats.numRecords`` minus its
+    deletion vector's ``cardinality`` (the DV descriptor carries the
+    exact set-bit count, so merge-on-read tables stay metadata-only).
+    Falls back to scanning ONLY if some live file has no recorded
+    stats (foreign writers may omit them); this engine's writer always
+    records numRecords, so its own tables never scan."""
+    snap = load_snapshot(spark, path, version, timestamp)
+    total = 0
+    for a in snap.adds.values():
+        st = a.get("stats")
+        n = json.loads(st).get("numRecords") if st else None
+        if n is None:
+            return read_delta(
+                spark, path, version=version, timestamp=timestamp
+            ).count()
+        total += int(n)
+        dv = a.get("deletionVector")
+        if dv:
+            total -= int(dv.get("cardinality") or 0)
+    return total

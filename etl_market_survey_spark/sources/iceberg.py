@@ -1588,6 +1588,12 @@ def _commit_planned_iceberg(
         "current-snapshot-id": snap_id,
         "snapshots": ((meta or {}).get("snapshots") or []) + [snapshot],
     }
+    # named refs survive data commits (tags stay pinned to their
+    # snapshots; this engine has no branch-write concept, so branch
+    # heads are bookmarks too) — dropping them here silently deleted
+    # every ref on the next write
+    if (meta or {}).get("refs"):
+        new_meta["refs"] = meta["refs"]
     _publish_metadata(path, new_v, new_meta)
     return snap_id
 
@@ -2819,3 +2825,63 @@ def _batch_bounds(spark, files: list[str], schema) -> dict:
         bounds = {c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in num_str}
         out[local] = (json.dumps(bounds, default=str), int(d["_n"]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# metadata-only COUNT (beyond reference — manifests carry exact
+# record_count per data file, so COUNT(*) needs no data IO)
+# ---------------------------------------------------------------------------
+
+
+def count_rows_iceberg(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    ref: str | None = None,
+) -> int:
+    """Exact row count at a snapshot, from metadata wherever possible.
+
+    - no live row-level deletes: pure manifest arithmetic — the sum of
+      live data entries' ``record_count`` (zero data or delete IO).
+    - position deletes live: manifest sum minus the distinct live
+      (file, pos) pairs — read from the DELETE files only (the
+      merge-on-read debt, orders of magnitude smaller than data; live
+      data basenames broadcast, mirroring the read path's anti-join
+      identity exactly, so dangling deletes never over-subtract).
+    - equality deletes live: honest fallback to scanning — which rows
+      an equality delete kills depends on data content and sequence
+      scoping, not metadata.
+    """
+    from pyspark.sql import functions as F
+
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError("pass ref OR snapshot_id/as_of_ms, not both")
+        snapshot_id = resolve_ref(path, ref)
+    files = snapshot_files(path, snapshot_id, as_of_ms)
+    dels = snapshot_delete_files(path, snapshot_id, as_of_ms)
+    total = sum(int(f.get("record_count") or 0) for f in files)
+    if not dels:
+        return total
+    if any(d.get("content") == 2 for d in dels):
+        return read_iceberg(
+            spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms
+        ).count()
+    live = {os.path.basename(f["file_path"]) for f in files}
+    live_df = spark.createDataFrame(
+        [(b,) for b in sorted(live)], "_if string"
+    )
+    n_deleted = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*[os.path.join(path, d["file_path"]) for d in dels])
+        .select(
+            F.element_at(F.split("file_path", "/"), -1).alias("_if"),
+            F.col("pos").alias("_ip"),
+        )
+        .join(F.broadcast(live_df), "_if")
+        .distinct()
+        .count()
+    )
+    return total - n_deleted

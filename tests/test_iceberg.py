@@ -1411,6 +1411,31 @@ class TestNamedRefs:
         with pytest.raises(ValueError, match="not both"):
             read_iceberg(spark, path, ref="x", snapshot_id=s1)
 
+    def test_refs_survive_subsequent_writes(self, spark, tmp_path):
+        # regression: data commits rebuilt metadata WITHOUT the refs
+        # map, so the next append/overwrite/delete silently deleted
+        # every named ref
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg, read_iceberg, set_ref,
+            write_iceberg,
+        )
+
+        path = str(tmp_path / "ref3")
+        s1 = write_iceberg(spark, path,
+                           spark.createDataFrame([(1,)], "k long"),
+                           commit_ts=100)
+        set_ref(path, "pinned", s1)
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(2,)], "k long"),
+                      mode="append", commit_ts=200)
+        write_iceberg(spark, path,
+                      spark.createDataFrame([(3,)], "k long"),
+                      mode="overwrite", commit_ts=300)
+        delete_rows_where_iceberg(spark, path, "k = 999", commit_ts=400)
+        assert {r["k"] for r in read_iceberg(spark, path,
+                                             ref="pinned").collect()} \
+            == {1}
+
 
 class TestCheckConstraints:
     def test_all_write_paths_enforce(self, spark, tmp_path):
