@@ -622,12 +622,34 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, ignore_changes: bool,
                  starting_version: int | None, schema=None,
                  read_change_feed: bool = False,
-                 max_rows: int = 2_000_000):
+                 max_rows: int = 2_000_000,
+                 max_versions_per_trigger: int = 0):
         self.path = path
         self.ignore_changes = ignore_changes
         self.starting_version = starting_version
         self.read_change_feed = read_change_feed
         self.max_rows = max_rows
+        # admission control (maxVersionsPerTrigger, 0 = unbounded):
+        # each micro-batch advances at most N commit versions. The
+        # Python DataSource API has no admission-control callback
+        # carrying the checkpointed start (and latestOffset is called
+        # BEFORE initialOffset even on a cold start), so the cap is
+        # driven by two pieces of in-process state:
+        #   _anchor  — highest offset handed out by latestOffset
+        #              (pacing: the next offset advances <= N versions
+        #              past it);
+        #   _emitted — highest version actually PLANNED by partitions()
+        #              (safety: a later batch never re-plans versions
+        #              <= _emitted, so even when a post-restart capped
+        #              offset lands BEHIND the checkpointed end — Spark
+        #              compares offsets only for equality — the healing
+        #              batches plan empty instead of double-emitting).
+        # A restart's pending-batch replay runs with both unset, so
+        # replays stay bit-identical (exactly-once), and the replayed
+        # end seeds _emitted before the next trigger's latestOffset.
+        self.max_versions = int(max_versions_per_trigger)
+        self._anchor: int | None = None
+        self._emitted: int | None = None
         # the query's schema is FIXED at stream start; pin the emitted
         # columns to it so a mid-stream merge_schema evolution widens
         # future streams, not this one (new columns are simply not
@@ -638,16 +660,47 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
             else None
         )
 
+    def _configured_start(self) -> int:
+        return (
+            self.starting_version - 1
+            if self.starting_version is not None
+            else -1
+        )
+
     def initialOffset(self):
-        if self.starting_version is not None:
-            return {"version": self.starting_version - 1}
-        return {"version": -1}
+        return {"version": self._configured_start()}
 
     def latestOffset(self):
-        return {"version": _versions(self.path)[-1]}
+        latest = _versions(self.path)[-1]
+        if self.max_versions > 0:
+            base = (
+                self._anchor
+                if self._anchor is not None
+                else self._configured_start()
+            )
+            if self._emitted is not None:
+                base = max(base, self._emitted)
+            pending = [
+                v for v in _versions(self.path) if base < v <= latest
+            ]
+            if len(pending) > self.max_versions:
+                latest = pending[self.max_versions - 1]
+            latest = max(latest, base)
+        self._anchor = (
+            latest if self._anchor is None else max(self._anchor, latest)
+        )
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        if self._emitted is not None:
+            lo = max(lo, self._emitted)  # never re-plan emitted versions
+        self._emitted = max(
+            self._emitted if self._emitted is not None else hi, lo, hi,
+            int(start["version"]),
+        )
+        self._anchor = max(self._anchor if self._anchor is not None
+                           else hi, lo, hi)
         snap = _fold(self.path)  # mapping/partition metadata as of now
         _check_protocol(snap["protocol"])
         st, phys, pcols, ids = _schema_info(snap["metadata"])
@@ -800,7 +853,11 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
             yield from _read_file_partition(partition)
 
     def commit(self, end: dict):
-        pass  # the log is immutable; nothing to clean up
+        # the log is immutable; nothing to clean up — seed the pacing
+        # anchor if this process has none yet
+        v = int(end["version"])
+        if self._anchor is None:
+            self._anchor = v
 
 
 # ---------------------------------------------------------------------------
@@ -1426,4 +1483,7 @@ class DeltaLiteDataSource(DataSource):
                 self.options.get("readchangefeed", "false")
             ).lower() == "true",
             max_rows=self._max_rows(),
+            max_versions_per_trigger=int(
+                self.options.get("maxversionspertrigger", 0)
+            ),
         )

@@ -471,13 +471,24 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str, read_changelog: bool,
                  from_snapshot_id: int | None, schema=None,
-                 max_rows: int = 2_000_000):
+                 max_rows: int = 2_000_000,
+                 max_snapshots_per_trigger: int = 0):
         import json as _json
 
         self.path = path
         self.read_changelog = read_changelog
         self.from_snapshot_id = from_snapshot_id
         self.max_rows = max_rows
+        # admission control (maxSnapshotsPerTrigger, 0 = unbounded) —
+        # same two-variable contract as pyds._DeltaLiteStreamReader
+        # (see the comment there): _anchor paces latestOffset, _emitted
+        # (highest snapshot actually planned) clamps re-planning so a
+        # post-restart capped offset landing behind the checkpointed
+        # end heals through empty batches instead of double-emitting.
+        # Both are snapshot IDS; ordering comes from the snapshot log.
+        self.max_snapshots = int(max_snapshots_per_trigger)
+        self._anchor: int | None = None  # -1 = before first snapshot
+        self._emitted: int | None = None
         meta_names = {"_change_type", "_snapshot_id", "_commit_timestamp"}
         self.pinned_fields = (
             [
@@ -490,9 +501,21 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self):
-        if self.from_snapshot_id is not None:
-            return {"snapshot_id": int(self.from_snapshot_id)}
-        return {"snapshot_id": -1}
+        off = (
+            int(self.from_snapshot_id)
+            if self.from_snapshot_id is not None
+            else -1
+        )
+        return {"snapshot_id": off}
+
+    def _idx_of(self, ids: list, sid: int | None) -> int | None:
+        """Index of a snapshot id in the ordered log; -1 for the
+        before-first sentinel; None when unknown/expired."""
+        if sid is None:
+            return None
+        if sid == -1:
+            return -1
+        return ids.index(sid) if sid in ids else None
 
     def latestOffset(self):
         from .iceberg import _load_metadata
@@ -503,7 +526,28 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
         )
         if not snaps:
             return {"snapshot_id": -1}
-        return {"snapshot_id": int(snaps[-1]["snapshot-id"])}
+        ids = [int(s["snapshot-id"]) for s in snaps]
+        idx = len(ids) - 1
+        if self.max_snapshots > 0:
+            base = self._idx_of(ids, self._anchor)
+            if base is None:
+                base = self._idx_of(
+                    ids,
+                    int(self.from_snapshot_id)
+                    if self.from_snapshot_id is not None else -1,
+                )
+            em = self._idx_of(ids, self._emitted)
+            if em is not None:
+                base = em if base is None else max(base, em)
+            if base is not None:
+                idx = max(min(idx, base + self.max_snapshots), base)
+            # unknown/expired base: leave unbounded (honest fallback;
+            # never guess an ordering for an unknown id)
+        off = ids[idx] if idx >= 0 else -1
+        cur = self._idx_of(ids, self._anchor)
+        if cur is None or idx > cur:
+            self._anchor = off
+        return {"snapshot_id": off}
 
     def _index(self, ids, sid) -> int:
         if sid == -1:
@@ -532,6 +576,16 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
             return []
         lo = self._index(ids, int(start["snapshot_id"]))
         hi = self._index(ids, int(end["snapshot_id"]))
+        # admission control: never re-plan snapshots at or below
+        # _emitted, then record the high-water marks (see __init__)
+        em = self._idx_of(ids, self._emitted)
+        if em is not None:
+            lo = max(lo, em)
+        new_em = max(x for x in (em, lo, hi) if x is not None)
+        self._emitted = int(ids[new_em]) if new_em >= 0 else -1
+        a = self._idx_of(ids, self._anchor)
+        new_a = max(x for x in (a, lo, hi) if x is not None)
+        self._anchor = int(ids[new_a]) if new_a >= 0 else -1
         st = _pure_spark_schema(meta)
         fields = self.pinned_fields or [
             (f.name, _json.loads(f.dataType.json())) for f in st.fields
@@ -679,7 +733,12 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
             yield from _read_ice_partition(partition)
 
     def commit(self, end: dict):
-        pass  # snapshot log is immutable; nothing to clean up
+        # snapshot log is immutable; nothing to clean up — seed the
+        # pacing anchor if this process has none yet (ordering for a
+        # known id is recovered from the log at the next latestOffset)
+        sid = int(end["snapshot_id"])
+        if self._anchor is None and sid != -1:
+            self._anchor = sid
 
 
 class IcebergLiteDataSource(DataSource):
@@ -755,6 +814,9 @@ class IcebergLiteDataSource(DataSource):
             int(fs) if fs is not None else None,
             schema=schema,
             max_rows=self._max_rows(),
+            max_snapshots_per_trigger=int(
+                self.options.get("maxsnapshotspertrigger", 0)
+            ),
         )
 
     def writer(self, schema, overwrite):
