@@ -6550,3 +6550,124 @@ def q401_feather_scan(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q402 — file-level data-skipping index on a plain parquet lake
+# (sources/skipindex, beyond reference): per-file zone maps + fixed-
+# width xxhash64 bloom bitmaps built in ONE distributed pass, point
+# lookups pruned to the files that might match, unindexed late-arriving
+# files always scanned (staleness correctness-neutral), residual filter
+# re-applied. The gate hash-splits documents into a 40-file lake (ids
+# scattered so zone maps cannot prune — only the bloom can), indexes
+# doc_id, appends 4 UNINDEXED files carrying the doc_id%5==0 half, then
+# probes a mixed id set spanning both halves. A bloom false negative, a
+# missed unindexed file, a stale survivor, or a broken residual all
+# break the hash against the plain-table oracle; the in-plan assert
+# pins that pruning actually happened (scan < 44 files).
+# ---------------------------------------------------------------------------
+
+_Q402_ORACLE = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id IN (11, 101, 409, 105, 400)
+ORDER BY doc_id
+"""
+
+
+@register("q402_skipping_index", _Q402_ORACLE)
+def q402_skipping_index(spark, sf_dir):
+    import hashlib
+
+    from ..sources.skipindex import build_skipping_index, read_with_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    data = f"/tmp/spark_graft_skipidx_{tag}/data"
+    idx = f"/tmp/spark_graft_skipidx_{tag}/idx"
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    # indexed half: doc_id % 5 != 0, hash-scattered over 40 files
+    docs.filter(F.col("doc_id") % 5 != 0).repartition(
+        40, "doc_id"
+    ).write.mode("overwrite").parquet(data)
+    build_skipping_index(spark, data, ["doc_id"], idx, n_bits=4096)
+    # late arrivals the index has never seen
+    docs.filter(F.col("doc_id") % 5 == 0).repartition(4, "doc_id").write.mode(
+        "append"
+    ).parquet(data)
+
+    probe = [11, 101, 409, 105, 400]
+    cur = read_with_index(spark, data, idx, [("doc_id", "in", probe)])
+    n_scanned = len(cur.inputFiles())
+    assert n_scanned < 44, f"index pruned nothing ({n_scanned} files)"
+    return cur.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q403 — metadata-only COUNT on both lakehouse formats
+# (deltalog.count_rows_delta / iceberg.count_rows_iceberg): COUNT(*)
+# answered from the transaction log / manifests alone — Delta DV
+# cardinalities subtract without data IO, Iceberg position deletes read
+# only the (tiny) delete files. The gate commits orders to BOTH
+# formats, row-DELETEs the same predicate through each format's native
+# route (Delta DV-or-rewrite, Iceberg position deletes), counts at the
+# head AND time-travels to the pre-delete snapshot. Any drift between
+# log arithmetic and the real surviving rows breaks the hash against
+# the plain-orders oracle.
+# ---------------------------------------------------------------------------
+
+_Q403_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0)
+SELECT fmt, at_head, n_rows FROM (
+  SELECT 'delta' AS fmt, TRUE AS at_head,
+         CAST((SELECT COUNT(*) FROM base WHERE k % 10 <> 0) AS BIGINT)
+         AS n_rows
+  UNION ALL
+  SELECT 'delta', FALSE, CAST((SELECT COUNT(*) FROM base) AS BIGINT)
+  UNION ALL
+  SELECT 'iceberg', TRUE,
+         CAST((SELECT COUNT(*) FROM base WHERE k % 10 <> 0) AS BIGINT)
+  UNION ALL
+  SELECT 'iceberg', FALSE, CAST((SELECT COUNT(*) FROM base) AS BIGINT)
+) ORDER BY fmt, at_head
+"""
+
+
+@register("q403_metadata_count", _Q403_ORACLE)
+def q403_metadata_count(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import (
+        count_rows_delta,
+        delete_rows_where,
+        write_delta,
+    )
+    from ..sources.iceberg import (
+        count_rows_iceberg,
+        delete_rows_where_iceberg,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/spark_graft_metacount_{tag}"
+    dpath, ipath = f"{base}/delta", f"{base}/iceberg"
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0).select("k")
+    write_delta(spark, dpath, o, commit_ts=100)
+    write_iceberg(spark, ipath, o, commit_ts=100)
+    delete_rows_where(spark, dpath, "k % 10 = 0", commit_ts=200)
+    delete_rows_where_iceberg(spark, ipath, "k % 10 = 0", commit_ts=200)
+
+    rows = [
+        ("delta", True, count_rows_delta(spark, dpath)),
+        ("delta", False, count_rows_delta(spark, dpath, version=0)),
+        ("iceberg", True, count_rows_iceberg(spark, ipath)),
+        ("iceberg", False, count_rows_iceberg(spark, ipath, as_of_ms=150)),
+    ]
+    return spark.createDataFrame(
+        rows, "fmt string, at_head boolean, n_rows long"
+    ).orderBy("fmt", "at_head")
