@@ -107,6 +107,27 @@ def build_skipping_index(
         raise ValueError(f"indexed columns not in data: {missing}")
     col_types = {c: df.schema[c].dataType.simpleString() for c in columns}
 
+    idx = _index_frame(df, columns, n_bits, n_hashes, seed)
+    idx.write.mode("overwrite").parquet(index_path)
+    meta = {
+        "columns": columns,
+        "col_types": col_types,
+        "n_bits": n_bits,
+        "n_hashes": n_hashes,
+        "seed": seed,
+        "data_path": data_path,
+    }
+    with open(os.path.join(index_path, _META_NAME), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return spark.read.parquet(index_path)
+
+
+def _index_frame(
+    df: DataFrame, columns: list[str], n_bits: int, n_hashes: int,
+    seed: int,
+) -> DataFrame:
+    """The per-file (zones + blooms) frame for whatever files ``df``
+    scans — shared by full build and incremental refresh."""
     tagged = df.withColumn("__file", F.input_file_name())
 
     # zone maps + null counts: one map-side-combined agg
@@ -151,22 +172,58 @@ def build_skipping_index(
     for c in columns:
         blooms = blooms.withColumnRenamed(c, f"{c}__bloom")
 
-    idx = (
+    return (
         zones.join(blooms, "__file", "left")
         .withColumnRenamed("__file", "file")
     )
-    idx.write.mode("overwrite").parquet(index_path)
-    meta = {
-        "columns": columns,
-        "col_types": col_types,
-        "n_bits": n_bits,
-        "n_hashes": n_hashes,
-        "seed": seed,
-        "data_path": data_path,
-    }
+
+
+def refresh_skipping_index(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+) -> tuple[int, int]:
+    """Incremental maintenance: index ONLY the files the lake gained
+    since the last build/refresh, and drop index rows whose files are
+    gone — never a full rebuild (at 100 TB the delta is what you can
+    afford to scan). Returns ``(n_added, n_dropped)``.
+
+    The added rows use the geometry pinned in the meta (same n_bits/
+    hashes/seed), so probes stay valid across the whole index."""
+    import shutil
+
+    meta = _load_meta(index_path)
+    full = spark.read.parquet(data_path)
+    current = {_canon(f): f for f in full.inputFiles()}
+    old = spark.read.parquet(index_path)
+    old_files = [r["file"] for r in old.select("file").collect()]
+    known = {_canon(f) for f in old_files}
+    new_files = [f for c, f in sorted(current.items()) if c not in known]
+    dropped = sorted(f for f in old_files if _canon(f) not in current)
+    if not new_files and not dropped:
+        return (0, 0)
+    keep = old
+    if dropped:
+        gone = spark.createDataFrame(
+            [(f,) for f in dropped], "file string"
+        )
+        keep = keep.join(F.broadcast(gone), "file", "left_anti")
+    if new_files:
+        add = _index_frame(
+            spark.read.schema(full.schema).parquet(*new_files),
+            meta["columns"], meta["n_bits"], meta["n_hashes"],
+            meta["seed"],
+        )
+        keep = keep.unionByName(add, allowMissingColumns=True)
+    # stage-then-swap (never overwrite the directory being read):
+    # the index is KBs per data file, so the rewrite is metadata-scale
+    staging = index_path.rstrip("/") + ".__staging__"
+    keep.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(index_path)
+    os.rename(staging, index_path)
     with open(os.path.join(index_path, _META_NAME), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
-    return spark.read.parquet(index_path)
+    return (len(new_files), len(dropped))
 
 
 def _load_meta(index_path: str) -> dict:

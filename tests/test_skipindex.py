@@ -11,6 +11,7 @@ from etl_market_survey_spark.sources.skipindex import (
     build_skipping_index,
     prune_files,
     read_with_index,
+    refresh_skipping_index,
     residual_filter,
 )
 
@@ -119,6 +120,39 @@ def test_staleness_new_files_always_scanned(spark, lake):
     # the unindexed files ride along; indexed non-survivors still prune
     got = read_with_index(spark, data, idx, [("k", "=", 1234)])
     assert len(got.inputFiles()) < len(full.inputFiles())
+
+
+def test_incremental_refresh(spark, lake):
+    data, idx = lake
+    # no-op refresh
+    assert refresh_skipping_index(spark, data, idx) == (0, 0)
+    extra = spark.range(4000, 4400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 13).alias("grp"),
+        F.concat(F.lit("u"), (F.col("id") * 2654435761 % 100000)).alias("tag"),
+    )
+    extra.repartition(8, "k").write.mode("append").parquet(data)
+    added, dropped = refresh_skipping_index(spark, data, idx)
+    assert (added, dropped) == (8, 0)
+    full = spark.read.parquet(data)
+    n_files = len(full.inputFiles())
+    # new data now PRUNES (indexed), not merely rides along unindexed
+    got = read_with_index(spark, data, idx, [("k", "=", 4100)])
+    assert len(got.inputFiles()) <= 10
+    assert _rows(got, "k") == _rows(full.filter(F.col("k") == 4100), "k")
+    # old data still probes with the pinned geometry
+    got = read_with_index(spark, data, idx, [("k", "=", 1234)])
+    assert len(got.inputFiles()) < n_files
+    assert _rows(got, "k") == _rows(full.filter(F.col("k") == 1234), "k")
+    # drop some files -> refresh removes their rows
+    victims = sorted(
+        f for f in os.listdir(data) if f.endswith(".parquet")
+    )[:3]
+    for v in victims:
+        os.remove(os.path.join(data, v))
+    added, dropped = refresh_skipping_index(spark, data, idx)
+    assert (added, dropped) == (0, 3)
+    assert spark.read.parquet(idx).count() == n_files - 3
 
 
 def test_dropped_files_do_not_break_reads(spark, lake):
