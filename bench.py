@@ -190,6 +190,9 @@ HEADLINE = [
     "q400_iceberg_pruned_state",
     # r10: distributed Feather/Arrow-IPC scan
     "q401_feather_scan",
+    # r10: data-skipping index + metadata-only lakehouse COUNT
+    "q402_skipping_index",
+    "q403_metadata_count",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8
