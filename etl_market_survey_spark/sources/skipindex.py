@@ -61,7 +61,24 @@ from pyspark.sql import functions as F
 _META_NAME = "_skipindex_meta.json"
 
 # predicate spec: list of (column, op, value) conjuncts
-_OPS = {"=", "in", "<", "<=", ">", ">=", "between", "is_null", "is_not_null"}
+_OPS = {
+    "=", "in", "<", "<=", ">", ">=", "between", "prefix",
+    "is_null", "is_not_null",
+}
+
+
+def _next_prefix(s: str) -> str | None:
+    """Smallest string greater than EVERY string with prefix ``s``
+    (bump the last non-max char, dropping trailing max chars); None
+    when unbounded. Code-point order == UTF-8 byte order, so Python
+    and Spark agree on the comparison."""
+    chars = list(s)
+    while chars:
+        if ord(chars[-1]) < 0x10FFFF:
+            chars[-1] = chr(ord(chars[-1]) + 1)
+            return "".join(chars)
+        chars.pop()
+    return None
 
 
 def _canon(path: str) -> str:
@@ -305,6 +322,14 @@ def _zone_conjunct(
     if op == "between":
         lo, hi = v
         return (mx >= F.lit(lo).cast(t)) & (mn <= F.lit(hi).cast(t))
+    if op == "prefix":
+        if t != "string":
+            raise ValueError(f"prefix op needs a string column, {c!r} is {t}")
+        nxt = _next_prefix(v)
+        cond = mx >= F.lit(v)
+        if nxt is not None:
+            cond = cond & (mn < F.lit(nxt))
+        return cond
     if op == "is_null":
         return nnull > 0
     return nrows > nnull  # is_not_null
@@ -333,6 +358,8 @@ def residual_filter(preds: list[tuple]) -> Column:
             out = out & (col >= F.lit(v))
         elif op == "between":
             out = out & col.between(F.lit(v[0]), F.lit(v[1]))
+        elif op == "prefix":
+            out = out & col.startswith(v)
         elif op == "is_null":
             out = out & col.isNull()
         elif op == "is_not_null":

@@ -94,6 +94,43 @@ def test_range_prune_on_clustered_layout(spark, tmp_path):
     assert len(prune_files(spark, idx, [("k", ">=", 3900)])) <= 1
 
 
+def test_prefix_prune_on_string_clustered_layout(spark, tmp_path):
+    data = str(tmp_path / "pdata")
+    idx = str(tmp_path / "pidx")
+    df = spark.range(0, 2600).select(
+        F.concat(
+            F.chr(F.lit(97) + F.col("id") % 26),
+            F.lpad((F.col("id")).cast("string"), 5, "0"),
+        ).alias("tag"),
+        F.col("id").alias("rid"),
+    )
+    df.repartitionByRange(13, "tag").sortWithinPartitions("tag") \
+        .write.parquet(data)
+    build_skipping_index(spark, data, ["tag"], idx, n_bits=1024)
+    full = spark.read.parquet(data)
+    survivors = prune_files(spark, idx, [("tag", "prefix", "m")])
+    assert 1 <= len(survivors) <= 2
+    got = read_with_index(spark, data, idx, [("tag", "prefix", "m")])
+    exp = full.filter(F.col("tag").startswith("m"))
+    assert _rows(got, "rid") == _rows(exp, "rid")
+    assert got.count() == 100
+    # boundary semantics: max-codepoint prefix is unbounded above
+    got = read_with_index(
+        spark, data, idx, [("tag", "prefix", "\U0010ffff")]
+    )
+    assert got.count() == 0
+
+
+def test_prefix_needs_string_column(spark, tmp_path):
+    data = str(tmp_path / "sdata")
+    idx = str(tmp_path / "sidx")
+    spark.range(0, 50).select(F.col("id").alias("k")).coalesce(1) \
+        .write.parquet(data)
+    build_skipping_index(spark, data, ["k"], idx, n_bits=64)
+    with pytest.raises(ValueError, match="string column"):
+        prune_files(spark, idx, [("k", "prefix", "1")])
+
+
 def test_in_and_conjunction(spark, lake):
     data, idx = lake
     full = spark.read.parquet(data)
