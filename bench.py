@@ -193,6 +193,8 @@ HEADLINE = [
     # r10: data-skipping index + metadata-only lakehouse COUNT
     "q402_skipping_index",
     "q403_metadata_count",
+    # r10: Delta -> Iceberg metadata mirror (UniForm shape)
+    "q404_uniform_mirror",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

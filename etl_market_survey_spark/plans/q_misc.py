@@ -6671,3 +6671,55 @@ def q403_metadata_count(spark, sf_dir):
     return spark.createDataFrame(
         rows, "fmt string, at_head boolean, n_rows long"
     ).orderBy("fmt", "at_head")
+
+
+# ---------------------------------------------------------------------------
+# q404 — Delta -> Iceberg metadata mirror (sources/uniform, the
+# UniForm shape): one physical copy of orders committed through the
+# DELTA verbs (append, DV-route row DELETE), mirrored into Iceberg
+# metadata over the SAME files — deletion vectors converted to
+# same-snapshot position-delete files — then read back ENTIRELY
+# through the Iceberg reader. A wrong DV->position translation, a
+# missed/dangling delete, a bounds mismatch, or a broken shared-file
+# scan all break the hash against the plain-orders oracle.
+# ---------------------------------------------------------------------------
+
+_Q404_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0)))
+            AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q404_uniform_mirror", _Q404_ORACLE)
+def q404_uniform_mirror(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import delete_rows_where, write_delta
+    from ..sources.iceberg import read_iceberg
+    from ..sources.uniform import mirror_to_iceberg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_uniform_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    write_delta(spark, path, o.repartition(4, "k"), commit_ts=100)
+    # small fraction -> deletion-vector route (merge-on-read state)
+    delete_rows_where(spark, path, "k % 10 = 0", commit_ts=200)
+    mirror_to_iceberg(spark, path, commit_ts=300)
+
+    cur = read_iceberg(spark, path)  # Iceberg reads Delta's files
+    return (
+        cur.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,88 @@
+"""Delta -> Iceberg metadata mirror (sources/uniform): one data copy,
+both formats read it; DV conversion; time travel across mirror points."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_market_survey_spark.sources.deltalog import (
+    delete_rows_where,
+    read_delta,
+    write_delta,
+)
+from etl_market_survey_spark.sources.iceberg import (
+    count_rows_iceberg,
+    read_iceberg,
+    snapshot_delete_files,
+)
+from etl_market_survey_spark.sources.uniform import mirror_to_iceberg
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("c"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "c", "v").collect())
+
+
+class TestMirror:
+    def test_mirror_appends_and_dv_deletes(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        write_delta(spark, path, _mk(spark, 0, 30).coalesce(2),
+                    commit_ts=100)
+        write_delta(spark, path, _mk(spark, 30, 50).coalesce(1),
+                    mode="append", commit_ts=200)
+        s1 = mirror_to_iceberg(spark, path, commit_ts=250)
+        assert _rows(read_iceberg(spark, path)) \
+            == _rows(read_delta(spark, path))
+        assert count_rows_iceberg(spark, path) == 50
+
+        # DV-route delete, then re-mirror: position deletes in the SAME
+        # iceberg snapshot, merge-on-read state identical across formats
+        delete_rows_where(spark, path, "k % 5 = 2", commit_ts=300)
+        s2 = mirror_to_iceberg(spark, path, commit_ts=350)
+        assert s2 != s1
+        d = read_delta(spark, path)
+        i = read_iceberg(spark, path)
+        assert _rows(i) == _rows(d)
+        assert d.count() == 40
+        assert count_rows_iceberg(spark, path) == 40
+        dels = snapshot_delete_files(path)
+        assert dels and all(x.get("content") == 1 for x in dels)
+
+        # iceberg time travel follows the mirror points
+        assert read_iceberg(spark, path, snapshot_id=s1).count() == 50
+        from etl_market_survey_spark.sources.iceberg import _load_metadata
+
+        summaries = [
+            s.get("summary", {})
+            for s in _load_metadata(path).get("snapshots") or []
+        ]
+        assert {"1", "2"} <= {
+            s.get("delta-mirror-version") for s in summaries
+        }
+
+    def test_mirror_guards(self, spark, tmp_path):
+        p1 = str(tmp_path / "part")
+        write_delta(spark, p1, _mk(spark, 0, 10), partition_col="c",
+                    commit_ts=100)
+        with pytest.raises(NotImplementedError, match="partitioned"):
+            mirror_to_iceberg(spark, p1)
+
+    def test_mirror_after_rewrite_delete(self, spark, tmp_path):
+        # large-fraction delete takes the rewrite route (no DVs):
+        # mirror is pure metadata, zero delete files
+        path = str(tmp_path / "t2")
+        write_delta(spark, path, _mk(spark, 0, 40).coalesce(2),
+                    commit_ts=100)
+        delete_rows_where(spark, path, "k < 30", commit_ts=200,
+                          rewrite_fraction=0.01)
+        mirror_to_iceberg(spark, path, commit_ts=300)
+        assert _rows(read_iceberg(spark, path)) \
+            == _rows(read_delta(spark, path))
+        assert read_iceberg(spark, path).count() == 10
+        assert snapshot_delete_files(path) == []
