@@ -85,14 +85,42 @@ def mirror_to_iceberg(
     new_v = plan["new_v"]
 
     adds = list(snap.adds.values())
-    rels = [a["path"] for a in adds]
-    bounds = _batch_bounds(
-        spark, [os.path.join(path, r) for r in rels], schema
-    )
-    staged = []
-    for rel in sorted(rels):
-        bj, n = bounds[os.path.join(path, rel)]
-        staged.append((rel, None, bj, n))
+
+    # bounds from Delta's OWN per-file stats wherever present — the
+    # mirror is then PURE metadata (zero data IO; the 100 TB shape).
+    # Both sides render stats through the same json.dumps(default=str)
+    # path, so the bounds_json the Iceberg stats_filter parses is
+    # byte-compatible. Files without stats (foreign writers) fall back
+    # to one grouped aggregate.
+    num_str = {
+        f.name for f in schema.fields
+        if f.dataType.simpleString() in
+        ("int", "bigint", "double", "float", "string")
+    }
+    import json as _json
+
+    by_rel: dict[str, tuple[str, int]] = {}
+    need_scan: list[str] = []
+    for a in adds:
+        st = _json.loads(a["stats"]) if a.get("stats") else {}
+        n = st.get("numRecords")
+        mn, mx = st.get("minValues") or {}, st.get("maxValues") or {}
+        if n is None or not num_str <= (set(mn) & set(mx)):
+            need_scan.append(a["path"])
+            continue
+        bounds = {c: [mn[c], mx[c]] for c in sorted(num_str)}
+        by_rel[a["path"]] = (
+            _json.dumps(bounds, default=str), int(n)
+        )
+    if need_scan:
+        scanned = _batch_bounds(
+            spark, [os.path.join(path, r) for r in need_scan], schema
+        )
+        for r in need_scan:
+            by_rel[r] = scanned[os.path.join(path, r)]
+    staged = [
+        (rel, None, *by_rel[rel]) for rel in sorted(by_rel)
+    ]
 
     # live deletion vectors -> same-snapshot position-delete files
     del_entries = None

@@ -73,6 +73,31 @@ class TestMirror:
         with pytest.raises(NotImplementedError, match="partitioned"):
             mirror_to_iceberg(spark, p1)
 
+    def test_mirror_is_pure_metadata(self, spark, tmp_path):
+        # Delta's per-file stats feed the Iceberg bounds directly —
+        # poison every data file after commit: a mirror that still
+        # succeeds cannot have scanned them
+        import os as _os
+
+        from etl_market_survey_spark.sources.iceberg import (
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "t3")
+        write_delta(spark, path, _mk(spark, 0, 12), commit_ts=100)
+        write_delta(spark, path, _mk(spark, 12, 20), mode="append",
+                    commit_ts=150)
+        for n in _os.listdir(path):
+            if n.endswith(".parquet"):
+                with open(_os.path.join(path, n), "w") as f:
+                    f.write("")
+        mirror_to_iceberg(spark, path, commit_ts=200)
+        files = snapshot_files(path)
+        assert len(files) == 2
+        assert sum(f["record_count"] for f in files) == 20
+        assert all(f.get("bounds_json") for f in files)
+        assert count_rows_iceberg(spark, path) == 20
+
     def test_mirror_after_rewrite_delete(self, spark, tmp_path):
         # large-fraction delete takes the rewrite route (no DVs):
         # mirror is pure metadata, zero delete files
