@@ -193,8 +193,9 @@ HEADLINE = [
     # r10: data-skipping index + metadata-only lakehouse COUNT
     "q402_skipping_index",
     "q403_metadata_count",
-    # r10: Delta -> Iceberg metadata mirror (UniForm shape)
+    # r10: Delta -> Iceberg metadata mirror (UniForm shape) + reverse
     "q404_uniform_mirror",
+    "q405_uniform_mirror_reverse",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -6723,3 +6723,45 @@ def q404_uniform_mirror(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q405 — Iceberg -> Delta metadata mirror (sources/uniform
+# .mirror_to_delta, q404's reverse): orders committed through the
+# ICEBERG verbs (append, position-delete row DELETE), mirrored into a
+# Delta log over the SAME files — position deletes converted to
+# roaring deletion vectors — then read back ENTIRELY through the Delta
+# reader. A wrong position->DV translation, a bad DV framing/CRC, or a
+# stats mismatch all break the hash against the plain-orders oracle.
+# ---------------------------------------------------------------------------
+
+
+@register("q405_uniform_mirror_reverse", _Q404_ORACLE)
+def q405_uniform_mirror_reverse(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import read_delta
+    from ..sources.iceberg import delete_rows_where_iceberg, write_iceberg
+    from ..sources.uniform import mirror_to_delta
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_uniform_rev_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    write_iceberg(spark, path, o.repartition(4, "k"), commit_ts=100)
+    delete_rows_where_iceberg(spark, path, "k % 10 = 0", commit_ts=200)
+    mirror_to_delta(spark, path, commit_ts=300)
+
+    cur = read_delta(spark, path)  # Delta reads Iceberg's files
+    return (
+        cur.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

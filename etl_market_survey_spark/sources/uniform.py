@@ -148,3 +148,182 @@ def mirror_to_iceberg(
         position_delete_entries=del_entries,
         summary_extra={"delta-mirror-version": str(snap.version)},
     )
+
+
+def mirror_to_delta(
+    spark: SparkSession,
+    path: str,
+    *,
+    commit_ts: int = 0,
+) -> int:
+    """The reverse direction: publish the ICEBERG table's current state
+    as a Delta commit over the SAME data files; returns the new Delta
+    version. ``read_delta(path)`` then equals ``read_iceberg(path)``.
+
+    Pure metadata from manifests (record_count + bounds_json become the
+    add actions' stats — numRecords feeds :func:`..deltalog.
+    count_rows_delta`, min/maxValues feed stats pruning); live POSITION
+    DELETES convert into Delta deletion vectors (roaring-serialized per
+    target file, one DV sidecar per mirror — the exact reverse of
+    :func:`mirror_to_iceberg`'s DV expansion). The delete files read
+    here are the merge-on-read debt: orders of magnitude smaller than
+    data, and the only IO this function does.
+
+    Guards: equality deletes are refused (which rows they kill depends
+    on data content + sequence scoping — materialize first via
+    :func:`..iceberg.rewrite_data_files`). Partitioned Iceberg tables
+    mirror as UNPARTITIONED Delta (this engine's identity/transform
+    partitioning keeps source columns in file content, so reads are
+    exact; only Delta-side partition pruning is absent)."""
+    import json as _json
+    import uuid as _uuid
+
+    from .deltalog import _list_commit_versions, _write_commit
+    from .dvbitmap import (
+        dv_file_name,
+        encode_dv_path,
+        serialize_rbm64,
+        write_dv_file,
+    )
+    from .iceberg import (
+        _load_metadata,
+        _spark_schema,
+        snapshot_delete_files,
+        snapshot_files,
+    )
+
+    meta = _load_metadata(path)
+    files = snapshot_files(path)
+    dels = snapshot_delete_files(path)
+    if any(d.get("content") == 2 for d in dels):
+        raise NotImplementedError(
+            "equality deletes cannot mirror without materializing; "
+            "run rewrite_data_files first"
+        )
+    schema = _spark_schema(meta)
+
+    # positions per target file (basename-keyed, like the read path);
+    # delete files are small — this is the only IO
+    dv_by_base: dict[str, list[int]] = {}
+    if dels:
+        pairs = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[os.path.join(path, d["file_path"]) for d in dels])
+            .select(
+                F.element_at(F.split("file_path", "/"), -1).alias("b"),
+                "pos",
+            )
+            .distinct()
+            .collect()
+        )
+        for r in pairs:
+            dv_by_base.setdefault(r["b"], []).append(int(r["pos"]))
+
+    try:
+        versions = _list_commit_versions(path)
+        new_version = versions[-1] + 1
+        from .deltalog import load_snapshot
+
+        prior = load_snapshot(spark, path, version=versions[-1])
+        table_id = prior.metadata.get("id") or _uuid.uuid4().hex
+        prior_adds = list(prior.adds)
+    except FileNotFoundError:
+        new_version, table_id, prior_adds = 0, _uuid.uuid4().hex, []
+
+    feats = sorted({"deletionVectors"}) if dv_by_base else None
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": commit_ts,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite",
+                    "iceberg-mirror-snapshot": str(
+                        meta.get("current-snapshot-id")
+                    ),
+                },
+            }
+        },
+        {
+            "protocol": (
+                {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": feats,
+                    "writerFeatures": feats,
+                }
+                if feats
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            )
+        },
+        {
+            "metaData": {
+                "id": table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": commit_ts,
+            }
+        },
+    ]
+    for rel in prior_adds:
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": commit_ts,
+                    "dataChange": True,
+                }
+            }
+        )
+
+    dv_uuid = _uuid.uuid4()
+    ordered = sorted(files, key=lambda f: f["file_path"])
+    dv_rels = [
+        f["file_path"] for f in ordered
+        if os.path.basename(f["file_path"]) in dv_by_base
+    ]
+    frames = {}
+    if dv_rels:
+        blobs = [
+            serialize_rbm64(
+                sorted(set(dv_by_base[os.path.basename(r)]))
+            )
+            for r in dv_rels
+        ]
+        framing = write_dv_file(
+            os.path.join(path, dv_file_name(dv_uuid)), blobs
+        )
+        frames = dict(zip(dv_rels, framing))
+
+    for f in ordered:
+        rel = f["file_path"]
+        bounds = _json.loads(f.get("bounds_json") or "{}")
+        stats = {
+            "numRecords": int(f.get("record_count") or 0),
+            "minValues": {c: v[0] for c, v in bounds.items()},
+            "maxValues": {c: v[1] for c, v in bounds.items()},
+        }
+        add = {
+            "path": rel,
+            "partitionValues": {},
+            "size": int(f.get("file_size_in_bytes") or 0),
+            "modificationTime": commit_ts,
+            "dataChange": True,
+            "stats": _json.dumps(stats, default=str),
+        }
+        if rel in frames:
+            poss = sorted(set(dv_by_base[os.path.basename(rel)]))
+            add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": encode_dv_path(dv_uuid),
+                "offset": frames[rel]["offset"],
+                "sizeInBytes": frames[rel]["sizeInBytes"],
+                "cardinality": len(poss),
+            }
+        actions.append({"add": add})
+
+    os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+    _write_commit(path, new_version, actions)
+    return new_version

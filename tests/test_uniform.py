@@ -111,3 +111,70 @@ class TestMirror:
             == _rows(read_delta(spark, path))
         assert read_iceberg(spark, path).count() == 10
         assert snapshot_delete_files(path) == []
+
+
+class TestReverseMirror:
+    def test_iceberg_to_delta(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.deltalog import (
+            count_rows_delta,
+        )
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg,
+            write_iceberg,
+        )
+        from etl_market_survey_spark.sources.uniform import (
+            mirror_to_delta,
+        )
+
+        path = str(tmp_path / "it")
+        write_iceberg(spark, path, _mk(spark, 0, 30), commit_ts=100)
+        write_iceberg(spark, path, _mk(spark, 30, 50), mode="append",
+                      commit_ts=200)
+        mirror_to_delta(spark, path, commit_ts=250)
+        assert _rows(read_delta(spark, path)) \
+            == _rows(read_iceberg(spark, path))
+        assert count_rows_delta(spark, path) == 50
+
+        # position deletes -> deletion vectors
+        delete_rows_where_iceberg(spark, path, "k % 5 = 2",
+                                  commit_ts=300)
+        mirror_to_delta(spark, path, commit_ts=350)
+        assert _rows(read_delta(spark, path)) \
+            == _rows(read_iceberg(spark, path))
+        assert read_delta(spark, path).count() == 40
+        # DV cardinality is in the descriptor: metadata-only count
+        assert count_rows_delta(spark, path) == 40
+
+    def test_equality_deletes_refused(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_equality,
+            write_iceberg,
+        )
+        from etl_market_survey_spark.sources.uniform import (
+            mirror_to_delta,
+        )
+
+        path = str(tmp_path / "eq")
+        write_iceberg(spark, path, _mk(spark, 0, 10), commit_ts=100)
+        delete_rows_equality(spark, path, [{"k": 3}], ["k"],
+                             commit_ts=200)
+        with pytest.raises(NotImplementedError, match="equality"):
+            mirror_to_delta(spark, path)
+
+    def test_full_round_trip(self, spark, tmp_path):
+        # Delta -> (DV delete) -> Iceberg mirror -> Delta mirror:
+        # the final Delta view reads DVs reconstructed from the
+        # position deletes that were themselves converted from DVs
+        from etl_market_survey_spark.sources.uniform import (
+            mirror_to_delta,
+        )
+
+        path = str(tmp_path / "rt")
+        write_delta(spark, path, _mk(spark, 0, 40).repartition(3, "k"),
+                    commit_ts=100)
+        delete_rows_where(spark, path, "k % 4 = 1", commit_ts=200)
+        expected = _rows(read_delta(spark, path))
+        mirror_to_iceberg(spark, path, commit_ts=300)
+        v = mirror_to_delta(spark, path, commit_ts=400)
+        assert _rows(read_delta(spark, path, version=v)) == expected
+        assert _rows(read_iceberg(spark, path)) == expected
