@@ -12,4 +12,8 @@ formats with zero external jars:
 - avro      — pure-Python Avro container codec + jar-less DISTRIBUTED
               scan (binaryFile + mapInPandas).
 - warc      — WARC web-archive scan, one task per file.
+- skipindex — file-level data-skipping index for plain parquet lakes
+              (zone maps + bloom bitmaps, incremental refresh).
+- uniform   — Delta <-> Iceberg metadata mirrors over ONE data copy
+              (UniForm shape), DV <-> position-delete conversion.
 """
