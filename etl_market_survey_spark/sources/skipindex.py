@@ -102,6 +102,15 @@ def _positions(col: Column, n_hashes: int, n_bits: int, seed: int) -> list[Colum
     ]
 
 
+def _lake(spark: SparkSession, data_path: str):
+    """Scan of the lake's PARQUET files only — lakehouse-style
+    directories carry non-parquet sidecars (DV ``.bin`` blobs, logs)
+    that a bare directory read would trip over."""
+    return spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        data_path
+    )
+
+
 def build_skipping_index(
     spark: SparkSession,
     data_path: str,
@@ -118,7 +127,7 @@ def build_skipping_index(
     DataFrame as written."""
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
-    df = spark.read.parquet(data_path)
+    df = _lake(spark, data_path)
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"indexed columns not in data: {missing}")
@@ -210,7 +219,7 @@ def refresh_skipping_index(
     import shutil
 
     meta = _load_meta(index_path)
-    full = spark.read.parquet(data_path)
+    full = _lake(spark, data_path)
     current = {_canon(f): f for f in full.inputFiles()}
     old = spark.read.parquet(index_path)
     old_files = [r["file"] for r in old.select("file").collect()]
@@ -400,7 +409,7 @@ def read_with_index(
     any file the lake gained since the index was built. Bit-exact vs
     ``spark.read.parquet(data_path).filter(residual)`` — the index
     stage prunes files, the residual filter decides rows."""
-    full = spark.read.parquet(data_path)
+    full = _lake(spark, data_path)
     current = full.inputFiles()
     current_canon = {_canon(x) for x in current}
     known = indexed_files(spark, index_path)

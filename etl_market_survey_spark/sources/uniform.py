@@ -61,9 +61,23 @@ def mirror_to_iceberg(
     path: str,
     *,
     commit_ts: int = 0,
+    incremental: bool = True,
 ) -> int:
     """Publish the Delta table's current state as an Iceberg snapshot
-    over the SAME data files; returns the new snapshot id."""
+    over the SAME data files; returns the new snapshot id.
+
+    ``incremental`` (default): when a prior mirror exists, Delta only
+    GAINED files since (no removes), and the deletion-vector state is
+    UNCHANGED (fingerprint recorded in each mirror snapshot's summary —
+    prior converted deletes stay live, appends never carry DVs), the
+    mirror commits an APPEND snapshot staging only the new files —
+    prior manifests carry forward untouched, the Iceberg
+    history stays clean, and the ``iceberg_lite`` STREAM source can
+    tail the mirror points (plain-mode streaming accepts appends but
+    refuses overwrites). Anything else — removals, DV changes, the
+    first mirror — falls back to the full-state overwrite snapshot.
+    A mirror with nothing new is a NO-OP (returns the current snapshot
+    id, writes nothing)."""
     snap = load_snapshot(spark, path)
     if snap.partition_columns:
         raise NotImplementedError(
@@ -77,14 +91,68 @@ def mirror_to_iceberg(
         )
 
     schema = snap.schema()
+    adds = list(snap.adds.values())
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+
+    # fingerprint of the CURRENT deletion-vector state — recorded in
+    # every mirror snapshot's summary so a later mirror can tell
+    # "appends only, deletes untouched" (incremental-safe) apart from
+    # "DV state moved" (full re-mirror required)
+    import hashlib as _hashlib
+
+    dv_fp = _hashlib.sha256(
+        repr(sorted(
+            (
+                a["path"],
+                a["deletionVector"].get("pathOrInlineDv"),
+                a["deletionVector"].get("offset"),
+                a["deletionVector"].get("sizeInBytes"),
+            )
+            for a in dv_adds
+        )).encode()
+    ).hexdigest()[:16]
+
+    mode = "overwrite"
+    if incremental:
+        from .iceberg import _load_metadata, snapshot_files
+
+        try:
+            prior_meta = _load_metadata(path)
+            prior_live = {
+                f["file_path"] for f in snapshot_files(path)
+            }
+            cur_id = prior_meta.get("current-snapshot-id")
+            prior_summary = next(
+                (
+                    s.get("summary") or {}
+                    for s in prior_meta.get("snapshots") or []
+                    if s["snapshot-id"] == cur_id
+                ),
+                {},
+            )
+        except FileNotFoundError:
+            prior_live, prior_summary = None, {}
+        if (
+            prior_live is not None
+            and prior_summary.get("delta-mirror-dv-state") == dv_fp
+            and prior_live <= {a["path"] for a in adds}
+        ):
+            new_rels = {a["path"] for a in adds} - prior_live
+            if not new_rels:
+                return int(prior_meta["current-snapshot-id"])
+            mode = "append"
+            adds = [a for a in adds if a["path"] in new_rels]
+            # their deletes are already live on the Iceberg side —
+            # appended files never carry DVs (a delete would have
+            # moved the fingerprint)
+            dv_adds = []
+
     plan = _plan_write_iceberg(
-        path, schema, mode="overwrite", partition_col=None,
+        path, schema, mode=mode, partition_col=None,
         partition_transform="identity", merge_schema=True,
         allow_spec_evolution=False,
     )
     new_v = plan["new_v"]
-
-    adds = list(snap.adds.values())
 
     # bounds from Delta's OWN per-file stats wherever present — the
     # mirror is then PURE metadata (zero data IO; the 100 TB shape).
@@ -123,8 +191,8 @@ def mirror_to_iceberg(
     ]
 
     # live deletion vectors -> same-snapshot position-delete files
+    # (dv_adds is empty on the incremental append path by construction)
     del_entries = None
-    dv_adds = [a for a in adds if a.get("deletionVector")]
     if dv_adds:
         n_del = sum(
             int(a["deletionVector"].get("cardinality") or 0)
@@ -144,9 +212,12 @@ def mirror_to_iceberg(
         )
 
     return _commit_planned_iceberg(
-        path, plan, staged, mode="overwrite", commit_ts=commit_ts,
+        path, plan, staged, mode=mode, commit_ts=commit_ts,
         position_delete_entries=del_entries,
-        summary_extra={"delta-mirror-version": str(snap.version)},
+        summary_extra={
+            "delta-mirror-version": str(snap.version),
+            "delta-mirror-dv-state": dv_fp,
+        },
     )
 
 

@@ -111,3 +111,11 @@ def test_datasource_roundtrip_example(spark):
     from examples.datasource_roundtrip_pipeline import main
 
     main()
+
+
+def test_uniform_lake_example(tmp_path, spark):
+    from examples.uniform_lake_pipeline import main
+
+    n, scanned = main(str(tmp_path / "out"))
+    assert n == 50_000 - 500 + 500  # 500 DV-deleted, 500 appended
+    assert scanned < 16

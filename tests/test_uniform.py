@@ -178,3 +178,79 @@ class TestReverseMirror:
         v = mirror_to_delta(spark, path, commit_ts=400)
         assert _rows(read_delta(spark, path, version=v)) == expected
         assert _rows(read_iceberg(spark, path)) == expected
+
+
+class TestIncrementalMirror:
+    def test_append_only_mirrors_are_append_snapshots(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            _load_metadata,
+            table_history,
+        )
+
+        path = str(tmp_path / "inc")
+        write_delta(spark, path, _mk(spark, 0, 20), commit_ts=100)
+        s1 = mirror_to_iceberg(spark, path, commit_ts=150)
+        write_delta(spark, path, _mk(spark, 20, 30), mode="append",
+                    commit_ts=200)
+        s2 = mirror_to_iceberg(spark, path, commit_ts=250)
+        assert s2 != s1
+        ops = [h["operation"] for h in table_history(path)]
+        assert ops[-1] == "append"  # incremental, not overwrite
+        assert _rows(read_iceberg(spark, path)) \
+            == _rows(read_delta(spark, path))
+        # no-op mirror: nothing new -> same snapshot id, no new commit
+        v_before = _load_metadata(path)["current-snapshot-id"]
+        s3 = mirror_to_iceberg(spark, path, commit_ts=300)
+        assert s3 == v_before
+        assert _load_metadata(path)["current-snapshot-id"] == v_before
+
+    def test_dv_change_falls_back_to_overwrite(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import table_history
+
+        path = str(tmp_path / "incdv")
+        write_delta(spark, path, _mk(spark, 0, 30), commit_ts=100)
+        mirror_to_iceberg(spark, path, commit_ts=150)
+        delete_rows_where(spark, path, "k % 6 = 1", commit_ts=200)
+        mirror_to_iceberg(spark, path, commit_ts=250)
+        ops = [h["operation"] for h in table_history(path)]
+        assert ops[-1] == "overwrite"
+        assert _rows(read_iceberg(spark, path)) \
+            == _rows(read_delta(spark, path))
+
+    def test_stream_tails_mirror_points(self, spark, tmp_path):
+        # the composition the incremental path exists for: Delta writes
+        # -> append-mode mirrors -> the iceberg_lite STREAM source
+        # tails the mirror snapshots exactly-once
+        from etl_market_survey_spark.sources.pyds_iceberg import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        path, ckpt, sink = (
+            str(tmp_path / n) for n in ("t", "c", "s")
+        )
+        write_delta(spark, path, _mk(spark, 0, 10), commit_ts=100)
+        mirror_to_iceberg(spark, path, commit_ts=150)
+
+        def drain():
+            q = (
+                spark.readStream.format("iceberg_lite").load(path)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == list(range(10))
+        write_delta(spark, path, _mk(spark, 10, 15), mode="append",
+                    commit_ts=200)
+        mirror_to_iceberg(spark, path, commit_ts=250)  # append snapshot
+        drain()
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == list(range(15))
