@@ -196,6 +196,8 @@ HEADLINE = [
     # r10: Delta -> Iceberg metadata mirror (UniForm shape) + reverse
     "q404_uniform_mirror",
     "q405_uniform_mirror_reverse",
+    # r10: iceberg_lite stream tails incremental mirror points
+    "q406_mirror_stream_tail",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -6765,3 +6765,74 @@ def q405_uniform_mirror_reverse(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q406 — stream over INCREMENTAL mirrors (uniform.mirror_to_iceberg
+# append mode + pyds_iceberg stream source): Delta commits land, each
+# mirror publishes an Iceberg APPEND snapshot over the same files, and
+# the iceberg_lite stream source tails those mirror points with a
+# checkpoint across TWO drains — the CDC-to-stream composition a
+# one-copy lakehouse needs. A mirror that re-published full overwrites
+# would break the second drain (plain-mode streaming refuses dropped
+# files); a missed/duplicated mirror batch breaks the hash against the
+# plain-orders oracle.
+# ---------------------------------------------------------------------------
+
+_Q406_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0)))
+            AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 3 <> 2
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q406_mirror_stream_tail", _Q406_ORACLE)
+def q406_mirror_stream_tail(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import write_delta
+    from ..sources.pyds_iceberg import IcebergLiteDataSource
+    from ..sources.uniform import mirror_to_iceberg
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = f"/tmp/spark_graft_mirrortail_{tag}"
+    sink, ckpt = f"{src}_sink", f"{src}_ckpt"
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    o = _orders_kpt(spark, sf_dir)  # (k, pr, tp)
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_lite").load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_delta(spark, src, o.filter(F.col("k") % 3 == 0), commit_ts=100)
+    mirror_to_iceberg(spark, src, commit_ts=150)   # first: overwrite
+    drain()
+    write_delta(spark, src, o.filter(F.col("k") % 3 == 1),
+                mode="append", commit_ts=200)
+    mirror_to_iceberg(spark, src, commit_ts=250)   # incremental: append
+    drain()  # checkpoint resume tails ONLY the append snapshot
+
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
