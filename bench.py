@@ -198,6 +198,8 @@ HEADLINE = [
     "q405_uniform_mirror_reverse",
     # r10: iceberg_lite stream tails incremental mirror points
     "q406_mirror_stream_tail",
+    # r10: binary-quantization ANN (Hamming candidates + cosine rerank)
+    "q407_bq_hamming_topk",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -753,3 +753,126 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (sign-bit) ANN — the 1-bit-per-dimension family
+# (Lucene/FAISS "BQ": quantize to sign bits, rank candidates by Hamming
+# distance, rerank the survivors with exact cosine). Complements SRP-LSH:
+# SRP prunes by BUCKET EQUALITY on random projections; BQ keeps every
+# corpus vector in play but ranks with a 32x-smaller code and an integer
+# kernel, so recall degrades gracefully instead of cliff-edging when a
+# neighbor lands one bucket over.
+#
+# Scale shape (100 TB): the candidate pass touches only (id, one BIGINT)
+# per corpus vector — 8 bytes of code instead of 256 bytes of floats — and
+# the Hamming kernel is bit_count(xor), whole-stage-codegen JVM integer
+# ops. Full-precision vectors are fetched ONLY for the k*oversample
+# survivors via a broadcast semi-join back against the corpus (candidate
+# list is tiny by contract), so the expensive float reranking never
+# shuffles the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _bq_bit_const(i: int) -> int:
+    """Signed-64 value of bit ``i`` (bit 63 is the sign bit)."""
+    v = 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def bq_bits(vec: Column, dim: int, threshold: float = 0.0) -> Column:
+    """Pack per-dimension sign bits (``v[i] > threshold``) of an
+    ``array<float|double>`` into ONE BIGINT (``dim`` <= 64, bit i =
+    dimension i). A static OR-chain of 64 ``when`` terms — pure JVM
+    expression, codegen-friendly (no interpreted higher-order fold)."""
+    if not 0 < dim <= 64:
+        raise ValueError(f"bq_bits packs at most 64 dims into one long, got {dim}")
+    vec = _to_double(vec)
+    out = None
+    for i in range(dim):
+        term = F.when(
+            F.element_at(vec, i + 1) > F.lit(float(threshold)),
+            F.lit(_bq_bit_const(i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def sql_bq_bits(vec_expr: str, dim: int, threshold: float = 0.0) -> str:
+    """DuckDB mirror of :func:`bq_bits` — keep in lockstep.
+    ``vec_expr`` must be a ``DOUBLE[]`` expression."""
+    terms = " | ".join(
+        f"(CASE WHEN {vec_expr}[{i + 1}] > {float(threshold)!r} "
+        f"THEN CAST({_bq_bit_const(i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(dim)
+    )
+    return f"({terms})"
+
+
+def bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    oversample: int = 5,
+    threshold: float = 0.0,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-bit binary quantization.
+
+    Stage 1 (candidates): Hamming distance between packed sign bits —
+    corpus rows reduced to ``(id, BIGINT)`` before the broadcast cross
+    with the (tiny) query set; keep the ``k * oversample`` nearest codes
+    per query with deterministic (hamming, id) ordering.
+    Stage 2 (rerank): fetch full vectors for the survivors only
+    (broadcast join — candidate list is ``n_queries * k * oversample``
+    rows by contract) and rank by exact rounded cosine.
+
+    Deterministic end-to-end: the bit packing, Hamming ties, and the
+    rounded-cosine ranking all break ties on ``id``, so the whole chain
+    (codes -> candidates -> rerank) replays bit-for-bit in SQL via
+    :func:`sql_bq_bits`.
+
+    Output: ``(query_id, vec_id, cos, rank)`` — same contract as
+    :func:`cosine_topk`.
+    """
+    n_cand = k * oversample
+    c_bits = corpus.select(
+        F.col(id_col), bq_bits(F.col(vec_col), dim, threshold).alias("_bits")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("_qvec"),
+    ).withColumn("_qn", norm(F.col("_qvec")))
+    q_bits = q.select(
+        "query_id", bq_bits(F.col("_qvec"), dim, threshold).alias("_qbits")
+    )
+    paired = c_bits.crossJoin(F.broadcast(q_bits)).withColumn(
+        "_ham", F.bit_count(F.col("_bits").bitwiseXOR(F.col("_qbits")))
+    )
+    if not include_self:
+        paired = paired.filter(F.col("query_id") != F.col(id_col))
+    w_cand = Window.partitionBy("query_id").orderBy(F.col("_ham"), F.col(id_col))
+    cand = (
+        paired.withColumn("_crank", F.row_number().over(w_cand))
+        .filter(F.col("_crank") <= n_cand)
+        .select("query_id", id_col)
+    )
+    c_vec = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
+    rerank = c_vec.join(F.broadcast(cand), id_col).join(
+        F.broadcast(q), "query_id"
+    )
+    scored = rerank.withColumn(
+        "cos",
+        cosine_with_norms(F.col("_qvec"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", "rank")
+    )

@@ -2612,3 +2612,68 @@ def q354_bitext_margin_ivf(spark, sf_dir):
         nprobe=_Q354_NPROBE,
         centroids=Q354_CENTROIDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# q407 — binary-quantization (sign-bit) ANN: Hamming candidate stage over
+# one packed BIGINT per vector + exact cosine rerank of the survivors.
+# Deterministic end-to-end (bit packing, (hamming, id) candidate ties,
+# rounded-cosine ranking), so the oracle replays the WHOLE chain — codes,
+# candidate cut, rerank — bit-for-bit (the q25/q117/q125 treatment).
+# ---------------------------------------------------------------------------
+
+_Q407_OVERSAMPLE = 5
+
+
+def _q407_oracle() -> str:
+    from ..operators.similarity import sql_bq_bits
+
+    bits = sql_bq_bits("v", 64)
+    n_cand = _K * _Q407_OVERSAMPLE
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, {bits} AS bits FROM e),
+q AS (SELECT vec_id AS query_id, bits AS qbits FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT q.query_id, b.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY bit_count(xor(b.bits, q.qbits)), b.vec_id
+         ) AS crank
+  FROM b JOIN q ON b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(
+           list_dot_product(qe.v, e.v)
+           / (SQRT(list_dot_product(qe.v, qe.v)) * SQRT(list_dot_product(e.v, e.v))),
+           6
+         ) AS cos
+  FROM cand c
+  JOIN e ON c.vec_id = e.vec_id
+  JOIN e qe ON c.query_id = qe.vec_id
+  WHERE c.crank <= {n_cand}
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("q407_bq_hamming_topk", _q407_oracle())
+def q407_bq_hamming_topk(spark, sf_dir):
+    from ..operators.similarity import bq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return bq_topk(
+        emb, queries, "vec_id", "embedding", k=_K, dim=64,
+        oversample=_Q407_OVERSAMPLE,
+    ).orderBy("query_id", "rank")

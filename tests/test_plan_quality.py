@@ -626,3 +626,22 @@ def test_q154_rotation_stays_out_of_generated_code(static_plan):
     assert "MapInPandas" in plan
     assert re.search(r"\*\(\d+\)", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_q407_bq_candidate_stage_is_bits_only(static_plan):
+    """Binary-quantization ANN contract: the candidate pass reduces the
+    corpus to (id, one BIGINT) before the broadcast cross with the
+    queries — the embedding array must NOT travel through the Hamming
+    window shuffle; full vectors are fetched only for the broadcast
+    candidate list. Both window stages keep the map-side
+    WindowGroupLimit partial top-k, and nothing is cartesian."""
+    plan = static_plan("q407_bq_hamming_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final, both stages
+    # the hamming shuffle carries no array column: every non-broadcast
+    # exchange row is (query_id, vec_id, ...) scalars
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "_cv" not in ln and "_qvec" not in ln and "embedding" not in ln
+    assert re.search(r"\*\(\d+\)", plan)

@@ -166,3 +166,84 @@ def test_srp_int_arrow_equals_expr_form(spark):
         srp_signature_int_expr(F.col("embedding"), planes).alias("b"),
     ).collect()
     assert all(r.a == r.b for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (sign-bit) ANN — bq_bits / bq_topk
+# ---------------------------------------------------------------------------
+
+
+def test_bq_bits_packs_known_pattern(spark):
+    from etl_market_survey_spark.operators.similarity import bq_bits
+
+    # dims 0 and 2 positive -> bits 0 and 2 -> 0b101 = 5
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.1, 0.0])], "id long, v array<double>"
+    )
+    got = df.select(bq_bits(F.col("v"), 4).alias("bits")).collect()[0]["bits"]
+    assert got == 5
+    # bit 63 uses the signed-64 sign bit
+    wide = [0.0] * 63 + [1.0]
+    df2 = spark.createDataFrame([(1, wide)], "id long, v array<double>")
+    got2 = df2.select(bq_bits(F.col("v"), 64).alias("bits")).collect()[0]["bits"]
+    assert got2 == -(1 << 63)
+
+
+def test_bq_bits_sql_mirror_matches(spark):
+    """Spark packing == DuckDB packing on real vectors (the oracle contract)."""
+    import duckdb
+
+    from etl_market_survey_spark.operators.similarity import bq_bits, sql_bq_bits
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["bits"]
+        for r in emb.select(
+            "vec_id", bq_bits(F.col("embedding"), 64).alias("bits")
+        ).collect()
+    }
+    con = duckdb.connect()
+    bits = sql_bq_bits("list_transform(embedding, x -> CAST(x AS DOUBLE))", 64)
+    want = dict(
+        con.sql(
+            f"SELECT vec_id, {bits} FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bq_topk_recall_and_determinism(spark, emb):
+    from etl_market_survey_spark.operators.similarity import bq_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=10)
+    approx = bq_topk(emb, q, k=10, dim=64, oversample=5)
+    out = approx.toPandas()
+    assert (out.groupby("query_id")["rank"].max() == 10).all()
+    assert (out["query_id"] != out["vec_id"]).all()
+    # 1-bit codes + 5x oversample should recover most true neighbors
+    assert _recall(approx, exact) >= 0.5
+    # partitioning-invariant: same rows under a different layout
+    a = sorted(map(tuple, out.itertuples(index=False)))
+    b = sorted(
+        map(
+            tuple,
+            bq_topk(emb.repartition(7), q, k=10, dim=64, oversample=5)
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    assert a == b
+
+
+def test_bq_topk_full_oversample_is_exact(spark, emb):
+    """oversample covering the whole corpus == brute force (candidates
+    stop pruning, rerank is exact)."""
+    from etl_market_survey_spark.operators.similarity import bq_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = cosine_topk(emb, q, k=10)
+    approx = bq_topk(emb, q, k=10, dim=64, oversample=(n // 10) + 1)
+    assert _recall(approx, exact) == 1.0
