@@ -200,6 +200,8 @@ HEADLINE = [
     "q406_mirror_stream_tail",
     # r10: binary-quantization ANN (Hamming candidates + cosine rerank)
     "q407_bq_hamming_topk",
+    # r10: Iceberg OPTIMIZE ZORDER parity (shared curve key with q381)
+    "q408_iceberg_zorder",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -145,3 +145,49 @@ def zk_ref(values: list[int], bits: int) -> int:
         for i in range(bits):
             out |= ((v >> i) & 1) << (i * k + j)
     return out
+
+
+def with_curve_key(
+    df: DataFrame,
+    cols: list[str],
+    order: int = 16,
+    out_col: str = "_zd",
+) -> DataFrame:
+    """Attach the space-filling-curve clustering key both lakehouse
+    OPTIMIZE paths share (Delta ``optimize_zorder``, Iceberg
+    ``rewrite_data_files(zorder_by=...)``): one column degrades to a
+    plain (double-cast) sort key; two use the Hilbert curve; three and
+    four the bit-interleaved Z-curve via :func:`zk`, with per-dimension
+    grid bits clamped to ``62 // k``. Columns are scaled to the curve
+    grid by min/max (ONE aggregate — no global-rank window, which would
+    be a SinglePartition exchange; the trade is that extreme outliers
+    compress the useful grid range)."""
+    from .hilbert import with_hilbert
+
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder takes 1 to 4 columns")
+    k = len(cols)
+    bits = order if k <= 2 else min(order, 62 // k)
+    grid = (1 << bits) - 1
+    if k == 1:
+        return df.withColumn(out_col, F.col(cols[0]).cast("double"))
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    b = df.agg(*aggs).first()
+    scaled = {}
+    for c in cols:
+        mn, mx = b[f"mn_{c}"], b[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled[f"_g_{c}"] = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+            * F.lit(float(grid))
+        ).cast("long")
+    df = df.withColumns(scaled)
+    if k == 2:
+        df = with_hilbert(df, f"_g_{cols[0]}", f"_g_{cols[1]}",
+                          out_col=out_col, order=bits)
+    else:
+        df = df.withColumn(out_col, zk([f"_g_{c}" for c in cols], bits=bits))
+    return df.drop(*[f"_g_{c}" for c in cols])

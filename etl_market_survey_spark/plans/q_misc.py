@@ -6836,3 +6836,62 @@ def q406_mirror_stream_tail(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q408 — Iceberg rewrite_data_files(zorder_by=...): q381's twin on the
+# other format (format parity for OPTIMIZE ZORDER). Same shared curve
+# key (operators/zorder.with_curve_key — Hilbert for two columns), same
+# prune proof: the box read must return exactly the range-query rows
+# while the driver-side bounds pruning skips most curve-contiguous
+# files, and the full scan pins the rewrite as content-preserving.
+# Oracle: _Q381_ORACLE verbatim (plain SQL over orders — the layout
+# must not change any answer).
+# ---------------------------------------------------------------------------
+
+
+@register("q408_iceberg_zorder", _Q381_ORACLE)
+def q408_iceberg_zorder(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        read_iceberg,
+        rewrite_data_files,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_ice_zorder_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_iceberg(spark, path, o.orderBy("k"), commit_ts=100)
+    rewrite_data_files(spark, path, zorder_by=["k", "c"], n_files=16,
+                       commit_ts=200)
+
+    b = o.agg(F.min("k"), F.max("k"), F.min("c"), F.max("c")).first()
+    klo = b[0] + int(0.25 * (b[1] - b[0]))
+    khi = b[0] + int(0.50 * (b[1] - b[0]))
+    clo = b[2] + int(0.25 * (b[3] - b[2]))
+    chi = b[2] + int(0.50 * (b[3] - b[2]))
+
+    def agg(df, tag_):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("tag"), "*")
+
+    full = read_iceberg(spark, path)
+    box = read_iceberg(
+        spark, path, stats_filter={"k": (klo, khi), "c": (clo, chi)}
+    ).filter(
+        (F.col("k").between(klo, khi)) & (F.col("c").between(clo, chi))
+    )
+    return agg(box, "box").unionByName(agg(full, "full")).orderBy("tag")

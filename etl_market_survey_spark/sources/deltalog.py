@@ -2213,8 +2213,6 @@ def optimize_zorder(
 
     from pyspark.sql import functions as F
 
-    from ..operators.hilbert import with_hilbert
-
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder takes 1 to 4 columns")
     snap = load_snapshot(spark, path)
@@ -2229,37 +2227,10 @@ def optimize_zorder(
         raise ValueError("zorder columns must not be partition columns")
     phys = snap.physical_names()
 
-    df = read_delta(spark, path)  # logical rows, DVs applied
-    k = len(cols)
-    bits = order if k <= 2 else min(order, 62 // k)
-    grid = (1 << bits) - 1
-    if k == 1:
-        df = df.withColumn("_zd", F.col(cols[0]).cast("double"))
-    else:
-        aggs = []
-        for c in cols:
-            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
-                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
-        b = df.agg(*aggs).first()
-        scaled = {}
-        for c in cols:
-            mn, mx = b[f"mn_{c}"], b[f"mx_{c}"]
-            span = (mx - mn) or 1.0
-            scaled[f"_g_{c}"] = F.floor(
-                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
-                * F.lit(float(grid))
-            ).cast("long")
-        df = df.withColumns(scaled)
-        if k == 2:
-            df = with_hilbert(df, f"_g_{cols[0]}", f"_g_{cols[1]}",
-                              out_col="_zd", order=bits)
-        else:
-            from ..operators.zorder import zk
+    from ..operators.zorder import with_curve_key
 
-            df = df.withColumn(
-                "_zd", zk([f"_g_{c}" for c in cols], bits=bits)
-            )
-        df = df.drop(*[f"_g_{c}" for c in cols])
+    df = read_delta(spark, path)  # logical rows, DVs applied
+    df = with_curve_key(df, cols, order=order, out_col="_zd")
 
     from pyspark.sql.types import StructField, StructType
 

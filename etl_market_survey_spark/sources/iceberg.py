@@ -2403,8 +2403,10 @@ def rewrite_data_files(
     path: str,
     *,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     n_files: int | None = None,
     commit_ts: int = 0,
+    order: int = 16,
 ) -> int:
     """Iceberg's ``rewrite_data_files`` (compaction): rewrite the LIVE
     logical rows — position and equality deletes MATERIALIZED into the
@@ -2420,24 +2422,57 @@ def rewrite_data_files(
     ``stats_filter`` pruning starts working on those columns.
     ``n_files`` sizes that range split (defaults to the shuffle
     parallelism). Partitioned tables keep their spec (the writer
-    restages per partition value)."""
+    restages per partition value).
+
+    ``zorder_by``: cluster along a space-filling curve over 1-4
+    columns instead (Delta ``OPTIMIZE ZORDER``'s twin — the same
+    shared curve key: Hilbert for two columns, bit-interleaved
+    Z-curve for three/four), so every rewritten file covers a compact
+    k-D box and ``stats_filter`` prunes on ANY subset of the curve
+    columns, where ``sort_by`` only prunes its leading column.
+    Unpartitioned tables only (a hidden-partition restage would
+    re-shuffle away the curve split); mutually exclusive with
+    ``sort_by``. Same scale shape: one min/max aggregate, one range
+    shuffle on the curve index, one staged write."""
     from pyspark.sql import functions as F
 
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by OR zorder_by, not both")
     meta = _load_metadata(path)
     live = read_iceberg(spark, path)  # all row-level deletes applied
-    if sort_by:
+    n = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if zorder_by:
+        from ..operators.zorder import with_curve_key
+
+        missing = [c for c in zorder_by if c not in live.columns]
+        if missing:
+            raise ValueError(f"zorder_by columns not in table: {missing}")
+        default_spec = next(
+            (sp for sp in (meta.get("partition-specs") or [])
+             if sp.get("spec-id") == (meta.get("default-spec-id") or 0)),
+            {},
+        )
+        if default_spec.get("fields"):
+            raise ValueError(
+                "zorder_by supports unpartitioned tables only (the "
+                "partition restage would re-shuffle away the curve split)"
+            )
+        live = (
+            with_curve_key(live, zorder_by, order=order, out_col="_zd")
+            .repartitionByRange(n, "_zd")
+            .sortWithinPartitions("_zd")
+            .drop("_zd")
+        )
+    elif sort_by:
         missing = [c for c in sort_by if c not in live.columns]
         if missing:
             raise ValueError(f"sort_by columns not in table: {missing}")
-        n = n_files or int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
         live = live.repartitionByRange(
             n, *[F.col(c) for c in sort_by]
         ).sortWithinPartitions(*sort_by)
     return write_iceberg(
         spark, path, live, mode="overwrite", commit_ts=commit_ts,
-        preserve_layout=bool(sort_by),
+        preserve_layout=bool(sort_by or zorder_by),
     )
 
 

@@ -96,3 +96,78 @@ def test_zk_validation(spark):
         zk(["a"])
     with pytest.raises(ValueError):
         zk(["a", "b", "c", "d"], bits=16)  # 64 bits: sign overflow
+
+
+# ---------------------------------------------------------------------------
+# Iceberg rewrite_data_files(zorder_by=...) — q381's format twin
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_zorder_prunes_and_preserves(spark, sf_dir, tmp_path):
+    import pytest
+
+    from etl_market_survey_spark.sources.iceberg import (
+        read_iceberg,
+        rewrite_data_files,
+        table_history,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_z")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_iceberg(spark, path, o.orderBy("k"), commit_ts=100)
+    with pytest.raises(ValueError, match="not both"):
+        rewrite_data_files(spark, path, sort_by=["k"], zorder_by=["c"])
+    with pytest.raises(ValueError, match="not in table"):
+        rewrite_data_files(spark, path, zorder_by=["nope"])
+    rewrite_data_files(spark, path, zorder_by=["k", "c"],
+                       n_files=_N_FILES, commit_ts=200)
+
+    b = o.agg(F.min("k"), F.max("k"), F.min("c"), F.max("c")).first()
+    klo = b[0] + int(0.25 * (b[1] - b[0]))
+    khi = b[0] + int(0.50 * (b[1] - b[0]))
+    clo = b[2] + int(0.25 * (b[3] - b[2]))
+    chi = b[2] + int(0.50 * (b[3] - b[2]))
+
+    full = read_iceberg(spark, path)
+    assert files_touched(full) == _N_FILES
+    # content-preserving rewrite
+    assert full.count() == o.count()
+    # driver-side bounds pruning skips most files on a 2-D box, and on
+    # EACH column alone (the reason zorder beats the k-sorted layout)
+    box = read_iceberg(
+        spark, path, stats_filter={"k": (klo, khi), "c": (clo, chi)}
+    )
+    assert files_touched(box) <= _N_FILES // 2
+    c_only = read_iceberg(spark, path, stats_filter={"c": (clo, chi)})
+    assert files_touched(c_only) < _N_FILES
+    pred = F.col("k").between(klo, khi) & F.col("c").between(clo, chi)
+    assert box.filter(pred).count() == o.filter(pred).count()
+    # prior snapshot still time-travels (rewrite is an overwrite commit)
+    hist = table_history(path)
+    assert len(hist) == 2
+    first = read_iceberg(spark, path, snapshot_id=hist[0]["snapshot_id"])
+    assert first.count() == o.count()
+
+
+def test_iceberg_zorder_refuses_partitioned(spark, sf_dir, tmp_path):
+    import pytest
+
+    from etl_market_survey_spark.sources.iceberg import (
+        rewrite_data_files,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_zp")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_iceberg(spark, path, o, partition_col="pr", commit_ts=100)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        rewrite_data_files(spark, path, zorder_by=["k", "tp"])
