@@ -202,6 +202,8 @@ HEADLINE = [
     "q407_bq_hamming_topk",
     # r10: Iceberg OPTIMIZE ZORDER parity (shared curve key with q381)
     "q408_iceberg_zorder",
+    # r10: differentially-private release (seeded Laplace, key-domain)
+    "q409_dp_release",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

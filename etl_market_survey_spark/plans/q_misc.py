@@ -6895,3 +6895,57 @@ def q408_iceberg_zorder(spark, sf_dir):
         (F.col("k").between(klo, khi)) & (F.col("c").between(clo, chi))
     )
     return agg(box, "box").unionByName(agg(full, "full")).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# q409 — differentially-private release (operators/dp): per-language
+# noisy counts + clipped-sum of document lengths under a split Laplace
+# budget, released over a PUBLIC key domain that includes one language
+# absent from the data (its row is pure noise around zero — the
+# membership-leak hygiene the operator exists for). The noise chain is
+# the deterministic md5 -> uniform -> inverse-CDF draw the sampling
+# operators use, so the oracle replays clip, exact-decimal sum, budget
+# split, and every noise value bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q409_EPS = 1.0
+_Q409_CLIP = (0.0, 2000.0)
+
+
+def _q409_oracle() -> str:
+    from ..operators.dp import sql_dp_release
+
+    body = sql_dp_release(
+        "src",
+        ["lang"],
+        epsilon=_Q409_EPS,
+        sums={"nchars": _Q409_CLIP},
+        domain_expr="dom",
+    )
+    return f"""
+WITH src AS (
+  SELECT lang, CAST(length(text) AS DOUBLE) AS nchars FROM documents
+),
+dom AS (SELECT DISTINCT lang FROM documents UNION ALL SELECT 'zz')
+SELECT * FROM ({body}) ORDER BY lang
+"""
+
+
+@register("q409_dp_release", _q409_oracle())
+def q409_dp_release(spark, sf_dir):
+    from ..operators.dp import dp_release
+
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select(
+        "lang", F.length("text").cast("double").alias("nchars")
+    )
+    domain = docs.select("lang").distinct().unionByName(
+        spark.createDataFrame([("zz",)], "lang string")
+    )
+    return dp_release(
+        src,
+        ["lang"],
+        epsilon=_Q409_EPS,
+        sums={"nchars": _Q409_CLIP},
+        key_domain=domain,
+    ).orderBy("lang")
