@@ -204,6 +204,8 @@ HEADLINE = [
     "q408_iceberg_zorder",
     # r10: differentially-private release (seeded Laplace, key-domain)
     "q409_dp_release",
+    # r10: Iceberg write-audit-publish (branch writes + fast-forward)
+    "q410_iceberg_wap",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

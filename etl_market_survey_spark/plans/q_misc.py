@@ -6949,3 +6949,77 @@ def q409_dp_release(spark, sf_dir):
         sums={"nchars": _Q409_CLIP},
         key_domain=domain,
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q410 — Iceberg write-audit-publish (WAP): new rows are staged on a
+# named branch (write_iceberg(branch=...)), audited through the branch
+# ref while main readers keep the old state, then published atomically
+# by fast-forwarding the main pointer. The gate pins all three phases
+# in one result: 'main_before' (read AFTER staging but before publish —
+# must not see the branch), 'staged' (the audit read via ref=), and
+# 'published' (main after fast_forward). Oracle is plain SQL over
+# orders: WAP is pure metadata choreography and must not change any row.
+# ---------------------------------------------------------------------------
+
+_Q410_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_totalprice AS tp FROM orders
+),
+audited AS (
+  SELECT k, tp FROM o
+  UNION ALL
+  SELECT k + 10000000, tp * 2.0 FROM o WHERE k % 7 = 0
+),
+u AS (
+  SELECT 'main_before' AS tag, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents FROM o
+  UNION ALL
+  SELECT 'published', COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) FROM audited
+  UNION ALL
+  SELECT 'staged', COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) FROM audited
+)
+SELECT tag, CAST(n AS BIGINT) AS n_rows, CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY tag
+"""
+
+
+@register("q410_iceberg_wap", _Q410_ORACLE)
+def q410_iceberg_wap(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import fast_forward, read_iceberg, write_iceberg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_ice_wap_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_iceberg(spark, path, o, commit_ts=100)
+    staged_rows = o.filter(F.col("k") % 7 == 0).select(
+        (F.col("k") + 10000000).alias("k"), (F.col("tp") * 2.0).alias("tp")
+    )
+    write_iceberg(spark, path, staged_rows, mode="append", commit_ts=200,
+                  branch="audit")
+
+    def agg(df, tag_):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("tag"), "*")
+
+    # all three phase frames are assembled lazily but the PHASE READS
+    # must plan against their phase's metadata: snapshot the plans now
+    before = agg(read_iceberg(spark, path), "main_before")
+    staged = agg(read_iceberg(spark, path, ref="audit"), "staged")
+    fast_forward(path, "audit", commit_ts=300)
+    published = agg(read_iceberg(spark, path), "published")
+    return before.unionByName(staged).unionByName(published).orderBy("tag")

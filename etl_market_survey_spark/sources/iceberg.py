@@ -262,6 +262,34 @@ def _load_metadata(path: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _main_lineage(meta: dict) -> list[dict]:
+    """Snapshots on the MAIN branch lineage, oldest -> newest by
+    timestamp — what time travel, changelogs, and the stream source
+    walk. A snapshot staged on a WAP branch (``write_iceberg(branch=)``)
+    but never fast-forwarded must not surface on any of those paths.
+    Snapshots without a ``parent-snapshot-id`` predate branch writes
+    (there was no other way to commit, so they are necessarily main);
+    when NO snapshot records a parent the whole list is main lineage
+    (pre-branch metadata, including rollback'd histories — walking
+    parents there would wrongly drop rolled-back-over snapshots that
+    time travel has always reached)."""
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
+    )
+    if not any("parent-snapshot-id" in s for s in snaps):
+        return snaps
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    main_ids: set = set()
+    cur = meta.get("current-snapshot-id")
+    while cur is not None and cur in by_id and cur not in main_ids:
+        main_ids.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    return [
+        s for s in snaps
+        if s["snapshot-id"] in main_ids or "parent-snapshot-id" not in s
+    ]
+
+
 def _select_snapshot(
     meta: dict, snapshot_id: int | None, as_of_ms: int | None
 ) -> dict:
@@ -276,7 +304,9 @@ def _select_snapshot(
                 return s
         raise ValueError(f"no snapshot {snapshot_id}")
     if as_of_ms is not None:
-        eligible = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+        eligible = [
+            s for s in _main_lineage(meta) if s["timestamp-ms"] <= as_of_ms
+        ]
         if not eligible:
             raise ValueError(f"no snapshot at or before {as_of_ms}")
         return max(eligible, key=lambda s: s["timestamp-ms"])
@@ -876,9 +906,7 @@ def read_iceberg_changes(
     from pyspark.sql import functions as F
 
     meta = _load_metadata(path)
-    snaps = sorted(
-        meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
-    )
+    snaps = _main_lineage(meta)  # staged WAP branches never hit changelogs
     if not snaps:
         raise ValueError("table has no snapshots")
     ids = [s["snapshot-id"] for s in snaps]
@@ -1108,12 +1136,24 @@ def write_iceberg(
     merge_schema: bool = False,
     allow_spec_evolution: bool = False,
     preserve_layout: bool = False,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
     ``mode='append'`` adds files; ``'overwrite'`` starts the file set
     fresh. Deterministic by contract (caller-supplied ``commit_ts``,
     snapshot ids derived from the version counter).
+
+    ``branch``: commit to a NAMED BRANCH instead of advancing the main
+    table pointer — the write-audit-publish (WAP) staging step. The
+    snapshot's parent (and the file set an ``append`` carries forward)
+    is the branch head if the branch exists, else the current main
+    head (the branch forks there); ``current-snapshot-id`` is left
+    untouched and ``refs[branch]`` advances instead. Readers see the
+    staged state only via ``read_iceberg(ref=branch)`` until
+    :func:`fast_forward` publishes it (or :func:`drop_ref` discards
+    it). Branch writes cover this writer only — row-level DML
+    (delete/update/merge) still targets main.
 
     ``partition_transform``: the spec's HIDDEN-partitioning function
     applied to ``partition_col`` — ``'identity'`` (default),
@@ -1161,7 +1201,7 @@ def write_iceberg(
         preserve_layout=preserve_layout,
     )
     return _commit_planned_iceberg(
-        path, plan, staged, mode=mode, commit_ts=commit_ts
+        path, plan, staged, mode=mode, commit_ts=commit_ts, branch=branch
     )
 
 
@@ -1343,6 +1383,7 @@ def _commit_planned_iceberg(
         tuple[list[tuple[str, int]], list[int]] | None
     ) = None,
     summary_operation: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """The commit half of :func:`write_iceberg`: fold pre-staged data
     files ``[(rel, partition_value, bounds_json, record_count)]`` into
@@ -1365,6 +1406,20 @@ def _commit_planned_iceberg(
     ``summary_operation`` overrides."""
     meta = plan["meta"]
     new_v, snap_id = plan["new_v"], plan["snap_id"]
+    if branch is not None and meta is None:
+        raise ValueError("branch write requires an existing table")
+    # WAP: the snapshot's base — what an append builds on and what the
+    # parent pointer records — is the branch head when writing to a
+    # branch (fork from main head if the branch is new), else main
+    base_sid = None
+    if meta is not None:
+        ref = (meta.get("refs") or {}).get(branch) if branch else None
+        if ref is not None and ref.get("type") != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
+        base_sid = (
+            int(ref["snapshot-id"]) if ref is not None
+            else meta.get("current-snapshot-id")
+        )
     t_kind, t_param = plan["t_kind"], plan["t_param"]
     partition_col, pfield = plan["partition_col"], plan["pfield"]
     spec_evolved, prior_specs = plan["spec_evolved"], plan["prior_specs"]
@@ -1408,7 +1463,7 @@ def _commit_planned_iceberg(
     if meta is not None and mode == "append":
         new_keys = frozenset([pfield]) if pfield else frozenset()
         groups: dict[frozenset, list] = {}
-        for fentry in snapshot_files(path):
+        for fentry in snapshot_files(path, snapshot_id=base_sid):
             ks = frozenset((fentry.get("partition") or {}).keys())
             e = {
                 "status": 0,
@@ -1469,7 +1524,7 @@ def _commit_planned_iceberg(
     # sequence numbers) — dropping them would resurrect deleted rows;
     # overwrite starts the file set fresh, so deletes are retired with it
     if meta is not None and mode == "append":
-        snap_prev = _select_snapshot(meta, None, None)
+        snap_prev = _select_snapshot(meta, base_sid, None)
         _, prior = read_avro_records(
             os.path.join(path, snap_prev["manifest-list"])
         )
@@ -1549,6 +1604,9 @@ def _commit_planned_iceberg(
         "manifest-list": mlist_rel,
         "summary": {"operation": operation, **(summary_extra or {})},
     }
+    if base_sid is not None:
+        # spec parent pointer — what fast_forward's ancestry walk needs
+        snapshot["parent-snapshot-id"] = base_sid
     new_meta = {
         "format-version": (
             2 if del_file_rows
@@ -1585,15 +1643,19 @@ def _commit_planned_iceberg(
             "default-spec-id",
             prior_specs[-1]["spec-id"] if prior_specs else 0,
         ),
-        "current-snapshot-id": snap_id,
+        "current-snapshot-id": (
+            # a branch write stages: main's pointer stays put
+            meta["current-snapshot-id"] if branch is not None else snap_id
+        ),
         "snapshots": ((meta or {}).get("snapshots") or []) + [snapshot],
     }
     # named refs survive data commits (tags stay pinned to their
-    # snapshots; this engine has no branch-write concept, so branch
-    # heads are bookmarks too) — dropping them here silently deleted
-    # every ref on the next write
-    if (meta or {}).get("refs"):
-        new_meta["refs"] = meta["refs"]
+    # snapshots); a branch write additionally advances its own head
+    refs = dict((meta or {}).get("refs") or {})
+    if branch is not None:
+        refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+    if refs:
+        new_meta["refs"] = refs
     _publish_metadata(path, new_v, new_meta)
     return snap_id
 
@@ -1695,15 +1757,16 @@ def delete_partitions(
         os.path.join(path, mlist_rel), _MANIFEST_LIST_SCHEMA, mlist_rows
     )
     meta = dict(meta)
-    meta["snapshots"] = (meta.get("snapshots") or []) + [
-        {
-            "snapshot-id": snap_id,
-            "timestamp-ms": commit_ts,
-            "sequence-number": new_v,
-            "manifest-list": mlist_rel,
-            "summary": {"operation": "delete"},
-        }
-    ]
+    snap_row = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": commit_ts,
+        "sequence-number": new_v,
+        "manifest-list": mlist_rel,
+        "summary": {"operation": "delete"},
+    }
+    if meta.get("current-snapshot-id") is not None:
+        snap_row["parent-snapshot-id"] = meta["current-snapshot-id"]
+    meta["snapshots"] = (meta.get("snapshots") or []) + [snap_row]
     meta["current-snapshot-id"] = snap_id
     meta["last-updated-ms"] = commit_ts
     _publish_metadata(path, new_v, meta)
@@ -2384,15 +2447,16 @@ def _commit_delete_manifest(
 
     meta = dict(meta)
     meta["format-version"] = 2
-    meta["snapshots"] = (meta.get("snapshots") or []) + [
-        {
-            "snapshot-id": snap_id,
-            "timestamp-ms": commit_ts,
-            "sequence-number": new_v,
-            "manifest-list": mlist_rel,
-            "summary": {"operation": "delete"},
-        }
-    ]
+    snap_row = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": commit_ts,
+        "sequence-number": new_v,
+        "manifest-list": mlist_rel,
+        "summary": {"operation": "delete"},
+    }
+    if meta.get("current-snapshot-id") is not None:
+        snap_row["parent-snapshot-id"] = meta["current-snapshot-id"]
+    meta["snapshots"] = (meta.get("snapshots") or []) + [snap_row]
     meta["current-snapshot-id"] = snap_id
     meta["last-updated-ms"] = commit_ts
     _publish_metadata(path, new_v, meta)
@@ -2547,6 +2611,48 @@ def resolve_ref(path: str, name: str) -> int:
     if not r:
         raise ValueError(f"no ref {name!r} in {path}")
     return int(r["snapshot-id"])
+
+
+def fast_forward(
+    path: str, branch: str, *, drop: bool = False, commit_ts: int = 0
+) -> int:
+    """Publish a WAP branch: fast-forward the main table pointer
+    (``current-snapshot-id``) to the branch head. Refuses unless main's
+    current head is an ANCESTOR of the branch head (walked via the
+    ``parent-snapshot-id`` chain branch commits record) — if main moved
+    since the branch forked, the staged work must be redone on a fresh
+    branch, exactly like Iceberg's ``fast_forward`` procedure. Already
+    published (head == branch head) is a no-op. ``drop`` removes the
+    branch ref after publishing. Returns the published snapshot id."""
+    cur_v = _current_version(path)
+    meta = dict(_load_metadata(path, cur_v))
+    refs = dict(meta.get("refs") or {})
+    r = refs.get(branch)
+    if not r:
+        raise ValueError(f"no ref {branch!r} in {path}")
+    if r.get("type") != "branch":
+        raise ValueError(f"ref {branch!r} is a tag, not a branch")
+    head = int(r["snapshot-id"])
+    main = meta.get("current-snapshot-id")
+    if main != head:
+        by_id = {
+            sn["snapshot-id"]: sn for sn in meta.get("snapshots") or []
+        }
+        anc = by_id.get(head, {}).get("parent-snapshot-id")
+        while anc is not None and anc != main:
+            anc = by_id.get(anc, {}).get("parent-snapshot-id")
+        if anc != main:
+            raise ValueError(
+                f"main head {main} is not an ancestor of branch "
+                f"{branch!r} head {head}: not a fast-forward"
+            )
+        meta["current-snapshot-id"] = head
+    if drop:
+        del refs[branch]
+        meta["refs"] = refs
+    meta["last-updated-ms"] = commit_ts
+    _publish_metadata(path, cur_v + 1, meta)
+    return head
 
 
 def expire_snapshots(

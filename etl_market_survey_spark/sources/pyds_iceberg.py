@@ -518,12 +518,9 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
         return ids.index(sid) if sid in ids else None
 
     def latestOffset(self):
-        from .iceberg import _load_metadata
+        from .iceberg import _load_metadata, _main_lineage
 
-        snaps = sorted(
-            _load_metadata(self.path).get("snapshots") or [],
-            key=lambda s: s["timestamp-ms"],
-        )
+        snaps = _main_lineage(_load_metadata(self.path))
         if not snaps:
             return {"snapshot_id": -1}
         ids = [int(s["snapshot-id"]) for s in snaps]
@@ -568,9 +565,9 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
         )
 
         meta = _load_metadata(self.path)
-        snaps = sorted(
-            meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
-        )
+        from .iceberg import _main_lineage
+
+        snaps = _main_lineage(meta)  # staged WAP branches never stream
         ids = [s["snapshot-id"] for s in snaps]
         if int(end["snapshot_id"]) == -1:
             return []

@@ -1960,3 +1960,103 @@ class TestRemoveOrphanFiles:
         # force sweeps it regardless of age
         assert remove_orphan_files(p, force=True) == ["data/inflight.parquet"]
         assert not os.path.exists(fresh)
+
+
+class TestWriteAuditPublish:
+    """write_iceberg(branch=...) + fast_forward: the WAP staging flow."""
+
+    def _base(self, spark, path):
+        df = spark.range(60).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        write_iceberg(spark, path, df, commit_ts=100)
+        return df
+
+    def test_staged_then_published(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import fast_forward
+
+        path = str(tmp_path / "wap1")
+        df = self._base(spark, path)
+        extra = df.withColumn("k", F.col("k") + 1000)
+        write_iceberg(spark, path, extra, mode="append", commit_ts=200,
+                      branch="audit")
+        # staged: invisible on main, visible via the branch ref
+        assert read_iceberg(spark, path).count() == 60
+        assert read_iceberg(spark, path, ref="audit").count() == 120
+        # time travel on main never sees the staged snapshot
+        assert read_iceberg(spark, path, as_of_ms=250).count() == 60
+        # a second branch write builds on the BRANCH head
+        write_iceberg(spark, path, extra.withColumn("k", F.col("k") + 1000),
+                      mode="append", commit_ts=300, branch="audit")
+        assert read_iceberg(spark, path, ref="audit").count() == 180
+        assert read_iceberg(spark, path).count() == 60
+        sid = fast_forward(path, "audit", commit_ts=400)
+        assert read_iceberg(spark, path).count() == 180
+        assert read_iceberg(spark, path, snapshot_id=sid).count() == 180
+        # idempotent: already published is a no-op
+        assert fast_forward(path, "audit", commit_ts=500) == sid
+        # after publish the branch commits ARE main lineage: time
+        # travel between them resolves to the first branch commit
+        assert read_iceberg(spark, path, as_of_ms=250).count() == 120
+
+    def test_discard_and_changelog_hygiene(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            drop_ref,
+            read_iceberg_changes,
+        )
+
+        path = str(tmp_path / "wap2")
+        df = self._base(spark, path)
+        write_iceberg(spark, path, df.withColumn("k", F.col("k") + 500),
+                      mode="append", commit_ts=200, branch="bad")
+        # the staged snapshot never reaches the main changelog
+        ch = read_iceberg_changes(spark, path)
+        assert ch.count() == 60
+        assert ch.filter(F.col("k") >= 500).count() == 0
+        drop_ref(path, "bad")
+        assert read_iceberg(spark, path).count() == 60
+        with pytest.raises(ValueError, match="no ref"):
+            read_iceberg(spark, path, ref="bad")
+
+    def test_non_fast_forward_refused(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import fast_forward
+
+        path = str(tmp_path / "wap3")
+        df = self._base(spark, path)
+        write_iceberg(spark, path, df, mode="append", commit_ts=200,
+                      branch="b")
+        write_iceberg(spark, path, df, mode="append", commit_ts=300)  # main moves
+        with pytest.raises(ValueError, match="not a fast-forward"):
+            fast_forward(path, "b")
+
+    def test_branch_validation(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            fast_forward,
+            set_ref,
+        )
+
+        path = str(tmp_path / "wap4")
+        df = self._base(spark, path)
+        set_ref(path, "v1", kind="tag")
+        with pytest.raises(ValueError, match="tag, not a branch"):
+            write_iceberg(spark, path, df, mode="append", branch="v1")
+        with pytest.raises(ValueError, match="tag, not a branch"):
+            fast_forward(path, "v1")
+        with pytest.raises(ValueError, match="existing table"):
+            write_iceberg(spark, str(tmp_path / "nope"), df, branch="x")
+        with pytest.raises(ValueError, match="no ref"):
+            fast_forward(path, "ghost")
+
+    def test_publish_with_drop(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            _load_metadata,
+            fast_forward,
+        )
+
+        path = str(tmp_path / "wap5")
+        df = self._base(spark, path)
+        write_iceberg(spark, path, df, mode="append", commit_ts=200,
+                      branch="wk")
+        fast_forward(path, "wk", drop=True, commit_ts=300)
+        assert read_iceberg(spark, path).count() == 120
+        assert "wk" not in (_load_metadata(path).get("refs") or {})
