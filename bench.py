@@ -206,6 +206,8 @@ HEADLINE = [
     "q409_dp_release",
     # r10: Iceberg write-audit-publish (branch writes + fast-forward)
     "q410_iceberg_wap",
+    # r10: Iceberg metadata tables ($files/$snapshots/$refs/$history)
+    "q411_iceberg_metadata_tables",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -7023,3 +7023,101 @@ def q410_iceberg_wap(spark, sf_dir):
     fast_forward(path, "audit", commit_ts=300)
     published = agg(read_iceberg(spark, path), "published")
     return before.unionByName(staged).unionByName(published).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# q411 — Iceberg metadata tables (sources/iceberg.metadata_table): the
+# $files / $delete_files / $snapshots / $refs / $history inspection
+# surface queried as DataFrames, pinned against plain SQL expectations
+# over orders. The scenario drives every table kind: two appends (one
+# file each — the writer's deterministic single-file staging), a tag, a
+# merge-on-read position delete, and a staged WAP branch; the gate
+# checks file counts, metadata record counts vs true row counts, live
+# delete positions, ref count, and that $history separates main lineage
+# from the staged branch snapshot.
+# ---------------------------------------------------------------------------
+
+_Q411_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_totalprice AS tp FROM orders
+),
+u AS (
+  SELECT 'data_files' AS tag, 2 AS n
+  UNION ALL SELECT 'delete_files', 1
+  UNION ALL SELECT 'record_count',
+    (SELECT COUNT(*) FROM o) + (SELECT COUNT(*) FROM o WHERE k % 3 = 0)
+  UNION ALL SELECT 'deleted_positions',
+    (SELECT COUNT(*) FROM o WHERE k % 10 = 0)
+      + (SELECT COUNT(*) FROM o WHERE k % 30 = 0)
+  UNION ALL SELECT 'snapshots', 4
+  UNION ALL SELECT 'main_lineage', 3
+  UNION ALL SELECT 'refs', 2
+)
+SELECT tag, CAST(n AS BIGINT) AS n FROM u ORDER BY tag
+"""
+
+
+@register("q411_iceberg_metadata_tables", _Q411_ORACLE)
+def q411_iceberg_metadata_tables(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_rows_where_iceberg,
+        metadata_table,
+        set_ref,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_ice_meta_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_iceberg(spark, path, o, commit_ts=100)
+    write_iceberg(spark, path, o.filter(F.col("k") % 3 == 0),
+                  mode="append", commit_ts=200)
+    set_ref(path, "v1", kind="tag")
+    delete_rows_where_iceberg(spark, path, F.col("k") % 10 == 0,
+                              commit_ts=300)
+    write_iceberg(spark, path, o.filter(F.col("k") % 97 == 0),
+                  mode="append", commit_ts=400, branch="staging")
+
+    files = metadata_table(spark, path, "files")
+    dels = metadata_table(spark, path, "delete_files")
+    snaps = metadata_table(spark, path, "snapshots")
+    hist = metadata_table(spark, path, "history")
+    refs = metadata_table(spark, path, "refs")
+
+    def one(tag_, df_agg):
+        return df_agg.select(
+            F.lit(tag_).alias("tag"), F.col("n").cast("bigint").alias("n")
+        )
+
+    return (
+        one("data_files", files.agg(F.count("*").alias("n")))
+        .unionByName(one("delete_files", dels.agg(F.count("*").alias("n"))))
+        .unionByName(
+            one("record_count", files.agg(F.sum("record_count").alias("n")))
+        )
+        .unionByName(
+            one(
+                "deleted_positions",
+                dels.agg(F.sum("record_count").alias("n")),
+            )
+        )
+        .unionByName(one("snapshots", snaps.agg(F.count("*").alias("n"))))
+        .unionByName(
+            one(
+                "main_lineage",
+                hist.filter("is_current_ancestor").agg(
+                    F.count("*").alias("n")
+                ),
+            )
+        )
+        .unionByName(one("refs", refs.agg(F.count("*").alias("n"))))
+        .orderBy("tag")
+    )

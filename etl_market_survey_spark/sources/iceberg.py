@@ -3026,3 +3026,124 @@ def count_rows_iceberg(
         .count()
     )
     return total - n_deleted
+
+
+def metadata_table(
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    *,
+    snapshot_id: int | None = None,
+) -> "DataFrame":
+    """Iceberg's inspection surface (``table$files`` / ``$snapshots`` /
+    ``$refs`` / ``$manifests`` / ``$delete_files`` / ``$history``) as
+    DataFrames — the metadata a maintenance job or a debugger queries
+    without touching data files.
+
+    All kinds assemble driver-side from the same metadata-sized
+    structures read planning already walks (manifest lists + manifests;
+    "SURVIVORS only reach the driver" does not apply — metadata tables
+    ARE the manifest content); for many-manifest tables the executor-
+    decoded :func:`snapshot_files_df_iceberg` remains the scan-planning
+    path. ``history`` reports the MAIN lineage with an
+    ``is_current_ancestor`` flag mirroring the spec table; ``snapshots``
+    reports everything, staged WAP branches included.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    meta = _load_metadata(path)
+    if kind == "files" or kind == "delete_files":
+        fetch = snapshot_files if kind == "files" else snapshot_delete_files
+        rows = [
+            (
+                f["file_path"],
+                _json.dumps(f.get("partition") or {}, sort_keys=True),
+                int(f.get("record_count") or 0),
+                int(f.get("file_size_in_bytes") or 0),
+                int(f.get("_seq") or 0),
+                int(f.get("content") or 0),
+            )
+            for f in fetch(path, snapshot_id)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, partition_json string, record_count long, "
+            "file_size_in_bytes long, sequence_number long, content int",
+        )
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                (
+                    int(s["parent-snapshot-id"])
+                    if s.get("parent-snapshot-id") is not None else None
+                ),
+                int(s["timestamp-ms"]),
+                int(s.get("sequence-number") or 0),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+            )
+            for s in meta.get("snapshots") or []
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, committed_at_ms long, "
+            "sequence_number long, operation string, manifest_list string",
+        )
+    if kind == "history":
+        main_ids = {s["snapshot-id"] for s in _main_lineage(meta)}
+        rows = [
+            (
+                int(s["timestamp-ms"]),
+                int(s["snapshot-id"]),
+                (
+                    int(s["parent-snapshot-id"])
+                    if s.get("parent-snapshot-id") is not None else None
+                ),
+                s["snapshot-id"] in main_ids,
+            )
+            for s in meta.get("snapshots") or []
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+    if kind == "refs":
+        rows = [
+            (name, r.get("type"), int(r["snapshot-id"]))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if kind == "manifests":
+        snap = _select_snapshot(meta, snapshot_id, None)
+        _, manifests = read_avro_records(
+            os.path.join(path, snap["manifest-list"])
+        )
+        rows = [
+            (
+                m["manifest_path"],
+                int(m.get("manifest_length") or 0),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("content") or 0),
+                (
+                    int(m["added_snapshot_id"])
+                    if m.get("added_snapshot_id") is not None else None
+                ),
+                int(m.get("sequence_number") or 0),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "added_snapshot_id long, sequence_number long",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r}: pick files / delete_files / "
+        "snapshots / history / refs / manifests"
+    )

@@ -2060,3 +2060,53 @@ class TestWriteAuditPublish:
         fast_forward(path, "wk", drop=True, commit_ts=300)
         assert read_iceberg(spark, path).count() == 120
         assert "wk" not in (_load_metadata(path).get("refs") or {})
+
+
+class TestMetadataTables:
+    def test_kinds_and_snapshot_pinning(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            metadata_table,
+            table_history,
+        )
+
+        path = str(tmp_path / "meta1")
+        df = spark.range(40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("p"),
+        )
+        write_iceberg(spark, path, df, partition_col="p", commit_ts=100)
+        write_iceberg(spark, path, df.filter("k < 8"), mode="append",
+                      partition_col="p", commit_ts=200)
+        files = metadata_table(spark, path, "files").toPandas()
+        assert files["record_count"].sum() == 48
+        assert files["partition_json"].str.contains('"p":').all()
+        # pinned to the first snapshot: only the first commit's files
+        hist = table_history(path)
+        first = metadata_table(
+            spark, path, "files", snapshot_id=hist[0]["snapshot_id"]
+        ).toPandas()
+        assert first["record_count"].sum() == 40
+        mans = metadata_table(spark, path, "manifests").toPandas()
+        assert (mans["content"] == 0).all() and len(mans) >= 1
+        snaps = metadata_table(spark, path, "snapshots").toPandas()
+        assert list(snaps["operation"]) == ["append", "append"]
+        assert snaps["parent_id"].iloc[1] == snaps["snapshot_id"].iloc[0]
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="unknown metadata table"):
+            metadata_table(spark, path, "nope")
+
+    def test_history_flags_staged_branch(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import metadata_table
+
+        path = str(tmp_path / "meta2")
+        df = spark.range(10).select(F.col("id").alias("k"))
+        write_iceberg(spark, path, df, commit_ts=100)
+        write_iceberg(spark, path, df, mode="append", commit_ts=200,
+                      branch="wip")
+        hist = metadata_table(spark, path, "history").toPandas()
+        assert len(hist) == 2
+        assert sorted(hist["is_current_ancestor"]) == [False, True]
+        refs = metadata_table(spark, path, "refs").toPandas()
+        assert list(refs["name"]) == ["wip"]
+        assert list(refs["type"]) == ["branch"]
