@@ -208,6 +208,8 @@ HEADLINE = [
     "q410_iceberg_wap",
     # r10: Iceberg metadata tables ($files/$snapshots/$refs/$history)
     "q411_iceberg_metadata_tables",
+    # r10: incremental OPTIMIZE ZORDER (delta-only clustering pass)
+    "q412_delta_zorder_incremental",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -7121,3 +7121,61 @@ def q411_iceberg_metadata_tables(spark, sf_dir):
         .unionByName(one("refs", refs.agg(F.count("*").alias("n"))))
         .orderBy("tag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q412 — incremental OPTIMIZE ZORDER (deltalog.optimize_zorder
+# incremental=True): after a full curve rewrite, appended files are
+# clustered by a delta-only pass that never reads the already-clustered
+# layout (liquid-clustering maintenance shape — at 100 TB the full
+# rewrite is a table-sized job, the incremental pass costs only the
+# new data). Content preservation + box pruning are pinned by the same
+# oracle as q381: the layout must change no answer.
+# ---------------------------------------------------------------------------
+
+
+@register("q412_delta_zorder_incremental", _Q381_ORACLE)
+def q412_delta_zorder_incremental(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.deltalog import optimize_zorder, read_delta, write_delta
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_zorder_inc_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_delta(spark, path, o.filter(F.col("k") % 2 == 0).orderBy("k"),
+                commit_ts=100)
+    optimize_zorder(spark, path, ["k", "c"], n_files=12, commit_ts=200)
+    write_delta(spark, path, o.filter(F.col("k") % 2 == 1),
+                mode="append", commit_ts=300)
+    optimize_zorder(spark, path, ["k", "c"], n_files=4, commit_ts=400,
+                    incremental=True)
+
+    b = o.agg(F.min("k"), F.max("k"), F.min("c"), F.max("c")).first()
+    klo = b[0] + int(0.25 * (b[1] - b[0]))
+    khi = b[0] + int(0.50 * (b[1] - b[0]))
+    clo = b[2] + int(0.25 * (b[3] - b[2]))
+    chi = b[2] + int(0.50 * (b[3] - b[2]))
+
+    def agg(df, tag_):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("tag"), "*")
+
+    full = read_delta(spark, path)
+    box = read_delta(
+        spark, path, stats_filter={"k": (klo, khi), "c": (clo, chi)}
+    ).filter(
+        (F.col("k").between(klo, khi)) & (F.col("c").between(clo, chi))
+    )
+    return agg(box, "box").unionByName(agg(full, "full")).orderBy("tag")

@@ -2173,6 +2173,23 @@ def _write_single_parquet(df: DataFrame, dest: str):
     shutil.rmtree(tmp)
 
 
+def _last_zorder_version(path: str, cols: list[str]) -> int | None:
+    """Newest commit version whose commitInfo records an OPTIMIZE
+    ZORDER BY over exactly ``cols`` — the incremental mode's watermark."""
+    last = None
+    for v in _list_commit_versions(path):
+        for a in _read_actions(path, v):
+            ci = a.get("commitInfo")
+            if (
+                ci
+                and ci.get("operation") == "OPTIMIZE"
+                and (ci.get("operationParameters") or {}).get("zOrderBy")
+                == list(cols)
+            ):
+                last = v
+    return last
+
+
 def optimize_zorder(
     spark: SparkSession,
     path: str,
@@ -2181,6 +2198,7 @@ def optimize_zorder(
     n_files: int = 16,
     commit_ts: int = 0,
     order: int = 16,
+    incremental: bool = False,
 ) -> int:
     """OPTIMIZE ... ZORDER BY (cols): rewrite the table's live rows
     clustered along a space-filling curve over 1-4 columns, split into
@@ -2208,7 +2226,20 @@ def optimize_zorder(
     columns must not themselves be partition columns.
 
     Shape at scale: one min/max aggregate, one range shuffle on the
-    curve index (terasort class), one staged write."""
+    curve index (terasort class), one staged write.
+
+    ``incremental=True`` clusters only the files ADDED since the last
+    OPTIMIZE ZORDER BY over the same columns (the watermark is the
+    commitInfo record), leaving the already-clustered layout untouched
+    — the liquid-clustering-style maintenance shape: at 100 TB a full
+    curve rewrite is a table-sized job, while the incremental pass
+    costs only the new data. The new files get their own curve span
+    (grid scaled to THEIR min/max); pruning correctness is unaffected
+    (it reads per-file bounds, never the curve), the trade is curve
+    overlap between generations until the next full rewrite. Falls
+    back to a full rewrite when no prior zorder watermark exists;
+    returns the current version unchanged (no commit) when nothing new
+    was added."""
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -2229,7 +2260,30 @@ def optimize_zorder(
 
     from ..operators.zorder import with_curve_key
 
-    df = read_delta(spark, path)  # logical rows, DVs applied
+    rewrite_rels = sorted(snap.adds)
+    inc_applied = False
+    if incremental:
+        last_zv = _last_zorder_version(path, cols)
+        if last_zv is not None:
+            newly: set[str] = set()
+            for v in _list_commit_versions(path):
+                if v <= last_zv:
+                    continue
+                for a in _read_actions(path, v):
+                    if "add" in a:
+                        newly.add(a["add"]["path"])
+            rewrite_rels = sorted(newly & set(snap.adds))
+            if not rewrite_rels:
+                return snap.version  # nothing new: no-op, no commit
+            inc_applied = True
+    if inc_applied:
+        # logical rows of ONLY the new files (DVs applied), same scan
+        # MERGE uses — the old clustered files are never read
+        df = _scan_logical_with_file(
+            spark, path, snap, [snap.adds[r] for r in rewrite_rels]
+        ).drop("_file")
+    else:
+        df = read_delta(spark, path)  # logical rows, DVs applied
     df = with_curve_key(df, cols, order=order, out_col="_zd")
 
     from pyspark.sql.types import StructField, StructType
@@ -2294,16 +2348,19 @@ def optimize_zorder(
 
     _shutil.rmtree(stage, ignore_errors=True)
 
+    op_params: dict = {"zOrderBy": list(cols)}
+    if inc_applied:
+        op_params["incremental"] = True
     actions: list[dict] = [
         {
             "commitInfo": {
                 "timestamp": commit_ts,
                 "operation": "OPTIMIZE",
-                "operationParameters": {"zOrderBy": list(cols)},
+                "operationParameters": op_params,
             }
         }
     ]
-    for rel in sorted(snap.adds):
+    for rel in rewrite_rels:
         actions.append(
             {
                 "remove": {

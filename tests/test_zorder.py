@@ -171,3 +171,54 @@ def test_iceberg_zorder_refuses_partitioned(spark, sf_dir, tmp_path):
     write_iceberg(spark, path, o, partition_col="pr", commit_ts=100)
     with pytest.raises(ValueError, match="unpartitioned"):
         rewrite_data_files(spark, path, zorder_by=["k", "tp"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental OPTIMIZE ZORDER (delta) — delta-only maintenance pass
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_zorder_rewrites_only_new_files(spark, sf_dir, tmp_path):
+    from etl_market_survey_spark.sources.deltalog import (
+        delta_history,
+        load_snapshot,
+        optimize_zorder,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "dz_inc")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_delta(spark, path, o.filter("k % 2 = 0").orderBy("k"),
+                commit_ts=100)
+    optimize_zorder(spark, path, ["k", "c"], n_files=8, commit_ts=200)
+    gen1 = set(load_snapshot(spark, path).adds)
+    write_delta(spark, path, o.filter("k % 2 = 1"), mode="append",
+                commit_ts=300)
+    v = optimize_zorder(spark, path, ["k", "c"], n_files=4, commit_ts=400,
+                        incremental=True)
+    snap = load_snapshot(spark, path)
+    # the 8 first-generation curve files are untouched; only the
+    # appended file was replaced by 4 new curve files
+    assert gen1 <= set(snap.adds)
+    assert len(snap.adds) == len(gen1) + 4
+    assert read_delta(spark, path).count() == o.count()
+    hist = delta_history(path)
+    assert [h["operation"] for h in hist] == [
+        "WRITE", "OPTIMIZE", "WRITE", "OPTIMIZE"
+    ]
+    assert hist[-1]["num_removed"] == 1 and hist[-1]["num_added"] == 4
+    # nothing new -> no-op, no commit
+    assert optimize_zorder(spark, path, ["k", "c"], incremental=True) == v
+    assert len(delta_history(path)) == 4
+    # different column set has no watermark -> falls back to FULL rewrite
+    v2 = optimize_zorder(spark, path, ["c", "tp"], n_files=6,
+                         commit_ts=500, incremental=True)
+    assert v2 == v + 1
+    snap2 = load_snapshot(spark, path)
+    assert len(snap2.adds) == 6  # whole table rewritten
+    assert read_delta(spark, path).count() == o.count()
