@@ -210,6 +210,8 @@ HEADLINE = [
     "q411_iceberg_metadata_tables",
     # r10: incremental OPTIMIZE ZORDER (delta-only clustering pass)
     "q412_delta_zorder_incremental",
+    # r10: WAP loop with audit fix (branch DML + fast-forward)
+    "q413_iceberg_wap_audit_fix",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -7179,3 +7179,87 @@ def q412_delta_zorder_incremental(spark, sf_dir):
         (F.col("k").between(klo, khi)) & (F.col("c").between(clo, chi))
     )
     return agg(box, "box").unionByName(agg(full, "full")).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# q413 — the full WAP loop with an AUDIT FIX: new rows are staged on a
+# branch, the audit finds bad rows (negative prices) in the staged
+# data and deletes them ON THE BRANCH (merge-on-read position deletes
+# whose base is the branch head), then fast_forward publishes the
+# corrected state. Main must never see the staged rows, the bad rows,
+# or the fix until publish — and after publish must see exactly the
+# corrected state. Oracle is plain SQL over orders.
+# ---------------------------------------------------------------------------
+
+_Q413_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_totalprice AS tp FROM orders
+),
+staged AS (
+  SELECT k + 10000000 AS k,
+         CASE WHEN k % 5 = 0 THEN -tp ELSE tp END AS tp
+  FROM o WHERE k % 2 = 0
+),
+corrected AS (
+  SELECT k, tp FROM o
+  UNION ALL
+  SELECT k, tp FROM staged WHERE tp >= 0
+),
+u AS (
+  SELECT 'main_before' AS tag, COUNT(*) AS n,
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) AS cents FROM o
+  UNION ALL
+  SELECT 'published', COUNT(*),
+         SUM(CAST(FLOOR(tp * 100.0) AS DECIMAL(38,0))) FROM corrected
+)
+SELECT tag, CAST(n AS BIGINT) AS n_rows, CAST(cents AS BIGINT) AS total_cents
+FROM u ORDER BY tag
+"""
+
+
+@register("q413_iceberg_wap_audit_fix", _Q413_ORACLE)
+def q413_iceberg_wap_audit_fix(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_rows_where_iceberg,
+        fast_forward,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_ice_wapfix_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    write_iceberg(spark, path, o, commit_ts=100)
+    staged = o.filter(F.col("k") % 2 == 0).select(
+        (F.col("k") + 10000000).alias("k"),
+        F.when(F.col("k") % 5 == 0, -F.col("tp"))
+        .otherwise(F.col("tp"))
+        .alias("tp"),
+    )
+    write_iceberg(spark, path, staged, mode="append", commit_ts=200,
+                  branch="audit")
+    # the audit: negative prices in the staged rows are bad — fix on
+    # the branch (main keeps reading the old state throughout)
+    delete_rows_where_iceberg(spark, path, "tp < 0", commit_ts=300,
+                              branch="audit")
+
+    def agg(df, tag_):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("tp") * 100.0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        ).select(F.lit(tag_).alias("tag"), "*")
+
+    before = agg(read_iceberg(spark, path), "main_before")
+    fast_forward(path, "audit", commit_ts=400)
+    published = agg(read_iceberg(spark, path), "published")
+    return before.unionByName(published).orderBy("tag")

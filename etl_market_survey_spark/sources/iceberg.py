@@ -1152,8 +1152,8 @@ def write_iceberg(
     untouched and ``refs[branch]`` advances instead. Readers see the
     staged state only via ``read_iceberg(ref=branch)`` until
     :func:`fast_forward` publishes it (or :func:`drop_ref` discards
-    it). Branch writes cover this writer only — row-level DML
-    (delete/update/merge) still targets main.
+    it). :func:`delete_rows_where_iceberg` accepts ``branch`` too (the
+    audit-fix verb); update/merge still target main.
 
     ``partition_transform``: the spec's HIDDEN-partitioning function
     applied to ``partition_col`` — ``'identity'`` (default),
@@ -1825,6 +1825,7 @@ def delete_rows_where_iceberg(
     path: str,
     predicate: str,
     commit_ts: int = 0,
+    branch: str | None = None,
 ) -> int:
     """Predicate row DELETE on the v2 merge-on-read path — the Iceberg
     twin of :mod:`.deltalog`'s ``delete_rows_where``: one scan finds
@@ -1834,33 +1835,62 @@ def delete_rows_where_iceberg(
     position-delete parquet — the pairs never touch the driver, which
     makes this strictly more scalable than a bitmap-bounded DV path.
     Deletes accumulate across snapshots per the spec; the changelog
-    scan emits these rows as row-exact 'delete' changes."""
+    scan emits these rows as row-exact 'delete' changes.
+
+    ``branch``: run the DELETE against a WAP branch head (fork from
+    main if the branch is new) and advance only ``refs[branch]`` — the
+    audit-fix verb of the write-audit-publish flow: bad rows found
+    during audit are removed from the STAGED state before
+    :func:`fast_forward` publishes it, while main readers never see
+    either the staged data or the fix."""
     from pyspark.sql import functions as F
 
     cur_v = _current_version(path)
     meta = _load_metadata(path, cur_v)
-    df = _scan_live_with_pos(spark, path, meta)
+    base_sid = _branch_base(meta, branch)
+    df = _scan_live_with_pos(spark, path, meta, snapshot_id=base_sid)
     if df is None:
-        return _select_snapshot(meta, None, None)["snapshot-id"]
+        return _select_snapshot(meta, base_sid, None)["snapshot-id"]
     matched = df.filter(predicate).select("_if", "_ip")
     return _commit_position_deletes(
-        spark, path, meta, cur_v, matched, commit_ts=commit_ts
+        spark, path, meta, cur_v, matched, commit_ts=commit_ts,
+        branch=branch,
     )
 
 
-def _scan_live_with_pos(spark: SparkSession, path: str, meta: dict):
+def _branch_base(meta: dict, branch: str | None) -> int | None:
+    """Base snapshot id a branch-targeted verb reads and parents from:
+    the branch head when the ref exists, else the main head (the branch
+    forks there). None when no branch requested (= main head for reads
+    that default to current)."""
+    if branch is None:
+        return None
+    r = (meta.get("refs") or {}).get(branch)
+    if r is not None and r.get("type") != "branch":
+        raise ValueError(f"ref {branch!r} is a tag, not a branch")
+    return (
+        int(r["snapshot-id"]) if r is not None
+        else meta.get("current-snapshot-id")
+    )
+
+
+def _scan_live_with_pos(
+    spark: SparkSession, path: str, meta: dict,
+    snapshot_id: int | None = None,
+):
     """LIVE logical rows with ``(_if, _ip)`` identity attached — the
     file basename and 0-based row position — prior position AND
     equality deletes applied (already-dead rows never re-emitted).
     Returns None for an empty table. The row-DML scan every
-    merge-on-read write verb starts from."""
+    merge-on-read write verb starts from. ``snapshot_id`` pins the
+    scan to a non-current base (branch DML)."""
     from pyspark.sql import functions as F
 
     schema = _spark_schema(meta)
-    files = snapshot_files(path)
+    files = snapshot_files(path, snapshot_id=snapshot_id)
     if not files:
         return None
-    delete_files = snapshot_delete_files(path)
+    delete_files = snapshot_delete_files(path, snapshot_id=snapshot_id)
     pos_deletes = [f for f in delete_files if f.get("content") == 1]
     eq_deletes = [f for f in delete_files if f.get("content") == 2]
 
@@ -1899,6 +1929,7 @@ def _commit_position_deletes(
     *,
     commit_ts: int,
     rows_per_file: int | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write the matched ``(_if, _ip)`` identities straight into
     sorted position-delete parquet files (pairs never touch the
@@ -1907,7 +1938,8 @@ def _commit_position_deletes(
     manifest. No-op (current snapshot id) when nothing matched."""
     from pyspark.sql import functions as F
 
-    files = snapshot_files(path)
+    base_sid = _branch_base(meta, branch)
+    files = snapshot_files(path, snapshot_id=base_sid)
     # basename -> table-relative path (metadata-sized broadcast)
     rel_map = spark.createDataFrame(
         [(os.path.basename(f["file_path"]), f["file_path"])
@@ -1920,7 +1952,7 @@ def _commit_position_deletes(
     )
     n = pairs.count()
     if n == 0:
-        return _select_snapshot(meta, None, None)["snapshot-id"]
+        return _select_snapshot(meta, base_sid, None)["snapshot-id"]
     new_v = cur_v + 1
     entries = _write_position_delete_files(
         spark, path, pairs, new_v, n, rows_per_file=rows_per_file
@@ -1928,7 +1960,7 @@ def _commit_position_deletes(
     _commit_delete_manifest(
         path, meta, new_v, entries,
         content=1, equality_ids=None,
-        commit_ts=commit_ts,
+        commit_ts=commit_ts, branch=branch,
     )
     return new_v
 
@@ -2387,6 +2419,7 @@ def _commit_delete_manifest(
     content: int,
     equality_ids: list[int] | None,
     commit_ts: int,
+    branch: str | None = None,
 ) -> None:
     """Shared commit tail for row-delete snapshots (position and
     equality): write the content=1 delete manifest (one entry per
@@ -2418,7 +2451,8 @@ def _commit_delete_manifest(
     )
 
     # carry every prior manifest forward + append the delete manifest
-    snap = _select_snapshot(meta, None, None)
+    base_sid = _branch_base(meta, branch)
+    snap = _select_snapshot(meta, base_sid, None)
     _, prior_manifests = read_avro_records(
         os.path.join(path, snap["manifest-list"])
     )
@@ -2454,10 +2488,18 @@ def _commit_delete_manifest(
         "manifest-list": mlist_rel,
         "summary": {"operation": "delete"},
     }
-    if meta.get("current-snapshot-id") is not None:
-        snap_row["parent-snapshot-id"] = meta["current-snapshot-id"]
+    parent = base_sid if branch is not None else meta.get(
+        "current-snapshot-id"
+    )
+    if parent is not None:
+        snap_row["parent-snapshot-id"] = parent
     meta["snapshots"] = (meta.get("snapshots") or []) + [snap_row]
-    meta["current-snapshot-id"] = snap_id
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+        meta["refs"] = refs
+    else:
+        meta["current-snapshot-id"] = snap_id
     meta["last-updated-ms"] = commit_ts
     _publish_metadata(path, new_v, meta)
 

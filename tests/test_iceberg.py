@@ -2110,3 +2110,64 @@ class TestMetadataTables:
         refs = metadata_table(spark, path, "refs").toPandas()
         assert list(refs["name"]) == ["wip"]
         assert list(refs["type"]) == ["branch"]
+
+
+class TestBranchDml:
+    def test_branch_delete_stays_staged(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg,
+            fast_forward,
+            read_iceberg_changes,
+        )
+
+        path = str(tmp_path / "bdml1")
+        df = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        write_iceberg(spark, path, df, commit_ts=100)
+        write_iceberg(spark, path, df.withColumn("k", F.col("k") + 100),
+                      mode="append", commit_ts=200, branch="a")
+        delete_rows_where_iceberg(spark, path, "k >= 140", commit_ts=300,
+                                  branch="a")
+        assert read_iceberg(spark, path).count() == 50
+        assert read_iceberg(spark, path, ref="a").count() == 90
+        # the staged delete never reaches the main changelog pre-publish
+        assert read_iceberg_changes(spark, path).count() == 50
+        fast_forward(path, "a", commit_ts=400)
+        assert read_iceberg(spark, path).count() == 90
+        # after publish the changelog replays the branch commits too
+        ch = read_iceberg_changes(spark, path)
+        assert ch.filter("_change_type = 'delete'").count() == 10
+
+    def test_branch_delete_forks_from_main(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg,
+        )
+
+        path = str(tmp_path / "bdml2")
+        df = spark.range(30).select(F.col("id").alias("k"))
+        write_iceberg(spark, path, df, commit_ts=100)
+        delete_rows_where_iceberg(spark, path, "k < 5", commit_ts=200,
+                                  branch="fix")
+        assert read_iceberg(spark, path).count() == 30
+        assert read_iceberg(spark, path, ref="fix").count() == 25
+        # no-op branch delete returns the branch head, commits nothing
+        from etl_market_survey_spark.sources.iceberg import resolve_ref
+
+        head = resolve_ref(path, "fix")
+        got = delete_rows_where_iceberg(spark, path, "k > 999",
+                                        commit_ts=300, branch="fix")
+        assert got == head
+
+    def test_branch_delete_refuses_tag(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            delete_rows_where_iceberg,
+            set_ref,
+        )
+
+        path = str(tmp_path / "bdml3")
+        df = spark.range(10).select(F.col("id").alias("k"))
+        write_iceberg(spark, path, df, commit_ts=100)
+        set_ref(path, "v1", kind="tag")
+        with pytest.raises(ValueError, match="tag, not a branch"):
+            delete_rows_where_iceberg(spark, path, "k < 2", branch="v1")
