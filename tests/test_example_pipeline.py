@@ -119,3 +119,20 @@ def test_uniform_lake_example(tmp_path, spark):
     n, scanned = main(str(tmp_path / "out"))
     assert n == 50_000 - 500 + 500  # 500 DV-deleted, 500 appended
     assert scanned < 16
+
+
+def test_wap_example(spark):
+    from examples.wap_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    # main never saw the staged batch during audit
+    assert out["main_during_audit"] < out["published"]
+    # the audit found corrupt rows, the branch fix removed every one
+    assert out["bad_staged"] > 0
+    assert out["bad_published"] == 0
+    assert out["published"] == out["main_during_audit"] \
+        + (out["published"] - out["main_during_audit"])
+    # history separates main lineage (all published commits) correctly
+    assert out["main_lineage"] >= 4
+    # the bootstrap clustering prunes the box read
+    assert out["box_files_scanned"] <= 16 // 2
