@@ -212,6 +212,8 @@ HEADLINE = [
     "q412_delta_zorder_incremental",
     # r10: WAP loop with audit fix (branch DML + fast-forward)
     "q413_iceberg_wap_audit_fix",
+    # r10: audio constellation fingerprint matching (Wang 2003)
+    "q414_audio_fingerprint",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -6067,3 +6067,142 @@ def q374_avi_mjpeg_roundtrip(spark, sf_dir):
         decode_pixels,
         "l_returnflag string, frame_idx int, pixel_idx int, val int",
     ).orderBy("l_returnflag", "frame_idx", "pixel_idx")
+
+
+# ---------------------------------------------------------------------------
+# q414 — audio constellation fingerprint matching (operators/audiofp,
+# Wang 2003): deterministic hash-noise PCM tracks are framed, per-frame
+# Goertzel landmarks pair into combinatorial hashes, and amplitude-
+# scaled clips recover their (track, offset) by hash-join offset
+# voting. The whole chain — xxhash64 sample synthesis, the per-(frame,
+# bin) sequential Goertzel folds, peak argmax, pair hashing, vote
+# ranking — replays in SQL (sql_xxhash64_long_cte + the q315 recursive
+# goertzel CTE with identical 2cos(w) literals).
+# ---------------------------------------------------------------------------
+
+_Q414_T, _Q414_N, _Q414_W = 6, 256, 32
+_Q414_BINS = tuple(range(2, 10))
+_Q414_DELTAS = (1, 2, 3)
+_Q414_CLIPS = ((0, 1, 0), (1, 3, 2), (2, 5, 1))  # (clip, track, frame off)
+_Q414_CF = 5  # frames per clip
+_Q414_SCALE = 3  # clip amplitude factor (argmax-invariant)
+
+
+def _q414_oracle() -> str:
+    from ..functions.xxh64sql import sql_xxhash64_long_cte
+    from ..operators.dsp import goertzel_coeff, sql_goertzel_multi_cte
+
+    t, n, w = _Q414_T, _Q414_N, _Q414_W
+    coeff_case = " ".join(
+        f"WHEN {k} THEN {goertzel_coeff(k, w)!r}" for k in _Q414_BINS
+    )
+    bins_values = ", ".join(f"({k})" for k in _Q414_BINS)
+    clip_values = ", ".join(f"({c}, {tr}, {off})" for c, tr, off in _Q414_CLIPS)
+    delta_values = ", ".join(f"({d})" for d in _Q414_DELTAS)
+    xxh = sql_xxhash64_long_cte("ids", out_cte="xxhl")
+    goe = sql_goertzel_multi_cte("gsrc")
+    return f"""
+WITH RECURSIVE ids AS (
+  SELECT unnest(range(0, {t * n})) AS v
+),
+{xxh},
+samp AS (
+  SELECT v // {n} AS trk, v % {n} AS i,
+         CAST(((hv % 2001) + 2001) % 2001 - 1000 AS DOUBLE) AS x
+  FROM xxhl
+),
+clips(cid, trk, off) AS (VALUES {clip_values}),
+gsrc AS (
+  SELECT 'c|' || CAST(trk AS VARCHAR) || '|' || CAST(i // {w} AS VARCHAR)
+           || '|' || CAST(b.k AS VARCHAR) AS key,
+         i % {w} AS n, x,
+         CASE b.k {coeff_case} END AS coeff
+  FROM samp CROSS JOIN (VALUES {bins_values}) b(k)
+  UNION ALL
+  SELECT 'q|' || CAST(c.cid AS VARCHAR) || '|'
+           || CAST((s.i - c.off * {w}) // {w} AS VARCHAR)
+           || '|' || CAST(b.k AS VARCHAR) AS key,
+         (s.i - c.off * {w}) % {w} AS n, s.x * {_Q414_SCALE}.0 AS x,
+         CASE b.k {coeff_case} END AS coeff
+  FROM clips c
+  JOIN samp s ON s.trk = c.trk
+   AND s.i >= c.off * {w} AND s.i < (c.off + {_Q414_CF}) * {w}
+  CROSS JOIN (VALUES {bins_values}) b(k)
+),
+{goe},
+powers AS (
+  SELECT split_part(key, '|', 1) AS kind,
+         CAST(split_part(key, '|', 2) AS BIGINT) AS sig,
+         CAST(split_part(key, '|', 3) AS BIGINT) AS frame,
+         CAST(split_part(key, '|', 4) AS INT) AS bin,
+         ROUND(s1 * s1 + s2 * s2 - coeff * s1 * s2, 6) AS power
+  FROM goem
+),
+peaks AS (
+  SELECT kind, sig, frame, bin AS peak_bin
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY kind, sig, frame ORDER BY power DESC, bin
+    ) AS rk FROM powers
+  ) WHERE rk = 1
+),
+hashes AS (
+  SELECT a.kind, a.sig, a.frame,
+         a.peak_bin * 10000 + b.peak_bin * 100 + d.d AS fkey
+  FROM peaks a
+  JOIN (VALUES {delta_values}) d(d) ON TRUE
+  JOIN peaks b ON b.kind = a.kind AND b.sig = a.sig
+              AND b.frame = a.frame + d.d
+),
+votes AS (
+  SELECT q.sig AS clip_id, c.sig AS track_id,
+         c.frame - q.frame AS frame_offset, COUNT(*) AS votes
+  FROM hashes q JOIN hashes c ON q.fkey = c.fkey
+  WHERE q.kind = 'q' AND c.kind = 'c'
+  GROUP BY 1, 2, 3
+)
+SELECT clip_id, track_id, frame_offset, CAST(votes AS BIGINT) AS votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY clip_id ORDER BY votes DESC, track_id, frame_offset
+  ) AS rk FROM votes
+) WHERE rk = 1
+ORDER BY clip_id
+"""
+
+
+@register("q414_audio_fingerprint", _q414_oracle())
+def q414_audio_fingerprint(spark, sf_dir):
+    from ..operators.audiofp import fingerprint_signals, match_clips
+
+    t, n, w = _Q414_T, _Q414_N, _Q414_W
+    base = spark.range(t * n).select(
+        (F.col("id") / n).cast("long").alias("track_id"),
+        (F.col("id") % n).alias("i"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(2001)) - 1000)
+        .cast("double")
+        .alias("x"),
+    )
+    corpus_fp = fingerprint_signals(
+        base, "track_id", "x", "i", frame_size=w,
+        bins=_Q414_BINS, deltas=_Q414_DELTAS,
+    )
+    clip_rows = spark.createDataFrame(
+        [(c, tr, off) for c, tr, off in _Q414_CLIPS],
+        "clip_id long, trk long, off long",
+    )
+    clips = clip_rows.join(
+        base, clip_rows["trk"] == base["track_id"]
+    ).filter(
+        (F.col("i") >= F.col("off") * w)
+        & (F.col("i") < (F.col("off") + _Q414_CF) * w)
+    ).select(
+        "clip_id",
+        (F.col("i") - F.col("off") * w).alias("j"),
+        (F.col("x") * _Q414_SCALE).alias("xq"),
+    )
+    clip_fp = fingerprint_signals(
+        clips, "clip_id", "xq", "j", frame_size=w,
+        bins=_Q414_BINS, deltas=_Q414_DELTAS,
+    )
+    return match_clips(corpus_fp, clip_fp).orderBy("clip_id")
