@@ -1152,8 +1152,9 @@ def write_iceberg(
     untouched and ``refs[branch]`` advances instead. Readers see the
     staged state only via ``read_iceberg(ref=branch)`` until
     :func:`fast_forward` publishes it (or :func:`drop_ref` discards
-    it). :func:`delete_rows_where_iceberg` accepts ``branch`` too (the
-    audit-fix verb); update/merge still target main.
+    it). :func:`delete_rows_where_iceberg` and
+    :func:`update_rows_where_iceberg` accept ``branch`` too (the
+    audit-fix verbs); MERGE still targets main.
 
     ``partition_transform``: the spec's HIDDEN-partitioning function
     applied to ``partition_col`` — ``'identity'`` (default),
@@ -2294,6 +2295,7 @@ def _single_commit_delete_append(
     appended,  # DataFrame[table columns] | None
     *,
     commit_ts: int,
+    branch: str | None = None,
 ) -> int:
     """Publish position deletes for ``dels`` and the ``appended`` rows
     as ONE snapshot — the commit tail shared by
@@ -2306,13 +2308,15 @@ def _single_commit_delete_append(
     snapshot id when both are."""
     from pyspark.sql import functions as F
 
+    base_sid = _branch_base(meta, branch)
     if appended is not None and appended.limit(1).count() == 0:
         appended = None
     if appended is None:
         if dels is None:
-            return _select_snapshot(meta, None, None)["snapshot-id"]
+            return _select_snapshot(meta, base_sid, None)["snapshot-id"]
         return _commit_position_deletes(
-            spark, path, meta, cur_v, dels, commit_ts=commit_ts
+            spark, path, meta, cur_v, dels, commit_ts=commit_ts,
+            branch=branch,
         )
     plan = _plan_write_iceberg(
         path, appended.schema, mode="append", partition_col=None,
@@ -2322,7 +2326,7 @@ def _single_commit_delete_append(
     new_v = plan["new_v"]
     del_entries: list[tuple[str, int]] = []
     if dels is not None:
-        files = snapshot_files(path)
+        files = snapshot_files(path, snapshot_id=base_sid)
         rel_map = spark.createDataFrame(
             [(os.path.basename(f["file_path"]), f["file_path"])
              for f in files],
@@ -2355,6 +2359,7 @@ def _single_commit_delete_append(
         path, plan, staged, mode="append", commit_ts=commit_ts,
         position_delete_entries=del_entries or None,
         summary_operation="overwrite" if del_entries else None,
+        branch=branch,
     )
 
 
@@ -2364,6 +2369,7 @@ def update_rows_where_iceberg(
     predicate: str,
     assignments: dict[str, str],
     commit_ts: int = 0,
+    branch: str | None = None,
 ) -> int:
     """Predicate row UPDATE, merge-on-read, committed as ONE snapshot:
     position-delete files over the matched rows AND the data files
@@ -2384,7 +2390,11 @@ def update_rows_where_iceberg(
     a no-match update is a no-op. The changelog surfaces this as
     row-exact delete + insert at ONE snapshot — Iceberg's changelog
     has no pre/post pairing concept (that is Delta CDF's extra; the
-    logical change set is identical)."""
+    logical change set is identical).
+
+    ``branch``: run the UPDATE against a WAP branch head and advance
+    only ``refs[branch]`` — with branch DELETE, the complete audit-fix
+    surface of the write-audit-publish flow."""
     from pyspark.sql import functions as F
 
     cur_v = _current_version(path)
@@ -2395,10 +2405,11 @@ def update_rows_where_iceberg(
     if bad:
         raise ValueError(f"assignments target unknown columns: {bad}")
 
-    df = _scan_live_with_pos(spark, path, meta)  # pos+eq deletes applied
+    base_sid = _branch_base(meta, branch)
+    df = _scan_live_with_pos(spark, path, meta, snapshot_id=base_sid)
     matched = df.filter(predicate) if df is not None else None
     if matched is None or matched.limit(1).count() == 0:
-        return _select_snapshot(meta, None, None)["snapshot-id"]
+        return _select_snapshot(meta, base_sid, None)["snapshot-id"]
 
     updated = matched
     for c, expr in assignments.items():
@@ -2406,7 +2417,7 @@ def update_rows_where_iceberg(
     return _single_commit_delete_append(
         spark, path, meta, cur_v,
         matched.select("_if", "_ip"), updated.select(*cols),
-        commit_ts=commit_ts,
+        commit_ts=commit_ts, branch=branch,
     )
 
 

@@ -2171,3 +2171,55 @@ class TestBranchDml:
         set_ref(path, "v1", kind="tag")
         with pytest.raises(ValueError, match="tag, not a branch"):
             delete_rows_where_iceberg(spark, path, "k < 2", branch="v1")
+
+
+class TestBranchUpdate:
+    def test_branch_update_single_snapshot(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            fast_forward,
+            metadata_table,
+            resolve_ref,
+            update_rows_where_iceberg,
+        )
+
+        path = str(tmp_path / "bupd")
+        df = spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        write_iceberg(spark, path, df, commit_ts=100)
+        write_iceberg(spark, path, df.withColumn("k", F.col("k") + 100),
+                      mode="append", commit_ts=200, branch="a")
+        sid = update_rows_where_iceberg(
+            spark, path, "k >= 100", {"v": "v + 1"}, commit_ts=300,
+            branch="a",
+        )
+        assert sid == resolve_ref(path, "a")
+        # ONE branch snapshot for the update (delete + append together)
+        snaps = metadata_table(spark, path, "snapshots").toPandas()
+        assert len(snaps) == 3
+        # main untouched; branch shows updated values
+        assert read_iceberg(spark, path).count() == 40
+        branch = read_iceberg(spark, path, ref="a")
+        assert branch.filter("k >= 100 AND v % 10 = 1").count() == 40
+        assert branch.filter("k < 100 AND v % 10 != 0").count() == 0
+        fast_forward(path, "a", commit_ts=400)
+        pub = read_iceberg(spark, path)
+        assert pub.count() == 80
+        assert pub.filter("v % 10 = 1").count() == 40
+
+    def test_branch_update_no_match_is_noop(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            resolve_ref,
+            update_rows_where_iceberg,
+        )
+
+        path = str(tmp_path / "bupd2")
+        df = spark.range(10).select(F.col("id").alias("k"))
+        write_iceberg(spark, path, df, commit_ts=100)
+        write_iceberg(spark, path, df, mode="append", commit_ts=200,
+                      branch="a")
+        head = resolve_ref(path, "a")
+        got = update_rows_where_iceberg(
+            spark, path, "k > 999", {"k": "k"}, commit_ts=300, branch="a"
+        )
+        assert got == head
