@@ -2223,3 +2223,71 @@ class TestBranchUpdate:
             spark, path, "k > 999", {"k": "k"}, commit_ts=300, branch="a"
         )
         assert got == head
+
+
+class TestBranchMerge:
+    def test_branch_merge_all_clauses(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            fast_forward,
+            merge_iceberg,
+            metadata_table,
+            resolve_ref,
+        )
+
+        path = str(tmp_path / "bmerge")
+        df = spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        write_iceberg(spark, path, df, commit_ts=100)
+        write_iceberg(spark, path, df.select((F.col("k") + 100).alias("k"), "v"),
+                      mode="append", commit_ts=200, branch="a")
+        # source updates staged keys 100-109, inserts 300-304, and the
+        # by-source clause expires every key the source doesn't carry
+        src = spark.range(10).select(
+            (F.col("id") + 100).alias("k"),
+            F.lit(7).cast("long").alias("v"),
+        ).unionByName(
+            spark.range(5).select(
+                (F.col("id") + 300).alias("k"),
+                F.lit(9).cast("long").alias("v"),
+            )
+        )
+        sid = merge_iceberg(
+            spark, path, src, ["k"],
+            when_matched="update", when_not_matched="insert",
+            when_not_matched_by_source="delete",
+            commit_ts=300, branch="a",
+        )
+        assert sid == resolve_ref(path, "a")
+        # ONE branch snapshot for the whole merge
+        assert len(metadata_table(spark, path, "snapshots").toPandas()) == 3
+        # main untouched until publish
+        assert read_iceberg(spark, path).count() == 20
+        b = read_iceberg(spark, path, ref="a")
+        assert b.count() == 15  # 10 updated + 5 inserted, rest expired
+        assert b.filter("v = 7").count() == 10
+        assert b.filter("v = 9").count() == 5
+        fast_forward(path, "a", commit_ts=400)
+        assert read_iceberg(spark, path).count() == 15
+
+    def test_branch_merge_noop_returns_branch_head(self, spark, tmp_path):
+        from etl_market_survey_spark.sources.iceberg import (
+            merge_iceberg,
+            resolve_ref,
+        )
+
+        path = str(tmp_path / "bmerge2")
+        df = spark.range(10).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        )
+        write_iceberg(spark, path, df, commit_ts=100)
+        write_iceberg(spark, path, df.select((F.col("k") + 50).alias("k"), "v"),
+                      mode="append", commit_ts=200, branch="a")
+        head = resolve_ref(path, "a")
+        src = spark.range(3).select(
+            (F.col("id") + 900).alias("k"), F.lit(2).cast("long").alias("v")
+        )
+        got = merge_iceberg(spark, path, src, ["k"],
+                            when_matched="update", when_not_matched=None,
+                            commit_ts=300, branch="a")
+        assert got == head
