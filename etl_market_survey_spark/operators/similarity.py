@@ -876,3 +876,88 @@ def bq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cos", "rank")
     )
+
+
+def bq_codes(vec: Column, dim: int, threshold: float = 0.0) -> Column:
+    """Multi-word generalization of :func:`bq_bits`: pack ``dim`` sign
+    bits into ``ceil(dim / 64)`` BIGINT words (``array<long>``, word j
+    holds dims ``64j .. 64j+63``). Same static when/OR expression per
+    word — no interpreted fold."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    vec = _to_double(vec)
+    words = []
+    for w in range((dim + 63) // 64):
+        out = None
+        for b in range(min(64, dim - w * 64)):
+            term = F.when(
+                F.element_at(vec, w * 64 + b + 1) > F.lit(float(threshold)),
+                F.lit(_bq_bit_const(b)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            out = term if out is None else out.bitwiseOR(term)
+        words.append(out)
+    return F.array(*words)
+
+
+def bq_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two same-length ``array<long>`` codes —
+    a zip/bit_count/sum over ceil(dim/64) words (the fold is over WORDS,
+    not dimensions, so the interpreted-HOF cost is 2-16 terms)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def bq_topk_wide(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 128,
+    oversample: int = 5,
+    threshold: float = 0.0,
+    include_self: bool = False,
+) -> DataFrame:
+    """:func:`bq_topk` for ``dim > 64``: identical two-stage shape
+    (codes-only Hamming candidates, broadcast-join exact-cosine rerank),
+    with ``array<long>`` codes and :func:`bq_hamming`. The candidate
+    pass still moves only ``8 * ceil(dim/64)`` bytes per corpus vector."""
+    n_cand = k * oversample
+    c_bits = corpus.select(
+        F.col(id_col), bq_codes(F.col(vec_col), dim, threshold).alias("_bits")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("_qvec"),
+    ).withColumn("_qn", norm(F.col("_qvec")))
+    q_bits = q.select(
+        "query_id", bq_codes(F.col("_qvec"), dim, threshold).alias("_qbits")
+    )
+    paired = c_bits.crossJoin(F.broadcast(q_bits)).withColumn(
+        "_ham", bq_hamming(F.col("_bits"), F.col("_qbits"))
+    )
+    if not include_self:
+        paired = paired.filter(F.col("query_id") != F.col(id_col))
+    w_cand = Window.partitionBy("query_id").orderBy(F.col("_ham"), F.col(id_col))
+    cand = (
+        paired.withColumn("_crank", F.row_number().over(w_cand))
+        .filter(F.col("_crank") <= n_cand)
+        .select("query_id", id_col)
+    )
+    c_vec = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
+    rerank = c_vec.join(F.broadcast(cand), id_col).join(F.broadcast(q), "query_id")
+    scored = rerank.withColumn(
+        "cos",
+        cosine_with_norms(F.col("_qvec"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", "rank")
+    )

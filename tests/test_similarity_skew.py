@@ -247,3 +247,50 @@ def test_bq_topk_full_oversample_is_exact(spark, emb):
     exact = cosine_topk(emb, q, k=10)
     approx = bq_topk(emb, q, k=10, dim=64, oversample=(n // 10) + 1)
     assert _recall(approx, exact) == 1.0
+
+
+def test_bq_wide_codes_and_topk(spark):
+    """dim=128 two-word codes: packing matches a per-half bq_bits
+    reference, and the wide top-k recovers exact neighbors with full
+    oversample on a synthetic 128-d corpus."""
+    from etl_market_survey_spark.operators.similarity import (
+        bq_bits,
+        bq_codes,
+        bq_hamming,
+        bq_topk_wide,
+        cosine_topk,
+    )
+
+    n, d = 300, 128
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * d + i), F.lit(2001)) - 1000
+            ).cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+    # word packing == two independent 64-bit packs of each half
+    ref = base.select(
+        "vec_id",
+        bq_codes(F.col("embedding"), d).alias("codes"),
+        bq_bits(F.slice(F.col("embedding"), 1, 64), 64).alias("w0"),
+        bq_bits(F.slice(F.col("embedding"), 65, 64), 64).alias("w1"),
+    )
+    bad = ref.filter(
+        (F.element_at("codes", 1) != F.col("w0"))
+        | (F.element_at("codes", 2) != F.col("w1"))
+    ).count()
+    assert bad == 0
+    # hamming of a code with itself is 0; with complement-ish differs
+    self_ham = ref.select(bq_hamming("codes", "codes").alias("h")).agg(
+        F.max("h")
+    ).first()[0]
+    assert self_ham == 0
+    q = base.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(base, q, k=10)
+    full = bq_topk_wide(base, q, k=10, dim=d, oversample=n // 10 + 1)
+    assert _recall(full, exact) == 1.0
+    approx = bq_topk_wide(base, q, k=10, dim=d, oversample=5)
+    assert _recall(approx, exact) >= 0.4  # 2-word codes, hash corpus
