@@ -214,6 +214,8 @@ HEADLINE = [
     "q413_iceberg_wap_audit_fix",
     # r10: audio constellation fingerprint matching (Wang 2003)
     "q414_audio_fingerprint",
+    # r10: label-propagation community detection (Raghavan 2007)
+    "q415_label_propagation",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

@@ -1,0 +1,138 @@
+"""Community detection — synchronous label propagation (Raghavan et al.
+2007, "Near linear time algorithm to detect community structures") as a
+DataFrame loop with bit-exact cross-engine semantics.
+
+LPA in its gate-able form: every node starts as its own label; each
+round, every node SIMULTANEOUSLY adopts the most frequent label among
+its in-neighbors, ties broken by the smallest label. Synchronous
+updates + deterministic ties make a run a pure function of (edge set,
+n_iter) — no randomized visit order, no float — so the oracle unrolls
+the rounds as chained SQL stages and hash-matches every (node, label)
+row. (Classic LPA randomizes the visit order to dampen label
+oscillation; the synchronous fixed-iteration form trades a possibly
+coarser fixpoint for determinism, the same trade the fixed-point
+PageRank gate makes.)
+
+Distinct from ``operators/components``: connected components ask "is
+there ANY path" (min-label flood); LPA asks "where do most of my
+neighbors sit" — dense clusters keep their label against sparse
+bridges, so one component can hold many communities.
+
+Scale shape per round: one join labels⋈edges on src (the label table
+is nodes-sized; the key never changes, so with bucketed edges the
+exchange disappears), one (dst, label) groupBy with map-side combine,
+one per-dst argmax as a second partial-aggregated max over
+struct(count, -label) — no window sort — and one left join back onto
+the (always-total) label table (isolated nodes keep their label).
+Iterations are a driver loop with EAGER localCheckpoint cuts every few
+rounds: each round references the label table twice, so the lazy plan
+doubles per round and an uncut loop goes exponential in plan size —
+the cut caps it at 2^checkpoint_every for one tiny nodes-sized
+materialization per cut (the Pregel-as-DataFrame shape shared with
+pagerank/kcore/sssp, with the two-reference caveat called out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    checkpoint_every: int = 4,
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """``(node, label)`` after ``n_iter`` synchronous LPA rounds over
+    the directed edge list ``(src, dst)`` — symmetrize with
+    :func:`..operators.pagerank.undirected_edges` for undirected
+    graphs (the usual community-detection input).
+
+    ``broadcast_labels=True`` broadcasts the nodes-sized label table
+    into the message join (and the winner table into the join-back),
+    making each round ONE shuffle (the count combine) instead of
+    three — right whenever the node set fits an executor (tens of
+    millions of nodes); billion-node graphs keep the default shuffle
+    joins."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    multi = n_iter > 1
+    edges = edges.persist() if multi else edges
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if multi:
+        nodes = nodes.persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(n_iter):
+        lab_in = F.broadcast(labels) if broadcast_labels else labels
+        counts = (
+            edges.join(lab_in, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # argmax(count, ties -> smallest label) as ONE partial-
+        # aggregable max over struct(count, -label): lexicographic max
+        # picks the highest count, then the largest negated label =
+        # the smallest label. Same winner as a row_number window, but
+        # with map-side combine and no per-node sort shuffle.
+        best = counts.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))
+            ).alias("_m")
+        ).select("node", (-F.col("_m._nl")).alias("_new"))
+        # labels already carries EVERY node (it starts from the node
+        # set and left joins keep it total) — no extra node-set join
+        best_in = F.broadcast(best) if broadcast_labels else best
+        labels = labels.join(best_in, "node", "left").select(
+            "node", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i != n_iter - 1:
+            # EAGER cut: each round references the label table TWICE
+            # (the message join and the keep-old coalesce), so the lazy
+            # plan DOUBLES per round — 2^n subtrees by round n. An
+            # eager checkpoint every few rounds caps plan size at
+            # 2^checkpoint_every for a tiny nodes-sized materialization.
+            labels = labels.localCheckpoint(eager=True)
+        elif i == n_iter - 1:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def sql_label_propagation(
+    edges_cte: str,
+    nodes_cte: str,
+    n_iter: int,
+    final_name: str = "lp_final",
+) -> str:
+    """Unrolled-SQL replay of :func:`label_propagation` — keep in
+    lockstep. ``edges_cte`` must expose ``(src, dst)``, ``nodes_cte``
+    ``(node)``. Emits chained CTEs ending in ``{final_name}(node,
+    label)``; paste inside a WITH list."""
+    parts = [f"lp0 AS (SELECT node, node AS label FROM {nodes_cte})"]
+    for i in range(1, n_iter + 1):
+        prev, cur = f"lp{i - 1}", f"lp{i}"
+        parts.append(f"""{cur}_m AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM {edges_cte} e JOIN {prev} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+{cur}_b AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label)
+             AS rk
+    FROM {cur}_m
+  ) WHERE rk = 1
+),
+{cur} AS (
+  SELECT l.node, COALESCE(b.label, l.label) AS label
+  FROM {prev} l LEFT JOIN {cur}_b b ON b.node = l.node
+)""")
+    parts.append(
+        f"{final_name} AS (SELECT node, label FROM lp{n_iter})"
+    )
+    return ",\n".join(parts)

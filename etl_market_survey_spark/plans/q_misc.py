@@ -7263,3 +7263,61 @@ def q413_iceberg_wap_audit_fix(spark, sf_dir):
     fast_forward(path, "audit", commit_ts=400)
     published = agg(read_iceberg(spark, path), "published")
     return before.unionByName(published).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# q415 — community detection via synchronous label propagation
+# (operators/communities, Raghavan 2007): the customer–supplier
+# co-purchase graph (q97's edge set) partitioned into communities by
+# 4 deterministic LPA rounds — most-frequent neighbor label, ties to
+# the smallest. Synchronous updates + integer labels make the run a
+# pure function of the edge set, so the oracle unrolls the rounds as
+# chained SQL stages and hash-matches every (node, label) row.
+# Complements q67/q145 connected components (ANY-path flood) with the
+# density-sensitive grouping a curation pipeline uses to find cliques.
+# ---------------------------------------------------------------------------
+
+_Q415_ITERS = 3
+
+
+def _q415_oracle() -> str:
+    from ..operators.communities import sql_label_propagation
+
+    lp = sql_label_propagation("edges", "nodes", _Q415_ITERS)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + {_Q97_OFF} AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+{lp}
+SELECT node, label FROM lp_final ORDER BY node
+"""
+
+
+@register("q415_label_propagation", _q415_oracle())
+def q415_label_propagation(spark, sf_dir):
+    from ..operators.communities import label_propagation
+    from ..operators.pagerank import undirected_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_Q97_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = undirected_edges(pairs, "a", "b")
+    # the co-purchase node set is dims-sized (customers + suppliers):
+    # broadcast rounds — one shuffle each — are the right plan here
+    return label_propagation(
+        edges, n_iter=_Q415_ITERS, broadcast_labels=True
+    ).orderBy("node")
