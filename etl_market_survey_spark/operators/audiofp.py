@@ -54,12 +54,11 @@ def frame_peaks(
         (F.col(pos_col) % frame_size).alias("_n"),
         F.col(sample_col).alias("_x"),
     )
-    fanned = framed.crossJoin(
-        F.broadcast(
-            framed.sparkSession.createDataFrame(
-                [(int(k),) for k in bins], "bin int"
-            )
-        )
+    # bin fan-out as a generator, not a join: explode of a literal
+    # array keeps the stage a single codegen'd map (a broadcast
+    # cross-join here plans as BroadcastNestedLoopJoin for no benefit)
+    fanned = framed.withColumn(
+        "bin", F.explode(F.array(*[F.lit(int(k)) for k in bins]))
     )
     powers = audio_filterbank_powers(
         fanned, ["_sig", "_frame"], "_x", "_n", "bin", frame_size

@@ -645,3 +645,25 @@ def test_q407_bq_candidate_stage_is_bits_only(static_plan):
         if "Exchange hashpartitioning" in ln:
             assert "_cv" not in ln and "_qvec" not in ln and "embedding" not in ln
     assert re.search(r"\*\(\d+\)", plan)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q408_iceberg_zorder",
+        "q409_dp_release",
+        "q410_iceberg_wap",
+        "q411_iceberg_metadata_tables",
+        "q412_delta_zorder_incremental",
+        "q413_iceberg_wap_audit_fix",
+        "q414_audio_fingerprint",
+        "q415_label_propagation",
+    ],
+)
+def test_r10c_no_cartesian_and_codegen(static_plan, name):
+    """Round-10 continuation batch: returned frames stay JVM-side with
+    no cartesian product and no unsanctioned nested-loop join."""
+    plan = static_plan(name)
+    assert "CartesianProduct" not in plan, name
+    assert re.search(r"\*\(\d+\)", plan), name
+    assert "BroadcastNestedLoopJoin" not in plan, name
