@@ -216,6 +216,8 @@ HEADLINE = [
     "q414_audio_fingerprint",
     # r10: label-propagation community detection (Raghavan 2007)
     "q415_label_propagation",
+    # r10: DP quantile via the exponential mechanism
+    "q416_dp_quantile",
 ]
 
 # Transient infrastructure failures (VERDICT r8 item 1): the round-8

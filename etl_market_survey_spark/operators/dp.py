@@ -207,3 +207,176 @@ def sql_dp_release(
             f"ROUND(COALESCE(_s_{c}, 0.0) + {noise}, 6) AS noisy_sum_{c}"
         )
     return f"SELECT {', '.join(outs)} FROM ({base})"
+
+
+def dp_quantile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    q: float,
+    *,
+    epsilon: float,
+    lo: float,
+    hi: float,
+    m: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group quantile release under the EXPONENTIAL MECHANISM
+    (McSherry & Talwar 2007; the discrete quantile form of Smith 2011):
+    candidates are the PUBLIC grid ``lo + k*(hi-lo)/m`` (k = 0..m —
+    data-independent, so the candidate set itself leaks nothing),
+    utility ``u(c) = -|#(x <= c) - q*n|`` (sensitivity 1: one row moves
+    any count by at most 1), and a candidate is drawn with probability
+    proportional to ``exp(epsilon * u / 2)``.
+
+    Determinism (the engineering contract of this module): weights are
+    rounded to 9 decimals (the libm exp rule), the cumulative sum runs
+    in candidate order — the identical IEEE fold both engines execute —
+    and the draw is the seeded md5 uniform, so a release replays
+    bit-for-bit in SQL (:func:`sql_dp_quantile`).
+
+    Scale shape: one clip+bucket projection, one (group, bucket) count
+    with map-side combine, one broadcast-sized candidate fan-out
+    (m+1 rows per group), two ordered windows over m+1 rows per group.
+    The fact table is scanned once and never re-shuffled.
+
+    Output: ``group_cols`` + ``dp_q`` (the selected grid value, double).
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    if not lo < hi:
+        raise ValueError("need lo < hi")
+    if m < 1:
+        raise ValueError("need m >= 1")
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols)
+    width = (float(hi) - float(lo)) / m
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(float(lo))),
+        F.lit(float(hi)),
+    )
+    # bucket of x = smallest candidate index k with x <= c_k, i.e.
+    # ceil((x - lo) / width), clamped into 0..m
+    bidx = F.least(
+        F.greatest(
+            F.ceil((clipped - F.lit(float(lo))) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(m),
+    )
+    bcounts = df.groupBy(*gcols, bidx.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cand = (
+        bcounts.groupBy(*gcols)
+        .agg(F.sum("_c").alias("_n"))
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(m))))
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        cand.join(
+            bcounts.withColumnRenamed("_b", "_k"), [*gcols, "_k"], "left"
+        )
+        .withColumn("_cum", F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(w_cum))
+        .withColumn(
+            "_w",
+            F.round(
+                F.exp(
+                    F.lit(float(epsilon) / 2.0)
+                    * -F.abs(
+                        F.col("_cum").cast("double")
+                        - F.lit(float(q)) * F.col("_n").cast("double")
+                    )
+                ),
+                9,
+            ),
+        )
+        .withColumn("_cw", F.sum("_w").over(w_cum))
+    )
+    key = _group_key(gcols)
+    total = Window.partitionBy(*gcols)
+    picked = (
+        scored.withColumn("_tot", F.max("_cw").over(total))
+        .withColumn("_u", _u01(key, f"quantile_{value_col}", seed))
+        .filter(F.col("_cw") >= F.col("_u") * F.col("_tot"))
+        .groupBy(*gcols)
+        .agg(F.min("_k").alias("_sel"))
+    )
+    return picked.select(
+        *gcols,
+        F.round(F.lit(float(lo)) + F.col("_sel") * F.lit(width), 9).alias(
+            "dp_q"
+        ),
+    )
+
+
+def sql_dp_quantile(
+    table_expr: str,
+    group_exprs: Sequence[str],
+    value_expr: str,
+    q: float,
+    *,
+    epsilon: float,
+    lo: float,
+    hi: float,
+    m: int = 64,
+    seed: int = 42,
+    value_name: str = "dp_q",
+) -> str:
+    """DuckDB mirror of :func:`dp_quantile` — keep in lockstep."""
+    gl = ", ".join(group_exprs)
+    width = (float(hi) - float(lo)) / m
+    clip = (
+        f"LEAST(GREATEST(CAST({value_expr} AS DOUBLE), {float(lo)!r}), "
+        f"{float(hi)!r})"
+    )
+    bidx = (
+        f"LEAST(GREATEST(CAST(CEIL(({clip} - {float(lo)!r}) / {width!r}) "
+        f"AS BIGINT), 0), {m})"
+    )
+    key = sql_group_key(group_exprs)
+    h = f"md5(concat_ws(chr(31), '{seed}', 'quantile_{value_expr}', {key}))"
+    uu = (
+        f"((CAST(concat('0x', substr({h}, 1, 13)) AS BIGINT) + 0.5) / "
+        f"{_U_SCALE!r})"
+    )
+    return f"""
+WITH bc AS (
+  SELECT {gl}, {bidx} AS k, COUNT(*) AS c FROM {table_expr} GROUP BY ALL
+),
+ns AS (SELECT {gl}, SUM(c) AS n FROM bc GROUP BY ALL),
+cand AS (
+  SELECT ns.*, k.k FROM ns CROSS JOIN (
+    SELECT unnest(range(0, {m + 1})) AS k
+  ) k
+),
+scored AS (
+  SELECT cand.*, SUM(COALESCE(bc.c, 0)) OVER (
+           PARTITION BY {gl} ORDER BY k
+         ) AS cum
+  FROM cand LEFT JOIN bc USING ({gl}, k)
+),
+weighted AS (
+  SELECT *, ROUND(EXP({float(epsilon) / 2.0!r}
+             * -ABS(CAST(cum AS DOUBLE) - {float(q)!r} * CAST(n AS DOUBLE))),
+           9) AS w
+  FROM scored
+),
+cw AS (
+  SELECT *, SUM(w) OVER (PARTITION BY {gl} ORDER BY k) AS cumw,
+         SUM(w) OVER (PARTITION BY {gl}) AS tot
+  FROM weighted
+)
+SELECT {gl},
+       ROUND({float(lo)!r} + MIN(k) * {width!r}, 9) AS {value_name}
+FROM cw
+WHERE cumw >= {uu} * tot
+GROUP BY ALL
+"""

@@ -7321,3 +7321,55 @@ def q415_label_propagation(spark, sf_dir):
     return label_propagation(
         edges, n_iter=_Q415_ITERS, broadcast_labels=True
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q416 — differentially-private quantile via the EXPONENTIAL MECHANISM
+# (operators/dp.dp_quantile, McSherry-Talwar 2007 / Smith 2011):
+# per-language median document length released by drawing from the
+# public candidate grid with probability ~ exp(eps*u/2),
+# u = -|#(x<=c) - q*n|. Complements q409's Laplace releases with the
+# other foundational DP primitive (selection, not perturbation). The
+# oracle replays bucketing, the ordered weight cumsum (identical IEEE
+# fold), and the seeded draw bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q416_ARGS = dict(q=0.5, epsilon=1.0, lo=0.0, hi=2000.0, m=64)
+
+
+def _q416_oracle() -> str:
+    from ..operators.dp import sql_dp_quantile
+
+    return (
+        sql_dp_quantile(
+            "(SELECT lang, CAST(length(text) AS DOUBLE) AS nchars "
+            "FROM documents)",
+            ["lang"],
+            "nchars",
+            _Q416_ARGS["q"],
+            epsilon=_Q416_ARGS["epsilon"],
+            lo=_Q416_ARGS["lo"],
+            hi=_Q416_ARGS["hi"],
+            m=_Q416_ARGS["m"],
+        )
+        + "\nORDER BY lang"
+    )
+
+
+@register("q416_dp_quantile", _q416_oracle())
+def q416_dp_quantile(spark, sf_dir):
+    from ..operators.dp import dp_quantile
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("double").alias("nchars")
+    )
+    return dp_quantile(
+        docs,
+        ["lang"],
+        "nchars",
+        _Q416_ARGS["q"],
+        epsilon=_Q416_ARGS["epsilon"],
+        lo=_Q416_ARGS["lo"],
+        hi=_Q416_ARGS["hi"],
+        m=_Q416_ARGS["m"],
+    ).orderBy("lang")

@@ -142,3 +142,79 @@ def test_sql_laplace_matches_spark_pointwise(spark):
     expr = sql_laplace("k", "sum_x", 7.5, 42)
     want = [r[0] for r in con.sql(f"SELECT {expr} FROM t ORDER BY k").fetchall()]
     assert got == pytest.approx(want, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Exponential-mechanism quantile (dp_quantile)
+# ---------------------------------------------------------------------------
+
+
+def test_dp_quantile_near_truth_and_deterministic(spark, toy):
+    from etl_market_survey_spark.operators.dp import dp_quantile
+
+    got = (
+        dp_quantile(toy, ["g"], "x", 0.5, epsilon=4.0, lo=0.0, hi=50.0,
+                    m=50, seed=5)
+        .orderBy("g")
+        .toPandas()
+    )
+    true = (
+        toy.groupBy("g")
+        .agg(F.expr("percentile(x, 0.5)").alias("med"))
+        .orderBy("g")
+        .toPandas()
+    )
+    # high budget + fine grid: lands within a few grid steps of truth
+    assert (abs(got["dp_q"] - true["med"]) <= 5.0).all()
+    # partitioning-invariant
+    got2 = (
+        dp_quantile(toy.repartition(9), ["g"], "x", 0.5, epsilon=4.0,
+                    lo=0.0, hi=50.0, m=50, seed=5)
+        .orderBy("g")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, got2)
+    # different seed may pick a different (still nearby) candidate;
+    # the mechanism is a draw, not an argmax
+    got3 = (
+        dp_quantile(toy, ["g"], "x", 0.5, epsilon=4.0, lo=0.0, hi=50.0,
+                    m=50, seed=1234)
+        .orderBy("g")
+        .toPandas()
+    )
+    assert (abs(got3["dp_q"] - true["med"]) <= 8.0).all()
+
+
+def test_dp_quantile_validation(spark, toy):
+    from etl_market_survey_spark.operators.dp import dp_quantile
+
+    with pytest.raises(ValueError, match="q must be"):
+        dp_quantile(toy, ["g"], "x", 1.5, epsilon=1.0, lo=0.0, hi=1.0)
+    with pytest.raises(ValueError, match="positive"):
+        dp_quantile(toy, ["g"], "x", 0.5, epsilon=0.0, lo=0.0, hi=1.0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        dp_quantile(toy, ["g"], "x", 0.5, epsilon=1.0, lo=1.0, hi=1.0)
+    with pytest.raises(ValueError, match="m >= 1"):
+        dp_quantile(toy, ["g"], "x", 0.5, epsilon=1.0, lo=0.0, hi=1.0, m=0)
+
+
+def test_dp_quantile_sql_mirror(spark, toy):
+    import duckdb
+
+    from etl_market_survey_spark.operators.dp import (
+        dp_quantile,
+        sql_dp_quantile,
+    )
+
+    got = (
+        dp_quantile(toy, ["g"], "x", 0.25, epsilon=2.0, lo=0.0, hi=50.0,
+                    m=40, seed=3)
+        .orderBy("g")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("src", toy.toPandas())
+    sql = sql_dp_quantile("src", ["g"], "x", 0.25, epsilon=2.0, lo=0.0,
+                          hi=50.0, m=40, seed=3)
+    want = con.sql(f"SELECT * FROM ({sql}) ORDER BY g").df()
+    assert np.allclose(got["dp_q"], want["dp_q"])
