@@ -49,6 +49,7 @@ def pagerank_fixed_point(
     d_num: int = 85,
     d_den: int = 100,
     checkpoint_every: int = 8,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """``(node, pr)`` after ``n_iter`` integer fixed-point iterations over
     the directed edge list ``(src, dst)``; ``pr`` is on the ``UNIT``
@@ -60,7 +61,19 @@ def pagerank_fixed_point(
     task-retry replay are bounded by ``checkpoint_every`` rounds at any
     ``n_iter`` — without paying one materialization job per round (the
     kcore/components per-round cut is free there because those loops
-    already run an action per round; this one doesn't)."""
+    already run an action per round; this one doesn't).
+
+    ``broadcast_ranks=True`` broadcasts the nodes-sized per-source
+    contribution table into the edges join (and the contribution sums
+    into the join-back), making each round ONE shuffle (the dst-sum
+    combine) instead of three — the same trade as
+    :func:`..operators.communities.label_propagation`'s
+    ``broadcast_labels``: right whenever the node set fits an executor
+    (tens of millions of nodes); billion-node graphs keep the default
+    shuffle joins. The per-source ratio ``pr div deg`` is computed once
+    per node before the edges join — identical integers to the
+    per-edge form, and the decimal contribution sum is order-
+    independent, so results are bit-equal either way."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     # Loop constants persist for any multi-round run: each iteration's
@@ -87,18 +100,37 @@ def pagerank_fixed_point(
 
     pr = nodes.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
     for it in range(n_iter):
-        contrib = (
-            pr.join(deg, pr["node"] == deg["src"])
-            .join(edges, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("pr div deg").alias("c"),  # integer floor, exact
+        if broadcast_ranks:
+            # per-source ratio ONCE per node, broadcast into the edges
+            # join: edges never shuffle, the dst-sum partial-aggregates
+            # map-side — one exchange per round
+            rt = (
+                pr.join(
+                    F.broadcast(deg.withColumnRenamed("src", "node")),
+                    "node",
+                )
+                .select(
+                    F.col("node").alias("src"),
+                    F.expr("pr div deg").alias("c"),
+                )
             )
-        )
+            contrib = edges.join(F.broadcast(rt), "src").select(
+                F.col("dst").alias("node"), "c"
+            )
+        else:
+            contrib = (
+                pr.join(deg, pr["node"] == deg["src"])
+                .join(edges, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("pr div deg").alias("c"),  # integer floor, exact
+                )
+            )
         sums = contrib.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
         )
-        pr = nodes.join(sums, "node", "left").select(
+        sums_in = F.broadcast(sums) if broadcast_ranks else sums
+        pr = nodes.join(sums_in, "node", "left").select(
             "node",
             (
                 F.lit(base)
@@ -123,6 +155,7 @@ def personalized_pagerank(
     d_num: int = 85,
     d_den: int = 100,
     checkpoint_every: int = 8,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): the teleport
     mass returns ONLY to the ``sources`` node set — scores measure
@@ -165,18 +198,36 @@ def personalized_pagerank(
         "node", (F.col("_s") * F.lit(UNIT // n_src)).cast("long").alias("pr")
     )
     for it in range(n_iter):
-        contrib = (
-            pr.join(deg, pr["node"] == deg["src"])
-            .join(edges, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("pr div deg").alias("c"),
+        if broadcast_ranks:
+            # same one-shuffle round as pagerank_fixed_point: ratio
+            # per source, broadcast both ways (bit-equal results)
+            rt = (
+                pr.join(
+                    F.broadcast(deg.withColumnRenamed("src", "node")),
+                    "node",
+                )
+                .select(
+                    F.col("node").alias("src"),
+                    F.expr("pr div deg").alias("c"),
+                )
             )
-        )
+            contrib = edges.join(F.broadcast(rt), "src").select(
+                F.col("dst").alias("node"), "c"
+            )
+        else:
+            contrib = (
+                pr.join(deg, pr["node"] == deg["src"])
+                .join(edges, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("pr div deg").alias("c"),
+                )
+            )
         sums = contrib.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
         )
-        pr = seeded.join(sums, "node", "left").select(
+        sums_in = F.broadcast(sums) if broadcast_ranks else sums
+        pr = seeded.join(sums_in, "node", "left").select(
             "node",
             (
                 F.col("_s") * F.lit(base)
@@ -198,6 +249,7 @@ def weighted_pagerank(
     d_num: int = 85,
     d_den: int = 100,
     checkpoint_every: int = 8,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Edge-weighted PageRank: contributions split proportionally to
     integer edge weights instead of uniformly — ``contrib(e) =
@@ -228,20 +280,39 @@ def weighted_pagerank(
 
     pr = nodes.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
     for it in range(n_iter):
-        contrib = (
-            pr.join(wtot, pr["node"] == wtot["src"])
-            .join(e, "src")
-            .select(
+        if broadcast_ranks:
+            # c depends on the per-EDGE weight, so broadcast the
+            # (src, pr, wt) table and compute c after the map-side
+            # edges join — still one shuffle (the dst-sum) per round
+            rt = (
+                pr.join(
+                    F.broadcast(wtot.withColumnRenamed("src", "node")),
+                    "node",
+                )
+                .select(F.col("node").alias("src"), "pr", "wt")
+            )
+            contrib = e.join(F.broadcast(rt), "src").select(
                 F.col("dst").alias("node"),
                 F.expr(
                     "(cast(pr as decimal(38,0)) * w) div wt"
                 ).alias("c"),
             )
-        )
+        else:
+            contrib = (
+                pr.join(wtot, pr["node"] == wtot["src"])
+                .join(e, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(
+                        "(cast(pr as decimal(38,0)) * w) div wt"
+                    ).alias("c"),
+                )
+            )
         sums = contrib.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
         )
-        pr = nodes.join(sums, "node", "left").select(
+        sums_in = F.broadcast(sums) if broadcast_ranks else sums
+        pr = nodes.join(sums_in, "node", "left").select(
             "node",
             (
                 F.lit(base)

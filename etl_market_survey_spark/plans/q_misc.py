@@ -741,7 +741,11 @@ def q97_pagerank(spark, sf_dir):
         .distinct()
     )
     edges = undirected_edges(pairs, "a", "b")
-    return pagerank_fixed_point(edges, n_iter=3).orderBy("node")
+    # co-purchase node set is dims-sized (customers + suppliers):
+    # broadcast rounds — one shuffle each — are the right plan here
+    return pagerank_fixed_point(
+        edges, n_iter=3, broadcast_ranks=True
+    ).orderBy("node")
 
 
 # ---------------------------------------------------------------------------
@@ -1948,7 +1952,10 @@ def q243_personalized_pagerank(spark, sf_dir):
         .orderBy("node")
         .limit(_Q243_N_SEEDS)
     )
-    return personalized_pagerank(edges, seeds, n_iter=3).orderBy("node")
+    # dims-sized node set: broadcast rounds (one shuffle per round)
+    return personalized_pagerank(
+        edges, seeds, n_iter=3, broadcast_ranks=True
+    ).orderBy("node")
 
 
 # ---------------------------------------------------------------------------
@@ -2328,7 +2335,10 @@ def q255_weighted_pagerank(spark, sf_dir):
     ).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
-    return weighted_pagerank(edges, n_iter=3).orderBy("node")
+    # dims-sized node set: broadcast rounds (one shuffle per round)
+    return weighted_pagerank(
+        edges, n_iter=3, broadcast_ranks=True
+    ).orderBy("node")
 
 
 # ---------------------------------------------------------------------------
@@ -2978,7 +2988,7 @@ def q285_ppr_sweep_cut(spark, sf_dir):
         edges.filter(F.col("src") < _Q97_OFF)
         .agg(F.min("src").alias("node"))
     )
-    pr = personalized_pagerank(edges, seed, n_iter=3)
+    pr = personalized_pagerank(edges, seed, n_iter=3, broadcast_ranks=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     scored = pr.join(deg, pr["node"] == deg["src"]).select(
         "node", "deg",

@@ -1217,12 +1217,15 @@ def write_delta(
         )
     else:
         rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
-        _write_single_parquet(stage_df.coalesce(1), os.path.join(path, rel))
-        stats = (
-            _file_stats_json(spark, os.path.join(path, rel), data_schema)
-            if collect_stats
-            else None
-        )
+        if collect_stats:
+            stats = _write_single_parquet_with_stats(
+                stage_df, os.path.join(path, rel), data_schema
+            )
+        else:
+            _write_single_parquet(
+                stage_df.coalesce(1), os.path.join(path, rel)
+            )
+            stats = None
         adds.append((rel, {}, stats))
 
     actions: list[dict] = []
@@ -1763,11 +1766,8 @@ def delete_rows_where(
             )
         else:
             rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
-            _write_single_parquet(
-                stage_df.coalesce(1), os.path.join(path, rel)
-            )
-            stats = _file_stats_json(
-                spark, os.path.join(path, rel), data_schema
+            stats = _write_single_parquet_with_stats(
+                stage_df, os.path.join(path, rel), data_schema
             )
             staged = [(rel, {}, stats)]
         for rel in sorted(rewrite_files):
@@ -1999,8 +1999,9 @@ def update_rows_where(
         )
     else:
         rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
-        _write_single_parquet(stage_df.coalesce(1), os.path.join(path, rel))
-        stats = _file_stats_json(spark, os.path.join(path, rel), data_schema)
+        stats = _write_single_parquet_with_stats(
+            stage_df, os.path.join(path, rel), data_schema
+        )
         staged = [(rel, {}, stats)]
     for rel, pv, stats in staged:
         if stats and json.loads(stats).get("numRecords") == 0:
@@ -2171,6 +2172,40 @@ def _write_single_parquet(df: DataFrame, dest: str):
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     shutil.move(os.path.join(tmp, part), dest)
     shutil.rmtree(tmp)
+
+
+def _write_single_parquet_with_stats(df: DataFrame, dest: str, schema) -> str:
+    """Single-file staged write + per-file stats in ONE Spark job.
+
+    The unpartitioned stage is ``coalesce(1)`` — the whole frame IS the
+    file — so global ``observe`` aggregates equal the per-file stats
+    :func:`_file_stats_json` would compute by re-reading the written
+    file (same Spark min/max/count semantics over the same rows). That
+    re-read was a second full-scan job paid at every commit; folding it
+    into the write halves the job count of every unpartitioned
+    write/MERGE/DELETE/compact commit."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for f in schema.fields:
+        aggs += [
+            F.min(F.col(f.name)).alias(f"mn_{f.name}"),
+            F.max(F.col(f.name)).alias(f"mx_{f.name}"),
+            F.sum(F.col(f.name).isNull().cast("long")).alias(f"nc_{f.name}"),
+        ]
+    obs = Observation()
+    _write_single_parquet(df.observe(obs, *aggs).coalesce(1), dest)
+    row = obs.get
+    return json.dumps(
+        {
+            "numRecords": row["_n"],
+            "minValues": {f.name: row[f"mn_{f.name}"] for f in schema.fields},
+            "maxValues": {f.name: row[f"mx_{f.name}"] for f in schema.fields},
+            "nullCount": {f.name: row[f"nc_{f.name}"] for f in schema.fields},
+        },
+        default=str,
+    )
 
 
 def _last_zorder_version(path: str, cols: list[str]) -> int | None:
@@ -2956,8 +2991,9 @@ def _merge_commit_tail(
         )
     else:
         rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
-        _write_single_parquet(stage_df.coalesce(1), os.path.join(path, rel))
-        stats = _file_stats_json(spark, os.path.join(path, rel), data_schema)
+        stats = _write_single_parquet_with_stats(
+            stage_df, os.path.join(path, rel), data_schema
+        )
         staged = [(rel, {}, stats)]
     # drop empty staged files (e.g. delete-only MERGE with no survivors)
     adds = []
@@ -3290,7 +3326,9 @@ def compact(
             rel = f"{rel_dir}/part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
         else:
             rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
-        _write_single_parquet(merged.coalesce(1), os.path.join(path, rel))
+        stats = _write_single_parquet_with_stats(
+            merged, os.path.join(path, rel), data_schema
+        )
         for old in rels:
             actions.append(
                 {
@@ -3313,7 +3351,7 @@ def compact(
                     "size": os.path.getsize(fpath),
                     "modificationTime": commit_ts,
                     "dataChange": False,
-                    "stats": _file_stats_json(spark, fpath, data_schema),
+                    "stats": stats,
                 }
             }
         )

@@ -2946,6 +2946,7 @@ def _stage_iceberg_files(spark, path, df, pcol, *, pexpr=None, pfield=None,
     from pyspark.sql import functions as F
 
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    observed = None
     if pcol:
         key = pexpr if pexpr is not None else F.col(pcol)
         (
@@ -2962,10 +2963,39 @@ def _stage_iceberg_files(spark, path, df, pcol, *, pexpr=None, pfield=None,
         df.write.mode("overwrite").parquet(stage)
         pattern = os.path.join(stage, "part-*.parquet")
     else:
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        # single staged file: global observe aggregates ARE the file's
+        # bounds — fold the _batch_bounds re-read job into the write
+        # itself (one job per commit instead of two; same Spark min/max
+        # semantics over the same rows)
+        from pyspark.sql import Observation
+
+        num_str = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() in
+            ("int", "bigint", "double", "float", "string")
+        ]
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in num_str:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        obs = Observation()
+        df.observe(obs, *aggs).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        row = obs.get
+        observed = (
+            json.dumps(
+                {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in num_str},
+                default=str,
+            ),
+            int(row["_n"]),
+        )
         pattern = os.path.join(stage, "part-*.parquet")
     staged_files = sorted(_glob.glob(pattern))
-    bounds_by_file = _batch_bounds(spark, staged_files, df.schema)
+    bounds_by_file = (
+        {staged_files[0]: observed}
+        if observed is not None and len(staged_files) == 1
+        else _batch_bounds(spark, staged_files, df.schema)
+    )
     if pcol:
         caster = pv_caster or _pv_caster(df.schema[pcol].dataType)
         dirname = pfield or pcol
