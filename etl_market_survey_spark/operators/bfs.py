@@ -31,10 +31,18 @@ def bfs_hops(
     max_hops: int,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Min-hop table ``(node, hops)`` for all nodes within ``max_hops``
     of ``source``. ``edges`` is directed; pass both orientations for an
-    undirected graph."""
+    undirected graph.
+
+    ``broadcast_frontier=True`` broadcasts the frontier into the edges
+    join and the visited set into the anti-join, making each level ONE
+    shuffle (the new-frontier distinct) instead of three — right
+    whenever the node set fits an executor (the same trade as
+    ``pagerank_fixed_point``'s ``broadcast_ranks``); billion-node
+    graphs keep the default shuffle joins."""
     spark = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
@@ -45,11 +53,13 @@ def bfs_hops(
     levels = [frontier]
     visited = frontier.select("node")
     for i in range(1, max_hops + 1):
+        fr_in = F.broadcast(frontier) if broadcast_frontier else frontier
+        vis_in = F.broadcast(visited) if broadcast_frontier else visited
         nxt = (
-            frontier.join(e, frontier["node"] == e["_src"])
+            fr_in.join(e, fr_in["node"] == e["_src"])
             .select(F.col("_dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(vis_in, "node", "left_anti")
             .withColumn("hops", F.lit(i).cast("int"))
             .localCheckpoint(eager=True)
         )
@@ -57,9 +67,10 @@ def bfs_hops(
             break
         levels.append(nxt)
         frontier = nxt
-        visited = visited.unionByName(nxt.select("node")).localCheckpoint(
-            eager=True
-        )
+        # every level is already an eager checkpoint, so the visited
+        # union is flat lineage over materialized blocks — no need to
+        # re-materialize the whole visited set each level
+        visited = visited.unionByName(nxt.select("node"))
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

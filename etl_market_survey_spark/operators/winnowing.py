@@ -74,13 +74,18 @@ def winnow_fingerprints(
             ).alias("ws"),
         )
     )
-    sel = Window.partitionBy("id", "ws").orderBy("h", F.desc("pos"))
+    # per-(doc, window) argmin (min hash, ties -> rightmost pos) as ONE
+    # partial-aggregable min over struct(h, -pos): lexicographic min
+    # picks the smallest hash, then the smallest negated pos = the
+    # largest pos — the same winner as the row_number window this
+    # replaces, but with map-side combine over the w×-exploded rows and
+    # no per-(id, ws) sort (the explode output is already partitioned
+    # by id from the LEAD windows, so neither form re-shuffles; the
+    # sort over w×|grams| rows was the cost)
     return (
-        exploded.select(
-            "id", "pos", "h", F.row_number().over(sel).alias("rn")
-        )
-        .filter(F.col("rn") == 1)
-        .select("id", "pos", F.col("h").alias("fp"))
+        exploded.groupBy("id", "ws")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("_np"))).alias("_m"))
+        .select("id", (-F.col("_m._np")).alias("pos"), F.col("_m.h").alias("fp"))
         .distinct()
     )
 

@@ -74,7 +74,11 @@ def q194_bfs_hops(spark, sf_dir):
         .select("_p.src", "_p.dst")
         .distinct()
     )
-    return bfs_hops(edges, _Q194_SOURCE, _Q194_HOPS).orderBy("node")
+    # the part node set is dims-sized: broadcast the frontier/visited
+    # tables so each level is ONE shuffle (the new-frontier distinct)
+    return bfs_hops(
+        edges, _Q194_SOURCE, _Q194_HOPS, broadcast_frontier=True
+    ).orderBy("node")
 
 
 # ---------------------------------------------------------------------------

@@ -33,3 +33,15 @@ def test_unreachable_component_excluded(spark):
     e = _edges(spark, [(1, 2), (7, 8)])
     got = {r.node: r.hops for r in bfs_hops(e, 1, 5).collect()}
     assert 7 not in got and 8 not in got
+
+
+def test_broadcast_frontier_parity(spark):
+    # broadcast mode changes join strategy only — rows must be identical
+    e = _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4), (4, 5), (5, 2),
+                       (5, 6), (6, 7), (7, 8)])
+    base = {r.node: r.hops for r in bfs_hops(e, 1, 4).collect()}
+    bcast = {
+        r.node: r.hops
+        for r in bfs_hops(e, 1, 4, broadcast_frontier=True).collect()
+    }
+    assert bcast == base
