@@ -45,10 +45,6 @@ def item_cf_topk(
             .filter(F.col("_rk") <= max_user_items)
             .drop("_rk")
         )
-    # ui feeds THREE consumers (popularity counts + both sides of the
-    # pair self-join): persist so the interactions distinct — a full
-    # shuffle of the feedback table — runs once, not three times
-    ui = ui.persist()
     pop = ui.groupBy(F.col("_i").alias("item")).agg(
         F.count("*").alias("pop")
     )

@@ -2319,14 +2319,7 @@ def optimize_zorder(
         ).drop("_file")
     else:
         df = read_delta(spark, path)  # logical rows, DVs applied
-    # the rewrite reads this frame THREE times (the curve's min/max
-    # aggregate, repartitionByRange's range sampling, the staged
-    # write): cache the batch being clustered so the logical scan —
-    # DV anti-joins included — runs once, not three times. Real
-    # OPTIMIZE runs over bounded file batches, so the cached unit is
-    # batch-sized at any table size; released before returning.
-    _zbase = df.persist()
-    df = with_curve_key(_zbase, cols, order=order, out_col="_zd")
+    df = with_curve_key(df, cols, order=order, out_col="_zd")
 
     from pyspark.sql.types import StructField, StructType
 
@@ -2390,7 +2383,6 @@ def optimize_zorder(
 
     _shutil.rmtree(stage, ignore_errors=True)
 
-    _zbase.unpersist()
     op_params: dict = {"zOrderBy": list(cols)}
     if inc_applied:
         op_params["incremental"] = True

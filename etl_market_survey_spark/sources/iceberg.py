@@ -2566,12 +2566,6 @@ def rewrite_data_files(
         raise ValueError("pass sort_by OR zorder_by, not both")
     meta = _load_metadata(path)
     live = read_iceberg(spark, path)  # all row-level deletes applied
-    # the rewrite reads this frame up to three times (curve min/max,
-    # repartitionByRange sampling, the staged write): cache the batch
-    # being rewritten so the merge-on-read scan runs once (same trade
-    # as deltalog.optimize_zorder; released before returning)
-    _zbase = live.persist()
-    live = _zbase
     n = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if zorder_by:
         from ..operators.zorder import with_curve_key
@@ -2602,13 +2596,10 @@ def rewrite_data_files(
         live = live.repartitionByRange(
             n, *[F.col(c) for c in sort_by]
         ).sortWithinPartitions(*sort_by)
-    try:
-        return write_iceberg(
-            spark, path, live, mode="overwrite", commit_ts=commit_ts,
-            preserve_layout=bool(sort_by or zorder_by),
-        )
-    finally:
-        _zbase.unpersist()
+    return write_iceberg(
+        spark, path, live, mode="overwrite", commit_ts=commit_ts,
+        preserve_layout=bool(sort_by or zorder_by),
+    )
 
 
 def rollback_iceberg(path: str, snapshot_id: int, commit_ts: int = 0) -> int:
