@@ -20,10 +20,12 @@ bridges, so one component can hold many communities.
 
 Scale shape per round: one join labels⋈edges on src (the label table
 is nodes-sized; the key never changes, so with bucketed edges the
-exchange disappears), one (dst, label) groupBy with map-side combine,
-one per-dst argmax as a second partial-aggregated max over
-struct(count, -label) — no window sort — and one left join back onto
-the (always-total) label table (isolated nodes keep their label).
+exchange disappears), ONE dst-keyed groupBy computing
+``mode(label, deterministic=true)`` — most frequent label, ties to the
+smallest, with map-side partial buffers carrying per-label counts, so
+the round shuffles once where the two-level count+argmax form shuffled
+twice — and one left join back onto the (always-total) label table
+(isolated nodes keep their label).
 Iterations are a driver loop with EAGER localCheckpoint cuts every few
 rounds: each round references the label table twice, so the lazy plan
 doubles per round and an uncut loop goes exponential in plan size —
@@ -69,21 +71,21 @@ def label_propagation(
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(n_iter):
         lab_in = F.broadcast(labels) if broadcast_labels else labels
-        counts = (
+        # most-frequent in-neighbor label, ties -> smallest, as ONE
+        # aggregate: mode(label, deterministic=true) returns the most
+        # frequent value and the LOWEST on frequency ties — exactly the
+        # LPA rule — in a single groupBy(dst) with map-side combine.
+        # The previous two-level form (count by (dst, label), then
+        # argmax by dst) shuffled twice per round because the (dst,
+        # label) hash partitioning cannot serve the dst-keyed argmax;
+        # mode's partial buffers carry the per-label counts through one
+        # dst-keyed exchange instead (guide §2.4: two operations keyed
+        # the same way should share one exchange — here they fuse).
+        best = (
             edges.join(lab_in, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.mode("label", True).alias("_new"))
         )
-        # argmax(count, ties -> smallest label) as ONE partial-
-        # aggregable max over struct(count, -label): lexicographic max
-        # picks the highest count, then the largest negated label =
-        # the smallest label. Same winner as a row_number window, but
-        # with map-side combine and no per-node sort shuffle.
-        best = counts.groupBy("node").agg(
-            F.max(
-                F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))
-            ).alias("_m")
-        ).select("node", (-F.col("_m._nl")).alias("_new"))
         # labels already carries EVERY node (it starts from the node
         # set and left joins keep it total) — no extra node-set join
         best_in = F.broadcast(best) if broadcast_labels else best

@@ -30,17 +30,30 @@ from pyspark.sql import functions as F
 UNIT = 1_000_000_000_000  # 1e12 fixed-point grid
 
 
-def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+def undirected_edges(
+    pairs: DataFrame, src: str, dst: str, parts_disjoint: bool = False
+) -> DataFrame:
     """Symmetrize + dedupe an edge list into ``(src, dst)`` both ways.
 
     ``pairs`` is usually a derived aggregate (joins + distinct); the
     symmetrize union references it twice, so it is cached here — one
     computation feeds both directions (the q78 merge-family rule:
-    self-referential inputs share one scan)."""
+    self-referential inputs share one scan).
+
+    ``parts_disjoint=True`` asserts the ``src`` and ``dst`` value
+    domains never overlap (e.g. a bipartite graph whose two node kinds
+    live in disjoint id ranges). Then a reversed pair ``(b, a)`` can
+    never equal a forward pair ``(a', b')``, so when ``pairs`` is
+    already distinct the symmetrized union is distinct by construction
+    and the post-union ``distinct()`` — a full shuffle of 2x the edge
+    list — is skipped outright (guide §2.4: a distinct on data that is
+    already unique is an accidental exchange). Only set it when the
+    domains are provably disjoint; the default keeps the dedupe."""
     pairs = pairs.cache()
     a = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     b = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return a.unionByName(b).distinct()
+    out = a.unionByName(b)
+    return out if parts_disjoint else out.distinct()
 
 
 def pagerank_fixed_point(

@@ -694,7 +694,11 @@ def q85_ols_trend(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _Q97_UNIT = 1_000_000_000_000
-_Q97_OFF = 10_000_000  # supplier-node id offset
+_Q97_OFF = 10_000_000  # supplier-node id offset: custkeys sit far below
+# it, so the two node domains of the co-purchase graph are disjoint —
+# which is what lets every undirected_edges() call here pass
+# parts_disjoint=True (the symmetrized union of the distinct pairs is
+# distinct by construction; no second dedupe shuffle)
 
 
 def _q97_oracle() -> str:
@@ -740,7 +744,7 @@ def q97_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = undirected_edges(pairs, "a", "b")
+    edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
     # co-purchase node set is dims-sized (customers + suppliers):
     # broadcast rounds — one shuffle each — are the right plan here
     return pagerank_fixed_point(
@@ -1941,7 +1945,7 @@ def q243_personalized_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = undirected_edges(pairs, "a", "b")
+    edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -2661,7 +2665,7 @@ def q271_random_walks(spark, sf_dir):
         )
         .distinct()
     )
-    edges = undirected_edges(pairs, "a", "b")
+    edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
     starts = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -2750,7 +2754,7 @@ def q272_skipgram_negatives(spark, sf_dir):
         )
         .distinct()
     )
-    edges = undirected_edges(pairs, "a", "b")
+    edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
     starts = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -2983,7 +2987,7 @@ def q285_ppr_sweep_cut(spark, sf_dir):
         )
         .distinct()
     )
-    edges = undirected_edges(pairs, "a", "b").cache()
+    edges = undirected_edges(pairs, "a", "b", parts_disjoint=True).cache()
     seed = (
         edges.filter(F.col("src") < _Q97_OFF)
         .agg(F.min("src").alias("node"))
@@ -3737,7 +3741,7 @@ def q333_degree_assortativity(spark, sf_dir):
         )
         .distinct()
     )
-    edges = undirected_edges(pairs, "a", "b")
+    edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
     edges = edges.cache()  # degree build + the edge moment pass
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ds = deg.select(F.col("src").alias("s_node"), F.col("d").alias("x"))
@@ -7325,7 +7329,7 @@ def q415_label_propagation(spark, sf_dir):
         )
         .distinct()
     )
-    edges = undirected_edges(pairs, "a", "b")
+    edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
     # the co-purchase node set is dims-sized (customers + suppliers):
     # broadcast rounds — one shuffle each — are the right plan here
     return label_propagation(

@@ -47,3 +47,20 @@ def test_validation(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="n_iter"):
         label_propagation(edges, n_iter=0)
+
+
+def test_mode_round_matches_unrolled_sql_tiebreaks(spark):
+    """The mode(label, deterministic)-fused round must reproduce the
+    reference tie-break (most frequent label, ties -> SMALLEST) that
+    the unrolled-SQL oracle encodes via ROW_NUMBER(... ORDER BY c DESC,
+    label). Node 0 hears labels {1, 1, 2, 2, 3}: tie between 1 and 2 ->
+    1 must win."""
+    edges = spark.createDataFrame(
+        [(10, 0), (11, 0), (20, 0), (21, 0), (30, 0)]
+        + [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "src long, dst long",
+    )
+    # after round 1: 10,11 -> 1; 20,21 -> 2; 30 -> 3 (single voters);
+    # node 0 keeps majority-vote semantics in round 2
+    got = _labels(label_propagation(edges, n_iter=2))
+    assert got[0] == 1  # tie 1-vs-2 broken to the smallest

@@ -103,3 +103,25 @@ def test_weighted_pagerank_favors_heavy_edges(spark):
     out = {r.node: r.pr for r in weighted_pagerank(edges, n_iter=6).collect()}
     assert out[1] > out[2]  # heavier inbound weight -> more rank
     assert abs(sum(out.values()) - UNIT) < 100  # mass conserved mod floor noise
+
+
+def test_parts_disjoint_skips_dedupe_but_matches_default(spark):
+    """With disjoint src/dst domains and distinct pairs, the
+    parts_disjoint fast path must return the same edge set (as a set —
+    no duplicates) and the same pagerank as the dedupe path."""
+    import random
+
+    rng = random.Random(11)
+    pairs = {(rng.randrange(30), 100 + rng.randrange(10)) for _ in range(80)}
+    raw = spark.createDataFrame(sorted(pairs), "a long, b long")
+    e_slow = undirected_edges(raw, "a", "b")
+    e_fast = undirected_edges(raw, "a", "b", parts_disjoint=True)
+    rows_slow = sorted((r.src, r.dst) for r in e_slow.collect())
+    rows_fast = sorted((r.src, r.dst) for r in e_fast.collect())
+    assert rows_fast == rows_slow  # no dupes introduced
+    r1 = {r.node: r.pr for r in pagerank_fixed_point(e_slow, n_iter=3).collect()}
+    r2 = {r.node: r.pr for r in pagerank_fixed_point(e_fast, n_iter=3).collect()}
+    assert r1 == r2
+    # the fast path's plan has no post-union aggregate (the dedupe)
+    plan_fast = e_fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan_fast

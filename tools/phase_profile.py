@@ -21,8 +21,16 @@ STACK: list[str] = []  # attribute nested time to the OUTERMOST verb only
 
 
 def _wrap(modname: str, mod, fname: str):
+    import inspect
+
     orig = getattr(mod, fname)
-    if not callable(orig) or getattr(orig, "_pp_wrapped", False):
+    # classes (e.g. the Python DataSource classes) must stay classes —
+    # spark.dataSource.register calls classmethods on the object itself
+    if (
+        not callable(orig)
+        or inspect.isclass(orig)
+        or getattr(orig, "_pp_wrapped", False)
+    ):
         return
 
     def timed(*a, **k):
