@@ -56,9 +56,15 @@ def label_propagation(
     making each round ONE shuffle (the count combine) instead of
     three — right whenever the node set fits an executor (tens of
     millions of nodes); billion-node graphs keep the default shuffle
-    joins."""
+    joins. In this mode the label table is ALSO cut every round: the
+    round's plan references it twice, so uncut rounds double the tree
+    (analyzed eagerly by every transformation — the driver cost goes
+    exponential long before any executor does work), while the cut
+    materializes a table the mode already assumes fits an executor."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if broadcast_labels:
+        checkpoint_every = 1
     multi = n_iter > 1
     edges = edges.persist() if multi else edges
     nodes = (

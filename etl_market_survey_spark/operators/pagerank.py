@@ -35,24 +35,30 @@ def undirected_edges(
 ) -> DataFrame:
     """Symmetrize + dedupe an edge list into ``(src, dst)`` both ways.
 
-    ``pairs`` is usually a derived aggregate (joins + distinct); the
-    symmetrize union references it twice, so it is cached here — one
-    computation feeds both directions (the q78 merge-family rule:
-    self-referential inputs share one scan).
+    Both directions come from ONE ``explode`` over each pair row — a
+    single scan of ``pairs`` with no self-union, so the (usually
+    expensive: joins + distinct) pair build is computed once without
+    needing a cache (guide §2.4: a union of two selects of the same
+    frame scans it twice; emitting both rows per input row scans once).
 
     ``parts_disjoint=True`` asserts the ``src`` and ``dst`` value
     domains never overlap (e.g. a bipartite graph whose two node kinds
     live in disjoint id ranges). Then a reversed pair ``(b, a)`` can
     never equal a forward pair ``(a', b')``, so when ``pairs`` is
-    already distinct the symmetrized union is distinct by construction
-    and the post-union ``distinct()`` — a full shuffle of 2x the edge
-    list — is skipped outright (guide §2.4: a distinct on data that is
-    already unique is an accidental exchange). Only set it when the
-    domains are provably disjoint; the default keeps the dedupe."""
-    pairs = pairs.cache()
-    a = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    b = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    out = a.unionByName(b)
+    already distinct the symmetrized edge set is distinct by
+    construction and the post-symmetrize ``distinct()`` — a full
+    shuffle of 2x the edge list — is skipped outright (a distinct on
+    data that is already unique is an accidental exchange). Only set it
+    when the domains are provably disjoint; the default keeps the
+    dedupe."""
+    out = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     return out if parts_disjoint else out.distinct()
 
 
@@ -98,53 +104,40 @@ def pagerank_fixed_point(
     # (~3-10%), and the win grows with edge-build cost and n_iter.)
     cuts_fire = n_iter > 1
     edges = edges.persist() if cuts_fire else edges
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    if cuts_fire:
-        deg = deg.persist()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # (node, deg): ALSO the node set — the out-degree >= 1 contract
+    # means every node appears as a src, so the degree table's keys ARE
+    # ``SELECT DISTINCT src`` (exactly the oracles' nodes CTE). One
+    # aggregate replaces the old union+distinct node build, and carrying
+    # ``deg`` inside the rank table removes the per-round rank⋈degree
+    # join outright (guide §2.4): ``pr div deg`` computes the identical
+    # integers from a column that rides along instead of re-joining.
+    ndg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
     )
     if cuts_fire:
-        nodes = nodes.persist()
-    n_nodes = nodes.count()
+        ndg = ndg.persist()
+    n_nodes = ndg.count()
     base = ((d_den - d_num) * UNIT) // (d_den * n_nodes)
 
-    pr = nodes.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
+    pr = ndg.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
     for it in range(n_iter):
-        if broadcast_ranks:
-            # per-source ratio ONCE per node, broadcast into the edges
-            # join: edges never shuffle, the dst-sum partial-aggregates
-            # map-side — one exchange per round
-            rt = (
-                pr.join(
-                    F.broadcast(deg.withColumnRenamed("src", "node")),
-                    "node",
-                )
-                .select(
-                    F.col("node").alias("src"),
-                    F.expr("pr div deg").alias("c"),
-                )
-            )
-            contrib = edges.join(F.broadcast(rt), "src").select(
-                F.col("dst").alias("node"), "c"
-            )
-        else:
-            contrib = (
-                pr.join(deg, pr["node"] == deg["src"])
-                .join(edges, "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr("pr div deg").alias("c"),  # integer floor, exact
-                )
-            )
+        # per-source ratio from the carried deg — NO join, either mode
+        rt = pr.select(
+            F.col("node").alias("src"), F.expr("pr div deg").alias("c")
+        )
+        # broadcast mode: edges never shuffle, the dst-sum partial-
+        # aggregates map-side — one exchange per round
+        rt_in = F.broadcast(rt) if broadcast_ranks else rt
+        contrib = edges.join(rt_in, "src").select(
+            F.col("dst").alias("node"), "c"
+        )
         sums = contrib.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
         )
         sums_in = F.broadcast(sums) if broadcast_ranks else sums
-        pr = nodes.join(sums_in, "node", "left").select(
+        pr = ndg.join(sums_in, "node", "left").select(
             "node",
+            "deg",
             (
                 F.lit(base)
                 + F.expr(f"({d_num} * coalesce(s, cast(0 as decimal(38,0)))) div {d_den}")
@@ -158,7 +151,7 @@ def pagerank_fixed_point(
     # (bench/clients clearCache between runs; Spark LRU-evicts under
     # pressure) — unpersisting here would invalidate the un-checkpointed
     # tail of the recurrence.
-    return pr
+    return pr.select("node", "pr")
 
 
 def personalized_pagerank(
@@ -187,61 +180,44 @@ def personalized_pagerank(
         raise ValueError("n_iter must be >= 1")
     cuts_fire = n_iter > 1  # same persist rationale as pagerank_fixed_point
     edges = edges.persist() if cuts_fire else edges
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # degree-table keys ARE the node set (out-degree >= 1 contract;
+    # mirrors the oracles' ``SELECT DISTINCT src`` nodes CTE) — see
+    # pagerank_fixed_point: one aggregate, and the carried deg removes
+    # the per-round rank⋈degree join in both modes.
+    ndg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
     )
-    if cuts_fire:
-        deg = deg.persist()
-        nodes = nodes.persist()
     src_set = sources.select("node").distinct()
     n_src = src_set.count()
     if n_src == 0:
         raise ValueError("personalization set is empty")
     base = ((d_den - d_num) * UNIT) // (d_den * n_src)
-    seeded = nodes.join(
+    seeded = ndg.join(
         src_set.withColumn("_s", F.lit(1)), "node", "left"
-    ).select("node", F.coalesce("_s", F.lit(0)).alias("_s"))
+    ).select("node", "deg", F.coalesce("_s", F.lit(0)).alias("_s"))
     if cuts_fire:
         seeded = seeded.persist()
 
     pr = seeded.select(
-        "node", (F.col("_s") * F.lit(UNIT // n_src)).cast("long").alias("pr")
+        "node", "deg",
+        (F.col("_s") * F.lit(UNIT // n_src)).cast("long").alias("pr"),
     )
     for it in range(n_iter):
-        if broadcast_ranks:
-            # same one-shuffle round as pagerank_fixed_point: ratio
-            # per source, broadcast both ways (bit-equal results)
-            rt = (
-                pr.join(
-                    F.broadcast(deg.withColumnRenamed("src", "node")),
-                    "node",
-                )
-                .select(
-                    F.col("node").alias("src"),
-                    F.expr("pr div deg").alias("c"),
-                )
-            )
-            contrib = edges.join(F.broadcast(rt), "src").select(
-                F.col("dst").alias("node"), "c"
-            )
-        else:
-            contrib = (
-                pr.join(deg, pr["node"] == deg["src"])
-                .join(edges, "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr("pr div deg").alias("c"),
-                )
-            )
+        # ratio from the carried deg — NO join, either mode (bit-equal)
+        rt = pr.select(
+            F.col("node").alias("src"), F.expr("pr div deg").alias("c")
+        )
+        rt_in = F.broadcast(rt) if broadcast_ranks else rt
+        contrib = edges.join(rt_in, "src").select(
+            F.col("dst").alias("node"), "c"
+        )
         sums = contrib.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
         )
         sums_in = F.broadcast(sums) if broadcast_ranks else sums
         pr = seeded.join(sums_in, "node", "left").select(
             "node",
+            "deg",
             (
                 F.col("_s") * F.lit(base)
                 + F.expr(
@@ -253,7 +229,7 @@ def personalized_pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             pr = pr.localCheckpoint(eager=True)
-    return pr
+    return pr.select("node", "pr")
 
 
 def weighted_pagerank(
@@ -279,54 +255,38 @@ def weighted_pagerank(
     cuts_fire = n_iter > 1
     e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
     e = e.persist() if cuts_fire else e
-    wtot = e.groupBy("src").agg(F.sum("w").alias("wt"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # weight-total keys ARE the node set (outgoing weight > 0 contract;
+    # mirrors the oracles' ``SELECT DISTINCT src`` nodes CTE) — and the
+    # carried wt removes the per-round rank⋈weight join in both modes.
+    nwt = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("wt")
     )
     if cuts_fire:
-        wtot = wtot.persist()
-        nodes = nodes.persist()
-    n_nodes = nodes.count()
+        nwt = nwt.persist()
+    n_nodes = nwt.count()
     base = ((d_den - d_num) * UNIT) // (d_den * n_nodes)
 
-    pr = nodes.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
+    pr = nwt.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
     for it in range(n_iter):
-        if broadcast_ranks:
-            # c depends on the per-EDGE weight, so broadcast the
-            # (src, pr, wt) table and compute c after the map-side
-            # edges join — still one shuffle (the dst-sum) per round
-            rt = (
-                pr.join(
-                    F.broadcast(wtot.withColumnRenamed("src", "node")),
-                    "node",
-                )
-                .select(F.col("node").alias("src"), "pr", "wt")
-            )
-            contrib = e.join(F.broadcast(rt), "src").select(
-                F.col("dst").alias("node"),
-                F.expr(
-                    "(cast(pr as decimal(38,0)) * w) div wt"
-                ).alias("c"),
-            )
-        else:
-            contrib = (
-                pr.join(wtot, pr["node"] == wtot["src"])
-                .join(e, "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr(
-                        "(cast(pr as decimal(38,0)) * w) div wt"
-                    ).alias("c"),
-                )
-            )
+        # c depends on the per-EDGE weight, so ship (src, pr, wt) into
+        # the edges join and compute c after it — in broadcast mode the
+        # edges never shuffle and the dst-sum combines map-side: one
+        # shuffle per round
+        rt = pr.select(F.col("node").alias("src"), "pr", "wt")
+        rt_in = F.broadcast(rt) if broadcast_ranks else rt
+        contrib = e.join(rt_in, "src").select(
+            F.col("dst").alias("node"),
+            F.expr(
+                "(cast(pr as decimal(38,0)) * w) div wt"
+            ).alias("c"),
+        )
         sums = contrib.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
         )
         sums_in = F.broadcast(sums) if broadcast_ranks else sums
-        pr = nodes.join(sums_in, "node", "left").select(
+        pr = nwt.join(sums_in, "node", "left").select(
             "node",
+            "wt",
             (
                 F.lit(base)
                 + F.expr(
@@ -338,4 +298,4 @@ def weighted_pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             pr = pr.localCheckpoint(eager=True)
-    return pr
+    return pr.select("node", "pr")
