@@ -557,40 +557,97 @@ def _assemble_scan(
                 for f in data_fields
             )
 
-    # group by (partition tuple, per-file physical names); one scan per
-    # group with typed literals — files whose footers spell the same
-    # field differently (renames across engines) land in separate scans
-    by_part: dict[tuple, list[str]] = {}
+    # group by per-file physical names ONLY (files whose footers spell
+    # the same field differently — renames across engines — still land
+    # in separate scans); within a group, ONE parquet scan covers every
+    # partition, with partition values attached via a broadcast
+    # file-basename -> raw-values lookup built from the log (driver
+    # metadata). The previous shape — one scan per PARTITION TUPLE,
+    # unioned — made the read a P-piece union plan: P scan nodes, P AQE
+    # stages, and a plan that grows with partition count (guide §2.4 /
+    # §3.3 "very wide unions of many inputs"). Values cast through the
+    # schema type exactly as _typed_partition_lit does (same Catalyst
+    # string->type cast), so results are identical.
+    by_names: dict[tuple, list[tuple[str, tuple]]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
         fp = os.path.join(path, a["path"])
         pnames = _footer_names(fp) if ids else default_names
-        key = (tuple(pv.get(phys.get(c, c)) for c in pcols), pnames)
-        by_part.setdefault(key, []).append(fp)
+        key = tuple(pv.get(phys.get(c, c)) for c in pcols)
+        by_names.setdefault(pnames, []).append((fp, key))
 
     pieces = []
     ptypes = {f.name: f.dataType for f in schema.fields}
-    for (key, pnames), files in sorted(
-        by_part.items(), key=lambda kv: str(kv[0])
-    ):
+    cols = [f.name for f in schema.fields]
+    for pnames, entries in sorted(by_names.items()):
         data_schema = StructType(
             [StructField(pn, f.dataType, f.nullable)
              for pn, f in zip(pnames, data_fields)]
         )
+        files = [fp for fp, _ in entries]
+        part_keys = {key for _, key in entries}
+        bases = [os.path.basename(fp) for fp in files]
+        if len(part_keys) > 1 and len(set(bases)) != len(bases):
+            # external writers may reuse basenames across partition
+            # dirs; the broadcast attach keys on basename, so fall back
+            # to one scan per partition tuple for this (rare) layout
+            by_key: dict[tuple, list[str]] = {}
+            for fp, key in entries:
+                by_key.setdefault(key, []).append(fp)
+            for key, kfiles in sorted(
+                by_key.items(), key=lambda kv: str(kv[0])
+            ):
+                df = spark.read.schema(data_schema).parquet(*kfiles)
+                sel = [F.col(pn).alias(f.name)
+                       for pn, f in zip(pnames, data_fields)]
+                if has_dv:
+                    sel += [
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ).alias("_dv_name"),
+                        F.col("_metadata.row_index").alias("_dv_pos"),
+                    ]
+                df = df.select(*sel)
+                for c, raw in zip(pcols, key):
+                    df = df.withColumn(
+                        c, _typed_partition_lit(raw, ptypes[c])
+                    )
+                pieces.append(
+                    df.select(*(cols + (["_dv_name", "_dv_pos"]
+                                        if has_dv else [])))
+                )
+            continue
         df = spark.read.schema(data_schema).parquet(*files)
         sel = [F.col(pn).alias(f.name)
                for pn, f in zip(pnames, data_fields)]
-        if has_dv:
+        need_file = has_dv or (pcols and len(part_keys) > 1)
+        if need_file:
             sel += [
                 F.element_at(
                     F.split(F.col("_metadata.file_path"), "/"), -1
                 ).alias("_dv_name"),
-                F.col("_metadata.row_index").alias("_dv_pos"),
             ]
+        if has_dv:
+            sel += [F.col("_metadata.row_index").alias("_dv_pos")]
         df = df.select(*sel)
-        for c, raw in zip(pcols, key):
-            df = df.withColumn(c, _typed_partition_lit(raw, ptypes[c]))
-        cols = [f.name for f in schema.fields]
+        if pcols and len(part_keys) > 1:
+            lk_schema = ", ".join(
+                ["_dv_name string"] + [f"_praw{i} string"
+                                       for i in range(len(pcols))]
+            )
+            lk = spark.createDataFrame(
+                [(os.path.basename(fp), *key) for fp, key in entries],
+                lk_schema,
+            )
+            df = df.join(F.broadcast(lk), "_dv_name")
+            for i, c in enumerate(pcols):
+                df = df.withColumn(
+                    c, F.col(f"_praw{i}").cast(ptypes[c])
+                ).drop(f"_praw{i}")
+        elif pcols:
+            (key,) = part_keys
+            for c, raw in zip(pcols, key):
+                df = df.withColumn(c, _typed_partition_lit(raw, ptypes[c]))
         pieces.append(df.select(*(cols + (["_dv_name", "_dv_pos"]
                                           if has_dv else []))))
     out = pieces[0]
@@ -2505,16 +2562,25 @@ def _scan_logical_with_file(
         return empty.withColumn("_file", F.lit(None).cast("string"))
 
     has_dv = any(a.get("deletionVector") for a in adds)
-    by_part: dict[tuple, list[str]] = {}
+    # ONE scan over every surviving file; partition values attach via a
+    # broadcast basename -> raw-values lookup (the ``_file`` column this
+    # scan needs anyway IS the join key) instead of one scan per
+    # partition tuple unioned P ways — same single-scan rewrite as
+    # :func:`_assemble_scan`, same cast semantics, identical rows.
+    entries = []
     for a in adds:
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(phys.get(c, c)) for c in pcols)
-        by_part.setdefault(key, []).append(os.path.join(path, a["path"]))
+        entries.append((os.path.join(path, a["path"]), key))
 
     ptypes = {f.name: f.dataType for f in schema.fields}
-    pieces = []
-    for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*files)
+    part_keys = {key for _, key in entries}
+    bases = [os.path.basename(fp) for fp, _ in entries]
+    base_collision = len(set(bases)) != len(bases)
+    if (pcols and len(part_keys) > 1) and not base_collision:
+        df = spark.read.schema(data_schema).parquet(
+            *[fp for fp, _ in entries]
+        )
         sel = [F.col(phys[f.name]).alias(f.name) for f in data_fields] + [
             F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
@@ -2522,12 +2588,44 @@ def _scan_logical_with_file(
             F.col("_metadata.row_index").alias("_dv_pos"),
         ]
         df = df.select(*sel)
-        for c, raw in zip(pcols, key):
-            df = df.withColumn(c, _typed_partition_lit(raw, ptypes[c]))
-        pieces.append(df.select(*(cols + ["_file", "_dv_pos"])))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
+        lk_schema = ", ".join(
+            ["_file string"] + [f"_praw{i} string"
+                                for i in range(len(pcols))]
+        )
+        lk = spark.createDataFrame(
+            [(os.path.basename(fp), *key) for fp, key in entries],
+            lk_schema,
+        )
+        df = df.join(F.broadcast(lk), "_file")
+        for i, c in enumerate(pcols):
+            df = df.withColumn(
+                c, F.col(f"_praw{i}").cast(ptypes[c])
+            ).drop(f"_praw{i}")
+        out = df.select(*(cols + ["_file", "_dv_pos"]))
+    else:
+        by_part: dict[tuple, list[str]] = {}
+        for fp, key in entries:
+            by_part.setdefault(key, []).append(fp)
+        pieces = []
+        for key, files in sorted(
+            by_part.items(), key=lambda kv: str(kv[0])
+        ):
+            df = spark.read.schema(data_schema).parquet(*files)
+            sel = [
+                F.col(phys[f.name]).alias(f.name) for f in data_fields
+            ] + [
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            ]
+            df = df.select(*sel)
+            for c, raw in zip(pcols, key):
+                df = df.withColumn(c, _typed_partition_lit(raw, ptypes[c]))
+            pieces.append(df.select(*(cols + ["_file", "_dv_pos"])))
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
     if keep_pos:
         return out.withColumnRenamed("_dv_pos", "_pos")
     if has_dv:
