@@ -45,6 +45,7 @@ def label_propagation(
     n_iter: int = 4,
     checkpoint_every: int = 4,
     broadcast_labels: bool = False,
+    src_total: bool = False,
 ) -> DataFrame:
     """``(node, label)`` after ``n_iter`` synchronous LPA rounds over
     the directed edge list ``(src, dst)`` — symmetrize with
@@ -60,18 +61,32 @@ def label_propagation(
     round's plan references it twice, so uncut rounds double the tree
     (analyzed eagerly by every transformation — the driver cost goes
     exponential long before any executor does work), while the cut
-    materializes a table the mode already assumes fits an executor."""
+    materializes a table the mode already assumes fits an executor.
+    (Measured the other way too: for n_iter=3 the uncut single-action
+    form loses ~1.5-2s at sf0.1 — the doubled subtrees are NOT saved by
+    exchange reuse across the nested broadcasts.)
+
+    ``src_total=True`` asserts every node appears as ``src`` (true for
+    any symmetrized edge list, e.g. from
+    :func:`..operators.pagerank.undirected_edges`), so the node set is
+    ``SELECT DISTINCT src`` — one scan of the edge list and half the
+    distinct's input vs the default src+dst union. Only set it when the
+    input is symmetrized; directed graphs keep the union (a pure sink
+    appears only as dst and would otherwise drop from the labels)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     if broadcast_labels:
         checkpoint_every = 1
     multi = n_iter > 1
     edges = edges.persist() if multi else edges
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    if src_total:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
     if multi:
         nodes = nodes.persist()
     labels = nodes.select("node", F.col("node").alias("label"))

@@ -7333,7 +7333,8 @@ def q415_label_propagation(spark, sf_dir):
     # the co-purchase node set is dims-sized (customers + suppliers):
     # broadcast rounds — one shuffle each — are the right plan here
     return label_propagation(
-        edges, n_iter=_Q415_ITERS, broadcast_labels=True
+        edges, n_iter=_Q415_ITERS, broadcast_labels=True,
+        src_total=True,  # symmetrized edges: every node appears as src
     ).orderBy("node")
 
 

@@ -64,3 +64,22 @@ def test_mode_round_matches_unrolled_sql_tiebreaks(spark):
     # node 0 keeps majority-vote semantics in round 2
     got = _labels(label_propagation(edges, n_iter=2))
     assert got[0] == 1  # tie 1-vs-2 broken to the smallest
+
+
+def test_src_total_parity_on_symmetrized_edges(spark):
+    """src_total=True (node set = DISTINCT src) must match the default
+    src+dst union node build exactly whenever the edge list is
+    symmetrized — the only sanctioned use."""
+    pairs = spark.createDataFrame(
+        [(i, 100 + (i * 5) % 17) for i in range(30)], "a long, b long"
+    )
+    edges = undirected_edges(pairs, "a", "b")
+    base = _labels(label_propagation(edges, n_iter=3))
+    fast = _labels(label_propagation(edges, n_iter=3, src_total=True))
+    assert base == fast
+    both = _labels(
+        label_propagation(
+            edges, n_iter=3, broadcast_labels=True, src_total=True
+        )
+    )
+    assert base == both
