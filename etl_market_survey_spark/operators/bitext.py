@@ -145,6 +145,25 @@ def _ivf_candidates(
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF cell-blocked (x, y) candidate pairs, both probe directions."""
+    if nprobe >= n_cells and centroids is None:
+        # Exact mode probes EVERY cell, so the candidate set is every
+        # (x, y) pair exactly once NO MATTER how tgt rows are assigned
+        # to cells — the centroids only shape the blocking, never the
+        # output. Skip centroid training (a sample-collect job + driver
+        # Lloyd) and both pandas_udf assignment passes (two Python
+        # boundary stages, guide §4) and block on a deterministic hash
+        # bucket instead: same equi-join shape (never a cartesian),
+        # identical pair set, zero training work.
+        t1 = tv.select(
+            "y", F.pmod(F.xxhash64("y"), F.lit(n_cells)).alias("_cell")
+        )
+        s1 = sv.select(
+            "x",
+            F.explode(
+                F.array(*[F.lit(i).cast("bigint") for i in range(n_cells)])
+            ).alias("_cell"),
+        )
+        return s1.join(t1, "_cell").select("x", "y")
     cents = centroids if centroids is not None else train_ivf_centroids(
         vec_pool, vec_col=vec_col, n_cells=n_cells, seed=seed
     )
