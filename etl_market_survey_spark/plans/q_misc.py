@@ -1535,40 +1535,57 @@ ORDER BY l_returnflag
 
 @register("q150_spearman", _Q150_ORACLE)
 def q150_spearman(spark, sf_dir):
+    from pyspark.sql import Window
+
     from ..operators.globalindex import grouped_sort_index
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice",
         "l_orderkey", "l_linenumber",
     )
-    # two chained scale-safe grouped ranks (range partitioning, never a
-    # window over the 3-value flag); tie-averaged ranks come from a
-    # map-side-combined groupBy joined back — the quantity side is a
-    # ~150-row broadcast, the price side a high-cardinality (parallel)
-    # shuffle join. MEASURED ALTERNATIVE (r8, rejected): folding every
-    # moment into the (flag, price) groupBy (Σrow rx2·ry2 = Σgroup
-    # ry2·Σrx2, exact in decimal) removes this join — but l_extended-
-    # price is near-unique, so that groupBy reduces ~nothing and pays
-    # per-group DECIMAL aggregation state on ~n groups where the join
-    # shuffles two narrow longs: 26.5s vs 16.6s back-to-back in one
-    # session, 47.6s vs 6.1s as bench medians. One exchange fewer,
-    # measurably slower — the join-back stays.
-    ranked = grouped_sort_index(
-        li, ["l_returnflag"],
-        ["l_quantity", "l_orderkey", "l_linenumber"], index_col="rn_x",
+    # Tie-averaged ranks NEVER need per-row row_numbers: within a tie
+    # group the ranks are the consecutive run offset+1..offset+cnt, so
+    # 2*avg(rank) = 2*cum - cnt + 1 from grouped counts + a running sum
+    # — exactly the double the old 2*avg(rn) produced (rank sums stay
+    # < 2^53, so the FP avg was already exact). The quantity side
+    # (~150 (flag, qty) groups) is a map-side-combined groupBy + a
+    # tiny window; the price side ranks the GROUPED (flag, price)
+    # table (>=1 row fewer per tie, counts not rows) through the same
+    # scale-safe grouped cumulative. This removes BOTH full-row
+    # grouped_sort_index chains (two 600k-row range shuffles, two
+    # persists, two bounded collects) that previously existed only to
+    # average per-row ranks back down to per-value ranks.
+    # MEASURED ALTERNATIVE (r8, rejected): folding every moment into
+    # the (flag, price) groupBy (Σrow rx2·ry2 = Σgroup ry2·Σrx2, exact
+    # in decimal) removes the final join — but it pays per-group
+    # DECIMAL moment state on ~n groups: 26.5s vs 16.6s back-to-back,
+    # 47.6s vs 6.1s as bench medians. The join-back stays.
+    gq = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("_c")
     )
-    ranked = grouped_sort_index(
-        ranked, ["l_returnflag"],
-        ["l_extendedprice", "l_orderkey", "l_linenumber"], index_col="rn_y",
+    wq = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    gx = ranked.groupBy("l_returnflag", "l_quantity").agg(
-        (F.lit(2) * F.avg("rn_x")).cast("long").alias("rx2")
+    gx = gq.select(
+        "l_returnflag", "l_quantity",
+        (F.lit(2) * F.sum("_c").over(wq) - F.col("_c") + F.lit(1))
+        .cast("long").alias("rx2"),
     )
-    gy = ranked.groupBy("l_returnflag", "l_extendedprice").agg(
-        (F.lit(2) * F.avg("rn_y")).cast("long").alias("ry2")
+    gp = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("_c")
+    )
+    gy = grouped_sort_index(
+        gp, ["l_returnflag"], ["l_extendedprice"],
+        index_col="_rn", cum_cols={"_cum": "_c"},
+    ).select(
+        "l_returnflag", "l_extendedprice",
+        (F.lit(2) * F.col("_cum") - F.col("_c") + F.lit(1))
+        .cast("long").alias("ry2"),
     )
     r = (
-        ranked.join(F.broadcast(gx), ["l_returnflag", "l_quantity"])
+        li.join(F.broadcast(gx), ["l_returnflag", "l_quantity"])
         .join(gy, ["l_returnflag", "l_extendedprice"])
         .select("l_returnflag", "rx2", "ry2")
     )
