@@ -20,54 +20,16 @@ from pyspark.sql import functions as F
 
 
 def _per_key_map(d: DataFrame, key_col: str, order_cols, schema, per_group):
-    """Run ``per_group`` (a pandas fn over ONE key's rows, exactly the
-    function the grouped form applied) over every key, as a
-    PARTITION-level ``mapInPandas`` instead of
-    ``groupBy.applyInPandas``: with many small keys the per-group
-    pandas construction/conversion overhead dominates the recurrence
-    itself (guide §4 — amortize per-task, not per-group; measured
-    2.3-2.6x on the q239 Holt shape, 1500 keys of ~67 rows). Keys are
-    made partition-contiguous by ``repartition(key)`` +
-    ``sortWithinPartitions(key, *order)``; the kernel buffers the
-    trailing key across Arrow batch boundaries so a key split over two
-    batches is processed whole. Each key's rows reach ``per_group``
-    sorted exactly as the grouped form's did — identical floats,
-    identical rows."""
-    import pandas as pd
+    """Partition-level stand-in for ``groupBy(key).applyInPandas`` —
+    see :func:`..operators.groupmap.per_group_map` (with many small
+    keys the per-group pandas overhead dominates the recurrence;
+    measured 2.3-2.6x on the q239 Holt shape, 1500 keys of ~67
+    rows). Identical floats, identical rows."""
+    from .groupmap import per_group_map
 
-    def kernel(batches):
-        pend = None
-
-        def flush(pdf):
-            outs = [
-                per_group(g)
-                for _, g in pdf.groupby(key_col, sort=False, dropna=False)
-            ]
-            return pd.concat(outs) if len(outs) > 1 else outs[0]
-
-        for b in batches:
-            if pend is not None:
-                b = pd.concat([pend, b])
-                pend = None
-            if len(b) == 0:
-                continue
-            last = b[key_col].iloc[-1]
-            mask = (
-                b[key_col].isna()
-                if pd.isna(last)
-                else (b[key_col] == last)
-            )
-            pend = b[mask]
-            head = b[~mask]
-            if len(head):
-                yield flush(head)
-        if pend is not None and len(pend):
-            yield flush(pend)
-
-    part = d.repartition(F.col(key_col)).sortWithinPartitions(
-        key_col, *order_cols
+    return per_group_map(
+        d, [key_col], schema, per_group, order_cols=order_cols
     )
-    return part.mapInPandas(kernel, schema)
 
 
 def cusum_per_key(

@@ -75,7 +75,11 @@ def audio_tone_features(
         )
         return pd.DataFrame([out])
 
-    return df.groupBy(*key_cols).applyInPandas(kernel, schema)
+    from .groupmap import per_group_map
+
+    return per_group_map(
+        df, list(key_cols), schema, kernel, order_cols=[order_col]
+    )
 
 
 def sql_goertzel_cte(
@@ -144,7 +148,12 @@ def audio_filterbank_powers(
         out["power"] = round(power, 6)
         return pd.DataFrame([out])
 
-    return df.groupBy(*key_cols, bin_col).applyInPandas(kernel, schema)
+    from .groupmap import per_group_map
+
+    return per_group_map(
+        df, [*key_cols, bin_col], schema, kernel,
+        order_cols=[order_col],
+    )
 
 
 def sql_goertzel_multi_cte(source_cte: str, out_cte: str = "goem") -> str:

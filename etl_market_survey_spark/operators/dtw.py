@@ -77,7 +77,12 @@ def dtw_pairs(
             )
         return pd.DataFrame(out)
 
-    return pairs.groupBy(ka, kb).applyInPandas(kernel, schema)
+    # every group is a single pair row, so this is a plain per-row
+    # map: mapInPandas scores whole Arrow batches with the same
+    # kernel, no per-pair pandas frame construction (guide §4)
+    return pairs.mapInPandas(
+        lambda it: (kernel(b) for b in it if len(b)), schema
+    )
 
 
 def sql_dtw_cte(

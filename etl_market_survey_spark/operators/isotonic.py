@@ -94,7 +94,11 @@ def isotonic_fit(
         res[out] = fitted / _SCALE
         return res
 
-    return pooled.groupBy(*keys).applyInPandas(kernel, schema)
+    from .groupmap import per_group_map
+
+    return per_group_map(
+        pooled, keys, schema, kernel, order_cols=[x_col]
+    )
 
 
 def sql_isotonic_fit(

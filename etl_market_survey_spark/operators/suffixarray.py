@@ -132,8 +132,14 @@ def lcp_array(
             }
         )
 
-    return withtext.groupBy(id_col).applyInPandas(
-        kernel, f"{id_col} long, sa_rank long, pos int, lcp int"
+    from .groupmap import per_group_map
+
+    # per-doc groups are plentiful and small: partition-level mapInPandas
+    # amortizes the per-group pandas overhead (guide §4), same kernel
+    return per_group_map(
+        withtext, [id_col],
+        f"{id_col} long, sa_rank long, pos int, lcp int", kernel,
+        order_cols=["pos"],
     )
 
 
@@ -307,6 +313,10 @@ def right_maximal_repeats(
             }
         )
 
-    return withtext.groupBy(id_col).applyInPandas(
-        kernel, f"{id_col} long, repeat string, rep_len int, n_occ long"
+    from .groupmap import per_group_map
+
+    return per_group_map(
+        withtext, [id_col],
+        f"{id_col} long, repeat string, rep_len int, n_occ long", kernel,
+        order_cols=["sa_rank"],
     )

@@ -1535,8 +1535,6 @@ ORDER BY l_returnflag
 
 @register("q150_spearman", _Q150_ORACLE)
 def q150_spearman(spark, sf_dir):
-    from pyspark.sql import Window
-
     from ..operators.globalindex import grouped_sort_index
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -1563,15 +1561,27 @@ def q150_spearman(spark, sf_dir):
     gq = li.groupBy("l_returnflag", "l_quantity").agg(
         F.count("*").alias("_c")
     )
-    wq = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_quantity")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # cumulative counts over the BOUNDED (flag, quantity) domain (~150
+    # rows: quantity is a 1..50 integer domain) via a triangular
+    # broadcast self-join — no window, no single-partition anything
+    gq2 = gq.select(
+        F.col("l_returnflag").alias("_f"),
+        F.col("l_quantity").alias("_q"),
+        F.col("_c").alias("_c2"),
     )
-    gx = gq.select(
-        "l_returnflag", "l_quantity",
-        (F.lit(2) * F.sum("_c").over(wq) - F.col("_c") + F.lit(1))
-        .cast("long").alias("rx2"),
+    gx = (
+        gq.join(
+            F.broadcast(gq2),
+            (F.col("l_returnflag") == F.col("_f"))
+            & (F.col("_q") <= F.col("l_quantity")),
+        )
+        .groupBy("l_returnflag", "l_quantity", "_c")
+        .agg(F.sum("_c2").alias("_cum"))
+        .select(
+            "l_returnflag", "l_quantity",
+            (F.lit(2) * F.col("_cum") - F.col("_c") + F.lit(1))
+            .cast("long").alias("rx2"),
+        )
     )
     gp = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count("*").alias("_c")
