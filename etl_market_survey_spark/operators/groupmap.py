@@ -44,7 +44,10 @@ def per_group_map(
     keys = list(key_cols)
 
     def kernel(batches):
-        pend = None
+        # Trailing-key rows are buffered as a LIST of batch slices and
+        # concatenated once at flush: a hot key spanning B batches moves
+        # O(B) bytes, not the O(B^2) a per-batch concat would.
+        pend = []
 
         def flush(pdf):
             outs = [
@@ -53,10 +56,18 @@ def per_group_map(
             ]
             return pd.concat(outs) if len(outs) > 1 else outs[0]
 
+        def same_key(row_a, row_b):
+            for k in keys:
+                va, vb = row_a[k], row_b[k]
+                na_a, na_b = pd.isna(va), pd.isna(vb)
+                if na_a or na_b:
+                    if not (na_a and na_b):
+                        return False
+                elif va != vb:
+                    return False
+            return True
+
         for b in batches:
-            if pend is not None:
-                b = pd.concat([pend, b])
-                pend = None
             if len(b) == 0:
                 continue
             mask = None
@@ -64,12 +75,28 @@ def per_group_map(
                 last = b[k].iloc[-1]
                 m = b[k].isna() if pd.isna(last) else (b[k] == last)
                 mask = m if mask is None else (mask & m)
-            pend = b[mask]
             head = b[~mask]
             if len(head):
+                # The batch's trailing key starts inside this batch, so
+                # every buffered slice (plus head) holds only complete
+                # keys — flush them; the groupby inside splits any key
+                # boundary that fell exactly on a batch edge.
+                if pend:
+                    head = pd.concat(pend + [head])
+                    pend = []
                 yield flush(head)
-        if pend is not None and len(pend):
-            yield flush(pend)
+                pend = [b[mask]]
+            else:
+                # Whole batch is one key; a key that ended exactly on
+                # the previous batch boundary must flush before this
+                # one starts accumulating.
+                if pend and not same_key(pend[-1].iloc[-1], b.iloc[0]):
+                    yield flush(pd.concat(pend) if len(pend) > 1 else pend[0])
+                    pend = []
+                pend.append(b)
+        if pend:
+            tail = pd.concat(pend) if len(pend) > 1 else pend[0]
+            yield flush(tail)
 
     part = d.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
         *keys, *order_cols
