@@ -152,6 +152,7 @@ def with_curve_key(
     cols: list[str],
     order: int = 16,
     out_col: str = "_zd",
+    bounds: dict | None = None,
 ) -> DataFrame:
     """Attach the space-filling-curve clustering key both lakehouse
     OPTIMIZE paths share (Delta ``optimize_zorder``, Iceberg
@@ -161,7 +162,16 @@ def with_curve_key(
     grid bits clamped to ``62 // k``. Columns are scaled to the curve
     grid by min/max (ONE aggregate — no global-rank window, which would
     be a SinglePartition exchange; the trade is that extreme outliers
-    compress the useful grid range)."""
+    compress the useful grid range).
+
+    ``bounds``: optional ``{col: (mn, mx)}`` replacing the min/max
+    aggregate — for callers whose source metadata already carries exact
+    per-file column bounds (lakehouse log stats), saving one full-input
+    job. Values MUST equal what the aggregate would return (the
+    lakehouse callers guarantee it: integral columns only, where the
+    long→double cast is monotone so double(min(x)) == min(double(x)),
+    tight stats, no row-level deletes) — the curve key and therefore
+    the produced file layout are identical either way."""
     from .hilbert import with_hilbert
 
     if not 1 <= len(cols) <= 4:
@@ -171,11 +181,17 @@ def with_curve_key(
     grid = (1 << bits) - 1
     if k == 1:
         return df.withColumn(out_col, F.col(cols[0]).cast("double"))
-    aggs = []
-    for c in cols:
-        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
-                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
-    b = df.agg(*aggs).first()
+    if bounds is not None and all(c in bounds for c in cols):
+        b = {}
+        for c in cols:
+            mn, mx = bounds[c]
+            b[f"mn_{c}"], b[f"mx_{c}"] = float(mn), float(mx)
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+        b = df.agg(*aggs).first()
     scaled = {}
     for c in cols:
         mn, mx = b[f"mn_{c}"], b[f"mx_{c}"]

@@ -2265,6 +2265,76 @@ def _write_single_parquet_with_stats(df: DataFrame, dest: str, schema) -> str:
     )
 
 
+def _log_stats_curve_bounds(
+    snap, rels: list[str], cols: list[str], phys: dict, schema
+) -> dict | None:
+    """Exact ``{col: (mn, mx)}`` over the files in ``rels`` from the
+    log's per-file stats — ZERO jobs, replacing the curve-scaling
+    min/max aggregate in :func:`optimize_zorder` (guide §1.2: the
+    commit that staged each file already computed these).
+
+    Returns None (callers fall back to the scan aggregate) unless the
+    values are PROVABLY identical to that aggregate: integral columns
+    only (long→double cast is monotone, so double(min(x)) ==
+    min(double(x)); no NaN ordering questions), every file carrying
+    tight JSON stats for the column, and no deletionVector anywhere in
+    ``rels`` (stats cover physical rows; a DV makes logical bounds
+    possibly narrower). A file that is all-null in a column contributes
+    nothing, exactly like F.min/F.max ignoring nulls."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    itypes = (ByteType, ShortType, IntegerType, LongType)
+    fmap = {f.name: f for f in schema.fields}
+    for c in cols:
+        f = fmap.get(c)
+        if f is None or not isinstance(f.dataType, itypes):
+            return None
+    lo: dict = {c: None for c in cols}
+    hi: dict = {c: None for c in cols}
+    for rel in rels:
+        add = snap.adds.get(rel)
+        if add is None or add.get("deletionVector"):
+            return None
+        s = add.get("stats")
+        if not s:
+            return None
+        try:
+            st = json.loads(s) if isinstance(s, str) else s
+        except ValueError:
+            return None
+        if not isinstance(st, dict) or st.get("tightBounds") is False:
+            return None
+        nrec = st.get("numRecords")
+        if not isinstance(nrec, int) or isinstance(nrec, bool):
+            return None
+        if nrec == 0:
+            continue
+        mnv = st.get("minValues") or {}
+        mxv = st.get("maxValues") or {}
+        ncv = st.get("nullCount") or {}
+        for c in cols:
+            pc = phys.get(c, c)
+            mn, mx = mnv.get(pc), mxv.get(pc)
+            if mn is None or mx is None:
+                if ncv.get(pc) == nrec:
+                    continue  # file all-null in c: contributes nothing
+                return None
+            if (
+                type(mn) is not int or type(mx) is not int
+            ):  # bool is not int here; external writers may stringize
+                return None
+            lo[c] = mn if lo[c] is None else min(lo[c], mn)
+            hi[c] = mx if hi[c] is None else max(hi[c], mx)
+    if any(lo[c] is None or hi[c] is None for c in cols):
+        return None  # zero rows / all-null: keep the aggregate's path
+    return {c: (lo[c], hi[c]) for c in cols}
+
+
 def _last_zorder_version(path: str, cols: list[str]) -> int | None:
     """Newest commit version whose commitInfo records an OPTIMIZE
     ZORDER BY over exactly ``cols`` — the incremental mode's watermark."""
@@ -2376,7 +2446,10 @@ def optimize_zorder(
         ).drop("_file")
     else:
         df = read_delta(spark, path)  # logical rows, DVs applied
-    df = with_curve_key(df, cols, order=order, out_col="_zd")
+    # curve-scaling bounds from the log's per-file stats when provably
+    # identical to the scan aggregate — one full-input job removed
+    bounds = _log_stats_curve_bounds(snap, rewrite_rels, cols, phys, schema)
+    df = with_curve_key(df, cols, order=order, out_col="_zd", bounds=bounds)
 
     from pyspark.sql.types import StructField, StructType
 

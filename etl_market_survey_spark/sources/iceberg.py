@@ -2524,6 +2524,58 @@ def _commit_delete_manifest(
     _publish_metadata(path, new_v, meta)
 
 
+def _manifest_curve_bounds(
+    files: list[dict], cols: list[str], schema
+) -> dict | None:
+    """Exact ``{col: (mn, mx)}`` from the manifests' per-file
+    ``bounds_json`` — zero jobs, replacing ``with_curve_key``'s min/max
+    aggregate (the write that staged each file already computed these).
+    None (fall back to the scan) unless provably identical: integral
+    columns only (monotone cast to double), every non-empty file
+    carrying integer bounds for the column (a ``[null, null]`` entry
+    means the file is all-null there and contributes nothing, exactly
+    like F.min/F.max); callers must ALSO verify no row-level deletes
+    exist (bounds cover physical rows)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    itypes = (ByteType, ShortType, IntegerType, LongType)
+    fmap = {f.name: f for f in schema.fields}
+    for c in cols:
+        f = fmap.get(c)
+        if f is None or not isinstance(f.dataType, itypes):
+            return None
+    lo: dict = {c: None for c in cols}
+    hi: dict = {c: None for c in cols}
+    for fe in files:
+        if not fe.get("record_count"):
+            continue
+        b = fe.get("bounds_json")
+        if not b:
+            return None
+        try:
+            bd = json.loads(b)
+        except ValueError:
+            return None
+        for c in cols:
+            if c not in bd:
+                return None  # renamed column / external writer
+            mn, mx = bd[c]
+            if mn is None and mx is None:
+                continue  # all-null in this file
+            if type(mn) is not int or type(mx) is not int:
+                return None
+            lo[c] = mn if lo[c] is None else min(lo[c], mn)
+            hi[c] = mx if hi[c] is None else max(hi[c], mx)
+    if any(lo[c] is None or hi[c] is None for c in cols):
+        return None
+    return {c: (lo[c], hi[c]) for c in cols}
+
+
 def rewrite_data_files(
     spark: SparkSession,
     path: str,
@@ -2583,8 +2635,35 @@ def rewrite_data_files(
                 "zorder_by supports unpartitioned tables only (the "
                 "partition restage would re-shuffle away the curve split)"
             )
+        # curve-scaling bounds from the manifests' per-file stats when
+        # provably identical to the scan aggregate (no row-level
+        # deletes: bounds cover physical rows) — one full-input job
+        # removed. One manifest-list read, reusing the already-loaded
+        # metadata; any planning surprise falls back to the aggregate.
+        bounds = None
+        try:
+            snap0 = _select_snapshot(meta, None, None)
+            _, mans = read_avro_records(
+                os.path.join(path, snap0["manifest-list"])
+            )
+            if not any(m.get("content") for m in mans):  # no delete manifests
+                entries: list[dict] = []
+                for m in mans:
+                    _, es = read_avro_records(
+                        os.path.join(path, m["manifest_path"])
+                    )
+                    entries += [
+                        e["data_file"] for e in es if e["status"] != 2
+                    ]
+                bounds = _manifest_curve_bounds(
+                    entries, zorder_by, live.schema
+                )
+        except Exception:
+            bounds = None
         live = (
-            with_curve_key(live, zorder_by, order=order, out_col="_zd")
+            with_curve_key(
+                live, zorder_by, order=order, out_col="_zd", bounds=bounds
+            )
             .repartitionByRange(n, "_zd")
             .sortWithinPartitions("_zd")
             .drop("_zd")
