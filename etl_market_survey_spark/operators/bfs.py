@@ -31,18 +31,25 @@ def bfs_hops(
     max_hops: int,
     src_col: str = "src",
     dst_col: str = "dst",
-    broadcast_frontier: bool = False,
+    broadcast_frontier: bool | None = None,
 ) -> DataFrame:
     """Min-hop table ``(node, hops)`` for all nodes within ``max_hops``
     of ``source``. ``edges`` is directed; pass both orientations for an
     undirected graph.
 
-    ``broadcast_frontier=True`` broadcasts the frontier into the edges
+    ``broadcast_frontier`` broadcasts the frontier into the edges
     join and the visited set into the anti-join, making each level ONE
     shuffle (the new-frontier distinct) instead of three — right
-    whenever the node set fits an executor (the same trade as
+    whenever the visited set fits an executor (the same trade as
     ``pagerank_fixed_point``'s ``broadcast_ranks``); billion-node
-    graphs keep the default shuffle joins."""
+    graphs keep the default shuffle joins. The default ``None``
+    auto-gates PER LEVEL on the exact visited-set row count (already
+    known: every level is eagerly checkpointed and counted) vs
+    ``autoBroadcastJoinThreshold`` — a runtime size check, no per-query
+    assumption; a frontier wave that outgrows the threshold falls back
+    to shuffle joins mid-traversal. Pass True/False to override."""
+    from .autobroadcast import rows_fit_broadcast
+
     spark = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
@@ -52,9 +59,15 @@ def bfs_hops(
     ).localCheckpoint(eager=True)
     levels = [frontier]
     visited = frontier.select("node")
+    visited_rows = 1
     for i in range(1, max_hops + 1):
-        fr_in = F.broadcast(frontier) if broadcast_frontier else frontier
-        vis_in = F.broadcast(visited) if broadcast_frontier else visited
+        bcast = (
+            rows_fit_broadcast(spark, visited_rows, row_bytes=32)
+            if broadcast_frontier is None
+            else broadcast_frontier
+        )
+        fr_in = F.broadcast(frontier) if bcast else frontier
+        vis_in = F.broadcast(visited) if bcast else visited
         nxt = (
             fr_in.join(e, fr_in["node"] == e["_src"])
             .select(F.col("_dst").alias("node"))
@@ -63,8 +76,13 @@ def bfs_hops(
             .withColumn("hops", F.lit(i).cast("int"))
             .localCheckpoint(eager=True)
         )
-        if not nxt.take(1):
+        # count over the just-materialized blocks (no recompute): the
+        # emptiness check take(1) did, plus the exact visited size the
+        # next level's broadcast gate needs
+        n_new = nxt.count()
+        if n_new == 0:
             break
+        visited_rows += n_new
         levels.append(nxt)
         frontier = nxt
         # every level is already an eager checkpoint, so the visited

@@ -44,7 +44,7 @@ def label_propagation(
     edges: DataFrame,
     n_iter: int = 4,
     checkpoint_every: int = 4,
-    broadcast_labels: bool = False,
+    broadcast_labels: bool | None = None,
     src_total: bool = False,
 ) -> DataFrame:
     """``(node, label)`` after ``n_iter`` synchronous LPA rounds over
@@ -52,12 +52,14 @@ def label_propagation(
     :func:`..operators.pagerank.undirected_edges` for undirected
     graphs (the usual community-detection input).
 
-    ``broadcast_labels=True`` broadcasts the nodes-sized label table
+    ``broadcast_labels`` broadcasts the nodes-sized label table
     into the message join (and the winner table into the join-back),
     making each round ONE shuffle (the count combine) instead of
     three — right whenever the node set fits an executor (tens of
     millions of nodes); billion-node graphs keep the default shuffle
-    joins. In this mode the label table is ALSO cut every round: the
+    joins. The default ``None`` auto-gates on the exact node count vs
+    ``autoBroadcastJoinThreshold`` (one count job that doubles as the
+    node-table cache materialization); pass True/False to override. In this mode the label table is ALSO cut every round: the
     round's plan references it twice, so uncut rounds double the tree
     (analyzed eagerly by every transformation — the driver cost goes
     exponential long before any executor does work), while the cut
@@ -75,8 +77,6 @@ def label_propagation(
     appears only as dst and would otherwise drop from the labels)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    if broadcast_labels:
-        checkpoint_every = 1
     multi = n_iter > 1
     edges = edges.persist() if multi else edges
     if src_total:
@@ -89,6 +89,18 @@ def label_propagation(
         )
     if multi:
         nodes = nodes.persist()
+    if broadcast_labels is None:
+        from .autobroadcast import rows_fit_broadcast
+
+        # auto-gate only multi-round runs: there the count doubles as
+        # the node-cache materialization round 1 would otherwise pay;
+        # a single round keeps the shuffle default (an uncached count
+        # would cost a full extra pipeline run)
+        broadcast_labels = multi and rows_fit_broadcast(
+            edges.sparkSession, nodes.count()
+        )
+    if broadcast_labels:
+        checkpoint_every = 1
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(n_iter):
         lab_in = F.broadcast(labels) if broadcast_labels else labels

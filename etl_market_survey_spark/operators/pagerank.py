@@ -68,7 +68,7 @@ def pagerank_fixed_point(
     d_num: int = 85,
     d_den: int = 100,
     checkpoint_every: int = 8,
-    broadcast_ranks: bool = False,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """``(node, pr)`` after ``n_iter`` integer fixed-point iterations over
     the directed edge list ``(src, dst)``; ``pr`` is on the ``UNIT``
@@ -82,17 +82,20 @@ def pagerank_fixed_point(
     kcore/components per-round cut is free there because those loops
     already run an action per round; this one doesn't).
 
-    ``broadcast_ranks=True`` broadcasts the nodes-sized per-source
+    ``broadcast_ranks`` broadcasts the nodes-sized per-source
     contribution table into the edges join (and the contribution sums
     into the join-back), making each round ONE shuffle (the dst-sum
     combine) instead of three — the same trade as
     :func:`..operators.communities.label_propagation`'s
     ``broadcast_labels``: right whenever the node set fits an executor
-    (tens of millions of nodes); billion-node graphs keep the default
-    shuffle joins. The per-source ratio ``pr div deg`` is computed once
-    per node before the edges join — identical integers to the
-    per-edge form, and the decimal contribution sum is order-
-    independent, so results are bit-equal either way."""
+    (tens of millions of nodes); billion-node graphs keep the shuffle
+    joins. The default ``None`` auto-gates on the node count the
+    function already measures vs ``autoBroadcastJoinThreshold`` (a size
+    check, not a per-query assumption); pass True/False to override.
+    The per-source ratio ``pr div deg`` is computed once per node
+    before the edges join — identical integers to the per-edge form,
+    and the decimal contribution sum is order-independent, so results
+    are bit-equal either way."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     # Loop constants persist for any multi-round run: each iteration's
@@ -118,6 +121,10 @@ def pagerank_fixed_point(
         ndg = ndg.persist()
     n_nodes = ndg.count()
     base = ((d_den - d_num) * UNIT) // (d_den * n_nodes)
+    if broadcast_ranks is None:
+        from .autobroadcast import rows_fit_broadcast
+
+        broadcast_ranks = rows_fit_broadcast(edges.sparkSession, n_nodes)
 
     pr = ndg.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
     for it in range(n_iter):
@@ -161,7 +168,7 @@ def personalized_pagerank(
     d_num: int = 85,
     d_den: int = 100,
     checkpoint_every: int = 8,
-    broadcast_ranks: bool = False,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): the teleport
     mass returns ONLY to the ``sources`` node set — scores measure
@@ -188,15 +195,32 @@ def personalized_pagerank(
         F.count("*").alias("deg")
     )
     src_set = sources.select("node").distinct()
-    n_src = src_set.count()
-    if n_src == 0:
-        raise ValueError("personalization set is empty")
-    base = ((d_den - d_num) * UNIT) // (d_den * n_src)
     seeded = ndg.join(
         src_set.withColumn("_s", F.lit(1)), "node", "left"
     ).select("node", "deg", F.coalesce("_s", F.lit(0)).alias("_s"))
     if cuts_fire:
         seeded = seeded.persist()
+    # ONE action yields both scalars the recurrence needs — n_src (the
+    # seed count; identical to counting ``sources`` distinct under the
+    # documented sources-⊆-nodes contract) and n_nodes for the
+    # broadcast size gate — and it materializes the ``seeded`` persist
+    # the rounds read, replacing the separate src_set.count() job.
+    row = seeded.agg(
+        F.count("*").alias("_n"), F.sum("_s").alias("_k")
+    ).first()
+    n_nodes, n_src = row["_n"], int(row["_k"] or 0)
+    if n_src == 0:
+        if n_nodes == 0 and src_set.take(1):
+            # empty graph, nonempty sources: zero rows flow through the
+            # recurrence either way — any base works on no rows
+            n_src = 1
+        else:
+            raise ValueError("personalization set is empty")
+    base = ((d_den - d_num) * UNIT) // (d_den * n_src)
+    if broadcast_ranks is None:
+        from .autobroadcast import rows_fit_broadcast
+
+        broadcast_ranks = rows_fit_broadcast(edges.sparkSession, n_nodes)
 
     pr = seeded.select(
         "node", "deg",
@@ -238,7 +262,7 @@ def weighted_pagerank(
     d_num: int = 85,
     d_den: int = 100,
     checkpoint_every: int = 8,
-    broadcast_ranks: bool = False,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Edge-weighted PageRank: contributions split proportionally to
     integer edge weights instead of uniformly — ``contrib(e) =
@@ -265,6 +289,10 @@ def weighted_pagerank(
         nwt = nwt.persist()
     n_nodes = nwt.count()
     base = ((d_den - d_num) * UNIT) // (d_den * n_nodes)
+    if broadcast_ranks is None:
+        from .autobroadcast import rows_fit_broadcast
+
+        broadcast_ranks = rows_fit_broadcast(e.sparkSession, n_nodes)
 
     pr = nwt.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
     for it in range(n_iter):

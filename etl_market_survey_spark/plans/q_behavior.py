@@ -74,11 +74,9 @@ def q194_bfs_hops(spark, sf_dir):
         .select("_p.src", "_p.dst")
         .distinct()
     )
-    # the part node set is dims-sized: broadcast the frontier/visited
-    # tables so each level is ONE shuffle (the new-frontier distinct)
-    return bfs_hops(
-        edges, _Q194_SOURCE, _Q194_HOPS, broadcast_frontier=True
-    ).orderBy("node")
+    # part node set is dims-sized: the per-level size gate picks
+    # broadcast frontier/visited joins (one shuffle per level) here
+    return bfs_hops(edges, _Q194_SOURCE, _Q194_HOPS).orderBy("node")
 
 
 # ---------------------------------------------------------------------------

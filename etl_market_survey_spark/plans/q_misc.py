@@ -745,10 +745,10 @@ def q97_pagerank(spark, sf_dir):
         .distinct()
     )
     edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
-    # co-purchase node set is dims-sized (customers + suppliers):
-    # broadcast rounds — one shuffle each — are the right plan here
+    # co-purchase node set is dims-sized: the operator's size gate
+    # picks broadcast rounds here, shuffle rounds on huge graphs
     return pagerank_fixed_point(
-        edges, n_iter=3, broadcast_ranks=True
+        edges, n_iter=3
     ).orderBy("node")
 
 
@@ -1983,9 +1983,9 @@ def q243_personalized_pagerank(spark, sf_dir):
         .orderBy("node")
         .limit(_Q243_N_SEEDS)
     )
-    # dims-sized node set: broadcast rounds (one shuffle per round)
+    # dims-sized node set: the operator auto-gates to broadcast rounds
     return personalized_pagerank(
-        edges, seeds, n_iter=3, broadcast_ranks=True
+        edges, seeds, n_iter=3
     ).orderBy("node")
 
 
@@ -2366,9 +2366,9 @@ def q255_weighted_pagerank(spark, sf_dir):
     ).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
-    # dims-sized node set: broadcast rounds (one shuffle per round)
+    # dims-sized node set: the operator auto-gates to broadcast rounds
     return weighted_pagerank(
-        edges, n_iter=3, broadcast_ranks=True
+        edges, n_iter=3
     ).orderBy("node")
 
 
@@ -3019,7 +3019,7 @@ def q285_ppr_sweep_cut(spark, sf_dir):
         edges.filter(F.col("src") < _Q97_OFF)
         .agg(F.min("src").alias("node"))
     )
-    pr = personalized_pagerank(edges, seed, n_iter=3, broadcast_ranks=True)
+    pr = personalized_pagerank(edges, seed, n_iter=3)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     scored = pr.join(deg, pr["node"] == deg["src"]).select(
         "node", "deg",
@@ -7357,10 +7357,10 @@ def q415_label_propagation(spark, sf_dir):
         .distinct()
     )
     edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
-    # the co-purchase node set is dims-sized (customers + suppliers):
-    # broadcast rounds — one shuffle each — are the right plan here
+    # co-purchase node set is dims-sized: the operator's size gate
+    # picks broadcast rounds here, shuffle rounds on huge graphs
     return label_propagation(
-        edges, n_iter=_Q415_ITERS, broadcast_labels=True,
+        edges, n_iter=_Q415_ITERS,
         src_total=True,  # symmetrized edges: every node appears as src
     ).orderBy("node")
 

@@ -1878,7 +1878,7 @@ def q307_textrank_keywords(spark, sf_dir):
         .agg(F.sum("w").alias("w"))
     )
     return (
-        weighted_pagerank(wedges, n_iter=_Q307_ITER, broadcast_ranks=True)
+        weighted_pagerank(wedges, n_iter=_Q307_ITER)
         .select(F.col("node").alias("token"), "pr")
         .orderBy(F.desc("pr"), "token")
         .limit(_Q307_TOP)
