@@ -1483,14 +1483,17 @@ def q342_token_bucket(spark, sf_dir):
             ]
         )
 
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(
-            run,
-            "user_id long, n_events long, n_rejected long, tokens_left double",
-        )
-        .orderBy("user_id")
-    )
+    # many small per-user groups: partition-level mapInPandas via
+    # per_group_map (per-task overhead instead of per-key; same kernel)
+    from ..operators.groupmap import per_group_map
+
+    return per_group_map(
+        ev,
+        ["user_id"],
+        "user_id long, n_events long, n_rejected long, tokens_left double",
+        run,
+        order_cols=("ts", "event_id"),
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

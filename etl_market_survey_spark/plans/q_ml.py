@@ -1518,11 +1518,17 @@ def q223_longest_repeated_substring(spark, sf_dir):
             }
         )
 
-    return (
-        withtext.groupBy("doc_id")
-        .applyInPandas(kernel, "doc_id long, lrs_len int, lrs string, at_pos int")
-        .orderBy("doc_id")
-    )
+    # many small per-doc groups: partition-level mapInPandas via
+    # per_group_map (the kernel's winner depends only on the candidate
+    # set, not row order)
+    from ..operators.groupmap import per_group_map
+
+    return per_group_map(
+        withtext,
+        ["doc_id"],
+        "doc_id long, lrs_len int, lrs string, at_pos int",
+        kernel,
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
