@@ -257,27 +257,69 @@ def _load_meta(index_path: str) -> dict:
         return json.load(f)
 
 
+def _probe_positions_many(
+    spark: SparkSession, probes: list[tuple], meta: dict
+) -> list[list[int]]:
+    """Bit positions for MANY probe literals in ONE one-row job —
+    evaluated by the SAME JVM ``xxhash64`` expression the build used
+    (no Python hash model to drift). ``probes`` is [(value, col_type)];
+    a prune with an ``in`` list or many conjuncts costs one driver
+    round-trip, not one per literal."""
+    k = meta["n_hashes"]
+    cols = []
+    for j, (value, col_type) in enumerate(probes):
+        lit = F.lit(value).cast(col_type)
+        cols.extend(
+            p.alias(f"p{j}_{i}")
+            for i, p in enumerate(
+                _positions(lit, k, meta["n_bits"], meta["seed"])
+            )
+        )
+    row = spark.range(1).select(*cols).first()
+    return [[row[f"p{j}_{i}"] for i in range(k)] for j in range(len(probes))]
+
+
 def _probe_positions(
     spark: SparkSession, value, col_type: str, meta: dict
 ) -> list[int]:
-    """Bit positions for a probe literal — evaluated by the SAME JVM
-    ``xxhash64`` expression the build used, on a one-row frame (one
-    metadata-sized job; no Python hash model to drift)."""
-    lit = F.lit(value).cast(col_type)
-    cols = [
-        p.alias(f"p{i}")
-        for i, p in enumerate(
-            _positions(lit, meta["n_hashes"], meta["n_bits"], meta["seed"])
-        )
-    ]
-    row = spark.range(1).select(*cols).first()
-    return [row[f"p{i}"] for i in range(meta["n_hashes"])]
+    return _probe_positions_many(spark, [(value, col_type)], meta)[0]
+
+
+def _gather_eq_probes(preds: list[tuple], meta: dict) -> list[tuple]:
+    """(col, value) for every bloom-probed literal in ``preds`` —
+    ``=`` values plus each element of an ``in`` list."""
+    out = []
+    for pred in preds:
+        c, op = pred[0], pred[1]
+        if c not in meta["col_types"]:
+            continue
+        if op == "=":
+            out.append((c, pred[2]))
+        elif op == "in":
+            out.extend((c, x) for x in pred[2])
+    return out
+
+
+def _probe_cache(
+    spark: SparkSession, preds: list[tuple], meta: dict
+) -> dict:
+    """{(col, value): positions} for every ``=``/``in`` literal in
+    ``preds``, filled with a single one-row job."""
+    probes = _gather_eq_probes(preds, meta)
+    if not probes:
+        return {}
+    pos = _probe_positions_many(
+        spark, [(v, meta["col_types"][c]) for c, v in probes], meta
+    )
+    return {key: p for key, p in zip(probes, pos)}
 
 
 def _bloom_might_contain(
-    spark: SparkSession, c: str, value, meta: dict
+    spark: SparkSession, c: str, value, meta: dict, pos_cache: dict | None = None
 ) -> Column:
-    pos = _probe_positions(spark, value, meta["col_types"][c], meta)
+    pos = (pos_cache or {}).get((c, value))
+    if pos is None:
+        pos = _probe_positions(spark, value, meta["col_types"][c], meta)
     bloom = F.col(f"{c}__bloom")
     cond = F.lit(True)
     for p in pos:
@@ -296,7 +338,7 @@ def _bloom_might_contain(
 
 
 def _zone_conjunct(
-    spark: SparkSession, pred: tuple, meta: dict
+    spark: SparkSession, pred: tuple, meta: dict, pos_cache: dict | None = None
 ) -> Column:
     """May-match condition over the index row for one predicate.
     NULL zone stats (all-null file for c) make comparisons NULL ->
@@ -312,10 +354,12 @@ def _zone_conjunct(
     if op == "=":
         lit = F.lit(v).cast(t)
         return (
-            (mn <= lit) & (mx >= lit) & _bloom_might_contain(spark, c, v, meta)
+            (mn <= lit)
+            & (mx >= lit)
+            & _bloom_might_contain(spark, c, v, meta, pos_cache)
         )
     if op == "in":
-        conds = [_zone_conjunct(spark, (c, "=", x), meta) for x in v]
+        conds = [_zone_conjunct(spark, (c, "=", x), meta, pos_cache) for x in v]
         out = conds[0]
         for cc in conds[1:]:
             out = out | cc
@@ -386,9 +430,10 @@ def prune_files(
     surviving path list — metadata-sized by construction."""
     meta = _load_meta(index_path)
     idx = spark.read.parquet(index_path)
+    pos_cache = _probe_cache(spark, preds, meta)
     cond = F.lit(True)
     for pred in preds:
-        cond = cond & _zone_conjunct(spark, pred, meta)
+        cond = cond & _zone_conjunct(spark, pred, meta, pos_cache)
     return [r["file"] for r in idx.filter(cond).select("file").collect()]
 
 

@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_market_survey_spark.sources.skipindex import (
+    _load_meta,
+    _positions,
     build_skipping_index,
     prune_files,
     read_with_index,
@@ -20,13 +22,12 @@ def _rows(df, *order):
     return [tuple(r) for r in df.orderBy(*order).collect()]
 
 
-@pytest.fixture()
-def lake(spark, tmp_path):
+def _build_lake(spark, base):
     """32-file lake, ids hash-scattered over files (zone maps useless
     for point lookups by construction — every file's [min,max] covers
     every probe; only the bloom can prune)."""
-    data = str(tmp_path / "data")
-    idx = str(tmp_path / "idx")
+    data = str(base / "data")
+    idx = str(base / "idx")
     df = spark.range(0, 4000).select(
         F.col("id").alias("k"),
         (F.col("id") % 13).alias("grp"),
@@ -37,8 +38,22 @@ def lake(spark, tmp_path):
     return data, idx
 
 
-def test_point_lookup_prunes_and_is_exact(spark, lake):
-    data, idx = lake
+@pytest.fixture()
+def lake(spark, tmp_path):
+    """Fresh per-test lake — for tests that MUTATE it (append files,
+    delete files, refresh the index)."""
+    return _build_lake(spark, tmp_path)
+
+
+@pytest.fixture(scope="module")
+def lake_ro(spark, tmp_path_factory):
+    """Shared read-only lake — building it costs ~4s; the read-only
+    tests don't need a fresh copy each."""
+    return _build_lake(spark, tmp_path_factory.mktemp("skipidx_ro"))
+
+
+def test_point_lookup_prunes_and_is_exact(spark, lake_ro):
+    data, idx = lake_ro
     full = spark.read.parquet(data)
     n_files = len(full.inputFiles())
     assert n_files == 32
@@ -53,23 +68,82 @@ def test_point_lookup_prunes_and_is_exact(spark, lake):
     assert _rows(got, "k") == _rows(full.filter(F.col("k") == 1234), "k")
 
 
-def test_no_false_negatives_over_many_probes(spark, lake):
-    data, idx = lake
+def _u64(x: int) -> int:
+    return x & 0xFFFFFFFFFFFFFFFF
+
+
+def _py_might_contain(row, col, positions) -> bool:
+    """The prune conjunct for ``=`` re-evaluated in Python over one
+    collected index row: zone interval AND every bloom bit set. The
+    positions come from the SAME JVM xxhash64 expression the build
+    used; only the trivially portable bit test is re-done here."""
+    bloom = row[f"{col}__bloom"] or {}
+    for p in positions:
+        if not _u64(bloom.get(p >> 6, 0)) & (1 << (p & 63)):
+            return False
+    return True
+
+
+def test_no_false_negatives_over_many_probes(spark, lake_ro):
+    data, idx = lake_ro
     full = spark.read.parquet(data)
-    # 200 present keys (and their string tags): every probe must find
+    # 200 present keys (and all 40 present tags): every probe must find
     # its row — a bloom false NEGATIVE anywhere fails loudly. 800
     # distinct probe positions also exercises the signed bit-63 word.
-    for k in range(0, 4000, 20):
+    # A sample goes through the public prune_files path; the exhaustive
+    # sweep evaluates all probe POSITIONS as data in one job (the JVM
+    # xxhash64 stays authoritative) and replays only the bit test over
+    # the collected 32-row index — 200 prune_files collects cost ~60s
+    # of pure job overhead, this is 3 jobs.
+    ks = list(range(0, 4000, 20))
+    for k in ks[::40]:
         assert len(prune_files(spark, idx, [("k", "=", k)])) >= 1
+    meta = _load_meta(idx)
+    n_h, n_b, seed = meta["n_hashes"], meta["n_bits"], meta["seed"]
     tags = [r["tag"] for r in full.filter(F.col("k") % 100 == 0).collect()]
-    for t in tags[:20]:
+    pos_rows = (
+        spark.createDataFrame(
+            [(k, tags[i % len(tags)]) for i, k in enumerate(ks)],
+            "k long, tag string",
+        )
+        .select(
+            "k",
+            "tag",
+            F.array(*_positions(F.col("k"), n_h, n_b, seed)).alias("kp"),
+            F.array(*_positions(F.col("tag"), n_h, n_b, seed)).alias("tp"),
+        )
+        .collect()
+    )
+    idx_rows = spark.read.parquet(idx).collect()
+    by_file = {os.path.basename(r["file"]): r for r in idx_rows}
+    k_misses = [
+        r["k"]
+        for r in pos_rows
+        if not any(_py_might_contain(ir, "k", r["kp"]) for ir in idx_rows)
+    ]
+    assert k_misses == [], f"bloom false negatives at {k_misses[:10]}"
+    # string tags: per-tag TRUE file set must be a subset of that tag's
+    # bloom-surviving file set; the public read path is exercised on a few.
+    truth_rows = (
+        full.filter(F.col("tag").isin(tags))
+        .select("tag", F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    tag_pos = {r["tag"]: r["tp"] for r in pos_rows}
+    for tr in truth_rows:
+        ir = by_file[os.path.basename(tr["f"])]
+        assert _py_might_contain(ir, "tag", tag_pos[tr["tag"]]), (
+            f"bloom false negative for tag {tr['tag']!r}"
+        )
+    for t in tags[:4]:
         got = read_with_index(spark, data, idx, [("tag", "=", t)])
         exp = full.filter(F.col("tag") == t)
         assert _rows(got, "k") == _rows(exp, "k")
 
 
-def test_absent_key_prunes_everything_or_nearly(spark, lake):
-    data, idx = lake
+def test_absent_key_prunes_everything_or_nearly(spark, lake_ro):
+    data, idx = lake_ro
     preds = [("k", "=", 999999)]
     # zone maps kill this one outright (out of [0, 4000))
     assert prune_files(spark, idx, preds) == []
@@ -131,8 +205,8 @@ def test_prefix_needs_string_column(spark, tmp_path):
         prune_files(spark, idx, [("k", "prefix", "1")])
 
 
-def test_in_and_conjunction(spark, lake):
-    data, idx = lake
+def test_in_and_conjunction(spark, lake_ro):
+    data, idx = lake_ro
     full = spark.read.parquet(data)
     preds = [("k", "in", [10, 77, 3999]), ("k", ">=", 50)]
     got = read_with_index(spark, data, idx, preds)
@@ -237,8 +311,8 @@ def test_all_null_file_pruned_for_equality(spark, tmp_path):
     assert len(survivors) == 1
 
 
-def test_index_meta_and_errors(spark, lake, tmp_path):
-    data, idx = lake
+def test_index_meta_and_errors(spark, lake_ro, tmp_path):
+    data, idx = lake_ro
     with pytest.raises(ValueError, match="not indexed"):
         prune_files(spark, idx, [("grp", "=", 1)])
     with pytest.raises(ValueError, match="unsupported op"):
@@ -253,8 +327,8 @@ def test_index_meta_and_errors(spark, lake, tmp_path):
         )
 
 
-def test_residual_filter_matches_spec(spark, lake):
-    data, _ = lake
+def test_residual_filter_matches_spec(spark, lake_ro):
+    data, _ = lake_ro
     full = spark.read.parquet(data)
     preds = [("k", "between", (5, 500)), ("tag", "is_not_null"), ("k", "<=", 400)]
     got = full.filter(residual_filter(preds))

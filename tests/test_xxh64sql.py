@@ -99,12 +99,17 @@ def test_hll_sql_matches_model():
         "mid": [rng.randint(0, 10**9) for _ in range(7000)],      # bias branch
         "big": [rng.randint(-2**60, 2**60) for _ in range(70000)],  # raw branch
     }
+    import pandas as pd
+
     con = duckdb.connect()
     con.execute("CREATE TABLE pairs (g VARCHAR, v BIGINT)")
-    for g, vals in datasets.items():
-        con.executemany(
-            "INSERT INTO pairs VALUES (?, ?)", [(g, v) for v in set(vals)]
-        )
+    all_pairs = pd.DataFrame(
+        [(g, v) for g, vals in datasets.items() for v in set(vals)],
+        columns=["g", "v"],
+    )
+    con.register("all_pairs", all_pairs)
+    # bulk insert: executemany is row-at-a-time (~26s for these 77k rows)
+    con.execute("INSERT INTO pairs SELECT g, v FROM all_pairs")
     sql = (
         "WITH RECURSIVE gp AS (SELECT DISTINCT g, v FROM pairs),\n"
         + sql_hll_count_longs("gp", 0.05)
