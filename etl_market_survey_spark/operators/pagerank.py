@@ -128,10 +128,15 @@ def pagerank_fixed_point(
 
     pr = ndg.withColumn("pr", F.lit(UNIT // n_nodes).cast("long"))
     for it in range(n_iter):
-        # per-source ratio from the carried deg — NO join, either mode
+        # per-source ratio from the carried deg — NO join, either mode.
+        # Zero contributions (pr < deg floors to 0) are dropped: they
+        # add exactly 0 to every dst sum and the join-back already maps
+        # absent sums through coalesce(s, 0), so the ranks are
+        # bit-identical while the shuffled/broadcast rank table and the
+        # join output shrink to the nonzero support.
         rt = pr.select(
             F.col("node").alias("src"), F.expr("pr div deg").alias("c")
-        )
+        ).filter(F.col("c") != 0)
         # broadcast mode: edges never shuffle, the dst-sum partial-
         # aggregates map-side — one exchange per round
         rt_in = F.broadcast(rt) if broadcast_ranks else rt
@@ -169,6 +174,7 @@ def personalized_pagerank(
     d_den: int = 100,
     checkpoint_every: int = 8,
     broadcast_ranks: bool | None = None,
+    return_deg: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): the teleport
     mass returns ONLY to the ``sources`` node set — scores measure
@@ -182,7 +188,12 @@ def personalized_pagerank(
     + (d_num * sum_in(pr_t // deg)) div d_den``.
 
     ``sources`` must expose a single ``node`` column (subset of the
-    graph's nodes)."""
+    graph's nodes).
+
+    ``return_deg=True`` returns ``(node, deg, pr)`` — the recurrence
+    already carries the out-degree, so sweep-cut style consumers that
+    score ``pr/deg`` read it for free instead of re-aggregating the
+    edge list and joining (one aggregate + one join removed)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     cuts_fire = n_iter > 1  # same persist rationale as pagerank_fixed_point
@@ -227,10 +238,16 @@ def personalized_pagerank(
         (F.col("_s") * F.lit(UNIT // n_src)).cast("long").alias("pr"),
     )
     for it in range(n_iter):
-        # ratio from the carried deg — NO join, either mode (bit-equal)
+        # ratio from the carried deg — NO join, either mode (bit-equal).
+        # Personalization makes the rank table SPARSE in early rounds
+        # (round 0 has |seeds| nonzero rows, round t the t-hop
+        # neighborhood): zero contributions add exactly 0 to every dst
+        # sum and absent sums already coalesce to 0 in the join-back, so
+        # dropping them is bit-exact while round t only ships and joins
+        # the t-hop support instead of all n_nodes rows.
         rt = pr.select(
             F.col("node").alias("src"), F.expr("pr div deg").alias("c")
-        )
+        ).filter(F.col("c") != 0)
         rt_in = F.broadcast(rt) if broadcast_ranks else rt
         contrib = edges.join(rt_in, "src").select(
             F.col("dst").alias("node"), "c"
@@ -253,7 +270,7 @@ def personalized_pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             pr = pr.localCheckpoint(eager=True)
-    return pr.select("node", "pr")
+    return pr.select("node", "deg", "pr") if return_deg else pr.select("node", "pr")
 
 
 def weighted_pagerank(

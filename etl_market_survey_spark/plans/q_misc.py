@@ -1973,11 +1973,9 @@ def q243_personalized_pagerank(spark, sf_dir):
         .distinct()
     )
     edges = undirected_edges(pairs, "a", "b", parts_disjoint=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # symmetrized edges: every node appears as src, so DISTINCT src IS
+    # the node set — half the distinct input vs the src∪dst union
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     seeds = (
         nodes.filter(F.col("node") < _Q97_OFF)
         .orderBy("node")
@@ -3019,9 +3017,11 @@ def q285_ppr_sweep_cut(spark, sf_dir):
         edges.filter(F.col("src") < _Q97_OFF)
         .agg(F.min("src").alias("node"))
     )
-    pr = personalized_pagerank(edges, seed, n_iter=3)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    scored = pr.join(deg, pr["node"] == deg["src"]).select(
+    # the recurrence already carries out-degree — read it back instead
+    # of re-aggregating the edge cache and joining (same integers: the
+    # operator's degree table is exactly groupBy(src).count())
+    pr = personalized_pagerank(edges, seed, n_iter=3, return_deg=True)
+    scored = pr.select(
         "node", "deg",
         (F.col("pr").cast("double") / F.col("deg").cast("double")).alias("score"),
     )
