@@ -568,6 +568,14 @@ def _assemble_scan(
     # §3.3 "very wide unions of many inputs"). Values cast through the
     # schema type exactly as _typed_partition_lit does (same Catalyst
     # string->type cast), so results are identical.
+    #
+    # Tradeoff (documented, ADVICE r10): with the single scan, a filter
+    # on a partition column applied AFTER read_delta can no longer prune
+    # FILES via Catalyst constant-folding (the value is join-attached,
+    # not a per-scan literal) — every logged file is read. Callers who
+    # filter on partition columns should pass ``partition_filter=`` to
+    # read_delta (log-level pruning, strictly better) rather than
+    # filtering the returned frame; the engine's own query paths all do.
     by_names: dict[tuple, list[tuple[str, tuple]]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
@@ -587,10 +595,18 @@ def _assemble_scan(
         files = [fp for fp, _ in entries]
         part_keys = {key for _, key in entries}
         bases = [os.path.basename(fp) for fp in files]
-        if len(part_keys) > 1 and len(set(bases)) != len(bases):
+        from urllib.parse import quote
+
+        if len(part_keys) > 1 and (
+            len(set(bases)) != len(bases)
+            or any(quote(b, safe="") != b for b in bases)
+        ):
             # external writers may reuse basenames across partition
-            # dirs; the broadcast attach keys on basename, so fall back
-            # to one scan per partition tuple for this (rare) layout
+            # dirs, and basenames with URI-escapable characters can
+            # render differently in _metadata.file_path than in the log
+            # path — either would make the broadcast basename attach
+            # silently drop or misattach rows, so fall back to one scan
+            # per partition tuple for these (rare) layouts
             by_key: dict[tuple, list[str]] = {}
             for fp, key in entries:
                 by_key.setdefault(key, []).append(fp)

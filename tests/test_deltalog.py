@@ -2231,3 +2231,67 @@ class TestColumnMappingIdMode:
             for fld in pq.ParquetFile(f).schema_arrow
         }
         assert ids == {1, 2}
+
+
+class TestExternalLayoutFallbacks:
+    """External writers control file names; the single-scan read attaches
+    partition values via a broadcast basename lookup, which MUST fall
+    back to per-partition scans when basenames collide across partition
+    dirs or contain URI-escapable characters (deltalog._assemble_scan)."""
+
+    @staticmethod
+    def _ext_table(tmp_path, name_a, name_b):
+        root = str(tmp_path / "ext_fallback")
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+
+        def data_file(rel, ids, vs):
+            full = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(
+                pa.table({"id": pa.array(ids, pa.int64()),
+                          "v": pa.array(vs, pa.float64())}),
+                full,
+            )
+            return rel
+
+        f_a = data_file(f"cat=a/{name_a}", [1, 2], [1.5, 2.5])
+        f_b = data_file(f"cat=b/{name_b}", [3, 4], [3.5, 4.5])
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {"timestamp": 1000,
+                                               "operation": "WRITE"}}) + "\n")
+            f.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                             "minWriterVersion": 2}}) + "\n")
+            f.write(json.dumps({"metaData": {
+                "id": "extfb", "format": {"provider": "parquet", "options": {}},
+                "schemaString": SCHEMA_JSON, "partitionColumns": ["cat"],
+                "configuration": {}, "createdTime": 1000}}) + "\n")
+            for rel, c in [(f_a, "a"), (f_b, "b")]:
+                f.write(json.dumps({"add": {
+                    "path": rel, "partitionValues": {"cat": c},
+                    "size": os.path.getsize(os.path.join(root, rel)),
+                    "modificationTime": 1000, "dataChange": True}}) + "\n")
+        return root
+
+    def _assert_reads(self, spark, root):
+        got = sorted(
+            (r["id"], r["v"], r["cat"])
+            for r in read_delta(spark, root).collect()
+        )
+        assert got == [(1, 1.5, "a"), (2, 2.5, "a"),
+                       (3, 3.5, "b"), (4, 4.5, "b")]
+
+    def test_duplicate_basenames_across_partitions(self, spark, tmp_path):
+        # identical basename in both partition dirs: the basename
+        # lookup would be ambiguous -> per-partition-tuple fallback
+        root = self._ext_table(tmp_path, "part-0.parquet", "part-0.parquet")
+        self._assert_reads(spark, root)
+
+    def test_escapable_basenames(self, spark, tmp_path):
+        # space + percent need URI escaping: _metadata.file_path may
+        # render them differently than the log path -> fallback, rows
+        # must neither drop nor misattach
+        root = self._ext_table(
+            tmp_path, "part 0%25a.parquet", "part-1.parquet"
+        )
+        self._assert_reads(spark, root)

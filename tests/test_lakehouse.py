@@ -16,65 +16,80 @@ from etl_market_survey_spark.sources.lakehouse import (
 )
 
 PATH = "/tmp/spark_graft_lakehouse_unit"
+PATH_RO = "/tmp/spark_graft_lakehouse_unit_ro"
 
 
-@pytest.fixture()
-def table(spark):
-    shutil.rmtree(PATH, ignore_errors=True)
+def _build(spark, path):
+    shutil.rmtree(path, ignore_errors=True)
     df = spark.createDataFrame(
         [(i, "ab"[i % 2], i * 10.0) for i in range(20)], "k long, p string, x double"
     )
     commit_snapshot(
-        spark, PATH, df.filter(F.col("k") < 10),
+        spark, path, df.filter(F.col("k") < 10),
         operation="append", partition_col="p", commit_ts=100, stat_cols=["k"],
     )
     commit_snapshot(
-        spark, PATH, df.filter(F.col("k") >= 10),
+        spark, path, df.filter(F.col("k") >= 10),
         operation="append", partition_col="p", commit_ts=200, stat_cols=["k"],
     )
     commit_snapshot(
-        spark, PATH, None,
+        spark, path, None,
         operation="delete", delete_partition_values=["a"], commit_ts=300,
     )
-    yield PATH
+    return path
+
+
+@pytest.fixture()
+def table(spark):
+    """Fresh per-test table — for tests that ADD commits."""
+    yield _build(spark, PATH)
     shutil.rmtree(PATH, ignore_errors=True)
 
 
-def test_time_travel_versions(spark, table):
-    assert read_snapshot(spark, table, version=1).count() == 10
-    assert read_snapshot(spark, table, version=2).count() == 20
-    assert read_snapshot(spark, table).count() == 10  # only p='b' left
+@pytest.fixture(scope="module")
+def table_ro(spark):
+    """Shared 3-commit table for read-only tests (the 3-commit build
+    costs ~4s per test otherwise); separate path so mutating tests
+    can't clobber it."""
+    yield _build(spark, PATH_RO)
+    shutil.rmtree(PATH_RO, ignore_errors=True)
+
+
+def test_time_travel_versions(spark, table_ro):
+    assert read_snapshot(spark, table_ro, version=1).count() == 10
+    assert read_snapshot(spark, table_ro, version=2).count() == 20
+    assert read_snapshot(spark, table_ro).count() == 10  # only p='b' left
     # as-of timestamp picks the newest commit <= ts
-    assert read_snapshot(spark, table, as_of_ts=150).count() == 10
-    assert read_snapshot(spark, table, as_of_ts=250).count() == 20
+    assert read_snapshot(spark, table_ro, as_of_ts=150).count() == 10
+    assert read_snapshot(spark, table_ro, as_of_ts=250).count() == 20
     with pytest.raises(ValueError):
-        read_snapshot(spark, table, as_of_ts=50)
+        read_snapshot(spark, table_ro, as_of_ts=50)
 
 
-def test_delete_never_touches_files(spark, table):
+def test_delete_never_touches_files(spark, table_ro):
     # v3 dropped partition 'a' from the MANIFEST; v2 must still read the
     # full content because data files are immutable
-    v2 = read_snapshot(spark, table, version=2)
+    v2 = read_snapshot(spark, table_ro, version=2)
     assert v2.filter(F.col("p") == "a").count() == 10
     # and the files referenced by v1 still exist on disk
-    v1_files = read_snapshot(spark, table, version=1).inputFiles()
+    v1_files = read_snapshot(spark, table_ro, version=1).inputFiles()
     assert v1_files and all(os.path.exists(f.replace("file:", "")) for f in v1_files)
 
 
-def test_manifest_pruning_reduces_file_list(spark, table):
-    full = read_snapshot(spark, table, version=2)
-    pruned = read_snapshot(spark, table, version=2, partition_filter={"p": "a"})
+def test_manifest_pruning_reduces_file_list(spark, table_ro):
+    full = read_snapshot(spark, table_ro, version=2)
+    pruned = read_snapshot(spark, table_ro, version=2, partition_filter={"p": "a"})
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert pruned.count() == 10
     assert pruned.select("p").distinct().collect()[0][0] == "a"
     # pruning to nothing yields an empty frame with the table schema
-    empty = read_snapshot(spark, table, partition_filter={"p": "zzz"})
+    empty = read_snapshot(spark, table_ro, partition_filter={"p": "zzz"})
     assert empty.count() == 0
     assert set(empty.columns) == {"k", "p", "x"}
 
 
-def test_history_and_stats(spark, table):
-    hist = table_history(table)
+def test_history_and_stats(spark, table_ro):
+    hist = table_history(table_ro)
     assert [h["version"] for h in hist] == [1, 2, 3]
     assert [h["operation"] for h in hist] == ["append", "append", "delete"]
     assert [h["row_count"] for h in hist] == [10, 20, 10]
@@ -82,14 +97,14 @@ def test_history_and_stats(spark, table):
     # manifest column bounds recorded for stat_cols
     import json
 
-    snap = json.load(open(os.path.join(table, "metadata", "v00001.json")))
+    snap = json.load(open(os.path.join(table_ro, "metadata", "v00001.json")))
     bounds = [e["bounds"]["k"] for e in snap["manifest"]]
     assert all(lo is not None and hi is not None for lo, hi in bounds)
 
 
-def test_conflicting_travel_args(spark, table):
+def test_conflicting_travel_args(spark, table_ro):
     with pytest.raises(ValueError):
-        read_snapshot(spark, table, version=1, as_of_ts=100)
+        read_snapshot(spark, table_ro, version=1, as_of_ts=100)
 
 
 def test_compaction_preserves_content_and_prunes(spark, table):
@@ -113,11 +128,11 @@ def test_compaction_preserves_content_and_prunes(spark, table):
     assert read_snapshot(spark, table, partition_filter={"p": "zzz"}).count() == 0
 
 
-def test_bounds_filter_zone_map_pruning(spark, table):
+def test_bounds_filter_zone_map_pruning(spark, table_ro):
     # v2: files per (partition, commit) with k-bounds [0..9] and [10..19]
-    full = read_snapshot(spark, table, version=2)
+    full = read_snapshot(spark, table_ro, version=2)
     # equality probe k=15 can only live in the second commit's files
-    pruned = read_snapshot(spark, table, version=2, bounds_filter={"k": 15})
+    pruned = read_snapshot(spark, table_ro, version=2, bounds_filter={"k": 15})
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     # pruning is SOUND: applying the real predicate gives the same rows
     assert (
@@ -126,33 +141,33 @@ def test_bounds_filter_zone_map_pruning(spark, table):
         == 1
     )
     # range probe
-    rng = read_snapshot(spark, table, version=2, bounds_filter={"k": (0, 4)})
+    rng = read_snapshot(spark, table_ro, version=2, bounds_filter={"k": (0, 4)})
     assert rng.filter(F.col("k") <= 4).count() == 5
     assert len(rng.inputFiles()) < len(full.inputFiles())
     # probing outside every bound prunes to the empty frame
-    none = read_snapshot(spark, table, version=2, bounds_filter={"k": 999})
+    none = read_snapshot(spark, table_ro, version=2, bounds_filter={"k": 999})
     assert none.count() == 0
     # columns without recorded stats never prune
-    keep = read_snapshot(spark, table, version=2, bounds_filter={"x": 123.0})
+    keep = read_snapshot(spark, table_ro, version=2, bounds_filter={"x": 123.0})
     assert keep.count() == 20
 
 
-def test_incremental_read_appends_only(spark, table):
+def test_incremental_read_appends_only(spark, table_ro):
     from etl_market_survey_spark.sources.lakehouse import read_incremental
 
-    inc = read_incremental(spark, table, from_version=1, to_version=2)
+    inc = read_incremental(spark, table_ro, from_version=1, to_version=2)
     ks = sorted(r["k"] for r in inc.collect())
     assert ks == list(range(10, 20))  # exactly the v2 append
-    assert read_incremental(spark, table, from_version=0, to_version=1).count() == 10
+    assert read_incremental(spark, table_ro, from_version=0, to_version=1).count() == 10
     # crossing the v3 delete must refuse
     with pytest.raises(ValueError, match="delete"):
-        read_incremental(spark, table, from_version=2, to_version=3)
+        read_incremental(spark, table_ro, from_version=2, to_version=3)
 
 
-def test_snapshot_changes_logical_diff(spark, table):
+def test_snapshot_changes_logical_diff(spark, table_ro):
     from etl_market_survey_spark.sources.lakehouse import snapshot_changes
 
-    ch = snapshot_changes(spark, table, from_version=2, to_version=3, keys=["k"])
+    ch = snapshot_changes(spark, table_ro, from_version=2, to_version=3, keys=["k"])
     counts = {r["change_type"]: r["n"] for r in ch.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
     assert counts == {"delete": 10, "unchanged": 10}
 

@@ -1617,27 +1617,28 @@ class TestWriterOpenFileGuard:
         with the repartition hint, not exhaust file handles."""
         spark = registered
         p = str(tmp_path / "g1")
-        d = spark.range(500).select(
+        d = spark.range(220).select(
             F.col("id").alias("k"), F.col("id").cast("string").alias("p")
         ).coalesce(1)
         with pytest.raises(Exception, match="maxOpenFiles|repartition"):
             (
                 d.write.format("delta_lite").mode("append")
                 .option("partitionCol", "p")
-                .option("maxOpenFiles", "100")
+                .option("maxOpenFiles", "64")
                 .save(p)
             )
         # repartitioned by the key, the same write succeeds: each task
-        # holds one partition value at a time
+        # holds one partition value at a time (8 tasks x ~27 values,
+        # under the 64-open-files guard)
         p2 = str(tmp_path / "g2")
         (
             d.repartition(8, "p")
             .write.format("delta_lite").mode("append")
             .option("partitionCol", "p")
-            .option("maxOpenFiles", "100")
+            .option("maxOpenFiles", "64")
             .save(p2)
         )
-        assert spark.read.format("delta_lite").load(p2).count() == 500
+        assert spark.read.format("delta_lite").load(p2).count() == 220
 
 
 class TestRowGroupSplitting:
