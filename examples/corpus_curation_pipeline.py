@@ -62,15 +62,18 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("digest").orderBy("doc_id")
+    # the spine frames below each feed 3-6 downstream consumers; persist
+    # them so every consumer doesn't recompute the whole upstream chain
+    # (normalize -> dedup -> decontam -> quality -> LSH) from the scan
     exact = normed.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
-    ).drop("_rn")
+    ).drop("_rn").persist()
     n1 = exact.count()
 
     # 3. decontaminate against the src0 benchmark slice
     bench = exact.filter(F.col("source") == "src0")
     train = exact.filter(F.col("source") != "src0")
-    clean = decontaminate(train, bench, "doc_id", "text", n=4)
+    clean = decontaminate(train, bench, "doc_id", "text", n=4).persist()
     n2 = clean.count()
 
     # 4. quality gate: repetition rules + language coverage
@@ -94,7 +97,7 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
     lang_ok = clean.withColumn("lang_det", detect_language("text")).filter(
         F.col("lang_det") != "und"
     )
-    quality = lang_ok.join(good_ids, "doc_id", "left_semi")
+    quality = lang_ok.join(good_ids, "doc_id", "left_semi").persist()
     n3 = quality.count()
 
     # 5. near-dup sweep: MinHash-LSH -> components -> canonical survivors
@@ -104,6 +107,7 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
         dedup_canonical(quality, pairs, "doc_id")
         .filter(F.col("canonical_id") == F.col("doc_id"))
         .drop("canonical_id")
+        .persist()
     )
     n4 = survivors.count()
 
@@ -122,7 +126,7 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
             "chunk_id",
             F.size(F.slice("t", F.col("chunk_id") * STRIDE + 1, CHUNK)).alias("n_tokens"),
         )
-    )
+    ).persist()
     n5 = chunks.count()
     ordered = chunks.withColumn(
         "_ord", F.col("doc_id") * 1000 + F.col("chunk_id")
@@ -212,6 +216,8 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01"):
 
     negs = hash_ring_negatives(surv, "doc_id", k=2)
     n_negs = negs.count()
+    for _df in (exact, clean, quality, survivors, chunks):
+        _df.unpersist()
 
     print(
         f"docs={n0} exact_dedup={n1} decontaminated={n2} quality={n3} "
