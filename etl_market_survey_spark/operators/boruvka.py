@@ -97,13 +97,18 @@ def minimum_spanning_forest(
         )
         if sel.isEmpty():
             break
+        # ``sel`` is already checkpointed, so the forest union's lineage
+        # is bounded at one select per round — no per-round eager cut
+        # (one fewer driver action per round), and the both-endpoints
+        # duplicate of a chosen edge is deduped ONCE at the end: an edge
+        # picked in round r merges its endpoints' components, so it can
+        # never be picked again in a later round.
         chosen = sel.select(
             F.least("u", "v").alias("u"),
             F.greatest("u", "v").alias("v"),
             "w",
-        ).distinct()
+        )
         forest = chosen if forest is None else forest.unionByName(chosen)
-        forest = forest.localCheckpoint(eager=True)
         merged = connected_components(
             sel.select(F.col("cu").alias("id_a"), F.col("cv").alias("id_b"))
         )
@@ -124,7 +129,7 @@ def minimum_spanning_forest(
         return base.select(
             F.col("eu").alias("u"), F.col("ev").alias("v"), "w"
         ).limit(0)
-    return forest
+    return forest.distinct()
 
 
 def msf_components(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:

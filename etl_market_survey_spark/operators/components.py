@@ -31,6 +31,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Below this many (deduped, directed) edges the component labels are
+#: computed with a driver union-find on the collected edge list — a
+#: BOUNDED collect (the gate is a measured count, ~a few MB at the
+#: threshold) that replaces ~3 driver actions x log(n) label-propagation
+#: rounds with one job. Matters twice: tiny pair graphs are the common
+#: case for near-dup output, and Borůvka's per-round component-merge
+#: graph (<= one edge per component, shrinking geometrically) hits this
+#: path every round after the first on any graph.
+_DRIVER_UF_MAX_EDGES = 100_000
+
+
+def _driver_union_find(und: DataFrame) -> DataFrame:
+    """(node, comp) via union-find over a collected small edge list;
+    comp = min reachable node id — identical labels to the distributed
+    fixpoint (same partition, same min-representative)."""
+    rows = und.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root -> comp = min of the component
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    node_t = dict(und.dtypes)["a"]
+    return und.sparkSession.createDataFrame(
+        out, f"node {node_t}, comp {node_t}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -39,10 +83,16 @@ def connected_components(
 ) -> DataFrame:
     """(node, comp) for every node appearing in ``edges``; comp = min
     node id reachable. Raises if not converged within ``max_iter``
-    rounds (log2(longest chain) rounds suffice with pointer jumping)."""
+    rounds (log2(longest chain) rounds suffice with pointer jumping).
+
+    Small graphs (edge count under ``_DRIVER_UF_MAX_EDGES``, measured)
+    short-circuit to a driver union-find — same labels, one job instead
+    of 3 actions per propagation round."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.localCheckpoint(eager=True)
+    if und.count() <= _DRIVER_UF_MAX_EDGES:
+        return _driver_union_find(und)
 
     labels = (
         und.select(F.col("a").alias("node"))
@@ -64,6 +114,8 @@ def connected_components(
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
+                F.col("comp").alias("_prev"),  # carried for the
+                # convergence check — no jumped⋈labels re-join needed
                 F.least(F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))).alias(
                     "comp"
                 ),
@@ -82,19 +134,15 @@ def connected_components(
             )
             .select(
                 F.col("s.node").alias("node"),
+                F.col("s._prev").alias("_prev"),
                 F.least(F.col("comp"), F.coalesce(F.col("_cc"), F.col("comp"))).alias(
                     "comp"
                 ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("comp") != F.col("_prev")).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")

@@ -71,3 +71,30 @@ def test_dedup_canonical_by_fractional_scores(spark):
         for r in dedup_canonical_by(docs, pairs, "doc_id", "score").collect()
     }
     assert got == {1: 2, 2: 2}  # 1.9 beats 1.2 — no integer truncation
+
+
+def test_distributed_path_matches_driver_union_find(spark, monkeypatch):
+    """Small graphs short-circuit to the driver union-find; force the
+    distributed min-label fixpoint (threshold -> 0) and pin exact label
+    parity on a chain (worst case for propagation) plus a random
+    multi-component graph."""
+    import random
+
+    from etl_market_survey_spark.operators import components as C
+
+    chain = [(i, i + 1) for i in range(40)]
+    rng = random.Random(7)
+    blob = {(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)}
+    for edges in (chain, sorted(blob)):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {
+            (r["node"], r["comp"])
+            for r in C.connected_components(df).collect()
+        }
+        monkeypatch.setattr(C, "_DRIVER_UF_MAX_EDGES", 0)
+        slow = {
+            (r["node"], r["comp"])
+            for r in C.connected_components(df).collect()
+        }
+        monkeypatch.undo()
+        assert fast == slow and fast
