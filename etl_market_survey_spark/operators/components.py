@@ -91,7 +91,15 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.localCheckpoint(eager=True)
-    if und.count() <= _DRIVER_UF_MAX_EDGES:
+    gate = und.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("a").isNull() | F.col("b").isNull()).cast("int")
+        ).alias("nulls"),
+    ).first()
+    # null node ids keep the distributed path (they don't order in the
+    # driver union-find; join semantics handle them as before)
+    if gate["n"] <= _DRIVER_UF_MAX_EDGES and not (gate["nulls"] or 0):
         return _driver_union_find(und)
 
     labels = (
